@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Q
+import graft.Q.QueryFn
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates, ordered-set aggregates, and pivot
+  * (SURVEY.md §2.7 aggregate rows: var/stddev/corr/covar/regr_*,
+  * array_agg/string_agg, first/last/nth, bool/bit aggregates, median/
+  * percentiles, grouping sets, approx aggregates).
+  */
+object Analytics {
+
+  // Moment-based statistics are float ratios; both engines agree to well
+  // below the rounded precision on this data.
+  private val q33Sql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(var_pop(l_quantity), 4) AS varp_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe,
+      |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qe
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val q34Sql =
+    """SELECT l_linestatus,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  private val q38Sql =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_discount > 0.08) AS any_big_disc,
+      |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+      |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+      |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val q39Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g1, grouping(l_linestatus) AS g2,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val q41Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  first_value(l_quantity) OVER w AS fv,
+      |  last_value(l_quantity)  OVER w AS lv,
+      |  nth_value(l_quantity, 2) OVER w AS nth2
+      |FROM lineitem
+      |WHERE l_orderkey < 500
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private val q35Spark =
+    """SELECT n_name,
+      |  count(c_custkey) AS n_cust,
+      |  array_join(array_sort(collect_list(c_name)), '|') AS names
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private val q35Duck =
+    """SELECT n_name,
+      |  count(c_custkey) AS n_cust,
+      |  coalesce(string_agg(c_name, '|' ORDER BY c_name), '') AS names
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private val q36Spark =
+    """SELECT c_mktsegment,
+      |  max_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
+      |  min_by(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(min(c_acctbal), 2) AS min_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private val q36Duck =
+    """SELECT c_mktsegment,
+      |  arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
+      |  arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+      |  round(max(c_acctbal), 2) AS max_bal,
+      |  round(min(c_acctbal), 2) AS min_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private val q37Spark =
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS med,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
+      |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75,
+      |  round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90d
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val q37Duck =
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS med,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  round(quantile_disc(l_quantity, 0.9), 4) AS p90d
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // Approximate aggregates: HLL/quantile-sketch estimates are
+  // engine-specific, so no DuckDB oracle — the driver records a
+  // rows-only check (SURVEY.md §2.7 approx row).
+  private val q40Spark =
+    """SELECT l_returnflag,
+      |  approx_count_distinct(l_partkey) AS approx_parts,
+      |  percentile_approx(l_quantity, 0.5) AS approx_median
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    "q33_stats_agg" -> Q.fromSql(q33Sql),
+    "q34_regr_agg" -> Q.fromSql(q34Sql),
+    "q35_collect_agg" -> Q.fromSql(q35Spark),
+    "q36_minmax_by" -> Q.fromSql(q36Spark),
+    "q37_percentiles" -> Q.fromSql(q37Spark),
+    "q38_bool_bit_agg" -> Q.fromSql(q38Sql),
+    "q39_grouping_sets" -> Q.fromSql(q39Sql),
+    "q40_approx_agg" -> Q.fromSql(q40Spark),
+    "q41_first_last_nth" -> Q.fromSql(q41Sql),
+    // Pivot: DataFrame pivot with pinned value list (scales: one shuffle,
+    // map-side partial aggregation per pivot column).
+    "q46_pivot" -> ((s, dir) => {
+      graft.Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_stats_agg" -> q33Sql,
+    "q34_regr_agg" -> q34Sql,
+    "q35_collect_agg" -> q35Duck,
+    "q36_minmax_by" -> q36Duck,
+    "q37_percentiles" -> q37Duck,
+    "q38_bool_bit_agg" -> q38Sql,
+    "q39_grouping_sets" -> q39Sql,
+    "q41_first_last_nth" -> q41Sql,
+    "q46_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+  )
+}

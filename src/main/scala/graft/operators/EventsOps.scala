@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators over the `events` stream table — the
+  * batch-verifiable analogues of the reference's buffer windows
+  * (SURVEY.md §2.4: tumbling_window / sliding_window / session_window,
+  * crates/arkflow-plugin/src/buffer/). The reference fires these on
+  * processing time; the Spark-native design uses event-time `window()` /
+  * `session_window()` (identical code path in Structured Streaming with a
+  * watermark — see graft.streaming for the processing-time-faithful mode).
+  *
+  * `ts` arrives as epoch-nanosecond BIGINT (nanosAsLong); converting via
+  * timestamp_micros(ts DIV 1000) matches the oracle's `epoch_ns // 1000`
+  * truncation exactly.
+  */
+object EventsOps {
+
+  private def withTs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+      .withColumn("tsc", expr("timestamp_micros(ts DIV 1000)"))
+
+  val queries: Map[String, QueryFn] = Map(
+    // Tumbling 1-hour windows (buffer/tumbling_window.rs:39-47 analogue).
+    "q42_tumbling_window" -> ((s, dir) =>
+      withTs(s, dir)
+        .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Sliding 1-hour/30-minute windows (buffer/sliding_window.rs:41-50).
+    "q43_sliding_window" -> ((s, dir) =>
+      withTs(s, dir)
+        .groupBy(window(col("tsc"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Session windows, 10-minute gap, keyed by user (buffer/session_window.rs:40-49).
+    "q44_session_window" -> ((s, dir) =>
+      withTs(s, dir)
+        .groupBy(session_window(col("tsc"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Deterministic dedup-keep-first on (user_id, event_type): the
+    // arkflow `DISTINCT`/drop-duplicates shape but with a total order, so
+    // the survivor is well-defined (dropDuplicates picks arbitrarily).
+    "q45_dedup_first" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q42_tumbling_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS win_start, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q43_sliding_window" ->
+      """WITH base AS (
+        |  SELECT epoch_ns(ts) // 1800000000000 * 1800 AS s30, event_type, value FROM events
+        |), w AS (
+        |  SELECT s30 AS win_start, event_type, value FROM base
+        |  UNION ALL
+        |  SELECT s30 - 1800 AS win_start, event_type, value FROM base
+        |)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM w
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // Gaps-and-islands reconstruction of session semantics: a new session
+    // starts when the gap is >= 10 minutes (Spark sessions are [t, t+gap)).
+    // Times truncated to micros first to mirror Spark's nanos->micros read.
+    "q44_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
+        |), m AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, tus, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id,
+        |  min(tus) // 1000000 AS session_start,
+        |  max(tus) // 1000000 + 600 AS session_end,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q45_dedup_first" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
