@@ -17,11 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Functions.queries ++
-      operators.Analytics.queries ++ operators.EventsOps.queries
+      operators.Analytics.queries ++ operators.EventsOps.queries ++
+      operators.Dedup.queries ++ operators.TextAnalysis.queries ++
+      operators.Similarity.queries ++ operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Functions.oracle ++
-      operators.Analytics.oracle ++ operators.EventsOps.oracle
+      operators.Analytics.oracle ++ operators.EventsOps.oracle ++
+      operators.Dedup.oracle ++ operators.TextAnalysis.oracle ++
+      operators.Similarity.oracle ++ operators.Multimodal.oracle
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash groupBy), MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard. All are pure shuffle-based dataflow — no driver-side
+  * state — so they scale linearly with executors:
+  *   - exact dedup is one hash aggregation;
+  *   - MinHash/LSH is explode→partial-agg→self-join on (band, signature),
+  *     the standard O(n·shingles) + candidate-pair-join formulation (no
+  *     all-pairs comparison);
+  *   - SimHash computes 16 bit-sums in a single aggregation pass;
+  *   - Jaccard joins on shared tokens, restricted to a bounded doc window.
+  *
+  * Hashing uses md5 (not xxhash/murmur) so the DuckDB oracle reproduces
+  * signatures bit-for-bit; swap in xxhash64 for production throughput.
+  */
+object Dedup {
+
+  /** Exact dedup: groups by content hash, keeps the lowest id as survivor. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(lower(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Candidate near-duplicate pairs via MinHash signatures + LSH banding.
+    * numHashes seeded md5 min-hashes over 3-word shingles, grouped into
+    * bands of `rowsPerBand`; docs sharing any (band, signature) pair up.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val sh = w.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("shingle"))
+      .distinct()
+    val seeded = sh.select(col("doc_id"),
+      explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("shingle"))
+    val mh = seeded.groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("m"))
+    val bands = mh.withColumn("band", expr(s"seed DIV $rowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(sort_array(collect_list(col("m"))), "|")).as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per document from md5-derived word-hash bits,
+    * weighted by token frequency (single aggregation pass).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val bitCols = (1 to 16).map { j =>
+      when(sum(when(substring(md5(col("word")), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0, "1")
+        .otherwise("0").as(s"b$j")
+    }
+    words.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), concat((1 to 16).map(j => col(s"b$j")): _*).as("simhash"))
+  }
+
+  /** Exact pairwise token-set Jaccard over a bounded doc-id window
+    * (inverted-index join on shared tokens — not all-pairs).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, maxDocId: Long): DataFrame = {
+    val d = docs.filter(col(idCol) < maxDocId)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val inter = d.as("a").join(d.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---- driver-checked query entries ----
+
+  private def simhashOracle: String = {
+    val bits = (1 to 16).map(j =>
+      s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    ).mkString(" || ")
+    s"""SELECT doc_id, $bits AS simhash
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q50_dedup_exact" -> ((s, dir) =>
+      exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keeper_id"))
+        .select(col("keeper_id"), col("n_copies"), col("content_hash"))),
+
+    "q51_minhash_lsh" -> ((s, dir) =>
+      minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q52_simhash" -> ((s, dir) =>
+      simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q53_jaccard_pairs" -> ((s, dir) =>
+      jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, maxDocId = 200)
+        .orderBy(col("doc_a"), col("doc_b")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |       md5(lower(text)) AS content_hash
+        |FROM documents
+        |GROUP BY md5(lower(text))
+        |ORDER BY keeper_id""".stripMargin,
+
+    "q51_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q52_simhash" -> simhashOracle,
+
+    "q53_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE doc_id < 200
+        |), n AS (
+        |  SELECT doc_id, count(*) AS nw FROM d GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM d a JOIN d b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) AS jac
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

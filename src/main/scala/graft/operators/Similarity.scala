@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]):
+  *   - brute-force cosine top-k (exact baseline): broadcast the small
+  *    query set against the candidate table — one scan, no shuffle of
+  *    the big side, embarrassingly parallel at 100 TB;
+  *   - IVF (inverted-file) variant: assign every vector to its nearest
+  *    coarse centroid, then search only the query's cell — the candidate
+  *    set shrinks by ~nlist×, the standard scale path when brute force
+  *    stops fitting the latency budget.
+  *
+  * Dot products run through `aggregate(zip_with(...))` in whole-stage
+  * codegen, on doubles for oracle-exact summation.
+  */
+object Similarity {
+
+  private val dotQC =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** vectors with double-cast embedding and L2 norm. */
+  private def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
+
+  /** Exact top-k cosine neighbors for every vec_id < nQueries. */
+  def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val v = prepared(emb)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
+
+  /** IVF search: nList coarse centroids (the first nList vectors), each
+    * vector assigned to its max-cosine cell, queries probe only their own
+    * cell. Returns top-k within-cell neighbors per query.
+    */
+  def ivfKnn(emb: DataFrame, nList: Int, nQueries: Int, k: Int): DataFrame = {
+    val v = prepared(emb)
+    val cents = v.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("centroid_id"), col("vd").as("qv"), col("nrm").as("qn"))
+    val assignScored = v.filter(col("vec_id") >= nList)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
+    val queries = assigned.filter(col("cid") >= nList && col("cid") < nList + nQueries)
+      .select(col("cid").as("qid"), col("cv").as("qv"), col("cn").as("qn"), col("cell"))
+    val scored = assigned.join(broadcast(queries), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cell"), col("cid"), col("cos"), col("rnk"))
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q60_knn_brute" -> ((s, dir) =>
+      bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
+        .orderBy(col("qid"), col("rnk"))),
+    "q61_ivf_knn" -> ((s, dir) =>
+      ivfKnn(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5, k = 3)
+        .orderBy(col("qid"), col("rnk")))
+  )
+
+  private val duckPrep =
+    """v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      s"""WITH $duckPrep,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "q61_ivf_knn" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS centroid_id, vd, nrm FROM v WHERE vec_id < 8),
+         |assign_scored AS (
+         |  SELECT c.vec_id AS cid, c.vd AS cv, c.nrm AS cn, ct.centroid_id,
+         |    round(list_dot_product(ct.vd, c.vd) / (ct.nrm * c.nrm), 6) AS ccos
+         |  FROM v c CROSS JOIN cents ct
+         |  WHERE c.vec_id >= 8
+         |), assigned AS (
+         |  SELECT cid, cv, cn, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, centroid_id) AS arn
+         |    FROM assign_scored) t
+         |  WHERE arn = 1
+         |), qs AS (
+         |  SELECT cid AS qid, cv AS qv, cn AS qn, cell FROM assigned
+         |  WHERE cid >= 8 AND cid < 13
+         |), scored AS (
+         |  SELECT a.cid, q.qid, q.cell,
+         |    round(list_dot_product(q.qv, a.cv) / (q.qn * a.cn), 6) AS cos
+         |  FROM assigned a JOIN qs q ON a.cell = q.cell AND q.qid <> a.cid
+         |), ranked AS (
+         |  SELECT qid, cell, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored
+         |)
+         |SELECT qid, cell, cid, cos, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin
+  )
+}
