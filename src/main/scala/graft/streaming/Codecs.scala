@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Codecs: bytes <-> columnar batches (SURVEY.md §2.5).
+  *
+  * The binary envelope convention follows the reference: undecoded
+  * messages are a single non-null `__value__` binary column
+  * (crates/arkflow-core/src/lib.rs:52, 252-279).
+  */
+object Codecs {
+
+  val ValueCol = "__value__"
+
+  /** JSON codec (codec/json.rs:23-52): decode infers the schema from the
+    * batch (per-batch inference is legal inside foreachBatch — SURVEY §1.3),
+    * optionally keeping only `fieldsToInclude`; encode serializes every
+    * column to one JSON object per row.
+    */
+  final case class JsonCodec(fieldsToInclude: Seq[String] = Nil) {
+    def decode(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val parsed = spark.read.json(df.select(col(ValueCol).cast("string")).as[String])
+      if (fieldsToInclude.isEmpty) parsed
+      else parsed.select(fieldsToInclude.map(col): _*)
+    }
+    def encode(df: DataFrame): DataFrame =
+      df.select(to_json(struct(df.columns.map(col): _*)).cast("binary").as(ValueCol))
+  }
+
+  /** Debezium CDC envelope codec (codec/debezium.rs:58-127): flattens the
+    * business payload — `after` for create/update/read, `before` for
+    * delete — and exposes `op`, `ts_ms`, `source_db`, `source_table`.
+    */
+  object DebeziumJsonCodec {
+    def decode(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val parsed = spark.read.json(df.select(col(ValueCol).cast("string")).as[String])
+      val payload = when(col("op") === "d", col("before")).otherwise(col("after"))
+      parsed
+        .withColumn("__payload", payload)
+        .select(col("__payload.*"),
+          col("op"), col("ts_ms"),
+          col("source.db").as("source_db"),
+          col("source.table").as("source_table"))
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+/** YAML stream configuration, mirroring the reference's
+  * `StreamConfig { input, pipeline, output, error_output?, buffer? }`
+  * (crates/arkflow-core/src/stream/mod.rs:1452-1465, config.rs:97-152).
+  *
+  * Components are (type, options) pairs resolved against the registries
+  * in [[Engine]]; options stay stringly-typed like the reference's YAML.
+  */
+final case class ComponentConf(kind: String, options: Map[String, String])
+
+final case class StreamConf(
+  input: ComponentConf,
+  processors: Seq[ComponentConf],
+  output: ComponentConf,
+  errorOutput: Option[ComponentConf],
+  buffer: Option[ComponentConf])
+
+final case class EngineConf(streams: Seq[StreamConf])
+
+object Config {
+
+  /** Parse the YAML text of an engine config (`streams: [...]`). */
+  def fromYaml(yaml: String): EngineConf = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml)
+    val streams = root.get("streams") match {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case m: java.util.Map[_, _] => parseStream(anyMap(m))
+        case other => throw new IllegalArgumentException(s"stream entry: $other")
+      }
+      case _ => throw new IllegalArgumentException("config needs a `streams` list")
+    }
+    EngineConf(streams)
+  }
+
+  private def anyMap(m: java.util.Map[_, _]): Map[String, Object] =
+    m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Object] }.toMap
+
+  private def parseStream(m: Map[String, Object]): StreamConf = {
+    def component(o: Object): ComponentConf = {
+      val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
+      val kind = cm.getOrElse("type",
+        throw new IllegalArgumentException(s"component without type: $cm")).toString
+      ComponentConf(kind, (cm - "type").map { case (k, v) => k -> stringify(v) })
+    }
+    val processors = m.get("pipeline") match {
+      case Some(p: java.util.Map[_, _]) =>
+        anyMap(p).get("processors") match {
+          case Some(l: java.util.List[_]) => l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    StreamConf(
+      input = component(m("input")),
+      processors = processors,
+      output = component(m("output")),
+      errorOutput = m.get("error_output").map(component),
+      buffer = m.get("buffer").map(component))
+  }
+
+  /** Flatten nested YAML values to strings (scalars as-is, maps/lists as
+    * their YAML-ish toString) — component builders re-parse what they need. */
+  private def stringify(v: Object): String = v match {
+    case null => ""
+    case s: String => s
+    case other => other.toString
+  }
+}

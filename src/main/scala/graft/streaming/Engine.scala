@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The stream engine (SURVEY.md §3.1): wires
+  * `input → [buffer] → pipeline → output (+ error_output)` onto
+  * Structured Streaming. Where the reference hand-builds ordering,
+  * WAL durability and backpressure (stream/mod.rs:117-225), Spark's
+  * micro-batch runtime already provides all three: batchIds are totally
+  * ordered, the checkpoint is the WAL (offsets + commits), and trigger
+  * pacing + maxOffsetsPerTrigger is the backpressure valve. The engine's
+  * own job is config resolution and per-batch pipeline execution.
+  */
+object Engine {
+
+  /** One batch-write target; implementations must be idempotent per
+    * (batchId) for end-to-end exactly-once (the reference's
+    * "one write_batch = one transaction", core output/mod.rs:41-47). */
+  trait BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit
+  }
+
+  final case class ParquetSink(path: String) extends BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batch.write.mode("append").parquet(path)
+  }
+  final case class ConsoleSink(numRows: Int = 20) extends BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batch.show(numRows, truncate = false)
+  }
+  /** Collects to driver-side memory — test/debug only. */
+  final class MemorySink extends BatchSink {
+    val batches = new scala.collection.concurrent.TrieMap[Long, Seq[org.apache.spark.sql.Row]]()
+    def write(batch: DataFrame, batchId: Long): Unit =
+      batches.put(batchId, batch.collect().toSeq)
+    def rows: Seq[org.apache.spark.sql.Row] = batches.toSeq.sortBy(_._1).flatMap(_._2)
+  }
+  case object NoopSink extends BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      batch.write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  def sinkFromConf(c: ComponentConf): BatchSink = c.kind match {
+    case "parquet" => ParquetSink(c.options("path"))
+    case "stdout" => ConsoleSink(c.options.getOrElse("num_rows", "20").toInt)
+    case "drop" => NoopSink
+    case "memory" => new MemorySink
+    case other => throw new IllegalArgumentException(s"unknown output: $other")
+  }
+
+  /** A running stream: the pipeline folds over each micro-batch; a failed
+    * batch routes whole to the error sink (stream/mod.rs:485-516
+    * `ProcessorData::Err`) instead of killing the query.
+    */
+  def start(
+      input: DataFrame,
+      processors: Seq[Processors.BatchTransform],
+      sink: BatchSink,
+      errorSink: Option[BatchSink] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None,
+      queryName: Option[String] = None): StreamingQuery = {
+    var w = input.writeStream.trigger(trigger)
+    checkpoint.foreach(p => w = w.option("checkpointLocation", p))
+    queryName.foreach(n => w = w.queryName(n))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      try {
+        // Empty batch = the reference's `ProcessorResult::None`: skip the
+        // pipeline entirely (also keeps per-batch JSON inference away from
+        // zero-row frames, which infer an empty schema).
+        if (!batch.isEmpty) {
+          val out = processors.foldLeft(batch)((df, p) => p(df))
+          sink.write(out, batchId)
+        }
+      } catch {
+        case e: Throwable =>
+          errorSink match {
+            case Some(err) =>
+              err.write(batch.withColumn("__error", lit(e.getMessage)), batchId)
+            case None => throw e
+          }
+      }
+    }.start()
+  }
+
+  /** Inputs (SURVEY.md §2.1). Streaming kinds return a streaming frame in
+    * the reference's binary-envelope shape; `file`/`sql-over-file` are
+    * batch scans with EOF semantics like the reference file input. */
+  def inputFromConf(spark: SparkSession, c: ComponentConf): DataFrame = c.kind match {
+    case "generate" =>
+      // input/generate.rs:27-90 — context emitted per tick.
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", c.options.getOrElse("rows_per_second", "10"))
+        .load()
+      rate.select(
+        lit(c.options.getOrElse("context", "{}")).cast("binary").as(Codecs.ValueCol),
+        col("timestamp").as("__meta_ingest_time"))
+    case "file" =>
+      val fmt = c.options.getOrElse("format", "parquet")
+      val df = spark.read.format(fmt)
+        .options(c.options -- Seq("format", "path", "query"))
+        .load(c.options("path"))
+      c.options.get("query") match {
+        case Some(q) =>
+          df.createOrReplaceTempView(c.options.getOrElse("table_name", "flow"))
+          spark.sql(q)
+        case None => df
+      }
+    case "kafka" =>
+      spark.readStream.format("kafka").options(kafkaOptions(c.options)).load()
+        .select(col("value").as(Codecs.ValueCol),
+          col("topic").as("__meta_source"),
+          col("partition").as("__meta_partition"),
+          col("offset").as("__meta_offset"),
+          col("key").as("__meta_key"),
+          col("timestamp").as("__meta_timestamp"),
+          current_timestamp().as("__meta_ingest_time"))
+    case other => throw new IllegalArgumentException(s"unknown input: $other")
+  }
+
+  /** Pure mapping of reference kafka input options (input/kafka.rs:36-58)
+    * to Spark kafka source options — unit-testable without a broker. */
+  def kafkaOptions(o: Map[String, String]): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> o.getOrElse("brokers", "localhost:9092"),
+      "subscribe" -> o.getOrElse("topics", ""),
+      "startingOffsets" ->
+        (if (o.get("start_from_latest").contains("true")) "latest" else "earliest"))
+    o.get("consumer_group").map(g => base + ("kafka.group.id" -> g)).getOrElse(base)
+  }
+
+  /** Run every stream of a parsed config. Memory-input streams are not
+    * config-expressible (they need a programmatic handle) — use start(). */
+  def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
+    conf.streams.flatMap { s =>
+      val in = inputFromConf(spark, s.input)
+      val procs = Processors.fromConf(s.processors)
+      val sink = sinkFromConf(s.output)
+      val err = s.errorOutput.map(sinkFromConf)
+      if (in.isStreaming)
+        Some(start(in, procs, sink, err,
+          trigger = s.buffer.flatMap(_.options.get("interval"))
+            .map(Trigger.ProcessingTime(_)).getOrElse(Trigger.ProcessingTime(0L)),
+          checkpoint = s.input.options.get("checkpoint")))
+      else {
+        // batch input: run the pipeline once, EOF semantics.
+        val out = procs.foldLeft(in)((df, p) => p(df))
+        sink.write(out, 0L)
+        None
+      }
+    }
+}

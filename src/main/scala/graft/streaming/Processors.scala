@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}
+import org.apache.spark.sql.functions._
+
+/** Processors (SURVEY.md §2.3): batch-in/batch-out transforms applied in
+  * order inside foreachBatch — the Spark shape of the reference pipeline
+  * (crates/arkflow-core/src/pipeline/mod.rs:57-85). An empty output frame
+  * is the `None` result; fan-out (`Multiple`) is a union.
+  */
+object Processors {
+
+  type BatchTransform = DataFrame => DataFrame
+
+  /** `sql` processor (processor/sql.rs:39-201): registers the batch as
+    * `tableName` and runs one pre-validated statement. DDL/DML are
+    * rejected at build time like the reference's SQLOptions
+    * (sql.rs:185-201), by inspecting the parsed plan.
+    */
+  final case class SqlProcessor(query: String, tableName: String = "flow")
+      extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = {
+      val spark = batch.sparkSession
+      validate(spark.sessionState.sqlParser.parsePlan(query))
+      batch.createOrReplaceTempView(tableName)
+      spark.sql(query)
+    }
+    private def validate(plan: LogicalPlan): Unit = plan match {
+      case _: Command | _: ParsedStatement | _: InsertIntoStatement =>
+        throw new IllegalArgumentException(
+          s"sql processor only accepts queries, got: ${plan.getClass.getSimpleName}")
+      case _ => ()
+    }
+  }
+
+  /** `json_to_arrow` (processor/json.rs:38-72): binary JSON envelope ->
+    * columns with per-batch inference and optional projection. */
+  final case class JsonToArrow(fieldsToInclude: Seq[String] = Nil)
+      extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = Codecs.JsonCodec(fieldsToInclude).decode(batch)
+  }
+
+  /** `arrow_to_json` (processor/json.rs:75-114): serialize all columns to a
+    * JSON-line `__value__`, keeping the original columns alongside. */
+  case object ArrowToJson extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame =
+      batch.withColumn(Codecs.ValueCol,
+        to_json(struct(batch.columns.map(col): _*)).cast("binary"))
+  }
+
+  /** `protobuf_to_arrow` / `arrow_to_protobuf` via the native wire-format
+    * expressions in [[Protobuf]]. */
+  final case class ProtobufToArrow(fields: Seq[ProtoField]) extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = {
+      Protobuf.register(batch.sparkSession, "p", fields)
+      batch.selectExpr(s"proto_decode_p(${Codecs.ValueCol}) AS __m").select("__m.*")
+    }
+  }
+  final case class ArrowToProtobuf(fields: Seq[ProtoField]) extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = {
+      Protobuf.register(batch.sparkSession, "p", fields)
+      val cols = fields.map(f => col(f.name)).toArray
+      batch.select(struct(cols: _*).as("__m"))
+        .selectExpr(s"proto_encode_p(__m) AS ${Codecs.ValueCol}")
+    }
+  }
+
+  /** `batch` processor (processor/batch.rs:31-127): the reference merges
+    * micro-batches up to count/size/interval; in Spark the trigger owns
+    * batch granularity, so this is partition compaction only. */
+  final case class BatchCompact(partitions: Int) extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = batch.coalesce(partitions)
+  }
+
+  /** VRL-substitute (processor/vrl.rs — no JVM VRL interpreter exists):
+    * the capability is "safe per-row transform DSL"; covered by a list of
+    * SQL expressions applied as a projection. */
+  final case class ExprProcessor(exprs: Seq[String]) extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = batch.selectExpr(exprs: _*)
+  }
+
+  /** Temporary lookup table (SURVEY.md §2.6, core temporary/mod.rs:40-45):
+    * `provider` fetches/derives the lookup rows for the current batch
+    * (e.g. from JDBC/Redis keyed by a batch expression); the result is
+    * registered under `name` and broadcast for the join — the Spark shape
+    * of processor/sql.rs:148-183. */
+  final case class TemporaryLookup(name: String, provider: DataFrame => DataFrame)
+
+  /** `sql` processor with temporary lookup tables joined in. */
+  final case class LookupSqlProcessor(query: String, tableName: String,
+      temporaries: Seq[TemporaryLookup]) extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = {
+      temporaries.foreach { t =>
+        broadcast(t.provider(batch)).createOrReplaceTempView(t.name)
+      }
+      SqlProcessor(query, tableName)(batch)
+    }
+  }
+
+  /** Build the processor chain from config components. */
+  def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
+    c.kind match {
+      case "sql" =>
+        SqlProcessor(c.options("query"), c.options.getOrElse("table_name", "flow"))
+      case "json_to_arrow" =>
+        JsonToArrow(c.options.get("fields_to_include").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+      case "arrow_to_json" => ArrowToJson
+      case "batch" => BatchCompact(c.options.getOrElse("partitions", "1").toInt)
+      case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
+      case other => throw new IllegalArgumentException(s"unknown processor: $other")
+    }
+  }
+}

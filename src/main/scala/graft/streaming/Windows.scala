@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Processing-time buffers/windows (SURVEY.md §2.4). The reference's
+  * windows are arrival-time over whole batches keyed by input name —
+  * no event time, no watermarks (buffer/window.rs:52-70). Spark mapping:
+  *
+  *  - tumbling  → `Trigger.ProcessingTime(interval)`: one micro-batch IS
+  *    one window; [[Engine.start]] takes the trigger. `windowJoin` below
+  *    covers the cross-source SQL join inside the fired window
+  *    (buffer/join.rs:62-130).
+  *  - sliding   → the reference's semantics are COUNT-based
+  *    (window_size/slide_size messages, sliding_window.rs:41-50):
+  *    [[countSlidingWindow]] via flatMapGroupsWithState.
+  *  - session   → gap since last arrival (session_window.rs:40-49):
+  *    [[sessionState]] via flatMapGroupsWithState +
+  *    ProcessingTimeTimeout.
+  *
+  * Event-time versions of all three (the scale-correct default for
+  * historical/late data) are in graft.operators.EventsOps.
+  */
+object Windows {
+
+  /** Cross-source join within a fired window: register every source's
+    * accumulated batch as a view named by its input and run the join SQL.
+    * If an expected source is absent the window yields nothing — the
+    * reference's missing-source check (buffer/join.rs:101-116). */
+  def windowJoin(spark: SparkSession, sources: Map[String, DataFrame],
+                 joinSql: String, expected: Seq[String]): DataFrame = {
+    if (expected.exists(e => !sources.contains(e))) spark.emptyDataFrame
+    else {
+      sources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      spark.sql(joinSql)
+    }
+  }
+
+  /** Fan-in of several inputs with a source tag — the reference's
+    * `multiple_inputs` (input/multiple_inputs.rs:30-110); batches keep
+    * their origin in `__input_name` for window joins. */
+  def unionTagged(dfs: Map[String, DataFrame]): DataFrame =
+    dfs.map { case (name, df) => df.withColumn("__input_name", lit(name)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ---- count-based sliding window ----
+
+  final case class Keyed(key: String, value: Double)
+  final case class SlideOut(key: String, window: Seq[Double])
+
+  /** State function: buffer values per key; every time `windowSize`
+    * values are buffered emit them as one window and advance by
+    * `slideSize` (overlapping windows, exactly the reference's
+    * count-sliding semantics). Pure — unit-testable with TestGroupState. */
+  def slidingFunc(windowSize: Int, slideSize: Int)(
+      key: String, rows: Iterator[Keyed], state: GroupState[Seq[Double]]): Iterator[SlideOut] = {
+    var buf = state.getOption.getOrElse(Seq.empty) ++ rows.map(_.value)
+    val out = scala.collection.mutable.ArrayBuffer[SlideOut]()
+    while (buf.size >= windowSize) {
+      out += SlideOut(key, buf.take(windowSize))
+      buf = buf.drop(slideSize)
+    }
+    state.update(buf)
+    out.iterator
+  }
+
+  def countSlidingWindow(ds: Dataset[Keyed], windowSize: Int, slideSize: Int): Dataset[SlideOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        slidingFunc(windowSize, slideSize))
+  }
+
+  // ---- processing-time session window ----
+
+  final case class SessionAgg(n: Long, sum: Double, openedMs: Long)
+  final case class SessionOut(key: String, n: Long, sum: Double)
+
+  /** State function: accumulate until `gapMs` of silence, then emit the
+    * session on timeout — the reference's gap semantics
+    * (session_window.rs read loop 120-140). */
+  def sessionFunc(gapMs: Long)(
+      key: String, rows: Iterator[Keyed], state: GroupState[SessionAgg]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionOut(key, s.n, s.sum))
+    } else {
+      val vals = rows.map(_.value).toSeq
+      val prev = state.getOption.getOrElse(SessionAgg(0L, 0.0,
+        state.getCurrentProcessingTimeMs()))
+      state.update(SessionAgg(prev.n + vals.size, prev.sum + vals.sum, prev.openedMs))
+      state.setTimeoutDuration(gapMs)
+      Iterator.empty
+    }
+  }
+
+  def sessionWindow(ds: Dataset[Keyed], gapMs: Long): Dataset[SessionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        sessionFunc(gapMs))
+  }
+}

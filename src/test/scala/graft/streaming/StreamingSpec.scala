@@ -1,0 +1,257 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+/** Runtime specs mirroring the reference's own unit tests
+  * (SURVEY.md §5.1: sql happy/invalid/custom-table, JSON inference &
+  * filtering, codec round-trips, window semantics, error routing). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def envelope(jsons: String*) =
+    jsons.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol))
+
+  // FIXTURES.md §1 — the canonical sensor record.
+  private val sensorJson = Seq(
+    """{"timestamp": 1625000000000, "value": 10, "sensor": "temp_1"}""",
+    """{"timestamp": 1625000001000, "value": 15, "sensor": "temp_2"}""",
+    """{"timestamp": 1625000002000, "value": 5,  "sensor": "temp_1"}""")
+
+  test("json_to_arrow infers schema and decodes the binary envelope") {
+    val out = Processors.JsonToArrow()(envelope(sensorJson: _*))
+    assert(out.columns.sorted.toSeq == Seq("sensor", "timestamp", "value"))
+    assert(out.count() == 3)
+    assert(out.schema("value").dataType.typeName == "long") // ints stay Int64
+  }
+
+  test("json_to_arrow projects fields_to_include") {
+    val out = Processors.JsonToArrow(Seq("sensor"))(envelope(sensorJson: _*))
+    assert(out.columns.toSeq == Seq("sensor"))
+  }
+
+  test("sql processor runs a query against the batch view (reference sql.rs:275-310)") {
+    val out = Processors.SqlProcessor(
+      "SELECT sensor, count(*) AS n FROM flow WHERE value >= 10 GROUP BY sensor")(
+      Processors.JsonToArrow()(envelope(sensorJson: _*)))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("temp_1", 1L), ("temp_2", 1L)))
+  }
+
+  test("sql processor honors a custom table name (sql.rs:381-388)") {
+    val out = Processors.SqlProcessor("SELECT value FROM custom_table", "custom_table")(
+      Seq(42L).toDF("value"))
+    assert(out.as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("sql processor rejects DDL/DML like SQLOptions (sql.rs:185-201)") {
+    intercept[Exception](Processors.SqlProcessor("DROP TABLE flow")(Seq(1).toDF("a")))
+    intercept[Exception](
+      Processors.SqlProcessor("INSERT INTO flow VALUES (1)")(Seq(1).toDF("a")))
+    intercept[Exception](
+      Processors.SqlProcessor("CREATE TABLE t (a INT) USING parquet")(Seq(1).toDF("a")))
+  }
+
+  test("arrow_to_json round-trips through json_to_arrow") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val encoded = Processors.ArrowToJson(df)
+    assert(encoded.columns.contains(Codecs.ValueCol))
+    val decoded = Processors.JsonToArrow()(encoded.select(Codecs.ValueCol))
+    assert(decoded.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("debezium codec flattens after/before by op (codec/debezium.rs:58-127)") {
+    val create =
+      """{"before": null, "after": {"id": 1, "name": "alice"},
+        |"source": {"db": "d1", "table": "users"}, "op": "c", "ts_ms": 1}""".stripMargin
+    val delete =
+      """{"before": {"id": 2, "name": "bob"}, "after": null,
+        |"source": {"db": "d1", "table": "users"}, "op": "d", "ts_ms": 2}""".stripMargin
+    val out = Codecs.DebeziumJsonCodec.decode(envelope(create, delete))
+    val rows = out.select("id", "name", "op", "source_db", "source_table")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "alice", "c"), (2L, "bob", "d")))
+  }
+
+  test("protobuf wire codec round-trips the reference message (protobuf.rs:573-578)") {
+    val fields = Seq(ProtoField(1, "timestamp", "int64"),
+      ProtoField(2, "value", "double"), ProtoField(3, "sensor", "string"))
+    val df = Seq((1625000000000L, 10.5, "temp_1"), (1625000001000L, 0.0, "t2"))
+      .toDF("timestamp", "value", "sensor")
+    val encoded = Processors.ArrowToProtobuf(fields)(df)
+    assert(encoded.schema(Codecs.ValueCol).dataType.typeName == "binary")
+    val decoded = Processors.ProtobufToArrow(fields)(encoded)
+    assert(decoded.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet ==
+      Set((1625000000000L, 10.5, "temp_1"), (1625000001000L, 0.0, "t2")))
+  }
+
+  test("yaml config parses the quick-start stream shape (README.md:60-96)") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input:
+        |      type: generate
+        |      context: '{ "timestamp": 1625000000000, "value": 10, "sensor": "temp_1" }'
+        |      rows_per_second: "5"
+        |    pipeline:
+        |      processors:
+        |        - type: json_to_arrow
+        |        - type: sql
+        |          query: "SELECT sensor, count(*) FROM flow GROUP BY sensor"
+        |    output:
+        |      type: stdout
+        |    error_output:
+        |      type: drop
+        |""".stripMargin)
+    assert(conf.streams.size == 1)
+    val s = conf.streams.head
+    assert(s.input.kind == "generate")
+    assert(s.processors.map(_.kind) == Seq("json_to_arrow", "sql"))
+    assert(s.output.kind == "stdout")
+    assert(s.errorOutput.map(_.kind).contains("drop"))
+  }
+
+  test("engine runs memory-stream end-to-end: envelope -> decode -> sql -> sink") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val input = ms.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+    val sink = new Engine.MemorySink
+    val q = Engine.start(input,
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT sensor, sum(value) AS total FROM flow GROUP BY sensor")),
+      sink, trigger = Trigger.AvailableNow())
+    ms.addData(sensorJson: _*)
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("temp_1", 15L), ("temp_2", 15L)))
+  }
+
+  test("failed batches route to error_output instead of killing the stream (stream/mod.rs:485-516)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val input = ms.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+    val sink = new Engine.MemorySink
+    val err = new Engine.MemorySink
+    val q = Engine.start(input,
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT no_such_column FROM flow")),
+      sink, errorSink = Some(err))
+    ms.addData(sensorJson.head)
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.isEmpty)
+    assert(err.rows.size == 1)
+    assert(err.rows.head.schema.fieldNames.contains("__error"))
+  }
+
+  test("temporary lookup joins a side table into the sql (processor/sql.rs:148-183)") {
+    val lookup = Processors.TemporaryLookup("sensor_info",
+      _ => Seq(("temp_1", "room_a"), ("temp_2", "room_b")).toDF("sensor", "room"))
+    val out = Processors.LookupSqlProcessor(
+      "SELECT f.sensor, s.room FROM flow f JOIN sensor_info s ON f.sensor = s.sensor",
+      "flow", Seq(lookup))(Processors.JsonToArrow()(envelope(sensorJson: _*)))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("temp_1", "room_a"), ("temp_2", "room_b")))
+  }
+
+  test("window join skips when an expected source is missing (buffer/join.rs:101-116)") {
+    val s1 = Seq((1, "a")).toDF("id", "v")
+    val out = Windows.windowJoin(spark, Map("in1" -> s1),
+      "SELECT * FROM in1 JOIN in2 USING (id)", expected = Seq("in1", "in2"))
+    assert(out.isEmpty)
+  }
+
+  test("window join runs SQL across tagged sources (buffer/join.rs:62-130)") {
+    val s1 = Seq((1, "a"), (2, "b")).toDF("id", "v1")
+    val s2 = Seq((1, "x")).toDF("id", "v2")
+    val out = Windows.windowJoin(spark, Map("in1" -> s1, "in2" -> s2),
+      "SELECT in1.id, v1, v2 FROM in1 JOIN in2 ON in1.id = in2.id", Seq("in1", "in2"))
+    assert(out.collect().toSeq == Seq(Row(1, "a", "x")))
+  }
+
+  test("multiple_inputs fan-in tags each source (input/multiple_inputs.rs:30-110)") {
+    val out = Windows.unionTagged(Map(
+      "a" -> Seq(1).toDF("x"), "b" -> Seq(2).toDF("x")))
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "b")))
+  }
+
+  test("count-based sliding window emits overlapping windows (sliding_window.rs:41-50)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Windows.Keyed]
+    val out = Windows.countSlidingWindow(ms.toDS(), windowSize = 3, slideSize = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").start()
+    ms.addData((1 to 7).map(i => Windows.Keyed("k", i.toDouble)): _*)
+    q.processAllAvailable(); q.stop()
+    val windows = spark.table("slide_out").as[Windows.SlideOut]
+      .collect().map(_.window.toList).toList
+    assert(windows == List(List(1.0, 2.0, 3.0), List(3.0, 4.0, 5.0), List(5.0, 6.0, 7.0)))
+  }
+
+  test("session state function accumulates then emits on timeout (session_window.rs:40-49)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val f = Windows.sessionFunc(gapMs = 1000) _
+    // two arrivals accumulate silently
+    val s1 = TestGroupState.create[Windows.SessionAgg](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout, 100L,
+      Optional.empty(), hasTimedOut = false)
+    assert(f("k", Iterator(Windows.Keyed("k", 2.0), Windows.Keyed("k", 3.0)), s1).isEmpty)
+    assert(s1.get.n == 2 && s1.get.sum == 5.0)
+    // gap elapses -> session emitted, state cleared
+    val s2 = TestGroupState.create[Windows.SessionAgg](
+      Optional.of(s1.get), GroupStateTimeout.ProcessingTimeTimeout, 2000L,
+      Optional.empty(), hasTimedOut = true)
+    val out = f("k", Iterator.empty, s2).toSeq
+    assert(out == Seq(Windows.SessionOut("k", 2, 5.0)))
+    assert(!s2.exists)
+  }
+
+  test("kafka input option mapping (input/kafka.rs:36-58)") {
+    val opts = Engine.kafkaOptions(Map(
+      "brokers" -> "b:9092", "topics" -> "t1", "consumer_group" -> "g1",
+      "start_from_latest" -> "true"))
+    assert(opts("kafka.bootstrap.servers") == "b:9092")
+    assert(opts("subscribe") == "t1")
+    assert(opts("startingOffsets") == "latest")
+    assert(opts("kafka.group.id") == "g1")
+  }
+
+  test("batch file input with query runs EOF-style (input/file.rs:199-249)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_file").toString
+    Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val sink = new Engine.MemorySink
+    Engine.run(spark, Config.fromYaml(
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: $dir/t
+         |      query: "SELECT tag, count(*) AS n FROM flow GROUP BY tag"
+         |    output:
+         |      type: drop
+         |""".stripMargin))
+    // run() with drop sink just needs to not throw; re-run with direct sink:
+    val df = Engine.inputFromConf(spark, ComponentConf("file",
+      Map("format" -> "parquet", "path" -> s"$dir/t",
+        "query" -> "SELECT tag, count(*) AS n FROM flow GROUP BY tag")))
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 1L)))
+  }
+}
