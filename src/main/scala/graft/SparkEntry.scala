@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Functions.queries ++
       operators.Analytics.queries ++ operators.EventsOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.Relational.oracle ++ operators.Functions.oracle ++
       operators.Analytics.oracle ++ operators.EventsOps.oracle ++
       operators.Dedup.oracle ++ operators.TextAnalysis.oracle ++
-      operators.Similarity.oracle ++ operators.Multimodal.oracle
+      operators.Similarity.oracle ++ operators.Multimodal.oracle ++
+      operators.Extensions.oracle
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Compatibility shims for DataFusion-only SQL functions the reference's
+  * SQL surface exposes (SURVEY.md §7.3: date_bin, array_resize /
+  * array_pop_* tail, substr_index, iszero) — registered as temp functions
+  * that expand into trees of existing codegen'd Catalyst expressions, so
+  * they cost nothing at runtime versus hand-written SQL.
+  *
+  * Reference inventory: docs/docs/sql/7-scalar_functions.md (date_bin,
+  * array functions); all shims keep DataFusion's 1-based array indexing.
+  */
+object Shims {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    // date_bin(stride_seconds, ts, origin_ts): origin-aligned bucketing —
+    // origin + floor((ts - origin) / stride) * stride, in whole seconds.
+    reg.createOrReplaceTempFunction("date_bin_s", { exprs =>
+      val Seq(stride, ts, origin) = exprs.take(3)
+      val tsL = Cast(ts, LongType)
+      val orL = Cast(origin, LongType)
+      val strideL = Cast(stride, LongType)
+      SecondsToTimestamp(Add(orL,
+        Multiply(IntegralDivide(Subtract(tsL, orL), strideL, evalMode = EvalMode.LEGACY), strideL)))
+    }, "scala_udf")
+
+    // array_resize(arr, n, fill): truncate or pad with `fill` to length n.
+    reg.createOrReplaceTempFunction("array_resize", { exprs =>
+      val Seq(arr, n, fill) = exprs.take(3)
+      val size = Size(arr)
+      Concat(Seq(
+        Slice(arr, Literal(1), Least(Seq(n, size))),
+        ArrayRepeat(fill, Greatest(Seq(Literal(0), Subtract(n, size))))))
+    }, "scala_udf")
+
+    // array_pop_back(arr) / array_pop_front(arr).
+    reg.createOrReplaceTempFunction("array_pop_back", { exprs =>
+      val arr = exprs.head
+      Slice(arr, Literal(1), Greatest(Seq(Literal(0), Subtract(Size(arr), Literal(1)))))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("array_pop_front", { exprs =>
+      val arr = exprs.head
+      Slice(arr, Literal(2), Greatest(Seq(Literal(0), Subtract(Size(arr), Literal(1)))))
+    }, "scala_udf")
+
+    // substr_index — DataFusion name for Spark's substring_index.
+    reg.createOrReplaceTempFunction("substr_index", { exprs =>
+      SubstringIndex(exprs(0), exprs(1), exprs(2))
+    }, "scala_udf")
+
+    // iszero(x).
+    reg.createOrReplaceTempFunction("iszero", { exprs =>
+      EqualTo(Cast(exprs.head, DoubleType), Literal(0.0))
+    }, "scala_udf")
+
+    HammingDistance.register(spark)
+  }
+}

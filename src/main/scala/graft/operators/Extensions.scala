@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.functions._
+
+/** Extension-point coverage: the DataFusion-only function shims
+  * (graft.functions.Shims), the codegen'd HammingDistance expression,
+  * embedding-cosine near-dup, and multiset set operations.
+  */
+object Extensions {
+
+  private val q63Sql =
+    """SELECT 'union_all' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1
+      |UNION ALL
+      |SELECT 'except_all' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, count(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t3
+      |ORDER BY op""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // DataFusion array-function shims expanded to native expression trees.
+    "q47_shim_arrays" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  array_join(array_resize(slice(split(text, ' '), 1, 5), 7, 'x'), ',') AS resized,
+          |  array_join(array_pop_back(slice(split(text, ' '), 1, 3)), ',') AS popped_back,
+          |  array_join(array_pop_front(slice(split(text, ' '), 1, 3)), ',') AS popped_front,
+          |  substr_index(text, ' ', 2) AS first_two,
+          |  iszero(CAST(n_chars % 2 AS DOUBLE)) AS even_len
+          |FROM documents
+          |WHERE doc_id < 100
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // date_bin with an explicit origin (DataFusion date_bin semantics).
+    "q48_date_bin_origin" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT CAST(unix_timestamp(date_bin_s(900, timestamp_micros(ts DIV 1000),
+          |                                      TIMESTAMP '2024-01-01')) AS BIGINT) AS bucket_s,
+          |  count(*) AS n
+          |FROM events
+          |GROUP BY 1
+          |ORDER BY bucket_s
+          |LIMIT 50""".stripMargin)
+    }),
+
+    // SimHash near-dup pairing via the codegen'd hamming_distance
+    // expression (stays inside WholeStageCodegen across the self-join).
+    "q58_simhash_hamming" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      val sh = Dedup.simhash(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text")
+      sh.createOrReplaceTempView("sh")
+      s.sql(
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  hamming_distance(a.simhash, b.simhash) AS dist
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE hamming_distance(a.simhash, b.simhash) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // Embedding-cosine near-duplicate pairs (the vector dedup mode).
+    "q62_embedding_neardup" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
+      val a = v.select(col("vec_id").as("va"), col("vd").as("qv"), col("nrm").as("qn"))
+      val b = v.select(col("vec_id").as("vb"), col("vd").as("cv"), col("nrm").as("cn"))
+      a.join(b, col("va") < col("vb"))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+            (col("qn") * col("cn")), 6))
+        .filter(col("cos") >= 0.95)
+        .select(col("va"), col("vb"), col("cos"))
+        .orderBy(col("va"), col("vb"))
+    }),
+
+    // Multiset set operations (UNION/EXCEPT/INTERSECT ALL).
+    "q63_setops_all" -> Q.fromSql(q63Sql)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_shim_arrays" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ')[1:5] AS s5,
+        |                  string_split(text, ' ')[1:3] AS s3, text FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  array_to_string(CASE WHEN len(s5) >= 7 THEN s5[1:7]
+        |    ELSE list_concat(s5, list_transform(generate_series(1, 7 - len(s5)), i -> 'x')) END, ',') AS resized,
+        |  array_to_string(s3[1:len(s3)-1], ',') AS popped_back,
+        |  array_to_string(s3[2:len(s3)], ',') AS popped_front,
+        |  array_to_string(string_split(text, ' ')[1:2], ' ') AS first_two,
+        |  (n_chars % 2 = 0) AS even_len
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
+
+    "q48_date_bin_origin" ->
+      """SELECT (epoch_ns(ts) // 1000000000 - 1704067200) // 900 * 900 + 1704067200 AS bucket_s,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket_s
+        |LIMIT 50""".stripMargin,
+
+    "q58_simhash_hamming" -> {
+      val bits = (1 to 16).map(j =>
+        s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      ).mkString(" || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $bits AS simhash
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id < 1000) t
+         |  GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(generate_series(1, 16),
+         |       i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(generate_series(1, 16),
+         |      i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q62_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 200
+        |)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) >= 0.95
+        |ORDER BY va, vb""".stripMargin,
+
+    "q63_setops_all" -> q63Sql
+  )
+}
