@@ -91,7 +91,21 @@ object Extensions {
     }),
 
     // Multiset set operations (UNION/EXCEPT/INTERSECT ALL).
-    "q63_setops_all" -> Q.fromSql(q63Sql)
+    "q63_setops_all" -> Q.fromSql(q63Sql),
+
+    // Weighted discrete percentile via the Aggregator UDAF (the
+    // reference's *_with_weight surface, exact semantics).
+    "q64_weighted_percentile" -> ((s, dir) => {
+      graft.functions.WeightedPercentile.register(s, Seq(0.5, 0.9))
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  round(weighted_percentile_50(l_quantity, CAST(l_linenumber AS DOUBLE)), 2) AS wp50,
+          |  round(weighted_percentile_90(l_quantity, CAST(l_linenumber AS DOUBLE)), 2) AS wp90
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +161,19 @@ object Extensions {
         |WHERE round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) >= 0.95
         |ORDER BY va, vb""".stripMargin,
 
-    "q63_setops_all" -> q63Sql
+    "q63_setops_all" -> q63Sql,
+
+    // weight-expanded multiset + quantile_disc == weighted percentile
+    "q64_weighted_percentile" ->
+      """WITH e AS (
+        |  SELECT l_returnflag, l_quantity
+        |  FROM lineitem, unnest(generate_series(1, l_linenumber)) AS u(i)
+        |)
+        |SELECT l_returnflag,
+        |  round(quantile_disc(l_quantity, 0.5), 2) AS wp50,
+        |  round(quantile_disc(l_quantity, 0.9), 2) AS wp90
+        |FROM e
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

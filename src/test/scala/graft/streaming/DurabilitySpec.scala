@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durability + registry-codec specs: the checkpoint IS the WAL
+  * (SURVEY.md §4 WAL row — offsets/commits replace redb/S3 segments),
+  * and the Confluent wire-format codec with a cached resolver
+  * (codec/schema_registry.rs).
+  */
+class DurabilitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("checkpoint recovery: restart resumes after processed offsets (WAL equivalence)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(in)
+    def stream = spark.readStream.schema(schema).parquet(in)
+
+    val sink1 = new Engine.MemorySink
+    val q1 = Engine.start(stream, Seq(), sink1, checkpoint = Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    assert(sink1.rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // second run, same checkpoint: only files added after the stop replay
+    Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v").write.mode("append").parquet(in)
+    val sink2 = new Engine.MemorySink
+    val q2 = Engine.start(stream, Seq(), sink2, checkpoint = Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+    assert(sink2.rows.map(_.getLong(0)).toSet == Set(3L, 4L, 5L),
+      s"recovery must not reprocess acked offsets, got ${sink2.rows}")
+  }
+
+  private val sensorFields = Seq(ProtoField(1, "timestamp", "int64"),
+    ProtoField(2, "value", "double"), ProtoField(3, "sensor", "string"))
+  private val otherFields = Seq(ProtoField(1, "id", "int64"), ProtoField(2, "name", "string"))
+
+  test("schema-registry wire codec decodes per-id with a cached resolver") {
+    // produce framed messages for two schema ids via the native encoder
+    val enc1 = Processors.ArrowToProtobuf(sensorFields)(
+      Seq((7L, 1.5, "s1")).toDF("timestamp", "value", "sensor"))
+      .collect().head.getAs[Array[Byte]](0)
+    val enc2 = Processors.ArrowToProtobuf(otherFields)(
+      Seq((9L, "x")).toDF("id", "name")).collect().head.getAs[Array[Byte]](0)
+    val batch = Seq(
+      SchemaRegistry.frame(1, enc1),
+      SchemaRegistry.frame(2, enc2),
+      SchemaRegistry.frame(1, enc1)
+    ).toDF(Codecs.ValueCol)
+
+    val resolver = new SchemaRegistry.CachingResolver({
+      case 1 => sensorFields
+      case 2 => otherFields
+      case other => throw new IllegalArgumentException(s"unknown schema $other")
+    })
+    val out = SchemaRegistry.decodeBatch(batch, resolver)
+    assert(out.count() == 3)
+    assert(resolver.misses == 2) // id 1 resolved once despite two messages
+    val sensors = out.filter(col("__schema_id") === 1)
+      .select("timestamp", "value", "sensor").collect()
+    assert(sensors.forall(r => r.getLong(0) == 7L && r.getDouble(1) == 1.5 && r.getString(2) == "s1"))
+    assert(out.filter(col("__schema_id") === 2).select("name").as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("schema-registry codec rejects a bad magic byte") {
+    val bad = Seq(Array[Byte](1, 0, 0, 0, 1, 42)).toDF(Codecs.ValueCol)
+    val resolver = new SchemaRegistry.CachingResolver(_ => sensorFields)
+    intercept[IllegalArgumentException](SchemaRegistry.decodeBatch(bad, resolver))
+  }
+
+  test("weighted percentile matches hand computation") {
+    graft.functions.WeightedPercentile.register(spark, Seq(0.5))
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0), (4.0, 1.0))
+      .toDF("v", "w")
+    df.createOrReplaceTempView("wp_t")
+    // total weight 13, target 6.5 -> cumulative reaches 6.5 at v=3
+    val got = spark.sql("SELECT weighted_percentile_50(v, w) AS p FROM wp_t")
+      .as[Double].collect().head
+    assert(got == 3.0)
+  }
+}
