@@ -73,6 +73,29 @@ object Similarity {
       .select(col("qid"), col("cell"), col("cid"), col("cos"), col("rnk"))
   }
 
+  /** MLlib random-hyperplane LSH (BucketedRandomProjectionLSH) as the
+    * off-the-shelf ANN alternative: returns approx nearest neighbors for
+    * one query vector. Engine-specific hashing — no SQL oracle; covered
+    * by OperatorsSpec against the brute-force baseline.
+    */
+  def mllibLshKnn(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
+      .toDF("vec_id", "features")
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(vecs)
+    val query = vecs.filter(col("vec_id") === queryId)
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("features")
+    model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= queryId), query, k)
+      .select(col("vec_id"), col("distCol").as("dist"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q60_knn_brute" -> ((s, dir) =>
       bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
