@@ -11,27 +11,34 @@ import org.apache.spark.sql.functions.udaf
   * weight reaches p of the total (equivalently, quantile_disc over the
   * weight-expanded multiset — DuckDB-oracle compatible).
   *
-  * Exact percentiles buffer all (value, weight) pairs; at 100 TB use a
-  * weighted quantile sketch instead — this Aggregator is the extension
-  * point where that sketch would slot in.
+  * The buffer is a value -> total-weight map, so state is O(distinct
+  * values) rather than O(rows) — constant-size for bounded-cardinality
+  * columns regardless of input scale, and tiny to shuffle on merge. For
+  * unbounded high-cardinality doubles swap in a weighted quantile
+  * sketch — this Aggregator is that extension point.
   */
 final case class WP(value: Double, weight: Double)
 
-class WeightedPercentile(p: Double) extends Aggregator[WP, Seq[WP], Double] {
-  override def zero: Seq[WP] = Seq.empty
-  override def reduce(buf: Seq[WP], in: WP): Seq[WP] = buf :+ in
-  override def merge(a: Seq[WP], b: Seq[WP]): Seq[WP] = a ++ b
-  override def finish(buf: Seq[WP]): Double = {
+class WeightedPercentile(p: Double)
+    extends Aggregator[WP, scala.collection.mutable.HashMap[Double, Double], Double] {
+  type Buf = scala.collection.mutable.HashMap[Double, Double]
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
+  override def reduce(buf: Buf, in: WP): Buf = {
+    buf.update(in.value, buf.getOrElse(in.value, 0.0) + in.weight); buf
+  }
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (v, w) => a.update(v, a.getOrElse(v, 0.0) + w) }; a
+  }
+  override def finish(buf: Buf): Double = {
     if (buf.isEmpty) return Double.NaN
-    val sorted = buf.sortBy(_.value)
-    val total = sorted.iterator.map(_.weight).sum
+    val sorted = buf.toArray.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
     val target = p * total
     var cum = 0.0
-    sorted.find { wv => cum += wv.weight; cum >= target }
-      .getOrElse(sorted.last).value
+    sorted.find { case (_, w) => cum += w; cum >= target }
+      .getOrElse(sorted.last)._1
   }
-  override def bufferEncoder: Encoder[Seq[WP]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WP]]()
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

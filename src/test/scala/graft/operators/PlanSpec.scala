@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the shapes that make these queries
+  * scale (pushdown, broadcast, top-K without full sort, codegen) must
+  * survive future edits — a correct-but-shuffle-heavy plan is a bug here.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.streaming.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed into the parquet scan, aggregation is two-phase") {
+    val p = plan("q01_agg_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregation expected")
+  }
+
+  test("q02: scan reads only the three projected columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderpriority:string>"))
+  }
+
+  test("q03: dimension sides broadcast; lineitem is never shuffled for the join") {
+    val p = plan("q03_join_topn")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q20: global top-K plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q20_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q60: query side of the kNN cross join is broadcast") {
+    val p = plan("q60_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01 runs inside WholeStageCodegen (final AQE plan)") {
+    val df = graft.SparkEntry.queries("q01_agg_pushdown")(spark, sf)
+    df.collect() // finalize the AQE plan on this QueryExecution
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // '*' marks operators running inside WholeStageCodegen
+    assert(formatted.contains("* HashAggregate") && formatted.contains("* Filter"),
+      formatted.take(800))
+  }
+}
