@@ -38,15 +38,24 @@ object Dedup {
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
         .as("shingle"))
       .distinct()
-    val seeded = sh.select(col("doc_id"),
-      explode(sequence(lit(0), lit(numHashes - 1))).as("seed"), col("shingle"))
-    val mh = seeded.groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("m"))
-    val bands = mh.withColumn("band", expr(s"seed DIV $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(sort_array(collect_list(col("m"))), "|")).as("sig"))
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    // All numHashes min-hashes as parallel aggregates of ONE
+    // groupBy(doc_id): no seed-explode row blowup, a single shuffle of the
+    // shingle set; signatures are bit-identical to the per-seed shape.
+    val minCols = (0 until numHashes).map(seed =>
+      min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"m$seed"))
+    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { band =>
+      val members = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(s => col(s"m$s"))
+      md5(array_join(array_sort(array(members: _*)), "|")).as(s"sig$band")
+    }
+    val sigs = mh.select(col("doc_id") +: bandCols: _*)
+    // unpivot to (band, sig) rows, then join docs sharing any signature
+    val stacked = sigs.select(col("doc_id"), explode(map(
+      (0 until nBands).flatMap(b => Seq(lit(b), col(s"sig$b"))): _*)).as(Seq("band", "sig")))
+    val a = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
