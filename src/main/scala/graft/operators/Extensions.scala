@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Extensions {
 
+  // The four textual subquery forms (SURVEY §2.7 subqueries row):
+  // IN, NOT IN, EXISTS in WHERE, scalar subquery in the SELECT list.
+  private val q49Sql =
+    """SELECT n_name,
+      |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+      |  n_nationkey IN (SELECT s_nationkey FROM supplier) AS has_supplier,
+      |  n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0) AS no_negative_cust,
+      |  EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey
+      |          AND c_mktsegment = 'BUILDING') AS has_building
+      |FROM nation
+      |ORDER BY n_name""".stripMargin
+
   private val q63Sql =
     """SELECT 'union_all' AS op, count(*) AS n FROM (
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -90,6 +102,9 @@ object Extensions {
         .orderBy(col("va"), col("vb"))
     }),
 
+    // Subquery forms: IN / NOT IN / EXISTS / scalar-in-SELECT.
+    "q49_subquery_forms" -> Q.fromSql(q49Sql),
+
     // Multiset set operations (UNION/EXCEPT/INTERSECT ALL).
     "q63_setops_all" -> Q.fromSql(q63Sql),
 
@@ -161,6 +176,7 @@ object Extensions {
         |WHERE round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) >= 0.95
         |ORDER BY va, vb""".stripMargin,
 
+    "q49_subquery_forms" -> q49Sql,
     "q63_setops_all" -> q63Sql,
 
     // weight-expanded multiset + quantile_disc == weighted percentile

@@ -222,6 +222,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(!s2.exists)
   }
 
+  test("streaming event-time window with watermark aggregates in append mode") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = ms.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    ms.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(6), "b", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    ms.addData((t(30), "a", 9.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wm_out")
+      .select(col("window.start").cast("string"), col("k"), col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "a", 2L, 3.0),
+      ("2024-01-01 10:05:00", "b", 1L, 5.0)))
+  }
+
   test("kafka input option mapping (input/kafka.rs:36-58)") {
     val opts = Engine.kafkaOptions(Map(
       "brokers" -> "b:9092", "topics" -> "t1", "consumer_group" -> "g1",
