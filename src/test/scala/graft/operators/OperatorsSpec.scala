@@ -20,6 +20,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert((qs -- os).forall(_.contains("approx")), s"missing oracles: ${qs -- os}")
   }
 
+  test("module query maps never shadow each other (Map ++ overwrites silently)") {
+    val modules: Seq[(String, Set[String])] = Seq(
+      "Relational" -> Relational.queries.keySet,
+      "Functions" -> Functions.queries.keySet,
+      "Analytics" -> Analytics.queries.keySet,
+      "EventsOps" -> EventsOps.queries.keySet,
+      "Dedup" -> Dedup.queries.keySet,
+      "TextAnalysis" -> TextAnalysis.queries.keySet,
+      "Similarity" -> Similarity.queries.keySet,
+      "Multimodal" -> Multimodal.queries.keySet,
+      "Extensions" -> Extensions.queries.keySet)
+    val total = modules.map(_._2.size).sum
+    assert(total == graft.SparkEntry.queries.size,
+      s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")
+  }
+
   test("multimodal mapPartitions decode matches the columnar path") {
     import spark.implicits._
     val meta = Multimodal.decodeMedia(spark, Multimodal.fakeMediaTable(spark, sf))
