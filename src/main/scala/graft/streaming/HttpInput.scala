@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** HTTP server input (SURVEY.md §2.1; reference input/http.rs:42-115):
+  * an embedded endpoint receives POST bodies and feeds them into the
+  * stream as binary envelopes — the foreachBatch-harness shape the survey
+  * prescribes (no custom DataSourceV2 needed). Uses the JDK's built-in
+  * HttpServer, so no extra dependency.
+  *
+  * Optional bearer-token auth mirrors the reference's auth block. The
+  * driver-side queue is the ingestion edge (like the reference's bounded
+  * channel); downstream processing is fully distributed.
+  */
+final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
+                      bearerToken: Option[String] = None) {
+  import spark.implicits._
+
+  private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val stream = MemoryStream[String]
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext(path, { exchange =>
+    try {
+      val authorized = bearerToken.forall { t =>
+        Option(exchange.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $t")
+      }
+      if (!authorized) {
+        exchange.sendResponseHeaders(401, -1)
+      } else if (exchange.getRequestMethod != "POST") {
+        exchange.sendResponseHeaders(405, -1)
+      } else {
+        val body = new String(exchange.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        stream.addData(body)
+        exchange.sendResponseHeaders(200, -1)
+      }
+    } finally exchange.close()
+  })
+  server.setExecutor(null)
+  server.start()
+
+  /** The streaming frame in the engine's binary-envelope shape. */
+  def toDF: DataFrame =
+    stream.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+
+  def boundAddress: String = s"http://127.0.0.1:$port$path"
+
+  def stop(): Unit = server.stop(0)
+}

@@ -37,6 +37,46 @@ class CoverageSpec extends AnyFunSuite {
     assert(Metadata.strip(stamped).columns.toSeq == Seq("x"))
   }
 
+  test("http input: POST bodies flow through the pipeline; auth rejects bad tokens (input/http.rs)") {
+    val port = 18321 + scala.util.Random.nextInt(1000)
+    val http = new HttpInput(spark, port, bearerToken = Some("s3cret"))
+    try {
+      val sink = new Engine.MemorySink
+      val q = Engine.start(http.toDF,
+        Seq(Processors.JsonToArrow(),
+          Processors.SqlProcessor("SELECT sensor, sum(value) AS total FROM flow GROUP BY sensor")),
+        sink, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      def post(body: String, token: Option[String]): Int = {
+        val conn = new java.net.URL(http.boundAddress).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode; conn.disconnect(); code
+      }
+      assert(post("""{"sensor":"t1","value":7}""", Some("s3cret")) == 200)
+      assert(post("""{"sensor":"t1","value":5}""", Some("s3cret")) == 200)
+      assert(post("""{"sensor":"x","value":1}""", Some("wrong")) == 401)
+      assert(post("""{"sensor":"x","value":1}""", None) == 401)
+      q.processAllAvailable(); q.stop()
+      // per-micro-batch aggregates: sum across batches for the total
+      val bySensor = sink.rows.groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).sum).toMap
+      assert(bySensor == Map("t1" -> 12L), s"got $bySensor")
+    } finally http.stop()
+  }
+
+  test("UDAF over a window frame covers the window-UDF surface (SURVEY §2.8)") {
+    graft.functions.WeightedPercentile.register(spark, Seq(0.5))
+    Seq(("a", 1.0), ("a", 2.0), ("a", 30.0), ("b", 5.0))
+      .toDF("k", "v").createOrReplaceTempView("wudf_t")
+    val rows = spark.sql(
+      """SELECT k, v, weighted_percentile_50(v, 1.0)
+        |  OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_med
+        |FROM wudf_t ORDER BY k, v""".stripMargin).collect()
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 2.0, 5.0))
+  }
+
   test("mllib LSH ANN finds neighbors consistent with brute force") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = graft.operators.Similarity.mllibLshKnn(emb, queryId = 0L, k = 5)
