@@ -108,6 +108,23 @@ object Extensions {
     // Multiset set operations (UNION/EXCEPT/INTERSECT ALL).
     "q63_setops_all" -> Q.fromSql(q63Sql),
 
+    // AS-OF JOIN (composed formulation — range join + max aggregation;
+    // the custom LogicalPlan/SparkPlan operator graft.plans.AsOfJoin is
+    // its exec twin, proven equivalent in AsOfJoinSpec). Oracle uses
+    // DuckDB's native ASOF LEFT JOIN — true as-of semantics both sides.
+    "q66_asof_join" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+          |SELECT c.event_id, c.user_id,
+          |       c.ts DIV 1000 AS click_us,
+          |       max(p.ts) DIV 1000 AS purchase_us
+          |FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+          |GROUP BY c.event_id, c.user_id, c.ts
+          |ORDER BY c.event_id""".stripMargin)
+    }),
+
     // Weighted discrete percentile via the Aggregator UDAF (the
     // reference's *_with_weight surface, exact semantics).
     "q64_weighted_percentile" -> ((s, dir) => {
@@ -178,6 +195,15 @@ object Extensions {
 
     "q49_subquery_forms" -> q49Sql,
     "q63_setops_all" -> q63Sql,
+
+    "q66_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |       epoch_ns(c.ts) // 1000 AS click_us,
+        |       epoch_ns(p.ts) // 1000 AS purchase_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // weight-expanded multiset + quantile_disc == weighted percentile
     "q64_weighted_percentile" ->

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN — an operator the reference's SQL surface gets from engines
+  * like DuckDB but Spark lacks natively: for every left row, attach the
+  * latest right row with the same key whose time is <= the left time
+  * (left outer semantics).
+  *
+  * This is the full custom-operator path (SURVEY.md §2.8 / guide path c):
+  * a logical node, a planner strategy, and a physical exec whose
+  * `requiredChildDistribution`/`requiredChildOrdering` make Catalyst
+  * insert the hash exchanges and per-partition sorts — then each
+  * partition is a single linear merge of the two sorted streams. No
+  * driver involvement, no per-key state beyond one buffered row: scales
+  * to arbitrarily many keys/rows like a sort-merge join.
+  *
+  * Keys and times are LongType (the API casts); a composed
+  * window-function formulation is the q66 oracle twin.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val joined = new JoinedRow
+        private var rPending: InternalRow = _
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey = 0L
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val k = lKey.eval(l).asInstanceOf[Long]
+          val t = lTime.eval(l).asInstanceOf[Long]
+          var advancing = true
+          while (advancing && (rPending != null || rIter.hasNext)) {
+            if (rPending == null) rPending = rIter.next()
+            val rk = rKey.eval(rPending).asInstanceOf[Long]
+            if (rk < k) rPending = null // no later left row can need it
+            else if (rk == k && rTime.eval(rPending).asInstanceOf[Long] <= t) {
+              lastMatch = rPending.copy(); lastMatchKey = rk; rPending = null
+            } else advancing = false
+          }
+          val r = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+          joined(l, r)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Builder-time registration (`.withExtensions(new GraftExtensions)`); the
+  * [[AsOf]] API also injects into live sessions via experimental methods. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOf {
+  /** leftDf ASOF-LEFT-JOIN rightDf on key, rightTime <= leftTime.
+    * Key/time columns must be LongType on both sides (cast first); output
+    * is left columns followed by right columns (pre-rename collisions).
+    */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+           leftKeyCol: String, leftTimeCol: String,
+           rightKeyCol: String, rightTimeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.GraftInternal.ofRows(spark, AsOfJoin(lp, rp,
+      attr(lp, leftKeyCol), attr(lp, leftTimeCol),
+      attr(rp, rightKeyCol), attr(rp, rightTimeCol)))
+  }
+}
