@@ -98,6 +98,26 @@ object Processors {
     }
   }
 
+  /** Cross-source window join processor (buffer/join.rs:62-130): the
+    * batch arrives union-tagged with `__input_name` (multiple_inputs
+    * fan-in); each source's slice registers as a view named by its input
+    * and the join SQL runs across them. A missing expected source yields
+    * an empty window, like the reference's missing-source check.
+    */
+  final case class WindowJoinProcessor(joinSql: String, expected: Seq[String],
+      decode: String => BatchTransform = _ => JsonToArrow())
+      extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame = {
+      val present = batch.select("__input_name").distinct()
+        .collect().map(_.getString(0)).toSet
+      val sources = expected.filter(present.contains).map { name =>
+        name -> decode(name)(
+          batch.filter(col("__input_name") === name).drop("__input_name"))
+      }.toMap
+      Windows.windowJoin(batch.sparkSession, sources, joinSql, expected)
+    }
+  }
+
   /** Build the processor chain from config components. */
   def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
     c.kind match {

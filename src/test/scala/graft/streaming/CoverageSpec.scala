@@ -77,6 +77,50 @@ class CoverageSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 2.0, 5.0))
   }
 
+  test("tumbling window join over multiple_inputs fan-in (buffer/tumbling_window.rs + join.rs)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sensors = MemoryStream[String]; val labels = MemoryStream[String]
+    def env(ms: MemoryStream[String]) =
+      ms.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+    // both sources populated before the window fires -> joined rows
+    sensors.addData("""{"id":1,"v":10}""", """{"id":2,"v":20}""")
+    labels.addData("""{"id":1,"name":"a"}""")
+    val input = Windows.unionTagged(Map("sensors" -> env(sensors), "labels" -> env(labels)))
+    val sink = new Engine.MemorySink
+    val q = Engine.start(input, Seq(Processors.WindowJoinProcessor(
+        "SELECT s.id, s.v, l.name FROM sensors s JOIN labels l ON s.id = l.id",
+        Seq("sensors", "labels"))), sink)
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((1L, 10L, "a")))
+    // a window where an expected source is absent yields nothing
+    val sensors2 = MemoryStream[String]; val labels2 = MemoryStream[String]
+    sensors2.addData("""{"id":3,"v":30}""")
+    val input2 = Windows.unionTagged(Map("sensors" -> env(sensors2), "labels" -> env(labels2)))
+    val sink2 = new Engine.MemorySink
+    val q2 = Engine.start(input2, Seq(Processors.WindowJoinProcessor(
+        "SELECT s.id, s.v, l.name FROM sensors s JOIN labels l ON s.id = l.id",
+        Seq("sensors", "labels"))), sink2)
+    q2.processAllAvailable(); q2.stop()
+    assert(sink2.rows.isEmpty)
+  }
+
+  test("salted join is row-identical to the plain join while spreading hot keys") {
+    val big = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"), col("l_linenumber"))
+    val small = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val plain = big.join(small, Seq("k"))
+      .select(col("k"), col("l_linenumber"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k",
+        saltFactor = 8, saltBy = Seq("k", "l_linenumber"))
+      .select(col("k"), col("l_linenumber"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(salted.length == plain.length && (salted sameElements plain))
+  }
+
   test("mllib LSH ANN finds neighbors consistent with brute force") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = graft.operators.Similarity.mllibLshKnn(emb, queryId = 0L, k = 5)
