@@ -22,9 +22,18 @@ object Engine {
     def write(batch: DataFrame, batchId: Long): Unit
   }
 
+  /** Idempotent per batchId: each batch lands in its own batch_id=N
+    * partition with dynamic overwrite, so a replayed batch (restart
+    * between sink write and checkpoint commit) overwrites itself instead
+    * of duplicating — checkpoint + idempotent sink = exactly-once.
+    */
   final case class ParquetSink(path: String) extends BatchSink {
     def write(batch: DataFrame, batchId: Long): Unit =
-      batch.write.mode("append").parquet(path)
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
   }
   final case class ConsoleSink(numRows: Int = 20) extends BatchSink {
     def write(batch: DataFrame, batchId: Long): Unit =
@@ -73,7 +82,8 @@ object Engine {
         // zero-row frames, which infer an empty schema).
         if (!batch.isEmpty) {
           val out = processors.foldLeft(batch)((df, p) => p(df))
-          sink.write(out, batchId)
+          // a processor returning an empty frame = `None`: nothing to write
+          if (!out.isEmpty) sink.write(out, batchId)
         }
       } catch {
         case e: Throwable =>

@@ -73,6 +73,22 @@ object Processors {
     def apply(batch: DataFrame): DataFrame = batch.coalesce(partitions)
   }
 
+  /** Faithful cross-micro-batch accumulator (processor/batch.rs flush-on-
+    * count): unions incoming batches until at least `minRows` are pending,
+    * then releases them as one batch; otherwise emits an empty frame (the
+    * engine's `None` short-circuit). Plans-only state on the driver —
+    * rows stay distributed; a restart re-accumulates from the replayed
+    * micro-batches.
+    */
+  final class BatchAccumulator(minRows: Long) extends (DataFrame => DataFrame) {
+    private var pending: Option[DataFrame] = None
+    override def apply(batch: DataFrame): DataFrame = synchronized {
+      val merged = pending.map(_.unionByName(batch)).getOrElse(batch)
+      if (merged.count() >= minRows) { pending = None; merged }
+      else { pending = Some(merged); batch.limit(0) }
+    }
+  }
+
   /** VRL-substitute (processor/vrl.rs — no JVM VRL interpreter exists):
     * the capability is "safe per-row transform DSL"; covered by a list of
     * SQL expressions applied as a projection. */

@@ -73,6 +73,27 @@ class DurabilitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SchemaRegistry.decodeBatch(bad, resolver))
   }
 
+  test("parquet sink is idempotent per batchId (replay overwrites, not duplicates)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_psink").toString + "/out"
+    val sink = Engine.ParquetSink(path)
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId = 0L)
+    sink.write(Seq((3L, "c")).toDF("id", "v"), batchId = 1L)
+    // replay batch 0 (restart between sink write and checkpoint commit)
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId = 0L)
+    val rows = spark.read.parquet(path).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L), s"got ${rows.toSeq}")
+  }
+
+  test("batch accumulator releases only once minRows are pending (processor/batch.rs)") {
+    val acc = new Processors.BatchAccumulator(minRows = 3)
+    val out1 = acc(Seq(1, 2).toDF("x"))
+    assert(out1.count() == 0) // below threshold: held back
+    val out2 = acc(Seq(3, 4).toDF("x"))
+    assert(out2.as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4)) // flushed
+    val out3 = acc(Seq(5).toDF("x"))
+    assert(out3.count() == 0) // accumulation restarted
+  }
+
   test("weighted percentile matches hand computation") {
     graft.functions.WeightedPercentile.register(spark, Seq(0.5))
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0), (4.0, 1.0))
