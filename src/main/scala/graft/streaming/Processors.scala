@@ -96,6 +96,37 @@ object Processors {
     def apply(batch: DataFrame): DataFrame = batch.selectExpr(exprs: _*)
   }
 
+  /** Remap DSL — the documented semantic port of the VRL processor
+    * (SURVEY.md §2.3 vrl row): a line-per-statement program of
+    * field assignments and deletions, compiled to Catalyst expressions
+    * (never a row-at-a-time interpreter):
+    *
+    * {{{
+    *   .fahrenheit = .value * 9 / 5 + 32   // assignment, .field refs
+    *   .sensor = upper(.sensor)            // any SQL function
+    *   del(.timestamp)                     // drop a field
+    * }}}
+    */
+  final case class RemapProcessor(program: String) extends (DataFrame => DataFrame) {
+    private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
+    private val Del = """del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    private val Assign = """\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+
+    private val statements: Seq[DataFrame => DataFrame] = program.linesIterator
+      .map(_.replaceAll("(#|//).*$", "").trim).filter(_.nonEmpty)
+      .map {
+        case Del(field) => (df: DataFrame) => df.drop(field)
+        case Assign(field, rhs) =>
+          val sql = FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")
+          (df: DataFrame) => df.withColumn(field, expr(sql))
+        case other =>
+          throw new IllegalArgumentException(s"remap: cannot parse `$other`")
+      }.toSeq
+
+    def apply(batch: DataFrame): DataFrame =
+      statements.foldLeft(batch)((df, stmt) => stmt(df))
+  }
+
   /** Temporary lookup table (SURVEY.md §2.6, core temporary/mod.rs:40-45):
     * `provider` fetches/derives the lookup rows for the current batch
     * (e.g. from JDBC/Redis keyed by a batch expression); the result is
@@ -145,6 +176,7 @@ object Processors {
       case "arrow_to_json" => ArrowToJson
       case "batch" => BatchCompact(c.options.getOrElse("partitions", "1").toInt)
       case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
+      case "vrl" | "remap" => RemapProcessor(c.options("program"))
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }

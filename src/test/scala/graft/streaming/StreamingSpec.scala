@@ -101,6 +101,20 @@ class StreamingSpec extends AnyFunSuite {
       Set((1625000000000L, 10.5, "temp_1"), (1625000001000L, 0.0, "t2")))
   }
 
+  test("remap DSL compiles assignments and deletions to column ops (processor/vrl.rs port)") {
+    val out = Processors.RemapProcessor(
+      """
+        |.fahrenheit = .value * 9 / 5 + 32   # new field from arithmetic
+        |.sensor = upper(.sensor)            // overwrite with a function
+        |del(.timestamp)
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    assert(out.columns.sorted.toSeq == Seq("fahrenheit", "sensor", "value"))
+    val r = out.select("sensor", "fahrenheit").collect().head
+    assert(r.getString(0) == "TEMP_1")
+    assert(r.getDouble(1) == 50.0)
+    intercept[IllegalArgumentException](Processors.RemapProcessor("nonsense ="))
+  }
+
   test("yaml config parses the quick-start stream shape (README.md:60-96)") {
     val conf = Config.fromYaml(
       """streams:
