@@ -259,6 +259,17 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:05:00", "b", 1L, 5.0)))
   }
 
+  test("sql processor latency: 10 pooled queries stay fast (sql.rs:432-450 analogue)") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)).toDF("id", "value")
+    val proc = Processors.SqlProcessor("SELECT * FROM flow WHERE id > 0")
+    proc(df).collect() // warm
+    val t0 = System.nanoTime()
+    (1 to 10).foreach(_ => proc(df).collect())
+    val elapsed = (System.nanoTime() - t0) / 1e6
+    // reference asserts < 500ms natively; allow JVM/Spark planning headroom
+    assert(elapsed < 5000, s"10 queries took ${elapsed}ms")
+  }
+
   test("kafka input option mapping (input/kafka.rs:36-58)") {
     val opts = Engine.kafkaOptions(Map(
       "brokers" -> "b:9092", "topics" -> "t1", "consumer_group" -> "g1",
