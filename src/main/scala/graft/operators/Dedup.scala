@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *   - MinHash/LSH is explode→partial-agg→self-join on (band, signature),
   *     the standard O(n·shingles) + candidate-pair-join formulation (no
   *     all-pairs comparison);
-  *   - SimHash computes 16 bit-sums in a single aggregation pass;
-  *   - Jaccard joins on shared tokens, restricted to a bounded doc window.
+  *   - SimHash computes 16 bit-sums in a single aggregation pass, and
+  *     its pairing is a banded equi-join (pigeonhole), never all-pairs;
+  *   - Jaccard joins on shared 3-gram shingles with a document-frequency
+  *     cap, so no hot key can form a quadratic bucket.
   *
   * Hashing uses md5 (not xxhash/murmur) so the DuckDB oracle reproduces
   * signatures bit-for-bit; swap in xxhash64 for production throughput.
@@ -78,17 +80,27 @@ object Dedup {
       .select(col("doc_id"), concat((1 to 16).map(j => col(s"b$j")): _*).as("simhash"))
   }
 
-  /** Exact pairwise token-set Jaccard over a bounded doc-id window
-    * (inverted-index join on shared tokens — not all-pairs).
+  /** Pairwise n-gram (3-word shingle) Jaccard via an inverted-index join,
+    * unbounded-safe: shingles whose document frequency exceeds `dfCap` are
+    * dropped from the index AND from the per-doc set sizes before the
+    * self-join, so no hot shingle can form a quadratic bucket. Jaccard is
+    * therefore computed over the informative (rare) shingle set — the
+    * standard stop-gram treatment in large-corpus dedup; a pair sharing
+    * ONLY ultra-common shingles is by construction not a near-duplicate.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, maxDocId: Long): DataFrame = {
-    val d = docs.filter(col(idCol) < maxDocId)
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+                   threshold: Double, dfCap: Int = 50): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("sh"))
       .distinct()
-    val n = d.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val inter = d.as("a").join(d.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val kept = sh.join(freq.filter(col("df") <= dfCap).select("sh"), "sh")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -98,6 +110,35 @@ object Dedup {
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Candidate near-dup pairs at hamming distance <= maxDist over the
+    * 16-bit simhash via a banded equi-join: the signature splits into
+    * maxDist+1 chunks, and by pigeonhole any pair within maxDist agrees
+    * exactly on at least one chunk — so an equi-join on (chunk_idx,
+    * chunk_value) yields a candidate superset with NO cartesian product,
+    * and the exact hamming filter downstream restores precision. Linear
+    * in matching-bucket sizes instead of O(n²) all-pairs.
+    */
+  def simhashBandedPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * 16 / nChunks
+      val end = (c + 1) * 16 / nChunks
+      (start + 1, end - start) // 1-based substring offsets
+    }
+    val stacked = sigs.select(col("doc_id"), col("simhash"), explode(map(
+      chunks.zipWithIndex.flatMap { case ((st, ln), idx) =>
+        Seq(lit(idx), substring(col("simhash"), st, ln))
+      }: _*)).as(Seq("chunk", "cval")))
+    val a = stacked.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = stacked.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
   }
 
   // ---- driver-checked query entries ----
@@ -128,7 +169,7 @@ object Dedup {
 
     "q53_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, maxDocId = 200)
+        threshold = 0.5, dfCap = 50)
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
@@ -168,14 +209,21 @@ object Dedup {
     "q52_simhash" -> simhashOracle,
 
     "q53_jaccard_pairs" ->
-      """WITH d AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-        |  FROM documents WHERE doc_id < 200
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+        |  WHERE len(ws) >= 3
+        |), freq AS (
+        |  SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50
+        |), kept AS (
+        |  SELECT s.doc_id, s.sh FROM s JOIN freq USING (sh)
         |), n AS (
-        |  SELECT doc_id, count(*) AS nw FROM d GROUP BY doc_id
+        |  SELECT doc_id, count(*) AS nw FROM kept GROUP BY doc_id
         |), inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM d a JOIN d b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id
         |)
         |SELECT doc_a, doc_b,

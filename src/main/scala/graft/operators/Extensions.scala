@@ -70,30 +70,51 @@ object Extensions {
           |LIMIT 50""".stripMargin)
     }),
 
-    // SimHash near-dup pairing via the codegen'd hamming_distance
-    // expression (stays inside WholeStageCodegen across the self-join).
+    // SimHash near-dup pairing: banded equi-join on signature chunks
+    // (pigeonhole candidate generation — no cartesian product), then the
+    // exact codegen'd hamming_distance filter. Same rows as all-pairs,
+    // linear-ish cost; unbounded-safe, so no doc-id clamp.
     "q58_simhash_hamming" -> ((s, dir) => {
       graft.functions.Shims.register(s)
-      val sh = Dedup.simhash(
-        Tables.load(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id", "text")
-      sh.createOrReplaceTempView("sh")
-      s.sql(
-        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |  hamming_distance(a.simhash, b.simhash) AS dist
-          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          |WHERE hamming_distance(a.simhash, b.simhash) <= 2
-          |ORDER BY doc_a, doc_b""".stripMargin)
+      val sh = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashBandedPairs(sh, maxDist = 2)
+        .withColumn("dist", expr("hamming_distance(sig_a, sig_b)"))
+        .filter(col("dist") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Embedding-cosine near-duplicate pairs (the vector dedup mode).
+    // Random-hyperplane LSH bucketing: 36 md5-derived sign-bits grouped
+    // into 6 bands of 6; only vectors sharing a full band signature become
+    // candidate pairs (equi-join on (band, sig) — no all-pairs product),
+    // then the exact cosine >= 0.95 filter restores precision. The md5
+    // hyperplane derivation is bit-reproducible in the DuckDB oracle, so
+    // the bucketed operator itself is hash-verified. Unbounded-safe: no
+    // vec_id clamp; candidate volume is governed by band width (bits per
+    // band grows ~log n at production scale, see SCALING.md).
     "q62_embedding_neardup" -> ((s, dir) => {
-      val v = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val v = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
         .withColumn("nrm", expr(
           "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
-      val a = v.select(col("vec_id").as("va"), col("vd").as("qv"), col("nrm").as("qn"))
-      val b = v.select(col("vec_id").as("vb"), col("vd").as("cv"), col("nrm").as("cn"))
-      a.join(b, col("va") < col("vb"))
+      def bit(k: Int) = when(expr(
+        s"aggregate(zip_with(vd, transform(sequence(0, size(vd) - 1), " +
+          s"i -> CASE WHEN substring(md5(concat('hp${k}_', CAST(i AS STRING))), 1, 1) >= '8' " +
+          "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END), (x, y) -> x * y), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0, "1").otherwise("0")
+      val bands = (0 until 6).map(b =>
+        concat((0 until 6).map(j => bit(b * 6 + j)): _*).as(s"band$b"))
+      val sig = v.select(col("vec_id") +: bands: _*)
+      val stacked = sig.select(col("vec_id"), explode(map(
+        (0 until 6).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
+      val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
+        .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb")).distinct()
+      cand
+        .join(v.select(col("vec_id").as("va"), col("vd").as("qv"), col("nrm").as("qn")), "va")
+        .join(v.select(col("vec_id").as("vb"), col("vd").as("cv"), col("nrm").as("cn")), "vb")
         .withColumn("cos", round(
           expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
             (col("qn") * col("cn")), 6))
@@ -108,21 +129,24 @@ object Extensions {
     // Multiset set operations (UNION/EXCEPT/INTERSECT ALL).
     "q63_setops_all" -> Q.fromSql(q63Sql),
 
-    // AS-OF JOIN (composed formulation — range join + max aggregation;
-    // the custom LogicalPlan/SparkPlan operator graft.plans.AsOfJoin is
-    // its exec twin, proven equivalent in AsOfJoinSpec). Oracle uses
-    // DuckDB's native ASOF LEFT JOIN — true as-of semantics both sides.
+    // AS-OF JOIN through the custom whole-operator path (graft.plans
+    // .AsOfJoin: LogicalPlan + Strategy + AsOfJoinExec — Catalyst inserts
+    // the hash exchanges and per-partition sorts, then one O(1)-state
+    // linear merge per partition; no per-key history expansion, so a
+    // skewed user with millions of purchases costs a scan, not a product).
+    // The as-of comparison runs on raw epoch-ns longs, truncated to µs
+    // only in the projection — matching DuckDB's native ASOF LEFT JOIN.
     "q66_asof_join" -> ((s, dir) => {
       Tables.register(s, dir)
-      s.sql(
-        """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-          |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
-          |SELECT c.event_id, c.user_id,
-          |       c.ts DIV 1000 AS click_us,
-          |       max(p.ts) DIV 1000 AS purchase_us
-          |FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
-          |GROUP BY c.event_id, c.user_id, c.ts
-          |ORDER BY c.event_id""".stripMargin)
+      val clicks = s.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'")
+      val purchases = s.sql(
+        "SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'")
+      graft.plans.AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_us"),
+          expr("p_ts DIV 1000").as("purchase_us"))
+        .orderBy(col("event_id"))
     }),
 
     // Weighted discrete percentile via the Aggregator UDAF (the
@@ -169,7 +193,7 @@ object Extensions {
       s"""WITH sh AS (
          |  SELECT doc_id, $bits AS simhash
          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |        FROM documents WHERE doc_id < 1000) t
+         |        FROM documents) t
          |  GROUP BY doc_id
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -181,17 +205,36 @@ object Extensions {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "q62_embedding_neardup" ->
-      """WITH v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings WHERE vec_id < 200
-        |)
-        |SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) >= 0.95
-        |ORDER BY va, vb""".stripMargin,
+    "q62_embedding_neardup" -> {
+      // identical md5-derived hyperplanes + banding as the Spark side
+      def bit(k: Int): String =
+        s"CASE WHEN list_dot_product(vd, list_transform(generate_series(0, len(vd) - 1), " +
+          s"i -> CASE WHEN substring(md5('hp${k}_' || i), 1, 1) >= '8' " +
+          "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 THEN '1' ELSE '0' END"
+      val bandExprs = (0 until 6).map(b =>
+        (0 until 6).map(j => bit(b * 6 + j)).mkString(" || ") + s" AS band$b").mkString(",\n    ")
+      val sigCase = (0 until 6).map(b => s"WHEN $b THEN band$b").mkString(" ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id,
+         |    $bandExprs
+         |  FROM v
+         |), stacked AS (
+         |  SELECT vec_id, band, CASE band $sigCase END AS sg
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS band) b
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM stacked a JOIN stacked b
+         |    ON a.band = b.band AND a.sg = b.sg AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.va, c.vb, round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 6) AS cos
+         |FROM cand c JOIN v x ON x.vec_id = c.va JOIN v y ON y.vec_id = c.vb
+         |WHERE round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 6) >= 0.95
+         |ORDER BY va, vb""".stripMargin
+    },
 
     "q49_subquery_forms" -> q49Sql,
     "q63_setops_all" -> q63Sql,

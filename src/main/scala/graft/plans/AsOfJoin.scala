@@ -68,16 +68,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lKey.eval(l).asInstanceOf[Long]
-          val t = lTime.eval(l).asInstanceOf[Long]
+          val kRaw = lKey.eval(l)
+          val tRaw = lTime.eval(l)
+          // SQL join semantics: a NULL key/time matches nothing.
+          if (kRaw == null || tRaw == null) return joined(l, nullRight)
+          val k = kRaw.asInstanceOf[Long]
+          val t = tRaw.asInstanceOf[Long]
           var advancing = true
           while (advancing && (rPending != null || rIter.hasNext)) {
             if (rPending == null) rPending = rIter.next()
-            val rk = rKey.eval(rPending).asInstanceOf[Long]
-            if (rk < k) rPending = null // no later left row can need it
-            else if (rk == k && rTime.eval(rPending).asInstanceOf[Long] <= t) {
-              lastMatch = rPending.copy(); lastMatchKey = rk; rPending = null
-            } else advancing = false
+            val rkRaw = rKey.eval(rPending)
+            val rtRaw = rTime.eval(rPending)
+            if (rkRaw == null || rtRaw == null) rPending = null // unmatched by any left row
+            else {
+              val rk = rkRaw.asInstanceOf[Long]
+              if (rk < k) rPending = null // no later left row can need it
+              else if (rk == k && rtRaw.asInstanceOf[Long] <= t) {
+                lastMatch = rPending.copy(); lastMatchKey = rk; rPending = null
+              } else advancing = false
+            }
           }
           val r = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
           joined(l, r)

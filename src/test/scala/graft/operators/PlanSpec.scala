@@ -42,6 +42,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q58: simhash pairing is a banded equi-join — no cartesian/nested-loop product") {
+    val p = plan("q58_simhash_hamming")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs product crept back in")
+    assert(!p.contains("CartesianProduct"), "all-pairs product crept back in")
+  }
+
+  test("q62: embedding near-dup is LSH-bucketed — no cartesian/nested-loop product") {
+    val p = plan("q62_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs product crept back in")
+    assert(!p.contains("CartesianProduct"), "all-pairs product crept back in")
+  }
+
+  test("q66: as-of join runs the custom AsOfJoinExec, not a range-join expansion") {
+    val p = plan("q66_asof_join")
+    assert(p.contains("AsOfJoin"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("q01 runs inside WholeStageCodegen (final AQE plan)") {
     val df = graft.SparkEntry.queries("q01_agg_pushdown")(spark, sf)
     df.collect() // finalize the AQE plan on this QueryExecution
