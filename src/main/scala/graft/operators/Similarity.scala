@@ -73,6 +73,53 @@ object Similarity {
       .select(col("qid"), col("cell"), col("cid"), col("cos"), col("rnk"))
   }
 
+  /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
+    * (which uses "first nList vectors" only so its DuckDB oracle can
+    * reproduce the cells): centroids learned by MLlib KMeans with a fixed
+    * seed, every vector assigned to its max-cosine cell, and each query
+    * probing its `nProbe` nearest cells. nProbe = nList degenerates to
+    * exact brute force — asserted in OperatorsSpec, which also measures
+    * recall at partial probes. Engine-specific centroids → no SQL oracle
+    * (rows-only driver check, like the sketch aggregates).
+    */
+  def ivfKnnKMeans(emb: DataFrame, nList: Int, nQueries: Int, k: Int,
+      nProbe: Int = 1, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(vecs)
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("centroid_id", "qv")
+      .withColumn("qn", expr(
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
+    val cand = prepared(emb)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val assignScored = cand.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dotQC) / (col("qn") * col("cn")))
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
+    val probes = assignScored.filter(col("cid") < nQueries)
+      .withColumn("prn", row_number().over(wAssign))
+      .filter(col("prn") <= nProbe)
+      .select(col("cid").as("qid"), col("cv").as("qv"), col("cn").as("qn"),
+        col("centroid_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
+
   /** MLlib random-hyperplane LSH (BucketedRandomProjectionLSH) as the
     * off-the-shelf ANN alternative: returns approx nearest neighbors for
     * one query vector. Engine-specific hashing — no SQL oracle; covered
@@ -102,6 +149,11 @@ object Similarity {
         .orderBy(col("qid"), col("rnk"))),
     "q61_ivf_knn" -> ((s, dir) =>
       ivfKnn(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5, k = 3)
+        .orderBy(col("qid"), col("rnk"))),
+    // deterministic-seed KMeans centroids: engine-specific -> rows-only check
+    "q67_ivf_kmeans_knn" -> ((s, dir) =>
+      ivfKnnKMeans(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5,
+        k = 3, nProbe = 2)
         .orderBy(col("qid"), col("rnk")))
   )
 

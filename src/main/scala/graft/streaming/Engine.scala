@@ -22,6 +22,13 @@ object Engine {
     def write(batch: DataFrame, batchId: Long): Unit
   }
 
+  /** Processors that need the micro-batch id (e.g. idempotent cross-batch
+    * staging) implement this richer shape; the engine passes the
+    * foreachBatch batchId instead of calling the plain transform. */
+  trait BatchIdAware {
+    def apply(batch: DataFrame, batchId: Long): DataFrame
+  }
+
   /** Idempotent per batchId: each batch lands in its own batch_id=N
     * partition with dynamic overwrite, so a replayed batch (restart
     * between sink write and checkpoint commit) overwrites itself instead
@@ -52,11 +59,64 @@ object Engine {
     }
   }
 
+  /** Pure mapping of reference kafka output options (output/kafka.rs:63-85)
+    * to Spark kafka sink options — unit-testable without a broker.
+    *
+    * EOS boundary: the reference's `exactly_once` wraps each batch in a
+    * producer transaction fenced by a stable transactional_id
+    * (output/kafka.rs:293-399). Spark's kafka writer has no cross-task
+    * transaction, so the equivalent end-to-end guarantee is the same one
+    * every sink here uses: checkpointed batchIds + idempotent replay —
+    * [[KafkaSink]] stamps each record with a `batch_id` header and a
+    * replayed batch re-produces identical (topic, batch_id) records for
+    * consumer-side dedupe. `transactional_id` still maps through to
+    * kafka.transactional.id so brokers fence zombie producers per task.
+    */
+  def kafkaSinkOptions(o: Map[String, String]): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> o.getOrElse("brokers", "localhost:9092"),
+      "topic" -> o("topic"))
+    val withAcks = o.get("acks").fold(base)(a => base + ("kafka.acks" -> a))
+    val withComp = o.get("compression").fold(withAcks)(t => withAcks + ("kafka.compression.type" -> t))
+    val withClient = o.get("client_id").fold(withComp)(i => withComp + ("kafka.client.id" -> i))
+    if (o.get("exactly_once").contains("true"))
+      withClient +
+        ("kafka.transactional.id" -> o.getOrElse("transactional_id",
+          throw new IllegalArgumentException("kafka output: exactly_once requires transactional_id"))) +
+        ("kafka.enable.idempotence" -> "true")
+    else withClient
+  }
+
+  /** kafka output (output/kafka.rs:44-90): key/value projection + producer
+    * options; the micro-batch id rides as a record header so replayed
+    * batches are consumer-dedupable (see [[kafkaSinkOptions]]). */
+  final case class KafkaSink(options: Map[String, String]) extends BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val valueField = options.getOrElse("value_field", Codecs.ValueCol)
+      val keyed = options.get("key") match {
+        case Some(k) => batch.select(expr(k).cast("string").as("key"),
+          col(valueField).cast("binary").as("value"))
+        case None => batch.select(col(valueField).cast("binary").as("value"))
+      }
+      keyed
+        .withColumn("headers", array(struct(lit("batch_id").as("key"),
+          lit(batchId.toString).cast("binary").as("value"))))
+        .write.format("kafka")
+        .options(kafkaSinkOptions(options))
+        .option("includeHeaders", "true")
+        .save()
+    }
+  }
+
   def sinkFromConf(c: ComponentConf): BatchSink = c.kind match {
     case "parquet" => ParquetSink(c.options("path"))
     case "stdout" => ConsoleSink(c.options.getOrElse("num_rows", "20").toInt)
     case "drop" => NoopSink
     case "memory" => new MemorySink
+    case "sql" => Jdbc.JdbcSink(c.options("url"), c.options("table"), c.options)
+    case "http" => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
+      c.options.getOrElse("rows_per_request", "1000").toInt)
+    case "kafka" => KafkaSink(c.options)
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
@@ -81,12 +141,20 @@ object Engine {
         // pipeline entirely (also keeps per-batch JSON inference away from
         // zero-row frames, which infer an empty schema).
         if (!batch.isEmpty) {
-          val out = processors.foldLeft(batch)((df, p) => p(df))
+          val out = processors.foldLeft(batch) { (df, p) =>
+            p match {
+              case b: BatchIdAware => b(df, batchId)
+              case _ => p(df)
+            }
+          }
           // a processor returning an empty frame = `None`: nothing to write
           if (!out.isEmpty) sink.write(out, batchId)
         }
       } catch {
-        case e: Throwable =>
+        // NonFatal only: data/processor failures divert to the error sink;
+        // fatal VM errors and interrupts propagate so the stream fails and
+        // Spark retries the batch instead of committing a silent skip.
+        case scala.util.control.NonFatal(e) =>
           errorSink match {
             case Some(err) =>
               err.write(batch.withColumn("__error", lit(e.getMessage)), batchId)
@@ -128,6 +196,9 @@ object Engine {
           col("key").as("__meta_key"),
           col("timestamp").as("__meta_timestamp"),
           current_timestamp().as("__meta_ingest_time"))
+    case "sql" =>
+      // input/sql.rs:48-73 — one poll of select_sql, EOF semantics.
+      Jdbc.read(spark, c.options)
     case other => throw new IllegalArgumentException(s"unknown input: $other")
   }
 
@@ -147,7 +218,18 @@ object Engine {
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     conf.streams.flatMap { s =>
       val in = inputFromConf(spark, s.input)
-      val procs = Processors.fromConf(s.processors)
+      // memory buffer capacity/timeout (buffer/memory.rs:40-46,108-150):
+      // hold rows until `capacity` are pending or `timeout_ms` elapsed,
+      // then release as one batch — an accumulator ahead of the pipeline.
+      val bufferProcs: Seq[Processors.BatchTransform] = s.buffer.toSeq
+        .filter(b => b.kind == "memory" &&
+          (b.options.contains("capacity") || b.options.contains("timeout_ms")))
+        .map(b => new Processors.BatchAccumulator(
+          b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
+          Long.MaxValue,
+          b.options.get("timeout_ms").map(_.toLong).getOrElse(Long.MaxValue),
+          b.options.get("staging")))
+      val procs = bufferProcs ++ Processors.fromConf(s.processors)
       val sink = sinkFromConf(s.output)
       val err = s.errorOutput.map(sinkFromConf)
       if (in.isStreaming)

@@ -73,20 +73,131 @@ object Processors {
     def apply(batch: DataFrame): DataFrame = batch.coalesce(partitions)
   }
 
-  /** Faithful cross-micro-batch accumulator (processor/batch.rs flush-on-
-    * count): unions incoming batches until at least `minRows` are pending,
-    * then releases them as one batch; otherwise emits an empty frame (the
-    * engine's `None` short-circuit). Plans-only state on the driver —
-    * rows stay distributed; a restart re-accumulates from the replayed
-    * micro-batches.
+  /** Cross-micro-batch accumulator (processor/batch.rs:31-127 — the
+    * reference flushes on row count, byte size, OR wall-clock interval;
+    * all three are supported, OR-combined, evaluated at batch
+    * boundaries so flush lag is bounded by the trigger cadence).
+    *
+    * Two modes:
+    *
+    *  - In-memory (staging = None): pending batches are held as
+    *    `localCheckpoint()`ed frames — rows stay distributed on executors,
+    *    lineage is truncated so the union chain never grows, and counts
+    *    are tracked incrementally (no re-count of prior batches).
+    *    Pending rows are session-scoped: a restart drops sub-threshold
+    *    rows (at-most-once across restarts) — use staging when that
+    *    matters.
+    *
+    *  - Staged (staging = Some(path)): every micro-batch lands in its own
+    *    `__acc_batch=N` parquet partition via dynamic overwrite, so a
+    *    replayed batch overwrites itself instead of duplicating, and
+    *    pending rows SURVIVE a restart. A `_flushed_upto` marker records
+    *    the last released partition; the one remaining at-most-once
+    *    window — a crash exactly between marker advance and the
+    *    downstream sink's commit — is documented, not hidden.
+    *
+    * Byte size in memory mode is rows × Catalyst per-type default width
+    * (an estimate — the reference counts real arrow bytes); staged mode
+    * sums the actual parquet bytes on disk.
     */
-  final class BatchAccumulator(minRows: Long) extends (DataFrame => DataFrame) {
+  final class BatchAccumulator(minRows: Long, maxBytes: Long = Long.MaxValue,
+      maxIntervalMs: Long = Long.MaxValue, staging: Option[String] = None)
+      extends (DataFrame => DataFrame) with Engine.BatchIdAware {
+
     private var pending: Option[DataFrame] = None
-    override def apply(batch: DataFrame): DataFrame = synchronized {
-      val merged = pending.map(_.unionByName(batch)).getOrElse(batch)
-      if (merged.count() >= minRows) { pending = None; merged }
-      else { pending = Some(merged); batch.limit(0) }
+    private var pendingRows = 0L
+    private var pendingBytes = 0L
+    private var firstPendingAtNs = 0L
+
+    override def apply(batch: DataFrame): DataFrame = apply(batch, -1L)
+
+    override def apply(batch: DataFrame, batchId: Long): DataFrame =
+      synchronized {
+        staging match {
+          case Some(path) if batchId >= 0 => applyStaged(batch, batchId, path)
+          case _ => applyInMemory(batch)
+        }
+      }
+
+    private def shouldFlush(rows: Long, bytes: Long, ageMs: Long): Boolean =
+      rows >= minRows || bytes >= maxBytes || ageMs >= maxIntervalMs
+
+    private def applyInMemory(batch: DataFrame): DataFrame = {
+      val b = batch.localCheckpoint()
+      val n = b.count()
+      val rowWidth = batch.schema.map(_.dataType.defaultSize).sum.toLong
+      if (pending.isEmpty) firstPendingAtNs = System.nanoTime()
+      val merged = pending.map(_.unionByName(b)).getOrElse(b)
+      pendingRows += n
+      pendingBytes += n * rowWidth
+      val ageMs = (System.nanoTime() - firstPendingAtNs) / 1000000L
+      if (shouldFlush(pendingRows, pendingBytes, ageMs)) {
+        pending = None; pendingRows = 0L; pendingBytes = 0L
+        merged
+      } else {
+        pending = Some(merged)
+        batch.limit(0)
+      }
     }
+
+    private def applyStaged(batch: DataFrame, batchId: Long, path: String): DataFrame = {
+      val spark = batch.sparkSession
+      batch.withColumn("__acc_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__acc_batch")
+        .parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val flushedUpto = readMarker(fs, path)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__acc_batch="))
+        .filter(_.getPath.getName.stripPrefix("__acc_batch=").toLong > flushedUpto)
+      val bytes = parts.map(p => fs.getContentSummary(p.getPath).getLength).sum
+      val oldestMs = if (parts.isEmpty) Long.MaxValue
+        else parts.map(_.getModificationTime).min
+      val ageMs = if (parts.isEmpty) 0L else System.currentTimeMillis() - oldestMs
+      val staged = spark.read.parquet(path)
+        .filter(col("__acc_batch") > flushedUpto)
+      val n = staged.count()
+      if (shouldFlush(n, bytes, ageMs)) {
+        writeMarker(fs, path, batchId)
+        staged.drop("__acc_batch")
+      } else batch.limit(0)
+    }
+
+    private def markerPath(path: String) =
+      new org.apache.hadoop.fs.Path(path, "_flushed_upto")
+
+    private def readMarker(fs: org.apache.hadoop.fs.FileSystem, path: String): Long =
+      if (!fs.exists(markerPath(path))) -1L
+      else {
+        val in = fs.open(markerPath(path))
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+
+    private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, path: String,
+        upto: Long): Unit = {
+      val out = fs.create(markerPath(path), true)
+      try out.write(upto.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** `python` processor (processor/python.rs:27-140): user Python over
+    * Arrow record batches — `body` is the indented body of
+    * `transform(batch: pyarrow.RecordBatch) -> pyarrow.RecordBatch`,
+    * executed by a per-partition python3 worker over the Arrow IPC pipe
+    * ([[org.apache.spark.sql.GraftArrowPipe]]). `outputSchema` is DDL
+    * ("x BIGINT, y STRING") — Spark needs the post-transform schema at
+    * plan time where the reference infers it per batch. */
+  final case class PythonProcessor(body: String, outputSchema: String)
+      extends (DataFrame => DataFrame) {
+    def apply(batch: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body,
+        org.apache.spark.sql.types.StructType.fromDDL(outputSchema))
   }
 
   /** VRL-substitute (processor/vrl.rs — no JVM VRL interpreter exists):
@@ -111,16 +222,34 @@ object Processors {
     private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
     private val Del = """del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
     private val Assign = """\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    // single-quoted SQL string literal, with '' as the escaped quote
+    private val Literal = "'(?:[^']|'')*'".r
 
+    // String literals are masked to NUL-delimited placeholders before
+    // comment-stripping and .field rewriting, so a '#' or '//' or '.word'
+    // INSIDE a literal is never treated as syntax, then restored after.
     private val statements: Seq[DataFrame => DataFrame] = program.linesIterator
-      .map(_.replaceAll("(#|//).*$", "").trim).filter(_.nonEmpty)
-      .map {
-        case Del(field) => (df: DataFrame) => df.drop(field)
-        case Assign(field, rhs) =>
-          val sql = FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")
-          (df: DataFrame) => df.withColumn(field, expr(sql))
-        case other =>
-          throw new IllegalArgumentException(s"remap: cannot parse `$other`")
+      .flatMap { raw =>
+        val lits = scala.collection.mutable.ArrayBuffer[String]()
+        val masked = Literal.replaceAllIn(raw, m => {
+          lits += m.matched
+          java.util.regex.Matcher.quoteReplacement("\u0000" + (lits.size - 1) + "\u0000")
+        })
+        def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
+          case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
+        }
+        // NOT .trim: it strips every char <= 0x20 including the NUL
+        // placeholder delimiters; \s leaves NUL alone.
+        val line = masked.replaceAll("(#|//).*$", "").replaceAll("^\\s+|\\s+$", "")
+        if (line.isEmpty) None
+        else Some(line match {
+          case Del(field) => (df: DataFrame) => df.drop(field)
+          case Assign(field, rhs) =>
+            val sql = unmask(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`"))
+            (df: DataFrame) => df.withColumn(field, expr(sql))
+          case other =>
+            throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
+        })
       }.toSeq
 
     def apply(batch: DataFrame): DataFrame =
@@ -174,8 +303,18 @@ object Processors {
         JsonToArrow(c.options.get("fields_to_include").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
       case "arrow_to_json" => ArrowToJson
-      case "batch" => BatchCompact(c.options.getOrElse("partitions", "1").toInt)
+      case "batch" =>
+        // flush thresholds present -> the cross-batch accumulator
+        // (processor/batch.rs); otherwise plain partition compaction.
+        if (Seq("min_rows", "max_bytes", "interval_ms", "staging").exists(c.options.contains))
+          new BatchAccumulator(
+            c.options.get("min_rows").map(_.toLong).getOrElse(Long.MaxValue),
+            c.options.get("max_bytes").map(_.toLong).getOrElse(Long.MaxValue),
+            c.options.get("interval_ms").map(_.toLong).getOrElse(Long.MaxValue),
+            c.options.get("staging"))
+        else BatchCompact(c.options.getOrElse("partitions", "1").toInt)
       case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
+      case "python" => PythonProcessor(c.options("script"), c.options("output_schema"))
       case "vrl" | "remap" => RemapProcessor(c.options("program"))
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }

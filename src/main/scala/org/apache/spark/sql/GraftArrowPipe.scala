@@ -1,0 +1,155 @@
+package org.apache.spark.sql
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.vector.VectorSchemaRoot
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.arrow.ArrowWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.ArrowUtils
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+
+/** Arrow-IPC subprocess interchange — the Spark shape of the reference's
+  * python processor (processor/python.rs:27-140: RecordBatch → PyArrow →
+  * RecordBatch). Each partition streams its rows to a `python3` worker as
+  * an Arrow IPC stream over stdin, the worker applies a user
+  * `transform(batch)` with pyarrow, and the JVM reads the result stream
+  * back — the same wire contract `mapInArrow` uses, without requiring the
+  * job to be authored in PySpark. One worker per task, both directions
+  * streaming (a writer thread feeds stdin while the task thread consumes
+  * stdout), so no partition is ever materialized in memory.
+  *
+  * Lives in the `org.apache.spark.sql` package for the `private[sql]`
+  * Arrow converters (ArrowWriter/ArrowUtils) — the same bridge pattern as
+  * [[GraftInternal]].
+  */
+object GraftArrowPipe {
+
+  /** Is a python3 with pyarrow importable on this host? (Probed once;
+    * the python processor is unavailable — with a clear error — when not.) */
+  lazy val pythonArrowAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c", "import pyarrow").start()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+
+  /** Run `transform(batch: pyarrow.RecordBatch) -> pyarrow.RecordBatch`
+    * (the indented `body`) over every Arrow batch of every partition.
+    * `outSchema` declares the post-transform schema (the reference infers
+    * it from the returned RecordBatch; Spark needs it at plan time).
+    */
+  def pipePython(df: DataFrame, body: String, outSchema: StructType,
+      batchSize: Int = 4096): DataFrame = {
+    require(pythonArrowAvailable,
+      "python processor needs python3 with pyarrow on the worker hosts")
+    val script =
+      s"""import sys
+         |import pyarrow as pa
+         |
+         |def transform(batch):
+         |$body
+         |
+         |reader = pa.ipc.open_stream(sys.stdin.buffer)
+         |writer = None
+         |for batch in reader:
+         |    out = transform(batch)
+         |    if writer is None:
+         |        writer = pa.ipc.new_stream(sys.stdout.buffer, out.schema)
+         |    writer.write_batch(out)
+         |if writer is not None:
+         |    writer.close()
+         |""".stripMargin
+    val scriptFile = java.nio.file.Files.createTempFile("graft_py_proc", ".py")
+    java.nio.file.Files.writeString(scriptFile, script)
+    scriptFile.toFile.deleteOnExit()
+    pipePartitions(df, Seq("python3", scriptFile.toString), outSchema, batchSize)
+  }
+
+  /** Generic per-partition Arrow IPC pipe through an external command. */
+  def pipePartitions(df: DataFrame, command: Seq[String], outSchema: StructType,
+      batchSize: Int): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val inSchema = df.schema
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val outRdd = df.queryExecution.toRdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else pipeOnePartition(rows, command, inSchema, tz, batchSize)
+    }
+    spark.internalCreateDataFrame(outRdd, outSchema)
+  }
+
+  private def pipeOnePartition(rows: Iterator[InternalRow], command: Seq[String],
+      inSchema: StructType, tz: String, batchSize: Int): Iterator[InternalRow] = {
+    val allocator = ArrowUtils.rootAllocator.newChildAllocator(
+      s"graft_pipe_${java.util.UUID.randomUUID()}", 0, Long.MaxValue)
+    val arrowSchema = ArrowUtils.toArrowSchema(inSchema, tz,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+
+    val proc = new ProcessBuilder(command.asJava)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+
+    // feeder thread: task rows -> arrow batches -> worker stdin
+    val feederError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val feeder = new Thread(() => {
+      try {
+        val arrowWriter = ArrowWriter.create(root)
+        val out = new java.io.BufferedOutputStream(proc.getOutputStream)
+        val streamWriter = new ArrowStreamWriter(root, null, out)
+        streamWriter.start()
+        while (rows.hasNext) {
+          var n = 0
+          while (rows.hasNext && n < batchSize) { arrowWriter.write(rows.next()); n += 1 }
+          arrowWriter.finish()
+          streamWriter.writeBatch()
+          arrowWriter.reset()
+        }
+        streamWriter.end()
+        out.close()
+      } catch { case t: Throwable => feederError.set(t) }
+      finally root.close()
+    }, "graft-arrow-pipe-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val reader = new ArrowStreamReader(
+      new java.io.BufferedInputStream(proc.getInputStream), allocator)
+
+    def cleanup(): Unit = {
+      try reader.close() finally {
+        proc.destroy()
+        allocator.close()
+      }
+    }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => cleanup()))
+
+    new Iterator[InternalRow] {
+      private var current: Iterator[InternalRow] = Iterator.empty
+      private var done = false
+      override def hasNext: Boolean = {
+        while (!current.hasNext && !done) {
+          if (feederError.get() != null) throw feederError.get()
+          if (reader.loadNextBatch()) {
+            val vroot = reader.getVectorSchemaRoot
+            val cols = vroot.getFieldVectors.asScala
+              .map(v => new ArrowColumnVector(v): ColumnVector).toArray
+            val cb = new ColumnarBatch(cols, vroot.getRowCount)
+            current = cb.rowIterator().asScala.map(_.copy())
+          } else {
+            done = true
+            val exit = proc.waitFor()
+            if (exit != 0)
+              throw new RuntimeException(s"arrow pipe worker exited with $exit")
+          }
+        }
+        current.hasNext
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        current.next()
+      }
+    }
+  }
+}

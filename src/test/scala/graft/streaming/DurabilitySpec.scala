@@ -94,6 +94,38 @@ class DurabilitySpec extends AnyFunSuite {
     assert(out3.count() == 0) // accumulation restarted
   }
 
+  test("batch accumulator flushes on estimated byte size (processor/batch.rs byte limit)") {
+    // IntegerType defaultSize = 4 bytes -> 2-row batches estimate 8 bytes
+    val acc = new Processors.BatchAccumulator(minRows = Long.MaxValue, maxBytes = 12L)
+    assert(acc(Seq(1, 2).toDF("x")).count() == 0) // 8 < 12: held
+    val out = acc(Seq(3, 4).toDF("x")) // 16 >= 12: flush all pending
+    assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("batch accumulator flushes on wall-clock interval (processor/batch.rs timer)") {
+    val acc = new Processors.BatchAccumulator(
+      minRows = Long.MaxValue, maxIntervalMs = 300L)
+    assert(acc(Seq(1).toDF("x")).count() == 0) // fresh: held
+    Thread.sleep(400)
+    val out = acc(Seq(2).toDF("x")) // age exceeded at the next batch boundary
+    assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("staged batch accumulator survives restart and dedupes replayed batches") {
+    val path = java.nio.file.Files.createTempDirectory("graft_acc").toString + "/stage"
+    val acc1 = new Processors.BatchAccumulator(minRows = 3, staging = Some(path))
+    assert(acc1(Seq(1, 2).toDF("x"), batchId = 0L).count() == 0) // staged, held
+    // "restart": a fresh accumulator over the same staging path must still
+    // see batch 0's rows (the round-1 in-memory version lost them)
+    val acc2 = new Processors.BatchAccumulator(minRows = 3, staging = Some(path))
+    val out = acc2(Seq(3, 4).toDF("x"), batchId = 1L)
+    assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // replay of an already-flushed batch re-stages idempotently and emits
+    // nothing new (downstream idempotent sinks keep the original write)
+    val acc3 = new Processors.BatchAccumulator(minRows = 3, staging = Some(path))
+    assert(acc3(Seq(3, 4).toDF("x"), batchId = 1L).count() == 0)
+  }
+
   test("weighted percentile matches hand computation") {
     graft.functions.WeightedPercentile.register(spark, Seq(0.5))
     val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0), (4.0, 1.0))

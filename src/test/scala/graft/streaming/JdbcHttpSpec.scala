@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connector specs runnable inside the sandbox: the JDBC `sql` input +
+  * output against embedded Derby (reference input/sql.rs:48-73,
+  * output/sql.rs:48-158), the HTTP output (output/http.rs:36-60) against
+  * an embedded JDK HttpServer, and the kafka sink option mapping
+  * (output/kafka.rs — broker-free, like the input-side mapping spec).
+  */
+class JdbcHttpSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def derbyUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("jdbc sink + sql input round-trip (write batches, poll them back)") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE readings ("id" BIGINT, "v" VARCHAR(64), "batch_id" BIGINT)""")
+    val sink = Jdbc.JdbcSink(url, "readings")
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), batchId = 0L)
+    sink.write(Seq((3L, "c")).toDF("id", "v"), batchId = 1L)
+    val back = Jdbc.read(spark,
+      Map("url" -> url, "select_sql" -> """SELECT "id", "v" FROM readings"""))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("jdbc sink replay is idempotent per batchId (delete-before-insert)") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE t ("id" BIGINT, "batch_id" BIGINT)""")
+    val sink = Jdbc.JdbcSink(url, "t")
+    sink.write(Seq(1L, 2L).toDF("id"), batchId = 0L)
+    sink.write(Seq(3L).toDF("id"), batchId = 1L)
+    // replay batch 0 (restart between sink write and checkpoint commit)
+    sink.write(Seq(1L, 2L).toDF("id"), batchId = 0L)
+    val rows = Jdbc.read(spark,
+      Map("url" -> url, "select_sql" -> """SELECT "id" FROM t"""))
+      .as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L), s"replay must overwrite, got ${rows.toSeq}")
+  }
+
+  test("jdbc input slices into parallel range partitions (partition_column)") {
+    val url = derbyUrl()
+    Jdbc.execute(url, """CREATE TABLE big ("id" BIGINT, "batch_id" BIGINT)""")
+    Jdbc.JdbcSink(url, "big").write((1L to 100L).toDF("id"), batchId = 0L)
+    val df = Jdbc.read(spark, Map(
+      "url" -> url,
+      "select_sql" -> """SELECT "id" AS pid FROM big""",
+      "partition_column" -> "pid",
+      "lower_bound" -> "1", "upper_bound" -> "101", "num_partitions" -> "4"))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+  }
+
+  test("engine streams into the jdbc sink and the sql input polls it back") {
+    implicit val sq = spark.sqlContext
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE sensor_sums ("sensor" VARCHAR(32), "total" BIGINT, "batch_id" BIGINT)""")
+    val ms = MemoryStream[String]
+    val input = ms.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+    val q = Engine.start(input,
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT sensor, sum(value) AS total FROM flow GROUP BY sensor")),
+      Engine.sinkFromConf(ComponentConf("sql",
+        Map("url" -> url, "table" -> "sensor_sums"))))
+    ms.addData("""{"sensor": "s1", "value": 10}""", """{"sensor": "s1", "value": 5}""")
+    q.processAllAvailable(); q.stop()
+    val polled = Engine.inputFromConf(spark, ComponentConf("sql", Map(
+      "url" -> url,
+      "select_sql" -> """SELECT "sensor", "total" FROM sensor_sums""")))
+    assert(polled.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s1", 15L)))
+  }
+
+  test("jdbc temporary-lookup provider pushes the batch's keys into the source query") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE sensor_rooms ("sensor" VARCHAR(32), "room" VARCHAR(32))""",
+      """INSERT INTO sensor_rooms VALUES ('temp_1', 'room_a'), ('temp_2', 'room_b'), ('temp_9', 'room_z')""")
+    val batch = Seq(("temp_1", 10L), ("temp_2", 15L), ("temp_1", 5L)).toDF("sensor", "value")
+    val provider = Jdbc.lookupProvider(spark,
+      Map("url" -> url,
+        "select_sql" -> """SELECT "sensor" AS skey, "room" AS room FROM sensor_rooms"""),
+      batchKeyCol = "sensor", remoteKeyCol = "skey")
+    val fetched = provider(batch)
+    // only the batch's two distinct keys come back, not temp_9
+    assert(fetched.count() == 2)
+    val out = Processors.LookupSqlProcessor(
+      "SELECT f.sensor, f.value, s.room FROM flow f JOIN sensor_info s ON f.sensor = s.skey",
+      "flow", Seq(Processors.TemporaryLookup("sensor_info", provider)))(batch)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
+      Set(("temp_1", 10L, "room_a"), ("temp_1", 5L, "room_a"), ("temp_2", 15L, "room_b")))
+  }
+
+  test("http output POSTs NDJSON from executors with bearer auth (output/http.rs)") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val authed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/collect", { exchange =>
+      try {
+        if (!Option(exchange.getRequestHeaders.getFirst("Authorization"))
+          .contains("Bearer tok123")) authed.set(false)
+        received.add(new String(exchange.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        exchange.sendResponseHeaders(200, -1)
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/collect"
+      val sink = HttpOutputSink(url, bearerToken = Some("tok123"), rowsPerRequest = 2)
+      sink.write(Seq(1L, 2L, 3L, 4L, 5L).toDF("id").coalesce(1), batchId = 0L)
+      assert(authed.get(), "bearer token missing on a request")
+      val lines = received.toArray(Array.empty[String]).flatMap(_.split("\n"))
+      assert(lines.length == 5)
+      assert(lines.map(_.trim).sorted.toSeq ==
+        (1L to 5L).map(i => s"""{"id":$i}""").sorted)
+      // 5 rows at 2 rows/request from one partition = 3 POSTs
+      assert(received.size == 3, s"got ${received.size} requests")
+    } finally server.stop(0)
+  }
+
+  test("http output fails the batch on non-2xx (routes to error_output upstream)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/deny", { exchange =>
+      try exchange.sendResponseHeaders(503, -1) finally exchange.close()
+    })
+    server.start()
+    try {
+      val sink = HttpOutputSink(
+        s"http://127.0.0.1:${server.getAddress.getPort}/deny")
+      intercept[org.apache.spark.SparkException] {
+        sink.write(Seq(1L).toDF("id"), batchId = 0L)
+      }
+    } finally server.stop(0)
+  }
+
+  test("kafka sink options map the reference output config incl. EOS boundary") {
+    val opts = Engine.kafkaSinkOptions(Map(
+      "brokers" -> "b1:9092", "topic" -> "out", "acks" -> "all",
+      "compression" -> "lz4", "client_id" -> "c1",
+      "exactly_once" -> "true", "transactional_id" -> "tx-graft-1"))
+    assert(opts("kafka.bootstrap.servers") == "b1:9092")
+    assert(opts("topic") == "out")
+    assert(opts("kafka.acks") == "all")
+    assert(opts("kafka.compression.type") == "lz4")
+    assert(opts("kafka.client.id") == "c1")
+    assert(opts("kafka.transactional.id") == "tx-graft-1")
+    assert(opts("kafka.enable.idempotence") == "true")
+    // exactly_once without a stable transactional id must be rejected
+    intercept[IllegalArgumentException](
+      Engine.kafkaSinkOptions(Map("topic" -> "t", "exactly_once" -> "true")))
+    // sinkFromConf resolves the kafka kind
+    assert(Engine.sinkFromConf(ComponentConf("kafka",
+      Map("topic" -> "t"))).isInstanceOf[Engine.KafkaSink])
+  }
+}

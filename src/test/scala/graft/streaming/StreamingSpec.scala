@@ -115,6 +115,16 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Processors.RemapProcessor("nonsense ="))
   }
 
+  test("remap leaves '#', '//' and .field text inside string literals untouched") {
+    val out = Processors.RemapProcessor(
+      """.url = concat(.sensor, '//host#frag')   # only THIS is a comment
+        |.tag = 'keep .value intact'
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("url", "tag").collect().head
+    assert(r.getString(0) == "temp_1//host#frag")
+    assert(r.getString(1) == "keep .value intact")
+  }
+
   test("yaml config parses the quick-start stream shape (README.md:60-96)") {
     val conf = Config.fromYaml(
       """streams:
