@@ -112,13 +112,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  /** Candidate near-dup pairs at hamming distance <= maxDist over the
-    * 16-bit simhash via a banded equi-join: the signature splits into
-    * maxDist+1 chunks, and by pigeonhole any pair within maxDist agrees
-    * exactly on at least one chunk — so an equi-join on (chunk_idx,
-    * chunk_value) yields a candidate superset with NO cartesian product,
-    * and the exact hamming filter downstream restores precision. Linear
-    * in matching-bucket sizes instead of O(n²) all-pairs.
+  /** Near-dup pairs at hamming distance <= maxDist over the 16-bit
+    * simhash via a banded equi-join: the signature splits into maxDist+1
+    * chunks, and by pigeonhole any pair within maxDist agrees exactly on
+    * at least one chunk — so an equi-join on (chunk_idx, chunk_value)
+    * yields a candidate superset with NO cartesian product. The exact
+    * `hamming_distance` filter (codegen expression — caller must have
+    * `graft.functions.Shims.register`ed) runs BEFORE the pair-dedup
+    * shuffle, so failed candidates never shuffle and the distinct carries
+    * (doc_a, doc_b, dist) instead of full signatures. Linear in
+    * matching-bucket sizes instead of O(n²) all-pairs.
     */
   def simhashBandedPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
     val nChunks = maxDist + 1
@@ -137,7 +140,9 @@ object Dedup {
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .withColumn("dist", expr("hamming_distance(sig_a, sig_b)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
       .distinct()
   }
 

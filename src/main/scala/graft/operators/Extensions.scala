@@ -78,15 +78,12 @@ object Extensions {
       graft.functions.Shims.register(s)
       val sh = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
       Dedup.simhashBandedPairs(sh, maxDist = 2)
-        .withColumn("dist", expr("hamming_distance(sig_a, sig_b)"))
-        .filter(col("dist") <= 2)
-        .select(col("doc_a"), col("doc_b"), col("dist"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Embedding-cosine near-duplicate pairs (the vector dedup mode).
-    // Random-hyperplane LSH bucketing: 36 md5-derived sign-bits grouped
-    // into 6 bands of 6; only vectors sharing a full band signature become
+    // Random-hyperplane LSH bucketing: 40 md5-derived sign-bits grouped
+    // into 5 bands of 8; only vectors sharing a full band signature become
     // candidate pairs (equi-join on (band, sig) — no all-pairs product),
     // then the exact cosine >= 0.95 filter restores precision. The md5
     // hyperplane derivation is bit-reproducible in the DuckDB oracle, so
@@ -98,16 +95,24 @@ object Extensions {
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
         .withColumn("nrm", expr(
           "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
-      def bit(k: Int) = when(expr(
-        s"aggregate(zip_with(vd, transform(sequence(0, size(vd) - 1), " +
-          s"i -> CASE WHEN substring(md5(concat('hp${k}_', CAST(i AS STRING))), 1, 1) >= '8' " +
-          "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END), (x, y) -> x * y), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0, "1").otherwise("0")
-      val bands = (0 until 6).map(b =>
-        concat((0 until 6).map(j => bit(b * 6 + j)): _*).as(s"band$b"))
+      // hyperplane signs md5-derived ON THE DRIVER (identical values to the
+      // oracle's md5 exprs) and embedded as constant arrays: the executors
+      // run 40 plain dot products per row, zero runtime hashing.
+      def sign(k: Int, i: Int): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp${k}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) >= '8') 1.0 else -1.0
+      }
+      def bit(k: Int) = {
+        val hp = array((0 until 64).map(i => lit(sign(k, i))): _*)
+        when(aggregate(zip_with(col("vd"), hp, _ * _),
+          lit(0.0), _ + _) > 0, "1").otherwise("0")
+      }
+      val bands = (0 until 5).map(b =>
+        concat((0 until 8).map(j => bit(b * 8 + j)): _*).as(s"band$b"))
       val sig = v.select(col("vec_id") +: bands: _*)
       val stacked = sig.select(col("vec_id"), explode(map(
-        (0 until 6).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
+        (0 until 5).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
       val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
         .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
         .filter(col("va") < col("vb"))
@@ -211,9 +216,9 @@ object Extensions {
         s"CASE WHEN list_dot_product(vd, list_transform(generate_series(0, len(vd) - 1), " +
           s"i -> CASE WHEN substring(md5('hp${k}_' || i), 1, 1) >= '8' " +
           "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 THEN '1' ELSE '0' END"
-      val bandExprs = (0 until 6).map(b =>
-        (0 until 6).map(j => bit(b * 6 + j)).mkString(" || ") + s" AS band$b").mkString(",\n    ")
-      val sigCase = (0 until 6).map(b => s"WHEN $b THEN band$b").mkString(" ")
+      val bandExprs = (0 until 5).map(b =>
+        (0 until 8).map(j => bit(b * 8 + j)).mkString(" || ") + s" AS band$b").mkString(",\n    ")
+      val sigCase = (0 until 5).map(b => s"WHEN $b THEN band$b").mkString(" ")
       s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
          |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -224,7 +229,7 @@ object Extensions {
          |  FROM v
          |), stacked AS (
          |  SELECT vec_id, band, CASE band $sigCase END AS sg
-         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS band) b
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS band) b
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |  FROM stacked a JOIN stacked b
