@@ -178,9 +178,11 @@ object Engine {
         col("timestamp").as("__meta_ingest_time"))
     case "file" =>
       val fmt = c.options.getOrElse("format", "parquet")
-      val df = spark.read.format(fmt)
-        .options(c.options -- Seq("format", "path", "query"))
-        .load(c.options("path"))
+      val df =
+        if (fmt == "avro") AvroInput.read(spark, c.options("path"))
+        else spark.read.format(fmt)
+          .options(c.options -- Seq("format", "path", "query"))
+          .load(c.options("path"))
       c.options.get("query") match {
         case Some(q) =>
           df.createOrReplaceTempView(c.options.getOrElse("table_name", "flow"))

@@ -30,6 +30,42 @@ object SchemaRegistry {
       cache.getOrElseUpdate(id, { misses += 1; underlying.resolve(id) })
   }
 
+  /** REST resolver (codec/schema_registry.rs:135-200: GET
+    * `{base}/schemas/ids/{id}` with optional bearer auth). The registry
+    * answers `{"schema": "..."}`; the schema document is the proto field
+    * spec this codec's registry serves — one `idx:name:type` per line
+    * (e.g. `1:timestamp:int64`). Wrap in [[CachingResolver]] so each id
+    * is fetched once per stream, like the reference's cache.
+    */
+  final class RestResolver(baseUrl: String, bearerToken: Option[String] = None)
+      extends SchemaResolver {
+    def resolve(id: Int): Seq[ProtoField] = {
+      val conn = new java.net.URI(s"$baseUrl/schemas/ids/$id").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        bearerToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        if (conn.getResponseCode != 200)
+          throw new IllegalArgumentException(
+            s"schema registry: id $id -> HTTP ${conn.getResponseCode}")
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // JSON is a YAML subset; reuse the config parser instead of a new dep
+        val doc = new org.yaml.snakeyaml.Yaml()
+          .load[java.util.Map[String, Object]](body)
+        parseFieldSpec(doc.get("schema").toString)
+      } finally conn.disconnect()
+    }
+  }
+
+  /** `idx:name:type` lines -> proto fields. */
+  def parseFieldSpec(spec: String): Seq[ProtoField] =
+    spec.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      line.split(":") match {
+        case Array(idx, name, tpe) => ProtoField(idx.trim.toInt, name.trim, tpe.trim)
+        case _ => throw new IllegalArgumentException(s"bad field spec line: $line")
+      }
+    }.toSeq
+
   /** Frame a payload in the wire format (producer side / test fixture). */
   def frame(schemaId: Int, payload: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(5 + payload.length)
@@ -47,11 +83,14 @@ object SchemaRegistry {
       .withColumn("__magic", expr(s"CAST(conv(hex(substring(${Codecs.ValueCol}, 1, 1)), 16, 10) AS INT)"))
       .withColumn("__schema_id", expr(s"CAST(conv(hex(substring(${Codecs.ValueCol}, 2, 4)), 16, 10) AS INT)"))
       .withColumn("__payload", expr(s"substring(${Codecs.ValueCol}, 6, octet_length(${Codecs.ValueCol}) - 5)"))
-    val badMagic = withId.filter(col("__magic") =!= 0).limit(1).collect()
-    if (badMagic.nonEmpty)
+    // ONE driver job collects the (magic, id) combinations — the magic
+    // check rides along with id discovery instead of its own probe pass
+    val combos = withId.select("__magic", "__schema_id").distinct().collect()
+    combos.find(_.getInt(0) != 0).foreach { bad =>
       throw new IllegalArgumentException(
-        s"schema-registry wire format: bad magic byte ${badMagic.head.getInt(badMagic.head.fieldIndex("__magic"))}")
-    val ids = withId.select("__schema_id").distinct().collect().map(_.getInt(0)).sorted
+        s"schema-registry wire format: bad magic byte ${bad.getInt(0)}")
+    }
+    val ids = combos.map(_.getInt(1)).distinct.sorted
     val parts = ids.map { id =>
       val fields = resolver.resolve(id)
       Protobuf.register(batch.sparkSession, s"sr_$id", fields)
