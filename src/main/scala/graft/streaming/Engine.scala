@@ -117,6 +117,11 @@ object Engine {
     case "http" => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
       c.options.getOrElse("rows_per_request", "1000").toInt)
     case "kafka" => KafkaSink(c.options)
+    case "influxdb" => Influx.InfluxSink(c.options)
+    case "redis" => Redis.RedisSink(c.options("host"),
+      c.options.getOrElse("port", "6379").toInt,
+      c.options.getOrElse("mode", "set"),
+      c.options("key_expr"), c.options("value_expr"))
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
@@ -201,6 +206,9 @@ object Engine {
     case "sql" =>
       // input/sql.rs:48-73 — one poll of select_sql, EOF semantics.
       Jdbc.read(spark, c.options)
+    case "redis" =>
+      // input/redis.rs poll modes — one poll, EOF semantics.
+      Redis.read(spark, c.options)
     case other => throw new IllegalArgumentException(s"unknown input: $other")
   }
 

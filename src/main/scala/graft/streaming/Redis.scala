@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal RESP2 redis client + the three redis components (SURVEY.md
+  * §2.1/§2.2/§2.6; reference input/redis.rs:39-83 poll list/string,
+  * output/redis.rs:32-45 set/lpush/publish, plugin/temporary/redis.rs —
+  * the reference's ONLY temporary-lookup implementation). No redis client
+  * jar ships here, and the wire protocol is ~a page of spec — so this is
+  * a from-scratch RESP codec over a plain socket, protocol-complete for
+  * the five reply types, verified against an in-memory RESP server in
+  * RedisSpec.
+  *
+  * Distribution shape: the OUTPUT writes from executors (one pipelined
+  * connection per partition). The lookup + poll input run on the driver
+  * edge exactly like the reference's single connection — their volume is
+  * key-bounded by construction.
+  */
+object Redis {
+
+  /** One RESP2 connection. Not thread-safe (one per task/driver loop). */
+  final class Conn(host: String, port: Int) extends AutoCloseable {
+    private val socket = new java.net.Socket(host, port)
+    private val out = new BufferedOutputStream(socket.getOutputStream)
+    private val in = new BufferedInputStream(socket.getInputStream)
+
+    def command(args: String*): Any = {
+      val sb = new StringBuilder(s"*${args.size}\r\n")
+      args.foreach { a =>
+        val bytes = a.getBytes(StandardCharsets.UTF_8)
+        sb.append(s"$$${bytes.length}\r\n").append(a).append("\r\n")
+      }
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      readReply()
+    }
+
+    private def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      in.read() // \n
+      sb.toString
+    }
+
+    private def readReply(): Any = in.read() match {
+      case '+' => readLine()
+      case '-' => throw new RuntimeException(s"redis error: ${readLine()}")
+      case ':' => readLine().toLong
+      case '$' =>
+        val n = readLine().toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) off += in.read(buf, off, n - off)
+          in.read(); in.read() // trailing \r\n
+          new String(buf, StandardCharsets.UTF_8)
+        }
+      case '*' =>
+        val n = readLine().toInt
+        if (n < 0) null else Seq.fill(n)(readReply())
+      case other => throw new RuntimeException(s"redis: bad reply type byte $other")
+    }
+
+    def close(): Unit = socket.close()
+  }
+
+  /** redis output (output/redis.rs): `mode` = set | lpush | publish; the
+    * key/channel is an expression over the row, the value a column.
+    * Executor-side: one connection per partition, commands pipelined by
+    * the socket buffer. Replays overwrite under `set` (idempotent);
+    * lpush/publish are at-least-once, like the reference. */
+  final case class RedisSink(host: String, port: Int, mode: String,
+      keyExpr: String, valueExpr: String) extends Engine.BatchSink {
+    private val cmd = mode match {
+      case "set" => "SET"
+      case "lpush" => "LPUSH"
+      case "publish" => "PUBLISH"
+      case other => throw new IllegalArgumentException(s"redis output mode: $other")
+    }
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (h, p, c) = (host, port, cmd)
+      batch.selectExpr(s"CAST(($keyExpr) AS STRING) AS k",
+          s"CAST(($valueExpr) AS STRING) AS v")
+        .foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.nonEmpty) {
+            val conn = new Conn(h, p)
+            try rows.foreach(r => conn.command(c, r.getString(0), r.getString(1)))
+            finally conn.close()
+          }
+        }
+    }
+  }
+
+  /** Temporary lookup (plugin/temporary/redis.rs): the batch's distinct
+    * keys (bounded) fetch via one MGET; the (key, value) result joins in
+    * broadcast through [[Processors.LookupSqlProcessor]]. */
+  def lookupProvider(spark: SparkSession, host: String, port: Int,
+      batchKeyCol: String, maxKeys: Int = 10000): DataFrame => DataFrame = { batch =>
+    import spark.implicits._
+    val keys = batch.select(col(batchKeyCol).cast("string")).distinct()
+      .limit(maxKeys).as[String].collect().toSeq
+    val values =
+      if (keys.isEmpty) Seq.empty[(String, String)]
+      else {
+        val conn = new Conn(host, port)
+        try {
+          val replies = conn.command("MGET" +: keys: _*).asInstanceOf[Seq[Any]]
+          keys.zip(replies).collect { case (k, v: String) => (k, v) }
+        } finally conn.close()
+      }
+    values.toDF("key", "value")
+  }
+
+  /** redis input (input/redis.rs poll modes): drain a list via LPOP or
+    * read one string key — one poll, EOF semantics, envelope shape. */
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val conn = new Conn(options("host"), options.getOrElse("port", "6379").toInt)
+    try {
+      val values = options.getOrElse("mode", "list") match {
+        case "list" =>
+          val key = options("key")
+          val max = options.getOrElse("max_messages", "10000").toInt
+          Iterator.continually(conn.command("LPOP", key))
+            .takeWhile(_ != null).take(max).map(_.asInstanceOf[String]).toSeq
+        case "string" =>
+          Option(conn.command("GET", options("key"))).map(_.asInstanceOf[String]).toSeq
+        case other => throw new IllegalArgumentException(s"redis input mode: $other")
+      }
+      values.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol))
+    } finally conn.close()
+  }
+}

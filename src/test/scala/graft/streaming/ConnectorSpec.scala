@@ -1,0 +1,236 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 connector coverage on in-sandbox endpoints: influxdb line
+  * protocol + write API (embedded HTTP server), websocket client input
+  * (hand-rolled RFC6455 test server), and the redis trio over a
+  * from-scratch in-memory RESP server.
+  */
+class ConnectorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- influxdb ----
+
+  test("influx line protocol escapes measurements, tags and string fields") {
+    val df = Seq(("us west", "q=1", 42L, 1.5, "say \"hi\"", 1625000000000000000L))
+      .toDF("region", "oddtag", "count", "temp", "note", "ts")
+    val line = Influx.lineProtocol(df, "cpu load", Seq("region", "oddtag"),
+      Seq("count", "temp", "note"), Some("ts")).as[String].collect().head
+    assert(line ==
+      "cpu\\ load,region=us\\ west,oddtag=q\\=1 " +
+        "count=42i,temp=1.5,note=\"say \\\"hi\\\"\" 1625000000000000000")
+  }
+
+  test("influx sink POSTs line protocol to /api/v2/write with token auth") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val auth = new java.util.concurrent.atomic.AtomicReference[String]()
+    val query = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/write", { ex =>
+      try {
+        auth.set(ex.getRequestHeaders.getFirst("Authorization"))
+        query.set(ex.getRequestURI.getQuery)
+        received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(204, -1)
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val sink = Influx.InfluxSink(Map(
+        "url" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+        "org" -> "graft", "bucket" -> "b1", "token" -> "tok-42",
+        "measurement" -> "sensors", "tags" -> "sensor",
+        "fields" -> "value", "time_col" -> "ts"))
+      sink.write(Seq(("temp_1", 10.5, 111L), ("temp_2", 0.5, 222L))
+        .toDF("sensor", "value", "ts").coalesce(1), batchId = 0L)
+      assert(auth.get() == "Token tok-42")
+      assert(query.get().contains("org=graft") && query.get().contains("bucket=b1"))
+      val lines = received.toArray(Array.empty[String]).flatMap(_.split("\n")).sorted
+      assert(lines.toSeq == Seq(
+        "sensors,sensor=temp_1 value=10.5 111",
+        "sensors,sensor=temp_2 value=0.5 222"))
+    } finally server.stop(0)
+  }
+
+  // ---- websocket ----
+
+  /** Single-connection RFC6455 server: HTTP upgrade handshake, then
+    * server->client unmasked text frames. */
+  private def wsServer(messages: Seq[String]): (Int, Thread) = {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      val s = server.accept()
+      try {
+        val in = new BufferedInputStream(s.getInputStream)
+        val out = new BufferedOutputStream(s.getOutputStream)
+        // read handshake headers
+        val req = new StringBuilder
+        var prev = 0
+        while (!req.endsWith("\r\n\r\n")) { prev = in.read(); req.append(prev.toChar) }
+        val key = req.toString.linesIterator
+          .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+          .get.split(":", 2)(1).trim
+        val accept = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("SHA-1").digest(
+            (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.UTF_8)))
+        out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+          s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n")
+          .getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        messages.foreach { m =>
+          val payload = m.getBytes(StandardCharsets.UTF_8)
+          out.write(0x81) // FIN + text opcode
+          if (payload.length < 126) out.write(payload.length)
+          else { out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xff) }
+          out.write(payload)
+          out.flush()
+        }
+        out.write(0x88); out.write(0x00); out.flush() // close frame
+        Thread.sleep(500) // let the client read before the socket dies
+      } finally { s.close(); server.close() }
+    }, "graft-ws-test-server")
+    t.setDaemon(true); t.start()
+    (server.getLocalPort, t)
+  }
+
+  test("websocket input streams server frames into the engine (input/websocket.rs)") {
+    val msgs = Seq(
+      """{"sensor": "w1", "value": 1}""",
+      """{"sensor": "w2", "value": 2}""")
+    val (port, _) = wsServer(msgs)
+    val ws = new WebSocketInput(spark, s"ws://127.0.0.1:$port/stream")
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!ws.isClosed && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ws.isClosed, "server close frame never arrived")
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ws.toDF,
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT sensor, value FROM flow")),
+      sink)
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("w1", 1L), ("w2", 2L)))
+  }
+
+  // ---- redis ----
+
+  /** In-memory RESP2 server: SET/GET/MGET/LPUSH/LPOP/PUBLISH. */
+  private final class FakeRedis {
+    val strings = new scala.collection.concurrent.TrieMap[String, String]()
+    val lists = new scala.collection.concurrent.TrieMap[String, scala.collection.mutable.ListBuffer[String]]()
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    private val server = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port: Int = server.getLocalPort
+    @volatile private var running = true
+
+    private def handle(s: java.net.Socket): Unit = {
+      val in = new BufferedInputStream(s.getInputStream)
+      val out = new BufferedOutputStream(s.getOutputStream)
+      def line(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        if (c == -1) throw new java.io.EOFException
+        while (c != '\r') { sb.append(c.toChar); c = in.read() }
+        in.read(); sb.toString
+      }
+      def reply(str: String): Unit = { out.write(str.getBytes(StandardCharsets.UTF_8)); out.flush() }
+      def bulk(v: String): String = if (v == null) "$-1\r\n" else s"$$${v.getBytes(StandardCharsets.UTF_8).length}\r\n$v\r\n"
+      try while (true) {
+        val first = line()
+        val nArgs = first.stripPrefix("*").toInt
+        val args = (0 until nArgs).map { _ => line(); line() }
+        args.head.toUpperCase match {
+          case "SET" => strings.put(args(1), args(2)); reply("+OK\r\n")
+          case "GET" => reply(bulk(strings.get(args(1)).orNull))
+          case "MGET" => reply(s"*${args.size - 1}\r\n" +
+            args.tail.map(k => bulk(strings.get(k).orNull)).mkString)
+          case "LPUSH" =>
+            val l = lists.getOrElseUpdate(args(1), scala.collection.mutable.ListBuffer())
+            l.synchronized { args.drop(2).foreach(_ +=: l) }
+            reply(s":${l.size}\r\n")
+          case "LPOP" =>
+            val l = lists.getOrElse(args(1), scala.collection.mutable.ListBuffer())
+            val v = l.synchronized { if (l.isEmpty) null else l.remove(0) }
+            reply(bulk(v))
+          case "PUBLISH" => published.add((args(1), args(2))); reply(":0\r\n")
+          case other => reply(s"-ERR unknown command '$other'\r\n")
+        }
+      } catch { case _: java.io.EOFException | _: java.net.SocketException => () }
+      finally s.close()
+    }
+
+    private val acceptor = new Thread(() => {
+      try while (running) {
+        val s = server.accept()
+        val t = new Thread(() => handle(s)); t.setDaemon(true); t.start()
+      } catch { case _: java.net.SocketException => () }
+    }, "graft-fake-redis")
+    acceptor.setDaemon(true); acceptor.start()
+
+    def stop(): Unit = { running = false; server.close() }
+  }
+
+  test("redis sink writes SET per row from executors; replay is idempotent (output/redis.rs)") {
+    val redis = new FakeRedis
+    try {
+      val sink = Redis.RedisSink("127.0.0.1", redis.port, "set",
+        "concat('sensor:', sensor)", "value")
+      val batch = Seq(("t1", 10L), ("t2", 20L)).toDF("sensor", "value")
+      sink.write(batch, 0L)
+      sink.write(batch, 0L) // replay overwrites the same keys
+      assert(redis.strings.toMap ==
+        Map("sensor:t1" -> "10", "sensor:t2" -> "20"))
+    } finally redis.stop()
+  }
+
+  test("redis temporary lookup MGETs the batch's keys and joins (plugin/temporary/redis.rs)") {
+    val redis = new FakeRedis
+    try {
+      redis.strings ++= Map("temp_1" -> "room_a", "temp_2" -> "room_b", "temp_9" -> "room_z")
+      val batch = Seq(("temp_1", 5L), ("temp_2", 7L)).toDF("sensor", "value")
+      val provider = Redis.lookupProvider(spark, "127.0.0.1", redis.port, "sensor")
+      val out = Processors.LookupSqlProcessor(
+        "SELECT f.sensor, f.value, r.value AS room FROM flow f JOIN rooms r ON f.sensor = r.key",
+        "flow", Seq(Processors.TemporaryLookup("rooms", provider)))(batch)
+      assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
+        Set(("temp_1", 5L, "room_a"), ("temp_2", 7L, "room_b")))
+    } finally redis.stop()
+  }
+
+  test("redis input drains a list with EOF semantics (input/redis.rs)") {
+    val redis = new FakeRedis
+    try {
+      val seed = new Redis.Conn("127.0.0.1", redis.port)
+      try Seq("""{"v": 3}""", """{"v": 2}""", """{"v": 1}""")
+        .foreach(m => seed.command("LPUSH", "q", m))
+      finally seed.close()
+      val df = Engine.inputFromConf(spark, ComponentConf("redis", Map(
+        "host" -> "127.0.0.1", "port" -> redis.port.toString,
+        "mode" -> "list", "key" -> "q")))
+      val out = Processors.JsonToArrow()(df)
+      assert(out.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // drained: a second poll yields an empty batch
+      assert(Redis.read(spark, Map("host" -> "127.0.0.1",
+        "port" -> redis.port.toString, "mode" -> "list", "key" -> "q")).count() == 0)
+    } finally redis.stop()
+  }
+
+  test("redis publish mode sends one message per row") {
+    val redis = new FakeRedis
+    try {
+      Redis.RedisSink("127.0.0.1", redis.port, "publish", "'events'", "sensor")
+        .write(Seq("a", "b").toDF("sensor"), 0L)
+      assert(redis.published.toArray(Array.empty[(String, String)]).toSet ==
+        Set(("events", "a"), ("events", "b")))
+    } finally redis.stop()
+  }
+}
