@@ -122,6 +122,12 @@ object Engine {
       c.options.getOrElse("port", "6379").toInt,
       c.options.getOrElse("mode", "set"),
       c.options("key_expr"), c.options("value_expr"))
+    case "nats" => Nats.NatsSink(c.options("host"),
+      c.options.getOrElse("port", "4222").toInt,
+      c.options("subject_expr"), c.options("value_expr"))
+    case "mqtt" => Mqtt.MqttSink(c.options("host"),
+      c.options.getOrElse("port", "1883").toInt,
+      c.options("topic_expr"), c.options("value_expr"))
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
@@ -209,6 +215,9 @@ object Engine {
     case "redis" =>
       // input/redis.rs poll modes — one poll, EOF semantics.
       Redis.read(spark, c.options)
+    case "modbus" =>
+      // input/modbus.rs — one register poll, columns per point.
+      Modbus.read(spark, c.options)
     case other => throw new IllegalArgumentException(s"unknown input: $other")
   }
 
