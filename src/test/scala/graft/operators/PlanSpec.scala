@@ -54,6 +54,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "all-pairs product crept back in")
   }
 
+  test("q51/q53: LSH banding and the DF-capped jaccard index stay equi-join only") {
+    for (q <- Seq("q51_minhash_lsh", "q53_jaccard_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q grew a nested-loop product")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+    }
+  }
+
   test("q66: as-of join runs the custom AsOfJoinExec, not a range-join expansion") {
     val p = plan("q66_asof_join")
     assert(p.contains("AsOfJoin"), p.linesIterator.take(8).mkString("\n"))

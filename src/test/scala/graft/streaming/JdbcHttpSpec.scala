@@ -147,6 +147,29 @@ class JdbcHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("yaml config drives file input -> sql processor -> jdbc output end-to-end") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE nation_counts ("n_regionkey" BIGINT, "n" BIGINT, "batch_id" BIGINT)""")
+    val conf = Config.fromYaml(
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: /root/testdata/sf0.001/nation.parquet
+         |      query: "SELECT n_regionkey, count(*) AS n FROM flow GROUP BY n_regionkey"
+         |    output:
+         |      type: sql
+         |      url: "$url"
+         |      table: nation_counts
+         |""".stripMargin)
+    Engine.run(spark, conf)
+    val back = Jdbc.read(spark, Map("url" -> url,
+      "select_sql" -> """SELECT "n_regionkey", "n" FROM nation_counts"""))
+    assert(back.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
+  }
+
   test("kafka sink options map the reference output config incl. EOS boundary") {
     val opts = Engine.kafkaSinkOptions(Map(
       "brokers" -> "b1:9092", "topic" -> "out", "acks" -> "all",

@@ -214,6 +214,31 @@ class StreamingSpec extends AnyFunSuite {
       Set((1, "a"), (2, "b")))
   }
 
+  test("stateful windows run on the RocksDB state store (the 100TB state path)") {
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Windows.Keyed]
+      val out = Windows.countSlidingWindow(ms.toDS(), windowSize = 3, slideSize = 2)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("rocks_out").start()
+      ms.addData((1 to 7).map(i => Windows.Keyed("k", i.toDouble)): _*)
+      q.processAllAvailable(); q.stop()
+      val windows = spark.table("rocks_out").as[Windows.SlideOut]
+        .collect().map(_.window.toList).toList
+      assert(windows == List(List(1.0, 2.0, 3.0), List(3.0, 4.0, 5.0), List(5.0, 6.0, 7.0)),
+        "RocksDB-backed run must produce the same windows as the default store")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("count-based sliding window emits overlapping windows (sliding_window.rs:41-50)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Windows.Keyed]
