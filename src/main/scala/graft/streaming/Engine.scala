@@ -128,6 +128,7 @@ object Engine {
     case "mqtt" => Mqtt.MqttSink(c.options("host"),
       c.options.getOrElse("port", "1883").toInt,
       c.options("topic_expr"), c.options("value_expr"))
+    case "mongodb" => Mongo.MongoSink(c.options)
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 

@@ -225,6 +225,83 @@ class BrokerSpec extends AnyFunSuite {
     def stop(): Unit = server.close()
   }
 
+  // ---- fake MongoDB (OP_MSG) ----
+  private final class FakeMongo {
+    val inserted = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Any)]]()
+    private val server = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port: Int = server.getLocalPort
+    private val acceptor = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        val t = new Thread(() => {
+          val in = new BufferedInputStream(s.getInputStream)
+          val out = new BufferedOutputStream(s.getOutputStream)
+          def readN(n: Int): Array[Byte] = {
+            val buf = new Array[Byte](n)
+            var off = 0
+            while (off < n) {
+              val r = in.read(buf, off, n - off)
+              if (r < 0) throw new java.io.EOFException
+              off += r
+            }
+            buf
+          }
+          try while (true) {
+            val header = readN(16)
+            val bb = java.nio.ByteBuffer.wrap(header).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val totalLen = bb.getInt
+            val requestId = bb.getInt
+            val rest = readN(totalLen - 16)
+            val cmd = Mongo.decodeDoc(java.util.Arrays.copyOfRange(rest, 5, rest.length))
+            val docs = cmd.find(_._1 == "documents").map(_._2)
+              .getOrElse(Seq.empty).asInstanceOf[Seq[Any]]
+            docs.foreach(d => inserted.add(d.asInstanceOf[Seq[(String, Any)]]))
+            val replyBody = java.nio.ByteBuffer.allocate(5)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0).put(0.toByte).array() ++
+              Mongo.encodeDoc(Seq("n" -> docs.size, "ok" -> 1.0))
+            val replyHeader = java.nio.ByteBuffer.allocate(16)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putInt(16 + replyBody.length).putInt(1).putInt(requestId).putInt(2013)
+              .array()
+            out.write(replyHeader ++ replyBody)
+            out.flush()
+          } catch { case _: java.io.EOFException | _: java.net.SocketException => () }
+          finally s.close()
+        })
+        t.setDaemon(true); t.start()
+      } catch { case _: java.net.SocketException => () }
+    }, "fake-mongo")
+    acceptor.setDaemon(true); acceptor.start()
+    def stop(): Unit = server.close()
+  }
+
+  test("mongodb sink inserts documents over OP_MSG (output/mongodb.rs)") {
+    val mongo = new FakeMongo
+    try {
+      val sink = Engine.sinkFromConf(ComponentConf("mongodb", Map(
+        "host" -> "127.0.0.1", "port" -> mongo.port.toString,
+        "db" -> "graft", "collection" -> "readings", "batch_size" -> "2")))
+      sink.write(Seq(("t1", 10L, 1.5), ("t2", 20L, 2.5), ("t3", 30L, 3.5))
+        .toDF("sensor", "count", "value").coalesce(1), batchId = 0L)
+      val docs = mongo.inserted.toArray(Array.empty[Seq[(String, Any)]])
+        .map(_.toMap).sortBy(_("sensor").toString)
+      assert(docs.length == 3)
+      assert(docs(0) == Map("sensor" -> "t1", "count" -> 10L, "value" -> 1.5))
+      assert(docs(2)("count") == 30L)
+    } finally mongo.stop()
+  }
+
+  test("bson codec round-trips flat and nested documents") {
+    val doc = Seq("a" -> 1.5, "b" -> "hi", "c" -> true, "d" -> 42, "e" -> 7L,
+      "f" -> null, "sub" -> Seq("x" -> 1), "arr" -> Seq("p", "q"))
+    val decoded = Mongo.decodeDoc(Mongo.encodeDoc(doc)).toMap
+    assert(decoded("a") == 1.5 && decoded("b") == "hi" && decoded("c") == true)
+    assert(decoded("d") == 42 && decoded("e") == 7L && decoded("f") == null)
+    assert(decoded("sub") == Seq("x" -> 1))
+    assert(decoded("arr") == Seq("p", "q"))
+  }
+
   test("modbus input polls holding registers into columns per point (input/modbus.rs)") {
     val device = new FakeModbus(Map(100 -> 1234, 101 -> 5678, 200 -> 42))
     try {
