@@ -35,6 +35,35 @@ class PythonPipeSpec extends AnyFunSuite {
       Set((1L, 3L), (2L, 2L)))
   }
 
+  test("multimodal decode runs in the python worker over binary payloads") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    // the brief's mapInPandas-shaped multimodal contract: opaque binary
+    // column in, per-batch python feature extraction out (decode body is
+    // the deterministic stand-in — no image libs in this container; a real
+    // codec slots into the same transform unchanged)
+    val media = graft.operators.Multimodal.fakeMediaTable(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    val out = Processors.PythonProcessor(
+      """    import pyarrow as pa
+        |    import hashlib
+        |    payloads = [p.as_py() for p in batch.column('payload')]
+        |    return pa.RecordBatch.from_arrays([
+        |        batch.column('doc_id'),
+        |        pa.array([len(p) for p in payloads], type=pa.int64()),
+        |        pa.array([hashlib.md5(p).hexdigest() for p in payloads]),
+        |    ], names=['doc_id', 'n_bytes', 'digest'])""".stripMargin,
+      "doc_id BIGINT, n_bytes BIGINT, digest STRING")(media)
+    // must agree with the columnar q65 formulation on the same rows
+    val expected = graft.SparkEntry.queries("q65_multimodal_meta")(
+      spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("doc_id") <
+        media.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) + 1)
+      .select("doc_id", "n_bytes", "digest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      == expected)
+  }
+
   test("empty partitions skip the worker entirely") {
     assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
     val out = Processors.PythonProcessor(
