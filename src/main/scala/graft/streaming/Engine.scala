@@ -235,21 +235,23 @@ object Engine {
 
   /** Run every stream of a parsed config. Memory-input streams are not
     * config-expressible (they need a programmatic handle) — use start(). */
+  /** memory buffer capacity/timeout (buffer/memory.rs:40-46,108-150):
+    * hold rows until `capacity` are pending or `timeout_ms` elapsed, then
+    * release as one batch — an accumulator ahead of the pipeline. */
+  def bufferProcessors(buffer: Option[ComponentConf]): Seq[Processors.BatchTransform] =
+    buffer.toSeq
+      .filter(b => b.kind == "memory" &&
+        (b.options.contains("capacity") || b.options.contains("timeout_ms")))
+      .map(b => new Processors.BatchAccumulator(
+        b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
+        Long.MaxValue,
+        b.options.get("timeout_ms").map(_.toLong).getOrElse(Long.MaxValue),
+        b.options.get("staging")))
+
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     conf.streams.flatMap { s =>
       val in = inputFromConf(spark, s.input)
-      // memory buffer capacity/timeout (buffer/memory.rs:40-46,108-150):
-      // hold rows until `capacity` are pending or `timeout_ms` elapsed,
-      // then release as one batch — an accumulator ahead of the pipeline.
-      val bufferProcs: Seq[Processors.BatchTransform] = s.buffer.toSeq
-        .filter(b => b.kind == "memory" &&
-          (b.options.contains("capacity") || b.options.contains("timeout_ms")))
-        .map(b => new Processors.BatchAccumulator(
-          b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
-          Long.MaxValue,
-          b.options.get("timeout_ms").map(_.toLong).getOrElse(Long.MaxValue),
-          b.options.get("staging")))
-      val procs = bufferProcs ++ Processors.fromConf(s.processors)
+      val procs = bufferProcessors(s.buffer) ++ Processors.fromConf(s.processors)
       val sink = sinkFromConf(s.output)
       val err = s.errorOutput.map(sinkFromConf)
       if (in.isStreaming)

@@ -303,6 +303,7 @@ object Processors {
         JsonToArrow(c.options.get("fields_to_include").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
       case "arrow_to_json" => ArrowToJson
+      case "debezium_json" => (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)
       case "batch" =>
         // flush thresholds present -> the cross-batch accumulator
         // (processor/batch.rs); otherwise plain partition compaction.

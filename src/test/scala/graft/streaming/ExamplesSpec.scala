@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every example config parses and resolves against the component
+  * registries — the "a reference user could switch" config surface,
+  * checked file by file. (Inputs that dial endpoints at read time are
+  * resolution-checked via their registry case, not connected.)
+  */
+class ExamplesSpec extends AnyFunSuite {
+
+  private val exampleDir = new java.io.File("examples")
+  private val inputKindsNeedingEndpoint = Set("sql", "redis", "modbus")
+
+  test("all example configs parse and their components resolve") {
+    val files = exampleDir.listFiles().filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
+    assert(files.nonEmpty, "no example configs found")
+    files.foreach { f =>
+      val conf = Config.fromYaml(
+        new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      assert(conf.streams.nonEmpty, s"${f.getName}: empty streams")
+      conf.streams.foreach { s =>
+        // processors + buffer + sinks must all build from the registries
+        val procs = Processors.fromConf(s.processors)
+        assert(procs.size == s.processors.size, s"${f.getName}: processor resolution")
+        Engine.bufferProcessors(s.buffer)
+        val sink = Engine.sinkFromConf(s.output)
+        assert(sink != null)
+        s.errorOutput.foreach(e => assert(Engine.sinkFromConf(e) != null))
+        // inputs: endpoint-dialing kinds are covered by their own specs;
+        // everything else must at least be a known registry kind
+        assert(
+          inputKindsNeedingEndpoint.contains(s.input.kind) ||
+            Seq("generate", "file", "kafka").contains(s.input.kind),
+          s"${f.getName}: unknown input kind ${s.input.kind}")
+      }
+    }
+  }
+
+  test("buffer config with capacity resolves to a batch accumulator") {
+    val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
+      Map("capacity" -> "5", "timeout_ms" -> "1000"))))
+    assert(procs.size == 1 && procs.head.isInstanceOf[Processors.BatchAccumulator])
+    // pacing-only buffer (interval) adds no accumulator
+    assert(Engine.bufferProcessors(Some(ComponentConf("memory",
+      Map("interval" -> "5 seconds")))).isEmpty)
+    assert(Engine.bufferProcessors(None).isEmpty)
+  }
+}
