@@ -69,7 +69,26 @@ object Multimodal {
             .cast("long").as("height"),
           (octet_length(col("payload")) % 10).cast("long").as("n_frames"),
           md5(col("payload")).as("digest"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Frame sampling (the brief's video-style op over the opaque payload):
+    // fixed-size frames, every 2nd frame up to 16, each fingerprinted.
+    // Pure explode + substring + hash — codegen, zero shuffle, scales
+    // with the scan like the rest of the media ops. The byte-level codec
+    // stays the documented stub; the sampling/distribution plumbing is
+    // the real contract.
+    "q68_frame_sample" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT doc_id, frame_idx,
+          |  CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS frame_len,
+          |  md5(CAST(substring(text, frame_idx * 64 + 1, 64) AS BINARY)) AS frame_digest
+          |FROM (
+          |  SELECT doc_id, text,
+          |    explode(sequence(0, CAST(least((n_chars - 1) DIV 64, 15) AS INT), 2)) AS frame_idx
+          |  FROM documents)
+          |ORDER BY doc_id, frame_idx""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -83,6 +102,18 @@ object Multimodal {
         |  CAST(octet_length(CAST(text AS BLOB)) % 10 AS BIGINT) AS n_frames,
         |  md5(text) AS digest
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // payload is utf-8 text bytes, so text substrings == byte frames and
+    // DuckDB's VARCHAR md5 matches Spark's md5-over-binary.
+    "q68_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        |  CAST(length(substring(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS frame_len,
+        |  md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_digest
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, least((n_chars - 1) // 64, 15), 2)) AS frame_idx
+        |  FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
