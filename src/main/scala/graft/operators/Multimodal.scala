@@ -88,6 +88,20 @@ object Multimodal {
           |    explode(sequence(0, CAST(least((n_chars - 1) DIV 64, 15) AS INT), 2)) AS frame_idx
           |  FROM documents)
           |ORDER BY doc_id, frame_idx""".stripMargin)
+    }),
+
+    // Resize to a fixed-size "thumbnail": crop-or-pad the payload to 128
+    // units and fingerprint the result — the deterministic stand-in for
+    // a pixel resize, same crop/pad contract, pure codegen row ops.
+    "q69_resize" -> ((s, dir) => {
+      Tables.register(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(length(rpad(substring(text, 1, 128), 128, '.')) AS BIGINT) AS thumb_len,
+          |  CAST(least(n_chars, 128) AS BIGINT) AS kept_len,
+          |  md5(CAST(rpad(substring(text, 1, 128), 128, '.') AS BINARY)) AS thumb_digest
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -114,6 +128,14 @@ object Multimodal {
         |  SELECT doc_id, text,
         |    unnest(generate_series(0, least((n_chars - 1) // 64, 15), 2)) AS frame_idx
         |  FROM documents) t
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q69_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(rpad(substring(text, 1, 128), 128, '.')) AS BIGINT) AS thumb_len,
+        |  CAST(least(n_chars, 128) AS BIGINT) AS kept_len,
+        |  md5(rpad(substring(text, 1, 128), 128, '.')) AS thumb_digest
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }
