@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotQC =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  // codegen'd primitive loop (graft.functions.DotProduct) — same
+  // element-order summation as the aggregate(zip_with(...)) fold and the
+  // DuckDB list_dot_product oracle, without the per-pair array alloc.
+  private val dotQC = "dot_product(qv, cv)"
 
   /** vectors with double-cast embedding and L2 norm. */
-  private def prepared(emb: DataFrame): DataFrame =
+  private def prepared(emb: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(vd, vd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
+      .withColumn("nrm", expr("sqrt(dot_product(vd, vd))"))
+  }
 
   /** Exact top-k cosine neighbors for every vec_id < nQueries. */
   def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -93,11 +96,11 @@ object Similarity {
       .toDF("vec_id", "features")
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(vecs)
+    graft.functions.DotProduct.register(spark)
     val cents = model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
       .toDF("centroid_id", "qv")
-      .withColumn("qn", expr(
-        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"))
+      .withColumn("qn", expr("sqrt(dot_product(qv, qv))"))
     val cand = prepared(emb)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
     val assignScored = cand.crossJoin(broadcast(cents))

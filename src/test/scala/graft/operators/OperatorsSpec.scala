@@ -45,6 +45,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_product codegen expression: fold parity, null, length mismatch") {
+    graft.functions.DotProduct.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       dot_product(array(1.0D), CAST(NULL AS ARRAY<DOUBLE>)) AS n,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D)) AS shorter,
+        |       aggregate(zip_with(array(0.1D, 0.2D, 0.3D), array(0.4D, 0.5D, 0.6D),
+        |         (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS fold,
+        |       dot_product(array(0.1D, 0.2D, 0.3D), array(0.4D, 0.5D, 0.6D)) AS fast
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == r.getDouble(4), "must be bit-identical to the sequential fold")
+  }
+
   test("kmeans IVF with all cells probed is exactly brute force; partial probes recall") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
