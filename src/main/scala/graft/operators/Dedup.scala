@@ -138,12 +138,22 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = stacked.select(col("chunk"), col("cval"),
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    // a pair agreeing on several chunks would join once per chunk; emit it
+    // only from its FIRST agreeing chunk (both signatures are in hand, so
+    // "no earlier chunk agrees" is a row-local predicate) — every pair
+    // qualifies exactly once and the distinct-shuffle disappears.
+    val firstAgreeingChunk = (0 until nChunks).map { c =>
+      (0 until c).map { e =>
+        val (est, eln) = chunks(e)
+        substring(col("sig_a"), est, eln) =!= substring(col("sig_b"), est, eln)
+      }.foldLeft(col("chunk") === c)(_ && _)
+    }.reduce(_ || _)
     a.join(b, Seq("chunk", "cval"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(firstAgreeingChunk)
       .withColumn("dist", expr("hamming_distance(sig_a, sig_b)"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-      .distinct()
   }
 
   // ---- driver-checked query entries ----
