@@ -219,6 +219,10 @@ object Engine {
     case "modbus" =>
       // input/modbus.rs — one register poll, columns per point.
       Modbus.read(spark, c.options)
+    case "http" =>
+      // input/http.rs client mode — one endpoint poll, EOF semantics
+      // (server mode is the programmatic HttpInput class).
+      HttpPoll.read(spark, c.options)
     case other => throw new IllegalArgumentException(s"unknown input: $other")
   }
 

@@ -14,6 +14,35 @@ import org.apache.spark.sql.functions._
   * driver-side queue is the ingestion edge (like the reference's bounded
   * channel); downstream processing is fully distributed.
   */
+/** HTTP input, client mode (reference input/http.rs:225-233: poll a
+  * remote endpoint with `method` on an `interval`). One poll = one GET →
+  * envelope rows, EOF semantics; the engine trigger drives repetition.
+  * `split_lines=true` turns an NDJSON body into one row per line.
+  */
+object HttpPoll {
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val conn = new java.net.URI(options("url")).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    val body =
+      try {
+        conn.setRequestMethod(options.getOrElse("method", "GET"))
+        options.get("bearer_token").foreach(t =>
+          conn.setRequestProperty("Authorization", s"Bearer $t"))
+        if (conn.getResponseCode < 200 || conn.getResponseCode >= 300)
+          throw new java.io.IOException(
+            s"http input: ${options("url")} returned ${conn.getResponseCode}")
+        new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally conn.disconnect()
+    val messages =
+      if (options.get("split_lines").contains("true"))
+        body.linesIterator.filter(_.nonEmpty).toSeq
+      else Seq(body)
+    messages.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol))
+  }
+}
+
 final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
                       bearerToken: Option[String] = None) {
   import spark.implicits._

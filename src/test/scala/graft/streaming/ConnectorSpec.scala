@@ -59,6 +59,31 @@ class ConnectorSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http client-mode input polls an endpoint with EOF semantics (input/http.rs client)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", { ex =>
+      try {
+        val ok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .contains("Bearer poll-tok")
+        if (!ok) ex.sendResponseHeaders(401, -1)
+        else {
+          val body = "{\"v\": 1}\n{\"v\": 2}\n".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val df = Engine.inputFromConf(spark, ComponentConf("http", Map(
+        "url" -> s"http://127.0.0.1:${server.getAddress.getPort}/feed",
+        "bearer_token" -> "poll-tok", "split_lines" -> "true")))
+      val out = Processors.JsonToArrow()(df)
+      assert(out.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally server.stop(0)
+  }
+
   // ---- websocket ----
 
   /** Single-connection RFC6455 server: HTTP upgrade handshake, then
