@@ -181,13 +181,21 @@ object Engine {
     * batch scans with EOF semantics like the reference file input. */
   def inputFromConf(spark: SparkSession, c: ComponentConf): DataFrame = c.kind match {
     case "generate" =>
-      // input/generate.rs:27-90 — context emitted per tick.
-      val rate = spark.readStream.format("rate")
-        .option("rowsPerSecond", c.options.getOrElse("rows_per_second", "10"))
-        .load()
-      rate.select(
-        lit(c.options.getOrElse("context", "{}")).cast("binary").as(Codecs.ValueCol),
-        col("timestamp").as("__meta_ingest_time"))
+      // input/generate.rs:27-90 — context emitted per tick; with a total
+      // `count` the reference EOFs after emitting it → batch semantics.
+      c.options.get("count") match {
+        case Some(n) =>
+          spark.range(n.toLong).select(
+            lit(c.options.getOrElse("context", "{}")).cast("binary").as(Codecs.ValueCol),
+            current_timestamp().as("__meta_ingest_time"))
+        case None =>
+          val rate = spark.readStream.format("rate")
+            .option("rowsPerSecond", c.options.getOrElse("rows_per_second", "10"))
+            .load()
+          rate.select(
+            lit(c.options.getOrElse("context", "{}")).cast("binary").as(Codecs.ValueCol),
+            col("timestamp").as("__meta_ingest_time"))
+      }
     case "file" =>
       val fmt = c.options.getOrElse("format", "parquet")
       val df =

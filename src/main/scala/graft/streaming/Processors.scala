@@ -297,6 +297,25 @@ object Processors {
   /** Build the processor chain from config components. */
   def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
     c.kind match {
+      // sql with a temporary lookup table (processor/sql.rs temporary_list):
+      // lookup_kind sql|redis resolves a concrete keyed provider.
+      case "sql" if c.options.contains("lookup_name") =>
+        val provider: DataFrame => DataFrame =
+          c.options.getOrElse("lookup_kind", "sql") match {
+            case "sql" => batch =>
+              Jdbc.lookupProvider(batch.sparkSession, c.options,
+                batchKeyCol = c.options("lookup_key"),
+                remoteKeyCol = c.options("lookup_remote_key"))(batch)
+            case "redis" => batch =>
+              Redis.lookupProvider(batch.sparkSession, c.options("host"),
+                c.options.getOrElse("port", "6379").toInt,
+                batchKeyCol = c.options("lookup_key"))(batch)
+            case other =>
+              throw new IllegalArgumentException(s"unknown lookup_kind: $other")
+          }
+        LookupSqlProcessor(c.options("query"),
+          c.options.getOrElse("table_name", "flow"),
+          Seq(TemporaryLookup(c.options("lookup_name"), provider)))
       case "sql" =>
         SqlProcessor(c.options("query"), c.options.getOrElse("table_name", "flow"))
       case "json_to_arrow" =>

@@ -67,6 +67,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), p.linesIterator.take(8).mkString("\n"))
   }
 
+  test("sweep: no query plans an accidental cartesian/nested-loop product") {
+    // intentional products: q14 is the cross-join row itself; q21 attaches
+    // a ONE-ROW total via CROSS JOIN (broadcast of a single row); q49
+    // projects IN/NOT IN as SELECT-list booleans (no semi-join rewrite
+    // exists — Spark broadcasts the dimension-scale subquery sides); q60/
+    // q61/q67 broadcast a tiny query/centroid side against the scan.
+    val intentional = Set("q14_cross_join", "q21_cte", "q49_subquery_forms",
+      "q60_knn_brute", "q61_ivf_knn", "q67_ivf_kmeans_knn")
+    graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
   test("q01 runs inside WholeStageCodegen (final AQE plan)") {
     val df = graft.SparkEntry.queries("q01_agg_pushdown")(spark, sf)
     df.collect() // finalize the AQE plan on this QueryExecution

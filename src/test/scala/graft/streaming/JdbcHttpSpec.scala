@@ -147,6 +147,32 @@ class JdbcHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("sql processor with a config-declared jdbc lookup (processor/sql.rs temporary_list)") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE rooms ("sensor" VARCHAR(32), "room" VARCHAR(32))""",
+      """INSERT INTO rooms VALUES ('temp_1', 'room_a'), ('temp_2', 'room_b')""")
+    val procs = Processors.fromConf(Seq(ComponentConf("sql", Map(
+      "query" -> "SELECT f.sensor, s.room FROM flow f JOIN sensors s ON f.sensor = s.skey",
+      "lookup_name" -> "sensors",
+      "lookup_kind" -> "sql",
+      "lookup_key" -> "sensor",
+      "lookup_remote_key" -> "skey",
+      "url" -> url,
+      "select_sql" -> """SELECT "sensor" AS skey, "room" AS room FROM rooms"""))))
+    val out = procs.head(Seq(("temp_1", 1L)).toDF("sensor", "value"))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("temp_1", "room_a")))
+  }
+
+  test("generate input with a total count EOFs as a batch (input/generate.rs)") {
+    val df = Engine.inputFromConf(spark, ComponentConf("generate", Map(
+      "context" -> """{"v": 9}""", "count" -> "4")))
+    assert(!df.isStreaming)
+    val out = Processors.JsonToArrow()(df)
+    assert(out.select("v").as[Long].collect().toSeq == Seq(9L, 9L, 9L, 9L))
+  }
+
   test("yaml config drives file input -> sql processor -> jdbc output end-to-end") {
     val url = derbyUrl()
     Jdbc.execute(url,
