@@ -97,15 +97,20 @@ object Dedup {
         .as("sh"))
       .distinct()
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc set size rides ON the index rows (window over doc_id —
+    // bounded by document length, skew-safe) so the pair aggregation
+    // carries na/nb as grouping keys and no post-joins re-derive them;
+    // the shingle subplan then has 2 consumers (the self-join sides,
+    // identical → exchange-reused) instead of 4.
     val kept = sh.join(freq.filter(col("df") <= dfCap).select("sh"), "sh")
-    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val inter = kept.as("a").join(kept.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .withColumn("nw", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val a = kept.select(col("sh"), col("doc_id").as("doc_a"), col("nw").as("na"))
+    val b = kept.select(col("sh"), col("doc_id").as("doc_b"), col("nw").as("nb"))
+    a.join(b, "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)
