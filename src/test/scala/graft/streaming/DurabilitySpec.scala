@@ -73,6 +73,29 @@ class DurabilitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SchemaRegistry.decodeBatch(bad, resolver))
   }
 
+  test("checkpoint + jdbc sink: restart resumes without duplicating rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val url = s"jdbc:derby:$base/db;create=true"
+    Jdbc.execute(url, """CREATE TABLE sunk ("id" BIGINT, "batch_id" BIGINT)""")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def stream = spark.readStream.schema(schema).parquet(in)
+    val sink = Jdbc.JdbcSink(url, "sunk")
+
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(in)
+    val q1 = Engine.start(stream, Seq(), sink, checkpoint = Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+
+    Seq(3L).toDF("id").write.mode("append").parquet(in)
+    val q2 = Engine.start(stream, Seq(), sink, checkpoint = Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = Jdbc.read(spark, Map("url" -> url,
+      "select_sql" -> """SELECT "id" FROM sunk""")).as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L),
+      s"restart must neither lose nor duplicate, got ${rows.toSeq}")
+  }
+
   test("parquet sink is idempotent per batchId (replay overwrites, not duplicates)") {
     val path = java.nio.file.Files.createTempDirectory("graft_psink").toString + "/out"
     val sink = Engine.ParquetSink(path)
