@@ -152,6 +152,23 @@ object Extensions {
         .orderBy(col("event_id"))
     }),
 
+    // Forward AS-OF JOIN through the same custom exec: for every click,
+    // the EARLIEST purchase at-or-after it (rt >= lt direction) — the
+    // "next event" attachment pattern. O(1) state per partition.
+    "q70_asof_forward" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val clicks = s.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'")
+      val purchases = s.sql(
+        "SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'")
+      graft.plans.AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+          forward = true)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_us"),
+          expr("p_ts DIV 1000").as("next_purchase_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Weighted discrete percentile via the Aggregator UDAF (the
     // reference's *_with_weight surface, exact semantics).
     "q64_weighted_percentile" -> ((s, dir) => {
@@ -249,6 +266,15 @@ object Extensions {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q70_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |       epoch_ns(c.ts) // 1000 AS click_us,
+        |       epoch_ns(p.ts) // 1000 AS next_purchase_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
         |ORDER BY c.event_id""".stripMargin,
 
     // weight-expanded multiset + quantile_disc == weighted percentile

@@ -11,7 +11,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** AS-OF JOIN — an operator the reference's SQL surface gets from engines
   * like DuckDB but Spark lacks natively: for every left row, attach the
   * latest right row with the same key whose time is <= the left time
-  * (left outer semantics).
+  * (left outer semantics); `forward` flips the direction to the EARLIEST
+  * right with time >= the left time (DuckDB `ASOF ... ON rt >= lt`).
   *
   * This is the full custom-operator path (SURVEY.md §2.8 / guide path c):
   * a logical node, a planner strategy, and a physical exec whose
@@ -26,7 +27,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+    rightKey: Attribute, rightTime: Attribute,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -36,7 +38,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTime: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -83,12 +86,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else {
               val rk = rkRaw.asInstanceOf[Long]
               if (rk < k) rPending = null // no later left row can need it
-              else if (rk == k && rtRaw.asInstanceOf[Long] <= t) {
+              else if (forward) {
+                // forward: match the EARLIEST right with time >= t. Rights
+                // of this key below t are dead for every later left too
+                // (left times ascend), so discard; the first survivor in
+                // (key, time) order IS the match and stays pending for
+                // later lefts of the same key.
+                if (rk == k && rtRaw.asInstanceOf[Long] < t) rPending = null
+                else advancing = false
+              } else if (rk == k && rtRaw.asInstanceOf[Long] <= t) {
                 lastMatch = rPending.copy(); lastMatchKey = rk; rPending = null
               } else advancing = false
             }
           }
-          val r = if (lastMatch != null && lastMatchKey == k) lastMatch else nullRight
+          val r =
+            if (forward) {
+              if (rPending != null && rKey.eval(rPending).asInstanceOf[Long] == k)
+                rPending
+              else nullRight
+            } else if (lastMatch != null && lastMatchKey == k) lastMatch
+            else nullRight
           joined(l, r)
         }
       }
@@ -102,8 +119,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -122,7 +139,8 @@ object AsOf {
     */
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKeyCol: String, leftTimeCol: String,
-           rightKeyCol: String, rightTimeCol: String): DataFrame = {
+           rightKeyCol: String, rightTimeCol: String,
+           forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -134,6 +152,6 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     org.apache.spark.sql.GraftInternal.ofRows(spark, AsOfJoin(lp, rp,
       attr(lp, leftKeyCol), attr(lp, leftTimeCol),
-      attr(rp, rightKeyCol), attr(rp, rightTimeCol)))
+      attr(rp, rightKeyCol), attr(rp, rightTimeCol), forward))
   }
 }

@@ -62,9 +62,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q66: as-of join runs the custom AsOfJoinExec, not a range-join expansion") {
-    val p = plan("q66_asof_join")
-    assert(p.contains("AsOfJoin"), p.linesIterator.take(8).mkString("\n"))
+  test("q66/q70: both as-of directions run the custom AsOfJoinExec") {
+    for (q <- Seq("q66_asof_join", "q70_asof_forward")) {
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), s"$q: " + p.linesIterator.take(8).mkString("\n"))
+    }
   }
 
   test("sweep: no query plans an accidental cartesian/nested-loop product") {

@@ -35,6 +35,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.valuesIterator.contains(-1L), "expected at least one no-match click")
   }
 
+  test("forward as-of join matches the composed min-aggregate formulation") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+
+    val custom = AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+        forward = true)
+      .select(col("event_id"), col("p_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val composed = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("ts"), "left")
+      .groupBy(col("event_id")).agg(min(col("p_ts")).as("p_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(custom.size == composed.size && custom == composed,
+      s"sizes custom=${custom.size} composed=${composed.size}")
+    assert(custom.valuesIterator.exists(_ >= 0), "expected at least one match")
+  }
+
   test("plan shows AsOfJoinExec with Catalyst-inserted exchange and sort") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val clicks = ev.filter(col("event_type") === "click")
