@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded property-style round-trips for the from-scratch wire codecs:
+  * many random cases, deterministic seed, exact re-read.
+  */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("proto varint round-trips arbitrary longs (including negatives)") {
+    val cases = Seq(0L, 1L, -1L, 127L, 128L, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(500)(rnd.nextLong())
+    cases.foreach { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, v)
+      val (back, consumed) = ProtoWire.readVarint(out.toByteArray, 0)
+      assert(back == v, s"varint $v -> $back")
+      assert(consumed == out.size())
+    }
+  }
+
+  test("bson documents round-trip random flat values") {
+    (1 to 200).foreach { _ =>
+      val doc: Seq[(String, Any)] = (1 to (1 + rnd.nextInt(8))).map { i =>
+        val name = s"f${i}_" + rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+        val value: Any = rnd.nextInt(6) match {
+          case 0 => rnd.nextDouble() * math.pow(10, rnd.nextInt(10))
+          case 1 => rnd.nextString(rnd.nextInt(30)) // arbitrary unicode
+          case 2 => rnd.nextBoolean()
+          case 3 => rnd.nextInt()
+          case 4 => rnd.nextLong()
+          case 5 => null
+        }
+        (name, value)
+      }
+      val back = Mongo.decodeDoc(Mongo.encodeDoc(doc))
+      assert(back == doc, s"bson round-trip mismatch for $doc -> $back")
+    }
+  }
+
+  test("influx escaping leaves no unescaped separators in tags or measurements") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val nasty = Seq("plain", "with space", "a,b", "k=v", "mix, =all ",
+      "trail\\", "\"quoted\"")
+    nasty.foreach { v =>
+      val line = Influx.lineProtocol(
+        Seq((v, 1.0)).toDF("tagv", "value"),
+        "m easure", Seq("tagv"), Seq("value"), None).as[String].collect().head
+      val tagPart = line.substring(0, line.lastIndexOf(' '))
+      // any separator inside the tag section must be backslash-escaped
+      assert(!"(?<!\\\\)[,= ]".r.findFirstIn(
+        tagPart.stripPrefix("m\\ easure,tagv=")).isDefined,
+        s"unescaped separator in: $line")
+    }
+  }
+
+  test("mqtt remaining-length framing survives large packets") {
+    // exercised through a real connection: publish payloads at the
+    // 1-byte/2-byte/3-byte varint length boundaries and read them back
+    val sizes = Seq(0, 1, 127, 128, 16383, 16384, 70000)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val server = new java.net.ServerSocket(0, 4,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedInputStream(s.getInputStream)
+      val out = new java.io.BufferedOutputStream(s.getOutputStream)
+      def readPacket(): (Int, Array[Byte]) = {
+        val first = in.read()
+        if (first == -1) throw new java.io.EOFException
+        var len = 0; var shift = 0; var d = 0
+        while ({ d = in.read(); len |= (d & 0x7f) << shift; shift += 7; (d & 0x80) != 0 }) ()
+        val body = new Array[Byte](len)
+        var off = 0
+        while (off < len) off += in.read(body, off, len - off)
+        (first & 0xff, body)
+      }
+      try while (true) {
+        val (tpe, body) = readPacket()
+        (tpe & 0xf0) match {
+          case 0x10 => out.write(Array[Byte](0x20, 2, 0, 0)); out.flush()
+          case 0x30 =>
+            val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+            received.add(body.length - 2 - topicLen)
+          case 0xe0 => throw new java.io.EOFException
+          case _ => ()
+        }
+      } catch { case _: java.io.EOFException | _: java.net.SocketException => () }
+      finally s.close()
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val conn = new Mqtt.Conn("127.0.0.1", server.getLocalPort, "len-test")
+      try sizes.foreach(n => conn.publish("t", new Array[Byte](n)))
+      finally conn.close()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (received.size < sizes.size && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(received.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq ==
+        sizes.sorted, s"got ${received.toArray.toSeq}")
+    } finally server.close()
+  }
+}
