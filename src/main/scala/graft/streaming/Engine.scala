@@ -198,11 +198,14 @@ object Engine {
       }
     case "file" =>
       val fmt = c.options.getOrElse("format", "parquet")
-      val df =
-        if (fmt == "avro") AvroInput.read(spark, c.options("path"))
-        else spark.read.format(fmt)
+      val df = fmt match {
+        case "avro" => AvroInput.read(spark, c.options("path"))
+        case "arrow" =>
+          org.apache.spark.sql.GraftArrowPipe.readArrowFiles(spark, c.options("path"))
+        case _ => spark.read.format(fmt)
           .options(c.options -- Seq("format", "path", "query"))
           .load(c.options("path"))
+      }
       c.options.get("query") match {
         case Some(q) =>
           df.createOrReplaceTempView(c.options.getOrElse("table_name", "flow"))

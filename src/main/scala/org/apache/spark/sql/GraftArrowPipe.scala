@@ -67,6 +67,59 @@ object GraftArrowPipe {
     pipePartitions(df, Seq("python3", scriptFile.toString), outSchema, batchSize)
   }
 
+  /** Arrow IPC FILE format input (the reference file input's `arrow`
+    * format, input/file.rs register_arrow): `binaryFiles` distributes the
+    * file set, each task materializes its file's record batches through
+    * `ArrowFileReader` (the file format is random-access, so the task
+    * buffers one file's bytes — arrow files are bounded by writer-side
+    * batch size). Schema read once, driver-side, from the first footer.
+    */
+  def readArrowFiles(session: SparkSession, path: String): DataFrame = {
+    val spark = session.asInstanceOf[classic.SparkSession]
+    val bin = spark.sparkContext.binaryFiles(path)
+    val first = bin.values.take(1)
+    require(first.nonEmpty, s"arrow input: no files under $path")
+    val schema = {
+      val allocator = ArrowUtils.rootAllocator.newChildAllocator("graft_arrow_schema", 0, Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+          first.head.toArray()), allocator)
+      try ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); allocator.close() }
+    }
+    val outRdd = bin.values.flatMap { pds =>
+      val allocator = ArrowUtils.rootAllocator.newChildAllocator(
+        s"graft_arrow_read_${java.util.UUID.randomUUID()}", 0, Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+          pds.toArray()), allocator)
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        reader.close(); allocator.close()
+      })
+      new Iterator[InternalRow] {
+        private var current: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        override def hasNext: Boolean = {
+          while (!current.hasNext && !done) {
+            if (reader.loadNextBatch()) {
+              val vroot = reader.getVectorSchemaRoot
+              val cols = vroot.getFieldVectors.asScala
+                .map(v => new ArrowColumnVector(v): ColumnVector).toArray
+              current = new ColumnarBatch(cols, vroot.getRowCount)
+                .rowIterator().asScala.map(_.copy())
+            } else done = true
+          }
+          current.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          current.next()
+        }
+      }
+    }
+    spark.internalCreateDataFrame(outRdd, schema)
+  }
+
   /** Generic per-partition Arrow IPC pipe through an external command. */
   def pipePartitions(df: DataFrame, command: Seq[String], outSchema: StructType,
       batchSize: Int): DataFrame = {

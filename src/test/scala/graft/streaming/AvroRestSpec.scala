@@ -53,6 +53,40 @@ class AvroRestSpec extends AnyFunSuite {
     assert(out.as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("arrow file input reads IPC container files (input/file.rs register_arrow)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, Float8Vector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow").toString
+    val schema = new ASchema(Seq(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("v", FieldType.nullable(
+        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)).asJava)
+    val allocator = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val fos = new java.io.FileOutputStream(s"$dir/part-0.arrow")
+    val writer = new ArrowFileWriter(root, null, fos.getChannel)
+    writer.start()
+    val ids = root.getVector("id").asInstanceOf[BigIntVector]
+    val vs = root.getVector("v").asInstanceOf[Float8Vector]
+    Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)).zipWithIndex.foreach { case ((i, d), r) =>
+      ids.setSafe(r, i); vs.setSafe(r, d)
+    }
+    root.setRowCount(3)
+    writer.writeBatch(); writer.end(); writer.close(); fos.close()
+    root.close(); allocator.close()
+
+    val df = Engine.inputFromConf(spark, ComponentConf("file", Map(
+      "format" -> "arrow", "path" -> s"$dir/*.arrow",
+      "query" -> "SELECT id, v FROM flow WHERE v > 2")))
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((2L, 2.5), (3L, 3.5)))
+  }
+
   test("schema-registry REST resolver fetches and caches per id (schema_registry.rs:135-200)") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(

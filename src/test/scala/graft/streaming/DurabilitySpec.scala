@@ -134,6 +134,31 @@ class DurabilitySpec extends AnyFunSuite {
     assert(out.as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("engine restart with a staged buffer loses no sub-threshold rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_buf_ckpt").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val stage = s"$base/stage"
+    val out = s"$base/out"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def stream = spark.readStream.schema(schema).parquet(in)
+    def engineRun(): Unit = {
+      // a FRESH accumulator each run = a process restart; pending rows
+      // must come back from the staging dir, not driver memory
+      val q = Engine.start(stream,
+        Seq(new Processors.BatchAccumulator(minRows = 3, staging = Some(stage))),
+        Engine.ParquetSink(out), checkpoint = Some(ckpt))
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(1L, 2L).toDF("id").write.mode("append").parquet(in)
+    engineRun() // 2 rows staged, below threshold -> nothing written
+    assert(!new java.io.File(out).exists() ||
+      spark.read.parquet(out).count() == 0)
+    Seq(3L, 4L).toDF("id").write.mode("append").parquet(in)
+    engineRun() // restart: staged 2 + new 2 >= 3 -> flush all four
+    val rows = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"restart dropped sub-threshold rows: ${rows.toSeq}")
+  }
+
   test("staged batch accumulator survives restart and dedupes replayed batches") {
     val path = java.nio.file.Files.createTempDirectory("graft_acc").toString + "/stage"
     val acc1 = new Processors.BatchAccumulator(minRows = 3, staging = Some(path))
