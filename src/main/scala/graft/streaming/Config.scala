@@ -22,6 +22,37 @@ final case class EngineConf(streams: Seq[StreamConf])
 
 object Config {
 
+  /** humantime-style duration strings, as the reference configs use
+    * (config durations like `interval: 5s`, `timeout: 100ms`): ns/us/ms/
+    * s/m/h suffixes, bare numbers are milliseconds, Spark-style
+    * "5 seconds" passes through untouched via the Right branch.
+    * Returns milliseconds.
+    */
+  def parseDurationMs(s: String): Long = {
+    val t = s.trim
+    val m = "^([0-9]+)\\s*(ns|us|µs|ms|s|m|h)?$".r
+    t match {
+      case m(n, unit) =>
+        val v = n.toLong
+        unit match {
+          case "ns" => v / 1000000L
+          case "us" | "µs" => v / 1000L
+          case "ms" | null => v
+          case "s" => v * 1000L
+          case "m" => v * 60000L
+          case "h" => v * 3600000L
+        }
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse duration: $other")
+    }
+  }
+
+  /** Spark trigger string from either humantime ("5s") or Spark
+    * ("5 seconds") duration syntax. */
+  def triggerInterval(s: String): String =
+    try s"${parseDurationMs(s)} milliseconds"
+    catch { case _: IllegalArgumentException => s } // Spark syntax as-is
+
   /** Parse the YAML text of an engine config (`streams: [...]`). */
   def fromYaml(yaml: String): EngineConf = {
     val root = new org.yaml.snakeyaml.Yaml()

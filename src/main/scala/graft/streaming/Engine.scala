@@ -256,11 +256,14 @@ object Engine {
   def bufferProcessors(buffer: Option[ComponentConf]): Seq[Processors.BatchTransform] =
     buffer.toSeq
       .filter(b => b.kind == "memory" &&
-        (b.options.contains("capacity") || b.options.contains("timeout_ms")))
+        (b.options.contains("capacity") || b.options.contains("timeout_ms") ||
+          b.options.contains("timeout")))
       .map(b => new Processors.BatchAccumulator(
         b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
         Long.MaxValue,
-        b.options.get("timeout_ms").map(_.toLong).getOrElse(Long.MaxValue),
+        b.options.get("timeout_ms").map(_.toLong)
+          .orElse(b.options.get("timeout").map(Config.parseDurationMs))
+          .getOrElse(Long.MaxValue),
         b.options.get("staging")))
 
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
@@ -272,7 +275,8 @@ object Engine {
       if (in.isStreaming)
         Some(start(in, procs, sink, err,
           trigger = s.buffer.flatMap(_.options.get("interval"))
-            .map(Trigger.ProcessingTime(_)).getOrElse(Trigger.ProcessingTime(0L)),
+            .map(i => Trigger.ProcessingTime(Config.triggerInterval(i)))
+            .getOrElse(Trigger.ProcessingTime(0L)),
           checkpoint = s.input.options.get("checkpoint")))
       else {
         // batch input: run the pipeline once, EOF semantics.

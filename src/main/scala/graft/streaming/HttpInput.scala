@@ -44,7 +44,9 @@ object HttpPoll {
 }
 
 final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
-                      bearerToken: Option[String] = None) {
+                      bearerToken: Option[String] = None,
+                      maxRequestsPerSecond: Option[Int] = None,
+                      authLockoutAfter: Int = Int.MaxValue) {
   import spark.implicits._
 
   private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -52,17 +54,41 @@ final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
+  // reference http.rs middleware: a token-bucket rate limiter (burst =
+  // one second's quota) and failed-auth lockout.
+  private val tokens = new java.util.concurrent.atomic.AtomicLong(
+    maxRequestsPerSecond.map(_.toLong).getOrElse(Long.MaxValue))
+  private val lastRefillMs = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis())
+  private val failedAuths = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def tryAcquire(): Boolean = maxRequestsPerSecond match {
+    case None => true
+    case Some(limit) =>
+      val now = System.currentTimeMillis()
+      val last = lastRefillMs.get()
+      if (now - last >= 1000 && lastRefillMs.compareAndSet(last, now))
+        tokens.set(limit.toLong)
+      tokens.getAndUpdate(t => if (t > 0) t - 1 else t) > 0
+  }
+
   server.createContext(path, { exchange =>
     try {
       val authorized = bearerToken.forall { t =>
         Option(exchange.getRequestHeaders.getFirst("Authorization"))
           .contains(s"Bearer $t")
       }
-      if (!authorized) {
+      if (failedAuths.get() >= authLockoutAfter) {
+        exchange.sendResponseHeaders(403, -1) // locked out
+      } else if (!authorized) {
+        failedAuths.incrementAndGet()
         exchange.sendResponseHeaders(401, -1)
+      } else if (!tryAcquire()) {
+        exchange.sendResponseHeaders(429, -1)
       } else if (exchange.getRequestMethod != "POST") {
         exchange.sendResponseHeaders(405, -1)
       } else {
+        failedAuths.set(0) // a successful auth resets the lockout counter
         val body = new String(exchange.getRequestBody.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         stream.addData(body)

@@ -59,6 +59,44 @@ class ConnectorSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http server input rate-limits and locks out failed auth (http.rs middleware)") {
+    val port = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    val http = new HttpInput(spark, port, bearerToken = Some("tok"),
+      maxRequestsPerSecond = Some(3), authLockoutAfter = 2)
+    try {
+      def post(token: Option[String]): Int = {
+        val conn = new java.net.URI(http.boundAddress).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        conn.getOutputStream.write("{}".getBytes(StandardCharsets.UTF_8))
+        val code = conn.getResponseCode; conn.disconnect(); code
+      }
+      // token bucket: 3 requests pass, the 4th inside the same second is 429
+      val codes = (1 to 4).map(_ => post(Some("tok")))
+      assert(codes.take(3).forall(_ == 200) && codes(3) == 429, s"got $codes")
+      // two failed auths -> locked out (403) even with the right token
+      assert(post(Some("bad")) == 401)
+      assert(post(Some("bad")) == 401)
+      assert(post(Some("tok")) == 403, "lockout must engage after repeated failures")
+    } finally http.stop()
+  }
+
+  test("humantime config durations parse like the reference (config duration tests)") {
+    assert(Config.parseDurationMs("5s") == 5000L)
+    assert(Config.parseDurationMs("100ms") == 100L)
+    assert(Config.parseDurationMs("2m") == 120000L)
+    assert(Config.parseDurationMs("1h") == 3600000L)
+    assert(Config.parseDurationMs("1500us") == 1L)
+    assert(Config.parseDurationMs("2000000ns") == 2L)
+    assert(Config.parseDurationMs("250") == 250L) // bare number = ms
+    intercept[IllegalArgumentException](Config.parseDurationMs("soon"))
+    assert(Config.triggerInterval("5s") == "5000 milliseconds")
+    assert(Config.triggerInterval("5 seconds") == "5 seconds") // Spark syntax passes
+  }
+
   test("http client-mode input polls an endpoint with EOF semantics (input/http.rs client)") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
