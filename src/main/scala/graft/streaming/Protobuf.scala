@@ -22,8 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final case class ProtoField(number: Int, name: String, ftype: String) {
   def sparkType: DataType = ftype match {
-    case "int32" | "uint32" => IntegerType
-    case "int64" | "uint64" => LongType
+    case "int32" => IntegerType
+    // unsigned widths map UP so no value wraps (the reference's
+    // no-unsigned-wrap contract): uint32 fits a long, uint64 a decimal.
+    case "uint32" => LongType
+    case "int64" => LongType
+    case "uint64" => DecimalType(20, 0)
     case "double" => DoubleType
     case "float" => FloatType
     case "bool" => BooleanType
@@ -92,8 +96,16 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
     val values = fields.map { f =>
       val v = raw.get(f.number)
       f.ftype match {
-        case "int32" | "uint32" => v.map(_.asInstanceOf[Long].toInt).getOrElse(0)
-        case "int64" | "uint64" => v.map(_.asInstanceOf[Long]).getOrElse(0L)
+        case "int32" => v.map(_.asInstanceOf[Long].toInt).getOrElse(0)
+        case "uint32" => v.map(_.asInstanceOf[Long] & 0xffffffffL).getOrElse(0L)
+        case "int64" => v.map(_.asInstanceOf[Long]).getOrElse(0L)
+        case "uint64" =>
+          val bits = v.map(_.asInstanceOf[Long]).getOrElse(0L)
+          val unsigned =
+            if (bits >= 0) java.math.BigDecimal.valueOf(bits)
+            else new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(bits).add(java.math.BigInteger.ONE.shiftLeft(64)))
+          Decimal(unsigned, 20, 0)
         case "bool" => v.exists(_.asInstanceOf[Long] != 0L)
         case "double" =>
           v.map(x => java.lang.Double.longBitsToDouble(x.asInstanceOf[Long])).getOrElse(0.0)
@@ -120,10 +132,13 @@ case class ProtoEncode(child: Expression, fields: Seq[ProtoField])
     fields.zipWithIndex.foreach { case (f, i) =>
       def tag(wire: Int): Unit = ProtoWire.writeVarint(out, (f.number.toLong << 3) | wire)
       f.ftype match {
-        case "int32" | "uint32" =>
+        case "int32" =>
           val v = row.getInt(i); if (v != 0) { tag(0); ProtoWire.writeVarint(out, v.toLong) }
-        case "int64" | "uint64" =>
+        case "uint32" | "int64" =>
           val v = row.getLong(i); if (v != 0) { tag(0); ProtoWire.writeVarint(out, v) }
+        case "uint64" =>
+          val bits = row.getDecimal(i, 20, 0).toJavaBigDecimal.toBigInteger.longValue()
+          if (bits != 0L) { tag(0); ProtoWire.writeVarint(out, bits) }
         case "bool" =>
           val v = row.getBoolean(i); if (v) { tag(0); ProtoWire.writeVarint(out, 1L) }
         case "double" =>

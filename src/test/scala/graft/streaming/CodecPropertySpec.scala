@@ -21,6 +21,24 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("unsigned proto widths round-trip without wrap (reference no-unsigned-wrap contract)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val fields = Seq(ProtoField(1, "u32", "uint32"), ProtoField(2, "u64", "uint64"))
+    Protobuf.register(spark, "unsigned", fields)
+    val encoded = spark.sql(
+      """SELECT proto_encode_unsigned(named_struct(
+        |  'u32', CAST(4000000000 AS BIGINT),
+        |  'u64', CAST('18446744073709551615' AS DECIMAL(20, 0)))) AS b""".stripMargin)
+    encoded.createOrReplaceTempView("enc_unsigned")
+    val r = spark.sql(
+      "SELECT proto_decode_unsigned(b).u32 AS u32, proto_decode_unsigned(b).u64 AS u64 FROM enc_unsigned")
+      .collect().head
+    assert(r.getLong(0) == 4000000000L, "uint32 above Int.MaxValue must not wrap")
+    assert(r.getDecimal(1).toBigInteger.toString == "18446744073709551615",
+      "uint64 max must not wrap")
+  }
+
   test("bson documents round-trip random flat values") {
     (1 to 200).foreach { _ =>
       val doc: Seq[(String, Any)] = (1 to (1 + rnd.nextInt(8))).map { i =>
