@@ -91,7 +91,9 @@ object Jdbc {
   def lookupProvider(spark: SparkSession, o: Map[String, String],
       batchKeyCol: String, remoteKeyCol: String,
       maxKeys: Int = 10000): DataFrame => DataFrame = { batch =>
-    val keys = batch.select(col(batchKeyCol)).distinct().limit(maxKeys + 1)
+    // batchKeyCol may be any SQL expression over the batch (the
+    // reference's key expression, processor/sql.rs:148-183)
+    val keys = batch.select(expr(batchKeyCol)).distinct().limit(maxKeys + 1)
       .collect().map(_.get(0))
     val sql = o("select_sql")
     val filtered =

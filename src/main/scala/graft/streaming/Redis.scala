@@ -102,7 +102,8 @@ object Redis {
   def lookupProvider(spark: SparkSession, host: String, port: Int,
       batchKeyCol: String, maxKeys: Int = 10000): DataFrame => DataFrame = { batch =>
     import spark.implicits._
-    val keys = batch.select(col(batchKeyCol).cast("string")).distinct()
+    // batchKeyCol may be any SQL expression over the batch
+    val keys = batch.select(expr(batchKeyCol).cast("string")).distinct()
       .limit(maxKeys).as[String].collect().toSeq
     val values =
       if (keys.isEmpty) Seq.empty[(String, String)]

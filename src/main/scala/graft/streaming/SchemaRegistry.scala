@@ -37,13 +37,18 @@ object SchemaRegistry {
     * (e.g. `1:timestamp:int64`). Wrap in [[CachingResolver]] so each id
     * is fetched once per stream, like the reference's cache.
     */
-  final class RestResolver(baseUrl: String, bearerToken: Option[String] = None)
-      extends SchemaResolver {
+  final class RestResolver(baseUrl: String, bearerToken: Option[String] = None,
+      basicAuth: Option[(String, String)] = None) extends SchemaResolver {
     def resolve(id: Int): Seq[ProtoField] = {
       val conn = new java.net.URI(s"$baseUrl/schemas/ids/$id").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       try {
         bearerToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        basicAuth.foreach { case (user, pass) =>
+          val cred = java.util.Base64.getEncoder.encodeToString(
+            s"$user:$pass".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          conn.setRequestProperty("Authorization", s"Basic $cred")
+        }
         if (conn.getResponseCode != 200)
           throw new IllegalArgumentException(
             s"schema registry: id $id -> HTTP ${conn.getResponseCode}")

@@ -66,6 +66,12 @@ object Windows {
   }
 
   def countSlidingWindow(ds: Dataset[Keyed], windowSize: Int, slideSize: Int): Dataset[SlideOut] = {
+    // sliding_window.rs builder validation: both positive, and the window
+    // must cover the slide or rows would be silently skipped.
+    require(windowSize > 0, s"window_size must be positive, got $windowSize")
+    require(slideSize > 0, s"slide_size must be positive, got $slideSize")
+    require(windowSize >= slideSize,
+      s"window_size ($windowSize) must be >= slide_size ($slideSize)")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.key)

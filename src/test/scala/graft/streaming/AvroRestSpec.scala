@@ -133,4 +133,41 @@ class AvroRestSpec extends AnyFunSuite {
         new SchemaRegistry.RestResolver(base, Some("bad")).resolve(1))
     } finally server.stop(0)
   }
+
+  test("schema-registry REST resolver supports basic auth (schema_registry.rs basic)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val expected = "Basic " + java.util.Base64.getEncoder.encodeToString(
+      "sr-user:sr-pass".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    server.createContext("/schemas/ids/", { exchange =>
+      try {
+        if (!Option(exchange.getRequestHeaders.getFirst("Authorization")).contains(expected))
+          exchange.sendResponseHeaders(401, -1)
+        else {
+          val body = """{"schema": "1:v:int64"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+        }
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ok = new SchemaRegistry.RestResolver(base,
+        basicAuth = Some(("sr-user", "sr-pass"))).resolve(1)
+      assert(ok == Seq(ProtoField(1, "v", "int64")))
+      intercept[IllegalArgumentException](
+        new SchemaRegistry.RestResolver(base,
+          basicAuth = Some(("sr-user", "wrong"))).resolve(1))
+    } finally server.stop(0)
+  }
+
+  test("sliding window builder rejects invalid sizes (sliding_window.rs builder)") {
+    import spark.implicits._
+    val ds = Seq(Windows.Keyed("k", 1.0)).toDS()
+    intercept[IllegalArgumentException](Windows.countSlidingWindow(ds, 0, 1))
+    intercept[IllegalArgumentException](Windows.countSlidingWindow(ds, 3, 0))
+    intercept[IllegalArgumentException](Windows.countSlidingWindow(ds, 2, 3))
+  }
 }
