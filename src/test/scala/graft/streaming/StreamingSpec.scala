@@ -89,6 +89,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "alice", "c"), (2L, "bob", "d")))
   }
 
+  test("debezium snapshot reads use after; updates prefer after over before") {
+    val snapshot =
+      """{"before": null, "after": {"id": 3, "name": "carol"},
+        |"source": {"db": "d1", "table": "users"}, "op": "r", "ts_ms": 3}""".stripMargin
+    val update =
+      """{"before": {"id": 4, "name": "old"}, "after": {"id": 4, "name": "new"},
+        |"source": {"db": "d1", "table": "users"}, "op": "u", "ts_ms": 4}""".stripMargin
+    val rows = Codecs.DebeziumJsonCodec.decode(envelope(snapshot, update))
+      .select("id", "name", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((3L, "carol", "r"), (4L, "new", "u")))
+  }
+
   test("protobuf wire codec round-trips the reference message (protobuf.rs:573-578)") {
     val fields = Seq(ProtoField(1, "timestamp", "int64"),
       ProtoField(2, "value", "double"), ProtoField(3, "sensor", "string"))
