@@ -64,20 +64,25 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash per document from md5-derived word-hash bits,
-    * weighted by token frequency (single aggregation pass).
+  /** SimHash per document from md5-derived word-hash bits, weighted by
+    * token frequency (single aggregation pass). `bits` sizes the
+    * signature (default 16 for the oracle-pinned queries; scale bits with
+    * corpus size — candidate pairs in the banded join grow ~n²/2^bits, so
+    * production corpora use 32+; see SCALING.md measurements).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
-    val bitCols = (1 to 16).map { j =>
+    val bitCols = (1 to bits).map { j =>
       when(sum(when(substring(md5(col("word")), j, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0, "1")
         .otherwise("0").as(s"b$j")
     }
     words.groupBy(col("doc_id"))
       .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), concat((1 to 16).map(j => col(s"b$j")): _*).as("simhash"))
+      .select(col("doc_id"), concat((1 to bits).map(j => col(s"b$j")): _*).as("simhash"))
   }
 
   /** Pairwise n-gram (3-word shingle) Jaccard via an inverted-index join,
@@ -128,11 +133,12 @@ object Dedup {
     * (doc_a, doc_b, dist) instead of full signatures. Linear in
     * matching-bucket sizes instead of O(n²) all-pairs.
     */
-  def simhashBandedPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashBandedPairs(sigs: DataFrame, maxDist: Int,
+      bits: Int = 16): DataFrame = {
     val nChunks = maxDist + 1
     val chunks = (0 until nChunks).map { c =>
-      val start = c * 16 / nChunks
-      val end = (c + 1) * 16 / nChunks
+      val start = c * bits / nChunks
+      val end = (c + 1) * bits / nChunks
       (start + 1, end - start) // 1-based substring offsets
     }
     val stacked = sigs.select(col("doc_id"), col("simhash"), explode(map(
