@@ -90,41 +90,10 @@ object Extensions {
     // the bucketed operator itself is hash-verified. Unbounded-safe: no
     // vec_id clamp; candidate volume is governed by band width (bits per
     // band grows ~log n at production scale, see SCALING.md).
-    "q62_embedding_neardup" -> ((s, dir) => {
-      graft.functions.DotProduct.register(s)
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
-        .withColumn("nrm", expr("sqrt(dot_product(vd, vd))"))
-      // hyperplane signs md5-derived ON THE DRIVER (identical values to the
-      // oracle's md5 exprs) and embedded as constant arrays: the executors
-      // run 40 plain codegen dot products per row, zero runtime hashing.
-      def sign(k: Int, i: Int): Double = {
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"hp${k}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (hex.charAt(0) >= '8') 1.0 else -1.0
-      }
-      def bit(k: Int) = {
-        val hp = (0 until 64).map(i => s"${sign(k, i)}D").mkString(", ")
-        when(expr(s"dot_product(vd, array($hp))") > 0, "1").otherwise("0")
-      }
-      val bands = (0 until 5).map(b =>
-        concat((0 until 8).map(j => bit(b * 8 + j)): _*).as(s"band$b"))
-      val sig = v.select(col("vec_id") +: bands: _*)
-      val stacked = sig.select(col("vec_id"), explode(map(
-        (0 until 5).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
-      val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
-        .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
-        .filter(col("va") < col("vb"))
-        .select(col("va"), col("vb")).distinct()
-      cand
-        .join(v.select(col("vec_id").as("va"), col("vd").as("qv"), col("nrm").as("qn")), "va")
-        .join(v.select(col("vec_id").as("vb"), col("vd").as("cv"), col("nrm").as("cn")), "vb")
-        .withColumn("cos", round(
-          expr("dot_product(qv, cv)") / (col("qn") * col("cn")), 6))
-        .filter(col("cos") >= 0.95)
-        .select(col("va"), col("vb"), col("cos"))
-        .orderBy(col("va"), col("vb"))
-    }),
+    "q62_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineLshPairs(Tables.load(s, dir, "embeddings"),
+          bands = 5, bitsPerBand = 8, threshold = 0.95)
+        .orderBy(col("va"), col("vb"))),
 
     // Subquery forms: IN / NOT IN / EXISTS / scalar-in-SELECT.
     "q49_subquery_forms" -> Q.fromSql(q49Sql),

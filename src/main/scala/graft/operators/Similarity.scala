@@ -123,6 +123,46 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * `bands` × `bitsPerBand` md5-derived sign-bits bucket the vectors;
+    * only vectors sharing a full band signature become candidate pairs
+    * (equi-join — no all-pairs product), then the exact cosine filter
+    * restores precision. Hyperplane signs derive from md5 on the DRIVER
+    * and embed as constant arrays (zero executor-side hashing), which
+    * also makes them bit-reproducible in a SQL oracle. Random-pair
+    * candidate volume is ~n²·bands/2^bitsPerBand: scale bitsPerBand
+    * ~log(n) like the simhash width (SCALING.md).
+    */
+  def cosineLshPairs(emb: DataFrame, bands: Int, bitsPerBand: Int,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val v = prepared(emb)
+    def sign(k: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp${k}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) >= '8') 1.0 else -1.0
+    }
+    def bit(k: Int) = {
+      val hp = (0 until dim).map(i => s"${sign(k, i)}D").mkString(", ")
+      when(expr(s"dot_product(vd, array($hp))") > 0, "1").otherwise("0")
+    }
+    val bandCols = (0 until bands).map(b =>
+      concat((0 until bitsPerBand).map(j => bit(b * bitsPerBand + j)): _*).as(s"band$b"))
+    val sig = v.select(col("vec_id") +: bandCols: _*)
+    val stacked = sig.select(col("vec_id"), explode(map(
+      (0 until bands).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
+    val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
+      .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("va"), col("vd").as("qv"), col("nrm").as("qn")), "va")
+      .join(v.select(col("vec_id").as("vb"), col("vd").as("cv"), col("nrm").as("cn")), "vb")
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+  }
+
   /** MLlib random-hyperplane LSH (BucketedRandomProjectionLSH) as the
     * off-the-shelf ANN alternative: returns approx nearest neighbors for
     * one query vector. Engine-specific hashing — no SQL oracle; covered
