@@ -159,8 +159,18 @@ object Engine {
               case _ => p(df)
             }
           }
-          // a processor returning an empty frame = `None`: nothing to write
-          if (!out.isEmpty) sink.write(out, batchId)
+          // a processor returning a statically-empty frame (the
+          // accumulator's limit(0), collapsed by the optimizer to an empty
+          // LocalRelation) = the reference's `None`: nothing to write.
+          // Detected from the plan — no probe job per micro-batch; outputs
+          // that merely COMPUTE to zero rows still write, like the
+          // reference's empty batches.
+          val heldBack = out.queryExecution.optimizedPlan match {
+            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+              l.data.isEmpty
+            case _ => false
+          }
+          if (!heldBack) sink.write(out, batchId)
         }
       } catch {
         // NonFatal only: data/processor failures divert to the error sink;
