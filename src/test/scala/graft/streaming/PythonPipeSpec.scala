@@ -64,6 +64,20 @@ class PythonPipeSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("python workers scale to wide parallelism and multi-batch partitions") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    // 16 concurrent workers, each streaming several 4096-row arrow batches
+    val out = Processors.PythonProcessor(
+      """    import pyarrow.compute as pc
+        |    return batch.set_column(0, 'x', pc.add(batch.column('x'), 1))""".stripMargin,
+      "x BIGINT")(spark.range(0, 200000).toDF("x").repartition(16))
+    val got = out.agg(org.apache.spark.sql.functions.sum("x"),
+      org.apache.spark.sql.functions.count("*")).collect().head
+    assert(got.getLong(1) == 200000L)
+    // sum of 1..200000 (each element incremented by one)
+    assert(got.getLong(0) == 200000L * 200001L / 2)
+  }
+
   test("empty partitions skip the worker entirely") {
     assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
     val out = Processors.PythonProcessor(
