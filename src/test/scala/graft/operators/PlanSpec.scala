@@ -84,6 +84,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with NO exchange (the 100TB co-location path)") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1") // force the join to exercise partitioning
+    try {
+      val orders = graft.Tables.load(spark, sf, "orders")
+      val customer = graft.Tables.load(spark, sf, "customer")
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed-by-join-key tables must join without shuffling:\n" +
+          p.linesIterator.take(12).mkString("\n"))
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      spark.conf.set(bcast, prev)
+    }
+  }
+
   test("q01 runs inside WholeStageCodegen (final AQE plan)") {
     val df = graft.SparkEntry.queries("q01_agg_pushdown")(spark, sf)
     df.collect() // finalize the AQE plan on this QueryExecution
