@@ -66,12 +66,14 @@ object Dedup {
 
   /** SimHash per document from md5-derived word-hash bits, weighted by
     * token frequency (single aggregation pass). `bits` sizes the
-    * signature (default 16 for the oracle-pinned queries; scale bits with
-    * corpus size — candidate pairs in the banded join grow ~n²/2^bits, so
-    * production corpora use 32+; see SCALING.md measurements).
+    * signature. The library default is 32: SCALING.md measured 16-bit
+    * signatures saturating at ~20k docs (banded-join candidates grow
+    * ~n²/2^bits — 28.6 s vs 13.6 s linear at 32 bits), so 16 is a trap on
+    * any real corpus; the oracle-pinned queries pass `bits = 16`
+    * explicitly to keep their recorded signatures.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
+              bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
@@ -122,8 +124,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
-  /** Near-dup pairs at hamming distance <= maxDist over the 16-bit
-    * simhash via a banded equi-join: the signature splits into maxDist+1
+  /** Near-dup pairs at hamming distance <= maxDist over the simhash
+    * (default 32-bit, matching [[simhash]] — see SCALING.md for the
+    * 16-bit saturation measurements) via a banded equi-join: the
+    * signature splits into maxDist+1
     * chunks, and by pigeonhole any pair within maxDist agrees exactly on
     * at least one chunk — so an equi-join on (chunk_idx, chunk_value)
     * yields a candidate superset with NO cartesian product. The exact
@@ -134,7 +138,7 @@ object Dedup {
     * matching-bucket sizes instead of O(n²) all-pairs.
     */
   def simhashBandedPairs(sigs: DataFrame, maxDist: Int,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 32): DataFrame = {
     val nChunks = maxDist + 1
     val chunks = (0 until nChunks).map { c =>
       val start = c * bits / nChunks
@@ -190,7 +194,7 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q52_simhash" -> ((s, dir) =>
-      simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+      simhash(Tables.load(s, dir, "documents"), "doc_id", "text", bits = 16)
         .orderBy(col("doc_id"))),
 
     "q53_jaccard_pairs" -> ((s, dir) =>

@@ -76,8 +76,10 @@ object Extensions {
     // linear-ish cost; unbounded-safe, so no doc-id clamp.
     "q58_simhash_hamming" -> ((s, dir) => {
       graft.functions.Shims.register(s)
-      val sh = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
-      Dedup.simhashBandedPairs(sh, maxDist = 2)
+      // bits = 16 pinned: the oracle's recorded signatures are 16-bit
+      // (library default is 32 — SCALING.md saturation measurements).
+      val sh = Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text", bits = 16)
+      Dedup.simhashBandedPairs(sh, maxDist = 2, bits = 16)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -23,7 +23,16 @@ object Codecs {
       val spark = df.sparkSession
       import spark.implicits._
       val parsed = spark.read.json(df.select(col(ValueCol).cast("string")).as[String])
-      if (fieldsToInclude.isEmpty) parsed
+      // Zero-row input infers a zero-field schema (inference is already a
+      // job; this adds none): emit an empty frame carrying the projected
+      // columns so downstream plans still resolve. Replaces the engine's
+      // former per-batch isEmpty probe.
+      if (parsed.schema.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(fieldsToInclude.map(f =>
+            org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.StringType))))
+      else if (fieldsToInclude.isEmpty) parsed
       else parsed.select(fieldsToInclude.map(col): _*)
     }
     def encode(df: DataFrame): DataFrame =

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Control-plane status API (SURVEY.md §2 server row; reference
+  * crates/arkflow-server/src/lib.rs:183-208 — `/system`, `/streams`,
+  * `/streams/{id}`, `/streams/{id}/stop`). The reference hub manages its
+  * own node registry and rollout machinery; on Spark the cluster manager
+  * already owns nodes, so the meaningful surface is the per-stream one:
+  * Structured Streaming publishes `status` and `lastProgress` as JSON on
+  * every [[StreamingQuery]], and this server exposes them over the same
+  * embedded JDK HttpServer the HTTP input uses (no extra dependency).
+  *
+  * Routes (all JSON):
+  *   - `GET  /system`            Spark version / app id / parallelism
+  *   - `GET  /streams`           every active query: id, runId, name
+  *   - `GET  /streams/{id}`      one query: status + lastProgress
+  *     ({id} matches the query's name OR its UUID id)
+  *   - `POST /streams/{id}/stop` stop that query
+  *
+  * Optional bearer auth mirrors [[HttpInput]]'s middleware.
+  */
+final class ControlPlane(spark: SparkSession, port: Int,
+                         bearerToken: Option[String] = None) {
+
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  /** JSON string escaping for the few hand-built fields. */
+  private def js(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                      code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def find(id: String): Option[StreamingQuery] =
+    spark.streams.active.find(q =>
+      q.id.toString == id || Option(q.name).contains(id))
+
+  private def streamSummary(q: StreamingQuery): String =
+    s"""{"id":${js(q.id.toString)},"runId":${js(q.runId.toString)},""" +
+      s""""name":${Option(q.name).map(js).getOrElse("null")},"isActive":${q.isActive}}"""
+
+  private def streamDetail(q: StreamingQuery): String =
+    s"""{"id":${js(q.id.toString)},"name":${Option(q.name).map(js).getOrElse("null")},""" +
+      s""""status":${q.status.json},""" +
+      s""""lastProgress":${Option(q.lastProgress).map(_.json).getOrElse("null")}}"""
+
+  server.createContext("/", { ex =>
+    try {
+      val authorized = bearerToken.forall { t =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $t")
+      }
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
+      else (method, path) match {
+        case ("GET", "/system") =>
+          val sc = spark.sparkContext
+          respond(ex, 200,
+            s"""{"sparkVersion":${js(sc.version)},"appId":${js(sc.applicationId)},""" +
+              s""""defaultParallelism":${sc.defaultParallelism},""" +
+              s""""activeStreams":${spark.streams.active.length}}""")
+        case ("GET", "/streams") =>
+          respond(ex, 200,
+            spark.streams.active.map(streamSummary).mkString("[", ",", "]"))
+        case ("GET", s) if s.startsWith("/streams/") =>
+          find(s.stripPrefix("/streams/")) match {
+            case Some(q) => respond(ex, 200, streamDetail(q))
+            case None => respond(ex, 404, """{"error":"no such stream"}""")
+          }
+        case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/stop") =>
+          find(s.stripPrefix("/streams/").stripSuffix("/stop")) match {
+            case Some(q) => q.stop(); respond(ex, 200, """{"stopped":true}""")
+            case None => respond(ex, 404, """{"error":"no such stream"}""")
+          }
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } finally ex.close()
+  })
+  server.setExecutor(null)
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+}

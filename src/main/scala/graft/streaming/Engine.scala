@@ -64,13 +64,21 @@ object Engine {
     *
     * EOS boundary: the reference's `exactly_once` wraps each batch in a
     * producer transaction fenced by a stable transactional_id
-    * (output/kafka.rs:293-399). Spark's kafka writer has no cross-task
-    * transaction, so the equivalent end-to-end guarantee is the same one
+    * (output/kafka.rs:293-399). Spark's kafka writer cannot take that
+    * route: it never calls `initTransactions()`/`beginTransaction()`, so a
+    * producer configured with `transactional.id` throws
+    * `IllegalStateException` on the first `send()` — and one shared id
+    * across parallel writer tasks would fence sibling producers anyway.
+    * `exactly_once` therefore maps to `enable.idempotence` (per-producer,
+    * per-partition dedupe at the broker) and the engine-level guarantee
     * every sink here uses: checkpointed batchIds + idempotent replay —
     * [[KafkaSink]] stamps each record with a `batch_id` header and a
     * replayed batch re-produces identical (topic, batch_id) records for
-    * consumer-side dedupe. `transactional_id` still maps through to
-    * kafka.transactional.id so brokers fence zombie producers per task.
+    * consumer-side dedupe. Broker-fenced transactions would need a
+    * hand-rolled `foreachPartition` producer loop with per-task
+    * transactional ids and a commit coordinator; that is out of scope and
+    * documented in README §EOS. `transactional_id` is accepted (config
+    * compatibility with reference yaml) but never passed to the producer.
     */
   def kafkaSinkOptions(o: Map[String, String]): Map[String, String] = {
     val base = Map(
@@ -80,10 +88,7 @@ object Engine {
     val withComp = o.get("compression").fold(withAcks)(t => withAcks + ("kafka.compression.type" -> t))
     val withClient = o.get("client_id").fold(withComp)(i => withComp + ("kafka.client.id" -> i))
     if (o.get("exactly_once").contains("true"))
-      withClient +
-        ("kafka.transactional.id" -> o.getOrElse("transactional_id",
-          throw new IllegalArgumentException("kafka output: exactly_once requires transactional_id"))) +
-        ("kafka.enable.idempotence" -> "true")
+      withClient + ("kafka.enable.idempotence" -> "true") + ("kafka.acks" -> "all")
     else withClient
   }
 
@@ -132,6 +137,18 @@ object Engine {
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
+  /** Provably-zero-rows from the optimized plan alone — never a Spark job.
+    * True for the accumulator's held-back sentinel (`limit(0)` collapses
+    * to an empty LocalRelation) and for empty MemoryStream micro-batches;
+    * frames that merely COMPUTE to zero rows stay false and still write,
+    * like the reference's empty batches. */
+  def staticallyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   /** A running stream: the pipeline folds over each micro-batch; a failed
     * batch routes whole to the error sink (stream/mod.rs:485-516
     * `ProcessorData::Err`) instead of killing the query.
@@ -149,26 +166,31 @@ object Engine {
     queryName.foreach(n => w = w.queryName(n))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
       try {
-        // Empty batch = the reference's `ProcessorResult::None`: skip the
-        // pipeline entirely (also keeps per-batch JSON inference away from
-        // zero-row frames, which infer an empty schema).
-        if (!batch.isEmpty) {
-          val out = processors.foldLeft(batch) { (df, p) =>
-            p match {
-              case b: BatchIdAware => b(df, batchId)
-              case _ => p(df)
+        // Statically-empty batch (optimizer-collapsed empty LocalRelation —
+        // what MemoryStream/no-data triggers produce) = the reference's
+        // `ProcessorResult::None`: skip the pipeline. Detected from the
+        // plan only — no per-batch probe job; sources whose empty batches
+        // aren't statically visible are handled by JsonToArrow's own
+        // zero-row inference guard (Codecs.JsonCodec).
+        if (!staticallyEmpty(batch)) {
+          // Fold with a held-back short-circuit: when a BatchIdAware
+          // processor (the accumulator) returns the held-back sentinel
+          // (empty LocalRelation), the REMAINING processors and the sink
+          // are skipped for this micro-batch — the reference's `None`
+          // short-circuits the whole pipeline (pipeline/mod.rs:57-85); a
+          // downstream aggregate would otherwise turn the empty frame
+          // into a spurious count=0 row.
+          var out = batch
+          var heldBack = false
+          val it = processors.iterator
+          while (it.hasNext && !heldBack) {
+            out = it.next() match {
+              case b: BatchIdAware =>
+                val r = b(out, batchId)
+                heldBack = staticallyEmpty(r)
+                r
+              case p => p(out)
             }
-          }
-          // a processor returning a statically-empty frame (the
-          // accumulator's limit(0), collapsed by the optimizer to an empty
-          // LocalRelation) = the reference's `None`: nothing to write.
-          // Detected from the plan — no probe job per micro-batch; outputs
-          // that merely COMPUTE to zero rows still write, like the
-          // reference's empty batches.
-          val heldBack = out.queryExecution.optimizedPlan match {
-            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-              l.data.isEmpty
-            case _ => false
           }
           if (!heldBack) sink.write(out, batchId)
         }
@@ -289,10 +311,26 @@ object Engine {
             .getOrElse(Trigger.ProcessingTime(0L)),
           checkpoint = s.input.options.get("checkpoint")))
       else {
-        // batch input: run the pipeline once, EOF semantics.
-        val out = procs.foldLeft(in)((df, p) => p(df))
-        sink.write(out, 0L)
+        runBatch(in, procs, sink, err)
         None
       }
+    }
+
+  /** Batch input: run the pipeline once, EOF semantics — with the same
+    * NonFatal error_output divert the streaming path has (a failing batch
+    * pipeline routes the input whole, tagged `__error`, to the error sink
+    * instead of throwing). */
+  def runBatch(in: DataFrame, procs: Seq[Processors.BatchTransform],
+      sink: BatchSink, err: Option[BatchSink]): Unit =
+    try {
+      val out = procs.foldLeft(in)((df, p) => p(df))
+      sink.write(out, 0L)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        err match {
+          case Some(errSink) =>
+            errSink.write(in.withColumn("__error", lit(e.getMessage)), 0L)
+          case None => throw e
+        }
     }
 }

@@ -93,20 +93,36 @@ object Jdbc {
       maxKeys: Int = 10000): DataFrame => DataFrame = { batch =>
     // batchKeyCol may be any SQL expression over the batch (the
     // reference's key expression, processor/sql.rs:148-183)
-    val keys = batch.select(expr(batchKeyCol)).distinct().limit(maxKeys + 1)
-      .collect().map(_.get(0))
+    val projected = batch.select(expr(batchKeyCol)).distinct().limit(maxKeys + 1)
+    val keyType = projected.schema.head.dataType
+    val keys = projected.collect().map(_.get(0)).filter(_ != null)
     val sql = o("select_sql")
     val filtered =
       if (keys.length > maxKeys) sql
       else {
-        val inList = keys.map {
-          case s: String => "'" + s.replace("'", "''") + "'"
-          case other => other.toString
-        }.mkString(", ")
+        val inList = keys.map(sqlLiteral(_, keyType)).mkString(", ")
         if (keys.isEmpty) s"SELECT * FROM ($sql) t WHERE 1 = 0"
         else s"SELECT * FROM ($sql) t WHERE t.$remoteKeyCol IN ($inList)"
       }
     read(spark, o + ("select_sql" -> filtered) - "partition_column")
+  }
+
+  /** Render one key as a SQL literal by its Catalyst type — dates and
+    * timestamps as JDBC escape literals (`{d '...'}`/`{ts '...'}`, which
+    * every JDBC driver translates to its own dialect — a bare `toString`
+    * would compare a DATE column against a VARCHAR and miss or error),
+    * strings quote-escaped, numerics/booleans verbatim. */
+  private[streaming] def sqlLiteral(v: Any, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType | BooleanType => v.toString
+      case DateType => s"{d '${v.toString}'}"
+      case TimestampType | TimestampNTZType =>
+        // java.sql.Timestamp.toString is `yyyy-mm-dd hh:mm:ss.f...` — the
+        // JDBC timestamp escape body.
+        s"{ts '${v.toString}'}"
+      case _ => "'" + v.toString.replace("'", "''") + "'"
+    }
   }
 
   /** Driver-side DDL/DML helper (tests, delete-before-insert). */

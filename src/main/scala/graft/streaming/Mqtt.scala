@@ -56,7 +56,11 @@ object Mqtt {
       val first = in.read()
       if (first == -1) throw new java.io.EOFException
       var len = 0; var shift = 0; var d = 0
-      while ({ d = in.read(); len |= (d & 0x7f) << shift; shift += 7; (d & 0x80) != 0 }) ()
+      while ({
+        d = in.read()
+        if (d == -1) throw new java.io.EOFException("mqtt: peer closed mid-frame")
+        len |= (d & 0x7f) << shift; shift += 7; (d & 0x80) != 0
+      }) ()
       val body = new Array[Byte](len)
       var off = 0
       while (off < len) {

@@ -46,8 +46,10 @@ object Nats {
     private[Nats] def readLine(): String = {
       val sb = new StringBuilder
       var c = in.read()
-      if (c == -1) throw new java.io.EOFException
-      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      while (c != '\r') {
+        if (c == -1) throw new java.io.EOFException("nats: peer closed mid-line")
+        sb.append(c.toChar); c = in.read()
+      }
       in.read() // \n
       sb.toString
     }

@@ -140,6 +140,28 @@ object Processors {
       }
     }
 
+    /** Per-partition pending stats, derived once from parquet FOOTERS
+      * (metadata-only — never a Spark job, never a data read) and cached:
+      * a partition's stats refresh only when it is just-written (replay
+      * overwrite) or absent from the cache (fresh restart). Flush checks
+      * are therefore O(1) amortized per micro-batch; the data itself is
+      * read exactly once, at flush. */
+    private case class PartStat(rows: Long, bytes: Long, mtimeMs: Long)
+    private val stagedStats = scala.collection.mutable.Map[Long, PartStat]()
+
+    private def readPartStat(fs: org.apache.hadoop.fs.FileSystem,
+        conf: org.apache.hadoop.conf.Configuration,
+        dir: org.apache.hadoop.fs.FileStatus): PartStat = {
+      val files = fs.listStatus(dir.getPath)
+        .filter(f => !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      val rows = files.filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      PartStat(rows, files.map(_.getLen).sum, dir.getModificationTime)
+    }
+
     private def applyStaged(batch: DataFrame, batchId: Long, path: String): DataFrame = {
       val spark = batch.sparkSession
       batch.withColumn("__acc_batch", lit(batchId))
@@ -147,22 +169,28 @@ object Processors {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__acc_batch")
         .parquet(path)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       val flushedUpto = readMarker(fs, path)
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      val pending = fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__acc_batch="))
-        .filter(_.getPath.getName.stripPrefix("__acc_batch=").toLong > flushedUpto)
-      val bytes = parts.map(p => fs.getContentSummary(p.getPath).getLength).sum
-      val oldestMs = if (parts.isEmpty) Long.MaxValue
-        else parts.map(_.getModificationTime).min
-      val ageMs = if (parts.isEmpty) 0L else System.currentTimeMillis() - oldestMs
-      val staged = spark.read.parquet(path)
-        .filter(col("__acc_batch") > flushedUpto)
-      val n = staged.count()
+        .map(s => s.getPath.getName.stripPrefix("__acc_batch=").toLong -> s)
+        .filter(_._1 > flushedUpto)
+      stagedStats.filterInPlace((id, _) => id > flushedUpto)
+      pending.foreach { case (id, dir) =>
+        if (id == batchId || !stagedStats.contains(id))
+          stagedStats(id) = readPartStat(fs, conf, dir)
+      }
+      val n = stagedStats.valuesIterator.map(_.rows).sum
+      val bytes = stagedStats.valuesIterator.map(_.bytes).sum
+      val ageMs = if (stagedStats.isEmpty) 0L
+        else System.currentTimeMillis() - stagedStats.valuesIterator.map(_.mtimeMs).min
       if (shouldFlush(n, bytes, ageMs)) {
         writeMarker(fs, path, batchId)
-        staged.drop("__acc_batch")
+        stagedStats.clear()
+        spark.read.parquet(path)
+          .filter(col("__acc_batch") > flushedUpto)
+          .drop("__acc_batch")
       } else batch.limit(0)
     }
 

@@ -41,7 +41,10 @@ object Redis {
     private def readLine(): String = {
       val sb = new StringBuilder
       var c = in.read()
-      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      while (c != '\r') {
+        if (c == -1) throw new java.io.EOFException("redis: peer closed mid-reply")
+        sb.append(c.toChar); c = in.read()
+      }
       in.read() // \n
       sb.toString
     }
@@ -56,7 +59,11 @@ object Redis {
         else {
           val buf = new Array[Byte](n)
           var off = 0
-          while (off < n) off += in.read(buf, off, n - off)
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            if (r < 0) throw new java.io.EOFException("redis: peer closed mid-bulk")
+            off += r
+          }
           in.read(); in.read() // trailing \r\n
           new String(buf, StandardCharsets.UTF_8)
         }
@@ -97,22 +104,34 @@ object Redis {
   }
 
   /** Temporary lookup (plugin/temporary/redis.rs): the batch's distinct
-    * keys (bounded) fetch via one MGET; the (key, value) result joins in
-    * broadcast through [[Processors.LookupSqlProcessor]]. */
+    * keys fetch via MGET, chunked at `mgetChunk` keys per command so no
+    * key is ever silently dropped (unlike an IN-list there is no server
+    * cost cliff — MGET is O(keys) regardless of how they are batched);
+    * the (key, value) result joins in broadcast through
+    * [[Processors.LookupSqlProcessor]]. `maxKeys` bounds what the driver
+    * will ship in one batch — beyond it the lookup FAILS LOUDLY rather
+    * than returning silent nulls for the overflow keys (the JDBC
+    * provider's unfiltered-query fallback has no MGET analogue). */
   def lookupProvider(spark: SparkSession, host: String, port: Int,
-      batchKeyCol: String, maxKeys: Int = 10000): DataFrame => DataFrame = { batch =>
+      batchKeyCol: String, maxKeys: Int = 100000,
+      mgetChunk: Int = 1000): DataFrame => DataFrame = { batch =>
     import spark.implicits._
     // batchKeyCol may be any SQL expression over the batch
     val keys = batch.select(expr(batchKeyCol).cast("string")).distinct()
-      .limit(maxKeys).as[String].collect().toSeq
+      .limit(maxKeys + 1).as[String].collect().toSeq
+    if (keys.length > maxKeys)
+      throw new IllegalStateException(
+        s"redis lookup: batch has more than $maxKeys distinct keys; " +
+          "raise maxKeys or pre-aggregate the key expression")
     val values =
       if (keys.isEmpty) Seq.empty[(String, String)]
       else {
         val conn = new Conn(host, port)
-        try {
-          val replies = conn.command("MGET" +: keys: _*).asInstanceOf[Seq[Any]]
-          keys.zip(replies).collect { case (k, v: String) => (k, v) }
-        } finally conn.close()
+        try keys.grouped(mgetChunk).flatMap { chunk =>
+          val replies = conn.command("MGET" +: chunk: _*).asInstanceOf[Seq[Any]]
+          chunk.zip(replies).collect { case (k, v: String) => (k, v) }
+        }.toSeq
+        finally conn.close()
       }
     values.toDF("key", "value")
   }

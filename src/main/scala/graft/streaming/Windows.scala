@@ -79,6 +79,58 @@ object Windows {
         slidingFunc(windowSize, slideSize))
   }
 
+  // ---- streaming as-of join ----
+
+  /** One event of either side of a streaming as-of join: `side` is
+    * "left" (probe) or "right" (reference state). */
+  final case class AsOfEvent(key: String, time: Long, side: String, payload: String)
+  final case class AsOfMatch(key: String, leftTime: Long, leftPayload: String,
+                             rightTime: Option[Long], rightPayload: Option[String])
+
+  /** State function of [[streamingAsOf]]: per key, the right rows seen so
+    * far ride in state as a time-sorted buffer capped at `maxRightBuffer`
+    * (oldest evicted first — per-key state stays O(buffer), never
+    * O(stream)). Each left event matches the LATEST right with
+    * `time <= leftTime` among rights seen so far — the micro-batch twin
+    * of [[graft.plans.AsOfJoinExec]]'s backward direction. Rights in the
+    * SAME micro-batch as the left are visible (merged before matching);
+    * a right arriving in a LATER batch than a left that would have
+    * matched it cannot retro-update an already-emitted row — arrival-time
+    * semantics, exactly like the reference's window join family
+    * (buffer/join.rs arrival windows). Pure — unit-testable with
+    * TestGroupState. */
+  def asOfFunc(maxRightBuffer: Int)(
+      key: String, rows: Iterator[AsOfEvent],
+      state: GroupState[Seq[(Long, String)]]): Iterator[AsOfMatch] = {
+    val events = rows.toSeq
+    val newRights = events.filter(_.side == "right").map(e => (e.time, e.payload))
+    val buf = (state.getOption.getOrElse(Seq.empty) ++ newRights)
+      .sortBy(_._1).takeRight(maxRightBuffer)
+    state.update(buf)
+    events.filter(_.side == "left").sortBy(_.time).iterator.map { l =>
+      buf.takeWhile(_._1 <= l.time).lastOption match {
+        case Some((rt, rp)) => AsOfMatch(key, l.time, l.payload, Some(rt), Some(rp))
+        case None => AsOfMatch(key, l.time, l.payload, None, None)
+      }
+    }
+  }
+
+  /** Streaming as-of join over a union-tagged event stream (tag left and
+    * right sides into [[AsOfEvent]], e.g. via [[unionTagged]] + a map).
+    * Batch pipelines should use [[graft.plans.AsOf.join]] (the custom
+    * exec — a single sorted merge, no per-key state); this is the
+    * unbounded-stream shape where the right side must persist across
+    * micro-batches as keyed state. */
+  def streamingAsOf(ds: Dataset[AsOfEvent],
+                    maxRightBuffer: Int = 1024): Dataset[AsOfMatch] = {
+    require(maxRightBuffer > 0, s"maxRightBuffer must be positive, got $maxRightBuffer")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        asOfFunc(maxRightBuffer))
+  }
+
   // ---- processing-time session window ----
 
   final case class SessionAgg(n: Long, sum: Double, openedMs: Long)

@@ -61,10 +61,10 @@ object GraftArrowPipe {
          |if writer is not None:
          |    writer.close()
          |""".stripMargin
-    val scriptFile = java.nio.file.Files.createTempFile("graft_py_proc", ".py")
-    java.nio.file.Files.writeString(scriptFile, script)
-    scriptFile.toFile.deleteOnExit()
-    pipePartitions(df, Seq("python3", scriptFile.toString), outSchema, batchSize)
+    // The script travels INSIDE the task closure (as an argv element), so
+    // it exists wherever the task runs — a driver-local temp file would be
+    // missing on every executor host of a real cluster.
+    pipePartitions(df, Seq("python3", "-c", script), outSchema, batchSize)
   }
 
   /** Arrow IPC FILE format input (the reference file input's `arrow`

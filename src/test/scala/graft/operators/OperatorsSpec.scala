@@ -115,6 +115,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(first.digest == firstCols.getString(5))
   }
 
+  test("simhash library default is 32 bits and banded pairing matches brute force at that width") {
+    import org.apache.spark.sql.functions._
+    graft.functions.Shims.register(spark)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val sh = Dedup.simhash(docs, "doc_id", "text") // library default: 32 bits
+    assert(sh.select(length(col("simhash"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(32),
+      "default signature width must be 32 (SCALING.md: 16-bit saturates at ~20k docs)")
+    val banded = Dedup.simhashBandedPairs(sh, maxDist = 2) // default bits = 32
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force all-pairs hamming on the same 32-bit signatures
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", expr("hamming_distance(sa, sb)"))
+      .filter(col("dist") <= 2)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded 32-bit pairing diverged from brute force: ${banded.diff(brute)} / ${brute.diff(banded)}")
+  }
+
   test("minhash finds high-jaccard pairs and dedup_exact groups are consistent") {
     val pairs = Dedup.minhashPairs(graft.Tables.load(spark, sf, "documents"), "doc_id", "text")
     assert(pairs.count() >= 0) // shape check: columns + no self-pairs

@@ -188,6 +188,7 @@ class ConnectorSpec extends AnyFunSuite {
   /** In-memory RESP2 server: SET/GET/MGET/LPUSH/LPOP/PUBLISH. */
   private final class FakeRedis {
     val strings = new scala.collection.concurrent.TrieMap[String, String]()
+    val mgetCalls = new java.util.concurrent.atomic.AtomicInteger()
     val lists = new scala.collection.concurrent.TrieMap[String, scala.collection.mutable.ListBuffer[String]]()
     val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     private val server = new java.net.ServerSocket(0, 16,
@@ -214,8 +215,10 @@ class ConnectorSpec extends AnyFunSuite {
         args.head.toUpperCase match {
           case "SET" => strings.put(args(1), args(2)); reply("+OK\r\n")
           case "GET" => reply(bulk(strings.get(args(1)).orNull))
-          case "MGET" => reply(s"*${args.size - 1}\r\n" +
-            args.tail.map(k => bulk(strings.get(k).orNull)).mkString)
+          case "MGET" =>
+            mgetCalls.incrementAndGet()
+            reply(s"*${args.size - 1}\r\n" +
+              args.tail.map(k => bulk(strings.get(k).orNull)).mkString)
           case "LPUSH" =>
             val l = lists.getOrElseUpdate(args(1), scala.collection.mutable.ListBuffer())
             l.synchronized { args.drop(2).foreach(_ +=: l) }
@@ -267,6 +270,57 @@ class ConnectorSpec extends AnyFunSuite {
       assert(out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet ==
         Set(("temp_1", 5L, "room_a"), ("temp_2", 7L, "room_b")))
     } finally redis.stop()
+  }
+
+  test("redis lookup chunks MGET over ALL keys — no silent truncation — and fails loudly past maxKeys") {
+    val redis = new FakeRedis
+    try {
+      redis.strings ++= (1 to 5).map(i => s"k$i" -> s"v$i").toMap
+      val batch = (1 to 5).map(i => s"k$i").toDF("k")
+      // chunk size 2 over 5 keys -> 3 MGET commands, every key resolved
+      val provider = Redis.lookupProvider(spark, "127.0.0.1", redis.port,
+        "k", maxKeys = 100, mgetChunk = 2)
+      val out = provider(batch).collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == (1 to 5).map(i => (s"k$i", s"v$i")).toSet,
+        "chunked MGET dropped keys")
+      assert(redis.mgetCalls.get() == 3, s"expected 3 MGET chunks, got ${redis.mgetCalls.get()}")
+      // beyond maxKeys the lookup must fail loudly, not null out overflow keys
+      val overflow = Redis.lookupProvider(spark, "127.0.0.1", redis.port,
+        "k", maxKeys = 3)
+      val e = intercept[IllegalStateException](overflow(batch).collect())
+      assert(e.getMessage.contains("distinct keys"))
+    } finally redis.stop()
+  }
+
+  test("protocol clients raise EOFException on peer disconnect mid-reply (never spin)") {
+    // a server that accepts, writes a PARTIAL reply, then closes
+    def partialServer(partial: Array[Byte]): java.net.ServerSocket = {
+      val srv = new java.net.ServerSocket(0, 4, java.net.InetAddress.getByName("127.0.0.1"))
+      val t = new Thread(() => {
+        try {
+          val s = srv.accept()
+          s.getOutputStream.write(partial); s.getOutputStream.flush()
+          Thread.sleep(100); s.close()
+        } catch { case _: Exception => () }
+      })
+      t.setDaemon(true); t.start()
+      srv
+    }
+    // redis: simple-string reply cut before \r\n
+    val r = partialServer("+OK".getBytes(StandardCharsets.UTF_8))
+    try {
+      val conn = new Redis.Conn("127.0.0.1", r.getLocalPort)
+      try intercept[java.io.EOFException](conn.command("PING"))
+      finally conn.close()
+    } finally r.close()
+    // nats: INFO line cut mid-line (constructor reads it)
+    val n = partialServer("INFO {".getBytes(StandardCharsets.UTF_8))
+    try intercept[java.io.EOFException](new Nats.Conn("127.0.0.1", n.getLocalPort))
+    finally n.close()
+    // mqtt: CONNACK first byte sent, remaining-length varint cut by close
+    val m = partialServer(Array[Byte](0x20))
+    try intercept[java.io.EOFException](new Mqtt.Conn("127.0.0.1", m.getLocalPort, "c1"))
+    finally m.close()
   }
 
   test("redis input drains a list with EOF semantics (input/redis.rs)") {

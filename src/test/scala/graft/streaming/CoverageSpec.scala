@@ -121,6 +121,58 @@ class CoverageSpec extends AnyFunSuite {
     assert(salted.length == plain.length && (salted sameElements plain))
   }
 
+  test("control plane serves stream status/lastProgress and stops a query (arkflow-server)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def get(url: String, token: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    def post(url: String, token: Option[String]): Int = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod("POST")
+        token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+        c.getResponseCode
+      } finally c.disconnect()
+    }
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(), Seq(), sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      queryName = Some("cp_stream"))
+    val cp = new ControlPlane(spark, 0, bearerToken = Some("cp-tok"))
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      ms.addData(1, 2, 3)
+      q.processAllAvailable()
+      // middleware: no/bad token is rejected before any state leaks
+      assert(get(s"$base/streams")._1 == 401)
+      val tok = Some("cp-tok")
+      val (sysCode, sysBody) = get(s"$base/system", tok)
+      assert(sysCode == 200 && sysBody.contains("\"sparkVersion\""))
+      val (lc, listing) = get(s"$base/streams", tok)
+      assert(lc == 200 && listing.contains("\"cp_stream\""))
+      // detail by NAME: Spark's own status + lastProgress JSON ride through
+      val (dc, detail) = get(s"$base/streams/cp_stream", tok)
+      assert(dc == 200 && detail.contains("\"isTriggerActive\""))
+      assert(detail.contains("\"numInputRows\""), s"no progress in: $detail")
+      // detail by UUID id too (the reference's {id} route)
+      assert(get(s"$base/streams/${q.id}", tok)._1 == 200)
+      assert(get(s"$base/streams/nope", tok)._1 == 404)
+      // stop through the API
+      assert(post(s"$base/streams/cp_stream/stop", tok) == 200)
+      assert(!q.isActive, "POST /streams/{id}/stop must stop the query")
+    } finally { cp.stop(); if (q.isActive) q.stop() }
+  }
+
   test("mllib LSH ANN finds neighbors consistent with brute force") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val lsh = graft.operators.Similarity.mllibLshKnn(emb, queryId = 0L, k = 5)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -172,6 +173,89 @@ class DurabilitySpec extends AnyFunSuite {
     // nothing new (downstream idempotent sinks keep the original write)
     val acc3 = new Processors.BatchAccumulator(minRows = 3, staging = Some(path))
     assert(acc3(Seq(3, 4).toDF("x"), batchId = 1L).count() == 0)
+  }
+
+  /** Count Spark jobs submitted while `f` runs (any thread). */
+  private def countJobs(f: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(300) } // let the listener bus drain
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("staged accumulator flush checks are metadata-only: no data re-read per batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_acc_o1").toString
+    val acc = new Processors.BatchAccumulator(minRows = 100, staging = Some(s"$base/stage"))
+    def batchDf(ids: Int*) = ids.toDF("x")
+    // baseline: the SAME dynamic-overwrite partitioned write, alone
+    val baseline = countJobs {
+      batchDf(1, 2).withColumn("__acc_batch", lit(99L))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__acc_batch").parquet(s"$base/baseline")
+    }
+    // each sub-threshold batch must cost exactly the staging write — the
+    // pending row count comes from parquet FOOTERS (cached), never from a
+    // Spark job re-reading every pending partition (the round-2 shape was
+    // O(pending) data reads per batch)
+    val first = countJobs(acc(batchDf(1, 2), batchId = 0L))
+    val second = countJobs(acc(batchDf(3, 4), batchId = 1L))
+    val tenth = countJobs(acc(batchDf(5, 6), batchId = 2L))
+    assert(first == baseline, s"batch 0 launched $first jobs vs write-only $baseline")
+    assert(second == baseline, s"batch 1 launched $second jobs vs write-only $baseline")
+    assert(tenth == baseline, s"batch 2 launched $tenth jobs vs write-only $baseline")
+    // a fresh accumulator over the same dir (restart) re-reads footers,
+    // still without a Spark job
+    val acc2 = new Processors.BatchAccumulator(minRows = 100, staging = Some(s"$base/stage"))
+    val afterRestart = countJobs(acc2(batchDf(7, 8), batchId = 3L))
+    assert(afterRestart == baseline,
+      s"restart flush check launched $afterRestart jobs vs write-only $baseline")
+    // the data is read exactly once: at flush
+    val flushed = new Processors.BatchAccumulator(minRows = 1, staging = Some(s"$base/stage"))(
+      batchDf(9), batchId = 4L)
+    assert(flushed.as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5, 6, 7, 8, 9))
+  }
+
+  test("held-back batches short-circuit the remaining pipeline (no spurious agg rows)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    // accumulator FOLLOWED BY an aggregating sql: a held-back empty frame
+    // fed into count(*) would emit a count=0 row — the reference's `None`
+    // short-circuits the rest of the pipeline instead (pipeline/mod.rs).
+    val q = Engine.start(ms.toDF(),
+      Seq(new Processors.BatchAccumulator(minRows = 3),
+        Processors.SqlProcessor("SELECT count(*) AS n FROM flow")),
+      sink,
+      // AvailableNow would stop after the first round; accumulation needs
+      // the query alive across both addData rounds
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    ms.addData(1, 2) // below threshold: held back
+    q.processAllAvailable()
+    assert(sink.rows.isEmpty, s"held-back batch leaked through the agg: ${sink.rows}")
+    ms.addData(3) // 2 pending + 1 >= 3: flush
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.map(_.getLong(0)) == Seq(3L))
+  }
+
+  test("no per-micro-batch emptiness probe job (static detection only)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(), Seq(), sink)
+    ms.addData(1, 2, 3)
+    val jobs = countJobs(q.processAllAvailable())
+    q.stop()
+    assert(sink.rows.map(_.getInt(0)).sorted == Seq(1, 2, 3))
+    // exactly the sink's collect job — the round-2 shape launched an extra
+    // batch.isEmpty probe job before every pipeline run
+    assert(jobs <= 1, s"micro-batch launched $jobs jobs; expected just the sink collect")
   }
 
   test("weighted percentile matches hand computation") {

@@ -102,6 +102,24 @@ class JdbcHttpSpec extends AnyFunSuite {
       Set(("temp_1", 10L, "room_a"), ("temp_1", 5L, "room_a"), ("temp_2", 15L, "room_b")))
   }
 
+  test("jdbc lookup renders non-string key types as typed SQL literals (DATE keys)") {
+    val url = derbyUrl()
+    Jdbc.execute(url,
+      """CREATE TABLE day_rates ("d" DATE, "rate" INT)""",
+      """INSERT INTO day_rates VALUES (DATE('2024-03-01'), 10), (DATE('2024-03-02'), 20), (DATE('2024-03-09'), 99)""")
+    val batch = Seq("2024-03-01", "2024-03-02")
+      .toDF("ds").select(to_date(col("ds")).as("day"))
+    val provider = Jdbc.lookupProvider(spark,
+      Map("url" -> url,
+        "select_sql" -> """SELECT "d" AS dkey, "rate" AS rate FROM day_rates"""),
+      batchKeyCol = "day", remoteKeyCol = "dkey")
+    // a bare toString would compare DATE against VARCHAR and either error
+    // or miss; the typed DATE literal must fetch exactly the batch's days
+    val fetched = provider(batch).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1))).toSet
+    assert(fetched == Set(("2024-03-01", 10), ("2024-03-02", 20)))
+  }
+
   test("http output POSTs NDJSON from executors with bearer auth (output/http.rs)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val authed = new java.util.concurrent.atomic.AtomicBoolean(true)
@@ -198,19 +216,24 @@ class JdbcHttpSpec extends AnyFunSuite {
 
   test("kafka sink options map the reference output config incl. EOS boundary") {
     val opts = Engine.kafkaSinkOptions(Map(
-      "brokers" -> "b1:9092", "topic" -> "out", "acks" -> "all",
+      "brokers" -> "b1:9092", "topic" -> "out",
       "compression" -> "lz4", "client_id" -> "c1",
       "exactly_once" -> "true", "transactional_id" -> "tx-graft-1"))
     assert(opts("kafka.bootstrap.servers") == "b1:9092")
     assert(opts("topic") == "out")
-    assert(opts("kafka.acks") == "all")
     assert(opts("kafka.compression.type") == "lz4")
     assert(opts("kafka.client.id") == "c1")
-    assert(opts("kafka.transactional.id") == "tx-graft-1")
+    // exactly_once must NEVER configure transactional.id on Spark's
+    // producer: Spark never calls initTransactions(), so a transactional
+    // producer throws IllegalStateException on the first send() — the EOS
+    // guarantee is idempotence + checkpointed batch_id headers instead.
+    assert(!opts.contains("kafka.transactional.id"))
     assert(opts("kafka.enable.idempotence") == "true")
-    // exactly_once without a stable transactional id must be rejected
-    intercept[IllegalArgumentException](
-      Engine.kafkaSinkOptions(Map("topic" -> "t", "exactly_once" -> "true")))
+    assert(opts("kafka.acks") == "all", "idempotence requires acks=all")
+    // without exactly_once neither idempotence nor acks are forced
+    val plain = Engine.kafkaSinkOptions(Map("topic" -> "t", "acks" -> "1"))
+    assert(!plain.contains("kafka.enable.idempotence"))
+    assert(plain("kafka.acks") == "1")
     // sinkFromConf resolves the kafka kind
     assert(Engine.sinkFromConf(ComponentConf("kafka",
       Map("topic" -> "t"))).isInstanceOf[Engine.KafkaSink])

@@ -195,6 +195,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.rows.head.schema.fieldNames.contains("__error"))
   }
 
+  test("failing BATCH pipelines route to error_output too (parity with streaming)") {
+    val sink = new Engine.MemorySink
+    val err = new Engine.MemorySink
+    Engine.runBatch(envelope(sensorJson.head),
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT no_such_column FROM flow")),
+      sink, Some(err))
+    assert(sink.rows.isEmpty)
+    assert(err.rows.size == 1)
+    assert(err.rows.head.schema.fieldNames.contains("__error"))
+    // without an error sink the failure propagates, like streaming
+    intercept[Exception](Engine.runBatch(envelope(sensorJson.head),
+      Seq(Processors.JsonToArrow(),
+        Processors.SqlProcessor("SELECT no_such_column FROM flow")),
+      sink, None))
+  }
+
   test("temporary lookup joins a side table into the sql (processor/sql.rs:148-183)") {
     val lookup = Processors.TemporaryLookup("sensor_info",
       _ => Seq(("temp_1", "room_a"), ("temp_2", "room_b")).toDF("sensor", "room"))
@@ -263,6 +280,48 @@ class StreamingSpec extends AnyFunSuite {
     val windows = spark.table("slide_out").as[Windows.SlideOut]
       .collect().map(_.window.toList).toList
     assert(windows == List(List(1.0, 2.0, 3.0), List(3.0, 4.0, 5.0), List(5.0, 6.0, 7.0)))
+  }
+
+  test("streaming as-of join matches latest right state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Windows.AsOfEvent]
+    val out = Windows.streamingAsOf(ms.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    // batch 0: two rights and one left (same-batch rights are visible)
+    ms.addData(
+      Windows.AsOfEvent("k", 10L, "right", "r10"),
+      Windows.AsOfEvent("k", 20L, "right", "r20"),
+      Windows.AsOfEvent("k", 15L, "left", "l15"))
+    q.processAllAvailable()
+    // batch 1: rights persist in state; a left before any right gets null
+    ms.addData(
+      Windows.AsOfEvent("k", 25L, "left", "l25"),
+      Windows.AsOfEvent("k", 5L, "left", "l05"),
+      Windows.AsOfEvent("other", 7L, "left", "lo"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("asof_out").as[Windows.AsOfMatch]
+      .collect().map(m => (m.key, m.leftPayload, m.rightPayload)).toSet
+    assert(rows == Set(
+      ("k", "l15", Some("r10")),   // latest right <= 15 is r10
+      ("k", "l25", Some("r20")),   // state carried r20 into batch 1
+      ("k", "l05", None),          // no right at or before t=5
+      ("other", "lo", None)))      // keys never mix
+  }
+
+  test("streaming as-of state buffer evicts oldest rights at maxRightBuffer") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val f = Windows.asOfFunc(maxRightBuffer = 2) _
+    val s = TestGroupState.create[Seq[(Long, String)]](
+      Optional.of(Seq(1L -> "r1", 2L -> "r2")), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty(), hasTimedOut = false)
+    val out = f("k", Iterator(
+      Windows.AsOfEvent("k", 3L, "right", "r3"),
+      Windows.AsOfEvent("k", 10L, "left", "l")), s).toSeq
+    // cap 2: r1 evicted, r2/r3 retained, left matches the latest
+    assert(s.get == Seq(2L -> "r2", 3L -> "r3"))
+    assert(out == Seq(Windows.AsOfMatch("k", 10L, "l", Some(3L), Some("r3"))))
   }
 
   test("session state function accumulates then emits on timeout (session_window.rs:40-49)") {
