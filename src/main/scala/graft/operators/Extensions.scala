@@ -140,6 +140,25 @@ object Extensions {
         .orderBy(col("event_id"))
     }),
 
+    // AS-OF JOIN with a match-gap tolerance (pandas merge_asof
+    // `tolerance=` semantics) through the same custom exec: a click whose
+    // latest preceding purchase is older than 1 day gets nulls. The
+    // closest-candidate property makes this exact: if the latest
+    // purchase <= t is outside the gap, every earlier one is too.
+    "q73_asof_tolerance" -> ((s, dir) => {
+      Tables.register(s, dir)
+      val clicks = s.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'")
+      val purchases = s.sql(
+        "SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'")
+      graft.plans.AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+          tolerance = Some(86400L * 1000000000L)) // 1 day in ns
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("click_us"),
+          expr("p_ts DIV 1000").as("purchase_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Weighted discrete percentile via the Aggregator UDAF (the
     // reference's *_with_weight surface, exact semantics).
     "q64_weighted_percentile" -> ((s, dir) => {
@@ -246,6 +265,18 @@ object Extensions {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // DuckDB ASOF has no tolerance arg; the closest-candidate property
+    // lets the oracle NULL the match out in the projection instead.
+    "q73_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |       epoch_ns(c.ts) // 1000 AS click_us,
+        |       CASE WHEN epoch_ns(c.ts) - epoch_ns(p.ts) <= 86400000000000
+        |            THEN epoch_ns(p.ts) // 1000 END AS purchase_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
 
     // weight-expanded multiset + quantile_disc == weighted percentile

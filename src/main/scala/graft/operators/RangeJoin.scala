@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join — the non-equi join family every
+  * analytics engine needs (sessionization, validity windows, IP->geo
+  * lookups). Spark plans a raw `p BETWEEN s AND e` predicate as a
+  * BroadcastNestedLoopJoin (small side) or a cartesian product (two big
+  * sides) — O(n·m) row comparisons, the classic 100 TB trap.
+  *
+  * The scale-safe formulation is bin-bucketing: intervals explode into
+  * the fixed-width bins they cover, points map to their single bin, and
+  * an EQUI-join on the bin meets only same-bin candidates before the
+  * exact predicate filters them — O(candidates-per-bin) instead of
+  * O(n·m), shuffled and parallelized like any hash join.
+  *
+  * `binWidth` is the tuning knob: per-interval replication is
+  * `width/binWidth + 1` rows, per-bin candidate volume is
+  * `points-per-bin x intervals-per-bin`. Pick it near the typical
+  * interval width.
+  */
+object RangeJoin {
+
+  /** Join every point row to every interval row with
+    * `start <= point < end`, via the binned equi-join above. Point,
+    * start, and end must be integral (epoch units — cast first);
+    * output = point columns ++ interval columns. Column names must not
+    * collide (rename first), and values must be non-negative (bin
+    * arithmetic uses floor division).
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol)) // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        // last covered point of [s, e) is e-1
+        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    p.join(iv, "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // Per-order count of lineitems shipping inside the order's first day
+    // — a genuinely two-big-sides range join (600k points x 150k
+    // 1-day intervals at sf0.1 -> ~36M matched pairs flowing through a
+    // partial aggregation; PlanSpec asserts no BNLJ/cartesian).
+    "q71_range_join" -> ((s, dir) => {
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      val points = lineitem.select(
+        unix_timestamp(col("l_shipdate")).as("ship_s"))
+      val intervals = orders.select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("win_start"),
+        (unix_timestamp(col("o_orderdate")) + 86400L).as("win_end"))
+      pointInInterval(points, "ship_s", intervals,
+          "win_start", "win_end", binWidth = 86400L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q71_range_join" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_in_window
+        |FROM orders o JOIN lineitem l
+        |  ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
+        | AND epoch(l.l_shipdate) < epoch(o.o_orderdate) + 86400
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin
+  )
+}

@@ -1,15 +1,38 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import graft.Q.QueryFn
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: stopword-based language
   * ID, quality scoring, token counting (whitespace + BPE-ish regex),
-  * and content fingerprinting. All expressed as codegen-friendly
-  * column expressions — no UDFs — so they run inside whole-stage
-  * codegen at any scale.
+  * content fingerprinting, and PII redaction. All expressed as
+  * codegen-friendly column expressions — no UDFs — so they run inside
+  * whole-stage codegen at any scale.
   */
 object TextAnalysis {
+
+  // PII patterns written WITHOUT backslash escapes ('[.]' not '\.') so
+  // the identical string is a valid, equivalent regex in Java (Spark),
+  // RE2 (DuckDB oracle), and a SQL string literal in both dialects.
+  val UrlRe = "https://[a-z0-9./]+"
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+[.]com"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** Redact URLs, then emails, then phone numbers (fixed order — URLs
+    * first so an address inside a URL is not half-rewritten). Pure
+    * codegen `regexp_replace` chain: zero shuffle, scales with the scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(UrlRe), lit("[URL]")),
+        lit(EmailRe), lit("[EMAIL]")),
+      lit(PhoneRe), lit("[PHONE]"))
+
+  /** Occurrences of one PII pattern (for redaction audit columns). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
   private val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -95,13 +118,51 @@ object TextAnalysis {
     "q54_langid" -> Q.fromSql(q54Spark),
     "q55_quality_score" -> Q.fromSql(q55Spark),
     "q56_token_count" -> Q.fromSql(q56Spark),
-    "q57_fingerprint" -> Q.fromSql(q57Spark)
+    "q57_fingerprint" -> Q.fromSql(q57Spark),
+
+    // PII redaction + audit counts. The corpus has no natural PII, so
+    // the query plants a deterministic email/phone/URL per document from
+    // its own columns (identically in the oracle), then redacts.
+    "q72_pii_redact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" visit https://site.org/"), col("source"))
+      docs.select(col("doc_id"), synth.as("synth"))
+        .select(col("doc_id"),
+          redactPii(col("synth")).as("clean"),
+          piiCount(col("synth"), UrlRe).as("n_urls"),
+          piiCount(col("synth"), EmailRe).as("n_emails"),
+          piiCount(col("synth"), PhoneRe).as("n_phones"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "q54_langid" -> q54Duck,
     "q55_quality_score" -> q55Duck,
     "q56_token_count" -> q56Duck,
-    "q57_fingerprint" -> q57Duck
+    "q57_fingerprint" -> q57Duck,
+
+    "q72_pii_redact" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS STRING) ||
+         |    '@mail' || CAST(doc_id % 7 AS STRING) || '.com call 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ||
+         |    ' visit https://site.org/' || source AS synth
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(synth,
+         |    '$UrlRe', '[URL]', 'g'),
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(synth, '$UrlRe', 0)) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(synth, '$EmailRe', 0)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(synth, '$PhoneRe', 0)) AS BIGINT) AS n_phones
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
   )
 }

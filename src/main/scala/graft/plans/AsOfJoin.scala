@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -39,7 +40,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,6 +63,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
@@ -68,6 +71,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rPending: InternalRow = _
         private var lastMatch: InternalRow = _
         private var lastMatchKey = 0L
+        private var lastMatchTime = 0L
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -95,16 +99,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (rk == k && rtRaw.asInstanceOf[Long] < t) rPending = null
                 else advancing = false
               } else if (rk == k && rtRaw.asInstanceOf[Long] <= t) {
-                lastMatch = rPending.copy(); lastMatchKey = rk; rPending = null
+                lastMatch = rPending.copy(); lastMatchKey = rk
+                lastMatchTime = rtRaw.asInstanceOf[Long]; rPending = null
               } else advancing = false
             }
           }
+          // tolerance bounds the gap: the as-of match is the CLOSEST
+          // candidate, so if it exceeds the gap no other right can be
+          // inside it — emit null, not the next-closest.
           val r =
             if (forward) {
-              if (rPending != null && rKey.eval(rPending).asInstanceOf[Long] == k)
+              if (rPending != null && rKey.eval(rPending).asInstanceOf[Long] == k &&
+                  tol.forall(rTime.eval(rPending).asInstanceOf[Long] - t <= _))
                 rPending
               else nullRight
-            } else if (lastMatch != null && lastMatchKey == k) lastMatch
+            } else if (lastMatch != null && lastMatchKey == k &&
+                tol.forall(t - lastMatchTime <= _)) lastMatch
             else nullRight
           joined(l, r)
         }
@@ -119,8 +129,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -136,11 +146,15 @@ object AsOf {
   /** leftDf ASOF-LEFT-JOIN rightDf on key, rightTime <= leftTime.
     * Key/time columns must be LongType on both sides (cast first); output
     * is left columns followed by right columns (pre-rename collisions).
+    * `tolerance` (same units as the time columns) bounds the match gap:
+    * a left row whose closest candidate is further than the tolerance
+    * gets nulls — DuckDB/pandas `merge_asof(tolerance=...)` semantics.
     */
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKeyCol: String, leftTimeCol: String,
            rightKeyCol: String, rightTimeCol: String,
-           forward: Boolean = false): DataFrame = {
+           forward: Boolean = false,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -152,6 +166,6 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
     org.apache.spark.sql.GraftInternal.ofRows(spark, AsOfJoin(lp, rp,
       attr(lp, leftKeyCol), attr(lp, leftTimeCol),
-      attr(rp, rightKeyCol), attr(rp, rightTimeCol), forward))
+      attr(rp, rightKeyCol), attr(rp, rightTimeCol), forward, tolerance))
   }
 }

@@ -120,7 +120,8 @@ object Engine {
     case "memory" => new MemorySink
     case "sql" => Jdbc.JdbcSink(c.options("url"), c.options("table"), c.options)
     case "http" => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
-      c.options.getOrElse("rows_per_request", "1000").toInt)
+      c.options.getOrElse("rows_per_request", "1000").toInt,
+      c.options.getOrElse("retry_count", "0").toInt)
     case "kafka" => KafkaSink(c.options)
     case "influxdb" => Influx.InfluxSink(c.options)
     case "redis" => Redis.RedisSink(c.options("host"),

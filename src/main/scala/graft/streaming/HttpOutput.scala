@@ -8,31 +8,53 @@ import org.apache.spark.sql.DataFrame
   * [[HttpInput]]: rows serialize to JSON lines and POST from the
   * EXECUTORS via foreachPartition — no driver-side collect, so the sink
   * scales with partitions; `rows_per_request` bounds each POST body.
-  * Non-2xx responses throw, failing the batch (routes to error_output or
-  * retries under the engine's policy).
+  *
+  * Transient failures retry per request with exponential backoff —
+  * 100ms · 2^(attempt-1), the reference's schedule (output/http.rs:
+  * 181-210, `retry_count`). A request that exhausts its retries throws,
+  * failing the batch (routes to error_output or Spark's task retry).
   */
 final case class HttpOutputSink(url: String, bearerToken: Option[String] = None,
-    rowsPerRequest: Int = 1000) extends Engine.BatchSink {
+    rowsPerRequest: Int = 1000, retryCount: Int = 0) extends Engine.BatchSink {
 
   def write(batch: DataFrame, batchId: Long): Unit = {
-    val (u, tok, cap) = (url, bearerToken, rowsPerRequest)
+    val (u, tok, cap, retries) = (url, bearerToken, rowsPerRequest, retryCount)
     batch.toJSON.foreachPartition { (rows: Iterator[String]) =>
       rows.grouped(cap).foreach { lines =>
-        val conn = new java.net.URI(u).toURL.openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        try {
-          conn.setRequestMethod("POST")
-          conn.setDoOutput(true)
-          conn.setRequestProperty("Content-Type", "application/x-ndjson")
-          tok.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
-          val out = conn.getOutputStream
-          try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          val code = conn.getResponseCode
-          if (code < 200 || code >= 300)
-            throw new java.io.IOException(s"http output: POST $u returned $code")
-        } finally conn.disconnect()
+        val body = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            HttpOutputSink.post(u, tok, body)
+            done = true
+          } catch {
+            case e: java.io.IOException if attempt < retries =>
+              attempt += 1
+              Thread.sleep(100L * (1L << (attempt - 1)))
+            case e: java.io.IOException => throw e
+          }
+        }
       }
     }
+  }
+}
+
+object HttpOutputSink {
+  private def post(u: String, tok: Option[String], body: Array[Byte]): Unit = {
+    val conn = new java.net.URI(u).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-ndjson")
+      tok.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      val out = conn.getOutputStream
+      try out.write(body)
+      finally out.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"http output: POST $u returned $code")
+    } finally conn.disconnect()
   }
 }

@@ -94,7 +94,8 @@ class OperatorsSpec extends AnyFunSuite {
       "TextAnalysis" -> TextAnalysis.queries.keySet,
       "Similarity" -> Similarity.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
-      "Extensions" -> Extensions.queries.keySet)
+      "Extensions" -> Extensions.queries.keySet,
+      "RangeJoin" -> RangeJoin.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")
@@ -136,6 +137,59 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute,
       s"banded 32-bit pairing diverged from brute force: ${banded.diff(brute)} / ${brute.diff(banded)}")
+  }
+
+  test("range join: [start, end) boundaries, bin-straddling intervals, empty intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val points = Seq(0L, 9L, 10L, 15L, 19L, 20L, 25L, 99L).toDF("p")
+    val intervals = Seq(
+      (1L, 10L, 20L),  // matches 10,15,19 — not 9 (below) nor 20 (exclusive end)
+      (2L, 5L, 35L),   // straddles 4 bins at width 10: 9,10,15,19,20,25
+      (3L, 22L, 22L),  // empty [s, e) with s == e — matches nothing
+      (4L, 90L, 100L)  // matches 99
+    ).toDF("iv_id", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", binWidth = 10L)
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 10L), (1L, 15L), (1L, 19L),
+      (2L, 9L), (2L, 10L), (2L, 15L), (2L, 19L), (2L, 20L), (2L, 25L),
+      (4L, 99L))
+    assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
+  test("range join agrees with the naive theta-join on real data (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val lineitem = graft.Tables.load(spark, sf, "lineitem")
+      .select(unix_timestamp(col("l_shipdate")).as("ship_s"))
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("s"),
+        (unix_timestamp(col("o_orderdate")) + 86400L * 7).as("e"))
+    val binned = RangeJoin.pointInInterval(lineitem, "ship_s", orders, "s", "e", 86400L)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = lineitem.join(orders,
+        col("ship_s") >= col("s") && col("ship_s") < col("e"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive && binned.nonEmpty)
+  }
+
+  test("pii redaction: URLs first, then emails, then phones; counts audit the source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "visit https://docs.site.org/page mail joe1@acme.com or call 555-0199 and 555-12345"
+    ).toDF("t").select(
+      TextAnalysis.redactPii(col("t")).as("clean"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.UrlRe).as("n_urls"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("n_emails"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("n_phones"))
+    val r = df.collect().head
+    // 555-12345 redacts its first 8 chars (the pattern is 4 digits), leaving the 5
+    assert(r.getString(0) == "visit [URL] mail [EMAIL] or call [PHONE] and [PHONE]5",
+      r.getString(0))
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 2L)))
   }
 
   test("minhash finds high-jaccard pairs and dedup_exact groups are consistent") {

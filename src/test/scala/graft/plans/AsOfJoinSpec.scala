@@ -59,6 +59,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.valuesIterator.exists(_ >= 0), "expected at least one match")
   }
 
+  test("tolerance bounds the match gap in both directions (merge_asof semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 50L), (3L, 200L, 30L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 8L), (100L, 20L), (200L, 45L))
+      .toDF("rk", "rt")
+
+    def run(forward: Boolean, tol: Option[Long]): Map[Long, Long] =
+      AsOf.join(left, right, "k", "t", "rk", "rt", forward, tol)
+        .select(col("id"), col("rt"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // backward, no tolerance: closest earlier-or-equal match
+    assert(run(forward = false, None) == Map(1L -> 8L, 2L -> 20L, 3L -> -1L))
+    // backward, tolerance 5: id=2's closest match (gap 30) nulls out;
+    // id=1's gap 2 survives. No fallback to a farther candidate.
+    assert(run(forward = false, Some(5L)) == Map(1L -> 8L, 2L -> -1L, 3L -> -1L))
+    // forward, no tolerance vs tolerance 10: id=1 matches rt=20 (gap 10,
+    // inclusive bound survives); id=3 matches rt=45 (gap 15) and nulls out.
+    assert(run(forward = true, None) == Map(1L -> 20L, 2L -> -1L, 3L -> 45L))
+    assert(run(forward = true, Some(10L)) == Map(1L -> 20L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("tolerance agrees with the composed gap-filtered formulation on events") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val tol = 86400L * 1000000000L // 1 day in ns
+
+    val custom = AsOf.join(clicks, purchases, "user_id", "ts", "p_user", "p_ts",
+        tolerance = Some(tol))
+      .select(col("event_id"), col("p_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // composed: take the closest match, then null it out past the gap —
+    // NOT a pre-filtered join (which would fall back to farther matches)
+    val composed = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"), col("ts")).agg(max(col("p_ts")).as("p_ts"))
+      .select(col("event_id"),
+        when(col("ts") - col("p_ts") <= tol, col("p_ts")).as("p_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(custom == composed)
+    assert(custom.valuesIterator.exists(_ >= 0), "expected at least one in-gap match")
+    assert(custom.valuesIterator.contains(-1L), "expected at least one out-of-gap null")
+  }
+
   test("plan shows AsOfJoinExec with Catalyst-inserted exchange and sort") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -165,6 +165,31 @@ class JdbcHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http output retries with exponential backoff, then succeeds (output/http.rs:181-210)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky", { exchange =>
+      // first two attempts fail, the third succeeds
+      try exchange.sendResponseHeaders(if (hits.incrementAndGet() <= 2) 503 else 200, -1)
+      finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/flaky"
+      // retry_count=3 rides through sinkFromConf like the reference config
+      val sink = Engine.sinkFromConf(ComponentConf("http",
+        Map("url" -> url, "retry_count" -> "3")))
+      sink.write(Seq(1L).toDF("id").coalesce(1), batchId = 0L)
+      assert(hits.get() == 3, s"expected 2 failures + 1 success, got ${hits.get()} attempts")
+      // with retries exhausted the batch still fails loudly
+      hits.set(-100) // next 102 responses are 503
+      intercept[org.apache.spark.SparkException] {
+        HttpOutputSink(url, retryCount = 1).write(Seq(1L).toDF("id"), batchId = 1L)
+      }
+    } finally server.stop(0)
+  }
+
   test("sql processor with a config-declared jdbc lookup (processor/sql.rs temporary_list)") {
     val url = derbyUrl()
     Jdbc.execute(url,
