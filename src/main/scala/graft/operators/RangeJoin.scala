@@ -35,13 +35,20 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    // Integral `div`, never `floor(col / width)`: Spark evaluates long/long
+    // `/` in Double, which loses precision above 2^53 — at ns-epoch scale
+    // (~1.8e18) a value near a bin boundary can round into the wrong bin
+    // and silently drop true pairs (the exact predicate only removes false
+    // candidates). SQL `div` is a true integral divide; truncation toward
+    // zero == floor for the non-negative inputs this operator requires.
+    def bin(sqlExpr: String) = expr(s"CAST(($sqlExpr) AS LONG) div $binWidth")
+    val p = points.withColumn("__bin", bin(s"`$pointCol`"))
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // empty intervals match nothing
       .withColumn("__bin", explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
+        bin(s"`$startCol`"),
         // last covered point of [s, e) is e-1
-        floor((col(endCol) - 1) / binWidth).cast("long"))))
+        bin(s"`$endCol` - 1"))))
     p.join(iv, "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")

@@ -17,21 +17,30 @@ object Codecs {
     * batch (per-batch inference is legal inside foreachBatch — SURVEY §1.3),
     * optionally keeping only `fieldsToInclude`; encode serializes every
     * column to one JSON object per row.
+    *
+    * Pass `declaredSchema` when the stream feeds a schema-sensitive sink
+    * (parquet append, JDBC insert): inference then never runs, so empty
+    * and non-empty micro-batches carry identical types. Without it, a
+    * zero-row batch has nothing to infer from — decode returns a
+    * STATICALLY-empty frame (empty LocalRelation) that the engine's
+    * held-back check skips before any sink sees its placeholder schema.
     */
-  final case class JsonCodec(fieldsToInclude: Seq[String] = Nil) {
+  final case class JsonCodec(fieldsToInclude: Seq[String] = Nil,
+      declaredSchema: Option[org.apache.spark.sql.types.StructType] = None) {
     def decode(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val parsed = spark.read.json(df.select(col(ValueCol).cast("string")).as[String])
-      // Zero-row input infers a zero-field schema (inference is already a
-      // job; this adds none): emit an empty frame carrying the projected
-      // columns so downstream plans still resolve. Replaces the engine's
-      // former per-batch isEmpty probe.
+      val strings = df.select(col(ValueCol).cast("string")).as[String]
+      val parsed = declaredSchema match {
+        case Some(s) => spark.read.schema(s).json(strings)
+        case None => spark.read.json(strings)
+      }
       if (parsed.schema.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(fieldsToInclude.map(f =>
-            org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.StringType))))
+        // Inference saw zero rows. A made-up schema here (e.g. all-string)
+        // would poison schema-sensitive sinks, so emit the engine's
+        // held-back sentinel instead: a statically-empty LocalRelation
+        // ([[Engine.staticallyEmpty]]) that short-circuits the pipeline.
+        spark.emptyDataFrame
       else if (fieldsToInclude.isEmpty) parsed
       else parsed.select(fieldsToInclude.map(col): _*)
     }

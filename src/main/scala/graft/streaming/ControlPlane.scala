@@ -85,6 +85,15 @@ final class ControlPlane(spark: SparkSession, port: Int,
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
+    } catch {
+      // q.stop() can throw (e.g. TimeoutException past
+      // spark.sql.streaming.stopTimeout); without this the exchange closes
+      // with no response and the client sees a dropped connection.
+      case scala.util.control.NonFatal(e) =>
+        // best-effort: if headers were already sent, a second respond throws
+        try respond(ex, 500,
+          s"""{"error":${js(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        catch { case scala.util.control.NonFatal(_) => () }
     } finally ex.close()
   })
   server.setExecutor(null)

@@ -174,24 +174,27 @@ object Engine {
         // aren't statically visible are handled by JsonToArrow's own
         // zero-row inference guard (Codecs.JsonCodec).
         if (!staticallyEmpty(batch)) {
-          // Fold with a held-back short-circuit: when a BatchIdAware
-          // processor (the accumulator) returns the held-back sentinel
-          // (empty LocalRelation), the REMAINING processors and the sink
-          // are skipped for this micro-batch — the reference's `None`
-          // short-circuits the whole pipeline (pipeline/mod.rs:57-85); a
-          // downstream aggregate would otherwise turn the empty frame
-          // into a spurious count=0 row.
+          // Fold with a held-back short-circuit: when ANY processor
+          // returns the held-back sentinel (statically-empty
+          // LocalRelation — the accumulator holding a batch, or
+          // JsonToArrow's zero-row inference guard), the REMAINING
+          // processors and the sink are skipped for this micro-batch —
+          // the reference's `None` short-circuits the whole pipeline
+          // (pipeline/mod.rs:57-85); a downstream aggregate would
+          // otherwise turn the empty frame into a spurious count=0 row,
+          // and a schema-sensitive sink would bind the sentinel's
+          // placeholder schema. Frames that merely COMPUTE to zero rows
+          // are not statically empty and still write, like the
+          // reference's empty batches.
           var out = batch
           var heldBack = false
           val it = processors.iterator
           while (it.hasNext && !heldBack) {
             out = it.next() match {
-              case b: BatchIdAware =>
-                val r = b(out, batchId)
-                heldBack = staticallyEmpty(r)
-                r
+              case b: BatchIdAware => b(out, batchId)
               case p => p(out)
             }
+            heldBack = staticallyEmpty(out)
           }
           if (!heldBack) sink.write(out, batchId)
         }

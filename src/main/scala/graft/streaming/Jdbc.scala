@@ -116,13 +116,34 @@ object Jdbc {
     import org.apache.spark.sql.types._
     dt match {
       case _: NumericType | BooleanType => v.toString
-      case DateType => s"{d '${v.toString}'}"
+      case DateType => s"{d '${dateBody(v)}'}"
       case TimestampType | TimestampNTZType =>
-        // java.sql.Timestamp.toString is `yyyy-mm-dd hh:mm:ss.f...` — the
-        // JDBC timestamp escape body.
-        s"{ts '${v.toString}'}"
+        // The escape body must be `yyyy-mm-dd hh:mm:ss[.f...]`. Only
+        // java.sql.Timestamp.toString happens to produce that; the java8 API
+        // types Spark can collect instead (LocalDateTime for TIMESTAMP_NTZ,
+        // Instant when datetime.java8API.enabled) print ISO-8601 — a 'T'
+        // separator, seconds elided when zero, trailing 'Z' — which is not a
+        // valid JDBC escape. Format explicitly, never via toString.
+        s"{ts '${timestampBody(v)}'}"
       case _ => "'" + v.toString.replace("'", "''") + "'"
     }
+  }
+
+  private val TsEscapeFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def timestampBody(v: Any): String = v match {
+    case t: java.sql.Timestamp => TsEscapeFmt.format(t.toLocalDateTime)
+    case ldt: java.time.LocalDateTime => TsEscapeFmt.format(ldt)
+    case i: java.time.Instant =>
+      TsEscapeFmt.format(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+    case other => other.toString // already-rendered string keys
+  }
+
+  private def dateBody(v: Any): String = v match {
+    // java.sql.Date.toString and LocalDate.toString are both yyyy-MM-dd
+    case d: java.sql.Date => d.toLocalDate.toString
+    case other => other.toString
   }
 
   /** Driver-side DDL/DML helper (tests, delete-before-insert). */

@@ -35,10 +35,13 @@ object Processors {
   }
 
   /** `json_to_arrow` (processor/json.rs:38-72): binary JSON envelope ->
-    * columns with per-batch inference and optional projection. */
-  final case class JsonToArrow(fieldsToInclude: Seq[String] = Nil)
+    * columns with per-batch inference and optional projection. Declare
+    * `schema` when feeding schema-sensitive sinks — see [[Codecs.JsonCodec]]. */
+  final case class JsonToArrow(fieldsToInclude: Seq[String] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
       extends (DataFrame => DataFrame) {
-    def apply(batch: DataFrame): DataFrame = Codecs.JsonCodec(fieldsToInclude).decode(batch)
+    def apply(batch: DataFrame): DataFrame =
+      Codecs.JsonCodec(fieldsToInclude, schema).decode(batch)
   }
 
   /** `arrow_to_json` (processor/json.rs:75-114): serialize all columns to a

@@ -120,6 +120,53 @@ class JdbcHttpSpec extends AnyFunSuite {
     assert(fetched == Set(("2024-03-01", 10), ("2024-03-02", 20)))
   }
 
+  test("sql literals format java8 datetime key types as valid JDBC escapes") {
+    import org.apache.spark.sql.types._
+    // LocalDateTime.toString is ISO-8601 ('T' separator, zero seconds
+    // elided) — an invalid {ts} escape body. The formatter must normalize
+    // every timestamp class Spark can collect.
+    assert(Jdbc.sqlLiteral(
+      java.time.LocalDateTime.of(2024, 3, 1, 10, 15), TimestampNTZType)
+      == "{ts '2024-03-01 10:15:00.000000'}")
+    assert(Jdbc.sqlLiteral(
+      java.time.Instant.parse("2024-03-01T10:15:30.123456Z"), TimestampType)
+      == "{ts '2024-03-01 10:15:30.123456'}")
+    assert(Jdbc.sqlLiteral(
+      java.sql.Timestamp.valueOf("2024-03-01 10:15:30.5"), TimestampType)
+      == "{ts '2024-03-01 10:15:30.500000'}")
+    assert(Jdbc.sqlLiteral(java.sql.Date.valueOf("2024-03-01"), DateType)
+      == "{d '2024-03-01'}")
+    assert(Jdbc.sqlLiteral(java.time.LocalDate.of(2024, 3, 1), DateType)
+      == "{d '2024-03-01'}")
+  }
+
+  test("http output: 4xx is terminal (no retry) and requests carry X-Batch-Id") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val batchIds = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/reject", { exchange =>
+      try {
+        hits.incrementAndGet()
+        Option(exchange.getRequestHeaders.getFirst("X-Batch-Id")).foreach(batchIds.add)
+        exchange.sendResponseHeaders(422, -1)
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/reject"
+      // retryCount=5 — but a 4xx rejection must fail immediately: the
+      // server judged the request itself invalid, a replay can't succeed
+      intercept[org.apache.spark.SparkException] {
+        HttpOutputSink(url, retryCount = 5).write(
+          Seq(1L).toDF("id").coalesce(1), batchId = 7L)
+      }
+      assert(hits.get() == 1, s"4xx was retried: ${hits.get()} attempts")
+      // the dedupe marker names batch/partition/chunk for receiver-side dedupe
+      assert(batchIds.toArray(Array.empty[String]).toSeq == Seq("7/0/0"))
+    } finally server.stop(0)
+  }
+
   test("http output POSTs NDJSON from executors with bearer auth (output/http.rs)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val authed = new java.util.concurrent.atomic.AtomicBoolean(true)

@@ -45,6 +45,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("sensor"))
   }
 
+  test("json_to_arrow zero-row guard: sentinel without a declared schema, typed with one") {
+    import org.apache.spark.sql.types._
+    // A computed-empty envelope (zero rows, but NOT statically empty — the
+    // engine's pre-pipeline check can't see it) has nothing to infer from.
+    // Built over an RDD so ConvertToLocalRelation can't fold the filter.
+    val rdd = spark.sparkContext.parallelize(sensorJson.map(Row(_)))
+    val empty = spark.createDataFrame(rdd,
+        StructType(Seq(StructField("s", StringType))))
+      .select(col("s").cast("binary").as(Codecs.ValueCol))
+      .filter(length(col(Codecs.ValueCol)) > 1000000)
+    assert(!Engine.staticallyEmpty(empty), "precondition: computed-empty, not static")
+    // Without a declared schema: the held-back sentinel, so no sink ever
+    // binds a made-up (all-string) schema from an empty micro-batch.
+    assert(Engine.staticallyEmpty(Processors.JsonToArrow()(empty)))
+    // With a declared schema: empty and non-empty batches carry IDENTICAL
+    // types — safe for schema-sensitive sinks (parquet append, JDBC).
+    val declared = StructType(Seq(
+      StructField("sensor", StringType), StructField("timestamp", LongType),
+      StructField("value", LongType)))
+    val typed = Processors.JsonToArrow(schema = Some(declared))(empty)
+    assert(typed.schema == declared && typed.count() == 0)
+    assert(Processors.JsonToArrow(schema = Some(declared))(envelope(sensorJson: _*))
+      .schema == declared)
+  }
+
+  test("a mid-pipeline held-back sentinel skips the remaining processors and the sink") {
+    val wrote = new java.util.concurrent.atomic.AtomicInteger()
+    val downstreamRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new Engine.BatchSink {
+      def write(b: org.apache.spark.sql.DataFrame, id: Long): Unit = wrote.incrementAndGet()
+    }
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData("""{"v": 1}""")
+    val q = Engine.start(
+      input.toDF.select(col("value").cast("binary").as(Codecs.ValueCol)),
+      Seq(
+        // drops every row at RUNTIME -> computed-empty envelope (a
+        // data-dependent predicate the optimizer can't fold to a
+        // statically-empty relation)
+        (df: org.apache.spark.sql.DataFrame) =>
+          df.filter(length(col(Codecs.ValueCol)) > 1000000),
+        // zero-row inference guard returns the sentinel...
+        Processors.JsonToArrow(),
+        // ...so neither this processor nor the sink may run (the
+        // reference's ProcessorResult::None short-circuit)
+        (df: org.apache.spark.sql.DataFrame) => { downstreamRan.set(true); df }),
+      sink)
+    q.processAllAvailable(); q.stop()
+    assert(wrote.get() == 0, "sink ran on a held-back micro-batch")
+    assert(!downstreamRan.get(), "processor after the sentinel still ran")
+  }
+
   test("sql processor runs a query against the batch view (reference sql.rs:275-310)") {
     val out = Processors.SqlProcessor(
       "SELECT sensor, count(*) AS n FROM flow WHERE value >= 10 GROUP BY sensor")(
