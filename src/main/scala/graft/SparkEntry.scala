@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Analytics.queries ++ operators.EventsOps.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.Extensions.queries ++ operators.RangeJoin.queries
+      operators.Extensions.queries ++ operators.RangeJoin.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Analytics.oracle ++ operators.EventsOps.oracle ++
       operators.Dedup.oracle ++ operators.TextAnalysis.oracle ++
       operators.Similarity.oracle ++ operators.Multimodal.oracle ++
-      operators.Extensions.oracle ++ operators.RangeJoin.oracle
+      operators.Extensions.oracle ++ operators.RangeJoin.oracle ++
+      operators.Corpus.oracle
 }

@@ -1,0 +1,375 @@
+package graft.operators
+
+import graft.Tables
+import graft.Q.QueryFn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the steps between "raw documents" and
+  * "training shards" that a large-scale LLM data pipeline runs after
+  * dedup/quality scoring (SURVEY.md LLM-pipeline section; extends
+  * [[Dedup]]/[[TextAnalysis]]):
+  *
+  *   - duplicate-CLUSTER resolution: candidate pairs (minhash/simhash)
+  *     are edges, and the pipeline needs connected components to pick one
+  *     survivor per cluster — pairs alone can't (a~b, b~c must collapse
+  *     to ONE cluster even when a~c was never a candidate);
+  *   - sequence packing: lay documents end-to-end and cut fixed
+  *     token-budget training sequences (the concat-and-chunk packing
+  *     used to build pretraining batches);
+  *   - repetition quality (Gopher-style duplicate-word / top-bigram
+  *     fractions), BM25 relevance scoring over an inverted index,
+  *     deterministic per-stratum sampling, and overlapping token-window
+  *     chunking for retrieval corpora.
+  *
+  * Everything is shuffle-based dataflow (no driver-side state on the data
+  * path); the only driver actions are CC's per-round convergence check
+  * and packing's per-partition totals (one tiny row per partition).
+  */
+object Corpus {
+
+  /** Connected components by min-label propagation — resolves candidate
+    * duplicate PAIRS into duplicate CLUSTERS: every vertex converges to
+    * the smallest vertex id reachable from it, which is the component's
+    * canonical (keeper) id.
+    *
+    * Pregel-style rounds: each vertex takes the min of its own label and
+    * its neighbors' labels until a fixpoint — O(component diameter)
+    * rounds of one equi-join + one aggregation, each a plain shuffle that
+    * scales with executors. Duplicate-cluster graphs have tiny diameters
+    * (docs in a cluster share most shingles, so LSH emits near-cliques);
+    * for adversarial long-chain graphs swap in the O(log n)
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) — same join-shape, more rounds of
+    * bookkeeping. `localCheckpoint` truncates lineage each round so plan
+    * depth stays O(1) instead of O(rounds).
+    *
+    * Throws after `maxIter` rounds rather than returning silently-wrong
+    * labels. Output: one row per vertex appearing in any pair —
+    * (vertex, cluster) with cluster = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u").as("v"), col("u").as("label")).localCheckpoint(true)
+    var round = 0
+    while (round < maxIter) {
+      val neighborMin = edges.join(labels.select(col("v").as("u"), col("label")), "u")
+        .select(col("v"), col("label"))
+      val next = neighborMin.union(labels)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      if (changed == 0) round = Int.MaxValue else round += 1
+    }
+    if (round != Int.MaxValue)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pathological chain graph; use large-star/small-star contraction")
+    labels.select(col("v").as("vertex"), col("label").as("cluster"))
+  }
+
+  /** Concat-and-chunk sequence packing: documents laid end-to-end in
+    * `idCol` order, each assigned its global token start offset and the
+    * fixed-budget training sequence (`seqLen` tokens) it starts in.
+    *
+    * The global running sum is NOT a single-partition window (the classic
+    * `Window.orderBy` trap — one task owns the whole corpus): it is the
+    * canonical two-pass distributed prefix sum. Pass 1 range-partitions
+    * by id, sorts within partitions, and collects ONE row per partition
+    * (its token total); the driver scan-sums those into per-partition
+    * start offsets (a few KB at any scale). Pass 2 streams each
+    * partition, adding its broadcast base offset — Spark reuses pass 1's
+    * shuffle files, so the data moves once.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val rdd = toks.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val totals = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.foldLeft(0L)(_ + _._2)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val packed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var off = bases.value(i)
+      it.map { case (id, n) =>
+        val start = off
+        off += n
+        (id, n, start, start / seqLen)
+      }
+    }
+    spark.createDataFrame(packed)
+      .toDF("doc_id", "n_tokens", "start_offset", "seq_id")
+  }
+
+  /** Gopher-style repetition quality signals per document: the fraction
+    * of words that are repeats (1 - distinct/total) and the share of
+    * bigrams taken by the single most frequent bigram. High values flag
+    * boilerplate/spam for filtering. One explode + two aggregations —
+    * shuffle keyed by (doc, bigram), skew-bounded by document length.
+    */
+  def repetitionQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val wordStats = ws.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+    val bigrams = ws.select(col("doc_id"), size(col("ws")).as("nw"), explode(expr(
+      "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+      .as("bg"))
+    val topBg = bigrams.groupBy(col("doc_id"), col("nw"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("nw")).agg(max(col("c")).as("top_bg"))
+    wordStats.join(topBg, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_bg").cast("double") / (col("nw") - 1), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** BM25 relevance of every document for a bag of query terms, over an
+    * inverted-index dataflow: term filter BEFORE the explode-aggregation
+    * (only query-term postings ever shuffle), document frequencies from
+    * the postings, corpus stats (N, avgdl) as a broadcast single row.
+    * Per-term scores are summed in FIXED term order via conditional
+    * aggregates, so the float result is reproducible run-to-run and
+    * engine-to-engine (a bare sum() over shuffled rows is not).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
+    val tf = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val scored = tf.join(dfreq, "w").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("w") === t, col("s"))), lit(0.0)).as(s"s$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round(terms.indices.map(i => col(s"s$i")).reduce(_ + _), 4).as("bm25"))
+  }
+
+  /** Deterministic per-stratum sampling: a document survives when the
+    * first hex byte of md5(id) falls under its stratum's threshold —
+    * content-addressed, so the SAME sample reproduces on any cluster
+    * size, any partitioning, any engine (no RNG state; the property
+    * `sampleBy` can't give you). Threshold "40" keeps 64/256 = 25%.
+    * Pure codegen filter — zero shuffle, scales with the scan.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val t = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(substring(md5(col(idCol).cast("string")), 1, 2) < t)
+  }
+
+  /** Overlapping token-window chunking for retrieval/embedding corpora:
+    * windows of `window` tokens every `stride` tokens (stride < window
+    * overlaps). explode + slice — zero shuffle, scales with the scan.
+    */
+  def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST((size(ws) - 1) / $stride AS INT)), " +
+          s"i -> array_join(slice(ws, i * $stride + 1, $window), ' '))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
+  // ---- driver-checked query entries ----
+
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  val queries: Map[String, QueryFn] = Map(
+    // Cluster resolution over the SAME candidate pairs q51 grades: the
+    // pairs are edges; output is every clustered doc with its canonical id.
+    "q74_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("vertex").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q75_pack_sequences" -> ((s, dir) =>
+      packSequences(Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
+        .orderBy(col("doc_id"))),
+
+    "q76_repetition_quality" -> ((s, dir) =>
+      repetitionQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q77_bm25" -> ((s, dir) =>
+      bm25(Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
+
+    "q78_stratified_sample" -> ((s, dir) =>
+      stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> "40", "de" -> "80", "fr" -> "c0"), defaultThreshold = "ff")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    "q79_token_chunks" -> ((s, dir) =>
+      tokenChunks(Tables.load(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")))
+  )
+
+  private val q51PairsCte =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ws) - 2),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |  FROM w
+      |), seeded AS (
+      |  SELECT doc_id, seed, shingle
+      |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+      |), mh AS (
+      |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+      |  FROM seeded GROUP BY doc_id, seed
+      |), bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+      |  FROM mh GROUP BY doc_id, seed // 2
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // transitive closure of the symmetrized pair graph; cluster = min
+    // reachable id (incl. self)
+    "q74_dedup_clusters" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM closure GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
+    "q75_pack_sequences" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS start_offset,
+        |  CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) // 128 AS seq_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_repetition_quality" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT doc_id, len(ws) AS nw,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM ws
+        |), top AS (
+        |  SELECT doc_id, nw, max(c) AS top_bg FROM (
+        |    SELECT doc_id, nw, bg, count(*) AS c FROM bg GROUP BY doc_id, nw, bg
+        |  ) GROUP BY doc_id, nw
+        |)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  round(1.0 - CAST(len(list_distinct(w.ws)) AS DOUBLE) / len(w.ws), 6)
+        |    AS dup_word_frac,
+        |  round(CAST(t.top_bg AS DOUBLE) / (t.nw - 1), 6) AS top_bigram_frac
+        |FROM ws w JOIN top t ON w.doc_id = t.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "q77_bm25" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM ws
+         |), tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, unnest(ws) AS w FROM ws
+         |  ) WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, w
+         |), dfreq AS (
+         |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.w,
+         |    ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sc
+         |  FROM tf JOIN dfreq df ON tf.w = df.w
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+         |)
+         |SELECT doc_id, round(${Bm25Terms.zipWithIndex.map { case (_, i) => s"s$i" }.mkString(" + ")}, 4) AS bm25
+         |FROM (
+         |  SELECT doc_id,
+         |    ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+               s"coalesce(sum(CASE WHEN w = '$t' THEN sc END), 0.0) AS s$i"
+             }.mkString(",\n    ")}
+         |  FROM scored GROUP BY doc_id
+         |)
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q78_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80'
+        |            WHEN 'fr' THEN 'c0' ELSE 'ff' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q79_token_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, CAST(floor((len(ws) - 1) / 24.0) AS INT)),
+        |      i -> {'idx': i, 'txt': array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ')}))
+        |      AS u
+        |  FROM ws
+        |)
+        |SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx, u.txt AS chunk_text,
+        |  CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

@@ -95,7 +95,8 @@ class OperatorsSpec extends AnyFunSuite {
       "Similarity" -> Similarity.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Extensions" -> Extensions.queries.keySet,
-      "RangeJoin" -> RangeJoin.queries.keySet)
+      "RangeJoin" -> RangeJoin.queries.keySet,
+      "Corpus" -> Corpus.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")
@@ -157,6 +158,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
   }
 
+  test("range join bins exactly above 2^53 (ns-epoch scale, where double division rounds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ~2026 in ns epochs (~1.77e18): pick points exactly ON bin boundaries,
+    // where floor(x / w) computed in Double can land one bin off. The exact
+    // predicate only removes false candidates, so a mis-binned true pair is
+    // silently dropped — this test fails with the floor(/) formulation.
+    val w = 86400L * 1000000000L // 1-day bins in ns
+    val base = 1770000000000000000L - (1770000000000000000L % w) // bin-aligned
+    val points = Seq(base, base + 1L, base + w - 1L, base + w, base - 1L).toDF("p")
+    val intervals = Seq((10L, base, base + w), (20L, base + w, base + 2 * w)).toDF("iv", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", binWidth = w)
+      .select("iv", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((10L, base), (10L, base + 1L), (10L, base + w - 1L), (20L, base + w))
+    assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
   test("range join agrees with the naive theta-join on real data (sf0.001)") {
     import org.apache.spark.sql.functions._
     val lineitem = graft.Tables.load(spark, sf, "lineitem")
@@ -173,6 +191,73 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(binned == naive && binned.nonEmpty)
+  }
+
+  test("connected components: chains collapse, islands stay apart, non-convergence throws") {
+    import spark.implicits._
+    // a~b, b~c, c~d is one cluster (even though a~d was never a candidate
+    // pair); e~f is another; g is absent (no pairs -> no row)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // label propagation needs O(diameter) rounds; a capped run must throw,
+    // never return partially-propagated labels
+    intercept[IllegalStateException] {
+      Corpus.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+          .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1).collect()
+    }
+  }
+
+  test("sequence packing equals the single-window formulation and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val packed = asTuples(Corpus.packSequences(docs, "doc_id", "text", 128L))
+    // oracle shape: one global ordered window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Long.MinValue, -1)
+    val windowed = asTuples(docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("doc_id"), col("n"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("start"))
+      .select(col("doc_id"), col("n"), col("start"),
+        expr("start div 128").as("seq")))
+    assert(packed == windowed)
+    // offsets are a property of the DATA (id order), not the partitioning
+    val repacked = asTuples(Corpus.packSequences(
+      docs.repartition(7, col("source")), "doc_id", "text", 128L))
+    assert(repacked == packed, "partitioning leaked into pack offsets")
+  }
+
+  test("token chunks overlap correctly and cover every token") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Corpus.tokenChunks(doc, "doc_id", "text", window = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 3) // starts at tokens 1, 25, 49
+    val texts = chunks.map(_.getString(2))
+    assert(texts(0).startsWith("t1 ") && texts(0).endsWith(" t32"))
+    assert(texts(1).startsWith("t25 ") && texts(1).endsWith(" t50")) // clamped to 26 tokens
+    assert(texts(2) == "t49 t50")
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(32L, 26L, 2L))
+  }
+
+  test("stratified sample is deterministic and tracks per-stratum rates") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val s1 = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> "40"), defaultThreshold = "ff")
+    val ids = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == s1.select("doc_id").collect().map(_.getLong(0)).toSet) // stable re-run
+    // en stratum: ~25% of en docs survive (md5 first byte < 0x40)
+    val en = docs.filter("lang = 'en'").count().toDouble
+    val enKept = s1.filter("lang = 'en'").count().toDouble
+    assert(enKept / en > 0.15 && enKept / en < 0.35, s"en rate ${enKept / en}")
+    // non-en strata at 'ff' keep everything except the 1/256 md5-'ff' tail
+    val others = docs.filter("lang <> 'en'").count()
+    assert(s1.filter("lang <> 'en'").count() >= others - 5)
   }
 
   test("pii redaction: URLs first, then emails, then phones; counts audit the source") {
