@@ -206,6 +206,51 @@ object Corpus {
         size(split(col("chunk_text"), " ")).cast("long"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * `n`-word shingle with a held-out benchmark set (the n-gram overlap
+    * check run before pretraining so eval data never leaks into the
+    * corpus). The benchmark side is tiny relative to the corpus, so its
+    * shingle set BROADCASTS — the training side streams through a
+    * broadcast hash join with no shuffle, which is the only shape that
+    * survives a 100 TB corpus scan. Output: one row per contaminated
+    * training doc with the overlap count and how many distinct benchmark
+    * docs it collides with.
+    */
+  def decontaminate(training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def shingles(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(as), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"))
+        .as("sh"))
+      .distinct()
+    shingles(training, "doc_id")
+      .join(broadcast(shingles(benchmark, "bench_id")), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+  }
+
+  /** Per-source (domain) cap: keep at most `cap` documents from each
+    * source, chosen by a deterministic content-addressed rank (md5 of the
+    * id) so the survivors reproduce on any cluster. The standard guard
+    * against a single crawled domain dominating the corpus. One shuffle
+    * keyed by source; a pathologically hot source bounds its partition at
+    * that source's row count — cap first with a per-partition pre-rank if
+    * one domain is a material fraction of the corpus.
+    */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 8), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -241,7 +286,20 @@ object Corpus {
     "q79_token_chunks" -> ((s, dir) =>
       tokenChunks(Tables.load(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Docs 0-24 stand in for a benchmark/eval set; the rest is the corpus.
+    "q80_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      decontaminate(docs.filter(col("doc_id") >= 25),
+          docs.filter(col("doc_id") < 25), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q81_source_cap" -> ((s, dir) =>
+      capPerSource(Tables.load(s, dir, "documents"), "doc_id", "source", cap = 3)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id")))
   )
 
   private val q51PairsCte =
@@ -370,6 +428,35 @@ object Corpus {
         |SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx, u.txt AS chunk_text,
         |  CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM c
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q80_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+        |      AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |  WHERE len(ws) >= 5
+        |), train AS (
+        |  SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 25
+        |), bench AS (
+        |  SELECT DISTINCT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25
+        |)
+        |SELECT t.doc_id,
+        |  count(*) AS n_shared_shingles,
+        |  count(DISTINCT b.bench_id) AS n_benchmark_docs
+        |FROM train t JOIN bench b ON t.sh = b.sh
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q81_source_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin
   )
 }

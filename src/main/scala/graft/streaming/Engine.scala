@@ -327,8 +327,19 @@ object Engine {
   def runBatch(in: DataFrame, procs: Seq[Processors.BatchTransform],
       sink: BatchSink, err: Option[BatchSink]): Unit =
     try {
-      val out = procs.foldLeft(in)((df, p) => p(df))
-      sink.write(out, 0L)
+      // same held-back short-circuit as the streaming fold: a sentinel
+      // (e.g. JsonToArrow's zero-row inference guard) skips the sink
+      var out = in
+      var heldBack = false
+      val it = procs.iterator
+      while (it.hasNext && !heldBack) {
+        out = it.next() match {
+          case b: BatchIdAware => b(out, 0L)
+          case p => p(out)
+        }
+        heldBack = staticallyEmpty(out)
+      }
+      if (!heldBack) sink.write(out, 0L)
     } catch {
       case scala.util.control.NonFatal(e) =>
         err match {

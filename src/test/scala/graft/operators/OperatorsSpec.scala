@@ -245,6 +245,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chunks.map(_.getLong(3)).toSeq == Seq(32L, 26L, 2L))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark set") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val training = Seq(
+      (100L, "prefix words the quick brown fox jumps elsewhere"), // shares a 5-gram
+      (101L, "quick brown fox leaps high instead of jumping"),    // 4-gram overlap only
+      (102L, "completely unrelated text with no shared phrases at all"),
+      // shares 3 benchmark 5-grams: 'fox jumps over the lazy',
+      // 'jumps over the lazy dog', 'the quick brown fox jumps'
+      (103L, "fox jumps over the lazy dog tail the quick brown fox jumps")
+    ).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(training, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((100L, 1L, 1L), (103L, 3L, 1L)), s"got $got")
+  }
+
+  test("per-source cap keeps at most K docs per source, deterministically") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val capped = Corpus.capPerSource(docs, "doc_id", "source", cap = 3)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(bySource.nonEmpty && bySource.forall(_._2 <= 3))
+    val again = Corpus.capPerSource(docs, "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "survivor set must be content-addressed, not run-dependent")
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val s1 = Corpus.stratifiedSample(docs, "doc_id", "lang",
