@@ -15,49 +15,55 @@ import org.apache.spark.sql.types._
   */
 object Shims {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-
+  /** Name -> expression-tree builder for every shim, shared by the live
+    * [[register]] path and [[graft.plans.GraftExtensions]]'s
+    * `injectFunction` path (config-enabled sessions). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // date_bin(stride_seconds, ts, origin_ts): origin-aligned bucketing —
     // origin + floor((ts - origin) / stride) * stride, in whole seconds.
-    reg.createOrReplaceTempFunction("date_bin_s", { exprs =>
+    "date_bin_s" -> { exprs =>
       val Seq(stride, ts, origin) = exprs.take(3)
       val tsL = Cast(ts, LongType)
       val orL = Cast(origin, LongType)
       val strideL = Cast(stride, LongType)
       SecondsToTimestamp(Add(orL,
         Multiply(IntegralDivide(Subtract(tsL, orL), strideL, evalMode = EvalMode.LEGACY), strideL)))
-    }, "scala_udf")
+    },
 
     // array_resize(arr, n, fill): truncate or pad with `fill` to length n.
-    reg.createOrReplaceTempFunction("array_resize", { exprs =>
+    "array_resize" -> { exprs =>
       val Seq(arr, n, fill) = exprs.take(3)
       val size = Size(arr)
       Concat(Seq(
         Slice(arr, Literal(1), Least(Seq(n, size))),
         ArrayRepeat(fill, Greatest(Seq(Literal(0), Subtract(n, size))))))
-    }, "scala_udf")
+    },
 
     // array_pop_back(arr) / array_pop_front(arr).
-    reg.createOrReplaceTempFunction("array_pop_back", { exprs =>
+    "array_pop_back" -> { exprs =>
       val arr = exprs.head
       Slice(arr, Literal(1), Greatest(Seq(Literal(0), Subtract(Size(arr), Literal(1)))))
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("array_pop_front", { exprs =>
+    },
+    "array_pop_front" -> { exprs =>
       val arr = exprs.head
       Slice(arr, Literal(2), Greatest(Seq(Literal(0), Subtract(Size(arr), Literal(1)))))
-    }, "scala_udf")
+    },
 
     // substr_index — DataFusion name for Spark's substring_index.
-    reg.createOrReplaceTempFunction("substr_index", { exprs =>
+    "substr_index" -> { exprs =>
       SubstringIndex(exprs(0), exprs(1), exprs(2))
-    }, "scala_udf")
+    },
 
     // iszero(x).
-    reg.createOrReplaceTempFunction("iszero", { exprs =>
+    "iszero" -> { exprs =>
       EqualTo(Cast(exprs.head, DoubleType), Literal(0.0))
-    }, "scala_udf")
+    })
 
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
     HammingDistance.register(spark)
   }
 }

@@ -251,6 +251,25 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Materialize packed training shards: pack the corpus into `seqLen`
+    * sequences, group `seqsPerShard` consecutive sequences into a shard,
+    * and write parquet partitioned by `shard_id` — the physical layout a
+    * trainer streams: one directory per shard, rows ordered by their
+    * global token offset inside each file. `repartition(shard_id)` +
+    * `sortWithinPartitions` means every shard is written by exactly one
+    * task as one sorted file — no post-hoc compaction; shard count scales
+    * the write parallelism.
+    */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, seqsPerShard: Long, path: String): Unit = {
+    val packed = packSequences(docs, idCol, textCol, seqLen)
+      .withColumn("shard_id", expr(s"seq_id div $seqsPerShard"))
+    packed
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("start_offset"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -299,7 +318,24 @@ object Corpus {
     "q81_source_cap" -> ((s, dir) =>
       capPerSource(Tables.load(s, dir, "documents"), "doc_id", "source", cap = 3)
         .select(col("doc_id"), col("source"), col("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // End-to-end curation chain — the composition a real pipeline runs:
+    // redact PII, keep one survivor per exact-duplicate group, sample
+    // half the corpus content-addressed, pack what remains. Each stage is
+    // the already-verified operator; this entry grades the COMPOSITION.
+    "q82_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("clean", TextAnalysis.redactPii(col("text")))
+      val survivors = docs
+        .withColumn("keeper", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(lower(col("clean"))))))
+        .filter(col("doc_id") === col("keeper"))
+      val sampled = survivors
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+      packSequences(sampled, "doc_id", "clean", seqLen = 128L)
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val q51PairsCte =
@@ -457,6 +493,36 @@ object Corpus {
         |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q82_curation_pipeline" ->
+      """WITH clean AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, 'https://[a-z0-9./]+', '[URL]', 'g'),
+        |        '[a-z0-9]+@[a-z0-9]+[.]com', '[EMAIL]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g') AS clean
+        |  FROM documents
+        |), survivors AS (
+        |  SELECT doc_id, clean FROM (
+        |    SELECT doc_id, clean,
+        |      min(doc_id) OVER (PARTITION BY md5(lower(clean))) AS keeper
+        |    FROM clean
+        |  ) WHERE doc_id = keeper
+        |), sampled AS (
+        |  SELECT doc_id, clean FROM survivors
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |)
+        |SELECT doc_id,
+        |  CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CAST(len(string_split(clean, ' ')) AS BIGINT))
+        |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS start_offset,
+        |  CAST(coalesce(sum(CAST(len(string_split(clean, ' ')) AS BIGINT))
+        |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) // 128 AS seq_id
+        |FROM sampled
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -135,11 +135,29 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Builder-time registration (`.withExtensions(new GraftExtensions)`); the
-  * [[AsOf]] API also injects into live sessions via experimental methods. */
+/** Builder-time registration — `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — enables the FULL
+  * library surface with no per-session register() calls: the as-of join
+  * strategy plus every SQL function (dot_product, hamming_distance, the
+  * DataFusion shims). The [[AsOf]] API also injects the strategy into
+  * live sessions via experimental methods; `register()` on each function
+  * object remains the live-session path. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] =
+    graft.functions.Shims.builders ++ Seq[(String, Seq[Expression] => Expression)](
+      "dot_product" -> (exprs => graft.functions.DotProduct(exprs(0), exprs(1))),
+      "hamming_distance" -> (exprs => graft.functions.HammingDistance(exprs(0), exprs(1))))
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+  }
 }
 
 object AsOf {

@@ -273,6 +273,33 @@ class OperatorsSpec extends AnyFunSuite {
       "survivor set must be content-addressed, not run-dependent")
   }
 
+  test("training shards land partitioned by shard with complete, ordered content") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Corpus.writeShards(docs, "doc_id", "text", seqLen = 128L, seqsPerShard = 4L, dir)
+      val back = spark.read.parquet(dir)
+      val packed = Corpus.packSequences(docs, "doc_id", "text", 128L)
+      assert(back.count() == packed.count(), "shards lost or duplicated docs")
+      // every sequence sits in exactly the shard its id maps to
+      val misplaced = back
+        .filter(expr("seq_id div 4") =!= col("shard_id")).count()
+      assert(misplaced == 0)
+      // one file per shard (repartition(shard) + partitionBy writes a
+      // single sorted file per directory)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard_id="))
+      assert(shardDirs.nonEmpty && shardDirs.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val s1 = Corpus.stratifiedSample(docs, "doc_id", "lang",

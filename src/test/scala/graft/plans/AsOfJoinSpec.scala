@@ -112,6 +112,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(custom.valuesIterator.contains(-1L), "expected at least one out-of-gap null")
   }
 
+  test("GraftExtensions wires the whole surface into a config-built session") {
+    // what `spark.sql.extensions=graft.plans.GraftExtensions` produces:
+    // a session where the strategy AND every SQL function exist with no
+    // register() calls
+    val s = org.apache.spark.sql.GraftInternal
+      .sessionWithExtensions(spark, new GraftExtensions()(_))
+    assert(s.sessionState.planner.strategies.contains(AsOfJoinStrategy),
+      "as-of strategy missing from the extension-built planner")
+    val r = s.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       hamming_distance('abc', 'abd') AS h,
+        |       iszero(0.0) AS z,
+        |       array_pop_back(array(1, 2, 3)) AS pb""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 1 && r.getBoolean(2))
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    // the parent session is untouched (extensions are per-session)
+    val fresh = org.apache.spark.sql.GraftInternal
+      .sessionWithExtensions(spark, _ => ())
+    assert(!fresh.sessionState.planner.strategies.contains(AsOfJoinStrategy))
+  }
+
   test("plan shows AsOfJoinExec with Catalyst-inserted exchange and sort") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val clicks = ev.filter(col("event_type") === "click")
