@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q80: the benchmark shingle side broadcasts — the corpus scan never shuffles for the join") {
+    val p = plan("q80_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "decontamination must not shuffle the training corpus")
+  }
+
+  test("q78: stratified sampling is a pure scan-side filter (no exchange before the sort)") {
+    val p = plan("q78_stratified_sample")
+    // exactly one exchange: the presentation ORDER BY's range partitioning
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("sweep: no query plans an accidental cartesian/nested-loop product") {
     // intentional products: q14 is the cross-join row itself; q21 attaches
     // a ONE-ROW total via CROSS JOIN (broadcast of a single row); q49

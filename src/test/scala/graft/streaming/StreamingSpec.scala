@@ -231,6 +231,30 @@ class StreamingSpec extends AnyFunSuite {
       Set(("temp_1", 15L), ("temp_2", 15L)))
   }
 
+  test("ingest-time exact dedup: dropDuplicatesWithinWatermark composes with the engine across micro-batches") {
+    // Corpus dedup at INGEST: the stream-native stage sits before the
+    // engine's foreachBatch pipeline (state-store-backed, watermark-
+    // bounded — RocksDB at scale), so a duplicate arriving in a LATER
+    // micro-batch is dropped too, which no per-batch processor can do.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val input = ms.toDF().toDF("text", "ts")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("text")
+    val sink = new Engine.MemorySink
+    val q = Engine.start(input, Seq(), sink,
+      trigger = Trigger.ProcessingTime(0L))
+    ms.addData(("alpha", 100L), ("alpha", 101L), ("beta", 102L))
+    q.processAllAvailable()
+    ms.addData(("alpha", 103L), ("gamma", 104L)) // later-batch duplicate
+    q.processAllAvailable()
+    q.stop()
+    val texts = sink.rows.map(_.getString(0))
+    assert(texts.sorted == Seq("alpha", "beta", "gamma"),
+      s"expected cross-batch dedup, got $texts")
+  }
+
   test("failed batches route to error_output instead of killing the stream (stream/mod.rs:485-516)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[String]
