@@ -74,6 +74,22 @@ object Corpus {
     labels.select(col("v").as("vertex"), col("label").as("cluster"))
   }
 
+  /** Apply a dedup decision to the corpus: resolve candidate `pairs` into
+    * clusters ([[connectedComponents]]) and drop every clustered document
+    * except its cluster's canonical keeper (min id). Documents in no pair
+    * pass through untouched. The drop-set (clustered non-keepers) is a
+    * tiny fraction of the corpus, and the join is keyed on the id — a
+    * broadcast anti-join whenever the cluster table fits, else a plain
+    * hash anti-join; the corpus never shuffles more than once.
+    */
+  def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val drops = connectedComponents(pairs, aCol, bCol)
+      .filter(col("vertex") =!= col("cluster"))
+      .select(col("vertex").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Concat-and-chunk sequence packing: documents laid end-to-end in
     * `idCol` order, each assigned its global token start offset and the
     * fixed-budget training sequence (`seqLen` tokens) it starts in.
@@ -320,6 +336,16 @@ object Corpus {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // The dedup DECISION applied: near-dup clusters keep only their
+    // canonical doc; everything else passes through.
+    "q83_dedup_apply" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      dedupSurvivors(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text"), "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end curation chain — the composition a real pipeline runs:
     // redact PII, keep one survivor per exact-duplicate group, sample
     // half the corpus content-addressed, pack what remains. Each stage is
@@ -494,6 +520,23 @@ object Corpus {
         |  FROM documents
         |) WHERE rk <= 3
         |ORDER BY doc_id""".stripMargin,
+
+    "q83_dedup_apply" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), drops AS (
+         |  SELECT u AS doc_id FROM closure GROUP BY u
+         |  HAVING least(u, min(v)) <> u
+         |)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q82_curation_pipeline" ->
       """WITH clean AS (

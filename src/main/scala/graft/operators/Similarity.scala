@@ -123,6 +123,76 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rnk"))
   }
 
+  /** Persist an IVF index: centroids (tiny parquet) plus the
+    * cell-assigned vector table PARTITIONED BY cell. Build once, probe
+    * many — the production ANN shape: probing reads only the probed
+    * cells' directories (parquet partition pruning), so each query scans
+    * ~nProbe/nList of the corpus instead of all of it. Same deterministic
+    * KMeans quantizer as [[ivfKnnKMeans]].
+    */
+  def buildIvfIndex(emb: DataFrame, nList: Int, dir: String,
+      seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").fit(vecs)
+    graft.functions.DotProduct.register(spark)
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("centroid_id", "qv")
+      .withColumn("qn", expr("sqrt(dot_product(qv, qv))"))
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cand = prepared(emb)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    cand.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dotQC) / (col("qn") * col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** Probe a persisted IVF index: each query row (`qid`, float-array
+    * `embedding`) ranks the broadcast centroids, takes its `nProbe` best
+    * cells, and scans ONLY those cells' partitions for exact top-k. The
+    * probed-cell set collects on the driver (≤ nList values) and pushes
+    * into the vector scan as a partition filter — directory-level
+    * pruning, verified in OperatorsSpec via the executed plan.
+    */
+  def probeIvfIndex(queries: DataFrame, dir: String, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumnRenamed("qv", "centv").withColumnRenamed("qn", "centn")
+    val q = queries.select(col("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .withColumn("qn", expr("sqrt(dot_product(qv, qv))"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("dot_product(qv, centv)") / (col("qn") * col("centn")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("centroid_id").as("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .filter(col("cell").isin(cells: _*))
+    val scored = vectors.join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     * `bands` × `bitsPerBand` md5-derived sign-bits bucket the vectors;
     * only vectors sharing a full band signature become candidate pairs

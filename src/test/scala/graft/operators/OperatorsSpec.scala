@@ -273,6 +273,37 @@ class OperatorsSpec extends AnyFunSuite {
       "survivor set must be content-addressed, not run-dependent")
   }
 
+  test("persisted IVF index: full probe equals brute force; probing prunes cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Similarity.buildIvfIndex(emb, nList = 4, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      def tuples(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("qid", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      // probing every cell of the persisted index = exact brute force
+      assert(tuples(Similarity.probeIvfIndex(queries, dir, k = 5, nProbe = 4))
+        == tuples(Similarity.bruteForceKnn(emb, nQueries = 3, k = 5)))
+      // partial probe reads ONLY the probed cells' directories: the cell
+      // filter must reach the scan as a partition filter (pruning, not a
+      // post-scan row filter)
+      val partial = Similarity.probeIvfIndex(queries, dir, k = 5, nProbe = 1)
+      val plan = partial.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+        "probe scan lost partition pruning:\n" +
+          plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+      assert(partial.count() > 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("training shards land partitioned by shard with complete, ordered content") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, sf, "documents")

@@ -82,6 +82,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("q81: per-source rank runs two-phase WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = plan("q81_source_cap")
+    // Spark pushes `row_number() <= k` as WindowGroupLimit both BEFORE
+    // the exchange (partial, caps each map task's output at k per
+    // source) and after — a hot domain ships at most k × tasks rows
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("sweep: no query plans an accidental cartesian/nested-loop product") {
     // intentional products: q14 is the cross-join row itself; q21 attaches
     // a ONE-ROW total via CROSS JOIN (broadcast of a single row); q49
