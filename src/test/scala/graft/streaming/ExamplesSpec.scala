@@ -37,6 +37,28 @@ class ExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus curation example runs end-to-end and matches its SQL semantics") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "corpus_curation.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
+    val conf = Config.fromYaml(yaml.replace("/tmp/graft/out/corpus", outDir))
+    Engine.run(spark, conf) // batch input -> runBatch, EOF semantics
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("curation_docs")
+    val expected = spark.sql(
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
+        |  FROM curation_docs WHERE length(text) >= 40
+        |) WHERE doc_id = keeper
+        |  AND substring(md5(CAST(doc_id AS STRING)), 1, 2) < '80'""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty && got.columns.toSet ==
+      Set("doc_id", "text", "lang", "source"))
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))
