@@ -191,6 +191,39 @@ object Corpus {
         round(terms.indices.map(i => col(s"s$i")).reduce(_ + _), 4).as("bm25"))
   }
 
+  /** Statistical language-model quality score (the CCNet/KenLM-filter
+    * shape): train a word-bigram model ON the corpus itself — P(w2|w1) =
+    * c(w1,w2)/c(w1) — and score each document by its mean bigram
+    * log-probability. Low scores flag unnatural token sequences
+    * (boilerplate, shuffled text, spam) that repetition counters miss.
+    * Pure dataflow: one explode, two count aggregations, one join of the
+    * doc bigrams against the model keyed by bigram — the model rides the
+    * same shuffle keys it was built on. Per-doc sums go through
+    * DECIMAL(18,4) (order-independent exact addition), so the float
+    * result is reproducible across partitionings and engines. The score
+    * is the SUM of bigram log-probs (with n_bigrams alongside): the mean
+    * is the consumer's one division away — dividing here lands exactly
+    * on .00005 rounding boundaries (a 4-decimal sum over a small n),
+    * where engines disagree on half-up vs half-even.
+    */
+  def lmQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val model = c12.join(c1, "w1")
+      .withColumn("lp", round(log(col("c12").cast("double") / col("c1")), 4))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(graft.Q.d(col("lp"))).cast("double").as("sum_logprob"))
+  }
+
   /** Deterministic per-stratum sampling: a document survives when the
     * first hex byte of md5(id) falls under its stratum's threshold —
     * content-addressed, so the SAME sample reproduces on any cluster
@@ -334,6 +367,10 @@ object Corpus {
     "q81_source_cap" -> ((s, dir) =>
       capPerSource(Tables.load(s, dir, "documents"), "doc_id", "source", cap = 3)
         .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "q84_lm_quality" -> ((s, dir) =>
+      lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // The dedup DECISION applied: near-dup clusters keep only their
@@ -519,6 +556,30 @@ object Corpus {
         |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q84_lm_quality" ->
+      """WITH bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |  WHERE len(ws) >= 2
+        |), b AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+        |), model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1), 4) AS lp
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) AS sum_logprob
+        |FROM b JOIN model ON b.w1 = model.w1 AND b.w2 = model.w2
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q83_dedup_apply" ->
