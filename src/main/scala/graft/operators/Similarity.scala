@@ -76,17 +76,13 @@ object Similarity {
       .select(col("qid"), col("cell"), col("cid"), col("cos"), col("rnk"))
   }
 
-  /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
-    * (which uses "first nList vectors" only so its DuckDB oracle can
-    * reproduce the cells): centroids learned by MLlib KMeans with a fixed
-    * seed, every vector assigned to its max-cosine cell, and each query
-    * probing its `nProbe` nearest cells. nProbe = nList degenerates to
-    * exact brute force — asserted in OperatorsSpec, which also measures
-    * recall at partial probes. Engine-specific centroids → no SQL oracle
-    * (rows-only driver check, like the sketch aggregates).
-    */
-  def ivfKnnKMeans(emb: DataFrame, nList: Int, nQueries: Int, k: Int,
-      nProbe: Int = 1, seed: Long = 42L): DataFrame = {
+  /** Shared KMeans coarse quantizer: deterministic-seed centroids
+    * (centroid_id, qv, qn) plus the argmax-cosine scoring frame every
+    * caller derives assignments/probes from — ONE implementation, so the
+    * in-memory search ([[ivfKnnKMeans]]) and the persisted index
+    * ([[buildIvfIndex]]) can never drift apart. */
+  private def fitQuantizer(emb: DataFrame, nList: Int, seed: Long)
+      : (DataFrame, DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val spark = emb.sparkSession
@@ -106,6 +102,21 @@ object Similarity {
     val assignScored = cand.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(dotQC) / (col("qn") * col("cn")))
     val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    (cents, assignScored, wAssign)
+  }
+
+  /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
+    * (which uses "first nList vectors" only so its DuckDB oracle can
+    * reproduce the cells): [[fitQuantizer]] centroids, every vector
+    * assigned to its max-cosine cell, and each query probing its
+    * `nProbe` nearest cells. nProbe = nList degenerates to exact brute
+    * force — asserted in OperatorsSpec, which also measures recall at
+    * partial probes. Engine-specific centroids → no SQL oracle
+    * (rows-only driver check, like the sketch aggregates).
+    */
+  def ivfKnnKMeans(emb: DataFrame, nList: Int, nQueries: Int, k: Int,
+      nProbe: Int = 1, seed: Long = 42L): DataFrame = {
+    val (_, assignScored, wAssign) = fitQuantizer(emb, nList, seed)
     val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
@@ -132,26 +143,9 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, nList: Int, dir: String,
       seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
-      .toDF("vec_id", "features")
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("features").fit(vecs)
-    graft.functions.DotProduct.register(spark)
-    val cents = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
-      .toDF("centroid_id", "qv")
-      .withColumn("qn", expr("sqrt(dot_product(qv, qv))"))
+    val (cents, assignScored, wAssign) = fitQuantizer(emb, nList, seed)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val cand = prepared(emb)
-      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
-    cand.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(dotQC) / (col("qn") * col("cn")))
+    assignScored
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
@@ -180,6 +174,9 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("centroid_id").as("cell"))
+      // materialized ONCE: the cells collect below and the scored join
+      // both read this — without it the centroid-ranking job runs twice
+      .localCheckpoint(true)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val vectors = spark.read.parquet(s"$dir/vectors")

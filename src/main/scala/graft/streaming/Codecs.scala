@@ -38,9 +38,9 @@ object Codecs {
       if (parsed.schema.isEmpty)
         // Inference saw zero rows. A made-up schema here (e.g. all-string)
         // would poison schema-sensitive sinks, so emit the engine's
-        // held-back sentinel instead: a statically-empty LocalRelation
-        // ([[Engine.staticallyEmpty]]) that short-circuits the pipeline.
-        spark.emptyDataFrame
+        // held-back sentinel instead: the zero-column frame
+        // ([[Engine.heldBackSentinel]]) that short-circuits the pipeline.
+        Engine.heldBackSentinel(spark)
       else if (fieldsToInclude.isEmpty) parsed
       else parsed.select(fieldsToInclude.map(col): _*)
     }

@@ -138,11 +138,17 @@ object Engine {
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
+  /** The explicit held-back marker a processor returns to short-circuit
+    * the pipeline for this micro-batch (the reference's
+    * `ProcessorResult::None`): a zero-COLUMN empty frame, so it can never
+    * be confused with a legitimate result that merely computed (or was
+    * optimizer-folded) to zero rows — every real result has columns. */
+  def heldBackSentinel(spark: SparkSession): DataFrame = spark.emptyDataFrame
+
   /** Provably-zero-rows from the optimized plan alone — never a Spark job.
-    * True for the accumulator's held-back sentinel (`limit(0)` collapses
-    * to an empty LocalRelation) and for empty MemoryStream micro-batches;
-    * frames that merely COMPUTE to zero rows stay false and still write,
-    * like the reference's empty batches. */
+    * Used for the PRE-pipeline empty-micro-batch skip (what MemoryStream/
+    * no-data triggers produce); frames that merely COMPUTE to zero rows
+    * stay false and still write, like the reference's empty batches. */
   def staticallyEmpty(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
@@ -175,17 +181,19 @@ object Engine {
         // zero-row inference guard (Codecs.JsonCodec).
         if (!staticallyEmpty(batch)) {
           // Fold with a held-back short-circuit: when ANY processor
-          // returns the held-back sentinel (statically-empty
-          // LocalRelation — the accumulator holding a batch, or
-          // JsonToArrow's zero-row inference guard), the REMAINING
-          // processors and the sink are skipped for this micro-batch —
-          // the reference's `None` short-circuits the whole pipeline
-          // (pipeline/mod.rs:57-85); a downstream aggregate would
-          // otherwise turn the empty frame into a spurious count=0 row,
-          // and a schema-sensitive sink would bind the sentinel's
-          // placeholder schema. Frames that merely COMPUTE to zero rows
-          // are not statically empty and still write, like the
-          // reference's empty batches.
+          // returns the EXPLICIT held-back sentinel (the zero-column
+          // empty frame from [[heldBackSentinel]] — the accumulator
+          // holding a batch, or JsonToArrow's zero-row inference guard),
+          // the REMAINING processors and the sink are skipped for this
+          // micro-batch — the reference's `None` short-circuits the
+          // whole pipeline (pipeline/mod.rs:57-85); a downstream
+          // aggregate would otherwise turn the empty frame into a
+          // spurious count=0 row. The sentinel is detected by its
+          // zero-column SCHEMA, not by plan emptiness: frames that
+          // merely COMPUTE to zero rows (even ones the optimizer folds
+          // to an empty LocalRelation, as MemoryStream batches are)
+          // still write, like the reference's empty batches — and the
+          // check costs one analysis, never an optimizer pass per step.
           var out = batch
           var heldBack = false
           val it = processors.iterator
@@ -194,7 +202,7 @@ object Engine {
               case b: BatchIdAware => b(out, batchId)
               case p => p(out)
             }
-            heldBack = staticallyEmpty(out)
+            heldBack = out.schema.isEmpty
           }
           if (!heldBack) sink.write(out, batchId)
         }
@@ -328,16 +336,17 @@ object Engine {
       sink: BatchSink, err: Option[BatchSink]): Unit =
     try {
       // same held-back short-circuit as the streaming fold: a sentinel
-      // (e.g. JsonToArrow's zero-row inference guard) skips the sink
+      // (e.g. JsonToArrow's zero-row inference guard) skips the sink.
+      // Processors run through their PLAIN apply — a one-shot batch has
+      // no meaningful batch id, and handing it a constant one would flip
+      // a staged BatchAccumulator onto the cross-run staging path where
+      // every run overwrites the same __acc_batch=0 partition.
       var out = in
       var heldBack = false
       val it = procs.iterator
       while (it.hasNext && !heldBack) {
-        out = it.next() match {
-          case b: BatchIdAware => b(out, 0L)
-          case p => p(out)
-        }
-        heldBack = staticallyEmpty(out)
+        out = it.next()(out)
+        heldBack = out.schema.isEmpty
       }
       if (!heldBack) sink.write(out, 0L)
     } catch {

@@ -40,8 +40,12 @@ final case class HttpOutputSink(url: String, bearerToken: Option[String] = None,
             done = true
           } catch {
             case e: HttpOutputSink.HttpStatusException
-                if e.code >= 400 && e.code < 500 =>
-              throw e // the server rejected this request; a replay can't succeed
+                if e.code >= 400 && e.code < 500 &&
+                  e.code != 408 && e.code != 429 =>
+              // the server rejected the request ITSELF — a verbatim replay
+              // can't succeed. 408 (timeout) and 429 (rate limit) are the
+              // transient exceptions and stay on the backoff path.
+              throw e
             case e: java.io.IOException if attempt < retries =>
               attempt += 1
               Thread.sleep(100L * (1L << (attempt - 1)))

@@ -136,7 +136,11 @@ object Jdbc {
     case t: java.sql.Timestamp => TsEscapeFmt.format(t.toLocalDateTime)
     case ldt: java.time.LocalDateTime => TsEscapeFmt.format(ldt)
     case i: java.time.Instant =>
-      TsEscapeFmt.format(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+      // JVM default zone, NOT UTC: java.sql.Timestamp renders the local
+      // wall clock, and JDBC setTimestamp encodes local wall clock too —
+      // a UTC rendering here would shift Instant keys by the zone offset
+      // relative to both, missing every row on a non-UTC JVM.
+      TsEscapeFmt.format(java.time.LocalDateTime.ofInstant(i, java.time.ZoneId.systemDefault()))
     case other => other.toString // already-rendered string keys
   }
 

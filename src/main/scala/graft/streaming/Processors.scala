@@ -139,7 +139,7 @@ object Processors {
         merged
       } else {
         pending = Some(merged)
-        batch.limit(0)
+        Engine.heldBackSentinel(batch.sparkSession)
       }
     }
 
@@ -194,7 +194,7 @@ object Processors {
         spark.read.parquet(path)
           .filter(col("__acc_batch") > flushedUpto)
           .drop("__acc_batch")
-      } else batch.limit(0)
+      } else Engine.heldBackSentinel(batch.sparkSession)
     }
 
     private def markerPath(path: String) =
@@ -350,8 +350,14 @@ object Processors {
       case "sql" =>
         SqlProcessor(c.options("query"), c.options.getOrElse("table_name", "flow"))
       case "json_to_arrow" =>
-        JsonToArrow(c.options.get("fields_to_include").toSeq
-          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+        // `schema` (DDL, e.g. "sensor STRING, value BIGINT") declares the
+        // decode types — required when the stream feeds a schema-sensitive
+        // sink so empty and non-empty micro-batches agree (JsonCodec doc)
+        JsonToArrow(
+          c.options.get("fields_to_include").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          c.options.get("schema")
+            .map(org.apache.spark.sql.types.StructType.fromDDL))
       case "arrow_to_json" => ArrowToJson
       case "debezium_json" => (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)
       case "batch" =>

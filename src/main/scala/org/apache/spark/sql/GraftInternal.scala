@@ -24,8 +24,18 @@ object GraftInternal {
     SparkSession.clearActiveSession()
     try SparkSession.builder().withExtensions(e => configure(e)).getOrCreate()
     finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+      // restore BOTH states explicitly — with no prior session, getOrCreate
+      // registered the extensions session as the JVM default, and leaving
+      // it there would hand the injected strategy/functions to every
+      // unrelated getOrCreate that follows
+      prevDefault match {
+        case Some(d) => SparkSession.setDefaultSession(d)
+        case None => SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(a) => SparkSession.setActiveSession(a)
+        case None => SparkSession.clearActiveSession()
+      }
     }
   }
 }

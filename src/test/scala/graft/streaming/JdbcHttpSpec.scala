@@ -167,6 +167,22 @@ class JdbcHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http output: 429 rate-limit stays on the backoff path (unlike other 4xx)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/limited", { exchange =>
+      try exchange.sendResponseHeaders(if (hits.incrementAndGet() <= 2) 429 else 200, -1)
+      finally exchange.close()
+    })
+    server.start()
+    try {
+      HttpOutputSink(s"http://127.0.0.1:${server.getAddress.getPort}/limited",
+        retryCount = 3).write(Seq(1L).toDF("id").coalesce(1), batchId = 0L)
+      assert(hits.get() == 3, s"429 must retry with backoff, got ${hits.get()} attempts")
+    } finally server.stop(0)
+  }
+
   test("http output POSTs NDJSON from executors with bearer auth (output/http.rs)") {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val authed = new java.util.concurrent.atomic.AtomicBoolean(true)

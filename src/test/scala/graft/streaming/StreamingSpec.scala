@@ -56,9 +56,10 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("s").cast("binary").as(Codecs.ValueCol))
       .filter(length(col(Codecs.ValueCol)) > 1000000)
     assert(!Engine.staticallyEmpty(empty), "precondition: computed-empty, not static")
-    // Without a declared schema: the held-back sentinel, so no sink ever
-    // binds a made-up (all-string) schema from an empty micro-batch.
-    assert(Engine.staticallyEmpty(Processors.JsonToArrow()(empty)))
+    // Without a declared schema: the held-back sentinel (zero-COLUMN
+    // frame — the engine's short-circuit marker), so no sink ever binds
+    // a made-up (all-string) schema from an empty micro-batch.
+    assert(Processors.JsonToArrow()(empty).schema.isEmpty)
     // With a declared schema: empty and non-empty batches carry IDENTICAL
     // types — safe for schema-sensitive sinks (parquet append, JDBC).
     val declared = StructType(Seq(
@@ -253,6 +254,43 @@ class StreamingSpec extends AnyFunSuite {
     val texts = sink.rows.map(_.getString(0))
     assert(texts.sorted == Seq("alpha", "beta", "gamma"),
       s"expected cross-batch dedup, got $texts")
+  }
+
+  test("a computed-empty frame mid-pipeline still writes (count=0 rows are results, not hold-backs)") {
+    // MemoryStream batches are LocalRelations, so a deterministic filter
+    // that drops every row is optimizer-folded to an EMPTY LocalRelation
+    // — indistinguishable from the old plan-emptiness sentinel. The
+    // zero-column sentinel keeps the semantics source-independent: the
+    // downstream aggregate must still run and write its count=0 row.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(),
+      Seq(
+        (df: org.apache.spark.sql.DataFrame) => df.filter(col("value") > 100),
+        (df: org.apache.spark.sql.DataFrame) =>
+          df.groupBy().agg(count(lit(1)).as("n"))),
+      sink)
+    ms.addData(1L, 2L) // both below the filter threshold
+    q.processAllAvailable(); q.stop()
+    assert(sink.rows.map(_.getLong(0)).toSeq == Seq(0L),
+      s"expected one count=0 row, got ${sink.rows}")
+  }
+
+  test("one-shot batch runs keep a staged accumulator OFF the cross-run staging path") {
+    // runBatch has no meaningful batch id; handing it a constant one
+    // would make every run overwrite the same __acc_batch partition
+    // (silent cross-run data loss). The batch path must use the plain
+    // in-memory apply and never touch the staging directory.
+    val staging = java.nio.file.Files.createTempDirectory("graft_stage_batch").toString
+    val sink = new Engine.MemorySink
+    Engine.runBatch(envelope(sensorJson: _*),
+      Seq(Processors.JsonToArrow(),
+        new Processors.BatchAccumulator(minRows = 1, staging = Some(staging))),
+      sink, None)
+    assert(sink.rows.size == sensorJson.size)
+    assert(Option(new java.io.File(staging).listFiles()).forall(_.isEmpty),
+      "batch run wrote into the streaming staging directory")
   }
 
   test("failed batches route to error_output instead of killing the stream (stream/mod.rs:485-516)") {
