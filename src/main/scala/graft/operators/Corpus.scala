@@ -57,14 +57,24 @@ object Corpus {
       .select(col("u").as("v"), col("u").as("label")).localCheckpoint(true)
     var round = 0
     while (round < maxIter) {
+      // one aggregation per round; the convergence signal rides INSIDE
+      // the materialized frame (min(label) < min over labels-only rows,
+      // detected by tagging own-label rows), so the changed-count is a
+      // scan of the checkpoint — no extra label-table join per round
       val neighborMin = edges.join(labels.select(col("v").as("u"), col("label")), "u")
-        .select(col("v"), col("label"))
-      val next = neighborMin.union(labels)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .select(col("v"), col("label"), lit(false).as("own"))
+      val next = neighborMin
+        .union(labels.select(col("v"), col("label"), lit(true).as("own")))
+        .groupBy(col("v")).agg(
+          min(col("label")).as("label"),
+          // the vertex's own (previous) label: min over its tagged row —
+          // unique per vertex, so min is just "the" value
+          min(when(col("own"), col("label"))).as("prev"))
+        .withColumn("changed", col("label") < col("prev"))
+        .drop("prev")
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("v"), col("label").as("old")), "v")
-        .filter(col("label") < col("old")).count()
-      labels = next
+      val changed = next.filter(col("changed")).count()
+      labels = next.drop("changed")
       if (changed == 0) round = Int.MaxValue else round += 1
     }
     if (round != Int.MaxValue)
