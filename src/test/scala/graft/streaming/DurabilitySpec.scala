@@ -37,6 +37,36 @@ class DurabilitySpec extends AnyFunSuite {
       s"recovery must not reprocess acked offsets, got ${sink2.rows}")
   }
 
+  test("ingest-dedup state survives restart: a duplicate arriving after recovery is dropped") {
+    // dropDuplicatesWithinWatermark keeps its seen-keys in the state
+    // store, which lives in the CHECKPOINT — so the corpus dedup
+    // guarantee holds across engine restarts, the property the
+    // reference's WAL provides for its pipeline state.
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(StructField("text", StringType), StructField("ts", LongType)))
+    def stream = spark.readStream.schema(schema).parquet(in)
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("text")
+
+    Seq(("alpha", 100L), ("beta", 101L)).toDF("text", "ts")
+      .write.mode("append").parquet(in)
+    val sink1 = new Engine.MemorySink
+    val q1 = Engine.start(stream, Seq(), sink1, checkpoint = Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    assert(sink1.rows.map(_.getString(0)).sorted == Seq("alpha", "beta"))
+
+    // restart from the same checkpoint; 'alpha' was seen BEFORE the stop
+    Seq(("alpha", 102L), ("gamma", 103L)).toDF("text", "ts")
+      .write.mode("append").parquet(in)
+    val sink2 = new Engine.MemorySink
+    val q2 = Engine.start(stream, Seq(), sink2, checkpoint = Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+    assert(sink2.rows.map(_.getString(0)).toSeq == Seq("gamma"),
+      s"pre-restart duplicate leaked through: ${sink2.rows.map(_.getString(0))}")
+  }
+
   private val sensorFields = Seq(ProtoField(1, "timestamp", "int64"),
     ProtoField(2, "value", "double"), ProtoField(3, "sensor", "string"))
   private val otherFields = Seq(ProtoField(1, "id", "int64"), ProtoField(2, "name", "string"))
