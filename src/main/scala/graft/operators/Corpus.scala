@@ -277,14 +277,16 @@ object Corpus {
     */
   def decontaminate(training: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    // per-doc shingle DEDUP is row-local (array_distinct inside the row,
+    // not a (doc, shingle) distinct) — the corpus side reaches the
+    // broadcast join with no shuffle at all
     def shingles(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col(as), explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"))
+        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"))
         .as("sh"))
-      .distinct()
     shingles(training, "doc_id")
       .join(broadcast(shingles(benchmark, "bench_id")), "sh")
       .groupBy(col("doc_id"))

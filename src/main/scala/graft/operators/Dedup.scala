@@ -36,16 +36,16 @@ object Dedup {
                    numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val w = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-    val sh = w.select(col("doc_id"), explode(expr(
+      .withColumn("shingles", expr(
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
-        .as("shingle"))
-      .distinct()
-    // All numHashes min-hashes as parallel aggregates of ONE
-    // groupBy(doc_id): no seed-explode row blowup, a single shuffle of the
-    // shingle set; signatures are bit-identical to the per-seed shape.
-    val minCols = (0 until numHashes).map(seed =>
-      min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"m$seed"))
-    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // All numHashes min-hashes as ROW-LOCAL array folds: a document's
+    // signature depends only on its own shingle set, so there is no
+    // explode, no distinct, no groupBy — ZERO shuffle until the band
+    // join (duplicates can't change a min, so no dedup needed either).
+    // Bit-identical to the explode→groupBy(min) shape the oracle runs.
+    val minCols = (0 until numHashes).map(seed => expr(
+      s"array_min(transform(shingles, s -> md5(concat('$seed:', s))))").as(s"m$seed"))
+    val mh = w.select(col("doc_id") +: minCols: _*)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { band =>
       val members = (band * rowsPerBand until (band + 1) * rowsPerBand)
@@ -75,16 +75,20 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("word"))
+    // ROW-LOCAL: a signature depends only on the document's own words,
+    // so md5 each word once per row and derive every bit as a filtered
+    // count over that array — no explode, no groupBy, ZERO shuffle.
+    // Bit j is set when the ±1 vote sum is positive, i.e. when
+    // 2 × (#words whose md5 hex digit j ≥ '8') > #words — identical to
+    // the exploded sum the oracle computes.
+    val withHashes = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .withColumn("hs", expr("transform(ws, w -> md5(w))"))
     val bitCols = (1 to bits).map { j =>
-      when(sum(when(substring(md5(col("word")), j, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0, "1")
-        .otherwise("0").as(s"b$j")
+      when(expr(s"2 * size(filter(hs, h -> substring(h, $j, 1) >= '8'))")
+        > size(col("ws")), "1").otherwise("0")
     }
-    words.groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), concat((1 to bits).map(j => col(s"b$j")): _*).as("simhash"))
+    withHashes.select(col("doc_id"), concat(bitCols: _*).as("simhash"))
   }
 
   /** Pairwise n-gram (3-word shingle) Jaccard via an inverted-index join,
@@ -97,12 +101,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, dfCap: Int = 50): DataFrame = {
+    // per-doc shingle dedup is row-local (array_distinct before the
+    // explode) — no (doc, shingle) distinct shuffle; the first shuffle
+    // is the df aggregation that the cap genuinely needs
     val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
         .as("sh"))
-      .distinct()
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // per-doc set size rides ON the index rows (window over doc_id —
     // bounded by document length, skew-safe) so the pair aggregation
