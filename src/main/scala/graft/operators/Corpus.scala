@@ -249,6 +249,47 @@ object Corpus {
     docs.filter(substring(md5(col(idCol).cast("string")), 1, 2) < t)
   }
 
+  /** Mixture sampling — build a training mix hitting a token budget with
+    * per-source WEIGHTS (the data-mixing step behind Pile-style corpora):
+    * source s gets a target of `budgetFrac × totalTokens × w_s / Σw`,
+    * and keeps the deterministic fraction of its docs that meets it
+    * (capped at 1 — a small high-weight source contributes all it has).
+    * Selection is the md5-prefix cut: a doc survives when its first 4
+    * hex digits (16 bits) fall under the source's computed cut, so the
+    * sample is content-addressed and reproducible anywhere, like
+    * [[stratifiedSample]] but with the thresholds DERIVED from corpus
+    * stats instead of given. Dataflow: one per-source aggregation (tiny
+    * — rows = #sources), a one-row total, both broadcast back onto the
+    * scan as a filter — the corpus shuffles zero times.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double],
+      defaultWeight: Double, budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac in (0,1], got $budgetFrac")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val toks = docs.withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+    val perSource = toks.groupBy(col(sourceCol))
+      .agg(sum(col("__nt")).as("__src_tok"))
+      .withColumn("__w", w)
+    val totals = perSource.agg(sum(col("__src_tok")).as("__tot_tok"),
+      sum(col("__w")).as("__tot_w"))
+    // keep fraction, quantized to 16 bits; cut rendered as a 4-hex-digit
+    // lowercase string so the comparison is the same lexicographic test
+    // in any engine ("g" sorts above every hex digit = keep everything)
+    val cuts = perSource.crossJoin(broadcast(totals))
+      .withColumn("__cut", floor(
+        least(lit(1.0), lit(budgetFrac) * col("__tot_tok") * col("__w") /
+          (col("__tot_w") * col("__src_tok"))) * 65536))
+      .select(col(sourceCol),
+        when(col("__cut") >= 65536, lit("g"))
+          .otherwise(lpad(lower(hex(col("__cut"))), 4, "0")).as("__cut_hex"))
+    toks.join(broadcast(cuts), sourceCol)
+      .filter(substring(md5(col(idCol).cast("string")), 1, 4) < col("__cut_hex"))
+      .select(col(idCol), col(sourceCol), col("__nt").as("n_tokens"))
+  }
+
   /** Overlapping token-window chunking for retrieval/embedding corpora:
     * windows of `window` tokens every `stride` tokens (stride < window
     * overlaps). explode + slice — zero shuffle, scales with the scan.
@@ -383,6 +424,13 @@ object Corpus {
 
     "q84_lm_quality" -> ((s, dir) =>
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Mix to 40% of corpus tokens, upweighting src0/src1 3x/2x.
+    "q85_mixture_sample" -> ((s, dir) =>
+      mixtureSample(Tables.load(s, dir, "documents"), "doc_id", "text",
+        "source", Map("src0" -> 3.0, "src1" -> 2.0),
+        defaultWeight = 1.0, budgetFrac = 0.4)
         .orderBy(col("doc_id"))),
 
     // The dedup DECISION applied: near-dup clusters keep only their
@@ -568,6 +616,34 @@ object Corpus {
         |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q85_mixture_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), per_source AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS src_tok,
+        |    CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |      ELSE 1.0 END AS w
+        |  FROM toks GROUP BY source
+        |), totals AS (
+        |  SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok, sum(w) AS tot_w
+        |  FROM per_source
+        |), cuts AS (
+        |  SELECT source,
+        |    CASE WHEN cutv >= 65536 THEN 'g'
+        |         ELSE lpad(lower(to_hex(cutv)), 4, '0') END AS cut_hex
+        |  FROM (
+        |    SELECT source, CAST(floor(least(1.0,
+        |        0.4 * t.tot_tok * p.w / (t.tot_w * p.src_tok)) * 65536)
+        |      AS BIGINT) AS cutv
+        |    FROM per_source p CROSS JOIN totals t)
+        |)
+        |SELECT doc_id, source, nt AS n_tokens
+        |FROM toks JOIN cuts USING (source)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut_hex
         |ORDER BY doc_id""".stripMargin,
 
     "q84_lm_quality" ->

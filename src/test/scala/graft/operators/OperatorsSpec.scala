@@ -331,6 +331,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling tracks weighted token targets and caps at full sources") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val totalTok = docs.select(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val mixed = Corpus.mixtureSample(docs, "doc_id", "text", "source",
+      Map("src0" -> 3.0, "src1" -> 2.0), defaultWeight = 1.0, budgetFrac = 0.4)
+    val gotTok = mixed.select(sum(col("n_tokens"))).collect()(0).getLong(0)
+    // overall budget: 40% of corpus tokens, within md5-quantization slack
+    assert(math.abs(gotTok.toDouble / totalTok - 0.4) < 0.08,
+      s"token share ${gotTok.toDouble / totalTok} far from 0.4")
+    // upweighted sources keep a larger fraction of their own tokens
+    val keptFrac = mixed.groupBy("source").agg(sum("n_tokens").as("kept"))
+      .join(docs.withColumn("nt", size(split(col("text"), " ")))
+        .groupBy("source").agg(sum("nt").as("all")), "source")
+      .select(col("source"), col("kept").cast("double") / col("all"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val restAvg = keptFrac.filterKeys(k => k != "src0" && k != "src1").values
+    assert(keptFrac("src0") > restAvg.max * 1.5,
+      s"src0 (3x weight) not upweighted: $keptFrac")
+    assert(keptFrac("src1") > restAvg.max * 1.1,
+      s"src1 (2x weight) not upweighted: $keptFrac")
+  }
+
   test("stratified sample is deterministic and tracks per-stratum rates") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val s1 = Corpus.stratifiedSample(docs, "doc_id", "lang",
