@@ -249,6 +249,42 @@ object Corpus {
     docs.filter(substring(md5(col(idCol).cast("string")), 1, 2) < t)
   }
 
+  /** Cross-document span repetition (the ExactSubstr signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * for every document, how many of its `n`-gram positions carry an
+    * n-gram that ALSO appears in at least one other document — the
+    * span-level complement of whole-document dedup (boilerplate headers,
+    * license blocks, quoted passages repeat across otherwise-unique
+    * docs). Dataflow: per-doc DISTINCT n-grams (row-local array_distinct)
+    * → one aggregation marking n-grams spanning ≥2 docs (min≠max doc id
+    * — never a count, so hot n-grams cost one min/max merge) → semi-join
+    * the full position multiset against the repeated set. Position
+    * totals are row-local.
+    */
+  def crossDocRepeats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+    val gram =
+      s"transform(sequence(1, size(ws) - ${n - 1}), " +
+        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+    val repeated = ws
+      .select(col("doc_id"), explode(expr(s"array_distinct($gram)")).as("kg"))
+      .groupBy(col("kg"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("kg"))
+    val positions = ws.select(col("doc_id"),
+      (size(col("ws")) - (n - 1)).cast("long").as("n_positions"),
+      explode(expr(gram)).as("kg"))
+    positions.join(repeated, Seq("kg"), "left_semi")
+      .groupBy(col("doc_id"), col("n_positions"))
+      .agg(count(lit(1)).as("n_repeated"))
+      .select(col("doc_id"), col("n_positions"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_positions"), 6)
+          .as("rep_frac"))
+  }
+
   /** Mixture sampling — build a training mix hitting a token budget with
     * per-source WEIGHTS (the data-mixing step behind Pile-style corpora):
     * source s gets a target of `budgetFrac × totalTokens × w_s / Σw`,
@@ -424,6 +460,11 @@ object Corpus {
 
     "q84_lm_quality" -> ((s, dir) =>
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Span-level repetition: 5-gram positions repeating across docs.
+    "q86_cross_doc_repeats" -> ((s, dir) =>
+      crossDocRepeats(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
     // Mix to 40% of corpus tokens, upweighting src0/src1 3x/2x.
@@ -616,6 +657,28 @@ object Corpus {
         |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    "q86_cross_doc_repeats" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(ws) - 4 AS BIGINT) AS n_positions,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> array_to_string(ws[i : i + 4], ' '))) AS kg
+        |  FROM ws
+        |), rep AS (
+        |  SELECT kg FROM (
+        |    SELECT kg, min(doc_id) AS mn, max(doc_id) AS mx FROM (
+        |      SELECT DISTINCT doc_id, kg FROM pos
+        |    ) GROUP BY kg
+        |  ) WHERE mn <> mx
+        |)
+        |SELECT doc_id, n_positions, count(*) AS n_repeated,
+        |  round(CAST(count(*) AS DOUBLE) / n_positions, 6) AS rep_frac
+        |FROM pos JOIN rep USING (kg)
+        |GROUP BY doc_id, n_positions
         |ORDER BY doc_id""".stripMargin,
 
     "q85_mixture_sample" ->

@@ -295,6 +295,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chunks.map(_.getLong(3)).toSeq == Seq(32L, 26L, 2L))
   }
 
+  test("cross-doc repeats count positions, not distinct n-grams, and ignore within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),     // 'a b c d e' shared with doc 2
+      (2L, "q r a b c d e s t u"),
+      (3L, "a b c d e f a b c d e f"), // repeats 'a b c d e' TWICE (positions 1 and 7)
+      (4L, "m n o p q r s t")          // nothing shared
+    ).toDF("doc_id", "text")
+    val got = Corpus.crossDocRepeats(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 3: 8 positions; cross-doc-repeated 5-grams at positions 1 and 7
+    // ('a b c d e' twice) plus 'b c d e f'? no — that 5-gram exists only
+    // in doc 3, and within-doc repetition alone must NOT mark it
+    assert(got == Map(1L -> (6L, 1L), 2L -> (6L, 1L), 3L -> (8L, 2L)),
+      s"got $got") // doc 4 has no repeated positions -> no row
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark set") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
