@@ -47,10 +47,42 @@ object Corpus {
     * Throws after `maxIter` rounds rather than returning silently-wrong
     * labels. Output: one row per vertex appearing in any pair —
     * (vertex, cluster) with cluster = min id of its component.
+    *
+    * Pair sets up to `driverThreshold` run union-find on the DRIVER
+    * instead (one bounded collect, identical output): candidate-pair
+    * graphs are tiny relative to their corpus, and a 50-pair graph
+    * should not pay half a dozen Spark jobs of propagation rounds — the
+    * same explicit bounded-collect-with-distributed-fallback shape as
+    * the JDBC lookup's maxKeys. Set it to 0 to force the distributed
+    * path.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, driverThreshold: Long = 100000): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val firstPairs = if (driverThreshold > 0)
+      e.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (driverThreshold > 0 && firstPairs.length <= driverThreshold) {
+      // union-find with path compression; cluster = min id per component
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { // iterative — a long chain must not blow the stack
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      firstPairs.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id, so every root is already its component's min
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val vertices = firstPairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return vertices.toSeq.map(v => (v, find(v))).toDF("vertex", "cluster")
+    }
     val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("u")).distinct()

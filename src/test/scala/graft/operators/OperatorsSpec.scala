@@ -248,16 +248,28 @@ class OperatorsSpec extends AnyFunSuite {
     // a~b, b~c, c~d is one cluster (even though a~d was never a candidate
     // pair); e~f is another; g is absent (no pairs -> no row)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val got = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // BOTH paths must agree: driver union-find (small graphs) and the
+    // distributed propagation loop (driverThreshold = 0 forces it)
+    val viaDriver = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // label propagation needs O(diameter) rounds; a capped run must throw,
-    // never return partially-propagated labels
+    val viaCluster = Corpus.connectedComponents(pairs, "doc_a", "doc_b",
+        driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == want && viaCluster == want)
+    // label propagation needs O(diameter) rounds; a capped DISTRIBUTED
+    // run must throw, never return partially-propagated labels
     intercept[IllegalStateException] {
       Corpus.connectedComponents(
         Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
-          .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1).collect()
+          .toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+        maxIter = 1, driverThreshold = 0).collect()
     }
+    // driver path survives a deep chain (iterative find, no stack limit)
+    val chain = (0L until 5000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val deep = Corpus.connectedComponents(chain, "doc_a", "doc_b")
+      .agg(org.apache.spark.sql.functions.countDistinct("cluster")).collect()(0).getLong(0)
+    assert(deep == 1L)
   }
 
   test("sequence packing equals the single-window formulation and is partition-invariant") {
