@@ -494,6 +494,30 @@ object Corpus {
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // The assembled per-document quality-feature table — the
+    // materialized signal join a classifier-based filter (FineWeb-style)
+    // fits and applies on. One row per doc: surface stats, Gopher
+    // repetition fractions, LM quality, span repetition — each the
+    // already-verified operator, joined on doc_id (broadcast-eligible
+    // outer joins; absent signals null out, e.g. docs below the bigram
+    // minimum).
+    "q87_quality_features" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val rep = repetitionQuality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_word_frac"), col("top_bigram_frac"))
+      val lm = lmQuality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("sum_logprob"))
+      val spans = crossDocRepeats(docs, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("rep_frac").as("cross_doc_rep_frac"))
+      base.join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
+
     // Span-level repetition: 5-gram positions repeating across docs.
     "q86_cross_doc_repeats" -> ((s, dir) =>
       crossDocRepeats(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
@@ -690,6 +714,72 @@ object Corpus {
         |  FROM documents
         |) WHERE rk <= 3
         |ORDER BY doc_id""".stripMargin,
+
+    "q87_quality_features" ->
+      """WITH rep AS (
+        |  SELECT w.doc_id,
+        |    round(1.0 - CAST(len(list_distinct(w.ws)) AS DOUBLE) / len(w.ws), 6)
+        |      AS dup_word_frac,
+        |    round(CAST(t.top_bg AS DOUBLE) / (t.nw - 1), 6) AS top_bigram_frac
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) w
+        |  JOIN (
+        |    SELECT doc_id, nw, max(c) AS top_bg FROM (
+        |      SELECT doc_id, nw, bg, count(*) AS c FROM (
+        |        SELECT doc_id, len(ws) AS nw,
+        |          unnest(list_transform(generate_series(1, len(ws) - 1),
+        |            i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2) x
+        |      ) GROUP BY doc_id, nw, bg
+        |    ) GROUP BY doc_id, nw
+        |  ) t ON w.doc_id = t.doc_id
+        |), b AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(ws) - 1),
+        |        i -> {'w1': ws[i], 'w2': ws[i+1]})) AS bg
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |    WHERE len(ws) >= 2
+        |  )
+        |), model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    round(ln(CAST(c12.c12 AS DOUBLE) / c1.c1), 4) AS lp
+        |  FROM (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2) c12
+        |  JOIN (SELECT w1, count(*) AS c1 FROM b GROUP BY w1) c1
+        |    ON c12.w1 = c1.w1
+        |), lm AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(lp AS DECIMAL(18,4))) AS DOUBLE) AS sum_logprob
+        |  FROM b JOIN model ON b.w1 = model.w1 AND b.w2 = model.w2
+        |  GROUP BY doc_id
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(ws) - 4 AS BIGINT) AS n_positions,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> array_to_string(ws[i : i + 4], ' '))) AS kg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 5) w
+        |), spans AS (
+        |  SELECT doc_id,
+        |    round(CAST(count(*) AS DOUBLE) / n_positions, 6) AS cross_doc_rep_frac
+        |  FROM pos JOIN (
+        |    SELECT kg FROM (
+        |      SELECT kg, min(doc_id) AS mn, max(doc_id) AS mx FROM (
+        |        SELECT DISTINCT doc_id, kg FROM pos
+        |      ) GROUP BY kg
+        |    ) WHERE mn <> mx
+        |  ) rep USING (kg)
+        |  GROUP BY doc_id, n_positions
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  rep.dup_word_frac, rep.top_bigram_frac,
+        |  lm.sum_logprob, spans.cross_doc_rep_frac
+        |FROM documents d
+        |LEFT JOIN rep ON d.doc_id = rep.doc_id
+        |LEFT JOIN lm ON d.doc_id = lm.doc_id
+        |LEFT JOIN spans ON d.doc_id = spans.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q86_cross_doc_repeats" ->
       """WITH ws AS (

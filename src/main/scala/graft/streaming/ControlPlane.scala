@@ -19,6 +19,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `GET  /streams`           every active query: id, runId, name
   *   - `GET  /streams/{id}`      one query: status + lastProgress
   *     ({id} matches the query's name OR its UUID id)
+  *   - `GET  /streams/{id}/exception`  failure details, answered for
+  *     LIVE and TERMINATED queries (a failed query leaves `active`, so
+  *     a listener records terminations)
   *   - `POST /streams/{id}/stop` stop that query
   *
   * Optional bearer auth mirrors [[HttpInput]]'s middleware.
@@ -28,6 +31,29 @@ final class ControlPlane(spark: SparkSession, port: Int,
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
+
+  // A failed query leaves streams.active, so failure details would be
+  // unreachable the moment they matter; remember terminations (id ->
+  // exception message, "" = clean stop; CHM forbids null values) via
+  // the listener API. Delivery is async — a just-stopped query's record
+  // can trail by a listener-bus tick.
+  private val terminated = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val names = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+      Option(e.name).foreach(n => names.put(n, e.id.toString))
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+      terminated.put(e.id.toString, e.exception.getOrElse(""))
+  }
+  spark.streams.addListener(listener)
+  // queries started BEFORE this control plane existed never fired
+  // onQueryStarted at it — seed their name -> id mapping now
+  spark.streams.active.foreach(q =>
+    Option(q.name).foreach(n => names.put(n, q.id.toString)))
 
   /** JSON string escaping for the few hand-built fields. */
   private def js(s: String): String =
@@ -73,6 +99,24 @@ final class ControlPlane(spark: SparkSession, port: Int,
         case ("GET", "/streams") =>
           respond(ex, 200,
             spark.streams.active.map(streamSummary).mkString("[", ",", "]"))
+        case ("GET", s) if s.startsWith("/streams/") && s.endsWith("/exception") =>
+          // reference GET /streams/{id} surfaces failure details; a live
+          // query answers from its own state, a terminated one from the
+          // listener's record (by id or by the name it started under)
+          val key = s.stripPrefix("/streams/").stripSuffix("/exception")
+          val id = Option(names.get(key)).getOrElse(key)
+          find(key) match {
+            case Some(q) => respond(ex, 200, q.exception match {
+              case Some(e) => s"""{"failed":true,"message":${js(e.message)}}"""
+              case None => """{"failed":false,"message":null}"""
+            })
+            case None if terminated.containsKey(id) =>
+              terminated.get(id) match {
+                case "" => respond(ex, 200, """{"failed":false,"message":null}""")
+                case msg => respond(ex, 200, s"""{"failed":true,"message":${js(msg)}}""")
+              }
+            case None => respond(ex, 404, """{"error":"no such stream"}""")
+          }
         case ("GET", s) if s.startsWith("/streams/") =>
           find(s.stripPrefix("/streams/")) match {
             case Some(q) => respond(ex, 200, streamDetail(q))
@@ -101,5 +145,8 @@ final class ControlPlane(spark: SparkSession, port: Int,
 
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    spark.streams.removeListener(listener)
+    server.stop(0)
+  }
 }

@@ -170,6 +170,37 @@ class CoverageSpec extends AnyFunSuite {
       // stop through the API
       assert(post(s"$base/streams/cp_stream/stop", tok) == 200)
       assert(!q.isActive, "POST /streams/{id}/stop must stop the query")
+      q.awaitTermination(10000)
+      // clean stop: exception route answers for the TERMINATED query
+      // (listener delivery is async — poll briefly)
+      def getUntil200(url: String): (Int, String) = {
+        var r = get(url, tok)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (r._1 != 200 && System.nanoTime() < deadline) {
+          Thread.sleep(100); r = get(url, tok)
+        }
+        r
+      }
+      val (ec, eb) = getUntil200(s"$base/streams/cp_stream/exception")
+      assert(ec == 200 && eb.contains("\"failed\":false"), s"$ec $eb")
+      // a genuinely failing stream: the listener records the error
+      val ms2 = MemoryStream[Int]
+      val bad = Engine.start(ms2.toDF(), Seq(
+          (df: org.apache.spark.sql.DataFrame) =>
+            throw new RuntimeException("boom_graft")),
+        new Engine.MemorySink,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        queryName = Some("cp_bad"))
+      ms2.addData(1)
+      intercept[Exception](bad.awaitTermination(20000))
+      var (fc, fb) = getUntil200(s"$base/streams/cp_bad/exception")
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!fb.contains("\"failed\":true") && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val r = getUntil200(s"$base/streams/cp_bad/exception"); fc = r._1; fb = r._2
+      }
+      assert(fc == 200 && fb.contains("\"failed\":true") && fb.contains("boom_graft"),
+        s"$fc $fb")
     } finally { cp.stop(); if (q.isActive) q.stop() }
   }
 
