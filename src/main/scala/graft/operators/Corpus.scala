@@ -58,11 +58,19 @@ object Corpus {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, driverThreshold: Long = 100000): DataFrame = {
-    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val firstPairs = if (driverThreshold > 0)
-      e.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+    // clamp BELOW Int.MaxValue: limit() takes an Int, and a larger
+    // threshold would silently truncate the collected pair set while
+    // still passing the size guard — wrong clusters, not a crash
+    val thr = math.min(driverThreshold, (Int.MaxValue - 2).toLong)
+    // null ids can't participate in either path (joins never match null;
+    // the driver path would NPE) — drop them up front, consistently
+    val e = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val firstPairs = if (thr > 0)
+      e.limit(thr.toInt + 1).collect()
     else Array.empty[org.apache.spark.sql.Row]
-    if (driverThreshold > 0 && firstPairs.length <= driverThreshold) {
+    if (thr > 0 && firstPairs.length <= thr) {
       // union-find with path compression; cluster = min id per component
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = { // iterative — a long chain must not blow the stack
@@ -821,8 +829,13 @@ object Corpus {
         |    CASE WHEN cutv >= 65536 THEN 'g'
         |         ELSE lpad(lower(to_hex(cutv)), 4, '0') END AS cut_hex
         |  FROM (
+        |    -- CAST(0.4 AS DOUBLE) first: DuckDB's bare 0.4 is DECIMAL and
+        |    -- would take an exact-decimal route where Spark runs binary
+        |    -- doubles — at a 1/65536 quantization boundary the floor()
+        |    -- could then disagree by one bucket. Forcing double makes
+        |    -- every operation IEEE-identical, same order, both engines.
         |    SELECT source, CAST(floor(least(1.0,
-        |        0.4 * t.tot_tok * p.w / (t.tot_w * p.src_tok)) * 65536)
+        |        CAST(0.4 AS DOUBLE) * t.tot_tok * p.w / (t.tot_w * p.src_tok)) * 65536)
         |      AS BIGINT) AS cutv
         |    FROM per_source p CROSS JOIN totals t)
         |)

@@ -83,6 +83,10 @@ object Dedup {
     // the exploded sum the oracle computes.
     val withHashes = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("ws"))
+      // null text -> null ws: the exploded formulation (and the oracle's
+      // unnest) emit NO row for such docs; an unfiltered row here would
+      // fabricate an all-zero signature that pairs with everything
+      .filter(col("ws").isNotNull)
       .withColumn("hs", expr("transform(ws, w -> md5(w))"))
     val bitCols = (1 to bits).map { j =>
       when(expr(s"2 * size(filter(hs, h -> substring(h, $j, 1) >= '8'))")

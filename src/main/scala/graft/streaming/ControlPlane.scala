@@ -37,8 +37,16 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // exception message, "" = clean stop; CHM forbids null values) via
   // the listener API. Delivery is async — a just-stopped query's record
   // can trail by a listener-bus tick.
-  private val terminated = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val names = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // both maps are BOUNDED (most recent 1000) — a long-lived service
+  // cycling short queries must not leak a stack trace per termination
+  private def boundedMap(): java.util.Map[String, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean = size() > 1000
+      })
+  private val terminated = boundedMap()
+  private val names = boundedMap()
   private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
@@ -55,9 +63,22 @@ final class ControlPlane(spark: SparkSession, port: Int,
   spark.streams.active.foreach(q =>
     Option(q.name).foreach(n => names.put(n, q.id.toString)))
 
-  /** JSON string escaping for the few hand-built fields. */
-  private def js(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string escaping for the few hand-built fields — control
+    * characters included: exception bodies are multi-line stack traces,
+    * and a raw newline inside a JSON string literal is unparseable. */
+  private def js(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange,
                       code: Int, body: String): Unit = {
