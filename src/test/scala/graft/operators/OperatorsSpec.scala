@@ -324,6 +324,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got") // doc 4 has no repeated positions -> no row
   }
 
+  test("corpus operators tolerate an empty corpus (a filtered-out partition must not throw)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents").filter(col("doc_id") < 0)
+    assert(Corpus.packSequences(docs, "doc_id", "text", 128L).count() == 0)
+    assert(Corpus.repetitionQuality(docs, "doc_id", "text").count() == 0)
+    assert(Corpus.bm25(docs, "doc_id", "text", Seq("spark")).count() == 0)
+    assert(Corpus.lmQuality(docs, "doc_id", "text").count() == 0)
+    assert(Corpus.stratifiedSample(docs, "doc_id", "lang", Map(), "80").count() == 0)
+    assert(Corpus.capPerSource(docs, "doc_id", "source", 3).count() == 0)
+    assert(Corpus.tokenChunks(docs, "doc_id", "text", 32, 24).count() == 0)
+    assert(Corpus.mixtureSample(docs, "doc_id", "text", "source",
+      Map(), 1.0, 0.4).count() == 0)
+    assert(Corpus.crossDocRepeats(docs, "doc_id", "text").count() == 0)
+    assert(Corpus.connectedComponents(
+      docs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+      "doc_a", "doc_b").count() == 0)
+    assert(Corpus.dedupSurvivors(docs, "doc_id",
+      docs.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+      "doc_a", "doc_b").count() == 0)
+  }
+
   test("decontamination flags exactly the docs sharing an n-gram with the benchmark set") {
     import spark.implicits._
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
