@@ -256,6 +256,28 @@ class StreamingSpec extends AnyFunSuite {
       s"expected cross-batch dedup, got $texts")
   }
 
+  test("per-batch inference follows an evolving JSON schema across micro-batches") {
+    // the reference infers per batch (SURVEY §1.3), so a new field
+    // appearing mid-stream just shows up — no fixed-schema rejection
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val input = ms.toDF().select(col("value").cast("binary").as(Codecs.ValueCol))
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val sink = new Engine.BatchSink {
+      def write(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        seen.synchronized { seen += b.columns.toSeq.sorted }
+    }
+    val q = Engine.start(input, Seq(Processors.JsonToArrow()), sink,
+      trigger = Trigger.ProcessingTime(0L))
+    ms.addData("""{"sensor": "a", "value": 1}""")
+    q.processAllAvailable()
+    ms.addData("""{"sensor": "b", "value": 2, "unit": "C"}""") // field appears
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSeq == Seq(Seq("sensor", "value"), Seq("sensor", "unit", "value")),
+      s"schemas per batch: $seen")
+  }
+
   test("a computed-empty frame mid-pipeline still writes (count=0 rows are results, not hold-backs)") {
     // MemoryStream batches are LocalRelations, so a deterministic filter
     // that drops every row is optimizer-folded to an EMPTY LocalRelation
