@@ -75,24 +75,18 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
-    // ROW-LOCAL: a signature depends only on the document's own words,
-    // so md5 each word once per row and derive every bit as a filtered
-    // count over that array — no explode, no groupBy, ZERO shuffle.
-    // Bit j is set when the ±1 vote sum is positive, i.e. when
-    // 2 × (#words whose md5 hex digit j ≥ '8') > #words — identical to
-    // the exploded sum the oracle computes.
-    val withHashes = docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("ws"))
+    // ROW-LOCAL and single-pass: a signature depends only on the
+    // document's own words, and the codegen [[graft.functions.SimhashBits]]
+    // expression computes every bit in ONE md5-per-word loop — no
+    // explode, no groupBy, ZERO shuffle, no intermediate hash array.
+    // Identical output to the exploded ±1 vote sum the oracle computes.
+    graft.functions.SimhashBits.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       // null text -> null ws: the exploded formulation (and the oracle's
       // unnest) emit NO row for such docs; an unfiltered row here would
       // fabricate an all-zero signature that pairs with everything
       .filter(col("ws").isNotNull)
-      .withColumn("hs", expr("transform(ws, w -> md5(w))"))
-    val bitCols = (1 to bits).map { j =>
-      when(expr(s"2 * size(filter(hs, h -> substring(h, $j, 1) >= '8'))")
-        > size(col("ws")), "1").otherwise("0")
-    }
-    withHashes.select(col("doc_id"), concat(bitCols: _*).as("simhash"))
+      .select(col("doc_id"), expr(s"simhash_bits(ws, $bits)").as("simhash"))
   }
 
   /** Pairwise n-gram (3-word shingle) Jaccard via an inverted-index join,
