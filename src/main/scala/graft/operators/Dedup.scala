@@ -38,18 +38,19 @@ object Dedup {
       .filter(size(col("ws")) >= 3)
       .withColumn("shingles", expr(
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
-    // All numHashes min-hashes as ROW-LOCAL array folds: a document's
+    // All numHashes min-hashes as ONE ROW-LOCAL fused pass
+    // ([[graft.functions.MinhashSigs]] codegen expression): a document's
     // signature depends only on its own shingle set, so there is no
     // explode, no distinct, no groupBy — ZERO shuffle until the band
     // join (duplicates can't change a min, so no dedup needed either).
     // Bit-identical to the explode→groupBy(min) shape the oracle runs.
-    val minCols = (0 until numHashes).map(seed => expr(
-      s"array_min(transform(shingles, s -> md5(concat('$seed:', s))))").as(s"m$seed"))
-    val mh = w.select(col("doc_id") +: minCols: _*)
+    graft.functions.MinhashSigs.register(docs.sparkSession)
+    val mh = w.select(col("doc_id"),
+      expr(s"minhash_sigs(shingles, $numHashes)").as("ms"))
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { band =>
       val members = (band * rowsPerBand until (band + 1) * rowsPerBand)
-        .map(s => col(s"m$s"))
+        .map(s => element_at(col("ms"), s + 1))
       md5(array_join(array_sort(array(members: _*)), "|")).as(s"sig$band")
     }
     val sigs = mh.select(col("doc_id") +: bandCols: _*)
