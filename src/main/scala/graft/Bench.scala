@@ -34,7 +34,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of output, and 80+ queries at
+    // full precision overflow that window — so (a) persist the full-precision
+    // line to bench_full.json, (b) print a compact line with per-query values
+    // at 3 decimals and the headline fields LAST, so truncation (which eats
+    // the start of the window) can only cost early per-query entries, never
+    // the total.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    def d3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","queries":$qs3,"sf":"$sfDir","n":${results.size},"unit":"sec","value":${d3(total)}}""")
     spark.stop()
   }
 }

@@ -99,21 +99,46 @@ object Dedup {
     * ONLY ultra-common shingles is by construction not a near-duplicate.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, dfCap: Int = 50): DataFrame = {
-    // per-doc shingle dedup is row-local (array_distinct before the
-    // explode) — no (doc, shingle) distinct shuffle; the first shuffle
-    // is the df aggregation that the cap genuinely needs
+                   threshold: Double, dfCap: Int = 50): DataFrame =
+    pairIntersections(docs, idCol, textCol, dfCap)
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  /** Asymmetric shingle CONTAINMENT — |A∩B| / |A| and |A∩B| / |B| — the
+    * metric that catches SUBSET duplication (one document quoting or
+    * embedding another) where symmetric Jaccard stays low: a 50-shingle
+    * quote inside a 5000-shingle page is jaccard ≈ 0.01 but containment
+    * 1.0 on the quoted side. Same DF-capped inverted-index dataflow as
+    * [[jaccardPairs]] (identical shuffle shape and bounds); a pair
+    * survives when EITHER side's containment clears the threshold.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, dfCap: Int = 50): DataFrame =
+    pairIntersections(docs, idCol, textCol, dfCap)
+      .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+      .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+
+  /** Shared inverted-index pair dataflow behind [[jaccardPairs]] /
+    * [[containmentPairs]]: per-doc DISTINCT 3-word shingles (row-local
+    * array_distinct — no (doc, shingle) distinct shuffle), a document-
+    * frequency cap dropping hot shingles from the index AND the set
+    * sizes (no quadratic bucket), per-doc set size riding the index rows
+    * (window by doc_id, bounded by document length), then the self-join
+    * counting shared shingles per pair. Returns
+    * (doc_a, doc_b, na, nb, inter).
+    */
+  private def pairIntersections(docs: DataFrame, idCol: String,
+      textCol: String, dfCap: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
         .as("sh"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // per-doc set size rides ON the index rows (window over doc_id —
-    // bounded by document length, skew-safe) so the pair aggregation
-    // carries na/nb as grouping keys and no post-joins re-derive them;
-    // the shingle subplan then has 2 consumers (the self-join sides,
-    // identical → exchange-reused) instead of 4.
     val kept = sh.join(freq.filter(col("df") <= dfCap).select("sh"), "sh")
       .withColumn("nw", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
@@ -123,10 +148,29 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Edit-distance CONFIRMATION of LSH candidates — the precise second
+    * stage of a two-stage dedup: [[minhashPairs]] proposes a candidate
+    * set that is tiny relative to n², and only those pairs pay the
+    * O(len²) Levenshtein comparison (Spark's codegen `levenshtein`,
+    * never all-pairs). A pair is a confirmed near-duplicate when its
+    * distance, normalized by the longer text, is at most `maxRel`. The
+    * candidate table is orders of magnitude smaller than the corpus, so
+    * both text-attach joins broadcast the pair side under AQE; the
+    * corpus itself never shuffles.
+    */
+  def editDistanceConfirm(docs: DataFrame, idCol: String, textCol: String,
+                          maxRel: Double): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    minhashPairs(docs, idCol, textCol)
+      .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
+      .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .withColumn("rel_dist", round(col("dist").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("rel_dist") <= maxRel)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
   }
 
   /** Near-dup pairs at hamming distance <= maxDist over the simhash
@@ -205,6 +249,16 @@ object Dedup {
     "q53_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q89_containment" -> ((s, dir) =>
+      containmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q90_editdist_confirm" -> ((s, dir) =>
+      editDistanceConfirm(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxRel = 0.4)
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
@@ -267,6 +321,69 @@ object Dedup {
         |JOIN n na ON na.doc_id = doc_a
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q89_containment" ->
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+        |  WHERE len(ws) >= 3
+        |), freq AS (
+        |  SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50
+        |), kept AS (
+        |  SELECT s.doc_id, s.sh FROM s JOIN freq USING (sh)
+        |), n AS (
+        |  SELECT doc_id, count(*) AS nw FROM kept GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / na.nw, 6) AS cont_a,
+        |  round(CAST(inter AS DOUBLE) / nb.nw, 6) AS cont_b
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / na.nw, 6) >= 0.5
+        |   OR round(CAST(inter AS DOUBLE) / nb.nw, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q90_editdist_confirm" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  levenshtein(da.text, db.text) AS dist,
+        |  round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        |    greatest(len(da.text), len(db.text)), 6) AS rel_dist
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |WHERE round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        |    greatest(len(da.text), len(db.text)), 6) <= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

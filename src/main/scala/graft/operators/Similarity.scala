@@ -230,6 +230,42 @@ object Similarity {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * cluster the embedding space with a coarse quantizer, then compare
+    * pairs ONLY within a cluster — a near-duplicate's nearest centroid is
+    * its duplicate's nearest centroid, so cross-cluster pairs need never
+    * be scored. Pair volume is Σ cell² instead of n²: with nList scaled
+    * ~√n the per-cell population stays bounded and the whole step is one
+    * broadcast assignment plus a per-cell self-join keyed by the cell —
+    * the only all-pairs work left is inside clusters, which is the
+    * operator's entire point. Centroids are the first `nList` vectors
+    * (the [[ivfKnn]] convention) so a SQL oracle reproduces the cells
+    * bit-for-bit; swap [[fitQuantizer]] in for production centroids.
+    * Returns the duplicate PAIRS (cell, va, vb, cos >= threshold);
+    * feed them to [[Corpus.dedupSurvivors]] to apply the drop decision.
+    */
+  def semanticDedupPairs(emb: DataFrame, nList: Int, threshold: Double): DataFrame = {
+    val v = prepared(emb)
+    val cents = v.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("centroid_id"), col("vd").as("qv"), col("nrm").as("qn"))
+    val assignScored = v
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("cv"), col("cn"), col("centroid_id").as("cell"))
+    val a = assigned.select(col("cell"), col("cid").as("va"),
+      col("cv").as("qv"), col("cn").as("qn"))
+    val b = assigned.select(col("cell"), col("cid").as("vb"), col("cv"), col("cn"))
+    a.join(b, "cell")
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("va"), col("vb"), col("cos"))
+  }
+
   /** MLlib random-hyperplane LSH (BucketedRandomProjectionLSH) as the
     * off-the-shelf ANN alternative: returns approx nearest neighbors for
     * one query vector. Engine-specific hashing — no SQL oracle; covered
@@ -264,7 +300,14 @@ object Similarity {
     "q67_ivf_kmeans_knn" -> ((s, dir) =>
       ivfKnnKMeans(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5,
         k = 3, nProbe = 2)
-        .orderBy(col("qid"), col("rnk")))
+        .orderBy(col("qid"), col("rnk"))),
+    "q91_semantic_dedup" -> ((s, dir) =>
+      // 0.4 exercises the operator on this synthetic corpus (its max
+      // pairwise cosine at sf0.01 is ~0.51); production near-dup pruning
+      // runs the same plan at ~0.95.
+      semanticDedupPairs(Tables.load(s, dir, "embeddings"), nList = 8,
+        threshold = 0.4)
+        .orderBy(col("va"), col("vb")))
   )
 
   private val duckPrep =
@@ -315,6 +358,26 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT qid, cell, cid, cos, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY qid, rnk""".stripMargin
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "q91_semantic_dedup" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS centroid_id, vd, nrm FROM v WHERE vec_id < 8),
+         |assign_scored AS (
+         |  SELECT c.vec_id AS cid, c.vd AS cv, c.nrm AS cn, ct.centroid_id,
+         |    round(list_dot_product(ct.vd, c.vd) / (ct.nrm * c.nrm), 6) AS ccos
+         |  FROM v c CROSS JOIN cents ct
+         |), assigned AS (
+         |  SELECT cid, cv, cn, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, centroid_id) AS arn
+         |    FROM assign_scored) t
+         |  WHERE arn = 1
+         |), pairs AS (
+         |  SELECT a.cell, a.cid AS va, b.cid AS vb,
+         |    round(list_dot_product(a.cv, b.cv) / (a.cn * b.cn), 6) AS cos
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.cid < b.cid
+         |)
+         |SELECT cell, va, vb, cos FROM pairs WHERE cos >= 0.4
+         |ORDER BY va, vb""".stripMargin
   )
 }

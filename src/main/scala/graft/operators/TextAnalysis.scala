@@ -114,6 +114,54 @@ object TextAnalysis {
   private val q57Spark = fpSql("")
   private val q57Duck = fpSql(", 'g'")
 
+  /** Top-`k` TF-IDF keywords per document — the classic relevance weight
+    * (tf × ln(N/df)) used for keyword extraction, topic labeling, and as
+    * a cheap retrieval signal. Dataflow: one explode → tf aggregation
+    * keyed (doc, word) with map-side partial combine, document
+    * frequencies derived FROM the tf frame (one row per (doc, word), so
+    * count = df — no second pass over the corpus), corpus size as a
+    * broadcast single row, and a per-doc top-k window bounded by the
+    * document's distinct-word count. Ranking orders by the ROUNDED score
+    * so engines agree at float boundaries.
+    */
+  def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
+
+  /** Feature-hashed bag-of-words (the hashing trick, Weinberger et al.
+    * 2009): every word maps to `dims` buckets by a hash of its content,
+    * giving a fixed-width sparse feature vector with NO vocabulary table
+    * — the property that matters at 100 TB, where a vocab join would be
+    * a second corpus-scale shuffle. Output is sparse (doc_id, bucket,
+    * n) rows; the only shuffle is the (doc, bucket) count aggregation,
+    * which map-side combines to ≤ dims rows per document. md5-derived
+    * bucket (first 8 hex chars mod dims) keeps the oracle bit-exact;
+    * swap xxhash64 for production throughput.
+    */
+  def hashedFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dims: Int): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dims)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q54_langid" -> Q.fromSql(q54Spark),
     "q55_quality_score" -> Q.fromSql(q55Spark),
@@ -137,7 +185,15 @@ object TextAnalysis {
           piiCount(col("synth"), EmailRe).as("n_emails"),
           piiCount(col("synth"), PhoneRe).as("n_phones"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "q88_tfidf_keywords" -> ((s, dir) =>
+      tfidfKeywords(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    "q92_hashed_features" -> ((s, dir) =>
+      hashedFeatures(Tables.load(s, dir, "documents"), "doc_id", "text", dims = 16)
+        .orderBy(col("doc_id"), col("bucket")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +219,37 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(synth, '$EmailRe', 0)) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(synth, '$PhoneRe', 0)) AS BIGINT) AS n_phones
          |FROM s
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q88_tfidf_keywords" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM words GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q92_hashed_features" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 16
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin
   )
 }

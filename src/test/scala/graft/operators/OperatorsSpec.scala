@@ -499,4 +499,87 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 4))
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
   }
+
+  test("containment catches subset duplication that symmetric jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a 6-word quote lifted verbatim from the middle of doc 1
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 0.142857, 1.0)),
+      "the quoted side must be fully contained (cont_b = 1.0)")
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).count() == 0,
+      "symmetric jaccard (4/28 shared) must NOT flag the quote pair")
+  }
+
+  test("edit-distance confirm keeps near-identical candidates, drops divergent ones") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val oneOff = (1 to 19).map(i => s"w$i").mkString(" ") + " zz"
+    // shares enough shingles with base to become an LSH candidate, but
+    // diverges over a long suffix -> high relative edit distance
+    val drifted = (1 to 12).map(i => s"w$i").mkString(" ") +
+      " aa bb cc dd ee ff gg hh"
+    val docs = Seq((1L, base), (2L, oneOff), (3L, drifted)).toDF("doc_id", "text")
+    val cand = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), "one-word edit must be an LSH candidate")
+    val confirmed = Dedup.editDistanceConfirm(docs, "doc_id", "text", maxRel = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // base/oneOff differ by one 3-char token swap ("w20" -> "zz"): dist 3
+    assert(confirmed.contains((1L, 2L, 3)))
+    assert(!confirmed.exists(c => c._2 == 3L || c._1 == 3L),
+      "the drifted doc must fail the relative-distance confirmation")
+  }
+
+  test("tfidf: corpus-wide words score zero, distinctive words rank first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the zebra the the"),
+      (2L, "the lion"),
+      (3L, "the lion cat")).toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = kw.groupBy(_._1)
+    assert(byDoc(1L).find(_._4 == 1).get._2 == "zebra",
+      "the unique word must outrank the corpus-wide 'the'")
+    // 'the' appears in every doc: ln(3/3) = 0 exactly
+    assert(kw.filter(_._2 == "the").forall(_._3 == 0.0))
+    // 'lion' in 2 of 3 docs: tf=1 -> ln(1.5)
+    val lion = byDoc(2L).find(_._2 == "lion").get._3
+    assert(math.abs(lion - math.log(1.5)) < 1e-6)
+  }
+
+  test("hashed features preserve totals and stay inside the bucket range") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a a a b")).toDF("doc_id", "text")
+    val f = TextAnalysis.hashedFeatures(docs, "doc_id", "text", dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(f.forall(r => r._2 >= 0 && r._2 < 4))
+    val totals = f.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals == Map(1L -> 8L, 2L -> 4L),
+      "bucket counts must partition the word multiset exactly")
+    // same word, same bucket: doc 2's three 'a's land together
+    assert(f.filter(_._1 == 2L).map(_._3).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("semantic dedup pairs only within a cell and scores duplicates at 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), // centroid of cell 0
+      (1L, Seq(0f, 1f)), // centroid of cell 1
+      (2L, Seq(10f, 0.1f)), // cell 0
+      (3L, Seq(10f, 0.1f)), // duplicate of 2 -> cos exactly 1
+      (4L, Seq(0.05f, 2f)) // cell 1 — must never pair with 2/3
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(emb, nList = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.exists(p => p._2 == 2L && p._3 == 3L && p._4 == 1.0),
+      "identical vectors in one cell must pair at cos 1.0")
+    assert(pairs.forall(p => !(Set(2L, 3L).contains(p._2) && p._3 == 4L)),
+      "vectors in different cells must never be compared")
+  }
 }
