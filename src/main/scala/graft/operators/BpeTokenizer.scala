@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import graft.Q.QueryFn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + corpus tokenization (Sennrich et
+  * al. 2016) — the subword-vocabulary step a pretraining pipeline runs
+  * over its final corpus. Reference scope: the arkflow surface stops at
+  * whitespace/regex token COUNTING (q56); this adds the learned
+  * tokenizer itself as a first-class distributed operator.
+  *
+  * The 100 TB formulation: the corpus is touched exactly ONCE (the word
+  * count — one shuffle keyed by word); every merge iteration then runs
+  * on the WORD-TYPE table (vocabulary-sized, orders of magnitude smaller
+  * than the corpus, and shrinking as merges fuse symbols). Per iteration:
+  * one row-local adjacent-pair explode over types, one pair-count
+  * aggregation (map-side combined), one single-row argmax to the driver
+  * (the chosen merge is the only driver-side state — a few bytes per
+  * rank), one row-local merge rewrite. `localCheckpoint` truncates the
+  * per-iteration lineage so plan depth stays O(1) over hundreds of
+  * merges, exactly like [[Corpus.connectedComponents]] rounds.
+  *
+  * Tokenization applies the learned table in ONE corpus scan through the
+  * fused codegen expression [[graft.functions.BpeEncode]] — the merge
+  * list is a plan constant, never a per-merge pass over the data.
+  *
+  * Ties (equal pair counts) break lexicographically, so the learned
+  * table is deterministic on any partitioning, cluster size, or engine.
+  * No SQL oracle: the train loop is iterative argmax-then-rewrite, which
+  * a single DuckDB query cannot express — OperatorsSpec proves parity
+  * against an independent single-node reference implementation instead
+  * (the q40/q67 treatment).
+  */
+object BpeTokenizer {
+
+  /** Character symbols of a word, the last carrying the end-of-word
+    * marker — `"low"` → `["l", "o", "w</w>"]`. */
+  private def initSyms(word: Column): Column = {
+    val cs = filter(split(word, ""), c => c =!= "")
+    transform(cs, (c, i) =>
+      when(i === size(cs) - 1, concat(c, lit("</w>"))).otherwise(c))
+  }
+
+  /** Row-local adjacent symbol pairs: `[a,b,c]` → `[(a,b), (b,c)]`. */
+  private def adjacentPairs(syms: Column): Column =
+    filter(
+      zip_with(syms,
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (l, r) => struct(l.as("l"), r.as("r"))),
+      p => p.getField("r").isNotNull)
+
+  /** One left-to-right non-overlapping (l, r) merge pass as a row-local
+    * fold — the training-side rewrite (tokenization uses the fused
+    * expression instead; OperatorsSpec asserts the two agree). */
+  private def mergePass(syms: Column, l: Column, r: Column): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), s.as("pend")))
+          .when(pend === l && s === r,
+            struct(concat(out, array(concat(l, r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), s.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
+  /** A learned merge: rank-ordered, `merged = left + right`. */
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** Learn `numMerges` merges from the corpus. Stops early when no
+    * remaining pair reaches `minFreq` (merging hapax pairs only memorizes
+    * the corpus). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var types = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(initSyms(col("word")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val best = types
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val (l, r, cnt) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        types = types
+          .select(mergePass(col("syms"), lit(l), lit(r)).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] as a DataFrame — (rank, left, right, merged, freq). */
+  def trainDf(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, numMerges, minFreq)
+      .map(m => (m.rank, m.left, m.right, m.left + m.right, m.freq))
+      .toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** Tokenize every document with a learned merge table: one codegen
+    * scan, tokens = the concatenation of each word's BPE encoding. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    graft.functions.Bpe.register(docs.sparkSession)
+    // typedLit, never SQL-string interpolation: learned symbols are
+    // corpus-derived text and must not be parsed as SQL
+    val mergeArr = typedLit(merges.sortBy(_.rank).map(m => m.left + " " + m.right))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"),
+        flatten(transform(
+          filter(col("ws"), w => length(w) > 0),
+          w => call_function("bpe_encode", initSyms(w), mergeArr))).as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+  }
+
+  // ---- driver-checked query entries (rows-only: iterative train loop
+  // has no single-query SQL equivalent; parity proven in OperatorsSpec) --
+
+  val queries: Map[String, QueryFn] = Map(
+    "q93_bpe_train" -> ((s, dir) =>
+      trainDf(Tables.load(s, dir, "documents"), "text", numMerges = 40)
+        .orderBy(col("rank"))),
+
+    "q94_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      tokenize(docs, "doc_id", "text",
+        train(docs, "text", numMerges = 40))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -151,7 +151,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "dot_product" -> (exprs => graft.functions.DotProduct(exprs(0), exprs(1))),
       "hamming_distance" -> (exprs => graft.functions.HammingDistance(exprs(0), exprs(1))),
       "simhash_bits" -> (exprs => graft.functions.SimhashBits(exprs(0), exprs(1))),
-      "minhash_sigs" -> (exprs => graft.functions.MinhashSigs(exprs(0), exprs(1))))
+      "minhash_sigs" -> (exprs => graft.functions.MinhashSigs(exprs(0), exprs(1))),
+      "bpe_encode" -> (exprs => graft.functions.BpeEncode(exprs(0), exprs(1))))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -16,8 +16,10 @@ class OperatorsSpec extends AnyFunSuite {
     val qs = graft.SparkEntry.queries.keySet
     val os = graft.SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    // only engine-specific results (sketches, learned centroids) may skip
-    val allowedNoOracle = Set("q40_approx_agg", "q67_ivf_kmeans_knn")
+    // only engine-specific results (sketches, learned centroids) and
+    // iterative train loops (BPE — parity-spec'd below instead) may skip
+    val allowedNoOracle =
+      Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train", "q94_bpe_tokenize")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
@@ -96,7 +98,8 @@ class OperatorsSpec extends AnyFunSuite {
       "Multimodal" -> Multimodal.queries.keySet,
       "Extensions" -> Extensions.queries.keySet,
       "RangeJoin" -> RangeJoin.queries.keySet,
-      "Corpus" -> Corpus.queries.keySet)
+      "Corpus" -> Corpus.queries.keySet,
+      "BpeTokenizer" -> BpeTokenizer.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")
@@ -564,6 +567,72 @@ class OperatorsSpec extends AnyFunSuite {
       "bucket counts must partition the word multiset exactly")
     // same word, same bucket: doc 2's three 'a's land together
     assert(f.filter(_._1 == 2L).map(_._3).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("BPE train matches an independent reference implementation; encode round-trips") {
+    import spark.implicits._
+    // the classic Sennrich corpus shape: low*5 lower*2 newest*6 widest*3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+
+    // independent single-node reference (lists + maps, recursive merge —
+    // shares NO code with the operator under test)
+    def rmerge(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (a + b) :: rmerge(rest, l, r)
+      case a :: rest => a :: rmerge(rest, l, r)
+      case Nil => Nil
+    }
+    def refTrain(numMerges: Int, minFreq: Long): List[(Int, String, String, Long)] = {
+      var types: Map[List[String], Long] = text.split(" ").toSeq
+        .groupBy(identity).map { case (w, ws) =>
+          val cs = w.map(_.toString).toList
+          (cs.init :+ (cs.last + "</w>")) -> ws.size.toLong
+        }
+      var out = List.empty[(Int, String, String, Long)]
+      var rank = 0
+      var stop = false
+      while (rank < numMerges && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- types; Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= minFreq =>
+            out :+= ((rank, l, r, c))
+            types = types.map { case (syms, f) => rmerge(syms, l, r) -> f }
+            rank += 1
+          case _ => stop = true
+        }
+      }
+      out
+    }
+
+    val expected = refTrain(numMerges = 50, minFreq = 2)
+    val got = BpeTokenizer.train(docs, "text", numMerges = 50, minFreq = 2)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+    assert(got.toList == expected,
+      "distributed trainer must learn the exact reference merge table")
+    assert(expected.nonEmpty && expected.size < 50,
+      "the corpus must exhaust mergeable pairs before the cap (early stop path)")
+
+    // encode parity + round-trip through the fused codegen expression
+    val merges = got.map(g => BpeTokenizer.Merge(g._1, g._2, g._3, g._4))
+    val toks = BpeTokenizer.tokenize(docs, "doc_id", "text", merges)
+      .collect().head.getAs[scala.collection.Seq[String]]("tokens")
+    def refEncode(w: String): List[String] = {
+      val cs = w.map(_.toString).toList
+      merges.foldLeft(cs.init :+ (cs.last + "</w>")) {
+        case (syms, m) => rmerge(syms, m.left, m.right)
+      }
+    }
+    val expectedToks = text.split(" ").toList.flatMap(refEncode)
+    assert(toks.toList == expectedToks,
+      "fused bpe_encode must equal merge-by-merge reference encoding")
+    assert(toks.mkString.replace("</w>", " ").trim == text,
+      "token concatenation must reproduce the original text")
+    // the most frequent word fuses to a single token at this merge depth
+    assert(toks.contains("newest</w>"))
   }
 
   test("semantic dedup pairs only within a cell and scores duplicates at 1") {
