@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Sources carry UTF-8 literals (unicode-normalization specs); the box's
+// platform default charset is ASCII, so pin the compiler's reader.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "arkflowspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

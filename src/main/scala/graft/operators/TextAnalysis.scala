@@ -193,7 +193,30 @@ object TextAnalysis {
 
     "q92_hashed_features" -> ((s, dir) =>
       hashedFeatures(Tables.load(s, dir, "documents"), "doc_id", "text", dims = 16)
-        .orderBy(col("doc_id"), col("bucket")))
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // Unicode normalization (functions/Normalize.scala): the corpus is
+    // pure ASCII, so the query first plants decomposed accents
+    // deterministically (every 'a' gains a combining grave, every 'e' a
+    // combining acute — the exact same replace in the oracle), then NFC-
+    // composes and accent-folds back. Everything is codegen row ops —
+    // zero shuffle, scales with the scan; the ASCII fast path means real
+    // corpora pay the Normalizer only on non-ASCII rows.
+    "q95_nfc_normalize" -> ((s, dir) => {
+      graft.functions.NormalizeOps.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val deco =
+        expr("replace(replace(text, 'a', 'a\u0300'), 'e', 'e\u0301')")
+      docs.select(col("doc_id"), col("text"), deco.as("deco"))
+        .select(col("doc_id"), col("text"),
+          length(col("deco")).cast("long").as("n_deco"),
+          expr("nfc_normalize(deco)").as("composed"))
+        .select(col("doc_id"), col("n_deco"),
+          length(col("composed")).cast("long").as("n_nfc"),
+          col("composed"),
+          (expr("strip_accents(composed)") === col("text")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -250,6 +273,24 @@ object TextAnalysis {
         |  count(*) AS n
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
         |GROUP BY doc_id, bucket
-        |ORDER BY doc_id, bucket""".stripMargin
+        |ORDER BY doc_id, bucket""".stripMargin,
+
+    // chr(768)/chr(769) are the combining grave/acute the Spark side
+    // plants as literals; DuckDB's nfc_normalize/strip_accents are the
+    // independent UAX#15 implementation (utf8proc) the custom
+    // expressions must agree with.
+    "q95_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    replace(replace(text, 'a', 'a' || chr(768)),
+        |                          'e', 'e' || chr(769)) AS deco
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(deco) AS BIGINT) AS n_deco,
+        |  CAST(length(nfc_normalize(deco)) AS BIGINT) AS n_nfc,
+        |  nfc_normalize(deco) AS composed,
+        |  strip_accents(nfc_normalize(deco)) = text AS roundtrip_ok
+        |FROM d
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -152,7 +152,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "hamming_distance" -> (exprs => graft.functions.HammingDistance(exprs(0), exprs(1))),
       "simhash_bits" -> (exprs => graft.functions.SimhashBits(exprs(0), exprs(1))),
       "minhash_sigs" -> (exprs => graft.functions.MinhashSigs(exprs(0), exprs(1))),
-      "bpe_encode" -> (exprs => graft.functions.BpeEncode(exprs(0), exprs(1))))
+      "bpe_encode" -> (exprs => graft.functions.BpeEncode(exprs(0), exprs(1))),
+      "nfc_normalize" -> (exprs => graft.functions.NfcNormalize(exprs.head)),
+      "strip_accents" -> (exprs => graft.functions.StripAccents(exprs.head)))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

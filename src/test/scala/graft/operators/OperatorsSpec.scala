@@ -63,6 +63,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == r.getDouble(4), "must be bit-identical to the sequential fold")
   }
 
+  test("nfc_normalize / strip_accents codegen expressions") {
+    graft.functions.NormalizeOps.register(spark)
+    val r = spark.sql(
+      """SELECT nfc_normalize('caf' || 'é') AS composed,
+        |       length(nfc_normalize('é')) AS n1,
+        |       strip_accents('école') AS folded,
+        |       strip_accents('ø ç ñ') AS mixed,
+        |       nfc_normalize(CAST(NULL AS STRING)) AS nn,
+        |       nfc_normalize('plain ascii') AS ascii
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "café") // e + combining acute -> U+00E9
+    assert(r.getInt(1) == 1)
+    assert(r.getString(2) == "ecole")
+    assert(r.getString(3) == "ø c n") // ø has no decomposition; ç/ñ fold
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "plain ascii")
+    // ASCII fast path: the helper returns the input object untouched
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("ascii only")
+    assert(graft.functions.NormalizeOps.nfc(s) eq s)
+    assert(graft.functions.NormalizeOps.stripAccents(s) eq s)
+  }
+
   test("kmeans IVF with all cells probed is exactly brute force; partial probes recall") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
