@@ -230,6 +230,66 @@ object Similarity {
       .select(col("va"), col("vb"), col("cos"))
   }
 
+  /** Product quantization with asymmetric-distance scan (Jégou et al.
+    * 2011, the "PQ" of faiss's IVF-PQ) — the memory-compression half of
+    * the 100 TB vector-search story: each vector splits into `m`
+    * subvectors, each subvector is replaced by the id of its nearest
+    * per-subspace centroid, and the corpus shrinks from `dim` floats to
+    * `m` small ints per vector (64-dim float32 → 8 codes ≈ 32×). A query
+    * never touches the raw vectors again: it precomputes an m×ksub
+    * lookup table of subspace distances (ADC), and every candidate's
+    * approximate distance is m table lookups + a sum.
+    *
+    * Dataflow: codebooks broadcast (m·ksub rows), encode is one scan of
+    * the corpus (explode to m subvector rows, broadcast-join, per-(vec,j)
+    * argmin — no shuffle of the vectors themselves); the ADC scan joins
+    * the code table against the broadcast query lookup tables and
+    * aggregates m rows per (query, candidate). The code table is the
+    * only corpus-sized state and it is ~m bytes/vector — persist it like
+    * [[buildIvfIndex]] and the scan reads no embeddings at all.
+    *
+    * Codebooks are the subvectors of the first `ksub` vectors (the
+    * [[ivfKnn]] deterministic convention) so a DuckDB oracle reproduces
+    * the codes bit-for-bit; production swaps per-subspace KMeans in
+    * without touching the dataflow. Subspace distance sums go through
+    * DECIMAL(28,12) so the m-term addition is order-independent and
+    * engine-exact (the [[graft.Q]] convention).
+    */
+  def pqKnn(emb: DataFrame, m: Int, ksub: Int, nQueries: Int, k: Int,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    val subs = v.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(vd, CAST(j * $dsub + 1 AS INT), $dsub)").as("sub"))
+    val cents = subs.filter(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").as("code"), col("sub").as("cent"))
+    // squared L2 via the algebraic identity — three codegen dot products,
+    // the exact expression (and operation order) the oracle uses
+    val d2 = "dot_product(sub, sub) - 2 * dot_product(sub, cent) + dot_product(cent, cent)"
+    val enc = subs.join(broadcast(cents), "j").withColumn("d2", expr(d2))
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2"), col("code"))
+    val codes = enc.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("j"), col("code"))
+    val qdt = enc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("j"), col("code"),
+        col("d2").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(28, 12)).as("dt"))
+    val adist = codes.join(broadcast(qdt), Seq("j", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(round(sum(col("dt")).cast("double"), 6).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    adist.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("adist"), col("rnk"))
+  }
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     * cluster the embedding space with a coarse quantizer, then compare
     * pairs ONLY within a cluster — a near-duplicate's nearest centroid is
@@ -307,7 +367,11 @@ object Similarity {
       // runs the same plan at ~0.95.
       semanticDedupPairs(Tables.load(s, dir, "embeddings"), nList = 8,
         threshold = 0.4)
-        .orderBy(col("va"), col("vb")))
+        .orderBy(col("va"), col("vb"))),
+    "q96_pq_adc" -> ((s, dir) =>
+      pqKnn(Tables.load(s, dir, "embeddings"), m = 8, ksub = 16,
+        nQueries = 5, k = 5)
+        .orderBy(col("qid"), col("rnk")))
   )
 
   private val duckPrep =
@@ -378,6 +442,44 @@ object Similarity {
          |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.cid < b.cid
          |)
          |SELECT cell, va, vb, cos FROM pairs WHERE cos >= 0.4
-         |ORDER BY va, vb""".stripMargin
+         |ORDER BY va, vb""".stripMargin,
+
+    // PQ: subspace slices via 1-based inclusive list slicing; the d2
+    // expression text (and so its IEEE operation order) matches the
+    // Spark side exactly; the m-term ADC sum goes through DECIMAL(28,12)
+    // for order-independent addition.
+    "q96_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+        |), subs AS (
+        |  SELECT vec_id, j, vd[CAST(j*8+1 AS INT) : CAST(j*8+8 AS INT)] AS sub
+        |  FROM v, range(8) t(j)
+        |), cents AS (
+        |  SELECT j, vec_id AS code, sub AS cent FROM subs WHERE vec_id < 16
+        |), enc AS (
+        |  SELECT s.vec_id, s.j, c.code,
+        |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cent)
+        |      + list_dot_product(c.cent, c.cent) AS d2
+        |  FROM subs s JOIN cents c USING (j)
+        |), codes AS (
+        |  SELECT vec_id AS cid, j, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        |    FROM enc) t
+        |  WHERE rn = 1
+        |), qdt AS (
+        |  SELECT vec_id AS qid, j, code, CAST(d2 AS DECIMAL(28,12)) AS dt
+        |  FROM enc WHERE vec_id < 5
+        |), adist AS (
+        |  SELECT q.qid, c.cid, round(CAST(sum(q.dt) AS DOUBLE), 6) AS adist
+        |  FROM codes c JOIN qdt q ON c.j = q.j AND c.code = q.code
+        |  WHERE q.qid <> c.cid
+        |  GROUP BY q.qid, c.cid
+        |), ranked AS (
+        |  SELECT qid, cid, adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+        |  FROM adist
+        |)
+        |SELECT qid, cid, adist, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin
   )
 }
