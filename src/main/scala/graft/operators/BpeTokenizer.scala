@@ -77,9 +77,21 @@ object BpeTokenizer {
 
   /** Learn `numMerges` merges from the corpus. Stops early when no
     * remaining pair reaches `minFreq` (merging hapax pairs only memorizes
-    * the corpus). */
+    * the corpus).
+    *
+    * The corpus-scale pass is always the ONE distributed word count; the
+    * merge loop then runs on the word-TYPE table, which is
+    * vocabulary-sized — heavy-tailed text keeps it in the millions even
+    * at 100 TB. When it fits under `localTypeThreshold` the loop runs on
+    * the DRIVER (collect once, iterate in memory — the shape every
+    * production BPE trainer uses, eliminating the 2-jobs-per-merge
+    * scheduler overhead that dominates distributed iterations); above
+    * the threshold it falls back to the distributed per-iteration
+    * dataflow. Both paths are exactly the same algorithm (greedy global
+    * argmax, lexicographic tie-break, left-to-right non-overlapping
+    * rewrite) — OperatorsSpec asserts merge-for-merge equality. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L): Seq[Merge] = {
+      minFreq: Long = 2L, localTypeThreshold: Long = 200000L): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var types = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -87,6 +99,11 @@ object BpeTokenizer {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(initSyms(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
+    if (types.count() <= localTypeThreshold) {
+      val collected = types.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      return trainLocal(collected, numMerges, minFreq)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
@@ -109,6 +126,63 @@ object BpeTokenizer {
       }
     }
     merges.toSeq
+  }
+
+  /** Driver-side merge loop over the collected word-type table — the
+    * same greedy algorithm as the distributed branch of [[train]],
+    * including tie-breaks and the [[mergePass]] rewrite semantics. */
+  private def trainLocal(types: Array[(Array[String], Long)],
+      numMerges: Int, minFreq: Long): Seq[Merge] = {
+    val syms = types.map(_._1)
+    val freqs = types.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val w = syms(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val key = (w(j), w(j + 1))
+          cnt.update(key, cnt.getOrElse(key, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (cnt.isEmpty) done = true
+      else {
+        val ((l, r), c) = cnt.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        if (c < minFreq) done = true
+        else {
+          merges += Merge(rank, l, r, c)
+          var i2 = 0
+          while (i2 < syms.length) {
+            syms(i2) = mergeLocal(syms(i2), l, r)
+            i2 += 1
+          }
+          rank += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Left-to-right non-overlapping merge — [[mergePass]]'s fold, locally. */
+  private def mergeLocal(w: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pend: String = null
+    var i = 0
+    while (i < w.length) {
+      val s = w(i)
+      if (pend == null) pend = s
+      else if (pend == l && s == r) { out += l + r; pend = null }
+      else { out += pend; pend = s }
+      i += 1
+    }
+    if (pend != null) out += pend
+    out.toArray
   }
 
   /** [[train]] as a DataFrame — (rank, left, right, merged, freq). */

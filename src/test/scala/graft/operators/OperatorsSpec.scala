@@ -677,7 +677,14 @@ class OperatorsSpec extends AnyFunSuite {
     val got = BpeTokenizer.train(docs, "text", numMerges = 50, minFreq = 2)
       .map(m => (m.rank, m.left, m.right, m.freq))
     assert(got.toList == expected,
-      "distributed trainer must learn the exact reference merge table")
+      "trainer (driver fast path) must learn the exact reference merge table")
+    // threshold 0 forces the distributed per-iteration dataflow — it must
+    // learn merge-for-merge the same table as the driver fast path
+    val distributed = BpeTokenizer
+      .train(docs, "text", numMerges = 50, minFreq = 2, localTypeThreshold = 0L)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+    assert(distributed.toList == expected,
+      "distributed loop must match the driver fast path merge-for-merge")
     assert(expected.nonEmpty && expected.size < 50,
       "the corpus must exhaust mergeable pairs before the cap (early stop path)")
 
