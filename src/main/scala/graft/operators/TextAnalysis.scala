@@ -162,6 +162,66 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** URL canonicalization — the key-maker for web-corpus URL dedup
+    * (CommonCrawl-style pipelines dedupe fetches by canonical URL before
+    * any content pass). Lowercases scheme/host, strips `www.`, default
+    * ports, and fragments, drops `utm_*` tracking params, and sorts the
+    * surviving query params. Pure codegen string ops — zero shuffle
+    * until the final group-by-canonical, which is exactly the dedup.
+    * The corpus has no URL column, so the query synthesizes two messy
+    * variants per document (case/port/param-order/tracking/fragment
+    * noise) and proves they collapse to one canonical key.
+    *
+    * Rendered per dialect (Spark / DuckDB) from one template, the
+    * [[langSql]] convention.
+    */
+  private def urlSql(explodeSel: String, splitF: String, filterF: String,
+      sortF: String, joinF: String): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, $explodeSel AS u FROM (
+       |    SELECT doc_id,
+       |      'HTTPS://WWW.' || upper(source) || '.COM:443/docs/' ||
+       |        CAST(doc_id AS STRING) || '?utm_source=feed&b=2&a=1#frag' AS u1,
+       |      'https://' || source || '.com/docs/' ||
+       |        CAST(doc_id AS STRING) || '?a=1&b=2' AS u2
+       |    FROM documents) t
+       |), parts AS (
+       |  SELECT doc_id, u,
+       |    lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(u, '^[a-zA-Z]+://([^/?#]*)', 1)) AS hostport,
+       |    regexp_extract(u, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1) AS path,
+       |    regexp_extract(u, '[?]([^#]*)', 1) AS qs
+       |  FROM raw
+       |), hostn AS (
+       |  SELECT *, CASE WHEN substr(hostport, 1, 4) = 'www.'
+       |    THEN substr(hostport, 5, length(hostport)) ELSE hostport END AS h1
+       |  FROM parts
+       |), hostp AS (
+       |  SELECT *, CASE
+       |    WHEN scheme = 'https' AND h1 LIKE '%:443' THEN substr(h1, 1, length(h1) - 4)
+       |    WHEN scheme = 'http' AND h1 LIKE '%:80' THEN substr(h1, 1, length(h1) - 3)
+       |    ELSE h1 END AS host
+       |  FROM hostn
+       |), canon AS (
+       |  SELECT doc_id, scheme || '://' || host || path ||
+       |    CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+       |  FROM (
+       |    SELECT doc_id, scheme, host, path,
+       |      $joinF($sortF($filterF($splitF(qs, '&'),
+       |        p -> substr(p, 1, 4) <> 'utm_' AND length(p) > 0)), '&') AS cq
+       |    FROM hostp) t
+       |)
+       |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants,
+       |  min(doc_id) AS doc_id
+       |FROM canon
+       |GROUP BY canonical
+       |ORDER BY doc_id""".stripMargin
+
+  private val q97Spark = urlSql("explode(array(u1, u2))",
+    "split", "filter", "array_sort", "array_join")
+  private val q97Duck = urlSql("unnest([u1, u2])",
+    "string_split", "list_filter", "list_sort", "array_to_string")
+
   val queries: Map[String, QueryFn] = Map(
     "q54_langid" -> Q.fromSql(q54Spark),
     "q55_quality_score" -> Q.fromSql(q55Spark),
@@ -216,7 +276,9 @@ object TextAnalysis {
           col("composed"),
           (expr("strip_accents(composed)") === col("text")).as("roundtrip_ok"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "q97_url_canon" -> Q.fromSql(q97Spark)
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +353,8 @@ object TextAnalysis {
         |  nfc_normalize(deco) AS composed,
         |  strip_accents(nfc_normalize(deco)) = text AS roundtrip_ok
         |FROM d
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q97_url_canon" -> q97Duck
   )
 }
