@@ -278,7 +278,24 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
-    "q97_url_canon" -> Q.fromSql(q97Spark)
+    "q97_url_canon" -> Q.fromSql(q97Spark),
+
+    // Heavy hitters per source via the SpaceSaving sketch aggregate
+    // (functions/TopK.scala). capacity 4096 >> the corpus vocabulary, so
+    // the sketch runs in its exact regime and the DuckDB oracle is a
+    // plain per-group top-5 — the approximate regime's error bounds are
+    // spec'd in OperatorsSpec instead.
+    "q98_heavy_hitters" -> ((s, dir) => {
+      graft.functions.SpaceSavingTopK.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"))
+        .agg(expr("topk_sketch(w, 5, 4096)").as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("source"), col("e.item").as("term"), col("e.cnt").as("cnt"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +372,17 @@ object TextAnalysis {
         |FROM d
         |ORDER BY doc_id""".stripMargin,
 
-    "q97_url_canon" -> q97Duck
+    "q97_url_canon" -> q97Duck,
+
+    "q98_heavy_hitters" ->
+      """SELECT source, term, cnt, rk FROM (
+        |  SELECT source, w AS term, CAST(count(*) AS BIGINT) AS cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, w) AS rk
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  GROUP BY source, w) z
+        |WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin
   )
 }

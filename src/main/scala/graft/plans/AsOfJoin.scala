@@ -154,7 +154,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "minhash_sigs" -> (exprs => graft.functions.MinhashSigs(exprs(0), exprs(1))),
       "bpe_encode" -> (exprs => graft.functions.BpeEncode(exprs(0), exprs(1))),
       "nfc_normalize" -> (exprs => graft.functions.NfcNormalize(exprs.head)),
-      "strip_accents" -> (exprs => graft.functions.StripAccents(exprs.head)))
+      "strip_accents" -> (exprs => graft.functions.StripAccents(exprs.head)),
+      "topk_sketch" -> (exprs => graft.functions.SpaceSavingTopK.builder(exprs)))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

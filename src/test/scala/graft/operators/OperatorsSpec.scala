@@ -85,6 +85,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.functions.NormalizeOps.stripAccents(s) eq s)
   }
 
+  test("SpaceSaving sketch: exact regime matches groupBy, tiny capacity keeps the bounds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.SpaceSavingTopK.register(spark)
+    // skewed stream: item i appears ~1000/i times (zipf-ish), 40 distinct
+    val rows = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("w")
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+
+    // capacity >= distinct: exact counts in any partitioning
+    val exact = df.agg(expr("topk_sketch(w, 10, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.length == 10)
+    exact.foreach { case (item, cnt, err) =>
+      assert(cnt == truth(item) && err == 0L, s"$item: exact regime must be exact")
+    }
+    assert(exact.map(_._1).take(3).toSeq == Seq("item1", "item2", "item3"))
+
+    // capacity 8 << 40 distinct: SpaceSaving bounds must survive Spark's
+    // arbitrary partial-merge order — cnt overestimates, cnt-err lower-
+    // bounds, and every item with true count > N/capacity is reported
+    val approx = df.agg(expr("topk_sketch(w, 8, 8)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    approx.foreach { case (item, cnt, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(cnt >= t, s"$item: estimate $cnt must overestimate true $t")
+      assert(cnt - err <= t, s"$item: lower bound ${cnt - err} must not exceed true $t")
+    }
+    val guaranteed = truth.filter(_._2 > n / 8).keySet
+    assert(guaranteed.subsetOf(approx.map(_._1).toSet),
+      s"heavy hitters $guaranteed must all be reported")
+  }
+
   test("PQ-ADC with ksub = corpus size is exact L2 search; 16-centroid codebooks keep recall") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
