@@ -448,6 +448,119 @@ object Corpus {
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
   }
 
+  /** PageRank over a link graph — the classic URL/domain quality signal
+    * web-corpus pipelines (CCNet/RefinedWeb lineage) use to weight or
+    * filter crawled documents. Power iteration with damping and uniform
+    * dangling-mass redistribution; every round is one join keyed by the
+    * edge source plus one aggregation keyed by the destination — plain
+    * shuffles that scale with executors, lineage-truncated per round
+    * like [[connectedComponents]]. The dangling sum is a one-row frame
+    * (cross-joined broadcast, never a driver collect on the data path).
+    *
+    * Engine-exact reproducibility (the [[graft.Q]] conventions): each
+    * per-edge contribution casts to DECIMAL(28,12) before the in-degree
+    * sum (order-independent addition), each iteration's rank rounds to
+    * 12 places, and literals/operation order match the unrolled oracle
+    * text exactly.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val nd = nodes.count().toDouble
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.select(col("node"), lit(1.0 / nd).as("rank"))
+      .localCheckpoint(true)
+    val base = (1.0 - damping) / nd
+    var i = 0
+    while (i < iters) {
+      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
+      val dang = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec)).as("dangsum"))
+      val contribs = pr.join(e, pr("node") === e("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).cast(dec).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      pr = nodes.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          round(lit(base) + lit(damping) *
+            (coalesce(col("contrib").cast("double"), lit(0.0)) +
+              col("dangsum").cast("double") / lit(nd)), 12).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    pr
+  }
+
+  /** The synthetic deterministic link graph q99 ranks: every document
+    * links to three arithmetic targets mod N (self-links and duplicate
+    * targets removed) — the same construction the oracle text uses. */
+  def docLinkGraph(docs: DataFrame, idCol: String): DataFrame = {
+    val n = docs.count()
+    docs.select(col(idCol).as("src"),
+        explode(array(
+          expr(s"($idCol * 7 + 1) % $n"),
+          expr(s"($idCol * 13 + 2) % $n"),
+          expr(s"($idCol * 31 + 5) % $n"))).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  /** Unrolled oracle text for [[pageRank]] over [[docLinkGraph]] —
+    * `iters` chained CTE stages with the same decimal casts, rounding,
+    * and literal arithmetic. All numeric literals are CAST AS DOUBLE so
+    * DuckDB does IEEE double math (its bare decimals would otherwise do
+    * exact decimal arithmetic and diverge). Every stage is MATERIALIZED:
+    * each references its predecessor twice (contributions + dangling
+    * mass), and DuckDB's default CTE inlining would blow the plan up
+    * 2^iters. */
+  private[operators] def pageRankOracle(iters: Int, damping: Double): String = {
+    val stages = (1 to iters).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT n2.node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / nn.nd
+         |      + CAST($damping AS DOUBLE) * (
+         |        COALESCE(CAST(c.contrib AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |        + CAST(d.dangsum AS DOUBLE) / nn.nd), 12) AS rank
+         |  FROM nodes n2
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      SUM(CAST(p.rank / o.outdeg AS DECIMAL(28,12))) AS contrib
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN outdeg o ON o.src = p.node
+         |    GROUP BY e.dst) c ON c.node = n2.node
+         |  CROSS JOIN (
+         |    SELECT COALESCE(SUM(CAST(p.rank AS DECIMAL(28,12))),
+         |                    CAST(0 AS DECIMAL(28,12))) AS dangsum
+         |    FROM pr${i - 1} p
+         |    LEFT JOIN outdeg o ON o.src = p.node
+         |    WHERE o.src IS NULL) d
+         |  CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS ni
+       |       FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, unnest([
+       |      (doc_id * 7 + 1) % nn.ni,
+       |      (doc_id * 13 + 2) % nn.ni,
+       |      (doc_id * 31 + 5) % nn.ni]) AS dst
+       |    FROM documents CROSS JOIN nn) t
+       |  WHERE dst <> src
+       |),
+       |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.nd AS rank
+       |        FROM nodes CROSS JOIN nn),
+       |$stages
+       |SELECT node AS doc_id, rank FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -501,6 +614,16 @@ object Corpus {
     "q84_lm_quality" -> ((s, dir) =>
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // PageRank link-quality over the deterministic doc link graph —
+    // 10 damped power iterations, oracle-matched to the last decimal.
+    "q99_pagerank" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      pageRank(docLinkGraph(docs, "doc_id"),
+          docs.select(col("doc_id").as("node")), iters = 10)
+        .select(col("node").as("doc_id"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
 
     // The assembled per-document quality-feature table — the
     // materialized signal join a classifier-based filter (FineWeb-style)
@@ -592,6 +715,8 @@ object Corpus {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
     // transitive closure of the symmetrized pair graph; cluster = min
     // reachable id (incl. self)
     "q74_dedup_clusters" ->

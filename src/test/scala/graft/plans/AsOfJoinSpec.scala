@@ -124,9 +124,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       hamming_distance('abc', 'abd') AS h,
         |       iszero(0.0) AS z,
-        |       array_pop_back(array(1, 2, 3)) AS pb""".stripMargin).collect().head
+        |       array_pop_back(array(1, 2, 3)) AS pb,
+        |       strip_accents(nfc_normalize('e' || 'e\u0301')) AS na""".stripMargin)
+      .collect().head
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 1 && r.getBoolean(2))
     assert(r.getSeq[Int](3) == Seq(1, 2))
+    assert(r.getString(4) == "ee")
+    val tk = s.sql(
+      "SELECT topk_sketch(x, 1, 4) AS tk FROM VALUES ('a'), ('b'), ('a') t(x)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 2L)))
     // the parent session is untouched (extensions are per-session)
     val fresh = org.apache.spark.sql.GraftInternal
       .sessionWithExtensions(spark, _ => ())
