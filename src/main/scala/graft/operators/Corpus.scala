@@ -561,6 +561,38 @@ object Corpus {
        |SELECT node AS doc_id, rank FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Fill-in-the-middle splits (Bavarian et al. 2022) — the augmentation
+    * code/text pretraining pipelines apply so models learn infilling:
+    * each document cuts at two CONTENT-ADDRESSED points (md5-derived,
+    * the [[stratifiedSample]] convention — same split on any cluster
+    * size or engine) into (prefix, middle, suffix), re-emitted in PSM or
+    * SPM sentinel order by hash parity (the standard 50/50 mode mix).
+    * Pure codegen row ops — zero shuffle, scales with the scan.
+    */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("len", length(col("t")).cast("long"))
+      .withColumn("h1",
+        expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % len"))
+      .withColumn("h2",
+        expr("CAST(conv(substring(md5(concat(t, '#2')), 1, 8), 16, 10) AS BIGINT) % len"))
+      .withColumn("lo", least(col("h1"), col("h2")))
+      .withColumn("hi", greatest(col("h1"), col("h2")))
+      .select(col("doc_id"), col("h1"),
+        expr("substring(t, 1, CAST(lo AS INT))").as("prefix"),
+        expr("substring(t, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))").as("middle"),
+        expr("substring(t, CAST(hi + 1 AS INT), CAST(len - hi AS INT))").as("suffix"))
+      .select(col("doc_id"),
+        length(col("prefix")).cast("long").as("n_prefix"),
+        length(col("middle")).cast("long").as("n_middle"),
+        length(col("suffix")).cast("long").as("n_suffix"),
+        when(col("h1") % 2 === 0,
+          concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+            lit("<MID>"), col("middle")))
+          .otherwise(concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
+            lit("<MID>"), col("middle"))).as("fim"),
+        when(col("h1") % 2 === 0, lit("psm")).otherwise(lit("spm")).as("mode"))
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -613,6 +645,10 @@ object Corpus {
 
     "q84_lm_quality" -> ((s, dir) =>
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q100_fim_split" -> ((s, dir) =>
+      fimSplit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // PageRank link-quality over the deterministic doc link graph —
@@ -716,6 +752,35 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q100_fim_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(CAST('0x' || substring(md5(text), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % CAST(length(text) AS BIGINT) AS h1,
+        |    CAST(CAST('0x' || substring(md5(text || '#2'), 1, 8) AS UBIGINT) AS BIGINT)
+        |      % CAST(length(text) AS BIGINT) AS h2
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, len, h1,
+        |    least(h1, h2) AS lo, greatest(h1, h2) AS hi FROM s
+        |), p AS (
+        |  SELECT doc_id, h1,
+        |    substring(t, 1, CAST(lo AS INT)) AS prefix,
+        |    substring(t, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS middle,
+        |    substring(t, CAST(hi + 1 AS INT), CAST(len - hi AS INT)) AS suffix
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(length(prefix) AS BIGINT) AS n_prefix,
+        |  CAST(length(middle) AS BIGINT) AS n_middle,
+        |  CAST(length(suffix) AS BIGINT) AS n_suffix,
+        |  CASE WHEN h1 % 2 = 0
+        |    THEN '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+        |    ELSE '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle
+        |  END AS fim,
+        |  CASE WHEN h1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
 
     // transitive closure of the symmetrized pair graph; cluster = min
     // reachable id (incl. self)

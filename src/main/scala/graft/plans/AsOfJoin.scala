@@ -142,6 +142,24 @@ object AsOfJoinStrategy extends SparkStrategy {
   * DataFusion shims). The [[AsOf]] API also injects the strategy into
   * live sessions via experimental methods; `register()` on each function
   * object remains the live-session path. */
+/** Algebraic simplification for the normalization expressions: NFC and
+  * accent folding are idempotent, and NFC followed by accent folding is
+  * just accent folding (strip_accents NFD-decomposes its input anyway) —
+  * fold the nested call away so pipelines that defensively re-normalize
+  * at every stage pay the Normalizer once. The optimizer-rule extension
+  * point (`injectOptimizerRule`), alongside the strategy and function
+  * injection below. */
+object NormalizeIdempotence
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import graft.functions.{NfcNormalize, StripAccents}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalize(inner @ NfcNormalize(_)) => inner
+      case StripAccents(inner @ StripAccents(_)) => inner
+      case StripAccents(NfcNormalize(c)) => StripAccents(c)
+    }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -159,6 +177,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => NormalizeIdempotence)
     functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -134,6 +134,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       "SELECT topk_sketch(x, 1, 4) AS tk FROM VALUES ('a'), ('b'), ('a') t(x)")
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(tk.map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 2L)))
+    // the optimizer rule folds redundant re-normalization: the optimized
+    // plan of a nested call carries ONE normalization expression (a
+    // parquet-backed source — a VALUES relation would constant-fold the
+    // whole projection before the plan is observable)
+    val docs = graft.Tables.load(s, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("norm_docs")
+    val nested = s.sql(
+      "SELECT strip_accents(nfc_normalize(strip_accents(text))) AS y FROM norm_docs")
+    val optimized = nested.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!optimized.contains("nfcnormalize"),
+      s"NFC call should fold away under strip_accents:\n$optimized")
+    assert("stripaccents".r.findAllIn(optimized).size == 1,
+      s"nested strip_accents should fold to one:\n$optimized")
+    assert(nested.count() > 0)
     // the parent session is untouched (extensions are per-session)
     val fresh = org.apache.spark.sql.GraftInternal
       .sessionWithExtensions(spark, _ => ())
