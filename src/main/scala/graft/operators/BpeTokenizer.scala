@@ -213,6 +213,45 @@ object BpeTokenizer {
         size(col("tokens")).cast("long").as("n_tokens"))
   }
 
+  /** The id table a trained tokenizer ships with: base symbols (every
+    * character / `</w>`-marked character the corpus' initial split can
+    * emit, alphabet-sized) get ids 0..B-1 in sorted order, merged
+    * symbols follow at B + rank. Deterministic on any partitioning —
+    * the id space is a pure function of (corpus alphabet, merge table). */
+  def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // alphabet-sized driver collect (distinct chars + </w> variants) —
+    // the same bounded-vocabulary contract as the train fast path
+    val base = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(explode(initSyms(col("word"))).as("sym"))
+      .distinct().orderBy(col("sym"))
+      .collect().map(_.getString(0))
+    val baseRows = base.zipWithIndex.toSeq
+      .map { case (s, i) => (s, i.toLong, -1) }
+    val mergedRows = merges.sortBy(_.rank).zipWithIndex
+      .map { case (m, i) => (m.left + m.right, (base.length + i).toLong, m.rank) }
+    (baseRows ++ mergedRows).toDF("token", "id", "merge_rank")
+  }
+
+  /** Tokenize to token IDS — what training shards actually store. One
+    * codegen corpus scan ([[tokenize]]) plus an id lookup through the
+    * vocab as a plan-constant map (vocabulary-sized; swap to a broadcast
+    * join when the vocab outgrows a plan literal). Every token the
+    * encoder can emit is in the vocab by construction (base alphabet ∪
+    * merge results), so the lookup is total — spec'd null-free. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val vmap = vocab(docs, textCol, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = typedLit(vmap)
+    tokenize(docs, idCol, textCol, merges)
+      .select(col("doc_id"),
+        transform(col("tokens"), t => element_at(m, t)).as("ids"),
+        col("n_tokens"))
+  }
+
   // ---- driver-checked query entries (rows-only: iterative train loop
   // has no single-query SQL equivalent; parity proven in OperatorsSpec) --
 
@@ -224,6 +263,13 @@ object BpeTokenizer {
     "q94_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       tokenize(docs, "doc_id", "text",
+        train(docs, "text", numMerges = 40))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q101_bpe_ids" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      encodeIds(docs, "doc_id", "text",
         train(docs, "text", numMerges = 40))
         .orderBy(col("doc_id"))
     })

@@ -19,7 +19,8 @@ class OperatorsSpec extends AnyFunSuite {
     // only engine-specific results (sketches, learned centroids) and
     // iterative train loops (BPE — parity-spec'd below instead) may skip
     val allowedNoOracle =
-      Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train", "q94_bpe_tokenize")
+      Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train",
+        "q94_bpe_tokenize", "q101_bpe_ids")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
@@ -743,6 +744,21 @@ class OperatorsSpec extends AnyFunSuite {
       "token concatenation must reproduce the original text")
     // the most frequent word fuses to a single token at this merge depth
     assert(toks.contains("newest</w>"))
+
+    // id encoding: base alphabet ids 0..B-1 (sorted), merges at B+rank;
+    // every emitted id decodes back to the emitted token (total lookup)
+    val vocab = BpeTokenizer.vocab(docs, "text", merges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val baseCount = vocab.count(_._3 == -1)
+    assert(vocab.filter(_._3 >= 0).map(_._2).toSeq ==
+      (baseCount until vocab.length).map(_.toLong),
+      "merged ids must be contiguous after the base alphabet")
+    val byId = vocab.map(v => v._2 -> v._1).toMap
+    val ids = BpeTokenizer.encodeIds(docs, "doc_id", "text", merges)
+      .collect().head.getAs[scala.collection.Seq[Long]]("ids")
+    assert(!ids.contains(null), "vocab lookup must be total")
+    assert(ids.map(byId).toList == toks.toList,
+      "ids must decode back to the token stream")
   }
 
   test("semantic dedup pairs only within a cell and scores duplicates at 1") {
