@@ -23,7 +23,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers so query #1 doesn't absorb startup.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q87,q53 restricts the run (substring match) for
+    // iterating on one query; filtered runs repeat each query REPS times
+    // and never overwrite bench_full.json.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = (1 to reps).flatMap(_ => selected).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -42,7 +50,7 @@ object Bench {
     // the total.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
+    if (only.isEmpty && reps == 1) try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
