@@ -57,6 +57,23 @@ object Shims {
     // iszero(x).
     "iszero" -> { exprs =>
       EqualTo(Cast(exprs.head, DoubleType), Literal(0.0))
+    },
+
+    // bloom_agg(value, est_items, num_bits) -> serialized bloom filter
+    // over xxhash64(value) — the same sketch Spark's InjectRuntimeFilter
+    // builds for runtime row-group pruning, exposed for explicit
+    // semi-join prefilters (see Corpus.decontaminateBloom). Map-side
+    // combinable; result size is num_bits/8 regardless of input rows.
+    "bloom_agg" -> { exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(exprs(0))), exprs(1), exprs(2))
+    },
+
+    // bloom_might_contain(bloom_bytes, value): true if `value` MAY be in
+    // the set the bloom was built over — no false negatives, so it is a
+    // safe prefilter ahead of an exact confirm join.
+    "bloom_might_contain" -> { exprs =>
+      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
     })
 
   def register(spark: SparkSession): Unit = {

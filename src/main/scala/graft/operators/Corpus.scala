@@ -392,20 +392,59 @@ object Corpus {
     * training doc with the overlap count and how many distinct benchmark
     * docs it collides with.
     */
+  // per-doc shingle DEDUP is row-local (array_distinct inside the row,
+  // not a (doc, shingle) distinct) — the side reaches its join with no
+  // shuffle at all
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, as: String) = df
+    .select(col(idCol).as(as), split(col(textCol), " ").as("ws"))
+    .filter(size(col("ws")) >= n)
+    .select(col(as), explode(expr(
+      s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
+        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"))
+      .as("sh"))
+
   def decontaminate(training: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    // per-doc shingle DEDUP is row-local (array_distinct inside the row,
-    // not a (doc, shingle) distinct) — the corpus side reaches the
-    // broadcast join with no shuffle at all
-    def shingles(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col(as), explode(expr(
-        s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"))
-        .as("sh"))
-    shingles(training, "doc_id")
-      .join(broadcast(shingles(benchmark, "bench_id")), "sh")
+      idCol: String, textCol: String, n: Int = 5): DataFrame =
+    shingleRows(training, idCol, textCol, n, "doc_id")
+      .join(broadcast(shingleRows(benchmark, idCol, textCol, n, "bench_id")), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+
+  /** Bloom-prefiltered decontamination — IDENTICAL output to
+    * [[decontaminate]], different physics. [[decontaminate]] broadcasts
+    * the benchmark shingle set; at a real eval-suite scale (hundreds of
+    * benchmarks × contamination n-grams) that set is tens of GB — too
+    * big to broadcast, so the confirm join must shuffle BOTH sides,
+    * including every shingle of the 100 TB corpus.
+    *
+    * This path: (1) aggregate the benchmark shingles into a bloom filter
+    * (`bloom_agg` — map-side combinable, result is num_bits/8 bytes no
+    * matter how many shingles went in); (2) collect that ONE sketch row
+    * to the driver and embed it as a plan literal; (3) prefilter corpus
+    * shingles with `bloom_might_contain` INSIDE the corpus scan stage —
+    * no false negatives, so nothing true is lost; (4) exact confirm join
+    * (AQE picks the strategy) discards the false positives. The shuffle
+    * now carries only the ~hit-rate fraction of corpus shingles: the
+    * semi-join volume is decided by the sketch, not the corpus.
+    *
+    * `numBits` sizes the sketch: ~10 bits/item ≈ 1% false positives —
+    * the default 2^26 bits (8 MiB) covers ~6.7M benchmark shingles.
+    */
+  def decontaminateBloom(training: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      numBits: Long = 1L << 26): DataFrame = {
+    graft.functions.Shims.register(training.sparkSession)
+    val train = shingleRows(training, idCol, textCol, n, "doc_id")
+    val bench = shingleRows(benchmark, idCol, textCol, n, "bench_id")
+    val bloom = bench
+      .agg(expr(s"bloom_agg(sh, ${math.max(1L, numBits / 10)}L, ${numBits}L)"))
+      .head.getAs[Array[Byte]](0)
+    val pre =
+      if (bloom == null) train.filter(lit(false)) // empty benchmark side
+      else train.filter(call_function("bloom_might_contain", lit(bloom), col("sh")))
+    pre.join(bench, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"),
         countDistinct(col("bench_id")).as("n_benchmark_docs"))
@@ -427,6 +466,48 @@ object Corpus {
     docs.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .drop("__rk")
+  }
+
+  /** Corpus-relative quantile-band filter — keep documents whose score
+    * falls inside a per-group quantile band (e.g. drop the shortest 10%
+    * and longest 10% of each language), the CCNet/RefinedWeb-style
+    * "threshold relative to the corpus, not absolute" filtering step.
+    *
+    * Two physical shapes, same semantics:
+    *   - `exact = true`: percent_rank window per group — one shuffle on
+    *     the group key plus a per-group sort. Bit-reproducible (rank
+    *     ratios are exact small-integer divisions), which is what the
+    *     DuckDB oracle can diff; but at 100 TB a skewed group (English
+    *     is half the web) funnels half the corpus through one sort
+    *     partition.
+    *   - `exact = false` (default — the scale path): per-group lo/hi
+    *     thresholds via the approx-percentile sketch (map-side
+    *     combinable, one tiny row per group), broadcast back, filter.
+    *     No global sort, no skew funnel; band-edge error bounded by
+    *     `accuracy` (1/accuracy relative rank error).
+    *
+    * Output: input rows that survive, plus the score as `__score`.
+    */
+  def quantileBandFilter(docs: DataFrame, groupCol: String, score: Column,
+      lo: Double, hi: Double, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi, s"bad quantile band [$lo, $hi]")
+    val scored = docs.withColumn("__score", score)
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__score"))
+      scored.withColumn("__pr", percent_rank().over(w))
+        .filter(col("__pr") >= lo && col("__pr") <= hi)
+        .drop("__pr")
+    } else {
+      val thr = scored.groupBy(col(groupCol).as("__g"))
+        .agg(percentile_approx(col("__score"),
+          array(lit(lo), lit(hi)), lit(accuracy)).as("__t"))
+      scored.join(broadcast(thr), col(groupCol) === col("__g"))
+        .filter(col("__score") >= element_at(col("__t"), 1) &&
+          col("__score") <= element_at(col("__t"), 2))
+        .drop("__g", "__t")
+    }
   }
 
   /** Materialize packed training shards: pack the corpus into `seqLen`
@@ -750,8 +831,27 @@ object Corpus {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Same split as q80; the bloom prefilter must not change the answer
+    // (no false negatives; the confirm join kills false positives).
+    "q105_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      decontaminateBloom(docs.filter(col("doc_id") >= 25),
+          docs.filter(col("doc_id") < 25), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q84_lm_quality" -> ((s, dir) =>
       lmQuality(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Exact mode so the rank band is oracle-diffable; the approx
+    // broadcast-threshold scale path is spec'd against this in
+    // OperatorsSpec (recall + plan shape).
+    "q104_quantile_filter" -> ((s, dir) =>
+      quantileBandFilter(Tables.load(s, dir, "documents"), "lang",
+        size(split(col("text"), " ")).cast("long"),
+        lo = 0.10, hi = 0.90, exact = true)
+        .select(col("doc_id"), col("lang"), col("__score").as("n_words"))
         .orderBy(col("doc_id"))),
 
     "q100_fim_split" -> ((s, dir) =>
@@ -868,6 +968,20 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q104_quantile_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, lang, n_words,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_words) AS pr
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, n_words FROM ranked
+        |WHERE pr >= 0.10 AND pr <= 0.90
+        |ORDER BY doc_id""".stripMargin,
 
     "q100_fim_split" ->
       """WITH s AS (
@@ -1079,6 +1193,26 @@ object Corpus {
         |  CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q105_bloom_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+        |      AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |  WHERE len(ws) >= 5
+        |), train AS (
+        |  SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id >= 25
+        |), bench AS (
+        |  SELECT DISTINCT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25
+        |)
+        |SELECT t.doc_id,
+        |  count(*) AS n_shared_shingles,
+        |  count(DISTINCT b.bench_id) AS n_benchmark_docs
+        |FROM train t JOIN bench b ON t.sh = b.sh
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q80_decontaminate" ->
       """WITH sh AS (

@@ -162,6 +162,86 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Linear text-classifier INFERENCE (the fastText/DCLM-style quality
+    * classifier applied at corpus scale): p = sigmoid(bias + Σ w(word)).
+    * The weight table broadcasts (a vocabulary of even millions of words
+    * is MBs); the corpus side is explode → broadcast-join → per-doc sum,
+    * so the only shuffle is the final doc_id aggregation of
+    * already-combined partial sums. Weight sums run in DECIMAL(18,4)
+    * so z is order-independent and oracle-exact; the sigmoid is applied
+    * to the ROUNDED z, keeping cross-engine float drift out of p.
+    *
+    * Docs with no vocabulary hit score sigmoid(bias) — they stay in the
+    * output (left join), because a quality filter must score EVERY
+    * document, not just those sharing words with the training vocab.
+    */
+  def scoreLinearClassifier(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, weights: Map[String, Double],
+      bias: Double): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec = graft.Q.dec
+    val wDf = weights.toSeq.toDF("w", "wt_d")
+      .select(col("w"), col("wt_d").cast(dec).as("wt"))
+    val hits = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(wDf), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("wt")).as("zsum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round((coalesce(col("zsum"), lit(0).cast(dec)) + lit(bias).cast(dec))
+          .cast("double"), 4).as("z"))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+  }
+
+  /** Quality-classifier TRAINING — distributed logistic regression over
+    * the hashing-trick features (HashingTF, no vocab table: the same
+    * no-second-shuffle property as [[hashedFeatures]]). MLlib's LBFGS
+    * runs as treeAggregate rounds over the feature vectors — gradient
+    * partials combine map-side, so each iteration is one reduce of
+    * `dims`-width vectors, independent of corpus size.
+    *
+    * Returns (model, featurize) so scoring reuses the exact same
+    * tokenize+hash the trainer saw.
+    */
+  def trainQualityClassifier(labeled: org.apache.spark.sql.DataFrame,
+      textCol: String, labelCol: String, dims: Int = 1 << 18,
+      maxIter: Int = 50, regParam: Double = 0.01):
+      (org.apache.spark.ml.classification.LogisticRegressionModel,
+       org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    val tf = new HashingTF().setInputCol("__words").setOutputCol("features")
+      .setNumFeatures(dims)
+    val featurize = (df: org.apache.spark.sql.DataFrame) =>
+      tf.transform(df.withColumn("__words", split(col(textCol), " ")))
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(featurize(labeled).withColumn(labelCol, col(labelCol).cast("double")))
+    (model, featurize)
+  }
+
+  /** The trained classifier's strongest coefficients, as rows — the
+    * inspectable artifact (which hashed buckets drive quality up/down).
+    * `HashingTF` uses murmur3 on the word's UTF-8 bytes, so a word's
+    * bucket is computable for assertions. */
+  def classifierTopCoefficients(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      spark: org.apache.spark.sql.SparkSession, top: Int):
+      org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val co = model.coefficients.toArray.zipWithIndex
+      .filter(_._1 != 0.0)
+      .sortBy { case (w, i) => (-math.abs(w), i) }
+      .take(top)
+      .map { case (w, i) => (i.toLong, math.rint(w * 10000) / 10000) }
+    co.toSeq.toDF("bucket", "weight")
+  }
+
   /** URL canonicalization — the key-maker for web-corpus URL dedup
     * (CommonCrawl-style pipelines dedupe fetches by canonical URL before
     * any content pass). Lowercases scheme/host, strips `www.`, default
@@ -222,6 +302,15 @@ object TextAnalysis {
   private val q97Duck = urlSql("unnest([u1, u2])",
     "string_split", "list_filter", "list_sort", "array_to_string")
 
+  /** Fixed inference weights for the graded scoring query — stands in
+    * for an exported fastText/LR model vocabulary (the trained twin is
+    * q107). Values chosen over corpus vocabulary so every band of z is
+    * exercised. */
+  val ClassifierWeights: Map[String, Double] = Map(
+    "spark" -> 1.25, "query" -> 0.75, "window" -> 0.5, "data" -> 0.25,
+    "slow" -> -1.0, "dup" -> -1.5, "batch" -> -0.25)
+  val ClassifierBias: Double = -0.5
+
   val queries: Map[String, QueryFn] = Map(
     "q54_langid" -> Q.fromSql(q54Spark),
     "q55_quality_score" -> Q.fromSql(q55Spark),
@@ -250,6 +339,24 @@ object TextAnalysis {
     "q88_tfidf_keywords" -> ((s, dir) =>
       tfidfKeywords(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rk"))),
+
+    "q106_classifier_score" -> ((s, dir) =>
+      scoreLinearClassifier(Tables.load(s, dir, "documents"), "doc_id", "text",
+        ClassifierWeights, ClassifierBias)
+        .orderBy(col("doc_id"))),
+
+    // MLlib LBFGS training on a planted weak label (doc mentions
+    // "spark") — learned coefficients are engine-specific, so rows-only
+    // for the driver; OperatorsSpec asserts the planted word's bucket
+    // carries the strongest positive weight and train→score separates.
+    "q107_classifier_train" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        (col("text").contains("spark")).cast("int"))
+      val (model, _) = trainQualityClassifier(labeled, "text", "label",
+        dims = 1 << 12, maxIter = 20)
+      classifierTopCoefficients(model, s, top = 20)
+    }),
 
     "q92_hashed_features" -> ((s, dir) =>
       hashedFeatures(Tables.load(s, dir, "documents"), "doc_id", "text", dims = 16)
@@ -298,7 +405,30 @@ object TextAnalysis {
     })
   )
 
+  private val classifierWtsValues = ClassifierWeights.toSeq.sortBy(_._1)
+    .map { case (w, wt) => s"('$w', $wt)" }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "q106_classifier_score" ->
+      s"""WITH wts(w, wt) AS (VALUES $classifierWtsValues
+         |), words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), hits AS (
+         |  SELECT doc_id, count(*) AS n_hits,
+         |    sum(CAST(wt AS DECIMAL(18,4))) AS zsum
+         |  FROM words JOIN wts USING (w) GROUP BY doc_id
+         |), scored AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |    round(CAST(coalesce(h.zsum, CAST(0 AS DECIMAL(18,4)))
+         |      + CAST($ClassifierBias AS DECIMAL(18,4)) AS DOUBLE), 4) AS z
+         |  FROM documents d LEFT JOIN hits h USING (doc_id)
+         |)
+         |SELECT doc_id, n_hits, z,
+         |  round(1.0 / (1.0 + exp(-z)), 4) AS p
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin,
+
     "q54_langid" -> q54Duck,
     "q55_quality_score" -> q55Duck,
     "q56_token_count" -> q56Duck,

@@ -20,7 +20,7 @@ class OperatorsSpec extends AnyFunSuite {
     // iterative train loops (BPE — parity-spec'd below instead) may skip
     val allowedNoOracle =
       Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train",
-        "q94_bpe_tokenize", "q101_bpe_ids")
+        "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
@@ -759,6 +759,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!ids.contains(null), "vocab lookup must be total")
     assert(ids.map(byId).toList == toks.toList,
       "ids must decode back to the token stream")
+  }
+
+  test("quantile band filter: approx scale path tracks the exact window path") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val score = size(split(col("text"), " ")).cast("long")
+    def rows(exact: Boolean) =
+      Corpus.quantileBandFilter(docs, "lang", score, 0.10, 0.90, exact = exact)
+        .select("doc_id", "__score").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ex, ap) = (rows(exact = true), rows(exact = false))
+    // value-thresholding vs rank-banding differ ONLY where a tie group
+    // straddles a band edge; at accuracy=10000 on ~6k docs the sketch is
+    // exact, so every diverging row's score must equal a band-edge value
+    val edges = docs.withColumn("__score", score)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.percentile_approx(
+        col("__score"), array(lit(0.10), lit(0.90)), lit(10000)).as("t"))
+      .collect().flatMap(_.getAs[scala.collection.Seq[Long]]("t")).toSet
+    val diverging = (ex.keySet | ap.keySet) -- (ex.keySet & ap.keySet)
+    assert(diverging.nonEmpty || ex == ap) // sanity: maps agree when no divergence
+    diverging.foreach { id =>
+      val s = ex.getOrElse(id, ap(id))
+      assert(edges.contains(s),
+        s"doc $id (score=$s) diverged but is not at a band edge $edges")
+    }
+    // and the overlap still dominates: edges are a sliver of the corpus
+    assert((ex.keySet & ap.keySet).size.toDouble / (ex.keySet | ap.keySet).size > 0.9)
+    // scale-path plan shape: thresholds broadcast back, no window sort
+    val plan = Corpus.quantileBandFilter(docs, "lang", score, 0.10, 0.90)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "thresholds must broadcast")
+    assert(!plan.contains("Window"), "scale path must not run a window sort")
+  }
+
+  test("classifier training recovers the planted signal and separates the classes") {
+    import spark.implicits._
+    val dims = 1 << 12
+    val rows = (0 until 40).map(i => (i.toLong, s"alpha beta spark gamma$i word$i", 1)) ++
+      (40 until 80).map(i => (i.toLong, s"alpha beta sloww gamma$i word$i", 0))
+    val df = rows.toDF("doc_id", "text", "label")
+    val (model, featurize) =
+      TextAnalysis.trainQualityClassifier(df, "text", "label", dims = dims, maxIter = 30)
+    val scored = model.transform(featurize(df))
+      .select("label", "probability").collect()
+      .map(r => (r.getInt(0), r.getAs[org.apache.spark.ml.linalg.Vector](1)(1)))
+    assert(scored.filter(_._1 == 1).map(_._2).min >
+      scored.filter(_._1 == 0).map(_._2).max,
+      "separable classes must separate completely")
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(dims)
+    val (goodB, badB) = (tf.indexOf("spark").toLong, tf.indexOf("sloww").toLong)
+    val top = TextAnalysis.classifierTopCoefficients(model, spark, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top.get(goodB).exists(_ > 0), s"planted good bucket $goodB must top positive: $top")
+    assert(top.get(badB).exists(_ < 0), s"planted bad bucket $badB must top negative: $top")
+  }
+
+  test("bloom decontamination equals the exact broadcast path, with the prefilter in-plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val (train, bench) = (docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Corpus.decontaminate(train, bench, "doc_id", "text"))
+    val bloomed = Corpus.decontaminateBloom(train, bench, "doc_id", "text")
+    assert(rows(bloomed) == exact, "bloom path must be lossless (no false negatives)")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the corpus side must carry the bloom prefilter")
+    // empty benchmark side: null sketch must short-circuit, not NPE
+    assert(Corpus.decontaminateBloom(train, bench.filter(lit(false)),
+      "doc_id", "text").count() == 0)
   }
 
   test("semantic dedup pairs only within a cell and scores duplicates at 1") {
