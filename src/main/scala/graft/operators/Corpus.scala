@@ -468,6 +468,64 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Deterministic global corpus shuffle — the reproducible training
+    * order: rank every document by a content-addressed key
+    * md5("seed:doc_id") and assign contiguous global positions
+    * 0..n-1. Any run, any cluster, any partitioning produces the SAME
+    * permutation (the key is pure content), and changing the seed
+    * reshuffles — which is how epoch ordering is derived without a
+    * stateful RNG.
+    *
+    * No single-partition window: a range-repartition on the key orders
+    * partitions globally, in-partition sorts order rows locally, and a
+    * per-partition count + prefix-sum broadcast (the [[packSequences]]
+    * two-pass shape — the tiny per-partition totals are the only driver
+    * data) turns local offsets into global positions.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String,
+      seed: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("__k", md5(concat_ws(":", lit(seed), col("doc_id"))))
+      .repartitionByRange(col("__k"), col("doc_id"))
+      .sortWithinPartitions(col("__k"), col("doc_id"))
+    val rdd = keyed.select("doc_id").rdd.map(_.getLong(0))
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val pos = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var p = bases.value(i)
+      it.map { id => val r = (id, p); p += 1; r }
+    }
+    spark.createDataFrame(pos).toDF("doc_id", "pos")
+  }
+
+  /** Content-addressed train/val/test split assignment: a document's
+    * split is a pure function of its id hash, so the assignment is
+    * reproducible on any cluster, stable under corpus growth (new docs
+    * never move old ones between splits), and needs no RNG state.
+    * `bands` are (name, cumulativeFraction) with the last fraction 1.0;
+    * fractions quantize to /65536 hash bands (first 4 md5 hex chars) so
+    * the comparison is integer-exact in any engine. Zero shuffle — the
+    * split column is a codegen row op.
+    */
+  def assignSplits(docs: DataFrame, idCol: String,
+      bands: Seq[(String, Double)]): DataFrame = {
+    require(bands.nonEmpty && math.abs(bands.last._2 - 1.0) < 1e-9,
+      s"last cumulative fraction must be 1.0: $bands")
+    require(bands.map(_._2) == bands.map(_._2).sorted,
+      s"cumulative fractions must be nondecreasing: $bands")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val split = bands.init.foldRight(lit(bands.last._1): Column) {
+      case ((name, f), rest) =>
+        when(u < math.floor(f * 65536).toInt, name).otherwise(rest)
+    }
+    docs.withColumn("split", split)
+  }
+
   /** Corpus-relative quantile-band filter — keep documents whose score
     * falls inside a per-group quantile band (e.g. drop the shortest 10%
     * and longest 10% of each language), the CCNet/RefinedWeb-style
@@ -831,12 +889,37 @@ object Corpus {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    "q108_epoch_shuffle" -> ((s, dir) =>
+      deterministicShuffle(Tables.load(s, dir, "documents"), "doc_id", seed = 42L)
+        .orderBy(col("doc_id"))),
+
+    "q110_split_assign" -> ((s, dir) =>
+      assignSplits(Tables.load(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Index side = docs < 400 (the "already-ingested corpus", persisted
+    // as band signatures); batch = docs >= 400. Survivors are batch
+    // docs with no LSH collision into the index.
+    "q109_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val index = Dedup.bandSignatures(docs.filter(col("doc_id") < 400), "doc_id", "text")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") >= 400), index, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Same split as q80; the bloom prefilter must not change the answer
     // (no false negatives; the confirm join kills false positives).
+    // numBits sized to the 25-doc benchmark side (~3k shingles): the
+    // sketch is a plan literal shipped with every task, so it should be
+    // 10 bits/item, not the 8 MiB default meant for full eval suites.
     "q105_bloom_decontaminate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       decontaminateBloom(docs.filter(col("doc_id") >= 25),
-          docs.filter(col("doc_id") < 25), "doc_id", "text", n = 5)
+          docs.filter(col("doc_id") < 25), "doc_id", "text", n = 5,
+          numBits = 1L << 16)
         .orderBy(col("doc_id"))
     }),
 
@@ -968,6 +1051,53 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q110_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS UBIGINT) < 58982 THEN 'train'
+        |    WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS UBIGINT) < 62259 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q108_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q109_incremental_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), collided AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM bands b JOIN bands i ON b.band = i.band AND b.sig = i.sig
+        |  WHERE b.doc_id >= 400 AND i.doc_id < 400
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM collided)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q104_quantile_filter" ->
       """WITH scored AS (

@@ -32,18 +32,24 @@ object Dedup {
     * numHashes seeded md5 min-hashes over 3-word shingles, grouped into
     * bands of `rowsPerBand`; docs sharing any (band, signature) pair up.
     */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** (doc_id, band, sig) LSH band-signature rows — both the pair-join
+    * input and the PERSISTED dedup-index payload ([[incrementalDedup]]:
+    * write this frame as parquet once per corpus, and each new ingest
+    * batch probes it instead of rescanning corpus text).
+    *
+    * All numHashes min-hashes run as ONE ROW-LOCAL fused pass
+    * ([[graft.functions.MinhashSigs]] codegen expression): a document's
+    * signature depends only on its own shingle set, so there is no
+    * explode, no distinct, no groupBy — ZERO shuffle (duplicates can't
+    * change a min, so no dedup is needed either). Bit-identical to the
+    * explode→groupBy(min) shape the oracle runs.
+    */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val w = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .withColumn("shingles", expr(
         "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
-    // All numHashes min-hashes as ONE ROW-LOCAL fused pass
-    // ([[graft.functions.MinhashSigs]] codegen expression): a document's
-    // signature depends only on its own shingle set, so there is no
-    // explode, no distinct, no groupBy — ZERO shuffle until the band
-    // join (duplicates can't change a min, so no dedup needed either).
-    // Bit-identical to the explode→groupBy(min) shape the oracle runs.
     graft.functions.MinhashSigs.register(docs.sparkSession)
     val mh = w.select(col("doc_id"),
       expr(s"minhash_sigs(shingles, $numHashes)").as("ms"))
@@ -54,15 +60,43 @@ object Dedup {
       md5(array_join(array_sort(array(members: _*)), "|")).as(s"sig$band")
     }
     val sigs = mh.select(col("doc_id") +: bandCols: _*)
-    // unpivot to (band, sig) rows, then join docs sharing any signature
-    val stacked = sigs.select(col("doc_id"), explode(map(
+    // unpivot to (doc_id, band, sig) rows
+    sigs.select(col("doc_id"), explode(map(
       (0 until nBands).flatMap(b => Seq(lit(b), col(s"sig$b"))): _*)).as(Seq("band", "sig")))
+  }
+
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // join docs sharing any band signature
+    val stacked = bandSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
     val a = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** Incremental ingest dedup — the daily-increment shape: the corpus's
+    * [[bandSignatures]] live as a persisted index (parquet, partitioned
+    * however the store likes); a new batch computes ONLY its own
+    * signatures and probes the index. Returns the batch rows that
+    * don't LSH-collide with any indexed document.
+    *
+    * Join direction matters at scale: the batch signature set (the
+    * day's crawl) broadcasts, the corpus index STREAMS through its scan
+    * — so re-ingesting against a 100 TB corpus costs one index scan,
+    * never a corpus-text rescan and never an index-side shuffle. The
+    * collided id set is batch-bounded, so the final anti-join is
+    * broadcast too.
+    */
+  def incrementalDedup(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bsig = bandSignatures(batch, idCol, textCol, numHashes, rowsPerBand)
+    val collided = index.select(col("band"), col("sig"))
+      .join(broadcast(bsig), Seq("band", "sig"))
+      .select(col("doc_id").as("__collided")).distinct()
+    batch.join(broadcast(collided), col(idCol) === col("__collided"), "left_anti")
   }
 
   /** SimHash per document from md5-derived word-hash bits, weighted by

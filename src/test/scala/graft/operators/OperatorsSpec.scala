@@ -794,6 +794,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "scale path must not run a window sort")
   }
 
+  test("deterministic shuffle is a reproducible, seed-sensitive permutation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def order(seed: Long) =
+      Corpus.deterministicShuffle(docs, "doc_id", seed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o1 = order(42L)
+    assert(o1.values.toSeq.sorted == (0L until o1.size).toList,
+      "positions must be a contiguous permutation 0..n-1")
+    assert(o1 == order(42L), "same seed must reproduce the exact order")
+    val o2 = order(43L)
+    assert(o1 != o2, "a different seed must reshuffle")
+    assert(o1.keySet == o2.keySet, "reshuffling must not drop documents")
+  }
+
+  test("incremental dedup drops a planted near-duplicate and only that") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val index = Dedup.bandSignatures(corpus, "doc_id", "text")
+    // batch: one verbatim copy of corpus doc 7 + one genuinely new doc
+    val copied = corpus.filter(col("doc_id") === 7)
+      .select(lit(9001L).as("doc_id"), col("text"))
+    val fresh = Seq((9002L, "completely novel words zq xv kj pw mn rt"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.incrementalDedup(copied.union(fresh), index,
+      "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(9002L),
+      s"the verbatim copy must collide into the index, the novel doc must survive: $survivors")
+    // scale shape: batch signatures broadcast; the index side never shuffles
+    val plan = Dedup.incrementalDedup(copied.union(fresh), index, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "batch side must broadcast")
+  }
+
+  test("split assignment is growth-stable and lands near the target fractions") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val bands = Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0)
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      Corpus.assignSplits(df, "doc_id", bands)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = assigned(docs)
+    val sub = assigned(docs.filter(col("doc_id") % 2 === 0))
+    assert(sub.forall { case (id, s) => full(id) == s },
+      "a grown corpus must never move an existing doc between splits")
+    val trainFrac = full.values.count(_ == "train").toDouble / full.size
+    assert(math.abs(trainFrac - 0.90) < 0.03, s"train fraction drifted: $trainFrac")
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("re-ingesting an already-indexed batch collides completely") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val index = Dedup.bandSignatures(corpus, "doc_id", "text")
+    assert(Dedup.incrementalDedup(corpus, index, "doc_id", "text").count() == 0,
+      "every re-ingested doc must collide with its own index entry")
+  }
+
   test("classifier training recovers the planted signal and separates the classes") {
     import spark.implicits._
     val dims = 1 << 12
