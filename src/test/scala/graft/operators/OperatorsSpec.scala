@@ -855,6 +855,37 @@ class OperatorsSpec extends AnyFunSuite {
       "every re-ingested doc must collide with its own index entry")
   }
 
+  test("ingest lifecycle end-to-end: index -> increment -> splits -> epoch order -> shards") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val day0 = docs.filter(col("doc_id") < 400)
+    // day-1 batch: the genuinely-new tail plus one re-crawled copy of a
+    // day-0 document under a new id
+    val day1 = docs.filter(col("doc_id") >= 400)
+      .union(day0.filter(col("doc_id") === 3).withColumn("doc_id", lit(9100L)))
+    Dedup.bandSignatures(day0, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/band_index")
+    val survivors = Dedup.incrementalDedup(day1,
+      spark.read.parquet(s"$tmp/band_index"), "doc_id", "text")
+    val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivorIds.contains(9100L), "the re-crawl must collide with the index")
+    val corpus = day0.union(survivors)
+    val train = Corpus.assignSplits(corpus, "doc_id",
+      Seq("train" -> 0.95, "heldout" -> 1.0)).filter(col("split") === "train")
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val order = Corpus.deterministicShuffle(train, "doc_id", seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(order.keySet == trainIds, "epoch order must cover exactly the train split")
+    assert(order.values.toSeq.sorted == (0L until trainIds.size).toList)
+    Corpus.writeShards(train, "doc_id", "text", seqLen = 128L,
+      seqsPerShard = 16L, path = s"$tmp/shards")
+    val shards = spark.read.parquet(s"$tmp/shards")
+    assert(shards.count() == trainIds.size, "every train doc lands in a shard")
+    assert(shards.select("shard_id").distinct().count() > 1,
+      "the corpus must spread over multiple shards")
+  }
+
   test("classifier training recovers the planted signal and separates the classes") {
     import spark.implicits._
     val dims = 1 << 12
