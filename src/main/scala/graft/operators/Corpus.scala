@@ -568,6 +568,30 @@ object Corpus {
     }
   }
 
+  /** Per-sequence document-boundary map — the attention-masking metadata
+    * a trainer needs next to [[packSequences]] output: for every training
+    * sequence, which documents occupy which token spans, so attention
+    * can be blocked from crossing document boundaries inside a packed
+    * sequence. One row per (sequence, document) overlap.
+    *
+    * Pure dataflow off the packing columns: a document spanning
+    * sequences floor(start/L)..floor((start+n-1)/L) explodes into one
+    * row per touched sequence (bounded by ceil(n_tokens/L) + 1, so skew
+    * is bounded by the longest document), and the span inside each
+    * sequence is clamp arithmetic — no joins, one final sort.
+    */
+  def sequenceBoundaries(packed: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    packed
+      .withColumn("seq_id", explode(expr(
+        s"sequence(start_offset div $seqLen, (start_offset + n_tokens - 1) div $seqLen)")))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(col("start_offset") - col("seq_id") * seqLen, lit(0L))
+          .as("start_in_seq"),
+        least(col("start_offset") + col("n_tokens") - col("seq_id") * seqLen,
+          lit(seqLen)).as("end_in_seq"))
+  }
+
   /** Materialize packed training shards: pack the corpus into `seqLen`
     * sequences, group `seqsPerShard` consecutive sequences into a shard,
     * and write parquet partitioned by `shard_id` — the physical layout a
@@ -899,6 +923,12 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    "q111_seq_boundaries" -> ((s, dir) =>
+      sequenceBoundaries(
+        packSequences(Tables.load(s, dir, "documents"), "doc_id", "text", 128L),
+        seqLen = 128L)
+        .orderBy(col("seq_id"), col("start_in_seq"))),
+
     // Index side = docs < 400 (the "already-ingested corpus", persisted
     // as band signatures); batch = docs >= 400. Survivors are batch
     // docs with no LSH collision into the index.
@@ -1051,6 +1081,27 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q111_seq_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, n_tokens, off,
+        |    unnest(generate_series(off // 128, (off + n_tokens - 1) // 128)) AS seq_id
+        |  FROM o
+        |)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(off - seq_id * 128, 0) AS BIGINT) AS start_in_seq,
+        |  CAST(least(off + n_tokens - seq_id * 128, 128) AS BIGINT) AS end_in_seq
+        |FROM s
+        |ORDER BY seq_id, start_in_seq""".stripMargin,
 
     "q110_split_assign" ->
       """SELECT doc_id, lang,

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch pipeline throughput measurement (rows/sec) for the
+  * engine runtime — the single-node number the reference quotes for its
+  * pipelines. Two paths:
+  *
+  *   - batch EOF pipeline: `generate count=N` with a JSON context →
+  *     json_to_arrow → sql transform → drop (the reference's
+  *     generate→pipeline→drop benchmark shape);
+  *   - micro-batch streaming: a MemoryStream driven for `batches`
+  *     batches of `batchRows` rows through the same processors via
+  *     Engine.start, measuring end-to-end drain time.
+  *
+  * Usage: runMain graft.streaming.ThroughputBench [totalRows] [batches]
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val totalRows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ctx = """{"device":"sensor-7","reading":41.5,"seq":12345}"""
+    val procs = Seq(
+      Processors.fromConf(Seq(ComponentConf("json_to_arrow", Map.empty))),
+      Processors.fromConf(Seq(ComponentConf("sql",
+        Map("query" -> "SELECT device, reading * 2 AS r2, seq FROM flow WHERE reading > 0")))))
+      .flatten
+
+    // --- batch EOF path (generate count=N) ---
+    def runBatchOnce(): Double = {
+      val in = Engine.inputFromConf(spark,
+        ComponentConf("generate", Map("count" -> totalRows.toString, "context" -> ctx)))
+      val t0 = System.nanoTime()
+      Engine.runBatch(in, procs, Engine.NoopSink, None)
+      (System.nanoTime() - t0) / 1e9
+    }
+    runBatchOnce() // warm codegen + JIT
+    val bs = (1 to 3).map(_ => runBatchOnce())
+    val bBest = bs.min
+    println(f"batch: $totalRows rows in $bBest%.2f s = ${totalRows / bBest / 1e6}%.2f M rows/s (reps ${bs.map(s => f"$s%.2f").mkString("/")})")
+
+    // --- micro-batch streaming path: the engine's own rate input, rows
+    // generated ON EXECUTORS (MemoryStream would measure driver-side
+    // serialization, not the pipeline). Offered load is set well above
+    // capacity so the engine runs saturated; throughput = processed
+    // rows over trigger-execution time from Spark's progress metrics,
+    // first batches dropped as warm-up.
+    val in = Engine.inputFromConf(spark, ComponentConf("generate",
+      Map("rows_per_second" -> "6000000", "context" -> ctx)))
+    val q = Engine.start(in, procs, Engine.NoopSink, None,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpoint = None)
+    Thread.sleep(30000)
+    q.stop()
+    val progress = q.recentProgress.drop(4)
+      .filter(p => p.numInputRows > 0)
+    val rows = progress.map(_.numInputRows).sum
+    val secs = progress.map(_.durationMs.get("triggerExecution").toLong).sum / 1e3
+    println(f"stream: $rows rows / ${progress.length} micro-batches in $secs%.2f s busy = ${rows / secs / 1e6}%.2f M rows/s (${progress.length / secs}%.1f batches/s)")
+    spark.stop()
+  }
+}

@@ -886,6 +886,33 @@ class OperatorsSpec extends AnyFunSuite {
       "the corpus must spread over multiple shards")
   }
 
+  test("sequence boundary spans tile every sequence and reassemble every doc") {
+    import org.apache.spark.sql.functions._
+    val seqLen = 128L
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val packed = Corpus.packSequences(docs, "doc_id", "text", seqLen)
+    val spans = Corpus.sequenceBoundaries(packed, seqLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySeq = spans.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"gap/overlap in seq $seq: $a -> $b")
+        case _ => ()
+      }
+      if (seq != lastSeq)
+        assert(sorted.last._4 == seqLen, s"seq $seq must fill to $seqLen")
+    }
+    val tokenTotals = packed.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reassembled = spans.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(reassembled == tokenTotals,
+      "per-doc span lengths must sum back to the doc's token count")
+  }
+
   test("classifier training recovers the planted signal and separates the classes") {
     import spark.implicits._
     val dims = 1 << 12
