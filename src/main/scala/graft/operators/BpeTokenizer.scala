@@ -195,22 +195,62 @@ object BpeTokenizer {
       .toDF("rank", "left", "right", "merged", "freq")
   }
 
-  /** Tokenize every document with a learned merge table: one codegen
-    * scan, tokens = the concatenation of each word's BPE encoding. */
+  /** [[graft.functions.Bpe.encode]]'s driver twin — initial char split
+    * (`</w>` on the last symbol) plus the ranked merge passes, so a word
+    * TYPE can be encoded once off the data path. Parity with the codegen
+    * expression is spec'd (OperatorsSpec). */
+  def encodeLocal(word: String, mergesSorted: Seq[Merge]): Array[String] = {
+    var syms = word.split("").filter(_.nonEmpty)
+    if (syms.isEmpty) return syms
+    syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
+    mergesSorted.foreach { m =>
+      if (syms.length > 1) syms = mergeLocal(syms, m.left, m.right)
+    }
+    syms
+  }
+
+  /** Tokenize every document with a learned merge table.
+    *
+    * Real text repeats words massively, so encoding every OCCURRENCE
+    * re-runs the merge loop thousands of times per type. Like [[train]],
+    * the word-TYPE table is the fast path: when the corpus's distinct
+    * words fit `localTypeThreshold` (bounded collect, limit+1 guard),
+    * each type is encoded ONCE on the driver and the word→tokens table
+    * rides into the scan as a plan constant — the runtime does a map
+    * lookup per word, zero merge passes. Above the threshold the
+    * codegen path runs, memoized per row (each row's DISTINCT words
+    * encode once via `map_from_arrays`, then occurrences look up) — no
+    * shuffle in either shape.
+    */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    graft.functions.Bpe.register(docs.sparkSession)
-    // typedLit, never SQL-string interpolation: learned symbols are
-    // corpus-derived text and must not be parsed as SQL
-    val mergeArr = typedLit(merges.sortBy(_.rank).map(m => m.left + " " + m.right))
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .select(col("doc_id"),
-        flatten(transform(
-          filter(col("ws"), w => length(w) > 0),
-          w => call_function("bpe_encode", initSyms(w), mergeArr))).as("tokens"))
-      .select(col("doc_id"), col("tokens"),
-        size(col("tokens")).cast("long").as("n_tokens"))
+      merges: Seq[Merge], localTypeThreshold: Long = 200000L): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    val thr = math.min(localTypeThreshold, (Int.MaxValue - 2).toLong)
+    val types: Array[String] = if (thr > 0)
+      docs.select(explode(split(col(textCol), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .limit(thr.toInt + 1).collect().map(_.getString(0))
+    else Array.empty
+    val base = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("ws"))
+    val toks = if (thr > 0 && types.length <= thr) {
+      val enc = typedLit(types.map(w => w -> encodeLocal(w, sorted).toSeq).toMap)
+      base.select(col("doc_id"),
+        flatten(transform(col("ws"), w => element_at(enc, w))).as("tokens"))
+    } else {
+      graft.functions.Bpe.register(docs.sparkSession)
+      // typedLit, never SQL-string interpolation: learned symbols are
+      // corpus-derived text and must not be parsed as SQL
+      val mergeArr = typedLit(sorted.map(m => m.left + " " + m.right))
+      base
+        .withColumn("__t", array_distinct(col("ws")))
+        .withColumn("__m", map_from_arrays(col("__t"),
+          transform(col("__t"), w => call_function("bpe_encode", initSyms(w), mergeArr))))
+        .select(col("doc_id"),
+          flatten(transform(col("ws"), w => element_at(col("__m"), w))).as("tokens"))
+    }
+    toks.select(col("doc_id"), col("tokens"),
+      size(col("tokens")).cast("long").as("n_tokens"))
   }
 
   /** The id table a trained tokenizer ships with: base symbols (every

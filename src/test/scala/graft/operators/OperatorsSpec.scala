@@ -913,6 +913,18 @@ class OperatorsSpec extends AnyFunSuite {
       "per-doc span lengths must sum back to the doc's token count")
   }
 
+  test("tokenize type-table fast path equals the memoized codegen path token-for-token") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val merges = BpeTokenizer.train(docs, "text", numMerges = 40)
+    def toks(threshold: Long) =
+      BpeTokenizer.tokenize(docs, "doc_id", "text", merges, threshold)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val fast = toks(200000L)
+    val codegen = toks(0L) // forces the bpe_encode expression path
+    assert(fast == codegen, "driver-encoded types must equal codegen encoding")
+  }
+
   test("classifier training recovers the planted signal and separates the classes") {
     import spark.implicits._
     val dims = 1 << 12
