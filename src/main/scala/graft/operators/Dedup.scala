@@ -197,12 +197,20 @@ object Dedup {
   def editDistanceConfirm(docs: DataFrame, idCol: String, textCol: String,
                           maxRel: Double): DataFrame = {
     val t = docs.select(col(idCol), col(textCol))
+    // banded DP: pass the per-pair acceptance bound floor(maxRel·maxLen)
+    // as the levenshtein threshold — the kernel early-exits in
+    // O(len·bound) instead of O(len²) and returns -1 past the bound,
+    // which is exactly a rejected pair. Survivor distances are identical
+    // to the unbounded kernel (the oracle computes those), because any
+    // accepted distance is ≤ the bound by definition.
     minhashPairs(docs, idCol, textCol)
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
       .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .withColumn("rel_dist", round(col("dist").cast("double") /
-        greatest(length(col("ta")), length(col("tb"))), 6))
+      .withColumn("__max_len", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("dist",
+        expr(s"levenshtein(ta, tb, CAST(floor(__max_len * $maxRel) AS INT))"))
+      .filter(col("dist") >= 0)
+      .withColumn("rel_dist", round(col("dist").cast("double") / col("__max_len"), 6))
       .filter(col("rel_dist") <= maxRel)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
   }
