@@ -34,6 +34,31 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(dot_product(vd, vd))"))
   }
 
+  /** Hard-negative mining — the contrastive-training data step: for each
+    * anchor, the top-k most similar candidates INSIDE a cosine band
+    * [lo, hi) — similar enough to be informative negatives, strictly
+    * below the near-duplicate bar (a positive leaking in as a negative
+    * poisons the loss). Same broadcast-anchor scan as [[bruteForceKnn]];
+    * at corpus scale compose the band filter onto the IVF probe path
+    * ([[probeIvfIndex]]) instead of the full scan.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    val v = prepared(emb)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+  }
+
   /** Exact top-k cosine neighbors for every vec_id < nQueries. */
   def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val v = prepared(emb)
@@ -353,6 +378,10 @@ object Similarity {
     "q60_knn_brute" -> ((s, dir) =>
       bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
         .orderBy(col("qid"), col("rnk"))),
+    "q112_hard_negatives" -> ((s, dir) =>
+      hardNegatives(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5,
+        lo = 0.30, hi = 0.90)
+        .orderBy(col("qid"), col("rnk"))),
     "q61_ivf_knn" -> ((s, dir) =>
       ivfKnn(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5, k = 3)
         .orderBy(col("qid"), col("rnk"))),
@@ -382,6 +411,20 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q112_hard_negatives" ->
+      s"""WITH $duckPrep,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |), banded AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored WHERE cos >= 0.30 AND cos < 0.90
+         |)
+         |SELECT qid, cid, cos, rnk FROM banded WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
     "q60_knn_brute" ->
       s"""WITH $duckPrep,
          |scored AS (

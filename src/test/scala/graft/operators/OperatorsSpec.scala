@@ -964,6 +964,22 @@ class OperatorsSpec extends AnyFunSuite {
       "doc_id", "text").count() == 0)
   }
 
+  test("hard negatives exclude near-duplicates and dissimilar vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), // anchor
+      (1L, Seq(1f, 0f)), // exact duplicate -> cos 1, must NOT be a negative
+      (2L, Seq(0.8f, 0.6f)), // cos 0.8 -> hard negative
+      (3L, Seq(-1f, 0f)), // cos -1 -> too easy, excluded
+      (4L, Seq(0f, 1f)) // cos 0 -> below band, excluded
+    ).toDF("vec_id", "embedding")
+    val negs = Similarity.hardNegatives(emb, nQueries = 1, k = 5,
+      lo = 0.30, hi = 0.90)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(negs == Set(2L),
+      s"only the in-band vector qualifies as a hard negative: $negs")
+  }
+
   test("semantic dedup pairs only within a cell and scores duplicates at 1") {
     import spark.implicits._
     val emb = Seq(
