@@ -140,6 +140,27 @@ object Corpus {
     docs.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cluster dedup keeping the BEST document per duplicate cluster
+    * instead of [[dedupSurvivors]]' canonical-min-id: real pipelines keep
+    * the longest / highest-quality member (the min-id rule throws away
+    * quality for determinism; this keeps both — ties break on doc id).
+    * `score` is any expression over `docs`' columns. One extra join
+    * (cluster membership × scores, keyed by doc id) and one per-cluster
+    * rank window, partition-bounded by cluster size.
+    */
+  def dedupSurvivorsBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, score: Column): DataFrame = {
+    val scored = docs.select(col(idCol).cast("long").as("__v"), score.as("__s"))
+    val member = connectedComponents(pairs, aCol, bCol)
+      .join(scored, col("vertex") === col("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("__s").desc, col("vertex"))
+    val drops = member.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("vertex").as(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Concat-and-chunk sequence packing: documents laid end-to-end in
     * `idCol` order, each assigned its global token start offset and the
     * fixed-budget training sequence (`seqLen` tokens) it starts in.
@@ -923,6 +944,17 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Keep-best twin of q83 over the SAME candidate pairs: the longest
+    // cluster member survives instead of the smallest id.
+    "q113_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      dedupSurvivorsBest(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text"), "doc_a", "doc_b",
+          score = size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q111_seq_boundaries" -> ((s, dir) =>
       sequenceBoundaries(
         packSequences(Tables.load(s, dir, "documents"), "doc_id", "text", 128L),
@@ -1081,6 +1113,33 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q113_dedup_keep_best" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), membership AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster
+         |  FROM closure GROUP BY u
+         |), scored AS (
+         |  SELECT m.doc_id, m.cluster,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+         |  FROM membership m JOIN documents d USING (doc_id)
+         |), drops AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY cluster ORDER BY n_words DESC, doc_id) AS rk
+         |    FROM scored
+         |  ) WHERE rk > 1
+         |)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q111_seq_boundaries" ->
       """WITH t AS (

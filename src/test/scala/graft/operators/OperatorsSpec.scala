@@ -964,6 +964,24 @@ class OperatorsSpec extends AnyFunSuite {
       "doc_id", "text").count() == 0)
   }
 
+  test("keep-best dedup keeps the highest-scoring cluster member, not the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b", 5L), (2L, "a b", 9L), (3L, "a b", 9L), // one cluster
+      (4L, "z q", 1L) // unclustered — always survives
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val best = Corpus.dedupSurvivorsBest(docs, "doc_id", pairs,
+      "doc_a", "doc_b", score = col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 wins its cluster on (quality desc, id asc); 1 would win by min-id
+    assert(best == Set(2L, 4L), s"expected {2, 4}, got $best")
+    val minId = Corpus.dedupSurvivors(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L))
+  }
+
   test("hard negatives exclude near-duplicates and dissimilar vectors") {
     import spark.implicits._
     val emb = Seq(
