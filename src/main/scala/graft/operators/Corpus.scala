@@ -489,6 +489,25 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning operator: classify
+    * every document across two corpus versions as added / removed /
+    * changed (content fingerprint moved) / unchanged. Complements the
+    * shard manifest (q103): the manifest says WHETHER two runs differ,
+    * this says WHICH documents did. One full-outer join keyed by id;
+    * fingerprints are md5 of the text, computed inside each side's scan.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__old_fp"))
+    val n = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") =!= col("__new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Deterministic global corpus shuffle — the reproducible training
     * order: rank every document by a content-addressed key
     * md5("seed:doc_id") and assign contiguous global positions
@@ -944,6 +963,20 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Two synthetic snapshots carved from one table: v1 = ids < 450,
+    // v2 = ids >= 25 with every 10th re-crawled (uppercased). The diff
+    // must classify exactly the carving.
+    "q114_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") < 450)
+      val v2 = docs.filter(col("doc_id") >= 25)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, upper(col("text"))).otherwise(col("text")))
+      snapshotDiff(v1, v2, "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    }),
+
     // Keep-best twin of q83 over the SAME candidate pairs: the longest
     // cluster member survives instead of the smallest id.
     "q113_dedup_keep_best" -> ((s, dir) => {
@@ -1113,6 +1146,26 @@ object Corpus {
 
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q114_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 450
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END) AS fp
+        |  FROM documents WHERE doc_id >= 25
+        |), d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE
+        |      WHEN v1.doc_id IS NULL THEN 'added'
+        |      WHEN v2.doc_id IS NULL THEN 'removed'
+        |      WHEN v1.fp <> v2.fp THEN 'changed'
+        |      ELSE 'unchanged'
+        |    END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
 
     "q113_dedup_keep_best" ->
       s"""WITH RECURSIVE $q51PairsCte,
