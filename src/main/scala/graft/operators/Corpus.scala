@@ -550,6 +550,11 @@ object Corpus {
     * fractions quantize to /65536 hash bands (first 4 md5 hex chars) so
     * the comparison is integer-exact in any engine. Zero shuffle — the
     * split column is a codegen row op.
+    *
+    * Leakage guard: hash the DOMAIN instead of the doc id
+    * (`assignSplits(docs, "source", ...)`) and every document of a
+    * source lands in the same split — near-duplicates within a domain
+    * can never straddle the train/heldout boundary (spec'd).
     */
   def assignSplits(docs: DataFrame, idCol: String,
       bands: Seq[(String, Double)]): DataFrame = {

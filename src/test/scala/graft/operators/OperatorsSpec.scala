@@ -844,6 +844,14 @@ class OperatorsSpec extends AnyFunSuite {
     val trainFrac = full.values.count(_ == "train").toDouble / full.size
     assert(math.abs(trainFrac - 0.90) < 0.03, s"train fraction drifted: $trainFrac")
     assert(full.values.toSet == Set("train", "val", "test"))
+    // leakage guard: keying the hash by source pins every doc of a
+    // domain to one split — within-domain near-dups can't straddle
+    // train/heldout
+    val bySource = Corpus.assignSplits(docs, "source", Seq("train" -> 0.8, "heldout" -> 1.0))
+      .select("source", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val splitsPerSource = bySource.groupBy(_._1).values.map(_.map(_._2).distinct.length)
+    assert(splitsPerSource.forall(_ == 1), "a source must map to exactly one split")
   }
 
   test("re-ingesting an already-indexed batch collides completely") {
