@@ -359,6 +359,11 @@ object Processors {
           c.options.get("schema")
             .map(org.apache.spark.sql.types.StructType.fromDDL))
       case "arrow_to_json" => ArrowToJson
+      // schema source: a compiled descriptor set (descriptor_path +
+      // message_type, the reference's proto-file route) or an inline
+      // "name:number:type,..." spec
+      case "protobuf_to_arrow" => ProtobufToArrow(protoFields(c.options))
+      case "arrow_to_protobuf" => ArrowToProtobuf(protoFields(c.options))
       case "debezium_json" => (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)
       case "batch" =>
         // flush thresholds present -> the cross-batch accumulator
@@ -376,4 +381,31 @@ object Processors {
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }
+
+  /** Proto message schema from processor options: `descriptor_path` +
+    * `message_type` resolve through a compiled FileDescriptorSet
+    * ([[ProtoDescriptor]] — the reference's proto-file route); `fields`
+    * takes the inline `name:number:type[,...]` spec. */
+  private def protoFields(options: Map[String, String]): Seq[ProtoField] =
+    (options.get("descriptor_path"), options.get("fields")) match {
+      case (Some(path), _) =>
+        val all = ProtoDescriptor.parse(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        val msg = options.getOrElse("message_type",
+          throw new IllegalArgumentException(
+            "descriptor_path requires message_type"))
+        all.getOrElse(msg, throw new IllegalArgumentException(
+          s"message $msg not found in descriptor; it has: ${all.keys.toSeq.sorted.mkString(", ")}"))
+      case (None, Some(spec)) =>
+        spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+          s.split(":") match {
+            case Array(name, number, tpe) =>
+              ProtoField(number.trim.toInt, name.trim, tpe.trim)
+            case _ => throw new IllegalArgumentException(
+              s"bad proto field spec '$s' (want name:number:type)")
+          }
+        }
+      case _ => throw new IllegalArgumentException(
+        "protobuf processor needs descriptor_path+message_type or fields")
+    }
 }

@@ -84,6 +84,89 @@ object ProtoWire {
     }
     out.toMap
   }
+
+  /** [[parse]] keeping EVERY occurrence of each field in order —
+    * required for repeated message fields (descriptor parsing). */
+  def parseRepeated(bytes: Array[Byte]): Map[Int, Seq[Any]] = {
+    var pos = 0
+    val out = scala.collection.mutable.Map[Int, Vector[Any]]()
+    def add(field: Int, v: Any): Unit =
+      out(field) = out.getOrElse(field, Vector.empty) :+ v
+    while (pos < bytes.length) {
+      val (tag, p1) = readVarint(bytes, pos)
+      val field = (tag >>> 3).toInt
+      (tag & 7).toInt match {
+        case 0 =>
+          val (v, p2) = readVarint(bytes, p1); add(field, v); pos = p2
+        case 1 =>
+          val bb = java.nio.ByteBuffer.wrap(bytes, p1, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          add(field, bb.getLong); pos = p1 + 8
+        case 2 =>
+          val (len, p2) = readVarint(bytes, p1)
+          add(field, java.util.Arrays.copyOfRange(bytes, p2, p2 + len.toInt))
+          pos = p2 + len.toInt
+        case 5 =>
+          val bb = java.nio.ByteBuffer.wrap(bytes, p1, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          add(field, bb.getInt.toLong); pos = p1 + 4
+        case other => throw new IllegalArgumentException(s"wire type $other")
+      }
+    }
+    out.toMap
+  }
+}
+
+/** Schema-from-descriptor: parse a serialized `FileDescriptorSet`
+  * (`protoc --descriptor_set_out`) into [[ProtoField]] schemas — the
+  * reference resolves its message schemas by compiling proto sources to
+  * exactly this structure (codec/protobuf.rs:70 `parse_proto_file` →
+  * `file_descriptor_set`). The descriptor format is itself protobuf,
+  * so the engine's own wire parser reads it; the field numbers below
+  * are descriptor.proto's public schema (FileDescriptorSet.file=1;
+  * FileDescriptorProto name=1/package=2/message_type=4; DescriptorProto
+  * name=1/field=2/nested_type=3; FieldDescriptorProto name=1/number=3/
+  * type=5).
+  *
+  * Scalar proto3 fields map to the codec's type surface; message/enum/
+  * group-typed fields are omitted from the schema (same column subset a
+  * projection would keep). Returns fully-qualified message name →
+  * fields.
+  */
+object ProtoDescriptor {
+  private val TypeNames: Map[Int, String] = Map(
+    1 -> "double", 2 -> "float", 3 -> "int64", 4 -> "uint64",
+    5 -> "int32", 8 -> "bool", 9 -> "string", 12 -> "bytes",
+    13 -> "uint32")
+
+  private def str(v: Any): String = new String(v.asInstanceOf[Array[Byte]], "UTF-8")
+
+  def parse(bytes: Array[Byte]): Map[String, Seq[ProtoField]] = {
+    ProtoWire.parseRepeated(bytes).getOrElse(1, Nil).flatMap { fdp =>
+      val file = ProtoWire.parseRepeated(fdp.asInstanceOf[Array[Byte]])
+      val pkg = file.get(2).flatMap(_.headOption).map(str).getOrElse("")
+      val prefix = if (pkg.isEmpty) "" else pkg + "."
+      file.getOrElse(4, Nil).flatMap(m =>
+        messages(m.asInstanceOf[Array[Byte]], prefix))
+    }.toMap
+  }
+
+  private def messages(descriptor: Array[Byte],
+      prefix: String): Seq[(String, Seq[ProtoField])] = {
+    val m = ProtoWire.parseRepeated(descriptor)
+    val fq = prefix + str(m(1).head)
+    val fields = m.getOrElse(2, Nil).flatMap { f =>
+      val fm = ProtoWire.parseRepeated(f.asInstanceOf[Array[Byte]])
+      for {
+        tpe <- fm.get(5).flatMap(_.headOption)
+          .flatMap(t => TypeNames.get(t.asInstanceOf[Long].toInt))
+        name <- fm.get(1).flatMap(_.headOption).map(str)
+        number <- fm.get(3).flatMap(_.headOption).map(_.asInstanceOf[Long].toInt)
+      } yield ProtoField(number, name, tpe)
+    }
+    (fq -> fields) +: m.getOrElse(3, Nil).flatMap(n =>
+      messages(n.asInstanceOf[Array[Byte]], fq + "."))
+  }
 }
 
 /** bytes -> struct(fields). Missing fields decode to proto3 defaults. */

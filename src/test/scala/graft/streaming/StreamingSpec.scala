@@ -168,6 +168,54 @@ class StreamingSpec extends AnyFunSuite {
       Set((1625000000000L, 10.5, "temp_1"), (1625000001000L, 0.0, "t2")))
   }
 
+  test("descriptor-set schema resolution drives the config-level protobuf processors") {
+    // hand-assemble a FileDescriptorSet for:
+    //   package demo; message Sensor { string device=1; double reading=2;
+    //   int64 seq=3; message Inner { bool flag=1; } }
+    def vi(field: Int, v: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(o, (field.toLong << 3) | 0L)
+      ProtoWire.writeVarint(o, v); o.toByteArray
+    }
+    def ld(field: Int, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(o, (field.toLong << 3) | 2L)
+      ProtoWire.writeVarint(o, payload.length); o.write(payload); o.toByteArray
+    }
+    def s(v: String): Array[Byte] = v.getBytes("UTF-8")
+    def fdp(name: String, number: Int, tpe: Int): Array[Byte] =
+      ld(1, s(name)) ++ vi(3, number) ++ vi(5, tpe)
+    val inner = ld(1, s("Inner")) ++ ld(2, fdp("flag", 1, 8))
+    val sensor = ld(1, s("Sensor")) ++
+      ld(2, fdp("device", 1, 9)) ++ ld(2, fdp("reading", 2, 1)) ++
+      ld(2, fdp("seq", 3, 3)) ++ ld(3, inner)
+    val file = ld(1, s("demo.proto")) ++ ld(2, s("demo")) ++ ld(4, sensor)
+    val fds = ld(1, file)
+
+    val parsed = ProtoDescriptor.parse(fds)
+    assert(parsed("demo.Sensor") == Seq(ProtoField(1, "device", "string"),
+      ProtoField(2, "reading", "double"), ProtoField(3, "seq", "int64")))
+    assert(parsed("demo.Sensor.Inner") == Seq(ProtoField(1, "flag", "bool")))
+
+    // config round-trip through descriptor_path + message_type
+    val path = java.nio.file.Files.createTempFile("fds", ".desc")
+    java.nio.file.Files.write(path, fds)
+    val opts = Map("descriptor_path" -> path.toString,
+      "message_type" -> "demo.Sensor")
+    val enc = Processors.fromConf(Seq(ComponentConf("arrow_to_protobuf", opts))).head
+    val dec = Processors.fromConf(Seq(ComponentConf("protobuf_to_arrow", opts))).head
+    val df = Seq(("s7", 41.5, 12345L)).toDF("device", "reading", "seq")
+    val back = dec(enc(df)).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(back == Set(("s7", 41.5, 12345L)))
+    // unknown message names must fail loudly, listing what exists
+    val err = intercept[IllegalArgumentException] {
+      Processors.fromConf(Seq(ComponentConf("protobuf_to_arrow",
+        opts + ("message_type" -> "demo.Nope"))))
+    }
+    assert(err.getMessage.contains("demo.Sensor"))
+  }
+
   test("remap DSL compiles assignments and deletions to column ops (processor/vrl.rs port)") {
     val out = Processors.RemapProcessor(
       """
