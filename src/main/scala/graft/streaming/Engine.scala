@@ -278,7 +278,46 @@ object Engine {
       // input/http.rs client mode — one endpoint poll, EOF semantics
       // (server mode is the programmatic HttpInput class).
       HttpPoll.read(spark, c.options)
+    // Connection-holding streaming inputs: the client object outlives
+    // this call (its reader thread feeds the stream), so its handle
+    // registers with [[closeConfigInputs]] for shutdown — config-run
+    // streams have no programmatic handle to stop() themselves.
+    case "mqtt" =>
+      val in = new Mqtt.MqttInput(spark,
+        c.options.getOrElse("host", "localhost"),
+        c.options.getOrElse("port", "1883").toInt,
+        c.options.getOrElse("topics", c.options.getOrElse("topic_filter", "#")),
+        c.options.getOrElse("client_id", "graft-in"))
+      configInputs.add(() => in.stop())
+      in.toDF
+    case "nats" =>
+      val in = new Nats.NatsInput(spark,
+        c.options.getOrElse("host", "localhost"),
+        c.options.getOrElse("port", "4222").toInt,
+        c.options("subject"))
+      configInputs.add(() => in.stop())
+      in.toDF
+    case "websocket" =>
+      val in = new WebSocketInput(spark, c.options("url"),
+        c.options.get("bearer_token")
+          .map(t => Map("Authorization" -> s"Bearer $t")).getOrElse(Map.empty))
+      configInputs.add(() => in.stop())
+      in.toDF
     case other => throw new IllegalArgumentException(s"unknown input: $other")
+  }
+
+  private val configInputs =
+    new java.util.concurrent.ConcurrentLinkedQueue[AutoCloseable]()
+
+  /** Close every connection-holding input created via [[inputFromConf]]
+    * (mqtt/nats/websocket) — engine shutdown's counterpart to the
+    * programmatic inputs' own stop(). Safe to call repeatedly. */
+  def closeConfigInputs(): Unit = {
+    var c = configInputs.poll()
+    while (c != null) {
+      try c.close() catch { case scala.util.control.NonFatal(_) => () }
+      c = configInputs.poll()
+    }
   }
 
   /** Pure mapping of reference kafka input options (input/kafka.rs:36-58)

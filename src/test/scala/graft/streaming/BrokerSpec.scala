@@ -185,6 +185,25 @@ class BrokerSpec extends AnyFunSuite {
     } finally broker.stop()
   }
 
+  test("mqtt input is config-reachable and closes via the engine registry") {
+    val broker = new FakeMqtt
+    try {
+      val in = Engine.inputFromConf(spark, ComponentConf("mqtt", Map(
+        "host" -> "127.0.0.1", "port" -> broker.port.toString,
+        "topics" -> "sensors/temp", "client_id" -> "conf-in")))
+      Mqtt.MqttSink("127.0.0.1", broker.port, "'sensors/temp'", "msg")
+        .write(Seq("""{"v": 41}""").toDF("msg"), 0L)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (broker.published.size < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(300)
+      val sink = new Engine.MemorySink
+      val q = Engine.start(in, Seq(Processors.JsonToArrow(Seq("v"))), sink)
+      q.processAllAvailable(); q.stop()
+      assert(sink.rows.map(_.getLong(0)) == Seq(41L))
+      Engine.closeConfigInputs() // must not throw; closes the live conn
+    } finally broker.stop()
+  }
+
   // ---- fake Modbus device ----
   private final class FakeModbus(registers: Map[Int, Int]) {
     private val server = new java.net.ServerSocket(0, 4,
