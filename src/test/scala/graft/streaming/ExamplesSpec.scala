@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExamplesSpec extends AnyFunSuite {
 
   private val exampleDir = new java.io.File("examples")
-  private val inputKindsNeedingEndpoint = Set("sql", "redis", "modbus")
+  private val inputKindsNeedingEndpoint =
+    Set("sql", "redis", "modbus", "mqtt", "nats", "websocket")
 
   test("all example configs parse and their components resolve") {
     val files = exampleDir.listFiles().filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
