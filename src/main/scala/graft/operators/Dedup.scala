@@ -77,6 +77,42 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator audit — for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE next to the exact shingle-set
+    * Jaccard and the absolute error. This is the measurement that
+    * justifies (or sizes) `numHashes`: the estimate is what the banding
+    * actually thresholds on at scale, and its error at the chosen width
+    * should be inspected on each new corpus rather than assumed.
+    * Signatures and both set operations are row-local (fused minhash,
+    * array_intersect/union on per-doc distinct shingles) — the only
+    * shuffles are the band join and the two signature joins.
+    */
+  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    graft.functions.MinhashSigs.register(docs.sparkSession)
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
+      .select(col("doc_id"), col("sh"),
+        expr(s"minhash_sigs(sh, $numHashes)").as("ms"))
+    minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("ms").as("ms_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("ms").as("ms_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .withColumn("exact_jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("est_jac", round(
+        size(filter(zip_with(col("ms_a"), col("ms_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6))
+      .withColumn("abs_err", round(abs(col("est_jac") - col("exact_jac")), 6))
+      .select(col("doc_a"), col("doc_b"), col("exact_jac"), col("est_jac"),
+        col("abs_err"))
+  }
+
   /** Incremental ingest dedup — the daily-increment shape: the corpus's
     * [[bandSignatures]] live as a persisted index (parquet, partitioned
     * however the store likes); a new batch computes ONLY its own
@@ -301,6 +337,10 @@ object Dedup {
     "q90_editdist_confirm" -> ((s, dir) =>
       editDistanceConfirm(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxRel = 0.4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q115_minhash_estimate" -> ((s, dir) =>
+      minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
@@ -311,6 +351,52 @@ object Dedup {
         |FROM documents
         |GROUP BY md5(lower(text))
         |ORDER BY keeper_id""".stripMargin,
+
+    "q115_minhash_estimate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 8.0, 6) AS est_jac
+        |  FROM mh a JOIN mh b ON a.seed = b.seed AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS exact_jac,
+        |  e.est_jac,
+        |  round(abs(e.est_jac - round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)), 6) AS abs_err
+        |FROM pairs p
+        |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q51_minhash_lsh" ->
       """WITH w AS (
