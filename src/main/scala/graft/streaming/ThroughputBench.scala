@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming/batch pipeline throughput measurement (rows/sec) for the
@@ -11,16 +10,15 @@ import org.apache.spark.sql.functions._
   *   - batch EOF pipeline: `generate count=N` with a JSON context →
   *     json_to_arrow → sql transform → drop (the reference's
   *     generate→pipeline→drop benchmark shape);
-  *   - micro-batch streaming: a MemoryStream driven for `batches`
-  *     batches of `batchRows` rows through the same processors via
-  *     Engine.start, measuring end-to-end drain time.
+  *   - micro-batch streaming: the engine's rate input run saturated
+  *     through the same processors via Engine.start, throughput taken
+  *     from Spark's progress metrics after warm-up.
   *
-  * Usage: runMain graft.streaming.ThroughputBench [totalRows] [batches]
+  * Usage: runMain graft.streaming.ThroughputBench [totalRows]
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val nBatches = args.drop(1).headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
