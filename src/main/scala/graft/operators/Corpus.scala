@@ -606,7 +606,9 @@ object Corpus {
       val thr = scored.groupBy(col(groupCol).as("__g"))
         .agg(percentile_approx(col("__score"),
           array(lit(lo), lit(hi)), lit(accuracy)).as("__t"))
-      scored.join(broadcast(thr), col(groupCol) === col("__g"))
+      // null-SAFE group match: a null group is a group too in the exact
+      // path's window, so the threshold join must not drop its rows
+      scored.join(broadcast(thr), col(groupCol) <=> col("__g"))
         .filter(col("__score") >= element_at(col("__t"), 1) &&
           col("__score") <= element_at(col("__t"), 2))
         .drop("__g", "__t")

@@ -792,6 +792,16 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "thresholds must broadcast")
     assert(!plan.contains("Window"), "scale path must not run a window sort")
+    // a null group is a group: the approx path's threshold join must
+    // keep its rows like the exact path's window does
+    val withNullGroup = docs.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null: String)).otherwise(col("lang")))
+    val (exN, apN) = (
+      Corpus.quantileBandFilter(withNullGroup, "lang", score, 0.10, 0.90,
+        exact = true).count(),
+      Corpus.quantileBandFilter(withNullGroup, "lang", score, 0.10, 0.90).count())
+    assert(apN > 0 && math.abs(exN - apN) < exN * 0.1,
+      s"null-group rows must survive both paths (exact=$exN approx=$apN)")
   }
 
   test("deterministic shuffle is a reproducible, seed-sensitive permutation") {
