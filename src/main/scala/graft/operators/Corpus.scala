@@ -527,6 +527,9 @@ object Corpus {
     val spark = docs.sparkSession
     val keyed = docs
       .select(col(idCol).cast("long").as("doc_id"))
+      // null ids can't take a position (same explicit-drop contract as
+      // connectedComponents); without this the rdd map would NPE
+      .filter(col("doc_id").isNotNull)
       .withColumn("__k", md5(concat_ws(":", lit(seed), col("doc_id"))))
       .repartitionByRange(col("__k"), col("doc_id"))
       .sortWithinPartitions(col("__k"), col("doc_id"))
