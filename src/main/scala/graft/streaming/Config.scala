@@ -18,7 +18,12 @@ final case class StreamConf(
   errorOutput: Option[ComponentConf],
   buffer: Option[ComponentConf])
 
-final case class EngineConf(streams: Seq[StreamConf])
+/** Optional embedded control-plane server (the reference engine serves
+  * its HTTP API beside the streams — arkflow/src/main.rs `serve(...)`). */
+final case class HttpConf(port: Int, bearerToken: Option[String])
+
+final case class EngineConf(streams: Seq[StreamConf],
+  http: Option[HttpConf] = None)
 
 object Config {
 
@@ -64,7 +69,14 @@ object Config {
       }
       case _ => throw new IllegalArgumentException("config needs a `streams` list")
     }
-    EngineConf(streams)
+    val http = root.get("http") match {
+      case m: java.util.Map[_, _] =>
+        val hm = anyMap(m)
+        Some(HttpConf(hm.get("port").map(_.toString.toInt).getOrElse(0),
+          hm.get("bearer_token").map(_.toString)))
+      case _ => None
+    }
+    EngineConf(streams, http)
   }
 
   private def anyMap(m: java.util.Map[_, _]): Map[String, Object] =

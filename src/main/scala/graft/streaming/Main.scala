@@ -25,11 +25,25 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(configPath)), java.nio.charset.StandardCharsets.UTF_8)
-    val queries = Engine.run(spark, Config.fromYaml(yaml))
+    val conf = Config.fromYaml(yaml)
+    // the reference engine serves its control-plane API beside the
+    // streams (arkflow/src/main.rs `serve(engine.control_plane(), ...)`)
+    val cp = conf.http.map(h => new ControlPlane(spark, h.port, h.bearerToken))
+    cp.foreach(c => println(s"[graft] control plane on port ${c.boundPort}"))
+    val queries = Engine.run(spark, conf)
+    // graceful shutdown: stop streams, release connector inputs, stop
+    // the API — the reference's cancellation-token path
+    def shutdown(): Unit = {
+      queries.foreach(q => try q.stop() catch {
+        case scala.util.control.NonFatal(_) => () })
+      Engine.closeConfigInputs()
+      cp.foreach(_.stop())
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown(), "graft-shutdown"))
     maxSeconds match {
       case Some(s) =>
         Thread.sleep(s * 1000)
-        queries.foreach(_.stop())
+        shutdown()
       case None =>
         queries.foreach(_.awaitTermination())
     }

@@ -263,6 +263,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.processors.map(_.kind) == Seq("json_to_arrow", "sql"))
     assert(s.output.kind == "stdout")
     assert(s.errorOutput.map(_.kind).contains("drop"))
+    assert(conf.http.isEmpty, "no http section -> no control plane")
+  }
+
+  test("yaml config wires the embedded control plane like the reference server") {
+    val conf = Config.fromYaml(
+      """http:
+        |  port: 0
+        |  bearer_token: tok123
+        |streams:
+        |  - input:
+        |      type: generate
+        |      count: "1"
+        |    pipeline:
+        |      processors: []
+        |    output:
+        |      type: drop
+        |""".stripMargin)
+    assert(conf.http.contains(HttpConf(0, Some("tok123"))))
+    val cp = new ControlPlane(spark, conf.http.get.port, conf.http.get.bearerToken)
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${cp.boundPort}/system").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestProperty("Authorization", "Bearer tok123")
+      assert(c.getResponseCode == 200)
+    } finally cp.stop()
   }
 
   test("engine runs memory-stream end-to-end: envelope -> decode -> sql -> sink") {
