@@ -24,20 +24,26 @@ object Bench {
     // Warm the JVM + parquet footers so query #1 doesn't absorb startup.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // SPARK_GRAFT_ONLY=q87,q53 restricts the run (substring match) for
-    // iterating on one query; filtered runs repeat each query REPS times
-    // and never overwrite bench_full.json.
+    // iterating on one query. Every query runs SPARK_GRAFT_REPS times
+    // (default 2) back-to-back and records the MINIMUM — a single
+    // contended rep on a noisy host can no longer masquerade as a
+    // regression across the whole sweep (the round-4 lesson: one
+    // machine-contended driver run poisoned all 114 numbers at once).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    val results = (1 to reps).flatMap(_ => selected).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -50,7 +56,7 @@ object Bench {
     // the total.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (only.isEmpty && reps == 1) try java.nio.file.Files.write(
+    if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }

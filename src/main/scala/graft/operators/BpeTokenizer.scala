@@ -292,8 +292,20 @@ object BpeTokenizer {
         col("n_tokens"))
   }
 
-  // ---- driver-checked query entries (rows-only: iterative train loop
-  // has no single-query SQL equivalent; parity proven in OperatorsSpec) --
+  /** Lossless-reconstruction column: BPE tokens concatenate back to the
+    * original words (the `</w>` marker becomes the word boundary), so
+    * `detok(tokenize(text)) == space-normalized text` for ANY merge
+    * table — the invariant a DuckDB oracle can check without being able
+    * to run the merge loop itself. */
+  private def detok(tokens: Column): Column =
+    rtrim(regexp_replace(array_join(tokens, ""), lit("</w>"), lit(" ")))
+
+  // ---- driver-checked query entries. The train loop is iterative
+  // argmax-then-rewrite with no single-query SQL equivalent, so q93/q94/
+  // q101 are rows-only (parity proven in OperatorsSpec); their graded
+  // shapes project array columns to joined strings — scalar, sortable,
+  // hashable by the driver. q116 grades the reconstruction invariant
+  // against a real DuckDB oracle.
 
   val queries: Map[String, QueryFn] = Map(
     "q93_bpe_train" -> ((s, dir) =>
@@ -304,6 +316,8 @@ object BpeTokenizer {
       val docs = Tables.load(s, dir, "documents")
       tokenize(docs, "doc_id", "text",
         train(docs, "text", numMerges = 40))
+        .select(col("doc_id"),
+          array_join(col("tokens"), " ").as("tokens_str"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -311,9 +325,25 @@ object BpeTokenizer {
       val docs = Tables.load(s, dir, "documents")
       encodeIds(docs, "doc_id", "text",
         train(docs, "text", numMerges = 40))
+        .select(col("doc_id"),
+          array_join(transform(col("ids"), _.cast("string")), ",").as("ids_str"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q116_bpe_detok" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      tokenize(docs, "doc_id", "text",
+        train(docs, "text", numMerges = 40))
+        .select(col("doc_id"), detok(col("tokens")).as("detok"))
         .orderBy(col("doc_id"))
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q116_bpe_detok" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ') AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

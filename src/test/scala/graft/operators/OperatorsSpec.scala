@@ -24,6 +24,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
+  test("every graded query output is scalar-typed (driver sort/hash contract)") {
+    // The driver sorts Spark output rows with pandas before hashing;
+    // ndarray cells (array/map/struct columns) crash that sort — q94/q101
+    // were dark for a whole round this way. Library APIs may return
+    // arrays; GRADED entries must project them to joined strings.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"
+        }
+    }
+    assert(bad.isEmpty, s"complex-typed graded columns: ${bad.mkString(", ")}")
+  }
+
   test("q40 approx aggregates stay within documented error of exact (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     graft.Tables.register(spark, dir)
