@@ -36,10 +36,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * (cnt DESC, item) — deterministic output on any cluster layout in the
   * exact regime.
   */
+/** Aggregation state: the counter map plus a lazy-repair min-heap over
+  * (cnt, item) so full-buffer eviction is O(log capacity) amortized
+  * instead of a full O(capacity) scan per non-resident insert — on
+  * heavy-tailed streams most inserts ARE non-resident once the buffer
+  * fills, so the scan was the sketch's dominant cost.
+  *
+  * Heap discipline: exactly one entry per resident item. Increments
+  * leave the heap untouched (the entry goes stale at a LOWER count —
+  * still a valid lower bound); [[evictMin]] pops the global minimum and
+  * repairs stale heads by re-pushing them at their live count. Since a
+  * stale entry only ever under-states its item's count, the first
+  * live-count head popped is the true (cnt, item) minimum — the same
+  * deterministic lexicographic-tie-break choice the old minBy scan made.
+  */
+final class TopKState {
+  val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  private val heap: mutable.PriorityQueue[(Long, String)] =
+    mutable.PriorityQueue.empty(Ordering[(Long, String)].reverse)
+
+  def push(cnt: Long, item: String): Unit = heap.enqueue((cnt, item))
+
+  /** Remove and return the (item, cnt) with minimal (cnt, item). */
+  def evictMin(): (String, Long) = {
+    while (heap.nonEmpty) {
+      val (c, k) = heap.dequeue()
+      counts.get(k) match {
+        case Some((cur, _)) if cur == c =>
+          counts.remove(k)
+          return (k, c)
+        case Some((cur, _)) => heap.enqueue((cur, k)) // repair stale head
+        case None => // item evicted by a merge rebuild — drop
+      }
+    }
+    throw new IllegalStateException("evictMin on empty summary")
+  }
+
+  /** Heapify from the current counts — used after merge/deserialize. */
+  def rebuildHeap(): this.type = {
+    heap.clear()
+    counts.foreach { case (k, (c, _)) => heap.enqueue((c, k)) }
+    this
+  }
+}
+
 case class SpaceSavingTopK(
     child: Expression, k: Int, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]]
+  extends TypedImperativeAggregate[TopKState]
   with UnaryLike[Expression] {
 
   require(k > 0 && capacity >= k, s"need k > 0 and capacity >= k, got k=$k capacity=$capacity")
@@ -51,55 +95,55 @@ case class SpaceSavingTopK(
 
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): TopKState = new TopKState
 
-  override def update(buf: mutable.HashMap[String, (Long, Long)],
-      input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
+  override def update(buf: TopKState, input: InternalRow): TopKState = {
     val v = child.eval(input)
     if (v == null) return buf
     // copy out of the (reused) unsafe row buffer before storing
     val key = v.asInstanceOf[UTF8String].toString
-    buf.get(key) match {
-      case Some((c, e)) => buf.update(key, (c + 1, e))
-      case None if buf.size < capacity => buf.update(key, (1L, 0L))
+    buf.counts.get(key) match {
+      case Some((c, e)) => buf.counts.update(key, (c + 1, e))
+      case None if buf.counts.size < capacity =>
+        buf.counts.update(key, (1L, 0L))
+        buf.push(1L, key)
       case None =>
         // evict the minimum counter; the newcomer inherits its count as
         // the classic SpaceSaving overestimate, with err = that count
-        val (mk, (mc, _)) = buf.minBy { case (ik, (ic, _)) => (ic, ik) }
-        buf.remove(mk)
-        buf.update(key, (mc + 1, mc))
+        val (_, mc) = buf.evictMin()
+        buf.counts.update(key, (mc + 1, mc))
+        buf.push(mc + 1, key)
     }
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, (Long, Long)],
-      other: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+  override def merge(buf: TopKState, other: TopKState): TopKState = {
     // an item absent from a FULL summary may still have occurred up to
     // that summary's minimum counter times — add that bound (and the
     // same err); absent from a non-full summary genuinely means zero
     def minIfFull(m: mutable.HashMap[String, (Long, Long)]): Long =
       if (m.size < capacity) 0L else m.valuesIterator.map(_._1).min
-    val minBuf = minIfFull(buf)
-    val minOther = minIfFull(other)
-    val keys = buf.keySet ++ other.keySet
-    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    val minBuf = minIfFull(buf.counts)
+    val minOther = minIfFull(other.counts)
+    val keys = buf.counts.keySet ++ other.counts.keySet
+    val merged = new TopKState
     keys.foreach { key =>
-      val (c1, e1) = buf.getOrElse(key, (minBuf, minBuf))
-      val (c2, e2) = other.getOrElse(key, (minOther, minOther))
-      merged.update(key, (c1 + c2, e1 + e2))
+      val (c1, e1) = buf.counts.getOrElse(key, (minBuf, minBuf))
+      val (c2, e2) = other.counts.getOrElse(key, (minOther, minOther))
+      merged.counts.update(key, (c1 + c2, e1 + e2))
     }
-    if (merged.size <= capacity) merged
-    else {
-      val kept = merged.toSeq
+    if (merged.counts.size > capacity) {
+      val kept = merged.counts.toSeq
         .sortBy { case (ik, (ic, _)) => (-ic, ik) }
         .take(capacity)
-      mutable.HashMap(kept: _*)
+      merged.counts.clear()
+      kept.foreach { case (ik, v) => merged.counts.update(ik, v) }
     }
+    merged.rebuildHeap()
   }
 
-  override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
-    val top = buf.toSeq
+  override def eval(buf: TopKState): Any = {
+    val top = buf.counts.toSeq
       .sortBy { case (ik, (ic, _)) => (-ic, ik) }
       .take(k)
       .map { case (ik, (ic, ie)) =>
@@ -108,11 +152,11 @@ case class SpaceSavingTopK(
     new GenericArrayData(top.toArray[Any])
   }
 
-  override def serialize(buf: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKState): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (key, (c, e)) =>
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (key, (c, e)) =>
       val b = key.getBytes("UTF-8")
       out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
     }
@@ -120,19 +164,19 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKState = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, (Long, Long)]
+    val buf = new TopKState
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
+      buf.counts.update(new String(b, "UTF-8"), (in.readLong(), in.readLong()))
       i += 1
     }
-    buf
+    buf.rebuildHeap()
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =

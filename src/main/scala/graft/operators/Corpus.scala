@@ -498,13 +498,19 @@ object Corpus {
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__old_fp"))
-    val n = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__new_fp"))
+    // presence rides an explicit flag, NOT fingerprint nullity — a
+    // present document with NULL text has a null fingerprint and must
+    // still read as present (null-text docs classify by the null-safe
+    // fingerprint compare below, matching the oracle's doc_id IS NULL)
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__old_fp"), lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__new_fp"), lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__old_fp").isNull, "added")
-          .when(col("__new_fp").isNull, "removed")
-          .when(col("__old_fp") =!= col("__new_fp"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__old_fp") <=> col("__new_fp")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -1169,7 +1175,7 @@ object Corpus {
         |    CASE
         |      WHEN v1.doc_id IS NULL THEN 'added'
         |      WHEN v2.doc_id IS NULL THEN 'removed'
-        |      WHEN v1.fp <> v2.fp THEN 'changed'
+        |      WHEN v1.fp IS DISTINCT FROM v2.fp THEN 'changed'
         |      ELSE 'unchanged'
         |    END AS status
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id

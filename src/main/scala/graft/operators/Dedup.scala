@@ -233,18 +233,20 @@ object Dedup {
   def editDistanceConfirm(docs: DataFrame, idCol: String, textCol: String,
                           maxRel: Double): DataFrame = {
     val t = docs.select(col(idCol), col(textCol))
-    // banded DP: pass the per-pair acceptance bound floor(maxRel·maxLen)
-    // as the levenshtein threshold — the kernel early-exits in
-    // O(len·bound) instead of O(len²) and returns -1 past the bound,
-    // which is exactly a rejected pair. Survivor distances are identical
-    // to the unbounded kernel (the oracle computes those), because any
-    // accepted distance is ≤ the bound by definition.
+    // banded DP: pass a per-pair bound as the levenshtein threshold — the
+    // kernel early-exits in O(len·bound) instead of O(len²) and returns
+    // -1 past the bound, which is a rejected pair. The acceptance test is
+    // the ROUNDED round(dist/maxLen, 6) <= maxRel below (what the oracle
+    // computes), so the band must cover every distance that can round
+    // under: ceil(maxLen·(maxRel + 1e-6)) ≥ any dist with
+    // dist/maxLen ≤ maxRel + 0.5e-6. Survivor distances are identical to
+    // the unbounded kernel because every accepted distance is ≤ the bound.
     minhashPairs(docs, idCol, textCol)
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
       .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
       .withColumn("__max_len", greatest(length(col("ta")), length(col("tb"))))
       .withColumn("dist",
-        expr(s"levenshtein(ta, tb, CAST(floor(__max_len * $maxRel) AS INT))"))
+        expr(s"levenshtein(ta, tb, CAST(ceil(__max_len * ($maxRel + 1e-6)) AS INT))"))
       .filter(col("dist") >= 0)
       .withColumn("rel_dist", round(col("dist").cast("double") / col("__max_len"), 6))
       .filter(col("rel_dist") <= maxRel)

@@ -128,10 +128,12 @@ object ProtoWire {
   * name=1/field=2/nested_type=3; FieldDescriptorProto name=1/number=3/
   * type=5).
   *
-  * Scalar proto3 fields map to the codec's type surface; message/enum/
-  * group-typed fields are omitted from the schema (same column subset a
-  * projection would keep). Returns fully-qualified message name →
-  * fields.
+  * SINGULAR scalar proto3 fields map to the codec's type surface;
+  * message/enum/group-typed fields AND repeated fields (label 3 —
+  * proto3 packs repeated scalars as length-delimited, which the
+  * singular decoder would misread as a varint/fixed value) are omitted
+  * from the schema (same column subset a projection would keep).
+  * Returns fully-qualified message name → fields.
   */
 object ProtoDescriptor {
   private val TypeNames: Map[Int, String] = Map(
@@ -157,9 +159,15 @@ object ProtoDescriptor {
     val fq = prefix + str(m(1).head)
     val fields = m.getOrElse(2, Nil).flatMap { f =>
       val fm = ProtoWire.parseRepeated(f.asInstanceOf[Array[Byte]])
+      // FieldDescriptorProto.label = 4; LABEL_REPEATED = 3. A repeated
+      // scalar arrives length-delimited (packed), so the singular decoder
+      // must never claim it — drop it like message-typed fields.
+      val repeated = fm.get(4).flatMap(_.headOption)
+        .exists(_.asInstanceOf[Long] == 3L)
       for {
         tpe <- fm.get(5).flatMap(_.headOption)
           .flatMap(t => TypeNames.get(t.asInstanceOf[Long].toInt))
+        if !repeated
         name <- fm.get(1).flatMap(_.headOption).map(str)
         number <- fm.get(3).flatMap(_.headOption).map(_.asInstanceOf[Long].toInt)
       } yield ProtoField(number, name, tpe)

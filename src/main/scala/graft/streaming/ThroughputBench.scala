@@ -61,11 +61,20 @@ object ThroughputBench {
       checkpoint = None)
     Thread.sleep(30000)
     q.stop()
+    // durationMs is a java.util.Map — absent keys return null, so guard
+    // with Option; and a window with <5 productive batches has nothing to
+    // report (secs would be 0 → divide-by-zero), so bail with a message.
     val progress = q.recentProgress.drop(4)
       .filter(p => p.numInputRows > 0)
     val rows = progress.map(_.numInputRows).sum
-    val secs = progress.map(_.durationMs.get("triggerExecution").toLong).sum / 1e3
-    println(f"stream: $rows rows / ${progress.length} micro-batches in $secs%.2f s busy = ${rows / secs / 1e6}%.2f M rows/s (${progress.length / secs}%.1f batches/s)")
+    val secs = progress
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .sum / 1e3
+    if (progress.isEmpty || secs <= 0)
+      println(s"stream: too few productive micro-batches in the measurement " +
+        s"window (${progress.length} after warm-up) — no throughput to report")
+    else
+      println(f"stream: $rows rows / ${progress.length} micro-batches in $secs%.2f s busy = ${rows / secs / 1e6}%.2f M rows/s (${progress.length / secs}%.1f batches/s)")
     spark.stop()
   }
 }

@@ -1049,4 +1049,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(p => !(Set(2L, 3L).contains(p._2) && p._3 == 4L)),
       "vectors in different cells must never be compared")
   }
+
+  test("snapshot diff classifies NULL-text documents by presence, not fingerprint") {
+    import spark.implicits._
+    // id 1: null -> null (unchanged); id 2: null -> text (changed);
+    // id 3: text -> null (changed); id 4: null text, only in old (removed);
+    // id 5: null text, only in new (added)
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "t3"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val neu = Seq((1L, null: String), (2L, "t2"), (3L, null: String),
+      (5L, null: String)).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
 }

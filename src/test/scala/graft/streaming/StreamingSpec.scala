@@ -186,9 +186,12 @@ class StreamingSpec extends AnyFunSuite {
     def fdp(name: String, number: Int, tpe: Int): Array[Byte] =
       ld(1, s(name)) ++ vi(3, number) ++ vi(5, tpe)
     val inner = ld(1, s("Inner")) ++ ld(2, fdp("flag", 1, 8))
+    // tags=4 is LABEL_REPEATED (label field 4 = 3): proto3 packs repeated
+    // scalars length-delimited, so the singular decoder must not claim it
+    val repeatedTags = ld(1, s("tags")) ++ vi(3, 4) ++ vi(4, 3) ++ vi(5, 3)
     val sensor = ld(1, s("Sensor")) ++
       ld(2, fdp("device", 1, 9)) ++ ld(2, fdp("reading", 2, 1)) ++
-      ld(2, fdp("seq", 3, 3)) ++ ld(3, inner)
+      ld(2, fdp("seq", 3, 3)) ++ ld(2, repeatedTags) ++ ld(3, inner)
     val file = ld(1, s("demo.proto")) ++ ld(2, s("demo")) ++ ld(4, sensor)
     val fds = ld(1, file)
 
