@@ -16,7 +16,8 @@ final case class StreamConf(
   processors: Seq[ComponentConf],
   output: ComponentConf,
   errorOutput: Option[ComponentConf],
-  buffer: Option[ComponentConf])
+  buffer: Option[ComponentConf],
+  id: Option[String] = None)
 
 /** Optional embedded control-plane server (the reference engine serves
   * its HTTP API beside the streams — arkflow/src/main.rs `serve(...)`). */
@@ -57,6 +58,23 @@ object Config {
   def triggerInterval(s: String): String =
     try s"${parseDurationMs(s)} milliseconds"
     catch { case _: IllegalArgumentException => s } // Spark syntax as-is
+
+  /** Control-plane stream identities (reference stream/mod.rs:1470-1490
+    * `effective_id`/`validate_id`): each stream's configured `id`, or
+    * `stream-{index}`; IDs must be URL-safe (they are control-plane
+    * resource names) and unique across the config. */
+  def streamIds(conf: EngineConf): Seq[String] = {
+    val ids = conf.streams.zipWithIndex.map { case (s, i) =>
+      val id = s.id.getOrElse(s"stream-$i")
+      if (!id.matches("[A-Za-z0-9._-]+"))
+        throw new IllegalArgumentException(
+          s"stream id '$id' at index $i is not URL-safe ([A-Za-z0-9._-]+)")
+      id
+    }
+    ids.diff(ids.distinct).headOption.foreach(d =>
+      throw new IllegalArgumentException(s"duplicate stream id '$d'"))
+    ids
+  }
 
   /** Parse the YAML text of an engine config (`streams: [...]`). */
   def fromYaml(yaml: String): EngineConf = {
@@ -102,7 +120,8 @@ object Config {
       processors = processors,
       output = component(m("output")),
       errorOutput = m.get("error_output").map(component),
-      buffer = m.get("buffer").map(component))
+      buffer = m.get("buffer").map(component),
+      id = m.get("id").map(_.toString))
   }
 
   /** Flatten nested YAML values to strings (scalars as-is, maps/lists as

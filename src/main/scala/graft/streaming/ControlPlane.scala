@@ -23,11 +23,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     LIVE and TERMINATED queries (a failed query leaves `active`, so
   *     a listener records terminations)
   *   - `POST /streams/{id}/stop` stop that query
+  *   - `POST /streams/{id}/start`   (re)start a stopped stream from its
+  *     config (reference lib.rs:192 `start_stream`) — 202 on start,
+  *     409 if already active, 404 if the id isn't in the config
+  *   - `POST /streams/{id}/restart` stop if active, then start fresh
+  *     under the same id; a configured checkpoint resumes progress
+  *   - `POST /configuration/validate` (alias `/config/validate`) parse
+  *     the request body as an engine YAML config — 200 `{"valid":true}`
+  *     with stream ids, or 400 with the parse error (reference
+  *     lib.rs:199 `validate_configuration`)
+  *
+  * Lifecycle routes need the parsed config — pass `registry` (id ->
+  * StreamConf, what [[graft.streaming.Main]] resolves via
+  * [[Config.streamIds]]); without it they answer 404 and the server is
+  * monitoring-only, the pre-round-5 surface.
   *
   * Optional bearer auth mirrors [[HttpInput]]'s middleware.
   */
 final class ControlPlane(spark: SparkSession, port: Int,
-                         bearerToken: Option[String] = None) {
+                         bearerToken: Option[String] = None,
+                         registry: Seq[(String, StreamConf)] = Nil) {
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
@@ -92,6 +107,21 @@ final class ControlPlane(spark: SparkSession, port: Int,
     spark.streams.active.find(q =>
       q.id.toString == id || Option(q.name).contains(id))
 
+  /** Start stream `id` from its registered config: 202 with the fresh
+    * runId (the reference's Accepted lifecycle-operation response), or
+    * 404 when the id has no config to resolve. Batch streams run once to
+    * EOF inside the request (`"streaming":false`). */
+  private def lifecycleStart(ex: com.sun.net.httpserver.HttpExchange,
+      id: String): Unit =
+    registry.find(_._1 == id) match {
+      case Some((_, sc)) =>
+        val q = Engine.runStream(spark, sc, id)
+        respond(ex, 202, s"""{"id":${js(id)},"started":true,""" +
+          s""""streaming":${q.isDefined},""" +
+          s""""runId":${q.map(x => js(x.runId.toString)).getOrElse("null")}}""")
+      case None => respond(ex, 404, """{"error":"no such stream in config"}""")
+    }
+
   private def streamSummary(q: StreamingQuery): String =
     s"""{"id":${js(q.id.toString)},"runId":${js(q.runId.toString)},""" +
       s""""name":${Option(q.name).map(js).getOrElse("null")},"isActive":${q.isActive}}"""
@@ -147,6 +177,32 @@ final class ControlPlane(spark: SparkSession, port: Int,
           find(s.stripPrefix("/streams/").stripSuffix("/stop")) match {
             case Some(q) => q.stop(); respond(ex, 200, """{"stopped":true}""")
             case None => respond(ex, 404, """{"error":"no such stream"}""")
+          }
+        case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/start") =>
+          val id = s.stripPrefix("/streams/").stripSuffix("/start")
+          if (find(id).isDefined)
+            respond(ex, 409, """{"error":"stream already active"}""")
+          else lifecycleStart(ex, id)
+        case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/restart") =>
+          val id = s.stripPrefix("/streams/").stripSuffix("/restart")
+          if (registry.exists(_._1 == id)) {
+            // stop() blocks until termination, so the query name is free
+            // for the fresh start below
+            find(id).foreach(_.stop())
+            lifecycleStart(ex, id)
+          } else respond(ex, 404, """{"error":"no such stream in config"}""")
+        case ("POST", "/configuration/validate") | ("POST", "/config/validate") =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          try {
+            val conf = Config.fromYaml(body)
+            val ids = Config.streamIds(conf)
+            respond(ex, 200, s"""{"valid":true,"streams":${ids.map(js)
+              .mkString("[", ",", "]")}}""")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              respond(ex, 400, s"""{"valid":false,"error":${js(
+                Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }

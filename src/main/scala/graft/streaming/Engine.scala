@@ -350,22 +350,33 @@ object Engine {
         b.options.get("staging")))
 
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
-    conf.streams.flatMap { s =>
-      val in = inputFromConf(spark, s.input)
-      val procs = bufferProcessors(s.buffer) ++ Processors.fromConf(s.processors)
-      val sink = sinkFromConf(s.output)
-      val err = s.errorOutput.map(sinkFromConf)
-      if (in.isStreaming)
-        Some(start(in, procs, sink, err,
-          trigger = s.buffer.flatMap(_.options.get("interval"))
-            .map(i => Trigger.ProcessingTime(Config.triggerInterval(i)))
-            .getOrElse(Trigger.ProcessingTime(0L)),
-          checkpoint = s.input.options.get("checkpoint")))
-      else {
-        runBatch(in, procs, sink, err)
-        None
-      }
+    Config.streamIds(conf).zip(conf.streams).flatMap { case (id, s) =>
+      runStream(spark, s, id)
     }
+
+  /** Resolve and run ONE stream of a config under its control-plane id
+    * (the query name — how `/streams/{id}` lifecycle routes find it).
+    * Streaming inputs return the live query; batch inputs run once to
+    * EOF and return None (a re-`start` re-runs the batch, the
+    * reference's one-shot lifecycle). */
+  def runStream(spark: SparkSession, s: StreamConf,
+      id: String): Option[StreamingQuery] = {
+    val in = inputFromConf(spark, s.input)
+    val procs = bufferProcessors(s.buffer) ++ Processors.fromConf(s.processors)
+    val sink = sinkFromConf(s.output)
+    val err = s.errorOutput.map(sinkFromConf)
+    if (in.isStreaming)
+      Some(start(in, procs, sink, err,
+        trigger = s.buffer.flatMap(_.options.get("interval"))
+          .map(i => Trigger.ProcessingTime(Config.triggerInterval(i)))
+          .getOrElse(Trigger.ProcessingTime(0L)),
+        checkpoint = s.input.options.get("checkpoint"),
+        queryName = Some(id)))
+    else {
+      runBatch(in, procs, sink, err)
+      None
+    }
+  }
 
   /** Batch input: run the pipeline once, EOF semantics — with the same
     * NonFatal error_output divert the streaming path has (a failing batch

@@ -27,14 +27,18 @@ object Main {
       java.nio.file.Paths.get(configPath)), java.nio.charset.StandardCharsets.UTF_8)
     val conf = Config.fromYaml(yaml)
     // the reference engine serves its control-plane API beside the
-    // streams (arkflow/src/main.rs `serve(engine.control_plane(), ...)`)
-    val cp = conf.http.map(h => new ControlPlane(spark, h.port, h.bearerToken))
+    // streams (arkflow/src/main.rs `serve(engine.control_plane(), ...)`);
+    // the id -> config registry backs the start/restart lifecycle routes
+    val registry = Config.streamIds(conf).zip(conf.streams)
+    val cp = conf.http.map(h =>
+      new ControlPlane(spark, h.port, h.bearerToken, registry))
     cp.foreach(c => println(s"[graft] control plane on port ${c.boundPort}"))
     val queries = Engine.run(spark, conf)
-    // graceful shutdown: stop streams, release connector inputs, stop
-    // the API — the reference's cancellation-token path
+    // graceful shutdown: stop streams (ALL active ones — lifecycle routes
+    // may have started queries beyond the initial set), release connector
+    // inputs, stop the API — the reference's cancellation-token path
     def shutdown(): Unit = {
-      queries.foreach(q => try q.stop() catch {
+      spark.streams.active.foreach(q => try q.stop() catch {
         case scala.util.control.NonFatal(_) => () })
       Engine.closeConfigInputs()
       cp.foreach(_.stop())
@@ -45,7 +49,11 @@ object Main {
         Thread.sleep(s * 1000)
         shutdown()
       case None =>
-        queries.foreach(_.awaitTermination())
+        // with a control plane, stopped streams can be restarted over
+        // HTTP at any time — stay up as a service until killed; without
+        // one, exit when the configured queries terminate
+        if (cp.isDefined) while (true) Thread.sleep(60000)
+        else queries.foreach(_.awaitTermination())
     }
     spark.stop()
   }

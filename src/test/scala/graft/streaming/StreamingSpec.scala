@@ -293,6 +293,102 @@ class StreamingSpec extends AnyFunSuite {
     } finally cp.stop()
   }
 
+  test("control plane lifecycle: stop -> start flows data again; restart; validate") {
+    def call(url: String, method: String = "GET",
+        body: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod(method)
+        body.foreach { b =>
+          c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    def waitUntil(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cp_lifecycle").toString
+    val yaml =
+      s"""streams:
+         |  - id: gen-live
+         |    input:
+         |      type: generate
+         |      rows_per_second: "100"
+         |      context: '{"k": 1}'
+         |    pipeline:
+         |      processors: []
+         |    output:
+         |      type: parquet
+         |      path: $dir/out
+         |""".stripMargin
+    val conf = Config.fromYaml(yaml)
+    val registry = Config.streamIds(conf).zip(conf.streams)
+    assert(registry.map(_._1) == Seq("gen-live"))
+    val queries = Engine.run(spark, conf)
+    val cp = new ControlPlane(spark, 0, None, registry)
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    def sinkRows(): Long =
+      try spark.read.parquet(s"$dir/out").count()
+      catch { case scala.util.control.NonFatal(_) => 0L } // dir not written yet
+    try {
+      // the configured stream runs under its id as the query name
+      waitUntil("initial stream writes")(sinkRows() > 0)
+      // start while active -> conflict, not a second query
+      assert(call(s"$base/streams/gen-live/start", "POST")._1 == 409)
+      // stop over HTTP: the query leaves streams.active
+      assert(call(s"$base/streams/gen-live/stop", "POST")._1 == 200)
+      waitUntil("stream stops")(spark.streams.active.forall(q =>
+        !Option(q.name).contains("gen-live")))
+      // a restarted query (no checkpoint) re-numbers batches from 0 and
+      // the parquet sink dynamic-overwrites per batch_id partition — so
+      // "data flows again" is proven by clearing the sink while the
+      // stream is STOPPED (safe: no writer) and seeing fresh rows appear
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out"))
+      assert(sinkRows() == 0)
+      // start over HTTP: config re-resolves, fresh query, data flows again
+      val (startCode, startBody) = call(s"$base/streams/gen-live/start", "POST")
+      assert(startCode == 202 && startBody.contains("\"started\":true"))
+      waitUntil("restarted stream writes")(sinkRows() > 0)
+      val runBefore = spark.streams.active
+        .find(q => Option(q.name).contains("gen-live")).get.runId
+      // restart while running: stop + fresh start under the same id —
+      // proven by a NEW runId that makes progress
+      val (rsCode, rsBody) = call(s"$base/streams/gen-live/restart", "POST")
+      assert(rsCode == 202 && rsBody.contains("\"started\":true"))
+      waitUntil("restarted (via /restart) query progresses") {
+        spark.streams.active.find(q => Option(q.name).contains("gen-live"))
+          .exists(q => q.runId != runBefore && q.recentProgress.nonEmpty)
+      }
+      // unknown ids 404 on both lifecycle routes
+      assert(call(s"$base/streams/nope/start", "POST")._1 == 404)
+      assert(call(s"$base/streams/nope/restart", "POST")._1 == 404)
+      // config validation: good YAML echoes the resolved stream ids...
+      val (vc, vb) = call(s"$base/configuration/validate", "POST", Some(yaml))
+      assert(vc == 200 && vb.contains("\"valid\":true") && vb.contains("gen-live"))
+      // ...bad YAML (no streams list) and duplicate ids are 400s with the error
+      assert(call(s"$base/configuration/validate", "POST",
+        Some("not_streams: []"))._1 == 400)
+      val dup = yaml + yaml.linesIterator.drop(1).mkString("\n", "\n", "\n")
+        .replace(s"$dir/out", s"$dir/out2")
+      val (dc, db) = call(s"$base/config/validate", "POST", Some(dup))
+      assert(dc == 400 && db.contains("duplicate stream id"))
+    } finally {
+      spark.streams.active.filter(q => Option(q.name).contains("gen-live"))
+        .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      queries.foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      cp.stop()
+    }
+  }
+
   test("engine runs memory-stream end-to-end: envelope -> decode -> sql -> sink") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[String]
