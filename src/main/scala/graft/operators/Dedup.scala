@@ -135,6 +135,24 @@ object Dedup {
     batch.join(broadcast(collided), col(idCol) === col("__collided"), "left_anti")
   }
 
+  /** The write half of the ingest-dedup lifecycle: append the ACCEPTED
+    * batch's band signatures to the persisted index that
+    * [[incrementalDedup]] probes, so the next batch collides with this
+    * one's survivors. Bootstrap and increment are the same call — an
+    * empty `indexDir` is created.
+    *
+    * Partitioned by `band`: an append touches only the nBands partition
+    * dirs with small batch-sized files and never rewrites existing index
+    * data — the 100 TB index grows by parquet-file accretion, no
+    * read-modify-write, no shuffle of the resident signatures.
+    * `numHashes`/`rowsPerBand` must match the values the index was
+    * created with (signatures at different widths never collide).
+    */
+  def appendToIndex(accepted: DataFrame, indexDir: String, idCol: String,
+      textCol: String, numHashes: Int = 8, rowsPerBand: Int = 2): Unit =
+    bandSignatures(accepted, idCol, textCol, numHashes, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(indexDir)
+
   /** SimHash per document from md5-derived word-hash bits, weighted by
     * token frequency (single aggregation pass). `bits` sizes the
     * signature. The library default is 32: SCALING.md measured 16-bit

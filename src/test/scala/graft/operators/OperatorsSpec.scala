@@ -881,6 +881,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(splitsPerSource.forall(_ == 1), "a source must map to exactly one split")
   }
 
+  test("appendToIndex closes the loop: batch 2 collides with batch 1's survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("append_idx").toString + "/band_index"
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val day0 = docs.filter(col("doc_id") < 100)
+    // bootstrap and increment are the same call
+    Dedup.appendToIndex(day0, idx, "doc_id", "text")
+    def survivors(batch: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val s = Dedup.incrementalDedup(batch, spark.read.parquet(idx), "doc_id", "text")
+      val ids = s.select("doc_id").collect().map(_.getLong(0)).toSet
+      Dedup.appendToIndex(s, idx, "doc_id", "text")
+      ids
+    }
+    val novel1 = "quartz zebra lantern mossy fjord umbrella pickle brontide vex"
+    val novel2 = "glacier thimble orbit paprika wysteria knoll dravite mist echo"
+    // batch 1: a verbatim re-crawl of corpus doc 7 + one novel doc
+    val batch1 = day0.filter(col("doc_id") === 7)
+      .select(lit(9000L).as("doc_id"), col("text"))
+      .union(Seq((9001L, novel1)).toDF("doc_id", "text"))
+    assert(survivors(batch1) == Set(9001L),
+      "the re-crawl collides with day 0; the novel doc survives")
+    // batch 2: a copy of batch 1's SURVIVOR + a fresh novel doc — only
+    // an appended index can catch the copy, day 0 never saw novel1
+    val batch2 = Seq((9002L, novel1), (9003L, novel2)).toDF("doc_id", "text")
+    assert(survivors(batch2) == Set(9003L),
+      "batch 2's copy must collide with batch 1's appended survivor")
+    // the index grew by accretion: day 0 docs + the two accepted survivors
+    val indexed = spark.read.parquet(idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed.contains(9001L) && indexed.contains(9003L) &&
+      !indexed.contains(9000L) && !indexed.contains(9002L),
+      "only accepted documents enter the index")
+  }
+
   test("re-ingesting an already-indexed batch collides completely") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, sf, "documents")
