@@ -1048,6 +1048,19 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("__score").as("n_words"))
         .orderBy(col("doc_id"))),
 
+    // The SCALE path of the same filter, graded in its own right: at
+    // graded SFs every group fits the sketch's exact regime (group size
+    // << accuracy), where percentile_approx returns the discrete
+    // element quantile_disc computes — so the path that actually runs
+    // at 100 TB gets a hash-verified row, and the sketch-error regime
+    // beyond it stays covered by the approx-vs-exact tolerance spec.
+    "q117_quantile_filter_approx" -> ((s, dir) =>
+      quantileBandFilter(Tables.load(s, dir, "documents"), "lang",
+        size(split(col("text"), " ")).cast("long"),
+        lo = 0.10, hi = 0.90, exact = false)
+        .select(col("doc_id"), col("lang"), col("__score").as("n_words"))
+        .orderBy(col("doc_id"))),
+
     "q100_fim_split" -> ((s, dir) =>
       fimSplit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1291,6 +1304,21 @@ object Corpus {
         |SELECT doc_id, lang, n_words FROM ranked
         |WHERE pr >= 0.10 AND pr <= 0.90
         |ORDER BY doc_id""".stripMargin,
+
+    "q117_quantile_filter_approx" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |), thr AS (
+        |  SELECT lang, quantile_disc(n_words, 0.10) AS t_lo,
+        |    quantile_disc(n_words, 0.90) AS t_hi
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.n_words
+        |FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
+        |WHERE s.n_words >= t.t_lo AND s.n_words <= t.t_hi
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q100_fim_split" ->
       """WITH s AS (
