@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
 object BpeTokenizer {
 
   /** Character symbols of a word, the last carrying the end-of-word
-    * marker — `"low"` → `["l", "o", "w</w>"]`. */
+    * marker — `"low"` → `["l", "o", "w</w>"]`. Spark's empty-pattern
+    * split is code-POINT based (supplementary-plane characters stay
+    * whole) — the driver twin [[encodeLocal]] must match it, NOT Java's
+    * `String.split("")`, which severs surrogate pairs
+    * (BpePropertySpec pins the two paths together on astral text). */
   private def initSyms(word: Column): Column = {
     val cs = filter(split(word, ""), c => c =!= "")
     transform(cs, (c, i) =>
@@ -200,7 +204,11 @@ object BpeTokenizer {
     * TYPE can be encoded once off the data path. Parity with the codegen
     * expression is spec'd (OperatorsSpec). */
   def encodeLocal(word: String, mergesSorted: Seq[Merge]): Array[String] = {
-    var syms = word.split("").filter(_.nonEmpty)
+    // code-POINT split, matching Spark's split(word, "") on the codegen
+    // path — Java String.split("") would sever supplementary-plane
+    // characters into surrogate halves and fork the vocabulary
+    var syms = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     if (syms.isEmpty) return syms
     syms(syms.length - 1) = syms(syms.length - 1) + "</w>"
     mergesSorted.foreach { m =>
