@@ -197,6 +197,51 @@ object TextAnalysis {
       .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
   }
 
+  /** Closed-form linear-probe TRAIN → SCORE — the member of the trained-
+    * model family whose whole pipeline is hash-verifiable: fit
+    * `y ≈ a + b·x` by ordinary least squares (x = document word count,
+    * y = distinct-word count — the vocabulary-growth curve) and score
+    * every document with the fitted line plus its residual (how much
+    * richer/poorer the document's vocabulary is than its length
+    * predicts — a duplication/boilerplate quality signal).
+    *
+    * The normal equations need exactly five corpus aggregates (n, Σx,
+    * Σy, Σxy, Σx²) — one map-side-combinable aggregation to a single
+    * row, broadcast back over the scan: two corpus passes total, no
+    * shuffle wider than the stats row, no iterations. Sums ride
+    * DECIMAL(38,0) (exact, order-independent — overflow-safe where a
+    * 100 TB corpus would wrap a BIGINT product sum); the final
+    * slope/intercept division is double IEEE arithmetic an SQL oracle
+    * reproduces term-for-term — unlike the LBFGS twin (q107), whose
+    * coefficients are engine-specific.
+    */
+  def linearProbe(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    val feats = docs.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("x"),
+      size(array_distinct(ws)).cast("long").as("y"))
+    val stats = feats.agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("x").cast(dec38)).as("sx"),
+      sum(col("y").cast(dec38)).as("sy"),
+      sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+    // identical double expression tree as the oracle: exact decimal sums
+    // -> double, then (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    feats.crossJoin(broadcast(stats))
+      .withColumn("b", (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD))
+      .withColumn("a", (syD - col("b") * sxD) / nD)
+      .select(col("doc_id"), col("x").as("n_words"), col("y").as("n_vocab"),
+        round(col("a") + col("b") * col("x").cast("double"), 6).as("pred_vocab"),
+        round(col("y").cast("double") -
+          (col("a") + col("b") * col("x").cast("double")), 6).as("resid"))
+  }
+
   /** Quality-classifier TRAINING — distributed logistic regression over
     * the hashing-trick features (HashingTF, no vocab table: the same
     * no-second-shuffle property as [[hashedFeatures]]). MLlib's LBFGS
@@ -234,11 +279,17 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession, top: Int):
       org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // rank and CUT on the ROUNDED magnitude with the bucket id as the
+    // tiebreak: LBFGS coefficients drift in their low bits with data
+    // layout (treeAggregate order), and ranking raw floats makes the
+    // top-k SELECTION depend on partitioning wherever magnitudes tie
+    // after rounding — the graded artifact must be a function of the
+    // data alone (partition-invariance is spec'd)
     val co = model.coefficients.toArray.zipWithIndex
       .filter(_._1 != 0.0)
-      .sortBy { case (w, i) => (-math.abs(w), i) }
-      .take(top)
       .map { case (w, i) => (i.toLong, math.rint(w * 10000) / 10000) }
+      .sortBy { case (i, w) => (-math.abs(w), i) }
+      .take(top)
     co.toSeq.toDF("bucket", "weight")
   }
 
@@ -345,6 +396,14 @@ object TextAnalysis {
         ClassifierWeights, ClassifierBias)
         .orderBy(col("doc_id"))),
 
+    // The trained-model family's hash-verified member: closed-form OLS
+    // train -> score (q107's LBFGS coefficients stay engine-specific
+    // and rows-only; this pins the train-on-corpus -> score-corpus
+    // pipeline against a term-for-term DuckDB oracle).
+    "q118_linear_probe" -> ((s, dir) =>
+      linearProbe(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // MLlib LBFGS training on a planted weak label (doc mentions
     // "spark") — learned coefficients are engine-specific, so rows-only
     // for the driver; OperatorsSpec asserts the planted word's bucket
@@ -409,6 +468,33 @@ object TextAnalysis {
     .map { case (w, wt) => s"('$w', $wt)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q118_linear_probe" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |      AS BIGINT) AS x,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0))) AS BIGINT) AS y
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        |  FROM feats
+        |), fit AS (
+        |  SELECT n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b
+        |  FROM stats
+        |)
+        |SELECT f.doc_id, f.x AS n_words, f.y AS n_vocab,
+        |  round(((sy - b * sx) / n) + b * CAST(f.x AS DOUBLE), 6) AS pred_vocab,
+        |  round(CAST(f.y AS DOUBLE) -
+        |    (((sy - b * sx) / n) + b * CAST(f.x AS DOUBLE)), 6) AS resid
+        |FROM feats f CROSS JOIN fit
+        |ORDER BY f.doc_id""".stripMargin,
+
     "q106_classifier_score" ->
       s"""WITH wts(w, wt) AS (VALUES $classifierWtsValues
          |), words AS (
