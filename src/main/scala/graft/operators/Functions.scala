@@ -233,6 +233,42 @@ object Functions {
       |WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin
 
+  // ---- ema window UDF (functions/EmaWindow.scala) ----
+  // Both sides fold left over the lang-partition series in doc_id order
+  // with IDENTICAL double arithmetic: α·x + (1 − α)·acc, α = 0.3, the
+  // (1 − α) complement computed in DOUBLE on both engines (a DECIMAL
+  // 1 − 0.3 = 0.7 exactly is a DIFFERENT double than IEEE 1.0 − 0.3).
+
+  private val q119Spark =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)
+      |      AS n_words
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_words,
+      |  round(ema(CAST(n_words AS DOUBLE), 0.3)
+      |    OVER (PARTITION BY lang ORDER BY doc_id), 6) AS ema_words
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  private val q119Duck =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+      |      AS BIGINT) AS n_words
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, lang, n_words,
+      |    list_reduce(
+      |      list(CAST(n_words AS DOUBLE)) OVER (PARTITION BY lang
+      |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      (acc, v) -> CAST(0.3 AS DOUBLE) * v +
+      |        (1 - CAST(0.3 AS DOUBLE)) * acc) AS ema_words
+      |  FROM scored
+      |)
+      |SELECT doc_id, lang, n_words, round(ema_words, 6) AS ema_words
+      |FROM w ORDER BY doc_id""".stripMargin
+
   // ---- registry ----
 
   val queries: Map[String, QueryFn] = Map(
@@ -245,10 +281,16 @@ object Functions {
     "q29_explode_unnest" -> Q.fromSql(q29Spark),
     "q30_json_funcs" -> Q.fromSql(q30Spark),
     "q31_struct_map" -> Q.fromSql(q31Spark),
-    "q32_hash_funcs" -> Q.fromSql(q32Spark)
+    "q32_hash_funcs" -> Q.fromSql(q32Spark),
+    "q119_ema" -> ((s, dir) => {
+      graft.functions.EmaWindow.register(s)
+      graft.Tables.register(s, dir)
+      s.sql(q119Spark)
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_ema" -> q119Duck,
     "q23_string_funcs" -> q23Sql,
     "q24_math_funcs" -> q24Sql,
     "q25_datetime_funcs" -> q25Duck,

@@ -1132,6 +1132,34 @@ class OperatorsSpec extends AnyFunSuite {
       "vectors in different cells must never be compared")
   }
 
+  test("ema window function matches a reference fold, carries state over nulls, plans one Window") {
+    import spark.implicits._
+    graft.functions.EmaWindow.register(spark)
+    Seq((1L, "a", Some(10.0)), (2L, "a", None), (3L, "a", Some(20.0)),
+      (4L, "a", Some(4.0)), (5L, "b", Some(5.0)), (6L, "b", Some(7.0)))
+      .toDF("i", "k", "x").createOrReplaceTempView("ema_t")
+    val df = spark.sql(
+      """SELECT i, k, ema(x, 0.5) OVER (PARTITION BY k ORDER BY i) AS e
+        |FROM ema_t ORDER BY i""".stripMargin)
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // seed = first value; null carries the previous state; then the
+    // α·x + (1−α)·acc recursion — per-partition, order-sensitive
+    assert(got == Map(1L -> 10.0, 2L -> 10.0, 3L -> 15.0, 4L -> 9.5,
+      5L -> 5.0, 6L -> 6.0), s"got $got")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "must run as a window operator")
+    assert(!plan.toLowerCase.contains("cartesian") && !plan.contains("NestedLoop"),
+      "a window UDF must never fall back to a self-join formulation")
+    // leading nulls stay null until the first real value seeds the state
+    Seq((1L, None: Option[Double]), (2L, Some(3.0))).toDF("i", "x")
+      .createOrReplaceTempView("ema_lead")
+    val lead = spark.sql(
+      "SELECT ema(x, 0.5) OVER (ORDER BY i) AS e FROM ema_lead ORDER BY i")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(lead.toSeq == Seq(null, 3.0))
+  }
+
   test("snapshot diff classifies NULL-text documents by presence, not fingerprint") {
     import spark.implicits._
     // id 1: null -> null (unchanged); id 2: null -> text (changed);
