@@ -624,6 +624,49 @@ object Corpus {
     }
   }
 
+  /** CCNet-style PARAGRAPH-level dedup — the within-document complement
+    * to the document-level dedup family: split every document into
+    * paragraphs, count each distinct paragraph's document frequency
+    * across the corpus, and REWRITE documents with the over-shared
+    * paragraphs removed (boilerplate headers/footers/navigation — the
+    * content that survives document-level near-dup because the
+    * documents around it differ). Paragraphs shorter than `minLen`
+    * characters are exempt (short strings collide by chance, not by
+    * boilerplate).
+    *
+    * Scale shape: paragraphs explode row-locally with positions; the
+    * doc-frequency table aggregates md5 hashes (map-side combinable,
+    * one tiny row per distinct paragraph — never broadcast, it is
+    * corpus-scale); the dup marks join back by hash (plain equi-join
+    * shuffle, hot paragraphs bounded by the per-doc `.distinct`); the
+    * rewrite is one groupBy(doc) re-assembly in paragraph order. Three
+    * shuffles total, all keyed, no window over the corpus.
+    *
+    * Returns (doc_id, clean_text, n_kept, n_dropped).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", maxDocFreq: Long = 1L, minLen: Int = 10): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val freq = paras
+      .filter(length(col("para")) >= minLen)
+      .select(col("doc_id"), md5(col("para")).as("h"))
+      .distinct() // a paragraph repeated WITHIN one doc counts one doc
+      .groupBy(col("h")).agg(count(lit(1)).as("docfreq"))
+    val marked = paras
+      .join(freq, md5(col("para")) === col("h"), "left")
+    val isDup = col("docfreq").isNotNull &&
+      col("docfreq") > maxDocFreq && length(col("para")) >= minLen
+    marked.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(sep, transform(
+          sort_array(collect_list(when(!isDup, struct(col("pos"), col("para"))))),
+          s => s.getField("para"))).as("clean_text"),
+        sum(when(!isDup, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(isDup, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Per-sequence document-boundary map — the attention-masking metadata
     * a trainer needs next to [[packSequences]] output: for every training
     * sequence, which documents occupy which token spans, so attention
@@ -1061,6 +1104,21 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("__score").as("n_words"))
         .orderBy(col("doc_id"))),
 
+    // The corpus has no paragraph structure, so the query PLANTS it
+    // (the q72-PII / q95-accents pattern): every document gains a
+    // header paragraph shared by its source (~100 docs each) and one
+    // global footer — both must be stripped, the unique body kept.
+    "q120_paragraph_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val synth = docs.select(col("doc_id"),
+        concat(lit("shared navigation header for "), col("source"),
+          lit("\n\n"), col("text"),
+          lit("\n\nstandard copyright footer applies to all documents"))
+          .as("text"))
+      paragraphDedup(synth, "doc_id", "text", maxDocFreq = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q100_fim_split" -> ((s, dir) =>
       fimSplit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1303,6 +1361,36 @@ object Corpus {
         |)
         |SELECT doc_id, lang, n_words FROM ranked
         |WHERE pr >= 0.10 AND pr <= 0.90
+        |ORDER BY doc_id""".stripMargin,
+
+    "q120_paragraph_dedup" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'shared navigation header for ' || source || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    'standard copyright footer applies to all documents' AS text
+        |  FROM documents
+        |), lists AS (
+        |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM synth
+        |), paras AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS para
+        |  FROM lists, unnest(generate_series(1, len(l))) AS t(i)
+        |), freq AS (
+        |  SELECT md5(para) AS h, count(DISTINCT doc_id) AS docfreq
+        |  FROM paras WHERE len(para) >= 10 GROUP BY 1
+        |), marked AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |    (f.docfreq IS NOT NULL AND f.docfreq > 3 AND len(p.para) >= 10)
+        |      AS dup
+        |  FROM paras p LEFT JOIN freq f ON md5(p.para) = f.h
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list(para ORDER BY pos) FILTER (WHERE NOT dup),
+        |    chr(10) || chr(10)), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+        |FROM marked GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q117_quantile_filter_approx" ->

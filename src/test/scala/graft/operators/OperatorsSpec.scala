@@ -1132,6 +1132,27 @@ class OperatorsSpec extends AnyFunSuite {
       "vectors in different cells must never be compared")
   }
 
+  test("paragraph dedup strips boilerplate, exempts short paragraphs, counts within-doc repeats once") {
+    import spark.implicits._
+    // "BOILER PLATE..." appears in 3 docs (> maxDocFreq=2) -> dropped
+    // everywhere; "ok" is shared but short -> exempt; doc 3 repeats the
+    // boilerplate twice WITHIN itself -> still one doc toward docfreq,
+    // and doc 4+5 carrying it pushes it over the threshold
+    val docs = Seq(
+      (3L, "unique body three\n\nBOILER PLATE NAV\n\nBOILER PLATE NAV\n\nok"),
+      (4L, "BOILER PLATE NAV\n\nunique body four\n\nok"),
+      (5L, "unique body five\n\nBOILER PLATE NAV"),
+      (6L, "all alone content\n\nok")
+    ).toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(docs, "doc_id", "text", maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(3L) == (("unique body three\n\nok", 2L, 2L)), s"got ${got(3L)}")
+    assert(got(4L) == (("unique body four\n\nok", 2L, 1L)))
+    assert(got(5L) == (("unique body five", 1L, 1L)))
+    assert(got(6L) == (("all alone content\n\nok", 2L, 0L)))
+  }
+
   test("ema window function matches a reference fold, carries state over nulls, plans one Window") {
     import spark.implicits._
     graft.functions.EmaWindow.register(spark)
