@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Extensions.queries ++ operators.RangeJoin.queries ++
-      operators.Corpus.queries ++ operators.BpeTokenizer.queries
+      operators.Corpus.queries ++ operators.BpeTokenizer.queries ++
+      operators.Selection.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracle ++ operators.TextAnalysis.oracle ++
       operators.Similarity.oracle ++ operators.Multimodal.oracle ++
       operators.Extensions.oracle ++ operators.RangeJoin.oracle ++
-      operators.Corpus.oracle ++ operators.BpeTokenizer.oracle
+      operators.Corpus.oracle ++ operators.BpeTokenizer.oracle ++
+      operators.Selection.oracle
 }

@@ -1,0 +1,332 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QueryFn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-SELECTION operators for training-corpus construction — the
+  * stage after dedup/quality where a pipeline decides WHICH documents
+  * (and how much of each) enter the mix:
+  *
+  *   - [[weightedSample]]: weighted sampling without replacement
+  *     (Efraimidis–Spirakis A-ES): one pass, per-partition top-n, no
+  *     shuffle of the corpus — the exact shape a 100 TB run needs;
+  *   - [[dsirWeights]]: Data Selection via Importance Resampling
+  *     (Xie et al. 2023) — hashed n-gram bag log-likelihood ratio of a
+  *     target domain vs the raw corpus; the two LM tables are a few
+  *     hundred rows and broadcast, so scoring is scan + broadcast-join
+  *     + one aggregation;
+  *   - [[sparseCosinePairs]]: TF-IDF sparse cosine near-duplicates over
+  *     a document-frequency-capped inverted index (the lexical
+  *     complement of embedding cosine in Similarity.scala) — candidate
+  *     pairs only ever meet through shared informative terms, never
+  *     all-pairs;
+  *   - [[cdcChunkStats]]: content-defined chunking (rolling-hash
+  *     boundaries, the rsync/LBFS idea) + cross-document chunk-level
+  *     dedup stats — finds shared SEGMENTS at arbitrary offsets, which
+  *     fixed-stride shingles and whole-doc hashes both miss.
+  *
+  * Hashing uses md5 (not xxhash/murmur) so the DuckDB oracle reproduces
+  * every value bit-for-bit; swap xxhash64 for production throughput.
+  */
+object Selection {
+
+  /** 32-bit bucket hash from the md5 hex prefix — the house
+    * oracle-reproducible hash (same mechanism as TextAnalysis.hashedFeatures). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    * exponential keys: key = ln(u)/w with u uniform in (0,1), take the
+    * global top-n keys. Equivalent to sequential weighted draws, but
+    * embarrassingly parallel: Spark plans TakeOrderedAndProject — each
+    * partition keeps its local top-n and the driver merges n·parts
+    * rows, so the corpus itself is never shuffled or sorted. u derives
+    * deterministically from the doc id (md5 prefix → (0,1)), making the
+    * sample reproducible run-to-run and oracle-checkable; selection
+    * ranks the ROUNDED key (6 dp, doc-id tiebreak) so both engines cut
+    * the same boundary.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val u = (h32(concat(lit("ws:"), col(idCol).cast("string")))
+      .cast("double") + 0.5d) / 4294967296.0d
+    docs.select(col(idCol), weight.cast("double").as("weight"))
+      .withColumn("sample_key", round(log(u) / col("weight"), 6))
+      .orderBy(desc("sample_key"), col(idCol))
+      .limit(n)
+  }
+
+  /** DSIR importance weights: score(d) = Σ_tokens [ log p_target(b) −
+    * log p_raw(b) ] over hashed unigram buckets with add-α smoothing.
+    * Documents that look like the target domain get positive weights;
+    * resampling by these weights (e.g. via [[weightedSample]] on
+    * exp(score)) selects target-like data from the raw pool.
+    *
+    * Scale shape: both "language models" are `buckets`-row tables —
+    * they aggregate with map-side combine and BROADCAST to the scoring
+    * join, so the raw corpus is read once and shuffles only the final
+    * per-doc partial sums. The log-ratio is rounded to 4 dp and summed
+    * in DECIMAL so the score is order-independent and oracle-exact.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def toks(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("b", h32(col("w")) % buckets)
+    val allB = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val tc = toks(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = toks(docs).groupBy("b").agg(count(lit(1)).as("cr"))
+    // totals attach via a window over the buckets-row table (tiny by
+    // construction — never the corpus)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val lr = allB
+      .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .withColumn("tt", sum("ct").over(whole))
+      .withColumn("tr", sum("cr").over(whole))
+      .select(col("b"), round(
+        log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * buckets)), 4).as("lr"))
+    toks(docs).join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(Q.d(col("lr"))).cast("double"), 4).as("dsir_logw"))
+  }
+
+  /** TF-IDF sparse-vector cosine near-duplicate pairs. The vector space
+    * is the terms with document frequency ≤ `dfCap` (ubiquitous terms
+    * carry no signal AND would form quadratic join buckets — the cap is
+    * both the relevance and the scale guard, same as Dedup.jaccardPairs).
+    * Pairs meet ONLY through the inverted index on shared terms, so
+    * work is Σ_term df², bounded by dfCap² per term — never n².
+    *
+    * Numeric parity: tfidf is rounded to 6 dp; dot/norm products are
+    * summed in DECIMAL(38,12) (exact, order-independent); the single
+    * double division + sqrt at the end is IEEE-identical across engines.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      dfCap: Int, tau: Double): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val tfidf = tf.join(dfreq.filter(col("df") <= dfCap), "w")
+      .crossJoin(broadcast(nDocs)) // ONE row of corpus stats, the q77/q88 shape
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val norm2 = tfidf.groupBy("doc_id")
+      .agg(sum((col("tfidf") * col("tfidf")).cast(dec12)).as("n2"))
+    val a = tfidf.select(col("w"), col("doc_id").as("doc_a"), col("tfidf").as("ta"))
+    val b = tfidf.select(col("w"), col("doc_id").as("doc_b"), col("tfidf").as("tb"))
+    val dot = a.join(b, "w").filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum((col("ta") * col("tb")).cast(dec12)).as("dot"))
+    dot
+      .join(norm2.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norm2.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .withColumn("cos", round(col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
+  /** Content-defined chunking + chunk-level dedup stats. A position i
+    * ends a chunk when the rolling window hash of the k bytes ending at
+    * i is ≡ 0 (mod d) — so chunk boundaries are determined by CONTENT,
+    * not offset, and an insertion near the start of a document only
+    * re-chunks its local neighborhood (the rsync/LBFS property). Every
+    * chunk is hashed; a chunk appearing in ≥2 distinct documents is
+    * "shared", and each document reports how much of its text lives in
+    * shared chunks.
+    *
+    * Scale shape: chunking is ONE fused codegen expression
+    * (functions/CdcChunks.scala — O(len) rolling hash, zero shuffle,
+    * zero per-position allocation); the only shuffles are the
+    * chunk-hash aggregation and the per-doc rollup, both map-side
+    * combined. Average chunk length ≈ d codepoints; k is the rolling
+    * window. The first cut (per-position md5 via higher-order filter)
+    * ran interpreted at O(len²) per doc — 100× slower; the plan must
+    * keep chunking inside WholeStageCodegen.
+    */
+  def cdcChunkStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, d: Int = 32): DataFrame = {
+    require(k > 0 && d > 0, s"window/divisor must be positive, got k=$k d=$d")
+    graft.functions.CdcChunks.register(docs.sparkSession)
+    val t = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("chunks", expr(s"cdc_chunks(text, $k, $d)"))
+    val ch = t.select(col("doc_id"),
+        explode(col("chunks")).as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+    val shared = ch.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    ch.join(shared, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        round(sum(when(col("nd") > 1, length(col("chunk"))).otherwise(0))
+          .cast("double") / sum(length(col("chunk"))), 6).as("shared_frac"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver contract
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, QueryFn] = Map(
+    "q121_weighted_sample" -> ((s, dir) =>
+      weightedSample(Tables.load(s, dir, "documents"), "doc_id",
+        col("n_chars"), n = 100)
+        .select(col("doc_id"), col("weight"), col("sample_key"))),
+
+    // target = the English slice; raw = the whole pool. en docs should
+    // surface with the highest importance weights.
+    "q122_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      dsirWeights(docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q123_sparse_cosine" -> ((s, dir) =>
+      sparseCosinePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        dfCap = 50, tau = 0.35)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // The corpus has no cross-document segments, so the query PLANTS
+    // them (the q120 pattern): a per-source header and a global footer
+    // — CDC must find both as shared chunks at DIFFERENT offsets per
+    // doc, which is exactly what offset-invariant chunking is for.
+    "q124_cdc_chunks" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val synth = docs.select(col("doc_id"),
+        concat(lit("shared navigation header for "), col("source"),
+          lit("\n\n"), col("text"),
+          lit("\n\nstandard copyright footer applies to all documents"))
+          .as("text"))
+      cdcChunkStats(synth, "doc_id", "text", k = 8, d = 32)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q121_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+  -- "+ 0" folds DuckDB's round()-preserved -0.0 into +0.0 (Spark parity)
+        |  round(ln((CAST(CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 AS UBIGINT) AS BIGINT) + 0.5) / 4294967296.0)
+        |        / CAST(n_chars AS DOUBLE), 6) + 0 AS sample_key
+        |FROM documents
+        |ORDER BY sample_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    "q122_dsir_weights" ->
+      """WITH tt AS (
+        |  SELECT CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 256 AS b,
+        |    count(*) AS ct
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en') t
+        |  GROUP BY b
+        |), rr AS (
+        |  SELECT CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 256 AS b,
+        |    count(*) AS cr
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY b
+        |), ab AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 256)
+        |), lr AS (
+        |  SELECT ab.b,
+        |    round(ln((coalesce(ct, 0) + 0.5) / (sum(coalesce(ct, 0)) OVER () + 0.5 * 256))
+        |        - ln((coalesce(cr, 0) + 0.5) / (sum(coalesce(cr, 0)) OVER () + 0.5 * 256)), 4) AS lr
+        |  FROM ab LEFT JOIN tt USING (b) LEFT JOIN rr USING (b)
+        |), dt AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(lr AS DECIMAL(18, 4))) AS DOUBLE), 4) AS dsir_logw
+        |FROM dt JOIN lr USING (b)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q123_sparse_cosine" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY doc_id, w
+        |), dfreq AS (
+        |  SELECT w, count(*) AS df FROM tf GROUP BY w HAVING count(*) <= 50
+        |), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        |), tfidf AS (
+        |  SELECT doc_id, tf.w,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN nd
+        |), norm2 AS (
+        |  SELECT doc_id, sum(CAST(tfidf * tfidf AS DECIMAL(38, 12))) AS n2
+        |  FROM tfidf GROUP BY doc_id
+        |), dot AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(CAST(a.tfidf * b.tfidf AS DECIMAL(38, 12))) AS dot
+        |  FROM tfidf a JOIN tfidf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(dot AS DOUBLE) /
+        |        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+        |FROM dot
+        |JOIN norm2 na ON na.doc_id = doc_a
+        |JOIN norm2 nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) >= 0.35
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q124_cdc_chunks" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    'shared navigation header for ' || source || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    'standard copyright footer applies to all documents' AS text
+        |  FROM documents
+  -- windowed form of the Spark side's rolling hash: Σ cp_j·(257^(7-j) mod M)
+        |), t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(generate_series(1, greatest(len(text), 1)),
+        |      i -> i >= 8 AND
+        |        (CAST(ascii(substring(text, i - 7, 1)) AS BIGINT) * 13163680 +
+        |         CAST(ascii(substring(text, i - 6, 1)) AS BIGINT) * 805498697 +
+        |         CAST(ascii(substring(text, i - 5, 1)) AS BIGINT) * 154885210 +
+        |         CAST(ascii(substring(text, i - 4, 1)) AS BIGINT) * 362470373 +
+        |         CAST(ascii(substring(text, i - 3, 1)) AS BIGINT) * 16974593 +
+        |         CAST(ascii(substring(text, i - 2, 1)) AS BIGINT) * 66049 +
+        |         CAST(ascii(substring(text, i - 1, 1)) AS BIGINT) * 257 +
+        |         ascii(substring(text, i, 1))) % 1000000007 % 32 = 0) AS bs
+        |  FROM synth
+        |), b AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([0], bs), [len(text)]) AS bounds
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_transform(generate_series(1, len(bounds) - 1),
+        |      j -> substring(text, bounds[j] + 1, bounds[j + 1] - bounds[j])),
+        |      x -> len(x) > 0)) AS chunk
+        |  FROM b
+        |), h AS (
+        |  SELECT doc_id, chunk, md5(chunk) AS h FROM c
+        |), sh AS (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+        |  round(CAST(sum(CASE WHEN nd > 1 THEN len(chunk) ELSE 0 END) AS DOUBLE)
+        |        / sum(len(chunk)), 6) AS shared_frac
+        |FROM h JOIN sh USING (h)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -220,7 +220,8 @@ class OperatorsSpec extends AnyFunSuite {
       "Extensions" -> Extensions.queries.keySet,
       "RangeJoin" -> RangeJoin.queries.keySet,
       "Corpus" -> Corpus.queries.keySet,
-      "BpeTokenizer" -> BpeTokenizer.queries.keySet)
+      "BpeTokenizer" -> BpeTokenizer.queries.keySet,
+      "Selection" -> Selection.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + scale-shape checks for the data-selection operators
+  * (Selection.scala). The DuckDB oracle covers value parity at sf0.01;
+  * these specs pin the SEMANTIC claims (sampling bias, importance-weight
+  * direction, cosine identities, chunking's offset invariance) on
+  * fixtures where the expected behavior is known by construction.
+  */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.streaming.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("weightedSample: selects exactly the global top-n exponential keys") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val got = Selection.weightedSample(docs, "doc_id", col("n_chars"), n = 50)
+    // recompute the full keyed population independently and cross-check
+    val keys = docs.select(col("doc_id"),
+        round(log((conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5d) / 4294967296.0d) /
+          col("n_chars").cast("double"), 6).as("k"))
+      .orderBy(desc("k"), col("doc_id")).limit(50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sel = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == keys)
+    assert(sel.size == 50)
+  }
+
+  test("weightedSample: heavier docs are overrepresented vs uniform") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val meanAll = docs.agg(avg("n_chars")).head.getDouble(0)
+    val meanSel = Selection.weightedSample(docs, "doc_id", col("n_chars"), n = (n / 5).toInt)
+      .agg(avg("weight")).head.getDouble(0)
+    // P(select) ∝ n_chars ⇒ the sampled mean length must exceed the corpus mean
+    assert(meanSel > meanAll, s"weighted sample mean $meanSel !> corpus mean $meanAll")
+  }
+
+  test("weightedSample: plans TakeOrderedAndProject (no full sort, no shuffle of the corpus)") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val p = Selection.weightedSample(docs, "doc_id", col("n_chars"), n = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(6).mkString("\n"))
+    assert(!p.contains("Exchange"), "corpus must not shuffle for a top-n sample")
+  }
+
+  test("dsirWeights: target-domain docs score higher than off-domain docs") {
+    import spark.implicits._
+    // target = "math" style vocabulary; raw pool = math + legal docs
+    val math = (0 until 30).map(i => (i.toLong, s"theorem proof lemma integral matrix m$i"))
+    val legal = (30 until 60).map(i => (i.toLong, s"whereas party herein liability clause l$i"))
+    val docs = (math ++ legal).toDF("doc_id", "text")
+    val target = math.toDF("doc_id", "text")
+    val w = Selection.dsirWeights(docs, target, "doc_id", "text", buckets = 64)
+    val avgMath = w.filter(col("doc_id") < 30).agg(avg("dsir_logw")).head.getDouble(0)
+    val avgLegal = w.filter(col("doc_id") >= 30).agg(avg("dsir_logw")).head.getDouble(0)
+    assert(avgMath > 0 && avgMath > avgLegal + 1.0,
+      s"math=$avgMath legal=$avgLegal — importance weights must separate domains")
+    assert(w.count() == 60, "every doc in the pool must be scored")
+  }
+
+  test("dsirWeights: LM tables broadcast — the corpus-side join is not shuffled") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val p = Selection.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("sparseCosinePairs: identical docs cos=1, disjoint docs absent, partial overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of 1
+      (3L, "alpha beta zeta eta"),    // half-overlap with 1/2
+      (4L, "iota kappa mu nu")        // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Selection.sparseCosinePairs(docs, "doc_id", "text", dfCap = 10, tau = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0, "exact duplicates must score cos=1")
+    assert(pairs.get((1L, 4L)).isEmpty && pairs.get((3L, 4L)).isEmpty,
+      "docs sharing no term can never pair (inverted-index property)")
+    val partial = pairs((1L, 3L))
+    assert(partial > 0 && partial < 1, s"partial overlap must land strictly inside (0,1): $partial")
+  }
+
+  test("sparseCosinePairs: df-capped terms bound the inverted-index buckets") {
+    import spark.implicits._
+    // 'the' appears in every doc — with dfCap=3 it must not create pairs
+    val docs = (0 until 20).map(i => (i.toLong, s"the unique$i word$i")).toDF("doc_id", "text")
+    val pairs = Selection.sparseCosinePairs(docs, "doc_id", "text", dfCap = 3, tau = 0.0)
+    assert(pairs.count() == 0, "a ubiquitous term above the df cap must not generate pairs")
+  }
+
+  test("cdcChunkStats: identical segments at DIFFERENT offsets are found (offset invariance)") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate segment is long enough to contain chunk boundaries " +
+      "and repeats across documents verbatim so cdc must surface it as shared"
+    val docs = Seq(
+      (1L, s"unique preamble one $boiler"),
+      (2L, s"a much longer and entirely different document preamble here $boiler"),
+      (3L, "completely unrelated text with no repeated segments at all whatsoever")
+    ).toDF("doc_id", "text")
+    val st = Selection.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(st(1L)._1 > 0 && st(2L)._1 > 0,
+      s"boilerplate at different offsets must yield shared chunks: $st")
+    assert(st(3L)._2 == 0.0, "a unique doc has zero shared fraction")
+  }
+
+  test("cdcChunkStats: chunks exactly reassemble the document (partition property)") {
+    import spark.implicits._
+    graft.functions.CdcChunks.register(spark)
+    val docs = Seq((1L, "x" * 5), (2L, ("abcdefgh" * 40) + "tail"),
+      (3L, "unicode é你😀 mixed " * 20)).toDF("doc_id", "text")
+    docs.select(col("text"), expr("array_join(cdc_chunks(text, 8, 32), '')").as("re"))
+      .collect().foreach(r =>
+        assert(r.getString(0) == r.getString(1), "chunks must partition the text"))
+  }
+
+  test("cdc_chunks rolling hash matches an independent WINDOWED-sum reference (incl. astral)") {
+    graft.functions.CdcChunks.register(spark)
+    // the oracle computes the windowed sum Σ cp_j·(257^(7-j) mod M) per
+    // position; the expression maintains it as a rolling hash — reimplement
+    // the windowed form here and pin equality over codepoints
+    def refChunks(s: String, k: Int = 8, d: Int = 32): Seq[String] = {
+      val M = 1000000007L
+      val cps = s.codePoints().toArray
+      val pow = Array.iterate(1L, k)(_ * 257L % M).reverse // 257^(k-1) .. 257^0
+      val cuts = (k to cps.length).filter { i =>
+        val window = cps.slice(i - k, i)
+        window.indices.map(j => window(j) * pow(j) % M).sum % M % d == 0
+      }
+      val bounds = (0 +: cuts :+ cps.length).distinct
+      bounds.sliding(2).map { case Seq(a, b) =>
+        new String(cps.slice(a, b), 0, b - a) }.filter(_.nonEmpty).toSeq
+    }
+    import spark.implicits._
+    val texts = Seq("short", "the quick brown fox " * 30,
+      "astral 😀😁 and cjk 你好 " * 25, "x" * 7, "y" * 8)
+    val got = texts.toDF("text")
+      .select(col("text"), expr("cdc_chunks(text, 8, 32)").as("c")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach { t =>
+      assert(got(t) == refChunks(t), s"chunk mismatch on: ${t.take(30)}")
+    }
+  }
+
+  test("cdcChunkStats: an insertion only re-chunks its local neighborhood") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the forest " * 8
+    val edited = base.substring(0, 40) + " INSERTED " + base.substring(40)
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val st = Selection.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // all chunks after the insertion's neighborhood re-sync ⇒ most bytes shared
+    assert(st(1L) > 0.5 && st(2L) > 0.5,
+      s"CDC must re-synchronize after an edit; shared fractions: $st")
+  }
+}
