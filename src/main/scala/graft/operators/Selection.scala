@@ -176,6 +176,78 @@ object Selection {
           .cast("double") / sum(length(col("chunk"))), 6).as("shared_frac"))
   }
 
+  /** Epoch-aware mixture UPSAMPLING (with replacement) — the LLaMA-
+    * recipe shape where each source gets an epoch multiplier (2.5 =
+    * "see this source two and a half times"): every doc emits
+    * floor(e) copies plus one more with probability frac(e), decided
+    * by the same deterministic md5-uniform as [[weightedSample]], so
+    * the realized mixture is reproducible and oracle-checkable.
+    * Complements Corpus.mixtureSample, which only DOWN-samples.
+    *
+    * Scale shape: the epoch table broadcasts (it has one row per
+    * source); copy emission is a row-local explode — the corpus is
+    * read once and never shuffles.
+    */
+  def mixtureUpsample(docs: DataFrame, idCol: String, groupCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch multipliers must be non-negative")
+    val wdf = docs.sparkSession.createDataFrame(epochs.toSeq)
+      .toDF(groupCol, "epochs")
+    val u = (h32(concat(lit("up:"), col(idCol).cast("string")))
+      .cast("double") + 0.5d) / 4294967296.0d
+    docs.join(broadcast(wdf), Seq(groupCol), "left")
+      .withColumn("e", coalesce(col("epochs"), lit(defaultEpochs)))
+      .withColumn("n_copies", (floor(col("e")) +
+        when(u < col("e") - floor(col("e")), 1).otherwise(0)).cast("long"))
+      .withColumn("copy_idx",
+        explode(sequence(lit(1L), greatest(col("n_copies"), lit(1L)))))
+      .filter(col("copy_idx") <= col("n_copies"))
+      .select(col(idCol), col(groupCol), col("n_copies"), col("copy_idx"))
+  }
+
+  /** Token-budget cut: rank documents by a quality score (descending,
+    * id tiebreak) and keep the best prefix whose cumulative token count
+    * stays within `budget` — "train on the best N tokens".
+    *
+    * The running total is NOT a single-partition window (the classic
+    * `Window.orderBy` trap): it is the house two-pass distributed
+    * prefix sum (Corpus.packSequences) over a RANGE partitioning by
+    * (score desc, id). Pass 1 collects one token total per partition;
+    * the driver scan-sums those into base offsets (a few KB at any
+    * scale); pass 2 streams each partition adding its base — and any
+    * partition whose base already exceeds the budget is SKIPPED
+    * entirely, so at 100 TB only the partitions spanning the cut do
+    * row work while earlier ones stream-keep and later ones
+    * short-circuit.
+    */
+  def tokenBudgetCut(docs: DataFrame, idCol: String, textCol: String,
+      score: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        score.cast("double").as("score"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(desc("score"), col("doc_id"))
+      .sortWithinPartitions(desc("score"), col("doc_id"))
+    val rdd = toks.rdd.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.foldLeft(0L)(_ + _._3)))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val kept = rdd.mapPartitionsWithIndex { case (i, it) =>
+      if (bases.value(i) >= budget) Iterator.empty // wholly past the cut
+      else {
+        var off = bases.value(i)
+        it.flatMap { case (id, s, n) =>
+          off += n
+          if (off <= budget) Iterator.single((id, s, n, off)) else Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(kept).toDF("doc_id", "score", "n_tokens", "cum_tokens")
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -198,6 +270,16 @@ object Selection {
       sparseCosinePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         dfCap = 50, tau = 0.35)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q125_mixture_upsample" -> ((s, dir) =>
+      mixtureUpsample(Tables.load(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 2.5, "src2" -> 0.25), defaultEpochs = 1.0)
+        .orderBy(col("doc_id"), col("copy_idx"))),
+
+    "q126_token_budget" -> ((s, dir) =>
+      tokenBudgetCut(Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("n_chars").cast("double"), budget = 15000L)
+        .orderBy(col("doc_id"))),
 
     // The corpus has no cross-document segments, so the query PLANTS
     // them (the q120 pattern): a per-source header and a global footer
@@ -284,6 +366,40 @@ object Selection {
         |WHERE round(CAST(dot AS DOUBLE) /
         |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) >= 0.35
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q125_mixture_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.5
+        |                WHEN 'src2' THEN 0.25 ELSE 1.0 END AS e,
+        |    (CAST(CAST('0x' || substring(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |          AS UBIGINT) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM w
+        |)
+        |SELECT doc_id, source, n_copies,
+        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+        |FROM n
+        |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "q126_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 15000
+        |ORDER BY doc_id""".stripMargin,
 
     "q124_cdc_chunks" ->
       """WITH synth AS (

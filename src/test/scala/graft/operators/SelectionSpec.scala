@@ -148,6 +148,46 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureUpsample: integer epochs copy exactly, zero drops, fraction lands in [floor, ceil]") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i =>
+      (i.toLong, if (i < 100) "a" else if (i < 200) "b" else "c")).toDF("doc_id", "src")
+    val up = Selection.mixtureUpsample(docs, "doc_id", "src",
+      Map("a" -> 3.0, "b" -> 0.0, "c" -> 1.5))
+    val bySrc = up.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 300L, "e=3.0 must emit exactly 3 copies per doc")
+    assert(!bySrc.contains("b"), "e=0 must drop the source entirely")
+    assert(bySrc("c") >= 100L && bySrc("c") <= 200L,
+      s"e=1.5 must land between 1 and 2 copies per doc: ${bySrc("c")}")
+    // per-doc copies are contiguous 1..n_copies
+    val bad = up.groupBy("doc_id").agg(count(lit(1)).as("c"), max("copy_idx").as("m"),
+      max("n_copies").as("n")).filter(col("c") =!= col("m") || col("m") =!= col("n"))
+    assert(bad.count() == 0, "copy_idx must enumerate 1..n_copies")
+  }
+
+  test("tokenBudgetCut: keeps the maximal best-score prefix within the budget") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val budget = 5000L
+    val got = Selection.tokenBudgetCut(docs, "doc_id", "text",
+      col("n_chars").cast("double"), budget)
+    val rows = got.orderBy(desc("score"), col("doc_id")).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total <= budget, s"kept $total tokens > budget $budget")
+    assert(rows.last.getLong(3) == total, "cum_tokens of the last kept row is the total")
+    // maximality: the single-partition window reference selects the same set
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), col("doc_id")).rowsBetween(Long.MinValue, 0)
+    val ref = docs.select(col("doc_id"), col("n_chars").cast("double").as("score"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == ref,
+      "two-pass prefix sum must agree with the window reference")
+  }
+
   test("cdcChunkStats: an insertion only re-chunks its local neighborhood") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running through the forest " * 8
