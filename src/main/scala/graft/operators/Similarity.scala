@@ -374,7 +374,45 @@ object Similarity {
       .select(col("vec_id"), col("distCol").as("dist"))
   }
 
+  /** Per-dimension affine int8 quantization of the embedding column —
+    * how a 100 TB embedding store actually ships its vectors (4× over
+    * float32, 32× less than float64 doubles; PQ in [[pqKnn]] goes
+    * further but lossier). Pass 1 aggregates per-DIMENSION min/max (a
+    * `dim`-row table — broadcast); pass 2 maps every component to
+    * q = round((v − lo)·255/(hi − lo)) and reports, per vector, the
+    * exact quantized checksum and the reconstruction error profile
+    * (max abs error + summed squared error) — the audit a pipeline
+    * runs before committing to a quantized index. Two corpus scans,
+    * shuffles only per-dim stats and per-vec partials.
+    *
+    * Error sums are pre-rounded then DECIMAL-summed (order-independent,
+    * oracle-exact); max is order-free by nature.
+    */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec14 = org.apache.spark.sql.types.DecimalType(38, 14)
+    val el = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "vf")))
+      .withColumn("v", col("vf").cast("double"))
+    val stats = el.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    el.join(broadcast(stats), "dim")
+      .withColumn("q", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(round((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")), 0)
+          .cast("long")))
+      .withColumn("deq", when(col("hi") === col("lo"), col("lo"))
+        .otherwise(col("lo") + col("q").cast("double") * (col("hi") - col("lo")) / 255.0))
+      .withColumn("err", abs(col("deq") - col("v")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("q")).as("q_sum"),
+        round(max(col("err")), 8).as("max_err"),
+        round(sum(round(col("err") * col("err"), 14).cast(dec14)).cast("double"), 10)
+          .as("sum_err2"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q127_int8_quantize" -> ((s, dir) =>
+      int8Quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
     "q60_knn_brute" -> ((s, dir) =>
       bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
         .orderBy(col("qid"), col("rnk"))),
@@ -411,6 +449,34 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q127_int8_quantize" ->
+      """WITH el AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(generate_series(1, len(embedding)),
+        |      i -> {'d': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, CAST(u.d AS INT) AS dim, u.v AS v FROM el
+        |), stats AS (
+        |  SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim
+        |), q AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE CAST(round((v - lo) * 255.0 / (hi - lo), 0) AS BIGINT) END AS q,
+        |    CASE WHEN hi = lo THEN lo
+        |         ELSE lo + (CASE WHEN hi = lo THEN 0
+        |                    ELSE CAST(round((v - lo) * 255.0 / (hi - lo), 0) AS BIGINT) END)
+        |              * (hi - lo) / 255.0 END AS deq
+        |  FROM e JOIN stats USING (dim)
+        |)
+        |SELECT vec_id, count(*) AS n_dims, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  round(max(abs(deq - v)), 8) AS max_err,
+        |  round(CAST(sum(CAST(round(abs(deq - v) * abs(deq - v), 14)
+        |        AS DECIMAL(38, 14))) AS DOUBLE), 10) AS sum_err2
+        |FROM q
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "q112_hard_negatives" ->
       s"""WITH $duckPrep,
          |scored AS (

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the CDC rolling hash (functions/CdcChunks.scala):
+  * the O(1)-slide rolling maintenance must equal the explicit windowed
+  * sum the DuckDB oracle computes, for ANY text (multi-script, astral,
+  * degenerate lengths) and any (k, d) — the generated-input counterpart
+  * of SelectionSpec's fixed-fixture parity test, same harness pattern as
+  * BpePropertySpec pinning the BPE encode paths.
+  */
+class CdcPropertySpec extends AnyFunSuite {
+
+  // spans 1-, 2-, 3- and 4-byte UTF-8 (astral 😀🚀), plus separators
+  private val alphabet: Seq[String] =
+    ("abz09 .".map(_.toString) ++ "éñ".map(_.toString) ++
+      "αж".map(_.toString) ++ "你好".map(_.toString) ++ Seq("😀", "🚀"))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.frequency(1 -> Gen.choose(0, 7), 4 -> Gen.choose(8, 400))
+    cs <- Gen.listOfN(n, Gen.oneOf(alphabet))
+  } yield cs.mkString
+
+  private val caseGen: Gen[(String, Int, Int)] = for {
+    s <- textGen
+    k <- Gen.choose(2, 12)
+    d <- Gen.oneOf(2, 8, 32, 64)
+  } yield (s, k, d)
+
+  private def cases[T](g: Gen[T], n: Int): Seq[T] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(rng.Seed(20260813L))(_.next).take(n).toSeq
+      .map(s => g.pureApply(params, s))
+  }
+
+  /** Independent reference: the explicit windowed sum per position —
+    * exactly the formulation the DuckDB oracle runs. */
+  private def windowedChunks(s: String, k: Int, d: Int): Seq[String] = {
+    val M = 1000000007L
+    val cps = s.codePoints().toArray
+    val pow = Array.iterate(1L, k)(_ * 257L % M).reverse
+    val cuts = (k to cps.length).filter { i =>
+      (i - k until i).map(j => cps(j) * pow(j - (i - k)) % M).sum % M % d == 0
+    }
+    val bounds = (0 +: cuts :+ cps.length).distinct
+    bounds.sliding(2).collect { case Seq(a, b) if b > a =>
+      new String(cps.slice(a, b), 0, b - a)
+    }.toSeq
+  }
+
+  private def rollingChunks(s: String, k: Int, d: Int): Seq[String] = {
+    val a = graft.functions.CdcChunks.chunks(UTF8String.fromString(s), k, d)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
+
+  test("rolling == windowed for 300 generated multi-script (text, k, d) cases") {
+    cases(caseGen, 300).foreach { case (s, k, d) =>
+      assert(rollingChunks(s, k, d) == windowedChunks(s, k, d),
+        s"k=$k d=$d text=${s.take(40)}")
+    }
+  }
+
+  test("chunks always partition the text exactly") {
+    cases(caseGen, 300).foreach { case (s, k, d) =>
+      assert(rollingChunks(s, k, d).mkString == s, s"k=$k d=$d text=${s.take(40)}")
+    }
+  }
+
+  test("a suffix edit never changes chunks before the last one (CDC locality)") {
+    cases(textGen, 150).filter(s => s.codePointCount(0, s.length) >= 32)
+      .foreach { s =>
+        val (k, d) = (8, 32)
+        val before = rollingChunks(s, k, d)
+        val after = rollingChunks(s + "APPENDED TAIL", k, d)
+        // every chunk but the last ends at a CONTENT boundary, which a
+        // suffix-only edit cannot move — only the final partial chunk may
+        // re-form
+        assert(after.startsWith(before.dropRight(1)),
+          s"prefix chunks changed after a suffix-only edit: ${s.take(30)}")
+      }
+  }
+}

@@ -1116,6 +1116,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"only the in-band vector qualifies as a hard negative: $negs")
   }
 
+  test("int8 quantization: codes span [0,255], per-component error within half a step") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, min, posexplode}
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.int8Quantize(emb, "vec_id", "embedding").collect()
+    assert(out.length == emb.count())
+    assert(out.forall(_.getLong(1) == 64L), "all 64 dims quantized")
+    // q_sum of n_dims 8-bit codes is bounded by 255*n_dims
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 255L * 64))
+    // affine round-to-nearest ⇒ |err| ≤ (hi-lo)/510 per dim; bound with the
+    // global widest dim range
+    val ranges = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg((max("v") - min("v")).as("r"))
+      .agg(max("r")).head.getFloat(0).toDouble
+    val bound = ranges / 510.0 + 1e-12
+    assert(out.forall(_.getDouble(3) <= bound),
+      s"max_err must stay within half a quantization step ($bound)")
+  }
+
   test("semantic dedup pairs only within a cell and scores duplicates at 1") {
     import spark.implicits._
     val emb = Seq(
