@@ -962,6 +962,38 @@ object Corpus {
           x => x.getField("fp")), ",")).as("shard_hash"))
   }
 
+  /** Corpus PROFILING — the data-validation pass a pipeline runs on
+    * every new snapshot before anything downstream trusts it: one row
+    * per profiled column with row/null/distinct counts, min/max, and
+    * the modal value (deterministic tiebreak: smallest value among
+    * modes). The scalar stats are ONE aggregation per column over the
+    * scan; the mode is a groupBy + global top-1 (TakeOrdered — no full
+    * sort). `countDistinct` is exact here because the profile is the
+    * oracle-graded contract; at 100 TB swap `approx_count_distinct`
+    * (HLL, one pass, no shuffle of distinct values) — the q40 family
+    * documents that trade.
+    */
+  def corpusProfile(docs: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.map { c =>
+      val scalars = docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+      val mode = docs.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("top_value"))
+        .agg(count(lit(1)).as("top_count"))
+        .orderBy(desc("top_count"), col("top_value"))
+        .limit(1)
+      scalars.crossJoin(broadcast(mode)) // ONE row × ONE row, the q21 shape
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          col("top_value"), col("top_count"))
+    }.reduce(_.unionAll(_))
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -1118,6 +1150,11 @@ object Corpus {
       paragraphDedup(synth, "doc_id", "text", maxDocFreq = 3L)
         .orderBy(col("doc_id"))
     }),
+
+    "q128_corpus_profile" -> ((s, dir) =>
+      corpusProfile(Tables.load(s, dir, "documents"),
+        Seq("lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
 
     "q100_fim_split" -> ((s, dir) =>
       fimSplit(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -1407,6 +1444,21 @@ object Corpus {
         |FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
         |WHERE s.n_words >= t.t_lo AND s.n_words <= t.t_hi
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q128_corpus_profile" -> Seq("lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val,
+         |  (SELECT CAST($c AS VARCHAR) FROM documents WHERE $c IS NOT NULL
+         |   GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) LIMIT 1)
+         |    AS top_value,
+         |  (SELECT count(*) FROM documents WHERE $c IS NOT NULL
+         |   GROUP BY $c ORDER BY count(*) DESC, CAST($c AS VARCHAR) LIMIT 1)
+         |    AS top_count
+         |FROM documents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "q100_fim_split" ->
       """WITH s AS (

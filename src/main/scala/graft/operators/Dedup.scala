@@ -135,6 +135,47 @@ object Dedup {
     batch.join(broadcast(collided), col(idCol) === col("__collided"), "left_anti")
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of the exact
+    * n-gram benchmark overlap (Corpus.decontaminate / q80): a corpus
+    * document is flagged when it LSH-collides with a benchmark document
+    * AND the minhash signature-agreement estimate confirms real shingle
+    * overlap, so paraphrased or lightly-edited eval leakage is caught,
+    * not just verbatim copies.
+    *
+    * Scale shape: the benchmark side (an eval suite — thousands of
+    * docs, not billions) computes bands + signatures once and
+    * BROADCASTS to both the band join and the confirmation join; the
+    * corpus streams through one signature pass, and only the banded
+    * COLLISIONS (bounded by real overlap) reach the estimate step. The
+    * corpus never self-joins and never shuffles its text.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 8,
+      rowsPerBand: Int = 2, minEstJaccard: Double = 0.25): DataFrame = {
+    graft.functions.MinhashSigs.register(corpus.sparkSession)
+    def sigTable(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
+      .select(col("doc_id"), expr(s"minhash_sigs(sh, $numHashes)").as("ms"))
+    val cband = bandSignatures(corpus, idCol, textCol, numHashes, rowsPerBand)
+    val bband = bandSignatures(benchmark, idCol, textCol, numHashes, rowsPerBand)
+    val cands = cband.join(broadcast(bband
+        .select(col("band"), col("sig"), col("doc_id").as("bench_id"))),
+        Seq("band", "sig"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    cands
+      .join(sigTable(corpus), "doc_id")
+      .join(broadcast(sigTable(benchmark)
+        .select(col("doc_id").as("bench_id"), col("ms").as("bms"))), "bench_id")
+      .withColumn("est_jac", round(
+        size(filter(zip_with(col("ms"), col("bms"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes, 6))
+      .filter(col("est_jac") >= minEstJaccard)
+      .select(col("doc_id"), col("bench_id"), col("est_jac"))
+  }
+
   /** The write half of the ingest-dedup lifecycle: append the ACCEPTED
     * batch's band signatures to the persisted index that
     * [[incrementalDedup]] probes, so the next batch collides with this
@@ -361,7 +402,19 @@ object Dedup {
 
     "q115_minhash_estimate" -> ((s, dir) =>
       minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Docs 0-24 stand in for the benchmark/eval set (the q80 convention).
+    // Complementary to exact decontamination: q80 flags ANY shared 5-gram
+    // (verbatim snippets); this flags estimated-Jaccard near-duplicates
+    // (paraphrased leakage) — neither set contains the other.
+    "q129_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      fuzzyDecontaminate(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), "doc_id", "text",
+        minEstJaccard = 0.25)
+        .orderBy(col("doc_id"), col("bench_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,6 +585,41 @@ object Dedup {
         |JOIN documents db ON db.doc_id = p.doc_b
         |WHERE round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
         |    greatest(len(da.text), len(db.text)), 6) <= 0.4
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q129_fuzzy_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cands AS (
+        |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id >= 25 AND b.doc_id < 25
+        |), agree AS (
+        |  SELECT c.doc_id, c.bench_id,
+        |    round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 8.0, 6) AS est_jac
+        |  FROM cands c
+        |  JOIN mh ma ON ma.doc_id = c.doc_id
+        |  JOIN mh mb ON mb.doc_id = c.bench_id AND mb.seed = ma.seed
+        |  GROUP BY c.doc_id, c.bench_id
+        |)
+        |SELECT doc_id, bench_id, est_jac
+        |FROM agree WHERE est_jac >= 0.25
+        |ORDER BY doc_id, bench_id""".stripMargin
   )
 }

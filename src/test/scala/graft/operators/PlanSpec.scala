@@ -106,7 +106,8 @@ class PlanSpec extends AnyFunSuite {
     val intentional = Set("q14_cross_join", "q21_cte", "q49_subquery_forms",
       "q60_knn_brute", "q61_ivf_knn", "q67_ivf_kmeans_knn", "q77_bm25",
       "q85_mixture_sample", "q88_tfidf_keywords", "q91_semantic_dedup",
-      "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine")
+      "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
+      "q128_corpus_profile")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")

@@ -188,6 +188,39 @@ class SelectionSpec extends AnyFunSuite {
       "two-pass prefix sum must agree with the window reference")
   }
 
+  test("fuzzyDecontaminate: flags paraphrased leakage, passes unrelated docs") {
+    import spark.implicits._
+    val benchText = "the capital of france is paris and the capital of italy is rome " +
+      "and the capital of spain is madrid and the capital of germany is berlin"
+    val leaked = benchText.replace("germany", "austria") // light paraphrase
+    val clean = "entirely different content about distributed query engines " +
+      "and shuffle partitioning strategies with no benchmark overlap at all"
+    val corpus = Seq((100L, leaked), (101L, clean)).toDF("doc_id", "text")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val flagged = Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((100L, 1L)), "near-verbatim doc must be flagged")
+    assert(!flagged.exists(_._1 == 101L), "unrelated doc must pass")
+  }
+
+  test("corpusProfile: counts, nulls, min/max, and deterministic mode tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("b"), 1L), (Some("b"), 2L), (Some("a"), 3L), (Some("a"), 4L),
+      (Some("c"), 5L), (None, 6L)
+    ).toDF("cat", "n")
+    val p = Corpus.corpusProfile(df, Seq("cat", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cat = p("cat")
+    assert(cat.getLong(1) == 6L && cat.getLong(2) == 1L, "rows/nulls")
+    assert(cat.getLong(3) == 3L, "distinct excludes null")
+    assert(cat.getString(4) == "a" && cat.getString(5) == "c", "min/max")
+    assert(cat.getString(6) == "a" && cat.getLong(7) == 2L,
+      "mode ties (a,b both 2) break to the smallest value")
+    val n = p("n")
+    assert(n.getString(4) == "1" && n.getString(5) == "6")
+  }
+
   test("cdcChunkStats: an insertion only re-chunks its local neighborhood") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps running through the forest " * 8
