@@ -22,7 +22,50 @@ object EventsOps {
     Tables.load(s, dir, "events")
       .withColumn("tsc", expr("timestamp_micros(ts DIV 1000)"))
 
+  /** Time-series GAP FILL + forward fill — the dense-grid completion an
+    * aggregated event stream needs before charting/joining: per key,
+    * every `stepSeconds` bucket between that key's first and last
+    * observation exists in the output, empty buckets carry n=0 with the
+    * last observed aggregate forward-filled.
+    *
+    * Scale shape: the aggregation is the usual two-phase hash agg; the
+    * dense grid is generated ROW-LOCALLY per key (one sequence/explode
+    * per key span — never a global calendar cross join); the
+    * forward-fill window partitions BY KEY, so no single task ever owns
+    * more than one key's timeline. Keys are bounded (event types,
+    * devices), buckets per key are span/step — both independent of
+    * corpus row count, which is what keeps this plan flat at 100 TB.
+    */
+  def gapFill(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, stepSeconds: Long): org.apache.spark.sql.DataFrame = {
+    require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
+    val agg = events
+      .select(col(keyCol).as("key"),
+        (unix_timestamp(col(tsCol)).cast("long").divide(stepSeconds)).cast("long")
+          .multiply(stepSeconds).as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("v")).as("sum_value"))
+    val grid = agg.groupBy(col("key"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("key"),
+        explode(sequence(col("mn"), col("mx"), lit(stepSeconds))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(agg, Seq("key", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("n") === 0)
+      .select(col("key"), col("bucket"), col("n"), col("sum_value"),
+        col("filled_value"), col("is_gap"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q130_gapfill" -> ((s, dir) =>
+      gapFill(withTs(s, dir), "event_type", "tsc", "value", stepSeconds = 3600L)
+        .orderBy(col("key"), col("bucket"))),
+
     // Tumbling 1-hour windows (buffer/tumbling_window.rs:39-47 analogue).
     "q42_tumbling_window" -> ((s, dir) =>
       withTs(s, dir)
@@ -69,6 +112,26 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q130_gapfill" ->
+      """WITH agg AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 * 3600 AS bucket,
+        |    count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT key, min(bucket) AS mn, max(bucket) AS mx FROM agg GROUP BY key
+        |), grid AS (
+        |  SELECT key, CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS bucket
+        |  FROM spans
+        |)
+        |SELECT g.key, g.bucket, CAST(coalesce(n, 0) AS BIGINT) AS n, sum_value,
+        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY g.key
+        |    ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |  coalesce(n, 0) = 0 AS is_gap
+        |FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bucket = g.bucket
+        |ORDER BY g.key, g.bucket""".stripMargin,
+
     "q42_tumbling_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS win_start, event_type,
         |  count(*) AS n,

@@ -1116,6 +1116,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"only the in-band vector qualifies as a hard negative: $negs")
   }
 
+  test("gapFill: empty buckets appear with n=0 and carry the last aggregate forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // key A observes buckets 0 and 200 (gap at 100); key B has no gaps
+    val ev = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 250L, 7.0),
+      ("B", 110L, 4.0), ("B", 210L, 5.0)
+    ).toDF("k", "sec", "v").withColumn("tsc", expr("timestamp_seconds(sec)"))
+    val out = EventsOps.gapFill(ev, "k", "tsc", "v", stepSeconds = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(("A", 0L)) == ((2L, Some(3.0), 3.0, false)), "bucket 0 aggregates both rows")
+    assert(out(("A", 100L)) == ((0L, None, 3.0, true)),
+      "the gap bucket exists, is flagged, and forward-fills 3.0")
+    assert(out(("A", 200L)) == ((1L, Some(7.0), 7.0, false)))
+    assert(out.keys.count(_._1 == "B") == 2 && !out(("B", 100L))._4,
+      "keys without gaps emit only their observed span")
+  }
+
   test("int8 quantization: codes span [0,255], per-component error within half a step") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max, min, posexplode}
