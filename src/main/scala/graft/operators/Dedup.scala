@@ -135,6 +135,42 @@ object Dedup {
     batch.join(broadcast(collided), col(idCol) === col("__collided"), "left_anti")
   }
 
+  /** Winnowing-fingerprint near-duplicate pairs — the MOSS shape used
+    * for code/plagiarism dedup: documents fingerprint via
+    * `winnow_fps` (functions/WinnowFps.scala — windowed minima of
+    * rolling k-gram hashes, guaranteeing any shared run of ≥ k+w−1
+    * codepoints shares a fingerprint), then pair through a
+    * document-frequency-capped inverted index on fingerprints exactly
+    * like [[jaccardPairs]] does on shingles. Resemblance is fingerprint
+    * Jaccard. Position-independent (a moved paragraph still matches)
+    * and ~2/(w+1) as dense as full shingle sets, so the index is
+    * smaller than q53's at the same guarantee length.
+    *
+    * Scale: fingerprinting is row-local codegen; the DF cap bounds
+    * every join bucket; set sizes ride the index rows — the q53
+    * bounded dataflow with a sparser key set.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, dfCap: Int = 50, threshold: Double = 0.5): DataFrame = {
+    graft.functions.WinnowFps.register(docs.sparkSession)
+    val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"), explode(expr(s"winnow_fps(text, $k, $w)")).as("fp"))
+    val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val kept = fps.join(freq.filter(col("df") <= dfCap).select("fp"), "fp")
+      .withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"), col("nf").as("na"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"), col("nf").as("nb"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("resemblance", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("resemblance") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("resemblance"))
+  }
+
   /** FUZZY decontamination — the near-duplicate complement of the exact
     * n-gram benchmark overlap (Corpus.decontaminate / q80): a corpus
     * document is flagged when it LSH-collides with a benchmark document
@@ -404,6 +440,11 @@ object Dedup {
       minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q131_winnowing" -> ((s, dir) =>
+      winnowingPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, dfCap = 50, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Docs 0-24 stand in for the benchmark/eval set (the q80 convention).
     // Complementary to exact decontamination: q80 flags ANY shared 5-gram
     // (verbatim snippets); this flags estimated-Jaccard near-duplicates
@@ -585,6 +626,43 @@ object Dedup {
         |JOIN documents db ON db.doc_id = p.doc_b
         |WHERE round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
         |    greatest(len(da.text), len(db.text)), 6) <= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q131_winnowing" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(8, len(text)),
+        |      i -> (CAST(ascii(substring(text, i - 7, 1)) AS BIGINT) * 13163680 +
+        |            CAST(ascii(substring(text, i - 6, 1)) AS BIGINT) * 805498697 +
+        |            CAST(ascii(substring(text, i - 5, 1)) AS BIGINT) * 154885210 +
+        |            CAST(ascii(substring(text, i - 4, 1)) AS BIGINT) * 362470373 +
+        |            CAST(ascii(substring(text, i - 3, 1)) AS BIGINT) * 16974593 +
+        |            CAST(ascii(substring(text, i - 2, 1)) AS BIGINT) * 66049 +
+        |            CAST(ascii(substring(text, i - 1, 1)) AS BIGINT) * 257 +
+        |            ascii(substring(text, i, 1))) % 1000000007) AS hs
+        |  FROM documents
+        |), fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(hs) - 3),
+        |      j -> list_min(hs[j : j + 3]))) AS fp
+        |  FROM h
+        |), freq AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+        |), kept AS (
+        |  SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp)
+        |), n AS (
+        |  SELECT doc_id, count(*) AS nf FROM kept GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (na.nf + nb.nf - inter), 6) AS resemblance
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (na.nf + nb.nf - inter), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q129_fuzzy_decontaminate" ->

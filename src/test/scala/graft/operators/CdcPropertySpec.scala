@@ -68,6 +68,44 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps equals the explicit per-window list_min reference (oracle formulation)") {
+    def refFps(s: String, k: Int, w: Int): Set[Long] = {
+      val M = 1000000007L
+      val cps = s.codePoints().toArray
+      val pow = Array.iterate(1L, k)(_ * 257L % M).reverse
+      val hs = (k to cps.length).map { i =>
+        (i - k until i).map(j => cps(j) * pow(j - (i - k)) % M).sum % M
+      }
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    val caseGen = for {
+      s <- textGen; k <- Gen.choose(2, 10); w <- Gen.choose(1, 6)
+    } yield (s, k, w)
+    cases(caseGen, 300).foreach { case (s, k, w) =>
+      val a = graft.functions.WinnowFps.fps(UTF8String.fromString(s), k, w)
+      val got = (0 until a.numElements()).map(a.getLong).toSet
+      assert(got == refFps(s, k, w), s"k=$k w=$w text=${s.take(40)}")
+      // sorted-distinct output contract
+      val seq = (0 until a.numElements()).map(a.getLong)
+      assert(seq == seq.distinct.sorted)
+    }
+  }
+
+  test("winnowing guarantee: a shared ≥ k+w−1 run yields a shared fingerprint, anywhere") {
+    def fps(s: String): Set[Long] = {
+      val a = graft.functions.WinnowFps.fps(UTF8String.fromString(s), 8, 4)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val shared = "THE-SHARED-SEGMENT-IS-THIS" // 26 ≥ k+w−1 = 11
+    cases(Gen.zip(textGen, textGen), 100).foreach { case (p1, p2) =>
+      val d1 = p1 + shared
+      val d2 = shared + p2 // at a DIFFERENT offset
+      assert((fps(d1) & fps(d2)).nonEmpty,
+        s"shared run must fingerprint-collide: ${p1.take(20)} / ${p2.take(20)}")
+    }
+    assert(fps("0123456789").isEmpty, "texts shorter than k+w−1 emit no fingerprints")
+  }
+
   test("a suffix edit never changes chunks before the last one (CDC locality)") {
     cases(textGen, 150).filter(s => s.codePointCount(0, s.length) >= 32)
       .foreach { s =>
