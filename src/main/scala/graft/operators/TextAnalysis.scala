@@ -362,7 +362,51 @@ object TextAnalysis {
     "slow" -> -1.0, "dup" -> -1.5, "batch" -> -0.25)
   val ClassifierBias: Double = -0.5
 
+  /** HTML → text extraction — the web-corpus ingestion stage (what a
+    * CommonCrawl pipeline runs before any quality/dedup op): structural
+    * boilerplate zones (script/style/nav/footer, with their contents)
+    * are removed, remaining markup is stripped to text, the five core
+    * entities decode (`&amp;` deliberately LAST so `&amp;lt;` cannot
+    * double-decode), and whitespace collapses. Pure chained
+    * `regexp_replace` — row-local codegen, zero shuffle, scales with
+    * the scan. Patterns stay in the RE2 ∩ Java-regex dialect
+    * ((?is), lazy quantifiers, character classes) so the DuckDB oracle
+    * runs the IDENTICAL chain.
+    */
+  def htmlExtract(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val zones = Seq("script", "style", "nav", "footer")
+    val noZones = zones.foldLeft(col(htmlCol)) { (c, z) =>
+      regexp_replace(c, s"(?is)<$z\\b[^>]*>.*?</$z>", " ")
+    }
+    val noTags = regexp_replace(noZones, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    docs.select(col(idCol),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("extracted"))
+      .withColumn("n_extracted", length(col("extracted")).cast("long"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q132_html_extract" -> ((s, dir) => {
+      // the corpus is plain text, so the query PLANTS the markup (the
+      // q72/q95/q124 pattern): head boilerplate, nav/footer zones, an
+      // entity-bearing tail — extraction must keep title + body text +
+      // decoded tail and drop everything structural.
+      val docs = Tables.load(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>body { color: #000; }</style>" +
+          "<script>if (1 < 2) { var x = \"&amp;\"; }</script></head>" +
+          "<body><nav>home | about | contact</nav><p>"),
+        col("text"),
+        lit(" &amp; tail</p><div class=\"note\">n&#39;est-ce pas</div>" +
+          "<footer>&copy; 2024 corp</footer></body></html>"))
+      htmlExtract(docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     "q54_langid" -> Q.fromSql(q54Spark),
     "q55_quality_score" -> Q.fromSql(q55Spark),
     "q56_token_count" -> Q.fromSql(q56Spark),
@@ -467,7 +511,37 @@ object TextAnalysis {
   private val classifierWtsValues = ClassifierWeights.toSeq.sortBy(_._1)
     .map { case (w, wt) => s"('$w', $wt)" }.mkString(", ")
 
+  /** The IDENTICAL regexp_replace chain as [[htmlExtract]], rendered as
+    * DuckDB SQL (every call needs the 'g' flag — DuckDB replaces only
+    * the first match by default, Spark replaces all). */
+  private val q132Oracle: String = {
+    var e = "h"
+    for (z <- Seq("script", "style", "nav", "footer"))
+      e = s"regexp_replace($e, '(?is)<$z\\b[^>]*>.*?</$z>', ' ', 'g')"
+    e = s"regexp_replace($e, '<[^>]+>', ' ', 'g')"
+    for ((ent, r) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&"))
+      e = s"regexp_replace($e, '$ent', '$r', 'g')"
+    e = s"trim(regexp_replace($e, '\\s+', ' ', 'g'))"
+    s"""WITH html AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source ||
+       |    '</title><style>body { color: #000; }</style>' ||
+       |    '<script>if (1 < 2) { var x = "&amp;"; }</script></head>' ||
+       |    '<body><nav>home | about | contact</nav><p>' || text ||
+       |    ' &amp; tail</p><div class="note">n&#39;est-ce pas</div>' ||
+       |    '<footer>&copy; 2024 corp</footer></body></html>' AS h
+       |  FROM documents
+       |), ex AS (
+       |  SELECT doc_id, $e AS extracted FROM html
+       |)
+       |SELECT doc_id, extracted,
+       |  CAST(length(extracted) AS BIGINT) AS n_extracted
+       |FROM ex ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q132_html_extract" -> q132Oracle,
     "q118_linear_probe" ->
       """WITH feats AS (
         |  SELECT doc_id,

@@ -1116,6 +1116,23 @@ class OperatorsSpec extends AnyFunSuite {
       s"only the in-band vector qualifies as a hard negative: $negs")
   }
 
+  test("htmlExtract: drops boilerplate zones, strips tags, decodes entities in safe order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><script>if (a < b) { alert(\"x\"); }</script>" +
+        "<nav>menu</nav><p>keep &amp; hold</p><footer>gone</footer></html>"),
+      (2L, "<p>double &amp;lt; stays encoded</p>"), // &amp;lt; → &lt;, NOT <
+      (3L, "plain   text\n\nwith   gaps")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.htmlExtract(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep & hold",
+      s"script (with embedded <), nav, footer must vanish: '${out(1L)}'")
+    assert(out(2L) == "double &lt; stays encoded",
+      "&amp; decodes LAST so double-encoded entities cannot double-decode")
+    assert(out(3L) == "plain text with gaps", "whitespace collapses")
+  }
+
   test("gapFill: empty buckets appear with n=0 and carry the last aggregate forward") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
