@@ -22,6 +22,10 @@ object Processors {
       extends (DataFrame => DataFrame) {
     def apply(batch: DataFrame): DataFrame = {
       val spark = batch.sparkSession
+      // pipelines get the whole graft function library (minhash_sigs,
+      // cdc_chunks, winnow_fps, ema, …) without per-function setup;
+      // idempotent map puts, safe per micro-batch
+      graft.functions.Registry.registerAll(spark)
       validate(spark.sessionState.sqlParser.parsePlan(query))
       batch.createOrReplaceTempView(tableName)
       spark.sql(query)

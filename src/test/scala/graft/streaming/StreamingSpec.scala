@@ -113,6 +113,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.as[Long].collect().toSeq == Seq(42L))
   }
 
+  test("sql processor sees the whole graft function library without setup") {
+    // a config-driven pipeline can run the dedup/selection expressions
+    // directly in its sql step — Registry.registerAll is wired into
+    // SqlProcessor, no per-function registration in user code
+    val docs = Seq(
+      (1L, "the same boilerplate text repeated across both documents here"),
+      (2L, "the same boilerplate text repeated across both documents here"),
+      (3L, "something entirely different and unrelated to the others now")
+    ).toDF("doc_id", "text")
+    val out = Processors.SqlProcessor(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM (SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp FROM flow) a
+        |JOIN (SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp FROM flow) b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5""".stripMargin)(docs)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val chunks = Processors.SqlProcessor(
+      "SELECT doc_id, size(cdc_chunks(text, 8, 32)) AS n FROM flow")(docs)
+    assert(chunks.count() == 3)
+  }
+
   test("sql processor rejects DDL/DML like SQLOptions (sql.rs:185-201)") {
     intercept[Exception](Processors.SqlProcessor("DROP TABLE flow")(Seq(1).toDF("a")))
     intercept[Exception](
