@@ -50,15 +50,29 @@ object EventsOps {
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("key"),
         explode(sequence(col("mn"), col("mx"), lit(stepSeconds))).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Long.MinValue, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(0, Long.MaxValue)
+    val obsBucket = when(col("sum_value").isNotNull, col("bucket"))
     grid.join(agg, Seq("key", "bucket"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
-      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("filled_value", last(col("sum_value"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(obsBucket, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(obsBucket, ignoreNulls = true).over(wNext))
+      // linear interpolation across the gap; trailing gaps (no next
+      // observation) degrade to the forward fill
+      .withColumn("lerp_value", round(
+        when(col("nb").isNull || col("nb") === col("pb"), col("filled_value"))
+          .otherwise(col("filled_value") +
+            (col("nv") - col("filled_value")) *
+              (col("bucket") - col("pb")).cast("double") / (col("nb") - col("pb"))), 4))
       .withColumn("is_gap", col("n") === 0)
       .select(col("key"), col("bucket"), col("n"), col("sum_value"),
-        col("filled_value"), col("is_gap"))
+        col("filled_value"), col("lerp_value"), col("is_gap"))
   }
 
   val queries: Map[String, QueryFn] = Map(
@@ -125,12 +139,28 @@ object EventsOps {
         |  SELECT key, CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS bucket
         |  FROM spans
         |)
-        |SELECT g.key, g.bucket, CAST(coalesce(n, 0) AS BIGINT) AS n, sum_value,
-        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY g.key
-        |    ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled_value,
-        |  coalesce(n, 0) = 0 AS is_gap
-        |FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bucket = g.bucket
-        |ORDER BY g.key, g.bucket""".stripMargin,
+        |, joined AS (
+        |  SELECT g.key, g.bucket, CAST(coalesce(n, 0) AS BIGINT) AS n, sum_value,
+        |    last_value(sum_value IGNORE NULLS) OVER (PARTITION BY g.key
+        |      ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |    last_value(CASE WHEN sum_value IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.key ORDER BY g.bucket
+        |            ROWS UNBOUNDED PRECEDING) AS pb,
+        |    first_value(sum_value IGNORE NULLS) OVER (PARTITION BY g.key
+        |      ORDER BY g.bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN sum_value IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.key ORDER BY g.bucket
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bucket = g.bucket
+        |)
+        |SELECT key, bucket, n, sum_value, filled_value,
+        |  round(CASE WHEN nb IS NULL OR nb = pb THEN filled_value
+        |        ELSE filled_value + (nv - filled_value) *
+        |             CAST(bucket - pb AS DOUBLE) / (nb - pb) END, 4) AS lerp_value,
+        |  n = 0 AS is_gap
+        |FROM joined
+        |ORDER BY key, bucket""".stripMargin,
 
     "q42_tumbling_window" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS win_start, event_type,

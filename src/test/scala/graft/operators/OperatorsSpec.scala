@@ -1143,12 +1143,14 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("k", "sec", "v").withColumn("tsc", expr("timestamp_seconds(sec)"))
     val out = EventsOps.gapFill(ev, "k", "tsc", "v", stepSeconds = 100L)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), Option(r.get(3)), r.getDouble(4), r.getBoolean(5))).toMap
-    assert(out(("A", 0L)) == ((2L, Some(3.0), 3.0, false)), "bucket 0 aggregates both rows")
-    assert(out(("A", 100L)) == ((0L, None, 3.0, true)),
-      "the gap bucket exists, is flagged, and forward-fills 3.0")
-    assert(out(("A", 200L)) == ((1L, Some(7.0), 7.0, false)))
-    assert(out.keys.count(_._1 == "B") == 2 && !out(("B", 100L))._4,
+        (r.getLong(2), Option(r.get(3)), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6))).toMap
+    assert(out(("A", 0L)) == ((2L, Some(3.0), 3.0, 3.0, false)),
+      "bucket 0 aggregates both rows; observed rows lerp to themselves")
+    assert(out(("A", 100L)) == ((0L, None, 3.0, 5.0, true)),
+      "the gap bucket is flagged, forward-fills 3.0, and lerps midway to 5.0")
+    assert(out(("A", 200L)) == ((1L, Some(7.0), 7.0, 7.0, false)))
+    assert(out.keys.count(_._1 == "B") == 2 && !out(("B", 100L))._5,
       "keys without gaps emit only their observed span")
   }
 
