@@ -75,7 +75,49 @@ object EventsOps {
         col("filled_value"), col("lerp_value"), col("is_gap"))
   }
 
+  /** Ordered-funnel analysis (the ClickHouse `windowFunnel` shape): per
+    * user, the earliest time each funnel step completes STRICTLY AFTER
+    * the previous step — `steps` is how deep the user got, plus the
+    * end-to-end conversion time for full completions.
+    *
+    * Scale shape: one shuffle on the user key, then three window
+    * passes and the final aggregate all reuse the SAME partitioning
+    * (Spark plans a single Exchange); per-task state is one user's
+    * events. No joins, no ordered global state — this is the funnel
+    * formulation that survives billions of events, unlike sessionized
+    * sort-and-scan UDFs.
+    */
+  def funnel(events: org.apache.spark.sql.DataFrame, userCol: String,
+      typeCol: String, tsSecCol: String,
+      steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    val base = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), col(tsSecCol).cast("long").as("tsn"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond = if (i == 0) col("et") === step
+        else col("et") === step && col("tsn") > col(s"s$i")
+      df.withColumn(s"s${i + 1}", min(when(cond, col("tsn"))).over(w))
+    }
+    val stepCols = steps.indices.map(i => max(col(s"s${i + 1}")).as(s"s${i + 1}"))
+    // deepest step wins: the LAST fold iteration must wrap outermost
+    val depth = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"s${i + 1}").isNotNull, i + 1).otherwise(acc)
+    }
+    staged.groupBy(col("user_id"))
+      .agg(stepCols.head, stepCols.tail: _*)
+      .withColumn("steps", depth)
+      .withColumn("convert_secs",
+        col(s"s${steps.size}") - col("s1"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q133_funnel" -> ((s, dir) =>
+      funnel(Tables.load(s, dir, "events")
+          .withColumn("tsn", expr("ts DIV 1000000000")),
+        "user_id", "event_type", "tsn", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     "q130_gapfill" -> ((s, dir) =>
       gapFill(withTs(s, dir), "event_type", "tsc", "value", stepSeconds = 3600L)
         .orderBy(col("key"), col("bucket"))),
@@ -126,6 +168,28 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q133_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS tsn FROM events
+        |), u1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN tsn END) AS s1
+        |  FROM e GROUP BY user_id
+        |), u2 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND tsn > s1 THEN tsn END) AS s2
+        |  FROM e JOIN u1 USING (user_id) GROUP BY e.user_id
+        |), u3 AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND tsn > s2 THEN tsn END) AS s3
+        |  FROM e JOIN u2 USING (user_id) GROUP BY e.user_id
+        |)
+        |SELECT u1.user_id, s1, s2, s3,
+        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS steps,
+        |  s3 - s1 AS convert_secs
+        |FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "q130_gapfill" ->
       """WITH agg AS (
         |  SELECT event_type AS key,

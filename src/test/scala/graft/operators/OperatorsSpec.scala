@@ -1116,6 +1116,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"only the in-band vector qualifies as a hard negative: $negs")
   }
 
+  test("funnel: steps complete only strictly in order; one shuffle serves all stages") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: clicked BEFORE viewing — click must not count; re-click later does
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 40L),
+      // u3: purchase before click — depth stops at 2
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // u4: never viewed
+      (4L, "click", 10L), (4L, "purchase", 20L)
+    ).toDF("user_id", "event_type", "tsn")
+    val out = EventsOps.funnel(ev, "user_id", "event_type", "tsn",
+      Seq("view", "click", "purchase"))
+    // inspect BEFORE collect: the post-AQE string repeats the exchange
+    // node inside its finalized query stage
+    val exchangesPlanned = "Exchange".r.findAllIn(
+      out.queryExecution.executedPlan.toString).size
+    val steps = out.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(steps == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0),
+      s"strict ordering must gate each step: $steps")
+    assert(out.filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .head.getLong(5) == 20L, "conversion time = purchase - first view")
+    assert(exchangesPlanned == 1,
+      s"windows + final agg must reuse ONE user-key shuffle, saw $exchangesPlanned")
+  }
+
   test("htmlExtract: drops boilerplate zones, strips tags, decodes entities in safe order") {
     import spark.implicits._
     val docs = Seq(
