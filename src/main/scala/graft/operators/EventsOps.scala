@@ -111,7 +111,33 @@ object EventsOps {
         col(s"s${steps.size}") - col("s1"))
   }
 
+  /** Cohort retention — users grouped by first-seen week, counted in
+    * each subsequent week they return: the (cohort, offset) → users
+    * retention matrix every activation dashboard is built on. Two
+    * user-keyed shuffles: dedupe to (user, week), derive each user's
+    * first week, re-join on the same key (no extra exchange shape), and
+    * count distinct users per matrix cell — state is bounded by active
+    * (user, week) pairs, never raw events. No windows, no ordering.
+    */
+  def cohortRetention(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsSecCol: String, bucketSeconds: Long = 604800L): org.apache.spark.sql.DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive, got $bucketSeconds")
+    val act = events.select(col(userCol).as("user_id"),
+      (col(tsSecCol).cast("long").divide(bucketSeconds)).cast("long").as("wk"))
+      .distinct()
+    val firstWk = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    act.join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q134_cohort_retention" -> ((s, dir) =>
+      cohortRetention(Tables.load(s, dir, "events")
+          .withColumn("tsn", expr("ts DIV 1000000000")),
+        "user_id", "tsn")
+        .orderBy(col("cohort_wk"), col("week_offset"))),
+
     "q133_funnel" -> ((s, dir) =>
       funnel(Tables.load(s, dir, "events")
           .withColumn("tsn", expr("ts DIV 1000000000")),
@@ -168,6 +194,19 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q134_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 604800 AS wk
+        |  FROM events
+        |), fw AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+        |)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
+
     "q133_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS tsn FROM events

@@ -1143,6 +1143,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"windows + final agg must reuse ONE user-key shuffle, saw $exchangesPlanned")
   }
 
+  test("cohortRetention: users land in their first-seen cohort; cells count distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 10L), (1L, 20L), // cohort 0, back in wk 1 and 2
+      (2L, 5L), (2L, 25L),                      // cohort 0, back in wk 2
+      (3L, 12L), (3L, 13L)                      // cohort 1, wk-1-only (same-week repeat)
+    ).toDF("user_id", "tsn")
+    val m = EventsOps.cohortRetention(ev, "user_id", "tsn", bucketSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L, (1L, 0L) -> 1L),
+      s"retention matrix mismatch: $m")
+  }
+
   test("htmlExtract: drops boilerplate zones, strips tags, decodes entities in safe order") {
     import spark.implicits._
     val docs = Seq(
