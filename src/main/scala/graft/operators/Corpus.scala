@@ -987,7 +987,11 @@ object Corpus {
         .agg(count(lit(1)).as("top_count"))
         .orderBy(desc("top_count"), col("top_value"))
         .limit(1)
-      scalars.crossJoin(broadcast(mode)) // ONE row × ONE row, the q21 shape
+      // LEFT join against the one-row mode: an all-NULL column has an
+      // EMPTY mode table, and an inner/cross join would silently drop
+      // the whole profile row (the oracle's scalar subquery keeps it
+      // with NULL top_value) — left keeps the row, nulls the mode
+      scalars.join(broadcast(mode), lit(true), "left")
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"),
           col("top_value"), col("top_count"))

@@ -55,6 +55,11 @@ object Selection {
     val u = (h32(concat(lit("ws:"), col(idCol).cast("string")))
       .cast("double") + 0.5d) / 4294967296.0d
     docs.select(col(idCol), weight.cast("double").as("weight"))
+      // w → 0⁺ drives key → −∞, i.e. never selected — so non-positive
+      // weights are EXCLUDED rather than silently producing NaN
+      // (w = 0 ⇒ ln(u)/0) or sign-flipped keys (w < 0) that would
+      // sort the WORST items first
+      .filter(col("weight") > 0d)
       .withColumn("sample_key", round(log(u) / col("weight"), 6))
       .orderBy(desc("sample_key"), col(idCol))
       .limit(n)

@@ -203,6 +203,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(!flagged.exists(_._1 == 101L), "unrelated doc must pass")
   }
 
+  test("weightedSample: non-positive weights are excluded, never NaN keys") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 20L)).toDF("doc_id", "w")
+    val out = Selection.weightedSample(docs, "doc_id", col("w"), n = 10)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L), s"zero/negative weights must be excluded: $ids")
+    assert(out.filter(col("sample_key").isNaN).count() == 0)
+  }
+
+  test("corpusProfile: an all-NULL column still emits its profile row") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 1L), (Option.empty[String], 2L))
+      .toDF("cat", "n")
+    val rows = Corpus.corpusProfile(df, Seq("cat", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("cat"), "all-null column must not vanish from the profile")
+    val cat = rows("cat")
+    assert(cat.getLong(1) == 2L && cat.getLong(2) == 2L && cat.getLong(3) == 0L)
+    assert(cat.isNullAt(6) && cat.isNullAt(7), "mode of an all-null column is NULL")
+  }
+
   test("corpusProfile: counts, nulls, min/max, and deterministic mode tiebreak") {
     import spark.implicits._
     val df = Seq(
