@@ -131,7 +131,32 @@ object EventsOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for every
+    * user's time-ordered event stream, count (from → to) adjacent
+    * pairs — the "what do users do next" table behind path analysis
+    * and next-action models. One user-keyed shuffle for the lag
+    * window (ties broken by event id for determinism), then a
+    * map-side-combinable count by the (from, to) cell — cardinality
+    * = |event types|², independent of event volume.
+    */
+  def transitions(events: org.apache.spark.sql.DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol).as("to_type"),
+        col(tsCol), col(idCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q135_transitions" -> ((s, dir) =>
+      transitions(Tables.load(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))),
+
     "q134_cohort_retention" -> ((s, dir) =>
       cohortRetention(Tables.load(s, dir, "events")
           .withColumn("tsn", expr("ts DIV 1000000000")),
@@ -194,6 +219,18 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "q134_cohort_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 604800 AS wk
