@@ -26,6 +26,15 @@ object Q {
   /** Exact decimal sum -> double, rounded. */
   def dsum(c: Column, scale: Int = 2): Column = round(sum(d(c)).cast("double"), scale)
 
+  /** The house ORACLE-REPRODUCIBLE 32-bit hash: first 8 md5 hex chars
+    * as a long. Single-sourced because the DuckDB side must render the
+    * IDENTICAL value — `CAST(CAST('0x' || substring(md5(x), 1, 8) AS
+    * UBIGINT) AS BIGINT)` — wherever any operator buckets, samples, or
+    * derives a uniform from content. Swap xxhash64 for production
+    * throughput when a differential oracle isn't required. */
+  def md5Bucket32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** A query that runs one SQL text against the registered test tables.
     * Used where the Spark and DuckDB dialects coincide, so the exact same
     * string is also the oracle.

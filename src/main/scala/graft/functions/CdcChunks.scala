@@ -50,6 +50,11 @@ object CdcChunks {
   private val M = 1000000007L
 
   def chunks(text: UTF8String, k: Int, d: Int): ArrayData = {
+    // validated HERE, not only in the calling operator: Registry exposes
+    // cdc_chunks to arbitrary pipeline SQL, where d = 0 would otherwise
+    // surface as an executor ArithmeticException mid-job
+    if (k <= 0 || d <= 0) throw new IllegalArgumentException(
+      s"cdc_chunks(text, k, d) needs k > 0 and d > 0, got k=$k d=$d")
     val s = text.toString
     val n = s.codePointCount(0, s.length)
     if (n == 0) return new GenericArrayData(Array.empty[Any])

@@ -50,6 +50,12 @@ object WinnowFps {
   private val M = 1000000007L
 
   def fps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // validated HERE, not only in the calling operator: Registry exposes
+    // winnow_fps to arbitrary pipeline SQL, where w = 0 would otherwise
+    // empty the deque and NPE mid-job (and k <= 0 would emit phantom
+    // fingerprints from uninitialized hash slots)
+    if (k <= 0 || w <= 0) throw new IllegalArgumentException(
+      s"winnow_fps(text, k, w) needs k > 0 and w > 0, got k=$k w=$w")
     val s = text.toString
     val cps = s.codePoints().toArray
     val n = cps.length

@@ -183,7 +183,10 @@ object Corpus {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
+    // persisted so pass 2 reuses pass 1's partitions BY IDENTITY (the
+    // broadcast bases are per-partition-index) and skips the re-scan
     val rdd = toks.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         Iterator.single((i, it.foldLeft(0L)(_ + _._2)))
@@ -966,8 +969,8 @@ object Corpus {
     * every new snapshot before anything downstream trusts it: one row
     * per profiled column with row/null/distinct counts, min/max, and
     * the modal value (deterministic tiebreak: smallest value among
-    * modes). The scalar stats are ONE aggregation per column over the
-    * scan; the mode is a groupBy + global top-1 (TakeOrdered — no full
+    * modes). The scalar stats for EVERY column ride one aggregation
+    * pass; each mode is a groupBy + global top-1 (TakeOrdered — no full
     * sort). `countDistinct` is exact here because the profile is the
     * oracle-graded contract; at 100 TB swap `approx_count_distinct`
     * (HLL, one pass, no shuffle of distinct values) — the q40 family
@@ -975,13 +978,18 @@ object Corpus {
     */
   def corpusProfile(docs: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // ALL columns' scalar stats ride ONE aggregation pass over the scan
+    // (not one scan per column); only the modes need their own
+    // per-column groupBy, which no single pass can express
+    val scalars = docs.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+      }: _*)
     cols.map { c =>
-      val scalars = docs.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_val"),
-        max(col(c)).cast("string").as("max_val"))
       val mode = docs.filter(col(c).isNotNull)
         .groupBy(col(c).cast("string").as("top_value"))
         .agg(count(lit(1)).as("top_count"))
@@ -992,8 +1000,10 @@ object Corpus {
       // the whole profile row (the oracle's scalar subquery keeps it
       // with NULL top_value) — left keeps the row, nulls the mode
       scalars.join(broadcast(mode), lit(true), "left")
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_val"), col("max_val"),
+        .select(lit(c).as("col_name"), col("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__distinct_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"),
           col("top_value"), col("top_count"))
     }.reduce(_.unionAll(_))
   }

@@ -87,16 +87,25 @@ object Dedup {
     * array_intersect/union on per-doc distinct shingles) — the only
     * shuffles are the band join and the two signature joins.
     */
-  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** Per-doc DISTINCT 3-gram shingle sets + fused minhash signatures —
+    * the parity-critical construction shared by [[minhashEstimateAudit]]
+    * and [[fuzzyDecontaminate]] (single-sourced so a shingle-definition
+    * change can never silently fork the two against their common
+    * oracle convention). */
+  private def distinctShingleSigs(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int): DataFrame = {
     graft.functions.MinhashSigs.register(docs.sparkSession)
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
       .select(col("doc_id"), col("sh"),
         expr(s"minhash_sigs(sh, $numHashes)").as("ms"))
+  }
+
+  def minhashEstimateAudit(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = distinctShingleSigs(docs, idCol, textCol, numHashes)
     minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand)
       .join(sigs.select(col("doc_id").as("doc_a"), col("ms").as("ms_a"),
         col("sh").as("sh_a")), "doc_a")
@@ -188,13 +197,8 @@ object Dedup {
   def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 8,
       rowsPerBand: Int = 2, minEstJaccard: Double = 0.25): DataFrame = {
-    graft.functions.MinhashSigs.register(corpus.sparkSession)
-    def sigTable(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
-      .select(col("doc_id"), expr(s"minhash_sigs(sh, $numHashes)").as("ms"))
+    def sigTable(df: DataFrame) =
+      distinctShingleSigs(df, idCol, textCol, numHashes).select("doc_id", "ms")
     val cband = bandSignatures(corpus, idCol, textCol, numHashes, rowsPerBand)
     val bband = bandSignatures(benchmark, idCol, textCol, numHashes, rowsPerBand)
     val cands = cband.join(broadcast(bband

@@ -41,8 +41,11 @@ object EventsOps {
     require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
     val agg = events
       .select(col(keyCol).as("key"),
-        (unix_timestamp(col(tsCol)).cast("long").divide(stepSeconds)).cast("long")
-          .multiply(stepSeconds).as("bucket"),
+        // floor, not cast-truncate: pre-epoch timestamps must land in
+        // the same bucket the oracle's integer floor-division (//)
+        // assigns them to
+        (floor(unix_timestamp(col(tsCol)).cast("long") / stepSeconds)
+          .cast("long") * stepSeconds).as("bucket"),
         col(valueCol).as("v"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("n"), Q.dsum(col("v")).as("sum_value"))
@@ -123,7 +126,9 @@ object EventsOps {
       tsSecCol: String, bucketSeconds: Long = 604800L): org.apache.spark.sql.DataFrame = {
     require(bucketSeconds > 0, s"bucket must be positive, got $bucketSeconds")
     val act = events.select(col(userCol).as("user_id"),
-      (col(tsSecCol).cast("long").divide(bucketSeconds)).cast("long").as("wk"))
+      // floor (not cast-truncate) for pre-epoch parity with the
+      // oracle's // division
+      floor(col(tsSecCol).cast("long") / bucketSeconds).cast("long").as("wk"))
       .distinct()
     val firstWk = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     act.join(firstWk, "user_id")

@@ -33,10 +33,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Selection {
 
-  /** 32-bit bucket hash from the md5 hex prefix — the house
-    * oracle-reproducible hash (same mechanism as TextAnalysis.hashedFeatures). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** The house oracle-reproducible 32-bit bucket hash ([[Q.md5Bucket32]]). */
+  private def h32(c: Column): Column = Q.md5Bucket32(c)
 
   /** Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
     * exponential keys: key = ln(u)/w with u uniform in (0,1), take the
@@ -235,7 +233,12 @@ object Selection {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(desc("score"), col("doc_id"))
       .sortWithinPartitions(desc("score"), col("doc_id"))
+    // persisted so pass 2 reuses pass 1's partitions BY IDENTITY — the
+    // base offsets are only meaningful against the exact partitioning
+    // they were counted on, and a recompute would also re-scan + re-sort
+    // the corpus
     val rdd = toks.rdd.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
         Iterator.single((i, it.foldLeft(0L)(_ + _._3)))
       }.collect().sortBy(_._1).map(_._2)
@@ -310,6 +313,7 @@ object Selection {
         |                 AS UBIGINT) AS BIGINT) + 0.5) / 4294967296.0)
         |        / CAST(n_chars AS DOUBLE), 6) + 0 AS sample_key
         |FROM documents
+        |WHERE n_chars > 0
         |ORDER BY sample_key DESC, doc_id
         |LIMIT 100""".stripMargin,
 

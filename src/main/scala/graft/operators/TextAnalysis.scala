@@ -157,7 +157,7 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("bucket",
-        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dims)
+        graft.Q.md5Bucket32(col("w")) % dims)
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
