@@ -60,6 +60,29 @@ class ExamplesSpec extends AnyFunSuite {
       Set("doc_id", "text", "lang", "source"))
   }
 
+  test("near-dedup example mines winnowing pairs from config alone") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "near_dedup.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_neardup_out").toString
+    Engine.run(spark, Config.fromYaml(yaml.replace("/tmp/graft/out/near_dedup", outDir)))
+    val got = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.WinnowFps.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("neardup_docs")
+    val expected = spark.sql(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM (SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp FROM neardup_docs) a
+        |JOIN (SELECT doc_id, explode(winnow_fps(text, 8, 4)) AS fp FROM neardup_docs) b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b HAVING count(*) >= 8""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && expected.nonEmpty,
+      s"config pipeline must reproduce the library SQL: ${got.size} vs ${expected.size}")
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))
