@@ -156,7 +156,47 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Rolling z-score rate anomalies over the GAP-FILLED series (composes
+    * [[gapFill]] — a missing bucket is a zero-count observation, which
+    * is exactly what an outage looks like; computing stats over only
+    * observed buckets would hide it). For each bucket, z scores the
+    * count against the trailing `lookback` buckets (exclusive).
+    *
+    * Numeric parity: counts are integers, so the trailing sum, sum of
+    * squares, and the variance NUMERATOR `W·Σx² − (Σx)²` are all exact
+    * long arithmetic — the zero-variance guard is an integer compare,
+    * and the single double division + sqrt at the end is IEEE-identical
+    * across engines. Same per-key window family as the fill itself: one
+    * key shuffle serves everything.
+    */
+  def rateAnomalies(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, stepSeconds: Long,
+      lookback: Int = 24, zThreshold: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    val wl = lookback.toLong
+    gapFill(events, keyCol, tsCol, valueCol, stepSeconds)
+      .select(col("key"), col("bucket"), col("n"))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("cnt", count(col("n")).over(w))
+      .filter(col("cnt") === wl) // full trailing window only
+      .withColumn("varnum", lit(wl) * col("s2") - col("s1") * col("s1")) // exact
+      .withColumn("z", when(col("varnum") > 0, round(
+        (lit(wl) * col("n") - col("s1")).cast("double") /
+          sqrt(col("varnum").cast("double") * wl / (wl - 1)), 4)))
+      .withColumn("is_anomaly", col("z").isNotNull && abs(col("z")) >= zThreshold)
+      .select(col("key"), col("bucket"), col("n"), col("z"), col("is_anomaly"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q136_rate_anomalies" -> ((s, dir) =>
+      rateAnomalies(withTs(s, dir), "event_type", "tsc", "value",
+        stepSeconds = 3600L, lookback = 24, zThreshold = 3.0)
+        .orderBy(col("key"), col("bucket"))),
+
     "q135_transitions" -> ((s, dir) =>
       transitions(Tables.load(s, dir, "events"), "user_id", "event_type",
         "ts", "event_id")
@@ -224,6 +264,41 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_rate_anomalies" ->
+      """WITH agg AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) // 3600000000000 * 3600 AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT key, min(bucket) AS mn, max(bucket) AS mx FROM agg GROUP BY key
+        |), grid AS (
+        |  SELECT key, CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS bucket
+        |  FROM spans
+        |), filled AS (
+        |  SELECT g.key, g.bucket, CAST(coalesce(n, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bucket = g.bucket
+        |), stats AS (
+        |  SELECT key, bucket, n,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER tw AS BIGINT) AS s2,
+        |    count(n) OVER tw AS cnt
+        |  FROM filled
+        |  WINDOW tw AS (PARTITION BY key ORDER BY bucket
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), scored AS (
+        |  SELECT key, bucket, n, 24 * s2 - s1 * s1 AS varnum, s1
+        |  FROM stats WHERE cnt = 24
+        |)
+        |SELECT key, bucket, n,
+        |  CASE WHEN varnum > 0 THEN
+        |    round(CAST(24 * n - s1 AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE) * 24 / 23), 4)
+        |  END AS z,
+        |  CASE WHEN varnum > 0 THEN
+        |    abs(round(CAST(24 * n - s1 AS DOUBLE) / sqrt(CAST(varnum AS DOUBLE) * 24 / 23), 4)) >= 3.0
+        |  ELSE FALSE END AS is_anomaly
+        |FROM scored
+        |ORDER BY key, bucket""".stripMargin,
+
     "q135_transitions" ->
       """WITH o AS (
         |  SELECT event_type AS to_type,

@@ -1143,6 +1143,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"windows + final agg must reuse ONE user-key shuffle, saw $exchangesPlanned")
   }
 
+  test("rateAnomalies: a planted spike is flagged; zero-variance history yields null z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // key A: buckets 0..9 alternate 1/2 events (variance > 0), bucket 10
+    // bursts with 40 events; key B: constant 1 event per bucket (variance 0)
+    val a = (0 until 10).flatMap(b => Seq.fill(1 + b % 2)(("A", b * 10L))) ++
+      Seq.fill(40)(("A", 100L))
+    val bt = (0 until 12).map(b => ("B", b * 10L))
+    val ev = (a ++ bt).toDF("k", "sec").withColumn("v", expr("1.0"))
+      .withColumn("tsc", expr("timestamp_seconds(sec)"))
+    val out = EventsOps.rateAnomalies(ev, "k", "tsc", "v",
+      stepSeconds = 10L, lookback = 8, zThreshold = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)), r.getBoolean(4))).toMap
+    val spike = out(("A", 100L))
+    assert(spike._2, s"the 40-event burst must flag: $spike")
+    assert(out(("B", 110L))._1.isEmpty && !out(("B", 110L))._2,
+      "constant history has zero variance -> null z, not an anomaly")
+    assert(out.keys.forall(_._2 >= 80L), "rows before a full lookback window are withheld")
+  }
+
   test("cohortRetention: users land in their first-seen cohort; cells count distinct users") {
     import spark.implicits._
     val ev = Seq(
