@@ -409,7 +409,43 @@ object Similarity {
           .as("sum_err2"))
   }
 
+  /** PQ recall AUDIT — the measurement that justifies shipping the
+    * compressed index (the q115 pattern applied to ANN): per query,
+    * how many of [[pqKnn]]'s approximate top-k survive in the EXACT
+    * full-vector L2 top-k. Both sides are deterministic, so unlike the
+    * usual spec-only recall checks this audit is itself a
+    * hash-verified row. Exact side broadcasts the query vectors (the
+    * q60 shape); the hit count is a pair join on bounded k·nQueries
+    * rows.
+    */
+  def pqRecallAudit(emb: DataFrame, m: Int, ksub: Int, nQueries: Int,
+      k: Int, dim: Int = 64): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val approx = pqKnn(emb, m, ksub, nQueries, k, dim).select(col("qid"), col("cid"))
+    val v = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("d2", round(expr(
+        "dot_product(vd, vd) - 2 * dot_product(vd, qv) + dot_product(qv, qv)"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), lit(1).as("hit"))
+    approx.join(exact, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q138_pq_recall" -> ((s, dir) =>
+      pqRecallAudit(Tables.load(s, dir, "embeddings"), m = 8, ksub = 16,
+        nQueries = 5, k = 5)
+        .orderBy(col("qid"))),
+
     "q127_int8_quantize" -> ((s, dir) =>
       int8Quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
@@ -449,6 +485,56 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q138_pq_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+        |), subs AS (
+        |  SELECT vec_id, j, vd[CAST(j*8+1 AS INT) : CAST(j*8+8 AS INT)] AS sub
+        |  FROM v, range(8) t(j)
+        |), cents AS (
+        |  SELECT j, vec_id AS code, sub AS cent FROM subs WHERE vec_id < 16
+        |), enc AS (
+        |  SELECT s.vec_id, s.j, c.code,
+        |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cent)
+        |      + list_dot_product(c.cent, c.cent) AS d2
+        |  FROM subs s JOIN cents c USING (j)
+        |), codes AS (
+        |  SELECT vec_id AS cid, j, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        |    FROM enc) t
+        |  WHERE rn = 1
+        |), qdt AS (
+        |  SELECT vec_id AS qid, j, code, CAST(d2 AS DECIMAL(28,12)) AS dt
+        |  FROM enc WHERE vec_id < 5
+        |), adist AS (
+        |  SELECT q.qid, c.cid, round(CAST(sum(q.dt) AS DOUBLE), 6) AS adist
+        |  FROM codes c JOIN qdt q ON c.j = q.j AND c.code = q.code
+        |  WHERE q.qid <> c.cid
+        |  GROUP BY q.qid, c.cid
+        |), pq AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+        |    FROM adist) t
+        |  WHERE rnk <= 5
+        |), ex AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_dot_product(c.vd, c.vd) - 2 * list_dot_product(c.vd, q.vd)
+        |          + list_dot_product(q.vd, q.vd), 6) AS d2
+        |  FROM v c CROSS JOIN v q
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |), exk AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+        |    FROM ex) t
+        |  WHERE rnk <= 5
+        |)
+        |SELECT p.qid, CAST(count(e.cid) AS BIGINT) AS n_hits,
+        |  round(count(e.cid) / 5.0, 6) AS recall
+        |FROM pq p LEFT JOIN exk e ON p.qid = e.qid AND p.cid = e.cid
+        |GROUP BY p.qid
+        |ORDER BY p.qid""".stripMargin,
+
     "q127_int8_quantize" ->
       """WITH el AS (
         |  SELECT vec_id,

@@ -1215,6 +1215,28 @@ class OperatorsSpec extends AnyFunSuite {
       "keys without gaps emit only their observed span")
   }
 
+  test("pqRecallAudit: recall is 1.0 when the codebook spans every vector (ADC = exact)") {
+    import spark.implicits._
+    // ksub = all vectors => each subvector's nearest centroid is itself,
+    // so the ADC distance IS the exact L2 distance and recall must be 1
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 12L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val out = Similarity.pqRecallAudit(emb, m = 2, ksub = 12,
+      nQueries = 3, k = 4, dim = 8).collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"identity codebook must give perfect recall: ${r}"))
+    // and on the benchmark corpus the audit reports recall in [0, 1]
+    val real = Similarity.pqRecallAudit(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings"),
+      m = 8, ksub = 16, nQueries = 5, k = 5).collect()
+    real.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("int8 quantization: codes span [0,255], per-component error within half a step") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max, min, posexplode}
