@@ -440,7 +440,43 @@ object Similarity {
       .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
   }
 
+  /** IVF recall audit — [[pqRecallAudit]]'s twin for the inverted-file
+    * path: per query, how many of [[ivfKnn]]'s single-cell top-k
+    * survive in the exact cosine top-k ([[bruteForceKnn]]). Measures
+    * what the cell restriction costs on THIS corpus — the number that
+    * decides nProbe. Deterministic on both sides → hash-verified row.
+    */
+  def ivfRecallAudit(emb: DataFrame, nList: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val approx = ivfKnn(emb, nList, nQueries, k).select(col("qid"), col("cid"))
+    // exact side over the SAME universe ivfKnn searches: queries are the
+    // nList..nList+nQueries-1 band, candidates exclude the centroid
+    // vectors — so recall isolates the COST OF THE CELL RESTRICTION,
+    // not differences in the candidate pool
+    val v = prepared(emb)
+    val q = v.filter(col("vec_id") >= nList && col("vec_id") < nList + nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("nrm").as("qn"))
+    val c = v.filter(col("vec_id") >= nList)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val exact = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    approx.join(exact, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 6))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q137_ivf_recall" -> ((s, dir) =>
+      ivfRecallAudit(Tables.load(s, dir, "embeddings"), nList = 8,
+        nQueries = 5, k = 3)
+        .orderBy(col("qid"))),
+
     "q138_pq_recall" -> ((s, dir) =>
       pqRecallAudit(Tables.load(s, dir, "embeddings"), m = 8, ksub = 16,
         nQueries = 5, k = 5)
@@ -485,6 +521,43 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q137_ivf_recall" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS centroid_id, vd, nrm FROM v WHERE vec_id < 8),
+         |assign_scored AS (
+         |  SELECT c.vec_id AS cid, c.vd AS cv, c.nrm AS cn, ct.centroid_id,
+         |    round(list_dot_product(ct.vd, c.vd) / (ct.nrm * c.nrm), 6) AS ccos
+         |  FROM v c CROSS JOIN cents ct
+         |  WHERE c.vec_id >= 8
+         |), assigned AS (
+         |  SELECT cid, cv, cn, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, centroid_id) AS arn
+         |    FROM assign_scored) t
+         |  WHERE arn = 1
+         |), qs AS (
+         |  SELECT cid AS qid, cv AS qv, cn AS qn, cell FROM assigned
+         |  WHERE cid >= 8 AND cid < 13
+         |), ivf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT a.cid, q.qid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_dot_product(q.qv, a.cv) / (q.qn * a.cn), 6) DESC, a.cid) AS rnk
+         |    FROM assigned a JOIN qs q ON a.cell = q.cell AND q.qid <> a.cid) t
+         |  WHERE rnk <= 3
+         |), ex AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_dot_product(q.qv, c.vd) / (q.qn * c.nrm), 6) DESC, c.vec_id) AS rnk
+         |    FROM v c JOIN qs q ON c.vec_id >= 8 AND c.vec_id <> q.qid) t
+         |  WHERE rnk <= 3
+         |)
+         |SELECT p.qid, CAST(count(e.cid) AS BIGINT) AS n_hits,
+         |  round(count(e.cid) / 3.0, 6) AS recall
+         |FROM ivf p LEFT JOIN ex e ON p.qid = e.qid AND p.cid = e.cid
+         |GROUP BY p.qid
+         |ORDER BY p.qid""".stripMargin,
+
     "q138_pq_recall" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings

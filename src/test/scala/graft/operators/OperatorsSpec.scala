@@ -1215,6 +1215,18 @@ class OperatorsSpec extends AnyFunSuite {
       "keys without gaps emit only their observed span")
   }
 
+  test("ivfRecallAudit: one cell = full search = recall 1.0; restriction only lowers it") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // nList = 1: every vector lands in the single cell, the "restricted"
+    // search IS the exact search over the same universe
+    val full = Similarity.ivfRecallAudit(emb, nList = 1, nQueries = 3, k = 3).collect()
+    full.foreach(r => assert(r.getDouble(2) == 1.0, s"single-cell must be exact: $r"))
+    val restricted = Similarity.ivfRecallAudit(emb, nList = 8, nQueries = 5, k = 3)
+      .collect()
+    restricted.foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("pqRecallAudit: recall is 1.0 when the codebook spans every vector (ADC = exact)") {
     import spark.implicits._
     // ksub = all vectors => each subvector's nearest centroid is itself,

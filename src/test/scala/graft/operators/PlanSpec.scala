@@ -107,7 +107,7 @@ class PlanSpec extends AnyFunSuite {
       "q60_knn_brute", "q61_ivf_knn", "q67_ivf_kmeans_knn", "q77_bm25",
       "q85_mixture_sample", "q88_tfidf_keywords", "q91_semantic_dedup",
       "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
-      "q128_corpus_profile", "q138_pq_recall")
+      "q128_corpus_profile", "q137_ivf_recall", "q138_pq_recall")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
