@@ -156,11 +156,12 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Rolling z-score rate anomalies over the GAP-FILLED series (composes
-    * [[gapFill]] — a missing bucket is a zero-count observation, which
-    * is exactly what an outage looks like; computing stats over only
-    * observed buckets would hide it). For each bucket, z scores the
-    * count against the trailing `lookback` buckets (exclusive).
+  /** Rolling z-score rate anomalies over the DENSE count series (the
+    * [[gapFill]] grid shape — a missing bucket is a zero-count
+    * observation, which is exactly what an outage looks like; stats
+    * over only observed buckets would hide it). For each bucket, z
+    * scores the event count against the trailing `lookback` buckets
+    * (exclusive).
     *
     * Numeric parity: counts are integers, so the trailing sum, sum of
     * squares, and the variance NUMERATOR `W·Σx² − (Σx)²` are all exact
@@ -170,15 +171,26 @@ object EventsOps {
     * key shuffle serves everything.
     */
   def rateAnomalies(events: org.apache.spark.sql.DataFrame, keyCol: String,
-      tsCol: String, valueCol: String, stepSeconds: Long,
+      tsCol: String, stepSeconds: Long,
       lookback: Int = 24, zThreshold: Double = 3.0): org.apache.spark.sql.DataFrame = {
     require(lookback >= 2, s"lookback must be >= 2, got $lookback")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(-lookback, -1)
     val wl = lookback.toLong
-    gapFill(events, keyCol, tsCol, valueCol, stepSeconds)
-      .select(col("key"), col("bucket"), col("n"))
+    // dense COUNT grid (the gapFill shape minus its value machinery —
+    // this operator rates event counts, no value column involved)
+    val agg = events.select(col(keyCol).as("key"),
+        (floor(unix_timestamp(col(tsCol)).cast("long") / stepSeconds)
+          .cast("long") * stepSeconds).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val grid = agg.groupBy(col("key"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("key"),
+        explode(sequence(col("mn"), col("mx"), lit(stepSeconds))).as("bucket"))
+    grid.join(agg, Seq("key", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("s1", sum(col("n")).over(w))
       .withColumn("s2", sum(col("n") * col("n")).over(w))
       .withColumn("cnt", count(col("n")).over(w))
@@ -193,7 +205,7 @@ object EventsOps {
 
   val queries: Map[String, QueryFn] = Map(
     "q136_rate_anomalies" -> ((s, dir) =>
-      rateAnomalies(withTs(s, dir), "event_type", "tsc", "value",
+      rateAnomalies(withTs(s, dir), "event_type", "tsc",
         stepSeconds = 3600L, lookback = 24, zThreshold = 3.0)
         .orderBy(col("key"), col("bucket"))),
 

@@ -422,14 +422,17 @@ object Similarity {
       k: Int, dim: Int = 64): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val approx = pqKnn(emb, m, ksub, nQueries, k, dim).select(col("qid"), col("cid"))
+    // self-dots precomputed per ROW (the prepared() pattern) — inside
+    // the pair join they'd be recomputed once per (candidate, query)
     val v = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("n2", expr("dot_product(vd, vd)"))
     val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("vd").as("qv"))
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2"))
     val exact = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("d2", round(expr(
-        "dot_product(vd, vd) - 2 * dot_product(vd, qv) + dot_product(qv, qv)"), 6))
+      .withColumn("d2", round(
+        col("n2") - expr("2 * dot_product(vd, qv)") + col("qn2"), 6))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
       .filter(col("rnk") <= k)

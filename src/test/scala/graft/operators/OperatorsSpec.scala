@@ -1151,9 +1151,9 @@ class OperatorsSpec extends AnyFunSuite {
     val a = (0 until 10).flatMap(b => Seq.fill(1 + b % 2)(("A", b * 10L))) ++
       Seq.fill(40)(("A", 100L))
     val bt = (0 until 12).map(b => ("B", b * 10L))
-    val ev = (a ++ bt).toDF("k", "sec").withColumn("v", expr("1.0"))
+    val ev = (a ++ bt).toDF("k", "sec")
       .withColumn("tsc", expr("timestamp_seconds(sec)"))
-    val out = EventsOps.rateAnomalies(ev, "k", "tsc", "v",
+    val out = EventsOps.rateAnomalies(ev, "k", "tsc",
       stepSeconds = 10L, lookback = 8, zThreshold = 3.0)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
         (Option(r.get(3)), r.getBoolean(4))).toMap
