@@ -203,7 +203,47 @@ object EventsOps {
       .select(col("key"), col("bucket"), col("n"), col("z"), col("is_anomaly"))
   }
 
+  /** Z-ORDER layout keys (the Delta/Iceberg OPTIMIZE ZORDER technique):
+    * Morton-interleave the bits of two clustering dimensions so that
+    * sorting/binning by the single `zkey` keeps files range-bounded in
+    * BOTH dimensions — a time-sorted layout prunes only time predicates,
+    * a z-ordered one prunes user AND time scans. Files are FIXED z-range
+    * bins (`zkey >> fileShift`), the static-boundary assignment a
+    * production writer uses: deterministic, scan-parallel, no global
+    * window, and by construction a file's span in EACH dimension is
+    * < 2^ceil(shift/2) values. Returns per-file min/max stats — exactly
+    * the footer metadata data-skipping reads.
+    *
+    * The interleave is a literal 2·bits-term shift/mask sum — pure
+    * codegen, and the DuckDB oracle evaluates the same arithmetic.
+    */
+  def zOrderLayout(events: org.apache.spark.sql.DataFrame, uCol: String,
+      tCol: String, bits: Int = 10, fileShift: Int = 14): org.apache.spark.sql.DataFrame = {
+    require(bits > 0 && bits <= 20 && fileShift >= 0 && fileShift < 2 * bits,
+      s"need 0 < bits <= 20 and 0 <= fileShift < 2*bits, got $bits/$fileShift")
+    val z = (0 until bits).map { j =>
+      s"shiftleft(shiftright($uCol, $j) & 1, ${2 * j}) + " +
+        s"shiftleft(shiftright($tCol, $j) & 1, ${2 * j + 1})"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+    events
+      .withColumn("zkey", expr(z))
+      .withColumn("file_id", expr(s"zkey DIV ${1L << fileShift}"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(uCol)).as("min_u"), max(col(uCol)).as("max_u"),
+        min(col(tCol)).as("min_t"), max(col(tCol)).as("max_t"),
+        min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q139_zorder_layout" -> ((s, dir) =>
+      zOrderLayout(Tables.load(s, dir, "events")
+          .withColumn("u", col("user_id").cast("long"))
+          // hour index from the fixed corpus origin (2024-01-01)
+          .withColumn("t", expr("(ts DIV 1000000000 - 1704067200) DIV 3600")),
+        "u", "t")
+        .orderBy(col("file_id"))),
+
     "q136_rate_anomalies" -> ((s, dir) =>
       rateAnomalies(withTs(s, dir), "event_type", "tsc",
         stepSeconds = 3600L, lookback = 24, zThreshold = 3.0)
@@ -276,6 +316,26 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_zorder_layout" -> {
+      val z = (0 until 10).map { j =>
+        s"(((u >> $j) & 1) << ${2 * j}) + (((t >> $j) & 1) << ${2 * j + 1})"
+      }.mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH e AS (
+         |  SELECT CAST(user_id AS BIGINT) AS u,
+         |    (epoch_ns(ts) // 1000000000 - 1704067200) // 3600 AS t
+         |  FROM events
+         |), z AS (
+         |  SELECT u, t, $z AS zkey FROM e
+         |)
+         |SELECT zkey // 16384 AS file_id, count(*) AS n_rows,
+         |  min(u) AS min_u, max(u) AS max_u,
+         |  min(t) AS min_t, max(t) AS max_t,
+         |  min(zkey) AS min_z, max(zkey) AS max_z
+         |FROM z
+         |GROUP BY file_id
+         |ORDER BY file_id""".stripMargin
+    },
+
     "q136_rate_anomalies" ->
       """WITH agg AS (
         |  SELECT event_type AS key,

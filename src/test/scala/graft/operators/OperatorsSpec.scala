@@ -1143,6 +1143,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"windows + final agg must reuse ONE user-key shuffle, saw $exchangesPlanned")
   }
 
+  test("zOrderLayout: every file is range-bounded in BOTH dims; time-sort is not") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // sf0.01: 150 distinct users — the sf0.001 slice has too few for a
+    // layout contrast (any file spans all ~15 users in both layouts)
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("u", col("user_id").cast("long"))
+      .withColumn("t", expr("(ts DIV 1000000000 - 1704067200) DIV 3600"))
+    val files = EventsOps.zOrderLayout(ev, "u", "t").collect()
+    assert(files.length > 1)
+    // fileShift=14 fixes all z-bits >= 14, i.e. each dim's bits >= 7:
+    // every file spans < 2^7 values in EACH dimension — the guarantee
+    // that makes a (user, time) predicate prune on either column
+    files.foreach { f =>
+      assert(f.getLong(3) - f.getLong(2) < 128, s"u span too wide: $f")
+      assert(f.getLong(5) - f.getLong(4) < 128, s"t span too wide: $f")
+    }
+    // contrast: a pure time-sorted layout with the same file count has
+    // full-width user ranges in (nearly) every file — no user pruning
+    val nf = files.length
+    val timeSorted = ev.withColumn("file_id",
+        org.apache.spark.sql.functions.ntile(nf).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("t"), col("event_id"))))
+      .groupBy("file_id")
+      .agg((org.apache.spark.sql.functions.max("u") -
+        org.apache.spark.sql.functions.min("u")).as("uspan"))
+      .agg(org.apache.spark.sql.functions.avg("uspan")).head.getDouble(0)
+    val zAvg = files.map(f => f.getLong(3) - f.getLong(2)).sum.toDouble / nf
+    assert(zAvg < timeSorted * 0.75,
+      s"z-order must bound the u dim tighter than time-sort: $zAvg vs $timeSorted")
+  }
+
   test("rateAnomalies: a planted spike is flagged; zero-variance history yields null z") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
