@@ -1008,6 +1008,52 @@ object Corpus {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-stage ATTRITION report — the observability table every
+    * curation run ships beside its output: how many documents each
+    * stage admitted, how many the stage dropped, and the drop rate —
+    * so a collapsed corpus is traceable to the stage that ate it
+    * (a too-sharp quality gate vs an over-eager dedup look identical
+    * in the final count, and completely different here).
+    *
+    * All stage memberships are computed as BOOLEAN COLUMNS on one
+    * dataflow (a monotone chain: stage N implies stage N−1), so the
+    * whole report is ONE scan + the dedup window + one aggregation —
+    * not one job per stage. The stage rows unpivot from the single
+    * aggregate row.
+    */
+  def attritionReport(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int, maxDupWordFrac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col(textCol))))
+    val flagged = docs
+      .withColumn("__s1", length(col(textCol)) >= minChars)
+      .withColumn("__keeper",
+        min(when(col("__s1"), col(idCol))).over(w))
+      .withColumn("__s2", col("__s1") && col(idCol) === col("__keeper"))
+      .withColumn("__ws", split(col(textCol), " "))
+      .withColumn("__s3", col("__s2") &&
+        (lit(1.0) - size(array_distinct(col("__ws"))).cast("double") /
+          size(col("__ws"))) <= maxDupWordFrac)
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("__s1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("__s3"), 1L).otherwise(0L)).as("n3"))
+    agg.select(explode(expr(
+        """array(
+          |  struct(0 AS stage_idx, 'raw' AS stage, n0 AS n_docs,
+          |         CAST(0 AS BIGINT) AS dropped, CAST(0.0 AS DOUBLE) AS drop_rate),
+          |  struct(1 AS stage_idx, 'min_length' AS stage, n1 AS n_docs,
+          |         n0 - n1 AS dropped, round(CAST(n0 - n1 AS DOUBLE) / n0, 6) AS drop_rate),
+          |  struct(2 AS stage_idx, 'exact_dedup' AS stage, n2 AS n_docs,
+          |         n1 - n2 AS dropped, round(CAST(n1 - n2 AS DOUBLE) / n1, 6) AS drop_rate),
+          |  struct(3 AS stage_idx, 'repetition_gate' AS stage, n3 AS n_docs,
+          |         n2 - n3 AS dropped, round(CAST(n2 - n3 AS DOUBLE) / n2, 6) AS drop_rate))""".stripMargin))
+        .as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"),
+        col("s.dropped"), col("s.drop_rate"))
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -1164,6 +1210,11 @@ object Corpus {
       paragraphDedup(synth, "doc_id", "text", maxDocFreq = 3L)
         .orderBy(col("doc_id"))
     }),
+
+    "q140_attrition" -> ((s, dir) =>
+      attritionReport(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minChars = 150, maxDupWordFrac = 0.35)
+        .orderBy(col("stage_idx"))),
 
     "q128_corpus_profile" -> ((s, dir) =>
       corpusProfile(Tables.load(s, dir, "documents"),
@@ -1458,6 +1509,37 @@ object Corpus {
         |FROM scored s JOIN thr t ON s.lang IS NOT DISTINCT FROM t.lang
         |WHERE s.n_words >= t.t_lo AND s.n_words <= t.t_hi
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q140_attrition" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, len(text) >= 150 AS s1 FROM documents
+        |), k AS (
+        |  SELECT doc_id, s1,
+        |    min(CASE WHEN s1 THEN doc_id END)
+        |      OVER (PARTITION BY md5(lower(text))) AS keeper,
+        |    string_split(text, ' ') AS ws
+        |  FROM f
+        |), g AS (
+        |  SELECT s1, s1 AND doc_id = keeper AS s2,
+        |    s1 AND doc_id = keeper AND
+        |      (1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) <= 0.35 AS s3
+        |  FROM k
+        |), a AS (
+        |  SELECT count(*) AS n0,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM g
+        |)
+        |SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs,
+        |  CAST(0 AS BIGINT) AS dropped, 0.0 AS drop_rate FROM a
+        |UNION ALL SELECT 1, 'min_length', n1, n0 - n1,
+        |  round(CAST(n0 - n1 AS DOUBLE) / n0, 6) FROM a
+        |UNION ALL SELECT 2, 'exact_dedup', n2, n1 - n2,
+        |  round(CAST(n1 - n2 AS DOUBLE) / n1, 6) FROM a
+        |UNION ALL SELECT 3, 'repetition_gate', n3, n2 - n3,
+        |  round(CAST(n2 - n3 AS DOUBLE) / n2, 6) FROM a
+        |ORDER BY stage_idx""".stripMargin,
 
     "q128_corpus_profile" -> Seq("lang", "source", "n_chars").map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -224,6 +224,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(cat.isNullAt(6) && cat.isNullAt(7), "mode of an all-null column is NULL")
   }
 
+  test("attritionReport: each stage's drop count is attributable and the chain is monotone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tiny"),                                  // dies at min_length
+      (2L, "a perfectly reasonable document with many distinct words here"),
+      (3L, "a perfectly reasonable document with many distinct words here"), // exact dup of 2
+      (4L, "dup dup dup dup dup dup dup dup dup one"), // dies at repetition gate
+      (5L, "another fine and unique document full of variety and substance")
+    ).toDF("doc_id", "text")
+    val rep = Corpus.attritionReport(docs, "doc_id", "text",
+        minChars = 10, maxDupWordFrac = 0.5)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rep("raw") == ((5L, 0L)))
+    assert(rep("min_length") == ((4L, 1L)), "the short doc dies first")
+    assert(rep("exact_dedup") == ((3L, 1L)), "one of the twins dies second")
+    assert(rep("repetition_gate") == ((2L, 1L)), "the dup-word doc dies last")
+    val ns = Corpus.attritionReport(docs, "doc_id", "text", 10, 0.5)
+      .orderBy(col("stage_idx")).collect().map(_.getLong(2))
+    assert(ns.sameElements(ns.sorted.reverse), "stage counts must be monotone non-increasing")
+  }
+
   test("corpusProfile: counts, nulls, min/max, and deterministic mode tiebreak") {
     import spark.implicits._
     val df = Seq(
