@@ -1023,6 +1023,9 @@ object Corpus {
     */
   def attritionReport(docs: DataFrame, idCol: String, textCol: String,
       minChars: Int, maxDupWordFrac: Double): DataFrame = {
+    require(minChars >= 0, s"minChars must be non-negative, got $minChars")
+    require(maxDupWordFrac >= 0 && maxDupWordFrac <= 1,
+      s"maxDupWordFrac must be in [0, 1], got $maxDupWordFrac")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(col(textCol))))
     val flagged = docs

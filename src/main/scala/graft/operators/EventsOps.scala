@@ -218,15 +218,25 @@ object EventsOps {
     * codegen, and the DuckDB oracle evaluates the same arithmetic.
     */
   def zOrderLayout(events: org.apache.spark.sql.DataFrame, uCol: String,
-      tCol: String, bits: Int = 10, fileShift: Int = 14): org.apache.spark.sql.DataFrame = {
+      tCol: String, bits: Int = 12, fileShift: Int = 14): org.apache.spark.sql.DataFrame = {
     require(bits > 0 && bits <= 20 && fileShift >= 0 && fileShift < 2 * bits,
       s"need 0 < bits <= 20 and 0 <= fileShift < 2*bits, got $bits/$fileShift")
     val z = (0 until bits).map { j =>
       s"shiftleft(shiftright($uCol, $j) & 1, ${2 * j}) + " +
         s"shiftleft(shiftright($tCol, $j) & 1, ${2 * j + 1})"
     }.mkString("CAST(", " + ", " AS BIGINT)")
+    // FAIL LOUDLY on out-of-range coordinates: a value >= 2^bits (or a
+    // negative, whose two's-complement bits shift in sign bits) would
+    // silently ALIAS distant keys into the same z-range — destroying
+    // exactly the per-file range bounds the layout exists to provide
+    // (caught in review: sf0.1's 1500 users overflowed the old 10-bit
+    // default and files spanned 1151 users while every check passed)
+    val lim = 1L << bits
     events
-      .withColumn("zkey", expr(z))
+      .withColumn("zkey", expr(
+        s"""CASE WHEN $uCol < 0 OR $uCol >= $lim OR $tCol < 0 OR $tCol >= $lim
+           |THEN CAST(raise_error(concat('zOrderLayout: coordinate out of [0, $lim): ',
+           |     $uCol, '/', $tCol)) AS BIGINT) ELSE $z END""".stripMargin))
       .withColumn("file_id", expr(s"zkey DIV ${1L << fileShift}"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -239,8 +249,12 @@ object EventsOps {
     "q139_zorder_layout" -> ((s, dir) =>
       zOrderLayout(Tables.load(s, dir, "events")
           .withColumn("u", col("user_id").cast("long"))
-          // hour index from the fixed corpus origin (2024-01-01)
-          .withColumn("t", expr("(ts DIV 1000000000 - 1704067200) DIV 3600")),
+          // hour index from the fixed corpus origin (2024-01-01);
+          // floor (not DIV-truncate) so a pre-origin timestamp would
+          // match the oracle's // — and then fail the range guard
+          // loudly rather than interleave sign bits
+          .withColumn("t", expr(
+            "CAST(floor((ts DIV 1000000000 - 1704067200) / 3600) AS BIGINT)")),
         "u", "t")
         .orderBy(col("file_id"))),
 
@@ -317,7 +331,7 @@ object EventsOps {
 
   val oracle: Map[String, String] = Map(
     "q139_zorder_layout" -> {
-      val z = (0 until 10).map { j =>
+      val z = (0 until 12).map { j =>
         s"(((u >> $j) & 1) << ${2 * j}) + (((t >> $j) & 1) << ${2 * j + 1})"
       }.mkString("CAST(", " + ", " AS BIGINT)")
       s"""WITH e AS (

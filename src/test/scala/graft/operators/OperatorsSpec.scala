@@ -1145,11 +1145,14 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("zOrderLayout: every file is range-bounded in BOTH dims; time-sort is not") {
     import org.apache.spark.sql.functions.{col, expr}
-    // sf0.01: 150 distinct users — the sf0.001 slice has too few for a
-    // layout contrast (any file spans all ~15 users in both layouts)
-    val ev = graft.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    // sf0.1: 1500 distinct users — ABOVE 2^10, the scale that exposed
+    // the silent bit-truncation aliasing (review finding: the old
+    // 10-bit default let files span 1151 users while the sf0.01-only
+    // test passed); the bound assertion below must hold HERE
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.1", "events")
       .withColumn("u", col("user_id").cast("long"))
-      .withColumn("t", expr("(ts DIV 1000000000 - 1704067200) DIV 3600"))
+      .withColumn("t", expr(
+        "CAST(floor((ts DIV 1000000000 - 1704067200) / 3600) AS BIGINT)"))
     val files = EventsOps.zOrderLayout(ev, "u", "t").collect()
     assert(files.length > 1)
     // fileShift=14 fixes all z-bits >= 14, i.e. each dim's bits >= 7:
@@ -1172,6 +1175,10 @@ class OperatorsSpec extends AnyFunSuite {
     val zAvg = files.map(f => f.getLong(3) - f.getLong(2)).sum.toDouble / nf
     assert(zAvg < timeSorted * 0.75,
       s"z-order must bound the u dim tighter than time-sort: $zAvg vs $timeSorted")
+    // out-of-range coordinates fail LOUDLY instead of silently aliasing
+    import spark.implicits._
+    val bad = Seq((5000L, 1L)).toDF("u", "t") // 5000 >= 2^12
+    intercept[Exception](EventsOps.zOrderLayout(bad, "u", "t").collect())
   }
 
   test("rateAnomalies: a planted spike is flagged; zero-variance history yields null z") {
