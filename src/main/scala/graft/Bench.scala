@@ -34,17 +34,25 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A failed rep must NOT enter the min — a query that throws quickly
+    // would otherwise record its fast failure as the benchmark number.
+    // Queries whose reps ALL fail are omitted and the run flagged partial.
+    var failed = List.empty[String]
+    val results = selected.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      if (times.isEmpty) { failed ::= name; None } else Some(name -> times.min)
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] PARTIAL RUN — queries with zero successful reps: ${failed.sorted.mkString(",")}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -18,13 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev loop: SPARK_GRAFT_ONLY=q94_bpe_tokenize,q101_bpe_ids limits the
-    // dump to a comma-separated subset. The driver sets nothing → full run.
+    // Dev loop: SPARK_GRAFT_ONLY=q94,q101 limits the dump to a
+    // comma-separated subset — SUBSTRING match, same semantics as Bench,
+    // so the same env var works for both. The driver sets nothing → full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val picked = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    if (picked.isEmpty)
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY=${only.map(_.mkString(",")).getOrElse("")} selected ZERO queries")
+    picked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -40,6 +40,20 @@ case class EmaWindow(child: Expression, alpha: Expression)
     case v: java.lang.Number => v.doubleValue()
   }
 
+  // Validated at analysis time — a column-reference alpha would otherwise
+  // fail only at execution with an obscure unbound-attribute error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!alpha.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"ema(x, alpha): alpha must be a constant literal (like the offset in lag/lead), got ${alpha.sql}")
+    else if (!child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+             child.dataType != org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ema(x, alpha): x must be numeric, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def children: Seq[Expression] = Seq(child, alpha)
 
   override def dataType: DataType = DoubleType

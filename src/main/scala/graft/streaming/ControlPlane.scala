@@ -217,7 +217,18 @@ final class ControlPlane(spark: SparkSession, port: Int,
         catch { case scala.util.control.NonFatal(_) => () }
     } finally ex.close()
   })
-  server.setExecutor(null)
+  // A small pool, not the single dispatcher thread: lifecycleStart runs
+  // batch streams to EOF inside the handler, and with setExecutor(null)
+  // one long batch /start (or restart's blocking stop()) would freeze
+  // every monitoring route for its full duration.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-control-plane")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
   server.start()
 
   def boundPort: Int = server.getAddress.getPort
