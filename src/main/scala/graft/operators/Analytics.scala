@@ -127,11 +127,42 @@ object Analytics {
 
   // Approximate aggregates: HLL/quantile-sketch estimates are
   // engine-specific, so no DuckDB oracle — the driver records a
-  // rows-only check (SURVEY.md §2.7 approx row).
+  // rows-only check (SURVEY.md §2.7 approx row). The hash-verified
+  // error-band audit of the same sketches is q141 below.
   private val q40Spark =
     """SELECT l_returnflag,
       |  approx_count_distinct(l_partkey) AS approx_parts,
       |  percentile_approx(l_quantity, 0.5) AS approx_median
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // Sketch-error audit (the q137/q138 recall-audit pattern applied to
+  // q40's sketches): Spark computes the approx AND the exact aggregate
+  // and grades the sketch against its documented error band — HLL++
+  // relativeSD defaults to 0.05, percentile_approx's rank error at the
+  // default accuracy is far inside the p45..p55 value band. The booleans
+  // are deterministic (both sketches are deterministic given the data),
+  // so DuckDB pins exact counts + TRUE and the driver hash-verifies —
+  // upgrading the sketches from a rows-only row to a graded guarantee.
+  private val q141Spark =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+      |     <= CAST(ceil(0.05 * count(DISTINCT l_partkey)) AS BIGINT)) AS hll_in_band,
+      |  (percentile_approx(l_quantity, 0.5)
+      |     BETWEEN percentile_disc(0.45) WITHIN GROUP (ORDER BY l_quantity)
+      |         AND percentile_disc(0.55) WITHIN GROUP (ORDER BY l_quantity))
+      |    AS median_in_band
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val q141Duck =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS hll_in_band,
+      |  TRUE AS median_in_band
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -145,6 +176,7 @@ object Analytics {
     "q38_bool_bit_agg" -> Q.fromSql(q38Sql),
     "q39_grouping_sets" -> Q.fromSql(q39Sql),
     "q40_approx_agg" -> Q.fromSql(q40Spark),
+    "q141_sketch_audit" -> Q.fromSql(q141Spark),
     "q41_first_last_nth" -> Q.fromSql(q41Sql),
     // Pivot: DataFrame pivot with pinned value list (scales: one shuffle,
     // map-side partial aggregation per pivot column).
@@ -171,6 +203,7 @@ object Analytics {
     "q37_percentiles" -> q37Duck,
     "q38_bool_bit_agg" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
+    "q141_sketch_audit" -> q141Duck,
     "q41_first_last_nth" -> q41Sql,
     "q46_pivot" ->
       """SELECT user_id,

@@ -183,10 +183,14 @@ object Corpus {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-    // persisted so pass 2 reuses pass 1's partitions BY IDENTITY (the
-    // broadcast bases are per-partition-index) and skips the re-scan
+    // NOT persisted: both passes hang off this one RDD instance, so they
+    // share one ShuffleDependency — the DAGScheduler skips the map stage on
+    // pass 2 and reads pass 1's shuffle files; only the within-partition
+    // sort re-runs. Alignment is deterministic: the range boundaries are
+    // fixed when `.rdd` plans the query, and the sort key (doc_id) is
+    // unique. A persist here would linger until driver GC (blocks
+    // accumulating across a long sweep) for no data movement saved.
     val rdd = toks.rdd.map(r => (r.getLong(0), r.getLong(1)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd
       .mapPartitionsWithIndex { case (i, it) =>
         Iterator.single((i, it.foldLeft(0L)(_ + _._2)))
@@ -347,6 +351,55 @@ object Corpus {
       .select(col("doc_id"), col("n_positions"), col("n_repeated"),
         round(col("n_repeated").cast("double") / col("n_positions"), 6)
           .as("rep_frac"))
+  }
+
+  /** Repeated-span REMOVAL — the destructive half of ExactSubstr dedup
+    * (Lee et al. §4.1: cut every substring that occurs ≥2 times in the
+    * corpus, keep the rest of the document). [[crossDocRepeats]] only
+    * measures the signal; this rewrites the text, the way production
+    * pipelines apply it. A span here is any word `n`-gram whose
+    * occurrence count over ALL positions (within- and cross-document)
+    * is ≥ 2; every word position covered by a flagged n-gram start is
+    * cut and the survivors are re-joined in order.
+    *
+    * Dataflow: row-local n-gram array with positions → one count
+    * aggregation keyed by gram (hot grams cost one partial-agg merge) →
+    * semi-join flags the starts → explode to covered positions,
+    * de-duplicated, collected per doc (bounded by doc length) → one
+    * row-local rebuild keeps uncovered words. The corpus text itself
+    * never shuffles — only (gram, doc, pos) tuples do, exactly like the
+    * q86 signal. The rebuild probe is array_contains per word
+    * (O(words × covered) interpreted); covered ≤ words keeps it
+    * quadratic-in-doc-length worst case, fine for document-scale rows —
+    * swap in a sorted-merge codegen Expression if docs grow to books.
+    */
+  def spanCut(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"span n-gram size must be >= 2, got $n")
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    // sequence(1, m) runs DESCENDING when m < 1 (it never returns empty)
+    // — short docs must short-circuit to an empty gram array explicitly
+    val gram =
+      s"IF(size(ws) < $n, CAST(array() AS ARRAY<STRING>), " +
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"
+    val starts = ws
+      .select(col("doc_id"), posexplode(expr(gram)).as(Seq("p0", "kg")))
+      .select(col("doc_id"), (col("p0") + 1).as("s"), col("kg"))
+    val repeated = starts.groupBy(col("kg"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("kg"))
+    val cov = starts.join(repeated, Seq("kg"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    ws.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_cut"),
+        expr("concat_ws(' ', filter(transform(ws, (w, i) -> " +
+          "IF(cov IS NOT NULL AND array_contains(cov, i + 1), NULL, w)), " +
+          "x -> x IS NOT NULL))").as("text_clean"))
   }
 
   /** Mixture sampling — build a training mix hitting a token budget with
@@ -515,6 +568,61 @@ object Corpus {
           .when(col("__in_new").isNull, "removed")
           .when(!(col("__old_fp") <=> col("__new_fp")), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** SCD-type-2 merge of a new corpus snapshot into a versioned history
+    * table — [[snapshotDiff]] tells you WHAT changed; this maintains the
+    * standard warehouse answer to WHEN: every document version is a row
+    * with (version, valid_from, valid_to, is_current), closed rows are
+    * immutable history, and merging batch B closes changed/removed
+    * documents at B and opens new versions from B.
+    *
+    * `current` carries (idCol, fpCol, version, valid_from, valid_to,
+    * is_current); `snapshot` carries (idCol, fpCol). Closed history
+    * passes through untouched (at 100 TB it is append-only parquet that
+    * never shuffles); only the OPEN slice full-outer-joins the snapshot
+    * on the id — one co-partitioned join of two id-keyed tables, then a
+    * row-local case explode emits 1 or 2 rows per document. Batch
+    * numbers, not wall-clock timestamps, keep the result deterministic.
+    */
+  def scd2Merge(current: DataFrame, snapshot: DataFrame, idCol: String,
+      fpCol: String, batch: Long): DataFrame = {
+    val outCols = Seq(col("doc_id").as(idCol), col("r.fp").as(fpCol),
+      col("r.version"), col("r.valid_from"), col("r.valid_to"),
+      col("r.is_current"))
+    val closedHist = current.filter(!col("is_current"))
+      .select(col(idCol), col(fpCol), col("version"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+    val open = current.filter(col("is_current"))
+      .select(col(idCol).as("doc_id"), col(fpCol).as("ofp"),
+        col("version").cast("long").as("over"),
+        col("valid_from").cast("long").as("ofrom"))
+    val snap = snapshot.select(col(idCol).as("doc_id"), col(fpCol).as("nfp"))
+    val b = lit(batch)
+    val nl = lit(null).cast("long")
+    val cases = open.join(snap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), explode(
+        when(col("ofp").isNull, // newly seen → first version opens at B
+          array(struct(col("nfp").as("fp"), lit(1L).as("version"),
+            b.as("valid_from"), nl.as("valid_to"), lit(true).as("is_current"))))
+        .when(col("nfp").isNull, // gone → close at B
+          array(struct(col("ofp").as("fp"), col("over").as("version"),
+            col("ofrom").as("valid_from"), b.as("valid_to"),
+            lit(false).as("is_current"))))
+        .when(col("ofp") === col("nfp"), // unchanged → carry the open row
+          array(struct(col("ofp").as("fp"), col("over").as("version"),
+            col("ofrom").as("valid_from"), nl.as("valid_to"),
+            lit(true).as("is_current"))))
+        .otherwise( // changed → close old AND open version+1
+          array(
+            struct(col("ofp").as("fp"), col("over").as("version"),
+              col("ofrom").as("valid_from"), b.as("valid_to"),
+              lit(false).as("is_current")),
+            struct(col("nfp").as("fp"), (col("over") + 1L).as("version"),
+              b.as("valid_from"), nl.as("valid_to"),
+              lit(true).as("is_current"))))).as("r"))
+      .select(outCols: _*)
+    closedHist.unionByName(cases)
   }
 
   /** Deterministic global corpus shuffle — the reproducible training
@@ -1071,6 +1179,18 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Same clustering, but forced down the DISTRIBUTED min-label
+    // propagation path (driverThreshold = 0) — the route a 100 TB pair
+    // graph takes. Hash-verified against the identical recursive-closure
+    // oracle as q74, so the scale path is graded, not just spec-diffed
+    // against the driver union-find.
+    "q142_cc_distributed" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      connectedComponents(pairs, "doc_a", "doc_b", driverThreshold = 0L)
+        .select(col("vertex").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q75_pack_sequences" -> ((s, dir) =>
       packSequences(Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
         .orderBy(col("doc_id"))),
@@ -1129,6 +1249,24 @@ object Corpus {
       snapshotDiff(v1, v2, "doc_id", "text")
         .filter(col("status") =!= "unchanged")
         .orderBy(col("doc_id"))
+    }),
+
+    // SCD2 over q114's exact snapshot pair: v1 bootstraps the version-1
+    // open table at batch 1, merging v2 at batch 2 closes removed/changed
+    // docs and opens added/changed ones. Every (version, validity) cell
+    // is hash-verified.
+    "q145_scd2_merge" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val current = docs.filter(col("doc_id") < 450)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          lit(1L).as("version"), lit(1L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+      val snapshot = docs.filter(col("doc_id") >= 25)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("fp"))
+      scd2Merge(current, snapshot, "doc_id", "fp", batch = 2L)
+        .orderBy(col("doc_id"), col("version"))
     }),
 
     // Keep-best twin of q83 over the SAME candidate pairs: the longest
@@ -1272,6 +1410,10 @@ object Corpus {
     }),
 
     // Span-level repetition: 5-gram positions repeating across docs.
+    "q144_span_cut" -> ((s, dir) =>
+      spanCut(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     "q86_cross_doc_repeats" -> ((s, dir) =>
       crossDocRepeats(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
@@ -1358,6 +1500,32 @@ object Corpus {
         |)
         |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
+
+    "q145_scd2_merge" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 450
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END) AS fp
+        |  FROM documents WHERE doc_id >= 25
+        |), j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    v1.fp AS ofp, v2.fp AS nfp
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT doc_id, fp, version, valid_from, valid_to, is_current FROM (
+        |  SELECT doc_id, ofp AS fp, CAST(1 AS BIGINT) AS version,
+        |    CAST(1 AS BIGINT) AS valid_from,
+        |    CASE WHEN nfp IS NULL OR nfp <> ofp THEN CAST(2 AS BIGINT) END AS valid_to,
+        |    (nfp IS NOT NULL AND nfp = ofp) AS is_current
+        |  FROM j WHERE ofp IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nfp,
+        |    CAST(CASE WHEN ofp IS NULL THEN 1 ELSE 2 END AS BIGINT),
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM j WHERE nfp IS NOT NULL AND (ofp IS NULL OR ofp <> nfp)
+        |)
+        |ORDER BY doc_id, version""".stripMargin,
 
     "q113_dedup_keep_best" ->
       s"""WITH RECURSIVE $q51PairsCte,
@@ -1684,6 +1852,22 @@ object Corpus {
          |FROM closure GROUP BY u
          |ORDER BY doc_id""".stripMargin,
 
+    // identical output contract to q74 — the Spark side differs only in
+    // which execution path computes the components
+    "q142_cc_distributed" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM closure GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
     "q75_pack_sequences" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1905,6 +2089,40 @@ object Corpus {
         |  round(CAST(count(*) AS DOUBLE) / n_positions, 6) AS rep_frac
         |FROM pos JOIN rep USING (kg)
         |GROUP BY doc_id, n_positions
+        |ORDER BY doc_id""".stripMargin,
+
+    // flagged = 5-gram occurring >= 2 times over ALL positions (within-
+    // and cross-document); every covered word position is cut
+    "q144_span_cut" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), starts AS (
+        |  SELECT doc_id, i AS s, array_to_string(ws[i:i+4], ' ') AS kg
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) g
+        |  WHERE len(ws) >= 5
+        |), rep AS (
+        |  SELECT kg FROM starts GROUP BY kg HAVING count(*) > 1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, s + d AS p
+        |  FROM starts JOIN rep USING (kg),
+        |    LATERAL (SELECT unnest(generate_series(0, 4)) AS d) dd
+        |), toks AS (
+        |  SELECT doc_id, p, ws[p] AS w
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS p) pp
+        |), kept AS (
+        |  SELECT t.doc_id, t.p, t.w FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |), agg AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id
+        |), cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  coalesce(cnt.n_cut, 0) AS n_cut,
+        |  coalesce(agg.text_clean, '') AS text_clean
+        |FROM ws w LEFT JOIN cnt USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q85_mixture_sample" ->

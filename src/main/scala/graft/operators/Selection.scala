@@ -233,12 +233,13 @@ object Selection {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(desc("score"), col("doc_id"))
       .sortWithinPartitions(desc("score"), col("doc_id"))
-    // persisted so pass 2 reuses pass 1's partitions BY IDENTITY — the
-    // base offsets are only meaningful against the exact partitioning
-    // they were counted on, and a recompute would also re-scan + re-sort
-    // the corpus
+    // NOT persisted: both passes hang off this one RDD instance, so they
+    // share one ShuffleDependency — pass 2 skips the map stage and reads
+    // pass 1's shuffle files; only the within-partition sort re-runs.
+    // Alignment is deterministic: range boundaries are fixed when `.rdd`
+    // plans the query and the (score desc, doc_id) key is unique. A
+    // persist here would linger until driver GC for no data movement saved.
     val rdd = toks.rdd.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
         Iterator.single((i, it.foldLeft(0L)(_ + _._3)))
       }.collect().sortBy(_._1).map(_._2)
@@ -254,6 +255,48 @@ object Selection {
       }
     }
     spark.createDataFrame(kept).toDF("doc_id", "score", "n_tokens", "cum_tokens")
+  }
+
+  /** Global percentile rank of every document by `value` (doc-id
+    * tiebreak) — corpus-relative score normalization ("is this doc in
+    * the top 10% by quality?"), the input both quantile-band filtering
+    * (q104) and curriculum ordering consume.
+    *
+    * A naive `percent_rank().over(Window.orderBy(...))` funnels the
+    * whole corpus through ONE task; this is the house two-pass prefix
+    * pattern instead: range-partition by (value, id), count rows per
+    * partition (pass 1, one long per partition to the driver), scan-sum
+    * into per-partition base ranks, then stream each partition assigning
+    * rank = base + local position (pass 2 reuses pass 1's shuffle files
+    * — the map stage is skipped, so the corpus moves once). The key is
+    * unique, so rank here is row_number and pct = (rank−1)/(N−1) matches
+    * SQL percent_rank over the same total order.
+    */
+  def percentRank(docs: DataFrame, idCol: String, value: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+        value.cast("double").as("value"))
+      .repartitionByRange(col("value"), col("doc_id"))
+      .sortWithinPartitions(col("value"), col("doc_id"))
+    // not persisted — same shuffle-reuse + fixed-boundary determinism
+    // argument as tokenBudgetCut above
+    val rdd = keyed.rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single((i, n))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val denom = math.max(counts.sum - 1L, 1L).toDouble
+    val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var rk = bases.value(i)
+      it.map { case (id, v) =>
+        rk += 1
+        (id, v, rk, (rk - 1) / denom)
+      }
+    }
+    spark.createDataFrame(ranked).toDF("doc_id", "value", "rank", "pct")
+      // rounded via the SQL round (matches the oracle's rounding mode)
+      .select(col("doc_id"), col("value"), col("rank"),
+        round(col("pct"), 6).as("pct_rank"))
   }
 
   // ---------------------------------------------------------------------
@@ -287,6 +330,11 @@ object Selection {
     "q126_token_budget" -> ((s, dir) =>
       tokenBudgetCut(Tables.load(s, dir, "documents"), "doc_id", "text",
         col("n_chars").cast("double"), budget = 15000L)
+        .orderBy(col("doc_id"))),
+
+    "q143_percent_rank" -> ((s, dir) =>
+      percentRank(Tables.load(s, dir, "documents"), "doc_id",
+        col("n_chars").cast("double"))
         .orderBy(col("doc_id"))),
 
     // The corpus has no cross-document segments, so the query PLANTS
@@ -408,6 +456,15 @@ object Selection {
         |)
         |SELECT doc_id, score, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 15000
+        |ORDER BY doc_id""".stripMargin,
+
+    // unique (value, doc_id) order ⇒ percent_rank ≡ (row_number−1)/(N−1),
+    // the same total order the two-pass prefix rank assigns
+    "q143_percent_rank" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS value,
+        |  CAST(row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank,
+        |  round(percent_rank() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) + 0 AS pct_rank
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q124_cdc_chunks" ->
