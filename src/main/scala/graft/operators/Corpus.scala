@@ -1165,6 +1165,80 @@ object Corpus {
         col("s.dropped"), col("s.drop_rate"))
   }
 
+  /** Per-source lexical-diversity profile: type-token ratio over words
+    * and over word 3-grams (the distinct-n diversity signal that flags
+    * templated/machine-generated slices of a corpus — a source whose
+    * gram TTR collapses is repeating itself). Dataflow: one explode per
+    * granularity, each a single-distinct aggregate (Spark plans the
+    * two-level partial distinct — no Expand), three tiny per-source
+    * tables joined at the end. Shuffle keys are (source, token) —
+    * skew-bounded by vocabulary, never by corpus size.
+    */
+  def corpusDiversity(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val ws = docs.select(col(sourceCol).as("source"), split(col(textCol), " ").as("ws"))
+    val words = ws.select(col("source"), explode(col("ws")).as("w"))
+    val grams = ws.filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', " +
+          "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")).as("g"))
+    val d = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wa = words.groupBy(col("source")).agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("w")).as("n_distinct_words"))
+    val ga = grams.groupBy(col("source")).agg(
+      count(lit(1)).as("n_grams"),
+      countDistinct(col("g")).as("n_distinct_grams"))
+    d.join(wa, "source").join(ga, "source")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_distinct_words"),
+        round(col("n_distinct_words").cast("double") / col("n_words"), 6).as("ttr"),
+        col("n_grams"), col("n_distinct_grams"),
+        round(col("n_distinct_grams").cast("double") / col("n_grams"), 6).as("gram_ttr"))
+  }
+
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * from the corpus-wide distribution — the drift/mixture monitor run
+    * per ingest batch ("did this crawl slice change register?"). JSD is
+    * symmetric and bounded by ln 2, so thresholds transfer across
+    * corpora.
+    *
+    * The textbook formula sums over the full vocabulary per source —
+    * a |sources| × |vocab| grid. This uses the identity that for terms
+    * ABSENT from a source (p = 0, m = q/2) the Q-side contribution is
+    * exactly q·ln 2, so JSD(s) = ½[Σ_{w∈s} p·ln(p/m) + Σ_{w∈s} q·ln(q/m)
+    * + (1 − Σ_{w∈s} q)·ln 2] — every sum runs only over the source's own
+    * (source, word) count rows. Per-term doubles are cast to DECIMAL
+    * before summing, so the result is order-independent and
+    * engine-exact.
+    */
+  def jsDivergence(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val sc = docs
+      .select(col(sourceCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val tot = sc.groupBy(col("w")).agg(sum(col("c")).as("ca"))
+    val na = tot.agg(sum(col("ca")).as("na")) // one row, broadcast
+    val t = sc.join(ns, "source").join(tot, "w").crossJoin(broadcast(na))
+      .select(col("source"),
+        (col("c").cast("double") / col("n")).as("p"),
+        (col("ca").cast("double") / col("na")).as("q"))
+      .select(col("source"), col("q"),
+        (col("p") * log(col("p") / ((col("p") + col("q")) / 2))).as("pterm"),
+        (col("q") * log(col("q") / ((col("p") + col("q")) / 2))).as("qterm"))
+    t.groupBy(col("source")).agg(
+        sum(col("pterm").cast(dec)).as("sp"),
+        sum(col("qterm").cast(dec)).as("sq"),
+        sum(col("q").cast(dec)).as("qmass"))
+      .select(col("source"),
+        round((lit(0.5) * (col("sp").cast("double") + col("sq").cast("double") +
+          (lit(1.0) - col("qmass").cast("double")) * lit(math.log(2.0)))), 6)
+          .as("jsd"))
+  }
+
   // ---- driver-checked query entries ----
 
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -1413,6 +1487,14 @@ object Corpus {
     "q144_span_cut" -> ((s, dir) =>
       spanCut(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
+
+    "q146_corpus_diversity" -> ((s, dir) =>
+      corpusDiversity(Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("source"))),
+
+    "q147_js_divergence" -> ((s, dir) =>
+      jsDivergence(Tables.load(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))),
 
     "q86_cross_doc_repeats" -> ((s, dir) =>
       crossDocRepeats(Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
@@ -2124,6 +2206,59 @@ object Corpus {
         |  coalesce(agg.text_clean, '') AS text_clean
         |FROM ws w LEFT JOIN cnt USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q146_corpus_diversity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), words AS (
+        |  SELECT source, unnest(ws) AS w FROM ws
+        |), grams AS (
+        |  SELECT source, array_to_string(ws[i:i+2], ' ') AS g
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) gg
+        |  WHERE len(ws) >= 3
+        |), d AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+        |), wa AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+        |  FROM words GROUP BY source
+        |), ga AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
+        |  FROM grams GROUP BY source
+        |)
+        |SELECT source, n_docs, n_words, n_distinct_words,
+        |  round(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS ttr,
+        |  n_grams, n_distinct_grams,
+        |  round(CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS gram_ttr
+        |FROM d JOIN wa USING (source) JOIN ga USING (source)
+        |ORDER BY source""".stripMargin,
+
+    // per-term doubles cast to DECIMAL before summing (order-independent,
+    // engine-exact); absent-term Q-mass folds to (1 - sum q)*ln 2
+    "q147_js_divergence" ->
+      """WITH sc AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY source, w
+        |), ns AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source
+        |), tot AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS ca FROM sc GROUP BY w
+        |), nat AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na FROM tot
+        |), t AS (
+        |  SELECT source,
+        |    CAST(c AS DOUBLE) / n AS p,
+        |    CAST(ca AS DOUBLE) / na AS q
+        |  FROM sc JOIN ns USING (source) JOIN tot USING (w) CROSS JOIN nat
+        |)
+        |SELECT source,
+        |  round(0.5 * (CAST(sum(CAST(p * ln(p / ((p + q) / 2)) AS DECIMAL(38, 18))) AS DOUBLE)
+        |    + CAST(sum(CAST(q * ln(q / ((p + q) / 2)) AS DECIMAL(38, 18))) AS DOUBLE)
+        |    + (1.0 - CAST(sum(CAST(q AS DECIMAL(38, 18))) AS DOUBLE)) * ln(2)), 6) AS jsd
+        |FROM t GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q85_mixture_sample" ->
       """WITH toks AS (

@@ -39,7 +39,42 @@ object Extensions {
       |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t3
       |ORDER BY op""".stripMargin
 
+  /** Skew-safe equi-join: the salting pattern for the case AQE's
+    * skew-join split can't reach (one join key carrying a double-digit
+    * percentage of a 100 TB fact table — a hot user, a null-ish default
+    * key). The big side spreads each key over `k` salt buckets via any
+    * deterministic per-row expression; the dim side replicates ×k with a
+    * row-local explode (never a shuffle of the dim); the join key
+    * becomes (key, salt) so no single reducer owns a hot key. Result is
+    * IDENTICAL to the plain join — which is exactly what the oracle
+    * grades.
+    */
+  def saltedJoin(big: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame, bigKey: String, dimKey: String,
+      salt: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"salt bucket count must be positive, got $k")
+    val b = big.withColumn("__salt_l", pmod(salt.cast("long"), lit(k.toLong)))
+    val d = dim.withColumn("__salt_r", explode(expr(s"sequence(0L, ${k - 1}L)")))
+    b.join(d, b(bigKey) === d(dimKey) && b("__salt_l") === d("__salt_r"))
+      .drop("__salt_l").drop("__salt_r")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    // Salted fact-dim join graded against the plain-join oracle: the
+    // orders side replicates ×8 row-locally, lineitem salts on its line
+    // number — same result, no hot-key reducer.
+    "q148_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+          col("l_linenumber"), k = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+            .cast("double"), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // DataFusion array-function shims expanded to native expression trees.
     "q47_shim_arrays" -> ((s, dir) => {
       graft.functions.Shims.register(s)
@@ -175,6 +210,14 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_salted_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q47_shim_arrays" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ')[1:5] AS s5,
         |                  string_split(text, ' ')[1:3] AS s3, text FROM documents WHERE doc_id < 100)

@@ -1386,4 +1386,142 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       4L -> "removed", 5L -> "added"))
   }
+
+  test("spanCut removes exactly the covered positions, within-doc repeats included") {
+    import spark.implicits._
+    // doc 1+2 share the 5-gram "a b c d e" (cross-doc repeat); doc 3
+    // repeats "x x x x x" internally at two starts (within-doc repeat,
+    // overlapping coverage); doc 4 is shorter than the gram (untouchable);
+    // doc 5 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e tail1 only"),
+      (2L, "head2 a b c d e"),
+      (3L, "x x x x x x lone"),
+      (4L, "too short"),
+      (5L, "q r s t u v w")).toDF("doc_id", "text")
+    val got = Corpus.spanCut(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((7L, 5L, "tail1 only")))
+    assert(got(2L) == ((6L, 5L, "head2")))
+    // doc 3: starts 1 and 2 are both "x x x x x" -> positions 1..6 covered
+    assert(got(3L) == ((7L, 6L, "lone")))
+    assert(got(4L) == ((2L, 0L, "too short")))
+    assert(got(5L) == ((7L, 0L, "q r s t u v w")))
+  }
+
+  test("spanCut on a fully-repeated doc yields empty text, never negative counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "c1 c2 c3 c4 c5"), (2L, "c1 c2 c3 c4 c5"))
+      .toDF("doc_id", "text")
+    val got = Corpus.spanCut(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == Set((5L, 5L, "")))
+  }
+
+  test("scd2Merge chains: versions increment, history is immutable, one current row per live doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def snap(rows: (Long, String)*) = rows.toDF("doc_id", "fp")
+    val boot = snap(1L -> "a1", 2L -> "b1", 3L -> "c1")
+      .select(col("doc_id"), col("fp"), lit(1L).as("version"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    // batch 2: doc 1 unchanged, doc 2 changed, doc 3 removed, doc 4 added
+    val t2 = Corpus.scd2Merge(boot, snap(1L -> "a1", 2L -> "b2", 4L -> "d1"),
+      "doc_id", "fp", batch = 2L)
+    // batch 3: doc 2 changes again, doc 3 REAPPEARS, doc 4 removed
+    val t3 = Corpus.scd2Merge(t2, snap(1L -> "a1", 2L -> "b3", 3L -> "c2"),
+      "doc_id", "fp", batch = 3L)
+    val rows = t3.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5))).toSet
+    assert(rows == Set(
+      (1L, "a1", 1L, 1L, -1L, true),   // never changed
+      (2L, "b1", 1L, 1L, 2L, false),   // closed at 2
+      (2L, "b2", 2L, 2L, 3L, false),   // closed at 3
+      (2L, "b3", 3L, 3L, -1L, true),
+      (3L, "c1", 1L, 1L, 2L, false),   // removed at 2...
+      (3L, "c2", 1L, 3L, -1L, true),   // ...reappears as a fresh version 1
+      (4L, "d1", 1L, 2L, 3L, false)))  // added at 2, removed at 3
+    // invariant: exactly one current row per doc in the latest snapshot
+    val cur = t3.filter(col("is_current")).groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("percentRank matches the window reference including ties, and handles n=1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((10L, 5.0), (11L, 3.0), (12L, 5.0), (13L, 1.0), (14L, 3.0))
+      .toDF("doc_id", "v")
+    val got = Selection.percentRank(docs, "doc_id", col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("doc_id"))
+    val ref = docs.select(col("doc_id"),
+        row_number().over(w).cast("long").as("rk"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == ref)
+    val one = Selection.percentRank(Seq((7L, 9.9)).toDF("doc_id", "v"),
+      "doc_id", col("v")).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 1L && one(0).getDouble(3) == 0.0)
+  }
+
+  test("jsDivergence: source identical to corpus scores 0; disjoint halves match closed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val same = (Seq.fill(50)(("s1", "x y z")) ++ Seq.fill(50)(("s2", "x y z")))
+      .toDF("source", "text")
+    val got0 = Corpus.jsDivergence(same, "text", "source")
+      .collect().map(_.getDouble(1)).toSet
+    assert(got0 == Set(0.0))
+    // two disjoint-vocab halves: P(s1)=δ_a, corpus Q = (a:½, b:½), so
+    // JSD = ½[ln(4/3) + ½ln(2/3) + ½ln2] per source, symmetric
+    val disj = (Seq.fill(50)(("s1", "a a a")) ++ Seq.fill(50)(("s2", "b b b")))
+      .toDF("source", "text")
+    val expected = BigDecimal(0.5 * (math.log(4.0 / 3) +
+      0.5 * math.log(2.0 / 3) + 0.5 * math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotD = Corpus.jsDivergence(disj, "text", "source")
+      .collect().map(_.getDouble(1)).toSet
+    assert(gotD == Set(expected), s"got $gotD, want $expected")
+  }
+
+  test("saltedJoin equals the plain join and spreads a 100%-hot key over all salt buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every fact row carries THE SAME key — the case that melts one reducer
+    val big = (1L to 400L).map(i => (7L, i)).toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (8L, "cold")).toDF("dk", "label")
+    val salted = Extensions.saltedJoin(big, dim, "k", "dk",
+      col("payload"), k = 8)
+    val plain = big.join(dim, col("k") === col("dk"))
+    assert(salted.count() == plain.count())
+    assert(salted.select(sum(col("payload"))).head.getLong(0) ==
+      plain.select(sum(col("payload"))).head.getLong(0))
+    // the hot key's rows really occupy all 8 (key, salt) shuffle groups
+    val spread = big.select(pmod(col("payload"), lit(8L))).distinct().count()
+    assert(spread == 8L)
+  }
+
+  test("distributed CC equals driver union-find on a propagation-hungry chain graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a 24-node path graph (worst case for min-label propagation) plus a
+    // separate triangle and an isolated pair
+    val chain = (0L until 23L).map(i => (100L + i, 101L + i))
+    val pairs = (chain ++ Seq((500L, 501L), (501L, 502L), (500L, 502L),
+      (900L, 901L))).toDF("a", "b")
+    val dist = Corpus.connectedComponents(pairs, "a", "b", driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = Corpus.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == drv)
+    assert(dist(123L) == 100L && dist(502L) == 500L && dist(901L) == 900L)
+    // and the non-convergence guard actually throws rather than lying
+    intercept[IllegalStateException] {
+      Corpus.connectedComponents(pairs, "a", "b", maxIter = 1, driverThreshold = 0L)
+    }
+  }
 }
