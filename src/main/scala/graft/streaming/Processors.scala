@@ -80,6 +80,55 @@ object Processors {
     def apply(batch: DataFrame): DataFrame = batch.coalesce(partitions)
   }
 
+  /** `drift` processor — the ingest-side canary for "did the mix
+    * change?": stamps every row of the micro-batch with the
+    * Jensen–Shannon divergence of the batch's categorical `keyCol`
+    * distribution from a fixed `baseline` (the streaming twin of the
+    * batch-side q147). JSD is symmetric and ≤ ln 2, so one alert
+    * threshold transfers across streams; route on the stamped column
+    * with a downstream `sql` processor (`WHERE __drift_jsd > 0.2` →
+    * alert sink / error_output).
+    *
+    * The per-batch state is one count per distinct key, bounded by
+    * `maxKeys` — a key explosion throws (the house bounded-collect
+    * rule) instead of silently growing driver state. An empty batch
+    * stamps nothing and passes through (no rows to stamp).
+    */
+  final case class DriftMonitor(keyCol: String, baseline: Map[String, Double],
+      outCol: String = "__drift_jsd", maxKeys: Int = 10000)
+      extends (DataFrame => DataFrame) {
+    require(baseline.nonEmpty, "drift baseline must not be empty")
+    require(baseline.values.forall(_ >= 0) && baseline.values.sum > 0,
+      "drift baseline weights must be non-negative with a positive sum")
+    private val qDist: Map[String, Double] = {
+      val s = baseline.values.sum
+      baseline.map { case (k, v) => k -> v / s }
+    }
+    def apply(batch: DataFrame): DataFrame = {
+      val rows = batch.groupBy(col(keyCol).cast("string").as("__k"))
+        .agg(count(lit(1)).as("__c")).limit(maxKeys + 1).collect()
+      if (rows.length > maxKeys)
+        throw new IllegalStateException(
+          s"drift monitor saw > $maxKeys distinct '$keyCol' keys in one batch")
+      val counts = rows.map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+      val n = counts.values.sum.toDouble
+      val jsd =
+        if (n == 0) Double.NaN
+        else {
+          def term(x: Double, m: Double) = if (x > 0) x * math.log(x / m) else 0.0
+          (counts.keySet ++ qDist.keySet).iterator.map { k =>
+            val p = counts.getOrElse(k, 0L) / n
+            val q = qDist.getOrElse(k, 0.0)
+            val m = (p + q) / 2
+            0.5 * (term(p, m) + term(q, m))
+          }.sum
+        }
+      batch.withColumn(outCol,
+        if (jsd.isNaN) lit(null).cast("double")
+        else lit(math.rint(jsd * 1e6) / 1e6))
+    }
+  }
+
   /** Cross-micro-batch accumulator (processor/batch.rs:31-127 — the
     * reference flushes on row count, byte size, OR wall-clock interval;
     * all three are supported, OR-combined, evaluated at batch
@@ -379,6 +428,14 @@ object Processors {
             c.options.get("interval_ms").map(_.toLong).getOrElse(Long.MaxValue),
             c.options.get("staging"))
         else BatchCompact(c.options.getOrElse("partitions", "1").toInt)
+      case "drift" =>
+        val baseline = c.options("baseline").split(",").map { kv =>
+          val Array(k, w) = kv.trim.split(":")
+          k -> w.toDouble
+        }.toMap
+        DriftMonitor(c.options("key_col"), baseline,
+          c.options.getOrElse("out_col", "__drift_jsd"),
+          c.options.getOrElse("max_keys", "10000").toInt)
       case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
       case "python" => PythonProcessor(c.options("script"), c.options("output_schema"))
       case "vrl" | "remap" => RemapProcessor(c.options("program"))

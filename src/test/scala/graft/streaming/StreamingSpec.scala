@@ -135,6 +135,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunks.count() == 3)
   }
 
+  test("drift processor stamps per-batch JSD vs the baseline and bounds its key state") {
+    val baseline = Map("src0" -> 0.5, "src1" -> 0.5)
+    val mon = Processors.DriftMonitor("source", baseline)
+    // batch matching the baseline mix exactly -> 0 drift on every row
+    val matched = (Seq.fill(10)("src0") ++ Seq.fill(10)("src1")).toDF("source")
+    assert(mon(matched).select("__drift_jsd").as[Double].collect().toSet == Set(0.0))
+    // all-src0 batch vs the 50/50 baseline: closed form
+    // JSD = 0.5*[ln(4/3) + 0.5*ln(2/3) + 0.5*ln 2]
+    val drifted = Seq.fill(20)("src0").toDF("source")
+    val expect = math.rint(0.5 * (math.log(4.0 / 3) + 0.5 * math.log(2.0 / 3) +
+      0.5 * math.log(2.0)) * 1e6) / 1e6
+    assert(mon(drifted).select("__drift_jsd").as[Double].collect().toSet == Set(expect))
+    // a previously-unseen key counts as drift mass, not a crash
+    val novel = Seq.fill(20)("srcX").toDF("source")
+    assert(mon(novel).select("__drift_jsd").as[Double].head() > expect)
+    // the bounded-collect guard throws on key explosion
+    val many = (1 to 50).map(i => s"k$i").toDF("source")
+    intercept[IllegalStateException](
+      Processors.DriftMonitor("source", baseline, maxKeys = 10)(many))
+    // config-reachable: fromConf builds it with parsed baseline
+    val built = Processors.fromConf(Seq(ComponentConf("drift",
+      Map("key_col" -> "source", "baseline" -> "src0:1,src1:1"))))
+    assert(built.head(matched).columns.contains("__drift_jsd"))
+  }
+
   test("sql processor rejects DDL/DML like SQLOptions (sql.rs:185-201)") {
     intercept[Exception](Processors.SqlProcessor("DROP TABLE flow")(Seq(1).toDF("a")))
     intercept[Exception](
