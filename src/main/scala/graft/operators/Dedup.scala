@@ -180,6 +180,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("resemblance"))
   }
 
+  /** Consensus near-dup pairs — the ensemble decision real pipelines
+    * ship: a candidate pair counts only when flagged by ≥ `minVotes` of
+    * three INDEPENDENT detectors (minhash-LSH banding, DF-capped shingle
+    * Jaccard, winnowing fingerprints). The detectors err differently —
+    * LSH banding has probabilistic false positives, Jaccard thresholds
+    * sharply, winnowing sees character-level (not word-level) structure
+    * — so agreement is much stronger evidence than any single method,
+    * and the method list per pair says WHICH signal fired (the triage a
+    * human reviews before raising a threshold).
+    *
+    * Each detector is the already-bucketed dataflow of its own graded
+    * query (q51/q53/q131) — this adds one union of their (tiny) pair
+    * sets and one aggregation keyed by the pair. No new corpus scans
+    * beyond the three methods' own.
+    */
+  def consensusPairs(docs: DataFrame, idCol: String, textCol: String,
+      minVotes: Int = 2): DataFrame = {
+    require(minVotes >= 1 && minVotes <= 3, s"minVotes in 1..3, got $minVotes")
+    val mh = minhashPairs(docs, idCol, textCol)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("method", lit("minhash"))
+    val jc = jaccardPairs(docs, idCol, textCol, threshold = 0.5, dfCap = 50)
+      .select(col("doc_a"), col("doc_b"), lit("jaccard").as("method"))
+    val wn = winnowingPairs(docs, idCol, textCol, k = 8, w = 4,
+        dfCap = 50, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit("winnow").as("method"))
+    mh.unionByName(jc).unionByName(wn)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_methods"),
+        array_join(sort_array(collect_list(col("method"))), ",").as("methods"))
+      .filter(col("n_methods") >= minVotes)
+  }
+
   /** FUZZY decontamination — the near-duplicate complement of the exact
     * n-gram benchmark overlap (Corpus.decontaminate / q80): a corpus
     * document is flagged when it LSH-collides with a benchmark document
@@ -449,6 +482,11 @@ object Dedup {
         k = 8, w = 4, dfCap = 50, threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q150_dedup_consensus" -> ((s, dir) =>
+      consensusPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minVotes = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Docs 0-24 stand in for the benchmark/eval set (the q80 convention).
     // Complementary to exact decontamination: q80 flags ANY shared 5-gram
     // (verbatim snippets); this flags estimated-Jaccard near-duplicates
@@ -595,6 +633,95 @@ object Dedup {
         |JOIN n nb ON nb.doc_id = doc_b
         |WHERE round(CAST(inter AS DOUBLE) / na.nw, 6) >= 0.5
         |   OR round(CAST(inter AS DOUBLE) / nb.nw, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the three methods' own oracle dataflows, CTE-prefixed (m/j/w),
+    // unioned and voted — byte-identical formulas to q51/q53/q131
+    "q150_dedup_consensus" ->
+      """WITH mw AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), msh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM mw
+        |), mseeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM msh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mmh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM mseeded GROUP BY doc_id, seed
+        |), mbands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mmh GROUP BY doc_id, seed // 2
+        |), mpairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), js AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+        |  WHERE len(ws) >= 3
+        |), jfreq AS (
+        |  SELECT sh FROM js GROUP BY sh HAVING count(*) <= 50
+        |), jkept AS (
+        |  SELECT js.doc_id, js.sh FROM js JOIN jfreq USING (sh)
+        |), jn AS (
+        |  SELECT doc_id, count(*) AS nw FROM jkept GROUP BY doc_id
+        |), jinter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM jkept a JOIN jkept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), jpairs AS (
+        |  SELECT doc_a, doc_b FROM jinter
+        |  JOIN jn na ON na.doc_id = doc_a
+        |  JOIN jn nb ON nb.doc_id = doc_b
+        |  WHERE round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+        |), wh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(8, len(text)),
+        |      i -> (CAST(ascii(substring(text, i - 7, 1)) AS BIGINT) * 13163680 +
+        |            CAST(ascii(substring(text, i - 6, 1)) AS BIGINT) * 805498697 +
+        |            CAST(ascii(substring(text, i - 5, 1)) AS BIGINT) * 154885210 +
+        |            CAST(ascii(substring(text, i - 4, 1)) AS BIGINT) * 362470373 +
+        |            CAST(ascii(substring(text, i - 3, 1)) AS BIGINT) * 16974593 +
+        |            CAST(ascii(substring(text, i - 2, 1)) AS BIGINT) * 66049 +
+        |            CAST(ascii(substring(text, i - 1, 1)) AS BIGINT) * 257 +
+        |            ascii(substring(text, i, 1))) % 1000000007) AS hs
+        |  FROM documents
+        |), wfps AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(hs) - 3),
+        |      j -> list_min(hs[j : j + 3]))) AS fp
+        |  FROM wh
+        |), wfreq AS (
+        |  SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 50
+        |), wkept AS (
+        |  SELECT f.doc_id, f.fp FROM wfps f JOIN wfreq USING (fp)
+        |), wn AS (
+        |  SELECT doc_id, count(*) AS nf FROM wkept GROUP BY doc_id
+        |), winter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), wpairs AS (
+        |  SELECT doc_a, doc_b FROM winter
+        |  JOIN wn na ON na.doc_id = doc_a
+        |  JOIN wn nb ON nb.doc_id = doc_b
+        |  WHERE round(CAST(inter AS DOUBLE) / (na.nf + nb.nf - inter), 6) >= 0.5
+        |), u AS (
+        |  SELECT doc_a, doc_b, 'minhash' AS method FROM mpairs
+        |  UNION ALL SELECT doc_a, doc_b, 'jaccard' FROM jpairs
+        |  UNION ALL SELECT doc_a, doc_b, 'winnow' FROM wpairs
+        |)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_methods,
+        |  string_agg(method, ',' ORDER BY method) AS methods
+        |FROM u GROUP BY doc_a, doc_b
+        |HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q90_editdist_confirm" ->

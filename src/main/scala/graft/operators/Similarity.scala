@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q.QueryFn
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,37 @@ object Similarity {
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
       .withColumn("nrm", expr("sqrt(dot_product(vd, vd))"))
+  }
+
+  /** Chunk→document embedding pooling: the mean of each group's vectors,
+    * L2-normalized — the standard bridge between chunk-level encoding
+    * and document-level retrieval/dedup (long documents are embedded in
+    * chunks; search wants one vector per document). Output is the
+    * scalar-typed long form, one row per (doc, dim).
+    *
+    * Dataflow: posexplode to (group, dim, component) → ONE partial-sum
+    * aggregate keyed by (group, dim) — map-side combinable, shuffle
+    * volume = groups × dims, never raw vectors twice. Component sums and
+    * the norm's squared terms go through DECIMAL so the result is
+    * order-independent under any partitioning (the house float rule).
+    */
+  def meanPool(emb: DataFrame, group: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val e = emb.select(group.cast("long").as("doc_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .select(col("doc_id"), posexplode(col("vd")).as(Seq("dim0", "x")))
+    val mean = e.groupBy(col("doc_id"), (col("dim0") + 1).as("dim"))
+      .agg(sum(col("x").cast(dec)).as("sx"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("dim"),
+        (col("sx").cast("double") / col("n")).as("m"), col("n"))
+    val nrm = mean.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("m") * col("m")).cast(
+        org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)))
+        .cast("double")).as("nrm"))
+    mean.join(nrm, "doc_id")
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(col("m") / col("nrm"), 6).as("pooled"),
+        col("n").as("n_chunks"))
   }
 
   /** Hard-negative mining — the contrastive-training data step: for each
@@ -488,6 +519,12 @@ object Similarity {
     "q127_int8_quantize" -> ((s, dir) =>
       int8Quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
+
+    // chunks map to documents 4:1 (vec_id DIV 4) — the chunked-encoding
+    // layout a long-document pipeline produces
+    "q149_mean_pool" -> ((s, dir) =>
+      meanPool(Tables.load(s, dir, "embeddings"), expr("vec_id DIV 4"))
+        .orderBy(col("doc_id"), col("dim"))),
     "q60_knn_brute" -> ((s, dir) =>
       bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
         .orderBy(col("qid"), col("rnk"))),
@@ -524,6 +561,29 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // parallel unnests zip component and 1-based dim; DECIMAL sums make
+    // the mean and norm order-independent, matching the Spark side
+    "q149_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id // 4 AS doc_id,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings
+        |), mean AS (
+        |  SELECT doc_id, dim,
+        |    CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY doc_id, dim
+        |), nrm AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(m * m AS DECIMAL(38, 18))) AS DOUBLE)) AS nrm
+        |  FROM mean GROUP BY doc_id
+        |)
+        |SELECT mean.doc_id AS doc_id, CAST(dim AS BIGINT) AS dim,
+        |  round(m / nrm.nrm, 6) AS pooled, n AS n_chunks
+        |FROM mean JOIN nrm ON mean.doc_id = nrm.doc_id
+        |ORDER BY mean.doc_id, dim""".stripMargin,
+
     "q137_ivf_recall" ->
       s"""WITH $duckPrep,
          |cents AS (SELECT vec_id AS centroid_id, vd, nrm FROM v WHERE vec_id < 8),
