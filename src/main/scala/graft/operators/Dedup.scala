@@ -180,6 +180,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("resemblance"))
   }
 
+  /** Dedup threshold curve — the knob-tuning table a pipeline owner
+    * reads before picking a Jaccard cut: for each candidate threshold,
+    * how many LSH candidate pairs clear it by the EXACT shingle Jaccard
+    * vs by the minhash ESTIMATE, and how many the estimate would
+    * misclassify against the exact value (the operational cost of
+    * trusting signatures alone at that cut). Rides [[minhashEstimateAudit]]'s
+    * per-pair audit rows — a tiny table — exploded against the literal
+    * threshold grid row-locally.
+    */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    require(thresholds.nonEmpty, "threshold grid must not be empty")
+    val audit = minhashEstimateAudit(docs, idCol, textCol)
+    audit.select(col("exact_jac"), col("est_jac"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+      .groupBy(col("threshold")).agg(
+        sum(when(col("exact_jac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("est_jac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_est"),
+        sum(when((col("est_jac") >= col("threshold")) =!=
+          (col("exact_jac") >= col("threshold")), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("threshold"), col("n_exact"), col("n_est"), col("n_disagree"))
+  }
+
   /** Consensus near-dup pairs — the ensemble decision real pipelines
     * ship: a candidate pair counts only when flagged by ≥ `minVotes` of
     * three INDEPENDENT detectors (minhash-LSH banding, DF-capped shingle
@@ -487,6 +514,10 @@ object Dedup {
         minVotes = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q152_threshold_curve" -> ((s, dir) =>
+      thresholdCurve(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("threshold"))),
+
     // Docs 0-24 stand in for the benchmark/eval set (the q80 convention).
     // Complementary to exact decontamination: q80 flags ANY shared 5-gram
     // (verbatim snippets); this flags estimated-Jaccard near-duplicates
@@ -553,6 +584,66 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // q115's audit rows × a DOUBLE[] threshold grid (DECIMAL list
+    // literals would compare differently from Spark's double lits)
+    "q152_threshold_curve" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 8.0, 6) AS est_jac
+        |  FROM mh a JOIN mh b ON a.seed = b.seed AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), audit AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS exact_jac,
+        |    e.est_jac
+        |  FROM pairs p
+        |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |), grid AS (
+        |  SELECT unnest(CAST([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+        |    AS DOUBLE[])) AS threshold
+        |)
+        |SELECT threshold,
+        |  CAST(sum(CASE WHEN exact_jac >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN est_jac >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_est,
+        |  CAST(sum(CASE WHEN (est_jac >= threshold) <> (exact_jac >= threshold)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+        |FROM audit CROSS JOIN grid
+        |GROUP BY threshold
+        |ORDER BY threshold""".stripMargin,
 
     "q51_minhash_lsh" ->
       """WITH w AS (

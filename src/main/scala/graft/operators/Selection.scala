@@ -299,6 +299,64 @@ object Selection {
         round(col("pct"), 6).as("pct_rank"))
   }
 
+  /** Length-grouped batch assignment — the trainer-side prep that packs
+    * similar-length documents into the same batch so attention padding
+    * isn't wasted: bucket by length band, order within the bucket by a
+    * content-addressed shuffle key, cut into fixed-size batches.
+    *
+    * `Window.partitionBy(bucket)` would be scale-WRONG here: a handful
+    * of length bands means each band funnels corpus/bands rows through
+    * one task. Instead the house two-pass prefix generalizes per-group:
+    * range-partition by (bucket, key) — each bucket spans a contiguous
+    * partition run — collect per-(partition, bucket) counts (a few
+    * dozen longs), scan-sum them into per-(partition, bucket) base
+    * ranks on the driver, and stream pass 2 with per-bucket local
+    * counters. Shuffle files from pass 1 are reused; no per-bucket
+    * single-task stage anywhere.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      tokensPerBand: Int, batchSize: Int): DataFrame = {
+    require(tokensPerBand > 0, s"tokensPerBand must be positive, got $tokensPerBand")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / tokensPerBand).cast("long"))
+      .withColumn("skey",
+        substring(md5(concat(lit("lb:"), col("doc_id").cast("string"))), 1, 8))
+      .repartitionByRange(col("bucket"), col("skey"), col("doc_id"))
+      .sortWithinPartitions(col("bucket"), col("skey"), col("doc_id"))
+    val rdd = keyed.rdd.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // pass 1: (partition, bucket) -> count; buckets per partition are few
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        it.foreach { case (_, _, b, _) => m(b) = m.getOrElse(b, 0L) + 1 }
+        m.iterator.map { case (b, n) => (i, b, n) }.toList.iterator
+      }.collect()
+    // per-(partition, bucket) base = rows of the same bucket in EARLIER
+    // partitions (the range order makes bucket runs contiguous)
+    val bases: Map[(Int, Long), Long] = {
+      val byBucket = counts.groupBy(_._2)
+      byBucket.flatMap { case (b, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val offsets = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._1).zip(offsets).map { case (p, off) => (p, b) -> off }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(bases)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val local = scala.collection.mutable.Map[Long, Long]()
+      it.map { case (id, nt, b, _) =>
+        val rk = bc.value((i, b)) + local.getOrElse(b, 0L)
+        local(b) = local.getOrElse(b, 0L) + 1
+        (id, nt, b, rk / batchSize, rk % batchSize)
+      }
+    }
+    spark.createDataFrame(out)
+      .toDF("doc_id", "n_tokens", "bucket", "batch_idx", "pos_in_batch")
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -335,6 +393,11 @@ object Selection {
     "q143_percent_rank" -> ((s, dir) =>
       percentRank(Tables.load(s, dir, "documents"), "doc_id",
         col("n_chars").cast("double"))
+        .orderBy(col("doc_id"))),
+
+    "q151_length_batches" -> ((s, dir) =>
+      lengthBatches(Tables.load(s, dir, "documents"), "doc_id", "text",
+        tokensPerBand = 16, batchSize = 8)
         .orderBy(col("doc_id"))),
 
     // The corpus has no cross-document segments, so the query PLANTS
@@ -456,6 +519,26 @@ object Selection {
         |)
         |SELECT doc_id, score, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= 15000
+        |ORDER BY doc_id""".stripMargin,
+
+    // same total order as the two-pass per-bucket prefix: within each
+    // band, (md5 shuffle key, doc_id) ranks cut into batches of 8
+    "q151_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(text, ' ')) // 16 AS BIGINT) AS bucket,
+        |    substring(md5('lb:' || CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY skey, doc_id) - 1 AS rk
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, bucket,
+        |  CAST(rk // 8 AS BIGINT) AS batch_idx,
+        |  CAST(rk % 8 AS BIGINT) AS pos_in_batch
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
 
     // unique (value, doc_id) order ⇒ percent_rank ≡ (row_number−1)/(N−1),

@@ -1468,6 +1468,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getLong(2) == 1L && one(0).getDouble(3) == 0.0)
   }
 
+  test("lengthBatches: batches are bucket-pure, gapless, and bounded by batchSize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val out = Selection.lengthBatches(docs, "doc_id", "text",
+      tokensPerBand = 16, batchSize = 8).cache()
+    // every (bucket, batch) holds <= 8 rows with contiguous positions 0..n-1
+    val bad = out.groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n"), max(col("pos_in_batch")).as("mx"),
+        min(col("pos_in_batch")).as("mn"))
+      .filter(col("n") > 8 || col("mx") =!= col("n") - 1 || col("mn") =!= 0)
+    assert(bad.count() == 0)
+    // only the LAST batch of a bucket may be partial
+    val partialNotLast = out.groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("last", col("batch_idx") === max(col("batch_idx")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("n") < 8 && !col("last"))
+    assert(partialNotLast.count() == 0)
+    // assignment is deterministic: same input, same layout twice
+    val again = Selection.lengthBatches(docs, "doc_id", "text", 16, 8)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("jsDivergence: source identical to corpus scores 0; disjoint halves match closed form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
