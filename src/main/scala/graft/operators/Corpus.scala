@@ -1165,6 +1165,45 @@ object Corpus {
         col("s.dropped"), col("s.drop_rate"))
   }
 
+  /** Split-leakage check — evaluation hygiene for content-addressed
+    * splits: which val/test documents share word `n`-grams with ANY
+    * train document, and how much of each is covered. Random splits
+    * leak near-duplicates across the boundary (the eval set silently
+    * overlaps training data and scores inflate); this is the audit a
+    * pipeline runs right after [[assignSplits]], the split-boundary
+    * twin of q80's benchmark decontamination.
+    *
+    * Dataflow: one split assignment (pure codegen), per-doc distinct
+    * n-grams on the train side, position multiset on the eval side, one
+    * gram-keyed semi-join. The EVAL side is the small one by
+    * construction (5–10% of the corpus) — at 100 TB broadcast the eval
+    * gram set and stream the train side, never the reverse.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], trainSplit: String = "train",
+      n: Int = 5): DataFrame = {
+    val withSplit = assignSplits(docs, idCol, splits)
+    val ws = withSplit.select(col(idCol).as("doc_id"), col("split"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+    val gram =
+      s"transform(sequence(1, size(ws) - ${n - 1}), " +
+        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+    val trainGrams = ws.filter(col("split") === trainSplit)
+      .select(explode(expr(s"array_distinct($gram)")).as("kg")).distinct()
+    val evalPos = ws.filter(col("split") =!= trainSplit)
+      .select(col("doc_id"), col("split"),
+        (size(col("ws")) - (n - 1)).cast("long").as("n_positions"),
+        explode(expr(gram)).as("kg"))
+    evalPos.join(trainGrams, Seq("kg"), "left_semi")
+      .groupBy(col("doc_id"), col("split"), col("n_positions"))
+      .agg(count(lit(1)).as("n_leaked"))
+      .select(col("doc_id"), col("split"), col("n_positions"),
+        col("n_leaked"),
+        round(col("n_leaked").cast("double") / col("n_positions"), 6)
+          .as("leak_frac"))
+  }
+
   /** Per-source lexical-diversity profile: type-token ratio over words
     * and over word 3-grams (the distinct-n diversity signal that flags
     * templated/machine-generated slices of a corpus — a source whose
@@ -1491,6 +1530,11 @@ object Corpus {
     "q146_corpus_diversity" -> ((s, dir) =>
       corpusDiversity(Tables.load(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy(col("source"))),
+
+    "q153_split_leakage" -> ((s, dir) =>
+      splitLeakage(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0))
+        .orderBy(col("doc_id"))),
 
     "q147_js_divergence" -> ((s, dir) =>
       jsDivergence(Tables.load(s, dir, "documents"), "text", "source")
@@ -2233,6 +2277,37 @@ object Corpus {
         |  round(CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS gram_ttr
         |FROM d JOIN wa USING (source) JOIN ga USING (source)
         |ORDER BY source""".stripMargin,
+
+    // same 16-bit md5 split buckets as q110; leakage = eval-doc 5-gram
+    // positions whose gram appears in any train document
+    "q153_split_leakage" ->
+      """WITH a AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS UBIGINT) < 58982 THEN 'train'
+        |      WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS UBIGINT) < 62259 THEN 'val'
+        |      ELSE 'test'
+        |    END AS split
+        |  FROM documents
+        |), ws AS (
+        |  SELECT doc_id, split, string_split(text, ' ') AS ws FROM a
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), tg AS (
+        |  SELECT DISTINCT
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS kg
+        |  FROM ws WHERE split = 'train'
+        |), ev AS (
+        |  SELECT doc_id, split, CAST(len(ws) - 4 AS BIGINT) AS n_positions,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS kg
+        |  FROM ws WHERE split <> 'train'
+        |)
+        |SELECT doc_id, split, n_positions, CAST(count(*) AS BIGINT) AS n_leaked,
+        |  round(CAST(count(*) AS DOUBLE) / n_positions, 6) AS leak_frac
+        |FROM ev JOIN tg USING (kg)
+        |GROUP BY doc_id, split, n_positions
+        |ORDER BY doc_id""".stripMargin,
 
     // per-term doubles cast to DECIMAL before summing (order-independent,
     // engine-exact); absent-term Q-mass folds to (1 - sum q)*ln 2
