@@ -53,6 +53,11 @@ object Bench {
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] PARTIAL RUN — queries with zero successful reps: ${failed.sorted.mkString(",")}")
+    // the partial marker must ride IN the JSON: a consumer of
+    // bench_full.json cannot see stderr, and a partial sweep's lower
+    // total would otherwise read as a misleadingly fast clean run
+    val partial = failed.sorted.map(n => "\"" + n + "\"")
+      .mkString(""","partial":[""", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -63,7 +68,7 @@ object Bench {
     // the start of the window) can only cost early per-query entries, never
     // the total.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$partial,"sf":"$sfDir"}"""
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -72,7 +77,7 @@ object Bench {
     val qs3 = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","queries":$qs3,"sf":"$sfDir","n":${results.size},"unit":"sec","value":${d3(total)}}""")
+      s"""{"metric":"total","queries":$qs3,"sf":"$sfDir","n":${results.size}$partial,"unit":"sec","value":${d3(total)}}""")
     spark.stop()
   }
 }

@@ -47,6 +47,15 @@ case class EmaWindow(child: Expression, alpha: Expression)
     if (!alpha.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"ema(x, alpha): alpha must be a constant literal (like the offset in lag/lead), got ${alpha.sql}")
+    else if (!alpha.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      // a foldable but non-numeric alpha ('abc', NULL) would otherwise
+      // pass analysis and die at execution — the failure mode this
+      // check exists to catch
+      TypeCheckResult.TypeCheckFailure(
+        s"ema(x, alpha): alpha must be a numeric constant, got ${alpha.dataType.simpleString}")
+    else if (alpha.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "ema(x, alpha): alpha must not be NULL")
     else if (!child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
              child.dataType != org.apache.spark.sql.types.NullType)
       TypeCheckResult.TypeCheckFailure(

@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Word `n`-gram array over a pre-split `ws` column — the ONE
+    * definition every word-gram operator here shares (crossDocRepeats,
+    * decontaminate's shingleRows, gopherRules, spanCut, splitLeakage,
+    * corpusDiversity), so a tokenization tweak can never silently fork
+    * between operators and their oracles. Callers must either filter
+    * `size(ws) >= n` first or use [[wordGramExprGuarded]] —
+    * `sequence(1, m)` runs DESCENDING when m < 1, never empty.
+    */
+  private[operators] def wordGramExpr(n: Int): String =
+    s"transform(sequence(1, size(ws) - ${n - 1}), " +
+      s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+
+  /** [[wordGramExpr]] short-circuiting docs shorter than `n` to an
+    * empty array, for callers that must KEEP short docs in the output. */
+  private[operators] def wordGramExprGuarded(n: Int): String =
+    s"IF(size(ws) < $n, CAST(array() AS ARRAY<STRING>), ${wordGramExpr(n)})"
+
   /** Connected components by min-label propagation — resolves candidate
     * duplicate PAIRS into duplicate CLUSTERS: every vertex converges to
     * the smallest vertex id reachable from it, which is the component's
@@ -333,9 +350,7 @@ object Corpus {
       n: Int = 8): DataFrame = {
     val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-    val gram =
-      s"transform(sequence(1, size(ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+    val gram = wordGramExpr(n)
     val repeated = ws
       .select(col("doc_id"), explode(expr(s"array_distinct($gram)")).as("kg"))
       .groupBy(col("kg"))
@@ -377,12 +392,7 @@ object Corpus {
       n: Int = 5): DataFrame = {
     require(n >= 2, s"span n-gram size must be >= 2, got $n")
     val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-    // sequence(1, m) runs DESCENDING when m < 1 (it never returns empty)
-    // — short docs must short-circuit to an empty gram array explicitly
-    val gram =
-      s"IF(size(ws) < $n, CAST(array() AS ARRAY<STRING>), " +
-        s"transform(sequence(1, size(ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"
+    val gram = wordGramExprGuarded(n) // short docs must stay in the output
     val starts = ws
       .select(col("doc_id"), posexplode(expr(gram)).as(Seq("p0", "kg")))
       .select(col("doc_id"), (col("p0") + 1).as("s"), col("kg"))
@@ -476,9 +486,7 @@ object Corpus {
       n: Int, as: String) = df
     .select(col(idCol).as(as), split(col(textCol), " ").as("ws"))
     .filter(size(col("ws")) >= n)
-    .select(col(as), explode(expr(
-      s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j)))))"))
+    .select(col(as), explode(expr(s"array_distinct(${wordGramExpr(n)})"))
       .as("sh"))
 
   def decontaminate(training: DataFrame, benchmark: DataFrame,
@@ -597,13 +605,22 @@ object Corpus {
       .select(col(idCol).as("doc_id"), col(fpCol).as("ofp"),
         col("version").cast("long").as("over"),
         col("valid_from").cast("long").as("ofrom"))
+    // highest version ever assigned per doc, CLOSED rows included — a
+    // removed document that reappears must continue its version
+    // sequence, not restart at 1 and duplicate the (id, version) key.
+    // One id-keyed max over the history; co-partitioned (or bucketed)
+    // storage makes it shuffle-free alongside the id join below.
+    val lastVer = current.groupBy(col(idCol).as("doc_id"))
+      .agg(max(col("version").cast("long")).as("prev_ver"))
     val snap = snapshot.select(col(idCol).as("doc_id"), col(fpCol).as("nfp"))
     val b = lit(batch)
     val nl = lit(null).cast("long")
     val cases = open.join(snap, Seq("doc_id"), "full_outer")
+      .join(lastVer, Seq("doc_id"), "left")
       .select(col("doc_id"), explode(
-        when(col("ofp").isNull, // newly seen → first version opens at B
-          array(struct(col("nfp").as("fp"), lit(1L).as("version"),
+        when(col("ofp").isNull, // not open: brand new OR reappearing
+          array(struct(col("nfp").as("fp"),
+            (coalesce(col("prev_ver"), lit(0L)) + 1L).as("version"),
             b.as("valid_from"), nl.as("valid_to"), lit(true).as("is_current"))))
         .when(col("nfp").isNull, // gone → close at B
           array(struct(col("ofp").as("fp"), col("over").as("version"),
@@ -1005,9 +1022,7 @@ object Corpus {
         size(col("ws")), 4).as("mean_word_len"),
       expr(s"CAST(size(filter(ws, x -> x IN (${stops.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)")
         .as("stop_hits"))
-    def gram(n: Int) =
-      s"transform(sequence(1, size(ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+    def gram(n: Int) = wordGramExpr(n)
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 10)
     val grams = (topNs ++ dupNs).map { n =>
@@ -1186,9 +1201,7 @@ object Corpus {
     val ws = withSplit.select(col(idCol).as("doc_id"), col("split"),
         split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-    val gram =
-      s"transform(sequence(1, size(ws) - ${n - 1}), " +
-        s"i -> concat_ws(' ', transform(sequence(i, i + ${n - 1}), j -> element_at(ws, j))))"
+    val gram = wordGramExpr(n)
     val trainGrams = ws.filter(col("split") === trainSplit)
       .select(explode(expr(s"array_distinct($gram)")).as("kg")).distinct()
     val evalPos = ws.filter(col("split") =!= trainSplit)
@@ -1218,9 +1231,7 @@ object Corpus {
     val ws = docs.select(col(sourceCol).as("source"), split(col(textCol), " ").as("ws"))
     val words = ws.select(col("source"), explode(col("ws")).as("w"))
     val grams = ws.filter(size(col("ws")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', " +
-          "element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")).as("g"))
+      .select(col("source"), explode(expr(wordGramExpr(3))).as("g"))
     val d = docs.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
     val wa = words.groupBy(col("source")).agg(
@@ -1229,7 +1240,10 @@ object Corpus {
     val ga = grams.groupBy(col("source")).agg(
       count(lit(1)).as("n_grams"),
       countDistinct(col("g")).as("n_distinct_grams"))
-    d.join(wa, "source").join(ga, "source")
+    // LEFT joins: a source whose documents are all under 3 words has no
+    // gram rows — it must still appear (null gram stats), not silently
+    // vanish from the profile
+    d.join(wa, Seq("source"), "left").join(ga, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_distinct_words"),
         round(col("n_distinct_words").cast("double") / col("n_words"), 6).as("ttr"),
@@ -2275,7 +2289,7 @@ object Corpus {
         |  round(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS ttr,
         |  n_grams, n_distinct_grams,
         |  round(CAST(n_distinct_grams AS DOUBLE) / n_grams, 6) AS gram_ttr
-        |FROM d JOIN wa USING (source) JOIN ga USING (source)
+        |FROM d LEFT JOIN wa USING (source) LEFT JOIN ga USING (source)
         |ORDER BY source""".stripMargin,
 
     // same 16-bit md5 split buckets as q110; leakage = eval-doc 5-gram

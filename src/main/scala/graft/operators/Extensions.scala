@@ -53,7 +53,11 @@ object Extensions {
       dim: org.apache.spark.sql.DataFrame, bigKey: String, dimKey: String,
       salt: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"salt bucket count must be positive, got $k")
-    val b = big.withColumn("__salt_l", pmod(salt.cast("long"), lit(k.toLong)))
+    // a null salt must land in SOME bucket (coalesce to 0), or the join
+    // predicate would go null and silently drop the row — breaking the
+    // result-identical-to-plain-join guarantee this operator grades
+    val b = big.withColumn("__salt_l",
+      pmod(coalesce(salt.cast("long"), lit(0L)), lit(k.toLong)))
     val d = dim.withColumn("__salt_r", explode(expr(s"sequence(0L, ${k - 1}L)")))
     b.join(d, b(bigKey) === d(dimKey) && b("__salt_l") === d("__salt_r"))
       .drop("__salt_l").drop("__salt_r")

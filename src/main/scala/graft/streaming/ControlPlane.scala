@@ -107,6 +107,12 @@ final class ControlPlane(spark: SparkSession, port: Int,
     spark.streams.active.find(q =>
       q.id.toString == id || Option(q.name).contains(id))
 
+  // Serializes lifecycle MUTATIONS (start/restart) now that handlers run
+  // on a pool: two concurrent /start requests must not both pass the
+  // "already active" check and start the stream twice. Monitoring routes
+  // never take this lock, so a long batch start still can't freeze them.
+  private val lifecycleLock = new Object
+
   /** Start stream `id` from its registered config: 202 with the fresh
     * runId (the reference's Accepted lifecycle-operation response), or
     * 404 when the id has no config to resolve. Batch streams run once to
@@ -180,12 +186,14 @@ final class ControlPlane(spark: SparkSession, port: Int,
           }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/start") =>
           val id = s.stripPrefix("/streams/").stripSuffix("/start")
-          if (find(id).isDefined)
-            respond(ex, 409, """{"error":"stream already active"}""")
-          else lifecycleStart(ex, id)
+          lifecycleLock.synchronized {
+            if (find(id).isDefined)
+              respond(ex, 409, """{"error":"stream already active"}""")
+            else lifecycleStart(ex, id)
+          }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/restart") =>
           val id = s.stripPrefix("/streams/").stripSuffix("/restart")
-          if (registry.exists(_._1 == id)) {
+          if (registry.exists(_._1 == id)) lifecycleLock.synchronized {
             // stop() blocks until termination, so the query name is free
             // for the fresh start below
             find(id).foreach(_.stop())
@@ -236,5 +244,8 @@ final class ControlPlane(spark: SparkSession, port: Int,
   def stop(): Unit = {
     spark.streams.removeListener(listener)
     server.stop(0)
+    // HttpServer.stop does NOT stop a user-supplied executor — without
+    // this, every ControlPlane instance leaks its 4 pool threads
+    pool.shutdown()
   }
 }

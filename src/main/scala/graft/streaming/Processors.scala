@@ -110,7 +110,11 @@ object Processors {
       if (rows.length > maxKeys)
         throw new IllegalStateException(
           s"drift monitor saw > $maxKeys distinct '$keyCol' keys in one batch")
-      val counts = rows.map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1)).toMap
+      // MERGE null-key and ""-key counts (toMap would keep only one of
+      // a NULL-source row group and a literal-empty one)
+      val counts = rows
+        .map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+        .groupMapReduce(_._1)(_._2)(_ + _)
       val n = counts.values.sum.toDouble
       val jsd =
         if (n == 0) Double.NaN
@@ -429,9 +433,18 @@ object Processors {
             c.options.get("staging"))
         else BatchCompact(c.options.getOrElse("partitions", "1").toInt)
       case "drift" =>
+        // split on the LAST colon so keys may contain ':' (URLs); a
+        // malformed entry gets a descriptive error, not a MatchError
         val baseline = c.options("baseline").split(",").map { kv =>
-          val Array(k, w) = kv.trim.split(":")
-          k -> w.toDouble
+          val s = kv.trim
+          val cut = s.lastIndexOf(':')
+          require(cut > 0 && cut < s.length - 1,
+            s"drift baseline entry '$s' must be '<key>:<weight>'")
+          val w = try s.substring(cut + 1).toDouble
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"drift baseline entry '$s': weight is not a number") }
+          s.substring(0, cut) -> w
         }.toMap
         DriftMonitor(c.options("key_col"), baseline,
           c.options.getOrElse("out_col", "__drift_jsd"),

@@ -1442,8 +1442,12 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "b2", 2L, 2L, 3L, false),   // closed at 3
       (2L, "b3", 3L, 3L, -1L, true),
       (3L, "c1", 1L, 1L, 2L, false),   // removed at 2...
-      (3L, "c2", 1L, 3L, -1L, true),   // ...reappears as a fresh version 1
+      (3L, "c2", 2L, 3L, -1L, true),   // ...reappears CONTINUING its sequence
       (4L, "d1", 1L, 2L, 3L, false)))  // added at 2, removed at 3
+    // (doc_id, version) stays a unique key even across remove/reappear
+    val dupKeys = t3.groupBy(col("doc_id"), col("version")).count()
+      .filter(col("count") > 1).count()
+    assert(dupKeys == 0)
     // invariant: exactly one current row per doc in the latest snapshot
     val cur = t3.filter(col("is_current")).groupBy(col("doc_id")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
