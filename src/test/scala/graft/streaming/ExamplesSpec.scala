@@ -83,6 +83,27 @@ class ExamplesSpec extends AnyFunSuite {
       s"config pipeline must reproduce the library SQL: ${got.size} vs ${expected.size}")
   }
 
+  test("drift-monitor example stamps the batch JSD and routes the quarantine verdict") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "drift_monitor.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_drift_out").toString
+    Engine.run(spark, Config.fromYaml(yaml.replace("/tmp/graft/out/drift_monitor", outDir)))
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 500)
+    // the stamp must equal DriftMonitor applied directly to the table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val baseline = (0 to 4).map(i => s"src$i" -> 0.2).toMap
+    val expect = Processors.DriftMonitor("source", baseline)(docs)
+      .select("__drift_jsd").head().getDouble(0)
+    val stamped = got.select("__drift_jsd").distinct().collect().map(_.getDouble(0))
+    assert(stamped.toSeq == Seq(expect), s"stamped $stamped, want $expect")
+    // 15 of 20 sources are novel vs the 5-source baseline -> real drift
+    assert(expect > 0.2)
+    val verdicts = got.select("quarantine").distinct().collect().map(_.getBoolean(0))
+    assert(verdicts.toSeq == Seq(true))
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))
