@@ -46,15 +46,22 @@ object Similarity {
     * the norm's squared terms go through DECIMAL so the result is
     * order-independent under any partitioning (the house float rule).
     */
-  def meanPool(emb: DataFrame, group: Column): DataFrame = {
+  /** (doc_id, dim, m, n): per-group per-dimension mean components — the
+    * shared core of [[meanPool]] and [[pooledNearDupPairs]]. DECIMAL
+    * sums make every m order-independent. `dim` is 1-based. */
+  private def chunkMeans(emb: DataFrame, group: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
-    val e = emb.select(group.cast("long").as("doc_id"),
+    emb.select(group.cast("long").as("doc_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
       .select(col("doc_id"), posexplode(col("vd")).as(Seq("dim0", "x")))
-    val mean = e.groupBy(col("doc_id"), (col("dim0") + 1).as("dim"))
+      .groupBy(col("doc_id"), (col("dim0") + 1).as("dim"))
       .agg(sum(col("x").cast(dec)).as("sx"), count(lit(1)).as("n"))
       .select(col("doc_id"), col("dim"),
         (col("sx").cast("double") / col("n")).as("m"), col("n"))
+  }
+
+  def meanPool(emb: DataFrame, group: Column): DataFrame = {
+    val mean = chunkMeans(emb, group)
     val nrm = mean.groupBy(col("doc_id"))
       .agg(sqrt(sum((col("m") * col("m")).cast(
         org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)))
@@ -63,6 +70,24 @@ object Similarity {
       .select(col("doc_id"), col("dim").cast("long").as("dim"),
         round(col("m") / col("nrm"), 6).as("pooled"),
         col("n").as("n_chunks"))
+  }
+
+  /** Document-level near-dup over POOLED chunk embeddings — [[meanPool]]
+    * composed with the hyperplane-LSH pair dataflow ([[cosineLshPairs]]):
+    * the end-to-end shape a long-document pipeline runs (chunks are
+    * encoded, documents are deduped). Pooled means concentrate, so the
+    * cosine bar and band width sit LOWER than raw-vector near-dup —
+    * the default here buckets moderate similarity; widen bitsPerBand
+    * ~log(n) at scale exactly like q62.
+    */
+  def pooledNearDupPairs(emb: DataFrame, group: Column, bands: Int,
+      bitsPerBand: Int, threshold: Double): DataFrame = {
+    val vecs = chunkMeans(emb, group)
+      .groupBy(col("doc_id")).agg(expr(
+        "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+        .as("embedding"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    cosineLshPairs(vecs, bands, bitsPerBand, threshold)
   }
 
   /** Hard-negative mining — the contrastive-training data step: for each
@@ -525,6 +550,14 @@ object Similarity {
     "q149_mean_pool" -> ((s, dir) =>
       meanPool(Tables.load(s, dir, "embeddings"), expr("vec_id DIV 4"))
         .orderBy(col("doc_id"), col("dim"))),
+
+    // 0.35 exercises the operator on this synthetic corpus (max pooled
+    // pairwise cosine is 0.476); production near-dup runs the same plan
+    // at ~0.9 with wider bands
+    "q154_pooled_neardup" -> ((s, dir) =>
+      pooledNearDupPairs(Tables.load(s, dir, "embeddings"),
+        expr("vec_id DIV 4"), bands = 6, bitsPerBand = 4, threshold = 0.35)
+        .orderBy(col("va"), col("vb"))),
     "q60_knn_brute" -> ((s, dir) =>
       bruteForceKnn(Tables.load(s, dir, "embeddings"), nQueries = 5, k = 5)
         .orderBy(col("qid"), col("rnk"))),
@@ -561,6 +594,47 @@ object Similarity {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q62's md5-derived hyperplane banding over the POOLED doc vectors
+    "q154_pooled_neardup" -> {
+      def bit(k: Int): String =
+        s"CASE WHEN list_dot_product(vd, list_transform(generate_series(0, len(vd) - 1), " +
+          s"i -> CASE WHEN substring(md5('hp${k}_' || i), 1, 1) >= '8' " +
+          "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0 THEN '1' ELSE '0' END"
+      val bandExprs = (0 until 6).map(b =>
+        (0 until 4).map(j => bit(b * 4 + j)).mkString(" || ") + s" AS band$b")
+        .mkString(",\n    ")
+      val sigCase = (0 until 6).map(b => s"WHEN $b THEN band$b").mkString(" ")
+      s"""WITH e AS (
+         |  SELECT vec_id // 4 AS doc_id,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+         |    unnest(generate_series(1, len(embedding))) AS dim
+         |  FROM embeddings
+         |), mean AS (
+         |  SELECT doc_id, dim,
+         |    CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE) / count(*) AS m
+         |  FROM e GROUP BY doc_id, dim
+         |), v AS (
+         |  SELECT doc_id AS vec_id, list(m ORDER BY dim) AS vd,
+         |    sqrt(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim))) AS nrm
+         |  FROM mean GROUP BY doc_id
+         |), sig AS (
+         |  SELECT vec_id,
+         |    $bandExprs
+         |  FROM v
+         |), stacked AS (
+         |  SELECT vec_id, band, CASE band $sigCase END AS sg
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS band) b
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM stacked a JOIN stacked b
+         |    ON a.band = b.band AND a.sg = b.sg AND a.vec_id < b.vec_id
+         |)
+         |SELECT c.va, c.vb, round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 6) AS cos
+         |FROM cand c JOIN v x ON x.vec_id = c.va JOIN v y ON y.vec_id = c.vb
+         |WHERE round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 6) >= 0.35
+         |ORDER BY va, vb""".stripMargin
+    },
+
     // parallel unnests zip component and 1-based dim; DECIMAL sums make
     // the mean and norm order-independent, matching the Spark side
     "q149_mean_pool" ->
