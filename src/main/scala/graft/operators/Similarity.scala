@@ -157,6 +157,69 @@ object Similarity {
       .select(col("qid"), col("cell"), col("cid"), col("cos"), col("rnk"))
   }
 
+  /** One deterministic Lloyd iteration of KMeans — the hash-verifiable
+    * core of the engine-specific [[fitQuantizer]] path (q67): seed
+    * centroids are the first `k` vectors (the q61 convention, so a SQL
+    * oracle reproduces them), every remaining vector joins its
+    * argmax-cosine centroid (round-6 ties broken by centroid id), and
+    * the updated centroid is the per-dimension mean of its members,
+    * emitted in scalar long form (cell, dim, cval, n_members).
+    *
+    * Dataflow: centroids broadcast against one corpus scan (the vectors
+    * never shuffle to be assigned), then ONE partial aggregation keyed
+    * by (cell, dim) — map-side combinable, so shuffle volume is
+    * k·dims rows regardless of corpus size. This is exactly the
+    * treeAggregate round MLlib's KMeans runs per iteration; component
+    * sums ride DECIMAL(38,12) (the house float rule) so the means are
+    * order-independent under any partitioning.
+    */
+  def kmeansLloydStep(emb: DataFrame, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val v = prepared(emb)
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("vd").as("qv"), col("nrm").as("qn"))
+    val assignScored = v.filter(col("vec_id") >= k)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
+    val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("cid"), col("cv"), col("centroid_id").as("cell"))
+    assigned.select(col("cell"), posexplode(col("cv")).as(Seq("dim0", "x")))
+      .groupBy(col("cell"), (col("dim0") + 1).cast("long").as("dim"))
+      .agg(sum(col("x").cast(dec)).as("sx"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"),
+        round(col("sx").cast("double") / col("n"), 6).as("cval"),
+        col("n").as("n_members"))
+  }
+
+  /** One deterministic logistic-gradient step — the hash-verifiable
+    * inner iterate of the LBFGS training path (TextAnalysis q107, whose
+    * converged coefficients stay engine-specific): at w = 0 every
+    * prediction is σ(0) = ½, so the mean log-loss gradient is
+    * g_j = Σᵢ (½ − yᵢ)·xᵢⱼ / n, and the first update is w_j = −lr·g_j.
+    * Labels derive from vec_id parity — deterministic in any engine.
+    *
+    * Dataflow: one explode to (dim, contribution) and one partial-sum
+    * aggregation — map-side combinable, shuffle = dims rows independent
+    * of corpus size (the same shape MLlib runs as treeAggregate).
+    * Contributions ride DECIMAL(38,12) for order-independent sums.
+    */
+  def logisticGradStep(emb: DataFrame, lr: Double): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val pts = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("resid", lit(0.5) - (col("vec_id") % 2).cast("double"))
+    pts.select(col("resid"), posexplode(col("vd")).as(Seq("dim0", "x")))
+      .groupBy((col("dim0") + 1).cast("long").as("dim"))
+      .agg(sum((col("resid") * col("x")).cast(dec)).as("sg"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        round(col("sg").cast("double") / col("n"), 6).as("grad"),
+        round(lit(-lr) * (col("sg").cast("double") / col("n")), 6).as("w1"),
+        col("n"))
+  }
+
   /** Shared KMeans coarse quantizer: deterministic-seed centroids
     * (centroid_id, qv, qn) plus the argmax-cosine scoring frame every
     * caller derives assignments/probes from — ONE implementation, so the
@@ -583,7 +646,13 @@ object Similarity {
     "q96_pq_adc" -> ((s, dir) =>
       pqKnn(Tables.load(s, dir, "embeddings"), m = 8, ksub = 16,
         nQueries = 5, k = 5)
-        .orderBy(col("qid"), col("rnk")))
+        .orderBy(col("qid"), col("rnk"))),
+    "q155_kmeans_lloyd" -> ((s, dir) =>
+      kmeansLloydStep(Tables.load(s, dir, "embeddings"), k = 8)
+        .orderBy(col("cell"), col("dim"))),
+    "q156_grad_step" -> ((s, dir) =>
+      logisticGradStep(Tables.load(s, dir, "embeddings"), lr = 0.1)
+        .orderBy(col("dim")))
   )
 
   private val duckPrep =
@@ -885,6 +954,43 @@ object Similarity {
         |  FROM adist
         |)
         |SELECT qid, cid, adist, rnk FROM ranked WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "q155_kmeans_lloyd" ->
+      s"""WITH $duckPrep,
+         |cents AS (SELECT vec_id AS centroid_id, vd, nrm FROM v WHERE vec_id < 8),
+         |assign_scored AS (
+         |  SELECT c.vec_id AS cid, c.vd AS cv, ct.centroid_id,
+         |    round(list_dot_product(ct.vd, c.vd) / (ct.nrm * c.nrm), 6) AS ccos
+         |  FROM v c CROSS JOIN cents ct WHERE c.vec_id >= 8
+         |), assigned AS (
+         |  SELECT cid, cv, centroid_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, centroid_id) AS arn
+         |    FROM assign_scored) t
+         |  WHERE arn = 1
+         |), e AS (
+         |  SELECT cell, unnest(cv) AS x,
+         |    unnest(generate_series(1, len(cv))) AS dim
+         |  FROM assigned
+         |)
+         |SELECT cell, CAST(dim AS BIGINT) AS dim,
+         |  round(CAST(sum(CAST(x AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 6) AS cval,
+         |  count(*) AS n_members
+         |FROM e GROUP BY cell, dim
+         |ORDER BY cell, dim""".stripMargin,
+
+    "q156_grad_step" ->
+      """WITH e AS (
+        |  SELECT (0.5 - CAST(vec_id % 2 AS DOUBLE)) AS resid,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  round(CAST(sum(CAST(resid * x AS DECIMAL(38, 12))) AS DOUBLE) / count(*), 6) AS grad,
+        |  round(-0.1 * (CAST(sum(CAST(resid * x AS DECIMAL(38, 12))) AS DOUBLE) / count(*)), 6) AS w1,
+        |  count(*) AS n
+        |FROM e GROUP BY dim
+        |ORDER BY dim""".stripMargin
   )
 }

@@ -207,6 +207,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"4-of-8-cell probe recall $recall collapsed")
   }
 
+  test("one Lloyd step: cells partition the vectors; k=1 degenerates to the column mean") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val step = Similarity.kmeansLloydStep(emb, k = 8)
+    // every dimension accounts every assigned vector exactly once
+    val perDim = step.groupBy("dim").agg(sum("n_members").as("m"))
+      .select("m").distinct().collect()
+    assert(perDim.length == 1 && perDim.head.getLong(0) == n - 8,
+      s"cells must partition the ${n - 8} non-seed vectors")
+    // k=1: a single cell whose centroid is the plain per-dimension mean
+    val one = Similarity.kmeansLloydStep(emb, k = 1)
+    val direct = emb.filter(col("vec_id") >= 1)
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("d0", "x")))
+      .groupBy((col("d0") + 1).as("dim")).agg(avg("x").as("m"))
+    val maxErr = one.join(direct, "dim")
+      .select(abs(col("cval") - col("m")).as("err"))
+      .agg(max("err")).collect().head.getDouble(0)
+    assert(maxErr <= 1e-5, s"k=1 centroid drifted from the column mean by $maxErr")
+  }
+
+  test("gradient step matches the closed form at w = 0") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val g = Similarity.logisticGradStep(emb, lr = 0.1)
+      .orderBy("dim").collect()
+    assert(g.length == 64 && g.forall(_.getLong(3) == n))
+    g.foreach { r =>
+      assert(math.abs(r.getDouble(2) + 0.1 * r.getDouble(1)) <= 1e-6,
+        s"w1 must be -lr*grad at dim ${r.getLong(0)}")
+    }
+    // dim-1 gradient against a driver-side fold of the raw vectors
+    val expected = {
+      val rows = emb.selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE) AS x")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      rows.map { case (id, x) => (0.5 - (id % 2)) * x }.sum / rows.length
+    }
+    assert(math.abs(g.head.getDouble(1) - expected) <= 1e-5,
+      s"dim-1 gradient ${g.head.getDouble(1)} vs closed form $expected")
+  }
+
   test("module query maps never shadow each other (Map ++ overwrites silently)") {
     val modules: Seq[(String, Set[String])] = Seq(
       "Relational" -> Relational.queries.keySet,

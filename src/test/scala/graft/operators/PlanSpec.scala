@@ -103,13 +103,15 @@ class PlanSpec extends AnyFunSuite {
     // cell assignment, exactly like q61/q67; q112 broadcasts the tiny
     // anchor side against the scan, the q60 shape; q118 attaches its
     // ONE-ROW OLS stats (n/Σx/Σy/Σxy/Σx²) the q21/q77 way.
-    // ... q147 attaches the ONE-ROW corpus token total the same way.
+    // ... q147 attaches the ONE-ROW corpus token total the same way;
+    // q155 broadcasts the tiny centroid table for Lloyd assignment,
+    // exactly like q61/q67.
     val intentional = Set("q14_cross_join", "q21_cte", "q49_subquery_forms",
       "q60_knn_brute", "q61_ivf_knn", "q67_ivf_kmeans_knn", "q77_bm25",
       "q85_mixture_sample", "q88_tfidf_keywords", "q91_semantic_dedup",
       "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
       "q128_corpus_profile", "q137_ivf_recall", "q138_pq_recall",
-      "q147_js_divergence")
+      "q147_js_divergence", "q155_kmeans_lloyd")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
