@@ -165,28 +165,33 @@ object Similarity {
     * the updated centroid is the per-dimension mean of its members,
     * emitted in scalar long form (cell, dim, cval, n_members).
     *
-    * Dataflow: centroids broadcast against one corpus scan (the vectors
-    * never shuffle to be assigned), then ONE partial aggregation keyed
-    * by (cell, dim) — map-side combinable, so shuffle volume is
-    * k·dims rows regardless of corpus size. This is exactly the
-    * treeAggregate round MLlib's KMeans runs per iteration; component
-    * sums ride DECIMAL(38,12) (the house float rule) so the means are
-    * order-independent under any partitioning.
+    * Dataflow: the k centroids fold into ONE row (collect_list, bounded
+    * by k — quantizer-small by contract) that broadcasts against the
+    * corpus scan, and the argmax is a row-local `transform`+`array_max`
+    * fold (max over (cos, −id) structs = q61's DESC-cos/ASC-id
+    * tie-break) — the vectors NEVER shuffle to be assigned. The update
+    * is then ONE partial aggregation keyed by (cell, dim) — map-side
+    * combinable, so total shuffle volume is k·dims rows regardless of
+    * corpus size. This is exactly the treeAggregate round MLlib's
+    * KMeans runs per iteration; component sums ride DECIMAL(38,12)
+    * (the house float rule) so the means are order-independent under
+    * any partitioning.
     */
   def kmeansLloydStep(emb: DataFrame, k: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
     val v = prepared(emb)
+    // array_sort orders the struct list by id (first field) so the fold
+    // is deterministic regardless of collect_list's input order
     val cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("vd").as("qv"), col("nrm").as("qn"))
-    val assignScored = v.filter(col("vec_id") >= k)
-      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+      .agg(expr("array_sort(collect_list(struct(vec_id AS id, vd AS cv, nrm AS cn)))")
+        .as("cents"))
+    v.filter(col("vec_id") >= k)
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
-    val wAssign = Window.partitionBy(col("cid")).orderBy(col("ccos").desc, col("centroid_id"))
-    val assigned = assignScored.withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("cid"), col("cv"), col("centroid_id").as("cell"))
-    assigned.select(col("cell"), posexplode(col("cv")).as(Seq("dim0", "x")))
+      .withColumn("cell", expr(
+        "-array_max(transform(cents, c -> struct(" +
+          "round(dot_product(c.cv, vd) / (c.cn * nrm), 6) AS cos, " +
+          "-c.id AS nid))).nid"))
+      .select(col("cell"), posexplode(col("vd")).as(Seq("dim0", "x")))
       .groupBy(col("cell"), (col("dim0") + 1).cast("long").as("dim"))
       .agg(sum(col("x").cast(dec)).as("sx"), count(lit(1)).as("n"))
       .select(col("cell"), col("dim"),
