@@ -54,6 +54,44 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval×interval OVERLAP self-join — the second member of the
+    * non-equi family (concurrent-span detection, validity-conflict
+    * checks, log/trace interval intersection). The raw predicate
+    * `a.lo <= b.hi AND b.lo <= a.hi` plans as a cartesian product just
+    * like the point case; the scale shape is the same bin bucketing
+    * with BOTH sides exploding to covered bins, plus a
+    * FIRST-AGREEING-BIN predicate (the q58 chunk-dedup pattern): a pair
+    * counts only in the bin where its overlap STARTS, so every true
+    * pair appears exactly once and no `distinct` ever runs on the pair
+    * stream. Intervals are closed ([lo, hi], integral units).
+    *
+    * Per-interval replication is width/binWidth+1 — pick binWidth near
+    * the typical interval width; split or cap outlier spans at ingest
+    * (they otherwise fan out across many bins and skew those buckets).
+    */
+  def intervalOverlapPairs(iv: DataFrame, keyCols: Seq[String],
+      idCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(sqlExpr: String) = expr(s"CAST(($sqlExpr) AS LONG) div $binWidth")
+    val binned = iv
+      .filter(col(hiCol) >= col(loCol)) // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(bin(s"`$loCol`"), bin(s"`$hiCol`"))))
+    val keep = keyCols.map(col)
+    val a = binned.select(col("__bin") +: keep :+ col(idCol).as("__ida")
+      :+ col(loCol).as("__loa") :+ col(hiCol).as("__hia"): _*)
+    val b = binned.select(col("__bin") +: keep :+ col(idCol).as("__idb")
+      :+ col(loCol).as("__lob") :+ col(hiCol).as("__hib"): _*)
+    a.join(b, "__bin" +: keyCols)
+      .filter(col("__ida") < col("__idb") &&
+        col("__loa") <= col("__hib") && col("__lob") <= col("__hia"))
+      // count the pair only where its overlap starts (no distinct)
+      .filter(bin("greatest(__loa, __lob)") === col("__bin"))
+      .select(keep :+ col("__ida").as("id_a") :+ col("__idb").as("id_b")
+        :+ (least(col("__hia"), col("__hib")) -
+            greatest(col("__loa"), col("__lob"))).as("overlap"): _*)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Per-order count of lineitems shipping inside the order's first day
     // — a genuinely two-big-sides range join (600k points x 150k 1-day
@@ -80,6 +118,22 @@ object RangeJoin {
         .groupBy(col("o_orderkey"))
         .agg(sum(col("mult")).as("n_in_window"))
         .orderBy(col("o_orderkey"))
+    }),
+    // Concurrent activity spans per user: each event opens a span of
+    // `value` minutes; pairs of overlapping spans for the same user.
+    // ts is epoch-nano BIGINT (Tables normalization); 6h bins sit near
+    // the span-length scale (value <= ~490 min).
+    "q157_interval_overlap" -> ((s, dir) => {
+      val iv = Tables.load(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("long").as("lo"),
+        (col("ts").cast("long") +
+          expr("CAST(round(value * 60000000000) AS LONG)")).as("hi"))
+      intervalOverlapPairs(iv, Seq("user_id"), "event_id", "lo", "hi",
+          binWidth = 6L * 3600L * 1000000000L)
+        .select(col("user_id"), col("id_a").as("ea"), col("id_b").as("eb"),
+          col("overlap").as("overlap_ns"))
+        .orderBy(col("user_id"), col("ea"), col("eb"))
     })
   )
 
@@ -90,6 +144,20 @@ object RangeJoin {
         |  ON epoch(l.l_shipdate) >= epoch(o.o_orderdate)
         | AND epoch(l.l_shipdate) < epoch(o.o_orderdate) + 86400
         |GROUP BY o.o_orderkey
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // the oracle runs the direct theta-join — grading that binning
+    // neither drops nor duplicates any true pair
+    "q157_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS lo,
+        |    epoch_ns(ts) + CAST(round(value * 60000000000) AS BIGINT) AS hi
+        |  FROM events
+        |)
+        |SELECT a.user_id AS user_id, a.event_id AS ea, b.event_id AS eb,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_ns
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY user_id, ea, eb""".stripMargin
   )
 }

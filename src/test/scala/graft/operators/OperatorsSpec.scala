@@ -249,6 +249,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"dim-1 gradient ${g.head.getDouble(1)} vs closed form $expected")
   }
 
+  test("interval overlap join: binned result == brute force, at any bin width") {
+    import org.apache.spark.sql.functions._
+    val iv = graft.Tables.load(spark, sf, "events").select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("long").as("lo"),
+      (col("ts").cast("long") +
+        expr("CAST(round(value * 60000000000) AS LONG)")).as("hi"))
+    val a = iv.select(col("user_id"), col("event_id").as("ea"),
+      col("lo").as("la"), col("hi").as("ha"))
+    val b = iv.select(col("user_id"), col("event_id").as("eb"),
+      col("lo").as("lb"), col("hi").as("hb"))
+    val brute = a.join(b, "user_id")
+      .filter(col("ea") < col("eb") && col("la") <= col("hb") && col("lb") <= col("ha"))
+      .select(col("user_id"), col("ea"), col("eb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture must produce overlapping spans")
+    Seq(3600e9.toLong, 6L * 3600L * 1000000000L, 86400e9.toLong).foreach { w =>
+      val binned = RangeJoin.intervalOverlapPairs(
+          iv, Seq("user_id"), "event_id", "lo", "hi", binWidth = w)
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(binned.length == binned.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(binned.toSet == brute, s"pair set drifted at binWidth=$w")
+    }
+  }
+
   test("module query maps never shadow each other (Map ++ overwrites silently)") {
     val modules: Seq[(String, Set[String])] = Seq(
       "Relational" -> Relational.queries.keySet,
