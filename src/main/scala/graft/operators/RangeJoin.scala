@@ -149,11 +149,11 @@ object RangeJoin {
     // the oracle runs the direct theta-join — grading that binning
     // neither drops nor duplicates any true pair
     "q157_interval_overlap" ->
-      """WITH iv AS (
+      """WITH iv0 AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS lo,
         |    epoch_ns(ts) + CAST(round(value * 60000000000) AS BIGINT) AS hi
         |  FROM events
-        |)
+        |), iv AS (SELECT * FROM iv0 WHERE hi >= lo)
         |SELECT a.user_id AS user_id, a.event_id AS ea, b.event_id AS eb,
         |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_ns
         |FROM iv a JOIN iv b ON a.user_id = b.user_id

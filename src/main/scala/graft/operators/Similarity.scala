@@ -178,12 +178,13 @@ object Similarity {
     * any partitioning.
     */
   def kmeansLloydStep(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
     val v = prepared(emb)
-    // array_sort orders the struct list by id (first field) so the fold
-    // is deterministic regardless of collect_list's input order
+    // no sort needed: the argmax below is a commutative max over
+    // (cos, -id) structs, so collect_list order cannot affect it
     val cents = v.filter(col("vec_id") < k)
-      .agg(expr("array_sort(collect_list(struct(vec_id AS id, vd AS cv, nrm AS cn)))")
+      .agg(expr("collect_list(struct(vec_id AS id, vd AS cv, nrm AS cn))")
         .as("cents"))
     v.filter(col("vec_id") >= k)
       .crossJoin(broadcast(cents))
