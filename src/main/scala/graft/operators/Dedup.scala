@@ -335,6 +335,60 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
+  /** Exact full-set Jaccard pairs via PREFIX FILTERING — the PPJoin
+    * candidate-generation bound (Chaudhuri et al. 2006; Xiao et al.
+    * 2008): with every document's shingles ordered rarest-first, any
+    * pair with J ≥ t must share a token inside each side's first
+    * n − ⌈t·n⌉ + 1 tokens, so ONLY those prefixes enter the inverted
+    * index. Hot shingles sort to the END of every document's order and
+    * almost never index — the quadratic hot-bucket dies WITHOUT
+    * changing the metric ([[jaccardPairs]]' DF cap redefines the
+    * shingle universe; this keeps exact Jaccard over full sets).
+    *
+    * Dataflow: no global vocabulary rank — the lexicographic (df, sh)
+    * tuple IS the global order, so the prefix cut is a per-document
+    * window bounded by document length. The candidate join meets only
+    * prefix rows; each surviving pair then intersects the two FULL
+    * shingle arrays row-locally (array_intersect hash probe,
+    * O(|a|+|b|)). Shuffles: index rows, candidate pairs, and two
+    * id-keyed array joins — never an uncapped token bucket.
+    */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
+        .as("sh"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("nw", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("nw") - ceil(lit(threshold) * col("nw")).cast("long") + 1)
+    val cand = prefix.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(lit(1))
+      .select(col("doc_a"), col("doc_b"))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("nw"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("nw").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        col("nw").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** Asymmetric shingle CONTAINMENT — |A∩B| / |A| and |A∩B| / |B| — the
     * metric that catches SUBSET duplication (one document quoting or
     * embedding another) where symmetric Jaccard stays low: a 50-shingle
@@ -493,6 +547,11 @@ object Dedup {
     "q89_containment" -> ((s, dir) =>
       containmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q158_prefix_jaccard" -> ((s, dir) =>
+      prefixFilterJaccard(Tables.load(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q90_editdist_confirm" -> ((s, dir) =>
@@ -688,6 +747,30 @@ object Dedup {
         |), inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) AS jac
+        |FROM inter
+        |JOIN n na ON na.doc_id = doc_a
+        |JOIN n nb ON nb.doc_id = doc_b
+        |WHERE round(CAST(inter AS DOUBLE) / (na.nw + nb.nw - inter), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // cap-free direct inverted-index Jaccard: grades that prefix
+    // filtering generates every true pair (the PPJoin completeness bound)
+    "q158_prefix_jaccard" ->
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+        |  WHERE len(ws) >= 3
+        |), n AS (
+        |  SELECT doc_id, count(*) AS nw FROM s GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id
         |)
         |SELECT doc_a, doc_b,

@@ -275,6 +275,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter jaccard equals the direct cap-free join at every threshold") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    // direct (quadratic-candidate) reference: inverted index, no cap
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
+        .as("sh"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val inter = sh.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(n.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      val direct = inter.filter(col("jac") >= t)
+        .select("doc_a", "doc_b", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterJaccard(docs, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf == direct, s"prefix filtering lost/invented pairs at t=$t")
+    }
+  }
+
   test("module query maps never shadow each other (Map ++ overwrites silently)") {
     val modules: Seq[(String, Set[String])] = Seq(
       "Relational" -> Relational.queries.keySet,
