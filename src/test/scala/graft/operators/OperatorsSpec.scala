@@ -303,6 +303,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("twap weights by holding time, not sample count") {
+    import spark.implicits._
+    // key 1: 10 held for 3 units then 0 held for 1 unit -> 7.5;
+    // the final sample (ts=4) holds for zero time and must not count.
+    // key 2: constant signal sampled unevenly -> the constant.
+    val evs = Seq(
+      (1L, 0L, 10.0, 100L), (1L, 3L, 0.0, 101L), (1L, 4L, 99.0, 102L),
+      (2L, 0L, 5.0, 200L), (2L, 1L, 5.0, 201L), (2L, 9L, 5.0, 202L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = EventsOps.twap(evs, "user_id", "ts", "value", "event_id")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 7.5, 4L, 2L), (2L, 5.0, 9L, 2L)))
+  }
+
   test("module query maps never shadow each other (Map ++ overwrites silently)") {
     val modules: Seq[(String, Set[String])] = Seq(
       "Relational" -> Relational.queries.keySet,
