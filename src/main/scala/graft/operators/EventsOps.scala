@@ -36,6 +36,34 @@ object EventsOps {
     * devices), buckets per key are span/step — both independent of
     * corpus row count, which is what keeps this plan flat at 100 TB.
     */
+  /** Per-event SESSIONIZATION — stamps each event with its session
+    * ordinal: a new session opens when the gap since the key's previous
+    * event EXCEEDS `gapNanos` (gap == gapNanos continues the session,
+    * matching session_window's gap semantics). The per-event companion
+    * of the session-window aggregate (q44): downstream pipelines need
+    * the session id ON the event row (dwell time, in-session funnels,
+    * per-session packing) — the aggregate alone can't give it.
+    *
+    * One lag() plus one running sum over the SAME key-partitioned
+    * (ts, tie) order — Spark plans both in a single window stage over
+    * one shuffle; no task owns more than one key's timeline.
+    */
+  def sessionize(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsNanosCol: String, tieCol: String, gapNanos: Long): org.apache.spark.sql.DataFrame = {
+    require(gapNanos > 0, s"gap must be positive, got $gapNanos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tsn"), col("tie"))
+    events
+      .select(col(keyCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
+        col(tieCol).as("tie"))
+      .withColumn("brk",
+        when(col("tsn") - lag(col("tsn"), 1).over(w) > gapNanos, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)) + 1L)
+      .select(col("key"), col("tie"), col("tsn"), col("session_seq"))
+  }
+
   /** Time-weighted average — the integral mean of an irregularly
     * sampled signal: each observation holds its value until the next
     * one, so the mean weights every value by its HOLDING TIME, not its
@@ -324,6 +352,11 @@ object EventsOps {
       twap(Tables.load(s, dir, "events"), "user_id", "ts", "value", "event_id")
         .orderBy(col("key"))),
 
+    "q160_sessionize" -> ((s, dir) =>
+      sessionize(Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        gapNanos = 4L * 3600L * 1000000000L)
+        .orderBy(col("key"), col("tsn"), col("tie"))),
+
     // Tumbling 1-hour windows (buffer/tumbling_window.rs:39-47 analogue).
     "q42_tumbling_window" -> ((s, dir) =>
       withTs(s, dir)
@@ -471,6 +504,20 @@ object EventsOps {
         |  s3 - s1 AS convert_secs
         |FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q160_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id AS key, event_id AS tie, epoch_ns(ts) AS tsn,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |      > 14400000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |)
+        |SELECT key, tie, tsn,
+        |  CAST(sum(brk) OVER (PARTITION BY key ORDER BY tsn, tie
+        |    ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+        |FROM o
+        |ORDER BY key, tsn, tie""".stripMargin,
 
     "q159_twap" ->
       """WITH o AS (

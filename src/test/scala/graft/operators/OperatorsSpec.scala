@@ -303,6 +303,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize: gap == threshold continues the session, gap > threshold breaks it") {
+    import spark.implicits._
+    val evs = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 21L, 3L), // gap 10 holds, gap 11 breaks
+      (2L, 5L, 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventsOps.sessionize(evs, "user_id", "ts", "event_id", gapNanos = 10L)
+      .orderBy("key", "tsn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
   test("twap weights by holding time, not sample count") {
     import spark.implicits._
     // key 1: 10 held for 3 units then 0 held for 1 unit -> 7.5;
