@@ -124,6 +124,42 @@ object TextAnalysis {
     * document's distinct-word count. Ranking orders by the ROUNDED score
     * so engines agree at float boundaries.
     */
+  /** PMI collocations — pointwise mutual information of ADJACENT word
+    * pairs against their unigram expectation (Church & Hanks 1990), the
+    * classic multiword-expression detector and exactly the association
+    * signal a BPE-style merge loop ranks (q93 counts raw pair
+    * frequency; PMI normalizes it by how common the parts are):
+    * PMI(a,b) = ln(P(ab) / (P(a)·P(b))).
+    *
+    * Three linear aggregations — bigram counts, unigram counts, and two
+    * ONE-ROW totals broadcast the q21/q77 way — nothing quadratic at
+    * any corpus size; `minCount` cuts the low-support tail where PMI
+    * explodes on singleton noise.
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be at least 1, got $minCount")
+    val toks = docs.select(split(col(textCol), " ").as("ws"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nb = bi.agg(sum(col("n_pair")).cast("double").as("n_bi"))
+    val nu = uni.agg(sum(col("cw")).cast("double").as("n_uni"))
+    bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cb")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("pmi", round(log(
+        (col("n_pair").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi") * col("ca").cast("double") * col("cb").cast("double"))), 6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+  }
+
   def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val tf = docs
@@ -435,6 +471,11 @@ object TextAnalysis {
       tfidfKeywords(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    "q161_collocations" -> ((s, dir) =>
+      pmiCollocations(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L)
+        .orderBy(col("w1"), col("w2"))),
+
     "q106_classifier_score" -> ((s, dir) =>
       scoreLinearClassifier(Tables.load(s, dir, "documents"), "doc_id", "text",
         ClassifierWeights, ClassifierBias)
@@ -612,6 +653,34 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(synth, '$PhoneRe', 0)) AS BIGINT) AS n_phones
          |FROM s
          |ORDER BY doc_id""".stripMargin,
+
+    "q161_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), bi AS (
+        |  SELECT b.w1, b.w2, count(*) AS n_pair FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        |    FROM toks WHERE len(ws) >= 2) t
+        |  GROUP BY b.w1, b.w2
+        |), uni AS (
+        |  SELECT unnest(ws) AS w FROM toks
+        |), unic AS (
+        |  SELECT w, count(*) AS cw FROM uni GROUP BY w
+        |), nb AS (
+        |  SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bi FROM bi
+        |), nu AS (
+        |  SELECT CAST(sum(cw) AS DOUBLE) AS n_uni FROM unic
+        |)
+        |SELECT bi.w1, bi.w2, bi.n_pair,
+        |  round(ln((CAST(bi.n_pair AS DOUBLE) * n_uni * n_uni) /
+        |    (n_bi * CAST(a.cw AS DOUBLE) * CAST(b.cw AS DOUBLE))), 6) AS pmi
+        |FROM bi
+        |JOIN unic a ON a.w = bi.w1
+        |JOIN unic b ON b.w = bi.w2
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE bi.n_pair >= 5
+        |ORDER BY bi.w1, bi.w2""".stripMargin,
 
     "q88_tfidf_keywords" ->
       """WITH words AS (

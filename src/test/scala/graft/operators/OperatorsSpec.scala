@@ -315,6 +315,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("PMI collocations match the closed form on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // unigrams: a=3 b=2 c=1 (n=6); bigrams: (a,b)=2 (b,a)=1 (a,c)=1 (n=4)
+    def pmi(np: Long, ca: Long, cb: Long): Double =
+      math.rint(math.log(np.toDouble * 6 * 6 / (4.0 * ca * cb)) * 1e6) / 1e6
+    assert(got == Map(
+      ("a", "b") -> (2L, pmi(2, 3, 2)),
+      ("b", "a") -> (1L, pmi(1, 2, 3)),
+      ("a", "c") -> (1L, pmi(1, 3, 1))))
+  }
+
   test("twap weights by holding time, not sample count") {
     import spark.implicits._
     // key 1: 10 held for 3 units then 0 held for 1 unit -> 7.5;

@@ -105,13 +105,14 @@ class PlanSpec extends AnyFunSuite {
     // ONE-ROW OLS stats (n/Σx/Σy/Σxy/Σx²) the q21/q77 way.
     // ... q147 attaches the ONE-ROW corpus token total the same way;
     // q155 broadcasts the tiny centroid table for Lloyd assignment,
-    // exactly like q61/q67.
+    // exactly like q61/q67; q161 attaches its two ONE-ROW token totals
+    // the q21/q77 way.
     val intentional = Set("q14_cross_join", "q21_cte", "q49_subquery_forms",
       "q60_knn_brute", "q61_ivf_knn", "q67_ivf_kmeans_knn", "q77_bm25",
       "q85_mixture_sample", "q88_tfidf_keywords", "q91_semantic_dedup",
       "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
       "q128_corpus_profile", "q137_ivf_recall", "q138_pq_recall",
-      "q147_js_divergence", "q155_kmeans_lloyd")
+      "q147_js_divergence", "q155_kmeans_lloyd", "q161_collocations")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
