@@ -104,6 +104,24 @@ class ExamplesSpec extends AnyFunSuite {
     assert(verdicts.toSeq == Seq(true))
   }
 
+  test("sessionize example reproduces EventsOps.sessionize row for row") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "sessionize.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    Engine.run(spark, Config.fromYaml(yaml.replace("/tmp/graft/out/sessionize", outDir)))
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.operators.EventsOps.sessionize(
+        graft.Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        "user_id", "ts", "event_id", gapNanos = 4L * 3600L * 1000000000L)
+      .select("key", "tie", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == expected,
+      s"config pipeline drifted from the library operator: ${got.size} vs ${expected.size}")
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))
