@@ -36,6 +36,37 @@ object EventsOps {
     * devices), buckets per key are span/step — both independent of
     * corpus row count, which is what keeps this plan flat at 100 TB.
     */
+  /** OHLC resample — open/high/low/close compression of an irregular
+    * value stream into fixed buckets, the standard downsample that
+    * keeps the shape of a signal (first, extremes, last) when charting
+    * or archiving raw events would drown downstream consumers.
+    *
+    * One hash aggregation: open/close are struct-ordered min_by/max_by
+    * — tie-safe on (ts, tie) even when timestamps collide — and
+    * partial-aggregate map-side like every min/max, so the shuffle
+    * carries one row per (key, bucket) at any corpus size. Timestamps
+    * must be non-negative (bucket arithmetic uses integral division,
+    * where truncation == floor only for non-negative values).
+    */
+  def ohlcResample(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsNanosCol: String, tieCol: String, valueCol: String,
+      stepSeconds: Long): org.apache.spark.sql.DataFrame = {
+    require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
+    events
+      .select(col(keyCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
+        col(tieCol).as("tie"), col(valueCol).as("v"))
+      .withColumn("bucket",
+        expr(s"tsn div 1000000000 div $stepSeconds * $stepSeconds"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(
+        min_by(col("v"), struct(col("tsn"), col("tie"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), struct(col("tsn"), col("tie"))).as("close"),
+        count(lit(1)).as("n"),
+        Q.dsum(col("v")).as("sum_value"))
+  }
+
   /** Per-event SESSIONIZATION — stamps each event with its session
     * ordinal: a new session opens when the gap since the key's previous
     * event EXCEEDS `gapNanos` (gap == gapNanos continues the session,
@@ -357,6 +388,11 @@ object EventsOps {
         gapNanos = 4L * 3600L * 1000000000L)
         .orderBy(col("key"), col("tsn"), col("tie"))),
 
+    "q162_ohlc" -> ((s, dir) =>
+      ohlcResample(Tables.load(s, dir, "events"), "event_type", "ts",
+        "event_id", "value", stepSeconds = 3600L)
+        .orderBy(col("key"), col("bucket"))),
+
     // Tumbling 1-hour windows (buffer/tumbling_window.rs:39-47 analogue).
     "q42_tumbling_window" -> ((s, dir) =>
       withTs(s, dir)
@@ -504,6 +540,21 @@ object EventsOps {
         |  s3 - s1 AS convert_secs
         |FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // unique ts in the fixture makes arg_min/arg_max on ts alone
+    // deterministic; the Spark side stays tie-safe via struct min_by
+    "q162_ohlc" ->
+      """SELECT event_type AS key,
+        |  epoch_ns(ts) // 1000000000 // 3600 * 3600 AS bucket,
+        |  arg_min(value, epoch_ns(ts)) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, epoch_ns(ts)) AS close,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY key, bucket""".stripMargin,
 
     "q160_sessionize" ->
       """WITH o AS (

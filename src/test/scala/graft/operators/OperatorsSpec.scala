@@ -315,6 +315,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("OHLC resample: open/close by event order, ties broken by the tie column") {
+    import spark.implicits._
+    // bucket 0: ties at ts=5 resolved by event_id; bucket 10: singleton
+    val evs = Seq(
+      ("a", 1_000_000_000L, 3L, 7.0), ("a", 5_000_000_000L, 1L, 2.0),
+      ("a", 5_000_000_000L, 2L, 9.0), ("a", 11_000_000_000L, 4L, 4.0)
+    ).toDF("event_type", "ts", "event_id", "value")
+    val got = EventsOps.ohlcResample(evs, "event_type", "ts", "event_id",
+        "value", stepSeconds = 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (0L, 7.0, 9.0, 2.0, 9.0, 3L), // open=first(ts=1), close=ts5/id2
+      (10L, 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
   test("PMI collocations match the closed form on a tiny corpus") {
     import spark.implicits._
     val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
