@@ -226,6 +226,50 @@ object Similarity {
         col("n"))
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009, the default fusion in every
+    * lexical+semantic RAG stack): each ranking contributes
+    * 1/(kRrf + rank) and the sum re-ranks, rewarding documents that
+    * BOTH retrievers surface without comparing their incommensurable
+    * scores. Fuses the exact cosine ranking ([[bruteForceKnn]]) with a
+    * lexical word-set Jaccard ranking computed in the same
+    * broadcast-query shape.
+    *
+    * Dataflow: two broadcast-scan rankings (no shuffle of the corpus
+    * side), one (qid, did)-keyed outer join of two k-bounded lists,
+    * one window over ≤ 2k rows per query. At scale swap the
+    * brute-force legs for the IVF probe ([[probeIvfIndex]]) and a
+    * BM25 index — the fusion step itself never sees corpus-sized data.
+    */
+  def rrfFusion(emb: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, nQueries: Int, k: Int, topK: Int,
+      kRrf: Int = 60): DataFrame = {
+    val cos = bruteForceKnn(emb, nQueries, k)
+      .select(col("qid"), col("cid").as("did"), col("rnk").as("rnk_cos"))
+    val sets = docs.select(col(idCol).as("did"),
+      expr(s"array_distinct(split(`$textCol`, ' '))").as("wset"))
+    val q = sets.filter(col("did") < nQueries)
+      .select(col("did").as("qid"), col("wset").as("qset"))
+    val lexScored = sets.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("did"))
+      .withColumn("inter",
+        size(array_intersect(col("qset"), col("wset"))).cast("double"))
+      .withColumn("jac", round(col("inter") /
+        (size(col("qset")) + size(col("wset")) - col("inter")), 6))
+    val wLex = Window.partitionBy(col("qid")).orderBy(col("jac").desc, col("did"))
+    val lex = lexScored.withColumn("rnk_lex", row_number().over(wLex))
+      .filter(col("rnk_lex") <= k)
+      .select(col("qid"), col("did"), col("rnk_lex"))
+    val fused = cos.join(lex, Seq("qid", "did"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rnk_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rnk_lex")), lit(0.0)), 6))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("did"))
+    fused.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("did"), col("rrf"), col("rnk"))
+  }
+
   /** Shared KMeans coarse quantizer: deterministic-seed centroids
     * (centroid_id, qv, qn) plus the argmax-cosine scoring frame every
     * caller derives assignments/probes from — ONE implementation, so the
@@ -658,7 +702,12 @@ object Similarity {
         .orderBy(col("cell"), col("dim"))),
     "q156_grad_step" -> ((s, dir) =>
       logisticGradStep(Tables.load(s, dir, "embeddings"), lr = 0.1)
-        .orderBy(col("dim")))
+        .orderBy(col("dim"))),
+    "q163_rrf_fusion" -> ((s, dir) =>
+      rrfFusion(Tables.load(s, dir, "embeddings"),
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        nQueries = 5, k = 20, topK = 10)
+        .orderBy(col("qid"), col("rnk")))
   )
 
   private val duckPrep =
@@ -984,6 +1033,49 @@ object Similarity {
          |  count(*) AS n_members
          |FROM e GROUP BY cell, dim
          |ORDER BY cell, dim""".stripMargin,
+
+    "q163_rrf_fusion" ->
+      s"""WITH $duckPrep,
+         |cos_scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS did,
+         |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |), cosr AS (
+         |  SELECT qid, did, rnk_cos FROM (
+         |    SELECT qid, did,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rnk_cos
+         |    FROM cos_scored) t
+         |  WHERE rnk_cos <= 20
+         |), sets AS (
+         |  SELECT doc_id AS did, list_distinct(string_split(text, ' ')) AS wset
+         |  FROM documents
+         |), lex_scored AS (
+         |  SELECT q.did AS qid, c.did,
+         |    round(CAST(len(list_intersect(q.wset, c.wset)) AS DOUBLE) /
+         |      (len(q.wset) + len(c.wset)
+         |        - len(list_intersect(q.wset, c.wset))), 6) AS jac
+         |  FROM sets q JOIN sets c ON q.did < 5 AND q.did <> c.did
+         |), lexr AS (
+         |  SELECT qid, did, rnk_lex FROM (
+         |    SELECT qid, did,
+         |      row_number() OVER (PARTITION BY qid ORDER BY jac DESC, did) AS rnk_lex
+         |    FROM lex_scored) t
+         |  WHERE rnk_lex <= 20
+         |), fused AS (
+         |  SELECT coalesce(cosr.qid, lexr.qid) AS qid,
+         |    coalesce(cosr.did, lexr.did) AS did,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_cos), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_lex), 0), 6) AS rrf
+         |  FROM cosr FULL OUTER JOIN lexr
+         |    ON cosr.qid = lexr.qid AND cosr.did = lexr.did
+         |)
+         |SELECT qid, did, rrf, rnk FROM (
+         |  SELECT qid, did, rrf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, did)
+         |      AS rnk
+         |  FROM fused) t
+         |WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
 
     "q156_grad_step" ->
       """WITH e AS (

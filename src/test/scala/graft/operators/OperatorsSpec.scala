@@ -315,6 +315,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("RRF fusion matches the closed form: both-list docs beat single-list docs") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.8f, 0.6f, 0f)), (3L, Seq(0.6f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "z1 z2"), (2L, "q r"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    // cos top-2 for q0: d1 (1.0), d2 (0.8); lex top-2: d3 (jac 1), d1 (0, tie->id)
+    val got = Similarity.rrfFusion(emb, docs, "doc_id", "text",
+        nQueries = 1, k = 2, topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, r6(1.0 / 61 + 1.0 / 62), 1), // in both lists
+      (3L, r6(1.0 / 61), 2),            // lex #1 only
+      (2L, r6(1.0 / 62), 3)))           // cos #2 only
+  }
+
   test("OHLC resample: open/close by event order, ties broken by the tie column") {
     import spark.implicits._
     // bucket 0: ties at ts=5 resolved by event_id; bucket 10: singleton
