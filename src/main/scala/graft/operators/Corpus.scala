@@ -73,6 +73,42 @@ object Corpus {
     * the JDBC lookup's maxKeys. Set it to 0 to force the distributed
     * path.
     */
+  /** One majority-vote label-propagation step over a near-dup pair
+    * graph — the semi-supervised move that spreads a trusted label
+    * (quality verdict, license class, language tag) from labeled
+    * documents onto their unlabeled near-duplicates. Completes the
+    * hash-verified one-deterministic-iterate family (q155 Lloyd step,
+    * q156 gradient step): the converged multi-round propagation is
+    * order-sensitive, but a single synchronous step is exact in any
+    * engine. Majority with ties to the smallest label; nodes with no
+    * labeled neighbor stay out of the output.
+    *
+    * Dataflow: symmetrize the (already candidate-bounded) pair list,
+    * one join against the seed-label table, one (node, label) count
+    * aggregation, one per-node argmax window over ≤ degree rows — all
+    * bounded by the edge list, never the corpus.
+    */
+  def labelPropagationStep(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("node"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("node"), col(aCol).as("nbr")))
+    val seed = labels.select(col(idCol).as("nbr"), col(labelCol).as("lbl"))
+    val votes = edges
+      .join(seed, "nbr") // labeled neighbors only
+      .join(seed.select(col("nbr").as("node")), Seq("node"), "left_anti")
+      .groupBy(col("node"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+      .orderBy(col("votes").desc, col("lbl"))
+    votes
+      .withColumn("n_labeled", sum(col("votes")).over(wTot))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("node").as("doc_id"), col("lbl").as("label"),
+        col("votes"), col("n_labeled"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, driverThreshold: Long = 100000): DataFrame = {
     // clamp BELOW Int.MaxValue: limit() takes an Int, and a larger
@@ -1299,6 +1335,17 @@ object Corpus {
   val queries: Map[String, QueryFn] = Map(
     // Cluster resolution over the SAME candidate pairs q51 grades: the
     // pairs are edges; output is every clustered doc with its canonical id.
+    // even doc ids carry their embedding-table class label; one step
+    // spreads them onto odd-id near-duplicates over the q51 pair graph
+    "q164_label_prop" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      val seeds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("doc_id"), col("label"))
+      labelPropagationStep(pairs, "doc_a", "doc_b", seeds, "doc_id", "label")
+        .orderBy(col("doc_id"))
+    }),
+
     "q74_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       connectedComponents(pairs, "doc_a", "doc_b")
@@ -1978,6 +2025,30 @@ object Corpus {
 
     // transitive closure of the symmetrized pair graph; cluster = min
     // reachable id (incl. self)
+    "q164_label_prop" ->
+      s"""WITH $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), seeds AS (
+         |  SELECT vec_id AS doc_id, label FROM embeddings WHERE vec_id % 2 = 0
+         |), votes AS (
+         |  SELECT e.node, s.label AS lbl, count(*) AS votes
+         |  FROM edges e JOIN seeds s ON s.doc_id = e.nbr
+         |  WHERE e.node NOT IN (SELECT doc_id FROM seeds)
+         |  GROUP BY e.node, s.label
+         |)
+         |SELECT node AS doc_id, lbl AS label, votes,
+         |  CAST(tot AS BIGINT) AS n_labeled
+         |FROM (
+         |  SELECT node, lbl, votes,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY votes DESC, lbl) AS rn,
+         |    sum(votes) OVER (PARTITION BY node) AS tot
+         |  FROM votes) t
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
     "q74_dedup_clusters" ->
       s"""WITH RECURSIVE $q51PairsCte,
          |edges AS (

@@ -315,6 +315,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("label propagation: majority vote, smallest-label ties, seeds never overwritten") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 4L), (1L, 6L), (3L, 2L), (5L, 7L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq((2L, 10L), (4L, 20L), (6L, 10L)).toDF("doc_id", "label")
+    val got = Corpus.labelPropagationStep(pairs, "doc_a", "doc_b",
+        seeds, "doc_id", "label")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // node 1: {10:2, 20:1} -> 10; node 3: one vote; nodes 5/7 have no
+    // labeled neighbor; nodes 2/4 are seeds and never receive
+    assert(got.toSeq == Seq((1L, 10L, 2L, 3L), (3L, 10L, 1L, 1L)))
+    // tie: equal votes resolve to the smallest label
+    val tie = Corpus.labelPropagationStep(
+        Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", Seq((2L, 30L), (4L, 20L)).toDF("doc_id", "label"),
+        "doc_id", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tie.toSeq == Seq((1L, 20L)))
+  }
+
   test("RRF fusion matches the closed form: both-list docs beat single-list docs") {
     import spark.implicits._
     val emb = Seq(
