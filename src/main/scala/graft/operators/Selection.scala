@@ -299,6 +299,44 @@ object Selection {
         round(col("pct"), 6).as("pct_rank"))
   }
 
+  /** Quantile normalization across sources — maps every source's score
+    * distribution onto the GLOBAL distribution: a document at the p-th
+    * percentile of its source gets the corpus-wide value at that same
+    * percentile. The standard fix when mixing heterogeneous quality
+    * scores (each crawl/scorer has its own scale and shape) before a
+    * single corpus-wide threshold or curriculum consumes them.
+    *
+    * Pure composition of existing machinery: per-source percent_rank
+    * (key-partitioned window), the distributed global CDF
+    * ([[percentRank]] — the two-pass prefix, no single-task window),
+    * and the custom AS-OF join (backward on quantized rank, keyed by
+    * source) to read the global quantile function at each source rank.
+    * The global side replicates once per source (×|sources|); at
+    * 100 TB collapse it to a bounded quantile grid first — the as-of
+    * semantics are unchanged, the replication factor drops to
+    * grid×sources.
+    */
+  def quantileNormalize(docs: DataFrame, idCol: String, srcCol: String,
+      value: Column): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("value"), col("doc_id"))
+    // AsOfJoinExec keys on LONG: give each source a dense id (the
+    // source list is dimension-small; the rank window is over ≤ that)
+    val sid = docs.select(col(srcCol).as("source")).distinct()
+      .withColumn("sid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).cast("long"))
+    val left = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("source"), value.cast("double").as("value"))
+      .withColumn("r", round(percent_rank().over(wSrc) * 1e9).cast("long"))
+      .join(broadcast(sid), "source")
+    val glob = percentRank(docs, idCol, value)
+      .select(col("value").as("norm_score"),
+        round(col("pct_rank") * 1e9).cast("long").as("rg"))
+      .crossJoin(broadcast(sid.select(col("sid").as("gsid"))))
+    graft.plans.AsOf.join(left, glob, "sid", "r", "gsid", "rg")
+      .select(col("doc_id"), col("source"), col("value"), col("norm_score"))
+  }
+
   /** Length-grouped batch assignment — the trainer-side prep that packs
     * similar-length documents into the same batch so attention padding
     * isn't wasted: bucket by length band, order within the bucket by a
@@ -393,6 +431,11 @@ object Selection {
     "q143_percent_rank" -> ((s, dir) =>
       percentRank(Tables.load(s, dir, "documents"), "doc_id",
         col("n_chars").cast("double"))
+        .orderBy(col("doc_id"))),
+
+    "q165_quantile_norm" -> ((s, dir) =>
+      quantileNormalize(Tables.load(s, dir, "documents"), "doc_id",
+        "source", col("n_chars").cast("double"))
         .orderBy(col("doc_id"))),
 
     "q151_length_batches" -> ((s, dir) =>
@@ -543,6 +586,25 @@ object Selection {
 
     // unique (value, doc_id) order ⇒ percent_rank ≡ (row_number−1)/(N−1),
     // the same total order the two-pass prefix rank assigns
+    // DuckDB's native ASOF JOIN reproduces the custom AsOfJoinExec's
+    // backward match (greatest rg <= r) on the quantized ranks
+    "q165_quantile_norm" ->
+      """WITH lft AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS value,
+        |    CAST(round(percent_rank() OVER (PARTITION BY source
+        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id) * 1000000000) AS BIGINT) AS r
+        |  FROM documents
+        |), gq AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS norm_score,
+        |    CAST(round((round(percent_rank() OVER (
+        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) + 0) * 1000000000)
+        |      AS BIGINT) AS rg
+        |  FROM documents
+        |)
+        |SELECT l.doc_id, l.source, l.value, g.norm_score
+        |FROM lft l ASOF JOIN gq g ON l.r >= g.rg
+        |ORDER BY l.doc_id""".stripMargin,
+
     "q143_percent_rank" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS value,
         |  CAST(row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rank,

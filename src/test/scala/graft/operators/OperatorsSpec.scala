@@ -315,6 +315,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("quantile normalization maps each source's ranks onto the global CDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "X", 10), (1L, "X", 20),
+      (2L, "Y", 5), (3L, "Y", 30), (4L, "Y", 40)
+    ).toDF("doc_id", "source", "n_chars")
+    // global CDF: 5->0, 10->.25, 20->.5, 30->.75, 40->1
+    // X ranks 0, 1 -> 5, 40; Y ranks 0, .5, 1 -> 5, 20, 40
+    val got = Selection.quantileNormalize(docs, "doc_id", "source",
+        col("n_chars").cast("double"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 5.0), (1L, 40.0), (2L, 5.0), (3L, 20.0), (4L, 40.0)))
+  }
+
   test("label propagation: majority vote, smallest-label ties, seeds never overwritten") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 4L), (1L, 6L), (3L, 2L), (5L, 7L), (2L, 4L))

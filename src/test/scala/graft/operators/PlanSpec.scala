@@ -113,7 +113,7 @@ class PlanSpec extends AnyFunSuite {
       "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
       "q128_corpus_profile", "q137_ivf_recall", "q138_pq_recall",
       "q147_js_divergence", "q155_kmeans_lloyd", "q161_collocations",
-      "q163_rrf_fusion")
+      "q163_rrf_fusion", "q165_quantile_norm")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
