@@ -131,6 +131,47 @@ object Windows {
         asOfFunc(maxRightBuffer))
   }
 
+  final case class SessEvent(key: String, time: Long, payload: String)
+  final case class SessStamped(key: String, time: Long, payload: String,
+    sessionSeq: Long)
+
+  /** State function of [[streamingSessionize]]: per key, (lastTime,
+    * seq) ride in state; each batch's events sort by time and extend
+    * the chain — gap > gapNanos opens a new session, gap == gapNanos
+    * continues it, matching the batch operator (EventsOps.sessionize,
+    * q160) exactly on in-order streams. Arrival-time caveat, same as
+    * [[asOfFunc]]: an event arriving in a LATER batch than a
+    * same-session successor cannot retro-stamp already-emitted rows.
+    * Pure — unit-testable with TestGroupState. */
+  def sessionizeFunc(gapNanos: Long)(
+      key: String, rows: Iterator[SessEvent],
+      state: GroupState[(Long, Long)]): Iterator[SessStamped] = {
+    val events = rows.toSeq.sortBy(e => (e.time, e.payload))
+    var (last, seq) = state.getOption.getOrElse((Long.MinValue, 0L))
+    val out = events.map { e =>
+      if (seq == 0L || e.time - last > gapNanos) seq += 1
+      last = e.time
+      SessStamped(e.key, e.time, e.payload, seq)
+    }
+    state.update((last, seq))
+    out.iterator
+  }
+
+  /** Per-event session stamping over an unbounded stream — the
+    * streaming twin of EventsOps.sessionize (q160), the way
+    * [[streamingAsOf]] twins the batch as-of exec: (lastTime, seq) is
+    * the ONLY per-key state (two longs — O(keys), never O(stream)),
+    * so session ordinals survive across micro-batches indefinitely. */
+  def streamingSessionize(ds: Dataset[SessEvent],
+      gapNanos: Long): Dataset[SessStamped] = {
+    require(gapNanos > 0, s"gap must be positive, got $gapNanos")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeFunc(gapNanos))
+  }
+
   // ---- processing-time session window ----
 
   final case class SessionAgg(n: Long, sum: Double, openedMs: Long)

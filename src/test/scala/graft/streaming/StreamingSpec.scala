@@ -665,6 +665,33 @@ class StreamingSpec extends AnyFunSuite {
       ("other", "lo", None)))      // keys never mix
   }
 
+  test("streaming sessionize stamps ordinals across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Windows.SessEvent]
+    val out = Windows.streamingSessionize(ms.toDS(), gapNanos = 10L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // batch 0: gap 10 == threshold continues; session 1 spans both
+    ms.addData(Windows.SessEvent("u", 0L, "a"), Windows.SessEvent("u", 10L, "b"))
+    q.processAllAvailable()
+    // batch 1: gap 15 > threshold -> session 2 opens ACROSS the batch
+    // boundary; a second key starts at its own session 1
+    ms.addData(Windows.SessEvent("u", 25L, "c"), Windows.SessEvent("v", 3L, "d"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out").as[Windows.SessStamped]
+      .collect().map(s => (s.key, s.payload, s.sessionSeq)).toSet
+    assert(rows == Set(("u", "a", 1L), ("u", "b", 1L), ("u", "c", 2L),
+      ("v", "d", 1L)))
+    // parity with the batch operator on the same flattened data
+    import spark.implicits._
+    val batch = graft.operators.EventsOps.sessionize(
+        Seq(("u", 0L, "a"), ("u", 10L, "b"), ("u", 25L, "c"), ("v", 3L, "d"))
+          .toDF("key0", "ts", "tie0"),
+        "key0", "ts", "tie0", gapNanos = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSet
+    assert(batch == rows, "streaming stamps must equal the batch operator's")
+  }
+
   test("streaming as-of state buffer evicts oldest rights at maxRightBuffer") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
