@@ -1333,8 +1333,6 @@ object Corpus {
   private val Bm25Terms = Seq("spark", "join", "window")
 
   val queries: Map[String, QueryFn] = Map(
-    // Cluster resolution over the SAME candidate pairs q51 grades: the
-    // pairs are edges; output is every clustered doc with its canonical id.
     // even doc ids carry their embedding-table class label; one step
     // spreads them onto odd-id near-duplicates over the q51 pair graph
     "q164_label_prop" -> ((s, dir) => {
@@ -1346,6 +1344,8 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster resolution over the SAME candidate pairs q51 grades: the
+    // pairs are edges; output is every clustered doc with its canonical id.
     "q74_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       connectedComponents(pairs, "doc_a", "doc_b")

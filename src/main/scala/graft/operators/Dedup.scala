@@ -368,13 +368,16 @@ object Dedup {
     val prefix = sh.join(freq, "sh")
       .withColumn("nw", count(lit(1)).over(wN))
       .withColumn("rn", row_number().over(wDoc))
+      // the 1e-9 nudge keeps double noise from pushing ceil UP past the
+      // exact rational ceiling (0.07*100 = 7.000000000000001 → ceil 8
+      // would shorten the prefix BELOW the completeness bound and drop
+      // true pairs); erring a token long only adds candidates
       .filter(col("rn") <=
-        col("nw") - ceil(lit(threshold) * col("nw")).cast("long") + 1)
+        col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)).cast("long") + 1)
     val cand = prefix.select(col("sh"), col("doc_id").as("doc_a"))
       .join(prefix.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(lit(1))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("nw"))
     cand

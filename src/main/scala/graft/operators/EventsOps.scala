@@ -44,19 +44,24 @@ object EventsOps {
     * One hash aggregation: open/close are struct-ordered min_by/max_by
     * — tie-safe on (ts, tie) even when timestamps collide — and
     * partial-aggregate map-side like every min/max, so the shuffle
-    * carries one row per (key, bucket) at any corpus size. Timestamps
-    * must be non-negative (bucket arithmetic uses integral division,
-    * where truncation == floor only for non-negative values).
+    * carries one row per (key, bucket) at any corpus size. Bucket
+    * arithmetic is TRUE floor division (matching SQL `//`), so
+    * pre-epoch timestamps land in their floor bucket instead of
+    * silently sharing bucket 0 with the epoch.
     */
   def ohlcResample(events: org.apache.spark.sql.DataFrame, keyCol: String,
       tsNanosCol: String, tieCol: String, valueCol: String,
       stepSeconds: Long): org.apache.spark.sql.DataFrame = {
     require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
+    // integral floor-div (w > 0): trunc-div minus one when the remainder
+    // is negative — exact at any magnitude, unlike floor(x / 1e9)
+    def fdiv(e: String, w: Long) =
+      s"(($e) div $w - (CASE WHEN ($e) % $w < 0 THEN 1 ELSE 0 END))"
     events
       .select(col(keyCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
         col(tieCol).as("tie"), col(valueCol).as("v"))
       .withColumn("bucket",
-        expr(s"tsn div 1000000000 div $stepSeconds * $stepSeconds"))
+        expr(s"${fdiv(fdiv("tsn", 1000000000L), stepSeconds)} * $stepSeconds"))
       .groupBy(col("key"), col("bucket"))
       .agg(
         min_by(col("v"), struct(col("tsn"), col("tie"))).as("open"),
@@ -122,7 +127,10 @@ object EventsOps {
           .createDecimalType(12, 2)).as("v"),
         col(tieCol).as("tie"))
       .withColumn("dt", lead(col("tsn"), 1).over(w) - col("tsn"))
-      .filter(col("dt").isNotNull) // the last sample holds for 0 time
+      // dt > 0, not just non-null: the last sample holds for zero time,
+      // and duplicate-timestamp rows would otherwise drive span to 0
+      // and emit NaN (0/0) for the key
+      .filter(col("dt") > 0)
       .groupBy(col("key"))
       .agg(sum((col("v") * col("dt")).cast(dec)).as("vdt"),
         sum(col("dt")).as("span"), count(lit(1)).as("n_holds"))
@@ -582,7 +590,7 @@ object EventsOps {
         |  round(CAST(sum(CAST(v * dt AS DECIMAL(38,2))) AS DOUBLE) / sum(dt), 6)
         |    AS twap,
         |  CAST(sum(dt) AS BIGINT) AS span_ns, count(*) AS n_holds
-        |FROM o WHERE dt IS NOT NULL
+        |FROM o WHERE dt > 0
         |GROUP BY key
         |ORDER BY key""".stripMargin,
 

@@ -329,9 +329,14 @@ object Selection {
         col(srcCol).as("source"), value.cast("double").as("value"))
       .withColumn("r", round(percent_rank().over(wSrc) * 1e9).cast("long"))
       .join(broadcast(sid), "source")
+    // one row per rg: past ~2M rows the 6-dp pct_rank grid is coarser
+    // than 1/(N-1), so adjacent docs collide on rg — take the max value
+    // per rg (deterministic in both engines) instead of leaving the
+    // as-of tie to scan order
     val glob = percentRank(docs, idCol, value)
       .select(col("value").as("norm_score"),
         round(col("pct_rank") * 1e9).cast("long").as("rg"))
+      .groupBy(col("rg")).agg(max(col("norm_score")).as("norm_score"))
       .crossJoin(broadcast(sid.select(col("sid").as("gsid"))))
     graft.plans.AsOf.join(left, glob, "sid", "r", "gsid", "rg")
       .select(col("doc_id"), col("source"), col("value"), col("norm_score"))
@@ -594,12 +599,14 @@ object Selection {
         |    CAST(round(percent_rank() OVER (PARTITION BY source
         |      ORDER BY CAST(n_chars AS DOUBLE), doc_id) * 1000000000) AS BIGINT) AS r
         |  FROM documents
-        |), gq AS (
+        |), gq0 AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS norm_score,
-        |    CAST(round((round(percent_rank() OVER (
-        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) + 0) * 1000000000)
+        |    CAST(round(round(percent_rank() OVER (
+        |      ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) * 1000000000)
         |      AS BIGINT) AS rg
         |  FROM documents
+        |), gq AS (
+        |  SELECT rg, max(norm_score) AS norm_score FROM gq0 GROUP BY rg
         |)
         |SELECT l.doc_id, l.source, l.value, g.norm_score
         |FROM lft l ASOF JOIN gq g ON l.r >= g.rg

@@ -150,7 +150,11 @@ object Windows {
     var (last, seq) = state.getOption.getOrElse((Long.MinValue, 0L))
     val out = events.map { e =>
       if (seq == 0L || e.time - last > gapNanos) seq += 1
-      last = e.time
+      // max, not assignment: a late straggler joins the current session
+      // but must not drag the watermark BACKWARD (that would open a
+      // phantom session for the next in-order event within gap of the
+      // true latest time)
+      last = math.max(last, e.time)
       SessStamped(e.key, e.time, e.payload, seq)
     }
     state.update((last, seq))

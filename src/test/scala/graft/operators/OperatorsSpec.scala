@@ -293,7 +293,9 @@ class OperatorsSpec extends AnyFunSuite {
       .join(n.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
-    Seq(0.3, 0.5, 0.8).foreach { t =>
+    // 0.07 and 0.9 sit where double noise once pushed ceil(t*n) past the
+    // exact rational ceiling (0.07*100 -> 7.000000000000001)
+    Seq(0.07, 0.3, 0.5, 0.8, 0.9).foreach { t =>
       val direct = inter.filter(col("jac") >= t)
         .select("doc_a", "doc_b", "jac")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -378,7 +380,8 @@ class OperatorsSpec extends AnyFunSuite {
     // bucket 0: ties at ts=5 resolved by event_id; bucket 10: singleton
     val evs = Seq(
       ("a", 1_000_000_000L, 3L, 7.0), ("a", 5_000_000_000L, 1L, 2.0),
-      ("a", 5_000_000_000L, 2L, 9.0), ("a", 11_000_000_000L, 4L, 4.0)
+      ("a", 5_000_000_000L, 2L, 9.0), ("a", 11_000_000_000L, 4L, 4.0),
+      ("a", -1L, 5L, 1.0) // pre-epoch: floor bucket -10, never bucket 0
     ).toDF("event_type", "ts", "event_id", "value")
     val got = EventsOps.ohlcResample(evs, "event_type", "ts", "event_id",
         "value", stepSeconds = 10L)
@@ -386,6 +389,7 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5), r.getLong(6)))
     assert(got.toSeq == Seq(
+      (-10L, 1.0, 1.0, 1.0, 1.0, 1L),
       (0L, 7.0, 9.0, 2.0, 9.0, 3L), // open=first(ts=1), close=ts5/id2
       (10L, 4.0, 4.0, 4.0, 4.0, 1L)))
   }

@@ -692,6 +692,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == rows, "streaming stamps must equal the batch operator's")
   }
 
+  test("sessionize state: a late straggler joins but never drags the watermark back") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val f = Windows.sessionizeFunc(gapNanos = 10L) _
+    val s = TestGroupState.create[(Long, Long)](
+      Optional.of((100L, 2L)), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty(), hasTimedOut = false)
+    // t=5 is 95 late: it joins session 2; t=106 is within gap of the
+    // TRUE latest time 100 and must also stay in session 2 (a regressed
+    // watermark would wrongly open session 3)
+    val out = f("k", Iterator(
+      Windows.SessEvent("k", 5L, "late"),
+      Windows.SessEvent("k", 106L, "ontime")), s).toSeq
+    assert(out.map(e => (e.payload, e.sessionSeq)) ==
+      Seq(("late", 2L), ("ontime", 2L)))
+    assert(s.get == ((106L, 2L)))
+  }
+
   test("streaming as-of state buffer evicts oldest rights at maxRightBuffer") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
