@@ -374,9 +374,19 @@ object Dedup {
       // true pairs); erring a token long only adds candidates
       .filter(col("rn") <=
         col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)).cast("long") + 1)
-    val cand = prefix.select(col("sh"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+    val cand = prefix
+      .select(col("sh"), col("doc_id").as("doc_a"), col("rn").as("pa"),
+        col("nw").as("na"))
+      .join(prefix.select(col("sh"), col("doc_id").as("doc_b"),
+        col("rn").as("pb"), col("nw").as("nb")), "sh")
       .filter(col("doc_a") < col("doc_b"))
+      // PPJoin positional filter: past this match position the overlap
+      // can't exceed 1 + min remaining suffix, and J >= t needs overlap
+      // >= t(na+nb)/(1+t) — prune BEFORE the pair-distinct shuffle.
+      // Same 1e-9 nudge as the prefix bound (overshoot would drop pairs).
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        ceil(lit(threshold) * (col("na") + col("nb")) / lit(1.0 + threshold)
+          - lit(1e-9)))
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("nw"))
