@@ -197,7 +197,9 @@ object EventsOps {
       typeCol: String, tsSecCol: String,
       steps: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    // partition by the RENAMED key: with userCol != "user_id" the
+    // original name no longer exists after the projection below
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     val base = events.select(col(userCol).as("user_id"),
       col(typeCol).as("et"), col(tsSecCol).cast("long").as("tsn"))
     val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
@@ -383,6 +385,29 @@ object EventsOps {
         "user_id", "event_type", "tsn", Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))),
 
+    // sessionize ∘ funnel: q133 measures view→click→purchase over a
+    // user's WHOLE history; product metrics want it within one visit.
+    // The composite (user:session) key also partitions the funnel
+    // windows finer than q133's per-user frames — more parallelism.
+    "q166_session_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val stamped = sessionize(ev, "user_id", "ts", "event_id",
+        gapNanos = 4L * 3600L * 1000000000L)
+      val sessed = ev.select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts DIV 1000000000").as("tsn0"))
+        .join(stamped.select(col("tie").as("event_id"), col("session_seq")),
+          "event_id")
+        .withColumn("skey",
+          concat_ws(":", col("user_id"), col("session_seq")))
+      funnel(sessed, "skey", "event_type", "tsn0",
+          Seq("view", "click", "purchase"))
+        .select(
+          split(col("user_id"), ":").getItem(0).cast("long").as("user_id"),
+          split(col("user_id"), ":").getItem(1).cast("long").as("session_seq"),
+          col("s1"), col("s2"), col("s3"), col("steps"), col("convert_secs"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     "q130_gapfill" -> ((s, dir) =>
       gapFill(withTs(s, dir), "event_type", "tsc", "value", stepSeconds = 3600L)
         .orderBy(col("key"), col("bucket"))),
@@ -526,6 +551,40 @@ object EventsOps {
         |FROM act JOIN fw USING (user_id)
         |GROUP BY cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "q166_session_funnel" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn9,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |      > 14400000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsn9, event_id
+        |      ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq,
+        |    event_type, tsn9 // 1000000000 AS tsn
+        |  FROM o
+        |), u1 AS (
+        |  SELECT user_id, session_seq,
+        |    min(CASE WHEN event_type = 'view' THEN tsn END) AS s1
+        |  FROM e GROUP BY 1, 2
+        |), u2 AS (
+        |  SELECT e.user_id, e.session_seq,
+        |    min(CASE WHEN event_type = 'click' AND tsn > s1 THEN tsn END) AS s2
+        |  FROM e JOIN u1 USING (user_id, session_seq) GROUP BY 1, 2
+        |), u3 AS (
+        |  SELECT e.user_id, e.session_seq,
+        |    min(CASE WHEN event_type = 'purchase' AND tsn > s2 THEN tsn END) AS s3
+        |  FROM e JOIN u2 USING (user_id, session_seq) GROUP BY 1, 2
+        |)
+        |SELECT u1.user_id, u1.session_seq, s1, s2, s3,
+        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |       WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS steps,
+        |  s3 - s1 AS convert_secs
+        |FROM u1 JOIN u2 USING (user_id, session_seq)
+        |JOIN u3 USING (user_id, session_seq)
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "q133_funnel" ->
       """WITH e AS (
