@@ -692,6 +692,37 @@ object Corpus {
     * two-pass shape — the tiny per-partition totals are the only driver
     * data) turns local offsets into global positions.
     */
+  /** Novelty-decay audit over the epoch reading order — for every
+    * document, the fraction of its distinct shingles whose FIRST
+    * occurrence under the content-addressed epoch order
+    * ([[deterministicShuffle]]'s md5 key) falls in this document.
+    * Plotted against position this is the diversity-decay curve:
+    * where it flattens, later data is mostly re-reading — the signal
+    * duplication-aware curricula and train-another-epoch calls read.
+    *
+    * Order compares by the md5 key ITSELF, so no global position pass
+    * runs: one row-local shingle explode, one gram-keyed min
+    * aggregation, one gram join back, one per-doc count — the gram
+    * table bounds everything.
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      seed: Long): DataFrame = {
+    val keyed = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
+        .as("sh"))
+      .withColumn("k", md5(concat_ws(":", lit(seed), col("doc_id"))))
+    val first = keyed.groupBy(col("sh")).agg(min(col("k")).as("kmin"))
+    keyed.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("k") === col("kmin"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   def deterministicShuffle(docs: DataFrame, idCol: String,
       seed: Long): DataFrame = {
     val spark = docs.sparkSession
@@ -1405,6 +1436,11 @@ object Corpus {
       deterministicShuffle(Tables.load(s, dir, "documents"), "doc_id", seed = 42L)
         .orderBy(col("doc_id"))),
 
+    "q167_novelty_curve" -> ((s, dir) =>
+      noveltyCurve(Tables.load(s, dir, "documents"), "doc_id", "text",
+        seed = 42L)
+        .orderBy(col("doc_id"))),
+
     "q110_split_assign" -> ((s, dir) =>
       assignSplits(Tables.load(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0))
@@ -1770,6 +1806,31 @@ object Corpus {
         |    ELSE 'test'
         |  END AS split
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q167_novelty_curve" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), s AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM w
+        |), k AS (
+        |  SELECT doc_id, sh,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM s
+        |), f AS (
+        |  SELECT sh, min(k) AS kmin FROM k GROUP BY sh
+        |)
+        |SELECT k.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN k.k = f.kmin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN k.k = f.kmin THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM k JOIN f USING (sh)
+        |GROUP BY k.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q108_epoch_shuffle" ->

@@ -317,6 +317,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("novelty curve: every gram is novel exactly once; duplicates score zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 are identical; whichever md5-orders first takes all
+    // the novelty, the other scores 0. Doc 3 is all-fresh -> 1.0.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w")
+    ).toDF("doc_id", "text")
+    val got = Corpus.noveltyCurve(docs, "doc_id", "text", seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val Seq(d1, d2, d3) = got.toSeq
+    assert(d3 == ((3L, 2L, 2L, 1.0)), "fresh doc must be fully novel")
+    assert(Set(d1._4, d2._4) == Set(1.0, 0.0),
+      "one twin takes the novelty, the other scores zero")
+    // corpus-wide: each distinct gram is first-seen exactly once
+    assert(got.map(_._3).sum == 3 + 2, "sum(n_novel) == distinct grams")
+  }
+
   test("quantile normalization maps each source's ranks onto the global CDF") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
