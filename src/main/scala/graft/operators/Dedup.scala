@@ -479,6 +479,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
   }
 
+  /** Jaro-Winkler CONFIRMATION of LSH candidates — the record-linkage
+    * twin of [[editDistanceConfirm]]: same bounded dataflow ([[minhashPairs]]
+    * proposes, only candidates pay the quadratic string comparison), but
+    * the metric is prefix-boosted Jaro similarity
+    * ([[graft.functions.JaroWinkler]], fully codegen), which tolerates
+    * transpositions that Levenshtein punishes and is the standard
+    * measure for near-identical identifier/title fields. The corpus
+    * never shuffles; the candidate table broadcasts into both
+    * text-attach joins under AQE.
+    */
+  def jaroWinklerConfirm(docs: DataFrame, idCol: String, textCol: String,
+                         minSim: Double): DataFrame = {
+    graft.functions.JaroWinkler.register(docs.sparkSession)
+    val t = docs.select(col(idCol), col(textCol))
+    minhashPairs(docs, idCol, textCol)
+      .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
+      .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
+      .withColumn("jw_sim", round(expr("jaro_winkler(ta, tb)"), 6))
+      .filter(col("jw_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("jw_sim"))
+  }
+
   /** Near-dup pairs at hamming distance <= maxDist over the simhash
     * (default 32-bit, matching [[simhash]] — see SCALING.md for the
     * 16-bit saturation measurements) via a banded equi-join: the
@@ -570,6 +592,11 @@ object Dedup {
     "q90_editdist_confirm" -> ((s, dir) =>
       editDistanceConfirm(Tables.load(s, dir, "documents"), "doc_id", "text",
         maxRel = 0.4)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q168_jw_confirm" -> ((s, dir) =>
+      jaroWinklerConfirm(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minSim = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q115_minhash_estimate" -> ((s, dir) =>
@@ -944,6 +971,38 @@ object Dedup {
         |JOIN documents db ON db.doc_id = p.doc_b
         |WHERE round(CAST(levenshtein(da.text, db.text) AS DOUBLE) /
         |    greatest(len(da.text), len(db.text)), 6) <= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q168_jw_confirm" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(jaro_winkler_similarity(da.text, db.text), 6) AS jw_sim
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |WHERE round(jaro_winkler_similarity(da.text, db.text), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q131_winnowing" ->

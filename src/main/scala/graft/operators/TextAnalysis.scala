@@ -34,7 +34,8 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
-  private val stop = Map(
+  // package-visible: Eval reuses the q55 scoring convention verbatim
+  private[operators] val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "es" -> Seq("el", "la", "de", "y", "en"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
@@ -476,6 +477,19 @@ object TextAnalysis {
         minCount = 5L)
         .orderBy(col("w1"), col("w2"))),
 
+    // Character-distribution entropy (functions/CharEntropy.scala): the
+    // one-pass codegen expression vs the oracle's grouped form of the
+    // same ln-based formula. Row-local — zero shuffle.
+    "q172_char_entropy" -> ((s, dir) => {
+      graft.functions.CharEntropy.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          size(array_distinct(split(col("text"), ""))).cast("long").as("n_distinct"),
+          round(expr("char_entropy(text)"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_classifier_score" -> ((s, dir) =>
       scoreLinearClassifier(Tables.load(s, dir, "documents"), "doc_id", "text",
         ClassifierWeights, ClassifierBias)
@@ -681,6 +695,22 @@ object TextAnalysis {
         |CROSS JOIN nb CROSS JOIN nu
         |WHERE bi.n_pair >= 5
         |ORDER BY bi.w1, bi.w2""".stripMargin,
+
+    "q172_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), f AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM ch GROUP BY doc_id, c
+        |), n AS (
+        |  SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, CAST(n.n AS BIGINT) AS n_chars_m,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round((ln(n.n) - sum(cnt * ln(cnt)) / n.n) / ln(2), 6) AS entropy
+        |FROM f JOIN n USING (doc_id)
+        |GROUP BY f.doc_id, n.n
+        |ORDER BY doc_id""".stripMargin,
 
     "q88_tfidf_keywords" ->
       """WITH words AS (

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the model-eval operators (Eval.scala) and the round's new
+  * codegen string expressions (JaroWinkler, CharEntropy). */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.streaming.SparkTestSession.spark
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("jaro_winkler pins the published reference values") {
+    // classic Winkler 1990 examples, cross-checked against DuckDB
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // boost threshold: jaro <= 0.7 gets NO prefix boost
+    assert(jw("abcdefgh", "abzzzzzz") == 0.5)
+    // transposition halving floors (abcdef/bcadef: 3 out-of-order -> t=1,
+    // jaro = (1 + 1 + 5/6)/3; no common prefix so no Winkler boost)
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+  }
+
+  test("jaro_winkler is symmetric and codegen matches interpreted eval") {
+    import spark.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+      ("hello world", "world hello"), ("same", "same"))
+    val df = pairs.toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)").as("ab"), expr("jaro_winkler(b, a)").as("ba"))
+    df.collect().zip(pairs).foreach { case (r, (a, b)) =>
+      assert(r.getDouble(0) == r.getDouble(1), s"asymmetric on ($a, $b)")
+      assert(r.getDouble(0) == jw(a, b), s"codegen != eval on ($a, $b)")
+    }
+  }
+
+  private def ent(s: String): Double =
+    graft.functions.CharEntropy.entropy(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("char_entropy pins known distributions") {
+    assert(ent("") == 0.0)
+    assert(ent("aaaa") == 0.0)
+    assert(math.abs(ent("abcd") - 2.0) < 1e-12) // uniform over 4 -> 2 bits
+    assert(math.abs(ent("hello world") - 2.8453509366224368) < 1e-9)
+    // more distinct chars at equal length -> higher entropy
+    assert(ent("aabb") < ent("abcd"))
+  }
+
+  test("rocAuc: perfect, inverted, and all-tied scores") {
+    import spark.implicits._
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("score", "label")
+    assert(Eval.rocAuc(perfect, "score", "label").collect()(0).getDouble(2) == 1.0)
+    val inverted = Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)).toDF("score", "label")
+    assert(Eval.rocAuc(inverted, "score", "label").collect()(0).getDouble(2) == 0.0)
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("score", "label")
+    assert(Eval.rocAuc(tied, "score", "label").collect()(0).getDouble(2) == 0.5)
+  }
+
+  test("rocAuc matches the O(n^2) pairwise definition on a mixed sample") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.9, 1), (0.7, 1), (0.7, 0), (0.6, 1), (0.5, 0),
+      (0.5, 0), (0.4, 1), (0.3, 0), (0.3, 0), (0.1, 0))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val pairwise = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    val got = Eval.rocAuc(rows.toDF("score", "label"), "score", "label")
+      .collect()(0).getDouble(2)
+    assert(math.abs(got - pairwise) < 1e-9, s"got $got expected $pairwise")
+  }
+
+  test("rocAuc prefix sum is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (((i * 37) % 100) / 100.0, i % 3 min 1))
+    val one = Eval.rocAuc(rows.toDF("score", "label").coalesce(1), "score", "label")
+      .collect()(0).getDouble(2)
+    val many = Eval.rocAuc(rows.toDF("score", "label").repartition(13), "score", "label")
+      .collect()(0).getDouble(2)
+    assert(one == many)
+  }
+
+  test("calibrationBins: bins partition the corpus and ECE parts sum sanely") {
+    import spark.implicits._
+    val rows = (1 to 1000).map { i =>
+      val score = (i % 100) / 100.0
+      (score, if (score > 0.5) 1 else 0)
+    }
+    val bins = Eval.calibrationBins(rows.toDF("score", "label"), "score", "label", 10)
+      .collect()
+    assert(bins.map(_.getLong(1)).sum == 1000)
+    assert(bins.map(_.getInt(0)).toSet == (0 to 9).toSet)
+    // bins entirely above the label threshold are perfectly miscalibrated
+    // in frac_pos terms: scores ~0.95 all labeled 1 -> frac_pos 1.0
+    val top = bins.find(_.getInt(0) == 9).get
+    assert(top.getDouble(4) == 1.0)
+    val bottom = bins.find(_.getInt(0) == 0).get
+    assert(bottom.getDouble(4) == 0.0)
+  }
+}

@@ -457,7 +457,8 @@ class OperatorsSpec extends AnyFunSuite {
       "RangeJoin" -> RangeJoin.queries.keySet,
       "Corpus" -> Corpus.queries.keySet,
       "BpeTokenizer" -> BpeTokenizer.queries.keySet,
-      "Selection" -> Selection.queries.keySet)
+      "Selection" -> Selection.queries.keySet,
+      "Eval" -> Eval.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")

@@ -113,7 +113,10 @@ class PlanSpec extends AnyFunSuite {
       "q112_hard_negatives", "q118_linear_probe", "q123_sparse_cosine",
       "q128_corpus_profile", "q137_ivf_recall", "q138_pq_recall",
       "q147_js_divergence", "q155_kmeans_lloyd", "q161_collocations",
-      "q163_rrf_fusion", "q165_quantile_norm")
+      "q163_rrf_fusion", "q165_quantile_norm",
+      // q170 attaches the 1-row corpus-total aggregate to the nBins-row
+      // reliability table — a broadcast of one scalar, not a data product
+      "q170_calibration")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
