@@ -1155,6 +1155,33 @@ object Corpus {
           x => x.getField("fp")), ",")).as("shard_hash"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each doc goes
+    * to the shard whose keyed hash h(doc, shard) is highest. Unlike
+    * modulo hashing, adding or removing ONE shard reassigns only ~1/n of
+    * the docs (the minimal-disruption property consistent hashing is
+    * used for) — the right assignment discipline for an incrementally
+    * rebalanced corpus. Entirely row-local (the argmax folds over a
+    * per-row literal shard array in codegen) — zero shuffle; the only
+    * exchange is the nShards-row occupancy aggregate joined back for the
+    * balance column. Hash is the house md5-32 ([[graft.Q.md5Bucket32]])
+    * so the oracle reproduces every assignment bit-for-bit; hash ties
+    * break to the larger shard id in both engines (struct-max vs ORDER
+    * BY hv DESC, s DESC).
+    */
+  def hrwShards(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val pick = expr(
+      s"""array_max(transform(sequence(0, ${nShards - 1}), s -> struct(
+         |  cast(conv(substring(md5(concat(cast($idCol as string), '#',
+         |    cast(s as string))), 1, 8), 16, 10) as bigint) as h,
+         |  s))).s""".stripMargin)
+    val assigned = docs.select(col(idCol).as("doc_id"), pick.as("shard"))
+    val occupancy = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("shard_n"))
+    assigned.join(occupancy, "shard")
+      .select(col("doc_id"), col("shard"), col("shard_n"))
+  }
+
   /** Corpus PROFILING — the data-validation pass a pipeline runs on
     * every new snapshot before anything downstream trusts it: one row
     * per profiled column with row/null/distinct counts, min/max, and
@@ -1578,6 +1605,10 @@ object Corpus {
 
     "q102_gopher_rules" -> ((s, dir) =>
       gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q174_hrw_shards" -> ((s, dir) =>
+      hrwShards(Tables.load(s, dir, "documents"), "doc_id", nShards = 16)
         .orderBy(col("doc_id"))),
 
     "q103_shard_manifest" -> ((s, dir) =>
@@ -2060,6 +2091,28 @@ object Corpus {
         |    AND top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
         |    AND dup5_frac <= 0.15 AND dup10_frac <= 0.10 AS keep
         |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "q174_hrw_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, s,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(s AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s) sh
+        |), pick AS (
+        |  SELECT doc_id, CAST(s AS INT) AS shard
+        |  FROM (SELECT doc_id, s,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY hv DESC, s DESC) AS rn
+        |        FROM h) r
+        |  WHERE rn = 1
+        |), occ AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS shard_n
+        |  FROM pick GROUP BY shard
+        |)
+        |SELECT p.doc_id, p.shard, o.shard_n
+        |FROM pick p JOIN occ o USING (shard)
         |ORDER BY doc_id""".stripMargin,
 
     "q103_shard_manifest" ->

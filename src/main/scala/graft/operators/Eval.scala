@@ -102,19 +102,24 @@ object Eval {
   // The q55 quality score as the model score, the planted weak label
   // (doc mentions "spark") as ground truth — both already oracle-pinned
   // conventions (q55, q107).
-  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
-    val ws = split(col("text"), " ")
+  /** The q55 quality score (rounded 4dp) as a reusable column — the
+    * shared "model score" convention for the eval/selection family. */
+  private[operators] def q55Score(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ws = split(text, " ")
     val stopList = TextAnalysis.stop("en")
     val stopRatio = size(filter(ws, w => w.isInCollection(stopList)))
       .cast("double") / size(ws)
+    round(least(lit(1.0), size(ws) / lit(100.0)) * (lit(1.0) - stopRatio), 4)
+  }
+
+  private[operators] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
     docs.select(col("doc_id"),
-      round(least(lit(1.0), size(ws) / lit(100.0)) * (lit(1.0) - stopRatio), 4)
-        .as("score"),
+      q55Score(col("text")).as("score"),
       col("text").contains("spark").cast("int").as("label"))
   }
 
-  private val scoredSql = {
+  private[operators] val scoredSql = {
     val stopList = TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
        |  round(least(1.0, len(string_split(text, ' ')) / 100.0) *

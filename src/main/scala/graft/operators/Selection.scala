@@ -400,11 +400,101 @@ object Selection {
       .toDF("doc_id", "n_tokens", "bucket", "batch_idx", "pos_in_batch")
   }
 
+  /** 2-D Pareto front (skyline): items no other item dominates, where
+    * domination means >= on both axes and > on at least one. The classic
+    * corpus use: the quality/length efficient frontier — every document
+    * NOT on the front is strictly worse than some other on the
+    * (quality, length) trade-off.
+    *
+    * Distributed shape: rows collapse to one per distinct x with the max
+    * y (one aggregation), then a two-pass prefix MAX over a descending-x
+    * range partitioning (the packSequences pattern — per-partition maxes
+    * to the driver, broadcast running bases back) annotates each x with
+    * the best y strictly above it / at-or-above it; a final equi-join on
+    * x filters the corpus. No single-partition window, no all-pairs: the
+    * O(n²) NOT EXISTS the oracle runs is exactly what this avoids.
+    */
+  def paretoFront(items: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = items.sparkSession
+    val g = items.groupBy(col(xCol).cast("double").as("x"))
+      .agg(max(col(yCol).cast("long")).as("maxy"))
+      .repartitionByRange(col("x").desc)
+      .sortWithinPartitions(col("x").desc)
+    val rdd = g.rdd.map(r => (r.getDouble(0), r.getLong(1)))
+    val partMax = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.foldLeft(Long.MinValue)((m, kv) => math.max(m, kv._2))))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = spark.sparkContext.broadcast(partMax.scanLeft(Long.MinValue)(math.max))
+    val ann = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var above = bases.value(i) // max y among all x strictly greater
+      it.map { case (x, my) =>
+        val res = (x, above, math.max(above, my))
+        above = math.max(above, my)
+        res
+      }
+    }
+    val annDf = spark.createDataFrame(ann).toDF("x", "max_above", "max_above_eq")
+    items
+      .select(col(idCol), col(xCol).cast("double").as("x"),
+        col(yCol).cast("long").as("y"))
+      .join(annDf, "x")
+      // dominated iff someone strictly above in x reaches y, or someone
+      // at-or-above in x strictly exceeds y
+      .filter(!(col("max_above") >= col("y") || col("max_above_eq") > col("y")))
+      .select(col(idCol), col("x").as(xCol), col("y").as(yCol))
+  }
+
+  /** Nucleus (top-p) selection per group: order each group's items by
+    * score descending and keep the head whose cumulative score mass
+    * stays under `p` of the group total — the data-mixture analogue of
+    * nucleus sampling (keep the high-quality head, cut the long tail,
+    * per source). The window partitions by group, so it distributes on
+    * the group key; the keep test multiplies both sides into DECIMAL
+    * integers (cum·10 < total·8 for p=0.8) so no engine ever divides —
+    * the comparison is exact and oracle-bit-stable.
+    */
+  def nucleusCut(items: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0,1], got $p")
+    // p as an exact decimal scaled by 10 (0.8 -> 8)
+    val p10 = BigDecimal(p * 10).setScale(4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    items
+      .withColumn("__sd", col(scoreCol).cast(Q.dec))
+      .withColumn("__cum_before", coalesce(
+        sum(col("__sd")).over(w.rowsBetween(Long.MinValue, -1)),
+        lit(0).cast(Q.dec)))
+      .withColumn("__total", sum(col("__sd")).over(tot))
+      .filter(col("__cum_before") * 10 < col("__total") * lit(p10))
+      .select(col(idCol), col(groupCol), col(scoreCol))
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
+    "q171_pareto_front" -> ((s, dir) =>
+      paretoFront(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Eval.q55Score(col("text")).as("score"),
+            col("n_chars")),
+        "doc_id", "score", "n_chars")
+        .orderBy(col("doc_id"))),
+
+    "q176_nucleus_cut" -> ((s, dir) =>
+      nucleusCut(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Eval.q55Score(col("text")).as("score")),
+        "doc_id", "source", "score", p = 0.8)
+        .orderBy(col("source"), col("doc_id"))),
+
     "q121_weighted_sample" -> ((s, dir) =>
       weightedSample(Tables.load(s, dir, "documents"), "doc_id",
         col("n_chars"), n = 100)
@@ -465,6 +555,35 @@ object Selection {
   )
 
   val oracle: Map[String, String] = Map(
+    "q171_pareto_front" ->
+      s"""WITH lab AS (${Eval.scoredSql}
+        |), t AS (
+        |  SELECT d.doc_id, lab.score, CAST(d.n_chars AS BIGINT) AS n_chars
+        |  FROM documents d JOIN lab USING (doc_id)
+        |)
+        |SELECT a.doc_id, a.score, a.n_chars FROM t a
+        |WHERE NOT EXISTS (SELECT 1 FROM t b
+        |  WHERE (b.score > a.score AND b.n_chars >= a.n_chars)
+        |     OR (b.score >= a.score AND b.n_chars > a.n_chars))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q176_nucleus_cut" ->
+      s"""WITH lab AS (${Eval.scoredSql}
+        |), t AS (
+        |  SELECT d.doc_id, d.source, lab.score,
+        |    CAST(lab.score AS DECIMAL(18,4)) AS sd
+        |  FROM documents d JOIN lab USING (doc_id)
+        |), win AS (
+        |  SELECT doc_id, source, score,
+        |    coalesce(sum(sd) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(sd) OVER (PARTITION BY source) AS total
+        |  FROM t
+        |)
+        |SELECT doc_id, source, score FROM win
+        |WHERE cum_before * 10 < total * 8
+        |ORDER BY source, doc_id""".stripMargin,
+
     "q121_weighted_sample" ->
       """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
   -- "+ 0" folds DuckDB's round()-preserved -0.0 into +0.0 (Spark parity)

@@ -274,4 +274,73 @@ class SelectionSpec extends AnyFunSuite {
     assert(st(1L) > 0.5 && st(2L) > 0.5,
       s"CDC must re-synchronize after an edit; shared fractions: $st")
   }
+
+  test("paretoFront: matches the O(n^2) skyline definition on a known fixture") {
+    import spark.implicits._
+    // (id, x, y): 1 and 4 on the front; 2 dominated by 1; 3 dominated by 4;
+    // 5 and 6 are identical points neither of which dominates the other;
+    // 7 dominated by the duplicates (equal x, smaller y)
+    val pts = Seq((1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.5, 15L),
+      (4L, 0.6, 20L), (5L, 0.4, 30L), (6L, 0.4, 30L), (7L, 0.4, 29L))
+    val got = Selection.paretoFront(pts.toDF("doc_id", "x", "y"), "doc_id", "x", "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        (bx > x && by >= y) || (bx >= x && by > y)
+      }
+    }.map(_._1).toSet
+    assert(got == brute && got == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("paretoFront: prefix max is partitioning-invariant") {
+    import spark.implicits._
+    val pts = (1 to 300).map(i => (i.toLong, ((i * 53) % 97).toDouble, ((i * 31) % 89).toLong))
+    val df = pts.toDF("doc_id", "x", "y")
+    val one = Selection.paretoFront(df.coalesce(1), "doc_id", "x", "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val many = Selection.paretoFront(df.repartition(17), "doc_id", "x", "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(one == many)
+  }
+
+  test("nucleusCut: keeps the smallest descending head reaching p of the mass") {
+    import spark.implicits._
+    // one group, scores 0.4/0.3/0.2/0.1 (total 1.0), p=0.8:
+    // cum_before 0.0/0.4/0.7/0.9 -> keep first three, cut the last
+    val items = Seq((1L, "g", 0.4), (2L, "g", 0.3), (3L, "g", 0.2), (4L, "g", 0.1))
+    val kept = Selection.nucleusCut(items.toDF("doc_id", "grp", "score"),
+      "doc_id", "grp", "score", p = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // p=1.0 keeps every positive-score item (cum_before < total strictly)
+    val all = Selection.nucleusCut(items.toDF("doc_id", "grp", "score"),
+      "doc_id", "grp", "score", p = 1.0)
+      .count()
+    assert(all == 4)
+    // groups are independent: a second group's mass doesn't shift the first
+    val two = items ++ Seq((5L, "h", 9.0), (6L, "h", 1.0))
+    val keptTwo = Selection.nucleusCut(two.toDF("doc_id", "grp", "score"),
+      "doc_id", "grp", "score", p = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTwo == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("hrwShards: total assignment, and one added shard moves ~1/(n+1) of docs") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val a16 = Corpus.hrwShards(docs, "doc_id", nShards = 16)
+    assert(a16.count() == n)
+    val shards16 = a16.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shards16.values.toSet.subsetOf((0 until 16).toSet))
+    val shards17 = Corpus.hrwShards(docs, "doc_id", nShards = 17)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = shards16.count { case (id, s) => shards17(id) != s }
+    // HRW minimal disruption: only docs whose new shard-16 hash wins move
+    // (expected fraction 1/17 ≈ 5.9%); and every mover lands ON shard 16
+    assert(shards16.forall { case (id, s) => shards17(id) == s || shards17(id) == 16 })
+    val frac = moved.toDouble / n
+    assert(frac > 0.01 && frac < 0.15, s"moved fraction $frac outside [0.01, 0.15]")
+  }
 }
