@@ -299,6 +299,77 @@ object Similarity {
     (cents, assignScored, wAssign)
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
+    * top-k selection balancing relevance to a query against redundancy
+    * with what is already selected — argmax of
+    * λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s). The standard diversifier
+    * for retrieval results and for picking representative exemplars
+    * out of near-dup clusters.
+    *
+    * MMR is INHERENTLY sequential (each pick changes the next argmax),
+    * so the operator runs k distributed rounds: relevance is computed
+    * once and cached; each round broadcasts the ≤k selected vectors,
+    * takes the per-candidate max similarity in one map-side aggregate,
+    * and TakeOrdered(1) picks the argmax (deterministic tiebreak on
+    * vec_id) — the corpus never shuffles and never collects. k actions
+    * of one scan each is the honest cost of the greedy; the cache is
+    * explicitly unpersisted on exit.
+    *
+    * Greedy argmax over float scores is not SQL-expressible for the
+    * driver's oracle → rows-only there; the brute-force parity spec
+    * in OperatorsSpec pins the semantics instead.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, k: Int,
+      lambda: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = prepared(emb)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val qdf = base.filter(col("cid") === queryId)
+      .select(col("cv").as("qv"), col("cn").as("qn"))
+    val rel = base.filter(col("cid") =!= queryId)
+      .crossJoin(broadcast(qdf))
+      .withColumn("rel", expr(dotQC) / (col("qn") * col("cn")))
+      .select(col("cid"), col("cv"), col("cn"), col("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      var i = 0
+      var exhausted = false
+      while (i < k && !exhausted) {
+        val ids = selected.map(_._1).toSeq
+        val scored =
+          if (ids.isEmpty) rel.withColumn("mmr", col("rel") * lambda)
+          else {
+            val selVecs = rel.filter(col("cid").isInCollection(ids))
+              .select(col("cid").as("sid"), col("cv").as("sv"), col("cn").as("sn"))
+            rel.filter(!col("cid").isInCollection(ids))
+              .crossJoin(broadcast(selVecs))
+              .withColumn("sim",
+                expr("dot_product(cv, sv)") / (col("cn") * col("sn")))
+              .groupBy(col("cid"), col("rel"))
+              .agg(max(col("sim")).as("msim"))
+              .withColumn("mmr", col("rel") * lambda - col("msim") * (1 - lambda))
+          }
+        scored.orderBy(col("mmr").desc, col("cid"))
+          .select(col("cid"), col("rel"), col("mmr"))
+          .head(1) match {
+          case Array(row) =>
+            selected += ((row.getLong(0), row.getDouble(1), row.getDouble(2)))
+          case _ => exhausted = true
+        }
+        i += 1
+      }
+      selected.toSeq.zipWithIndex
+        .map { case ((id, r, m), idx) => (idx + 1, id, r, m) }
+        .toDF("rank", "vec_id", "rel", "mmr")
+        .select(col("rank"), col("vec_id"),
+          round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+    } finally { rel.unpersist(); () }
+  }
+
   /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
     * (which uses "first nList vectors" only so its DuckDB oracle can
     * reproduce the cells): [[fitQuantizer]] centroids, every vector
@@ -707,7 +778,13 @@ object Similarity {
       rrfFusion(Tables.load(s, dir, "embeddings"),
         Tables.load(s, dir, "documents"), "doc_id", "text",
         nQueries = 5, k = 20, topK = 10)
-        .orderBy(col("qid"), col("rnk")))
+        .orderBy(col("qid"), col("rnk"))),
+    // greedy diversified top-k: argmax sequence not SQL-expressible ->
+    // rows-only driver check; SimilaritySpec brute-force parity instead
+    "q173_mmr_select" -> ((s, dir) =>
+      mmrSelect(Tables.load(s, dir, "embeddings"), queryId = 0L, k = 10,
+        lambda = 0.7)
+        .orderBy(col("rank")))
   )
 
   private val duckPrep =

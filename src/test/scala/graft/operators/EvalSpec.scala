@@ -42,6 +42,45 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  private def dl(a: String, b: String): Int =
+    graft.functions.DamerauLevenshtein.distance(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("damerau_levenshtein is UNRESTRICTED (Lowrance-Wagner), matching DuckDB") {
+    // the case separating full DL from OSA: edit inside a transposition
+    assert(dl("CA", "ABC") == 2) // OSA would say 3
+    assert(dl("ab", "ba") == 1)
+    assert(dl("abcdef", "abcfed") == 2) // DuckDB-pinned
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("same", "same") == 0)
+    // plain edits degrade to levenshtein
+    assert(dl("kitten", "sitting") == 3)
+    // transposition saves exactly one vs levenshtein
+    assert(dl("hte", "the") == 1)
+  }
+
+  test("damerau_levenshtein never exceeds levenshtein and respects the length bound") {
+    val words = Seq("ring", "rign", "widget", "wigdet", "bolt", "blot",
+      "gear", "gaze", "small", "smal", "hot", "host")
+    for (a <- words; b <- words) {
+      val d = dl(a, b)
+      val lev = {
+        // classic DP reference
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      assert(d <= lev, s"dl($a,$b)=$d > lev=$lev")
+      assert(d >= math.abs(a.length - b.length))
+      assert(d == dl(b, a), s"asymmetric on ($a,$b)")
+    }
+  }
+
   private def ent(s: String): Double =
     graft.functions.CharEntropy.entropy(
       org.apache.spark.unsafe.types.UTF8String.fromString(s))

@@ -20,7 +20,8 @@ class OperatorsSpec extends AnyFunSuite {
     // iterative train loops (BPE — parity-spec'd below instead) may skip
     val allowedNoOracle =
       Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train",
-        "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train")
+        "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train",
+        "q173_mmr_select")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
@@ -462,6 +463,38 @@ class OperatorsSpec extends AnyFunSuite {
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")
+  }
+
+  test("q173 MMR selection matches the brute-force greedy on collected vectors") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val vecs = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lambda = 0.7
+    val q = vecs(0L)
+    val rel = vecs.view.filterKeys(_ != 0L)
+      .map { case (id, v) => id -> cos(q, v) }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (picked.size < 10) {
+      val best = rel.keysIterator.filterNot(picked.contains).map { id =>
+        val msim =
+          if (picked.isEmpty) 0.0
+          else picked.map(s => cos(vecs(id), vecs(s))).max
+        val mmr = if (picked.isEmpty) rel(id) * lambda
+                  else rel(id) * lambda - msim * (1 - lambda)
+        (id, mmr)
+      }.minBy { case (id, m) => (-m, id) }
+      picked += best._1
+    }
+    val got = graft.SparkEntry.queries("q173_mmr_select")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == picked.toSeq, s"got $got expected $picked")
   }
 
   test("multimodal mapPartitions decode matches the columnar path") {

@@ -116,7 +116,10 @@ class PlanSpec extends AnyFunSuite {
       "q163_rrf_fusion", "q165_quantile_norm",
       // q170 attaches the 1-row corpus-total aggregate to the nBins-row
       // reliability table — a broadcast of one scalar, not a data product
-      "q170_calibration")
+      "q170_calibration",
+      // q173 broadcasts the 1-row query vector (and later the <=k
+      // selected vectors) into every MMR round — intentional products
+      "q173_mmr_select")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
