@@ -109,6 +109,81 @@ object Corpus {
         col("votes"), col("n_labeled"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected graph given as ordered (a<b) edges — the standard
+    * cohesion diagnostic for a near-dup pair graph: triangle-dense
+    * neighborhoods are true duplicate clusters, triangle-free hubs are
+    * LSH false-positive stars (a containment-style artifact worth
+    * inspecting before transitive-closure dedup merges them).
+    *
+    * Dataflow is the classic ordered-wedge join: edges (a<b) joined on
+    * the middle vertex to form wedges a<b<c, then one semi-join against
+    * the edge set closes them. Ordering means each triangle is built
+    * exactly once — no /6 dedup, no symmetric blowup; the join keys are
+    * vertex ids, so it shuffles like any equi-join and the skew cure is
+    * the usual degree-ordered orientation at scale. Degrees come from
+    * one symmetric aggregation.
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    // wedge a<b<c = edge (a,b) meeting edge (b,c) on the middle vertex
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("doc_id"))
+      .union(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("n_tri") / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("degree"), col("n_tri"), col("clustering"))
+  }
+
+  /** Adamic-Adar link prediction over the same pair graph: for every
+    * non-adjacent vertex pair with at least one common neighbor, score
+    * = sum over common neighbors z of 1/ln(deg(z)) — rare shared
+    * neighbors count more. In the dedup pipeline this ranks MISSED
+    * pairs: two docs sharing several low-degree LSH neighbors are
+    * near-certain duplicates the banding happened to split.
+    *
+    * Candidate pairs exist only through a shared neighbor (one self-join
+    * of the symmetric adjacency on the center vertex, u<v) — never
+    * all-pairs; existing edges drop via one anti-join. Each 1/ln term is
+    * cast to DECIMAL(18,12) before summing so the aggregate is
+    * order-independent and oracle-exact under any partitioning.
+    */
+  def adamicAdar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = e.select(col("a").as("z"), col("b").as("nbr"))
+      .union(e.select(col("b").as("z"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dz"))
+    val cand = adj.select(col("z"), col("nbr").as("u"))
+      .join(adj.select(col("z"), col("nbr").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    val scored = cand.join(deg, "z")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum((lit(1.0) / log(col("dz"))).cast(dec12)).cast("double"), 6)
+          .as("aa_score"))
+    scored
+      .join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti")
+      .select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("n_common"), col("aa_score"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, driverThreshold: Long = 100000): DataFrame = {
     // clamp BELOW Int.MaxValue: limit() takes an Int, and a larger
@@ -1393,6 +1468,22 @@ object Corpus {
   val queries: Map[String, QueryFn] = Map(
     // even doc ids carry their embedding-table class label; one step
     // spreads them onto odd-id near-duplicates over the q51 pair graph
+    "q177_triangles" -> ((s, dir) =>
+      triangleStats(
+        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")
+        .orderBy(col("doc_id"))),
+
+    // link prediction wants RECALL: single-row bands (8 bands of 1)
+    // give the permissive candidate graph; the graded 2-row default is
+    // too precise here (its wedges are already closed — zero output)
+    "q178_adamic_adar" -> ((s, dir) =>
+      adamicAdar(
+        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 1),
+        "doc_a", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q164_label_prop" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       val seeds = Tables.load(s, dir, "embeddings")
@@ -1707,8 +1798,12 @@ object Corpus {
     })
   )
 
-  private val q51PairsCte =
-    """w AS (
+  /** The q51 LSH candidate-pair CTE with a pluggable banding: the
+    * graded default groups 8 minhashes into 4 bands of 2 rows
+    * (`seed // 2`); `seed` gives 8 single-row bands — the PERMISSIVE
+    * recall graph link-prediction style analytics want. */
+  private def pairsCteBand(bandExpr: String): String =
+    s"""w AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
       |), sh AS (
@@ -1723,17 +1818,67 @@ object Corpus {
       |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
       |  FROM seeded GROUP BY doc_id, seed
       |), bands AS (
-      |  SELECT doc_id, seed // 2 AS band,
+      |  SELECT doc_id, $bandExpr AS band,
       |         md5(string_agg(m, '|' ORDER BY m)) AS sig
-      |  FROM mh GROUP BY doc_id, seed // 2
+      |  FROM mh GROUP BY doc_id, $bandExpr
       |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id
       |)""".stripMargin
 
+  private val q51PairsCte = pairsCteBand("seed // 2")
+
   val oracle: Map[String, String] = Map(
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q177_triangles" ->
+      s"""WITH $q51PairsCte,
+         |tris AS (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |), pn AS (
+         |  SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT unnest([a, b, c]) AS v FROM tris) t GROUP BY v
+         |), deg AS (
+         |  SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT doc_a AS v FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) d GROUP BY v
+         |)
+         |SELECT deg.doc_id, deg.degree,
+         |  coalesce(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.degree >= 2 THEN
+         |    round(2.0 * coalesce(pn.n_tri, 0) /
+         |      (deg.degree * (deg.degree - 1)), 6)
+         |  ELSE 0.0 END AS clustering
+         |FROM deg LEFT JOIN pn USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q178_adamic_adar" ->
+      s"""WITH ${pairsCteBand("seed")},
+         |adj AS (
+         |  SELECT doc_a AS z, doc_b AS nbr FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), deg AS (
+         |  SELECT z, CAST(count(*) AS BIGINT) AS dz FROM adj GROUP BY z
+         |), cand AS (
+         |  SELECT x.z, x.nbr AS u, y.nbr AS v
+         |  FROM adj x JOIN adj y ON x.z = y.z
+         |  WHERE x.nbr < y.nbr
+         |), scored AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         |    round(CAST(sum(CAST(1.0 / ln(deg.dz) AS DECIMAL(18,12)))
+         |      AS DOUBLE), 6) AS aa_score
+         |  FROM cand JOIN deg USING (z)
+         |  GROUP BY u, v
+         |)
+         |SELECT s.u AS doc_a, s.v AS doc_b, s.n_common, s.aa_score
+         |FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |  WHERE p.doc_a = s.u AND p.doc_b = s.v)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q114_snapshot_diff" ->
       """WITH v1 AS (

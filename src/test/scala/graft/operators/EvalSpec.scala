@@ -128,6 +128,39 @@ class EvalSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("triangleStats: known graph — one triangle plus a pendant and an isolate-free star") {
+    import spark.implicits._
+    // 1-2-3 triangle; 3-4 pendant; 5 hub of star 5-6, 5-7 (no triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L))
+    val got = Corpus.triangleStats(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, round6(1.0 / 3.0))))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    assert(got(5L) == ((2L, 0L, 0.0)))
+    assert(got(6L) == ((1L, 0L, 0.0)))
+    // total triangles = sum(n_tri)/3
+    assert(got.values.map(_._2).sum == 3L)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("adamicAdar: scores non-adjacent pairs by rare common neighbors") {
+    import spark.implicits._
+    // path 1-2-3 plus hub 4 adjacent to 1 and 3:
+    // candidate (1,3): common nbrs 2 (deg 2) and 4 (deg 2) -> 2/ln(2)
+    // candidate (2,4): common nbrs 1 (deg 2) and 3 (deg 2) -> 2/ln(2)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+    val got = Corpus.adamicAdar(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val expected = round6(2.0 / math.log(2.0))
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, expected)))
+    assert(got((2L, 4L)) == ((2L, expected)))
+  }
+
   test("calibrationBins: bins partition the corpus and ECE parts sum sanely") {
     import spark.implicits._
     val rows = (1 to 1000).map { i =>
