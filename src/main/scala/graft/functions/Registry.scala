@@ -19,7 +19,10 @@ object Registry {
   def registerAll(spark: SparkSession): Unit = {
     Bpe.register(spark)
     CdcChunks.register(spark)
+    CharEntropy.register(spark)
+    DamerauLevenshtein.register(spark)
     DotProduct.register(spark)
+    JaroWinkler.register(spark)
     EmaWindow.register(spark)
     HammingDistance.register(spark)
     MinhashSigs.register(spark)

@@ -173,7 +173,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "bpe_encode" -> (exprs => graft.functions.BpeEncode(exprs(0), exprs(1))),
       "nfc_normalize" -> (exprs => graft.functions.NfcNormalize(exprs.head)),
       "strip_accents" -> (exprs => graft.functions.StripAccents(exprs.head)),
-      "topk_sketch" -> (exprs => graft.functions.SpaceSavingTopK.builder(exprs)))
+      "topk_sketch" -> (exprs => graft.functions.SpaceSavingTopK.builder(exprs)),
+      "jaro_winkler" -> (exprs => graft.functions.JaroWinkler(exprs(0), exprs(1))),
+      "damerau_levenshtein" -> (exprs => graft.functions.DamerauLevenshtein(exprs(0), exprs(1))),
+      "char_entropy" -> (exprs => graft.functions.CharEntropy(exprs.head)))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -125,11 +125,17 @@ class AsOfJoinSpec extends AnyFunSuite {
         |       hamming_distance('abc', 'abd') AS h,
         |       iszero(0.0) AS z,
         |       array_pop_back(array(1, 2, 3)) AS pb,
-        |       strip_accents(nfc_normalize('e' || 'e\u0301')) AS na""".stripMargin)
+        |       strip_accents(nfc_normalize('e' || 'e\u0301')) AS na,
+        |       jaro_winkler('MARTHA', 'MARHTA') AS jw,
+        |       damerau_levenshtein('CA', 'ABC') AS dl,
+        |       char_entropy('abcd') AS ce""".stripMargin)
       .collect().head
     assert(r.getDouble(0) == 11.0 && r.getInt(1) == 1 && r.getBoolean(2))
     assert(r.getSeq[Int](3) == Seq(1, 2))
     assert(r.getString(4) == "ee")
+    assert(math.abs(r.getDouble(5) - 0.9611111111111111) < 1e-12)
+    assert(r.getInt(6) == 2)
+    assert(math.abs(r.getDouble(7) - 2.0) < 1e-12)
     val tk = s.sql(
       "SELECT topk_sketch(x, 1, 4) AS tk FROM VALUES ('a'), ('b'), ('a') t(x)")
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
