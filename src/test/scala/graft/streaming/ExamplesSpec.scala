@@ -83,6 +83,35 @@ class ExamplesSpec extends AnyFunSuite {
       s"config pipeline must reproduce the library SQL: ${got.size} vs ${expected.size}")
   }
 
+  test("record-linkage example scores blocked pairs with both string metrics") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "record_linkage.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_linkage_out").toString
+    Engine.run(spark, Config.fromYaml(yaml.replace("/tmp/graft/out/record_linkage", outDir)))
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(3), r.getDouble(4))))
+      .toMap
+    graft.functions.Registry.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .createOrReplaceTempView("linkage_parts")
+    val expected = spark.sql(
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  damerau_levenshtein(a.p_name, b.p_name) AS dl,
+        |  round(jaro_winkler(a.p_name, b.p_name), 6) AS jw
+        |FROM linkage_parts a JOIN linkage_parts b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND damerau_levenshtein(a.p_name, b.p_name) <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected && expected.nonEmpty,
+      s"config pipeline must reproduce the library SQL: ${got.size} vs ${expected.size}")
+    // transpositions score closer under DL than plain character identity:
+    // every pair here is within 3 edits, so jw stays high
+    assert(got.values.forall { case (d, j) => d <= 3 && j >= 0.0 && j <= 1.0 })
+  }
+
   test("drift-monitor example stamps the batch JSD and routes the quarantine verdict") {
     val spark = SparkTestSession.spark
     val yaml = new String(java.nio.file.Files.readAllBytes(
