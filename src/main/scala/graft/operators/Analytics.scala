@@ -184,7 +184,28 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // Benford first-significant-digit audit — the forensic data-quality
+  // pass for a value column: natural multiplicative data follows
+  // P(d) = log10(1 + 1/d); a synthetic or truncated feed doesn't. One
+  // row-local digit extraction + one 9-row aggregation; identical
+  // double expression tree in both engines (log10/floor/power), so the
+  // digits bucket identically.
+  private val q181Sql =
+    """WITH d AS (
+      |  SELECT CAST(floor(l_extendedprice /
+      |    pow(10, floor(log10(l_extendedprice)))) AS INT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM d)
+      |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+      |  round(count(*) / n_all, 6) AS frac,
+      |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+      |  round(count(*) / n_all - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
+      |FROM d CROSS JOIN n
+      |GROUP BY digit, n_all
+      |ORDER BY digit""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "q181_benford" -> Q.fromSql(q181Sql),
     "q33_stats_agg" -> Q.fromSql(q33Sql),
     "q34_regr_agg" -> Q.fromSql(q34Sql),
     "q35_collect_agg" -> Q.fromSql(q35Spark),
@@ -213,6 +234,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q181_benford" -> q181Sql,
     "q33_stats_agg" -> q33Sql,
     "q34_regr_agg" -> q34Sql,
     "q35_collect_agg" -> q35Duck,

@@ -1435,6 +1435,64 @@ object Corpus {
     * before summing, so the result is order-independent and
     * engine-exact.
     */
+  /** Exact two-sample Kolmogorov-Smirnov statistic between every pair
+    * of groups on a numeric column: D = max |F_a(x) − F_b(x)| over the
+    * pooled support — the standard distribution-shift test the JSD
+    * drift family (q147) can't provide, since KS sees SHAPE (location/
+    * spread) where JSD sees token mass. Used to flag sources whose
+    * length/score profile drifted between snapshots.
+    *
+    * Exact-integer form: with group counts cum_a, cum_b prefix-summed
+    * over the pooled distinct values, D = max |cum_a·n_b − cum_b·n_a| /
+    * (n_a·n_b) — every max argument a BIGINT, so the single final
+    * division is the only float step (the q169 discipline).
+    *
+    * Scale shape: rows collapse to (group, value) counts in one
+    * aggregation; each group PAIR's ECDF walk is a window partitioned
+    * by the pair key — pairs distribute across executors; a pair's
+    * distinct values must fit one partition (for a single dominant
+    * pair, swap in the q143 two-pass prefix over range partitions).
+    */
+  def ksAllPairs(items: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val gv = items
+      .select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val ns = gv.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = ns.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(ns.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    // every (pair, value) row carries the value's count on each side
+    val tagged = pairs
+      .join(gv.select(col("g").as("ga"), col("v"), col("c").as("ca_d")),
+        Seq("ga"), "inner")
+      .join(gv.select(col("g").as("gb"), col("v").as("v"), col("c").as("cb_d")),
+        Seq("gb", "v"), "left")
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("v"),
+        col("ca_d"), coalesce(col("cb_d"), lit(0L)).as("cb_d"))
+      .union(
+        // values present only on the b side
+        pairs
+          .join(gv.select(col("g").as("gb"), col("v"), col("c").as("cb_d")),
+            Seq("gb"), "inner")
+          .join(gv.select(col("g").as("ga"), col("v").as("v"), col("c").as("ca_d")),
+            Seq("ga", "v"), "left_anti")
+          .select(col("ga"), col("gb"), col("na"), col("nb"), col("v"),
+            lit(0L).as("ca_d"), col("cb_d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    tagged
+      .withColumn("cum_a", sum(col("ca_d")).over(w))
+      .withColumn("cum_b", sum(col("cb_d")).over(w))
+      .withColumn("gap", abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(max(col("gap")).as("gap"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("gap").cast("double") / (col("na") * col("nb")), 6).as("ks_d"))
+  }
+
   def jsDivergence(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
@@ -1754,6 +1812,10 @@ object Corpus {
       splitLeakage(Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0))
         .orderBy(col("doc_id"))),
+
+    "q179_ks_test" -> ((s, dir) =>
+      ksAllPairs(Tables.load(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy(col("group_a"), col("group_b"))),
 
     "q147_js_divergence" -> ((s, dir) =>
       jsDivergence(Tables.load(s, dir, "documents"), "text", "source")
@@ -2655,6 +2717,38 @@ object Corpus {
 
     // per-term doubles cast to DECIMAL before summing (order-independent,
     // engine-exact); absent-term Q-mass folds to (1 - sum q)*ln 2
+    "q179_ks_test" ->
+      """WITH gv AS (
+        |  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT g, sum(c) AS n FROM gv GROUP BY g
+        |), prs AS (
+        |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+        |  FROM ns a JOIN ns b ON a.g < b.g
+        |), sup AS (
+        |  SELECT p.ga, p.gb, p.na, p.nb, u.v
+        |  FROM prs p JOIN (SELECT DISTINCT g, v FROM gv) u
+        |    ON u.g = p.ga OR u.g = p.gb
+        |  GROUP BY p.ga, p.gb, p.na, p.nb, u.v
+        |), t AS (
+        |  SELECT s.ga, s.gb, s.na, s.nb, s.v,
+        |    coalesce(a.c, 0) AS ca_d, coalesce(b.c, 0) AS cb_d
+        |  FROM sup s
+        |  LEFT JOIN gv a ON a.g = s.ga AND a.v = s.v
+        |  LEFT JOIN gv b ON b.g = s.gb AND b.v = s.v
+        |), cum AS (
+        |  SELECT ga, gb, na, nb,
+        |    abs(sum(ca_d) OVER (PARTITION BY ga, gb ORDER BY v) * nb -
+        |        sum(cb_d) OVER (PARTITION BY ga, gb ORDER BY v) * na) AS gap
+        |  FROM t
+        |)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(max(gap) AS DOUBLE) / (na * nb), 6) AS ks_d
+        |FROM cum GROUP BY ga, gb, na, nb
+        |ORDER BY group_a, group_b""".stripMargin,
+
     "q147_js_divergence" ->
       """WITH sc AS (
         |  SELECT source, w, CAST(count(*) AS BIGINT) AS c

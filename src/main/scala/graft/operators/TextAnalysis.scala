@@ -34,6 +34,14 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  // q180's fixed demo blocklist — mixes phrases present in the corpus
+  // with classic boilerplate markers that are not, so both hit and
+  // zero-hit paths grade. Single-sourced: Spark and oracle embed the
+  // SAME literals.
+  private val BlocklistPhrases = Seq("spark", "click here", "lorem ipsum",
+    "all rights reserved", "subscribe now", "the data", "terms of service",
+    "and the")
+
   // package-visible: Eval reuses the q55 scoring convention verbatim
   private[operators] val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -477,6 +485,19 @@ object TextAnalysis {
         minCount = 5L)
         .orderBy(col("w1"), col("w2"))),
 
+    // Plan-constant blocklist scan (functions/Blocklist.scala): one
+    // Aho-Corasick pass counts distinct blocklist phrases per doc —
+    // the policy-filter/decontamination primitive (vs m contains scans).
+    "q180_blocklist" -> ((s, dir) => {
+      graft.functions.BlocklistHits.register(s)
+      val phrases = BlocklistPhrases.map(p => s"'$p'").mkString(", ")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"blocklist_hits(text, array($phrases))").as("n_hit"))
+        .withColumn("contaminated", (col("n_hit") > 0).cast("boolean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Character-distribution entropy (functions/CharEntropy.scala): the
     // one-pass codegen expression vs the oracle's grouped form of the
     // same ln-based formula. Row-local — zero shuffle.
@@ -695,6 +716,17 @@ object TextAnalysis {
         |CROSS JOIN nb CROSS JOIN nu
         |WHERE bi.n_pair >= 5
         |ORDER BY bi.w1, bi.w2""".stripMargin,
+
+    "q180_blocklist" -> {
+      val phrases = BlocklistPhrases.map(p => s"'$p'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter([$phrases],
+         |    p -> contains(text, p))) AS INT) AS n_hit,
+         |  len(list_filter([$phrases], p -> contains(text, p))) > 0
+         |    AS contaminated
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q172_char_entropy" ->
       """WITH ch AS (

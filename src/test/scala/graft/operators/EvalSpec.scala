@@ -161,6 +161,52 @@ class EvalSpec extends AnyFunSuite {
     assert(got((2L, 4L)) == ((2L, expected)))
   }
 
+  test("blocklist_hits: Aho-Corasick matches suffix-overlapping phrases like contains") {
+    val phrases = Seq("he", "she", "his", "hers", "hershey")
+    val ac = graft.functions.BlocklistHits.build(phrases)
+    def naive(t: String): Int = phrases.count(t.contains)
+    val texts = Seq("ushers", "hershey bar", "hi", "", "shhe", "hehehe",
+      "s h e", "hershe", "xxhisxx", "hers hers hers")
+    texts.foreach { t =>
+      assert(ac.countDistinct(t) == naive(t), s"mismatch on '$t'")
+    }
+    // 'ushers' contains he, she, hers — not his/hershey
+    assert(ac.countDistinct("ushers") == 3)
+  }
+
+  test("blocklist_hits rejects a non-foldable phrases argument at analysis time") {
+    import spark.implicits._
+    graft.functions.BlocklistHits.register(spark)
+    val df = Seq(("abc", Seq("a"))).toDF("t", "ps")
+    val err = intercept[Exception] {
+      df.select(expr("blocklist_hits(t, ps)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"),
+      s"expected a foldable-literal analysis error, got: ${err.getMessage}")
+    // the literal form works through codegen
+    val ok = Seq("she sells hershey").toDF("t")
+      .select(expr("blocklist_hits(t, array('he', 'she', 'hers'))").as("n"))
+      .collect().head.getInt(0)
+    assert(ok == 3)
+  }
+
+  test("ksAllPairs: disjoint supports give D=1, identical give D=0, shifted in between") {
+    import spark.implicits._
+    val rows =
+      Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,      // a: {1,2,3}
+        "b" -> 4L, "b" -> 5L, "b" -> 6L,        // b: disjoint above a
+        "c" -> 1L, "c" -> 2L, "c" -> 3L,        // c: identical to a
+        "d" -> 2L, "d" -> 3L, "d" -> 4L)        // d: a shifted by one
+    val got = Corpus.ksAllPairs(rows.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == 0.0)
+    // F_a - F_d peaks at v=1 (1/3 vs 0)
+    assert(got(("a", "d")) == round6(1.0 / 3.0))
+    // all 6 pairs present
+    assert(got.size == 6)
+  }
+
   test("calibrationBins: bins partition the corpus and ECE parts sum sanely") {
     import spark.implicits._
     val rows = (1 to 1000).map { i =>

@@ -119,7 +119,11 @@ class PlanSpec extends AnyFunSuite {
       "q170_calibration",
       // q173 broadcasts the 1-row query vector (and later the <=k
       // selected vectors) into every MMR round — intentional products
-      "q173_mmr_select")
+      "q173_mmr_select",
+      // q179 pairs the per-group count table with itself (k groups ->
+      // k(k-1)/2 rows); q181 attaches the 1-row total — tiny aggregates,
+      // not data products
+      "q179_ks_test", "q181_benford")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
