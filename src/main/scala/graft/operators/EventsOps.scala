@@ -84,6 +84,61 @@ object EventsOps {
     * (ts, tie) order — Spark plans both in a single window stage over
     * one shuffle; no task owns more than one key's timeline.
     */
+  /** Multi-touch conversion ATTRIBUTION: for every conversion event,
+    * the touch events by the same user inside the lookback window get
+    * the credit — first-touch and last-touch identified, plus linear
+    * (1/n) credit split by touch type. The events-side completion of
+    * the funnel family: q133 asks "did the path complete", this asks
+    * "which touch earns the conversion".
+    *
+    * Shape: conversions LEFT-join touches on the user key (zero-touch
+    * conversions survive with n=0), bounded by the lookback predicate —
+    * per-user fanout is capped by activity within the window, never the
+    * full history. One aggregation per conversion; first/last ride a
+    * struct-min/max (ts, tie, type) so ties resolve identically to the
+    * oracle's ROW_NUMBER. Linear credits are exact rationals rounded at
+    * 6dp in both engines.
+    */
+  def attribution(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsNanosCol: String, typeCol: String, tieCol: String, convType: String,
+      touchTypes: Seq[String], lookbackNanos: Long): org.apache.spark.sql.DataFrame = {
+    require(lookbackNanos > 0, s"lookback must be positive, got $lookbackNanos")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val base = events.select(col(keyCol).as("user_id"),
+      col(tsNanosCol).cast("long").as("tsn"), col(typeCol).as("etype"),
+      col(tieCol).cast("long").as("eid"))
+    val convs = base.filter(col("etype") === convType)
+      .select(col("user_id"), col("eid").as("conv_id"), col("tsn").as("conv_tsn"))
+    val touches = base.filter(col("etype").isInCollection(touchTypes))
+      .select(col("user_id"), col("eid").as("touch_id"),
+        col("tsn").as("touch_tsn"), col("etype").as("touch_type"))
+    val joined = convs.join(touches, Seq("user_id"), "left")
+      .withColumn("in_window",
+        col("touch_tsn").isNotNull &&
+          col("touch_tsn") <= col("conv_tsn") &&
+          col("conv_tsn") - col("touch_tsn") <= lookbackNanos)
+    val nWin = sum(when(col("in_window"), 1L).otherwise(0L))
+    val credits = touchTypes.map { t =>
+      // explicit zero-touch guard: a bare 0/0 is null in Spark but
+      // engine-defined elsewhere — CASE it identically to the oracle
+      when(nWin > 0,
+        round(sum(when(col("in_window") && col("touch_type") === t, 1L)
+          .otherwise(0L)).cast("double") / nWin, 6))
+        .as(s"credit_$t")
+    }
+    val aggs = Seq(
+      nWin.as("n_touches"),
+      min(when(col("in_window"),
+        struct(col("touch_tsn"), col("touch_id"), col("touch_type"))))
+        .getField("touch_type").as("first_type"),
+      max(when(col("in_window"),
+        struct(col("touch_tsn"), col("touch_id"), col("touch_type"))))
+        .getField("touch_type").as("last_type")) ++ credits
+    joined
+      .groupBy(col("user_id"), col("conv_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def sessionize(events: org.apache.spark.sql.DataFrame, keyCol: String,
       tsNanosCol: String, tieCol: String, gapNanos: Long): org.apache.spark.sql.DataFrame = {
     require(gapNanos > 0, s"gap must be positive, got $gapNanos")
@@ -379,6 +434,13 @@ object EventsOps {
         "user_id", "tsn")
         .orderBy(col("cohort_wk"), col("week_offset"))),
 
+    "q182_attribution" -> ((s, dir) =>
+      attribution(Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_type", "event_id", convType = "purchase",
+        touchTypes = Seq("view", "click"),
+        lookbackNanos = 7L * 86400L * 1000000000L)
+        .orderBy(col("user_id"), col("conv_id"))),
+
     "q133_funnel" -> ((s, dir) =>
       funnel(Tables.load(s, dir, "events")
           .withColumn("tsn", expr("ts DIV 1000000000")),
@@ -622,6 +684,50 @@ object EventsOps {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY key, bucket""".stripMargin,
+
+    "q182_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_type AS etype,
+        |    event_id AS eid
+        |  FROM events
+        |), convs AS (
+        |  SELECT user_id, eid AS conv_id, tsn AS conv_tsn
+        |  FROM base WHERE etype = 'purchase'
+        |), touches AS (
+        |  SELECT user_id, eid AS touch_id, tsn AS touch_tsn,
+        |    etype AS touch_type
+        |  FROM base WHERE etype IN ('view', 'click')
+        |), j AS (
+        |  SELECT c.user_id, c.conv_id, t.touch_id, t.touch_tsn, t.touch_type,
+        |    t.touch_tsn IS NOT NULL AND t.touch_tsn <= c.conv_tsn AND
+        |      c.conv_tsn - t.touch_tsn <= 604800000000000 AS in_window
+        |  FROM convs c LEFT JOIN touches t USING (user_id)
+        |), ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, conv_id
+        |      ORDER BY in_window DESC, touch_tsn, touch_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY user_id, conv_id
+        |      ORDER BY in_window DESC, touch_tsn DESC, touch_id DESC) AS rn_last
+        |  FROM j
+        |)
+        |SELECT user_id, conv_id,
+        |  CAST(sum(CASE WHEN in_window THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_touches,
+        |  max(CASE WHEN in_window AND rn_first = 1 THEN touch_type END)
+        |    AS first_type,
+        |  max(CASE WHEN in_window AND rn_last = 1 THEN touch_type END)
+        |    AS last_type,
+        |  CASE WHEN sum(CASE WHEN in_window THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN in_window AND touch_type = 'view'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN in_window THEN 1 ELSE 0 END), 6) END AS credit_view,
+        |  CASE WHEN sum(CASE WHEN in_window THEN 1 ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(CASE WHEN in_window AND touch_type = 'click'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN in_window THEN 1 ELSE 0 END), 6) END AS credit_click
+        |FROM ranked
+        |GROUP BY user_id, conv_id
+        |ORDER BY user_id, conv_id""".stripMargin,
 
     "q160_sessionize" ->
       """WITH o AS (

@@ -207,6 +207,42 @@ class EvalSpec extends AnyFunSuite {
     assert(got.size == 6)
   }
 
+  test("attribution: first/last touch, linear credit, lookback cut, zero-touch survival") {
+    import spark.implicits._
+    val G = 1000000000L
+    // user 1: view@10, click@20, purchase@30 -> first view, last click,
+    //   credits 0.5/0.5
+    // user 2: view@0, purchase@(0 + 8 days) -> view OUTSIDE 7d lookback,
+    //   zero-touch conversion survives with nulls
+    // user 3: purchase@5 with no touches at all
+    // user 4: click@40, purchase@50, view@60 (after conv -> ignored)
+    val day = 86400L * G
+    val rows = Seq(
+      (1L, 10L * G, "view", 101L), (1L, 20L * G, "click", 102L),
+      (1L, 30L * G, "purchase", 103L),
+      (2L, 0L, "view", 201L), (2L, 8L * day, "purchase", 202L),
+      (3L, 5L * G, "purchase", 301L),
+      (4L, 40L * G, "click", 401L), (4L, 50L * G, "purchase", 402L),
+      (4L, 60L * G, "view", 403L))
+    val got = EventsOps.attribution(
+      rows.toDF("user_id", "ts", "event_type", "event_id"),
+      "user_id", "ts", "event_type", "event_id", "purchase",
+      Seq("view", "click"), lookbackNanos = 7L * day)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(2) == 2 && u1.getString(3) == "view" &&
+      u1.getString(4) == "click")
+    assert(u1.getDouble(5) == 0.5 && u1.getDouble(6) == 0.5)
+    val u2 = got(2L)
+    assert(u2.getLong(2) == 0 && u2.isNullAt(3) && u2.isNullAt(5))
+    val u3 = got(3L)
+    assert(u3.getLong(2) == 0)
+    val u4 = got(4L)
+    assert(u4.getLong(2) == 1 && u4.getString(3) == "click" &&
+      u4.getString(4) == "click")
+    assert(u4.getDouble(5) == 0.0 && u4.getDouble(6) == 1.0)
+  }
+
   test("calibrationBins: bins partition the corpus and ECE parts sum sanely") {
     import spark.implicits._
     val rows = (1 to 1000).map { i =>
