@@ -474,6 +474,39 @@ object Selection {
       .select(col(idCol), col(groupCol), col(scoreCol))
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * standard, alpha ≈ 0.7): per-group sampling share ∝ n_tokens^alpha,
+    * which upsamples small domains relative to raw proportions without
+    * letting any domain dominate. Output per group: raw share,
+    * temperature share, and the effective epochs a token budget implies
+    * (epochs > 1 on small domains is the visible cost of flattening —
+    * the number a data scientist actually checks before training).
+    *
+    * One aggregation to a groups-count table; each pow term rounds to
+    * 6dp and sums in DECIMAL so the normalizer is order-exact. Scales
+    * as a scan + one tiny aggregate.
+    */
+  def temperatureMix(docs: DataFrame, groupCol: String, tokensCol: Column,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val dec6 = DecimalType(18, 6)
+    val g = docs.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("n_tokens"))
+      .withColumn("term", round(pow(col("n_tokens").cast("double"), alpha), 6)
+        .cast(dec6))
+    val tot = g.agg(sum(col("term")).as("term_total"),
+      sum(col("n_tokens")).as("tok_total"))
+    g.crossJoin(tot)
+      .select(col("group"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tok_total"), 6).as("raw_share"),
+        round(col("term").cast("double") / col("term_total").cast("double"), 6)
+          .as("temp_share"),
+        round(col("term").cast("double") / col("term_total").cast("double") *
+          budgetTokens / col("n_tokens"), 6).as("epochs"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
@@ -486,6 +519,11 @@ object Selection {
             col("n_chars")),
         "doc_id", "score", "n_chars")
         .orderBy(col("doc_id"))),
+
+    "q183_temperature_mix" -> ((s, dir) =>
+      temperatureMix(Tables.load(s, dir, "documents"), "source",
+        size(split(col("text"), " ")), alpha = 0.7, budgetTokens = 1000000L)
+        .orderBy(col("group"))),
 
     "q176_nucleus_cut" -> ((s, dir) =>
       nucleusCut(
@@ -566,6 +604,25 @@ object Selection {
         |  WHERE (b.score > a.score AND b.n_chars >= a.n_chars)
         |     OR (b.score >= a.score AND b.n_chars > a.n_chars))
         |ORDER BY doc_id""".stripMargin,
+
+    "q183_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(round(pow(CAST(sum(len(string_split(text, ' '))) AS DOUBLE),
+        |      0.7), 6) AS DECIMAL(18,6)) AS term
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT sum(term) AS term_total, sum(n_tokens) AS tok_total FROM g
+        |)
+        |SELECT "group", n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tok_total, 6) AS raw_share,
+        |  round(CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE), 6)
+        |    AS temp_share,
+        |  round(CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE) *
+        |    1000000 / n_tokens, 6) AS epochs
+        |FROM g CROSS JOIN tot
+        |ORDER BY "group"""".stripMargin,
 
     "q176_nucleus_cut" ->
       s"""WITH lab AS (${Eval.scoredSql}

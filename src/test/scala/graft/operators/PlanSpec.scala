@@ -91,6 +91,38 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("q172/q180: row-local codegen text metrics — only the presentation sort exchanges") {
+    for (q <- Seq("q172_char_entropy", "q180_blocklist")) {
+      val p = plan(q)
+      // exactly one exchange: the ORDER BY's range partitioning; the
+      // metric itself must never shuffle (a Project directly over the scan)
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q: $p")
+      assert(!p.contains("HashAggregate") && !p.contains("Join"),
+        s"$q grew an aggregation/join it doesn't need")
+    }
+  }
+
+  test("q174: HRW argmax rides the scan and every scan reads only doc_id") {
+    val p = plan("q174_hrw_shards")
+    // both branches (assignment + occupancy) prune to the one column
+    // they need — a scan reading text for a doc_id argmax would be the
+    // 100TB bug
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty &&
+      scans.forall(_.contains("ReadSchema: struct<doc_id:bigint>")), p)
+    // no corpus-width shuffle by the 16-value shard key: the only
+    // exchanges are the occupancy aggregate, its join, and the sort
+    assert(!p.contains("SortMergeJoin") || "Exchange".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("q169: AUC collapses to distinct scores before the prefix pass (one wide shuffle)") {
+    val p = plan("q169_roc_auc")
+    // the corpus-width shuffle is the groupBy(score); everything after
+    // operates on the collapsed table
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial+final aggregation on score expected")
+  }
+
   test("sweep: no query plans an accidental cartesian/nested-loop product") {
     // intentional products: q14 is the cross-join row itself; q21 attaches
     // a ONE-ROW total via CROSS JOIN (broadcast of a single row); q49
@@ -121,9 +153,9 @@ class PlanSpec extends AnyFunSuite {
       // selected vectors) into every MMR round — intentional products
       "q173_mmr_select",
       // q179 pairs the per-group count table with itself (k groups ->
-      // k(k-1)/2 rows); q181 attaches the 1-row total — tiny aggregates,
-      // not data products
-      "q179_ks_test", "q181_benford")
+      // k(k-1)/2 rows); q181/q183 attach the 1-row total — tiny
+      // aggregates, not data products
+      "q179_ks_test", "q181_benford", "q183_temperature_mix")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")

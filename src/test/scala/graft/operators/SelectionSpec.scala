@@ -325,6 +325,28 @@ class SelectionSpec extends AnyFunSuite {
     assert(keptTwo == Set(1L, 2L, 3L, 5L))
   }
 
+  test("temperatureMix: alpha<1 flattens toward uniform without reordering") {
+    import spark.implicits._
+    // three domains: 80% / 15% / 5% of tokens
+    val rows = Seq.fill(80)(("big", 100L)) ++ Seq.fill(15)(("mid", 100L)) ++
+      Seq.fill(5)(("small", 100L))
+    val got = Selection.temperatureMix(rows.toDF("src", "toks"), "src",
+      col("toks"), alpha = 0.7, budgetTokens = 10000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (bigRaw, bigTemp, bigEp) = got("big")
+    val (_, midTemp, _) = got("mid")
+    val (smallRaw, smallTemp, smallEp) = got("small")
+    // flattening: the dominant domain shrinks, the small one grows
+    assert(bigTemp < bigRaw && smallTemp > smallRaw)
+    // ordering preserved
+    assert(bigTemp > midTemp && midTemp > smallTemp)
+    // shares still sum to 1
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    // the visible cost: small domains repeat more under a fixed budget
+    assert(smallEp > bigEp)
+  }
+
   test("hrwShards: total assignment, and one added shard moves ~1/(n+1) of docs") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val n = docs.count()
