@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Q.QueryFn
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Statistical aggregates, ordered-set aggregates, and pivot
@@ -204,7 +205,43 @@ object Analytics {
       |GROUP BY digit, n_all
       |ORDER BY digit""".stripMargin
 
+  /** Referential-integrity ORPHAN audit: child rows whose key has no
+    * match in the parent dimension — the join-health check a pipeline
+    * runs before every fact-to-dim join (orphans silently vanish in
+    * inner joins and null-fill in left joins; either way you want the
+    * count first). One anti-join (parent side broadcasts when it is a
+    * real dimension) + two tiny aggregates. `countDistinct` is exact
+    * because the audit is the graded contract; swap
+    * approx_count_distinct at 100 TB (the q40/q128 trade).
+    */
+  def orphanAudit(child: DataFrame, childKey: org.apache.spark.sql.Column,
+      parent: DataFrame, parentKey: org.apache.spark.sql.Column): DataFrame = {
+    val orphans = child.select(childKey.cast("long").as("k"))
+      .join(parent.select(parentKey.cast("long").as("k")), Seq("k"), "left_anti")
+    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    orphans
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("k")).as("n_orphan_keys"),
+        min(col("k")).as("min_orphan_key"),
+        max(col("k")).as("max_orphan_key"))
+      .crossJoin(totals)
+      .select(col("n_child_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
+        round(col("n_orphan_rows").cast("double") / col("n_child_rows"), 6)
+          .as("orphan_rate"),
+        col("min_orphan_key"), col("max_orphan_key"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    // the test data is FK-clean (user_id 0-149 ⊂ custkeys), so the
+    // audit runs against a STALE dimension slice (c_custkey < 100) —
+    // the realistic failure mode (dim snapshot lagging the fact feed)
+    // planted identically in the oracle
+    "q185_orphan_audit" -> ((s, dir) =>
+      orphanAudit(
+        graft.Tables.load(s, dir, "events"), col("user_id"),
+        graft.Tables.load(s, dir, "customer").filter(col("c_custkey") < 100),
+        col("c_custkey"))),
+
     "q181_benford" -> Q.fromSql(q181Sql),
     "q33_stats_agg" -> Q.fromSql(q33Sql),
     "q34_regr_agg" -> Q.fromSql(q34Sql),
@@ -234,6 +271,21 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_orphan_audit" ->
+      """WITH orphans AS (
+        |  SELECT e.user_id AS k FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_child_rows,
+        |  CAST(count(k) AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys,
+        |  round(CAST(count(k) AS DOUBLE) /
+        |    (SELECT count(*) FROM events), 6) AS orphan_rate,
+        |  min(k) AS min_orphan_key, max(k) AS max_orphan_key
+        |FROM orphans""".stripMargin,
+
     "q181_benford" -> q181Sql,
     "q33_stats_agg" -> q33Sql,
     "q34_regr_agg" -> q34Sql,

@@ -370,6 +370,56 @@ object Similarity {
     } finally { rel.unpersist(); () }
   }
 
+  /** Greedy k-center (farthest-point traversal): pick the point
+    * farthest (in cosine distance) from everything selected so far, k
+    * times — the classic 2-approximation coreset that MAXIMIZES spread,
+    * where [[mmrSelect]] balances spread against a query. The
+    * training-data use: a diverse exemplar subset for labeling/eval
+    * out of a deduped pool.
+    *
+    * Same k-round distributed shape as MMR (cached candidates, ≤k
+    * selected vectors broadcast per round, TakeOrdered(1) argmax,
+    * explicit unpersist); seeded deterministically at the smallest
+    * vec_id so the whole trajectory is reproducible. Greedy argmax ⇒
+    * rows-only for the driver; brute-force parity spec pins it.
+    */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = prepared(emb)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = base.orderBy(col("cid")).select(col("cid")).head(1)
+      if (seed.isEmpty) return Seq.empty[(Int, Long, Double)]
+        .toDF("rank", "vec_id", "dist_to_set")
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)](
+        (seed(0).getLong(0), Double.NaN))
+      var exhausted = false
+      while (selected.size < k && !exhausted) {
+        val ids = selected.map(_._1).toSeq
+        val selVecs = base.filter(col("cid").isInCollection(ids))
+          .select(col("cid").as("sid"), col("cv").as("sv"), col("cn").as("sn"))
+        val next = base.filter(!col("cid").isInCollection(ids))
+          .crossJoin(broadcast(selVecs))
+          .withColumn("sim", expr("dot_product(cv, sv)") / (col("cn") * col("sn")))
+          .groupBy(col("cid"))
+          .agg((lit(1.0) - max(col("sim"))).as("dist"))
+          .orderBy(col("dist").desc, col("cid"))
+          .head(1)
+        if (next.isEmpty) exhausted = true
+        else selected += ((next(0).getLong(0), next(0).getDouble(1)))
+      }
+      selected.toSeq.zipWithIndex
+        .map { case ((id, d), idx) => (idx + 1, id, d) }
+        .toDF("rank", "vec_id", "dist_raw")
+        .select(col("rank"), col("vec_id"),
+          when(!isnan(col("dist_raw")), round(col("dist_raw"), 6))
+            .as("dist_to_set"))
+    } finally { base.unpersist(); () }
+  }
+
   /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
     * (which uses "first nList vectors" only so its DuckDB oracle can
     * reproduce the cells): [[fitQuantizer]] centroids, every vector
@@ -784,6 +834,11 @@ object Similarity {
     "q173_mmr_select" -> ((s, dir) =>
       mmrSelect(Tables.load(s, dir, "embeddings"), queryId = 0L, k = 10,
         lambda = 0.7)
+        .orderBy(col("rank"))),
+
+    // same greedy-argmax caveat as q173 -> rows-only + parity spec
+    "q184_kcenter" -> ((s, dir) =>
+      kCenterSelect(Tables.load(s, dir, "embeddings"), k = 10)
         .orderBy(col("rank")))
   )
 

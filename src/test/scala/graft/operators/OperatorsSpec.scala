@@ -21,7 +21,7 @@ class OperatorsSpec extends AnyFunSuite {
     val allowedNoOracle =
       Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train",
         "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train",
-        "q173_mmr_select")
+        "q173_mmr_select", "q184_kcenter")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
@@ -492,6 +492,29 @@ class OperatorsSpec extends AnyFunSuite {
       picked += best._1
     }
     val got = graft.SparkEntry.queries("q173_mmr_select")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == picked.toSeq, s"got $got expected $picked")
+  }
+
+  test("q184 k-center selection matches the brute-force farthest-point traversal") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val vecs = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[Long](vecs.keys.min)
+    while (picked.size < 10) {
+      val best = vecs.keysIterator.filterNot(picked.contains).map { id =>
+        id -> (1.0 - picked.map(s => cos(vecs(id), vecs(s))).max)
+      }.minBy { case (id, d) => (-d, id) }
+      picked += best._1
+    }
+    val got = graft.SparkEntry.queries("q184_kcenter")(spark, sf)
       .orderBy(org.apache.spark.sql.functions.col("rank"))
       .collect().map(_.getLong(1)).toSeq
     assert(got == picked.toSeq, s"got $got expected $picked")

@@ -155,7 +155,10 @@ class PlanSpec extends AnyFunSuite {
       // q179 pairs the per-group count table with itself (k groups ->
       // k(k-1)/2 rows); q181/q183 attach the 1-row total — tiny
       // aggregates, not data products
-      "q179_ks_test", "q181_benford", "q183_temperature_mix")
+      "q179_ks_test", "q181_benford", "q183_temperature_mix",
+      // q184 broadcasts the <=k selected vectors per greedy round (the
+      // q173 shape); q185 attaches the 1-row child-count aggregate
+      "q184_kcenter", "q185_orphan_audit")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
