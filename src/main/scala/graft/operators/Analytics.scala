@@ -216,7 +216,13 @@ object Analytics {
     */
   def orphanAudit(child: DataFrame, childKey: org.apache.spark.sql.Column,
       parent: DataFrame, parentKey: org.apache.spark.sql.Column): DataFrame = {
+    // null (or uncastable) child keys are a SEPARATE data-quality
+    // problem: a null never matches an anti-join, so it would inflate
+    // the orphan count while silently vanishing from the key stats —
+    // exclude them up front so every reported number covers the same
+    // rows (and matches the oracle's null-skipping count(k))
     val orphans = child.select(childKey.cast("long").as("k"))
+      .filter(col("k").isNotNull)
       .join(parent.select(parentKey.cast("long").as("k")), Seq("k"), "left_anti")
     val totals = child.agg(count(lit(1)).as("n_child_rows"))
     orphans

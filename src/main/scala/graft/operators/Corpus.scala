@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Q, Tables}
 import graft.Q.QueryFn
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -1261,12 +1261,20 @@ object Corpus {
     */
   def hrwShards(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val pick = expr(
-      s"""array_max(transform(sequence(0, ${nShards - 1}), s -> struct(
-         |  cast(conv(substring(md5(concat(cast($idCol as string), '#',
-         |    cast(s as string))), 1, 8), 16, 10) as bigint) as h,
-         |  s))).s""".stripMargin)
+    // the house hash (graft.Q.md5Bucket32) via the Column-API transform
+    // lambda — single-sourced so the documented xxhash64 production swap
+    // can't miss this site
+    val pick = array_max(transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        Q.md5Bucket32(concat(col(idCol).cast("string"), lit("#"),
+          s.cast("string"))).as("h"),
+        s.as("s")))).getField("s")
+    // materialize the assignment once: the occupancy aggregate and the
+    // output join would otherwise each re-evaluate the nShards-way md5
+    // argmax per row
     val assigned = docs.select(col(idCol).as("doc_id"), pick.as("shard"))
+      .localCheckpoint(true)
     val occupancy = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("shard_n"))
     assigned.join(occupancy, "shard")
@@ -1471,8 +1479,11 @@ object Corpus {
     */
   def ksAllPairs(items: DataFrame, groupCol: String,
       valueCol: Column): DataFrame = {
+    // double, not long: a fractional value column (scores in [0,1))
+    // truncated to long would collapse every ECDF to one step and
+    // report D = 0 on maximally drifted distributions
     val gv = items
-      .select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+      .select(col(groupCol).as("g"), valueCol.cast("double").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val ns = gv.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val pairs = ns.select(col("g").as("ga"), col("n").as("na"))

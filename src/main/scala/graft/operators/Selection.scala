@@ -414,11 +414,18 @@ object Selection {
     * x filters the corpus. No single-partition window, no all-pairs: the
     * O(n²) NOT EXISTS the oracle runs is exactly what this avoids.
     */
-  def paretoFront(items: DataFrame, idCol: String, xCol: String,
+  def paretoFront(items0: DataFrame, idCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val spark = items.sparkSession
-    val g = items.groupBy(col(xCol).cast("double").as("x"))
-      .agg(max(col(yCol).cast("long")).as("maxy"))
+    val spark = items0.sparkSession
+    // the items pipeline (often a scored projection over the corpus)
+    // feeds both the distinct-x aggregate and the final join —
+    // materialize it once (the minhashPairs discipline)
+    val items = items0
+      .select(col(idCol), col(xCol).cast("double").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true)
+    val g = items.groupBy(col("x"))
+      .agg(max(col("y")).as("maxy"))
       .repartitionByRange(col("x").desc)
       .sortWithinPartitions(col("x").desc)
     val rdd = g.rdd.map(r => (r.getDouble(0), r.getLong(1)))
@@ -437,8 +444,6 @@ object Selection {
     }
     val annDf = spark.createDataFrame(ann).toDF("x", "max_above", "max_above_eq")
     items
-      .select(col(idCol), col(xCol).cast("double").as("x"),
-        col(yCol).cast("long").as("y"))
       .join(annDf, "x")
       // dominated iff someone strictly above in x reaches y, or someone
       // at-or-above in x strictly exceeds y
@@ -458,8 +463,10 @@ object Selection {
   def nucleusCut(items: DataFrame, idCol: String, groupCol: String,
       scoreCol: String, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"p must be in (0,1], got $p")
-    // p as an exact decimal scaled by 10 (0.8 -> 8)
-    val p10 = BigDecimal(p * 10).setScale(4)
+    // p as a decimal scaled by 10 (0.8 -> 8); HALF_UP because double
+    // p*10 is rarely exact at 4 decimals (0.07*10 = 0.7000000000000001
+    // would otherwise throw ArithmeticException: Rounding necessary)
+    val p10 = BigDecimal(p * 10).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))

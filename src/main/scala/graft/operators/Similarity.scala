@@ -325,7 +325,11 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
     val spark = emb.sparkSession
     import spark.implicits._
+    // a zero-norm vector's cosine is 0/0 = NaN, and NaN sorts FIRST
+    // under desc — one degenerate row would win every argmax round.
+    // Exclude them: they carry no direction to be similar or diverse in.
     val base = prepared(emb)
+      .filter(col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
     val qdf = base.filter(col("cid") === queryId)
       .select(col("cv").as("qv"), col("cn").as("qn"))
@@ -387,7 +391,10 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     val spark = emb.sparkSession
     import spark.implicits._
+    // zero-norm guard: see mmrSelect — a NaN cosine would win every
+    // farthest-point argmax
     val base = prepared(emb)
+      .filter(col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

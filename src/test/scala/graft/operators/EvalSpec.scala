@@ -205,6 +205,13 @@ class EvalSpec extends AnyFunSuite {
     assert(got(("a", "d")) == round6(1.0 / 3.0))
     // all 6 pairs present
     assert(got.size == 6)
+    // fractional values must not collapse (regression: a long cast
+    // zeroed D on score-like columns)
+    val frac = Seq("p" -> 0.1, "p" -> 0.2, "p" -> 0.3,
+      "q" -> 0.7, "q" -> 0.8, "q" -> 0.9)
+    val d = Corpus.ksAllPairs(frac.toDF("g", "v"), "g", col("v"))
+      .collect()(0).getDouble(4)
+    assert(d == 1.0, s"disjoint fractional supports must give D=1, got $d")
   }
 
   test("attribution: first/last touch, linear credit, lookback cut, zero-touch survival") {

@@ -102,17 +102,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q174: HRW argmax rides the scan and every scan reads only doc_id") {
+  test("q174: HRW argmax materializes once — no parquet re-scan after the checkpoint") {
     val p = plan("q174_hrw_shards")
-    // both branches (assignment + occupancy) prune to the one column
-    // they need — a scan reading text for a doc_id argmax would be the
-    // 100TB bug
-    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(scans.nonEmpty &&
-      scans.forall(_.contains("ReadSchema: struct<doc_id:bigint>")), p)
-    // no corpus-width shuffle by the 16-value shard key: the only
-    // exchanges are the occupancy aggregate, its join, and the sort
-    assert(!p.contains("SortMergeJoin") || "Exchange".r.findAllIn(p).size <= 4, p)
+    // the assignment localCheckpoints; both the occupancy aggregate and
+    // the output join must read the materialized (doc_id, shard) table,
+    // never re-scan the corpus or re-run the nShards-way md5 argmax
+    assert(!p.contains("Scan parquet"),
+      "corpus re-scanned after the assignment checkpoint")
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("q169: AUC collapses to distinct scores before the prefix pass (one wide shuffle)") {

@@ -317,6 +317,12 @@ class SelectionSpec extends AnyFunSuite {
       "doc_id", "grp", "score", p = 1.0)
       .count()
     assert(all == 4)
+    // p whose double*10 is inexact at 4 decimals must not throw
+    // (regression: BigDecimal(0.7000000000000001).setScale(4) crashed)
+    val tiny = Selection.nucleusCut(items.toDF("doc_id", "grp", "score"),
+      "doc_id", "grp", "score", p = 0.07)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiny == Set(1L))
     // groups are independent: a second group's mass doesn't shift the first
     val two = items ++ Seq((5L, "h", 9.0), (6L, "h", 1.0))
     val keptTwo = Selection.nucleusCut(two.toDF("doc_id", "grp", "score"),
