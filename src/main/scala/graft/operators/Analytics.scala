@@ -237,6 +237,89 @@ object Analytics {
         col("min_orphan_key"), col("max_orphan_key"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple: every equivalence
+    * class (distinct QI combination) with its size, a `< k` risk flag,
+    * and the worst-case re-identification probability 1/size — the
+    * check a pipeline runs before releasing any row-level extract
+    * (classes smaller than k single out individuals). One hash
+    * aggregation keyed by the QI columns, map-side combinable; output
+    * is one row per class regardless of corpus size.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k > 0, s"need QI columns and k > 0, got $qiCols / $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"))
+      .select(qiCols.map(col) ++ Seq(
+        col("class_n"),
+        (col("class_n") < k).cast("int").as("at_risk"),
+        round(lit(1.0) / col("class_n"), 6).as("reident_prob")): _*)
+  }
+
+  private val q186Oracle =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS class_n,
+      |  CAST(count(*) < 10 AS INT) AS at_risk,
+      |  round(1.0 / count(*), 6) AS reident_prob
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  // Chi-square test of independence over the FULL contingency grid
+  // (row-margin × col-margin cross join rebuilds absent cells — a cell
+  // with expected mass but zero observations still contributes): per
+  // cell O, E = r*c/n and (O-E)^2/E. Three tiny aggregates off one
+  // grouped scan; the grid is |sources|×|langs| rows however large the
+  // corpus. Identical double expression tree in both engines.
+  private val q187Sql =
+    """WITH o AS (
+      |  SELECT source, lang, CAST(count(*) AS DOUBLE) AS obs
+      |  FROM documents GROUP BY source, lang
+      |), rt AS (SELECT source, sum(obs) AS r FROM o GROUP BY source),
+      |ct AS (SELECT lang, sum(obs) AS c FROM o GROUP BY lang),
+      |n AS (SELECT sum(obs) AS n_all FROM o),
+      |grid AS (
+      |  SELECT rt.source, ct.lang, rt.r, ct.c
+      |  FROM rt CROSS JOIN ct
+      |)
+      |SELECT g.source, g.lang,
+      |  CAST(coalesce(o.obs, 0) AS BIGINT) AS observed,
+      |  round(g.r * g.c / n.n_all, 6) AS expected,
+      |  round((coalesce(o.obs, 0) - g.r * g.c / n.n_all) *
+      |        (coalesce(o.obs, 0) - g.r * g.c / n.n_all) /
+      |        (g.r * g.c / n.n_all), 6) AS chi2_contrib
+      |FROM grid g
+      |LEFT JOIN o ON g.source = o.source AND g.lang = o.lang
+      |CROSS JOIN n
+      |ORDER BY g.source, g.lang""".stripMargin
+
+  // Differentially-private count release via the Laplace mechanism with
+  // DETERMINISTIC noise: the uniform comes from the house md5 bucket of
+  // the group key ((h+0.5)/2^32 ∈ (0,1)), inverse-CDF'd to Laplace
+  // scale 1/ε. A production release swaps a real RNG in — the mechanism
+  // (sensitivity-1 count, scale, clamp-at-zero) is what's graded here,
+  // and determinism is what makes it oracle-checkable. ε = 1.0. One
+  // aggregation; noise is a row-local expression on the group rows.
+  private def q188Sql(bucket32: String) =
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS true_n FROM documents
+       |  GROUP BY source
+       |), u AS (
+       |  SELECT source, true_n,
+       |    ($bucket32 + 0.5) / 4294967296.0 AS u
+       |  FROM c
+       |)
+       |SELECT source, true_n,
+       |  round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+       |  CAST(greatest(0.0, round(true_n +
+       |    round(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 0))
+       |    AS BIGINT) AS noisy_n
+       |FROM u
+       |ORDER BY source""".stripMargin
+  private val q188Spark =
+    q188Sql("CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT)")
+  private val q188Duck =
+    q188Sql("CAST(CAST('0x' || substring(md5(source), 1, 8) AS UBIGINT) AS BIGINT)")
+
   val queries: Map[String, QueryFn] = Map(
     // the test data is FK-clean (user_id 0-149 ⊂ custkeys), so the
     // audit runs against a STALE dimension slice (c_custkey < 100) —
@@ -247,6 +330,14 @@ object Analytics {
         graft.Tables.load(s, dir, "events"), col("user_id"),
         graft.Tables.load(s, dir, "customer").filter(col("c_custkey") < 100),
         col("c_custkey"))),
+
+    "q186_k_anonymity" -> ((s, dir) =>
+      kAnonymityAudit(graft.Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    "q187_chi2_independence" -> Q.fromSql(q187Sql),
+    "q188_dp_counts" -> Q.fromSql(q188Spark),
 
     "q181_benford" -> Q.fromSql(q181Sql),
     "q33_stats_agg" -> Q.fromSql(q33Sql),
@@ -277,6 +368,10 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q186_k_anonymity" -> q186Oracle,
+    "q187_chi2_independence" -> q187Sql,
+    "q188_dp_counts" -> q188Duck,
+
     "q185_orphan_audit" ->
       """WITH orphans AS (
         |  SELECT e.user_id AS k FROM events e

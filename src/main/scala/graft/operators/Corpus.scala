@@ -866,6 +866,29 @@ object Corpus {
     docs.withColumn("split", split)
   }
 
+  /** Leakage-free split assignment: near-duplicate documents must land
+    * in the SAME split (a near-dup pair straddling train/test is
+    * contamination the doc-level hash of [[assignSplits]] cannot
+    * prevent), so the content-addressed split hash keys on the near-dup
+    * CLUSTER root instead of the document id. Cluster roots come from
+    * [[connectedComponents]] over the pair graph (forced down the
+    * distributed min-label path — the 100 TB route); documents in no
+    * pair are their own singleton root via one left join. The split
+    * expression is exactly q110's md5 band hash applied to the root, so
+    * split FRACTIONS stay correct at the cluster level and membership
+    * is stable under corpus growth.
+    */
+  def clusterAwareSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, bands: Seq[(String, Double)]): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, driverThreshold = 0L)
+      .select(col("vertex").as(idCol), col("cluster"))
+    val rooted = docs.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster"), col(idCol).cast("long")))
+      .drop("cluster")
+    assignSplits(rooted, "cluster_id", bands)
+  }
+
   /** Corpus-relative quantile-band filter — keep documents whose score
     * falls inside a per-group quantile band (e.g. drop the shortest 10%
     * and longest 10% of each language), the CCNet/RefinedWeb-style
@@ -1599,6 +1622,15 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    "q194_cluster_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      clusterAwareSplits(docs, "doc_id", pairs, "doc_a", "doc_b",
+        Seq("train" -> 0.90, "val" -> 0.95, "test" -> 1.0))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q75_pack_sequences" -> ((s, dir) =>
       packSequences(Tables.load(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
         .orderBy(col("doc_id"))),
@@ -2014,6 +2046,31 @@ object Corpus {
         |  FROM j WHERE nfp IS NOT NULL AND (ofp IS NULL OR ofp <> nfp)
         |)
         |ORDER BY doc_id, version""".stripMargin,
+
+    "q194_cluster_split" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), cc AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM closure GROUP BY u
+         |), rooted AS (
+         |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE
+         |    WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS UBIGINT) < 58982 THEN 'train'
+         |    WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS UBIGINT) < 62259 THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM rooted
+         |ORDER BY doc_id""".stripMargin,
 
     "q113_dedup_keep_best" ->
       s"""WITH RECURSIVE $q51PairsCte,

@@ -130,13 +130,156 @@ object Eval {
        |FROM documents""".stripMargin
   }
 
+  /** NDCG@k over a scored (query, candidate, relevance) ranking — the
+    * standard graded-retrieval metric (discounted gain of the produced
+    * order vs the ideal order). `ranked` carries one row per (qid, cid)
+    * with a rank column (1-based) and a 0/1-or-graded `rel` column;
+    * only ranks <= k contribute to DCG while IDCG uses the ideal
+    * ordering of the SAME candidate pool truncated at k.
+    *
+    * Scale: two aggregations keyed by qid (map-side combinable) — the
+    * candidate pool per query is already bounded upstream (a kNN or
+    * retrieval top-N), so no global ordering exists anywhere; the ideal
+    * rank is a per-qid window over that bounded pool. DCG terms go
+    * through DECIMAL so the per-query sums are order-independent.
+    */
+  def ndcgAtK(ranked: DataFrame, qidCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val idealW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("rank"))
+    val base = ranked.select(col(qidCol).as("qid"),
+      col(rankCol).cast("long").as("rank"), col(relCol).cast("double").as("rel"))
+    val withIdeal = base.withColumn("irank", row_number().over(idealW))
+    val agg = withIdeal.groupBy(col("qid")).agg(
+      sum(col("rel").cast("long")).as("n_rel"),
+      sum(when(col("rank") <= k,
+        (col("rel") / log2(col("rank") + 1)).cast(dec)).otherwise(lit(null)))
+        .as("dcg_d"),
+      sum(when(col("irank") <= k,
+        (col("rel") / log2(col("irank") + 1)).cast(dec)).otherwise(lit(null)))
+        .as("idcg_d"))
+    agg.select(col("qid"), col("n_rel"),
+      round(coalesce(col("dcg_d").cast("double"), lit(0.0)), 6).as("dcg"),
+      round(coalesce(col("idcg_d").cast("double"), lit(0.0)), 6).as("idcg"),
+      when(coalesce(col("idcg_d"), lit(0)) === 0, lit(0.0))
+        .otherwise(round(col("dcg_d").cast("double") /
+          col("idcg_d").cast("double"), 6)).as("ndcg"))
+  }
+
+  /** Cohen's kappa between two binary annotators — chance-corrected
+    * agreement (po - pe)/(1 - pe), THE gate before trusting weak labels
+    * or LLM-judge labels enough to train on them. One aggregation over
+    * the corpus: the four confusion cells in a single pass, kappa as
+    * row-local arithmetic on the one output row.
+    */
+  def cohensKappa(labeled: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = labeled.agg(
+      count(lit(1)).as("n"),
+      sum((col(aCol) === 1 && col(bCol) === 1).cast("long")).as("n11"),
+      sum((col(aCol) === 1 && col(bCol) === 0).cast("long")).as("n10"),
+      sum((col(aCol) === 0 && col(bCol) === 1).cast("long")).as("n01"),
+      sum((col(aCol) === 0 && col(bCol) === 0).cast("long")).as("n00"))
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round((col("n11") + col("n00")).cast("double") / col("n"), 6).as("po"),
+      round(((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+             (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .cast("double") / (col("n") * col("n")), 6).as("pe"))
+      .withColumn("kappa",
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+  }
+
+  /** Spearman rank correlation between two per-row signals, exact with
+    * AVERAGE ranks for ties: rho = Pearson correlation of the rank
+    * variables. Average rank of value v = (#rows below v) + (ties+1)/2
+    * — computed per DISTINCT value with the same two-pass distributed
+    * prefix count as [[rocAuc]] (one range-partitioned shuffle per
+    * variable, per-partition totals to the driver, broadcast bases; no
+    * single-partition window), then joined back and fed to one final
+    * moment aggregation. Rank sums ride DECIMAL(38,6): ranks are
+    * half-integers bounded by n, so Σxy ≤ n³ stays exact far beyond
+    * 100 TB row counts.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    def ranks(c: String): DataFrame = {
+      val g = df.groupBy(col(c).cast("double").as("v"))
+        .agg(count(lit(1)).as("n_v"))
+        .repartitionByRange(col("v"))
+        .sortWithinPartitions(col("v"))
+      val rdd = g.rdd.map(r => (r.getDouble(0), r.getLong(1)))
+      val totals = rdd
+        .mapPartitionsWithIndex { case (i, it) =>
+          Iterator.single((i, it.foldLeft(0L)(_ + _._2)))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val bases = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+      val ranked = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var below = bases.value(i)
+        it.map { case (v, nV) =>
+          val r = below + (nV + 1) / 2.0
+          below += nV
+          (v, r)
+        }
+      }
+      spark.createDataFrame(ranked).toDF("v", "r")
+    }
+    val rx = ranks(xCol).select(col("v").as("xv"), col("r").as("rx"))
+    val ry = ranks(yCol).select(col("v").as("yv"), col("r").as("ry"))
+    val joined = df
+      .select(col(xCol).cast("double").as("xv"), col(yCol).cast("double").as("yv"))
+      .join(rx, "xv").join(ry, "yv")
+    val m = joined.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx").cast(dec)).as("sx"), sum(col("ry").cast(dec)).as("sy"),
+      sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+    m.select(col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("rho"))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
     "q169_roc_auc" -> ((s, dir) =>
       rocAuc(scoredDocs(s, dir), "score", "label")),
 
     "q170_calibration" -> ((s, dir) =>
       calibrationBins(scoredDocs(s, dir), "score", "label", nBins = 10)
-        .orderBy(col("bin")))
+        .orderBy(col("bin"))),
+
+    // retrieval eval over the q60 kNN ranking: relevance = label match
+    // between query vector and candidate (the standard proxy when no
+    // human judgments exist); NDCG@10 of the cosine order
+    "q189_ndcg" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val ranked = Similarity.bruteForceKnn(emb, nQueries = 5, k = 10)
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(labels.select(col("vec_id").as("cid"), col("label").as("cl")), "cid")
+        .withColumn("rel", (col("ql") === col("cl")).cast("int"))
+      ndcgAtK(ranked, "qid", "rnk", "rel", k = 10).orderBy(col("qid"))
+    }),
+
+    // agreement between the two house weak labelers: the planted
+    // "mentions spark" label vs "q55 quality score >= 0.35"
+    "q190_cohens_kappa" -> ((s, dir) =>
+      cohensKappa(
+        scoredDocs(s, dir).select(col("doc_id"), col("label").as("a"),
+          (col("score") >= 0.35).cast("int").as("b")),
+        "a", "b")),
+
+    "q191_spearman" -> ((s, dir) =>
+      spearman(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            q55Score(col("text")).as("score")),
+        "n_chars", "score", "doc_id"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -176,6 +319,104 @@ object Eval {
         |  round(abs(round(CAST(n_pos AS DOUBLE) / n, 6) - mean_score) *
         |    n / n_all, 6) AS ece_part
         |FROM b CROSS JOIN n
-        |ORDER BY bin""".stripMargin
+        |ORDER BY bin""".stripMargin,
+
+    "q189_ndcg" ->
+      s"""WITH ${Similarity.duckPrep},
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |), pool AS (
+         |  SELECT qid, cid, rnk FROM (
+         |    SELECT qid, cid, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 10
+         |), rel AS (
+         |  SELECT p.qid, p.rnk,
+         |    CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+         |  FROM pool p
+         |  JOIN embeddings lq ON lq.vec_id = p.qid
+         |  JOIN embeddings lc ON lc.vec_id = p.cid
+         |), ideal AS (
+         |  SELECT qid, rnk, rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, rnk) AS irank
+         |  FROM rel
+         |), agg AS (
+         |  SELECT qid, sum(rel) AS n_rel,
+         |    sum(CASE WHEN rnk <= 10
+         |      THEN CAST(rel / log2(rnk + 1) AS DECIMAL(28,12)) END) AS dcg_d,
+         |    sum(CASE WHEN irank <= 10
+         |      THEN CAST(rel / log2(irank + 1) AS DECIMAL(28,12)) END) AS idcg_d
+         |  FROM ideal GROUP BY qid
+         |)
+         |SELECT qid, CAST(n_rel AS BIGINT) AS n_rel,
+         |  round(CAST(coalesce(dcg_d, 0) AS DOUBLE), 6) AS dcg,
+         |  round(CAST(coalesce(idcg_d, 0) AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN coalesce(idcg_d, 0) = 0 THEN 0.0
+         |    ELSE round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM agg
+         |ORDER BY qid""".stripMargin,
+
+    "q190_cohens_kappa" ->
+      s"""WITH lab AS ($scoredSql
+         |), ab AS (
+         |  SELECT label AS a,
+         |    CASE WHEN score >= 0.35 THEN 1 ELSE 0 END AS b
+         |  FROM lab
+         |), cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM ab
+         |), pop AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+         |    round(CAST((n11 + n10) * (n11 + n01) +
+         |               (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n), 6) AS pe
+         |  FROM cells
+         |)
+         |SELECT n, n11, n10, n01, n00, po, pe,
+         |  round((po - pe) / (1.0 - pe), 6) AS kappa
+         |FROM pop""".stripMargin,
+
+    "q191_spearman" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS xv, score AS yv
+         |  FROM (SELECT d.doc_id, d.n_chars, s.score
+         |        FROM documents d JOIN ($scoredSql) s ON d.doc_id = s.doc_id)
+         |), rxg AS (
+         |  SELECT xv, count(*) AS n_v,
+         |    coalesce(sum(count(*)) OVER (ORDER BY xv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM lab GROUP BY xv
+         |), ryg AS (
+         |  SELECT yv, count(*) AS n_v,
+         |    coalesce(sum(count(*)) OVER (ORDER BY yv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM lab GROUP BY yv
+         |), j AS (
+         |  SELECT l.doc_id,
+         |    rx.below + (rx.n_v + 1) / 2.0 AS rx,
+         |    ry.below + (ry.n_v + 1) / 2.0 AS ry
+         |  FROM lab l JOIN rxg rx ON l.xv = rx.xv JOIN ryg ry ON l.yv = ry.yv
+         |), m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(rx AS DECIMAL(38,6))) AS sx,
+         |    sum(CAST(ry AS DECIMAL(38,6))) AS sy,
+         |    sum(CAST(rx * ry AS DECIMAL(38,6))) AS sxy,
+         |    sum(CAST(rx * rx AS DECIMAL(38,6))) AS sxx,
+         |    sum(CAST(ry * ry AS DECIMAL(38,6))) AS syy
+         |  FROM j
+         |)
+         |SELECT n,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         |FROM m""".stripMargin
   )
 }

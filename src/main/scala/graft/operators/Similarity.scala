@@ -849,7 +849,7 @@ object Similarity {
         .orderBy(col("rank")))
   )
 
-  private val duckPrep =
+  private[operators] val duckPrep =
     """v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -433,7 +433,78 @@ object TextAnalysis {
       .withColumn("n_extracted", length(col("extracted")).cast("long"))
   }
 
+  // Flesch readability — the classic surface-form quality signal (and a
+  // common pretraining-filter feature): reading ease and grade level
+  // from words / sentences / syllables. Syllables use the standard
+  // vowel-run heuristic (maximal [aeiouy]+ runs in the lowercased
+  // text), sentences the [.!?]+ run count, both clamped to >= 1 so the
+  // ratios are total. One row-local codegen pass; the whole expression
+  // tree is identical in both engines (only the match-count spelling
+  // differs per dialect).
+  private def readabilitySql(cnt: String => String) = {
+    val w = "CAST(len_ws AS DOUBLE)"
+    val s = "CAST(greatest(1, n_sent) AS DOUBLE)"
+    val y = "CAST(greatest(1, n_syl) AS DOUBLE)"
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    ${cnt("' '")} AS len_ws_raw,
+       |    ${cnt("'[.!?]+'")} AS n_sent,
+       |    ${cnt("'[aeiouy]+'").replace("(text", "(lower(text)")} AS n_syl
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, len_ws_raw + 1 AS len_ws, n_sent, n_syl FROM c
+       |)
+       |SELECT doc_id,
+       |  CAST(len_ws AS BIGINT) AS n_words,
+       |  CAST(greatest(1, n_sent) AS BIGINT) AS n_sentences,
+       |  CAST(greatest(1, n_syl) AS BIGINT) AS n_syllables,
+       |  round(206.835 - 1.015 * ($w / $s) - 84.6 * ($y / $w), 4) AS flesch_ease,
+       |  round(0.39 * ($w / $s) + 11.8 * ($y / $w) - 15.59, 4) AS fk_grade
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+  // words = separator count + 1 (split-size semantics without length());
+  // each dialect spells "count regex matches" differently
+  private val q192Spark =
+    readabilitySql(p => s"size(regexp_extract_all(text, $p, 0))")
+  private val q192Duck =
+    readabilitySql(p => s"len(regexp_extract_all(text, $p))")
+
+  // Tokenizer fitness per (source, lang): document counts, whitespace
+  // vs BPE-ish token totals, chars-per-token (compression) and
+  // fertility (BPE tokens per word) — the table a mixture planner reads
+  // before fixing sampling weights (a language whose fertility is 2×
+  // pays 2× the context budget per word). Integer token sums are exact
+  // in DOUBLE far beyond any corpus size; one aggregation, map-side
+  // combinable.
+  private def tokenStatsSql(lenF: String, extractAll: String => String) =
+    s"""WITH t AS (
+       |  SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars_t,
+       |    CAST($lenF(string_split_local(text)) AS BIGINT) AS ws_tokens,
+       |    CAST($lenF(${extractAll(tokPat)}) AS BIGINT) AS bpe_tokens
+       |  FROM documents
+       |)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(n_chars_t) AS DOUBLE) / sum(bpe_tokens), 4)
+       |    AS chars_per_token,
+       |  round(CAST(sum(bpe_tokens) AS DOUBLE) / sum(ws_tokens), 4)
+       |    AS fertility
+       |FROM t
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+  private val q193Spark = tokenStatsSql("size",
+    p => s"regexp_extract_all(text, $p, 0)")
+    .replace("string_split_local(text)", "split(text, ' ')")
+  private val q193Duck = tokenStatsSql("len",
+    p => s"regexp_extract_all(text, $p)")
+    .replace("string_split_local(text)", "string_split(text, ' ')")
+
   val queries: Map[String, QueryFn] = Map(
+    "q192_readability" -> Q.fromSql(q192Spark),
+    "q193_token_stats" -> Q.fromSql(q193Spark),
+
     "q132_html_extract" -> ((s, dir) => {
       // the corpus is plain text, so the query PLANTS the markup (the
       // q72/q95/q124 pattern): head boilerplate, nav/footer zones, an
@@ -617,6 +688,8 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q192_readability" -> q192Duck,
+    "q193_token_stats" -> q193Duck,
     "q132_html_extract" -> q132Oracle,
     "q118_linear_probe" ->
       """WITH feats AS (

@@ -155,7 +155,11 @@ class PlanSpec extends AnyFunSuite {
       "q179_ks_test", "q181_benford", "q183_temperature_mix",
       // q184 broadcasts the <=k selected vectors per greedy round (the
       // q173 shape); q185 attaches the 1-row child-count aggregate
-      "q184_kcenter", "q185_orphan_audit")
+      "q184_kcenter", "q185_orphan_audit",
+      // q187 rebuilds the full contingency grid from the two tiny margin
+      // tables (|sources|×|langs| rows) plus the 1-row total; q189 rides
+      // the q60 broadcast-anchor kNN scan
+      "q187_chi2_independence", "q189_ndcg")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
