@@ -200,6 +200,41 @@ object Corpus {
         col("n_common"), col("aa_score"))
   }
 
+  /** Bounded k-core peeling over the pair graph: `rounds` synchronous
+    * iterations each drop every vertex whose CURRENT degree is below k,
+    * then the edges touching it. The survivors after the last round are
+    * the k-core once a round removes nothing; fixed rounds — not a
+    * fixpoint loop — so the distributed plan and the unrolled SQL
+    * oracle compute the IDENTICAL object by construction (the q99
+    * unrolled-iteration discipline). In the dedup pipeline the dense
+    * core is template/boilerplate spam: vertices surviving k=2+ peels
+    * sit in near-dup blocks no pairwise threshold explains away.
+    *
+    * Scale: each round is one symmetric degree aggregation plus two
+    * semi-joins on vertex id — all equi-shuffles keyed by vertex;
+    * per-round localCheckpoint truncates the lineage exactly like the
+    * q99 power iterations (without it round r replans rounds 1..r-1).
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got $k/$rounds")
+    var e = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .select(col("v").as("doc_id"), col("degree"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, driverThreshold: Long = 100000): DataFrame = {
     // clamp BELOW Int.MaxValue: limit() takes an Int, and a larger
@@ -1592,6 +1627,17 @@ object Corpus {
         "doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // dense-core extraction over the q178 permissive graph (8 bands of
+    // 1 — the recall graph has enough wedges for a 2-core to exist);
+    // 3 peel rounds converge on this corpus and the oracle unrolls the
+    // same 3, so the object is identical even pre-convergence
+    "q196_kcore" -> ((s, dir) =>
+      kCore(
+        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 1),
+        "doc_a", "doc_b", k = 2, rounds = 3)
+        .orderBy(col("doc_id"))),
+
     "q164_label_prop" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       val seeds = Tables.load(s, dir, "embeddings")
@@ -1950,7 +1996,31 @@ object Corpus {
 
   private val q51PairsCte = pairsCteBand("seed // 2")
 
+  // the q196 oracle unrolls the SAME bounded peel count as the Spark
+  // plan (the q99 unrolled-iteration discipline)
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}
+         |  ) GROUP BY v
+         |), k$r AS (SELECT v FROM d$r WHERE d >= $k),
+         |e$r AS (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pairsCteBand("seed")},
+       |e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |$peels
+       |SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds
+       |) GROUP BY v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q196_kcore" -> kCoreOracle(k = 2, rounds = 3),
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
 
     "q177_triangles" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -245,6 +245,81 @@ object Eval {
         6).as("rho"))
   }
 
+  /** Population Stability Index between a reference and a current slice
+    * of a score distribution — the standard production drift monitor
+    * (rule of thumb: < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted;
+    * PSI is symmetrized KL on binned marginals). Scores bucket into
+    * `nBins` equal-width bins over [0,1]; per bin the contribution
+    * (p_cur − p_ref)·ln(p_cur/p_ref), fractions floor-clamped at `eps`
+    * so a bin empty on one side stays finite. The complete bin list is
+    * rebuilt by a range cross (the q187 absent-cell rigor) — a bin both
+    * slices miss still reports. One grouped scan; everything after is
+    * nBins-row arithmetic.
+    */
+  def psi(scored: DataFrame, scoreCol: String, isRef: Column,
+      nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = scored.sparkSession
+    val counts = scored
+      .select(
+        least(floor(col(scoreCol) * nBins), lit(nBins - 1)).cast("int").as("bin"),
+        isRef.cast("int").as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1) - col("is_ref")).as("n_cur"))
+    val grid = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val p = grid.join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        greatest(coalesce(col("n_ref"), lit(0L)).cast("double") / col("tr"),
+          lit(eps)).as("p_ref"),
+        greatest(coalesce(col("n_cur"), lit(0L)).cast("double") / col("tc"),
+          lit(eps)).as("p_cur"))
+    p.select(col("bin"), col("n_ref"), col("n_cur"),
+      round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+      round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+        .as("psi_part"))
+  }
+
+  /** Deterministic subsample-bootstrap confidence interval on the mean
+    * of a score: `nReps` replicates each keep the rows whose
+    * content-derived uniform (md5 of rep:id) falls under `keepFrac`
+    * (the e⁻¹-complement ~0.632 mimics the expected distinct mass of a
+    * with-replacement resample); the CI is the [lo, hi] percentile of
+    * the replicate means. Deterministic so the mechanism is
+    * oracle-checkable — swap a real RNG per replicate for production.
+    *
+    * Scale: the corpus expands nReps× via one array explode but
+    * collapses immediately into nReps partial-aggregated means
+    * (map-side combine; DECIMAL sums for order independence); the
+    * percentile runs over the nReps-row replicate table. No shuffle of
+    * the raw corpus at any width.
+    */
+  def bootstrapCi(scored: DataFrame, idCol: String, scoreCol: String,
+      nReps: Int = 20, keepFrac: Double = 0.632,
+      lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
+    require(nReps > 1, s"nReps must be > 1, got $nReps")
+    val cut = math.floor(keepFrac * 4294967296.0).toLong
+    val reps = scored.select(col(idCol).cast("string").as("id"),
+        Q.d(col(scoreCol)).as("s"))
+      .withColumn("rep", explode(sequence(lit(0), lit(nReps - 1))))
+      .filter(Q.md5Bucket32(
+        concat(col("rep").cast("string"), lit(":"), col("id"))) < cut)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("mean_s"))
+    reps.agg(
+      count(lit(1)).as("n_reps"),
+      // decimal-summed mean of the replicate means: order-independent
+      round(sum(Q.d(col("mean_s"))).cast("double") / count(lit(1)), 6)
+        .as("boot_mean"),
+      round(expr(s"percentile(mean_s, $lo)"), 6).as("ci_lo"),
+      round(expr(s"percentile(mean_s, $hi)"), 6).as("ci_hi"))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
     "q169_roc_auc" -> ((s, dir) =>
       rocAuc(scoredDocs(s, dir), "score", "label")),
@@ -279,7 +354,17 @@ object Eval {
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
             q55Score(col("text")).as("score")),
-        "n_chars", "score", "doc_id"))
+        "n_chars", "score", "doc_id")),
+
+    // drift monitor: "last snapshot" = doc_id < 250 as the reference
+    // slice, the rest as current — the planted split both engines carve
+    // identically
+    "q195_psi" -> ((s, dir) =>
+      psi(scoredDocs(s, dir), "score", col("doc_id") < 250, nBins = 10)
+        .orderBy(col("bin"))),
+
+    "q200_bootstrap_ci" -> ((s, dir) =>
+      bootstrapCi(scoredDocs(s, dir), "doc_id", "score", nReps = 20))
   )
 
   def oracle: Map[String, String] = Map(
@@ -417,6 +502,52 @@ object Eval {
          |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+         |FROM m""".stripMargin,
+
+    "q195_psi" ->
+      s"""WITH lab AS ($scoredSql
+         |), b AS (
+         |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         |    sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS n_ref,
+         |    sum(CASE WHEN doc_id < 250 THEN 0 ELSE 1 END) AS n_cur
+         |  FROM lab GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+         |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM b
+         |), grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         |p AS (
+         |  SELECT g.bin,
+         |    CAST(coalesce(b.n_ref, 0) AS BIGINT) AS n_ref,
+         |    CAST(coalesce(b.n_cur, 0) AS BIGINT) AS n_cur,
+         |    greatest(coalesce(b.n_ref, 0) / tot.tr, 1e-6) AS p_ref,
+         |    greatest(coalesce(b.n_cur, 0) / tot.tc, 1e-6) AS p_cur
+         |  FROM grid g LEFT JOIN b ON g.bin = b.bin CROSS JOIN tot
+         |)
+         |SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+         |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_part
+         |FROM p
+         |ORDER BY bin""".stripMargin,
+
+    "q200_bootstrap_ci" ->
+      s"""WITH lab AS ($scoredSql
+         |), reps AS (
+         |  SELECT r.rep, l.doc_id, CAST(l.score AS DECIMAL(18,4)) AS s
+         |  FROM lab l
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS rep) r
+         |  WHERE CAST(CAST('0x' || substring(md5(
+         |    CAST(r.rep AS VARCHAR) || ':' || CAST(l.doc_id AS VARCHAR)),
+         |    1, 8) AS UBIGINT) AS BIGINT) < ${math.floor(0.632 * 4294967296.0).toLong}
+         |), m AS (
+         |  SELECT rep, count(*) AS n,
+         |    CAST(sum(s) AS DOUBLE) / count(*) AS mean_s
+         |  FROM reps GROUP BY rep
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |  round(CAST(sum(CAST(mean_s AS DECIMAL(18,4))) AS DOUBLE) /
+         |    count(*), 6) AS boot_mean,
+         |  round(quantile_cont(mean_s, 0.025), 6) AS ci_lo,
+         |  round(quantile_cont(mean_s, 0.975), 6) AS ci_hi
          |FROM m""".stripMargin
   )
 }

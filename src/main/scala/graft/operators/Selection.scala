@@ -400,6 +400,114 @@ object Selection {
       .toDF("doc_id", "n_tokens", "bucket", "batch_idx", "pos_in_batch")
   }
 
+  /** Source-fair interleaved reading order: each document gets a
+    * position within its source (a deterministic content-hash shuffle,
+    * so the within-source order is itself scrambled) and a global key
+    * `pos_in_source * nSources + source_idx` — walking the key order
+    * cycles round-robin through sources, so no training window is
+    * dominated by one source even when one source is 100× another.
+    * This is the within-epoch complement of mixture WEIGHTING (q183
+    * fixes how much of each source; this fixes where it lands).
+    *
+    * Scale: per-source positions use the [[lengthBatches]] per-bucket
+    * two-pass prefix rank (range partition by (source, hash) →
+    * per-partition counts to the driver → broadcast bases) — no
+    * per-source sort window, so a source holding half the corpus never
+    * funnels through one partition. The source index and count come
+    * from the few-distinct-source aggregate, broadcast back.
+    */
+  def sourceInterleave(docs: DataFrame, idCol: String,
+      srcCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("source"),
+        substring(md5(concat(lit("il:"), col(idCol).cast("string"))), 1, 8)
+          .as("skey"))
+      .repartitionByRange(col("source"), col("skey"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("skey"), col("doc_id"))
+    val rdd = keyed.rdd.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+        it.foreach { case (_, s, _) => m(s) = m.getOrElse(s, 0L) + 1 }
+        m.iterator.map { case (s, n) => (i, s, n) }.toList.iterator
+      }.collect()
+    val bases: Map[(Int, String), Long] = {
+      val bySrc = counts.groupBy(_._2)
+      bySrc.flatMap { case (s, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val offsets = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._1).zip(offsets).map { case (p, off) => (p, s) -> off }
+      }
+    }
+    val bc = spark.sparkContext.broadcast(bases)
+    val pos = spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { case (i, it) =>
+        val local = scala.collection.mutable.Map[String, Long]()
+        it.map { case (id, s, _) =>
+          val p = bc.value((i, s)) + local.getOrElse(s, 0L)
+          local(s) = local.getOrElse(s, 0L) + 1
+          (id, s, p)
+        }
+      }).toDF("doc_id", "source", "pos_in_source")
+    // the distinct-source table is k rows (k = |sources|, not corpus
+    // rows): a window over it and a 1-row count broadcast are free
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+    val idx = pos.select(col("source")).distinct()
+      .withColumn("source_idx", row_number().over(w).cast("long") - 1)
+    val n = idx.agg(count(lit(1)).as("ns"))
+    pos.join(broadcast(idx), "source").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"), col("pos_in_source"),
+        col("source_idx"),
+        (col("pos_in_source") * col("ns") + col("source_idx"))
+          .as("interleave_key"))
+  }
+
+  /** Water-filling token allocation: split a total budget across
+    * sources so each source keeps min(its tokens, level) at one common
+    * level — the max-min fair allocation (small sources keep
+    * everything; big sources are capped equally), the principled
+    * answer to "English is 60% of the crawl but must not be 60% of the
+    * training mix". Budget here = `budgetFrac` of the corpus total, so
+    * the same query is meaningful at every scale factor.
+    *
+    * Solve: with per-source totals sorted ascending and exclusive
+    * cumulative sums, the level for the segment where source i is the
+    * first uncapped one is (B − cum_{i-1})/(k−i+1); the unique valid
+    * candidate is the smallest one that does not exceed its own
+    * source's total (f(L)=Σmin(c,L) is increasing). If B covers the
+    * whole corpus every source keeps everything. The solve is window
+    * arithmetic over the k-row per-source table (k = |sources|) — the
+    * corpus itself is touched by exactly one aggregation.
+    */
+  def waterFill(docs: DataFrame, srcCol: String, tokens: Column,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0, s"budgetFrac must be positive, got $budgetFrac")
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(tokens.cast("long")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c"), col("source"))
+    val annotated = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("c")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val tot = per.agg(sum(col("c")).as("t"), count(lit(1)).as("k"),
+      max(col("c")).as("cmax"))
+    val cand = annotated.crossJoin(broadcast(tot))
+      .withColumn("budget", col("t") * budgetFrac)
+      .withColumn("cand",
+        (col("budget") - col("cum_prev")) / (col("k") - col("i") + 1))
+    val level = cand.filter(col("cand") <= col("c").cast("double"))
+      .agg(min(col("cand")).as("level"))
+    // empty candidate set = the budget covers the whole corpus: the
+    // effective level is the largest source total (nothing is capped)
+    cand.crossJoin(broadcast(level))
+      .withColumn("lvl", coalesce(col("level"), col("cmax").cast("double")))
+      .select(col("source"), col("c").as("tokens"),
+        round(col("budget"), 4).as("budget"),
+        round(col("lvl"), 4).as("level"),
+        round(least(col("c").cast("double"), col("lvl")), 4).as("alloc"))
+  }
+
   /** 2-D Pareto front (skyline): items no other item dominates, where
     * domination means >= on both axes and > on at least one. The classic
     * corpus use: the quality/length efficient frontier — every document
@@ -573,6 +681,17 @@ object Selection {
         col("n_chars").cast("double"))
         .orderBy(col("doc_id"))),
 
+    "q197_interleave" -> ((s, dir) =>
+      sourceInterleave(Tables.load(s, dir, "documents"), "doc_id", "source")
+        .orderBy(col("doc_id"))),
+
+    // budget = 50% of the corpus token mass: big sources get capped at
+    // the common level, small sources keep everything — at any sf
+    "q198_waterfill" -> ((s, dir) =>
+      waterFill(Tables.load(s, dir, "documents"), "source",
+        size(split(col("text"), " ")), budgetFrac = 0.5)
+        .orderBy(col("source"))),
+
     "q165_quantile_norm" -> ((s, dir) =>
       quantileNormalize(Tables.load(s, dir, "documents"), "doc_id",
         "source", col("n_chars").cast("double"))
@@ -600,6 +719,58 @@ object Selection {
   )
 
   val oracle: Map[String, String] = Map(
+    "q197_interleave" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    substring(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 8) AS skey
+        |  FROM documents
+        |), idx AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx
+        |  FROM (SELECT DISTINCT source FROM s)
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM idx),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) - 1
+        |      AS BIGINT) AS pos_in_source
+        |  FROM s
+        |)
+        |SELECT p.doc_id, p.source, p.pos_in_source, i.source_idx,
+        |  p.pos_in_source * n.ns + i.source_idx AS interleave_key
+        |FROM p JOIN idx i USING (source) CROSS JOIN n
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "q198_waterfill" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source
+        |), ann AS (
+        |  SELECT source, c,
+        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY c, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_prev
+        |  FROM per
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(max(c) AS BIGINT) AS cmax
+        |  FROM per
+        |), cand AS (
+        |  SELECT a.source, a.c, CAST(tot.t AS DOUBLE) * 0.5 AS budget, tot.cmax,
+        |    (CAST(tot.t AS DOUBLE) * 0.5 - a.cum_prev) / (tot.k - a.i + 1) AS cand
+        |  FROM ann a CROSS JOIN tot
+        |), lvl AS (
+        |  SELECT min(cand) AS level FROM cand WHERE cand <= CAST(c AS DOUBLE)
+        |)
+        |SELECT source, c AS tokens,
+        |  round(budget, 4) AS budget,
+        |  round(coalesce(level, CAST(cmax AS DOUBLE)), 4) AS level,
+        |  round(least(CAST(c AS DOUBLE),
+        |    coalesce(level, CAST(cmax AS DOUBLE))), 4) AS alloc
+        |FROM cand CROSS JOIN lvl
+        |ORDER BY source""".stripMargin,
+
     "q171_pareto_front" ->
       s"""WITH lab AS (${Eval.scoredSql}
         |), t AS (

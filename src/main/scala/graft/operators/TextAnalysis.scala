@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Q.QueryFn
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: stopword-based language
@@ -501,9 +501,50 @@ object TextAnalysis {
     p => s"regexp_extract_all(text, $p)")
     .replace("string_split_local(text)", "string_split(text, ' ')")
 
+  /** Keyword-in-context (KWIC) concordance: every exact-token occurrence
+    * of a term with ±`window` words of context — the audit view a data
+    * curator pulls before deciding whether a blocklist/quality term
+    * actually means what the counts suggest. One split + posexplode +
+    * equality filter (the filter reaches the exploded stream before any
+    * shuffle; output is occurrences only, never the corpus) and a
+    * row-local slice/join for the context.
+    */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty && window >= 0, s"need terms and window >= 0")
+    val ws = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("p0", "w")))
+      .filter(col("w").isInCollection(terms))
+      .select(col("doc_id"), col("w").as("term"),
+        (col("p0") + 1).cast("long").as("idx"),
+        array_join(slice(col("ws"),
+          greatest(lit(1), col("p0") + 1 - window),
+          least(size(col("ws")), col("p0") + 1 + window) -
+            greatest(lit(1), col("p0") + 1 - window) + 1), " ").as("context"))
+  }
+
+  private val q199Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sel AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w
+      |)
+      |SELECT doc_id, ws[i] AS term, CAST(i AS BIGINT) AS idx,
+      |  array_to_string(ws[greatest(1, i - 3):least(len(ws), i + 3)], ' ')
+      |    AS context
+      |FROM sel
+      |WHERE ws[i] IN ('spark', 'window')
+      |ORDER BY doc_id, idx""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
     "q192_readability" -> Q.fromSql(q192Spark),
     "q193_token_stats" -> Q.fromSql(q193Spark),
+
+    "q199_kwic" -> ((s, dir) =>
+      kwic(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window"), window = 3)
+        .orderBy(col("doc_id"), col("idx"))),
 
     "q132_html_extract" -> ((s, dir) => {
       // the corpus is plain text, so the query PLANTS the markup (the
@@ -690,6 +731,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q192_readability" -> q192Duck,
     "q193_token_stats" -> q193Duck,
+    "q199_kwic" -> q199Oracle,
     "q132_html_extract" -> q132Oracle,
     "q118_linear_probe" ->
       """WITH feats AS (

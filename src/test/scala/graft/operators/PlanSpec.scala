@@ -158,8 +158,12 @@ class PlanSpec extends AnyFunSuite {
       "q184_kcenter", "q185_orphan_audit",
       // q187 rebuilds the full contingency grid from the two tiny margin
       // tables (|sources|×|langs| rows) plus the 1-row total; q189 rides
-      // the q60 broadcast-anchor kNN scan
-      "q187_chi2_independence", "q189_ndcg")
+      // the q60 broadcast-anchor kNN scan; q195 attaches the 1-row
+      // slice-total aggregate to the nBins-row grid (the q170 shape)
+      "q187_chi2_independence", "q189_ndcg", "q195_psi",
+      // q197 attaches the 1-row source-count; q198 attaches the 1-row
+      // totals and the 1-row water-fill level to the k-row source table
+      "q197_interleave", "q198_waterfill")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
