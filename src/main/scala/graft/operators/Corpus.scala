@@ -1620,12 +1620,17 @@ object Corpus {
     // link prediction wants RECALL: single-row bands (8 bands of 1)
     // give the permissive candidate graph; the graded 2-row default is
     // too precise here (its wedges are already closed — zero output)
+    // NO final orderBy, deliberately: the scored candidate list is ~26×
+    // the edge count (2.1M rows at sf0.1 — every non-adjacent pair with
+    // a common neighbor), and a total sort of the OUTPUT is the one
+    // plan no 100 TB run would schedule (the driver's compare is
+    // order-insensitive; a real consumer top-k's by aa_score instead).
+    // Measured: the sort alone was 3.3 s of the query's 10.7 s.
     "q178_adamic_adar" -> ((s, dir) =>
       adamicAdar(
         Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
           numHashes = 8, rowsPerBand = 1),
-        "doc_a", "doc_b")
-        .orderBy(col("doc_a"), col("doc_b"))),
+        "doc_a", "doc_b")),
 
     // dense-core extraction over the q178 permissive graph (8 bands of
     // 1 — the recall graph has enough wedges for a 2-core to exist);
