@@ -315,9 +315,12 @@ object Similarity {
     * of one scan each is the honest cost of the greedy; the cache is
     * explicitly unpersisted on exit.
     *
-    * Greedy argmax over float scores is not SQL-expressible for the
-    * driver's oracle → rows-only there; the brute-force parity spec
-    * in OperatorsSpec pins the semantics instead.
+    * Graded against an UNROLLED k-round argmax oracle (each round a
+    * MATERIALIZED CTE picking `ORDER BY score DESC, cid LIMIT 1`
+    * against the union of earlier rounds) — safe because every score
+    * is the same IEEE expression tree in the same element order in
+    * both engines (the q60 property). The brute-force parity spec in
+    * OperatorsSpec additionally pins the semantics.
     */
   def mmrSelect(emb: DataFrame, queryId: Long, k: Int,
       lambda: Double): DataFrame = {
@@ -384,8 +387,9 @@ object Similarity {
     * Same k-round distributed shape as MMR (cached candidates, ≤k
     * selected vectors broadcast per round, TakeOrdered(1) argmax,
     * explicit unpersist); seeded deterministically at the smallest
-    * vec_id so the whole trajectory is reproducible. Greedy argmax ⇒
-    * rows-only for the driver; brute-force parity spec pins it.
+    * vec_id so the whole trajectory is reproducible. Graded against
+    * the same unrolled-argmax oracle shape as [[mmrSelect]]; the
+    * brute-force parity spec additionally pins it.
     */
   def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -843,7 +847,6 @@ object Similarity {
         lambda = 0.7)
         .orderBy(col("rank"))),
 
-    // same greedy-argmax caveat as q173 -> rows-only + parity spec
     "q184_kcenter" -> ((s, dir) =>
       kCenterSelect(Tables.load(s, dir, "embeddings"), k = 10)
         .orderBy(col("rank")))
@@ -856,7 +859,85 @@ object Similarity {
       |  FROM embeddings
       |)""".stripMargin
 
+  // The greedy-selection oracles UNROLL the k argmax rounds (the q196/
+  // q99 bounded-iteration discipline): round i's CTE picks the best
+  // candidate against the union of rounds 1..i-1 with ORDER BY ..., cid
+  // LIMIT 1. The selection compares RAW doubles exactly as the Spark
+  // rounds do — safe because every score is the same IEEE expression
+  // tree both engines evaluate in the same element order (the q60
+  // property), and exact ties (duplicate vectors) fall to the cid
+  // tiebreak identically. Float literals are interpolated from the
+  // SAME Scala arithmetic the operator uses (1-λ is NOT 0.3 in IEEE).
+  private def mmrOracle(queryId: Long, k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1 - lambda).toString
+    val rounds = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT cid FROM sel$j").mkString(" UNION ALL ")
+      s"""p$i AS (
+         |  SELECT r.cid, r.rel,
+         |    max(list_dot_product(r.cv, s.cv) / (r.cn * s.cn)) AS msim
+         |  FROM rel r CROSS JOIN rel s
+         |  WHERE s.cid IN ($prev) AND r.cid NOT IN ($prev)
+         |  GROUP BY r.cid, r.rel
+         |), sel$i AS MATERIALIZED (
+         |  SELECT $i AS rank, cid, rel, rel * $lam - msim * $oneMinus AS mmr
+         |  FROM p$i ORDER BY rel * $lam - msim * $oneMinus DESC, cid LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to k).map(j => s"SELECT rank, cid, rel, mmr FROM sel$j")
+      .mkString(" UNION ALL ")
+    s"""WITH $duckPrep,
+       |base AS MATERIALIZED (SELECT vec_id AS cid, vd AS cv, nrm AS cn FROM v WHERE nrm > 0),
+       |rel AS MATERIALIZED (
+       |  SELECT b.cid, b.cv, b.cn,
+       |    list_dot_product(b.cv, q.cv) / (q.cn * b.cn) AS rel
+       |  FROM base b CROSS JOIN
+       |    (SELECT cv, cn FROM base WHERE cid = $queryId) q
+       |  WHERE b.cid <> $queryId
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT 1 AS rank, cid, rel, rel * $lam AS mmr
+       |  FROM rel ORDER BY rel * $lam DESC, cid LIMIT 1
+       |),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, CAST(cid AS BIGINT) AS vec_id,
+       |  round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       |FROM ($un)
+       |ORDER BY rank""".stripMargin
+  }
+
+  private def kCenterOracle(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT cid FROM sel$j").mkString(" UNION ALL ")
+      s"""p$i AS (
+         |  SELECT b.cid,
+         |    1.0 - max(list_dot_product(b.cv, s.cv) / (b.cn * s.cn)) AS dist
+         |  FROM base b CROSS JOIN base s
+         |  WHERE s.cid IN ($prev) AND b.cid NOT IN ($prev)
+         |  GROUP BY b.cid
+         |), sel$i AS MATERIALIZED (
+         |  SELECT $i AS rank, cid, dist FROM p$i ORDER BY dist DESC, cid LIMIT 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to k).map(j => s"SELECT rank, cid, dist FROM sel$j")
+      .mkString(" UNION ALL ")
+    s"""WITH $duckPrep,
+       |base AS MATERIALIZED (SELECT vec_id AS cid, vd AS cv, nrm AS cn FROM v WHERE nrm > 0),
+       |sel1 AS MATERIALIZED (
+       |  SELECT 1 AS rank, min(cid) AS cid, CAST(NULL AS DOUBLE) AS dist
+       |  FROM base
+       |),
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, CAST(cid AS BIGINT) AS vec_id,
+       |  round(dist, 6) AS dist_to_set
+       |FROM ($un)
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q173_mmr_select" -> mmrOracle(queryId = 0L, k = 10, lambda = 0.7),
+    "q184_kcenter" -> kCenterOracle(k = 10),
+
     // q62's md5-derived hyperplane banding over the POOLED doc vectors
     "q154_pooled_neardup" -> {
       def bit(k: Int): String =
