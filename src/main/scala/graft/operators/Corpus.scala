@@ -1578,6 +1578,148 @@ object Corpus {
         round(col("gap").cast("double") / (col("na") * col("nb")), 6).as("ks_d"))
   }
 
+  /** Tie-corrected Mann-Whitney U between every pair of groups on a
+    * numeric column — the LOCATION-shift test next to [[ksAllPairs]]'s
+    * shape test (KS asks "are the distributions different anywhere";
+    * U asks "is one stochastically larger", which is what a "did this
+    * source get longer/worse" monitoring question actually means).
+    *
+    * Exact-integer form (the q169 discipline): over the pooled distinct
+    * values with per-side counts ca, cb and the EXCLUSIVE b-side prefix
+    * cum_b, twice the U statistic is Σ ca·(2·cum_b + cb) — every term a
+    * BIGINT. The tie term Σ(t³−t) rides the same rows. The single
+    * float step is the final z = (2U − na·nb) / (2σ) with the standard
+    * tie-corrected σ² = na·nb/12·((n+1) − T/(n(n−1))); all-tied
+    * degenerate pairs (σ = 0) report NULL z rather than ±∞.
+    *
+    * Same scale shape as [[ksAllPairs]]: one (group, value) aggregation,
+    * pair keys distribute, per-pair windows over the pair's distinct
+    * values.
+    */
+  def mannWhitneyAllPairs(items: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val gv = items
+      .select(col(groupCol).as("g"), valueCol.cast("double").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val ns = gv.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = ns.select(col("g").as("ga"), col("n").as("na"))
+      .crossJoin(ns.select(col("g").as("gb"), col("n").as("nb")))
+      .filter(col("ga") < col("gb"))
+    val tagged = pairs
+      .join(gv.select(col("g").as("ga"), col("v"), col("c").as("ca_d")),
+        Seq("ga"), "inner")
+      .join(gv.select(col("g").as("gb"), col("v").as("v"), col("c").as("cb_d")),
+        Seq("gb", "v"), "left")
+      .select(col("ga"), col("gb"), col("na"), col("nb"), col("v"),
+        col("ca_d"), coalesce(col("cb_d"), lit(0L)).as("cb_d"))
+      .union(
+        pairs
+          .join(gv.select(col("g").as("gb"), col("v"), col("c").as("cb_d")),
+            Seq("gb"), "inner")
+          .join(gv.select(col("g").as("ga"), col("v").as("v"), col("c").as("ca_d")),
+            Seq("ga", "v"), "left_anti")
+          .select(col("ga"), col("gb"), col("na"), col("nb"), col("v"),
+            lit(0L).as("ca_d"), col("cb_d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ga"), col("gb")).orderBy(col("v"))
+      .rowsBetween(Long.MinValue, 0)
+    val agg = tagged
+      .withColumn("cum_b", sum(col("cb_d")).over(w) - col("cb_d"))
+      .withColumn("u2_part",
+        col("ca_d") * (lit(2L) * col("cum_b") + col("cb_d")))
+      .withColumn("t",
+        (col("ca_d") + col("cb_d")) * (col("ca_d") + col("cb_d")) *
+          (col("ca_d") + col("cb_d")) - (col("ca_d") + col("cb_d")))
+      .groupBy(col("ga"), col("gb"), col("na"), col("nb"))
+      .agg(sum(col("u2_part")).as("u2"), sum(col("t")).as("tsum"))
+    val nAll = (col("na") + col("nb")).cast("double")
+    val sig2 = col("na").cast("double") * col("nb") / lit(12.0) *
+      ((nAll + 1) - col("tsum").cast("double") / (nAll * (nAll - 1)))
+    agg.select(col("ga").as("group_a"), col("gb").as("group_b"),
+      col("na").as("n_a"), col("nb").as("n_b"), col("u2"),
+      when(sig2 > 0,
+        round((col("u2") - col("na") * col("nb")).cast("double") /
+          (lit(2.0) * sqrt(sig2)), 6)).as("z"))
+  }
+
+  /** Zipf-law fit of the word-frequency distribution: OLS slope of
+    * ln(freq) on ln(rank) over the tie-collapsed frequency plot (one
+    * point per DISTINCT count; rank = number of words with a strictly
+    * higher count, +1 — the standard way ties are drawn on a Zipf
+    * plot). A healthy natural-language corpus sits near slope −1;
+    * boilerplate/template corpora flatten, id-heavy ones steepen.
+    *
+    * Shape: one word-count aggregation (corpus-scale, map-side
+    * combinable) collapses to one row per DISTINCT count — a table
+    * bounded by the largest word frequency's support (hundreds), so
+    * the rank window and the closed-form OLS over it are free. Log
+    * products are summed in DECIMAL for order independence.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val byCount = wc.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc).rowsBetween(Long.MinValue, -1)
+    val pts = byCount
+      .withColumn("rank", coalesce(sum(col("m")).over(w), lit(0L)) + 1)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    m.select(col("n").as("n_points"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("zipf_slope"),
+      round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .cast("double") / col("n"), 6).as("intercept"),
+      round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+         (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("r2"))
+  }
+
+  /** Bigram conditional entropy H(W₂|W₁) (and the unigram entropy it is
+    * bounded by) — the sequence-predictability diagnostic: natural prose
+    * sits well below H(W); template/boilerplate text collapses toward 0
+    * (the next word is determined); shuffled or id-like text pushes the
+    * ratio toward 1. H(W₂|W₁) = −Σ p(w₁w₂)·ln(c₁₂/c₁) over observed
+    * bigrams. Two linear aggregations (bigrams, unigrams) + one join of
+    * bigram rows to their left-word count; per-term DECIMAL sums.
+    */
+  def bigramEntropy(docs: DataFrame, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val ws = docs.select(split(col(textCol), " ").as("ws"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val nTot = bi.agg(sum(col("c12")).as("nb"))
+    val joined = bi.join(uni, "w1").crossJoin(broadcast(nTot))
+    val h = joined.agg(
+      max(col("nb")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      sum((col("c12").cast("double") / col("nb") *
+        log(col("c12").cast("double") / col("c1"))).cast(dec)).as("hc"),
+      // unigram entropy of the LEFT-word marginal on the same support
+      sum((col("c12").cast("double") / col("nb") *
+        log(col("c1").cast("double") / col("nb"))).cast(dec)).as("hu"))
+    h.select(col("n_bigrams"), col("n_distinct_bigrams"),
+      round(-col("hc").cast("double"), 6).as("cond_entropy"),
+      round(-col("hu").cast("double"), 6).as("unigram_entropy"),
+      round(col("hc").cast("double") / col("hu").cast("double"), 6)
+        .as("entropy_ratio"))
+  }
+
   def jsDivergence(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
@@ -1926,6 +2068,20 @@ object Corpus {
     "q179_ks_test" -> ((s, dir) =>
       ksAllPairs(Tables.load(s, dir, "documents"), "source", col("n_chars"))
         .orderBy(col("group_a"), col("group_b"))),
+
+    "q201_zipf_fit" -> ((s, dir) =>
+      zipfFit(Tables.load(s, dir, "documents"), "text")),
+
+    // lang (4 groups, 6 pairs) rather than q179's source grouping: the
+    // location question "is one language's doc length stochastically
+    // larger" is the natural monitoring pair for KS's shape question
+    "q202_mann_whitney" -> ((s, dir) =>
+      mannWhitneyAllPairs(Tables.load(s, dir, "documents"), "lang",
+        col("n_chars"))
+        .orderBy(col("group_a"), col("group_b"))),
+
+    "q203_bigram_entropy" -> ((s, dir) =>
+      bigramEntropy(Tables.load(s, dir, "documents"), "text")),
 
     "q147_js_divergence" -> ((s, dir) =>
       jsDivergence(Tables.load(s, dir, "documents"), "text", "source")
@@ -2907,6 +3063,113 @@ object Corpus {
         |  round(CAST(max(gap) AS DOUBLE) / (na * nb), 6) AS ks_d
         |FROM cum GROUP BY ga, gb, na, nb
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q201_zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w
+        |), bc AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS m FROM wc GROUP BY c
+        |), pts AS (
+        |  SELECT
+        |    ln(CAST(coalesce(sum(m) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM bc
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM pts
+        |)
+        |SELECT n AS n_points,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * sxx - sx * sx AS DOUBLE))) / n, 6) AS intercept,
+        |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |     CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m""".stripMargin,
+
+    "q202_mann_whitney" ->
+      """WITH gv AS (
+        |  SELECT lang AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT g, sum(c) AS n FROM gv GROUP BY g
+        |), prs AS (
+        |  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+        |  FROM ns a JOIN ns b ON a.g < b.g
+        |), sup AS (
+        |  SELECT p.ga, p.gb, p.na, p.nb, u.v
+        |  FROM prs p JOIN (SELECT DISTINCT g, v FROM gv) u
+        |    ON u.g = p.ga OR u.g = p.gb
+        |  GROUP BY p.ga, p.gb, p.na, p.nb, u.v
+        |), t AS (
+        |  SELECT s.ga, s.gb, s.na, s.nb, s.v,
+        |    coalesce(a.c, 0) AS ca_d, coalesce(b.c, 0) AS cb_d
+        |  FROM sup s
+        |  LEFT JOIN gv a ON a.g = s.ga AND a.v = s.v
+        |  LEFT JOIN gv b ON b.g = s.gb AND b.v = s.v
+        |), cum AS (
+        |  SELECT ga, gb, na, nb,
+        |    ca_d * (2 * (sum(cb_d) OVER (PARTITION BY ga, gb ORDER BY v)
+        |      - cb_d) + cb_d) AS u2_part,
+        |    (ca_d + cb_d) * (ca_d + cb_d) * (ca_d + cb_d) -
+        |      (ca_d + cb_d) AS t3
+        |  FROM t
+        |), a AS (
+        |  SELECT ga, gb, na, nb, sum(u2_part) AS u2, sum(t3) AS tsum
+        |  FROM cum GROUP BY ga, gb, na, nb
+        |)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  CASE WHEN CAST(na AS DOUBLE) * nb / 12.0 *
+        |      ((CAST(na + nb AS DOUBLE) + 1) - CAST(tsum AS DOUBLE) /
+        |       (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1))) > 0
+        |    THEN round(CAST(u2 - na * nb AS DOUBLE) /
+        |      (2.0 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+        |        ((CAST(na + nb AS DOUBLE) + 1) - CAST(tsum AS DOUBLE) /
+        |         (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1))))), 6)
+        |  END AS z
+        |FROM a
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    "q203_bigram_entropy" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), bi AS (
+        |  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        |    FROM toks WHERE len(ws) >= 2) t
+        |  GROUP BY b.w1, b.w2
+        |), uni AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1
+        |), nt AS (
+        |  SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bi
+        |), h AS (
+        |  SELECT max(nb) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    sum(CAST(CAST(c12 AS DOUBLE) / nb *
+        |      ln(CAST(c12 AS DOUBLE) / c1) AS DECIMAL(38,18))) AS hc,
+        |    sum(CAST(CAST(c12 AS DOUBLE) / nb *
+        |      ln(CAST(c1 AS DOUBLE) / nb) AS DECIMAL(38,18))) AS hu
+        |  FROM bi JOIN uni USING (w1) CROSS JOIN nt
+        |)
+        |SELECT CAST(n_bigrams AS BIGINT) AS n_bigrams, n_distinct_bigrams,
+        |  round(-CAST(hc AS DOUBLE), 6) AS cond_entropy,
+        |  round(-CAST(hu AS DOUBLE), 6) AS unigram_entropy,
+        |  round(CAST(hc AS DOUBLE) / CAST(hu AS DOUBLE), 6) AS entropy_ratio
+        |FROM h""".stripMargin,
 
     "q147_js_divergence" ->
       """WITH sc AS (

@@ -508,6 +508,33 @@ object Selection {
         round(least(col("c").cast("double"), col("lvl")), 4).as("alloc"))
   }
 
+  /** Robust per-group outlier scoring: the modified z-score
+    * 0.6745·(x − median)/MAD (Iglewicz–Hoaglin) with the standard
+    * |z| > 3.5 flag — the outlier rule that survives the heavy-tailed
+    * length/score distributions a mean/stddev z collapses on (one
+    * pathological document drags a mean; it cannot drag a median).
+    * Two grouped ORDER-STATISTIC percentiles (median, then MAD over
+    * |x − med|), each a tiny per-group table broadcast back; MAD = 0
+    * groups (over half the group at one value) report NULL z rather
+    * than ±∞. Exact percentiles are the graded contract; swap
+    * approx_percentile at 100 TB (the q104 exact/approx trade).
+    */
+  def robustOutliers(items: DataFrame, idCol: String, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val v = items.select(col(idCol).as("id"), col(groupCol).as("g"),
+      valueCol.cast("double").as("value"))
+    val med = v.groupBy(col("g")).agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = v.join(broadcast(med), "g")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("g")).agg(expr("percentile(ad, 0.5)").as("mad"))
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    dev.join(broadcast(mad), "g")
+      .select(col("id"), col("g"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(col("mad") > 0, round(z, 6)).as("robust_z"),
+        when(col("mad") > 0, (abs(z) > 3.5).cast("int")).as("is_outlier"))
+  }
+
   /** 2-D Pareto front (skyline): items no other item dominates, where
     * domination means >= on both axes and > on at least one. The classic
     * corpus use: the quality/length efficient frontier — every document
@@ -685,6 +712,11 @@ object Selection {
       sourceInterleave(Tables.load(s, dir, "documents"), "doc_id", "source")
         .orderBy(col("doc_id"))),
 
+    "q204_robust_outliers" -> ((s, dir) =>
+      robustOutliers(Tables.load(s, dir, "documents"), "doc_id", "source",
+        col("n_chars"))
+        .orderBy(col("id"))),
+
     // budget = 50% of the corpus token mass: big sources get capped at
     // the common level, small sources keep everything — at any sf
     "q198_waterfill" -> ((s, dir) =>
@@ -719,6 +751,29 @@ object Selection {
   )
 
   val oracle: Map[String, String] = Map(
+    "q204_robust_outliers" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, source AS g, CAST(n_chars AS DOUBLE) AS value
+        |  FROM documents
+        |), med AS (
+        |  SELECT g, quantile_cont(value, 0.5) AS med FROM v GROUP BY g
+        |), dev AS (
+        |  SELECT v.id, v.g, v.value, med.med,
+        |    abs(v.value - med.med) AS ad
+        |  FROM v JOIN med USING (g)
+        |), mad AS (
+        |  SELECT g, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY g
+        |)
+        |SELECT d.id, d.g, d.value,
+        |  round(d.med, 6) AS med, round(m.mad, 6) AS mad,
+        |  CASE WHEN m.mad > 0
+        |    THEN round(0.6745 * (d.value - d.med) / m.mad, 6) END AS robust_z,
+        |  CASE WHEN m.mad > 0
+        |    THEN CAST(abs(0.6745 * (d.value - d.med) / m.mad) > 3.5 AS INT)
+        |  END AS is_outlier
+        |FROM dev d JOIN mad m USING (g)
+        |ORDER BY d.id""".stripMargin,
+
     "q197_interleave" ->
       """WITH s AS (
         |  SELECT doc_id, source,

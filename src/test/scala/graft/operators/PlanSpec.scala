@@ -163,7 +163,10 @@ class PlanSpec extends AnyFunSuite {
       "q187_chi2_independence", "q189_ndcg", "q195_psi",
       // q197 attaches the 1-row source-count; q198 attaches the 1-row
       // totals and the 1-row water-fill level to the k-row source table
-      "q197_interleave", "q198_waterfill")
+      "q197_interleave", "q198_waterfill",
+      // q202 pairs the per-group count table with itself (the q179
+      // shape); q203 attaches the 1-row bigram total
+      "q202_mann_whitney", "q203_bigram_entropy")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
