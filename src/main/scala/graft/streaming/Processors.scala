@@ -133,6 +133,75 @@ object Processors {
     }
   }
 
+  /** Schema-drift guard for the per-batch inference flow: the reference
+    * infers a schema per batch (component/json.rs:22-34), so an
+    * upstream producer change silently reshapes every downstream
+    * result. This processor pins a baseline — declared via `schema`
+    * (DDL string) or latched from the FIRST batch — and handles each
+    * later batch by `mode`:
+    *
+    *  - `fail`: throw with the field-level diff — the engine's
+    *    error_output routing (streaming AND batch paths) diverts the
+    *    batch, so bad data never reaches the sink;
+    *  - `tag`: pass everything through with `__schema_changed` /
+    *    `__schema_diff` columns stamped — route downstream with a
+    *    `sql` processor exactly like the drift monitor;
+    *  - `conform` (default): project to the baseline — matching
+    *    columns cast to the baseline type, missing columns null-filled,
+    *    extras dropped — the pragmatic contract a fixed-schema sink
+    *    (JDBC, parquet append) needs to keep running through a
+    *    producer migration.
+    *
+    * Comparison is by (name, dataType) on top-level fields, order-
+    * insensitive (column order is presentation, not schema). Purely
+    * plan-side per batch — no data pass, no driver collect.
+    */
+  final class SchemaGuard(mode: String,
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      extends (DataFrame => DataFrame) {
+    require(Set("fail", "tag", "conform")(mode),
+      s"schema_guard mode must be fail|tag|conform, got '$mode'")
+    @volatile private var baseline: Option[org.apache.spark.sql.types.StructType] =
+      declared
+    private def diff(b: org.apache.spark.sql.types.StructType,
+        s: org.apache.spark.sql.types.StructType): String = {
+      val bf = b.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val sf = s.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val missing = (bf.keySet -- sf.keySet).toSeq.sorted
+        .map(n => s"missing:$n ${bf(n)}")
+      val added = (sf.keySet -- bf.keySet).toSeq.sorted
+        .map(n => s"added:$n ${sf(n)}")
+      val retyped = (bf.keySet & sf.keySet).toSeq.sorted
+        .filter(n => bf(n) != sf(n))
+        .map(n => s"retyped:$n ${bf(n)}->${sf(n)}")
+      (missing ++ added ++ retyped).mkString("; ")
+    }
+    def apply(batch: DataFrame): DataFrame = baseline match {
+      case None =>
+        baseline = Some(batch.schema); batch
+      case Some(b) =>
+        val d = diff(b, batch.schema)
+        if (d.isEmpty) {
+          if (mode == "tag")
+            batch.withColumn("__schema_changed", lit(false))
+              .withColumn("__schema_diff", lit(""))
+          else batch
+        } else mode match {
+          case "fail" =>
+            throw new IllegalStateException(s"schema drift: $d")
+          case "tag" =>
+            batch.withColumn("__schema_changed", lit(true))
+              .withColumn("__schema_diff", lit(d))
+          case "conform" =>
+            val have = batch.schema.fieldNames.toSet
+            batch.select(b.fields.toSeq.map { f =>
+              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+        }
+    }
+  }
+
   /** Cross-micro-batch accumulator (processor/batch.rs:31-127 — the
     * reference flushes on row count, byte size, OR wall-clock interval;
     * all three are supported, OR-combined, evaluated at batch
@@ -449,6 +518,10 @@ object Processors {
         DriftMonitor(c.options("key_col"), baseline,
           c.options.getOrElse("out_col", "__drift_jsd"),
           c.options.getOrElse("max_keys", "10000").toInt)
+      case "schema_guard" =>
+        new SchemaGuard(c.options.getOrElse("mode", "conform"),
+          c.options.get("schema").map(
+            org.apache.spark.sql.types.StructType.fromDDL))
       case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
       case "python" => PythonProcessor(c.options("script"), c.options("output_schema"))
       case "vrl" | "remap" => RemapProcessor(c.options("program"))

@@ -160,6 +160,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(built.head(matched).columns.contains("__drift_jsd"))
   }
 
+  test("schema_guard latches the first batch and conforms/tags/fails on drift") {
+    def b1 = Seq((1L, "a")).toDF("id", "name")
+    // drifted: 'name' missing, 'extra' added, 'id' retyped to string
+    def drifted = Seq(("1", 9)).toDF("id", "extra")
+
+    // conform: baseline projection — cast back, null-fill, drop extras
+    val conform = new Processors.SchemaGuard("conform")
+    assert(conform(b1).schema == b1.schema) // first batch latches + passes
+    val out = conform(drifted)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.select("id", "name").as[(Long, Option[String])].head() == ((1L, None)))
+
+    // tag: rows pass with the field-level diff stamped
+    val tag = new Processors.SchemaGuard("tag")
+    tag(b1)
+    val tagged = tag(drifted)
+    assert(tagged.select("__schema_changed").as[Boolean].head())
+    val d = tagged.select("__schema_diff").as[String].head()
+    assert(d.contains("missing:name") && d.contains("added:extra") &&
+      d.contains("retyped:id bigint->string"))
+    assert(!tag(Seq((2L, "b")).toDF("id", "name"))
+      .select("__schema_changed").as[Boolean].head())
+
+    // fail: throws with the diff (engine error_output routing catches)
+    val fail = new Processors.SchemaGuard("fail")
+    fail(b1)
+    val ex = intercept[IllegalStateException](fail(drifted))
+    assert(ex.getMessage.contains("added:extra"))
+
+    // declared DDL baseline guards the FIRST batch too; config-reachable
+    val declared = Processors.fromConf(Seq(ComponentConf("schema_guard",
+      Map("mode" -> "fail", "schema" -> "id BIGINT, name STRING")))).head
+    intercept[IllegalStateException](declared(drifted))
+
+    // order-insensitivity: reordered columns are NOT drift
+    val reordered = Seq(("x", 3L)).toDF("name", "id")
+    val strict = new Processors.SchemaGuard("fail")
+    strict(b1)
+    strict(reordered) // must not throw
+  }
+
   test("sql processor rejects DDL/DML like SQLOptions (sql.rs:185-201)") {
     intercept[Exception](Processors.SqlProcessor("DROP TABLE flow")(Seq(1).toDF("a")))
     intercept[Exception](
