@@ -1720,6 +1720,74 @@ object Corpus {
         .as("entropy_ratio"))
   }
 
+  /** Source-concentration report — one row answering "is this corpus a
+    * few giant sources wearing a trench coat": Shannon entropy of the
+    * source mix and its exponential (the EFFECTIVE number of sources),
+    * the Herfindahl-Hirschman index, the Gini coefficient, and the
+    * top-1 share. The numbers a mixture planner checks before and
+    * after reweighting (q183/q198): effective sources collapsing to ~3
+    * while 200 are nominally present is the common failure.
+    *
+    * One corpus aggregation to k source rows; everything after is
+    * window arithmetic over that k-row table (k = |sources|). Gini via
+    * the rank identity (2·Σ i·cᵢ/(n·Σc) − (n+1)/n with cᵢ ascending);
+    * entropy terms through DECIMAL.
+    */
+  def concentrationReport(docs: DataFrame, sourceCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c"), col("source"))
+    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("c")).as("n_docs"),
+      max(col("c")).as("top1"),
+      sum(col("i") * col("c")).as("ric"),
+      sum((col("c") * col("c")).cast(dec)).as("cc"))
+    val p = col("c").cast("double") / col("n_docs")
+    val ent = ranked.crossJoin(broadcast(agg.select(col("n_docs"))))
+      .agg(sum((-p * log(p)).cast(dec)).as("h"))
+    agg.crossJoin(broadcast(ent)).select(
+      col("n_sources"), col("n_docs"),
+      round(col("h").cast("double"), 6).as("entropy"),
+      round(exp(col("h").cast("double")), 6).as("effective_sources"),
+      round(col("cc").cast("double") /
+        (col("n_docs").cast("double") * col("n_docs")), 6).as("hhi"),
+      round(lit(2.0) * col("ric").cast("double") /
+        (col("n_sources").cast("double") * col("n_docs")) -
+        (col("n_sources") + 1).cast("double") / col("n_sources"), 6).as("gini"),
+      round(col("top1").cast("double") / col("n_docs"), 6).as("top1_share"))
+  }
+
+  /** Out-of-vocabulary audit per source against a frequency-cutoff
+    * vocabulary (words with corpus count >= `minCount` — a cutoff, not
+    * a top-N, so there is no tie-at-the-boundary nondeterminism): the
+    * fraction of a source's tokens a fixed vocab would map to UNK.
+    * The tokenizer-fit check run per ingest source — a source whose
+    * OOV rate is 10× the corpus norm is a different register/language
+    * and needs its own vocab budget. Two aggregations (corpus word
+    * counts, per-source token counts) + one broadcast-ready semi-join
+    * of tokens against the vocab.
+    */
+  def oovRate(docs: DataFrame, sourceCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("w"))
+    val inV = toks.join(vocab, Seq("w"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("in_vocab"))
+    toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      .join(inV, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("in_vocab"), lit(0L))).as("oov_tokens"),
+        round((col("n_tokens") - coalesce(col("in_vocab"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   def jsDivergence(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
@@ -2082,6 +2150,14 @@ object Corpus {
 
     "q203_bigram_entropy" -> ((s, dir) =>
       bigramEntropy(Tables.load(s, dir, "documents"), "text")),
+
+    "q205_concentration" -> ((s, dir) =>
+      concentrationReport(Tables.load(s, dir, "documents"), "source")),
+
+    "q206_oov_rate" -> ((s, dir) =>
+      oovRate(Tables.load(s, dir, "documents"), "source", "text",
+        minCount = 50L)
+        .orderBy(col("source"))),
 
     "q147_js_divergence" -> ((s, dir) =>
       jsDivergence(Tables.load(s, dir, "documents"), "text", "source")
@@ -3170,6 +3246,58 @@ object Corpus {
         |  round(-CAST(hu AS DOUBLE), 6) AS unigram_entropy,
         |  round(CAST(hc AS DOUBLE) / CAST(hu AS DOUBLE), 6) AS entropy_ratio
         |FROM h""".stripMargin,
+
+    "q205_concentration" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source
+        |), r AS (
+        |  SELECT source, c,
+        |    CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i
+        |  FROM per
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(max(c) AS BIGINT) AS top1,
+        |    CAST(sum(i * c) AS BIGINT) AS ric,
+        |    sum(CAST(c * c AS DECIMAL(38,18))) AS cc
+        |  FROM r
+        |), e AS (
+        |  SELECT sum(CAST(-(CAST(c AS DOUBLE) / n_docs) *
+        |    ln(CAST(c AS DOUBLE) / n_docs) AS DECIMAL(38,18))) AS h
+        |  FROM r CROSS JOIN (SELECT n_docs FROM a) t
+        |)
+        |SELECT n_sources, n_docs,
+        |  round(CAST(h AS DOUBLE), 6) AS entropy,
+        |  round(exp(CAST(h AS DOUBLE)), 6) AS effective_sources,
+        |  round(CAST(cc AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * n_docs), 6) AS hhi,
+        |  round(2.0 * CAST(ric AS DOUBLE) /
+        |      (CAST(n_sources AS DOUBLE) * n_docs) -
+        |    CAST(n_sources + 1 AS DOUBLE) / n_sources, 6) AS gini,
+        |  round(CAST(top1 AS DOUBLE) / n_docs, 6) AS top1_share
+        |FROM a CROSS JOIN e""".stripMargin,
+
+    "q206_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |), vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w) t
+        |  WHERE c >= 50
+        |), tot AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY source
+        |), inv AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS in_vocab
+        |  FROM toks WHERE w IN (SELECT w FROM vocab)
+        |  GROUP BY source
+        |)
+        |SELECT t.source, t.n_tokens,
+        |  t.n_tokens - coalesce(i.in_vocab, 0) AS oov_tokens,
+        |  round(CAST(t.n_tokens - coalesce(i.in_vocab, 0) AS DOUBLE) /
+        |    t.n_tokens, 6) AS oov_rate
+        |FROM tot t LEFT JOIN inv i ON t.source = i.source
+        |ORDER BY t.source""".stripMargin,
 
     "q147_js_divergence" ->
       """WITH sc AS (

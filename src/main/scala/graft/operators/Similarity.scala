@@ -616,6 +616,66 @@ object Similarity {
       .select(col("qid"), col("cid"), col("adist"), col("rnk"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) truncated at depth k
+    * between two rankings of the same query set — the ANN-fidelity
+    * metric that sees what recall@k (q137/q138) cannot: a quantizer
+    * returning the right SET in scrambled order scores 1.0 on recall
+    * but < 1 here, and RBO is top-weighted (a rank-1 disagreement
+    * costs ~10× a rank-10 one with p = 0.9).
+    *
+    * RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d. Per-item form: an
+    * item at ranks (ra, rb) in the two lists contributes
+    * W(max(ra, rb)), where W(m) = Σ_{d=m..k} p^{d−1}/d — a k-row
+    * weight table both engines GENERATE and sum identically in
+    * DECIMAL. The whole metric is then one equi-join of two top-k
+    * lists plus a broadcast of the k-row table; queries sharing no
+    * top-k item still report (rbo = 0) via the left join from the
+    * query list.
+    */
+  /** Exact squared-L2 top-k (the metric [[pqKnn]] approximates) — the
+    * q60 broadcast-anchor shape with the algebraic-identity distance,
+    * rounded like the ADC side so rankings compare on equal terms. */
+  def l2Knn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val v = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+      .withColumn("n2", expr("dot_product(vd, vd)"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qv"), col("n2").as("qn2"))
+    v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("d2", round(
+        col("n2") - expr("2 * dot_product(vd, qv)") + col("qn2"), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), col("d2"), col("rnk"))
+  }
+
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
+    require(k > 0 && p > 0 && p < 1, s"need k > 0 and p in (0,1), got $k/$p")
+    val spark = a.sparkSession
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val terms = spark.range(1, k + 1).select(col("id").as("d"),
+      (pow(lit(p), col("id") - 1) / col("id")).as("term"))
+    val wTab = spark.range(1, k + 1).select(col("id").as("m"))
+      .join(terms, col("d") >= col("m"))
+      .groupBy(col("m")).agg(sum(col("term").cast(dec)).as("wm"))
+    val joined = a.select(col("qid"), col("cid"), col("rnk").as("ra"))
+      .join(b.select(col("qid"), col("cid"), col("rnk").as("rb")),
+        Seq("qid", "cid"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+      .join(broadcast(wTab), "m")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_common"), sum(col("wm")).as("w"))
+    a.select(col("qid")).distinct()
+      .join(joined, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(lit(1 - p) * coalesce(col("w").cast("double"), lit(0.0)), 6)
+          .as("rbo"))
+  }
+
   /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
     * cluster the embedding space with a coarse quantizer, then compare
     * pairs ONLY within a cluster — a near-duplicate's nearest centroid is
@@ -849,7 +909,19 @@ object Similarity {
 
     "q184_kcenter" -> ((s, dir) =>
       kCenterSelect(Tables.load(s, dir, "embeddings"), k = 10)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // order fidelity of PQ-ADC vs the exact L2 ranking it approximates,
+    // per query — the companion to q138's set-recall audit (same set in
+    // scrambled order: recall 1.0, RBO < 1)
+    "q207_rbo" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      rboAtK(
+        l2Knn(emb, nQueries = 5, k = 10),
+        pqKnn(emb, m = 8, ksub = 16, nQueries = 5, k = 10),
+        k = 10, p = 0.9)
+        .orderBy(col("qid"))
+    })
   )
 
   private[operators] val duckPrep =
@@ -937,6 +1009,69 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q173_mmr_select" -> mmrOracle(queryId = 0L, k = 10, lambda = 0.7),
     "q184_kcenter" -> kCenterOracle(k = 10),
+
+    "q207_rbo" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[])) AS n2
+         |  FROM embeddings
+         |), eq AS (
+         |  SELECT vec_id AS qid, vd AS qv, n2 AS qn2 FROM ev WHERE vec_id < 5
+         |), exact AS (
+         |  SELECT qid, cid, rnk FROM (
+         |    SELECT q.qid, c.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY
+         |        round(c.n2 - 2 * list_dot_product(c.vd, q.qv) + q.qn2, 6),
+         |        c.vec_id) AS rnk
+         |    FROM ev c CROSS JOIN eq q WHERE q.qid <> c.vec_id) t
+         |  WHERE rnk <= 10
+         |), subs AS MATERIALIZED (
+         |  SELECT vec_id, j, vd[CAST(j*8+1 AS INT) : CAST(j*8+8 AS INT)] AS sub
+         |  FROM ev, range(8) t(j)
+         |), cents AS (
+         |  SELECT j, vec_id AS code, sub AS cent FROM subs WHERE vec_id < 16
+         |), enc AS MATERIALIZED (
+         |  SELECT s.vec_id, s.j, c.code,
+         |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cent)
+         |      + list_dot_product(c.cent, c.cent) AS d2
+         |  FROM subs s JOIN cents c USING (j)
+         |), codes AS (
+         |  SELECT vec_id AS cid, j, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+         |    FROM enc) t
+         |  WHERE rn = 1
+         |), qdt AS (
+         |  SELECT vec_id AS qid, j, code, CAST(d2 AS DECIMAL(28,12)) AS dt
+         |  FROM enc WHERE vec_id < 5
+         |), adist AS (
+         |  SELECT q.qid, c.cid, round(CAST(sum(q.dt) AS DOUBLE), 6) AS adist
+         |  FROM codes c JOIN qdt q ON c.j = q.j AND c.code = q.code
+         |  WHERE q.qid <> c.cid
+         |  GROUP BY q.qid, c.cid
+         |), approx AS (
+         |  SELECT qid, cid, rnk FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+         |    FROM adist) t
+         |  WHERE rnk <= 10
+         |), w AS (
+         |  SELECT m, sum(CAST(pow(0.9, d - 1) / d AS DECIMAL(38,18))) AS wm
+         |  FROM (SELECT unnest(generate_series(1, 10)) AS m) mm
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) dd
+         |  WHERE d >= m GROUP BY m
+         |), j AS (
+         |  SELECT e.qid, greatest(e.rnk, a.rnk) AS m
+         |  FROM exact e JOIN approx a USING (qid, cid)
+         |), agg AS (
+         |  SELECT j.qid, CAST(count(*) AS BIGINT) AS n_common,
+         |    sum(w.wm) AS wsum
+         |  FROM j JOIN w USING (m) GROUP BY j.qid
+         |)
+         |SELECT q.qid, coalesce(agg.n_common, 0) AS n_common,
+         |  round(${1 - 0.9} * coalesce(CAST(agg.wsum AS DOUBLE), 0.0), 6) AS rbo
+         |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN agg USING (qid)
+         |ORDER BY q.qid""".stripMargin,
 
     // q62's md5-derived hyperplane banding over the POOLED doc vectors
     "q154_pooled_neardup" -> {

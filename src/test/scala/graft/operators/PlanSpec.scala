@@ -165,8 +165,12 @@ class PlanSpec extends AnyFunSuite {
       // totals and the 1-row water-fill level to the k-row source table
       "q197_interleave", "q198_waterfill",
       // q202 pairs the per-group count table with itself (the q179
-      // shape); q203 attaches the 1-row bigram total
-      "q202_mann_whitney", "q203_bigram_entropy")
+      // shape); q203 attaches the 1-row bigram total; q205 attaches
+      // the 1-row corpus aggregate to the k-row source table; q207
+      // rides the q60/q96 broadcast-anchor scans plus a k×k range
+      // join building the 10-row RBO weight table
+      "q202_mann_whitney", "q203_bigram_entropy", "q205_concentration",
+      "q207_rbo")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
