@@ -320,6 +320,75 @@ object Eval {
       round(expr(s"percentile(mean_s, $hi)"), 6).as("ci_hi"))
   }
 
+  /** Isotonic calibration of the reliability table — the standard
+    * post-hoc calibrator (fit a monotone map from score to observed
+    * positive rate; apply it instead of the raw score). Pool-adjacent-
+    * violators computed via the minimax identity
+    * fitted_i = max_{j≤i} min_{k≥i} wavg(y[j..k]) — an O(B³) form that
+    * is PURE relational algebra over the B-row bin table (B = 10
+    * here), so both engines derive the identical monotone fit; every
+    * segment mean is an exact integer ratio (Σn_pos/Σn over the
+    * segment). The corpus is touched exactly once (the q170 binning
+    * aggregation); everything else is arithmetic on ≤B³ tiny rows.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    val bins = calibrationBins(scored, scoreCol, labelCol, nBins)
+      .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(Long.MinValue, 0)
+    val pre = bins.select(col("bin"), col("n"), col("n_pos"), col("frac_pos"),
+      sum(col("n")).over(w).as("cn"), sum(col("n_pos")).over(w).as("cp"))
+    val jt = pre.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+      (col("cp") - col("n_pos")).as("cpj"))
+    val kt = pre.select(col("bin").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val it = pre.select(col("bin").as("i"), col("n"), col("n_pos"),
+      col("frac_pos"))
+    val grid = it.crossJoin(jt).crossJoin(kt)
+      .filter(col("j") <= col("i") && col("i") <= col("k"))
+      .withColumn("wavg",
+        (col("cpk") - col("cpj")).cast("double") / (col("cnk") - col("cnj")))
+    grid.groupBy(col("i"), col("n"), col("n_pos"), col("frac_pos"), col("j"))
+      .agg(min(col("wavg")).as("minw"))
+      .groupBy(col("i"), col("n"), col("n_pos"), col("frac_pos"))
+      .agg(round(max(col("minw")), 6).as("iso_fitted"))
+      .select(col("i").as("bin"), col("n"), col("n_pos"), col("frac_pos"),
+        col("iso_fitted"))
+  }
+
+  /** Two-proportion z-test between two corpus slices — the A/B gate
+    * ("did the new filter change the positive-label rate") beside the
+    * rank tests (q202 asks about a numeric's location; this asks about
+    * a binary rate). Pooled-variance z plus the unpooled 95% Wald CI
+    * of the difference; everything from one two-row aggregation, the
+    * z expression a single identical double tree in both engines.
+    * Degenerate pooled rates (p̂ ∈ {0,1} ⇒ σ = 0) report NULL z.
+    */
+  def twoProportionZ(labeled: DataFrame, groupCol: String, labelCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val cells = labeled
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy((col(groupCol) === groupA).as("is_a"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+    val a = cells.filter(col("is_a")).select(col("n").as("na"), col("pos").as("xa"))
+    val b = cells.filter(!col("is_a")).select(col("n").as("nb"), col("pos").as("xb"))
+    val pa = col("xa").cast("double") / col("na")
+    val pb = col("xb").cast("double") / col("nb")
+    val pPool = (col("xa") + col("xb")).cast("double") / (col("na") + col("nb"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val seU = sqrt(pa * (lit(1.0) - pa) / col("na") +
+      pb * (lit(1.0) - pb) / col("nb"))
+    a.crossJoin(b).select(
+      col("na"), col("xa"), col("nb"), col("xb"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pa - pb, 6).as("diff"),
+      when(se > 0, round((pa - pb) / se, 6)).as("z"),
+      round(pa - pb - lit(1.96) * seU, 6).as("ci_lo"),
+      round(pa - pb + lit(1.96) * seU, 6).as("ci_hi"))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
     "q169_roc_auc" -> ((s, dir) =>
       rocAuc(scoredDocs(s, dir), "score", "label")),
@@ -364,7 +433,21 @@ object Eval {
         .orderBy(col("bin"))),
 
     "q200_bootstrap_ci" -> ((s, dir) =>
-      bootstrapCi(scoredDocs(s, dir), "doc_id", "score", nReps = 20))
+      bootstrapCi(scoredDocs(s, dir), "doc_id", "score", nReps = 20)),
+
+    "q208_isotonic" -> ((s, dir) =>
+      isotonicCalibration(scoredDocs(s, dir), "score", "label", nBins = 10)
+        .orderBy(col("bin"))),
+
+    // label rate between the two largest planted sources — the A/B
+    // shape a filter rollout comparison takes
+    "q209_two_prop_z" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      twoProportionZ(
+        docs.select(col("source"),
+          col("text").contains("spark").cast("int").as("label")),
+        "source", "label", "src0", "src1")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -503,6 +586,67 @@ object Eval {
          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
          |FROM m""".stripMargin,
+
+    "q208_isotonic" ->
+      s"""WITH lab AS ($scoredSql
+         |), b AS (
+         |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(label) AS BIGINT) AS n_pos
+         |  FROM lab GROUP BY 1
+         |), pre AS (
+         |  SELECT bin, n, n_pos,
+         |    round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+         |    sum(n) OVER (ORDER BY bin) AS cn,
+         |    sum(n_pos) OVER (ORDER BY bin) AS cp
+         |  FROM b
+         |), jt AS (SELECT bin AS j, cn - n AS cnj, cp - n_pos AS cpj FROM pre),
+         |kt AS (SELECT bin AS k, cn AS cnk, cp AS cpk FROM pre),
+         |it AS (SELECT bin AS i, n, n_pos, frac_pos FROM pre),
+         |grid AS (
+         |  SELECT i, n, n_pos, frac_pos, j,
+         |    CAST(cpk - cpj AS DOUBLE) / (cnk - cnj) AS wavg
+         |  FROM it CROSS JOIN jt CROSS JOIN kt
+         |  WHERE j <= i AND i <= k
+         |), m1 AS (
+         |  SELECT i, n, n_pos, frac_pos, j, min(wavg) AS minw
+         |  FROM grid GROUP BY i, n, n_pos, frac_pos, j
+         |)
+         |SELECT i AS bin, n, n_pos, frac_pos,
+         |  round(max(minw), 6) AS iso_fitted
+         |FROM m1 GROUP BY i, n, n_pos, frac_pos
+         |ORDER BY bin""".stripMargin,
+
+    "q209_two_prop_z" ->
+      """WITH lab AS (
+        |  SELECT source,
+        |    CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS label
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |), cells AS (
+        |  SELECT (source = 'src0') AS is_a,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+        |  FROM lab GROUP BY 1
+        |), a AS (SELECT n AS na, pos AS xa FROM cells WHERE is_a),
+        |b AS (SELECT n AS nb, pos AS xb FROM cells WHERE NOT is_a)
+        |SELECT na, xa, nb, xb,
+        |  round(CAST(xa AS DOUBLE) / na, 6) AS p_a,
+        |  round(CAST(xb AS DOUBLE) / nb, 6) AS p_b,
+        |  round(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb, 6) AS diff,
+        |  CASE WHEN sqrt(CAST(xa + xb AS DOUBLE) / (na + nb) *
+        |      (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb)) *
+        |      (1.0 / na + 1.0 / nb)) > 0
+        |    THEN round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) /
+        |      sqrt(CAST(xa + xb AS DOUBLE) / (na + nb) *
+        |        (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb)) *
+        |        (1.0 / na + 1.0 / nb)), 6)
+        |  END AS z,
+        |  round(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb -
+        |    1.96 * sqrt(CAST(xa AS DOUBLE) / na * (1.0 - CAST(xa AS DOUBLE) / na) / na +
+        |      CAST(xb AS DOUBLE) / nb * (1.0 - CAST(xb AS DOUBLE) / nb) / nb), 6) AS ci_lo,
+        |  round(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb +
+        |    1.96 * sqrt(CAST(xa AS DOUBLE) / na * (1.0 - CAST(xa AS DOUBLE) / na) / na +
+        |      CAST(xb AS DOUBLE) / nb * (1.0 - CAST(xb AS DOUBLE) / nb) / nb), 6) AS ci_hi
+        |FROM a CROSS JOIN b""".stripMargin,
 
     "q195_psi" ->
       s"""WITH lab AS ($scoredSql

@@ -170,7 +170,9 @@ class PlanSpec extends AnyFunSuite {
       // rides the q60/q96 broadcast-anchor scans plus a k×k range
       // join building the 10-row RBO weight table
       "q202_mann_whitney", "q203_bigram_entropy", "q205_concentration",
-      "q207_rbo")
+      // q208 crosses the B-row (B=10) bin table for the PAV minimax
+      // grid; q209 pairs the two one-row proportion summaries
+      "q207_rbo", "q208_isotonic", "q209_two_prop_z")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
