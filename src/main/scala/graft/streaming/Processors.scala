@@ -202,6 +202,50 @@ object Processors {
     }
   }
 
+  /** Rate cap with overflow carry: at most `maxRows` rows leave per
+    * micro-batch; the excess is held back (localCheckpointed — rows
+    * stay distributed on executors, lineage truncated) and released
+    * ahead of the next batch. This bounds the per-trigger burst a
+    * downstream sink sees — the processor-side complement of source
+    * pacing (`maxOffsetsPerTrigger` paces what ENTERS; this paces what
+    * LEAVES after fan-out processors may have multiplied rows).
+    *
+    * The split uses `zipWithIndex` — per-partition counts + offsets in
+    * one extra pass, held rows keep their partition locality; no
+    * global sort or single-partition window anywhere. Held rows are
+    * session-scoped like the in-memory [[BatchAccumulator]]: a restart
+    * drops them (at-most-once) — put a durable accumulator upstream
+    * when that matters.
+    */
+  final class RateCap(maxRows: Long) extends (DataFrame => DataFrame) {
+    require(maxRows > 0, s"rate_cap max_rows must be positive, got $maxRows")
+    private var pending: Option[DataFrame] = None
+    def apply(batch: DataFrame): DataFrame = {
+      val spark = batch.sparkSession
+      val all = pending match {
+        case Some(p) => p.unionByName(batch)
+        case None => batch
+      }
+      val schema = all.schema
+      // local copy: the filter closures must not capture `this`
+      // (RateCap holds a DataFrame and is not serializable)
+      val cap = maxRows
+      val indexed = all.rdd.zipWithIndex()
+      val release = spark.createDataFrame(
+        indexed.filter(_._2 < cap).map(_._1), schema)
+      val rest = spark.createDataFrame(
+        indexed.filter(_._2 >= cap).map(_._1), schema)
+      // materialize the overflow BEFORE returning: the release frame
+      // is consumed downstream and the union lineage must not replay
+      // the source next trigger
+      val restCp = rest.localCheckpoint(true)
+      pending = if (restCp.isEmpty) None else Some(restCp)
+      release
+    }
+    /** Rows currently held back (test/monitoring hook). */
+    def pendingRows: Long = pending.map(_.count()).getOrElse(0L)
+  }
+
   /** Cross-micro-batch accumulator (processor/batch.rs:31-127 — the
     * reference flushes on row count, byte size, OR wall-clock interval;
     * all three are supported, OR-combined, evaluated at batch
@@ -518,6 +562,8 @@ object Processors {
         DriftMonitor(c.options("key_col"), baseline,
           c.options.getOrElse("out_col", "__drift_jsd"),
           c.options.getOrElse("max_keys", "10000").toInt)
+      case "rate_cap" =>
+        new RateCap(c.options("max_rows").toLong)
       case "schema_guard" =>
         new SchemaGuard(c.options.getOrElse("mode", "conform"),
           c.options.get("schema").map(

@@ -202,6 +202,27 @@ class StreamingSpec extends AnyFunSuite {
     strict(reordered) // must not throw
   }
 
+  test("rate_cap releases at most max_rows per batch and carries the overflow") {
+    val cap = new Processors.RateCap(12)
+    def batchOf(ids: Range) = ids.toDF("id")
+    // burst of 20 -> release 12, hold 8
+    val r1 = cap(batchOf(0 until 20))
+    assert(r1.count() == 12 && cap.pendingRows == 8)
+    // next burst of 20 -> 28 in flight, release 12, hold 16
+    val r2 = cap(batchOf(100 until 120))
+    assert(r2.count() == 12 && cap.pendingRows == 16)
+    // quiet tail drains the carry without loss or duplication
+    val r3 = cap(spark.emptyDataset[Int].toDF("id"))
+    val r4 = cap(spark.emptyDataset[Int].toDF("id"))
+    assert(r3.count() == 12 && r4.count() == 4 && cap.pendingRows == 0)
+    val all = r1.union(r2).union(r3).union(r4).as[Int].collect().sorted
+    assert(all.toSeq == ((0 until 20) ++ (100 until 120)).sorted)
+    // config-reachable
+    val built = Processors.fromConf(Seq(ComponentConf("rate_cap",
+      Map("max_rows" -> "5")))).head
+    assert(built(batchOf(0 until 7)).count() == 5)
+  }
+
   test("sql processor rejects DDL/DML like SQLOptions (sql.rs:185-201)") {
     intercept[Exception](Processors.SqlProcessor("DROP TABLE flow")(Seq(1).toDF("a")))
     intercept[Exception](
