@@ -594,7 +594,49 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Continuation-pair detection — crawl-chunk reassembly: a document
+    * whose OPENING words are another document's CLOSING words is a
+    * truncation/continuation split (one page fetched in two chunks),
+    * which whole-doc and shingle dedup both miss because the overlap
+    * is a few words at the boundary. Candidates meet ONLY through an
+    * equi-join on the boundary n-gram (tail-gram of A = head-gram of
+    * B) — one row per document per side, never all-pairs; at corpus
+    * scale the gram key is the usual hash-bucketed join key.
+    */
+  def continuationPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    val ws = split(col(textCol), " ")
+    val t = docs.filter(size(ws) >= n)
+      .select(col(idCol).as("id"), ws.as("ws"))
+    val heads = t.select(col("id").as("doc_b"),
+      array_join(slice(col("ws"), 1, n), " ").as("bridge"))
+    val tails = t.select(col("id").as("doc_a"),
+      array_join(slice(col("ws"), -n, n), " ").as("bridge"))
+    tails.join(heads, "bridge")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("bridge"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    // the corpus has no natural split pages, so the query PLANTS them
+    // (the q72/q210 pattern): every doc_id % 10 == 1 document is
+    // prefixed with the previous document's closing 3 words — the
+    // detector must recover exactly the planted (id-1, id) pairs
+    "q211_continuation" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tail3 = array_join(slice(split(col("text"), " "), -3, 3), " ")
+      val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+        tail3.as("carry"))
+      val planted = docs.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1 && col("carry").isNotNull,
+            concat(col("carry"), lit(" "), col("text")))
+            .otherwise(col("text")).as("body"))
+      continuationPairs(planted, "doc_id", "body", n = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q50_dedup_exact" -> ((s, dir) =>
       exact(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("keeper_id"))
@@ -670,6 +712,32 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q211_continuation" ->
+      """WITH tails0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), prev AS (
+        |  SELECT doc_id + 1 AS doc_id,
+        |    array_to_string(ws[len(ws)-2 : len(ws)], ' ') AS carry
+        |  FROM tails0
+        |), planted AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 1 AND p.carry IS NOT NULL
+        |      THEN p.carry || ' ' || d.text ELSE d.text END AS body
+        |  FROM documents d LEFT JOIN prev p ON d.doc_id = p.doc_id
+        |), t AS (
+        |  SELECT doc_id, string_split(body, ' ') AS ws FROM planted
+        |  WHERE len(string_split(body, ' ')) >= 3
+        |), heads AS (
+        |  SELECT doc_id AS doc_b, array_to_string(ws[1:3], ' ') AS bridge FROM t
+        |), tails AS (
+        |  SELECT doc_id AS doc_a,
+        |    array_to_string(ws[len(ws)-2 : len(ws)], ' ') AS bridge
+        |  FROM t
+        |)
+        |SELECT a.doc_a, h.doc_b, a.bridge
+        |FROM tails a JOIN heads h USING (bridge)
+        |WHERE a.doc_a <> h.doc_b
+        |ORDER BY a.doc_a, h.doc_b""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
         |       md5(lower(text)) AS content_hash

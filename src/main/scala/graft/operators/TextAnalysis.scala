@@ -537,9 +537,42 @@ object TextAnalysis {
       |WHERE ws[i] IN ('spark', 'window')
       |ORDER BY doc_id, idx""".stripMargin
 
+  // Code-vs-prose routing: the heuristic every mixed crawl needs before
+  // sending documents down the prose pipeline (BPE fertility, stopword
+  // quality and readability are all wrong on code). Two codegen
+  // signals — structural-symbol density and code-keyword hits — OR'd
+  // at thresholds; one scan, no shuffle. The corpus is synthetic
+  // prose, so the query PLANTS a code block on every 7th doc (the
+  // q72/q132 pattern) and the detector must flag exactly those.
+  private def codeDetectSql(cnt: String => String) =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text ||
+       |      ' def load(path): rows = read(path); return [r for r in rows if r.ok]'
+       |    ELSE text END AS body
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CAST(${cnt("'[{}()=;<>]'")} AS BIGINT) AS n_symbols,
+       |    CAST(${cnt("'def |return |import |print[(]|; '")} AS BIGINT) AS kw_hits,
+       |    CAST(length(body) AS BIGINT) AS n_chars_b
+       |  FROM planted
+       |)
+       |SELECT doc_id, n_symbols, kw_hits,
+       |  round(CAST(n_symbols AS DOUBLE) / n_chars_b, 6) AS symbol_density,
+       |  CAST(CAST(n_symbols AS DOUBLE) / n_chars_b > 0.01 OR kw_hits >= 2
+       |    AS INT) AS is_code
+       |FROM sig
+       |ORDER BY doc_id""".stripMargin
+  private val q210Spark =
+    codeDetectSql(p => s"size(regexp_extract_all(body, $p, 0))")
+  private val q210Duck =
+    codeDetectSql(p => s"len(regexp_extract_all(body, $p))")
+
   val queries: Map[String, QueryFn] = Map(
     "q192_readability" -> Q.fromSql(q192Spark),
     "q193_token_stats" -> Q.fromSql(q193Spark),
+    "q210_code_detect" -> Q.fromSql(q210Spark),
 
     "q199_kwic" -> ((s, dir) =>
       kwic(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -732,6 +765,7 @@ object TextAnalysis {
     "q192_readability" -> q192Duck,
     "q193_token_stats" -> q193Duck,
     "q199_kwic" -> q199Oracle,
+    "q210_code_detect" -> q210Duck,
     "q132_html_extract" -> q132Oracle,
     "q118_linear_probe" ->
       """WITH feats AS (
