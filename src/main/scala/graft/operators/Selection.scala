@@ -496,8 +496,13 @@ object Selection {
       .withColumn("budget", col("t") * budgetFrac)
       .withColumn("cand",
         (col("budget") - col("cum_prev")) / (col("k") - col("i") + 1))
+    // cand_i <= c_i ⟺ f(c_i) >= B, and f is increasing, so qualifying
+    // rows form a SUFFIX in the ascending order; the correct segment is
+    // the FIRST of them (min i), whose cand is the unique level with
+    // f(level) = B. min(cand) would be wrong: later rows' candidates
+    // fall below (even negative, once cum_prev > B) yet still qualify.
     val level = cand.filter(col("cand") <= col("c").cast("double"))
-      .agg(min(col("cand")).as("level"))
+      .agg(min_by(col("cand"), col("i")).as("level"))
     // empty candidate set = the budget covers the whole corpus: the
     // effective level is the largest source total (nothing is capped)
     cand.crossJoin(broadcast(level))
@@ -812,11 +817,16 @@ object Selection {
         |    CAST(max(c) AS BIGINT) AS cmax
         |  FROM per
         |), cand AS (
-        |  SELECT a.source, a.c, CAST(tot.t AS DOUBLE) * 0.5 AS budget, tot.cmax,
+        |  SELECT a.source, a.c, a.i, CAST(tot.t AS DOUBLE) * 0.5 AS budget,
+        |    tot.cmax,
         |    (CAST(tot.t AS DOUBLE) * 0.5 - a.cum_prev) / (tot.k - a.i + 1) AS cand
         |  FROM ann a CROSS JOIN tot
         |), lvl AS (
-        |  SELECT min(cand) AS level FROM cand WHERE cand <= CAST(c AS DOUBLE)
+        |  -- qualifying rows (f(c_i) >= B) form a suffix; the FIRST is
+        |  -- the true segment — min(cand) would take later, spuriously
+        |  -- low (even negative) candidates
+        |  SELECT arg_min(cand, i) AS level FROM cand
+        |  WHERE cand <= CAST(c AS DOUBLE)
         |)
         |SELECT source, c AS tokens,
         |  round(budget, 4) AS budget,

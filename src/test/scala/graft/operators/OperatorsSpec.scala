@@ -20,8 +20,7 @@ class OperatorsSpec extends AnyFunSuite {
     // iterative train loops (BPE — parity-spec'd below instead) may skip
     val allowedNoOracle =
       Set("q40_approx_agg", "q67_ivf_kmeans_knn", "q93_bpe_train",
-        "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train",
-        "q173_mmr_select", "q184_kcenter")
+        "q94_bpe_tokenize", "q101_bpe_ids", "q107_classifier_train")
     assert((qs -- os).subsetOf(allowedNoOracle), s"missing oracles: ${qs -- os}")
   }
 
