@@ -1788,6 +1788,75 @@ object Corpus {
           .cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** T5/UL2-style span corruption (the q100 FIM discipline applied to
+    * masked-denoising): one content-addressed span of `spanLen` words
+    * is replaced by a sentinel in the input and becomes the target.
+    * The span start derives from the house md5 uniform of the doc id,
+    * so the corruption is reproducible run-to-run, grading-stable, and
+    * shardable — no RNG state to coordinate across executors. Pure
+    * row-local array ops in codegen; docs shorter than spanLen + 2
+    * pass through unmasked (span_start = 0, target empty).
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val ws = split(col(textCol), " ")
+    val n = size(ws)
+    val s = (Q.md5Bucket32(concat(lit("sc:"), col(idCol).cast("string")))
+      % greatest(lit(1), n - spanLen + 1)) + 1
+    val maskable = n >= spanLen + 2
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), n.as("n_words"),
+        when(maskable, s).otherwise(lit(0)).cast("long").as("span_start"))
+      .select(col("doc_id"), col("n_words"), col("span_start"),
+        // one array concat + ONE join: empty boundary slices vanish in
+        // list concatenation, dodging the engines' divergent
+        // concat_ws("", ...) empty-part semantics
+        when(col("span_start") > 0, array_join(concat(
+            slice(col("ws"), lit(1), (col("span_start") - 1).cast("int")),
+            array(lit("<extra_id_0>")),
+            slice(col("ws"),
+              (col("span_start") + spanLen).cast("int"),
+              (col("n_words") - col("span_start") - (spanLen - 1)).cast("int"))),
+            " "))
+          .otherwise(array_join(col("ws"), " ")).as("masked"),
+        when(col("span_start") > 0, concat(lit("<extra_id_0> "),
+            array_join(slice(col("ws"), col("span_start").cast("int"), lit(spanLen)), " ")))
+          .otherwise(lit("")).as("target"))
+  }
+
+  /** Context-length planning table: for each candidate max_seq_len, the
+    * two costs a truncate-to-L regime pays — tokens LOST past the cut
+    * (long docs truncated) and capacity WASTED on padding (short docs
+    * one-per-sequence) — so the length is chosen on the measured
+    * trade, not folklore. One corpus scan expanded |lens|×, collapsing
+    * immediately into per-L aggregates (map-side combinable).
+    */
+  def contextLengthPlan(docs: DataFrame, textCol: String,
+      lens: Seq[Int]): DataFrame = {
+    require(lens.nonEmpty, "need at least one candidate length")
+    val toks = docs.select(size(split(col(textCol), " ")).cast("long").as("t"))
+    toks.withColumn("len", explode(array(lens.map(lit): _*)))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("tokens_total"),
+        sum((col("t") > col("len")).cast("long")).as("n_trunc_docs"),
+        sum(greatest(lit(0L), col("t") - col("len"))).as("tokens_lost"),
+        sum(col("len") - least(col("t"), col("len"))).as("pad_tokens"))
+      .select(col("len"), col("n_docs"), col("tokens_total"),
+        col("n_trunc_docs"), col("tokens_lost"),
+        // integer HALF-UP rounding at 6dp: a/b ratios of integer sums
+        // land on exact decimal halves (8078/32000 = .2524375), where
+        // each engine's double/decimal round() breaks the tie its own
+        // way — floor((2e6·a + b)/(2b)) is pure integer arithmetic
+        // (exact in doubles far below 2^53), identical everywhere
+        (floor((lit(2000000L) * col("tokens_lost") + col("tokens_total"))
+          .cast("double") / (lit(2.0) * col("tokens_total"))) / 1000000.0)
+          .as("lost_frac"),
+        (floor((lit(2000000L) * col("pad_tokens") + col("n_docs") * col("len"))
+          .cast("double") / (lit(2.0) * col("n_docs") * col("len"))) / 1000000.0)
+          .as("pad_waste_frac"))
+  }
+
   def jsDivergence(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
@@ -2153,6 +2222,16 @@ object Corpus {
 
     "q205_concentration" -> ((s, dir) =>
       concentrationReport(Tables.load(s, dir, "documents"), "source")),
+
+    "q212_span_corruption" -> ((s, dir) =>
+      spanCorruption(Tables.load(s, dir, "documents"), "doc_id", "text",
+        spanLen = 3)
+        .orderBy(col("doc_id"))),
+
+    "q213_context_plan" -> ((s, dir) =>
+      contextLengthPlan(Tables.load(s, dir, "documents"), "text",
+        Seq(32, 64, 128, 256))
+        .orderBy(col("len"))),
 
     "q206_oov_rate" -> ((s, dir) =>
       oovRate(Tables.load(s, dir, "documents"), "source", "text",
@@ -3277,6 +3356,50 @@ object Corpus {
         |    CAST(n_sources + 1 AS DOUBLE) / n_sources, 6) AS gini,
         |  round(CAST(top1 AS DOUBLE) / n_docs, 6) AS top1_share
         |FROM a CROSS JOIN e""".stripMargin,
+
+    "q212_span_corruption" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      CAST(CAST('0x' || substring(md5('sc:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |        AS UBIGINT) AS BIGINT) % greatest(1, len(ws) - 2) + 1
+        |    ELSE 0 END AS s
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS span_start,
+        |  CASE WHEN s > 0 THEN array_to_string(
+        |      ws[1:s-1] || ['<extra_id_0>'] || ws[s+3:n], ' ')
+        |    ELSE array_to_string(ws, ' ') END AS masked,
+        |  CASE WHEN s > 0
+        |    THEN '<extra_id_0> ' || array_to_string(ws[s:s+2], ' ')
+        |    ELSE '' END AS target
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
+
+    "q213_context_plan" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents
+        |), e AS (
+        |  SELECT t.t, l.len FROM t
+        |  CROSS JOIN (SELECT unnest([32, 64, 128, 256]) AS len) l
+        |)
+        |SELECT CAST(len AS INT) AS len,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN t > len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_trunc_docs,
+        |  CAST(sum(greatest(0, t - len)) AS BIGINT) AS tokens_lost,
+        |  floor(CAST(2000000 * sum(greatest(0, t - len)) + sum(t) AS DOUBLE) /
+        |    (2.0 * sum(t))) / 1000000.0 AS lost_frac,
+        |  floor(CAST(2000000 * sum(len - least(t, len)) + count(*) * len AS DOUBLE) /
+        |    (2.0 * count(*) * len)) / 1000000.0 AS pad_waste_frac
+        |FROM e
+        |GROUP BY len
+        |ORDER BY len""".stripMargin,
 
     "q206_oov_rate" ->
       """WITH toks AS (
