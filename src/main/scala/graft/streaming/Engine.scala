@@ -399,6 +399,30 @@ object Engine {
         heldBack = out.schema.isEmpty
       }
       if (!heldBack) sink.write(out, 0L)
+      // EOF drain: a rate_cap carries overflow to "the next trigger",
+      // but a one-shot batch has none — without this loop the held rows
+      // would silently vanish at EOF. Feed empty batches until the carry
+      // empties; the guard stops if an iteration makes no progress
+      // (e.g. a downstream sentinel hold-back swallowing the release).
+      val caps = procs.collect { case rc: Processors.RateCap => rc }
+      var remaining = caps.map(_.pendingRows).sum
+      // each drain release gets its own batch id: the idempotent sinks
+      // partition/dedupe BY id, and re-using 0 would overwrite the
+      // initial release
+      var drainId = 1L
+      while (remaining > 0) {
+        var drain = in.limit(0)
+        var held2 = false
+        val it2 = procs.iterator
+        while (it2.hasNext && !held2) {
+          drain = it2.next()(drain)
+          held2 = drain.schema.isEmpty
+        }
+        if (!held2) sink.write(drain, drainId)
+        drainId += 1
+        val now = caps.map(_.pendingRows).sum
+        remaining = if (now < remaining) now else 0L
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         err match {

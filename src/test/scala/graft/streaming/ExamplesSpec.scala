@@ -112,6 +112,27 @@ class ExamplesSpec extends AnyFunSuite {
     assert(got.values.forall { case (d, j) => d <= 3 && j >= 0.0 && j <= 1.0 })
   }
 
+  test("ingest-guardrails example conforms the schema, caps releases, and drains at EOF") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "ingest_guardrails.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_guard_out").toString
+    Engine.run(spark, Config.fromYaml(yaml.replace("/tmp/graft/out/ingest_guardrails", outDir)))
+    val got = spark.read.parquet(outDir)
+    // conform: declared columns only — extras (lang, n_chars) dropped,
+    // the declared-but-absent column null-filled
+    assert(got.columns.toSet ==
+      Set("doc_id", "text", "source", "missing_col", "batch_id"))
+    assert(got.filter(got("missing_col").isNotNull).count() == 0)
+    // conservation: all 500 docs arrive despite the 200-row cap...
+    assert(got.count() == 500)
+    assert(got.select("doc_id").distinct().count() == 500)
+    // ...released as 200/200/100 across the initial pass + EOF drain
+    val sizes = got.groupBy("batch_id").count()
+      .orderBy(got("batch_id")).collect().map(_.getLong(1)).toSeq
+    assert(sizes == Seq(200L, 200L, 100L), s"releases were $sizes")
+  }
+
   test("drift-monitor example stamps the batch JSD and routes the quarantine verdict") {
     val spark = SparkTestSession.spark
     val yaml = new String(java.nio.file.Files.readAllBytes(
