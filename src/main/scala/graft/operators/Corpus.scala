@@ -1102,6 +1102,102 @@ object Corpus {
     pr
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a link graph — the
+    * companion signal to [[pageRank]]: authority separates
+    * heavily-cited reference pages from the index/portal pages that
+    * cite them (hubs), where PageRank conflates both into one score.
+    * Power iteration with L1 normalization each half-step:
+    * a(v) = Σ_{u→v} h(u) then a /= Σa; h(u) = Σ_{u→v} a(v) then
+    * h /= Σh. Each half-step is one equi-join keyed by an edge
+    * endpoint plus one aggregation — the same plain-shuffle shape and
+    * per-round `localCheckpoint` lineage discipline as [[pageRank]];
+    * the normalizer is a 1-row broadcast, never a driver collect.
+    *
+    * Engine-exact: per-edge contributions cast DECIMAL(28,12) before
+    * summing (order-independent), scores round to 12 places after each
+    * normalize, operation order mirrors [[hitsOracle]] text exactly.
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val nd = nodes.count().toDouble
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodesOnly = nodes.select(col("node")).localCheckpoint(true)
+    def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
+        emitAs: String, outCol: String): DataFrame = {
+      val raw = scores.join(e, scores("node") === e(joinOn))
+        .select(col(emitAs).as("node"), col(scoreCol).cast(dec).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val tot = raw.agg(sum(col("s")).cast("double").as("ts"))
+      nodesOnly
+        .join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("s").cast("double"), lit(0.0)) / col("ts"), 12)
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    var h = nodesOnly.select(col("node"), lit(1.0 / nd).as("h"))
+      .localCheckpoint(true)
+    var a = h // placeholder; always assigned before use when iters >= 1
+    var i = 0
+    while (i < iters) {
+      a = halfStep(h, "h", "src", "dst", "a")
+      h = halfStep(a, "a", "dst", "src", "h")
+      i += 1
+    }
+    a.join(h, Seq("node")).select(col("node"), col("a").as("authority"),
+      col("h").as("hub"))
+  }
+
+  /** Unrolled oracle text for [[hits]] over [[docLinkGraph]] — the
+    * [[pageRankOracle]] conventions: every stage MATERIALIZED (each is
+    * referenced by both the next half-step and its own normalizer),
+    * numeric literals CAST AS DOUBLE, per-edge DECIMAL(28,12) sums,
+    * round-12 after each normalize. */
+  private[operators] def hitsOracle(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(CAST(p.h AS DECIMAL(28,12))) AS s
+         |  FROM h${i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+         |at$i AS (SELECT CAST(SUM(s) AS DOUBLE) AS ts FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT n2.node,
+         |    round(COALESCE(CAST(r.s AS DOUBLE), CAST(0.0 AS DOUBLE)) / t.ts,
+         |      12) AS a
+         |  FROM nodes n2 LEFT JOIN ar$i r ON r.node = n2.node
+         |  CROSS JOIN at$i t),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, SUM(CAST(p.a AS DECIMAL(28,12))) AS s
+         |  FROM a$i p JOIN edges e ON e.dst = p.node GROUP BY e.src),
+         |ht$i AS (SELECT CAST(SUM(s) AS DOUBLE) AS ts FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT n2.node,
+         |    round(COALESCE(CAST(r.s AS DOUBLE), CAST(0.0 AS DOUBLE)) / t.ts,
+         |      12) AS h
+         |  FROM nodes n2 LEFT JOIN hr$i r ON r.node = n2.node
+         |  CROSS JOIN ht$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd, count(*) AS ni
+       |       FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, unnest([
+       |      (doc_id * 7 + 1) % nn.ni,
+       |      (doc_id * 13 + 2) % nn.ni,
+       |      (doc_id * 31 + 5) % nn.ni]) AS dst
+       |    FROM documents CROSS JOIN nn) t
+       |  WHERE dst <> src
+       |),
+       |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.nd AS h
+       |        FROM nodes CROSS JOIN nn),
+       |$stages
+       |SELECT a$iters.node AS doc_id, a$iters.a AS authority,
+       |  h$iters.h AS hub
+       |FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The synthetic deterministic link graph q99 ranks: every document
     * links to three arithmetic targets mod N (self-links and duplicate
     * targets removed) — the same construction the oracle text uses. */
@@ -1720,6 +1816,61 @@ object Corpus {
         .as("entropy_ratio"))
   }
 
+  /** Per-document bigram cross-entropy / perplexity under an add-k
+    * smoothed bigram model trained on a REFERENCE slice of the corpus —
+    * the CCNet/KenLM quality-filter shape (train an LM on a trusted
+    * reference, keep documents that score LOW perplexity under it;
+    * reference crates arkflow delegates scoring UDFs to the engine, this
+    * is the engine-native form). p(w₂|w₁) = (c₁₂+k)/(c₁+k·V) with
+    * counts from the reference slice only and V its distinct-word
+    * vocabulary; unseen bigrams coalesce to the smoothing floor.
+    *
+    * Dataflow: one reference aggregation to the (w₁,w₂) count table
+    * plus its left-word marginal; doc bigrams join those by key
+    * (shuffle joins — the count table scales with reference vocab, not
+    * corpus size; prune with a min-count filter at 100 TB) and collapse
+    * straight back to one row per doc. V rides a 1-row broadcast.
+    * Per-doc log-prob terms sum in DECIMAL (order-independent), and
+    * every probability is a ratio of exact integers plus the
+    * binary-exact k = 0.5, so the double trees are engine-identical.
+    */
+  def ngramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column, k: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val ws = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"), refPred.as("is_ref"))
+    // (w1, w2) struct pairs, same split-on-space tokenization as
+    // bigramEntropy (q203) — NOT wordGramExpr's space-joined grams,
+    // the left word must stay joinable against its marginal count
+    def bigrams(d: DataFrame) = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBi = bigrams(ws.filter(col("is_ref")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val refUni = refBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = ws.filter(col("is_ref"))
+      .select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val terms = bigrams(ws)
+      .join(refUni, Seq("w1"), "left")
+      .join(refBi, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("v")))
+          .as("lp"))
+    terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(dec)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"),
+        round(exp(-col("s").cast("double") / col("n_bigrams")), 6)
+          .as("ppl"))
+  }
+
   /** Source-concentration report — one row answering "is this corpus a
     * few giant sources wearing a trench coat": Shannon entropy of the
     * source mix and its exponential (the EFFECTIVE number of sources),
@@ -2219,6 +2370,13 @@ object Corpus {
 
     "q203_bigram_entropy" -> ((s, dir) =>
       bigramEntropy(Tables.load(s, dir, "documents"), "text")),
+
+    // reference slice = the four lowest-numbered sources; every other
+    // doc is scored against the LM those sources induce
+    "q216_ngram_perplexity" -> ((s, dir) =>
+      ngramPerplexity(Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy(col("doc_id"))),
 
     "q205_concentration" -> ((s, dir) =>
       concentrationReport(Tables.load(s, dir, "documents"), "source")),
@@ -3297,6 +3455,45 @@ object Corpus {
         |  END AS z
         |FROM a
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q216_ngram_perplexity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    (source IN ('src0','src1','src2','src3')) AS is_ref
+        |  FROM documents
+        |), refbi AS (
+        |  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        |    FROM ws WHERE is_ref AND len(ws) >= 2) t
+        |  GROUP BY b.w1, b.w2
+        |), refuni AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM refbi GROUP BY w1
+        |), voc AS (
+        |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        |    SELECT unnest(ws) AS w FROM ws WHERE is_ref) t
+        |), docbi AS (
+        |  SELECT doc_id, b.w1, b.w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+        |    FROM ws WHERE len(ws) >= 2) t
+        |), terms AS (
+        |  SELECT d.doc_id,
+        |    ln((CAST(coalesce(rb.c12, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(coalesce(ru.c1, 0) AS DOUBLE) + 0.5 * v)) AS lp
+        |  FROM docbi d
+        |  LEFT JOIN refuni ru USING (w1)
+        |  LEFT JOIN refbi rb USING (w1, w2)
+        |  CROSS JOIN voc
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(lp AS DECIMAL(38,18))) AS s
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  round(-CAST(s AS DOUBLE) / n_bigrams, 6) AS cross_entropy,
+        |  round(exp(-CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+        |FROM per ORDER BY doc_id""".stripMargin,
 
     "q203_bigram_entropy" ->
       """WITH toks AS (

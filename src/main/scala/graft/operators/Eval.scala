@@ -389,6 +389,54 @@ object Eval {
       round(pa - pb + lit(1.96) * seU, 6).as("ci_hi"))
   }
 
+  /** Binned mutual information between two numeric signals — the
+    * dependence measure that sees what correlation cannot (a U-shaped
+    * or any non-monotone relation scores 0 on Pearson/Spearman but
+    * > 0 here). Both signals bin equal-width over their [min, max]
+    * (10×10 grid); MI, the marginal entropies and the normalized
+    * MI/√(HₓH_y) all come from the one joint-count aggregation —
+    * every log argument is a ratio of integer counts, so the double
+    * trees are engine-identical, and the per-cell terms sum in
+    * DECIMAL. One corpus scan + a 1-row min/max broadcast.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 1, s"nBins must be > 1, got $nBins")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val v = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val ext = v.agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+      min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+    def bin(c: Column, mn: Column, mx: Column) =
+      when(mx === mn, lit(0)).otherwise(
+        least(floor((c - mn) / (mx - mn) * nBins), lit(nBins - 1)).cast("int"))
+    val joint = v.crossJoin(broadcast(ext))
+      .select(bin(col("x"), col("xmn"), col("xmx")).as("bx"),
+        bin(col("y"), col("ymn"), col("ymx")).as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("cxy"))
+    val mx = joint.groupBy(col("bx")).agg(sum(col("cxy")).as("cx"))
+    val my = joint.groupBy(col("by")).agg(sum(col("cxy")).as("cy"))
+    val n = joint.agg(sum(col("cxy")).as("n"))
+    val t = joint.join(mx, "bx").join(my, "by").crossJoin(broadcast(n))
+    val agg = t.agg(
+      max(col("n")).as("n"),
+      count(lit(1)).as("n_cells"),
+      sum((col("cxy").cast("double") / col("n") *
+        log(col("cxy").cast("double") * col("n") / (col("cx") * col("cy"))))
+        .cast(dec)).as("mi_d"),
+      sum((col("cxy").cast("double") / col("n") *
+        log(col("cx").cast("double") / col("n"))).cast(dec)).as("hx_d"),
+      sum((col("cxy").cast("double") / col("n") *
+        log(col("cy").cast("double") / col("n"))).cast(dec)).as("hy_d"))
+    agg.select(col("n"), col("n_cells"),
+      round(col("mi_d").cast("double"), 6).as("mi"),
+      round(-col("hx_d").cast("double"), 6).as("h_x"),
+      round(-col("hy_d").cast("double"), 6).as("h_y"),
+      round(col("mi_d").cast("double") /
+        sqrt(col("hx_d").cast("double") * col("hy_d").cast("double")), 6)
+        .as("nmi"))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
     "q169_roc_auc" -> ((s, dir) =>
       rocAuc(scoredDocs(s, dir), "score", "label")),
@@ -438,6 +486,13 @@ object Eval {
     "q208_isotonic" -> ((s, dir) =>
       isotonicCalibration(scoredDocs(s, dir), "score", "label", nBins = 10)
         .orderBy(col("bin"))),
+
+    "q214_mutual_info" -> ((s, dir) =>
+      mutualInformation(
+        Tables.load(s, dir, "documents")
+          .select(q55Score(col("text")).as("score"),
+            col("n_chars").cast("double").as("n_chars")),
+        "score", "n_chars", nBins = 10)),
 
     // label rate between the two largest planted sources — the A/B
     // shape a filter rollout comparison takes
@@ -586,6 +641,51 @@ object Eval {
          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
          |FROM m""".stripMargin,
+
+    "q214_mutual_info" ->
+      s"""WITH lab AS ($scoredSql
+         |), v AS (
+         |  SELECT s.score AS x, CAST(d.n_chars AS DOUBLE) AS y
+         |  FROM documents d JOIN lab s ON d.doc_id = s.doc_id
+         |), ext AS (
+         |  SELECT min(x) AS xmn, max(x) AS xmx,
+         |    min(y) AS ymn, max(y) AS ymx FROM v
+         |), binned AS (
+         |  SELECT
+         |    CASE WHEN xmx = xmn THEN 0
+         |      ELSE CAST(least(floor((x - xmn) / (xmx - xmn) * 10), 9) AS INT)
+         |    END AS gx,
+         |    CASE WHEN ymx = ymn THEN 0
+         |      ELSE CAST(least(floor((y - ymn) / (ymx - ymn) * 10), 9) AS INT)
+         |    END AS gy
+         |  FROM v CROSS JOIN ext
+         |), joint AS (
+         |  SELECT gx, gy, CAST(count(*) AS BIGINT) AS cxy
+         |  FROM binned GROUP BY gx, gy
+         |), mxt AS (SELECT gx, sum(cxy) AS cx FROM joint GROUP BY gx),
+         |myt AS (SELECT gy, sum(cxy) AS cy FROM joint GROUP BY gy),
+         |nt AS (SELECT sum(cxy) AS n FROM joint),
+         |t AS (
+         |  SELECT j.cxy, m1.cx, m2.cy, nt.n
+         |  FROM joint j JOIN mxt m1 USING (gx) JOIN myt m2 USING (gy)
+         |  CROSS JOIN nt
+         |), agg AS (
+         |  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+         |    sum(CAST(CAST(cxy AS DOUBLE) / n *
+         |      ln(CAST(cxy AS DOUBLE) * n / (cx * cy)) AS DECIMAL(38,18))) AS mi_d,
+         |    sum(CAST(CAST(cxy AS DOUBLE) / n *
+         |      ln(CAST(cx AS DOUBLE) / n) AS DECIMAL(38,18))) AS hx_d,
+         |    sum(CAST(CAST(cxy AS DOUBLE) / n *
+         |      ln(CAST(cy AS DOUBLE) / n) AS DECIMAL(38,18))) AS hy_d
+         |  FROM t
+         |)
+         |SELECT CAST(n AS BIGINT) AS n, n_cells,
+         |  round(CAST(mi_d AS DOUBLE), 6) AS mi,
+         |  round(-CAST(hx_d AS DOUBLE), 6) AS h_x,
+         |  round(-CAST(hy_d AS DOUBLE), 6) AS h_y,
+         |  round(CAST(mi_d AS DOUBLE) /
+         |    sqrt(CAST(hx_d AS DOUBLE) * CAST(hy_d AS DOUBLE)), 6) AS nmi
+         |FROM agg""".stripMargin,
 
     "q208_isotonic" ->
       s"""WITH lab AS ($scoredSql

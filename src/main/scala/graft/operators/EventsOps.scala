@@ -405,7 +405,48 @@ object EventsOps {
         min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
   }
 
+  /** RFM segmentation — the classic behavioral user segmentation
+    * (Recency of last event, Frequency of events, Monetary value),
+    * each quartiled and concatenated to a 3-digit segment label
+    * ("444" = best customers, "111" = churned low-value). Recency is
+    * whole days behind the corpus max timestamp (integer nanosecond
+    * division — the epoch-nano values exceed 2^53, so double math
+    * would corrupt them). One aggregation to the per-user table; the
+    * ntile windows run over THAT table (one row per user, the usual
+    * orders-of-magnitude collapse), with the user id as the
+    * deterministic tiebreak. Quartile direction follows the RFM
+    * convention: 4 = most recent / most frequent / highest value.
+    */
+  def rfmSegments(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsCol: String, valueCol: String): org.apache.spark.sql.DataFrame = {
+    val per = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        Q.dsum(col(valueCol)).as("monetary"))
+    val mx = per.agg(max(col("last_ts")).as("max_ts"))
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        expr("(max_ts - last_ts) div 86400000000000"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(col("recency_days").desc, col("user_id"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frequency"), col("user_id"))
+    val wM = org.apache.spark.sql.expressions.Window
+      .orderBy(col("monetary"), col("user_id"))
+    base
+      .withColumn("r_q", ntile(4).over(wR))
+      .withColumn("f_q", ntile(4).over(wF))
+      .withColumn("m_q", ntile(4).over(wM))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q215_rfm" -> ((s, dir) =>
+      rfmSegments(Tables.load(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy(col("user_id"))),
+
     "q139_zorder_layout" -> ((s, dir) =>
       zOrderLayout(Tables.load(s, dir, "events")
           .withColumn("u", col("user_id").cast("long"))
@@ -534,6 +575,32 @@ object EventsOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q215_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_ns(ts)) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |      AS monetary
+        |  FROM events GROUP BY user_id
+        |), mx AS (SELECT max(last_ts) AS max_ts FROM per),
+        |base AS (
+        |  SELECT p.user_id, p.frequency, p.monetary,
+        |    (mx.max_ts - p.last_ts) // 86400000000000 AS recency_days
+        |  FROM per p CROSS JOIN mx
+        |), q AS (
+        |  SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |    frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS INT) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INT) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INT) AS m_q
+        |  FROM base
+        |)
+        |SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+        |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+        |    CAST(m_q AS VARCHAR) AS segment
+        |FROM q
+        |ORDER BY user_id""".stripMargin,
+
     "q139_zorder_layout" -> {
       val z = (0 until 12).map { j =>
         s"(((u >> $j) & 1) << ${2 * j}) + (((t >> $j) & 1) << ${2 * j + 1})"

@@ -172,7 +172,11 @@ class PlanSpec extends AnyFunSuite {
       "q202_mann_whitney", "q203_bigram_entropy", "q205_concentration",
       // q208 crosses the B-row (B=10) bin table for the PAV minimax
       // grid; q209 pairs the two one-row proportion summaries
-      "q207_rbo", "q208_isotonic", "q209_two_prop_z")
+      "q207_rbo", "q208_isotonic", "q209_two_prop_z",
+      // q214 attaches the 1-row min/max extent and the 1-row total;
+      // q215 attaches the 1-row corpus-max timestamp; q216 the 1-row
+      // reference vocabulary size
+      "q214_mutual_info", "q215_rfm", "q216_ngram_perplexity")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
