@@ -255,6 +255,34 @@ object Analytics {
         round(lit(1.0) / col("class_n"), 6).as("reident_prob")): _*)
   }
 
+  /** l-diversity audit — the companion check [[kAnonymityAudit]] can't
+    * express: a class can be large (k-anonymous) yet still leak when
+    * every member shares the SAME sensitive value (homogeneity attack —
+    * Machanavajjhala et al. 2007). Per equivalence class: size,
+    * distinct sensitive values, and the `< l` risk flag. One hash
+    * aggregation keyed by the QI columns (count-distinct adds its
+    * usual partial-dedup pass), one row per class out.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l > 0, s"need QI columns and l > 0, got $qiCols / $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .select(qiCols.map(col) ++ Seq(
+        col("class_n"), col("distinct_sensitive"),
+        (col("distinct_sensitive") < l).cast("int").as("at_risk")): _*)
+  }
+
+  private val q219Oracle =
+    """SELECT o_orderstatus, year(o_orderdate) AS order_year,
+      |  CAST(count(*) AS BIGINT) AS class_n,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS distinct_sensitive,
+      |  CAST(count(DISTINCT o_orderpriority) < 5 AS INT) AS at_risk
+      |FROM orders
+      |GROUP BY o_orderstatus, year(o_orderdate)
+      |ORDER BY o_orderstatus, order_year""".stripMargin
+
   private val q186Oracle =
     """SELECT c_nationkey, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS class_n,
@@ -336,6 +364,13 @@ object Analytics {
         Seq("c_nationkey", "c_mktsegment"), k = 10)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    "q219_l_diversity" -> ((s, dir) =>
+      lDiversityAudit(
+        graft.Tables.load(s, dir, "orders")
+          .withColumn("order_year", year(col("o_orderdate"))),
+        Seq("o_orderstatus", "order_year"), "o_orderpriority", l = 5)
+        .orderBy(col("o_orderstatus"), col("order_year"))),
+
     "q187_chi2_independence" -> Q.fromSql(q187Sql),
     "q188_dp_counts" -> Q.fromSql(q188Spark),
 
@@ -369,6 +404,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q186_k_anonymity" -> q186Oracle,
+    "q219_l_diversity" -> q219Oracle,
     "q187_chi2_independence" -> q187Sql,
     "q188_dp_counts" -> q188Duck,
 

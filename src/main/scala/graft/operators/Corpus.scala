@@ -2315,6 +2315,14 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    "q217_hits" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      hits(docLinkGraph(docs, "doc_id"),
+          docs.select(col("doc_id").as("node")), iters = 8)
+        .select(col("node").as("doc_id"), col("authority"), col("hub"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The assembled per-document quality-feature table — the
     // materialized signal join a classifier-based filter (FineWeb-style)
     // fits and applies on. One row per doc: surface stats, Gopher
@@ -2496,6 +2504,8 @@ object Corpus {
   val oracle: Map[String, String] = Map(
     "q196_kcore" -> kCoreOracle(k = 2, rounds = 3),
     "q99_pagerank" -> pageRankOracle(iters = 10, damping = 0.85),
+
+    "q217_hits" -> hitsOracle(iters = 8),
 
     "q177_triangles" ->
       s"""WITH $q51PairsCte,

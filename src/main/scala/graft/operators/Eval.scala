@@ -168,6 +168,75 @@ object Eval {
           col("idcg_d").cast("double"), 6)).as("ndcg"))
   }
 
+  /** MRR / precision@k / average precision over a scored (query,
+    * candidate, relevance) ranking — the binary-relevance retrieval
+    * metrics beside [[ndcgAtK]]'s graded one: MRR answers "how deep is
+    * the first hit", P@k "how clean is the page", AP "how front-loaded
+    * are ALL the hits". Same input contract as ndcgAtK (one row per
+    * (qid, cid) with 1-based rank and 0/1 rel, pool already truncated
+    * upstream); AP normalizes by the pool's relevant count, 0 when the
+    * pool has no relevant candidate.
+    *
+    * Scale: one per-qid running-relevance window over the bounded
+    * candidate pool (never the corpus), one aggregation keyed by qid;
+    * AP terms sum in DECIMAL.
+    */
+  def rankMetricsAtK(ranked: DataFrame, qidCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val base = ranked.select(col(qidCol).as("qid"),
+      col(rankCol).cast("long").as("rank"), col(relCol).cast("int").as("rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rank"))
+    val cum = base.withColumn("cum_rel", sum(col("rel")).over(w))
+    val agg = cum.groupBy(col("qid")).agg(
+      sum(col("rel").cast("long")).as("n_rel"),
+      min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+      sum(when(col("rel") === 1 && col("rank") <= k,
+        (col("cum_rel").cast("double") / col("rank")).cast(dec))
+        .otherwise(lit(null))).as("ap_num"))
+    agg.select(col("qid"), col("n_rel"),
+      when(col("first_rel").isNull, lit(0.0))
+        .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("mrr"),
+      round(col("n_rel").cast("double") / lit(k), 6).as("p_at_k"),
+      when(col("n_rel") === 0, lit(0.0))
+        .otherwise(round(col("ap_num").cast("double") / col("n_rel"), 6))
+        .as("ap"))
+  }
+
+  /** Krippendorff's alpha for m binary raters with complete data — the
+    * multi-rater generalization of [[cohensKappa]] (which cannot go
+    * past two annotators): 1 − D_o/D_e over the coincidence counts.
+    * With every unit rated by all m raters and binary values, both
+    * disagreement terms have exact integer numerators —
+    * num_o = Σ_u n_u1·(m − n_u1) and alpha collapses to
+    * 1 − num_o·(n−1) / ((m−1)·N0·N1) with n = m·units — so the single
+    * final division is the only floating-point step (the [[rocAuc]]
+    * discipline). One aggregation over the corpus, one row out.
+    */
+  def krippendorffAlpha(labeled: DataFrame, raterCols: Seq[String]): DataFrame = {
+    val m = raterCols.length
+    require(m >= 2, s"need at least 2 raters, got $m")
+    val nU1 = raterCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val agg = labeled.select(nU1.as("n_u1"))
+      .agg(count(lit(1)).as("units"),
+        sum(col("n_u1") * (lit(m.toLong) - col("n_u1"))).as("num_o"),
+        sum(col("n_u1")).as("n1"))
+    agg.select(col("units"),
+        (lit(m.toLong) * col("units")).as("n"),
+        (lit(m.toLong) * col("units") - col("n1")).as("n0"),
+        col("n1"), col("num_o"))
+      .select(col("units"), col("n"), col("n0"), col("n1"),
+        round((lit(2L) * col("num_o")).cast("double") /
+          (lit((m - 1).toLong) * col("n")), 6).as("d_o"),
+        round((lit(2L) * col("n0") * col("n1")).cast("double") /
+          (col("n") * (col("n") - lit(1L))), 6).as("d_e"),
+        round(lit(1.0) - (col("num_o") * (col("n") - lit(1L))).cast("double") /
+          (lit((m - 1).toLong) * col("n0") * col("n1")).cast("double"), 6)
+          .as("alpha"))
+  }
+
   /** Cohen's kappa between two binary annotators — chance-corrected
     * agreement (po - pe)/(1 - pe), THE gate before trusting weak labels
     * or LLM-judge labels enough to train on them. One aggregation over
@@ -466,6 +535,29 @@ object Eval {
           (col("score") >= 0.35).cast("int").as("b")),
         "a", "b")),
 
+    // binary-relevance metrics over the SAME q60/q189 kNN pool
+    "q218_rank_metrics" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val ranked = Similarity.bruteForceKnn(emb, nQueries = 5, k = 10)
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(labels.select(col("vec_id").as("cid"), col("label").as("cl")), "cid")
+        .withColumn("rel", (col("ql") === col("cl")).cast("int"))
+      rankMetricsAtK(ranked, "qid", "rnk", "rel", k = 10).orderBy(col("qid"))
+    }),
+
+    // the q190 pair plus a third weak labeler (n_chars >= 300) — the
+    // multi-rater agreement gate kappa can't express
+    "q220_krippendorff" -> ((s, dir) =>
+      krippendorffAlpha(
+        scoredDocs(s, dir)
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars")), "doc_id")
+          .select(col("label").as("a"),
+            (col("score") >= 0.35).cast("int").as("b"),
+            (col("n_chars") >= 300).cast("int").as("c")),
+        Seq("a", "b", "c"))),
+
     "q191_spearman" -> ((s, dir) =>
       spearman(
         Tables.load(s, dir, "documents")
@@ -582,6 +674,68 @@ object Eval {
          |  END AS ndcg
          |FROM agg
          |ORDER BY qid""".stripMargin,
+
+    "q218_rank_metrics" ->
+      s"""WITH ${Similarity.duckPrep},
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |), pool AS (
+         |  SELECT qid, cid, rnk FROM (
+         |    SELECT qid, cid, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 10
+         |), rel AS (
+         |  SELECT p.qid, p.rnk,
+         |    CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+         |  FROM pool p
+         |  JOIN embeddings lq ON lq.vec_id = p.qid
+         |  JOIN embeddings lc ON lc.vec_id = p.cid
+         |), cum AS (
+         |  SELECT qid, rnk, rel,
+         |    sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS cum_rel
+         |  FROM rel
+         |), agg AS (
+         |  SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         |    sum(CASE WHEN rel = 1 AND rnk <= 10
+         |      THEN CAST(CAST(cum_rel AS DOUBLE) / rnk AS DECIMAL(28,12)) END)
+         |      AS ap_num
+         |  FROM cum GROUP BY qid
+         |)
+         |SELECT qid, n_rel,
+         |  CASE WHEN first_rel IS NULL THEN 0.0
+         |    ELSE round(CAST(1.0 AS DOUBLE) / first_rel, 6) END AS mrr,
+         |  round(CAST(n_rel AS DOUBLE) / 10, 6) AS p_at_k,
+         |  CASE WHEN n_rel = 0 THEN 0.0
+         |    ELSE round(CAST(ap_num AS DOUBLE) / n_rel, 6) END AS ap
+         |FROM agg
+         |ORDER BY qid""".stripMargin,
+
+    "q220_krippendorff" ->
+      s"""WITH lab AS ($scoredSql
+         |), r AS (
+         |  SELECT s.label +
+         |    (CASE WHEN s.score >= 0.35 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END) AS n_u1
+         |  FROM lab s JOIN documents d ON d.doc_id = s.doc_id
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS units,
+         |    CAST(sum(n_u1 * (3 - n_u1)) AS BIGINT) AS num_o,
+         |    CAST(sum(n_u1) AS BIGINT) AS n1
+         |  FROM r
+         |), t AS (
+         |  SELECT units, 3 * units AS n, 3 * units - n1 AS n0, n1, num_o
+         |  FROM agg
+         |)
+         |SELECT units, n, n0, n1,
+         |  round(CAST(2 * num_o AS DOUBLE) / (2 * n), 6) AS d_o,
+         |  round(CAST(2 * n0 * n1 AS DOUBLE) / (n * (n - 1)), 6) AS d_e,
+         |  round(CAST(1.0 AS DOUBLE) - CAST(num_o * (n - 1) AS DOUBLE) /
+         |    CAST(2 * n0 * n1 AS DOUBLE), 6) AS alpha
+         |FROM t""".stripMargin,
 
     "q190_cohens_kappa" ->
       s"""WITH lab AS ($scoredSql

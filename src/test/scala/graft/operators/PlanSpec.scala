@@ -176,7 +176,9 @@ class PlanSpec extends AnyFunSuite {
       // q214 attaches the 1-row min/max extent and the 1-row total;
       // q215 attaches the 1-row corpus-max timestamp; q216 the 1-row
       // reference vocabulary size
-      "q214_mutual_info", "q215_rfm", "q216_ngram_perplexity")
+      "q214_mutual_info", "q215_rfm", "q216_ngram_perplexity",
+      // q218 rides the q60/q189 broadcast-anchor kNN scan
+      "q218_rank_metrics")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
