@@ -405,6 +405,60 @@ object EventsOps {
         min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
   }
 
+  /** Chat-template flattening with loss-mask spans — the SFT-data
+    * assembly step: interaction logs sessionize into conversations,
+    * turns alternate user/assistant roles, each conversation flattens
+    * under a fixed template (`<|role|>content<|end|>` per turn), and
+    * the trainer needs the character spans of ASSISTANT content only —
+    * the loss mask (user turns are context, not targets). Emits one
+    * row per assistant turn with its 0-based [mask_start, mask_end)
+    * span in the flattened text, plus the session's turn count and
+    * total length.
+    *
+    * All windows partition by (user, session) — no task ever owns more
+    * than one conversation; offsets are exact integer running sums of
+    * template-part lengths (no text materialization needed to place
+    * the spans).
+    */
+  def chatTemplate(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsNanosCol: String, tieCol: String, contentCol: String,
+      gapNanos: Long): org.apache.spark.sql.DataFrame = {
+    require(gapNanos > 0, s"gap must be positive, got $gapNanos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tsn"), col("tie"))
+    val base = events
+      .select(col(userCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
+        col(tieCol).as("tie"), col(contentCol).as("content"))
+      .withColumn("brk",
+        when(col("tsn") - lag(col("tsn"), 1).over(w) > gapNanos, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)) + 1L)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("session_seq"))
+      .orderBy(col("tsn"), col("tie"))
+    val wsAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("session_seq"))
+    base
+      .withColumn("turn_idx", row_number().over(ws).cast("long"))
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      .withColumn("plen",
+        length(concat(lit("<|"), col("role"), lit("|>"), col("content"),
+          lit("<|end|>"))).cast("long"))
+      .withColumn("prior",
+        coalesce(sum(col("plen")).over(ws.rowsBetween(Long.MinValue, -1)),
+          lit(0L)))
+      .withColumn("n_turns", count(lit(1)).over(wsAll))
+      .withColumn("total_len", sum(col("plen")).over(wsAll))
+      .filter(col("role") === "assistant")
+      .select(col("key").as("user_id"), col("session_seq"), col("turn_idx"),
+        (col("prior") + lit("<|assistant|>".length.toLong)).as("mask_start"),
+        (col("prior") + lit("<|assistant|>".length.toLong) +
+          length(col("content")).cast("long")).as("mask_end"),
+        col("n_turns"), col("total_len"))
+  }
+
   /** RFM segmentation — the classic behavioral user segmentation
     * (Recency of last event, Frequency of events, Monetary value),
     * each quartiled and concatenated to a 3-digit segment label
@@ -446,6 +500,12 @@ object EventsOps {
     "q215_rfm" -> ((s, dir) =>
       rfmSegments(Tables.load(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"))),
+
+    // q160's 4-hour session gap; event_type as the turn content
+    "q222_chat_template" -> ((s, dir) =>
+      chatTemplate(Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_id", "event_type", gapNanos = 4L * 3600L * 1000000000L)
+        .orderBy(col("user_id"), col("session_seq"), col("turn_idx"))),
 
     "q139_zorder_layout" -> ((s, dir) =>
       zOrderLayout(Tables.load(s, dir, "events")
@@ -795,6 +855,52 @@ object EventsOps {
         |FROM ranked
         |GROUP BY user_id, conv_id
         |ORDER BY user_id, conv_id""".stripMargin,
+
+    "q222_chat_template" ->
+      """WITH o AS (
+        |  SELECT user_id AS key, event_id AS tie, epoch_ns(ts) AS tsn,
+        |    event_type AS content,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |      > 14400000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT key, tie, tsn, content,
+        |    CAST(sum(brk) OVER (PARTITION BY key ORDER BY tsn, tie
+        |      ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_seq
+        |  FROM o
+        |), t AS (
+        |  SELECT key, session_seq, tsn, tie, content,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY key, session_seq ORDER BY tsn, tie) AS BIGINT)
+        |      AS turn_idx
+        |  FROM s
+        |), p AS (
+        |  SELECT key, session_seq, turn_idx, content,
+        |    CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len('<|' ||
+        |      (CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END) ||
+        |      '|>' || content || '<|end|>') AS BIGINT) AS plen
+        |  FROM t
+        |), c AS (
+        |  SELECT key, session_seq, turn_idx, role, content,
+        |    CAST(coalesce(sum(plen) OVER (
+        |      PARTITION BY key, session_seq ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prior,
+        |    CAST(count(*) OVER (PARTITION BY key, session_seq) AS BIGINT)
+        |      AS n_turns,
+        |    CAST(sum(plen) OVER (PARTITION BY key, session_seq) AS BIGINT)
+        |      AS total_len
+        |  FROM p
+        |)
+        |SELECT key AS user_id, session_seq, turn_idx,
+        |  prior + 13 AS mask_start,
+        |  prior + 13 + CAST(len(content) AS BIGINT) AS mask_end,
+        |  n_turns, total_len
+        |FROM c
+        |WHERE role = 'assistant'
+        |ORDER BY user_id, session_seq, turn_idx""".stripMargin,
 
     "q160_sessionize" ->
       """WITH o AS (

@@ -60,6 +60,85 @@ object Similarity {
         (col("sx").cast("double") / col("n")).as("m"), col("n"))
   }
 
+  /** Top principal component of the embedding covariance by power
+    * iteration — the first step of PCA whitening / ABTT ("all-but-the-
+    * top", Mu & Viswanath 2018): embedding sets concentrate along a few
+    * dominant directions, and retrieval/dedup quality improves when the
+    * top component is inspected (high explained-variance = anisotropic
+    * space) or projected out. Output: the d loadings plus the top
+    * eigenvalue and its explained-variance share of the trace.
+    *
+    * Dataflow: covariance via ONE row-local outer-product expansion
+    * (each row emits its d² products, map-side combined to d² partial
+    * sums — the corpus shuffles nothing but those partials; no
+    * row×row join anywhere), then `iters` matrix-vector rounds against
+    * the d²-row C — each one broadcast-join of the d-row vector + one
+    * aggregation, localCheckpoint per round ([[graft.operators.Corpus.pageRank]]
+    * discipline). Driver never holds C. d² partials bound shuffle
+    * volume at any corpus size (d = 4096 → 16M partials, still tiny
+    * next to the data).
+    *
+    * Engine-exact: float→double casts are exact, per-term products go
+    * through DECIMAL(38,18) sums, each iterate rounds to 12 places
+    * after the L2 normalize, and the expression trees mirror the
+    * unrolled oracle text (multiplication order included).
+    */
+  def topPrincipalComponent(emb: DataFrame, dim: Int,
+      iters: Int): DataFrame = {
+    require(dim > 0 && iters > 0, s"need dim/iters > 0, got $dim/$iters")
+    val spark = emb.sparkSession
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val dec18 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val n = emb.count()
+    val vd = emb.select(
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    val mu = vd.select(posexplode(col("vd")).as(Seq("j0", "x")))
+      .groupBy((col("j0") + 1).as("j"))
+      .agg((sum(col("x").cast(dec12)).cast("double") / count(lit(1))).as("mu"))
+    val sxx = vd.select(explode(expr(
+        s"transform(sequence(0, ${dim * dim - 1}), i -> struct(" +
+          s"i div $dim + 1 AS j, i % $dim + 1 AS k, " +
+          s"element_at(vd, CAST(i div $dim AS INT) + 1) * " +
+          s"element_at(vd, CAST(i % $dim AS INT) + 1) AS t))")).as("s"))
+      .groupBy(col("s.j").as("j"), col("s.k").as("k"))
+      .agg(sum(col("s.t").cast(dec18)).as("sxx"))
+    val cmat = sxx
+      .join(mu.select(col("j"), col("mu").as("mu_j")), "j")
+      .join(mu.select(col("j").as("k"), col("mu").as("mu_k")), "k")
+      .select(col("j"), col("k"),
+        ((col("sxx").cast("double") - lit(n) * col("mu_j") * col("mu_k")) /
+          (lit(n) - lit(1L))).as("c"))
+      .localCheckpoint(true)
+    var v = spark.range(1, dim + 1).toDF("j")
+      .select(col("j"), lit(1.0 / math.sqrt(dim.toDouble)).as("v"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val w = cmat.join(broadcast(v.select(col("j").as("k"), col("v"))), "k")
+        .select(col("j"), (col("c") * col("v")).cast(dec18).as("t"))
+        .groupBy(col("j")).agg(sum(col("t")).as("w"))
+      val nrm = w.agg(sqrt(sum(
+        (col("w").cast("double") * col("w").cast("double")).cast(dec18))
+        .cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("j"), round(col("w").cast("double") / col("nrm"), 12)
+          .as("v"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val lam = cmat
+      .join(broadcast(v.select(col("j"), col("v").as("vj"))), "j")
+      .join(broadcast(v.select(col("j").as("k"), col("v").as("vk"))), "k")
+      .agg(sum((col("c") * col("vj") * col("vk")).cast(dec18)).as("l"))
+    val tr = cmat.filter(col("j") === col("k"))
+      .agg(sum(col("c").cast(dec18)).as("t"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("j").cast("long").as("j"), col("v").as("loading"),
+        round(col("l").cast("double"), 6).as("eigenvalue"),
+        round(col("l").cast("double") / col("t").cast("double"), 6)
+          .as("explained_var"))
+  }
+
   def meanPool(emb: DataFrame, group: Column): DataFrame = {
     val mean = chunkMeans(emb, group)
     val nrm = mean.groupBy(col("doc_id"))
@@ -856,6 +935,11 @@ object Similarity {
       meanPool(Tables.load(s, dir, "embeddings"), expr("vec_id DIV 4"))
         .orderBy(col("doc_id"), col("dim"))),
 
+    "q221_top_component" -> ((s, dir) =>
+      topPrincipalComponent(Tables.load(s, dir, "embeddings"), dim = 64,
+        iters = 8)
+        .orderBy(col("j"))),
+
     // 0.35 exercises the operator on this synthetic corpus (max pooled
     // pairwise cosine is 0.476); production near-dup runs the same plan
     // at ~0.9 with wider bands
@@ -923,6 +1007,67 @@ object Similarity {
         .orderBy(col("qid"))
     })
   )
+
+  /** Unrolled oracle text for [[topPrincipalComponent]] — the q99/q217
+    * bounded-iteration discipline: every matrix-vector stage
+    * MATERIALIZED, per-term DECIMAL(38,18) sums, round-12 iterates,
+    * multiplication order identical to the Spark expression tree. */
+  private[operators] def topComponentOracle(dim: Int, iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT c.j, sum(CAST(c.c * p.v AS DECIMAL(38,18))) AS w
+         |  FROM cm c JOIN pv${i - 1} p ON c.k = p.j GROUP BY c.j),
+         |nm$i AS (SELECT sqrt(CAST(sum(CAST(CAST(w AS DOUBLE) *
+         |  CAST(w AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+         |  FROM w$i),
+         |pv$i AS MATERIALIZED (
+         |  SELECT j, round(CAST(w AS DOUBLE) / t.nrm, 12) AS v
+         |  FROM w$i CROSS JOIN nm$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ve AS (SELECT CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |ex AS (
+       |  SELECT unnest(vd) AS x,
+       |    unnest(generate_series(1, $dim)) AS j
+       |  FROM ve
+       |), mu AS (
+       |  SELECT j, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |    AS mu
+       |  FROM ex GROUP BY j
+       |), p AS (
+       |  SELECT t.i // $dim + 1 AS j, t.i % $dim + 1 AS k,
+       |    vd[t.i // $dim + 1] * vd[t.i % $dim + 1] AS prod
+       |  FROM ve CROSS JOIN generate_series(0, ${dim * dim - 1}) t(i)
+       |), sxx AS (
+       |  SELECT j, k, sum(CAST(prod AS DECIMAL(38,18))) AS sxx
+       |  FROM p GROUP BY j, k
+       |), cm AS MATERIALIZED (
+       |  SELECT s.j, s.k,
+       |    (CAST(s.sxx AS DOUBLE) - n.n * mj.mu * mk.mu) / (n.n - 1) AS c
+       |  FROM sxx s
+       |  JOIN mu mj ON mj.j = s.j
+       |  JOIN mu mk ON mk.j = s.k
+       |  CROSS JOIN nn n
+       |),
+       |pv0 AS MATERIALIZED (
+       |  SELECT t.j, CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS v
+       |  FROM generate_series(1, $dim) t(j)),
+       |$stages,
+       |lam AS (
+       |  SELECT sum(CAST(c.c * a.v * b.v AS DECIMAL(38,18))) AS l
+       |  FROM cm c
+       |  JOIN pv$iters a ON a.j = c.j
+       |  JOIN pv$iters b ON b.j = c.k
+       |), tr AS (
+       |  SELECT sum(CAST(c AS DECIMAL(38,18))) AS t FROM cm WHERE j = k
+       |)
+       |SELECT pv$iters.j, pv$iters.v AS loading,
+       |  round(CAST(lam.l AS DOUBLE), 6) AS eigenvalue,
+       |  round(CAST(lam.l AS DOUBLE) / CAST(tr.t AS DOUBLE), 6)
+       |    AS explained_var
+       |FROM pv$iters CROSS JOIN lam CROSS JOIN tr
+       |ORDER BY j""".stripMargin
+  }
 
   private[operators] val duckPrep =
     """v AS (
@@ -1116,6 +1261,8 @@ object Similarity {
 
     // parallel unnests zip component and 1-based dim; DECIMAL sums make
     // the mean and norm order-independent, matching the Spark side
+    "q221_top_component" -> topComponentOracle(dim = 64, iters = 8),
+
     "q149_mean_pool" ->
       """WITH e AS (
         |  SELECT vec_id // 4 AS doc_id,

@@ -178,7 +178,10 @@ class PlanSpec extends AnyFunSuite {
       // reference vocabulary size
       "q214_mutual_info", "q215_rfm", "q216_ngram_perplexity",
       // q218 rides the q60/q189 broadcast-anchor kNN scan
-      "q218_rank_metrics")
+      "q218_rank_metrics",
+      // q221 attaches the 1-row eigenvalue and 1-row trace aggregates
+      // to the d-row loading vector
+      "q221_top_component")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
