@@ -1781,6 +1781,138 @@ object Corpus {
         .as("r2"))
   }
 
+  /** Good-Turing count-of-counts table — the frequency-spectrum
+    * diagnostic behind smoothing and coverage estimates: N_r = how many
+    * word types occur exactly r times, and the GT-adjusted count
+    * r* = (r+1)·N_{r+1}/N_r (NULL where the next frequency class is
+    * empty — simple GT, the smoothed-fit variant plugs into the same
+    * table). N_1/N is the Good-Turing unseen-mass estimate a coverage
+    * audit reads straight off row r = 1.
+    *
+    * Shape: word counts (corpus-scale, map-side combinable) collapse to
+    * one row per distinct frequency — support-bounded like [[zipfFit]];
+    * the r↔r+1 self-join runs on that tiny table.
+    */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nr = wc.groupBy(col("c")).agg(count(lit(1)).as("n_r"))
+    nr.join(nr.select((col("c") - 1).as("c"), col("n_r").as("n_r1")),
+        Seq("c"), "left")
+      .select(col("c").as("r"), col("n_r"),
+        round(((col("c") + lit(1L)) * col("n_r1")).cast("double") /
+          col("n_r"), 6).as("r_star"))
+  }
+
+  /** Heaps'-law vocabulary-growth fit — V(T) ≈ K·T^β estimated over
+    * `nBuckets` corpus prefixes: β near the reference ~0.5 says the
+    * corpus keeps yielding new types at the natural rate; β collapsing
+    * says duplication/boilerplate (new data stops paying for itself —
+    * THE curve a data-acquisition plan consults), β ≈ 1 says id-like
+    * vocabulary explosion. The trick that makes prefixes one pass: a
+    * word enters the vocabulary at its FIRST occurrence, so cumulative
+    * vocabulary per prefix = a running sum over first-occurrence
+    * buckets — min(doc_id) per word, never a distinct-per-prefix
+    * rescan.
+    *
+    * Shape: two corpus aggregations (first occurrence per word,
+    * tokens per doc-bucket) collapse to an nBuckets-row table; the
+    * cumulative window and the [[zipfFit]]-convention log-log OLS run
+    * over that. Output: the growth curve with the fit attached.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 3, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val n = docs.count()
+    // "types" are word `gramN`-grams ([[wordGramExpr]], the shared
+    // tokenization): closed word vocabularies saturate instantly and
+    // degenerate the fit (all-equal y ⇒ zero OLS denominators); gram
+    // types keep growing, which is what Heaps' law measures
+    // integral division (mirrors the oracle's `//`): the double floor is
+    // exact here — c*nBuckets < 2^53 and the 1e-16 quotient rounding
+    // can't bridge the 1/n gap below an integer boundary
+    def bucket(c: Column) = floor((c * nBuckets).cast("double") / lit(n.toDouble))
+    val ws = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val firstOcc = ws.filter(size(col("ws")) >= gramN)
+      .select(col("doc_id"), explode(expr(wordGramExpr(gramN))).as("g"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val vocabB = firstOcc.groupBy(bucket(col("fd")).as("bucket"))
+      .agg(count(lit(1)).as("v_b"))
+    val tokensB = ws
+      .select(bucket(col("doc_id")).as("bucket"),
+        greatest(size(col("ws")) - (gramN - 1), lit(0)).cast("long").as("nt"))
+      .groupBy(col("bucket")).agg(sum(col("nt")).as("t_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+    val pts = tokensB.join(vocabB, Seq("bucket"), "left")
+      .withColumn("cum_tokens", sum(col("t_b")).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("v_b"), lit(0L))).over(w))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        log(col("cum_tokens").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val fit = m.select(
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("beta"),
+      round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .cast("double") / col("n"), 6).as("intercept"),
+      round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+         (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("r2"))
+    pts.select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+      .crossJoin(broadcast(fit))
+  }
+
+  /** Log-odds-ratio keywords with an informative Dirichlet prior
+    * (Monroe, Colaresi & Quinn 2008) — "which words actually
+    * distinguish source A from source B", with the variance correction
+    * raw frequency ratios and TF-IDF both lack (rare words get huge
+    * raw ratios but huge variance too; the z-score ranks honestly).
+    * Prior: α_w = α₀·(y_A+y_B)/(n_A+n_B) — the combined corpus as the
+    * reference distribution.
+    *
+    * One word×side count aggregation (map-side combinable), a 1-row
+    * totals broadcast, then pure row-local arithmetic — every input an
+    * exact integer, double ops in oracle-mirrored order.
+    */
+  def logOddsKeywords(docs: DataFrame, textCol: String, sourceCol: String,
+      srcA: String, srcB: String, alpha0: Double = 10.0,
+      minCount: Long = 5L): DataFrame = {
+    val counts = docs
+      .filter(col(sourceCol).isin(srcA, srcB))
+      .select(col(sourceCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("src") === srcA, 1L).otherwise(0L)).as("ya"),
+        sum(when(col("src") === srcB, 1L).otherwise(0L)).as("yb"))
+    val totals = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"))
+    counts.filter(col("ya") + col("yb") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("aw",
+        lit(alpha0) * (col("ya") + col("yb")).cast("double") /
+          (col("na") + col("nb")))
+      .withColumn("delta",
+        log((col("ya") + col("aw")) /
+            (col("na") + lit(alpha0) - col("ya") - col("aw"))) -
+        log((col("yb") + col("aw")) /
+            (col("nb") + lit(alpha0) - col("yb") - col("aw"))))
+      .withColumn("z",
+        col("delta") / sqrt(lit(1.0) / (col("ya") + col("aw")) +
+          lit(1.0) / (col("yb") + col("aw"))))
+      .select(col("w"), col("ya"), col("yb"),
+        round(col("delta"), 6).as("delta"), round(col("z"), 6).as("z"))
+  }
+
   /** Bigram conditional entropy H(W₂|W₁) (and the unigram entropy it is
     * bounded by) — the sequence-predictability diagnostic: natural prose
     * sits well below H(W); template/boilerplate text collapses toward 0
@@ -2378,6 +2510,21 @@ object Corpus {
 
     "q203_bigram_entropy" -> ((s, dir) =>
       bigramEntropy(Tables.load(s, dir, "documents"), "text")),
+
+    "q223_good_turing" -> ((s, dir) =>
+      goodTuring(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("r"))),
+
+    "q224_heaps_law" -> ((s, dir) =>
+      heapsLaw(Tables.load(s, dir, "documents"), "doc_id", "text",
+        nBuckets = 10)
+        .orderBy(col("bucket"))),
+
+    // the q209 A/B source pair, keyword-level
+    "q225_log_odds" -> ((s, dir) =>
+      logOddsKeywords(Tables.load(s, dir, "documents"), "text", "source",
+        "src0", "src1")
+        .orderBy(col("w"))),
 
     // reference slice = the four lowest-numbered sources; every other
     // doc is scored against the LM those sources induce
@@ -3465,6 +3612,102 @@ object Corpus {
         |  END AS z
         |FROM a
         |ORDER BY group_a, group_b""".stripMargin,
+
+    "q223_good_turing" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w
+        |), nr AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY c
+        |)
+        |SELECT a.c AS r, a.n_r,
+        |  round(CAST((a.c + 1) * b.n_r AS DOUBLE) / a.n_r, 6) AS r_star
+        |FROM nr a LEFT JOIN nr b ON b.c = a.c + 1
+        |ORDER BY r""".stripMargin,
+
+    "q224_heaps_law" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |fo AS (
+        |  SELECT g, min(doc_id) AS fd
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(generate_series(1, len(ws) - 2),
+        |            i -> array_to_string(ws[i : i + 2], ' '))) AS g
+        |        FROM ws WHERE len(ws) >= 3) t
+        |  GROUP BY g
+        |), vb AS (
+        |  SELECT (fd * 10) // n AS bucket, CAST(count(*) AS BIGINT) AS v_b
+        |  FROM fo CROSS JOIN nn GROUP BY 1
+        |), tb AS (
+        |  SELECT (doc_id * 10) // n AS bucket,
+        |    CAST(sum(greatest(len(ws) - 2, 0)) AS BIGINT) AS t_b
+        |  FROM ws CROSS JOIN nn GROUP BY 1
+        |), pts AS (
+        |  SELECT t.bucket,
+        |    CAST(sum(t.t_b) OVER (ORDER BY t.bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(coalesce(v.v_b, 0)) OVER (ORDER BY t.bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |  FROM tb t LEFT JOIN vb v USING (bucket)
+        |), xy AS (
+        |  SELECT bucket, cum_tokens, cum_vocab,
+        |    ln(CAST(cum_tokens AS DOUBLE)) AS x,
+        |    ln(CAST(cum_vocab AS DOUBLE)) AS y
+        |  FROM pts
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM xy
+        |), fit AS (
+        |  SELECT
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+        |    round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n * sxx - sx * sx AS DOUBLE))) / n, 6) AS intercept,
+        |    round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+        |      (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |  FROM m
+        |)
+        |SELECT bucket, cum_tokens, cum_vocab, beta, intercept, r2
+        |FROM xy CROSS JOIN fit
+        |ORDER BY bucket""".stripMargin,
+
+    "q225_log_odds" ->
+      """WITH counts AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+        |    CAST(sum(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+        |  FROM (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+        |        FROM documents WHERE source IN ('src0', 'src1')) t
+        |  GROUP BY w
+        |), totals AS (
+        |  SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb
+        |  FROM counts
+        |), z AS (
+        |  SELECT w, ya, yb,
+        |    CAST(10.0 AS DOUBLE) * CAST(ya + yb AS DOUBLE) / (na + nb) AS aw,
+        |    na, nb
+        |  FROM counts CROSS JOIN totals
+        |  WHERE ya + yb >= 5
+        |), d AS (
+        |  SELECT w, ya, yb,
+        |    ln((ya + aw) / (na + CAST(10.0 AS DOUBLE) - ya - aw)) -
+        |    ln((yb + aw) / (nb + CAST(10.0 AS DOUBLE) - yb - aw)) AS delta,
+        |    aw
+        |  FROM z
+        |)
+        |SELECT w, ya, yb, round(delta, 6) AS delta,
+        |  round(delta / sqrt(CAST(1.0 AS DOUBLE) / (ya + aw) +
+        |    CAST(1.0 AS DOUBLE) / (yb + aw)), 6) AS z
+        |FROM d
+        |ORDER BY w""".stripMargin,
 
     "q216_ngram_perplexity" ->
       """WITH ws AS (

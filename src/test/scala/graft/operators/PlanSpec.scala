@@ -180,8 +180,9 @@ class PlanSpec extends AnyFunSuite {
       // q218 rides the q60/q189 broadcast-anchor kNN scan
       "q218_rank_metrics",
       // q221 attaches the 1-row eigenvalue and 1-row trace aggregates
-      // to the d-row loading vector
-      "q221_top_component")
+      // to the d-row loading vector; q224 attaches the 1-row OLS fit
+      // to the nBuckets-row growth curve; q225 the 1-row side totals
+      "q221_top_component", "q224_heaps_law", "q225_log_odds")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
