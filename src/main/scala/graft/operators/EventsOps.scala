@@ -405,6 +405,141 @@ object EventsOps {
         min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
   }
 
+  /** Trimmed + winsorized mean per group — the robust location
+    * estimators a metrics pipeline swaps in when raw means chase
+    * outliers ([[Selection]] q204's modified-z flags them; these
+    * summarize WITHOUT them). Rank-based trimming (drop the lowest and
+    * highest n/`trimDenom` BY COUNT, deterministic tiebreak) rather
+    * than value-quantile trimming, so the estimate is exact under ties
+    * and engine-identical. Winsorizing clamps instead of dropping:
+    * winsor_mean = (trimmed_sum + k·lo + k·hi)/n — computed post-agg
+    * from the boundary values, no second pass.
+    *
+    * One rank window per group + one aggregation, both partitioned by
+    * the group key; values ride DECIMAL so sums are exact.
+    */
+  def trimmedStats(events: org.apache.spark.sql.DataFrame, groupCol: String,
+      valCol: String, tieCol: String,
+      trimDenom: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(trimDenom >= 3, s"trimDenom must be >= 3, got $trimDenom")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("tie"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    events
+      .select(col(groupCol).as("g"), col(valCol).cast(dec).as("v"),
+        col(tieCol).as("tie"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", expr(s"n div $trimDenom"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(when(col("rnk") > col("k") && col("rnk") <= col("n") - col("k"),
+          col("v"))).as("tsum"),
+        max(when(col("rnk") === col("k") + 1, col("v"))).as("lo_v"),
+        max(when(col("rnk") === col("n") - col("k"), col("v"))).as("hi_v"))
+      .select(col("g"), col("n"), col("k"),
+        col("lo_v").cast("double").as("lo_v"),
+        col("hi_v").cast("double").as("hi_v"),
+        round(col("tsum").cast("double") / (col("n") - lit(2L) * col("k")), 6)
+          .as("trimmed_mean"),
+        round((col("tsum") + col("lo_v") * col("k") + col("hi_v") * col("k"))
+          .cast("double") / col("n"), 6).as("winsor_mean"))
+  }
+
+  /** Kaplan-Meier survival over user lifetimes — the retention curve
+    * with CENSORING done right: a user still active near the corpus
+    * edge hasn't churned, they're censored, and dropping that
+    * distinction biases survival low (the q134 cohort table can't
+    * express it). Lifetime = whole days first→last event (integer
+    * nanosecond division); censored when the last event falls within
+    * `censorDays` of the corpus max. S(t) = Π_{u≤t}(1 − d_u/n_u) with
+    * the at-risk set as a suffix sum over the duration table; every
+    * factor is a ratio of integers, the product runs as a DECIMAL
+    * cumulative log-sum (exp at the end), and an all-remaining-die
+    * final step short-circuits to exactly 0 instead of ln(0).
+    *
+    * The corpus collapses to one row per user, then one row per
+    * distinct duration (support-bounded) — the windows run over THAT.
+    */
+  def kaplanMeier(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsNanosCol: String,
+      censorDays: Long = 7L): org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val day = 86400000000000L
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(min(col(tsNanosCol).cast("long")).as("t0"),
+        max(col(tsNanosCol).cast("long")).as("t1"))
+    val mx = per.agg(max(col("t1")).as("tmax"))
+    val base = per.crossJoin(broadcast(mx))
+      .select(expr(s"(t1 - t0) div $day").as("dur"),
+        (col("tmax") - col("t1") >= lit(censorDays * day)).cast("long")
+          .as("event"))
+    val byDur = base.groupBy(col("dur"))
+      .agg(count(lit(1)).as("c_all"), sum(col("event")).as("d"))
+    val wRisk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur")).rowsBetween(0, Long.MaxValue)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dur")).rowsBetween(Long.MinValue, 0)
+    byDur
+      .withColumn("n_risk", sum(col("c_all")).over(wRisk))
+      .withColumn("ln_term",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)).cast(dec))
+      .withColumn("zero_flag",
+        when(col("d") > 0 && col("n_risk") === col("d"), 1L).otherwise(0L))
+      .withColumn("cum_zero", max(col("zero_flag")).over(wCum))
+      .withColumn("cum_ln", sum(col("ln_term")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("dur").as("dur_days"), col("n_risk"),
+        col("d").as("d_events"),
+        when(col("cum_zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double")), 6))
+          .as("survival"))
+  }
+
+  /** Association rules over session item sets — support / confidence /
+    * lift for every co-occurring pair of event types within a session
+    * (market-basket over behavioral sessions; lift > 1 = genuinely
+    * associated, not just both-frequent). Sessions are the q160 gap
+    * sessionization; item sets are DISTINCT types per session, so the
+    * pair self-join fans out only |types|² per session — bounded by
+    * the type vocabulary, not event volume.
+    */
+  def assocRules(events: org.apache.spark.sql.DataFrame, userCol: String,
+      tsNanosCol: String, tieCol: String, itemCol: String, gapNanos: Long,
+      minSupport: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("tsn"), col("tie"))
+    val items = events
+      .select(col(userCol).as("key"), col(tsNanosCol).cast("long").as("tsn"),
+        col(tieCol).as("tie"), col(itemCol).as("item"))
+      .withColumn("brk",
+        when(col("tsn") - lag(col("tsn"), 1).over(w) > gapNanos, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)) + 1L)
+      .select(col("key"), col("session_seq"), col("item")).distinct()
+    val totals = items.agg(
+      countDistinct(col("key"), col("session_seq")).as("ns"))
+    val counts = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val pairs = items.select(col("key"), col("session_seq"), col("item").as("a"))
+      .join(items.select(col("key"), col("session_seq"), col("item").as("b")),
+        Seq("key", "session_seq"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs.filter(col("n_ab") >= minSupport)
+      .join(counts.select(col("item").as("a"), col("n_i").as("n_a")), "a")
+      .join(counts.select(col("item").as("b"), col("n_i").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_ba"),
+        round((col("n_ab") * col("ns")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
   /** Chat-template flattening with loss-mask spans — the SFT-data
     * assembly step: interaction logs sessionize into conversations,
     * turns alternate user/assistant roles, each conversation flattens
@@ -500,6 +635,23 @@ object EventsOps {
     "q215_rfm" -> ((s, dir) =>
       rfmSegments(Tables.load(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"))),
+
+    "q226_trimmed_mean" -> ((s, dir) =>
+      trimmedStats(Tables.load(s, dir, "events"), "event_type", "value",
+        "event_id", trimDenom = 10)
+        .orderBy(col("g"))),
+
+    // 1-day horizon: the synthetic users are near-continuously active
+    // over the whole corpus span, so day-scale inactivity IS churn here
+    "q227_kaplan_meier" -> ((s, dir) =>
+      kaplanMeier(Tables.load(s, dir, "events"), "user_id", "ts",
+        censorDays = 1L)
+        .orderBy(col("dur_days"))),
+
+    "q228_assoc_rules" -> ((s, dir) =>
+      assocRules(Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", gapNanos = 4L * 3600L * 1000000000L)
+        .orderBy(col("a"), col("b"))),
 
     // q160's 4-hour session gap; event_type as the turn content
     "q222_chat_template" -> ((s, dir) =>
@@ -855,6 +1007,115 @@ object EventsOps {
         |FROM ranked
         |GROUP BY user_id, conv_id
         |ORDER BY user_id, conv_id""".stripMargin,
+
+    "q226_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DECIMAL(12,2)) AS v,
+        |    event_id AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, tie)
+        |      AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b
+        |), k AS (
+        |  SELECT g, v, rnk, n, n // 10 AS k FROM r
+        |), a AS (
+        |  SELECT g, max(n) AS n, max(k) AS k,
+        |    sum(CASE WHEN rnk > k AND rnk <= n - k THEN v END) AS tsum,
+        |    max(CASE WHEN rnk = k + 1 THEN v END) AS lo_v,
+        |    max(CASE WHEN rnk = n - k THEN v END) AS hi_v
+        |  FROM k GROUP BY g
+        |)
+        |SELECT g, n, k,
+        |  CAST(lo_v AS DOUBLE) AS lo_v, CAST(hi_v AS DOUBLE) AS hi_v,
+        |  round(CAST(tsum AS DOUBLE) / (n - 2 * k), 6) AS trimmed_mean,
+        |  round(CAST(tsum + lo_v * k + hi_v * k AS DOUBLE) / n, 6)
+        |    AS winsor_mean
+        |FROM a
+        |ORDER BY g""".stripMargin,
+
+    "q227_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id AS u, min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1
+        |  FROM events GROUP BY user_id
+        |), mx AS (SELECT max(t1) AS tmax FROM per),
+        |base AS (
+        |  SELECT (t1 - t0) // 86400000000000 AS dur,
+        |    CASE WHEN tmax - t1 >= 1 * 86400000000000 THEN 1 ELSE 0 END
+        |      AS event
+        |  FROM per CROSS JOIN mx
+        |), bd AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+        |    CAST(sum(event) AS BIGINT) AS d
+        |  FROM base GROUP BY dur
+        |), risk AS (
+        |  SELECT dur, c_all, d,
+        |    CAST(sum(c_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk
+        |  FROM bd
+        |), t AS (
+        |  SELECT dur, d, n_risk,
+        |    CAST(CASE WHEN d > 0 AND n_risk > d
+        |      THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,18)) AS ln_term,
+        |    CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS zero_flag
+        |  FROM risk
+        |), c AS (
+        |  SELECT dur, d, n_risk,
+        |    max(zero_flag) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS cum_zero,
+        |    sum(ln_term) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS cum_ln
+        |  FROM t
+        |)
+        |SELECT dur AS dur_days, n_risk, d AS d_events,
+        |  CASE WHEN cum_zero = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS survival
+        |FROM c
+        |WHERE d > 0
+        |ORDER BY dur_days""".stripMargin,
+
+    "q228_assoc_rules" ->
+      """WITH o AS (
+        |  SELECT user_id AS key, event_id AS tie, epoch_ns(ts) AS tsn,
+        |    event_type AS item,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |      > 14400000000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT key, item,
+        |    sum(brk) OVER (PARTITION BY key ORDER BY tsn, tie
+        |      ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+        |  FROM o
+        |), items AS (
+        |  SELECT DISTINCT key, session_seq, item FROM s
+        |), totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ns FROM (
+        |    SELECT DISTINCT key, session_seq FROM items) t
+        |), counts AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM items GROUP BY item
+        |), pairs AS (
+        |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items x JOIN items y
+        |    ON x.key = y.key AND x.session_seq = y.session_seq
+        |    AND x.item < y.item
+        |  GROUP BY x.item, y.item
+        |)
+        |SELECT a, b, ca.n_i AS n_a, cb.n_i AS n_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / ca.n_i, 6) AS conf_ab,
+        |  round(CAST(n_ab AS DOUBLE) / cb.n_i, 6) AS conf_ba,
+        |  round(CAST(n_ab * ns AS DOUBLE) / (ca.n_i * cb.n_i), 6) AS lift
+        |FROM pairs
+        |JOIN counts ca ON ca.item = a
+        |JOIN counts cb ON cb.item = b
+        |CROSS JOIN totals
+        |WHERE n_ab >= 5
+        |ORDER BY a, b""".stripMargin,
 
     "q222_chat_template" ->
       """WITH o AS (

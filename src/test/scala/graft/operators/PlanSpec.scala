@@ -182,7 +182,10 @@ class PlanSpec extends AnyFunSuite {
       // q221 attaches the 1-row eigenvalue and 1-row trace aggregates
       // to the d-row loading vector; q224 attaches the 1-row OLS fit
       // to the nBuckets-row growth curve; q225 the 1-row side totals
-      "q221_top_component", "q224_heaps_law", "q225_log_odds")
+      "q221_top_component", "q224_heaps_law", "q225_log_odds",
+      // q227 attaches the 1-row corpus-max timestamp; q228 the 1-row
+      // session total
+      "q227_kaplan_meier", "q228_assoc_rules")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
