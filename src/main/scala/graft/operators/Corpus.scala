@@ -448,6 +448,50 @@ object Corpus {
         round(terms.indices.map(i => col(s"s$i")).reduce(_ + _), 4).as("bm25"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling alternative to [[bm25]]:
+    * score(q,d) = Σ_w ln((tf_{w,d} + μ·p(w|C)) / (|d| + μ)). Unlike
+    * BM25, EVERY document scores on every query term (absent terms
+    * draw the collection-probability smoothing mass), which is what
+    * makes the score a proper log-likelihood — so the doc×term grid is
+    * generated row-locally from the tiny literal term list (never a
+    * corpus×corpus product) and term frequencies LEFT-join onto it.
+    * Query terms missing from the whole collection are dropped
+    * uniformly (p(w|C) = 0 would be −∞ for every doc — rank-neutral).
+    *
+    * One tf aggregation + keyed joins; per-doc log sums in DECIMAL;
+    * μ and the collection stats are exact-integer-derived, so the
+    * double tree is engine-identical.
+    */
+  def lmRetrieval(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Double = 50.0, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "lmRetrieval needs at least one query term")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val ws = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val dl = ws.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val toks = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+    val qtoks = toks.filter(col("w").isin(terms: _*))
+    val cf = qtoks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val ctot = toks.agg(count(lit(1)).as("ctot"))
+    val tf = qtoks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val grid = dl.select(col("doc_id"), col("dl"),
+      explode(array(terms.map(lit): _*)).as("w"))
+    grid
+      .join(tf, Seq("doc_id", "w"), "left")
+      .join(cf, Seq("w")) // inner: collection-absent terms drop uniformly
+      .crossJoin(broadcast(ctot))
+      .withColumn("lp",
+        log((coalesce(col("tf"), lit(0L)).cast("double") +
+            lit(mu) * (col("cf").cast("double") / col("ctot"))) /
+          (col("dl") + lit(mu))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp").cast(dec)).as("s"))
+      .select(col("doc_id"), round(col("s").cast("double"), 6).as("ql_score"))
+      .orderBy(col("ql_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Statistical language-model quality score (the CCNet/KenLM-filter
     * shape): train a word-bigram model ON the corpus itself — P(w2|w1) =
     * c(w1,w2)/c(w1) — and score each document by its mean bigram
@@ -1100,6 +1144,51 @@ object Corpus {
       i += 1
     }
     pr
+  }
+
+  /** Newman modularity of a clustering over an undirected pair graph —
+    * the quality score that tells a dedup/community pipeline whether
+    * its clusters are real structure or noise: Q = Σ_c [e_c/m −
+    * (d_c/2m)²] compares each cluster's internal edge fraction against
+    * the degree-preserving random expectation (Q ≈ 0 ⇒ the "clusters"
+    * are what chance produces; the per-cluster contributions localize
+    * which ones). Runs on [[connectedComponents]] labels here (where
+    * CC clusters score near-maximal by construction — the audit shape;
+    * swap in q164 label-prop or any labeling).
+    *
+    * Dataflow: degree aggregation + two label joins keyed by vertex,
+    * then cluster-keyed sums — all plain shuffles; every term an
+    * integer ratio, the total a DECIMAL sum over the cluster table.
+    */
+  def modularity(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val mdf = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val lab = labels.select(col("doc_id").as("node"), col("cluster_id"))
+    val dPer = deg.join(lab, "node")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("d_c"))
+    val ePer = e
+      .join(lab.select(col("node").as("u"), col("cluster_id").as("ca")), "u")
+      .join(lab.select(col("node").as("v"), col("cluster_id").as("cb")), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id")).agg(count(lit(1)).as("e_c"))
+    val per = dPer.join(ePer, Seq("cluster_id"), "left")
+      .crossJoin(broadcast(mdf))
+      .select(col("cluster_id"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_intra"), col("d_c"),
+        (coalesce(col("e_c"), lit(0L)).cast("double") / col("m") -
+          pow(col("d_c").cast("double") / (lit(2L) * col("m")), 2))
+          .as("contrib"))
+    val total = per.agg(sum(col("contrib").cast(dec)).as("q_d"))
+    per.crossJoin(broadcast(total))
+      .select(col("cluster_id"), col("n_nodes"), col("e_intra"), col("d_c"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("q_d").cast("double"), 6).as("modularity"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a link graph — the
@@ -2223,6 +2312,14 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    "q230_modularity" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      val labels = connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("vertex").as("doc_id"), col("cluster").as("cluster_id"))
+      modularity(pairs, "doc_a", "doc_b", labels)
+        .orderBy(col("cluster_id"))
+    }),
+
     // Same clustering, but forced down the DISTRIBUTED min-label
     // propagation path (driverThreshold = 0) — the route a 100 TB pair
     // graph takes. Hash-verified against the identical recursive-closure
@@ -2255,6 +2352,12 @@ object Corpus {
     "q77_bm25" -> ((s, dir) =>
       bm25(Tables.load(s, dir, "documents"), "doc_id", "text", Bm25Terms)
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
+
+    // same query terms as q77 — the two ranking models side by side
+    "q231_lm_retrieval" -> ((s, dir) =>
+      lmRetrieval(Tables.load(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, mu = 50.0, k = 20)
+        .orderBy(col("ql_score").desc, col("doc_id"))),
 
     "q78_stratified_sample" -> ((s, dir) =>
       stratifiedSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
@@ -3169,6 +3272,50 @@ object Corpus {
          |FROM closure GROUP BY u
          |ORDER BY doc_id""".stripMargin,
 
+    "q230_modularity" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), lab AS (
+         |  SELECT u AS node, least(u, min(v)) AS cluster_id
+         |  FROM closure GROUP BY u
+         |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT doc_a AS node FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) t
+         |  GROUP BY node
+         |), dper AS (
+         |  SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d.degree) AS BIGINT) AS d_c
+         |  FROM deg d JOIN lab l ON l.node = d.node GROUP BY l.cluster_id
+         |), eper AS (
+         |  SELECT la.cluster_id, CAST(count(*) AS BIGINT) AS e_c
+         |  FROM pairs p
+         |  JOIN lab la ON la.node = p.doc_a
+         |  JOIN lab lb ON lb.node = p.doc_b
+         |  WHERE la.cluster_id = lb.cluster_id
+         |  GROUP BY la.cluster_id
+         |), per AS (
+         |  SELECT d.cluster_id, d.n_nodes,
+         |    CAST(coalesce(e.e_c, 0) AS BIGINT) AS e_intra, d.d_c,
+         |    CAST(coalesce(e.e_c, 0) AS DOUBLE) / m -
+         |      pow(CAST(d.d_c AS DOUBLE) / (2 * m), 2) AS contrib
+         |  FROM dper d LEFT JOIN eper e USING (cluster_id) CROSS JOIN mm
+         |), tot AS (
+         |  SELECT sum(CAST(contrib AS DECIMAL(38,18))) AS q_d FROM per
+         |)
+         |SELECT cluster_id, n_nodes, e_intra, d_c,
+         |  round(contrib, 6) AS contrib,
+         |  round(CAST(q_d AS DOUBLE), 6) AS modularity
+         |FROM per CROSS JOIN tot
+         |ORDER BY cluster_id""".stripMargin,
+
     // identical output contract to q74 — the Spark side differs only in
     // which execution path computes the components
     "q142_cc_distributed" ->
@@ -3217,6 +3364,38 @@ object Corpus {
         |  round(CAST(t.top_bg AS DOUBLE) / (t.nw - 1), 6) AS top_bigram_frac
         |FROM ws w JOIN top t ON w.doc_id = t.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+
+    "q231_lm_retrieval" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM ws),
+         |toks AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+         |cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM toks
+         |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY w),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM toks),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE w IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, w),
+         |grid AS (SELECT d.doc_id, d.dl, q.w
+         |  FROM dl d CROSS JOIN (SELECT unnest([${Bm25Terms.map(t => s"'$t'").mkString(", ")}]) AS w) q),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    ln((CAST(coalesce(t.tf, 0) AS DOUBLE) +
+         |        CAST(50.0 AS DOUBLE) * (CAST(c.cf AS DOUBLE) / ct.ctot)) /
+         |       (g.dl + CAST(50.0 AS DOUBLE))) AS lp
+         |  FROM grid g
+         |  LEFT JOIN tf t ON t.doc_id = g.doc_id AND t.w = g.w
+         |  JOIN cf c ON c.w = g.w
+         |  CROSS JOIN ct
+         |), per AS (
+         |  SELECT doc_id, sum(CAST(lp AS DECIMAL(38,18))) AS s
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS ql_score
+         |FROM per
+         |ORDER BY ql_score DESC, doc_id
+         |LIMIT 20""".stripMargin,
 
     "q77_bm25" ->
       s"""WITH ws AS (

@@ -127,6 +127,46 @@ object Dedup {
         col("abs_err"))
   }
 
+  /** b-bit minwise audit (Li & König 2010, b = 1) — the storage end of
+    * the minhash trade: keep only the LOWEST BIT of each minhash
+    * (64×–32× signature compression) and estimate Jaccard from the
+    * bit-agreement fraction, Ĵ = 2·A − 1 (two random bits agree half
+    * the time, so agreement floors at 0.5 — the unbiased correction for
+    * large shingle spaces). Reported against the exact Jaccard on the
+    * SAME LSH candidate pairs as [[minhashEstimateAudit]], so the audit
+    * shows precisely what the compression costs (variance grows
+    * (1−J)/J-fold vs full signatures — width the signature up as J
+    * thresholds drop). Negative estimates are the estimator telling the
+    * truth about sub-half agreement; they are reported, not clamped.
+    *
+    * Same bounded dataflow as q115: row-local bit extraction from the
+    * fused signatures, shuffles only at the band and signature joins.
+    */
+  def bbitMinhashAudit(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = distinctShingleSigs(docs, idCol, textCol, numHashes)
+      .withColumn("bits", expr(
+        "transform(ms, m -> CAST(conv(substring(m, 32, 1), 16, 10) AS BIGINT) % 2)"))
+    minhashPairs(docs, idCol, textCol, numHashes, rowsPerBand)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .withColumn("exact_jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .withColumn("cnt",
+        size(filter(zip_with(col("bits_a"), col("bits_b"), (x, y) => x === y),
+          b => b)).cast("long"))
+      .withColumn("agree_frac",
+        round(col("cnt").cast("double") / numHashes, 6))
+      .withColumn("j_bbit",
+        round(lit(2.0) * col("cnt").cast("double") / numHashes - lit(1.0), 6))
+      .withColumn("abs_err", round(abs(col("j_bbit") - col("exact_jac")), 6))
+      .select(col("doc_a"), col("doc_b"), col("exact_jac"),
+        col("agree_frac"), col("j_bbit"), col("abs_err"))
+  }
+
   /** Incremental ingest dedup — the daily-increment shape: the corpus's
     * [[bandSignatures]] live as a persisted index (parquet, partitioned
     * however the store likes); a new batch computes ONLY its own
@@ -684,6 +724,10 @@ object Dedup {
       minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q229_bbit_minhash" -> ((s, dir) =>
+      bbitMinhashAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q131_winnowing" -> ((s, dir) =>
       winnowingPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, dfCap = 50, threshold = 0.5)
@@ -790,6 +834,63 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q229_bbit_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bits AS (
+        |  SELECT doc_id, seed,
+        |    CAST(CAST('0x' || substring(m, 32, 1) AS UBIGINT) AS BIGINT) % 2
+        |      AS bit
+        |  FROM mh
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), agree AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CASE WHEN a.bit = b.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt
+        |  FROM bits a JOIN bits b ON a.seed = b.seed AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), o AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS exact_jac,
+        |    round(CAST(g.cnt AS DOUBLE) / 8, 6) AS agree_frac,
+        |    round(CAST(2.0 AS DOUBLE) * CAST(g.cnt AS DOUBLE) / 8 -
+        |      CAST(1.0 AS DOUBLE), 6) AS j_bbit
+        |  FROM pairs p
+        |  JOIN agree g ON g.doc_a = p.doc_a AND g.doc_b = p.doc_b
+        |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN sizes sa ON sa.doc_id = p.doc_a
+        |  JOIN sizes sb ON sb.doc_id = p.doc_b
+        |)
+        |SELECT doc_a, doc_b, exact_jac, agree_frac, j_bbit,
+        |  round(abs(j_bbit - exact_jac), 6) AS abs_err
+        |FROM o
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q115's audit rows × a DOUBLE[] threshold grid (DECIMAL list
     // literals would compare differently from Spark's double lits)

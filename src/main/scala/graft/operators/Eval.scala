@@ -168,6 +168,52 @@ object Eval {
           col("idcg_d").cast("double"), 6)).as("ndcg"))
   }
 
+  /** Brier score with the Murphy decomposition — the proper-scoring
+    * companion to [[calibrationBins]]' ECE: brier = mean (p−y)²
+    * (computed EXACTLY in DECIMAL — scores are 4dp), decomposed over
+    * reliability bins into reliability (how far bin means sit from bin
+    * outcomes — lower better), resolution (how far bin outcomes spread
+    * from the base rate — higher better) and uncertainty (the base
+    * rate's intrinsic ȳ(1−ȳ)). A filter model can only improve brier
+    * by gaining resolution or shedding reliability error; the split
+    * says which lever moved.
+    *
+    * One binning aggregation (nBins rows out at any corpus size), the
+    * totals re-derived from the bin table, component sums in DECIMAL.
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val dec18 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val base = scored.select(
+        least(floor(col(scoreCol) * nBins), lit(nBins - 1)).cast("int").as("bin"),
+        col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("label"))
+      .withColumn("e", Q.d(col("score")) - col("label"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("label")).as("n_pos"),
+        sum(Q.d(col("score"))).as("ssc"),
+        sum(col("e") * col("e")).as("sse"))
+    val tot = bins.agg(sum(col("n_b")).as("n_all"),
+      sum(col("n_pos")).as("pos_all"), sum(col("sse")).as("sse_all"))
+    val pb = col("ssc").cast("double") / col("n_b")
+    val yb = col("n_pos").cast("double") / col("n_b")
+    val ybar = col("pos_all").cast("double") / col("n_all")
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("n_all")).as("n"),
+        max(col("pos_all")).as("pos_all"),
+        max(col("sse_all")).as("sse_all"),
+        sum((col("n_b") * pow(pb - yb, 2)).cast(dec18)).as("rel_d"),
+        sum((col("n_b") * pow(yb - ybar, 2)).cast(dec18)).as("res_d"))
+      .select(col("n"),
+        round(col("sse_all").cast("double") / col("n"), 6).as("brier"),
+        round(col("rel_d").cast("double") / col("n"), 6).as("reliability"),
+        round(col("res_d").cast("double") / col("n"), 6).as("resolution"),
+        round((col("pos_all").cast("double") / col("n")) *
+          (lit(1.0) - col("pos_all").cast("double") / col("n")), 6)
+          .as("uncertainty"))
+  }
+
   /** MRR / precision@k / average precision over a scored (query,
     * candidate, relevance) ranking — the binary-relevance retrieval
     * metrics beside [[ndcgAtK]]'s graded one: MRR answers "how deep is
@@ -579,6 +625,9 @@ object Eval {
       isotonicCalibration(scoredDocs(s, dir), "score", "label", nBins = 10)
         .orderBy(col("bin"))),
 
+    "q232_brier" -> ((s, dir) =>
+      brierDecomposition(scoredDocs(s, dir), "score", "label", nBins = 10)),
+
     "q214_mutual_info" -> ((s, dir) =>
       mutualInformation(
         Tables.load(s, dir, "documents")
@@ -674,6 +723,41 @@ object Eval {
          |  END AS ndcg
          |FROM agg
          |ORDER BY qid""".stripMargin,
+
+    "q232_brier" ->
+      s"""WITH lab AS ($scoredSql
+         |), base AS (
+         |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         |    CAST(score AS DOUBLE) AS score, CAST(label AS BIGINT) AS label,
+         |    CAST(score AS DECIMAL(18,4)) - label AS e
+         |  FROM lab
+         |), bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(sum(label) AS BIGINT) AS n_pos,
+         |    sum(CAST(score AS DECIMAL(18,4))) AS ssc,
+         |    sum(e * e) AS sse
+         |  FROM base GROUP BY bin
+         |), tot AS (
+         |  SELECT CAST(sum(n_b) AS BIGINT) AS n_all,
+         |    CAST(sum(n_pos) AS BIGINT) AS pos_all, sum(sse) AS sse_all
+         |  FROM bins
+         |), c AS (
+         |  SELECT max(n_all) AS n, max(pos_all) AS pos_all,
+         |    max(sse_all) AS sse_all,
+         |    sum(CAST(n_b * pow(CAST(ssc AS DOUBLE) / n_b -
+         |      CAST(n_pos AS DOUBLE) / n_b, 2) AS DECIMAL(38,18))) AS rel_d,
+         |    sum(CAST(n_b * pow(CAST(n_pos AS DOUBLE) / n_b -
+         |      CAST(pos_all AS DOUBLE) / n_all, 2) AS DECIMAL(38,18))) AS res_d
+         |  FROM bins CROSS JOIN tot
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(sse_all AS DOUBLE) / n, 6) AS brier,
+         |  round(CAST(rel_d AS DOUBLE) / n, 6) AS reliability,
+         |  round(CAST(res_d AS DOUBLE) / n, 6) AS resolution,
+         |  round((CAST(pos_all AS DOUBLE) / n) *
+         |    (CAST(1.0 AS DOUBLE) - CAST(pos_all AS DOUBLE) / n), 6)
+         |    AS uncertainty
+         |FROM c""".stripMargin,
 
     "q218_rank_metrics" ->
       s"""WITH ${Similarity.duckPrep},

@@ -184,8 +184,11 @@ class PlanSpec extends AnyFunSuite {
       // to the nBuckets-row growth curve; q225 the 1-row side totals
       "q221_top_component", "q224_heaps_law", "q225_log_odds",
       // q227 attaches the 1-row corpus-max timestamp; q228 the 1-row
-      // session total
-      "q227_kaplan_meier", "q228_assoc_rules")
+      // session total; q230 the 1-row edge count and 1-row Q total
+      "q227_kaplan_meier", "q228_assoc_rules", "q230_modularity",
+      // q231 attaches the 1-row collection-token total; q232 the 1-row
+      // bin-table totals (the q170 shape)
+      "q231_lm_retrieval", "q232_brier")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
