@@ -168,6 +168,49 @@ object Eval {
           col("idcg_d").cast("double"), 6)).as("ndcg"))
   }
 
+  /** Precision/recall/F1 across every decision threshold — the curve a
+    * filter-deployment picks its operating point from (the classifier
+    * analogue of q152's dedup threshold curve; [[rocAuc]] summarizes
+    * ranking power, this shows what each cut COSTS). One row per
+    * distinct score s: predict-positive at score ≥ s, with TP/FP/FN
+    * from suffix sums and F1 = 2TP/(pred_pos + pos) — every metric an
+    * exact integer ratio. The best achievable F1 rides along each row.
+    *
+    * The corpus collapses to one row per DISTINCT score first; with
+    * 4dp scores in [0,1] that support is ≤ 10001 rows BY CONSTRUCTION,
+    * so the suffix-sum window runs over a bounded table (unbounded
+    * score domains should quantize first or reuse [[rocAuc]]'s
+    * two-pass prefix machinery). Zero denominators short-circuit via
+    * CASE (ANSI division semantics error on them in both engines).
+    */
+  def prCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+    val g = scored.groupBy(col(scoreCol).cast("double").as("threshold"))
+      .agg(count(lit(1)).as("n_s"), sum(col(labelCol).cast("long")).as("p_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc).rowsBetween(Long.MinValue, 0)
+    val tot = g.agg(sum(col("p_s")).as("pos"))
+    val curve = g
+      .withColumn("pred_pos", sum(col("n_s")).over(w))
+      .withColumn("tp", sum(col("p_s")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("tp"),
+        (col("pred_pos") - col("tp")).as("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        when(col("pred_pos") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("pred_pos"), 6))
+          .as("precision"),
+        when(col("pos") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("pos"), 6))
+          .as("recall"),
+        when(col("pred_pos") + col("pos") === 0, lit(0.0))
+          .otherwise(round((lit(2L) * col("tp")).cast("double") /
+            (col("pred_pos") + col("pos")), 6)).as("f1"))
+    val best = curve.agg(max(col("f1")).as("best_f1"))
+    curve.crossJoin(broadcast(best))
+  }
+
   /** Brier score with the Murphy decomposition — the proper-scoring
     * companion to [[calibrationBins]]' ECE: brier = mean (p−y)²
     * (computed EXACTLY in DECIMAL — scores are 4dp), decomposed over
@@ -628,6 +671,10 @@ object Eval {
     "q232_brier" -> ((s, dir) =>
       brierDecomposition(scoredDocs(s, dir), "score", "label", nBins = 10)),
 
+    "q233_pr_curve" -> ((s, dir) =>
+      prCurve(scoredDocs(s, dir), "score", "label")
+        .orderBy(col("threshold"))),
+
     "q214_mutual_info" -> ((s, dir) =>
       mutualInformation(
         Tables.load(s, dir, "documents")
@@ -723,6 +770,36 @@ object Eval {
          |  END AS ndcg
          |FROM agg
          |ORDER BY qid""".stripMargin,
+
+    "q233_pr_curve" ->
+      s"""WITH lab AS ($scoredSql
+         |), g AS (
+         |  SELECT CAST(score AS DOUBLE) AS threshold,
+         |    CAST(count(*) AS BIGINT) AS n_s,
+         |    CAST(sum(label) AS BIGINT) AS p_s
+         |  FROM lab GROUP BY 1
+         |), tot AS (SELECT CAST(sum(p_s) AS BIGINT) AS pos FROM g),
+         |c AS (
+         |  SELECT threshold,
+         |    CAST(sum(n_s) OVER (ORDER BY threshold DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_pos,
+         |    CAST(sum(p_s) OVER (ORDER BY threshold DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+         |  FROM g
+         |), m AS (
+         |  SELECT threshold, tp, pred_pos - tp AS fp, pos - tp AS fn,
+         |    CASE WHEN pred_pos = 0 THEN 0.0
+         |      ELSE round(CAST(tp AS DOUBLE) / pred_pos, 6) END AS precision,
+         |    CASE WHEN pos = 0 THEN 0.0
+         |      ELSE round(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+         |    CASE WHEN pred_pos + pos = 0 THEN 0.0
+         |      ELSE round(CAST(2 * tp AS DOUBLE) / (pred_pos + pos), 6)
+         |    END AS f1
+         |  FROM c CROSS JOIN tot
+         |), best AS (SELECT max(f1) AS best_f1 FROM m)
+         |SELECT threshold, tp, fp, fn, precision, recall, f1, best_f1
+         |FROM m CROSS JOIN best
+         |ORDER BY threshold""".stripMargin,
 
     "q232_brier" ->
       s"""WITH lab AS ($scoredSql

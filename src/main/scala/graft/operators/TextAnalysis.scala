@@ -569,8 +569,53 @@ object TextAnalysis {
   private val q210Duck =
     codeDetectSql(p => s"len(regexp_extract_all(body, $p))")
 
+  /** Count-min sketch point-query audit — the third sketch in the
+    * frequency family (SpaceSaving top-k q98 finds heavy keys, Bloom
+    * q105 answers membership; CMS answers "how often", in depth×width
+    * counters regardless of vocabulary size). Estimates NEVER
+    * undercount — est = min over depth rows of the hashed-bucket sum —
+    * and the audit reports the one-sided overestimate for the corpus's
+    * top `topK` words so the width/depth sizing is judged on evidence
+    * (ε ≈ e/width of total mass, here deliberately tight to show
+    * collisions). Hashing is the house md5-32 ([[graft.Q.md5Bucket32]]),
+    * so the oracle reproduces every bucket exactly.
+    *
+    * Word counts aggregate once (map-side combinable); the sketch is a
+    * depth-row explode over the COUNT table (vocab-bounded, not
+    * corpus-bounded); only the topK probe rows join back.
+    */
+  def cmsAudit(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 64,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(depth > 0 && width > 0 && topK > 0,
+      s"need positive depth/width/topK, got $depth/$width/$topK")
+    val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def bucket = Q.md5Bucket32(
+      concat(col("r").cast("string"), lit(":"), col("w"))) % width
+    val cells = wc
+      .select(col("w"), col("c"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"), bucket.as("bucket"), col("c"))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("cell"))
+    val top = wc.orderBy(col("c").desc, col("w")).limit(topK)
+    top
+      .select(col("w"), col("c"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("w"), col("c"), col("r"), bucket.as("bucket"))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy(col("w"))
+      .agg(max(col("c")).as("true_c"), min(col("cell")).as("est_c"))
+      .select(col("w"), col("true_c"), col("est_c"),
+        (col("est_c") - col("true_c")).as("overestimate"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q192_readability" -> Q.fromSql(q192Spark),
+
+    "q234_cms_audit" -> ((s, dir) =>
+      cmsAudit(Tables.load(s, dir, "documents"), "text")
+        .orderBy(col("w"))),
     "q193_token_stats" -> Q.fromSql(q193Spark),
     "q210_code_detect" -> Q.fromSql(q210Spark),
 
@@ -765,6 +810,35 @@ object TextAnalysis {
     "q192_readability" -> q192Duck,
     "q193_token_stats" -> q193Duck,
     "q199_kwic" -> q199Oracle,
+
+    "q234_cms_audit" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w
+        |), rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (
+        |  SELECT r, bucket, CAST(sum(c) AS BIGINT) AS cell FROM (
+        |    SELECT wc.c, rr.r,
+        |      CAST(CAST('0x' || substring(md5(rr.r || ':' || wc.w), 1, 8)
+        |        AS UBIGINT) AS BIGINT) % 64 AS bucket
+        |    FROM wc CROSS JOIN rr) t
+        |  GROUP BY r, bucket
+        |), top AS (
+        |  SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20
+        |), probes AS (
+        |  SELECT top.w, top.c, rr.r,
+        |    CAST(CAST('0x' || substring(md5(rr.r || ':' || top.w), 1, 8)
+        |      AS UBIGINT) AS BIGINT) % 64 AS bucket
+        |  FROM top CROSS JOIN rr
+        |), est AS (
+        |  SELECT p.w, max(p.c) AS true_c, min(cl.cell) AS est_c
+        |  FROM probes p JOIN cells cl ON cl.r = p.r AND cl.bucket = p.bucket
+        |  GROUP BY p.w
+        |)
+        |SELECT w, true_c, est_c, est_c - true_c AS overestimate
+        |FROM est
+        |ORDER BY w""".stripMargin,
     "q210_code_detect" -> q210Duck,
     "q132_html_extract" -> q132Oracle,
     "q118_linear_probe" ->

@@ -187,8 +187,9 @@ class PlanSpec extends AnyFunSuite {
       // session total; q230 the 1-row edge count and 1-row Q total
       "q227_kaplan_meier", "q228_assoc_rules", "q230_modularity",
       // q231 attaches the 1-row collection-token total; q232 the 1-row
-      // bin-table totals (the q170 shape)
-      "q231_lm_retrieval", "q232_brier")
+      // bin-table totals (the q170 shape); q233 the 1-row positive
+      // total and 1-row best-F1
+      "q231_lm_retrieval", "q232_brier", "q233_pr_curve")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
