@@ -524,6 +524,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * third candidate-generation strategy beside LSH bands
+    * ([[minhashPairs]]) and phonetic/typo keys ([[typoPairs]] family):
+    * sort the corpus by a blocking key and pair each record with its
+    * `windowSize` successors. Catches near-matches that share a sort
+    * PREFIX but no full token (where equi-key blocking misses), with
+    * candidate count bounded at windowSize·n by construction — no
+    * frequency caps needed. Pairs carry their Levenshtein distance for
+    * downstream confirmation thresholds.
+    *
+    * The global sort position comes from a range repartition + local
+    * sort + `zipWithIndex` (per-partition counts, one tiny driver
+    * round — the [[graft.operators.Eval.rocAuc]] prefix discipline;
+    * no single-partition window); the neighbor join is a plain
+    * equi-join on rank+offset.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      windowSize: Int = 3): DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+      .repartitionByRange(col("key"), col("id"))
+      .sortWithinPartitions(col("key"), col("id"))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.map(r => (r.getLong(0), r.getString(1))).zipWithIndex()
+        .map { case ((id, key), idx) => (idx + 1, id, key) })
+      .toDF("rnk", "id", "key")
+    ranked
+      .select(col("rnk"), col("id").as("id_a"), col("key").as("key_a"),
+        explode(expr(s"sequence(1, $windowSize)")).as("off"))
+      .withColumn("rnk_b", col("rnk") + col("off"))
+      .join(ranked.select(col("rnk").as("rnk_b"), col("id").as("id_b"),
+        col("key").as("key_b")), "rnk_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("lev"))
+  }
+
   /** Jaro-Winkler CONFIRMATION of LSH candidates — the record-linkage
     * twin of [[editDistanceConfirm]]: same bounded dataflow ([[minhashPairs]]
     * proposes, only candidates pay the quadratic string comparison), but
@@ -728,6 +766,11 @@ object Dedup {
       bbitMinhashAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q235_sorted_blocking" -> ((s, dir) =>
+      sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
+        "p_partkey", "p_name", windowSize = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "q131_winnowing" -> ((s, dir) =>
       winnowingPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, dfCap = 50, threshold = 0.5)
@@ -834,6 +877,20 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q235_sorted_blocking" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS key,
+        |    CAST(row_number() OVER (ORDER BY p_name, p_partkey)
+        |      AS BIGINT) AS rnk
+        |  FROM part
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.key AS ka, b.key AS kb
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+        |)
+        |SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS lev
+        |FROM p
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q229_bbit_minhash" ->
       """WITH w AS (
