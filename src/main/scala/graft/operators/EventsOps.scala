@@ -405,6 +405,70 @@ object EventsOps {
         min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
   }
 
+  /** Per-stage Hilbert xy→d expressions (s halving each stage), shared
+    * VERBATIM by the Spark projection chain and the oracle CTE text so
+    * the two engines can never fork: hd accumulates s²·((3rx)⊕ry)
+    * (spelled as a CASE — no XOR dialect split), then (hx,hy) rotate.
+    * All three read the PREVIOUS stage's columns, so each stage is one
+    * projection. */
+  private[operators] def hilbertStage(s: Long): (String, String, String) = (
+    s"""hd + ${s * s} * (CASE
+       |  WHEN (hx & $s) > 0 AND (hy & $s) > 0 THEN 2
+       |  WHEN (hx & $s) > 0 THEN 3
+       |  WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)""".stripMargin,
+    s"""CASE WHEN (hy & $s) > 0 THEN hx
+       |  WHEN (hx & $s) > 0 THEN $s - 1 - hy ELSE hy END""".stripMargin,
+    s"""CASE WHEN (hy & $s) > 0 THEN hy
+       |  WHEN (hx & $s) > 0 THEN $s - 1 - hx ELSE hx END""".stripMargin)
+
+  /** HILBERT-curve layout keys — the locality-preserving alternative
+    * to [[zOrderLayout]]'s Morton interleave: consecutive Hilbert keys
+    * are ALWAYS grid-adjacent (Morton jumps across quadrant seams), so
+    * fixed key-range files get tighter per-dimension bounds at the
+    * same file count — the reason Databricks liquid clustering moved
+    * beyond Z-order. Same contract as q139: fixed key-range file bins,
+    * per-file min/max footer stats, loud range guard. The curve
+    * property itself (bijection + unit-step adjacency) is pinned by a
+    * ScalaTest property spec, so the shared-expression oracle diff
+    * can't hide an algorithmic slip. Pure projection chain — one
+    * stage per bit, zero shuffles before the stats aggregation.
+    */
+  /** Per-row Hilbert keys (`hd` column added; `uCol`/`tCol` carried) —
+    * the raw-key core of [[hilbertLayout]], separated so the curve
+    * property spec can pin bijection + unit-step adjacency. */
+  private[operators] def hilbertKeys(events: org.apache.spark.sql.DataFrame,
+      uCol: String, tCol: String,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    val lim = 1L << bits
+    var df = events
+      .withColumn("hx", expr(
+        s"""CASE WHEN $uCol < 0 OR $uCol >= $lim OR $tCol < 0 OR $tCol >= $lim
+           |THEN CAST(raise_error(concat('hilbertLayout: coordinate out of [0, $lim): ',
+           |     $uCol, '/', $tCol)) AS BIGINT) ELSE CAST($uCol AS BIGINT) END""".stripMargin))
+      .withColumn("hy", col(tCol).cast("long"))
+      .withColumn("hd", lit(0L))
+    (0 until bits).foreach { i =>
+      val (hdE, hxE, hyE) = hilbertStage(1L << (bits - 1 - i))
+      df = df.select(col(uCol), col(tCol),
+        expr(hdE).as("hd"), expr(hxE).as("hx"), expr(hyE).as("hy"))
+    }
+    df.select(col(uCol), col(tCol), col("hd"))
+  }
+
+  def hilbertLayout(events: org.apache.spark.sql.DataFrame, uCol: String,
+      tCol: String, bits: Int = 11,
+      fileShift: Int = 14): org.apache.spark.sql.DataFrame = {
+    require(bits > 0 && bits <= 20 && fileShift >= 0 && fileShift < 2 * bits,
+      s"need 0 < bits <= 20 and 0 <= fileShift < 2*bits, got $bits/$fileShift")
+    hilbertKeys(events, uCol, tCol, bits)
+      .withColumn("file_id", expr(s"hd DIV ${1L << fileShift}"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(uCol)).as("min_u"), max(col(uCol)).as("max_u"),
+        min(col(tCol)).as("min_t"), max(col(tCol)).as("max_t"),
+        min(col("hd")).as("min_h"), max(col("hd")).as("max_h"))
+  }
+
   /** Trimmed + winsorized mean per group — the robust location
     * estimators a metrics pipeline swaps in when raw means chase
     * outliers ([[Selection]] q204's modified-z flags them; these
@@ -659,6 +723,14 @@ object EventsOps {
         "event_id", "event_type", gapNanos = 4L * 3600L * 1000000000L)
         .orderBy(col("user_id"), col("session_seq"), col("turn_idx"))),
 
+    "q236_hilbert_layout" -> ((s, dir) =>
+      hilbertLayout(Tables.load(s, dir, "events")
+          .withColumn("u", col("user_id").cast("long"))
+          .withColumn("t", expr(
+            "CAST(floor((ts DIV 1000000000 - 1704067200) / 3600) AS BIGINT)")),
+        "u", "t")
+        .orderBy(col("file_id"))),
+
     "q139_zorder_layout" -> ((s, dir) =>
       zOrderLayout(Tables.load(s, dir, "events")
           .withColumn("u", col("user_id").cast("long"))
@@ -812,6 +884,34 @@ object EventsOps {
         |    CAST(m_q AS VARCHAR) AS segment
         |FROM q
         |ORDER BY user_id""".stripMargin,
+
+    "q236_hilbert_layout" -> {
+      val bits = 11
+      val stages = (0 until bits).map { i =>
+        val (hdE, hxE, hyE) = hilbertStage(1L << (bits - 1 - i))
+        s"""h${i + 1} AS (
+           |  SELECT u, t,
+           |    $hdE AS hd,
+           |    $hxE AS hx,
+           |    $hyE AS hy
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT CAST(user_id AS BIGINT) AS u,
+         |    (epoch_ns(ts) // 1000000000 - 1704067200) // 3600 AS t
+         |  FROM events
+         |), h0 AS (
+         |  SELECT u, t, u AS hx, t AS hy, CAST(0 AS BIGINT) AS hd FROM e
+         |),
+         |$stages
+         |SELECT hd // 16384 AS file_id, count(*) AS n_rows,
+         |  min(u) AS min_u, max(u) AS max_u,
+         |  min(t) AS min_t, max(t) AS max_t,
+         |  min(hd) AS min_h, max(hd) AS max_h
+         |FROM h$bits
+         |GROUP BY file_id
+         |ORDER BY file_id""".stripMargin
+    },
 
     "q139_zorder_layout" -> {
       val z = (0 until 12).map { j =>

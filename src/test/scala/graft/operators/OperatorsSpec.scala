@@ -1174,6 +1174,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(splitsPerSource.forall(_ == 1), "a source must map to exactly one split")
   }
 
+  test("hilbert keys are a bijection with unit-step adjacency (bits=3)") {
+    // the property the shared-expression oracle diff CANNOT check: an
+    // algorithmic slip applied to both engines would pass the hash
+    // compare, but not this — every d in [0,64) hit exactly once, and
+    // consecutive d always grid-adjacent (|dx|+|dy| = 1, the Hilbert
+    // property Morton/Z-order lacks at quadrant seams)
+    import spark.implicits._
+    val grid = (0 until 8).flatMap(x => (0 until 8).map(y => (x.toLong, y.toLong)))
+      .toDF("u", "t")
+    val keys = EventsOps.hilbertKeys(grid, "u", "t", bits = 3)
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(keys.map(_._1).toSeq == (0L until 64L).toSeq, "keys not a bijection onto [0,64)")
+    keys.sliding(2).foreach { case Array((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"consecutive keys ${d2 - 1},$d2 not grid-adjacent: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
   test("appendToIndex closes the loop: batch 2 collides with batch 1's survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
