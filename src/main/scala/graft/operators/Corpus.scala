@@ -1191,6 +1191,46 @@ object Corpus {
         round(col("q_d").cast("double"), 6).as("modularity"))
   }
 
+  /** Adjusted Rand Index between two labelings of the same units —
+    * THE chance-corrected agreement score for clusterings (label
+    * permutations don't matter, unlike accuracy): pair-counting over
+    * the contingency table, ARI = (Σij C(nij,2) − E) / (max − E) with
+    * E = Σi C(ai,2)·Σj C(bj,2) / C(n,2). Here it grades a dedup
+    * clustering against a reference labeling — "do my near-dup
+    * clusters line up with the known grouping" — the companion to
+    * [[modularity]]'s intrinsic quality. Every term is exact integer
+    * combinatorics; the single final division is the only float step
+    * (the [[graft.operators.Eval.rocAuc]] discipline).
+    *
+    * One contingency aggregation (rows = |A-clusters × B-labels|
+    * observed, bounded by the label products) + two marginal sums.
+    */
+  def adjustedRand(labeled: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // DOUBLED pair counts t(x) = x(x−1) throughout — the /2s cancel in
+    // the ARI ratio (ARI = (2·N₂·S_ij − 2·S_a·S_b) /
+    // (N₂·(S_a+S_b) − 2·S_a·S_b) with every S already doubled), so no
+    // integer division anywhere; DECIMAL(38,0) keeps the n² products
+    // exact past BIGINT (n ~ 3e9 units overflows x(x−1) in 64 bits)
+    def t(c: Column) = { val d = c.cast(dec0); d * (d - lit(1L)) }
+    val cont = labeled.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nij"))
+    val sumIj = cont.agg(sum(t(col("nij"))).as("sij"), sum(col("nij")).as("n"))
+    val sumA = cont.groupBy(col("a")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(t(col("ai"))).as("sa"))
+    val sumB = cont.groupBy(col("b")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(t(col("bj"))).as("sb"))
+    sumIj.crossJoin(broadcast(sumA)).crossJoin(broadcast(sumB))
+      .select(col("n"),
+        col("sij").cast("long").as("sij2"),
+        col("sa").cast("long").as("sa2"),
+        col("sb").cast("long").as("sb2"),
+        round((lit(2L) * t(col("n")) * col("sij") -
+            lit(2L) * col("sa") * col("sb")).cast("double") /
+          (t(col("n")) * (col("sa") + col("sb")) -
+            lit(2L) * col("sa") * col("sb")).cast("double"), 6).as("ari"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a link graph — the
     * companion signal to [[pageRank]]: authority separates
     * heavily-cited reference pages from the index/portal pages that
@@ -2312,6 +2352,20 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup clustering vs the source labeling — singleton docs keep
+    // their own id as cluster (every unit labeled in both views)
+    "q237_adjusted_rand" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      val cc = connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("vertex").as("doc_id"), col("cluster").as("cluster_id"))
+      val lab = docs.select(col("doc_id"), col("source"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("doc_id")).as("a"),
+          col("source").as("b"))
+      adjustedRand(lab, "a", "b")
+    }),
+
     "q230_modularity" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
       val labels = connectedComponents(pairs, "doc_a", "doc_b")
@@ -3271,6 +3325,43 @@ object Corpus {
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
          |FROM closure GROUP BY u
          |ORDER BY doc_id""".stripMargin,
+
+    "q237_adjusted_rand" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), lab AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM closure GROUP BY u
+         |), ab AS (
+         |  SELECT coalesce(l.cluster_id, d.doc_id) AS a, d.source AS b
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |), cont AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM ab GROUP BY a, b
+         |), sij AS (
+         |  SELECT sum(CAST(nij AS HUGEINT) * (CAST(nij AS HUGEINT) - 1))
+         |      AS sij,
+         |    CAST(sum(nij) AS BIGINT) AS n
+         |  FROM cont
+         |), sa AS (
+         |  SELECT sum(CAST(ai AS HUGEINT) * (CAST(ai AS HUGEINT) - 1)) AS sa
+         |  FROM (SELECT a, sum(nij) AS ai FROM cont GROUP BY a) t
+         |), sb AS (
+         |  SELECT sum(CAST(bj AS HUGEINT) * (CAST(bj AS HUGEINT) - 1)) AS sb
+         |  FROM (SELECT b, sum(nij) AS bj FROM cont GROUP BY b) t
+         |)
+         |SELECT n, CAST(sij AS BIGINT) AS sij2, CAST(sa AS BIGINT) AS sa2,
+         |  CAST(sb AS BIGINT) AS sb2,
+         |  round(CAST(2 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1))
+         |      * sij - 2 * sa * sb AS DOUBLE) /
+         |    CAST((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1))
+         |      * (sa + sb) - 2 * sa * sb AS DOUBLE), 6) AS ari
+         |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin,
 
     "q230_modularity" ->
       s"""WITH RECURSIVE $q51PairsCte,

@@ -604,6 +604,43 @@ object EventsOps {
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  /** Count overdispersion audit — per key, is the daily event count
+    * Poisson-like (VMR ≈ 1) or bursty (VMR ≫ 1)? The check that must
+    * precede any Poisson-assuming rate alarm (q136's z-scores): bursty
+    * traffic under a Poisson model fires false anomalies all day.
+    * Variance-to-mean ratio and the chi-square dispersion index both
+    * reduce to exact integer ratios over (k, Σn, Σn²) — VMR =
+    * (k·Σn² − (Σn)²) / ((k−1)·Σn) — and the over-threshold flag
+    * compares INTEGERS (k·Σn² − (Σn)² > T·(k−1)·Σn), so no rounded
+    * double ever gates a decision. Days are observed days (a key with
+    * zero-count gap days understates variance; densify with q130's
+    * gap fill first if that matters).
+    *
+    * Two aggregations: corpus → (key, day) → key. Map-side combinable
+    * throughout.
+    */
+  def overdispersion(events: org.apache.spark.sql.DataFrame, keyCol: String,
+      tsNanosCol: String,
+      threshold: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val day = 86400000000000L
+    val byDay = events
+      .select(col(keyCol).as("key"),
+        expr(s"CAST($tsNanosCol AS BIGINT) div $day").as("d"))
+      .groupBy(col("key"), col("d")).agg(count(lit(1)).as("n"))
+    byDay.groupBy(col("key"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("key"), col("k"), col("s1").as("total"),
+        round(col("s1").cast("double") / col("k"), 6).as("mean"),
+        round((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+          ((col("k") - lit(1L)) * col("s1")), 6).as("vmr"),
+        round((col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+          col("s1"), 6).as("chi2"),
+        (col("k") * col("s2") - col("s1") * col("s1") >
+          lit(threshold) * (col("k") - lit(1L)) * col("s1")).cast("int")
+          .as("overdispersed"))
+  }
+
   /** Chat-template flattening with loss-mask spans — the SFT-data
     * assembly step: interaction logs sessionize into conversations,
     * turns alternate user/assistant roles, each conversation flattens
@@ -699,6 +736,10 @@ object EventsOps {
     "q215_rfm" -> ((s, dir) =>
       rfmSegments(Tables.load(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"))),
+
+    "q238_overdispersion" -> ((s, dir) =>
+      overdispersion(Tables.load(s, dir, "events"), "event_type", "ts")
+        .orderBy(col("key"))),
 
     "q226_trimmed_mean" -> ((s, dir) =>
       trimmedStats(Tables.load(s, dir, "events"), "event_type", "value",
@@ -1107,6 +1148,24 @@ object EventsOps {
         |FROM ranked
         |GROUP BY user_id, conv_id
         |ORDER BY user_id, conv_id""".stripMargin,
+
+    "q238_overdispersion" ->
+      """WITH byday AS (
+        |  SELECT event_type AS key, epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM byday GROUP BY key
+        |)
+        |SELECT key, k, s1 AS total,
+        |  round(CAST(s1 AS DOUBLE) / k, 6) AS mean,
+        |  round(CAST(k * s2 - s1 * s1 AS DOUBLE) / ((k - 1) * s1), 6) AS vmr,
+        |  round(CAST(k * s2 - s1 * s1 AS DOUBLE) / s1, 6) AS chi2,
+        |  CAST(k * s2 - s1 * s1 > 2 * (k - 1) * s1 AS INT) AS overdispersed
+        |FROM per
+        |ORDER BY key""".stripMargin,
 
     "q226_trimmed_mean" ->
       """WITH b AS (

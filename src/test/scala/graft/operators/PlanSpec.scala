@@ -189,7 +189,9 @@ class PlanSpec extends AnyFunSuite {
       // q231 attaches the 1-row collection-token total; q232 the 1-row
       // bin-table totals (the q170 shape); q233 the 1-row positive
       // total and 1-row best-F1
-      "q231_lm_retrieval", "q232_brier", "q233_pr_curve")
+      "q231_lm_retrieval", "q232_brier", "q233_pr_curve",
+      // q237 attaches the two 1-row marginal pair-sums
+      "q237_adjusted_rand")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
