@@ -610,8 +610,45 @@ object TextAnalysis {
         (col("est_c") - col("true_c")).as("overestimate"))
   }
 
+  /** Encoding/mojibake audit — the per-source data-quality scan a
+    * crawl ingest runs before any text operator: characters outside
+    * printable-ASCII+tab+newline (the decode-damage signal on an
+    * English corpus; relax the class per expected script) and U+FFFD
+    * replacement characters (the unambiguous decoder-gave-up marker).
+    * Char classes are built from REAL tab/newline/U+FFFD characters
+    * embedded in the literal, so no backslash-escape dialect fork; the
+    * only split is regexp_replace's global flag (`cnt` lambda, the
+    * q210 pattern). One codegen aggregation, |sources| rows out.
+    */
+  private def encodingAuditSql(rep: String => String) = {
+    val bad = "'[^\t\n -~]'"
+    val repl = "'�'"
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(${rep(bad)} AS BIGINT) AS n_bad,
+       |    CAST(${rep(repl)} AS BIGINT) AS n_repl
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bad) AS BIGINT) AS n_bad,
+       |  CAST(sum(n_repl) AS BIGINT) AS n_repl,
+       |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_bad,
+       |  round(CAST(sum(n_bad) AS DOUBLE) / sum(nc), 6) AS bad_rate
+       |FROM per
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+  private val q239Spark = encodingAuditSql(p =>
+    s"length(text) - length(regexp_replace(text, $p, ''))")
+  private val q239Duck = encodingAuditSql(p =>
+    s"length(text) - length(regexp_replace(text, $p, '', 'g'))")
+
   val queries: Map[String, QueryFn] = Map(
     "q192_readability" -> Q.fromSql(q192Spark),
+    "q239_encoding_audit" -> Q.fromSql(q239Spark),
 
     "q234_cms_audit" -> ((s, dir) =>
       cmsAudit(Tables.load(s, dir, "documents"), "text")
@@ -810,6 +847,7 @@ object TextAnalysis {
     "q192_readability" -> q192Duck,
     "q193_token_stats" -> q193Duck,
     "q199_kwic" -> q199Oracle,
+    "q239_encoding_audit" -> q239Duck,
 
     "q234_cms_audit" ->
       """WITH wc AS (
