@@ -1191,6 +1191,28 @@ object Corpus {
         round(col("q_d").cast("double"), 6).as("modularity"))
   }
 
+  /** Group-integral k-fold assignment (GroupKFold) — the split that
+    * PREVENTS what q153's leakage audit detects: all members of a
+    * duplicate cluster land in the same fold (near-dups straddling a
+    * train/eval boundary leak the answer). Fold = content-addressed
+    * hash of the group's canonical id ([[graft.Q.md5Bucket32]] — the
+    * [[stratifiedSample]] convention: same assignment on any cluster
+    * size, any engine, any partitioning); singletons group as
+    * themselves. One label join + a row-local hash, no shuffles beyond
+    * the clustering it consumes.
+    */
+  def groupKFold(docs: DataFrame, idCol: String, groupLabels: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    docs.select(col(idCol).as("doc_id"))
+      .join(groupLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .withColumn("fold",
+        Q.md5Bucket32(concat(lit("fold:"),
+          col("group_id").cast("string"))) % k)
+  }
+
   /** Adjusted Rand Index between two labelings of the same units —
     * THE chance-corrected agreement score for clusterings (label
     * permutations don't matter, unlike accuracy): pair-counting over
@@ -2352,6 +2374,15 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    "q240_group_kfold" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      val cc = connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("vertex").as("doc_id"), col("cluster").as("cluster_id"))
+      groupKFold(docs, "doc_id", cc, k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup clustering vs the source labeling — singleton docs keep
     // their own id as cluster (every unit labeled in both views)
     "q237_adjusted_rand" -> ((s, dir) => {
@@ -3324,6 +3355,28 @@ object Corpus {
          |)
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
          |FROM closure GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
+    "q240_group_kfold" ->
+      s"""WITH RECURSIVE $q51PairsCte,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), closure(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u
+         |), lab AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM closure GROUP BY u
+         |), g AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, group_id,
+         |  CAST(CAST('0x' || substring(md5('fold:' || group_id), 1, 8)
+         |    AS UBIGINT) AS BIGINT) % 5 AS fold
+         |FROM g
          |ORDER BY doc_id""".stripMargin,
 
     "q237_adjusted_rand" ->
