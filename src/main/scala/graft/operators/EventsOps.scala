@@ -604,6 +604,58 @@ object EventsOps {
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  /** Rate changepoint by binary segmentation (one split) — "WHEN did
+    * the rate change": the split hour minimizing the two-segment SSE
+    * of hourly counts, the sequential complement to [[overdispersion]]
+    * (bursty overall) and q136 (which hours are odd). Every candidate
+    * split is scored from integer prefix sums (k, Σn, Σn²) — cost =
+    * (q₁ − s₁²/k₁) + ((Q−q₁) − (S−s₁)²/(K−k₁)) — so the scan is one
+    * window pass over the support-bounded hour table; the argmin takes
+    * rounded cost with the hour as deterministic tiebreak. Output: the
+    * split, both segment means, and the SSE with/without the split
+    * (the variance-reduction evidence; recurse on segments for more
+    * changepoints). Σn² rides BIGINT — corpus counts past ~3e9 per
+    * bucket want a DECIMAL cast.
+    *
+    * Hours are OBSERVED hours ([[overdispersion]]'s convention —
+    * densify with q130 first if gaps matter).
+    */
+  def rateChangepoint(events: org.apache.spark.sql.DataFrame,
+      tsNanosCol: String,
+      stepSeconds: Long = 3600L): org.apache.spark.sql.DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val byT = events
+      .select(expr(
+        s"CAST($tsNanosCol AS BIGINT) div ${stepSeconds * 1000000000L}")
+        .as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t")).rowsBetween(Long.MinValue, 0)
+    val tot = byT.agg(count(lit(1)).as("kk"), sum(col("n")).as("ss"),
+      sum(col("n") * col("n")).as("qq"))
+    byT
+      .withColumn("k1", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("q1", sum(col("n") * col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("k1") < col("kk"))
+      .select(col("t").as("split_t"), col("k1").as("k_left"),
+        (col("kk") - col("k1")).as("k_right"),
+        round(col("s1").cast("double") / col("k1"), 6).as("mean_left"),
+        round((col("ss") - col("s1")).cast("double") /
+          (col("kk") - col("k1")), 6).as("mean_right"),
+        round((col("q1").cast("double") -
+            (col("s1") * col("s1")).cast("double") / col("k1")) +
+          ((col("qq") - col("q1")).cast("double") -
+            ((col("ss") - col("s1")) * (col("ss") - col("s1")))
+              .cast("double") / (col("kk") - col("k1"))), 6).as("sse_split"),
+        round(col("qq").cast("double") -
+          (col("ss") * col("ss")).cast("double") / col("kk"), 6)
+          .as("sse_total"))
+      .orderBy(col("sse_split"), col("split_t"))
+      .limit(1)
+  }
+
   /** Count overdispersion audit — per key, is the daily event count
     * Poisson-like (VMR ≈ 1) or bursty (VMR ≫ 1)? The check that must
     * precede any Poisson-assuming rate alarm (q136's z-scores): bursty
@@ -740,6 +792,9 @@ object EventsOps {
     "q238_overdispersion" -> ((s, dir) =>
       overdispersion(Tables.load(s, dir, "events"), "event_type", "ts")
         .orderBy(col("key"))),
+
+    "q241_changepoint" -> ((s, dir) =>
+      rateChangepoint(Tables.load(s, dir, "events"), "ts")),
 
     "q226_trimmed_mean" -> ((s, dir) =>
       trimmedStats(Tables.load(s, dir, "events"), "event_type", "value",
@@ -1148,6 +1203,41 @@ object EventsOps {
         |FROM ranked
         |GROUP BY user_id, conv_id
         |ORDER BY user_id, conv_id""".stripMargin,
+
+    "q241_changepoint" ->
+      """WITH byt AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(n) AS BIGINT) AS ss, CAST(sum(n * n) AS BIGINT) AS qq
+        |  FROM byt
+        |), pre AS (
+        |  SELECT t,
+        |    CAST(count(*) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS k1,
+        |    CAST(sum(n) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS q1
+        |  FROM byt
+        |), c AS (
+        |  SELECT t AS split_t, k1 AS k_left, kk - k1 AS k_right,
+        |    round(CAST(s1 AS DOUBLE) / k1, 6) AS mean_left,
+        |    round(CAST(ss - s1 AS DOUBLE) / (kk - k1), 6) AS mean_right,
+        |    round((CAST(q1 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / k1) +
+        |      (CAST(qq - q1 AS DOUBLE) -
+        |       CAST((ss - s1) * (ss - s1) AS DOUBLE) / (kk - k1)), 6)
+        |      AS sse_split,
+        |    round(CAST(qq AS DOUBLE) - CAST(ss * ss AS DOUBLE) / kk, 6)
+        |      AS sse_total
+        |  FROM pre CROSS JOIN tot
+        |  WHERE k1 < kk
+        |)
+        |SELECT * FROM c
+        |ORDER BY sse_split, split_t
+        |LIMIT 1""".stripMargin,
 
     "q238_overdispersion" ->
       """WITH byday AS (

@@ -190,8 +190,9 @@ class PlanSpec extends AnyFunSuite {
       // bin-table totals (the q170 shape); q233 the 1-row positive
       // total and 1-row best-F1
       "q231_lm_retrieval", "q232_brier", "q233_pr_curve",
-      // q237 attaches the two 1-row marginal pair-sums
-      "q237_adjusted_rand")
+      // q237 attaches the two 1-row marginal pair-sums; q241 the 1-row
+      // count totals
+      "q237_adjusted_rand", "q241_changepoint")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
