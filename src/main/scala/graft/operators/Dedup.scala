@@ -524,6 +524,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
   }
 
+  /** LSH parameter-planning table — the sizing evidence behind every
+    * (bands, rowsPerBand) choice in this file: for each divisor split
+    * of the signature budget and each Jaccard level, the candidate
+    * probability P = 1 − (1 − J^r)^b and the S-curve midpoint
+    * (1/b)^(1/r). The table q51/q58/q62's "widen bands at scale"
+    * advice reads from — generated entirely in-engine from literal
+    * grids (a |divisors| × |J-grid| product of constants, no data
+    * touched).
+    */
+  private def lshPlanSql(unnestR: String, unnestJ: String,
+      bExpr: String): String =
+    s"""SELECT r, ($bExpr) AS b, j,
+       |  round(1 - pow(1 - pow(j, CAST(r AS DOUBLE)),
+       |    CAST(($bExpr) AS DOUBLE)), 6) AS p_detect,
+       |  round(pow(CAST(1.0 AS DOUBLE) / ($bExpr),
+       |    CAST(1.0 AS DOUBLE) / r), 6) AS j_midpoint
+       |FROM ($unnestR) CROSS JOIN ($unnestJ)
+       |ORDER BY r, j""".stripMargin
+  private val lshJGrid = (1 to 9).map(i => s"CAST(0.$i AS DOUBLE)")
+    .mkString(", ")
+  private[operators] val lshPlanSpark = lshPlanSql(
+    "SELECT explode(array(1, 2, 4, 8)) AS r",
+    s"SELECT explode(array($lshJGrid)) AS j", "8 div r")
+  private[operators] val lshPlanDuck = lshPlanSql(
+    "SELECT unnest([1, 2, 4, 8]) AS r",
+    s"SELECT unnest([$lshJGrid]) AS j", "8 // r")
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
     * third candidate-generation strategy beside LSH bands
     * ([[minhashPairs]]) and phonetic/typo keys ([[typoPairs]] family):
@@ -771,6 +798,8 @@ object Dedup {
         "p_partkey", "p_name", windowSize = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "q242_lsh_planner" -> Q.fromSql(lshPlanSpark),
+
     "q131_winnowing" -> ((s, dir) =>
       winnowingPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, dfCap = 50, threshold = 0.5)
@@ -877,6 +906,8 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q242_lsh_planner" -> lshPlanDuck,
 
     "q235_sorted_blocking" ->
       """WITH r AS (

@@ -192,7 +192,9 @@ class PlanSpec extends AnyFunSuite {
       "q231_lm_retrieval", "q232_brier", "q233_pr_curve",
       // q237 attaches the two 1-row marginal pair-sums; q241 the 1-row
       // count totals
-      "q237_adjusted_rand", "q241_changepoint")
+      "q237_adjusted_rand", "q241_changepoint",
+      // q242 is a constants-only product of two literal grids
+      "q242_lsh_planner")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
