@@ -168,6 +168,43 @@ object Eval {
           col("idcg_d").cast("double"), 6)).as("ndcg"))
   }
 
+  /** Per-subgroup ROC AUC — the fairness/robustness slice of
+    * [[rocAuc]]: a filter that ranks well overall can still rank one
+    * source/language at chance, and the aggregate hides it (the
+    * subgroup table is where that shows). Same tie-aware integer
+    * rank-sum identity per group; degenerate slices (all-positive /
+    * all-negative) report NULL rather than a fabricated number.
+    *
+    * Rows collapse to one per (group, DISTINCT score) first; the
+    * prefix window partitions BY GROUP over that support-bounded
+    * table (scores are 4dp ⇒ ≤ 10001 rows per group; unbounded score
+    * domains should quantize or use [[rocAuc]]'s two-pass prefix
+    * machinery per slice).
+    */
+  def subgroupAuc(scored: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(groupCol).as("g"),
+        col(scoreCol).cast("double").as("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col(labelCol).cast("long")).as("p_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score"))
+      .rowsBetween(Long.MinValue, -1)
+    val agg = g
+      .withColumn("below", coalesce(sum(col("n_s")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("p_s") * (lit(2L) * col("below") + col("n_s") + lit(1L)))
+          .as("r2"),
+        sum(col("p_s")).as("n_pos"),
+        sum(col("n_s") - col("p_s")).as("n_neg"))
+    agg.select(col("g"), (col("n_pos") + col("n_neg")).as("n"),
+      col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+        .otherwise(round(
+          (col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Precision/recall/F1 across every decision threshold — the curve a
     * filter-deployment picks its operating point from (the classifier
     * analogue of q152's dedup threshold curve; [[rocAuc]] summarizes
@@ -675,6 +712,14 @@ object Eval {
       prCurve(scoredDocs(s, dir), "score", "label")
         .orderBy(col("threshold"))),
 
+    "q243_subgroup_auc" -> ((s, dir) =>
+      subgroupAuc(
+        scoredDocs(s, dir)
+          .join(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source")), "doc_id"),
+        "source", "score", "label")
+        .orderBy(col("g"))),
+
     "q214_mutual_info" -> ((s, dir) =>
       mutualInformation(
         Tables.load(s, dir, "documents")
@@ -770,6 +815,36 @@ object Eval {
          |  END AS ndcg
          |FROM agg
          |ORDER BY qid""".stripMargin,
+
+    "q243_subgroup_auc" ->
+      s"""WITH lab AS ($scoredSql
+         |), j AS (
+         |  SELECT d.source AS g, s.score, s.label
+         |  FROM documents d JOIN lab s ON d.doc_id = s.doc_id
+         |), gg AS (
+         |  SELECT g, CAST(score AS DOUBLE) AS score,
+         |    CAST(count(*) AS BIGINT) AS n_s,
+         |    CAST(sum(label) AS BIGINT) AS p_s
+         |  FROM j GROUP BY g, CAST(score AS DOUBLE)
+         |), c AS (
+         |  SELECT g, n_s, p_s,
+         |    CAST(coalesce(sum(n_s) OVER (PARTITION BY g ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM gg
+         |), a AS (
+         |  SELECT g,
+         |    CAST(sum(p_s * (2 * below + n_s + 1)) AS BIGINT) AS r2,
+         |    CAST(sum(p_s) AS BIGINT) AS n_pos,
+         |    CAST(sum(n_s - p_s) AS BIGINT) AS n_neg
+         |  FROM c GROUP BY g
+         |)
+         |SELECT g, n_pos + n_neg AS n, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |      (2.0 * n_pos * n_neg), 6) END AS auc
+         |FROM a
+         |ORDER BY g""".stripMargin,
 
     "q233_pr_curve" ->
       s"""WITH lab AS ($scoredSql
