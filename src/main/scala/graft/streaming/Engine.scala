@@ -135,6 +135,11 @@ object Engine {
       c.options.getOrElse("port", "1883").toInt,
       c.options("topic_expr"), c.options("value_expr"))
     case "mongodb" => Mongo.MongoSink(c.options)
+    case "pulsar" => Pulsar.PulsarSink(c.options("service_url"),
+      c.options.get("topic_expr")
+        .getOrElse(Pulsar.topicExprOf(c.options("topic"))),
+      c.options.getOrElse("value_field", Codecs.ValueCol),
+      c.options.get("auth").map(Pulsar.nestedOption).getOrElse(Map.empty))
     case other => throw new IllegalArgumentException(s"unknown output: $other")
   }
 
@@ -295,6 +300,14 @@ object Engine {
         c.options.getOrElse("host", "localhost"),
         c.options.getOrElse("port", "4222").toInt,
         c.options("subject"))
+      configInputs.add(() => in.stop())
+      in.toDF
+    case "pulsar" =>
+      val in = new Pulsar.PulsarInput(spark, c.options("service_url"),
+        c.options("topic"), c.options("subscription_name"),
+        c.options.getOrElse("subscription_type", "exclusive"),
+        c.options.get("auth").map(Pulsar.nestedOption).getOrElse(Map.empty),
+        c.options.get("retry_config").map(Pulsar.nestedOption).getOrElse(Map.empty))
       configInputs.add(() => in.stop())
       in.toDF
     case "websocket" =>
