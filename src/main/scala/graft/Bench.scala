@@ -60,6 +60,11 @@ object Bench {
     // outside the window. Retry only genuine outliers — recorded min both
     // > 2 s and > 4× the sweep median — and keep the min, so a real
     // regression (slow on every attempt) still reports slow.
+    // queries whose recorded number came from the retry pass, surfaced
+    // in the JSON — a sweep consumer must be able to tell a retried min
+    // from a clean-run min (the asymmetric retry can understate a real
+    // regression that first presents as a >4x-median time)
+    var retriedNames = List.empty[String]
     val finalResults =
       if (results.size < 8) results
       else {
@@ -75,6 +80,7 @@ object Bench {
             retried match {
               case Some(rt) if rt < t =>
                 System.err.println(f"[bench] $name outlier retry: $t%.2f -> $rt%.2f s")
+                retriedNames ::= name
                 name -> rt
               case _ => name -> t
             }
@@ -85,7 +91,9 @@ object Bench {
     // bench_full.json cannot see stderr, and a partial sweep's lower
     // total would otherwise read as a misleadingly fast clean run
     val partial = failed.sorted.map(n => "\"" + n + "\"")
-      .mkString(""","partial":[""", ",", "]")
+      .mkString(""","partial":[""", ",", "]") +
+      retriedNames.sorted.map(n => "\"" + n + "\"")
+        .mkString(""","retried":[""", ",", "]")
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum

@@ -35,6 +35,14 @@ object Q {
   def md5Bucket32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** [[md5Bucket32]]'s driver-side twin, for assertions about which
+    * bucket a known string lands in. */
+  def md5Bucket32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
   /** A query that runs one SQL text against the registered test tables.
     * Used where the Spark and DuckDB dialects coincide, so the exact same
     * string is also the oracle.

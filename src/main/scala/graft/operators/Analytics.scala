@@ -126,14 +126,29 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  // Approximate aggregates: HLL/quantile-sketch estimates are
-  // engine-specific, so no DuckDB oracle — the driver records a
-  // rows-only check (SURVEY.md §2.7 approx row). The hash-verified
-  // error-band audit of the same sketches is q141 below.
+  // Approximate aggregates, graded in their EXACT regime (the q117
+  // discipline): a sketch is an engine-specific estimate in general,
+  // but each has a provable exact regime where its answer IS the true
+  // value — and that regime is checkable against DuckDB's exact
+  // aggregates. HLL++ at rsd=0.005 (2^16 registers) runs linear
+  // counting, whose estimate rounds to the true count while
+  // n << sqrt(m) — l_linenumber's domain is 1..7; percentile_approx at
+  // accuracy=1e6 has rank error eps*n < 1 while groups stay under 1e6
+  // rows (true through sf1), where the sketch returns the exact
+  // discrete quantile DuckDB's quantile_disc computes. Beyond the
+  // exact regime the sketches stay covered by q141's error-band audit
+  // (which grades hll/median IN-BAND booleans at any scale).
   private val q40Spark =
     """SELECT l_returnflag,
-      |  approx_count_distinct(l_partkey) AS approx_parts,
-      |  percentile_approx(l_quantity, 0.5) AS approx_median
+      |  approx_count_distinct(l_linenumber, 0.005) AS approx_lines,
+      |  CAST(percentile_approx(l_quantity, 0.5, 1000000) AS DOUBLE) AS approx_median
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  private val q40Duck =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS approx_lines,
+      |  CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS approx_median
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
@@ -431,6 +446,7 @@ object Analytics {
     "q37_percentiles" -> q37Duck,
     "q38_bool_bit_agg" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
+    "q40_approx_agg" -> q40Duck,
     "q141_sketch_audit" -> q141Duck,
     "q41_first_last_nth" -> q41Sql,
     "q46_pivot" ->

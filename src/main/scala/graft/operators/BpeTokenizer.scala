@@ -308,12 +308,83 @@ object BpeTokenizer {
   private def detok(tokens: Column): Column =
     rtrim(regexp_replace(array_join(tokens, ""), lit("</w>"), lit(" ")))
 
-  // ---- driver-checked query entries. The train loop is iterative
-  // argmax-then-rewrite with no single-query SQL equivalent, so q93/q94/
-  // q101 are rows-only (parity proven in OperatorsSpec); their graded
-  // shapes project array columns to joined strings — scalar, sortable,
-  // hashable by the driver. q116 grades the reconstruction invariant
-  // against a real DuckDB oracle.
+  // ---- driver-checked query entries. The train loop UNROLLS into a
+  // DuckDB oracle (the q119/q196 bounded-iteration discipline): word
+  // types ride as control-character-delimited symbol strings
+  // (\x01 sym \x02 per symbol — bytes a space-split word can never
+  // contain), so one merge round is ONE string replace —
+  // replace(rep, \x01 l \x02 \x01 r \x02, \x01 l r \x02) — whose
+  // left-to-right non-overlapping semantics are exactly [[mergePass]]'s
+  // fold. Each round is a CTE block (pair extraction → weighted count →
+  // argmax with the count-desc/lexicographic tie-break → rewrite); the
+  // minFreq stop falls out naturally (a round whose best pair misses
+  // minFreq selects nothing, leaves every rep unchanged, and every
+  // later round then selects nothing too). q94/q101 extend the chain
+  // with the per-word final symbol table joined back through each
+  // document's word sequence. q116 grades the reconstruction invariant.
+
+  /** The shared unrolled-train CTE chain: `types` → `rep0` → per-round
+    * (`sN` split, `pN` pair counts, `bN` argmax, `repN` rewrite). */
+  private def duckTrainCtes(numMerges: Int, minFreq: Long): String = {
+    val sb = new StringBuilder
+    sb ++= """types AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS word
+      |        FROM documents)
+      |  GROUP BY word
+      |), rep0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |    chr(1) || array_to_string(
+      |      list_transform(range(1, len(word) + 1),
+      |        i -> word[i:i] || CASE WHEN i = len(word) THEN '</w>' ELSE '' END),
+      |      chr(2) || chr(1)) || chr(2) AS rep
+      |  FROM types
+      |)""".stripMargin
+    for (r <- 1 to numMerges) {
+      sb ++= s""",
+        |s$r AS MATERIALIZED (
+        |  SELECT freq, string_split(rep[2:len(rep) - 1], chr(2) || chr(1)) AS syms
+        |  FROM rep${r - 1}
+        |),
+        |p$r AS MATERIALIZED (
+        |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, syms[i] AS l, syms[i + 1] AS r2
+        |    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s$r)
+        |  ) GROUP BY l, r2
+        |),
+        |b$r AS MATERIALIZED (
+        |  SELECT l, r2, cnt FROM p$r WHERE cnt >= $minFreq
+        |  ORDER BY cnt DESC, l, r2 LIMIT 1
+        |),
+        |rep$r AS MATERIALIZED (
+        |  SELECT t.word, t.freq,
+        |    CASE WHEN b.l IS NULL THEN t.rep
+        |      ELSE replace(t.rep, chr(1) || b.l || chr(2) || chr(1) || b.r2 || chr(2),
+        |                   chr(1) || b.l || b.r2 || chr(2)) END AS rep
+        |  FROM rep${r - 1} t LEFT JOIN b$r b ON TRUE
+        |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Merge-table select over the round CTEs (q93's tail; also the id
+    * source for q101's vocab). */
+  private def duckMergesSelect(numMerges: Int): String =
+    (1 to numMerges).map { r =>
+      if (r == 1)
+        s"""SELECT CAST(0 AS INTEGER) AS "rank", l AS "left", r2 AS "right",
+           |    l || r2 AS merged, cnt AS freq FROM b1""".stripMargin
+      else s"  UNION ALL SELECT CAST(${r - 1} AS INTEGER), l, r2, l || r2, cnt FROM b$r"
+    }.mkString("\n")
+
+  /** Per-document word sequence with positions (the tokenize scan's
+    * oracle twin). */
+  private val duckDocWords =
+    """dw AS (
+      |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |        FROM documents)
+      |)""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     "q93_bpe_train" -> ((s, dir) =>
@@ -348,7 +419,74 @@ object BpeTokenizer {
     })
   )
 
+  private val NumMerges = 40
+
   val oracle: Map[String, String] = Map(
+    "q93_bpe_train" ->
+      s"""WITH ${duckTrainCtes(NumMerges, 2L)}
+         |SELECT * FROM (
+         |${duckMergesSelect(NumMerges)}
+         |) ORDER BY "rank"""".stripMargin,
+
+    "q94_bpe_tokenize" ->
+      s"""WITH ${duckTrainCtes(NumMerges, 2L)},
+         |tok AS (
+         |  SELECT word,
+         |    replace(rep[2:len(rep) - 1], chr(2) || chr(1), ' ') AS token_str,
+         |    CAST(len(string_split(rep[2:len(rep) - 1], chr(2) || chr(1))) AS BIGINT) AS n_tok
+         |  FROM rep$NumMerges
+         |),
+         |$duckDocWords
+         |SELECT d.doc_id,
+         |  coalesce(string_agg(t.token_str, ' ' ORDER BY w.pos), '') AS tokens_str,
+         |  CAST(coalesce(sum(t.n_tok), 0) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |LEFT JOIN dw w ON d.doc_id = w.doc_id
+         |LEFT JOIN tok t ON w.word = t.word
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q101_bpe_ids" ->
+      s"""WITH ${duckTrainCtes(NumMerges, 2L)},
+         |alphabet AS (
+         |  SELECT DISTINCT unnest(string_split(rep[2:len(rep) - 1], chr(2) || chr(1))) AS sym
+         |  FROM rep0
+         |),
+         |base_ids AS (
+         |  SELECT sym AS token, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+         |  FROM alphabet
+         |),
+         |nbase AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM alphabet),
+         |mt AS (
+         |${duckMergesSelect(NumMerges)}
+         |),
+         |vocab AS (
+         |  SELECT token, id FROM base_ids
+         |  UNION ALL SELECT merged AS token, nb + "rank" AS id FROM mt CROSS JOIN nbase
+         |),
+         |fsyms AS (
+         |  SELECT word, string_split(rep[2:len(rep) - 1], chr(2) || chr(1)) AS syms
+         |  FROM rep$NumMerges
+         |),
+         |wsyms AS (
+         |  SELECT word, unnest(syms) AS sym, unnest(range(1, len(syms) + 1)) AS sp FROM fsyms
+         |),
+         |wids AS (
+         |  SELECT word, string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY sp) AS ids_str,
+         |    CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM wsyms JOIN vocab v ON v.token = wsyms.sym
+         |  GROUP BY word
+         |),
+         |$duckDocWords
+         |SELECT d.doc_id,
+         |  coalesce(string_agg(wi.ids_str, ',' ORDER BY w.pos), '') AS ids_str,
+         |  CAST(coalesce(sum(wi.n_tok), 0) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |LEFT JOIN dw w ON d.doc_id = w.doc_id
+         |LEFT JOIN wids wi ON w.word = wi.word
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q116_bpe_detok" ->
       """SELECT doc_id,
         |  array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ') AS detok

@@ -1242,11 +1242,11 @@ object Corpus {
       .agg(sum(t(col("ai"))).as("sa"))
     val sumB = cont.groupBy(col("b")).agg(sum(col("nij")).as("bj"))
       .agg(sum(t(col("bj"))).as("sb"))
+    // n and ari only: the doubled-pair sums live in DECIMAL(38,0)
+    // precisely because they overflow BIGINT at the n ~ 3e9 scale this
+    // operator targets, so they must not be down-cast for display
     sumIj.crossJoin(broadcast(sumA)).crossJoin(broadcast(sumB))
       .select(col("n"),
-        col("sij").cast("long").as("sij2"),
-        col("sa").cast("long").as("sa2"),
-        col("sb").cast("long").as("sb2"),
         round((lit(2L) * t(col("n")) * col("sij") -
             lit(2L) * col("sa") * col("sb")).cast("double") /
           (t(col("n")) * (col("sa") + col("sb")) -
@@ -1269,6 +1269,10 @@ object Corpus {
     * normalize, operation order mirrors [[hitsOracle]] text exactly.
     */
   def hits(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    // iters = 0 would leave the authority frame unassigned (the `var a`
+    // placeholder below) and fail at analysis with a missing-column
+    // error far from the cause — fail fast here instead
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
     val nd = nodes.count().toDouble
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -3408,8 +3412,7 @@ object Corpus {
          |  SELECT sum(CAST(bj AS HUGEINT) * (CAST(bj AS HUGEINT) - 1)) AS sb
          |  FROM (SELECT b, sum(nij) AS bj FROM cont GROUP BY b) t
          |)
-         |SELECT n, CAST(sij AS BIGINT) AS sij2, CAST(sa AS BIGINT) AS sa2,
-         |  CAST(sb AS BIGINT) AS sb2,
+         |SELECT n,
          |  round(CAST(2 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1))
          |      * sij - 2 * sa * sb AS DOUBLE) /
          |    CAST((CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1))

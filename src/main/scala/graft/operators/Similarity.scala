@@ -476,8 +476,10 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vectors
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, e) => (id, Vectors.dense(e.toArray)) }
       .toDF("vec_id", "features")
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("features").fit(vecs)
@@ -917,8 +919,10 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vectors
     val spark = emb.sparkSession
     import spark.implicits._
-    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble).toArray)) }
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, e) => (id, Vectors.dense(e.toArray)) }
       .toDF("vec_id", "features")
     val model = new BucketedRandomProjectionLSH()
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
@@ -1073,11 +1077,25 @@ object Similarity {
     "q61_ivf_knn" -> ((s, dir) =>
       ivfKnn(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5, k = 3)
         .orderBy(col("qid"), col("rnk"))),
-    // deterministic-seed KMeans centroids: engine-specific -> rows-only check
-    "q67_ivf_kmeans_knn" -> ((s, dir) =>
-      ivfKnnKMeans(Tables.load(s, dir, "embeddings"), nList = 8, nQueries = 5,
-        k = 3, nProbe = 2)
-        .orderBy(col("qid"), col("rnk"))),
+    // KMeans centroids are engine-specific in general, but cell
+    // ASSIGNMENT is data-determined when clusters are well separated —
+    // so the graded entry PLANTS separation (the q120/q95 pattern):
+    // vec_id % 3 picks an axis, +100 on that dimension makes three
+    // orthogonal tight clusters whose unique optimum any KMeans run
+    // recovers (the OperatorsSpec fixture proves the shape; this
+    // promotes it to the full embeddings table). nProbe=1 then makes
+    // each query's candidate set exactly its planted cluster, which a
+    // DuckDB oracle reproduces without running KMeans at all. The
+    // engine-specific regime (unplanted data, partial probes) stays
+    // covered by the recall/brute-force-parity specs.
+    "q67_ivf_kmeans_knn" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("""transform(embedding, (x, i) ->
+                CAST(x AS DOUBLE) + IF(i = vec_id % 3, 100.0D, 0.0D))""")
+          .as("embedding"))
+      ivfKnnKMeans(planted, nList = 3, nQueries = 3, k = 3, nProbe = 1)
+        .orderBy(col("qid"), col("rnk"))
+    }),
     "q91_semantic_dedup" -> ((s, dir) =>
       // 0.4 exercises the operator on this synthetic corpus (its max
       // pairwise cosine at sf0.01 is ~0.51); production near-dup pruning
@@ -1570,6 +1588,32 @@ object Similarity {
          |)
          |SELECT qid, cell, cid, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    // the planted-separation twin of the Spark query: cluster membership
+    // is vec_id % 3 by construction, so the oracle ranks within-cluster
+    // cosine over the identically shifted vectors (DuckDB list lambdas
+    // are 1-indexed, hence i - 1)
+    "q67_ivf_kmeans_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 3 THEN 100.0 ELSE 0.0 END) AS vd
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    round(list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm), 6) AS cos
+        |  FROM n q JOIN n c
+        |    ON q.vec_id < 3 AND q.vec_id <> c.vec_id
+        |    AND q.vec_id % 3 = c.vec_id % 3
+        |), ranked AS (
+        |  SELECT qid, cid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+        |  FROM scored
+        |)
+        |SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
 
     "q91_semantic_dedup" ->
       s"""WITH $duckPrep,

@@ -315,6 +315,84 @@ object TextAnalysis {
     (model, featurize)
   }
 
+  /** Distributed full-batch logistic-regression training by gradient
+    * descent over md5-bucketed binary bag-of-words features — the
+    * hash-verifiable twin of [[trainQualityClassifier]] (whose LBFGS
+    * coefficients are engine-specific). Deterministic by construction:
+    *   - features are presence bits on `dims` [[graft.Q.md5Bucket32]]
+    *     buckets (the house oracle-reproducible hash — murmur3-free);
+    *   - the activation is the Elliott fast sigmoid
+    *     `0.5 + 0.5·z / (1 + |z|)` (Elliott 1993) — rational double
+    *     arithmetic only, so both engines produce bit-identical
+    *     activations (libm `exp` differs in final ulps across engines;
+    *     swap the true sigmoid back in when differential grading isn't
+    *     required);
+    *   - per-doc margins and per-bucket gradients are DECIMAL sums
+    *     (order-independent under any partitioning — the house float
+    *     rule), activations round to 12 decimals, weights to 6 per
+    *     round.
+    *
+    * Scale shape: the corpus is scanned once into the (doc, bucket)
+    * incidence table (localCheckpoint'd, reused 2× per round); each of
+    * the `iters` rounds is one join+agg producing per-doc margins and
+    * one join+agg producing `dims` gradient rows; the weight vector
+    * (≤ dims rows) is the only driver state, re-broadcast each round —
+    * the same bounded-collect contract as the KMeans centroid loop.
+    * Update uses the (p − y)·x pseudo-gradient (the logistic gradient
+    * with the substituted activation).
+    *
+    * Returns (bucket, weight): the trained coefficient table.
+    */
+  def logisticGdTrain(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, label: org.apache.spark.sql.Column, dims: Int = 64,
+      iters: Int = 8, lr: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(dims > 0 && iters >= 1, s"need dims > 0, iters >= 1; got $dims, $iters")
+    val spark = docs.sparkSession
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val labeled = docs.select(col(idCol).as("doc_id"),
+      label.cast("int").as("y"), col(textCol).as("__text"))
+    val inc = labeled.select(col("doc_id"),
+        explode(split(col("__text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), (graft.Q.md5Bucket32(col("word")) % dims).as("bucket"))
+      .distinct()
+      .localCheckpoint(true)
+    val ydf = labeled.select(col("doc_id"), col("y")).localCheckpoint(true)
+    val n = ydf.count().toDouble
+    // weight state: one row per bucket PRESENT in the corpus (absent
+    // buckets have zero gradient and stay zero) — bounded by dims
+    var wRows = inc.select(col("bucket")).distinct()
+      .select(col("bucket"), lit(0).cast(dec6).as("w"))
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w", dec6)))
+    def wDf = spark.createDataFrame(
+      java.util.Arrays.asList(wRows: _*), schema)
+    for (_ <- 1 to iters) {
+      val z = inc.join(broadcast(wDf), "bucket")
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("z"))
+      val p = ydf.join(z, Seq("doc_id"), "left")
+        .withColumn("zz", coalesce(col("z"), lit(0)).cast("double"))
+        .select(col("doc_id"), col("y"),
+          round(lit(0.5) + lit(0.5) * col("zz") / (lit(1.0) + abs(col("zz"))), 12)
+            .cast(dec12).as("p"))
+      val g = inc.join(p, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("p") - col("y").cast(dec12)).as("gsum"))
+      wRows = wDf.join(g, "bucket")
+        .select(col("bucket"),
+          round(col("w").cast("double") -
+            lit(lr) * col("gsum").cast("double") / lit(n), 6)
+            .cast(dec6).as("w"))
+        .collect()
+    }
+    wDf.select(col("bucket"), col("w").cast("double").as("weight"))
+      .orderBy(col("bucket"))
+  }
+
   /** The trained classifier's strongest coefficients, as rows — the
     * inspectable artifact (which hashed buckets drive quality up/down).
     * `HashingTF` uses murmur3 on the word's UTF-8 bytes, so a word's
@@ -751,18 +829,19 @@ object TextAnalysis {
       linearProbe(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // MLlib LBFGS training on a planted weak label (doc mentions
-    // "spark") — learned coefficients are engine-specific, so rows-only
-    // for the driver; OperatorsSpec asserts the planted word's bucket
-    // carries the strongest positive weight and train→score separates.
-    "q107_classifier_train" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val labeled = docs.withColumn("label",
-        (col("text").contains("spark")).cast("int"))
-      val (model, _) = trainQualityClassifier(labeled, "text", "label",
-        dims = 1 << 12, maxIter = 20)
-      classifierTopCoefficients(model, s, top = 20)
-    }),
+    // Distributed classifier TRAINING, graded end-to-end: 8 unrolled
+    // full-batch gradient-descent rounds over md5-bucketed binary
+    // features on the planted weak label (doc mentions "spark"). The
+    // LBFGS path stays in the library ([[trainQualityClassifier]],
+    // spec'd for partition-invariance + planted-bucket sign), but its
+    // coefficients are engine-specific; this graded twin trains with
+    // deterministic arithmetic instead — DECIMAL gradient sums and the
+    // exp-free Elliott sigmoid — so every round is bit-reproducible in
+    // a DuckDB oracle (the q119/q196 unroll discipline applied to
+    // model TRAINING).
+    "q107_classifier_train" -> ((s, dir) =>
+      logisticGdTrain(Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("text").contains("spark"), dims = 64, iters = 8, lr = 0.5)),
 
     "q92_hashed_features" -> ((s, dir) =>
       hashedFeatures(Tables.load(s, dir, "documents"), "doc_id", "text", dims = 16)
@@ -843,7 +922,54 @@ object TextAnalysis {
        |FROM ex ORDER BY doc_id""".stripMargin
   }
 
+  /** q107's oracle: the [[logisticGdTrain]] rounds unrolled as
+    * MATERIALIZED CTEs (same DECIMAL sums, same Elliott activation,
+    * same rounding points — term-for-term the Spark loop). */
+  private def q107Duck(dims: Int, iters: Int, lr: Double): String = {
+    val bucket32 = "CAST(CAST('0x' || substring(md5(word), 1, 8) AS UBIGINT) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH dl AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), inc AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, $bucket32 % $dims AS bucket
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS word
+      |        FROM documents)
+      |), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |w0 AS MATERIALIZED (
+      |  SELECT DISTINCT bucket, CAST(0 AS DECIMAL(18,6)) AS w FROM inc
+      |)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |z$t AS MATERIALIZED (
+        |  SELECT i.doc_id, sum(w.w) AS z FROM inc i JOIN w${t - 1} w USING (bucket)
+        |  GROUP BY i.doc_id
+        |),
+        |p$t AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |    CAST(round(0.5 + 0.5 * zz / (1.0 + abs(zz)), 12) AS DECIMAL(38,12)) AS p
+        |  FROM (SELECT d.doc_id, d.y, CAST(coalesce(z.z, 0) AS DOUBLE) AS zz
+        |        FROM dl d LEFT JOIN z$t z USING (doc_id))
+        |),
+        |g$t AS MATERIALIZED (
+        |  SELECT i.bucket, sum(p.p - p.y) AS gsum
+        |  FROM inc i JOIN p$t p USING (doc_id) GROUP BY i.bucket
+        |),
+        |w$t AS MATERIALIZED (
+        |  SELECT w.bucket,
+        |    CAST(round(CAST(w.w AS DOUBLE) - $lr * CAST(g.gsum AS DOUBLE) / nn.n, 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM w${t - 1} w JOIN g$t g USING (bucket) CROSS JOIN nn
+        |)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT bucket, CAST(w AS DOUBLE) AS weight FROM w$iters
+      |ORDER BY bucket""".stripMargin
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q107_classifier_train" -> q107Duck(dims = 64, iters = 8, lr = 0.5),
     "q192_readability" -> q192Duck,
     "q193_token_stats" -> q193Duck,
     "q199_kwic" -> q199Oracle,

@@ -81,6 +81,15 @@ object Engine {
     * compatibility with reference yaml) but never passed to the producer.
     */
   def kafkaSinkOptions(o: Map[String, String]): Map[String, String] = {
+    // visible at config resolution, not buried in scaladoc: the yaml
+    // user who set a transactional id must learn it is not being used
+    // (see the EOS boundary note above; TransactionalKafkaSink is the
+    // broker-fenced path)
+    if (o.contains("transactional_id") && !o.get("exactly_once").contains("transactional"))
+      System.err.println("[engine] WARN kafka output: 'transactional_id' is accepted " +
+        "for config compatibility but Spark's kafka writer cannot run broker-fenced " +
+        "transactions - using idempotence + batch_id-header replay-dedupe instead " +
+        "(set exactly_once: transactional for the hand-rolled transactional producer)")
     val base = Map(
       "kafka.bootstrap.servers" -> o.getOrElse("brokers", "localhost:9092"),
       "topic" -> o("topic"))
@@ -434,6 +443,32 @@ object Engine {
         if (!held2) sink.write(drain, drainId)
         drainId += 1
         val now = caps.map(_.pendingRows).sum
+        if (now >= remaining && now > 0)
+          // no progress with rows still held: a downstream processor
+          // (e.g. a sentinel hold-back) swallowed the release — the
+          // loop must stop, but the loss has to be OBSERVABLE, not
+          // silent: divert the held rows to the error output if there
+          // is one, and say so either way
+          try {
+            System.err.println(
+              s"[engine] EOF drain stalled with $now rate_cap rows still held; " +
+                err.fold("no error_output configured — rows dropped")(_ =>
+                  "diverting held rows to error_output"))
+            err.foreach { errSink =>
+              caps.foreach { rc =>
+                var more = rc.pendingRows > 0
+                while (more) { // each release pass caps at max_rows
+                  val held = rc(in.limit(0))
+                  errSink.write(held.withColumn("__error",
+                    lit("rate_cap carry undeliverable at EOF")), drainId)
+                  drainId += 1
+                  more = rc.pendingRows > 0
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[engine] EOF drain divert failed: ${e.getMessage}")
+          }
         remaining = if (now < remaining) now else 0L
       }
     } catch {

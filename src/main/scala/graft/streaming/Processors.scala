@@ -220,6 +220,9 @@ object Processors {
   final class RateCap(maxRows: Long) extends (DataFrame => DataFrame) {
     require(maxRows > 0, s"rate_cap max_rows must be positive, got $maxRows")
     private var pending: Option[DataFrame] = None
+    // the previous trigger's cached input, unpersisted once its release
+    // half has certainly been consumed (the next apply call)
+    private var lastCached: Option[org.apache.spark.rdd.RDD[_]] = None
     def apply(batch: DataFrame): DataFrame = {
       val spark = batch.sparkSession
       val all = pending match {
@@ -230,7 +233,15 @@ object Processors {
       // local copy: the filter closures must not capture `this`
       // (RateCap holds a DataFrame and is not serializable)
       val cap = maxRows
-      val indexed = all.rdd.zipWithIndex()
+      // cache the input ONCE: zipWithIndex's internal count job
+      // materializes the cache, and the release/rest scans plus the
+      // overflow checkpoint then all read it — without this the
+      // upstream pipeline recomputes three times per trigger
+      lastCached.foreach(_.unpersist(blocking = false))
+      val src = all.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastCached = Some(src)
+      val indexed = src.zipWithIndex()
       val release = spark.createDataFrame(
         indexed.filter(_._2 < cap).map(_._1), schema)
       val rest = spark.createDataFrame(
