@@ -116,33 +116,66 @@ object Corpus {
     * LSH false-positive stars (a containment-style artifact worth
     * inspecting before transitive-closure dedup merges them).
     *
-    * Dataflow is the classic ordered-wedge join: edges (a<b) joined on
-    * the middle vertex to form wedges a<b<c, then one semi-join against
-    * the edge set closes them. Ordering means each triangle is built
-    * exactly once — no /6 dedup, no symmetric blowup; the join keys are
-    * vertex ids, so it shuffles like any equi-join and the skew cure is
-    * the usual degree-ordered orientation at scale. Degrees come from
-    * one symmetric aggregation.
+    * Dataflow is plan-time adaptive (the simhashAutoBits discipline):
+    * past `orientThreshold` edges, the DEGREE-ORDERED-orientation wedge
+    * join runs (the standard hub cure, exact — not an approximation):
+    * every edge orients from its lower-(degree, id) endpoint to the
+    * higher, wedges form only between a vertex's OUT-neighbors, and one
+    * join against the oriented edges closes them. Each triangle is
+    * built exactly once (at its lowest-ranked vertex), and the
+    * per-vertex wedge term is out-degree², which orientation bounds at
+    * O(√m) even for a boilerplate hub whose raw degree is corpus-sized.
+    * Below the threshold the simple middle-vertex join (a<b<c wedges)
+    * runs instead — orientation costs two extra edge⋈degree joins,
+    * which a small hub-free graph never earns back (measured at sf0.1:
+    * 1.6 s middle-vertex vs 3.0 s oriented). Both paths produce the
+    * identical output, so the choice is pure physical planning.
     */
-  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // the edge set feeds the wedge join twice, the closing semi-join,
-    // and the degree aggregate — localCheckpoint materializes the
-    // (expensive upstream: LSH banding) pair pipeline ONCE instead of
-    // re-deriving it per reference (the q99 discipline)
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String,
+      orientThreshold: Long = 2000000L): DataFrame = {
+    // the edge set feeds the wedge joins, the closing join and the
+    // degree aggregate — localCheckpoint materializes the (expensive
+    // upstream: LSH banding) pair pipeline ONCE instead of re-deriving
+    // it per reference (the q99 discipline)
     val e = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct().localCheckpoint(true)
-    // wedge a<b<c = edge (a,b) meeting edge (b,c) on the middle vertex
-    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
-    val tris = wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
-    val perNode = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
     val deg = e.select(col("a").as("doc_id"))
       .union(e.select(col("b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tris =
+      if (e.count() <= orientThreshold) {
+        // wedge a<b<c = edge (a,b) meeting edge (b,c) on the middle vertex
+        val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+        wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+          .select(col("a").as("src"), col("b").as("v"), col("c").as("w"))
+      } else {
+        val degCp = deg.localCheckpoint(true)
+        // orient low-(degree, id) → high; carry the head's rank for
+        // wedge ordering
+        val withDeg = e
+          .join(degCp.select(col("doc_id").as("a"), col("degree").as("da")), "a")
+          .join(degCp.select(col("doc_id").as("b"), col("degree").as("db")), "b")
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val out = withDeg.select(
+            when(aFirst, col("a")).otherwise(col("b")).as("src"),
+            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+            when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+          .localCheckpoint(true) // wedge join (×2) + closing join
+        val wedges = out.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+          .join(out.select(col("src"), col("dst").as("w"), col("dd").as("dw")), "src")
+          .filter(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
+        // rank(v) < rank(w), so a closing v—w edge is oriented v→w
+        wedges
+          .join(out.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+          .select(col("src"), col("v"), col("w"))
+      }
+    val perNode = tris
+      .select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("doc_id"), "left")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
       .withColumn("clustering",
@@ -165,7 +198,9 @@ object Corpus {
     * cast to DECIMAL(18,12) before summing so the aggregate is
     * order-independent and oracle-exact under any partitioning.
     */
-  def adamicAdar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def adamicAdar(pairs: DataFrame, aCol: String, bCol: String,
+      maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
     // edge set feeds the neighborhood aggregate and the final anti-join;
     // materialize the (expensive upstream: LSH banding) pipeline once
     val e = pairs
@@ -174,17 +209,26 @@ object Corpus {
       .distinct().localCheckpoint(true)
     val adj = e.select(col("a").as("z"), col("b").as("nbr"))
       .union(e.select(col("b").as("z"), col("a").as("nbr")))
-    // adj⋈adj on the center vertex: deg² wedge rows, u<v filtered
-    // before any further shuffle. Measured AGAINST the row-local
+    // adj⋈adj on the center vertex would be deg² wedge rows — quadratic
+    // on a boilerplate hub (an over-shared header's vertex touches half
+    // the corpus). Standard link-prediction practice caps each CENTER's
+    // neighbor list at maxDegree first: wedge volume is then bounded at
+    // n·maxDegree² by construction. The kept k are a content-addressed
+    // uniform sample (the house md5 order — deterministic, engine-
+    // independent, no RNG), since this edge set is unweighted; with
+    // weighted edges, rank by weight/recency instead. The 1/ln(deg)
+    // score term still uses the TRUE degree, so kept terms are exact —
+    // capping only subsamples which common neighbors are seen
+    // (n_common is the capped count). Measured against the row-local
     // sorted-neighbor-list expansion (collect_list + nested transform):
-    // the hash join wins ~2.7× here — Tungsten joins beat per-row
-    // struct-array construction until degrees are far more skewed than
-    // an LSH band graph allows. Giant-degree hubs make this term
-    // quadratic in either formulation — Adamic-Adar's cost model, not
-    // this plan's.
+    // the hash join wins ~2.7× at these degrees.
+    val wCap = org.apache.spark.sql.expressions.Window.partitionBy(col("z"))
+      .orderBy(Q.md5Bucket32(concat_ws(":", col("z"), col("nbr"))), col("nbr"))
+    val adjCapped = adj.withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxDegree).drop("__rn")
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dz"))
-    val cand = adj.select(col("z"), col("nbr").as("u"))
-      .join(adj.select(col("z"), col("nbr").as("v")), "z")
+    val cand = adjCapped.select(col("z"), col("nbr").as("u"))
+      .join(adjCapped.select(col("z"), col("nbr").as("v")), "z")
       .filter(col("u") < col("v"))
     val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
     // no broadcast hint on deg: it has one row per vertex, which AQE
@@ -2875,11 +2919,18 @@ object Corpus {
          |adj AS (
          |  SELECT doc_a AS z, doc_b AS nbr FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), adjc AS (
+         |  SELECT z, nbr FROM (
+         |    SELECT z, nbr, row_number() OVER (PARTITION BY z ORDER BY
+         |      CAST(CAST('0x' || substring(md5(z || ':' || nbr), 1, 8)
+         |        AS UBIGINT) AS BIGINT), nbr) AS rn
+         |    FROM adj) t
+         |  WHERE rn <= 64
          |), deg AS (
          |  SELECT z, CAST(count(*) AS BIGINT) AS dz FROM adj GROUP BY z
          |), cand AS (
          |  SELECT x.z, x.nbr AS u, y.nbr AS v
-         |  FROM adj x JOIN adj y ON x.z = y.z
+         |  FROM adjc x JOIN adjc y ON x.z = y.z
          |  WHERE x.nbr < y.nbr
          |), scored AS (
          |  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,

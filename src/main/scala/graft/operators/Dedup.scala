@@ -347,6 +347,35 @@ object Dedup {
     * any real corpus; the oracle-pinned queries pass `bits = 16`
     * explicitly to keep their recorded signatures.
     */
+  /** Plan-time signature width from corpus size — the q242 S-curve
+    * planner's sizing rule applied to simhash: banded-join candidates
+    * grow ~n²/2^bits, so keeping the join linear needs
+    * bits ≥ ⌈log2 n⌉ + margin. Margin 4 calibrates to the measured
+    * saturation (SCALING.md: 20k docs ≈ 2^14.3 saturated 16 bits);
+    * clamped to [16, 32] (md5 hex digits bound the width). Every bit is
+    * an independent md5-digit vote, so a narrower signature is a PREFIX
+    * of the wider one — widening the plan never invalidates persisted
+    * pair tables built at smaller widths, only refines them.
+    */
+  def simhashAutoBits(nDocs: Long): Int = {
+    require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
+    val lg = if (nDocs <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(nDocs - 1) // ceil log2
+    math.min(32, math.max(16, lg + 4))
+  }
+
+  /** [[simhash]] + [[simhashBandedPairs]] with the signature width
+    * derived from the corpus at plan time ([[simhashAutoBits]]) — the
+    * no-retuning entry point: the one count() job is the price of a
+    * plan that stays linear at any corpus size, instead of a pinned
+    * width that silently saturates at 2^(bits−4) documents.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bits = simhashAutoBits(docs.count())
+    simhashBandedPairs(simhash(docs, idCol, textCol, bits), maxDist, bits)
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")

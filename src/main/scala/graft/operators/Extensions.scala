@@ -122,6 +122,20 @@ object Extensions {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The AUTO-WIDTH twin of q58: signature bits derive from corpus
+    // size at plan time (Dedup.simhashAutoBits — the q242 planner's
+    // sizing rule), so the banded join stays linear at any scale with
+    // no manual retuning (the measured 16-bit saturation trap). The
+    // oracle computes the same width from count(*) and truncates the
+    // full 32-digit signature — narrower signatures are prefixes by
+    // construction.
+    "q244_simhash_autopairs" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxDist = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (the vector dedup mode).
     // Random-hyperplane LSH bucketing: 40 md5-derived sign-bits grouped
     // into 5 bands of 8; only vectors sharing a full band signature become
@@ -259,6 +273,30 @@ object Extensions {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_filter(generate_series(1, 16),
          |      i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q244_simhash_autopairs" -> {
+      val bits32 = (1 to 32).map(j =>
+        s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      ).mkString(" || ")
+      s"""WITH bw AS (
+         |  SELECT least(32, greatest(16,
+         |    CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT) + 4)) AS bits
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    substring($bits32, 1, (SELECT bits FROM bw)) AS simhash
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) t
+         |  GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_filter(generate_series(1, len(a.simhash)),
+         |         i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS dist
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

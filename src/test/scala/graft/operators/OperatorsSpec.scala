@@ -1327,6 +1327,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.get(badB).exists(_ < 0), s"planted bad bucket $badB must top negative: $top")
   }
 
+  test("triangle orientation path computes exactly the middle-vertex path's output") {
+    import spark.implicits._
+    // K4 on 0-3 (4 triangles), a pendant 3-4, plus hub 9 with a
+    // triangle-free star — the hub case orientation exists for
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+      .toDF("doc_a", "doc_b")
+    def rows(thr: Long) =
+      Corpus.triangleStats(edges, "doc_a", "doc_b", orientThreshold = thr)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val simple = rows(Long.MaxValue) // middle-vertex join
+    assert(simple == rows(0L), "oriented wedge join must match exactly")
+    val byId = simple.map(t => t._1 -> t).toMap
+    assert(byId(0L)._3 == 3 && byId(3L)._3 == 3, "K4 members sit in 3 triangles")
+    assert(byId(9L)._3 == 0 && byId(9L)._2 == 4, "star hub: degree 4, no triangles")
+  }
+
   test("deterministic GD training (q107 twin) recovers the planted signal and is partition-invariant") {
     import spark.implicits._
     val rows = (0 until 40).map(i => (i.toLong, s"alpha beta spark gamma$i word$i")) ++
