@@ -74,11 +74,13 @@ object Engine {
     * every sink here uses: checkpointed batchIds + idempotent replay —
     * [[KafkaSink]] stamps each record with a `batch_id` header and a
     * replayed batch re-produces identical (topic, batch_id) records for
-    * consumer-side dedupe. Broker-fenced transactions would need a
-    * hand-rolled `foreachPartition` producer loop with per-task
-    * transactional ids and a commit coordinator; that is out of scope and
-    * documented in README §EOS. `transactional_id` is accepted (config
-    * compatibility with reference yaml) but never passed to the producer.
+    * consumer-side dedupe. The broker-fenced transactional route DOES
+    * exist since round 7 — `exactly_once: transactional` selects
+    * [[TransactionalKafkaSink]], the hand-rolled per-partition
+    * transactional producer with per-task fenced ids. On this default
+    * idempotent path, `transactional_id` is accepted (config
+    * compatibility with reference yaml) but never passed to the
+    * producer — a WARN says so at config resolution.
     */
   def kafkaSinkOptions(o: Map[String, String]): Map[String, String] = {
     // visible at config resolution, not buried in scaladoc: the yaml
@@ -122,6 +124,66 @@ object Engine {
     }
   }
 
+  /** The broker-fenced exactly-once kafka path (output/kafka.rs:293-399)
+    * that [[kafkaSinkOptions]]' scaladoc rules out for Spark's own kafka
+    * writer: a hand-rolled per-partition transactional producer over the
+    * wire protocol ([[KafkaWire.TransactionalProducer]]). Each task uses
+    * the STABLE transactional id `"<base>-p<partitionId>"`, so a task
+    * retry re-runs InitProducerId, bumps the epoch broker-side, and
+    * FENCES the zombie attempt; the batch then commits atomically —
+    * `read_committed` consumers see all of a task's rows or none
+    * (KafkaEosSpec injects a mid-batch failure to prove it). The
+    * micro-batch id still rides as a record header, so the replay story
+    * composes with the checkpoint exactly like [[KafkaSink]].
+    * Partition routing: spark partition id modulo `num_partitions`
+    * (default 1) — key-hash routing would need Metadata round-trips the
+    * minimal client deliberately omits.
+    */
+  final case class TransactionalKafkaSink(options: Map[String, String])
+      extends BatchSink {
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val hostPort = options.getOrElse("brokers", "localhost:9092").split(",").head
+      val host = hostPort.split(":").head
+      val port = hostPort.split(":").lift(1).map(_.toInt).getOrElse(9092)
+      val topic = options("topic")
+      val txnBase = options.getOrElse("transactional_id", "graft-txn")
+      val numParts = options.getOrElse("num_partitions", "1").toInt
+      val valueField = options.getOrElse("value_field", Codecs.ValueCol)
+      val keyed = options.get("key") match {
+        case Some(k) => batch.select(expr(k).cast("binary").as("key"),
+          col(valueField).cast("binary").as("value"))
+        case None => batch.select(lit(null).cast("binary").as("key"),
+          col(valueField).cast("binary").as("value"))
+      }
+      keyed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val producer = new KafkaWire.TransactionalProducer(
+            host, port, s"$txnBase-p$pid")
+          try {
+            producer.initTransactions()
+            producer.beginTransaction(topic, pid % numParts)
+            rows.grouped(500).foreach { g =>
+              producer.produce(topic, pid % numParts, g.map { r =>
+                KafkaWire.ProducerRecord(r.getAs[Array[Byte]](0),
+                  r.getAs[Array[Byte]](1),
+                  Seq(KafkaWire.RecordHeader("batch_id",
+                    batchId.toString.getBytes("UTF-8"))))
+              }.toSeq)
+            }
+            producer.endTransaction(commit = true)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // best effort: an unreachable broker aborts by txn timeout
+              try producer.endTransaction(commit = false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          } finally producer.close()
+        }
+      }
+    }
+  }
+
   def sinkFromConf(c: ComponentConf): BatchSink = c.kind match {
     case "parquet" => ParquetSink(c.options("path"))
     case "stdout" => ConsoleSink(c.options.getOrElse("num_rows", "20").toInt)
@@ -131,6 +193,8 @@ object Engine {
     case "http" => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
       c.options.getOrElse("rows_per_request", "1000").toInt,
       c.options.getOrElse("retry_count", "0").toInt)
+    case "kafka" if c.options.get("exactly_once").contains("transactional") =>
+      TransactionalKafkaSink(c.options)
     case "kafka" => KafkaSink(c.options)
     case "influxdb" => Influx.InfluxSink(c.options)
     case "redis" => Redis.RedisSink(c.options("host"),
