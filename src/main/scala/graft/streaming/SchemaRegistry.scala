@@ -21,6 +21,146 @@ object SchemaRegistry {
     def resolve(id: Int): Seq[ProtoField]
   }
 
+  /** Proto3 SOURCE parser — a real Confluent registry serves
+    * `{"schema": "<.proto source>"}` (codec/schema_registry.rs:135-200),
+    * not a field list, so this compiles the source text down to the
+    * scalar-subset [[ProtoField]]s the native codec decodes. Supported:
+    * `message` blocks (nested ones register as `Outer.Inner`), scalar
+    * fields with optional/repeated labels, `oneof` members (flattened
+    * into the parent — wire-identical for decode), `enum` declarations
+    * (enum-typed fields decode as their varint `int32` wire form),
+    * comments, `syntax`/`package`/`import`/`option`/`reserved`
+    * statements. Message-typed and `map<>` fields throw at resolution —
+    * the codec is documented scalar-subset (Protobuf.scala), and a
+    * silent drop would change the decoded schema.
+    */
+  object ProtoSource {
+    // exactly the wire types ProtoField.sparkType maps — sint*/fixed*
+    // need zigzag/fixed decoding the codec doesn't implement, so they
+    // fail here at parse with a clear message rather than later
+    private val ScalarTypes = Set("int32", "uint32", "int64", "uint64",
+      "double", "float", "bool", "string", "bytes")
+
+    /** message name (nested as `Outer.Inner`) -> fields, in source
+      * order (declaration order matters: with no explicit
+      * `message_type` the first message wins). */
+    def parse(src: String): Seq[(String, Seq[ProtoField])] = {
+      val clean = src.replaceAll("(?s)/\\*.*?\\*/", " ")
+        .replaceAll("//[^\n]*", " ")
+      val toks: Array[String] =
+        clean.replaceAll("([{}=;\\[\\]<>,])", " $1 ").trim
+          .split("\\s+").filter(_.nonEmpty)
+      val messages = scala.collection.mutable.LinkedHashMap[String, Vector[ProtoField]]()
+      val enums = scala.collection.mutable.Set[String]()
+      // pre-scan for enum declarations: proto allows a field to
+      // reference an enum declared LATER in the same message
+      var p = 0
+      while (p < toks.length - 1) {
+        if (toks(p) == "enum") enums += toks(p + 1)
+        p += 1
+      }
+      var i = 0
+      def expect(t: String): Unit = {
+        require(i < toks.length && toks(i) == t,
+          s"proto parse: expected '$t' at token $i, got '${toks.lift(i).getOrElse("<eof>")}'")
+        i += 1
+      }
+      def skipToSemicolon(): Unit = {
+        while (i < toks.length && toks(i) != ";") i += 1
+        if (i < toks.length) i += 1
+      }
+      def skipBalancedBlock(): Unit = { // assumes current token is "{"
+        expect("{")
+        var depth = 1
+        while (i < toks.length && depth > 0) {
+          if (toks(i) == "{") depth += 1
+          else if (toks(i) == "}") depth -= 1
+          i += 1
+        }
+      }
+      def parseEnum(prefix: String): Unit = {
+        val name = toks(i); i += 1
+        enums += name; enums += (if (prefix.isEmpty) name else s"$prefix.$name")
+        skipBalancedBlock()
+      }
+      def parseField(owner: String): Unit = {
+        // [label] TYPE NAME = N [options] ;
+        var t = toks(i); i += 1
+        if (t == "optional" || t == "required" || t == "repeated") {
+          t = toks(i); i += 1
+        }
+        if (t == "map") {
+          // map < k , v > NAME = N ;
+          skipToSemicolon()
+          throw new IllegalArgumentException(
+            s"proto parse: map<> fields are not supported by the scalar-subset codec (message $owner)")
+        }
+        val fname = toks(i); i += 1
+        expect("=")
+        val number = toks(i).toInt; i += 1
+        if (i < toks.length && toks(i) == "[") { // field options
+          while (toks(i) != "]") i += 1
+          i += 1
+        }
+        expect(";")
+        val simple = t.substring(t.lastIndexOf('.') + 1)
+        val ftype =
+          if (ScalarTypes.contains(t)) t
+          else if (enums.contains(t) || enums.contains(simple)) "int32"
+          else throw new IllegalArgumentException(
+            s"proto parse: field '$fname' of message-typed or unknown type '$t' — the scalar-subset codec cannot decode it (message $owner)")
+        messages(owner) = messages(owner) :+ ProtoField(number, fname, ftype)
+      }
+      def parseMessage(prefix: String): Unit = {
+        val simple = toks(i); i += 1
+        val name = if (prefix.isEmpty) simple else s"$prefix.$simple"
+        messages(name) = Vector.empty
+        expect("{")
+        while (toks(i) != "}") {
+          toks(i) match {
+            case "message" => i += 1; parseMessage(name)
+            case "enum" => i += 1; parseEnum(name)
+            case "reserved" | "option" | "extensions" => skipToSemicolon()
+            case "oneof" =>
+              i += 2 // 'oneof' NAME
+              expect("{")
+              while (toks(i) != "}") parseField(name)
+              i += 1
+            case _ => parseField(name)
+          }
+        }
+        i += 1
+      }
+      while (i < toks.length) {
+        toks(i) match {
+          case "syntax" | "package" | "import" | "option" => skipToSemicolon()
+          case "message" => i += 1; parseMessage("")
+          case "enum" => i += 1; parseEnum("")
+          case other =>
+            throw new IllegalArgumentException(
+              s"proto parse: unexpected top-level token '$other'")
+        }
+      }
+      require(messages.nonEmpty, "proto parse: no message declarations found")
+      messages.toSeq.map { case (k, v) => k -> (v: Seq[ProtoField]) }
+    }
+
+    /** Fields of `messageType` (simple or `Outer.Inner` qualified); with
+      * no message type given, the FIRST top-level message (the
+      * reference's `message_type` config selects explicitly). */
+    def fieldsFor(src: String, messageType: Option[String]): Seq[ProtoField] = {
+      val all = parse(src)
+      messageType match {
+        case Some(mt) =>
+          all.find(_._1 == mt).orElse(all.find(_._1.endsWith(s".$mt")))
+            .map(_._2)
+            .getOrElse(throw new IllegalArgumentException(
+              s"proto parse: message '$mt' not found (have: ${all.map(_._1).mkString(", ")})"))
+        case None => all.head._2
+      }
+    }
+  }
+
   /** Caching wrapper (reference caches REST lookups,
     * schema_registry.rs:135-200). */
   final class CachingResolver(underlying: SchemaResolver) extends SchemaResolver {
@@ -31,18 +171,25 @@ object SchemaRegistry {
   }
 
   /** REST resolver (codec/schema_registry.rs:135-200: GET
-    * `{base}/schemas/ids/{id}` with optional bearer auth). The registry
-    * answers `{"schema": "..."}`; the schema document is the proto field
-    * spec this codec's registry serves — one `idx:name:type` per line
-    * (e.g. `1:timestamp:int64`). Wrap in [[CachingResolver]] so each id
-    * is fetched once per stream, like the reference's cache.
+    * `{base}/schemas/ids/{id}` with the Confluent Accept header and
+    * optional bearer/basic auth). The registry answers
+    * `{"schema": "<.proto source>", "schemaType": "PROTOBUF"}` — the
+    * source compiles through [[ProtoSource]], `messageType` selecting
+    * the message like the reference's `message_type` config; a non-
+    * PROTOBUF `schemaType` is rejected exactly as the reference does.
+    * The pre-round-7 bespoke `idx:name:type` line format still parses
+    * (fixture compatibility) when the document has no `message`
+    * declaration. Wrap in [[CachingResolver]] so each id is fetched
+    * once per stream, like the reference's cache.
     */
   final class RestResolver(baseUrl: String, bearerToken: Option[String] = None,
-      basicAuth: Option[(String, String)] = None) extends SchemaResolver {
+      basicAuth: Option[(String, String)] = None,
+      messageType: Option[String] = None) extends SchemaResolver {
     def resolve(id: Int): Seq[ProtoField] = {
-      val conn = new java.net.URI(s"$baseUrl/schemas/ids/$id").toURL
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val conn = new java.net.URI(s"${baseUrl.stripSuffix("/")}/schemas/ids/$id")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
       try {
+        conn.setRequestProperty("Accept", "application/vnd.schemaregistry.v1+json")
         bearerToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
         basicAuth.foreach { case (user, pass) =>
           val cred = java.util.Base64.getEncoder.encodeToString(
@@ -57,7 +204,14 @@ object SchemaRegistry {
         // JSON is a YAML subset; reuse the config parser instead of a new dep
         val doc = new org.yaml.snakeyaml.Yaml()
           .load[java.util.Map[String, Object]](body)
-        parseFieldSpec(doc.get("schema").toString)
+        Option(doc.get("schemaType")).map(_.toString).foreach { t =>
+          if (t.toUpperCase != "PROTOBUF")
+            throw new IllegalArgumentException(
+              s"Unsupported schema type: $t (only PROTOBUF supported)")
+        }
+        val schema = doc.get("schema").toString
+        if (schema.contains("message")) ProtoSource.fieldsFor(schema, messageType)
+        else parseFieldSpec(schema)
       } finally conn.disconnect()
     }
   }

@@ -163,6 +163,90 @@ class AvroRestSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("schema-registry resolves a REAL Confluent proto-source response end-to-end (schema_registry.rs:135-200)") {
+    // the document shape a real Confluent registry serves for a
+    // PROTOBUF subject: the .proto SOURCE in "schema" + schemaType
+    val protoSource =
+      """syntax = \"proto3\";\npackage telemetry.v1;\n\nimport \"google/protobuf/descriptor.proto\";\noption java_package = \"com.example.telemetry\";\n\n// sensor reading envelope\nmessage SensorReading {\n  reserved 4, 9 to 11;\n  int64 timestamp = 1;   // epoch millis\n  double value = 2;\n  optional string sensor = 3;\n  Status status = 5;\n  oneof origin {\n    string host = 6;\n    uint32 agent_id = 7;\n  }\n  enum Status {\n    STATUS_UNSPECIFIED = 0;\n    OK = 1;\n    DEGRADED = 2;\n  }\n}\n\nmessage Heartbeat {\n  int64 at = 1;\n}"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { exchange =>
+      try {
+        assert(Option(exchange.getRequestHeaders.getFirst("Accept"))
+          .contains("application/vnd.schemaregistry.v1+json"))
+        val body = (s"""{"schemaType": "PROTOBUF", "schema": "$protoSource"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fields = new SchemaRegistry.RestResolver(base,
+        messageType = Some("SensorReading")).resolve(42)
+      // enum decodes as its varint int32 wire form; oneof members
+      // flatten into the parent; comments/reserved/options ignored
+      assert(fields == Seq(
+        ProtoField(1, "timestamp", "int64"),
+        ProtoField(2, "value", "double"),
+        ProtoField(3, "sensor", "string"),
+        ProtoField(5, "status", "int32"),
+        ProtoField(6, "host", "string"),
+        ProtoField(7, "agent_id", "uint32")))
+      // message_type selects across multiple top-level messages
+      assert(new SchemaRegistry.RestResolver(base,
+        messageType = Some("Heartbeat")).resolve(42) ==
+        Seq(ProtoField(1, "at", "int64")))
+      // default = first declared message
+      assert(new SchemaRegistry.RestResolver(base).resolve(42).head.name
+        == "timestamp")
+      // full round trip: encode with the resolved schema, frame, decode
+      val payload = Processors.ArrowToProtobuf(fields.take(3))(
+        Seq((7L, 1.5, "s1")).toDF("timestamp", "value", "sensor"))
+        .collect().head.getAs[Array[Byte]](0)
+      val out = SchemaRegistry.decodeBatch(
+        Seq(SchemaRegistry.frame(42, payload)).toDF(Codecs.ValueCol),
+        new SchemaRegistry.RestResolver(base, messageType = Some("SensorReading")))
+      val r = out.select("timestamp", "value", "sensor").collect().head
+      assert(r.getLong(0) == 7L && r.getDouble(1) == 1.5 && r.getString(2) == "s1")
+    } finally server.stop(0)
+  }
+
+  test("proto-source parser: nested messages, rejections, and schemaType guard") {
+    import SchemaRegistry.ProtoSource
+    val nested = ProtoSource.parse(
+      "message Outer { message Inner { int32 x = 1; } string y = 2; }")
+    assert(nested.map(_._1) == Seq("Outer", "Outer.Inner"))
+    assert(ProtoSource.fieldsFor(
+      "message Outer { message Inner { int32 x = 1; } string y = 2; }",
+      Some("Inner")) == Seq(ProtoField(1, "x", "int32")))
+    // message-typed fields and map<> throw with a clear message
+    val e1 = intercept[IllegalArgumentException](ProtoSource.parse(
+      "message A { int32 x = 1; } message B { A nested = 1; }"))
+    assert(e1.getMessage.contains("scalar-subset"))
+    intercept[IllegalArgumentException](ProtoSource.parse(
+      "message M { map<string, int32> tags = 1; }"))
+    // a non-PROTOBUF schemaType is rejected like the reference
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { exchange =>
+      try {
+        val body = """{"schemaType": "AVRO", "schema": "{}"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(200, body.length)
+        exchange.getResponseBody.write(body)
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val e = intercept[IllegalArgumentException](
+        new SchemaRegistry.RestResolver(
+          s"http://127.0.0.1:${server.getAddress.getPort}").resolve(1))
+      assert(e.getMessage.contains("Unsupported schema type"))
+    } finally server.stop(0)
+  }
+
   test("sliding window builder rejects invalid sizes (sliding_window.rs builder)") {
     import spark.implicits._
     val ds = Seq(Windows.Keyed("k", 1.0)).toDS()
