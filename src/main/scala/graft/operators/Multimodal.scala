@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * per-partition (one codec instance per task, streaming through rows,
   * no driver involvement) — the Scala analogue of `mapInPandas`.
   *
-  * The actual byte-level codec is STUBBED (this container ships no
-  * image/audio libraries) with a deterministic fake that derives
-  * "decoded" metadata from the bytes; the Spark-side plumbing — schema,
-  * partition processing, batch shape — is real and tested.
+  * IMAGES decode for real since round 7: `javax.imageio` ships in the
+  * JDK, so PNG/JPEG/GIF/BMP width/height/format come from actually
+  * parsing the bytes ([[decodeImages]], graded by q65 against planted
+  * dimensions), and [[resizeImages]] runs a real Graphics2D rescale
+  * (q69; pixel math pinned in OperatorsSpec). AUDIO/VIDEO remain the
+  * documented deterministic stub ([[decodeStub]], q68's frame sampler)
+  * — this container ships no media codecs beyond the JDK.
   */
 object Multimodal {
 
@@ -52,23 +55,127 @@ object Multimodal {
       .mapPartitions { rows => rows.map { case (id, bytes) => decodeStub(id, bytes) } }
   }
 
+  /** Decoded IMAGE metadata: real pixel dimensions + container format. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+    format: String, n_bytes: Long)
+
+  /** REAL image decode via `javax.imageio`: parses the actual PNG/JPEG/
+    * GIF/BMP bytes for pixel dimensions and sniffs the container format
+    * from the reader. Bytes no installed reader recognizes decode as
+    * `format = "unknown"` with −1 dimensions (callers route those to
+    * the stub/error path). Distribution shape identical to
+    * [[decodeMedia]]: per-partition, streaming, zero driver state. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                ImageMeta(id, r.getWidth(0), r.getHeight(0),
+                  r.getFormatName.toLowerCase, bytes.length.toLong)
+              } finally r.dispose()
+            } else ImageMeta(id, -1, -1, "unknown", bytes.length.toLong)
+          } finally iis.close()
+        }
+      }
+  }
+
+  /** Real thumbnail resize: decode, Graphics2D bilinear rescale to
+    * (tw, th), re-encode PNG. Returns (doc_id, orig_w, orig_h, thumb
+    * bytes); unreadable rows pass through with −1 dims and empty
+    * thumb. One image in flight per task — memory is O(largest image),
+    * not O(batch). */
+  def resizeImages(spark: SparkSession, media: DataFrame, tw: Int,
+      th: Int): DataFrame = {
+    import spark.implicits._
+    require(tw > 0 && th > 0, s"thumb dims must be positive, got $tw x $th")
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) (id, -1, -1, Array.empty[Byte])
+          else {
+            val thumb = new java.awt.image.BufferedImage(tw, th,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = thumb.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(thumb, "png", out)
+            (id, img.getWidth, img.getHeight, out.toByteArray)
+          }
+        }
+      }.toDF("doc_id", "orig_w", "orig_h", "thumb")
+  }
+
+  /** Deterministic PNG fixture generator — dimensions planted from the
+    * id, an (x·31 + y·17 + id)-derived gray pattern so pixel content is
+    * reproducible for the resize spec. Runs on EXECUTORS inside the
+    * graded queries (per-partition, like any media ingest). */
+  def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31 + y * 17 + id) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** One generated PNG per document, dims planted as
+    * `16 + id % 32` × `16 + (id / 32) % 32` — the graded decode
+    * queries' fixture (the q120/q95 planting pattern: the oracle knows
+    * the FORMULA, the engine must recover it from real bytes). */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, makePng(id, (16 + id % 32).toInt, (16 + (id / 32) % 32).toInt))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** documents.text re-encoded as a fake binary payload column. */
   def fakeMediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
   val queries: Map[String, QueryFn] = Map(
-    // Same decode logic expressed as columnar expressions (codegen path);
-    // the mapPartitions path is covered by MultimodalSpec.
+    // REAL decode graded against planted dimensions: each doc gets a
+    // generated PNG whose dims derive from its id; javax.imageio must
+    // recover exactly those dims from the actual bytes (the oracle
+    // knows only the formula — a decoder that misparses IHDR or
+    // mis-sniffs the container fails the hash).
     "q65_multimodal_meta" -> ((s, dir) =>
-      fakeMediaTable(s, dir)
+      decodeImages(s, pngMediaTable(s, dir)).toDF()
         .select(col("doc_id"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          (lit(64) + octet_length(col("payload")) % 64).cast("long").as("width"),
-          (lit(64) + (octet_length(col("payload")).cast("long") / lit(64)).cast("long") % 64)
-            .cast("long").as("height"),
-          (octet_length(col("payload")) % 10).cast("long").as("n_frames"),
-          md5(col("payload")).as("digest"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("format"))
         .orderBy(col("doc_id"))),
 
     // Frame sampling (the brief's video-style op over the opaque payload):
@@ -90,31 +197,29 @@ object Multimodal {
           |ORDER BY doc_id, frame_idx""".stripMargin)
     }),
 
-    // Resize to a fixed-size "thumbnail": crop-or-pad the payload to 128
-    // units and fingerprint the result — the deterministic stand-in for
-    // a pixel resize, same crop/pad contract, pure codegen row ops.
-    "q69_resize" -> ((s, dir) => {
-      Tables.register(s, dir)
-      s.sql(
-        """SELECT doc_id,
-          |  CAST(length(rpad(substring(text, 1, 128), 128, '.')) AS BIGINT) AS thumb_len,
-          |  CAST(least(n_chars, 128) AS BIGINT) AS kept_len,
-          |  md5(CAST(rpad(substring(text, 1, 128), 128, '.') AS BINARY)) AS thumb_digest
-          |FROM documents
-          |ORDER BY doc_id""".stripMargin)
-    })
+    // REAL resize: decode each generated PNG, Graphics2D-rescale to
+    // 24×24, report the ORIGINAL dims recovered from the bytes (planted
+    // formula = the oracle) plus the thumbnail contract. Pixel-level
+    // resize math is pinned in OperatorsSpec (a checkerboard averages
+    // to mid-gray) — interpolation output isn't cross-engine-stable, so
+    // the graded columns are the decode-recovered facts.
+    "q69_resize" -> ((s, dir) =>
+      resizeImages(s, pngMediaTable(s, dir), tw = 24, th = 24)
+        .select(col("doc_id"),
+          col("orig_w").cast("long").as("orig_w"),
+          col("orig_h").cast("long").as("orig_h"),
+          (octet_length(col("thumb")) > 0).as("thumb_ok"))
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
-    // DuckDB md5 is VARCHAR-only; the payload is utf-8 text bytes, so
-    // md5(text) is byte-identical.
+    // the planted-dimension formulas — the engine must recover these
+    // from the real PNG bytes
     "q65_multimodal_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(CAST(text AS BLOB)) % 64 AS BIGINT) AS width,
-        |  CAST(64 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS BIGINT) AS height,
-        |  CAST(octet_length(CAST(text AS BLOB)) % 10 AS BIGINT) AS n_frames,
-        |  md5(text) AS digest
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS height,
+        |  'png' AS format
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
@@ -132,9 +237,9 @@ object Multimodal {
 
     "q69_resize" ->
       """SELECT doc_id,
-        |  CAST(length(rpad(substring(text, 1, 128), 128, '.')) AS BIGINT) AS thumb_len,
-        |  CAST(least(n_chars, 128) AS BIGINT) AS kept_len,
-        |  md5(rpad(substring(text, 1, 128), 128, '.')) AS thumb_digest
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS orig_w,
+        |  CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS orig_h,
+        |  TRUE AS thumb_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )

@@ -517,19 +517,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == picked.toSeq, s"got $got expected $picked")
   }
 
-  test("multimodal mapPartitions decode matches the columnar path") {
-    import spark.implicits._
+  test("multimodal stub decode (the audio/video fake path) stays deterministic on the bytes") {
     val meta = Multimodal.decodeMedia(spark, Multimodal.fakeMediaTable(spark, sf))
       .collect().sortBy(_.doc_id)
-    val cols = graft.SparkEntry.queries("q65_multimodal_meta")(spark, sf)
-      .collect()
-    assert(meta.length == cols.length)
-    val first = meta.head
-    val firstCols = cols.head
-    assert(first.n_bytes == firstCols.getLong(1))
-    assert(first.width.toLong == firstCols.getLong(2))
-    assert(first.height.toLong == firstCols.getLong(3))
-    assert(first.digest == firstCols.getString(5))
+    assert(meta.nonEmpty)
+    meta.take(5).foreach { m =>
+      assert(m.width == 64 + m.n_bytes % 64)
+      assert(m.height == 64 + (m.n_bytes / 64) % 64)
+      assert(m.n_frames == m.n_bytes % 10)
+      assert(m.digest.length == 32)
+    }
+  }
+
+  test("real image decode recovers pixel dimensions and formats from actual bytes (javax.imageio)") {
+    import spark.implicits._
+    // PNG and JPEG payloads with known dims, plus a non-image row
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, Multimodal.makePng(1L, 20, 30)),
+      (2L, jpeg(17, 5)),
+      (3L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeImages(spark, media).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    assert(got(1L) == ((20, 30, "png")))
+    assert(got(2L)._1 == 17 && got(2L)._2 == 5 &&
+      (got(2L)._3 == "jpeg" || got(2L)._3 == "jpg"))
+    assert(got(3L) == ((-1, -1, "unknown")))
+  }
+
+  test("real resize: a black/white checkerboard downscales to mid-gray; dims honor the contract") {
+    import spark.implicits._
+    // 2x2 checkerboard: two black, two white pixels
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 1, 0xffffff)
+    img.setRGB(1, 0, 0x000000); img.setRGB(0, 1, 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val r = Multimodal.resizeImages(spark,
+      Seq((1L, out.toByteArray)).toDF("doc_id", "payload"), 1, 1)
+      .collect().head
+    assert(r.getInt(1) == 2 && r.getInt(2) == 2)
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+    assert(thumb.getWidth == 1 && thumb.getHeight == 1)
+    val gray = thumb.getRGB(0, 0) & 0xff
+    assert(gray > 32 && gray < 224,
+      s"2x2 checkerboard must average toward mid-gray, got $gray")
   }
 
   test("simhash library default is 32 bits and banded pairing matches brute force at that width") {
