@@ -92,9 +92,12 @@ object Engine {
         "for config compatibility but Spark's kafka writer cannot run broker-fenced " +
         "transactions - using idempotence + batch_id-header replay-dedupe instead " +
         "(set exactly_once: transactional for the hand-rolled transactional producer)")
+    // topic_expr (Expr<String> topic) routes per row via the projected
+    // `topic` column instead of a static topic option
     val base = Map(
-      "kafka.bootstrap.servers" -> o.getOrElse("brokers", "localhost:9092"),
-      "topic" -> o("topic"))
+      "kafka.bootstrap.servers" -> o.getOrElse("brokers", "localhost:9092")) ++
+      (if (o.contains("topic_expr")) Map.empty
+       else Map("topic" -> o("topic")))
     val withAcks = o.get("acks").fold(base)(a => base + ("kafka.acks" -> a))
     val withComp = o.get("compression").fold(withAcks)(t => withAcks + ("kafka.compression.type" -> t))
     val withClient = o.get("client_id").fold(withComp)(i => withComp + ("kafka.client.id" -> i))
@@ -103,20 +106,32 @@ object Engine {
     else withClient
   }
 
+  /** The kafka sink's record projection, split out so the shape is
+    * unit-testable without a broker: key/value columns, the batch_id
+    * header, and — when `topic_expr` is configured (the reference's
+    * `Expr<String>` topic, output/kafka.rs:63-70) — a per-row `topic`
+    * column, which Spark's kafka writer routes by in place of the
+    * static `topic` option. */
+  def kafkaRecords(batch: DataFrame, options: Map[String, String],
+      batchId: Long): DataFrame = {
+    val valueField = options.getOrElse("value_field", Codecs.ValueCol)
+    // topic/key expressions evaluate against the FULL input row, before
+    // the projection narrows it to the producer-record shape
+    val cols =
+      options.get("key").map(k => expr(k).cast("string").as("key")).toSeq ++
+      Seq(col(valueField).cast("binary").as("value")) ++
+      options.get("topic_expr").map(t => expr(t).cast("string").as("topic")).toSeq
+    batch.select(cols: _*)
+      .withColumn("headers", array(struct(lit("batch_id").as("key"),
+        lit(batchId.toString).cast("binary").as("value"))))
+  }
+
   /** kafka output (output/kafka.rs:44-90): key/value projection + producer
     * options; the micro-batch id rides as a record header so replayed
     * batches are consumer-dedupable (see [[kafkaSinkOptions]]). */
   final case class KafkaSink(options: Map[String, String]) extends BatchSink {
     def write(batch: DataFrame, batchId: Long): Unit = {
-      val valueField = options.getOrElse("value_field", Codecs.ValueCol)
-      val keyed = options.get("key") match {
-        case Some(k) => batch.select(expr(k).cast("string").as("key"),
-          col(valueField).cast("binary").as("value"))
-        case None => batch.select(col(valueField).cast("binary").as("value"))
-      }
-      keyed
-        .withColumn("headers", array(struct(lit("batch_id").as("key"),
-          lit(batchId.toString).cast("binary").as("value"))))
+      kafkaRecords(batch, options, batchId)
         .write.format("kafka")
         .options(kafkaSinkOptions(options))
         .option("includeHeaders", "true")
@@ -206,7 +221,9 @@ object Engine {
       c.options("subject_expr"), c.options("value_expr"))
     case "mqtt" => Mqtt.MqttSink(c.options("host"),
       c.options.getOrElse("port", "1883").toInt,
-      c.options("topic_expr"), c.options("value_expr"))
+      c.options("topic_expr"), c.options("value_expr"),
+      c.options.getOrElse("qos", "0").toInt,
+      c.options.get("username"), c.options.get("password"))
     case "mongodb" => Mongo.MongoSink(c.options)
     case "pulsar" => Pulsar.PulsarSink(c.options("service_url"),
       c.options.get("topic_expr")
@@ -361,20 +378,42 @@ object Engine {
     // registers with [[closeConfigInputs]] for shutdown — config-run
     // streams have no programmatic handle to stop() themselves.
     case "mqtt" =>
+      // input/mqtt.rs:35-57 full option surface: qos 0/1/2,
+      // clean_session, keep_alive (seconds), username/password
       val in = new Mqtt.MqttInput(spark,
         c.options.getOrElse("host", "localhost"),
         c.options.getOrElse("port", "1883").toInt,
         c.options.getOrElse("topics", c.options.getOrElse("topic_filter", "#")),
-        c.options.getOrElse("client_id", "graft-in"))
+        c.options.getOrElse("client_id", "graft-in"),
+        c.options.getOrElse("qos", "0").toInt,
+        c.options.get("username"), c.options.get("password"),
+        cleanSession = !c.options.get("clean_session").contains("false"),
+        keepAliveSecs = c.options.getOrElse("keep_alive", "60").toInt)
       configInputs.add(() => in.stop())
       in.toDF
     case "nats" =>
-      val in = new Nats.NatsInput(spark,
-        c.options.getOrElse("host", "localhost"),
-        c.options.getOrElse("port", "4222").toInt,
-        c.options("subject"))
-      configInputs.add(() => in.stop())
-      in.toDF
+      // input/nats.rs:38-62 modes: Regular{subject, queue_group} or
+      // JetStream{stream, consumer_name/durable_name}; auth 65-75
+      val host = c.options.getOrElse("host", "localhost")
+      val port = c.options.getOrElse("port", "4222").toInt
+      val auth = c.options.get("auth").map(Pulsar.nestedOption)
+        .getOrElse(c.options.filter { case (k, _) =>
+          Set("username", "password", "token")(k) })
+      if (c.options.get("mode").contains("jetstream") ||
+          c.options.contains("stream")) {
+        val in = new Nats.JetStreamInput(spark, host, port,
+          c.options("stream"),
+          c.options.getOrElse("durable_name",
+            c.options.getOrElse("consumer_name", "graft-durable")),
+          auth)
+        configInputs.add(() => in.stop())
+        in.toDF
+      } else {
+        val in = new Nats.NatsInput(spark, host, port,
+          c.options("subject"), c.options.get("queue_group"), auth)
+        configInputs.add(() => in.stop())
+        in.toDF
+      }
     case "pulsar" =>
       val in = new Pulsar.PulsarInput(spark, c.options("service_url"),
         c.options("topic"), c.options("subscription_name"),

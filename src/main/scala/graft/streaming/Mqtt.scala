@@ -6,14 +6,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** MQTT 3.1.1 input + output at QoS 0 (SURVEY.md §2.1/§2.2; reference
-  * input/mqtt.rs:35-57 subscribe, output/mqtt.rs:37 publish). Like
-  * [[Redis]]/[[Nats]], a from-scratch wire client over a plain socket —
-  * the 3.1.1 control packets used here (CONNECT/CONNACK, SUBSCRIBE/
-  * SUBACK, PUBLISH, PINGREQ/PINGRESP, DISCONNECT) are a few dozen bytes
-  * of framing. QoS 1/2 ack state machines are out of scope: on the Spark
-  * side redelivery/exactly-once is the checkpoint + idempotent-sink
-  * story, not a protocol-level ack ladder.
+/** MQTT 3.1.1 input + output (SURVEY.md §2.1/§2.2; reference
+  * input/mqtt.rs:35-57 subscribe incl. qos/clean_session/keep_alive/
+  * username/password, output/mqtt.rs:37 publish). Like [[Redis]]/
+  * [[Nats]], a from-scratch wire client over a plain socket — the 3.1.1
+  * control packets used here (CONNECT/CONNACK, SUBSCRIBE/SUBACK,
+  * PUBLISH + the QoS 1 PUBACK and QoS 2 PUBREC/PUBREL/PUBCOMP ladders,
+  * PINGREQ/PINGRESP, DISCONNECT) are a few dozen bytes of framing.
+  * Round 7 closed the option-surface gap: QoS 0/1/2 on both publish and
+  * subscribe, clean-session off for durable subscriptions, keep-alive
+  * with a client-side PINGREQ timer, username/password auth. End-to-end
+  * exactly-once on the Spark side remains the checkpoint +
+  * idempotent-sink story — the QoS ladders govern broker redelivery,
+  * not pipeline semantics.
   */
 object Mqtt {
 
@@ -35,14 +40,55 @@ object Mqtt {
     Array(((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
   }
 
-  final class Conn(host: String, port: Int, clientId: String) extends AutoCloseable {
+  final class Conn(host: String, port: Int, clientId: String,
+      username: Option[String] = None, password: Option[String] = None,
+      cleanSession: Boolean = true, keepAliveSecs: Int = 60)
+      extends AutoCloseable {
+    require(keepAliveSecs >= 0 && keepAliveSecs <= 0xffff,
+      s"keep_alive must be in [0, 65535] seconds, got $keepAliveSecs")
     private val socket = new java.net.Socket(host, port)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private[Mqtt] val in = new BufferedInputStream(socket.getInputStream)
+    private var packetId = 0
+    private def nextPacketId(): Int = { packetId = (packetId % 0xffff) + 1; packetId }
 
-    // CONNECT: protocol "MQTT" level 4, clean session, keepalive 60
-    writePacket(0x10, utf8Field("MQTT") ++ Array[Byte](4, 0x02, 0, 60) ++ utf8Field(clientId))
-    expectPacketType(0x20) // CONNACK
+    // CONNECT: protocol "MQTT" level 4; flags carry clean-session +
+    // user/pass presence (input/mqtt.rs:44-49 config surface)
+    locally {
+      val flags = (if (cleanSession) 0x02 else 0x00) |
+        username.map(_ => 0x80).getOrElse(0) |
+        password.map(_ => 0x40).getOrElse(0)
+      require(password.isEmpty || username.nonEmpty,
+        "mqtt 3.1.1: password requires username")
+      val body = utf8Field("MQTT") ++
+        Array[Byte](4, flags.toByte,
+          ((keepAliveSecs >> 8) & 0xff).toByte, (keepAliveSecs & 0xff).toByte) ++
+        utf8Field(clientId) ++
+        username.map(utf8Field).getOrElse(Array.empty[Byte]) ++
+        password.map(utf8Field).getOrElse(Array.empty[Byte])
+      writePacket(0x10, body)
+      val (_, connack) = readPacket()
+      require(connack.length >= 2 && connack(1) == 0,
+        s"mqtt CONNACK refused: code ${if (connack.length >= 2) connack(1) else -1}")
+    }
+
+    /** Client-side keep-alive: PINGREQ at half the negotiated interval.
+      * Call once on long-lived (input) connections; the reader thread
+      * swallows the PINGRESP. */
+    private[Mqtt] def startKeepAlive(): Unit =
+      if (keepAliveSecs > 0) {
+        val t = new Thread(() => {
+          try while (true) {
+            Thread.sleep(math.max(1000L, keepAliveSecs * 500L))
+            writePacket(0xc0, Array.empty)
+          } catch {
+            case _: InterruptedException | _: java.io.IOException |
+                 _: java.net.SocketException => ()
+          }
+        }, "graft-mqtt-keepalive")
+        t.setDaemon(true)
+        t.start()
+      }
 
     private[Mqtt] def writePacket(firstByte: Int, body: Array[Byte]): Unit = {
       out.write(firstByte)
@@ -76,12 +122,46 @@ object Mqtt {
       require((got & 0xf0) == (t & 0xf0), f"mqtt: expected packet 0x$t%02x, got 0x$got%02x")
     }
 
-    def publish(topic: String, payload: Array[Byte]): Unit =
-      writePacket(0x30, utf8Field(topic) ++ payload) // QoS 0: no packet id
+    /** Publish at `qos` 0/1/2 — QoS 1 waits for PUBACK, QoS 2 walks the
+      * PUBREC→PUBREL→PUBCOMP ladder (input/mqtt.rs qos config). */
+    def publish(topic: String, payload: Array[Byte], qos: Int = 0): Unit = {
+      require(qos >= 0 && qos <= 2, s"mqtt qos must be 0, 1 or 2, got $qos")
+      if (qos == 0) writePacket(0x30, utf8Field(topic) ++ payload)
+      else {
+        val pid = nextPacketId()
+        val pidBytes = Array(((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte)
+        writePacket(0x30 | (qos << 1), utf8Field(topic) ++ pidBytes ++ payload)
+        if (qos == 1) expectPacketType(0x40) // PUBACK
+        else {
+          expectPacketType(0x50) // PUBREC
+          writePacket(0x62, pidBytes) // PUBREL (flags 0b0010 mandated)
+          expectPacketType(0x70) // PUBCOMP
+        }
+      }
+    }
 
-    def subscribe(topicFilter: String): Unit = {
-      writePacket(0x82, Array[Byte](0, 1) ++ utf8Field(topicFilter) ++ Array[Byte](0))
+    def subscribe(topicFilter: String, qos: Int = 0): Unit = {
+      require(qos >= 0 && qos <= 2, s"mqtt qos must be 0, 1 or 2, got $qos")
+      writePacket(0x82,
+        Array[Byte](0, 1) ++ utf8Field(topicFilter) ++ Array(qos.toByte))
       expectPacketType(0x90) // SUBACK
+    }
+
+    /** The receive-side QoS ladders, called by the input reader on each
+      * PUBLISH frame: QoS 1 answers PUBACK; QoS 2 answers PUBREC and
+      * completes with PUBCOMP when the broker's PUBREL arrives (handled
+      * in the reader loop). Returns (topic, payload). */
+    private[Mqtt] def onPublish(tpe: Int, body: Array[Byte]): (String, Array[Byte]) = {
+      val qos = (tpe >> 1) & 0x03
+      val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+      val topic = new String(body, 2, topicLen, StandardCharsets.UTF_8)
+      val payloadStart = 2 + topicLen + (if (qos > 0) 2 else 0)
+      val payload = java.util.Arrays.copyOfRange(body, payloadStart, body.length)
+      if (qos > 0) {
+        val pidBytes = Array(body(2 + topicLen), body(3 + topicLen))
+        writePacket(if (qos == 1) 0x40 else 0x50, pidBytes) // PUBACK / PUBREC
+      }
+      (topic, payload)
     }
 
     def close(): Unit = {
@@ -92,26 +172,32 @@ object Mqtt {
   }
 
   /** Streaming subscribe input: PUBLISH frames land as envelope rows
-    * tagged with `__meta_topic`. */
+    * tagged with `__meta_topic`. `qos`/`cleanSession`/`keepAlive`/auth
+    * mirror input/mqtt.rs:35-57 (clean_session=false + a stable client
+    * id = the broker-durable subscription). */
   final class MqttInput(spark: SparkSession, host: String, port: Int,
-      topicFilter: String, clientId: String = "graft-in") {
+      topicFilter: String, clientId: String = "graft-in", qos: Int = 0,
+      username: Option[String] = None, password: Option[String] = None,
+      cleanSession: Boolean = true, keepAliveSecs: Int = 60) {
     private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     private val stream = MemoryStream[(String, String)]
-    private val conn = new Conn(host, port, clientId)
-    conn.subscribe(topicFilter)
+    private val conn = new Conn(host, port, clientId, username, password,
+      cleanSession, keepAliveSecs)
+    conn.subscribe(topicFilter, qos)
+    conn.startKeepAlive()
 
     private val reader = new Thread(() => {
       try while (true) {
         val (tpe, body) = conn.readPacket()
         (tpe & 0xf0) match {
           case 0x30 =>
-            val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
-            val topic = new String(body, 2, topicLen, StandardCharsets.UTF_8)
-            val payload = new String(body, 2 + topicLen,
-              body.length - 2 - topicLen, StandardCharsets.UTF_8)
-            stream.addData((topic, payload))
+            val (topic, payload) = conn.onPublish(tpe, body)
+            stream.addData((topic, new String(payload, StandardCharsets.UTF_8)))
+          case 0x60 => // broker's PUBREL (QoS 2 ladder) -> PUBCOMP
+            conn.writePacket(0x70, body.take(2))
           case 0xc0 => conn.writePacket(0xd0, Array.empty) // PINGREQ -> PINGRESP
+          case 0xd0 => () // PINGRESP for our keep-alive PINGREQs
           case _ => ()
         }
       } catch { case _: java.io.EOFException | _: java.net.SocketException => () }
@@ -126,19 +212,23 @@ object Mqtt {
     def stop(): Unit = conn.close()
   }
 
-  /** Publish each row at QoS 0 — executor-side, one connection per
-    * partition (at-most-once, the reference's QoS-0 contract). */
+  /** Publish each row — executor-side, one connection per partition.
+    * QoS 0 is at-most-once (the reference default); QoS 1/2 wait out
+    * each row's ack ladder (at-least-once / broker-exactly-once). */
   final case class MqttSink(host: String, port: Int, topicExpr: String,
-      valueExpr: String) extends Engine.BatchSink {
+      valueExpr: String, qos: Int = 0,
+      username: Option[String] = None, password: Option[String] = None)
+      extends Engine.BatchSink {
     def write(batch: DataFrame, batchId: Long): Unit = {
-      val (h, p) = (host, port)
+      val (h, p, q, u, pw) = (host, port, qos, username, password)
       batch.selectExpr(s"CAST(($topicExpr) AS STRING) AS t",
           s"CAST(($valueExpr) AS STRING) AS v")
         .foreachPartition { (rows: Iterator[Row]) =>
           if (rows.nonEmpty) {
-            val conn = new Conn(h, p, s"graft-out-${java.util.UUID.randomUUID()}")
+            val conn = new Conn(h, p,
+              s"graft-out-${java.util.UUID.randomUUID()}", u, pw)
             try rows.foreach(r => conn.publish(r.getString(0),
-              r.getString(1).getBytes(StandardCharsets.UTF_8)))
+              r.getString(1).getBytes(StandardCharsets.UTF_8), q))
             finally conn.close()
           }
         }

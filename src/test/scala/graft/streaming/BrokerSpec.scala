@@ -15,11 +15,61 @@ class BrokerSpec extends AnyFunSuite {
   // ---- fake NATS server ----
   private final class FakeNats {
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val jsAcks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var lastConnect = ""
     private val subscribers =
       new java.util.concurrent.ConcurrentLinkedQueue[(String, String, BufferedOutputStream)]()
+    // ---- JetStream state: per-stream message log, per-durable cursor,
+    // unfulfilled pull requests waiting for a publish ----
+    private val jsLock = new Object
+    private val jsStreams = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
+    private val jsCursors = scala.collection.mutable.Map[(String, String), Int]()
+    private val jsPending = scala.collection.mutable.ArrayBuffer[(String, String, String)]() // (stream, durable, inbox)
     private val server = new java.net.ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
+
+    /** false when no live subscriber took the message (dead inboxes are
+      * pruned — a pull fulfilled toward a closed consumer must NOT
+      * advance the durable cursor). */
+    private def sendMsg(inbox: String, reply: Option[String], payload: String): Boolean = {
+      var delivered = false
+      subscribers.forEach { case sub @ (subj, sid, sout) =>
+        if (subj == inbox)
+          try sout.synchronized {
+            val r = reply.map(" " + _).getOrElse("")
+            sout.write(s"MSG $inbox $sid$r ${payload.getBytes(StandardCharsets.UTF_8).length}\r\n$payload\r\n"
+              .getBytes(StandardCharsets.UTF_8))
+            sout.flush()
+            delivered = true
+          } catch {
+            case _: java.io.IOException => subscribers.remove(sub)
+          }
+      }
+      delivered
+    }
+
+    /** Seed a JetStream stream; fulfills any waiting pull request. */
+    def jsPublish(stream: String, payload: String): Unit = jsLock.synchronized {
+      jsStreams.getOrElseUpdate(stream, scala.collection.mutable.ArrayBuffer()) += payload
+      fulfill()
+    }
+
+    private def fulfill(): Unit = { // callers hold jsLock
+      var i = 0
+      while (i < jsPending.length) {
+        val (stream, durable, inbox) = jsPending(i)
+        val log = jsStreams.getOrElse(stream, scala.collection.mutable.ArrayBuffer())
+        val cur = jsCursors.getOrElse((stream, durable), 0)
+        if (cur < log.length) {
+          jsPending.remove(i)
+          if (sendMsg(inbox, Some(s"$$JS.ACK.$stream.$durable.${cur + 1}"), log(cur)))
+            jsCursors((stream, durable)) = cur + 1
+          // dead consumer: pending entry dropped, cursor NOT advanced —
+          // the message stays for the durable's next pull
+        } else i += 1
+      }
+    }
 
     private def handle(s: java.net.Socket): Unit = {
       val in = new BufferedInputStream(s.getInputStream)
@@ -35,21 +85,45 @@ class BrokerSpec extends AnyFunSuite {
       try while (true) {
         val parts = line().split(" ")
         parts.head match {
-          case "CONNECT" => ()
-          case "SUB" => subscribers.add((parts(1), parts(2), out))
+          case "CONNECT" => lastConnect = parts.drop(1).mkString(" ")
+          case "SUB" =>
+            // SUB <subject> [group] <sid>
+            subscribers.add((parts(1), parts.last, out))
           case "PUB" =>
+            // PUB <subject> [reply-to] <#bytes>
+            val subject = parts(1)
+            val reply = if (parts.length == 4) Some(parts(2)) else None
             val n = parts.last.toInt
             val buf = new Array[Byte](n)
             var off = 0
             while (off < n) off += in.read(buf, off, n - off)
             in.read(); in.read()
             val payload = new String(buf, StandardCharsets.UTF_8)
-            received.add((parts(1), payload))
-            subscribers.forEach { case (subj, sid, sout) =>
-              if (subj == parts(1)) sout.synchronized {
-                sout.write(s"MSG ${parts(1)} $sid $n\r\n$payload\r\n"
-                  .getBytes(StandardCharsets.UTF_8))
-                sout.flush()
+            if (subject.startsWith("$JS.API.CONSUMER.DURABLE.CREATE.")) {
+              val Array(stream, durable) =
+                subject.stripPrefix("$JS.API.CONSUMER.DURABLE.CREATE.").split("\\.", 2)
+              jsLock.synchronized {
+                jsCursors.getOrElseUpdate((stream, durable), 0)
+              }
+              reply.foreach(sendMsg(_, None,
+                """{"type":"io.nats.jetstream.api.v1.consumer_create_response"}"""))
+            } else if (subject.startsWith("$JS.API.CONSUMER.MSG.NEXT.")) {
+              val Array(stream, durable) =
+                subject.stripPrefix("$JS.API.CONSUMER.MSG.NEXT.").split("\\.", 2)
+              jsLock.synchronized {
+                jsPending += ((stream, durable, reply.get))
+                fulfill()
+              }
+            } else if (subject.startsWith("$JS.ACK.")) {
+              jsAcks.add(subject)
+            } else {
+              received.add((subject, payload))
+              subscribers.forEach { case (subj, sid, sout) =>
+                if (subj == subject) sout.synchronized {
+                  sout.write(s"MSG $subject $sid $n\r\n$payload\r\n"
+                    .getBytes(StandardCharsets.UTF_8))
+                  sout.flush()
+                }
               }
             }
           case "PING" => out.write("PONG\r\n".getBytes); out.flush()
@@ -87,11 +161,86 @@ class BrokerSpec extends AnyFunSuite {
     } finally nats.stop()
   }
 
+  test("nats jetstream durable pull consumer: explicit acks, and a RESTART resumes at the durable cursor (input/nats.rs JetStream mode)") {
+    val nats = new FakeNats
+    try {
+      nats.jsPublish("ORDERS", """{"v": 1}""")
+      nats.jsPublish("ORDERS", """{"v": 2}""")
+      val input = new Nats.JetStreamInput(spark, "127.0.0.1", nats.port,
+        "ORDERS", "dur1", auth = Map("token" -> "js-tok"))
+      assert(nats.lastConnect.contains(""""auth_token":"js-tok""""))
+      // a message published AFTER the consumer starts also flows (held
+      // pull request fulfilled on publish)
+      nats.jsPublish("ORDERS", """{"v": 3}""")
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (nats.jsAcks.size < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(nats.jsAcks.size == 3, "each delivery must be explicitly +ACKed")
+      Thread.sleep(200)
+      val sink = new Engine.MemorySink
+      val q = Engine.start(input.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink)
+      q.processAllAvailable(); q.stop()
+      input.stop()
+      assert(sink.rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+      // restart: same durable name resumes at the broker-held cursor —
+      // only messages published after the stop arrive
+      nats.jsPublish("ORDERS", """{"v": 4}""")
+      nats.jsPublish("ORDERS", """{"v": 5}""")
+      val input2 = new Nats.JetStreamInput(spark, "127.0.0.1", nats.port,
+        "ORDERS", "dur1")
+      val deadline2 = System.nanoTime() + 10e9.toLong
+      while (nats.jsAcks.size < 5 && System.nanoTime() < deadline2) Thread.sleep(20)
+      Thread.sleep(200)
+      val sink2 = new Engine.MemorySink
+      val q2 = Engine.start(input2.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink2)
+      q2.processAllAvailable(); q2.stop()
+      input2.stop()
+      assert(sink2.rows.map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L),
+        "the durable cursor must survive the consumer restart")
+    } finally nats.stop()
+  }
+
+  test("nats jetstream + queue-group options are config-reachable (input/nats.rs modes)") {
+    val nats = new FakeNats
+    try {
+      nats.jsPublish("EVTS", """{"v": 9}""")
+      val df = Engine.inputFromConf(spark, ComponentConf("nats", Map(
+        "host" -> "127.0.0.1", "port" -> nats.port.toString,
+        "mode" -> "jetstream", "stream" -> "EVTS",
+        "durable_name" -> "cfg-dur")))
+      assert(df.isStreaming)
+      assert(df.columns.toSeq == Seq(Codecs.ValueCol, "__meta_stream"))
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (nats.jsAcks.size < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(nats.jsAcks.size == 1)
+      Engine.closeConfigInputs()
+
+      // regular mode with a queue group: the SUB line carries the group
+      val in2 = new Nats.NatsInput(spark, "127.0.0.1", nats.port,
+        "jobs", queueGroup = Some("workers"))
+      val c = new Nats.Conn("127.0.0.1", nats.port)
+      c.publish("jobs", """{"v": 1}""".getBytes(StandardCharsets.UTF_8))
+      val dl = System.nanoTime() + 10e9.toLong
+      while (nats.received.size < 1 && System.nanoTime() < dl) Thread.sleep(20)
+      Thread.sleep(200)
+      val sink = new Engine.MemorySink
+      val q = Engine.start(in2.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink)
+      q.processAllAvailable(); q.stop()
+      in2.stop(); c.close()
+      assert(sink.rows.map(_.getLong(0)) == Seq(1L))
+    } finally nats.stop()
+  }
+
   // ---- fake MQTT broker ----
-  private final class FakeMqtt {
+  private final class FakeMqtt(requiredAuth: Option[(String, String)] = None) {
     val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val pubacksFromSubscribers = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var lastConnectFlags: Int = -1
+    @volatile var lastKeepAlive: Int = -1
+    // (filter, granted qos, out)
     private val subscribers =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, BufferedOutputStream)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, BufferedOutputStream)]()
+    private val pidSeq = new java.util.concurrent.atomic.AtomicInteger(100)
     private val server = new java.net.ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
@@ -109,47 +258,77 @@ class BrokerSpec extends AnyFunSuite {
         while (off < len) off += in.read(body, off, len - off)
         (first & 0xff, body)
       }
-      def write(first: Int, body: Array[Byte]): Unit = out.synchronized {
-        out.write(first)
-        var n = body.length
-        while ({
-          var dd = n % 128; n /= 128
-          if (n > 0) dd |= 0x80
-          out.write(dd); n > 0
-        }) ()
-        out.write(body); out.flush()
-      }
+      def writeTo(o: BufferedOutputStream, first: Int, body: Array[Byte]): Unit =
+        o.synchronized {
+          o.write(first)
+          var n = body.length
+          while ({
+            var dd = n % 128; n /= 128
+            if (n > 0) dd |= 0x80
+            o.write(dd); n > 0
+          }) ()
+          o.write(body); o.flush()
+        }
+      def write(first: Int, body: Array[Byte]): Unit = writeTo(out, first, body)
       try while (true) {
         val (tpe, body) = readPacket()
         (tpe & 0xf0) match {
-          case 0x10 => write(0x20, Array[Byte](0, 0)) // CONNECT -> CONNACK ok
-          case 0x80 => // SUBSCRIBE: packet id + one topic filter
+          case 0x10 => // CONNECT: variable header then clientId [user] [pass]
+            val protoLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+            val flags = body(protoLen + 3) & 0xff
+            lastConnectFlags = flags
+            lastKeepAlive = ((body(protoLen + 4) & 0xff) << 8) | (body(protoLen + 5) & 0xff)
+            var pos = protoLen + 6
+            def field(): String = {
+              val n = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+              val v = new String(body, pos + 2, n, StandardCharsets.UTF_8)
+              pos += 2 + n; v
+            }
+            field() // client id
+            val user = if ((flags & 0x80) != 0) Some(field()) else None
+            val pass = if ((flags & 0x40) != 0) Some(field()) else None
+            val ok = requiredAuth.forall { case (u, p) =>
+              user.contains(u) && pass.contains(p)
+            }
+            // CONNACK: 0 = accepted, 4 = bad user name or password
+            write(0x20, Array[Byte](0, if (ok) 0 else 4))
+            if (!ok) throw new java.io.EOFException
+          case 0x80 => // SUBSCRIBE: packet id + one topic filter + qos
             val filterLen = ((body(2) & 0xff) << 8) | (body(3) & 0xff)
             val filter = new String(body, 4, filterLen, StandardCharsets.UTF_8)
-            subscribers.add((filter, out))
-            write(0x90, Array(body(0), body(1), 0.toByte)) // SUBACK qos0
+            val reqQos = body(4 + filterLen) & 0x03
+            subscribers.add((filter, reqQos, out))
+            write(0x90, Array(body(0), body(1), reqQos.toByte)) // grant requested
           case 0x30 =>
+            val qos = (tpe >> 1) & 0x03
             val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
             val topic = new String(body, 2, topicLen, StandardCharsets.UTF_8)
-            val payload = new String(body, 2 + topicLen,
-              body.length - 2 - topicLen, StandardCharsets.UTF_8)
+            val pidOff = 2 + topicLen
+            val payloadOff = pidOff + (if (qos > 0) 2 else 0)
+            val payload = new String(body, payloadOff,
+              body.length - payloadOff, StandardCharsets.UTF_8)
             published.add((topic, payload))
-            subscribers.forEach { case (f, sout) =>
+            if (qos == 1) write(0x40, Array(body(pidOff), body(pidOff + 1)))
+            else if (qos == 2) write(0x50, Array(body(pidOff), body(pidOff + 1)))
+            subscribers.forEach { case (f, subQos, sout) =>
               if (f == topic || f == "#") {
-                // re-frame toward the subscriber
-                val b = body
-                sout.synchronized {
-                  sout.write(0x30)
-                  var n = b.length
-                  while ({
-                    var dd = n % 128; n /= 128
-                    if (n > 0) dd |= 0x80
-                    sout.write(dd); n > 0
-                  }) ()
-                  sout.write(b); sout.flush()
-                }
+                // deliver at min(publish qos, granted qos)
+                val dQos = math.min(qos, subQos)
+                val b =
+                  if (dQos == 0)
+                    body.take(2 + topicLen) ++
+                      body.drop(payloadOff)
+                  else {
+                    val pid = pidSeq.incrementAndGet()
+                    body.take(2 + topicLen) ++
+                      Array(((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++
+                      body.drop(payloadOff)
+                  }
+                writeTo(sout, 0x30 | (dQos << 1), b)
               }
             }
+          case 0x40 => pubacksFromSubscribers.incrementAndGet() // subscriber PUBACK
+          case 0x60 => write(0x70, body.take(2)) // PUBREL -> PUBCOMP
           case 0xc0 => write(0xd0, Array.empty) // PINGREQ -> PINGRESP
           case 0xe0 => throw new java.io.EOFException // DISCONNECT
           case _ => ()
@@ -182,6 +361,51 @@ class BrokerSpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop()
       input.stop()
       assert(sink.rows.map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+    } finally broker.stop()
+  }
+
+  test("mqtt QoS 1 round trip with auth: publisher waits PUBACK, subscriber acks delivery (input/mqtt.rs:44-57)") {
+    val broker = new FakeMqtt(requiredAuth = Some(("mq-user", "mq-pass")))
+    try {
+      // wrong password is refused at CONNACK
+      intercept[IllegalArgumentException] {
+        new Mqtt.Conn("127.0.0.1", broker.port, "bad",
+          Some("mq-user"), Some("wrong"))
+      }
+      val input = new Mqtt.MqttInput(spark, "127.0.0.1", broker.port,
+        "sensors/q1", clientId = "durable-sub", qos = 1,
+        username = Some("mq-user"), password = Some("mq-pass"),
+        cleanSession = false, keepAliveSecs = 30)
+      assert((broker.lastConnectFlags & 0x02) == 0, "clean_session=false must clear the flag")
+      assert((broker.lastConnectFlags & 0xc0) == 0xc0, "user+pass flags must be set")
+      assert(broker.lastKeepAlive == 30)
+      Mqtt.MqttSink("127.0.0.1", broker.port, "'sensors/q1'", "msg", qos = 1,
+          username = Some("mq-user"), password = Some("mq-pass"))
+        .write(Seq("""{"v": 11}""", """{"v": 12}""").toDF("msg"), 0L)
+      // sink returned -> every publish got its PUBACK (QoS 1 contract)
+      assert(broker.published.size == 2)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (broker.pubacksFromSubscribers.get() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(broker.pubacksFromSubscribers.get() == 2,
+        "the subscriber must PUBACK each QoS-1 delivery")
+      Thread.sleep(200)
+      val sink = new Engine.MemorySink
+      val q = Engine.start(input.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink)
+      q.processAllAvailable(); q.stop()
+      input.stop()
+      assert(sink.rows.map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+    } finally broker.stop()
+  }
+
+  test("mqtt QoS 2 publish completes the PUBREC/PUBREL/PUBCOMP ladder") {
+    val broker = new FakeMqtt()
+    try {
+      val conn = new Mqtt.Conn("127.0.0.1", broker.port, "q2-pub")
+      conn.publish("t2", "exactly-once".getBytes(StandardCharsets.UTF_8), qos = 2)
+      conn.close()
+      assert(broker.published.toArray(Array.empty[(String, String)]).toSeq ==
+        Seq(("t2", "exactly-once")))
     } finally broker.stop()
   }
 

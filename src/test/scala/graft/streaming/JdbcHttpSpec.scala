@@ -326,4 +326,25 @@ class JdbcHttpSpec extends AnyFunSuite {
     assert(Engine.sinkFromConf(ComponentConf("kafka",
       Map("topic" -> "t"))).isInstanceOf[Engine.KafkaSink])
   }
+
+  test("kafka sink topic-as-expression projects a per-row topic column (output/kafka.rs Expr<String> topic)") {
+    import spark.implicits._
+    val batch = Seq((0, "a"), (1, "b")).toDF("v", Codecs.ValueCol)
+    val recs = Engine.kafkaRecords(batch,
+      Map("topic_expr" -> "concat('t-', cast(v % 2 as string))"), 5L)
+      .collect().map(r => (r.getAs[String]("topic"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"))).toSeq.sorted
+    assert(recs == Seq(("t-0", "a"), ("t-1", "b")))
+    // with topic_expr the static topic option disappears (the writer
+    // must route by the column) and no static topic is required
+    val opts = Engine.kafkaSinkOptions(Map("topic_expr" -> "x"))
+    assert(!opts.contains("topic"))
+    // static topic still maps when no expression is configured, and the
+    // batch_id header rides in both shapes
+    val static = Engine.kafkaRecords(batch, Map("topic" -> "t"), 9L).collect().head
+    assert(!Engine.kafkaRecords(batch, Map("topic" -> "t"), 9L).columns.contains("topic"))
+    val hdr = static.getAs[Seq[org.apache.spark.sql.Row]]("headers").head
+    assert(hdr.getString(0) == "batch_id" &&
+      new String(hdr.getAs[Array[Byte]](1), "UTF-8") == "9")
+  }
 }
