@@ -62,6 +62,69 @@ object ScaleProbe {
               maxDist = 2, bits = 16).count()
           }
         }
+      case "sf1" =>
+        // ---- sf1 rehearsal: 10× documents/embeddings in 8 files each,
+        // other tables linked from the base dir; runs the heavy-hitter
+        // queries at 1× and 10× and prints the scaling ratios ----
+        val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        val marker = new java.io.File(s"$sf1/.built")
+        if (!marker.exists()) {
+          new java.io.File(sf1).mkdirs()
+          val docs10 = (0 until 10).map(c =>
+            docs.select((col("doc_id") + lit(1000000L) * c).as("doc_id"),
+              (if (c == 0) col("text")
+               else concat(lit(s"c${c}rep "), col("text"))).as("text"),
+              col("lang"), col("source"), col("n_chars")))
+            .reduce(_ unionByName _)
+          docs10.repartition(8).write.mode("overwrite")
+            .parquet(s"$sf1/documents.parquet")
+          val emb = Tables.load(spark, sfDir, "embeddings")
+          val emb10 = (0 until 10).map(c =>
+            emb.select((col("vec_id") + lit(1000000L) * c).as("vec_id"),
+              // rotate the vector by c positions so copies decorrelate
+              expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
+                s"slice(embedding, 1, $c))").as("embedding")))
+            .reduce(_ unionByName _)
+          emb10.repartition(8).write.mode("overwrite")
+            .parquet(s"$sf1/embeddings.parquet")
+          // remaining tables: symlink the sf0.1 parquet (unscaled)
+          Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
+            val link = java.nio.file.Paths.get(s"$sf1/$t.parquet")
+            if (!java.nio.file.Files.exists(link))
+              java.nio.file.Files.createSymbolicLink(link,
+                java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+          }
+          marker.createNewFile()
+          ()
+        }
+        val heavy = args.drop(1).headOption
+          .map(_.split(",").toSeq)
+          .getOrElse(Seq("q178_adamic_adar", "q58_simhash_hamming",
+            "q244_simhash_autopairs", "q158_prefix_jaccard",
+            "q115_minhash_estimate", "q150_dedup_consensus",
+            "q175_typo_pairs", "q102_gopher_rules", "q89_containment",
+            "q217_hits", "q90_editdist_confirm", "q82_curation_pipeline"))
+        heavy.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          def run(dir: String): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = try { fn(spark, dir).write.format("noop").mode("overwrite").save(); 0L }
+              catch { case e: Throwable =>
+                System.err.println(s"[probe] $name@$dir failed: ${e.getMessage}"); -1L }
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val (t1, _) = run(sfDir)
+          val (t10, _) = run(sf1)
+          println(f"[probe] $name%-28s 1x ${t1}%7.2f s   10x ${t10}%7.2f s   ratio ${t10 / t1}%5.2f")
+        }
+      case "q90diag" =>
+        val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        for (dir <- Seq(sfDir, sf1)) {
+          val d = Tables.load(spark, dir, "documents")
+          val cands = operators.Dedup.minhashPairs(d, "doc_id", "text").count()
+          val lens = d.agg(avg(length(col("text")))).collect().head.getDouble(0)
+          println(f"[probe] $dir: ${d.count()} docs, $cands candidate pairs, avg len $lens%.0f")
+        }
       case "adamic_adar" =>
         for (d <- Seq(docs, big)) {
           val n = d.count()

@@ -545,8 +545,15 @@ object Dedup {
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
       .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
       .withColumn("__max_len", greatest(length(col("ta")), length(col("tb"))))
+      // O(1) pre-filters ahead of the O(len·bound) DP, both
+      // exactness-preserving: a length gap past the bound already IS a
+      // distance past the bound, and equal texts (the dominant pair in
+      // dup-heavy corpora) are distance 0 by definition
+      .filter(abs(length(col("ta")) - length(col("tb"))) <=
+        ceil(col("__max_len") * (maxRel + 1e-6)).cast("int"))
       .withColumn("dist",
-        expr(s"levenshtein(ta, tb, CAST(ceil(__max_len * ($maxRel + 1e-6)) AS INT))"))
+        when(col("ta") === col("tb"), lit(0)).otherwise(
+          expr(s"levenshtein(ta, tb, CAST(ceil(__max_len * ($maxRel + 1e-6)) AS INT))")))
       .filter(col("dist") >= 0)
       .withColumn("rel_dist", round(col("dist").cast("double") / col("__max_len"), 6))
       .filter(col("rel_dist") <= maxRel)

@@ -21,10 +21,10 @@ class ReferenceExamplesSpec extends AnyFunSuite {
 
   private val supportedInputs = Set(
     "generate", "memory", "file", "kafka", "sql", "redis", "modbus",
-    "http", "mqtt", "nats", "websocket", "multiple_inputs")
+    "http", "mqtt", "nats", "websocket", "pulsar", "multiple_inputs")
   private val supportedOutputs = Set(
     "parquet", "stdout", "drop", "memory", "sql", "http", "kafka",
-    "influxdb", "redis", "nats", "mqtt", "mongodb")
+    "influxdb", "redis", "nats", "mqtt", "mongodb", "pulsar")
   private val supportedProcessors = Set(
     "sql", "json_to_arrow", "arrow_to_json", "protobuf_to_arrow",
     "arrow_to_protobuf", "debezium_json", "batch", "drift", "expr",
