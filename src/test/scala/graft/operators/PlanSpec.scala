@@ -48,6 +48,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "all-pairs product crept back in")
   }
 
+  test("q244: auto-width simhash pairing stays a banded equi-join at any derived width") {
+    val p = plan("q244_simhash_autopairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs product crept back in")
+    assert(!p.contains("CartesianProduct"), "all-pairs product crept back in")
+  }
+
+  test("q178: the wedge join runs over the CAPPED adjacency (rank window present, no product)") {
+    val p = plan("q178_adamic_adar")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the md5-ordered per-center row_number cap must stay ahead of the
+    // self-join — its removal re-opens the hub-deg² term
+    assert(p.contains("row_number"), "degree-cap window vanished from the plan")
+  }
+
+  test("q245/q65: image fixture decode has no shuffle beyond the scan; GD training never sorts globally") {
+    // q65: generate → decode is mapPartitions over the scan only
+    val p65 = plan("q65_multimodal_meta")
+    assert(!p65.contains("SortMergeJoin") && !p65.contains("CartesianProduct"))
+    // q107: every aggregation is keyed; a global Sort would mean the
+    // gradient loop grew an accidental total order
+    val p107 = graft.SparkEntry.queries("q107_classifier_train")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p107.contains("CartesianProduct"))
+  }
+
   test("q62: embedding near-dup is LSH-bucketed — no cartesian/nested-loop product") {
     val p = plan("q62_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs product crept back in")

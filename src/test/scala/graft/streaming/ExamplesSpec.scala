@@ -11,7 +11,7 @@ class ExamplesSpec extends AnyFunSuite {
 
   private val exampleDir = new java.io.File("examples")
   private val inputKindsNeedingEndpoint =
-    Set("sql", "redis", "modbus", "mqtt", "nats", "websocket")
+    Set("sql", "redis", "modbus", "mqtt", "nats", "websocket", "pulsar")
 
   test("all example configs parse and their components resolve") {
     val files = exampleDir.listFiles().filter(_.getName.endsWith(".yaml")).sortBy(_.getName)
