@@ -141,7 +141,7 @@ object Corpus {
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct().localCheckpoint(true)
-    val deg = e.select(col("a").as("doc_id"))
+    var deg = e.select(col("a").as("doc_id"))
       .union(e.select(col("b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
     val tris =
@@ -152,6 +152,7 @@ object Corpus {
           .select(col("a").as("src"), col("b").as("v"), col("c").as("w"))
       } else {
         val degCp = deg.localCheckpoint(true)
+        deg = degCp // the output join below must reuse the materialization
         // orient low-(degree, id) → high; carry the head's rank for
         // wedge ordering
         val withDeg = e

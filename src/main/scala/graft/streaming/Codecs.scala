@@ -13,6 +13,25 @@ object Codecs {
 
   val ValueCol = "__value__"
 
+  /** JSON string-content escaping for hand-built documents (auth
+    * payloads, JS API configs, control-plane bodies) — one shared
+    * implementation so control-character handling can't drift between
+    * the connectors. Returns the escaped CONTENT (no surrounding
+    * quotes). */
+  def jsonEscape(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
   /** JSON codec (codec/json.rs:23-52): decode infers the schema from the
     * batch (per-batch inference is legal inside foreachBatch — SURVEY §1.3),
     * optionally keeping only `fieldsToInclude`; encode serializes every

@@ -80,20 +80,10 @@ final class ControlPlane(spark: SparkSession, port: Int,
 
   /** JSON string escaping for the few hand-built fields — control
     * characters included: exception bodies are multi-line stack traces,
-    * and a raw newline inside a JSON string literal is unparseable. */
-  private def js(s: String): String = {
-    val b = new StringBuilder("\"")
-    s.foreach {
-      case '\\' => b.append("\\\\")
-      case '"' => b.append("\\\"")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\t' => b.append("\\t")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.append("\"").toString
-  }
+    * and a raw newline inside a JSON string literal is unparseable.
+    * (Quoted wrapper over the shared [[Codecs.jsonEscape]].) */
+  private def js(s: String): String =
+    "\"" + Codecs.jsonEscape(s) + "\""
 
   private def respond(ex: com.sun.net.httpserver.HttpExchange,
                       code: Int, body: String): Unit = {

@@ -83,15 +83,6 @@ object Engine {
     * producer — a WARN says so at config resolution.
     */
   def kafkaSinkOptions(o: Map[String, String]): Map[String, String] = {
-    // visible at config resolution, not buried in scaladoc: the yaml
-    // user who set a transactional id must learn it is not being used
-    // (see the EOS boundary note above; TransactionalKafkaSink is the
-    // broker-fenced path)
-    if (o.contains("transactional_id") && !o.get("exactly_once").contains("transactional"))
-      System.err.println("[engine] WARN kafka output: 'transactional_id' is accepted " +
-        "for config compatibility but Spark's kafka writer cannot run broker-fenced " +
-        "transactions - using idempotence + batch_id-header replay-dedupe instead " +
-        "(set exactly_once: transactional for the hand-rolled transactional producer)")
     // topic_expr (Expr<String> topic) routes per row via the projected
     // `topic` column instead of a static topic option
     val base = Map(
@@ -130,6 +121,16 @@ object Engine {
     * options; the micro-batch id rides as a record header so replayed
     * batches are consumer-dedupable (see [[kafkaSinkOptions]]). */
   final case class KafkaSink(options: Map[String, String]) extends BatchSink {
+    // ONE warning at sink construction (config resolution), not one per
+    // micro-batch: the yaml user who set a transactional id must learn
+    // it is not being used on this idempotent path (see the EOS
+    // boundary note at kafkaSinkOptions; TransactionalKafkaSink is the
+    // broker-fenced route)
+    if (options.contains("transactional_id"))
+      System.err.println("[engine] WARN kafka output: 'transactional_id' is accepted " +
+        "for config compatibility but Spark's kafka writer cannot run broker-fenced " +
+        "transactions - using idempotence + batch_id-header replay-dedupe instead " +
+        "(set exactly_once: transactional for the hand-rolled transactional producer)")
     def write(batch: DataFrame, batchId: Long): Unit = {
       kafkaRecords(batch, options, batchId)
         .write.format("kafka")
@@ -156,6 +157,15 @@ object Engine {
     */
   final case class TransactionalKafkaSink(options: Map[String, String])
       extends BatchSink {
+    // fail at CONFIG time, not on the first micro-batch: the minimal
+    // transactional client registers one static topic per transaction
+    // (per-row topic_expr routing would need Metadata round-trips and
+    // per-topic AddPartitionsToTxn bookkeeping it deliberately omits)
+    require(options.contains("topic"),
+      "kafka exactly_once: transactional requires a static 'topic'")
+    require(!options.contains("topic_expr"),
+      "kafka exactly_once: transactional does not support 'topic_expr' " +
+        "(per-row topics) - use the default idempotent path for expression routing")
     def write(batch: DataFrame, batchId: Long): Unit = {
       val hostPort = options.getOrElse("brokers", "localhost:9092").split(",").head
       val host = hostPort.split(":").head
@@ -300,6 +310,13 @@ object Engine {
             heldBack = out.schema.isEmpty
           }
           if (!heldBack) sink.write(out, batchId)
+          // the sink has consumed the release frame — any rate_cap
+          // cache for THIS trigger can drop now instead of lingering
+          // until (or past) the next trigger
+          processors.foreach {
+            case rc: Processors.RateCap => rc.releaseCache()
+            case _ => ()
+          }
         }
       } catch {
         // NonFatal only: data/processor failures divert to the error sink;
@@ -574,6 +591,7 @@ object Engine {
           }
         remaining = if (now < remaining) now else 0L
       }
+      caps.foreach(_.releaseCache()) // last drain pass's cache
     } catch {
       case scala.util.control.NonFatal(e) =>
         err match {

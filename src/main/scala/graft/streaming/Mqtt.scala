@@ -90,7 +90,10 @@ object Mqtt {
         t.start()
       }
 
-    private[Mqtt] def writePacket(firstByte: Int, body: Array[Byte]): Unit = {
+    // synchronized: the reader thread's acks and the keep-alive
+    // thread's PINGREQs share this stream — unsynchronized multi-write
+    // packets would interleave bytes and corrupt the connection
+    private[Mqtt] def writePacket(firstByte: Int, body: Array[Byte]): Unit = out.synchronized {
       out.write(firstByte)
       out.write(encodeRemainingLength(body.length))
       out.write(body)
@@ -147,21 +150,43 @@ object Mqtt {
       expectPacketType(0x90) // SUBACK
     }
 
+    // QoS 2 inflight state: messages received but not yet PUBREL'd.
+    // Proper method-B receive — delivery happens at PUBREL, so a broker
+    // redelivering the PUBLISH (lost PUBREC) can never duplicate a row.
+    private val qos2Inflight =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Array[Byte])]()
+
     /** The receive-side QoS ladders, called by the input reader on each
-      * PUBLISH frame: QoS 1 answers PUBACK; QoS 2 answers PUBREC and
-      * completes with PUBCOMP when the broker's PUBREL arrives (handled
-      * in the reader loop). Returns (topic, payload). */
-    private[Mqtt] def onPublish(tpe: Int, body: Array[Byte]): (String, Array[Byte]) = {
+      * PUBLISH frame: QoS 0/1 deliver immediately (1 answers PUBACK);
+      * QoS 2 answers PUBREC and STASHES the message — delivery is
+      * deferred to [[onPubRel]], the exactly-once half of the ladder.
+      * Returns the message to enqueue now, if any. */
+    private[Mqtt] def onPublish(tpe: Int, body: Array[Byte]): Option[(String, Array[Byte])] = {
       val qos = (tpe >> 1) & 0x03
       val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
       val topic = new String(body, 2, topicLen, StandardCharsets.UTF_8)
       val payloadStart = 2 + topicLen + (if (qos > 0) 2 else 0)
       val payload = java.util.Arrays.copyOfRange(body, payloadStart, body.length)
-      if (qos > 0) {
-        val pidBytes = Array(body(2 + topicLen), body(3 + topicLen))
-        writePacket(if (qos == 1) 0x40 else 0x50, pidBytes) // PUBACK / PUBREC
+      qos match {
+        case 0 => Some((topic, payload))
+        case 1 =>
+          writePacket(0x40, Array(body(2 + topicLen), body(3 + topicLen))) // PUBACK
+          Some((topic, payload))
+        case _ =>
+          val pid = ((body(2 + topicLen) & 0xff) << 8) | (body(3 + topicLen) & 0xff)
+          qos2Inflight.put(pid, (topic, payload)) // redelivery overwrites, never duplicates
+          writePacket(0x50, Array(body(2 + topicLen), body(3 + topicLen))) // PUBREC
+          None
       }
-      (topic, payload)
+    }
+
+    /** Broker's PUBREL: release the stashed QoS 2 message exactly once
+      * and complete with PUBCOMP. */
+    private[Mqtt] def onPubRel(body: Array[Byte]): Option[(String, Array[Byte])] = {
+      val pid = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+      val msg = Option(qos2Inflight.remove(pid))
+      writePacket(0x70, body.take(2)) // PUBCOMP
+      msg
     }
 
     def close(): Unit = {
@@ -192,10 +217,13 @@ object Mqtt {
         val (tpe, body) = conn.readPacket()
         (tpe & 0xf0) match {
           case 0x30 =>
-            val (topic, payload) = conn.onPublish(tpe, body)
-            stream.addData((topic, new String(payload, StandardCharsets.UTF_8)))
-          case 0x60 => // broker's PUBREL (QoS 2 ladder) -> PUBCOMP
-            conn.writePacket(0x70, body.take(2))
+            conn.onPublish(tpe, body).foreach { case (topic, payload) =>
+              stream.addData((topic, new String(payload, StandardCharsets.UTF_8)))
+            }
+          case 0x60 => // broker's PUBREL: release the QoS 2 message
+            conn.onPubRel(body).foreach { case (topic, payload) =>
+              stream.addData((topic, new String(payload, StandardCharsets.UTF_8)))
+            }
           case 0xc0 => conn.writePacket(0xd0, Array.empty) // PINGREQ -> PINGRESP
           case 0xd0 => () // PINGRESP for our keep-alive PINGREQs
           case _ => ()

@@ -34,7 +34,7 @@ object Nats {
 
     readLine() // server INFO
     locally {
-      def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      import Codecs.{jsonEscape => js}
       val authFields =
         auth.get("username").map(u => s""","user":"${js(u)}"""").getOrElse("") +
         auth.get("password").map(p => s""","pass":"${js(p)}"""").getOrElse("") +
@@ -169,13 +169,26 @@ object Nats {
     private val inbox = s"_INBOX.graft.${java.util.UUID.randomUUID()}"
     conn.subscribe(inbox)
     locally {
-      def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      import Codecs.{jsonEscape => js}
       val cfg = s"""{"stream_name":"${js(streamName)}","config":{"durable_name":"${js(durable)}","ack_policy":"explicit","deliver_policy":"all"}}"""
       conn.publishRequest(
         s"$$JS.API.CONSUMER.DURABLE.CREATE.$streamName.$durable", inbox,
         cfg.getBytes(StandardCharsets.UTF_8))
-      // the create response arrives on the inbox before any pull starts
-      nextMsg(conn)
+      // the create response arrives on the inbox before any pull
+      // starts — and it must be CHECKED: a missing stream or denied
+      // permission answers with an error document, and swallowing it
+      // would leave the input pulling from a consumer that does not
+      // exist (a permanent silent hang, zero rows, zero diagnostics)
+      nextMsg(conn) match {
+        case Some(resp) =>
+          val body = new String(resp.payload, StandardCharsets.UTF_8)
+          if (body.contains("\"error\""))
+            throw new java.io.IOException(
+              s"nats jetstream: consumer create failed for stream '$streamName', durable '$durable': $body")
+        case None =>
+          throw new java.io.IOException(
+            "nats jetstream: connection closed before the consumer-create response")
+      }
     }
     // ONE pull request outstanding at a time (batch:1): re-requested
     // after each delivery, so liveness never depends on a batch filling

@@ -255,6 +255,15 @@ object Processors {
     }
     /** Rows currently held back (test/monitoring hook). */
     def pendingRows: Long = pending.map(_.count()).getOrElse(0L)
+
+    /** Release the trigger's cache once the engine has finished writing
+      * the batch downstream — otherwise the LAST trigger's input stays
+      * pinned in MEMORY_AND_DISK for the rest of the session (the
+      * unpersist at the next apply() never comes after the final one). */
+    def releaseCache(): Unit = {
+      lastCached.foreach(_.unpersist(blocking = false))
+      lastCached = None
+    }
   }
 
   /** Cross-micro-batch accumulator (processor/batch.rs:31-127 — the

@@ -122,7 +122,7 @@ object Pulsar {
         require(issuer.nonEmpty, "Issuer URL cannot be empty")
         require(creds.nonEmpty, "Credentials URL cannot be empty")
         require(aud.nonEmpty, "Audience cannot be empty")
-        def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        import Codecs.{jsonEscape => js}
         val doc = s"""{"type":"client_credentials","issuer_url":"${js(issuer)}","credentials_url":"${js(creds)}","audience":"${js(aud)}"}"""
         Some(("oauth2", doc.getBytes(UTF_8)))
       case Some(other) =>
@@ -199,11 +199,21 @@ object Pulsar {
   final class Conn(serviceUrl: String, auth: Map[String, String] = Map.empty)
       extends AutoCloseable {
     validateServiceUrl(serviceUrl)
+    private val tls = serviceUrl.startsWith("pulsar+ssl://")
     private val hostPort = serviceUrl.stripPrefix("pulsar+ssl://")
       .stripPrefix("pulsar://").split(",").head
     private val host = hostPort.split(":").head
-    private val port = hostPort.split(":").lift(1).map(_.toInt).getOrElse(6650)
-    private val socket = new java.net.Socket(host, port)
+    private val port = hostPort.split(":").lift(1).map(_.toInt)
+      .getOrElse(if (tls) 6651 else 6650)
+    // pulsar+ssl:// negotiates TLS — a plaintext socket here would ship
+    // the auth token in the clear to whatever answers the port
+    private val socket: java.net.Socket =
+      if (tls) {
+        val s = javax.net.ssl.SSLSocketFactory.getDefault
+          .createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+        s.startHandshake()
+        s
+      } else new java.net.Socket(host, port)
     socket.setTcpNoDelay(true)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private val in = new BufferedInputStream(socket.getInputStream)

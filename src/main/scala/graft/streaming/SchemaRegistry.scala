@@ -210,7 +210,11 @@ object SchemaRegistry {
               s"Unsupported schema type: $t (only PROTOBUF supported)")
         }
         val schema = doc.get("schema").toString
-        if (schema.contains("message")) ProtoSource.fieldsFor(schema, messageType)
+        // a proto SOURCE has a message DECLARATION; a substring match
+        // would misroute legacy field-spec lines whose field names
+        // merely contain "message" (e.g. `1:message_id:int64`)
+        if ("""(?s).*\bmessage\s+\w+\s*\{.*""".r.matches(schema))
+          ProtoSource.fieldsFor(schema, messageType)
         else parseFieldSpec(schema)
       } finally conn.disconnect()
     }

@@ -325,9 +325,15 @@ class BrokerSpec extends AnyFunSuite {
                       body.drop(payloadOff)
                   }
                 writeTo(sout, 0x30 | (dQos << 1), b)
+                // QoS 2 delivery: simulate a REDELIVERY (lost PUBREC
+                // case) — the client's deferred-release ladder must
+                // still produce the message exactly once
+                if (dQos == 2) writeTo(sout, 0x30 | (dQos << 1) | 0x08, b)
               }
             }
           case 0x40 => pubacksFromSubscribers.incrementAndGet() // subscriber PUBACK
+          case 0x50 => write(0x62, body.take(2)) // subscriber PUBREC -> PUBREL
+          case 0x70 => () // subscriber PUBCOMP
           case 0x60 => write(0x70, body.take(2)) // PUBREL -> PUBCOMP
           case 0xc0 => write(0xd0, Array.empty) // PINGREQ -> PINGRESP
           case 0xe0 => throw new java.io.EOFException // DISCONNECT
@@ -406,6 +412,24 @@ class BrokerSpec extends AnyFunSuite {
       conn.close()
       assert(broker.published.toArray(Array.empty[(String, String)]).toSeq ==
         Seq(("t2", "exactly-once")))
+    } finally broker.stop()
+  }
+
+  test("mqtt QoS 2 receive delivers exactly once across a simulated redelivery (release at PUBREL)") {
+    val broker = new FakeMqtt()
+    try {
+      val input = new Mqtt.MqttInput(spark, "127.0.0.1", broker.port,
+        "q2/topic", clientId = "q2-sub", qos = 2)
+      val pub = new Mqtt.Conn("127.0.0.1", broker.port, "q2-src")
+      pub.publish("q2/topic", """{"v": 77}""".getBytes(StandardCharsets.UTF_8), qos = 2)
+      pub.close()
+      Thread.sleep(500) // both deliveries + the PUBREL release land
+      val sink = new Engine.MemorySink
+      val q = Engine.start(input.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink)
+      q.processAllAvailable(); q.stop()
+      input.stop()
+      assert(sink.rows.map(_.getLong(0)) == Seq(77L),
+        "the redelivered QoS-2 PUBLISH must not produce a duplicate row")
     } finally broker.stop()
   }
 
