@@ -496,6 +496,61 @@ object Similarity {
     (cents, assignScored, wAssign)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019) — the
+    * cross-lingual pair miner used to build translation training data
+    * and to surface cross-lingual near-duplicates/contamination: raw
+    * cosine is a poor mining score because some vectors sit in dense
+    * "hub" regions where EVERYTHING is close, so each candidate pair
+    * (x, y) is scored by the RATIO margin
+    * `cos(x,y) / (meanK(x→Y)/2 + meanK(y→X)/2)` — similarity relative
+    * to what each side's neighborhood makes cheap.
+    *
+    * Dataflow: one X×Y cosine table (X side broadcast — at corpus
+    * scale swap the candidate generation for [[probeIvfIndex]] /
+    * banded LSH exactly like the monolingual dedup family; the margin
+    * arithmetic is unchanged), materialized once and read three ways:
+    * forward top-k candidates, per-x and per-y top-k neighborhood
+    * means (DECIMAL sums of the 6dp cosines, so the means are
+    * order-independent). Global top-N plans TakeOrderedAndProject,
+    * never a full sort.
+    */
+  def marginBitextPairs(emb: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, langX: String, langY: String, k: Int = 4,
+      topN: Int = 50): DataFrame = {
+    require(k >= 1 && topN >= 1, s"need k >= 1 and topN >= 1, got $k, $topN")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val v = prepared(emb)
+      .join(labels.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("__lng")), "vec_id")
+    val xs = v.filter(col("__lng") === langX)
+      .select(col("vec_id").as("xid"), col("vd").as("qv"), col("nrm").as("qn"))
+    val ys = v.filter(col("__lng") === langY)
+      .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
+    val scored = ys.crossJoin(broadcast(xs))
+      .withColumn("cos", round(expr(dotQC) / (col("qn") * col("cn")), 6))
+      .select(col("xid"), col("cid"), col("cos"))
+      .localCheckpoint(true) // read by candidates + both neighborhood means
+    val wX = Window.partitionBy(col("xid")).orderBy(col("cos").desc, col("cid"))
+    val wY = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("xid"))
+    val mx = scored.withColumn("rn", row_number().over(wX))
+      .filter(col("rn") <= k).groupBy(col("xid"))
+      .agg(round(sum(col("cos").cast(dec12)).cast("double") / k, 6).as("mx"))
+    val my = scored.withColumn("rn", row_number().over(wY))
+      .filter(col("rn") <= k).groupBy(col("cid"))
+      .agg(round(sum(col("cos").cast(dec12)).cast("double") / k, 6).as("my"))
+    val cands = scored.withColumn("rn", row_number().over(wX))
+      .filter(col("rn") <= k).drop("rn")
+    val ranked = cands.join(mx, "xid").join(my, "cid")
+      .withColumn("margin",
+        round(col("cos") / (lit(0.5) * col("mx") + lit(0.5) * col("my")), 6))
+      .orderBy(col("margin").desc, col("xid"), col("cid"))
+      .limit(topN)
+    ranked
+      .withColumn("rank", row_number().over( // ≤ topN rows by now
+        Window.orderBy(col("margin").desc, col("xid"), col("cid"))))
+      .select(col("rank"), col("xid"), col("cid"), col("cos"), col("margin"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy
     * top-k selection balancing relevance to a query against redundancy
     * with what is already selected — argmax of
@@ -1096,6 +1151,13 @@ object Similarity {
       ivfKnnKMeans(planted, nList = 3, nQueries = 3, k = 3, nProbe = 1)
         .orderBy(col("qid"), col("rnk"))
     }),
+    // cross-lingual pair mining: en-side vectors vs de-side vectors,
+    // ratio-margin scored, global top-50
+    "q245_margin_bitext" -> ((s, dir) =>
+      marginBitextPairs(Tables.load(s, dir, "embeddings"),
+        Tables.load(s, dir, "documents"), "doc_id", "lang",
+        langX = "en", langY = "de", k = 4, topN = 50)),
+
     "q91_semantic_dedup" -> ((s, dir) =>
       // 0.4 exercises the operator on this synthetic corpus (its max
       // pairwise cosine at sf0.01 is ~0.51); production near-dup pruning
@@ -1588,6 +1650,42 @@ object Similarity {
          |)
          |SELECT qid, cell, cid, cos, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    "q245_margin_bitext" ->
+      s"""WITH $duckPrep,
+         |lv AS (
+         |  SELECT v.vec_id, v.vd, v.nrm, d.lang FROM v
+         |  JOIN documents d ON d.doc_id = v.vec_id
+         |), scored AS (
+         |  SELECT x.vec_id AS xid, y.vec_id AS cid,
+         |    round(list_dot_product(x.vd, y.vd) / (x.nrm * y.nrm), 6) AS cos
+         |  FROM lv x JOIN lv y ON x.lang = 'en' AND y.lang = 'de'
+         |), fx AS (
+         |  SELECT xid, cid, cos,
+         |    row_number() OVER (PARTITION BY xid ORDER BY cos DESC, cid) AS rn
+         |  FROM scored
+         |), mx AS (
+         |  SELECT xid,
+         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / 4, 6) AS mx
+         |  FROM fx WHERE rn <= 4 GROUP BY xid
+         |), fy AS (
+         |  SELECT xid, cid, cos,
+         |    row_number() OVER (PARTITION BY cid ORDER BY cos DESC, xid) AS rn
+         |  FROM scored
+         |), my AS (
+         |  SELECT cid,
+         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / 4, 6) AS my
+         |  FROM fy WHERE rn <= 4 GROUP BY cid
+         |), ranked AS (
+         |  SELECT f.xid, f.cid, f.cos,
+         |    round(f.cos / (0.5 * mx.mx + 0.5 * my.my), 6) AS margin
+         |  FROM fx f JOIN mx USING (xid) JOIN my USING (cid)
+         |  WHERE f.rn <= 4
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY margin DESC, xid, cid) AS INT) AS rank,
+         |  xid, cid, cos, margin
+         |FROM (SELECT * FROM ranked ORDER BY margin DESC, xid, cid LIMIT 50) t
+         |ORDER BY rank""".stripMargin,
 
     // the planted-separation twin of the Spark query: cluster membership
     // is vec_id % 3 by construction, so the oracle ranks within-cluster

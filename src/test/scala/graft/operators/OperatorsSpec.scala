@@ -1410,6 +1410,34 @@ class OperatorsSpec extends AnyFunSuite {
       "planted words must carry the extreme weights")
   }
 
+  test("margin bitext mining discounts hub vectors: a unique match outranks an equally-close hub pair") {
+    import spark.implicits._
+    // y0/y1/y2 orthogonal axes; x_uniq matches y0 alone (cos 1),
+    // x_hub is equally close (cos ~0.577) to all three — raw cosine
+    // ranks (x_uniq,y0) first anyway, but the MARGIN must also rank
+    // every hub pair below it because the hub's neighborhood mean
+    // inflates its denominator (the reason the margin exists)
+    val s3 = (1.0 / math.sqrt(3)).toFloat
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // x_uniq (en)
+      (1L, Seq(s3, s3, s3, 0f)), // x_hub (en)
+      (10L, Seq(1f, 0f, 0f, 0f)), // y0 (de)
+      (11L, Seq(0f, 1f, 0f, 0f)), // y1 (de)
+      (12L, Seq(0f, 0f, 1f, 0f)) // y2 (de)
+    ).toDF("vec_id", "embedding")
+    val labels = Seq((0L, "en"), (1L, "en"), (10L, "de"), (11L, "de"), (12L, "de"))
+      .toDF("doc_id", "lang")
+    val out = Similarity.marginBitextPairs(emb, labels, "doc_id", "lang",
+      "en", "de", k = 3, topN = 10)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(4))).toMap
+    val uniq = out((0L, 10L))
+    assert(out.filter(_._1._1 == 1L).values.forall(_ < uniq),
+      s"hub pairs must score below the unique match: $out")
+    // hub's best pair still carries a margin near 1 (its cos equals its
+    // own neighborhood mean), the unique match well above
+    assert(uniq > 1.5 && out((1L, 10L)) < 1.2, s"got $out")
+  }
+
   test("kmeans IVF on separated clusters assigns exactly: each query's neighbors are its own cluster") {
     import spark.implicits._
     // three well-separated clusters in R^4 (unique KMeans optimum —
