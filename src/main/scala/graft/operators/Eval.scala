@@ -632,7 +632,63 @@ object Eval {
         .as("nmi"))
   }
 
+  /** Split-conformal prediction sets (Vovk's conformal framework; the
+    * Angelopoulos–Bates split-conformal recipe) — the
+    * distribution-free uncertainty layer for a deployed quality
+    * classifier: a deterministic calibration split (house md5 uniform)
+    * yields the true-class nonconformity scores, their
+    * ⌈(n+1)(1−α)⌉-th smallest value becomes the threshold q̂, and every
+    * test document gets the PREDICTION SET of labels whose
+    * nonconformity is ≤ q̂ — marginal coverage ≥ 1−α holds by
+    * exchangeability, no model assumptions.
+    *
+    * Scale shape: q̂ is an EXACT order statistic computed on the
+    * support-bounded distinct-score table (6dp rounding bounds the
+    * running-count window at ≤ 10⁶ rows — the q243 discipline, never a
+    * corpus sort); one double collects to the driver; the test pass is
+    * row-local against the broadcast threshold.
+    */
+  def conformalSets(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val isCal = (Q.md5Bucket32(concat(lit("conf:"), col(idCol).cast("string")))
+      + lit(0.5)) / lit(4294967296.0) < 0.5
+    val base = scored.select(col(idCol).as("doc_id"),
+        col(scoreCol).as("s"), col(labelCol).cast("int").as("y"),
+        isCal.as("is_cal"))
+      .localCheckpoint(true) // feeds the calibration agg AND the test pass
+    val aTrue = when(col("y") === 1, round(lit(1.0) - col("s"), 6))
+      .otherwise(col("s"))
+    val cal = base.filter(col("is_cal")).select(aTrue.as("a"))
+    val nCal = cal.count()
+    require(nCal > 0, "conformal calibration split is empty")
+    val k = math.ceil((nCal + 1) * (1 - alpha)).toLong
+    val qHat: Double =
+      if (k > nCal) Double.MaxValue // degenerate n: every label covered
+      else {
+        val byVal = cal.groupBy(col("a")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("a"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        byVal.withColumn("cum", sum(col("c")).over(w))
+          .filter(col("cum") >= k)
+          .orderBy(col("a")).limit(1)
+          .collect().head.getDouble(0)
+      }
+    base.filter(!col("is_cal"))
+      .select(col("doc_id"), col("s").as("score"), col("y").as("label"),
+        (col("s") <= qHat).as("in_set_0"),
+        (round(lit(1.0) - col("s"), 6) <= qHat).as("in_set_1"))
+      .withColumn("covered",
+        when(col("label") === 1, col("in_set_1")).otherwise(col("in_set_0")))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
+    "q246_conformal_sets" -> ((s, dir) =>
+      conformalSets(scoredDocs(s, dir), "doc_id", "score", "label",
+        alpha = 0.1)
+        .orderBy(col("doc_id"))),
+
     "q169_roc_auc" -> ((s, dir) =>
       rocAuc(scoredDocs(s, dir), "score", "label")),
 
@@ -739,6 +795,37 @@ object Eval {
   )
 
   def oracle: Map[String, String] = Map(
+    "q246_conformal_sets" ->
+      s"""WITH scored AS ($scoredSql
+        |), base AS (
+        |  SELECT doc_id, score AS s, label AS y,
+        |    (CAST(CAST('0x' || substring(md5('conf:' || doc_id), 1, 8)
+        |      AS UBIGINT) AS BIGINT) + 0.5) / 4294967296.0 < 0.5 AS is_cal
+        |  FROM scored
+        |), cal AS (
+        |  SELECT CASE WHEN y = 1 THEN round(1.0 - s, 6) ELSE s END AS a
+        |  FROM base WHERE is_cal
+        |), kk AS (
+        |  SELECT CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM cal
+        |), qh AS (
+        |  SELECT CASE WHEN k > n_cal THEN 1.7976931348623157e308 ELSE (
+        |    SELECT min(a) FROM (
+        |      SELECT a, sum(c) OVER (ORDER BY a) AS cum FROM (
+        |        SELECT a, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY a) t1
+        |    ) t2 WHERE cum >= k) END AS q_hat
+        |  FROM kk
+        |)
+        |SELECT b.doc_id, b.s AS score, b.y AS label,
+        |  b.s <= q.q_hat AS in_set_0,
+        |  round(1.0 - b.s, 6) <= q.q_hat AS in_set_1,
+        |  CASE WHEN b.y = 1 THEN round(1.0 - b.s, 6) <= q.q_hat
+        |       ELSE b.s <= q.q_hat END AS covered
+        |FROM base b CROSS JOIN qh q
+        |WHERE NOT b.is_cal
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q169_roc_auc" ->
       s"""WITH lab AS ($scoredSql
         |), g AS (

@@ -267,4 +267,29 @@ class EvalSpec extends AnyFunSuite {
     val bottom = bins.find(_.getInt(0) == 0).get
     assert(bottom.getDouble(4) == 0.0)
   }
+
+  test("conformalSets: marginal coverage holds at 1 - alpha on an exchangeable synthetic") {
+    import spark.implicits._
+    // well-specified synthetic: score s, label ~ deterministic-noisy in
+    // the score (md5-derived, so the 'randomness' is exchangeable
+    // across the md5 calibration split by construction)
+    val rows = (0 until 2000).map { i =>
+      val s = math.rint(((i * 37) % 1000) / 1000.0 * 10000) / 10000.0
+      val u = (graft.Q.md5Bucket32Local(s"lab:$i") % 1000) / 1000.0
+      (i.toLong, s, if (u < s) 1 else 0)
+    }
+    val out = Eval.conformalSets(rows.toDF("doc_id", "score", "label"),
+      "doc_id", "score", "label", alpha = 0.1).collect()
+    assert(out.nonEmpty)
+    val coverage = out.count(_.getBoolean(5)).toDouble / out.length
+    assert(coverage >= 0.85,
+      f"split-conformal coverage must sit near 1 - alpha = 0.9, got $coverage%.3f")
+    // the sets are genuinely selective, not trivially both-labels
+    val bothFrac = out.count(r => r.getBoolean(3) && r.getBoolean(4)).toDouble / out.length
+    assert(bothFrac < 1.0, "prediction sets must not all contain both labels")
+    // alpha bounds validated
+    intercept[IllegalArgumentException](
+      Eval.conformalSets(rows.toDF("doc_id", "score", "label"),
+        "doc_id", "score", "label", alpha = 0.0))
+  }
 }
