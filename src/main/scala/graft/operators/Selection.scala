@@ -654,11 +654,70 @@ object Selection {
           budgetTokens / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934 — the optimal
+    * allocation from survey statistics, applied to eval/audit-set
+    * construction): a fixed inspection budget splits across strata
+    * proportionally to N_h·σ_h, so high-variance strata get inspected
+    * more and homogeneous strata don't waste budget — strictly better
+    * than proportional allocation whenever within-stratum variances
+    * differ (equal-variance strata degrade to proportional). Selection
+    * within each stratum is the house content-addressed md5 rank
+    * (deterministic on any engine/partitioning — the
+    * [[graft.operators.Corpus]] stratifiedSample convention).
+    *
+    * Exactness: σ_h comes from DECIMAL(38,0) Σx/Σx² over the integer
+    * value column (order-independent, overflow-free); the N_h·σ_h
+    * terms round to 6dp and DECIMAL-sum, so every allocation is a pure
+    * function of the data. Allocations floor() (never engine-specific
+    * cast rounding) and clamp to the stratum size.
+    *
+    * One stats aggregation (stratum-count rows) + one broadcast join +
+    * one per-stratum rank window — the corpus shuffles once.
+    */
+  def neymanSample(docs: DataFrame, idCol: String, stratumCol: String,
+      value: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val dec0 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dec6 = DecimalType(18, 6)
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(stratumCol).as("stratum"), value.cast("long").as("x"))
+    val stats = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x").cast(dec0)).as("sx"),
+        sum((col("x") * col("x")).cast(dec0)).as("sxx"))
+      .withColumn("sigma",
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n_h") -
+            pow(col("sx").cast("double") / col("n_h"), 2.0))))
+      .withColumn("term", round(col("n_h") * col("sigma"), 6).cast(dec6))
+    val tot = stats.agg(sum(col("term")).as("term_total"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("n_alloc",
+        least(col("n_h"),
+          floor(lit(budget.toDouble) *
+            (col("term").cast("double") / col("term_total").cast("double")))
+            .cast("long")))
+      .select(col("stratum"), col("n_alloc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+      .orderBy(Q.md5Bucket32(concat(lit("ney:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    base.withColumn("rnk", row_number().over(w))
+      .join(broadcast(alloc), "stratum")
+      .filter(col("rnk") <= col("n_alloc"))
+      .select(col("doc_id"), col("stratum"), col("n_alloc"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
+    // variance-optimal audit-set allocation across sources, budget 100
+    "q247_neyman_sample" -> ((s, dir) =>
+      neymanSample(Tables.load(s, dir, "documents"), "doc_id", "source",
+        col("n_chars"), budget = 100L)
+        .orderBy(col("doc_id"))),
+
     "q171_pareto_front" -> ((s, dir) =>
       paretoFront(
         Tables.load(s, dir, "documents")
@@ -756,6 +815,38 @@ object Selection {
   )
 
   val oracle: Map[String, String] = Map(
+    "q247_neyman_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS stratum, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents
+        |), stats AS (
+        |  SELECT stratum, CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        |  FROM base GROUP BY stratum
+        |), terms AS (
+        |  SELECT stratum, n_h,
+        |    CAST(round(n_h * sqrt(greatest(0.0,
+        |      sxx / n_h - pow(sx / n_h, 2.0))), 6) AS DECIMAL(18,6)) AS term
+        |  FROM stats
+        |), tot AS (SELECT sum(term) AS term_total FROM terms),
+        |alloc AS (
+        |  SELECT stratum,
+        |    least(n_h, CAST(floor(100.0 *
+        |      (CAST(term AS DOUBLE) / CAST(term_total AS DOUBLE))) AS BIGINT)) AS n_alloc
+        |  FROM terms CROSS JOIN tot
+        |), ranked AS (
+        |  SELECT doc_id, stratum,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY
+        |      CAST(CAST('0x' || substring(md5('ney:' || doc_id), 1, 8)
+        |        AS UBIGINT) AS BIGINT), doc_id) AS rnk
+        |  FROM base
+        |)
+        |SELECT r.doc_id, r.stratum, a.n_alloc
+        |FROM ranked r JOIN alloc a USING (stratum)
+        |WHERE r.rnk <= a.n_alloc
+        |ORDER BY r.doc_id""".stripMargin,
+
     "q204_robust_outliers" ->
       """WITH v AS (
         |  SELECT doc_id AS id, source AS g, CAST(n_chars AS DOUBLE) AS value

@@ -371,4 +371,29 @@ class SelectionSpec extends AnyFunSuite {
     val frac = moved.toDouble / n
     assert(frac > 0.01 && frac < 0.15, s"moved fraction $frac outside [0.01, 0.15]")
   }
+
+  test("neymanSample allocates by N_h*sigma_h: high-variance strata win over equal-size homogeneous ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three equal-size strata: constant (sigma 0), mild spread, wild spread
+    val rows =
+      (0 until 100).map(i => (i.toLong, "const", 500L)) ++
+      (100 until 200).map(i => (i.toLong, "mild", 500L + (i % 10))) ++
+      (200 until 300).map(i => (i.toLong, "wild", 100L * (i % 11)))
+    val out = Selection.neymanSample(rows.toDF("doc_id", "source", "n_chars"),
+      "doc_id", "source", col("n_chars"), budget = 60L).collect()
+    val byStratum = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(!byStratum.contains("const"), s"zero-variance stratum must get zero budget: $byStratum")
+    assert(byStratum("wild") > byStratum.getOrElse("mild", 0) * 5,
+      s"allocation must track sigma, got $byStratum")
+    assert(out.length <= 60, "total selection must respect the budget")
+    // per-stratum allocation column consistent with realized counts
+    out.groupBy(r => (r.getString(1), r.getLong(2))).foreach { case ((_, nAlloc), rs) =>
+      assert(rs.length == nAlloc)
+    }
+    // clamp: a budget larger than the corpus selects everything at most once
+    val all = Selection.neymanSample(rows.toDF("doc_id", "source", "n_chars"),
+      "doc_id", "source", col("n_chars"), budget = 10000L).collect()
+    assert(all.map(_.getLong(0)).distinct.length == all.length)
+  }
 }
