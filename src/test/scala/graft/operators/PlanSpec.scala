@@ -219,7 +219,11 @@ class PlanSpec extends AnyFunSuite {
       // count totals
       "q237_adjusted_rand", "q241_changepoint",
       // q242 is a constants-only product of two literal grids
-      "q242_lsh_planner")
+      "q242_lsh_planner",
+      // q245 broadcasts the X-language side against the Y scan (the
+      // q60 anchor shape — swap IVF/LSH candidates at corpus scale);
+      // q247 attaches the 1-row Neyman term total the q21/q198 way
+      "q245_margin_bitext", "q247_neyman_sample")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
