@@ -683,7 +683,53 @@ object Eval {
         when(col("label") === 1, col("in_set_1")).otherwise(col("in_set_0")))
   }
 
+  /** Selective-prediction risk–coverage curve (Geifman & El-Yaniv
+    * 2017's selective classification view) — the deployment question a
+    * quality filter answers with abstention: "if the classifier only
+    * acts on its most-confident fraction c, what error rate does it
+    * incur?" Confidence is the margin |s − 0.5|·2 (4dp), prediction is
+    * s ≥ 0.5, and the curve reports, at every REALIZABLE threshold
+    * (each distinct confidence — a deployed cutoff can only sit at
+    * those boundaries), the cumulative coverage and selective risk,
+    * plus each bucket's AURC contribution (Σ over the curve =
+    * coverage-weighted area under risk).
+    *
+    * Scale shape: one hash aggregation to the distinct-confidence
+    * table, then cumulative windows over that SUPPORT-BOUNDED table
+    * (≤ 10⁴ + 1 rows at 4dp — the rocAuc/q243 discipline; never a
+    * per-item global sort or window).
+    */
+  def riskCoverageCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = scored.select(
+      round(abs(col(scoreCol) - 0.5) * 2.0, 4).as("conf"),
+      ((col(scoreCol) >= 0.5).cast("int") =!= col(labelCol).cast("int"))
+        .cast("long").as("err"))
+    val g = base.groupBy(col("conf"))
+      .agg(count(lit(1)).as("n_g"), sum(col("err")).as("e_g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("conf").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = g.agg(sum(col("n_g")).as("n_all"))
+    g.withColumn("n_cum", sum(col("n_g")).over(w))
+      .withColumn("e_cum", sum(col("e_g")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("conf"), col("n_cum"),
+        round(col("n_cum").cast("double") / col("n_all"), 6).as("coverage"),
+        round(col("e_cum").cast("double") / col("n_cum"), 6).as("risk"),
+        // double arithmetic with a fixed association tree — decimal
+        // DIVISION scale rules differ across engines, doubles don't
+        round(col("n_g").cast("double") / col("n_all") *
+          (col("e_cum").cast("double") / col("n_cum")), 6)
+          .as("aurc_part"))
+  }
+
   def queries: Map[String, Q.QueryFn] = Map(
+    "q248_risk_coverage" -> ((s, dir) =>
+      riskCoverageCurve(scoredDocs(s, dir), "score", "label")
+        .orderBy(col("conf").desc)),
+
     "q246_conformal_sets" -> ((s, dir) =>
       conformalSets(scoredDocs(s, dir), "doc_id", "score", "label",
         alpha = 0.1)
@@ -795,6 +841,31 @@ object Eval {
   )
 
   def oracle: Map[String, String] = Map(
+    "q248_risk_coverage" ->
+      s"""WITH scored AS ($scoredSql
+        |), base AS (
+        |  SELECT round(abs(score - 0.5) * 2.0, 4) AS conf,
+        |    CASE WHEN (CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) <> label
+        |      THEN 1 ELSE 0 END AS err
+        |  FROM scored
+        |), g AS (
+        |  SELECT conf, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(err) AS BIGINT) AS e_g
+        |  FROM base GROUP BY conf
+        |), c AS (
+        |  SELECT conf, n_g,
+        |    sum(n_g) OVER (ORDER BY conf DESC) AS n_cum,
+        |    sum(e_g) OVER (ORDER BY conf DESC) AS e_cum
+        |  FROM g
+        |), t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all FROM g)
+        |SELECT conf, CAST(n_cum AS BIGINT) AS n_cum,
+        |  round(CAST(n_cum AS DOUBLE) / n_all, 6) AS coverage,
+        |  round(CAST(e_cum AS DOUBLE) / n_cum, 6) AS risk,
+        |  round(CAST(n_g AS DOUBLE) / n_all *
+        |    (CAST(e_cum AS DOUBLE) / n_cum), 6) AS aurc_part
+        |FROM c CROSS JOIN t
+        |ORDER BY conf DESC""".stripMargin,
+
     "q246_conformal_sets" ->
       s"""WITH scored AS ($scoredSql
         |), base AS (

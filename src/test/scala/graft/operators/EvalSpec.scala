@@ -292,4 +292,31 @@ class EvalSpec extends AnyFunSuite {
       Eval.conformalSets(rows.toDF("doc_id", "score", "label"),
         "doc_id", "score", "label", alpha = 0.0))
   }
+
+  test("riskCoverageCurve: monotone coverage, full-coverage risk equals base error, AURC parts sum to area") {
+    import spark.implicits._
+    // a well-ranked classifier: errors concentrate at low confidence
+    val rows = (0 until 400).map { i =>
+      val s = i / 400.0
+      val y = if (i >= 200) 1 else 0 // decision boundary at 0.5
+      // flip labels in the low-confidence band to create errors there
+      val yy = if (math.abs(s - 0.5) < 0.1 && i % 3 == 0) 1 - y else y
+      (s, yy)
+    }
+    val curve = Eval.riskCoverageCurve(rows.toDF("score", "label"),
+      "score", "label")
+      .orderBy(org.apache.spark.sql.functions.col("conf").desc)
+      .collect()
+    val cov = curve.map(_.getDouble(2))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a < b }, "coverage strictly increases")
+    assert(math.abs(cov.last - 1.0) < 1e-9)
+    val baseErr = rows.count { case (s, y) => (if (s >= 0.5) 1 else 0) != y } / 400.0
+    assert(math.abs(curve.last.getDouble(3) - baseErr) < 1e-6,
+      "risk at full coverage is the unconditional error rate")
+    // risk at high confidence must be 0 here (errors planted low-conf only)
+    assert(curve.head.getDouble(3) == 0.0)
+    val aurc = curve.map(_.getDouble(4)).sum
+    assert(aurc > 0 && aurc < baseErr + 1e-9,
+      s"AURC ($aurc) of a better-than-random ranking sits below the base error ($baseErr)")
+  }
 }
