@@ -222,8 +222,10 @@ class PlanSpec extends AnyFunSuite {
       "q242_lsh_planner",
       // q245 broadcasts the X-language side against the Y scan (the
       // q60 anchor shape — swap IVF/LSH candidates at corpus scale);
-      // q247 attaches the 1-row Neyman term total the q21/q198 way
-      "q245_margin_bitext", "q247_neyman_sample")
+      // q247 attaches the 1-row Neyman term total the q21/q198 way;
+      // q248 attaches the 1-row corpus total to the support-bounded
+      // confidence table (the q170 shape)
+      "q245_margin_bitext", "q247_neyman_sample", "q248_risk_coverage")
     graft.SparkEntry.queries.keys.filterNot(intentional).toSeq.sorted.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
