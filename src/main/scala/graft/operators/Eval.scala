@@ -725,7 +725,100 @@ object Eval {
           .as("aurc_part"))
   }
 
+  /** DeLong's test (DeLong, DeLong & Clarke-Pearson 1988) for the
+    * AUC DIFFERENCE of two scoring functions evaluated on the same
+    * items — THE standard answer to "is quality filter B actually
+    * better than filter A, or is the AUC gap noise": the paired
+    * structural-components estimator of var(AUC_A − AUC_B) and its z
+    * statistic.
+    *
+    * Exactness: every per-item placement rides as the INTEGER
+    * numerator `2·(opposite-class strictly-worse) + ties` (mid-rank
+    * tie handling), so all sums/cross-products are DECIMAL(38,0)-exact
+    * under any partitioning; placements come from each metric's
+    * support-bounded distinct-score table (two windows over ≤10⁴ rows,
+    * broadcast back — the rocAuc machinery, no per-item sort). The
+    * final scalar algebra is ONE SQL expression text evaluated by both
+    * engines ([[delongFinalExprs]]) — no mirrored reimplementation to
+    * drift.
+    */
+  def delongAucCompare(scored: DataFrame, aCol: String, bCol: String,
+      labelCol: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = scored.select(col(aCol).as("sa"), col(bCol).as("sb"),
+        col(labelCol).cast("int").as("y"))
+      .localCheckpoint(true) // two support aggs + the join all read it
+    def support(metric: String): DataFrame = {
+      val g = base.groupBy(col(metric))
+        .agg(sum(when(col("y") === 0, 1L).otherwise(0L)).as("negc"),
+          sum(col("y").cast("long")).as("posc"))
+      val up = org.apache.spark.sql.expressions.Window.orderBy(col(metric))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val down = org.apache.spark.sql.expressions.Window.orderBy(col(metric).desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      g.withColumn("negb", coalesce(sum(col("negc")).over(up), lit(0L)))
+        .withColumn("posa", coalesce(sum(col("posc")).over(down), lit(0L)))
+        .select(col(metric),
+          (lit(2L) * col("negb") + col("negc")).as(s"p2_$metric"),
+          (lit(2L) * col("posa") + col("posc")).as(s"q2_$metric"))
+    }
+    val items = base
+      .join(broadcast(support("sa")), "sa")
+      .join(broadcast(support("sb")), "sb")
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec0)
+    val agg = items.agg(
+      count(when(col("y") === 1, 1)).cast("double").as("np"),
+      count(when(col("y") === 0, 1)).cast("double").as("nn"),
+      sum(when(col("y") === 1, d(col("p2_sa")))).cast("double").as("sa2"),
+      sum(when(col("y") === 1, d(col("p2_sb")))).cast("double").as("sb2"),
+      sum(when(col("y") === 1, d(col("p2_sa")) * d(col("p2_sa")))).cast("double").as("saa"),
+      sum(when(col("y") === 1, d(col("p2_sb")) * d(col("p2_sb")))).cast("double").as("sbb"),
+      sum(when(col("y") === 1, d(col("p2_sa")) * d(col("p2_sb")))).cast("double").as("sab"),
+      sum(when(col("y") === 0, d(col("q2_sa")))).cast("double").as("ta2"),
+      sum(when(col("y") === 0, d(col("q2_sb")))).cast("double").as("tb2"),
+      sum(when(col("y") === 0, d(col("q2_sa")) * d(col("q2_sa")))).cast("double").as("taa"),
+      sum(when(col("y") === 0, d(col("q2_sb")) * d(col("q2_sb")))).cast("double").as("tbb"),
+      sum(when(col("y") === 0, d(col("q2_sa")) * d(col("q2_sb")))).cast("double").as("tab"))
+    agg.selectExpr(Eval.delongFinalExprs: _*)
+  }
+
+  /** The DeLong closing algebra as ONE shared SQL text — Spark's
+    * selectExpr and the DuckDB oracle evaluate the identical expression
+    * trees over the identically-named exact sums. */
+  private[operators] val delongVarExpr: String = {
+    def s10(x: String, y: String, sx: String, sy: String) =
+      s"(($x - $sx * $sy / np) / (np - 1) / (4.0 * nn * nn))"
+    def s01(x: String, y: String, sx: String, sy: String) =
+      s"(($x - $sx * $sy / nn) / (nn - 1) / (4.0 * np * np))"
+    s"((${s10("saa", "saa", "sa2", "sa2")} + ${s10("sbb", "sbb", "sb2", "sb2")} - " +
+      s"2 * ${s10("sab", "sab", "sa2", "sb2")}) / np + " +
+      s"(${s01("taa", "taa", "ta2", "ta2")} + ${s01("tbb", "tbb", "tb2", "tb2")} - " +
+      s"2 * ${s01("tab", "tab", "ta2", "tb2")}) / nn)"
+  }
+
+  private[operators] val delongFinalExprs: Seq[String] = Seq(
+    "CAST(np AS BIGINT) AS n_pos",
+    "CAST(nn AS BIGINT) AS n_neg",
+    "round(sa2 / (2.0 * nn * np), 6) AS auc_a",
+    "round(sb2 / (2.0 * nn * np), 6) AS auc_b",
+    "round((sa2 - sb2) / (2.0 * nn * np), 6) AS delta",
+    s"round($delongVarExpr, 12) AS var_delta",
+    s"round(CASE WHEN $delongVarExpr > 0 THEN " +
+      s"((sa2 - sb2) / (2.0 * nn * np)) / sqrt($delongVarExpr) END, 6) AS z")
+
   def queries: Map[String, Q.QueryFn] = Map(
+    "q249_delong_compare" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // filter A: the q55 quality score; filter B: the naive length
+      // heuristic it should beat — the comparison a curation team
+      // actually runs before swapping filters
+      val scored2 = docs.select(
+        q55Score(col("text")).as("qual"),
+        round(least(lit(1.0), col("n_chars") / 500.0), 4).as("len_score"),
+        col("text").contains("spark").cast("int").as("label"))
+      delongAucCompare(scored2, "qual", "len_score", "label")
+    }),
+
     "q248_risk_coverage" -> ((s, dir) =>
       riskCoverageCurve(scoredDocs(s, dir), "score", "label")
         .orderBy(col("conf").desc)),
@@ -841,6 +934,51 @@ object Eval {
   )
 
   def oracle: Map[String, String] = Map(
+    "q249_delong_compare" -> {
+      def side(m: String) =
+        s"""g_$m AS (
+           |  SELECT $m,
+           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS negc,
+           |    CAST(sum(y) AS BIGINT) AS posc
+           |  FROM s2 GROUP BY $m
+           |), p_$m AS (
+           |  SELECT $m,
+           |    2 * coalesce(sum(negc) OVER (ORDER BY $m
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + negc AS p2_$m,
+           |    2 * coalesce(sum(posc) OVER (ORDER BY $m DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + posc AS q2_$m
+           |  FROM g_$m
+           |)""".stripMargin
+      s"""WITH sc AS ($scoredSql
+         |), s2 AS (
+         |  SELECT sc.score AS sa,
+         |    round(least(1.0, d.n_chars / 500.0), 4) AS sb,
+         |    sc.label AS y
+         |  FROM sc JOIN documents d USING (doc_id)
+         |), ${side("sa")}, ${side("sb")},
+         |items AS (
+         |  SELECT s2.y, p_sa.p2_sa, p_sa.q2_sa, p_sb.p2_sb, p_sb.q2_sb
+         |  FROM s2 JOIN p_sa USING (sa) JOIN p_sb USING (sb)
+         |), agg AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS DOUBLE) AS np,
+         |    CAST(count(CASE WHEN y = 0 THEN 1 END) AS DOUBLE) AS nn,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(p2_sa AS HUGEINT) END) AS DOUBLE) AS sa2,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(p2_sb AS HUGEINT) END) AS DOUBLE) AS sb2,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(p2_sa AS HUGEINT) * p2_sa END) AS DOUBLE) AS saa,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(p2_sb AS HUGEINT) * p2_sb END) AS DOUBLE) AS sbb,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(p2_sa AS HUGEINT) * p2_sb END) AS DOUBLE) AS sab,
+         |    CAST(sum(CASE WHEN y = 0 THEN CAST(q2_sa AS HUGEINT) END) AS DOUBLE) AS ta2,
+         |    CAST(sum(CASE WHEN y = 0 THEN CAST(q2_sb AS HUGEINT) END) AS DOUBLE) AS tb2,
+         |    CAST(sum(CASE WHEN y = 0 THEN CAST(q2_sa AS HUGEINT) * q2_sa END) AS DOUBLE) AS taa,
+         |    CAST(sum(CASE WHEN y = 0 THEN CAST(q2_sb AS HUGEINT) * q2_sb END) AS DOUBLE) AS tbb,
+         |    CAST(sum(CASE WHEN y = 0 THEN CAST(q2_sa AS HUGEINT) * q2_sb END) AS DOUBLE) AS tab
+         |  FROM items
+         |)
+         |SELECT ${delongFinalExprs.mkString(",\n  ")}
+         |FROM agg""".stripMargin
+    },
+
     "q248_risk_coverage" ->
       s"""WITH scored AS ($scoredSql
         |), base AS (

@@ -293,6 +293,32 @@ class EvalSpec extends AnyFunSuite {
         "doc_id", "score", "label", alpha = 0.0))
   }
 
+  test("delongAucCompare: a better ranker wins with positive z; identical scores give zero delta and NULL z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A: clean separator with mild noise; B: the same signal buried in
+    // hash noise — A's AUC must dominate and the paired test must say so
+    val rows = (0 until 400).map { i =>
+      val y = i % 2
+      val na = (graft.Q.md5Bucket32Local(s"a:$i") % 100) / 1000.0
+      val nb = (graft.Q.md5Bucket32Local(s"b:$i") % 1000) / 1000.0
+      (0.5 * y + na, 0.1 * y + nb, y)
+    }
+    val out = Eval.delongAucCompare(rows.toDF("sa", "sb", "y"), "sa", "sb", "y")
+      .collect().head
+    val (aucA, aucB, delta, varD) =
+      (out.getDouble(2), out.getDouble(3), out.getDouble(4), out.getDouble(5))
+    assert(aucA > 0.95 && aucB < aucA, s"auc_a=$aucA auc_b=$aucB")
+    assert(math.abs(delta - (aucA - aucB)) < 1e-5)
+    assert(varD > 0)
+    assert(out.getDouble(6) > 3.0, s"z=${out.getDouble(6)} must flag the better ranker decisively")
+    // identical scorers: delta exactly 0, variance exactly 0, z NULL
+    val same = Eval.delongAucCompare(
+      rows.toDF("sa", "sb", "y").select(col("sa"), col("sa").as("sb2"), col("y")),
+      "sa", "sb2", "y").collect().head
+    assert(same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0 && same.isNullAt(6))
+  }
+
   test("riskCoverageCurve: monotone coverage, full-coverage risk equals base error, AURC parts sum to area") {
     import spark.implicits._
     // a well-ranked classifier: errors concentrate at low confidence
