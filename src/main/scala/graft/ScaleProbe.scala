@@ -13,14 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Copy-id stride for the perturbed corpora. Builders assert the base
+    * corpus's max doc_id stays below it — a base id >= the stride would
+    * silently collide copies into existing ids and corrupt probe timings. */
+  private val idStride = 1000000L
+
+  private def assertIdsBelowStride(docs: DataFrame): Unit = {
+    val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+    require(maxId < idStride,
+      s"base corpus max doc_id $maxId >= copy stride $idStride — copies would collide")
+  }
+
   /** 4× perturbation: copies c=1..3 prepend "c<c>dup" and shift ids. */
   def perturb4x(docs: DataFrame): DataFrame = {
-    val n = lit(1000000L)
+    assertIdsBelowStride(docs)
+    val n = lit(idStride)
     (1 to 3).map(c =>
       docs.select((col("doc_id") + n * c).as("doc_id"),
         concat(lit(s"c${c}dup "), col("text")).as("text"),
         col("source"), col("lang")))
       .foldLeft(docs.select(col("doc_id"), col("text"), col("source"), col("lang")))(_ unionByName _)
+  }
+
+  /** 10× EXACT-copy corpus — the real-crawl duplication profile (byte-
+    * identical mirrors/reposts dominate). Unlike the prefixed sf1 builder
+    * this changes NO text, so content-hash collapse applies: operators
+    * that collapse exact copies before pairing (editDistanceConfirm)
+    * should scale ~linearly here, while the prefixed corpus measures the
+    * output-bound near-dup case. */
+  def exactCopies10x(docs: DataFrame): DataFrame = {
+    assertIdsBelowStride(docs)
+    (0 until 10).map(c =>
+      docs.select((col("doc_id") + lit(idStride) * c).as("doc_id"),
+        col("text"), col("source"), col("lang")))
+      .reduce(_ unionByName _)
   }
 
   private def time(label: String)(body: => Long): Unit = {
@@ -70,8 +96,9 @@ object ScaleProbe {
         val marker = new java.io.File(s"$sf1/.built")
         if (!marker.exists()) {
           new java.io.File(sf1).mkdirs()
+          assertIdsBelowStride(docs)
           val docs10 = (0 until 10).map(c =>
-            docs.select((col("doc_id") + lit(1000000L) * c).as("doc_id"),
+            docs.select((col("doc_id") + lit(idStride) * c).as("doc_id"),
               (if (c == 0) col("text")
                else concat(lit(s"c${c}rep "), col("text"))).as("text"),
               col("lang"), col("source"), col("n_chars")))
@@ -117,6 +144,62 @@ object ScaleProbe {
           val (t10, _) = run(sf1)
           println(f"[probe] $name%-28s 1x ${t1}%7.2f s   10x ${t10}%7.2f s   ratio ${t10 / t1}%5.2f")
         }
+      case "q90exact" =>
+        // the exact-copy blow-up the collapse fixes: k identical copies
+        // are O(k²) candidate pairs without it, O(k) rows through the
+        // band join with it (pairs re-emitted by expansion, not DP'd)
+        val big10 = exactCopies10x(docs).localCheckpoint(true)
+        for ((d, label) <- Seq((docs, "1x"), (big10, "10x exact copies"))) {
+          time(s"editDistanceConfirm ($label, n=${d.count()})") {
+            operators.Dedup.editDistanceConfirm(d, "doc_id", "text", maxRel = 0.4).count()
+          }
+        }
+      case "q90stages" =>
+        // stage split of editDistanceConfirm at sf1: candidate-gen alone
+        // vs the full pipeline — tells text-join/DP cost from LSH cost
+        val sf1d = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        val d = Tables.load(spark, sf1d, "documents").localCheckpoint(true)
+        val hashed = d.select(col("doc_id"), col("text"))
+          .withColumn("__ch", md5(col("text"))).localCheckpoint(true)
+        val reps = hashed.groupBy(col("__ch"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .localCheckpoint(true)
+        println(s"[probe] docs=${d.count()} uniqueContent=${reps.count()}")
+        time("minhashPairs(reps) only") {
+          operators.Dedup.minhashPairs(reps, "doc_id", "text").count()
+        }
+        time("editDistanceConfirm full") {
+          operators.Dedup.editDistanceConfirm(d, "doc_id", "text", maxRel = 0.4).count()
+        }
+      case "q90deep" =>
+        // finer split: candidate pairs + text attach (no DP) vs narrow DP
+        // vs the when/otherwise two-tier vs full operator
+        val sf1e = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        val d2 = Tables.load(spark, sf1e, "documents").localCheckpoint(true)
+        val t2 = d2.select(col("doc_id"), col("text"))
+        val cand = operators.Dedup.minhashPairs(d2, "doc_id", "text")
+          .localCheckpoint(true)
+        println(s"[probe] candidates=${cand.count()}")
+        val withTexts = cand
+          .join(t2.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(t2.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        time("text attach only (length sum)") {
+          withTexts.agg(sum(length(col("ta")) + length(col("tb")))).collect(); 0L
+        }
+        time("narrow DP only (threshold 64)") {
+          withTexts.withColumn("d", expr("levenshtein(ta, tb, 64)"))
+            .agg(sum(col("d"))).collect(); 0L
+        }
+        time("full-band DP only") {
+          withTexts
+            .withColumn("b", ceil(greatest(length(col("ta")), length(col("tb"))) * 0.4).cast("int"))
+            .withColumn("d", expr("levenshtein(ta, tb, b)"))
+            .agg(sum(col("d"))).collect(); 0L
+        }
+        time("unbounded levenshtein") {
+          withTexts.withColumn("d", expr("levenshtein(ta, tb)"))
+            .agg(sum(col("d"))).collect(); 0L
+        }
       case "q90diag" =>
         val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         for (dir <- Seq(sfDir, sf1)) {
@@ -124,6 +207,30 @@ object ScaleProbe {
           val cands = operators.Dedup.minhashPairs(d, "doc_id", "text").count()
           val lens = d.agg(avg(length(col("text")))).collect().head.getDouble(0)
           println(f"[probe] $dir: ${d.count()} docs, $cands candidate pairs, avg len $lens%.0f")
+        }
+      case "cc_chain" =>
+        // the adversarial diameter case: a 1M-vertex CHAIN. Min-label
+        // propagation needed O(n) rounds (threw at maxIter before round
+        // 8); large-star/small-star contracts it in O(log n) rounds.
+        import spark.implicits._
+        val n = 1000000L
+        val chain = spark.range(n - 1)
+          .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        time(s"connectedComponents 1M-vertex chain (distributed)") {
+          val cc = operators.Corpus.connectedComponents(
+            chain, "doc_a", "doc_b", driverThreshold = 0L)
+          val comps = cc.agg(countDistinct(col("cluster"))).collect().head.getLong(0)
+          require(comps == 1L, s"chain must be ONE component, got $comps")
+          cc.count()
+        }
+        // a random 1M-edge graph (the typical dedup-pair shape) for the
+        // non-adversarial timing point
+        val rand = spark.range(n)
+          .select((pmod(hash(col("id")), lit(1000000)).cast("long")).as("doc_a"),
+            (pmod(hash(col("id") * 31 + 7), lit(1000000)).cast("long")).as("doc_b"))
+        time("connectedComponents 1M random edges (distributed)") {
+          operators.Corpus.connectedComponents(
+            rand, "doc_a", "doc_b", driverThreshold = 0L).count()
         }
       case "adamic_adar" =>
         for (d <- Seq(docs, big)) {

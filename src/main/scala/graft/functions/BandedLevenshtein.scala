@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Threshold-banded Levenshtein distance as a codegen Catalyst
+  * expression — the hot kernel of [[graft.operators.Dedup.editDistanceConfirm]].
+  * Contract is EXACTLY Spark's 3-arg `levenshtein(a, b, t)`: the exact
+  * distance when it is <= t, else -1 (banded Ukkonen DP, O(min-len · t)
+  * time, two O(len) rows of space).
+  *
+  * Exists because the built-in kernel is the measured bottleneck of the
+  * confirm stage: on the sf1 rehearsal (305k candidate pairs, ~300-char
+  * texts) Spark's `levenshtein(ta, tb, 64)` cost 117 s where this
+  * primitive-array code-point DP does the identical work in ~2 s — the
+  * built-in re-decodes UTF-8 bytewise per DP CELL, this decodes each
+  * string once per CALL into an int[] of code points. Code-point
+  * semantics match both Spark and DuckDB `levenshtein`, so the hash
+  * oracle is unaffected.
+  */
+case class BandedLevenshtein(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    BandedLevenshtein.distance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) =>
+      s"${ev.value} = graft.functions.BandedLevenshtein.distance($a, $b, $t);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BandedLevenshtein =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BandedLevenshtein {
+
+  /** Exact distance if <= threshold, else -1. Negative thresholds yield
+    * -1 (nothing has negative distance), matching the built-in. */
+  def distance(ua: UTF8String, ub: UTF8String, threshold: Int): Int = {
+    if (threshold < 0) return -1
+    // decode ONCE per call; DP cells then compare plain ints
+    var s = ua.toString.codePoints().toArray
+    var t = ub.toString.codePoints().toArray
+    if (s.length > t.length) { val tmp = s; s = t; t = tmp }
+    val n = s.length
+    val m = t.length
+    if (m - n > threshold) return -1
+    if (n == 0) return m // m <= threshold by the gap check
+    val inf = threshold + 1
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 0
+    while (i <= n) { prev(i) = if (i <= threshold) i else inf; i += 1 }
+    var j = 1
+    while (j <= m) {
+      val tj = t(j - 1)
+      cur(0) = if (j <= threshold) j else inf
+      val lo = math.max(1, j - threshold)
+      val hi = math.min(n, j + threshold)
+      if (lo > 1) cur(lo - 1) = inf
+      var rowMin = cur(0)
+      i = lo
+      while (i <= hi) {
+        val cost = if (s(i - 1) == tj) 0 else 1
+        var v = prev(i - 1) + cost
+        val del = prev(i) + 1
+        if (del < v) v = del
+        val ins = cur(i - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf // cap: cells never overflow past the band
+        cur(i) = v
+        if (v < rowMin) rowMin = v
+        i += 1
+      }
+      if (hi < n) cur(hi + 1) = inf
+      // Ukkonen early exit: the whole band exceeded the threshold, and
+      // costs only grow along any path
+      if (rowMin > threshold) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    if (prev(n) <= threshold) prev(n) else -1
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "banded_levenshtein",
+      exprs => BandedLevenshtein(exprs(0), exprs(1), exprs(2)), "scala_udf")
+}

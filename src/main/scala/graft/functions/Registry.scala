@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Registry {
   def registerAll(spark: SparkSession): Unit = {
+    BandedLevenshtein.register(spark)
     Bpe.register(spark)
     CdcChunks.register(spark)
     CharEntropy.register(spark)

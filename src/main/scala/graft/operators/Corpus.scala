@@ -315,37 +315,65 @@ object Corpus {
       import spark.implicits._
       return vertices.toSeq.map(v => (v, find(v))).toDF("vertex", "cluster")
     }
-    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // Distributed path: LARGE-STAR / SMALL-STAR contraction (Kiveris,
+    // Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    // in MapReduce and Beyond", SoCC 2014). Unlike min-label propagation
+    // (O(diameter) rounds — a chain graph needed diameter rounds and
+    // threw at maxIter before round 8), the alternating star operations
+    // contract every component onto its minimum vertex in O(log n)
+    // rounds REGARDLESS of diameter:
+    //   large-star(u): every neighbor v > u re-links to
+    //                  m = min({u} ∪ Γ(u));
+    //   small-star(u): over edges directed u > v, every smaller neighbor
+    //                  (and u itself) links to m = min of them.
+    // Each round is two keyed aggregations + equi-joins — plain vertex-
+    // keyed shuffles, localCheckpoint truncating lineage per round. The
+    // fixpoint is a star forest (every vertex edged to its component
+    // min), so convergence = the edge set reproducing itself; maxIter is
+    // only a safety bound (the paper proves O(log² n) worst-case, ~log n
+    // observed; the 1M-vertex chain probe converges in well under 25).
+    val verts = e.select(col("u").as("vertex"))
+      .union(e.select(col("v").as("vertex"))).distinct().localCheckpoint(true)
+    var edges = e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u")).distinct()
-      .select(col("u").as("v"), col("u").as("label")).localCheckpoint(true)
     var round = 0
-    while (round < maxIter) {
-      // one aggregation per round; the convergence signal rides INSIDE
-      // the materialized frame (min(label) < min over labels-only rows,
-      // detected by tagging own-label rows), so the changed-count is a
-      // scan of the checkpoint — no extra label-table join per round
-      val neighborMin = edges.join(labels.select(col("v").as("u"), col("label")), "u")
-        .select(col("v"), col("label"), lit(false).as("own"))
-      val next = neighborMin
-        .union(labels.select(col("v"), col("label"), lit(true).as("own")))
-        .groupBy(col("v")).agg(
-          min(col("label")).as("label"),
-          // the vertex's own (previous) label: min over its tagged row —
-          // unique per vertex, so min is just "the" value
-          min(when(col("own"), col("label"))).as("prev"))
-        .withColumn("changed", col("label") < col("prev"))
-        .drop("prev")
+    var converged = false
+    while (!converged && round < maxIter) {
+      // large-star over the symmetric view
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lgMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(lgMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // directed: u > v=m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the (u > v)-directed edges
+      val smMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(smMin, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smMin.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      val changed = next.filter(col("changed")).count()
-      labels = next.drop("changed")
-      if (changed == 0) round = Int.MaxValue else round += 1
+      // fixpoint test on the contracted (star-sized) edge set
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      round += 1
     }
-    if (round != Int.MaxValue)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "pathological chain graph; use large-star/small-star contraction")
-    labels.select(col("v").as("vertex"), col("label").as("cluster"))
+        s"connectedComponents star contraction did not converge in $maxIter " +
+          "rounds — raise maxIter (paper bound is O(log^2 n))")
+    // star forest: non-roots carry (u -> root v); roots and isolated
+    // (self-loop-only) vertices label themselves
+    val nonRoot = edges.select(col("u").as("vertex"), col("v").as("cluster"))
+    val selfLabel = verts.join(nonRoot.select(col("vertex")), Seq("vertex"), "left_anti")
+      .select(col("vertex"), col("vertex").as("cluster"))
+    nonRoot.union(selfLabel)
   }
 
   /** Apply a dedup decision to the corpus: resolve candidate `pairs` into

@@ -532,12 +532,16 @@ object Similarity {
       .localCheckpoint(true) // read by candidates + both neighborhood means
     val wX = Window.partitionBy(col("xid")).orderBy(col("cos").desc, col("cid"))
     val wY = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("xid"))
+    // mean over the ACTUAL neighbor count (count(*) within the top-k
+    // group, not the constant k): a side with fewer than k counterparts
+    // would otherwise deflate its neighborhood mean and inflate margins —
+    // Artetxe & Schwenk's margin uses the mean over retrieved neighbors
     val mx = scored.withColumn("rn", row_number().over(wX))
       .filter(col("rn") <= k).groupBy(col("xid"))
-      .agg(round(sum(col("cos").cast(dec12)).cast("double") / k, 6).as("mx"))
+      .agg(round(sum(col("cos").cast(dec12)).cast("double") / count(lit(1)), 6).as("mx"))
     val my = scored.withColumn("rn", row_number().over(wY))
       .filter(col("rn") <= k).groupBy(col("cid"))
-      .agg(round(sum(col("cos").cast(dec12)).cast("double") / k, 6).as("my"))
+      .agg(round(sum(col("cos").cast(dec12)).cast("double") / count(lit(1)), 6).as("my"))
     val cands = scored.withColumn("rn", row_number().over(wX))
       .filter(col("rn") <= k).drop("rn")
     val ranked = cands.join(mx, "xid").join(my, "cid")
@@ -1666,7 +1670,7 @@ object Similarity {
          |  FROM scored
          |), mx AS (
          |  SELECT xid,
-         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / 4, 6) AS mx
+         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mx
          |  FROM fx WHERE rn <= 4 GROUP BY xid
          |), fy AS (
          |  SELECT xid, cid, cos,
@@ -1674,7 +1678,7 @@ object Similarity {
          |  FROM scored
          |), my AS (
          |  SELECT cid,
-         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / 4, 6) AS my
+         |    round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS my
          |  FROM fy WHERE rn <= 4 GROUP BY cid
          |), ranked AS (
          |  SELECT f.xid, f.cid, f.cos,

@@ -9,7 +9,11 @@ import scala.jdk.CollectionConverters._
   * Components are (type, options) pairs resolved against the registries
   * in [[Engine]]; options stay stringly-typed like the reference's YAML.
   */
-final case class ComponentConf(kind: String, options: Map[String, String])
+/** `children` carries nested child components — the `inputs:` list of a
+  * `multiple_inputs` input (input/multiple_inputs.rs:30-41). `name` is
+  * the component's own input name (used as its window-join view name). */
+final case class ComponentConf(kind: String, options: Map[String, String],
+  children: Seq[ComponentConf] = Nil, name: Option[String] = None)
 
 final case class StreamConf(
   input: ComponentConf,
@@ -105,8 +109,33 @@ object Config {
       val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
       val kind = cm.getOrElse("type",
         throw new IllegalArgumentException(s"component without type: $cm")).toString
-      ComponentConf(kind, (cm - "type").map { case (k, v) => k -> stringify(v) })
+      // child components: the `inputs:` list of multiple_inputs
+      val children = cm.get("inputs") match {
+        case Some(l: java.util.List[_]) =>
+          l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
+        case _ => Nil
+      }
+      val opts = (cm - "type" - "inputs" - "name").flatMap {
+        // nested config blocks (the buffer's `join:` map,
+        // buffer/join.rs JoinConfig) flatten to dotted keys:
+        // join.query, join.codec.type, join.value_field …
+        case (k, m: java.util.Map[_, _]) if k == "join" || k == "store" =>
+          dotted(k, anyMap(m))
+        // the memory input's preloaded `messages:` list
+        // (input/memory.rs) flattens to indexed keys messages.0, … so
+        // each message string survives the flat option map verbatim
+        case (k, l: java.util.List[_]) if k == "messages" =>
+          l.asScala.zipWithIndex.map { case (v, i) =>
+            s"$k.$i" -> stringify(v.asInstanceOf[Object]) }.toMap
+        case (k, v) => Map(k -> stringify(v))
+      }
+      ComponentConf(kind, opts, children, cm.get("name").map(_.toString))
     }
+    def dotted(prefix: String, m: Map[String, Object]): Map[String, String] =
+      m.flatMap {
+        case (k, v: java.util.Map[_, _]) => dotted(s"$prefix.$k", anyMap(v))
+        case (k, v) => Map(s"$prefix.$k" -> stringify(v))
+      }
     val processors = m.get("pipeline") match {
       case Some(p: java.util.Map[_, _]) =>
         anyMap(p).get("processors") match {

@@ -209,39 +209,47 @@ object Engine {
     }
   }
 
-  def sinkFromConf(c: ComponentConf): BatchSink = c.kind match {
-    case "parquet" => ParquetSink(c.options("path"))
-    case "stdout" => ConsoleSink(c.options.getOrElse("num_rows", "20").toInt)
-    case "drop" => NoopSink
-    case "memory" => new MemorySink
-    case "sql" => Jdbc.JdbcSink(c.options("url"), c.options("table"), c.options)
-    case "http" => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
+  /** Output dispatch TABLE — kind → builder. The map (not a parallel
+    * hand-maintained list) is the single source of truth for which output
+    * kinds the engine accepts: ReferenceExamplesSpec asserts the
+    * reference examples' kinds against `sinkBuilders.keySet`, so removing
+    * an entry fails the spec. */
+  val sinkBuilders: Map[String, ComponentConf => BatchSink] = Map(
+    "parquet" -> (c => ParquetSink(c.options("path"))),
+    "stdout" -> (c => ConsoleSink(c.options.getOrElse("num_rows", "20").toInt)),
+    "drop" -> (_ => NoopSink),
+    "memory" -> (_ => new MemorySink),
+    "sql" -> (c => Jdbc.JdbcSink(c.options("url"), c.options("table"), c.options)),
+    "http" -> (c => HttpOutputSink(c.options("url"), c.options.get("bearer_token"),
       c.options.getOrElse("rows_per_request", "1000").toInt,
-      c.options.getOrElse("retry_count", "0").toInt)
-    case "kafka" if c.options.get("exactly_once").contains("transactional") =>
-      TransactionalKafkaSink(c.options)
-    case "kafka" => KafkaSink(c.options)
-    case "influxdb" => Influx.InfluxSink(c.options)
-    case "redis" => Redis.RedisSink(c.options("host"),
+      c.options.getOrElse("retry_count", "0").toInt)),
+    "kafka" -> (c =>
+      if (c.options.get("exactly_once").contains("transactional"))
+        TransactionalKafkaSink(c.options)
+      else KafkaSink(c.options)),
+    "influxdb" -> (c => Influx.InfluxSink(c.options)),
+    "redis" -> (c => Redis.RedisSink(c.options("host"),
       c.options.getOrElse("port", "6379").toInt,
       c.options.getOrElse("mode", "set"),
-      c.options("key_expr"), c.options("value_expr"))
-    case "nats" => Nats.NatsSink(c.options("host"),
+      c.options("key_expr"), c.options("value_expr"))),
+    "nats" -> (c => Nats.NatsSink(c.options("host"),
       c.options.getOrElse("port", "4222").toInt,
-      c.options("subject_expr"), c.options("value_expr"))
-    case "mqtt" => Mqtt.MqttSink(c.options("host"),
+      c.options("subject_expr"), c.options("value_expr"))),
+    "mqtt" -> (c => Mqtt.MqttSink(c.options("host"),
       c.options.getOrElse("port", "1883").toInt,
       c.options("topic_expr"), c.options("value_expr"),
       c.options.getOrElse("qos", "0").toInt,
-      c.options.get("username"), c.options.get("password"))
-    case "mongodb" => Mongo.MongoSink(c.options)
-    case "pulsar" => Pulsar.PulsarSink(c.options("service_url"),
+      c.options.get("username"), c.options.get("password"))),
+    "mongodb" -> (c => Mongo.MongoSink(c.options)),
+    "pulsar" -> (c => Pulsar.PulsarSink(c.options("service_url"),
       c.options.get("topic_expr")
         .getOrElse(Pulsar.topicExprOf(c.options("topic"))),
       c.options.getOrElse("value_field", Codecs.ValueCol),
-      c.options.get("auth").map(Pulsar.nestedOption).getOrElse(Map.empty))
-    case other => throw new IllegalArgumentException(s"unknown output: $other")
-  }
+      c.options.get("auth").map(Pulsar.nestedOption).getOrElse(Map.empty))))
+
+  def sinkFromConf(c: ComponentConf): BatchSink =
+    sinkBuilders.getOrElse(c.kind,
+      throw new IllegalArgumentException(s"unknown output: ${c.kind}"))(c)
 
   /** The explicit held-back marker a processor returns to short-circuit
     * the pipeline for this micro-batch (the reference's
@@ -335,8 +343,11 @@ object Engine {
   /** Inputs (SURVEY.md §2.1). Streaming kinds return a streaming frame in
     * the reference's binary-envelope shape; `file`/`sql-over-file` are
     * batch scans with EOF semantics like the reference file input. */
-  def inputFromConf(spark: SparkSession, c: ComponentConf): DataFrame = c.kind match {
-    case "generate" =>
+  /** Input dispatch TABLE — kind → builder; the same single-source-of-
+    * truth contract as [[sinkBuilders]] (ReferenceExamplesSpec asserts
+    * against `inputBuilders.keySet`). */
+  val inputBuilders: Map[String, (SparkSession, ComponentConf) => DataFrame] = Map(
+    "generate" -> { (spark, c) =>
       // input/generate.rs:27-90 — context emitted per tick; with a total
       // `count` the reference EOFs after emitting it → batch semantics.
       c.options.get("count") match {
@@ -352,15 +363,38 @@ object Engine {
             lit(c.options.getOrElse("context", "{}")).cast("binary").as(Codecs.ValueCol),
             col("timestamp").as("__meta_ingest_time"))
       }
-    case "file" =>
+    },
+    "memory" -> { (spark, c) =>
+      // input/memory.rs — a preloaded message list, EOF once drained
+      // (batch semantics). Parsed from the YAML `messages:` list via the
+      // indexed messages.N options; each message is one binary-envelope
+      // row, like the reference's MessageBatch-per-string.
+      val msgs = c.options.collect {
+        case (k, v) if k.startsWith("messages.") =>
+          (k.stripPrefix("messages.").toInt, v)
+      }.toSeq.sortBy(_._1).map(_._2)
+      require(msgs.nonEmpty, "memory input needs a non-empty `messages:` list")
+      import spark.implicits._
+      msgs.toDF("s").select(
+        col("s").cast("binary").as(Codecs.ValueCol),
+        current_timestamp().as("__meta_ingest_time"))
+    },
+    "file" -> { (spark, c) =>
+      // object-store config (file.rs:288-390 `store:` block) lands on the
+      // Hadoop FS conf; the path scheme rewrites to the matching Hadoop
+      // connector scheme (s3 -> s3a, az -> abfs)
+      objectStoreConf(c.options).foreach { case (k, v) =>
+        spark.sparkContext.hadoopConfiguration.set(k, v) }
+      val path = objectStorePath(c.options("path"), c.options)
       val fmt = c.options.getOrElse("format", "parquet")
       val df = fmt match {
-        case "avro" => AvroInput.read(spark, c.options("path"))
+        case "avro" => AvroInput.read(spark, path)
         case "arrow" =>
-          org.apache.spark.sql.GraftArrowPipe.readArrowFiles(spark, c.options("path"))
+          org.apache.spark.sql.GraftArrowPipe.readArrowFiles(spark, path)
         case _ => spark.read.format(fmt)
-          .options(c.options -- Seq("format", "path", "query"))
-          .load(c.options("path"))
+          .options((c.options -- Seq("format", "path", "query"))
+            .filter { case (k, _) => !k.startsWith("store.") })
+          .load(path)
       }
       c.options.get("query") match {
         case Some(q) =>
@@ -368,7 +402,8 @@ object Engine {
           spark.sql(q)
         case None => df
       }
-    case "kafka" =>
+    },
+    "kafka" -> { (spark, c) =>
       spark.readStream.format("kafka").options(kafkaOptions(c.options)).load()
         .select(col("value").as(Codecs.ValueCol),
           col("topic").as("__meta_source"),
@@ -377,16 +412,20 @@ object Engine {
           col("key").as("__meta_key"),
           col("timestamp").as("__meta_timestamp"),
           current_timestamp().as("__meta_ingest_time"))
-    case "sql" =>
+    },
+    "sql" -> { (spark, c) =>
       // input/sql.rs:48-73 — one poll of select_sql, EOF semantics.
       Jdbc.read(spark, c.options)
-    case "redis" =>
+    },
+    "redis" -> { (spark, c) =>
       // input/redis.rs poll modes — one poll, EOF semantics.
       Redis.read(spark, c.options)
-    case "modbus" =>
+    },
+    "modbus" -> { (spark, c) =>
       // input/modbus.rs — one register poll, columns per point.
       Modbus.read(spark, c.options)
-    case "http" =>
+    },
+    "http" -> { (spark, c) =>
       // input/http.rs client mode — one endpoint poll, EOF semantics
       // (server mode is the programmatic HttpInput class).
       HttpPoll.read(spark, c.options)
@@ -394,7 +433,8 @@ object Engine {
     // this call (its reader thread feeds the stream), so its handle
     // registers with [[closeConfigInputs]] for shutdown — config-run
     // streams have no programmatic handle to stop() themselves.
-    case "mqtt" =>
+    },
+    "mqtt" -> { (spark, c) =>
       // input/mqtt.rs:35-57 full option surface: qos 0/1/2,
       // clean_session, keep_alive (seconds), username/password
       val in = new Mqtt.MqttInput(spark,
@@ -408,7 +448,8 @@ object Engine {
         keepAliveSecs = c.options.getOrElse("keep_alive", "60").toInt)
       configInputs.add(() => in.stop())
       in.toDF
-    case "nats" =>
+    },
+    "nats" -> { (spark, c) =>
       // input/nats.rs:38-62 modes: Regular{subject, queue_group} or
       // JetStream{stream, consumer_name/durable_name}; auth 65-75
       val host = c.options.getOrElse("host", "localhost")
@@ -431,7 +472,8 @@ object Engine {
         configInputs.add(() => in.stop())
         in.toDF
       }
-    case "pulsar" =>
+    },
+    "pulsar" -> { (spark, c) =>
       val in = new Pulsar.PulsarInput(spark, c.options("service_url"),
         c.options("topic"), c.options("subscription_name"),
         c.options.getOrElse("subscription_type", "exclusive"),
@@ -439,14 +481,119 @@ object Engine {
         c.options.get("retry_config").map(Pulsar.nestedOption).getOrElse(Map.empty))
       configInputs.add(() => in.stop())
       in.toDF
-    case "websocket" =>
+    },
+    "websocket" -> { (spark, c) =>
       val in = new WebSocketInput(spark, c.options("url"),
         c.options.get("bearer_token")
           .map(t => Map("Authorization" -> s"Bearer $t")).getOrElse(Map.empty))
       configInputs.add(() => in.stop())
       in.toDF
-    case other => throw new IllegalArgumentException(s"unknown input: $other")
-  }
+    },
+    "multiple_inputs" -> { (spark, c) =>
+      // input/multiple_inputs.rs:30-110 — fan-in of child inputs; each
+      // batch keeps its origin name (the window-join view name). The
+      // reference merges via an async channel; Spark's union IS the
+      // fan-in, with `__input_name` as the origin tag.
+      require(c.children.nonEmpty,
+        "multiple_inputs needs a non-empty `inputs:` list")
+      val names = c.children.zipWithIndex.map { case (ch, i) =>
+        val n = ch.name.getOrElse(s"input_$i")
+        require(n.nonEmpty, "multiple_inputs child input has an empty name")
+        n
+      }
+      require(names.distinct.size == names.size,
+        s"multiple_inputs child names must be unique, got $names")
+      val children = names.zip(c.children.map(ch => inputFromConf(spark, ch)))
+      // Spark cannot union a streaming frame with a batch frame — the
+      // children must agree (all batch = EOF semantics, all streaming)
+      require(children.map(_._2.isStreaming).distinct.size == 1,
+        "multiple_inputs children must be all streaming or all batch")
+      Windows.unionTagged(children.toMap)
+    })
+
+  def inputFromConf(spark: SparkSession, c: ComponentConf): DataFrame =
+    inputBuilders.getOrElse(c.kind,
+      throw new IllegalArgumentException(s"unknown input: ${c.kind}"))(spark, c)
+
+  /** Pure mapping of the reference file input's `store:` block
+    * (file.rs:288-390 — S3/GCS/Azure/HDFS object-store registration) onto
+    * Hadoop FileSystem conf keys, which is how Spark reaches the same
+    * stores. Unit-testable without a live store; README documents the
+    * per-store key table. Reference option names are kept verbatim
+    * (`store.access_key_id`, `store.bucket_name`, …, as the YAML
+    * flattener produces them).
+    *
+    * Divergence, documented: the reference's `http` store (an
+    * object_store HTTP read adapter) has no Hadoop FileSystem
+    * counterpart — configuring it is an explicit error, not a silent
+    * scheme mismatch at scan time.
+    */
+  def objectStoreConf(o: Map[String, String]): Map[String, String] =
+    o.get("store.type") match {
+      case None => Map.empty
+      case Some("s3") =>
+        Map.empty[String, String] ++
+          o.get("store.access_key_id").map("fs.s3a.access.key" -> _) ++
+          o.get("store.secret_access_key").map("fs.s3a.secret.key" -> _) ++
+          o.get("store.endpoint").toSeq.flatMap(e => Seq(
+            "fs.s3a.endpoint" -> e,
+            // custom endpoints (MinIO/Ceph) address buckets by path
+            "fs.s3a.path.style.access" -> "true")) ++
+          o.get("store.region").map("fs.s3a.endpoint.region" -> _) ++
+          (if (o.get("store.allow_http").contains("true"))
+            Map("fs.s3a.connection.ssl.enabled" -> "false") else Map.empty)
+      case Some("gs") =>
+        val keyfile = (o.get("store.service_account_path"),
+            o.get("store.service_account_key")) match {
+          case (Some(p), None) => p
+          case (None, Some(raw)) =>
+            // the raw-JSON-key variant: Hadoop's GCS connector reads a
+            // keyfile, so the key lands in a private temp file
+            val f = java.nio.file.Files.createTempFile("graft_gcs_key", ".json")
+            java.nio.file.Files.write(f, raw.getBytes("UTF-8"))
+            f.toFile.deleteOnExit()
+            f.toString
+          case (None, None) => throw new IllegalArgumentException(
+            "gs store needs service_account_path or service_account_key")
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "specify either service_account_path or service_account_key, not both")
+        }
+        Map("fs.gs.auth.type" -> "SERVICE_ACCOUNT_JSON_KEYFILE",
+          "fs.gs.auth.service.account.json.keyfile" -> keyfile)
+      case Some("az") =>
+        val account = o.getOrElse("store.account",
+          throw new IllegalArgumentException("az store needs account"))
+        o.get("store.access_key").toSeq.flatMap(k => Seq(
+          s"fs.azure.account.key.$account.dfs.core.windows.net" -> k,
+          s"fs.azure.account.key.$account.blob.core.windows.net" -> k)).toMap
+      case Some("hdfs") =>
+        // ha_config entries are Hadoop client keys already
+        // (dfs.nameservices, dfs.ha.namenodes.*, …) — passthrough
+        Map("fs.defaultFS" -> o.getOrElse("store.url",
+          throw new IllegalArgumentException("hdfs store needs url"))) ++
+          o.collect { case (k, v) if k.startsWith("store.ha_config.") =>
+            k.stripPrefix("store.ha_config.") -> v }
+      case Some("http") => throw new IllegalArgumentException(
+        "http object store has no Hadoop FileSystem mapping - " +
+          "serve the files over s3/gs/az/hdfs, or use the http input's client mode")
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown store type: $other")
+    }
+
+  /** Path-scheme rewrite companion of [[objectStoreConf]]: the reference
+    * registers stores under `s3://bucket` / `az://container`; Spark's
+    * connectors use `s3a://` and `abfs://container@account...`. `gs://`
+    * and `hdfs://` pass through (the Hadoop connectors own those schemes
+    * natively). */
+  def objectStorePath(path: String, o: Map[String, String]): String =
+    if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+    else if (path.startsWith("az://")) {
+      val rest = path.stripPrefix("az://")
+      val (container, key) = rest.span(_ != '/')
+      val account = o.getOrElse("store.account",
+        throw new IllegalArgumentException("az:// path needs store.account"))
+      s"abfs://$container@$account.dfs.core.windows.net$key"
+    } else path
 
   private val configInputs =
     new java.util.concurrent.ConcurrentLinkedQueue[AutoCloseable]()
@@ -475,21 +622,74 @@ object Engine {
 
   /** Run every stream of a parsed config. Memory-input streams are not
     * config-expressible (they need a programmatic handle) — use start(). */
-  /** memory buffer capacity/timeout (buffer/memory.rs:40-46,108-150):
-    * hold rows until `capacity` are pending or `timeout_ms` elapsed, then
-    * release as one batch — an accumulator ahead of the pipeline. */
-  def bufferProcessors(buffer: Option[ComponentConf]): Seq[Processors.BatchTransform] =
-    buffer.toSeq
-      .filter(b => b.kind == "memory" &&
-        (b.options.contains("capacity") || b.options.contains("timeout_ms") ||
-          b.options.contains("timeout")))
-      .map(b => new Processors.BatchAccumulator(
-        b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
-        Long.MaxValue,
-        b.options.get("timeout_ms").map(_.toLong)
-          .orElse(b.options.get("timeout").map(Config.parseDurationMs))
-          .getOrElse(Long.MaxValue),
-        b.options.get("staging")))
+  /** Buffer kinds → their processor chain (SURVEY.md §2.4). This IS the
+    * engine's buffer dispatch — the config surface for all four reference
+    * buffer kinds plus their optional `join:` block:
+    *
+    *  - memory (buffer/memory.rs:40-46,108-150): hold rows until
+    *    `capacity` are pending or `timeout_ms` elapsed, then release as
+    *    one batch — the [[Processors.BatchAccumulator]].
+    *  - tumbling_window: the trigger IS the window — [[runStream]] maps
+    *    `interval` to Trigger.ProcessingTime; no processor needed.
+    *  - sliding_window (sliding_window.rs:41-50): count-based overlapping
+    *    windows over micro-batches — [[Processors.SlidingWindowBuffer]].
+    *  - session_window (session_window.rs:40-49): gap-of-silence sessions
+    *    — [[Processors.SessionWindowBuffer]].
+    *
+    * A `join:` block (buffer/join.rs JoinConfig — parsed to dotted
+    * `join.*` options) appends a [[Processors.WindowJoinProcessor]]: each
+    * fired window registers its per-source slices as views named by the
+    * `input` component's child input names and runs the join SQL.
+    */
+  /** Buffer dispatch TABLE — kind → core processors; the same
+    * single-source-of-truth contract as [[inputBuilders]]/[[sinkBuilders]]
+    * (ReferenceExamplesSpec asserts against `bufferBuilders.keySet`). */
+  val bufferBuilders: Map[String, ComponentConf => Seq[Processors.BatchTransform]] = Map(
+    "memory" -> { b =>
+      if (b.options.contains("capacity") || b.options.contains("timeout_ms") ||
+          b.options.contains("timeout"))
+        Seq(new Processors.BatchAccumulator(
+          b.options.get("capacity").map(_.toLong).getOrElse(Long.MaxValue),
+          Long.MaxValue,
+          b.options.get("timeout_ms").map(_.toLong)
+            .orElse(b.options.get("timeout").map(Config.parseDurationMs))
+            .getOrElse(Long.MaxValue),
+          b.options.get("staging")))
+      else Nil
+    },
+    // the trigger IS the tumbling window ([[runStream]] maps `interval`)
+    "tumbling_window" -> (_ => Nil),
+    "sliding_window" -> (b =>
+      Seq(new Processors.SlidingWindowBuffer(
+        b.options.getOrElse("window_size",
+          throw new IllegalArgumentException(
+            "sliding_window buffer needs window_size")).toInt,
+        b.options.getOrElse("slide_size",
+          throw new IllegalArgumentException(
+            "sliding_window buffer needs slide_size")).toInt))),
+    "session_window" -> (b =>
+      Seq(new Processors.SessionWindowBuffer(Config.parseDurationMs(
+        b.options.getOrElse("gap", throw new IllegalArgumentException(
+          "session_window buffer needs gap")))))))
+
+  def bufferProcessors(buffer: Option[ComponentConf],
+      input: ComponentConf = ComponentConf("generate", Map.empty))
+      : Seq[Processors.BatchTransform] =
+    buffer.toSeq.flatMap { b =>
+      val core = bufferBuilders.getOrElse(b.kind,
+        throw new IllegalArgumentException(s"unknown buffer: ${b.kind}"))(b)
+      val join = b.options.get("join.query").toSeq.map { q =>
+        b.options.get("join.codec.type").foreach(t => require(t == "json",
+          s"window join codec '$t' is not supported (json only)"))
+        val expected =
+          if (input.kind == "multiple_inputs")
+            input.children.zipWithIndex.map { case (ch, i) =>
+              ch.name.getOrElse(s"input_$i") }
+          else Seq(input.name.getOrElse("flow"))
+        Processors.WindowJoinProcessor(q, expected)
+      }
+      core ++ join
+    }
 
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     Config.streamIds(conf).zip(conf.streams).flatMap { case (id, s) =>
@@ -504,12 +704,15 @@ object Engine {
   def runStream(spark: SparkSession, s: StreamConf,
       id: String): Option[StreamingQuery] = {
     val in = inputFromConf(spark, s.input)
-    val procs = bufferProcessors(s.buffer) ++ Processors.fromConf(s.processors)
+    val procs = bufferProcessors(s.buffer, s.input) ++ Processors.fromConf(s.processors)
     val sink = sinkFromConf(s.output)
     val err = s.errorOutput.map(sinkFromConf)
     if (in.isStreaming)
       Some(start(in, procs, sink, err,
-        trigger = s.buffer.flatMap(_.options.get("interval"))
+        // the buffer's cadence is the trigger: tumbling/sliding fire per
+        // `interval`, a session's silence check runs at `gap` cadence
+        trigger = s.buffer.flatMap(b =>
+            b.options.get("interval").orElse(b.options.get("gap")))
           .map(i => Trigger.ProcessingTime(Config.triggerInterval(i)))
           .getOrElse(Trigger.ProcessingTime(0L)),
         checkpoint = s.input.options.get("checkpoint"),
@@ -592,6 +795,27 @@ object Engine {
         remaining = if (now < remaining) now else 0L
       }
       caps.foreach(_.releaseCache()) // last drain pass's cache
+      // EOF flush of still-open session windows (the reference's
+      // buffer.flush() + final read at stream end, stream/mod.rs:356-362):
+      // the flushed session runs through the processors DOWNSTREAM of its
+      // buffer (the window join + pipeline), then writes under a fresh
+      // drain id. Sliding windows intentionally drop partial windows at
+      // EOF, like the reference's close.
+      procs.zipWithIndex.collect {
+        case (b: Processors.SessionWindowBuffer, i) => (b, i)
+      }.foreach { case (b, i) =>
+        b.flushPending().foreach { session =>
+          var out = session
+          var held = false
+          val it3 = procs.drop(i + 1).iterator
+          while (it3.hasNext && !held) {
+            out = it3.next()(out)
+            held = out.schema.isEmpty
+          }
+          if (!held) sink.write(out, drainId)
+          drainId += 1
+        }
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         err match {

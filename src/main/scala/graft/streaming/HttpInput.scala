@@ -46,7 +46,8 @@ object HttpPoll {
 final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
                       bearerToken: Option[String] = None,
                       maxRequestsPerSecond: Option[Int] = None,
-                      authLockoutAfter: Int = Int.MaxValue) {
+                      authLockoutAfter: Int = Int.MaxValue,
+                      basicAuth: Option[(String, String)] = None) {
   import spark.implicits._
 
   private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -72,12 +73,42 @@ final class HttpInput(spark: SparkSession, port: Int, path: String = "/ingest",
       tokens.getAndUpdate(t => if (t > 0) t - 1 else t) > 0
   }
 
+  // Constant-time compare (reference http.rs:252-285 uses ct_eq against
+  // credential-probing timing attacks); `&` not `&&` so both halves of a
+  // Basic credential always compare.
+  private def constEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Auth modes, mirroring input/http.rs:43-49 `AuthType`: Basic
+    * (username/password, base64 — malformed or truncated credentials are
+    * a plain 401, never an exception) takes precedence when configured,
+    * then Bearer, else open. */
+  private def checkAuth(header: Option[String]): Boolean =
+    (basicAuth, bearerToken) match {
+      case (Some((u, p)), _) => header.exists { s =>
+        s.startsWith("Basic ") && {
+          val decoded =
+            try new String(java.util.Base64.getDecoder.decode(
+              s.stripPrefix("Basic ").trim),
+              java.nio.charset.StandardCharsets.UTF_8)
+            catch { case _: IllegalArgumentException => "" }
+          decoded.split(":", 2) match {
+            case Array(gu, gp) => constEq(gu, u) & constEq(gp, p)
+            case _ => false
+          }
+        }
+      }
+      case (None, Some(t)) => header.exists(s =>
+        s.startsWith("Bearer ") && constEq(s.stripPrefix("Bearer "), t))
+      case (None, None) => true
+    }
+
   server.createContext(path, { exchange =>
     try {
-      val authorized = bearerToken.forall { t =>
-        Option(exchange.getRequestHeaders.getFirst("Authorization"))
-          .contains(s"Bearer $t")
-      }
+      val authorized = checkAuth(
+        Option(exchange.getRequestHeaders.getFirst("Authorization")))
       if (failedAuths.get() >= authLockoutAfter) {
         exchange.sendResponseHeaders(403, -1) // locked out
       } else if (!authorized) {

@@ -154,10 +154,14 @@ object Nats {
     * `$JS.API.CONSUMER.DURABLE.CREATE` request (idempotent broker-side),
     * then loops `MSG.NEXT` batch pulls; every delivery arrives on the
     * reply inbox with a `$JS.ACK.*` reply subject that gets an explicit
-    * `+ACK` after the row is enqueued — at-least-once with a
-    * broker-durable cursor, so a RESTARTED input resumes where the
-    * durable left off (the capability the reference mode exists for;
-    * spec'd with a restart in BrokerSpec).
+    * `+ACK` after the row is enqueued — a broker-durable cursor, so a
+    * RESTARTED input resumes where the durable left off (the capability
+    * the reference mode exists for; spec'd with a restart in BrokerSpec).
+    * Same guarantee boundary as [[Pulsar.PulsarInput]]: the ack precedes
+    * the micro-batch checkpoint commit, so messages acked in the window
+    * between enqueue and a driver crash are not redelivered —
+    * at-least-once while the driver lives, at-most-once across driver
+    * restarts (the reference's ack-on-read has the identical window).
     */
   final class JetStreamInput(spark: SparkSession, host: String, port: Int,
       streamName: String, durable: String,

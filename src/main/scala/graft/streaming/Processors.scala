@@ -259,7 +259,11 @@ object Processors {
     /** Release the trigger's cache once the engine has finished writing
       * the batch downstream — otherwise the LAST trigger's input stays
       * pinned in MEMORY_AND_DISK for the rest of the session (the
-      * unpersist at the next apply() never comes after the final one). */
+      * unpersist at the next apply() never comes after the final one).
+      * Safe for the carried-over `pending` rows: apply() materialized
+      * them EAGERLY (`rest.localCheckpoint(true)` above) while this
+      * cache was still alive, so the next trigger reads the checkpointed
+      * blocks, never the released cache's lineage. */
     def releaseCache(): Unit = {
       lastCached.foreach(_.unpersist(blocking = false))
       lastCached = None
@@ -407,6 +411,80 @@ object Processors {
     }
   }
 
+  /** Count-based sliding window over MICRO-BATCHES — the config-level
+    * `sliding_window` buffer (sliding_window.rs:41-50): hold incoming
+    * batches in a queue; once `windowSize` batches are queued, emit
+    * their concatenation as one window and slide forward by `slideSize`
+    * batches (overlapping windows). Exactly the reference's
+    * process_slide over message batches, with Spark's micro-batch as
+    * the message-batch unit and the trigger interval as the reference's
+    * emission timer. Queued batches are localCheckpointed — rows stay
+    * distributed on executors, only the driver-side queue of frame
+    * HANDLES is state. A partial window at stream end is dropped, as
+    * the reference's close does (read() → None once cancelled).
+    */
+  final class SlidingWindowBuffer(windowSize: Int, slideSize: Int)
+      extends (DataFrame => DataFrame) {
+    // sliding_window.rs builder validation (build → Error::Config)
+    require(windowSize > 0, s"window_size must be positive, got $windowSize")
+    require(slideSize > 0, s"slide_size must be positive, got $slideSize")
+    require(windowSize >= slideSize,
+      s"window_size ($windowSize) must be >= slide_size ($slideSize)")
+    private val queue = scala.collection.mutable.Queue[DataFrame]()
+    def apply(batch: DataFrame): DataFrame = synchronized {
+      queue.enqueue(batch.localCheckpoint())
+      if (queue.size >= windowSize) {
+        val window = queue.take(windowSize)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        (0 until slideSize).foreach(_ => queue.dequeue())
+        window
+      } else Engine.heldBackSentinel(batch.sparkSession)
+    }
+    /** Batches currently queued (test/monitoring hook). */
+    def pendingBatches: Int = synchronized(queue.size)
+  }
+
+  /** Gap-based session window over MICRO-BATCHES — the config-level
+    * `session_window` buffer (session_window.rs:40-49): batches
+    * accumulate into the current session; a batch arriving after
+    * `gapMs` of silence CLOSES the previous session (it is emitted)
+    * and opens a new one with the arriving batch. Spark's micro-batch
+    * engine only runs the pipeline on arrivals, so emission is
+    * arrival-driven (the reference's timer fires during silence; here
+    * the close is observed at the next arrival or at EOF) — the
+    * session CONTENTS are identical. [[flushPending]] is the EOF/flush
+    * hook ([[Engine.runBatch]] drains it so a one-shot input's single
+    * session is emitted, the reference's buffer.flush() at stream end).
+    */
+  final class SessionWindowBuffer(gapMs: Long) extends (DataFrame => DataFrame) {
+    require(gapMs > 0, s"session_window gap must be positive, got $gapMs")
+    private var pending: Option[DataFrame] = None
+    private var lastArrivalNs = 0L
+    def apply(batch: DataFrame): DataFrame = synchronized {
+      val now = System.nanoTime()
+      val gapElapsed = pending.nonEmpty &&
+        (now - lastArrivalNs) / 1000000L >= gapMs
+      val b = batch.localCheckpoint()
+      lastArrivalNs = now
+      if (gapElapsed) {
+        val out = pending.get
+        pending = Some(b)
+        out
+      } else {
+        pending = Some(pending
+          .map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b))
+        Engine.heldBackSentinel(batch.sparkSession)
+      }
+    }
+    /** The still-open session, cleared — the reference's flush-then-read
+      * at stream end. */
+    def flushPending(): Option[DataFrame] = synchronized {
+      val out = pending
+      pending = None
+      out
+    }
+  }
+
   /** `python` processor (processor/python.rs:27-140): user Python over
     * Arrow record batches — `body` is the indented body of
     * `transform(batch: pyarrow.RecordBatch) -> pyarrow.RecordBatch`,
@@ -442,6 +520,14 @@ object Processors {
   final case class RemapProcessor(program: String) extends (DataFrame => DataFrame) {
     private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
     private val Del = """del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    // VRL fallible assignment `.field, err = rhs` (the reference's own
+    // example program, examples/vrl_example.yaml:15): the first target
+    // gets the try-evaluated value (null on error), the second the error
+    // message (null on success) — [[graft.functions.TryOps]]. The error
+    // target may be a bare variable (VRL style) or dotted; either way it
+    // lands as a column of that name.
+    private val FallibleAssign =
+      """\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\.?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
     private val Assign = """\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
     // single-quoted SQL string literal, with '' as the escaped quote
     private val Literal = "'(?:[^']|'')*'".r
@@ -459,18 +545,41 @@ object Processors {
         def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
           case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
         }
+        def fieldRefs(rhs: String): String =
+          unmask(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`"))
         // NOT .trim: it strips every char <= 0x20 including the NUL
         // placeholder delimiters; \s leaves NUL alone.
-        val line = masked.replaceAll("(#|//).*$", "").replaceAll("^\\s+|\\s+$", "")
-        if (line.isEmpty) None
-        else Some(line match {
-          case Del(field) => (df: DataFrame) => df.drop(field)
-          case Assign(field, rhs) =>
-            val sql = unmask(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`"))
-            (df: DataFrame) => df.withColumn(field, expr(sql))
-          case other =>
-            throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
-        })
+        val line = masked.replaceAll("(#|//).*$", "")
+        // `;` separates statements within a line (vrl_example.yaml:15's
+        // program is one line of three statements); literals are masked,
+        // so a ';' inside one never splits
+        line.split(';').toSeq
+          .map(_.replaceAll("^\\s+|\\s+$", ""))
+          .filter(_.nonEmpty)
+          .flatMap[DataFrame => DataFrame] {
+            // a bare `.` is VRL's final "return the event" expression —
+            // the event passes through unchanged
+            case "." => None
+            case Del(field) => Some((df: DataFrame) => df.drop(field))
+            case FallibleAssign(field, errName, rhs) =>
+              val sql = fieldRefs(rhs)
+              Some((df: DataFrame) => {
+                graft.functions.TryOps.register(df.sparkSession)
+                // ONE try_pair evaluation carries both halves (value +
+                // error), computed against the PRE-assignment frame, so a
+                // self-referencing rhs reads the old value for both
+                val tmp = s"__vrl_try_$field"
+                df.withColumn(tmp, expr(s"try_pair($sql)"))
+                  .withColumn(field, col(s"$tmp.value"))
+                  .withColumn(errName, col(s"$tmp.err"))
+                  .drop(tmp)
+              })
+            case Assign(field, rhs) =>
+              val sql = fieldRefs(rhs)
+              Some((df: DataFrame) => df.withColumn(field, expr(sql)))
+            case other =>
+              throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
+          }
       }.toSeq
 
     def apply(batch: DataFrame): DataFrame =
@@ -505,22 +614,34 @@ object Processors {
       decode: String => BatchTransform = _ => JsonToArrow())
       extends (DataFrame => DataFrame) {
     def apply(batch: DataFrame): DataFrame = {
-      val present = batch.select("__input_name").distinct()
-        .collect().map(_.getString(0)).toSet
-      val sources = expected.filter(present.contains).map { name =>
-        name -> decode(name)(
-          batch.filter(col("__input_name") === name).drop("__input_name"))
-      }.toMap
+      // a single un-tagged input (no multiple_inputs fan-in) is the one
+      // expected source whole — the reference tags every batch with its
+      // input name at read; a plain input's name IS the only view
+      val sources =
+        if (!batch.columns.contains("__input_name")) {
+          if (expected.size == 1) Map(expected.head -> decode(expected.head)(batch))
+          else Map.empty[String, DataFrame]
+        } else {
+          val present = batch.select("__input_name").distinct()
+            .collect().map(_.getString(0)).toSet
+          expected.filter(present.contains).map { name =>
+            name -> decode(name)(
+              batch.filter(col("__input_name") === name).drop("__input_name"))
+          }.toMap
+        }
       Windows.windowJoin(batch.sparkSession, sources, joinSql, expected)
     }
   }
 
-  /** Build the processor chain from config components. */
-  def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
-    c.kind match {
-      // sql with a temporary lookup table (processor/sql.rs temporary_list):
-      // lookup_kind sql|redis resolves a concrete keyed provider.
-      case "sql" if c.options.contains("lookup_name") =>
+  /** Processor dispatch TABLE — kind → builder; the single source of
+    * truth for which processor kinds resolve (ReferenceExamplesSpec
+    * asserts the reference examples' kinds against `builders.keySet`, so
+    * removing an entry fails the spec). */
+  val builders: Map[String, ComponentConf => BatchTransform] = Map(
+    "sql" -> { c =>
+      if (c.options.contains("lookup_name")) {
+        // sql with a temporary lookup table (processor/sql.rs
+        // temporary_list): lookup_kind sql|redis resolves a keyed provider.
         val provider: DataFrame => DataFrame =
           c.options.getOrElse("lookup_kind", "sql") match {
             case "sql" => batch =>
@@ -537,62 +658,70 @@ object Processors {
         LookupSqlProcessor(c.options("query"),
           c.options.getOrElse("table_name", "flow"),
           Seq(TemporaryLookup(c.options("lookup_name"), provider)))
-      case "sql" =>
+      } else
         SqlProcessor(c.options("query"), c.options.getOrElse("table_name", "flow"))
-      case "json_to_arrow" =>
-        // `schema` (DDL, e.g. "sensor STRING, value BIGINT") declares the
-        // decode types — required when the stream feeds a schema-sensitive
-        // sink so empty and non-empty micro-batches agree (JsonCodec doc)
-        JsonToArrow(
-          c.options.get("fields_to_include").toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-          c.options.get("schema")
-            .map(org.apache.spark.sql.types.StructType.fromDDL))
-      case "arrow_to_json" => ArrowToJson
-      // schema source: a compiled descriptor set (descriptor_path +
-      // message_type, the reference's proto-file route) or an inline
-      // "name:number:type,..." spec
-      case "protobuf_to_arrow" => ProtobufToArrow(protoFields(c.options))
-      case "arrow_to_protobuf" => ArrowToProtobuf(protoFields(c.options))
-      case "debezium_json" => (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)
-      case "batch" =>
-        // flush thresholds present -> the cross-batch accumulator
-        // (processor/batch.rs); otherwise plain partition compaction.
-        if (Seq("min_rows", "max_bytes", "interval_ms", "staging").exists(c.options.contains))
-          new BatchAccumulator(
-            c.options.get("min_rows").map(_.toLong).getOrElse(Long.MaxValue),
-            c.options.get("max_bytes").map(_.toLong).getOrElse(Long.MaxValue),
-            c.options.get("interval_ms").map(_.toLong).getOrElse(Long.MaxValue),
-            c.options.get("staging"))
-        else BatchCompact(c.options.getOrElse("partitions", "1").toInt)
-      case "drift" =>
-        // split on the LAST colon so keys may contain ':' (URLs); a
-        // malformed entry gets a descriptive error, not a MatchError
-        val baseline = c.options("baseline").split(",").map { kv =>
-          val s = kv.trim
-          val cut = s.lastIndexOf(':')
-          require(cut > 0 && cut < s.length - 1,
-            s"drift baseline entry '$s' must be '<key>:<weight>'")
-          val w = try s.substring(cut + 1).toDouble
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"drift baseline entry '$s': weight is not a number") }
-          s.substring(0, cut) -> w
-        }.toMap
-        DriftMonitor(c.options("key_col"), baseline,
-          c.options.getOrElse("out_col", "__drift_jsd"),
-          c.options.getOrElse("max_keys", "10000").toInt)
-      case "rate_cap" =>
-        new RateCap(c.options("max_rows").toLong)
-      case "schema_guard" =>
-        new SchemaGuard(c.options.getOrElse("mode", "conform"),
-          c.options.get("schema").map(
-            org.apache.spark.sql.types.StructType.fromDDL))
-      case "expr" => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)
-      case "python" => PythonProcessor(c.options("script"), c.options("output_schema"))
-      case "vrl" | "remap" => RemapProcessor(c.options("program"))
-      case other => throw new IllegalArgumentException(s"unknown processor: $other")
-    }
+    },
+    "json_to_arrow" -> { c =>
+      // `schema` (DDL, e.g. "sensor STRING, value BIGINT") declares the
+      // decode types — required when the stream feeds a schema-sensitive
+      // sink so empty and non-empty micro-batches agree (JsonCodec doc)
+      JsonToArrow(
+        c.options.get("fields_to_include").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+        c.options.get("schema")
+          .map(org.apache.spark.sql.types.StructType.fromDDL))
+    },
+    "arrow_to_json" -> (_ => ArrowToJson),
+    // schema source: a compiled descriptor set (descriptor_path +
+    // message_type, the reference's proto-file route) or an inline
+    // "name:number:type,..." spec
+    "protobuf_to_arrow" -> (c => ProtobufToArrow(protoFields(c.options))),
+    "arrow_to_protobuf" -> (c => ArrowToProtobuf(protoFields(c.options))),
+    "debezium_json" -> (_ => (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)),
+    "batch" -> { c =>
+      // flush thresholds present -> the cross-batch accumulator
+      // (processor/batch.rs); otherwise plain partition compaction.
+      if (Seq("min_rows", "max_bytes", "interval_ms", "staging").exists(c.options.contains))
+        new BatchAccumulator(
+          c.options.get("min_rows").map(_.toLong).getOrElse(Long.MaxValue),
+          c.options.get("max_bytes").map(_.toLong).getOrElse(Long.MaxValue),
+          c.options.get("interval_ms").map(_.toLong).getOrElse(Long.MaxValue),
+          c.options.get("staging"))
+      else BatchCompact(c.options.getOrElse("partitions", "1").toInt)
+    },
+    "drift" -> { c =>
+      // split on the LAST colon so keys may contain ':' (URLs); a
+      // malformed entry gets a descriptive error, not a MatchError
+      val baseline = c.options("baseline").split(",").map { kv =>
+        val s = kv.trim
+        val cut = s.lastIndexOf(':')
+        require(cut > 0 && cut < s.length - 1,
+          s"drift baseline entry '$s' must be '<key>:<weight>'")
+        val w = try s.substring(cut + 1).toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"drift baseline entry '$s': weight is not a number") }
+        s.substring(0, cut) -> w
+      }.toMap
+      DriftMonitor(c.options("key_col"), baseline,
+        c.options.getOrElse("out_col", "__drift_jsd"),
+        c.options.getOrElse("max_keys", "10000").toInt)
+    },
+    "rate_cap" -> (c => new RateCap(c.options("max_rows").toLong)),
+    "schema_guard" -> (c => new SchemaGuard(c.options.getOrElse("mode", "conform"),
+      c.options.get("schema").map(
+        org.apache.spark.sql.types.StructType.fromDDL))),
+    "expr" -> (c => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)),
+    "python" -> (c => PythonProcessor(c.options("script"), c.options("output_schema"))),
+    // the reference's vrl processor takes its program under `statement`
+    // (processor/vrl.rs config; examples/vrl_example.yaml)
+    "vrl" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))),
+    "remap" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))))
+
+  /** Build the processor chain from config components. */
+  def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
+    builders.getOrElse(c.kind,
+      throw new IllegalArgumentException(s"unknown processor: ${c.kind}"))(c)
   }
 
   /** Proto message schema from processor options: `descriptor_path` +

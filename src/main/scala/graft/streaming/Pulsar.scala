@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
   *
   * Input shape (input/pulsar.rs): a background reader thread feeds
   * MESSAGE payloads into the MemoryStream envelope (the driver-side
-  * ingestion edge, like [[HttpInput]]); delivery is at-least-once —
-  * each message is individually ACKed after it is enqueued, mirroring
-  * the reference's ack-on-read.
+  * ingestion edge, like [[HttpInput]]); each message is individually
+  * ACKed after it is enqueued, mirroring the reference's ack-on-read.
+  * Guarantee boundary, stated precisely: at-least-once WHILE THE DRIVER
+  * LIVES (an enqueue is never lost once acked), but the ack lands before
+  * any micro-batch checkpoint commits — a driver crash between ack and
+  * commit loses the acked message, so delivery across driver restarts is
+  * at-most-once (exactly the reference's ack-on-read semantics, which
+  * has the same window). For restart-durable ingestion use the kafka
+  * input (offsets in the Spark checkpoint) or put a durable staging
+  * accumulator behind this input.
   *
   * Output shape (output/pulsar.rs): executor-side `foreachPartition`,
   * one connection per partition, one producer per distinct topic the

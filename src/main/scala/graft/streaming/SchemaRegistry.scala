@@ -99,7 +99,9 @@ object SchemaRegistry {
         expect("=")
         val number = toks(i).toInt; i += 1
         if (i < toks.length && toks(i) == "[") { // field options
-          while (toks(i) != "]") i += 1
+          while (i < toks.length && toks(i) != "]") i += 1
+          require(i < toks.length,
+            s"proto parse: unclosed '[' in field options of '$fname' (message $owner)")
           i += 1
         }
         expect(";")
@@ -116,7 +118,7 @@ object SchemaRegistry {
         val name = if (prefix.isEmpty) simple else s"$prefix.$simple"
         messages(name) = Vector.empty
         expect("{")
-        while (toks(i) != "}") {
+        while (i < toks.length && toks(i) != "}") {
           toks(i) match {
             case "message" => i += 1; parseMessage(name)
             case "enum" => i += 1; parseEnum(name)
@@ -124,11 +126,15 @@ object SchemaRegistry {
             case "oneof" =>
               i += 2 // 'oneof' NAME
               expect("{")
-              while (toks(i) != "}") parseField(name)
+              while (i < toks.length && toks(i) != "}") parseField(name)
+              require(i < toks.length,
+                s"proto parse: unclosed oneof block in message $name")
               i += 1
             case _ => parseField(name)
           }
         }
+        require(i < toks.length,
+          s"proto parse: unclosed message block '$name'")
         i += 1
       }
       while (i < toks.length) {

@@ -90,4 +90,31 @@ class StringMetricPropertySpec extends AnyFunSuite {
       assert(CharEntropy.entropy(u(w.reverse)) == e, s"reversal variance on '$w'")
     }
   }
+
+  test("banded levenshtein == reference DP within threshold, -1 beyond " +
+      "(the built-in 3-arg contract, kernel swapped for speed)") {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    def bl(a: String, b: String, t: Int): Int =
+      graft.functions.BandedLevenshtein.distance(u(a), u(b), t)
+    samples(Gen.zip(word, word, Gen.chooseNum(0, 14)), 800, 404L)
+      .foreach { case (a, b, t) =>
+        val exact = lev(a, b)
+        val banded = bl(a, b, t)
+        if (exact <= t) assert(banded == exact,
+          s"banded($a,$b,$t)=$banded != exact $exact")
+        else assert(banded == -1, s"banded($a,$b,$t)=$banded, want -1 (exact $exact)")
+        assert(bl(a, b, t) == bl(b, a, t), s"symmetry ($a,$b,$t)")
+      }
+    assert(bl("anything", "x", -1) == -1, "negative threshold is always -1")
+    assert(bl("", "", 0) == 0)
+    assert(bl("", "abc", 2) == -1 && bl("", "abc", 3) == 3)
+  }
 }

@@ -227,6 +227,15 @@ class AvroRestSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("scalar-subset"))
     intercept[IllegalArgumentException](ProtoSource.parse(
       "message M { map<string, int32> tags = 1; }"))
+    // truncated/malformed schemas fail through the parser's own error
+    // path (bounded skip loops), never an ArrayIndexOutOfBoundsException
+    for (bad <- Seq(
+        "message M { int32 x = 1 [deprecated = true",  // unclosed '['
+        "message M { int32 x = 1;",                    // unclosed message
+        "message M { oneof o { int32 x = 1;")) {       // unclosed oneof
+      val e = intercept[IllegalArgumentException](ProtoSource.parse(bad))
+      assert(e.getMessage.contains("proto parse"), s"'$bad' -> ${e.getMessage}")
+    }
     // a non-PROTOBUF schemaType is rejected like the reference
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)

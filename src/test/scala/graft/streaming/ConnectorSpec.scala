@@ -84,6 +84,37 @@ class ConnectorSpec extends AnyFunSuite {
     } finally http.stop()
   }
 
+  test("http server input Basic auth: valid, wrong-password, malformed, and " +
+      "missing credentials (input/http.rs:43-44, 252-285)") {
+    val port = {
+      val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p
+    }
+    val http = new HttpInput(spark, port,
+      basicAuth = Some(("alice", "s3cret")))
+    try {
+      def post(header: Option[String]): Int = {
+        val conn = new java.net.URI(http.boundAddress).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        header.foreach(h => conn.setRequestProperty("Authorization", h))
+        conn.getOutputStream.write("{}".getBytes(StandardCharsets.UTF_8))
+        val code = conn.getResponseCode; conn.disconnect(); code
+      }
+      def basic(cred: String): String =
+        "Basic " + java.util.Base64.getEncoder.encodeToString(
+          cred.getBytes(StandardCharsets.UTF_8))
+      assert(post(Some(basic("alice:s3cret"))) == 200)
+      assert(post(Some(basic("alice:wrong"))) == 401)
+      assert(post(Some(basic("bob:s3cret"))) == 401)
+      assert(post(Some(basic("no-colon-here"))) == 401, "credential without ':'")
+      assert(post(Some("Basic %%%not-base64%%%")) == 401, "malformed base64 is a 401, not a 500")
+      assert(post(Some("Bearer s3cret")) == 401, "wrong scheme")
+      assert(post(None) == 401, "missing header")
+      // Basic-authed posts really land in the stream
+      assert(post(Some(basic("alice:s3cret"))) == 200)
+    } finally http.stop()
+  }
+
   test("humantime config durations parse like the reference (config duration tests)") {
     assert(Config.parseDurationMs("5s") == 5000L)
     assert(Config.parseDurationMs("100ms") == 100L)

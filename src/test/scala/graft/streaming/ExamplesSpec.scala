@@ -172,6 +172,64 @@ class ExamplesSpec extends AnyFunSuite {
       s"config pipeline drifted from the library operator: ${got.size} vs ${expected.size}")
   }
 
+  test("REFERENCE join_buffer_example.yaml runs e2e: multiple_inputs fan-in, " +
+      "session window buffer, cross-source window join (input/multiple_inputs.rs, buffer/join.rs)") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/join_buffer_example.yaml")))
+    val conf = Config.fromYaml(yaml)
+    val s = conf.streams.head
+    assert(s.input.kind == "multiple_inputs" && s.input.children.size == 2)
+    assert(s.input.children.map(_.name) ==
+      Seq(Some("flow_input1"), Some("flow_input2")))
+    val in = Engine.inputFromConf(spark, s.input)
+    assert(!in.isStreaming, "generate with count EOFs -> batch semantics")
+    // the engine's own dispatch end to end, with a memory sink so the
+    // joined window is assertable (the example's stdout sink prints)
+    val procs = Engine.bufferProcessors(s.buffer, s.input) ++
+      Processors.fromConf(s.processors)
+    val sink = new Engine.MemorySink
+    Engine.runBatch(in, procs, sink, None)
+    // 10 rows per input, every row id=1625000000000 -> 10x10 joined rows
+    // of SELECT * across both decoded sources
+    assert(sink.rows.size == 100, s"expected 100 joined rows, got ${sink.rows.size}")
+    val flat = sink.rows.flatMap(_.toSeq).toSet
+    assert(flat.contains("temp_1") && flat.contains("temp_2") &&
+      flat.contains(10L) && flat.contains(20L) && flat.contains(1625000000000L))
+  }
+
+  test("REFERENCE vrl_example.yaml's exact program runs: `;` statements, " +
+      "fallible `.v2, err = .value * 2`, bare `.` return (processor/vrl.rs)") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/vrl_example.yaml")))
+    val conf = Config.fromYaml(yaml)
+    val s = conf.streams.head
+    assert(s.processors.map(_.kind) == Seq("json_to_arrow", "vrl", "arrow_to_json"))
+    val procs = Processors.fromConf(s.processors) // compiles the verbatim program
+    // the example's generate input is an unbounded tick stream; run the
+    // SAME context through the count/EOF path — program semantics identical
+    val in = Engine.inputFromConf(spark,
+      s.input.copy(options = s.input.options + ("count" -> "3")))
+    val sink = new Engine.MemorySink
+    Engine.runBatch(in, procs, sink, None)
+    assert(sink.rows.size == 3)
+    sink.rows.foreach { r =>
+      assert(r.getAs[Long]("v2") == 20L, s"v2 should be .value * 2: $r")
+      assert(r.getAs[String]("err") == null, s"err should be null on success: $r")
+    }
+    // the fallible form really is fallible: a failing rhs lands the error
+    // in `err` and null in the value, instead of killing the batch
+    val failing = Processors.RemapProcessor(".v2, err = .value / 0; .")
+    val base = Processors.fromConf(s.processors.take(1)).head(
+      Engine.inputFromConf(spark,
+        s.input.copy(options = s.input.options + ("count" -> "1"))))
+    val out = failing(base).collect().head
+    assert(out.getAs[Any]("v2") == null)
+    assert(Option(out.getAs[String]("err")).exists(_.toLowerCase.contains("divi")),
+      s"err should carry the division error: $out")
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))

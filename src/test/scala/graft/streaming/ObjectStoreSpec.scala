@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The file input's object-store config surface (reference
+  * file.rs:288-390 `store:` block) → Hadoop FS conf translation —
+  * pure-mapping specs, no live store needed (the sandbox has no
+  * endpoints; the translation IS the deliverable, per README's table).
+  */
+class ObjectStoreSpec extends AnyFunSuite {
+
+  test("s3 store maps to fs.s3a.* (endpoint forces path-style, allow_http drops TLS)") {
+    val conf = Engine.objectStoreConf(Map(
+      "store.type" -> "s3",
+      "store.bucket_name" -> "corpus",
+      "store.access_key_id" -> "AK",
+      "store.secret_access_key" -> "SK",
+      "store.endpoint" -> "http://minio:9000",
+      "store.region" -> "us-east-1",
+      "store.allow_http" -> "true"))
+    assert(conf == Map(
+      "fs.s3a.access.key" -> "AK",
+      "fs.s3a.secret.key" -> "SK",
+      "fs.s3a.endpoint" -> "http://minio:9000",
+      "fs.s3a.path.style.access" -> "true",
+      "fs.s3a.endpoint.region" -> "us-east-1",
+      "fs.s3a.connection.ssl.enabled" -> "false"))
+    // AWS-default variant: no endpoint -> no path-style override, TLS on
+    val aws = Engine.objectStoreConf(Map(
+      "store.type" -> "s3", "store.access_key_id" -> "AK",
+      "store.secret_access_key" -> "SK"))
+    assert(!aws.contains("fs.s3a.path.style.access") &&
+      !aws.contains("fs.s3a.connection.ssl.enabled"))
+  }
+
+  test("s3:// and az:// paths rewrite to the Hadoop connector schemes; gs/hdfs pass") {
+    assert(Engine.objectStorePath("s3://corpus/part-0.parquet", Map.empty) ==
+      "s3a://corpus/part-0.parquet")
+    assert(Engine.objectStorePath("az://box/data/x.parquet",
+      Map("store.account" -> "acct")) ==
+      "abfs://box@acct.dfs.core.windows.net/data/x.parquet")
+    assertThrows[IllegalArgumentException](
+      Engine.objectStorePath("az://box/x.parquet", Map.empty))
+    assert(Engine.objectStorePath("gs://b/x.parquet", Map.empty) == "gs://b/x.parquet")
+    assert(Engine.objectStorePath("hdfs://nn/x.parquet", Map.empty) == "hdfs://nn/x.parquet")
+    assert(Engine.objectStorePath("/local/x.parquet", Map.empty) == "/local/x.parquet")
+  }
+
+  test("gs store: keyfile path or raw key (exactly one), raw key lands in a temp keyfile") {
+    val byPath = Engine.objectStoreConf(Map(
+      "store.type" -> "gs", "store.bucket_name" -> "b",
+      "store.service_account_path" -> "/keys/sa.json"))
+    assert(byPath("fs.gs.auth.service.account.json.keyfile") == "/keys/sa.json")
+    val byKey = Engine.objectStoreConf(Map(
+      "store.type" -> "gs", "store.bucket_name" -> "b",
+      "store.service_account_key" -> """{"type":"service_account"}"""))
+    val f = byKey("fs.gs.auth.service.account.json.keyfile")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8").contains("service_account"))
+    assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
+      "store.type" -> "gs", "store.bucket_name" -> "b")))
+    assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
+      "store.type" -> "gs", "store.service_account_path" -> "p",
+      "store.service_account_key" -> "k")))
+  }
+
+  test("az/hdfs stores map account key and HA client conf; http is an explicit error") {
+    val az = Engine.objectStoreConf(Map(
+      "store.type" -> "az", "store.account" -> "acct",
+      "store.container_name" -> "box", "store.access_key" -> "AZK"))
+    assert(az("fs.azure.account.key.acct.dfs.core.windows.net") == "AZK")
+    assert(az("fs.azure.account.key.acct.blob.core.windows.net") == "AZK")
+    val hdfs = Engine.objectStoreConf(Map(
+      "store.type" -> "hdfs", "store.url" -> "hdfs://ns1",
+      "store.ha_config.dfs.nameservices" -> "ns1"))
+    assert(hdfs("fs.defaultFS") == "hdfs://ns1" && hdfs("dfs.nameservices") == "ns1")
+    assertThrows[IllegalArgumentException](
+      Engine.objectStoreConf(Map("store.type" -> "http", "store.url" -> "http://x")))
+    assert(Engine.objectStoreConf(Map("format" -> "parquet")) == Map.empty)
+  }
+
+  test("the YAML `store:` block parses to the dotted options the mapping reads") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input:
+        |      type: "file"
+        |      format: "parquet"
+        |      path: "s3://corpus/docs.parquet"
+        |      store:
+        |        type: "s3"
+        |        bucket_name: "corpus"
+        |        access_key_id: "AK"
+        |        secret_access_key: "SK"
+        |        endpoint: "http://minio:9000"
+        |        allow_http: true
+        |    output:
+        |      type: "drop"
+        |""".stripMargin)
+    val opts = conf.streams.head.input.options
+    assert(opts("store.type") == "s3" && opts("store.access_key_id") == "AK")
+    assert(Engine.objectStoreConf(opts)("fs.s3a.endpoint") == "http://minio:9000")
+    assert(Engine.objectStorePath(opts("path"), opts) == "s3a://corpus/docs.parquet")
+  }
+}

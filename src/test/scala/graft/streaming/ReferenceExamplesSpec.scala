@@ -5,10 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Compatibility sweep over the REFERENCE ENGINE'S OWN example configs
   * (every .yaml under /root/reference/examples, read-only): every stream config a
   * reference user has today must parse under [[Config.fromYaml]] and
-  * resolve every top-level component kind against this engine's
-  * registries — the concrete form of the "switch engines and run what
-  * you run today" claim. Divergences must be EXPLICIT entries below
-  * with a documented rationale, never silent failures.
+  * resolve every component kind against the ENGINE'S OWN DISPATCH
+  * TABLES — `Engine.inputBuilders` / `Engine.sinkBuilders` /
+  * `Engine.bufferBuilders` / `Processors.builders`, the maps the engine
+  * itself dispatches through — so removing a dispatch entry fails this
+  * spec (no parallel hand-maintained kind lists that can drift from the
+  * real dispatch). Divergences must be EXPLICIT entries below with a
+  * documented rationale, never silent failures.
   */
 class ReferenceExamplesSpec extends AnyFunSuite {
 
@@ -19,21 +22,6 @@ class ReferenceExamplesSpec extends AnyFunSuite {
   private val structuralSkips: Set[String] = Set(
     "control_plane_hub.yaml", "control_plane_node.yaml")
 
-  private val supportedInputs = Set(
-    "generate", "memory", "file", "kafka", "sql", "redis", "modbus",
-    "http", "mqtt", "nats", "websocket", "pulsar", "multiple_inputs")
-  private val supportedOutputs = Set(
-    "parquet", "stdout", "drop", "memory", "sql", "http", "kafka",
-    "influxdb", "redis", "nats", "mqtt", "mongodb", "pulsar")
-  private val supportedProcessors = Set(
-    "sql", "json_to_arrow", "arrow_to_json", "protobuf_to_arrow",
-    "arrow_to_protobuf", "debezium_json", "batch", "drift", "expr",
-    "python", "vrl", "remap")
-  // Window buffers resolve through the buffer registry.
-  private val supportedBuffers = Set(
-    "memory", "tumbling_window", "sliding_window", "session_window",
-    "window", "join")
-
   private def yamlFiles: Seq[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".yaml")).sortBy(_.getName).toSeq
@@ -42,22 +30,27 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     assert(yamlFiles.size >= 20, s"expected the reference example corpus, found ${yamlFiles.size}")
   }
 
-  test("every reference stream example parses and its component kinds resolve") {
+  test("every reference stream example parses and its component kinds resolve " +
+      "through the engine's real dispatch tables") {
     val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    def checkInput(f: String, c: ComponentConf): Unit = {
+      if (!Engine.inputBuilders.contains(c.kind))
+        problems += s"$f: input '${c.kind}'"
+      c.children.foreach(checkInput(f, _)) // multiple_inputs children
+    }
     yamlFiles.filterNot(f => structuralSkips(f.getName)).foreach { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       try {
         val conf = Config.fromYaml(text)
         conf.streams.foreach { s =>
-          if (!supportedInputs(s.input.kind))
-            problems += s"${f.getName}: input '${s.input.kind}'"
-          if (!supportedOutputs(s.output.kind))
+          checkInput(f.getName, s.input)
+          if (!Engine.sinkBuilders.contains(s.output.kind))
             problems += s"${f.getName}: output '${s.output.kind}'"
-          s.errorOutput.foreach(e => if (!supportedOutputs(e.kind))
+          s.errorOutput.foreach(e => if (!Engine.sinkBuilders.contains(e.kind))
             problems += s"${f.getName}: error_output '${e.kind}'")
-          s.buffer.foreach(b => if (!supportedBuffers(b.kind))
+          s.buffer.foreach(b => if (!Engine.bufferBuilders.contains(b.kind))
             problems += s"${f.getName}: buffer '${b.kind}'")
-          s.processors.foreach(p => if (!supportedProcessors(p.kind))
+          s.processors.foreach(p => if (!Processors.builders.contains(p.kind))
             problems += s"${f.getName}: processor '${p.kind}'")
         }
       } catch {
@@ -66,5 +59,33 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     }
     assert(problems.isEmpty,
       "reference configs this engine cannot accept:\n  " + problems.mkString("\n  "))
+  }
+
+  test("every reference example's PROCESSOR configs actually build " +
+      "(options included, not just the kind)") {
+    // A kind can resolve while its options don't — this builds each
+    // processor with the example's own options (processors are pure
+    // config-to-transform builders, no external connection needed; the
+    // vrl example's exact program must compile here).
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    yamlFiles.filterNot(f => structuralSkips(f.getName)).foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val conf = try Some(Config.fromYaml(text)) catch { case _: Exception => None }
+      conf.toSeq.flatMap(_.streams).flatMap(_.processors)
+        // python needs an output_schema option this engine requires at
+        // plan time (Spark needs the schema; the reference infers per
+        // batch) — the python example's pipeline is e2e-run in
+        // PythonPipeSpec instead. protobuf examples reference a
+        // descriptor file path relative to the reference's own CWD.
+        .filterNot(p => Set("python", "protobuf_to_arrow", "arrow_to_protobuf")(p.kind))
+        .foreach { p =>
+          try { Processors.fromConf(Seq(p)); () }
+          catch { case e: Exception =>
+            problems += s"${f.getName}: processor '${p.kind}' failed to build: ${e.getMessage}"
+          }
+        }
+    }
+    assert(problems.isEmpty,
+      "processor configs that do not build:\n  " + problems.mkString("\n  "))
   }
 }

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config-level window BUFFER e2e: the `sliding_window` /
+  * `session_window` buffer kinds parsed from YAML and run through the
+  * engine's own dispatch ([[Engine.bufferProcessors]] →
+  * [[Processors.SlidingWindowBuffer]] / [[Processors.SessionWindowBuffer]])
+  * against live micro-batch streams — mirroring the reference's own
+  * buffer tests (sliding_window.rs:306-, session_window.rs:250-) with
+  * Spark's micro-batch as the message-batch unit.
+  */
+class WindowBufferSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("sliding_window buffer from YAML: window_size=3 slide_size=2 over 5 " +
+      "micro-batches emits [1,2,3] then [3,4,5] (sliding_window.rs process_slide)") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input:
+        |      type: "generate"
+        |      count: 1
+        |    buffer:
+        |      type: "sliding_window"
+        |      window_size: 3
+        |      slide_size: 2
+        |      interval: 10ms
+        |    output:
+        |      type: "drop"
+        |""".stripMargin)
+    val s = conf.streams.head
+    val procs = Engine.bufferProcessors(s.buffer, s.input)
+    assert(procs.size == 1 && procs.head.isInstanceOf[Processors.SlidingWindowBuffer])
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(), procs, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      (1 to 5).foreach { i => ms.addData(i); q.processAllAvailable() }
+    } finally q.stop()
+    val windows = sink.batches.toSeq.sortBy(_._1)
+      .map(_._2.map(_.getInt(0)).sorted.toList)
+    assert(windows == Seq(List(1, 2, 3), List(3, 4, 5)),
+      s"got $windows — want the two overlapping windows, partial [5] dropped")
+  }
+
+  test("sliding_window builder validation matches the reference's " +
+      "(sliding_window.rs builder Error::Config cases)") {
+    def build(w: Int, sl: Int) = Engine.bufferProcessors(
+      Some(ComponentConf("sliding_window",
+        Map("window_size" -> w.toString, "slide_size" -> sl.toString))))
+    assertThrows[IllegalArgumentException](build(0, 5))
+    assertThrows[IllegalArgumentException](build(10, 0))
+    assertThrows[IllegalArgumentException](build(5, 10)) // window < slide
+    assertThrows[IllegalArgumentException](Engine.bufferProcessors(
+      Some(ComponentConf("sliding_window", Map.empty)))) // config missing
+    assert(build(10, 5).size == 1)
+  }
+
+  test("session_window buffer from YAML: a batch arriving after the gap closes " +
+      "the previous session (session_window.rs multiple-sessions test)") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input:
+        |      type: "generate"
+        |      count: 1
+        |    buffer:
+        |      type: "session_window"
+        |      gap: 2s
+        |    output:
+        |      type: "drop"
+        |""".stripMargin)
+    val s = conf.streams.head
+    val procs = Engine.bufferProcessors(s.buffer, s.input)
+    assert(procs.size == 1 && procs.head.isInstanceOf[Processors.SessionWindowBuffer])
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(), procs, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      ms.addData(1); q.processAllAvailable()
+      ms.addData(2); q.processAllAvailable() // within gap -> same session
+      Thread.sleep(2500)                     // silence > gap closes it
+      ms.addData(3); q.processAllAvailable() // arrival emits session {1,2}
+    } finally q.stop()
+    assert(sink.rows.map(_.getInt(0)).sorted == Seq(1, 2),
+      s"the closed session is {1,2}; batch 3 opens the next (still pending): ${sink.rows}")
+  }
+
+  test("session_window requires gap; unknown buffer kinds are rejected " +
+      "(the dispatch is closed, not silently permissive)") {
+    assertThrows[IllegalArgumentException](Engine.bufferProcessors(
+      Some(ComponentConf("session_window", Map.empty))))
+    assertThrows[IllegalArgumentException](Engine.bufferProcessors(
+      Some(ComponentConf("no_such_buffer", Map.empty))))
+  }
+
+  test("session_window EOF flush: a one-shot batch input's single session " +
+      "reaches the sink through the downstream processors (Engine.runBatch drain)") {
+    import spark.implicits._
+    val buf = Engine.bufferProcessors(
+      Some(ComponentConf("session_window", Map("gap" -> "1s"))))
+    val double = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("y", org.apache.spark.sql.functions.col("x") * 2)
+    val sink = new Engine.MemorySink
+    Engine.runBatch(Seq(1, 2, 3).toDF("x"), buf ++ Seq(double), sink, None)
+    assert(sink.rows.map(r => (r.getInt(0), r.getInt(1))).sorted ==
+      Seq((1, 2), (2, 4), (3, 6)))
+  }
+}
