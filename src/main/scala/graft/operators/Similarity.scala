@@ -783,7 +783,7 @@ object Similarity {
     * ~log(n) like the simhash width (SCALING.md).
     */
   def cosineLshPairs(emb: DataFrame, bands: Int, bitsPerBand: Int,
-      threshold: Double, dim: Int = 64): DataFrame = {
+      threshold: Double, dim: Int = 64, bucketCap: Int = 1024): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     val v = prepared(emb)
     def sign(k: Int, i: Int): Double = {
@@ -798,8 +798,12 @@ object Similarity {
     val bandCols = (0 until bands).map(b =>
       concat((0 until bitsPerBand).map(j => bit(b * bitsPerBand + j)): _*).as(s"band$b"))
     val sig = v.select(col("vec_id") +: bandCols: _*)
-    val stacked = sig.select(col("vec_id"), explode(map(
-      (0 until bands).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig")))
+    // bucket-skew cap (Dedup.capBuckets): a degenerate hyperplane bucket
+    // (e.g. near-duplicate embedding floods) stays O(cap²), not O(bucket²)
+    val stacked = graft.operators.Dedup.capBuckets(
+      sig.select(col("vec_id"), explode(map(
+        (0 until bands).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig"))),
+      Seq("band", "sig"), "vec_id", bucketCap)
     val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
       .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
       .filter(col("va") < col("vb"))
