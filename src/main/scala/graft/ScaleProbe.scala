@@ -107,10 +107,12 @@ object ScaleProbe {
             .parquet(s"$sf1/documents.parquet")
           val emb = Tables.load(spark, sfDir, "embeddings")
           val emb10 = (0 until 10).map(c =>
-            emb.select((col("vec_id") + lit(1000000L) * c).as("vec_id"),
+            emb.select((col("vec_id") + lit(idStride) * c).as("vec_id"),
               // rotate the vector by c positions so copies decorrelate
               expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
-                s"slice(embedding, 1, $c))").as("embedding")))
+                s"slice(embedding, 1, $c))").as("embedding"),
+              // carry every non-vector column (q164 reads `label`)
+              col("label")))
             .reduce(_ unionByName _)
           emb10.repartition(8).write.mode("overwrite")
             .parquet(s"$sf1/embeddings.parquet")
@@ -124,13 +126,16 @@ object ScaleProbe {
           marker.createNewFile()
           ()
         }
-        val heavy = args.drop(1).headOption
-          .map(_.split(",").toSeq)
-          .getOrElse(Seq("q178_adamic_adar", "q58_simhash_hamming",
+        val heavy = args.drop(1).headOption match {
+          // the FULL sweep: every SparkEntry query at 1x and 10x
+          case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+          case Some(list) => list.split(",").toSeq
+          case None => Seq("q178_adamic_adar", "q58_simhash_hamming",
             "q244_simhash_autopairs", "q158_prefix_jaccard",
             "q115_minhash_estimate", "q150_dedup_consensus",
             "q175_typo_pairs", "q102_gopher_rules", "q89_containment",
-            "q217_hits", "q90_editdist_confirm", "q82_curation_pipeline"))
+            "q217_hits", "q90_editdist_confirm", "q82_curation_pipeline")
+        }
         heavy.foreach { name =>
           val fn = SparkEntry.queries(name)
           def run(dir: String): (Double, Long) = {

@@ -728,13 +728,40 @@ object Dedup {
   def jaroWinklerConfirm(docs: DataFrame, idCol: String, textCol: String,
                          minSim: Double): DataFrame = {
     graft.functions.JaroWinkler.register(docs.sparkSession)
-    val t = docs.select(col(idCol), col(textCol))
-    minhashPairs(docs, idCol, textCol)
+    // same exact-copy collapse as [[editDistanceConfirm]] (see the proof
+    // there): identical texts share signatures, so candidates expand
+    // exactly through copy groups; jw(t, t) = 1.0 for any text long
+    // enough to be an LSH candidate (>= 3 words, hence non-empty), so
+    // within-group pairs survive every minSim and are emitted directly.
+    val hashed = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__ch", md5(col("__text")))
+      .localCheckpoint(true)
+    val reps = hashed
+      .groupBy(col("__ch"))
+      .agg(min(col("__id")).as("__id"), first(col("__text")).as("__text"))
+      .select(col("__id").as(idCol), col("__text").as(textCol))
+    val t = reps.select(col(idCol), col(textCol))
+    val repPairs = minhashPairs(reps, idCol, textCol)
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
       .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
       .withColumn("jw_sim", round(expr("jaro_winkler(ta, tb)"), 6))
       .filter(col("jw_sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("jw_sim"))
+    val members = hashed.join(
+      hashed.groupBy(col("__ch")).agg(min(col("__id")).as("__rep")), "__ch")
+    val cross = repPairs
+      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")), "doc_a")
+      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")), "doc_b")
+      .select(least(col("__ia"), col("__ib")).as("doc_a"),
+        greatest(col("__ia"), col("__ib")).as("doc_b"), col("jw_sim"))
+    val eligible = hashed.filter(size(split(col("__text"), " ")) >= 3)
+      .select(col("__ch"), col("__id"))
+    val within = eligible.select(col("__ch"), col("__id").as("doc_a"))
+      .join(eligible.select(col("__ch"), col("__id").as("doc_b")), "__ch")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jw_sim"))
+    cross.union(within)
   }
 
   /** Typo-tolerant record linkage over SHORT name fields: within-block

@@ -532,6 +532,46 @@ object Processors {
     // single-quoted SQL string literal, with '' as the escaped quote
     private val Literal = "'(?:[^']|'')*'".r
 
+    // VRL stdlib names mapped to the Spark SQL function with identical
+    // semantics, rewritten at CALL sites only (an `upcase(` call, never a
+    // field or literal — literals are masked, fields backticked by the
+    // time this runs). Fallible VRL conversions (to_int etc.) map to
+    // Spark's cast functions, whose failure the `, err =` form catches
+    // via try_pair — composition matches VRL's fallible-call semantics.
+    private val FnAliases = Seq(
+      "upcase" -> "upper", "downcase" -> "lower",
+      "strip_whitespace" -> "trim",
+      "to_string" -> "string", "to_int" -> "bigint",
+      "to_float" -> "double", "to_bool" -> "boolean",
+      "starts_with" -> "startswith", "ends_with" -> "endswith",
+      "truncate" -> "left", "join" -> "array_join",
+      "format_timestamp" -> "date_format",
+      "to_unix_timestamp" -> "unix_timestamp")
+
+    // VRL expression-form conditional `if COND { A } else { B }` →
+    // CASE WHEN. Innermost-first loop handles nesting; a no-else form
+    // yields NULL (only matched when NOT followed by `else`, so a
+    // dangling `else if` chain fails loudly at expr() instead of
+    // silently mis-grouping — else-if chains are documented unsupported,
+    // write nested `else { if ... }` instead).
+    private val IfExpr =
+      """if\s+([^{}]+?)\s*\{\s*([^{}]+?)\s*\}(?:\s*else\s*\{\s*([^{}]+?)\s*\}|(?!\s*else))""".r
+
+    private def vrlRewrites(s0: String): String = {
+      var s = s0
+      var changed = true
+      while (changed) {
+        val n = IfExpr.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"CASE WHEN ${m.group(1)} THEN ${m.group(2)} ELSE ${Option(m.group(3)).getOrElse("NULL")} END"))
+        changed = n != s
+        s = n
+      }
+      FnAliases.foldLeft(s) { case (acc, (vrl, sql)) =>
+        acc.replaceAll("(?<![A-Za-z0-9_.`])" + vrl + "\\s*\\(", sql + "(")
+      }
+    }
+
     // String literals are masked to NUL-delimited placeholders before
     // comment-stripping and .field rewriting, so a '#' or '//' or '.word'
     // INSIDE a literal is never treated as syntax, then restored after.
@@ -546,7 +586,7 @@ object Processors {
           case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
         }
         def fieldRefs(rhs: String): String =
-          unmask(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`"))
+          unmask(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
         // NOT .trim: it strips every char <= 0x20 including the NUL
         // placeholder delimiters; \s leaves NUL alone.
         val line = masked.replaceAll("(#|//).*$", "")

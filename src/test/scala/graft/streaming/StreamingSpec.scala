@@ -343,6 +343,24 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Processors.RemapProcessor("nonsense ="))
   }
 
+  test("remap VRL idioms: stdlib aliases, expression-form if/else, fallible " +
+      "conversion feeding the err target (processor/vrl.rs stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.sensor = upcase(strip_whitespace(.sensor))
+        |.size = if .value > 5 { 'big' } else { 'small' }
+        |.tiny = if .value > 100 { 'huge' }
+        |.head = truncate(.sensor, 4)
+        |.n, err = to_int(.sensor)
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("sensor", "size", "tiny", "head", "n", "err").collect().head
+    assert(r.getString(0) == "TEMP_1")
+    assert(r.getString(1) == "big")      // value=10 > 5
+    assert(r.isNullAt(2), "no-else if is NULL when false")
+    assert(r.getString(3) == "TEMP")     // truncate -> left
+    assert(r.isNullAt(4), "to_int('TEMP_1') fails -> null value")
+    assert(!r.isNullAt(5), "…and a non-null err message")
+  }
+
   test("remap leaves '#', '//' and .field text inside string literals untouched") {
     val out = Processors.RemapProcessor(
       """.url = concat(.sensor, '//host#frag')   # only THIS is a comment
