@@ -230,6 +230,42 @@ class ExamplesSpec extends AnyFunSuite {
       s"err should carry the division error: $out")
   }
 
+  test("FULL config path e2e: Engine.run on a multiple_inputs + session " +
+      "window + join YAML lands the joined window in the parquet sink") {
+    val spark = SparkTestSession.spark
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mi_join").toString
+    val conf = Config.fromYaml(
+      s"""streams:
+         |  - input:
+         |      type: "multiple_inputs"
+         |      inputs:
+         |        - type: "generate"
+         |          name: "left_feed"
+         |          context: '{ "id": 7, "x": 1 }'
+         |          count: 3
+         |        - type: "generate"
+         |          name: "right_feed"
+         |          context: '{ "id": 7, "y": 2 }'
+         |          count: 2
+         |    buffer:
+         |      type: "session_window"
+         |      gap: 1s
+         |      join:
+         |        query: "SELECT left_feed.id AS id, x, y FROM left_feed JOIN right_feed ON left_feed.id = right_feed.id"
+         |        codec:
+         |          type: "json"
+         |    output:
+         |      type: "parquet"
+         |      path: "$outDir"
+         |""".stripMargin)
+    Engine.run(spark, conf) // batch children -> one-shot run, EOF flush
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    assert(got.count() == 6, "3 left x 2 right rows joined on id")
+    val r = got.collect().head
+    assert(r.getAs[Long]("id") == 7L && r.getAs[Long]("x") == 1L &&
+      r.getAs[Long]("y") == 2L)
+  }
+
   test("buffer config with capacity resolves to a batch accumulator") {
     val procs = Engine.bufferProcessors(Some(ComponentConf("memory",
       Map("capacity" -> "5", "timeout_ms" -> "1000"))))
