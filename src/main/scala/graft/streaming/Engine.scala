@@ -710,10 +710,18 @@ object Engine {
     if (in.isStreaming)
       Some(start(in, procs, sink, err,
         // the buffer's cadence is the trigger: tumbling/sliding fire per
-        // `interval`, a session's silence check runs at `gap` cadence
+        // `interval`. A session buffer triggers FASTER than its gap
+        // (gap/5, floor 50 ms): the gap test compares consecutive
+        // ARRIVALS, so the trigger must resolve finer than the gap or a
+        // steady stream whose batches land ~gap apart would spuriously
+        // close a session per batch (the reference's timer checks at
+        // message granularity for the same reason).
         trigger = s.buffer.flatMap(b =>
-            b.options.get("interval").orElse(b.options.get("gap")))
-          .map(i => Trigger.ProcessingTime(Config.triggerInterval(i)))
+            b.options.get("interval")
+              .map(i => Config.triggerInterval(i))
+              .orElse(b.options.get("gap").map(g =>
+                s"${math.max(Config.parseDurationMs(g) / 5, 50L)} milliseconds")))
+          .map(Trigger.ProcessingTime(_))
           .getOrElse(Trigger.ProcessingTime(0L)),
         checkpoint = s.input.options.get("checkpoint"),
         queryName = Some(id)))
