@@ -43,14 +43,19 @@ object BandedLevenshtein {
 
   /** Exact distance if <= threshold, else -1. Negative thresholds yield
     * -1 (nothing has negative distance), matching the built-in. */
-  def distance(ua: UTF8String, ub: UTF8String, threshold: Int): Int = {
-    if (threshold < 0) return -1
+  def distance(ua: UTF8String, ub: UTF8String, threshold0: Int): Int = {
+    if (threshold0 < 0) return -1
     // decode ONCE per call; DP cells then compare plain ints
     var s = ua.toString.codePoints().toArray
     var t = ub.toString.codePoints().toArray
     if (s.length > t.length) { val tmp = s; s = t; t = tmp }
     val n = s.length
     val m = t.length
+    // distance never exceeds the longer length, so clamp the band there:
+    // result-identical, and `inf = threshold + 1` / `j + threshold` can
+    // no longer overflow for huge thresholds (e.g. Int.MaxValue, which
+    // the built-in accepts and this SQL-registered function must too)
+    val threshold = math.min(threshold0, m)
     if (m - n > threshold) return -1
     if (n == 0) return m // m <= threshold by the gap check
     val inf = threshold + 1

@@ -56,6 +56,9 @@ case class TryPair(child: Expression) extends UnaryExpression {
     val err = ctx.freshName("tryErr")
     val e = ctx.freshName("tryExc")
     val rowCls = classOf[GenericInternalRow].getName
+    // InterruptedException rethrows (as the interpreted eval's NonFatal
+    // does): a task cancellation must kill the task, never become a data
+    // row with err="...interrupted"
     ev.copy(
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
       code = code"""
@@ -65,6 +68,10 @@ case class TryPair(child: Expression) extends UnaryExpression {
           ${childGen.code}
           if (!${childGen.isNull}) $v = (Object) ${childGen.value};
         } catch (Exception $e) {
+          if ($e instanceof InterruptedException) {
+            Thread.currentThread().interrupt();
+            throw new RuntimeException($e);
+          }
           $err = UTF8String.fromString(String.valueOf($e.getMessage()));
         }
         InternalRow ${ev.value} = new $rowCls(new Object[]{$v, $err});""")

@@ -338,6 +338,9 @@ object Corpus {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true)
+    // carried across rounds: this round's edge count IS next round's
+    // "previous count" — one count job per round instead of two
+    var edgeCount = edges.count()
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -359,9 +362,10 @@ object Corpus {
         .distinct()
         .localCheckpoint(true)
       // fixpoint test on the contracted (star-sized) edge set
-      converged = afterSmall.count() == edges.count() &&
-        afterSmall.except(edges).isEmpty
+      val nextCount = afterSmall.count()
+      converged = nextCount == edgeCount && afterSmall.except(edges).isEmpty
       edges = afterSmall
+      edgeCount = nextCount
       round += 1
     }
     if (!converged)

@@ -564,28 +564,9 @@ object Dedup {
     */
   def editDistanceConfirm(docs: DataFrame, idCol: String, textCol: String,
                           maxRel: Double): DataFrame = {
-    // EXACT-COPY COLLAPSE first: on a real crawl identical copies
-    // dominate, and k copies otherwise cost O(k²) candidate pairs
-    // through the band join AND the pair-text joins. Identical texts
-    // have identical shingle sets, hence identical minhash signatures,
-    // hence (a) every within-copy-group pair IS an LSH candidate (same
-    // sig in every band) with distance 0 by definition, and (b) a
-    // cross-group pair is a candidate iff its two REPRESENTATIVES are.
-    // So: group by content hash, run candidate-gen + banded DP on ONE
-    // representative per distinct text, then expand survivors back
-    // through the copy groups — result is row-identical to running the
-    // full corpus, but candidate volume scales with UNIQUE content, not
-    // copy count. (Measured: the sf1 dup-dense rehearsal went 938.8 s →
-    // linear once copies stopped entering the pair join.)
     graft.functions.BandedLevenshtein.register(docs.sparkSession)
-    val hashed = docs
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__ch", md5(col("__text")))
-      .localCheckpoint(true)
-    val reps = hashed
-      .groupBy(col("__ch"))
-      .agg(min(col("__id")).as("__id"), first(col("__text")).as("__text"))
-      .select(col("__id").as(idCol), col("__text").as(textCol))
+    val cc = contentCollapse(docs, idCol, textCol)
+    val reps = cc.reps(idCol, textCol)
     val t = reps.select(col(idCol), col(textCol))
     // banded DP: pass a per-pair bound as the levenshtein threshold — the
     // kernel early-exits in O(len·bound) instead of O(len²) and returns
@@ -624,30 +605,72 @@ object Dedup {
       .withColumn("rel_dist", round(col("dist").cast("double") / col("__max_len"), 6))
       .filter(col("rel_dist") <= maxRel)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("rel_dist"))
-    // expand cross-group survivors: every (member of A) × (member of B)
-    // pair inherits the representatives' distance (texts are equal within
-    // a group). The survivor table is tiny relative to the corpus, so
-    // both membership joins broadcast it under AQE.
-    val members = hashed.join(
-      hashed.groupBy(col("__ch")).agg(min(col("__id")).as("__rep")), "__ch")
-    val cross = repPairs
-      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")), "doc_a")
-      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")), "doc_b")
-      .select(least(col("__ia"), col("__ib")).as("doc_a"),
-        greatest(col("__ia"), col("__ib")).as("doc_b"),
-        col("dist"), col("rel_dist"))
-    // within-group identical pairs: distance 0, always under maxRel. Only
-    // texts with >= 3 words ever enter the band join (bandSignatures
-    // filters shorter ones), so copy groups of shorter texts were never
-    // LSH candidates and must not appear here either.
-    val eligible = hashed.filter(size(split(col("__text"), " ")) >= 3)
-      .select(col("__ch"), col("__id"))
-    val within = eligible.select(col("__ch"), col("__id").as("doc_a"))
-      .join(eligible.select(col("__ch"), col("__id").as("doc_b")), "__ch")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0).as("dist"),
-        lit(0.0).as("rel_dist"))
-    cross.union(within)
+    cc.expand(repPairs, scoreCols = Seq("dist", "rel_dist"),
+      withinScores = Seq(lit(0).as("dist"), lit(0.0).as("rel_dist")))
+  }
+
+  /** EXACT-COPY COLLAPSE shared by [[editDistanceConfirm]] and
+    * [[jaroWinklerConfirm]]: on a real crawl identical copies dominate,
+    * and k copies otherwise cost O(k²) candidate pairs through the band
+    * join AND the pair-text joins. Identical texts have identical
+    * shingle sets, hence identical minhash signatures, hence (a) every
+    * within-copy-group pair IS an LSH candidate (same sig in every band)
+    * and trivially confirms (distance 0 / similarity 1), and (b) a
+    * cross-group pair is a candidate iff its two REPRESENTATIVES are.
+    * So: group by content hash, run candidate-gen + the quadratic
+    * confirm on ONE representative per distinct text, then [[ContentCollapse.expand]]
+    * the survivors back through the copy groups — row-identical to the
+    * uncollapsed confirm, but candidate volume scales with UNIQUE
+    * content, not copy count. (Measured: the sf1 dup-dense rehearsal
+    * went 938.8 s → linear once copies stopped entering the pair join.)
+    * ONE aggregation serves both the representative table and the
+    * member→representative map (localCheckpointed so neither derivation
+    * recomputes it).
+    */
+  private case class ContentCollapse(repMap: DataFrame, hashed: DataFrame) {
+    /** Unique-content corpus: one representative row (min id) per text. */
+    def reps(idCol: String, textCol: String): DataFrame =
+      repMap.select(col("__rep").as(idCol), col("__text").as(textCol))
+
+    /** Expand surviving representative pairs (doc_a < doc_b, rep ids)
+      * through the copy groups: every (member of A) × (member of B) pair
+      * inherits the representatives' scores (texts are equal within a
+      * group); within-group pairs get `withinScores` (trivial confirm).
+      * Only ≥3-word texts ever enter the band join (bandSignatures
+      * filters shorter ones), so copy groups of shorter texts were never
+      * LSH candidates and are excluded from the within expansion too.
+      * The survivor table is tiny relative to the corpus, so both
+      * membership joins broadcast it under AQE. */
+    def expand(repPairs: DataFrame, scoreCols: Seq[String],
+        withinScores: Seq[Column]): DataFrame = {
+      val members = hashed.select(col("__ch"), col("__id"))
+        .join(repMap.select(col("__ch"), col("__rep")), "__ch")
+      val cross = repPairs
+        .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")), "doc_a")
+        .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")), "doc_b")
+        .select(Seq(least(col("__ia"), col("__ib")).as("doc_a"),
+          greatest(col("__ia"), col("__ib")).as("doc_b")) ++ scoreCols.map(col): _*)
+      val eligible = hashed.filter(size(split(col("__text"), " ")) >= 3)
+        .select(col("__ch"), col("__id"))
+      val within = eligible.select(col("__ch"), col("__id").as("doc_a"))
+        .join(eligible.select(col("__ch"), col("__id").as("doc_b")), "__ch")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(Seq(col("doc_a"), col("doc_b")) ++ withinScores: _*)
+      cross.union(within)
+    }
+  }
+
+  private def contentCollapse(docs: DataFrame, idCol: String,
+      textCol: String): ContentCollapse = {
+    val hashed = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__ch", md5(col("__text")))
+      .localCheckpoint(true)
+    val repMap = hashed
+      .groupBy(col("__ch"))
+      .agg(min(col("__id")).as("__rep"), first(col("__text")).as("__text"))
+      .localCheckpoint(true)
+    ContentCollapse(repMap, hashed)
   }
 
   /** LSH parameter-planning table — the sizing evidence behind every
@@ -728,40 +751,20 @@ object Dedup {
   def jaroWinklerConfirm(docs: DataFrame, idCol: String, textCol: String,
                          minSim: Double): DataFrame = {
     graft.functions.JaroWinkler.register(docs.sparkSession)
-    // same exact-copy collapse as [[editDistanceConfirm]] (see the proof
-    // there): identical texts share signatures, so candidates expand
-    // exactly through copy groups; jw(t, t) = 1.0 for any text long
-    // enough to be an LSH candidate (>= 3 words, hence non-empty), so
-    // within-group pairs survive every minSim and are emitted directly.
-    val hashed = docs
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__ch", md5(col("__text")))
-      .localCheckpoint(true)
-    val reps = hashed
-      .groupBy(col("__ch"))
-      .agg(min(col("__id")).as("__id"), first(col("__text")).as("__text"))
-      .select(col("__id").as(idCol), col("__text").as(textCol))
-    val t = reps.select(col(idCol), col(textCol))
-    val repPairs = minhashPairs(reps, idCol, textCol)
+    // same exact-copy collapse as [[editDistanceConfirm]] ([[contentCollapse]]
+    // has the proof): jw(t, t) = 1.0 for any text long enough to be an
+    // LSH candidate (>= 3 words, hence non-empty), so within-group pairs
+    // survive every minSim and expand with a literal 1.0.
+    val cc = contentCollapse(docs, idCol, textCol)
+    val t = cc.reps(idCol, textCol)
+    val repPairs = minhashPairs(t, idCol, textCol)
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("ta")), "doc_a")
       .join(t.select(col(idCol).as("doc_b"), col(textCol).as("tb")), "doc_b")
       .withColumn("jw_sim", round(expr("jaro_winkler(ta, tb)"), 6))
       .filter(col("jw_sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("jw_sim"))
-    val members = hashed.join(
-      hashed.groupBy(col("__ch")).agg(min(col("__id")).as("__rep")), "__ch")
-    val cross = repPairs
-      .join(members.select(col("__rep").as("doc_a"), col("__id").as("__ia")), "doc_a")
-      .join(members.select(col("__rep").as("doc_b"), col("__id").as("__ib")), "doc_b")
-      .select(least(col("__ia"), col("__ib")).as("doc_a"),
-        greatest(col("__ia"), col("__ib")).as("doc_b"), col("jw_sim"))
-    val eligible = hashed.filter(size(split(col("__text"), " ")) >= 3)
-      .select(col("__ch"), col("__id"))
-    val within = eligible.select(col("__ch"), col("__id").as("doc_a"))
-      .join(eligible.select(col("__ch"), col("__id").as("doc_b")), "__ch")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jw_sim"))
-    cross.union(within)
+    cc.expand(repPairs, scoreCols = Seq("jw_sim"),
+      withinScores = Seq(lit(1.0).as("jw_sim")))
   }
 
   /** Typo-tolerant record linkage over SHORT name fields: within-block

@@ -284,7 +284,7 @@ object Engine {
     var w = input.writeStream.trigger(trigger)
     checkpoint.foreach(p => w = w.option("checkpointLocation", p))
     queryName.foreach(n => w = w.queryName(n))
-    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val query = w.foreachBatch { (batch: DataFrame, batchId: Long) =>
       try {
         // Statically-empty batch (optimizer-collapsed empty LocalRelation —
         // what MemoryStream/no-data triggers produce) = the reference's
@@ -338,6 +338,55 @@ object Engine {
           }
       }
     }.start()
+    // Session-window stop flush: a still-open session would otherwise be
+    // dropped when the query stops while its source offsets are already
+    // checkpoint-committed — data loss with no replay. A listener flushes
+    // the held session through the DOWNSTREAM processors into the sink at
+    // termination, under negative batch ids (no collision with any
+    // micro-batch's id; idempotent sinks partition by id as usual).
+    // Boundary, stated: a flush after an ERROR termination may emit rows
+    // from a batch whose offsets never committed — at-least-once on the
+    // final session, vs the silent at-most-once of not flushing. (The
+    // reference drops pending sessions at close — read() returns None
+    // once cancelled, session_window.rs:120-125; this is strictly more
+    // durable.)
+    val sessions = processors.collect { case s: Processors.SessionWindowBuffer => s }
+    if (sessions.nonEmpty) {
+      val spark = input.sparkSession
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            try {
+              var flushId = -1L
+              sessions.foreach { s =>
+                val idx = processors.indexOf(s)
+                s.flushPending().foreach { session =>
+                  var out = session
+                  var held = false
+                  val it = processors.drop(idx + 1).iterator
+                  while (it.hasNext && !held) {
+                    out = it.next()(out)
+                    held = out.schema.isEmpty
+                  }
+                  if (!held) sink.write(out, flushId)
+                  flushId -= 1
+                }
+              }
+            } catch {
+              case scala.util.control.NonFatal(ex) =>
+                System.err.println(
+                  s"[engine] session flush at query stop failed: ${ex.getMessage}")
+            } finally spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    query
   }
 
   /** Inputs (SURVEY.md §2.1). Streaming kinds return a streaming frame in
@@ -532,23 +581,35 @@ object Engine {
     o.get("store.type") match {
       case None => Map.empty
       case Some("s3") =>
+        // with a bucket_name the keys scope PER BUCKET
+        // (fs.s3a.bucket.<name>.* — Hadoop's own per-bucket override
+        // mechanism), so two file streams with different credentials or
+        // endpoints coexist in one session instead of overwriting each
+        // other's global conf
+        val prefix = o.get("store.bucket_name")
+          .map(b => s"fs.s3a.bucket.$b.").getOrElse("fs.s3a.")
         Map.empty[String, String] ++
-          o.get("store.access_key_id").map("fs.s3a.access.key" -> _) ++
-          o.get("store.secret_access_key").map("fs.s3a.secret.key" -> _) ++
+          o.get("store.access_key_id").map(s"${prefix}access.key" -> _) ++
+          o.get("store.secret_access_key").map(s"${prefix}secret.key" -> _) ++
           o.get("store.endpoint").toSeq.flatMap(e => Seq(
-            "fs.s3a.endpoint" -> e,
+            s"${prefix}endpoint" -> e,
             // custom endpoints (MinIO/Ceph) address buckets by path
-            "fs.s3a.path.style.access" -> "true")) ++
-          o.get("store.region").map("fs.s3a.endpoint.region" -> _) ++
+            s"${prefix}path.style.access" -> "true")) ++
+          o.get("store.region").map(s"${prefix}endpoint.region" -> _) ++
           (if (o.get("store.allow_http").contains("true"))
-            Map("fs.s3a.connection.ssl.enabled" -> "false") else Map.empty)
+            Map(s"${prefix}connection.ssl.enabled" -> "false") else Map.empty)
       case Some("gs") =>
         val keyfile = (o.get("store.service_account_path"),
             o.get("store.service_account_key")) match {
           case (Some(p), None) => p
           case (None, Some(raw)) =>
             // the raw-JSON-key variant: Hadoop's GCS connector reads a
-            // keyfile, so the key lands in a private temp file
+            // keyfile, so the key lands in a private temp file. BOUNDARY:
+            // the file exists on the DRIVER only — valid for local mode
+            // and driver-side scans; on a multi-executor cluster use
+            // service_account_path pointing at a path every node mounts
+            // (the per-node distribution the reference's in-process
+            // object_store client never needed)
             val f = java.nio.file.Files.createTempFile("graft_gcs_key", ".json")
             java.nio.file.Files.write(f, raw.getBytes("UTF-8"))
             f.toFile.deleteOnExit()
@@ -568,11 +629,20 @@ object Engine {
           s"fs.azure.account.key.$account.blob.core.windows.net" -> k)).toMap
       case Some("hdfs") =>
         // ha_config entries are Hadoop client keys already
-        // (dfs.nameservices, dfs.ha.namenodes.*, …) — passthrough
-        Map("fs.defaultFS" -> o.getOrElse("store.url",
-          throw new IllegalArgumentException("hdfs store needs url"))) ++
-          o.collect { case (k, v) if k.startsWith("store.ha_config.") =>
-            k.stripPrefix("store.ha_config.") -> v }
+        // (dfs.nameservices, dfs.ha.namenodes.*, …) — passthrough.
+        // Deliberately NOT fs.defaultFS: that is session-global and
+        // would silently re-root every RELATIVE path in the session
+        // (checkpoints, staging dirs, other streams) onto the remote
+        // cluster — fully-qualified hdfs:// paths resolve through the
+        // HA client keys alone, so the reference's url becomes a path
+        // requirement instead of a global default
+        val url = o.getOrElse("store.url",
+          throw new IllegalArgumentException("hdfs store needs url"))
+        o.get("path").foreach(p => require(p.startsWith("hdfs://"),
+          s"hdfs store: path must be fully qualified (hdfs://…), got '$p' " +
+            s"(the store url $url is the authority to use)"))
+        o.collect { case (k, v) if k.startsWith("store.ha_config.") =>
+          k.stripPrefix("store.ha_config.") -> v }
       case Some("http") => throw new IllegalArgumentException(
         "http object store has no Hadoop FileSystem mapping - " +
           "serve the files over s3/gs/az/hdfs, or use the http input's client mode")

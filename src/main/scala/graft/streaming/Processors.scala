@@ -459,6 +459,7 @@ object Processors {
   final class SessionWindowBuffer(gapMs: Long) extends (DataFrame => DataFrame) {
     require(gapMs > 0, s"session_window gap must be positive, got $gapMs")
     private var pending: Option[DataFrame] = None
+    private var pendingDepth = 0
     private var lastArrivalNs = 0L
     def apply(batch: DataFrame): DataFrame = synchronized {
       val now = System.nanoTime()
@@ -469,10 +470,22 @@ object Processors {
       if (gapElapsed) {
         val out = pending.get
         pending = Some(b)
+        pendingDepth = 1
         out
       } else {
-        pending = Some(pending
-          .map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b))
+        var merged = pending
+          .map(_.unionByName(b, allowMissingColumns = true)).getOrElse(b)
+        pendingDepth += 1
+        // collapse the union tree periodically: a long-lived session
+        // otherwise grows a left-deep plan of one Union per batch, and
+        // every apply() re-analyzes it (driver cost linear per batch,
+        // analyzer stack depth at emit) — the BatchAccumulator's
+        // lineage-truncation discipline, amortized
+        if (pendingDepth >= 32) {
+          merged = merged.localCheckpoint(true)
+          pendingDepth = 1
+        }
+        pending = Some(merged)
         Engine.heldBackSentinel(batch.sparkSession)
       }
     }

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ObjectStoreSpec extends AnyFunSuite {
 
-  test("s3 store maps to fs.s3a.* (endpoint forces path-style, allow_http drops TLS)") {
+  test("s3 store maps to PER-BUCKET fs.s3a.bucket.<name>.* keys (two streams " +
+      "with different credentials coexist); endpoint forces path-style, allow_http drops TLS") {
     val conf = Engine.objectStoreConf(Map(
       "store.type" -> "s3",
       "store.bucket_name" -> "corpus",
@@ -19,16 +20,24 @@ class ObjectStoreSpec extends AnyFunSuite {
       "store.region" -> "us-east-1",
       "store.allow_http" -> "true"))
     assert(conf == Map(
-      "fs.s3a.access.key" -> "AK",
-      "fs.s3a.secret.key" -> "SK",
-      "fs.s3a.endpoint" -> "http://minio:9000",
-      "fs.s3a.path.style.access" -> "true",
-      "fs.s3a.endpoint.region" -> "us-east-1",
-      "fs.s3a.connection.ssl.enabled" -> "false"))
-    // AWS-default variant: no endpoint -> no path-style override, TLS on
+      "fs.s3a.bucket.corpus.access.key" -> "AK",
+      "fs.s3a.bucket.corpus.secret.key" -> "SK",
+      "fs.s3a.bucket.corpus.endpoint" -> "http://minio:9000",
+      "fs.s3a.bucket.corpus.path.style.access" -> "true",
+      "fs.s3a.bucket.corpus.endpoint.region" -> "us-east-1",
+      "fs.s3a.bucket.corpus.connection.ssl.enabled" -> "false"))
+    // a second stream's different bucket lands on DIFFERENT keys
+    val other = Engine.objectStoreConf(Map(
+      "store.type" -> "s3", "store.bucket_name" -> "evals",
+      "store.access_key_id" -> "AK2", "store.secret_access_key" -> "SK2"))
+    assert(other.keySet.intersect(conf.keySet).isEmpty,
+      "per-bucket scoping must prevent cross-stream overwrites")
+    // no bucket_name -> session-global fs.s3a.* fallback, AWS defaults:
+    // no endpoint -> no path-style override, TLS on
     val aws = Engine.objectStoreConf(Map(
       "store.type" -> "s3", "store.access_key_id" -> "AK",
       "store.secret_access_key" -> "SK"))
+    assert(aws("fs.s3a.access.key") == "AK")
     assert(!aws.contains("fs.s3a.path.style.access") &&
       !aws.contains("fs.s3a.connection.ssl.enabled"))
   }
@@ -72,8 +81,14 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(az("fs.azure.account.key.acct.blob.core.windows.net") == "AZK")
     val hdfs = Engine.objectStoreConf(Map(
       "store.type" -> "hdfs", "store.url" -> "hdfs://ns1",
+      "path" -> "hdfs://ns1/data/x.parquet",
       "store.ha_config.dfs.nameservices" -> "ns1"))
-    assert(hdfs("fs.defaultFS") == "hdfs://ns1" && hdfs("dfs.nameservices") == "ns1")
+    // HA client keys pass through; fs.defaultFS is deliberately NOT set
+    // (session-global — it would re-root every relative path)
+    assert(hdfs("dfs.nameservices") == "ns1" && !hdfs.contains("fs.defaultFS"))
+    assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
+      "store.type" -> "hdfs", "store.url" -> "hdfs://ns1",
+      "path" -> "/relative/x.parquet"))) // must be fully qualified
     assertThrows[IllegalArgumentException](
       Engine.objectStoreConf(Map("store.type" -> "http", "store.url" -> "http://x")))
     assert(Engine.objectStoreConf(Map("format" -> "parquet")) == Map.empty)
@@ -98,7 +113,8 @@ class ObjectStoreSpec extends AnyFunSuite {
         |""".stripMargin)
     val opts = conf.streams.head.input.options
     assert(opts("store.type") == "s3" && opts("store.access_key_id") == "AK")
-    assert(Engine.objectStoreConf(opts)("fs.s3a.endpoint") == "http://minio:9000")
+    assert(Engine.objectStoreConf(opts)("fs.s3a.bucket.corpus.endpoint") ==
+      "http://minio:9000")
     assert(Engine.objectStorePath(opts("path"), opts) == "s3a://corpus/docs.parquet")
   }
 }

@@ -70,7 +70,7 @@ class WindowBufferSpec extends AnyFunSuite {
         |      count: 1
         |    buffer:
         |      type: "session_window"
-        |      gap: 2s
+        |      gap: 3s
         |    output:
         |      type: "drop"
         |""".stripMargin)
@@ -86,7 +86,7 @@ class WindowBufferSpec extends AnyFunSuite {
     try {
       ms.addData(1); q.processAllAvailable()
       ms.addData(2); q.processAllAvailable() // within gap -> same session
-      Thread.sleep(2500)                     // silence > gap closes it
+      Thread.sleep(4000)                     // silence > gap closes it
       ms.addData(3); q.processAllAvailable() // arrival emits session {1,2}
     } finally q.stop()
     assert(sink.rows.map(_.getInt(0)).sorted == Seq(1, 2),
@@ -99,6 +99,30 @@ class WindowBufferSpec extends AnyFunSuite {
       Some(ComponentConf("session_window", Map.empty))))
     assertThrows[IllegalArgumentException](Engine.bufferProcessors(
       Some(ComponentConf("no_such_buffer", Map.empty))))
+  }
+
+  test("session_window STOP flush: stopping the streaming query emits the " +
+      "still-open session instead of dropping it (strictly more durable than " +
+      "the reference's drop-at-close)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val procs = Engine.bufferProcessors(
+      Some(ComponentConf("session_window", Map("gap" -> "1h"))))
+    val ms = MemoryStream[Int]
+    val sink = new Engine.MemorySink
+    val q = Engine.start(ms.toDF(), procs, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    ms.addData(41); q.processAllAvailable()
+    ms.addData(42); q.processAllAvailable()
+    assert(sink.rows.isEmpty, "session still open (1h gap)")
+    q.stop()
+    // the flush listener fires on the async listener bus
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (sink.rows.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(sink.rows.map(_.getInt(0)).sorted == Seq(41, 42),
+      s"open session must be flushed at stop: ${sink.rows}")
+    // flush batches ride NEGATIVE ids — no collision with micro-batch ids
+    assert(sink.batches.keys.forall(_ < 0L))
   }
 
   test("session_window EOF flush: a one-shot batch input's single session " +
