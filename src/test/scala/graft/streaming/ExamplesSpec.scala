@@ -29,11 +29,14 @@ class ExamplesSpec extends AnyFunSuite {
         assert(sink != null)
         s.errorOutput.foreach(e => assert(Engine.sinkFromConf(e) != null))
         // inputs: endpoint-dialing kinds are covered by their own specs;
-        // everything else must at least be a known registry kind
-        assert(
-          inputKindsNeedingEndpoint.contains(s.input.kind) ||
-            Seq("generate", "file", "kafka").contains(s.input.kind),
-          s"${f.getName}: unknown input kind ${s.input.kind}")
+        // every kind (incl. multiple_inputs children) must resolve in
+        // the engine's REAL dispatch table
+        def knownInput(c: ComponentConf): Unit = {
+          assert(Engine.inputBuilders.contains(c.kind),
+            s"${f.getName}: unknown input kind ${c.kind}")
+          c.children.foreach(knownInput)
+        }
+        knownInput(s.input)
       }
     }
   }
@@ -228,6 +231,20 @@ class ExamplesSpec extends AnyFunSuite {
     assert(out.getAs[Any]("v2") == null)
     assert(Option(out.getAs[String]("err")).exists(_.toLowerCase.contains("divi")),
       s"err should carry the division error: $out")
+  }
+
+  test("window-join example runs e2e: readings enrich against the registry " +
+      "inside the fired window") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "window_join.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_wj_out").toString
+    Engine.run(spark, Config.fromYaml(
+      yaml.replace("/tmp/graft/out/window_join", outDir)))
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 10, "10 readings x 1 registry row")
+    val r = got.collect().head
+    assert(r.getAs[Long]("device") == 42L && r.getAs[String]("room") == "lab_a")
   }
 
   test("FULL config path e2e: Engine.run on a multiple_inputs + session " +
