@@ -93,6 +93,49 @@ class WindowBufferSpec extends AnyFunSuite {
       s"the closed session is {1,2}; batch 3 opens the next (still pending): ${sink.rows}")
   }
 
+  test("STREAMING multiple_inputs from config: two unbounded generate " +
+      "children fan in tagged, and the window join enriches across them " +
+      "per micro-batch (input/multiple_inputs.rs streaming mode)") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input:
+        |      type: "multiple_inputs"
+        |      inputs:
+        |        - type: "generate"
+        |          name: "left_ticks"
+        |          context: '{ "id": 9, "x": 1 }'
+        |          rows_per_second: 40
+        |        - type: "generate"
+        |          name: "right_ticks"
+        |          context: '{ "id": 9, "y": 2 }'
+        |          rows_per_second: 40
+        |    buffer:
+        |      type: "tumbling_window"
+        |      interval: 300ms
+        |      join:
+        |        query: "SELECT left_ticks.id AS id, x, y FROM left_ticks JOIN right_ticks ON left_ticks.id = right_ticks.id"
+        |        codec:
+        |          type: "json"
+        |    output:
+        |      type: "drop"
+        |""".stripMargin)
+    val s = conf.streams.head
+    val in = Engine.inputFromConf(spark, s.input)
+    assert(in.isStreaming, "generate without count is the unbounded rate stream")
+    val procs = Engine.bufferProcessors(s.buffer, s.input)
+    val sink = new Engine.MemorySink
+    val q = Engine.start(in, procs, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(300L))
+    try {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (sink.rows.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(sink.rows.nonEmpty, "joined window rows must flow")
+    val r = sink.rows.head
+    assert(r.getAs[Long]("id") == 9L && r.getAs[Long]("x") == 1L &&
+      r.getAs[Long]("y") == 2L)
+  }
+
   test("session_window requires gap; unknown buffer kinds are rejected " +
       "(the dispatch is closed, not silently permissive)") {
     assertThrows[IllegalArgumentException](Engine.bufferProcessors(
