@@ -47,12 +47,16 @@ object Nats {
       out.flush()
     }
 
-    private[Nats] def sendRaw(head: String, payload: Array[Byte]): Unit = {
-      out.write((head + "\r\n").getBytes(StandardCharsets.UTF_8))
-      out.write(payload)
-      out.write("\r\n".getBytes(StandardCharsets.UTF_8))
-      out.flush()
-    }
+    // synchronized: deferred JetStream acks publish from the
+    // checkpoint-commit thread while the reader thread publishes pulls —
+    // interleaved protocol lines would corrupt the wire
+    private[Nats] def sendRaw(head: String, payload: Array[Byte]): Unit =
+      synchronized {
+        out.write((head + "\r\n").getBytes(StandardCharsets.UTF_8))
+        out.write(payload)
+        out.write("\r\n".getBytes(StandardCharsets.UTF_8))
+        out.flush()
+      }
 
     private[Nats] def readLine(): String = {
       val sb = new StringBuilder
@@ -154,21 +158,36 @@ object Nats {
     * `$JS.API.CONSUMER.DURABLE.CREATE` request (idempotent broker-side),
     * then loops `MSG.NEXT` batch pulls; every delivery arrives on the
     * reply inbox with a `$JS.ACK.*` reply subject that gets an explicit
-    * `+ACK` after the row is enqueued — a broker-durable cursor, so a
-    * RESTARTED input resumes where the durable left off (the capability
-    * the reference mode exists for; spec'd with a restart in BrokerSpec).
-    * Same guarantee boundary as [[Pulsar.PulsarInput]]: the ack precedes
-    * the micro-batch checkpoint commit, so messages acked in the window
-    * between enqueue and a driver crash are not redelivered —
-    * at-least-once while the driver lives, at-most-once across driver
-    * restarts (the reference's ack-on-read has the identical window).
+    * `+ACK` once the micro-batch holding the row has COMMITTED (round 8,
+    * [[CommitAckStream]] — same contract as [[Pulsar.PulsarInput]]) — a
+    * broker-durable cursor plus commit-deferred acks, so a RESTARTED
+    * input resumes where the durable left off and a crashed driver's
+    * unacked tail REDELIVERS after ack_wait instead of being lost:
+    * at-least-once across driver restarts (spec'd with a restart in
+    * BrokerSpec).
     */
   final class JetStreamInput(spark: SparkSession, host: String, port: Int,
       streamName: String, durable: String,
       auth: Map[String, String] = Map.empty) extends AutoCloseable {
-    private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    private val stream = MemoryStream[(String, String)]
+    // Round 8: acks are DEFERRED to checkpoint commit (CommitAckStream,
+    // same contract as PulsarInput): the `$JS.ACK.*` reply subject of an
+    // enqueued message is +ACK'd only once the micro-batch holding it
+    // has committed — at-least-once across driver restarts (the broker's
+    // ack_wait redelivers anything a crash left unacked; duplicates are
+    // the consumer-dedupe case the idempotent sinks already handle).
+    private val ackLock = new Object
+    private val unacked = new scala.collection.mutable.Queue[String]()
+    private var ackedThrough = 0L
+    private val stream = new CommitAckStream[(String, String)](
+      spark, committed => ackLock.synchronized {
+        while (ackedThrough < committed && unacked.nonEmpty) {
+          val ackSubject = unacked.dequeue()
+          try conn.publish(ackSubject, "+ACK".getBytes(StandardCharsets.UTF_8))
+          catch { case _: java.io.IOException => () } // closed: broker redelivers
+          ackedThrough += 1
+        }
+      })
     private val conn = new Conn(host, port, auth)
     private val inbox = s"_INBOX.graft.${java.util.UUID.randomUUID()}"
     conn.subscribe(inbox)
@@ -210,9 +229,14 @@ object Nats {
       while (m.isDefined) {
         m.get.reply match {
           case Some(ack) if ack.startsWith("$JS.ACK") =>
-            stream.addData((streamName,
-              new String(m.get.payload, StandardCharsets.UTF_8)))
-            conn.publish(ack, "+ACK".getBytes(StandardCharsets.UTF_8))
+            // enqueue + record under ONE lock so the stream offset (one
+            // per addData) counts exactly the subjects in `unacked`;
+            // the +ACK itself rides the checkpoint commit
+            ackLock.synchronized {
+              stream.addData((streamName,
+                new String(m.get.payload, StandardCharsets.UTF_8)))
+              unacked.enqueue(ack)
+            }
             requestNext()
           case _ => () // API responses / status messages
         }

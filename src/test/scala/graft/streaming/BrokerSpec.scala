@@ -172,31 +172,54 @@ class BrokerSpec extends AnyFunSuite {
       // a message published AFTER the consumer starts also flows (held
       // pull request fulfilled on publish)
       nats.jsPublish("ORDERS", """{"v": 3}""")
-      val deadline = System.nanoTime() + 10e9.toLong
-      while (nats.jsAcks.size < 3 && System.nanoTime() < deadline) Thread.sleep(20)
-      assert(nats.jsAcks.size == 3, "each delivery must be explicitly +ACKed")
-      Thread.sleep(200)
+      // deferred acks (round 8): NOTHING is acked before a micro-batch
+      // commits — the pull loop runs ack-free and the +ACKs ride the
+      // checkpoint commit below
+      Thread.sleep(400)
+      assert(nats.jsAcks.isEmpty, "no ack may precede a checkpoint commit")
       val sink = new Engine.MemorySink
-      val q = Engine.start(input.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink)
-      q.processAllAvailable(); q.stop()
+      val q = Engine.start(input.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      // commit (and its acks) lands while the NEXT batch is constructed
+      // — nudge follow-up messages to drive it
+      val deadline = System.nanoTime() + 15e9.toLong
+      var nudge = 100
+      while (nats.jsAcks.size < 3 && System.nanoTime() < deadline) {
+        nats.jsPublish("ORDERS", s"""{"v": $nudge}"""); nudge += 1
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      q.stop()
       input.stop()
-      assert(sink.rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(sink.rows.map(_.getLong(0)).sorted.toSeq.startsWith(Seq(1L, 2L, 3L)))
+      assert(nats.jsAcks.size >= 3,
+        "every delivery is +ACKed once the batch holding it commits")
 
       // restart: same durable name resumes at the broker-held cursor —
       // only messages published after the stop arrive
+      val ackBase = nats.jsAcks.size
       nats.jsPublish("ORDERS", """{"v": 4}""")
       nats.jsPublish("ORDERS", """{"v": 5}""")
       val input2 = new Nats.JetStreamInput(spark, "127.0.0.1", nats.port,
         "ORDERS", "dur1")
-      val deadline2 = System.nanoTime() + 10e9.toLong
-      while (nats.jsAcks.size < 5 && System.nanoTime() < deadline2) Thread.sleep(20)
-      Thread.sleep(200)
+      Thread.sleep(400) // let the pull loop drain both deliveries
       val sink2 = new Engine.MemorySink
-      val q2 = Engine.start(input2.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink2)
-      q2.processAllAvailable(); q2.stop()
+      val q2 = Engine.start(input2.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink2,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q2.processAllAvailable()
+      val deadline2 = System.nanoTime() + 15e9.toLong
+      var nudge2 = 200
+      while (nats.jsAcks.size < ackBase + 2 && System.nanoTime() < deadline2) {
+        nats.jsPublish("ORDERS", s"""{"v": $nudge2}"""); nudge2 += 1
+        q2.processAllAvailable()
+        Thread.sleep(100)
+      }
+      q2.stop()
       input2.stop()
-      assert(sink2.rows.map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L),
+      assert(sink2.rows.map(_.getLong(0)).sorted.toSeq.startsWith(Seq(4L, 5L)),
         "the durable cursor must survive the consumer restart")
+      assert(nats.jsAcks.size >= ackBase + 2)
     } finally nats.stop()
   }
 
@@ -210,9 +233,22 @@ class BrokerSpec extends AnyFunSuite {
         "durable_name" -> "cfg-dur")))
       assert(df.isStreaming)
       assert(df.columns.toSeq == Seq(Codecs.ValueCol, "__meta_stream"))
-      val deadline = System.nanoTime() + 10e9.toLong
-      while (nats.jsAcks.size < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      assert(nats.jsAcks.size == 1)
+      // deferred acks: the delivered message reaches the sink through a
+      // committing query, and the +ACK follows that commit (driven by a
+      // nudge batch, since commit rides the NEXT batch's construction)
+      val sinkJs = new Engine.MemorySink
+      val qJs = Engine.start(df, Nil, sinkJs,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      qJs.processAllAvailable()
+      val deadline = System.nanoTime() + 15e9.toLong
+      var nudge = 300
+      while (nats.jsAcks.size < 1 && System.nanoTime() < deadline) {
+        nats.jsPublish("EVTS", s"""{"v": $nudge}"""); nudge += 1
+        qJs.processAllAvailable()
+        Thread.sleep(100)
+      }
+      qJs.stop()
+      assert(sinkJs.rows.nonEmpty && nats.jsAcks.size >= 1)
       Engine.closeConfigInputs()
 
       // regular mode with a queue group: the SUB line carries the group
