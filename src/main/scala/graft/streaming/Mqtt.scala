@@ -199,7 +199,17 @@ object Mqtt {
   /** Streaming subscribe input: PUBLISH frames land as envelope rows
     * tagged with `__meta_topic`. `qos`/`cleanSession`/`keepAlive`/auth
     * mirror input/mqtt.rs:35-57 (clean_session=false + a stable client
-    * id = the broker-durable subscription). */
+    * id = the broker-durable subscription).
+    *
+    * Delivery boundary, stated: MQTT's QoS acknowledgments (PUBACK /
+    * PUBREC-PUBREL-PUBCOMP) are TRANSPORT handshakes the broker paces
+    * in-flight windows by, not consumer-offset commits — deferring them
+    * to checkpoint commit (the [[CommitAckStream]] treatment Pulsar and
+    * JetStream get) would stall the broker's receive window. So a driver
+    * crash between the QoS handshake and the batch commit can drop the
+    * handshaken tail: at-most-once across restarts, like the reference.
+    * For restart-durable MQTT ingestion put a durable staging
+    * accumulator behind this input, or bridge through kafka. */
   final class MqttInput(spark: SparkSession, host: String, port: Int,
       topicFilter: String, clientId: String = "graft-in", qos: Int = 0,
       username: Option[String] = None, password: Option[String] = None,
