@@ -42,7 +42,10 @@ object Nats {
       send(s"""CONNECT {"verbose":false,"pedantic":false$authFields}""")
     }
 
-    private[Nats] def send(line: String): Unit = {
+    // synchronized like sendRaw below — the reader thread's PONG
+    // keep-alive answer must not interleave with the commit thread's
+    // deferred +ACK publishes on the shared output stream
+    private[Nats] def send(line: String): Unit = synchronized {
       out.write((line + "\r\n").getBytes(StandardCharsets.UTF_8))
       out.flush()
     }
@@ -176,18 +179,9 @@ object Nats {
     // has committed — at-least-once across driver restarts (the broker's
     // ack_wait redelivers anything a crash left unacked; duplicates are
     // the consumer-dedupe case the idempotent sinks already handle).
-    private val ackLock = new Object
-    private val unacked = new scala.collection.mutable.Queue[String]()
-    private var ackedThrough = 0L
-    private val stream = new CommitAckStream[(String, String)](
-      spark, committed => ackLock.synchronized {
-        while (ackedThrough < committed && unacked.nonEmpty) {
-          val ackSubject = unacked.dequeue()
-          try conn.publish(ackSubject, "+ACK".getBytes(StandardCharsets.UTF_8))
-          catch { case _: java.io.IOException => () } // closed: broker redelivers
-          ackedThrough += 1
-        }
-      })
+    private val stream = new CommitAckStream[(String, String), String](
+      spark, ackSubject =>
+        conn.publish(ackSubject, "+ACK".getBytes(StandardCharsets.UTF_8)))
     private val conn = new Conn(host, port, auth)
     private val inbox = s"_INBOX.graft.${java.util.UUID.randomUUID()}"
     conn.subscribe(inbox)
@@ -229,14 +223,9 @@ object Nats {
       while (m.isDefined) {
         m.get.reply match {
           case Some(ack) if ack.startsWith("$JS.ACK") =>
-            // enqueue + record under ONE lock so the stream offset (one
-            // per addData) counts exactly the subjects in `unacked`;
-            // the +ACK itself rides the checkpoint commit
-            ackLock.synchronized {
-              stream.addData((streamName,
-                new String(m.get.payload, StandardCharsets.UTF_8)))
-              unacked.enqueue(ack)
-            }
+            // the +ACK itself rides the checkpoint commit (CommitAckStream)
+            stream.enqueue((streamName,
+              new String(m.get.payload, StandardCharsets.UTF_8)), ack)
             requestNext()
           case _ => () // API responses / status messages
         }

@@ -391,21 +391,11 @@ object Pulsar {
       auth: Map[String, String] = Map.empty,
       retry: Map[String, String] = Map.empty) extends AutoCloseable {
     import spark.implicits._
-    // (ledgerId, entryId) of enqueued-but-unacked messages, in enqueue
-    // order; guarded by `ackLock` together with the enqueue counter so
-    // the committed offset always matches the queue prefix
-    private val ackLock = new Object
-    private val unacked = new scala.collection.mutable.Queue[(Long, Long)]()
-    private var ackedThrough = 0L
-    private val stream = new CommitAckStream[(Array[Byte], String, String)](
-      spark, committed => ackLock.synchronized {
-        while (ackedThrough < committed && unacked.nonEmpty) {
-          val (ledger, entry) = unacked.dequeue()
-          try conn.ack(ledger, entry)
-          catch { case _: java.io.IOException => () } // conn closed: broker redelivers
-          ackedThrough += 1
-        }
-      })
+    // the ack-token queue and offset arithmetic live in CommitAckStream;
+    // this input only supplies the per-message ack call
+    private val stream =
+      new CommitAckStream[(Array[Byte], String, String), (Long, Long)](
+        spark, { case (ledger, entry) => conn.ack(ledger, entry) })
 
     private val conn: Conn = {
       val delays =
@@ -434,12 +424,7 @@ object Pulsar {
     private val reader = new Thread(() => {
       try while (true) {
         val (ledger, entry, payload) = conn.nextMessage()
-        // enqueue + record under ONE lock: the stream offset (one per
-        // addData) must count exactly the messages in `unacked`
-        ackLock.synchronized {
-          stream.addData((payload, topic, s"$ledger:$entry"))
-          unacked.enqueue((ledger, entry))
-        }
+        stream.enqueue((payload, topic, s"$ledger:$entry"), (ledger, entry))
         conn.flow(1) // replenish the consumed permit
       } catch {
         case _: java.io.EOFException | _: java.net.SocketException => ()

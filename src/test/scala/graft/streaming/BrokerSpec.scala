@@ -24,6 +24,11 @@ class BrokerSpec extends AnyFunSuite {
     private val jsLock = new Object
     private val jsStreams = scala.collection.mutable.Map[String, scala.collection.mutable.ArrayBuffer[String]]()
     private val jsCursors = scala.collection.mutable.Map[(String, String), Int]()
+    // highest CONTIGUOUS acked sequence per durable — JetStream's ack
+    // floor: a RE-CREATED durable resumes delivery from here, so
+    // delivered-but-unacked messages REDELIVER (the crash-recovery
+    // semantics the commit-deferred acks exist for)
+    private val jsAckFloor = scala.collection.mutable.Map[(String, String), Int]()
     private val jsPending = scala.collection.mutable.ArrayBuffer[(String, String, String)]() // (stream, durable, inbox)
     private val server = new java.net.ServerSocket(0, 16,
       java.net.InetAddress.getByName("127.0.0.1"))
@@ -103,7 +108,10 @@ class BrokerSpec extends AnyFunSuite {
               val Array(stream, durable) =
                 subject.stripPrefix("$JS.API.CONSUMER.DURABLE.CREATE.").split("\\.", 2)
               jsLock.synchronized {
-                jsCursors.getOrElseUpdate((stream, durable), 0)
+                // (re-)creating a durable resets delivery to the ACK
+                // FLOOR: anything delivered but never +ACKed redelivers
+                jsCursors((stream, durable)) =
+                  jsAckFloor.getOrElse((stream, durable), 0)
               }
               reply.foreach(sendMsg(_, None,
                 """{"type":"io.nats.jetstream.api.v1.consumer_create_response"}"""))
@@ -116,6 +124,17 @@ class BrokerSpec extends AnyFunSuite {
               }
             } else if (subject.startsWith("$JS.ACK.")) {
               jsAcks.add(subject)
+              // subject shape: $JS.ACK.<stream>.<durable>.<seq> — advance
+              // the CONTIGUOUS ack floor (gaps hold it back, like the
+              // real broker's ack-floor accounting)
+              subject.stripPrefix("$JS.ACK.").split("\\.") match {
+                case Array(stream, durable, seq) => jsLock.synchronized {
+                  val key = (stream, durable)
+                  if (seq.toInt == jsAckFloor.getOrElse(key, 0) + 1)
+                    jsAckFloor(key) = seq.toInt
+                }
+                case _ => ()
+              }
             } else {
               received.add((subject, payload))
               subscribers.forEach { case (subj, sid, sout) =>
@@ -220,6 +239,44 @@ class BrokerSpec extends AnyFunSuite {
       assert(sink2.rows.map(_.getLong(0)).sorted.toSeq.startsWith(Seq(4L, 5L)),
         "the durable cursor must survive the consumer restart")
       assert(nats.jsAcks.size >= ackBase + 2)
+    } finally nats.stop()
+  }
+
+  test("nats jetstream CRASH SEMANTICS: delivered-but-unacked messages " +
+      "redeliver to the re-created durable (commit-deferred acks make the " +
+      "ack floor, not delivery, the restart point)") {
+    val nats = new FakeNats
+    try {
+      nats.jsPublish("CRASH", """{"v": 1}""")
+      nats.jsPublish("CRASH", """{"v": 2}""")
+      // a consumer that pulls both messages but NEVER runs a committing
+      // query — the crash-before-commit shape: zero acks are sent
+      val doomed = new Nats.JetStreamInput(spark, "127.0.0.1", nats.port,
+        "CRASH", "dur-c")
+      Thread.sleep(500) // reader drains both deliveries (no acks: deferred)
+      doomed.stop()     // the "crash"
+      assert(nats.jsAcks.isEmpty, "nothing committed -> nothing acked")
+      // restart: the durable resumes at the ACK FLOOR (0) — both
+      // messages REDELIVER and this time a committing query acks them
+      val revived = new Nats.JetStreamInput(spark, "127.0.0.1", nats.port,
+        "CRASH", "dur-c")
+      Thread.sleep(400)
+      val sink = new Engine.MemorySink
+      val q = Engine.start(revived.toDF, Seq(Processors.JsonToArrow(Seq("v"))), sink,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 15e9.toLong
+      var nudge = 400
+      while (nats.jsAcks.size < 2 && System.nanoTime() < deadline) {
+        nats.jsPublish("CRASH", s"""{"v": $nudge}"""); nudge += 1
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      q.stop()
+      revived.stop()
+      assert(sink.rows.map(_.getLong(0)).sorted.toSeq.startsWith(Seq(1L, 2L)),
+        s"the unacked tail must REDELIVER after the crash: ${sink.rows}")
+      assert(nats.jsAcks.size >= 2)
     } finally nats.stop()
   }
 
