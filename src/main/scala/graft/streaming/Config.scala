@@ -104,7 +104,19 @@ object Config {
   private def anyMap(m: java.util.Map[_, _]): Map[String, Object] =
     m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Object] }.toMap
 
+  /** Stream-level keys the parser understands; anything else is most
+    * likely a TYPO (`bufer:`, `piplines:`) that YAML would otherwise
+    * swallow silently — warn loudly (the reference's serde also ignores
+    * unknown fields, so this is a strict improvement, not a divergence
+    * in what runs). */
+  private val knownStreamKeys = Set(
+    "input", "pipeline", "output", "error_output", "buffer", "id",
+    "thread_num", "temporary", "durability", "logging")
+
   private def parseStream(m: Map[String, Object]): StreamConf = {
+    (m.keySet -- knownStreamKeys).foreach(k =>
+      System.err.println(s"[config] WARN unknown stream key '$k' ignored " +
+        s"(known: ${knownStreamKeys.toSeq.sorted.mkString(", ")})"))
     def component(o: Object): ComponentConf = {
       val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
       val kind = cm.getOrElse("type",

@@ -586,54 +586,130 @@ object Processors {
     }
 
     // String literals are masked to NUL-delimited placeholders before
-    // comment-stripping and .field rewriting, so a '#' or '//' or '.word'
-    // INSIDE a literal is never treated as syntax, then restored after.
-    private val statements: Seq[DataFrame => DataFrame] = program.linesIterator
-      .flatMap { raw =>
-        val lits = scala.collection.mutable.ArrayBuffer[String]()
-        val masked = Literal.replaceAllIn(raw, m => {
-          lits += m.matched
-          java.util.regex.Matcher.quoteReplacement("\u0000" + (lits.size - 1) + "\u0000")
-        })
-        def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
-          case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
+    // comment-stripping, brace-aware statement splitting and .field
+    // rewriting, so a '#' or '//' or ';' or '{' or '.word' INSIDE a
+    // literal is never treated as syntax, then restored after.
+    private val lits = scala.collection.mutable.ArrayBuffer[String]()
+    private val maskedProgram = {
+      val m = Literal.replaceAllIn(program, mm => {
+        lits += mm.matched
+        java.util.regex.Matcher.quoteReplacement("\u0000" + (lits.size - 1) + "\u0000")
+      })
+      m.linesIterator.map(_.replaceAll("(#|//).*$", "")).mkString("\n")
+    }
+    private def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
+      case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
+    }
+    private def fieldRefs(rhs: String): String =
+      unmask(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
+
+    // Split on ';' and newlines at BRACE DEPTH 0 only, so statement-form
+    // if blocks (single- or multi-line) and expression-form if rhs's
+    // survive as one statement each. NOT .trim on the pieces: it strips
+    // every char <= 0x20 including the NUL placeholder delimiters; the
+    // \s regex leaves NUL alone.
+    private def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '{' => depth += 1; cur += '{'
+        case '}' => depth -= 1; cur += '}'
+        case c @ (';' | '\n') if depth == 0 => out += cur.toString(); cur.clear(); val _ = c
+        case c => cur += c
+      }
+      out += cur.toString()
+      out.toSeq.map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+    }
+
+    /** Statement-form `if cond { assignments } [else { assignments }]`
+      * (processor/vrl.rs control flow): branch assignments compile to
+      * per-field `when(cond, thenRhs).otherwise(elseRhs-or-current)`
+      * projections — a field assigned in neither branch is untouched, a
+      * field NEW to the frame is NULL on the unassigned side. All branch
+      * rhs's evaluate against the PRE-if frame (no intra-branch
+      * chaining — write sequential top-level statements for that);
+      * `del()` inside a branch is rejected (dropping a column cannot be
+      * row-conditional). */
+    private def compileIfStatement(stmt: String): DataFrame => DataFrame = {
+      val open = stmt.indexOf('{')
+      require(open > 0, s"remap: malformed if `${unmask(stmt)}`")
+      def matchBrace(from: Int): Int = {
+        var depth = 0
+        var i = from
+        while (i < stmt.length) {
+          if (stmt(i) == '{') depth += 1
+          else if (stmt(i) == '}') { depth -= 1; if (depth == 0) return i }
+          i += 1
         }
-        def fieldRefs(rhs: String): String =
-          unmask(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
-        // NOT .trim: it strips every char <= 0x20 including the NUL
-        // placeholder delimiters; \s leaves NUL alone.
-        val line = masked.replaceAll("(#|//).*$", "")
-        // `;` separates statements within a line (vrl_example.yaml:15's
-        // program is one line of three statements); literals are masked,
-        // so a ';' inside one never splits
-        line.split(';').toSeq
-          .map(_.replaceAll("^\\s+|\\s+$", ""))
-          .filter(_.nonEmpty)
-          .flatMap[DataFrame => DataFrame] {
-            // a bare `.` is VRL's final "return the event" expression —
-            // the event passes through unchanged
-            case "." => None
-            case Del(field) => Some((df: DataFrame) => df.drop(field))
-            case FallibleAssign(field, errName, rhs) =>
-              val sql = fieldRefs(rhs)
-              Some((df: DataFrame) => {
-                graft.functions.TryOps.register(df.sparkSession)
-                // ONE try_pair evaluation carries both halves (value +
-                // error), computed against the PRE-assignment frame, so a
-                // self-referencing rhs reads the old value for both
-                val tmp = s"__vrl_try_$field"
-                df.withColumn(tmp, expr(s"try_pair($sql)"))
-                  .withColumn(field, col(s"$tmp.value"))
-                  .withColumn(errName, col(s"$tmp.err"))
-                  .drop(tmp)
-              })
-            case Assign(field, rhs) =>
-              val sql = fieldRefs(rhs)
-              Some((df: DataFrame) => df.withColumn(field, expr(sql)))
-            case other =>
-              throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
-          }
-      }.toSeq
+        throw new IllegalArgumentException(s"remap: unclosed brace in `${unmask(stmt)}`")
+      }
+      val thenEnd = matchBrace(open)
+      val cond = stmt.substring(2, open).replaceAll("^\\s+|\\s+$", "")
+      val thenBlock = stmt.substring(open + 1, thenEnd)
+      val rest = stmt.substring(thenEnd + 1).replaceAll("^\\s+|\\s+$", "")
+      val elseBlock =
+        if (rest.isEmpty) None
+        else if (rest.startsWith("else")) {
+          val eo = rest.indexOf('{')
+          require(eo >= 0 && rest.endsWith("}"),
+            s"remap: malformed else in `${unmask(stmt)}`")
+          Some(rest.substring(eo + 1, rest.length - 1))
+        } else throw new IllegalArgumentException(
+          s"remap: unexpected text after if block: `${unmask(rest)}`")
+      def assigns(block: String): Seq[(String, String)] =
+        splitTop(block).map {
+          case Assign(f, rhs) => f -> fieldRefs(rhs)
+          case other => throw new IllegalArgumentException(
+            "remap: only `.field = expr` assignments are allowed inside " +
+              s"statement-form if branches, got `${unmask(other)}`")
+        }
+      val condSql = fieldRefs(cond)
+      val thenA = assigns(thenBlock)
+      val elseA = elseBlock.map(assigns).getOrElse(Nil)
+      (df: DataFrame) => {
+        val fields = (thenA.map(_._1) ++ elseA.map(_._1)).distinct
+        val cond0 = expr(condSql)
+        df.withColumns(fields.map { f =>
+          val current: org.apache.spark.sql.Column =
+            if (df.columns.contains(f)) col(f) else lit(null)
+          val thenV = thenA.collectFirst { case (`f`, rhs) => expr(rhs) }
+            .getOrElse(current)
+          val elseV = elseA.collectFirst { case (`f`, rhs) => expr(rhs) }
+            .getOrElse(current)
+          f -> when(cond0, thenV).otherwise(elseV)
+        }.toMap)
+      }
+    }
+
+    private val IfStatement = """(?s)if[\s(].*""".r
+
+    private val statements: Seq[DataFrame => DataFrame] =
+      splitTop(maskedProgram).flatMap[DataFrame => DataFrame] {
+        // a bare `.` is VRL's final "return the event" expression —
+        // the event passes through unchanged
+        case "." => None
+        case Del(field) => Some((df: DataFrame) => df.drop(field))
+        case FallibleAssign(field, errName, rhs) =>
+          val sql = fieldRefs(rhs)
+          Some((df: DataFrame) => {
+            graft.functions.TryOps.register(df.sparkSession)
+            // ONE try_pair evaluation carries both halves (value +
+            // error), computed against the PRE-assignment frame, so a
+            // self-referencing rhs reads the old value for both
+            val tmp = s"__vrl_try_$field"
+            df.withColumn(tmp, expr(s"try_pair($sql)"))
+              .withColumn(field, col(s"$tmp.value"))
+              .withColumn(errName, col(s"$tmp.err"))
+              .drop(tmp)
+          })
+        case Assign(field, rhs) =>
+          val sql = fieldRefs(rhs)
+          Some((df: DataFrame) => df.withColumn(field, expr(sql)))
+        case stmt @ IfStatement() => Some(compileIfStatement(stmt))
+        case other =>
+          throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
+      }
 
     def apply(batch: DataFrame): DataFrame =
       statements.foldLeft(batch)((df, stmt) => stmt(df))

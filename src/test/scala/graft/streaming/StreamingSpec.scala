@@ -361,6 +361,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(!r.isNullAt(5), "…and a non-null err message")
   }
 
+  test("remap statement-form if/else: multi-line blocks, new and existing " +
+      "fields, untouched-on-unassigned-side (processor/vrl.rs control flow)") {
+    val out = Processors.RemapProcessor(
+      """if .value > 5 {
+        |  .grade = 'big'
+        |  .boosted = .value * 10
+        |} else {
+        |  .grade = 'small'
+        |}
+        |if .value > 100 { .huge = true }
+        |.after = .value + 1
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("grade", "boosted", "huge", "after").collect().head
+    assert(r.getString(0) == "big")      // value=10 > 5
+    assert(r.getLong(1) == 100L)         // then-branch assignment
+    assert(r.isNullAt(2), "no-else statement-form if leaves the field NULL when false")
+    assert(r.getLong(3) == 11L, "statements after the block still run")
+    // del() inside a branch is rejected with a clear message (dropping a
+    // column cannot be row-conditional)
+    val e = intercept[IllegalArgumentException](Processors.RemapProcessor(
+      "if .value > 1 { del(.sensor) }"))
+    assert(e.getMessage.contains("assignments"))
+  }
+
   test("remap leaves '#', '//' and .field text inside string literals untouched") {
     val out = Processors.RemapProcessor(
       """.url = concat(.sensor, '//host#frag')   # only THIS is a comment
