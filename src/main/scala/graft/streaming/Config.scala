@@ -21,7 +21,15 @@ final case class StreamConf(
   output: ComponentConf,
   errorOutput: Option[ComponentConf],
   buffer: Option[ComponentConf],
-  id: Option[String] = None)
+  id: Option[String] = None,
+  /** stream-level `durability:` block (the reference's WAL config —
+    * enabled/path/sync…); maps onto the Spark checkpoint, which IS this
+    * engine's WAL (offsets + commits). */
+  durability: Map[String, String] = Map.empty,
+  /** stream-level `temporary:` declarations (core temporary/mod.rs) —
+    * named lookup providers the sql processor's `temporary_list`
+    * references. */
+  temporaries: Seq[ComponentConf] = Nil)
 
 /** Optional embedded control-plane server (the reference engine serves
   * its HTTP API beside the streams — arkflow/src/main.rs `serve(...)`). */
@@ -121,17 +129,20 @@ object Config {
       val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
       val kind = cm.getOrElse("type",
         throw new IllegalArgumentException(s"component without type: $cm")).toString
-      // child components: the `inputs:` list of multiple_inputs
-      val children = cm.get("inputs") match {
+      // child components: the `inputs:` list of multiple_inputs, the
+      // sql processor's `temporary_list` (each entry referencing a
+      // stream-level temporary by name)
+      val children = Seq("inputs", "temporary_list").flatMap(cm.get(_) match {
         case Some(l: java.util.List[_]) =>
           l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
         case _ => Nil
-      }
-      val opts = (cm - "type" - "inputs" - "name").flatMap {
-        // nested config blocks (the buffer's `join:` map,
-        // buffer/join.rs JoinConfig) flatten to dotted keys:
-        // join.query, join.codec.type, join.value_field …
-        case (k, m: java.util.Map[_, _]) if k == "join" || k == "store" =>
+      })
+      val opts = (cm - "type" - "inputs" - "temporary_list" - "name").flatMap {
+        // nested config blocks (the buffer's `join:` map, the file
+        // input's `store:`, the temporary's codec/mode/redis_type/key
+        // maps) flatten to dotted keys: join.query, mode.url, key.value …
+        case (k, m: java.util.Map[_, _])
+            if Set("join", "store", "codec", "mode", "redis_type", "key")(k) =>
           dotted(k, anyMap(m))
         // the memory input's preloaded `messages:` list
         // (input/memory.rs) flattens to indexed keys messages.0, … so
