@@ -129,14 +129,23 @@ object Config {
       val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
       val kind = cm.getOrElse("type",
         throw new IllegalArgumentException(s"component without type: $cm")).toString
-      // child components: the `inputs:` list of multiple_inputs, the
-      // sql processor's `temporary_list` (each entry referencing a
-      // stream-level temporary by name)
-      val children = Seq("inputs", "temporary_list").flatMap(cm.get(_) match {
-        case Some(l: java.util.List[_]) =>
-          l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
-        case _ => Nil
-      })
+      // child components: the `inputs:` list of multiple_inputs (typed
+      // components), plus the sql processor's `temporary_list` — whose
+      // entries are NOT typed components but NAME REFERENCES to
+      // stream-level `temporary:` declarations (processor/sql.rs
+      // TemporaryConfig: name/table_name/key only, no `type:`), so they
+      // parse through the dedicated reference shape below
+      val children =
+        (cm.get("inputs") match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
+          case _ => Nil
+        }) ++
+        (cm.get("temporary_list") match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.map(o => temporaryRef(o.asInstanceOf[Object]))
+          case _ => Nil
+        })
       val opts = (cm - "type" - "inputs" - "temporary_list" - "name").flatMap {
         // nested config blocks (the buffer's `join:` map, the file
         // input's `store:`, the temporary's codec/mode/redis_type/key
@@ -159,6 +168,23 @@ object Config {
         case (k, v: java.util.Map[_, _]) => dotted(s"$prefix.$k", anyMap(v))
         case (k, v) => Map(s"$prefix.$k" -> stringify(v))
       }
+    // A `temporary_list` entry (processor/sql.rs TemporaryConfig):
+    // `name` references a stream-level temporary, `table_name` is the
+    // SQL view the fetched rows register under, `key` is the lookup key
+    // (a `{type: value, value: …}` constant or `{type: expr, expr: …}`
+    // batch expression). Parsed as kind `temporary_ref` with the key map
+    // flattened to dotted options — resolution happens in the sql
+    // builder against StreamConf.temporaries.
+    def temporaryRef(o: Object): ComponentConf = {
+      val cm = anyMap(o.asInstanceOf[java.util.Map[_, _]])
+      val name = cm.getOrElse("name", throw new IllegalArgumentException(
+        s"temporary_list entry without name: $cm")).toString
+      val opts = (cm - "name").flatMap {
+        case (k, m: java.util.Map[_, _]) => dotted(k, anyMap(m))
+        case (k, v) => Map(k -> stringify(v))
+      }
+      ComponentConf("temporary_ref", opts, Nil, Some(name))
+    }
     val processors = m.get("pipeline") match {
       case Some(p: java.util.Map[_, _]) =>
         anyMap(p).get("processors") match {
@@ -167,13 +193,31 @@ object Config {
         }
       case _ => Seq.empty
     }
+    // stream-level `temporary:` declarations (core temporary/mod.rs
+    // TemporaryConfig — typed components with a `name`), referenced by
+    // sql processors' temporary_list entries
+    val temporaries = m.get("temporary") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.map(o => component(o.asInstanceOf[Object]))
+      case _ => Nil
+    }
+    // `durability:` block (stream/mod.rs WalConfig) — flattened; consumed
+    // by Engine.runStream (path → the Spark checkpointLocation, which IS
+    // this engine's WAL)
+    val durability = m.get("durability") match {
+      case Some(d: java.util.Map[_, _]) => anyMap(d).map {
+        case (k, v) => k -> stringify(v) }
+      case _ => Map.empty[String, String]
+    }
     StreamConf(
       input = component(m("input")),
       processors = processors,
       output = component(m("output")),
       errorOutput = m.get("error_output").map(component),
       buffer = m.get("buffer").map(component),
-      id = m.get("id").map(_.toString))
+      id = m.get("id").map(_.toString),
+      durability = durability,
+      temporaries = temporaries)
   }
 
   /** Flatten nested YAML values to strings (scalars as-is, maps/lists as

@@ -774,7 +774,8 @@ object Engine {
   def runStream(spark: SparkSession, s: StreamConf,
       id: String): Option[StreamingQuery] = {
     val in = inputFromConf(spark, s.input)
-    val procs = bufferProcessors(s.buffer, s.input) ++ Processors.fromConf(s.processors)
+    val procs = bufferProcessors(s.buffer, s.input) ++
+      Processors.fromConf(s.processors, s.temporaries)
     val sink = sinkFromConf(s.output)
     val err = s.errorOutput.map(sinkFromConf)
     if (in.isStreaming)
@@ -793,11 +794,39 @@ object Engine {
                 s"${math.max(Config.parseDurationMs(g) / 5, 50L)} milliseconds")))
           .map(Trigger.ProcessingTime(_))
           .getOrElse(Trigger.ProcessingTime(0L)),
-        checkpoint = s.input.options.get("checkpoint"),
+        checkpoint = s.input.options.get("checkpoint").orElse(durabilityCheckpoint(s)),
         queryName = Some(id)))
     else {
       runBatch(in, procs, sink, err)
       None
+    }
+  }
+
+  /** The stream-level `durability:` block (stream/mod.rs WalConfig —
+    * enabled/path/sync/compression) maps onto the Spark CHECKPOINT, which
+    * is this engine's WAL: offsets are logged before processing and
+    * commits after the sink confirms, so restart replays unacknowledged
+    * batches — the reference's read-log/ack-on-output contract
+    * (durability_example.yaml). The input's own `checkpoint` option takes
+    * precedence when both are set (it is the more specific knob).
+    * `sync`/`compression` tuning is checkpoint-native in Spark (HDFS
+    * client flush + compact log format) — accepted with a notice, never
+    * silently meaningful. */
+  def durabilityCheckpoint(s: StreamConf): Option[String] = {
+    if (s.durability.isEmpty) None
+    else if (s.durability.get("enabled").exists(e =>
+        e.equalsIgnoreCase("false") || e == "0")) None
+    else {
+      Seq("sync", "compression").foreach(k => s.durability.get(k).foreach(v =>
+        System.err.println(s"[engine] durability.$k '$v' noted: WAL sync and " +
+          "compaction are native to the Spark checkpoint (offsets are always " +
+          "flushed before a batch runs); the option does not change behavior")))
+      val p = s.durability.get("path")
+      if (p.isEmpty) System.err.println(
+        "[engine] durability block without `path:` — checkpointing only " +
+          "happens with a location; set durability.path or the input's " +
+          "`checkpoint` option")
+      p
     }
   }
 

@@ -847,10 +847,50 @@ object Processors {
     "vrl" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))),
     "remap" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))))
 
-  /** Build the processor chain from config components. */
-  def fromConf(confs: Seq[ComponentConf]): Seq[BatchTransform] = confs.map { c =>
-    builders.getOrElse(c.kind,
+  /** Build the processor chain from config components. `temporaries` are
+    * the stream-level `temporary:` declarations a sql processor's
+    * `temporary_list` children (kind `temporary_ref`, parsed by
+    * [[Config]]) resolve against — the reference's resource lookup in
+    * processor/sql.rs SqlProcessor::new. */
+  def fromConf(confs: Seq[ComponentConf],
+      temporaries: Seq[ComponentConf] = Nil): Seq[BatchTransform] = confs.map { c =>
+    if (c.kind == "sql" && c.children.exists(_.kind == "temporary_ref"))
+      lookupSqlFromRefs(c, temporaries)
+    else builders.getOrElse(c.kind,
       throw new IllegalArgumentException(s"unknown processor: ${c.kind}"))(c)
+  }
+
+  /** Resolve a sql processor's `temporary_list` name references against
+    * the stream's `temporary:` declarations and build the lookup-join
+    * processor (processor/sql.rs:70-90 — unknown names fail at BUILD
+    * time, like the reference's "Temporary {} not found"). */
+  private def lookupSqlFromRefs(c: ComponentConf,
+      temporaries: Seq[ComponentConf]): BatchTransform = {
+    val byName = temporaries.flatMap(t => t.name.map(_ -> t)).toMap
+    val lookups = c.children.filter(_.kind == "temporary_ref").map { ref =>
+      val refName = ref.name.getOrElse(
+        throw new IllegalArgumentException("temporary_list entry without name"))
+      val decl = byName.getOrElse(refName, throw new IllegalArgumentException(
+        s"temporary '$refName' not found (declared: ${byName.keys.toSeq.sorted.mkString(", ")})"))
+      val table = ref.options.getOrElse("table_name", refName)
+      val provider: DataFrame => DataFrame = decl.kind match {
+        case "redis" =>
+          decl.options.get("mode.type").foreach(t => require(t == "single",
+            s"redis temporary mode '$t' is not supported (single only)"))
+          val (host, port) = Redis.parseUrl(decl.options.getOrElse("mode.url",
+            throw new IllegalArgumentException(
+              s"redis temporary '$refName' needs mode.url")))
+          batch => Redis.temporaryProvider(batch.sparkSession, host, port,
+            redisType = decl.options.getOrElse("redis_type.type", "string"),
+            codec = decl.options.getOrElse("codec.type", "json"),
+            keys = Redis.temporaryKeys(ref.options))(batch)
+        case other => throw new IllegalArgumentException(
+          s"unknown temporary type: $other (the reference implements redis only)")
+      }
+      TemporaryLookup(table, provider)
+    }
+    LookupSqlProcessor(c.options("query"),
+      c.options.getOrElse("table_name", "flow"), lookups)
   }
 
   /** Proto message schema from processor options: `descriptor_path` +

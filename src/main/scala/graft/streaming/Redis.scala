@@ -136,6 +136,98 @@ object Redis {
     values.toDF("key", "value")
   }
 
+  /** Parse the reference's `mode.url` connection string
+    * (`redis://host[:port][/db]`, component/redis.rs Mode::Single).
+    * Cluster mode is rejected loudly — a Spark deployment points at one
+    * endpoint (or a proxy), and silently using only the first node of a
+    * cluster list would mis-route keys. */
+  def parseUrl(url: String): (String, Int) = {
+    val stripped = url.trim.stripPrefix("redis://").stripPrefix("rediss://")
+    val hostPort = stripped.takeWhile(_ != '/')
+    hostPort.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h) => (h, 6379)
+    }
+  }
+
+  /** Reference-dialect temporary provider (plugin/temporary/redis.rs):
+    * fetch the batch's keys from redis and DECODE the values through the
+    * declared codec into the lookup table's rows — the fetched JSON
+    * documents ARE the table (no key/value columns; the user's query
+    * joins on the decoded columns, as redis_temporary_example.yaml's
+    * `flow.sensor = redis_table.x` does).
+    *
+    *  - `redis_type` string → one MGET over the distinct keys
+    *    (temporary/redis.rs RedisType::String);
+    *  - `redis_type` list → LRANGE key 0 -1 per key, concatenated
+    *    (RedisType::List).
+    *
+    * `keys` yields the lookup keys for the current batch: a constant
+    * (`key.type: value`) or the distinct values of a batch expression
+    * (`key.type: expr`), bounded by `maxKeys` with a loud overflow
+    * failure like [[lookupProvider]]. Driver-edge fetch, key-bounded by
+    * construction; the decoded table broadcasts through
+    * LookupSqlProcessor. */
+  def temporaryProvider(spark: SparkSession, host: String, port: Int,
+      redisType: String, codec: String, keys: DataFrame => Seq[String],
+      mgetChunk: Int = 1000): DataFrame => DataFrame = { batch =>
+    require(codec == "json", s"temporary codec '$codec' is not supported (json only)")
+    import spark.implicits._
+    val ks = keys(batch)
+    val values: Seq[String] =
+      if (ks.isEmpty) Seq.empty
+      else {
+        val conn = new Conn(host, port)
+        try redisType match {
+          case "string" =>
+            // MGET over the distinct key set, chunked so no key drops
+            ks.distinct.grouped(mgetChunk).flatMap { chunk =>
+              val replies = conn.command("MGET" +: chunk: _*).asInstanceOf[Seq[Any]]
+              replies.collect { case v: String => v }
+            }.toSeq
+          case "list" =>
+            ks.flatMap(k =>
+              conn.command("LRANGE", k, "0", "-1").asInstanceOf[Seq[Any]]
+                .collect { case v: String => v })
+          case other => throw new IllegalArgumentException(
+            s"redis temporary redis_type '$other' (want string | list)")
+        } finally conn.close()
+      }
+    val decoded = Processors.JsonToArrow()(
+      values.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol)))
+    // zero fetched documents: JsonToArrow's zero-row inference guard
+    // returns the empty-schema sentinel; register a truly empty frame so
+    // the failure mode is the query's own unresolved-column error (what
+    // the reference's DataFusion produces for an unregistered/empty
+    // temporary), not a sentinel leaking downstream
+    if (decoded.schema.isEmpty) spark.emptyDataFrame else decoded
+  }
+
+  /** Key extraction for a temporary_ref (processor/sql.rs `Expr<String>`):
+    * `value` is a constant, `expr` evaluates over the batch per
+    * micro-batch (distinct, maxKeys-bounded). */
+  def temporaryKeys(opts: Map[String, String],
+      maxKeys: Int = 100000): DataFrame => Seq[String] =
+    opts.getOrElse("key.type", "value") match {
+      case "value" =>
+        val k = opts.getOrElse("key.value", throw new IllegalArgumentException(
+          "temporary_list key.type=value needs key.value"))
+        _ => Seq(k)
+      case "expr" =>
+        val e = opts.getOrElse("key.expr", throw new IllegalArgumentException(
+          "temporary_list key.type=expr needs key.expr"))
+        batch => {
+          val ks = batch.select(expr(e).cast("string")).distinct()
+            .limit(maxKeys + 1).collect().map(_.getString(0)).filter(_ != null).toSeq
+          if (ks.length > maxKeys) throw new IllegalStateException(
+            s"temporary lookup: batch has more than $maxKeys distinct keys; " +
+              "raise maxKeys or pre-aggregate the key expression")
+          ks
+        }
+      case other => throw new IllegalArgumentException(
+        s"temporary_list key.type '$other' (want value | expr)")
+    }
+
   /** redis input (input/redis.rs poll modes): drain a list via LPOP or
     * read one string key — one poll, EOF semantics, envelope shape. */
   def read(spark: SparkSession, options: Map[String, String]): DataFrame = {

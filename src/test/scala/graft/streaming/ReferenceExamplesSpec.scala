@@ -76,6 +76,129 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     assert(conf.streams.forall(s => Engine.inputBuilders.contains(s.input.kind)))
   }
 
+  test("every reference example's processor pipeline EXECUTES on a " +
+      "synthetic decoded batch (stubbed lookup providers) — a processor " +
+      "that builds but cannot run its query fails this sweep, the " +
+      "kind→options→SEMANTICS drift class one level past 'builds'") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def envelope(msgs: Seq[String]) =
+      msgs.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol),
+        current_timestamp().as("__meta_ingest_time"))
+    // kinds whose execution needs artifacts this sandbox cannot supply
+    // synthetically: python infers output schema per batch (e2e-run in
+    // PythonPipeSpec), protobuf examples reference a descriptor path
+    // relative to the reference's own CWD (e2e-run in CodecPropertySpec)
+    val skipKinds = Set("python", "protobuf_to_arrow", "arrow_to_protobuf")
+    val redis = new FakeRedis
+    try {
+      val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+      yamlFiles.filterNot(f => structuralSkips(f.getName)).foreach { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val conf = try Some(Config.fromYaml(text)) catch { case _: Exception => None }
+        conf.toSeq.flatMap(_.streams).foreach { s =>
+          val procs = s.processors.filterNot(p => skipKinds(p.kind))
+          if (procs.nonEmpty) {
+            // the synthetic batch is the DECODED shape entering the
+            // pipeline: the example's own generate context / memory
+            // message when it declares one (so its SQL's columns exist),
+            // the debezium-decoded envelope for the CDC example (its
+            // kafka input codec decodes before the pipeline), a generic
+            // sensor document otherwise
+            val in =
+              if (f.getName == "cdc_debezium.yaml")
+                Codecs.DebeziumJsonCodec.decode(envelope(Seq(
+                  """{"op":"c","ts_ms":1625000000000,"before":null,""" +
+                  """"after":{"id":1,"name":"ada"},""" +
+                  """"source":{"db":"shop","table":"users"}}""")))
+              else {
+                val ctx = s.input.options.get("context")
+                  .orElse(s.input.options.get("messages.0"))
+                  .getOrElse("""{ "timestamp": 1625000000000, "value": 11, "sensor": "temp_1" }""")
+                envelope(Seq(ctx, ctx))
+              }
+            // stub lookup providers: every redis temporary points at the
+            // in-memory RESP stub, preloaded so declared constant keys
+            // resolve to a joinable document
+            s.processors.flatMap(_.children).filter(_.kind == "temporary_ref")
+              .flatMap(_.options.get("key.value"))
+              .foreach(k => redis.strings.put(k, """{"x": "temp_1"}"""))
+            val temps = s.temporaries.map(t =>
+              if (t.kind == "redis") t.copy(options = t.options +
+                ("mode.url" -> s"redis://127.0.0.1:${redis.port}"))
+              else t)
+            try {
+              val chain = Processors.fromConf(procs, temps)
+              val out = chain.foldLeft(in)((df, p) => p(df))
+              if (out.schema.nonEmpty) { out.collect(); () }
+            } catch { case e: Exception =>
+              problems += s"${f.getName}: pipeline failed to EXECUTE: ${e.getMessage}"
+            }
+          }
+        }
+      }
+      assert(problems.isEmpty,
+        "reference pipelines that build but do not execute:\n  " + problems.mkString("\n  "))
+    } finally redis.stop()
+  }
+
+  test("redis_temporary_example.yaml runs END-TO-END against a stub RESP " +
+      "server: the temporary: declaration resolves, the key fetches, the " +
+      "json codec decodes, and the right join produces the joined row " +
+      "(processor/sql.rs:148-183, temporary/redis.rs)") {
+    val spark = SparkTestSession.spark
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/redis_temporary_example.yaml")), "UTF-8")
+    val conf = Config.fromYaml(text)
+    val s = conf.streams.head
+    // the parse must carry the reference shapes verbatim
+    assert(s.temporaries.map(_.name) == Seq(Some("redis_temporary")))
+    val decl = s.temporaries.head
+    assert(decl.kind == "redis")
+    assert(decl.options.get("mode.url").contains("redis://127.0.0.1:6379"))
+    assert(decl.options.get("redis_type.type").contains("string"))
+    assert(decl.options.get("codec.type").contains("json"))
+    val sqlProc = s.processors.find(_.kind == "sql").get
+    val ref = sqlProc.children.find(_.kind == "temporary_ref").get
+    assert(ref.name.contains("redis_temporary"))
+    assert(ref.options.get("table_name").contains("redis_table"))
+    assert(ref.options.get("key.type").contains("value"))
+    assert(ref.options.get("key.value").contains("test"))
+
+    // run it: the stub binds an ephemeral port, so the ONLY mutation vs
+    // the reference YAML is pointing mode.url at the stub (and a count
+    // on the generate input for one-shot semantics)
+    val redis = new FakeRedis
+    try {
+      redis.strings.put("test", """{"x": "temp_1", "room": "lab_a"}""")
+      val decl2 = decl.copy(options = decl.options +
+        ("mode.url" -> s"redis://127.0.0.1:${redis.port}"))
+      val input = s.input.copy(options = s.input.options + ("count" -> "2"))
+      val in = Engine.inputFromConf(spark, input)
+      val procs = Processors.fromConf(s.processors, Seq(decl2))
+      val out = procs.foldLeft(in)((df, p) => p(df))
+      val rows = out.collect()
+      assert(rows.length == 2, s"right join should yield one row per flow row: ${rows.toSeq}")
+      assert(out.columns.contains("x") && out.columns.contains("room"),
+        s"decoded redis columns must join in: ${out.columns.toSeq}")
+      assert(rows.forall(r => r.getAs[String]("x") == "temp_1"
+        && r.getAs[String]("room") == "lab_a"
+        && r.getAs[String]("sensor") == "temp_1"))
+    } finally redis.stop()
+  }
+
+  test("an unknown temporary_list name fails at BUILD time with the " +
+      "declared names listed (the reference's 'Temporary not found')") {
+    val conf = ComponentConf("sql", Map("query" -> "SELECT * FROM flow"),
+      children = Seq(ComponentConf("temporary_ref",
+        Map("table_name" -> "t"), Nil, Some("nope"))))
+    val e = intercept[IllegalArgumentException] {
+      Processors.fromConf(Seq(conf), Nil)
+    }
+    assert(e.getMessage.contains("temporary 'nope' not found"))
+  }
+
   test("every reference example's PROCESSOR configs actually build " +
       "(options included, not just the kind)") {
     // A kind can resolve while its options don't — this builds each
@@ -86,15 +209,16 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     yamlFiles.filterNot(f => structuralSkips(f.getName)).foreach { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val conf = try Some(Config.fromYaml(text)) catch { case _: Exception => None }
-      conf.toSeq.flatMap(_.streams).flatMap(_.processors)
+      conf.toSeq.flatMap(_.streams).flatMap(s => s.processors.map((s, _)))
         // python needs an output_schema option this engine requires at
         // plan time (Spark needs the schema; the reference infers per
         // batch) — the python example's pipeline is e2e-run in
         // PythonPipeSpec instead. protobuf examples reference a
         // descriptor file path relative to the reference's own CWD.
-        .filterNot(p => Set("python", "protobuf_to_arrow", "arrow_to_protobuf")(p.kind))
-        .foreach { p =>
-          try { Processors.fromConf(Seq(p)); () }
+        .filterNot { case (_, p) =>
+          Set("python", "protobuf_to_arrow", "arrow_to_protobuf")(p.kind) }
+        .foreach { case (s, p) =>
+          try { Processors.fromConf(Seq(p), s.temporaries); () }
           catch { case e: Exception =>
             problems += s"${f.getName}: processor '${p.kind}' failed to build: ${e.getMessage}"
           }
