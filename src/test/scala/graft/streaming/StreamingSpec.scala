@@ -266,6 +266,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((3L, "carol", "r"), (4L, "new", "u")))
   }
 
+  test("debezium decode survives HOMOGENEOUS batches: all-create (before " +
+      "infers all-null) and all-delete (after infers all-null) — the " +
+      "insert-only initial-snapshot case (codec/debezium.rs:90-96)") {
+    // all-create: `before` is null on every row → inference can't see a
+    // struct there; payload must come from `after` alone
+    val creates = Seq(
+      """{"before": null, "after": {"id": 1, "name": "alice"},
+        |"source": {"db": "d1", "table": "users"}, "op": "c", "ts_ms": 1}""".stripMargin,
+      """{"before": null, "after": {"id": 2, "name": "bob"},
+        |"source": {"db": "d1", "table": "users"}, "op": "r", "ts_ms": 2}""".stripMargin)
+    val cRows = Codecs.DebeziumJsonCodec.decode(envelope(creates: _*))
+      .select("id", "name", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cRows == Set((1L, "alice", "c"), (2L, "bob", "r")))
+    // all-delete: symmetric — payload from `before` alone
+    val deletes = Seq(
+      """{"before": {"id": 3, "name": "carol"}, "after": null,
+        |"source": {"db": "d1", "table": "users"}, "op": "d", "ts_ms": 3}""".stripMargin)
+    val dRows = Codecs.DebeziumJsonCodec.decode(envelope(deletes: _*))
+      .select("id", "name", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(dRows == Set((3L, "carol", "d")))
+  }
+
+  test("debezium decode preserves the reference's full envelope column set " +
+      "(business fields + op/ts_ms/source_db/source_table + before/source " +
+      "JSON text, codec/debezium.rs:110-124) and unifies asymmetric " +
+      "before/after field sets with nulls") {
+    val mixed = Seq(
+      // update whose before carries a field the after shape dropped
+      """{"before": {"id": 5, "name": "eve", "legacy": true},
+        |"after": {"id": 5, "name": "eva"},
+        |"source": {"db": "d2", "table": "users"}, "op": "u", "ts_ms": 10}""".stripMargin,
+      """{"before": {"id": 6, "name": "gone", "legacy": false}, "after": null,
+        |"source": {"db": "d2", "table": "users"}, "op": "d", "ts_ms": 11}""".stripMargin)
+    val out = Codecs.DebeziumJsonCodec.decode(envelope(mixed: _*))
+    // the reference's documented output columns all exist
+    Seq("id", "name", "legacy", "op", "ts_ms", "source_db", "source_table",
+      "before", "source").foreach(c => assert(out.columns.contains(c), s"missing $c"))
+    val byOp = out.collect().map(r => r.getAs[String]("op") -> r).toMap
+    // update: payload prefers after → name "eva"; before-only field null
+    assert(byOp("u").getAs[Long]("id") == 5L)
+    assert(byOp("u").getAs[String]("name") == "eva")
+    assert(byOp("u").isNullAt(byOp("u").fieldIndex("legacy")))
+    // delete: payload falls back to before, including the before-only field
+    assert(byOp("d").getAs[String]("name") == "gone")
+    assert(byOp("d").getAs[Boolean]("legacy") == false)
+    // preserved JSON text columns survive as strings
+    assert(byOp("u").getAs[String]("before").contains("\"legacy\":true"))
+    assert(byOp("u").getAs[String]("source").contains("\"db\":\"d2\""))
+    assert(byOp("u").getAs[String]("source_db") == "d2")
+    assert(byOp("u").getAs[Long]("ts_ms") == 10L)
+  }
+
+  test("debezium decode tolerates tombstone-only batches (both sides null) " +
+      "— envelope metadata only, no payload columns") {
+    val tombstone =
+      """{"before": null, "after": null,
+        |"source": {"db": "d3", "table": "t"}, "op": "d", "ts_ms": 7}""".stripMargin
+    val out = Codecs.DebeziumJsonCodec.decode(envelope(tombstone))
+    val r = out.collect().head
+    assert(r.getAs[String]("op") == "d")
+    assert(r.getAs[String]("source_table") == "t")
+  }
+
   test("protobuf wire codec round-trips the reference message (protobuf.rs:573-578)") {
     val fields = Seq(ProtoField(1, "timestamp", "int64"),
       ProtoField(2, "value", "double"), ProtoField(3, "sensor", "string"))
