@@ -794,7 +794,7 @@ object Engine {
                 s"${math.max(Config.parseDurationMs(g) / 5, 50L)} milliseconds")))
           .map(Trigger.ProcessingTime(_))
           .getOrElse(Trigger.ProcessingTime(0L)),
-        checkpoint = s.input.options.get("checkpoint").orElse(durabilityCheckpoint(s)),
+        checkpoint = resolvedCheckpoint(s, id),
         queryName = Some(id)))
     else {
       runBatch(in, procs, sink, err)
@@ -811,8 +811,23 @@ object Engine {
     * precedence when both are set (it is the more specific knob).
     * `sync`/`compression` tuning is checkpoint-native in Spark (HDFS
     * client flush + compact log format) — accepted with a notice, never
-    * silently meaningful. */
-  def durabilityCheckpoint(s: StreamConf): Option[String] = {
+    * silently meaningful.
+    *
+    * A `durability:` block WITHOUT `path:` still yields a durable stream:
+    * the reference's WalConfig defaults the path (wal/mod.rs:72-74,
+    * enabled defaults true at :68-70) rather than dropping durability, so
+    * degrading to non-durable here would silently lose what the user
+    * explicitly asked for. We default to a deterministic per-stream
+    * location, `./data/wal/<stream-id>`, and say so loudly. */
+  /** The checkpoint location a stream actually runs with: the input's
+    * own `checkpoint` option when set (the more specific knob), else the
+    * `durability:` block's mapping. This is the exact expression
+    * [[runStream]] passes to [[start]] — factored out so the precedence
+    * rule is unit-testable. */
+  def resolvedCheckpoint(s: StreamConf, id: String): Option[String] =
+    s.input.options.get("checkpoint").orElse(durabilityCheckpoint(s, id))
+
+  def durabilityCheckpoint(s: StreamConf, id: String): Option[String] = {
     if (s.durability.isEmpty) None
     else if (s.durability.get("enabled").exists(e =>
         e.equalsIgnoreCase("false") || e == "0")) None
@@ -821,12 +836,15 @@ object Engine {
         System.err.println(s"[engine] durability.$k '$v' noted: WAL sync and " +
           "compaction are native to the Spark checkpoint (offsets are always " +
           "flushed before a batch runs); the option does not change behavior")))
-      val p = s.durability.get("path")
-      if (p.isEmpty) System.err.println(
-        "[engine] durability block without `path:` — checkpointing only " +
-          "happens with a location; set durability.path or the input's " +
-          "`checkpoint` option")
-      p
+      s.durability.get("path").filter(_.nonEmpty).orElse {
+        val fallback = s"./data/wal/$id"
+        System.err.println(
+          "[engine] durability block without `path:` — defaulting the " +
+            s"checkpoint to '$fallback' (the reference's WAL also opens at " +
+            "a default path rather than dropping durability); set " +
+            "durability.path to control the location")
+        Some(fallback)
+      }
     }
   }
 

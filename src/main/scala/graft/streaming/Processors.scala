@@ -542,8 +542,12 @@ object Processors {
     private val FallibleAssign =
       """\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\.?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
     private val Assign = """\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
-    // single-quoted SQL string literal, with '' as the escaped quote
-    private val Literal = "'(?:[^']|'')*'".r
+    // string literals: single-quoted SQL form ('' escapes the quote) AND
+    // VRL's double-quoted form with backslash escapes — both restored
+    // verbatim (Spark SQL parses "..." as a string literal with backslash
+    // escapes under the default non-ANSI identifier mode, matching VRL's
+    // escape semantics)
+    private val Literal = ("'(?:[^']|'')*'" + "|\"(?:[^\"\\\\]|\\\\.)*\"").r
 
     // VRL stdlib names mapped to the Spark SQL function with identical
     // semantics, rewritten at CALL sites only (an `upcase(` call, never a
@@ -559,19 +563,79 @@ object Processors {
       "starts_with" -> "startswith", "ends_with" -> "endswith",
       "truncate" -> "left", "join" -> "array_join",
       "format_timestamp" -> "date_format",
-      "to_unix_timestamp" -> "unix_timestamp")
+      "to_unix_timestamp" -> "unix_timestamp",
+      // 0-based/end-exclusive/negative-index slice has no Spark twin —
+      // [[graft.functions.VrlSlice]], registered at apply()
+      "slice" -> "graft_vrl_slice")
+    // VRL stdlib names that are ALREADY the Spark function with matching
+    // semantics (no alias entry needed, listed for the record):
+    // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
+    // replace(s, search, with) (replaces every occurrence, like VRL);
+    // now() → current timestamp.
+
+    /** Brace-matcher shared by the else-if desugar and the statement
+      * compiler: `open` indexes a '{'; returns the index of its matching
+      * '}' (literals are already masked, so braces are all syntax). */
+    private def matchBraceIn(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        if (s(i) == '{') depth += 1
+        else if (s(i) == '}') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"remap: unclosed brace in `${unmask(s)}`")
+    }
+
+    /** End (exclusive) of the if-chain starting at `ifStart` (the 'i' of
+      * an `if`): then-block, then any `else if` links, then the final
+      * `else { }` if present. */
+    private def endOfIfChain(s: String, ifStart: Int): Int = {
+      val open = s.indexOf('{', ifStart)
+      require(open > ifStart, s"remap: malformed if `${unmask(s.substring(ifStart))}`")
+      val thenEnd = matchBraceIn(s, open)
+      var i = thenEnd + 1
+      while (i < s.length && s(i).isWhitespace) i += 1
+      if (!s.startsWith("else", i)) thenEnd + 1
+      else {
+        var j = i + 4
+        while (j < s.length && s(j).isWhitespace) j += 1
+        if (s.startsWith("if", j)) endOfIfChain(s, j)
+        else if (j < s.length && s(j) == '{') matchBraceIn(s, j) + 1
+        else throw new IllegalArgumentException(
+          s"remap: malformed else in `${unmask(s.substring(i))}`")
+      }
+    }
+
+    /** Desugar expression-form `else if` chains into nested
+      * `else { if ... }` so the innermost-first CASE rewrite below
+      * handles them (VRL if/else-if/else, processor/vrl.rs control
+      * flow). Statement-form chains never reach this: they are parsed
+      * natively by [[compileIfStatement]]. */
+    private def desugarElseIf(s0: String): String = {
+      var s = s0
+      val P = """(?s)\belse\s+if\b""".r
+      var m = P.findFirstMatchIn(s)
+      while (m.isDefined) {
+        val mm = m.get
+        val ifStart = mm.end - 2
+        val end = endOfIfChain(s, ifStart)
+        s = s.substring(0, mm.start) + "else { " +
+          s.substring(ifStart, end) + " }" + s.substring(end)
+        m = P.findFirstMatchIn(s)
+      }
+      s
+    }
 
     // VRL expression-form conditional `if COND { A } else { B }` →
     // CASE WHEN. Innermost-first loop handles nesting; a no-else form
-    // yields NULL (only matched when NOT followed by `else`, so a
-    // dangling `else if` chain fails loudly at expr() instead of
-    // silently mis-grouping — else-if chains are documented unsupported,
-    // write nested `else { if ... }` instead).
+    // yields NULL. `else if` chains are desugared to nested else{if}
+    // first, so each loop pass sees only the two-armed form.
     private val IfExpr =
       """if\s+([^{}]+?)\s*\{\s*([^{}]+?)\s*\}(?:\s*else\s*\{\s*([^{}]+?)\s*\}|(?!\s*else))""".r
 
     private def vrlRewrites(s0: String): String = {
-      var s = s0
+      var s = desugarElseIf(s0)
       var changed = true
       while (changed) {
         val n = IfExpr.replaceAllIn(s, m =>
@@ -622,41 +686,16 @@ object Processors {
       out.toSeq.map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
     }
 
-    /** Statement-form `if cond { assignments } [else { assignments }]`
-      * (processor/vrl.rs control flow): branch assignments compile to
-      * per-field `when(cond, thenRhs).otherwise(elseRhs-or-current)`
-      * projections — a field assigned in neither branch is untouched, a
-      * field NEW to the frame is NULL on the unassigned side. All branch
-      * rhs's evaluate against the PRE-if frame (no intra-branch
-      * chaining — write sequential top-level statements for that);
-      * `del()` inside a branch is rejected (dropping a column cannot be
-      * row-conditional). */
+    /** Statement-form `if cond { assignments } (else if cond { … })*
+      * [else { assignments }]` (processor/vrl.rs control flow): the chain
+      * compiles to per-field `when(c1, v1).when(c2, v2)….otherwise(else
+      * -or-current)` projections — a field assigned in no branch is
+      * untouched, a field NEW to the frame is NULL on unassigned rows.
+      * All branch rhs's evaluate against the PRE-if frame (no
+      * intra-branch chaining — write sequential top-level statements for
+      * that); `del()` inside a branch is rejected (dropping a column
+      * cannot be row-conditional). */
     private def compileIfStatement(stmt: String): DataFrame => DataFrame = {
-      val open = stmt.indexOf('{')
-      require(open > 0, s"remap: malformed if `${unmask(stmt)}`")
-      def matchBrace(from: Int): Int = {
-        var depth = 0
-        var i = from
-        while (i < stmt.length) {
-          if (stmt(i) == '{') depth += 1
-          else if (stmt(i) == '}') { depth -= 1; if (depth == 0) return i }
-          i += 1
-        }
-        throw new IllegalArgumentException(s"remap: unclosed brace in `${unmask(stmt)}`")
-      }
-      val thenEnd = matchBrace(open)
-      val cond = stmt.substring(2, open).replaceAll("^\\s+|\\s+$", "")
-      val thenBlock = stmt.substring(open + 1, thenEnd)
-      val rest = stmt.substring(thenEnd + 1).replaceAll("^\\s+|\\s+$", "")
-      val elseBlock =
-        if (rest.isEmpty) None
-        else if (rest.startsWith("else")) {
-          val eo = rest.indexOf('{')
-          require(eo >= 0 && rest.endsWith("}"),
-            s"remap: malformed else in `${unmask(stmt)}`")
-          Some(rest.substring(eo + 1, rest.length - 1))
-        } else throw new IllegalArgumentException(
-          s"remap: unexpected text after if block: `${unmask(rest)}`")
       def assigns(block: String): Seq[(String, String)] =
         splitTop(block).map {
           case Assign(f, rhs) => f -> fieldRefs(rhs)
@@ -664,20 +703,49 @@ object Processors {
             "remap: only `.field = expr` assignments are allowed inside " +
               s"statement-form if branches, got `${unmask(other)}`")
         }
-      val condSql = fieldRefs(cond)
-      val thenA = assigns(thenBlock)
-      val elseA = elseBlock.map(assigns).getOrElse(Nil)
+      // parse the chain: (condSql, assigns) per if/else-if arm + final else
+      val arms = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
+      var elseA: Seq[(String, String)] = Nil
+      var i = 0 // index of the current `if`
+      var done = false
+      while (!done) {
+        val open = stmt.indexOf('{', i)
+        require(open > i, s"remap: malformed if `${unmask(stmt)}`")
+        val close = matchBraceIn(stmt, open)
+        val cond = stmt.substring(i + 2, open).replaceAll("^\\s+|\\s+$", "")
+        arms += ((fieldRefs(cond), assigns(stmt.substring(open + 1, close))))
+        var j = close + 1
+        while (j < stmt.length && stmt(j).isWhitespace) j += 1
+        if (j >= stmt.length) done = true
+        else if (stmt.startsWith("else", j)) {
+          var k = j + 4
+          while (k < stmt.length && stmt(k).isWhitespace) k += 1
+          if (stmt.startsWith("if", k)) i = k // else-if link: next arm
+          else if (k < stmt.length && stmt(k) == '{') {
+            val eClose = matchBraceIn(stmt, k)
+            require(stmt.substring(eClose + 1).forall(_.isWhitespace),
+              s"remap: unexpected text after else block: `${unmask(stmt.substring(eClose + 1))}`")
+            elseA = assigns(stmt.substring(k + 1, eClose))
+            done = true
+          } else throw new IllegalArgumentException(
+            s"remap: malformed else in `${unmask(stmt)}`")
+        } else throw new IllegalArgumentException(
+          s"remap: unexpected text after if block: `${unmask(stmt.substring(j))}`")
+      }
+      val armsV = arms.toVector
       (df: DataFrame) => {
-        val fields = (thenA.map(_._1) ++ elseA.map(_._1)).distinct
-        val cond0 = expr(condSql)
+        val fields = (armsV.flatMap(_._2.map(_._1)) ++ elseA.map(_._1)).distinct
         df.withColumns(fields.map { f =>
           val current: org.apache.spark.sql.Column =
             if (df.columns.contains(f)) col(f) else lit(null)
-          val thenV = thenA.collectFirst { case (`f`, rhs) => expr(rhs) }
-            .getOrElse(current)
-          val elseV = elseA.collectFirst { case (`f`, rhs) => expr(rhs) }
-            .getOrElse(current)
-          f -> when(cond0, thenV).otherwise(elseV)
+          def valueIn(as: Seq[(String, String)]) =
+            as.collectFirst { case (`f`, rhs) => expr(rhs) }.getOrElse(current)
+          val chained = armsV.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (condSql, as)) =>
+              val c = expr(condSql); val v = valueIn(as)
+              Some(acc.fold(when(c, v))(_.when(c, v)))
+          }.get
+          f -> chained.otherwise(valueIn(elseA))
         }.toMap)
       }
     }
@@ -711,8 +779,10 @@ object Processors {
           throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
       }
 
-    def apply(batch: DataFrame): DataFrame =
+    def apply(batch: DataFrame): DataFrame = {
+      graft.functions.VrlSlice.register(batch.sparkSession)
       statements.foldLeft(batch)((df, stmt) => stmt(df))
+    }
   }
 
   /** Temporary lookup table (SURVEY.md §2.6, core temporary/mod.rs:40-45):

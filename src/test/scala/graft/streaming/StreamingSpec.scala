@@ -460,6 +460,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(1) == "keep .value intact")
   }
 
+  test("remap masks DOUBLE-quoted VRL string literals: '#', ';', '{', and " +
+      ".word inside \"...\" survive verbatim, incl. backslash escapes") {
+    val out = Processors.RemapProcessor(
+      """.url = concat(.sensor, "//host#frag")   # real comment
+        |.tag = "keep .value; and {braces} intact"
+        |.esc = "quote\" done"
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("url", "tag", "esc").collect().head
+    assert(r.getString(0) == "temp_1//host#frag")
+    assert(r.getString(1) == "keep .value; and {braces} intact")
+    assert(r.getString(2) == "quote\" done")
+  }
+
+  test("remap else-if chains: statement form compiles to chained whens, " +
+      "expression form desugars to nested CASE (processor/vrl.rs control flow)") {
+    // statement form: 3-arm chain + final else, per-field semantics
+    val prog =
+      """if .value > 100 {
+        |  .grade = 'huge'
+        |  .extra = 1
+        |} else if .value > 5 {
+        |  .grade = 'big'
+        |} else if .value > 1 {
+        |  .grade = 'mid'
+        |} else {
+        |  .grade = 'small'
+        |  .extra = 0
+        |}
+        |""".stripMargin
+    def run(json: String) = Processors.RemapProcessor(prog)(
+      Processors.JsonToArrow()(envelope(json))).select("grade", "extra").collect().head
+    val big = run("""{"value": 10}""")
+    assert(big.getString(0) == "big")
+    assert(big.isNullAt(1), "field assigned only in other arms is NULL here")
+    val mid = run("""{"value": 3}""")
+    assert(mid.getString(0) == "mid")
+    val small = run("""{"value": 0}""")
+    assert(small.getString(0) == "small")
+    assert(small.getAs[Number](1).longValue == 0L)
+    // expression form
+    val e = Processors.RemapProcessor(
+      ".size = if .value > 100 { 'huge' } else if .value > 5 { 'big' } else { 'small' }")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .select("size").collect().head
+    assert(e.getString(0) == "big")
+  }
+
+  test("remap stdlib tranche: parse_json, contains, replace, slice, now() " +
+      "(processor/vrl.rs stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.payload = '{"kind": "alert", "level": 3}'
+        |.kind = to_string(variant_get(parse_json(.payload), '$.kind'))
+        |.has = contains(.sensor, 'temp')
+        |.swapped = replace(.sensor, '_', '-')
+        |.head = slice(.sensor, 0, 4)
+        |.tail = slice(.sensor, -2)
+        |.clamped = slice(.sensor, 2, 100)
+        |.seen_at = now()
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("kind", "has", "swapped", "head", "tail", "clamped", "seen_at")
+      .collect().head
+    assert(r.getString(0) == "alert")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "temp-1")
+    assert(r.getString(3) == "temp", "slice is 0-based end-exclusive")
+    assert(r.getString(4) == "_1", "negative start counts from the end")
+    assert(r.getString(5) == "mp_1", "out-of-range end clamps")
+    assert(!r.isNullAt(6))
+  }
+
   test("yaml config parses the quick-start stream shape (README.md:60-96)") {
     val conf = Config.fromYaml(
       """streams:
