@@ -353,6 +353,33 @@ object Engine {
     val sessions = processors.collect { case s: Processors.SessionWindowBuffer => s }
     if (sessions.nonEmpty) {
       val spark = input.sparkSession
+      // once-only guard: the terminated EVENT and the registration-time
+      // catch-up check below can both observe the same termination — the
+      // flush must run exactly once whichever wins
+      val flushed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def flushOnce(): Unit = if (flushed.compareAndSet(false, true)) {
+        try {
+          var flushId = -1L
+          sessions.foreach { s =>
+            val idx = processors.indexOf(s)
+            s.flushPending().foreach { session =>
+              var out = session
+              var held = false
+              val it = processors.drop(idx + 1).iterator
+              while (it.hasNext && !held) {
+                out = it.next()(out)
+                held = out.schema.isEmpty
+              }
+              if (!held) sink.write(out, flushId)
+              flushId -= 1
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(ex) =>
+            System.err.println(
+              s"[engine] session flush at query stop failed: ${ex.getMessage}")
+        }
+      }
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -361,30 +388,18 @@ object Engine {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (e.id == query.id) {
-            try {
-              var flushId = -1L
-              sessions.foreach { s =>
-                val idx = processors.indexOf(s)
-                s.flushPending().foreach { session =>
-                  var out = session
-                  var held = false
-                  val it = processors.drop(idx + 1).iterator
-                  while (it.hasNext && !held) {
-                    out = it.next()(out)
-                    held = out.schema.isEmpty
-                  }
-                  if (!held) sink.write(out, flushId)
-                  flushId -= 1
-                }
-              }
-            } catch {
-              case scala.util.control.NonFatal(ex) =>
-                System.err.println(
-                  s"[engine] session flush at query stop failed: ${ex.getMessage}")
-            } finally spark.streams.removeListener(this)
+            try flushOnce() finally spark.streams.removeListener(this)
           }
       }
       spark.streams.addListener(listener)
+      // Registration races `query.start()` above: a query that terminated
+      // in that window already FIRED its QueryTerminatedEvent — nobody was
+      // listening, so without this catch-up the pending session is dropped
+      // and the listener leaks forever.
+      if (!query.isActive) {
+        flushOnce()
+        spark.streams.removeListener(listener)
+      }
     }
     query
   }

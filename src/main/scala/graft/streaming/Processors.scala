@@ -792,14 +792,23 @@ object Processors {
     * of processor/sql.rs:148-183. */
   final case class TemporaryLookup(name: String, provider: DataFrame => DataFrame)
 
-  /** `sql` processor with temporary lookup tables joined in. */
+  /** `sql` processor with temporary lookup tables joined in. The views
+    * are DROPPED once the query is analyzed (spark.sql resolves views
+    * eagerly, so the returned frame's plan no longer needs them) — the
+    * reference deregisters its temporaries per pooled context, and a view
+    * that outlives the batch can leak into another stream sharing the
+    * session and a table_name. (Two streams registering the SAME name
+    * concurrently in one session still race — give them distinct
+    * table_names.) */
   final case class LookupSqlProcessor(query: String, tableName: String,
       temporaries: Seq[TemporaryLookup]) extends (DataFrame => DataFrame) {
     def apply(batch: DataFrame): DataFrame = {
+      val spark = batch.sparkSession
       temporaries.foreach { t =>
         broadcast(t.provider(batch)).createOrReplaceTempView(t.name)
       }
-      SqlProcessor(query, tableName)(batch)
+      try SqlProcessor(query, tableName)(batch)
+      finally temporaries.foreach(t => spark.catalog.dropTempView(t.name))
     }
   }
 
@@ -947,12 +956,17 @@ object Processors {
         case "redis" =>
           decl.options.get("mode.type").foreach(t => require(t == "single",
             s"redis temporary mode '$t' is not supported (single only)"))
-          val (host, port) = Redis.parseUrl(decl.options.getOrElse("mode.url",
+          // BUILD-time validation (the reference builds its codec in the
+          // builder — an unsupported codec must not wait for the first
+          // micro-batch to fail)
+          val codec = decl.options.getOrElse("codec.type", "json")
+          require(codec == "json",
+            s"temporary codec '$codec' is not supported (json only)")
+          val endpoint = Redis.parseUrl(decl.options.getOrElse("mode.url",
             throw new IllegalArgumentException(
               s"redis temporary '$refName' needs mode.url")))
-          batch => Redis.temporaryProvider(batch.sparkSession, host, port,
+          batch => Redis.temporaryProvider(batch.sparkSession, endpoint,
             redisType = decl.options.getOrElse("redis_type.type", "string"),
-            codec = decl.options.getOrElse("codec.type", "json"),
             keys = Redis.temporaryKeys(ref.options))(batch)
         case other => throw new IllegalArgumentException(
           s"unknown temporary type: $other (the reference implements redis only)")

@@ -21,11 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Redis {
 
-  /** One RESP2 connection. Not thread-safe (one per task/driver loop). */
-  final class Conn(host: String, port: Int) extends AutoCloseable {
+  /** One RESP2 connection. Not thread-safe (one per task/driver loop).
+    * `password`/`user` issue AUTH and a non-zero `db` issues SELECT at
+    * connect time (component/redis.rs Mode::Single honors both via the
+    * url), so every later command runs against the right database. */
+  final class Conn(host: String, port: Int, db: Int = 0,
+      user: Option[String] = None, password: Option[String] = None)
+      extends AutoCloseable {
     private val socket = new java.net.Socket(host, port)
     private val out = new BufferedOutputStream(socket.getOutputStream)
     private val in = new BufferedInputStream(socket.getInputStream)
+    password.foreach { pw =>
+      user match {
+        case Some(u) => command("AUTH", u, pw)
+        case None => command("AUTH", pw)
+      }
+      ()
+    }
+    if (db != 0) command("SELECT", db.toString)
+
+    def this(ep: Endpoint) = this(ep.host, ep.port, ep.db, ep.user, ep.password)
 
     def command(args: String*): Any = {
       val sb = new StringBuilder(s"*${args.size}\r\n")
@@ -116,8 +131,11 @@ object Redis {
       batchKeyCol: String, maxKeys: Int = 100000,
       mgetChunk: Int = 1000): DataFrame => DataFrame = { batch =>
     import spark.implicits._
-    // batchKeyCol may be any SQL expression over the batch
-    val keys = batch.select(expr(batchKeyCol).cast("string")).distinct()
+    // batchKeyCol may be any SQL expression over the batch; nulls filter
+    // IN THE QUERY, before distinct/limit, so they can never occupy a
+    // limit slot and mask an overflow past maxKeys
+    val keys = batch.select(expr(batchKeyCol).cast("string").as("k"))
+      .where(col("k").isNotNull).distinct()
       .limit(maxKeys + 1).as[String].collect().toSeq
     if (keys.length > maxKeys)
       throw new IllegalStateException(
@@ -136,17 +154,52 @@ object Redis {
     values.toDF("key", "value")
   }
 
+  /** A parsed redis connection endpoint (component/redis.rs Mode::Single
+    * url semantics: `redis://[user:pass@]host[:port][/db]`). */
+  final case class Endpoint(host: String, port: Int, db: Int = 0,
+    user: Option[String] = None, password: Option[String] = None)
+
   /** Parse the reference's `mode.url` connection string
-    * (`redis://host[:port][/db]`, component/redis.rs Mode::Single).
-    * Cluster mode is rejected loudly — a Spark deployment points at one
-    * endpoint (or a proxy), and silently using only the first node of a
-    * cluster list would mis-route keys. */
-  def parseUrl(url: String): (String, Int) = {
-    val stripped = url.trim.stripPrefix("redis://").stripPrefix("rediss://")
-    val hostPort = stripped.takeWhile(_ != '/')
+    * (`redis://[user:pass@]host[:port][/db]`, component/redis.rs
+    * Mode::Single). The db index and userinfo are HONORED (SELECT/AUTH at
+    * connect, [[Conn]]) — the reference's client does both, so silently
+    * reading db 0 for a `/2` url would return wrong lookup data.
+    * `rediss://` (TLS) and cluster mode are rejected loudly — a silent
+    * plaintext downgrade or first-node-only cluster read would be worse
+    * than an error. */
+  def parseUrl(url: String): Endpoint = {
+    val t = url.trim
+    require(!t.startsWith("rediss://"),
+      s"rediss:// (TLS) is not supported by this engine's RESP client — " +
+        "terminate TLS at a proxy and use redis://")
+    val stripped = t.stripPrefix("redis://")
+    val (userinfo, rest) = stripped.lastIndexOf('@') match {
+      case -1 => (None, stripped)
+      case i => (Some(stripped.substring(0, i)), stripped.substring(i + 1))
+    }
+    val (user, password) = userinfo match {
+      case None => (None, None)
+      case Some(ui) => ui.split(":", 2) match {
+        case Array("", pw) => (None, Some(pw)) // :pass@ — password only
+        case Array(u, pw) => (Some(u), Some(pw))
+        case Array(pw) => (None, Some(pw)) // pass@ — legacy password-only
+      }
+    }
+    val (hostPort, path) = rest.indexOf('/') match {
+      case -1 => (rest, "")
+      case i => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    val db =
+      if (path.isEmpty) 0
+      else if (path.forall(_.isDigit)) path.toInt
+      else throw new IllegalArgumentException(
+        s"redis url '$url': path '/$path' is not a database index")
     hostPort.split(":", 2) match {
-      case Array(h, p) => (h, p.toInt)
-      case Array(h) => (h, 6379)
+      case Array(h, p) =>
+        val port = try p.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"redis url '$url': bad port '$p'") }
+        Endpoint(h, port, db, user, password)
+      case Array(h) => Endpoint(h, 6379, db, user, password)
     }
   }
 
@@ -168,16 +221,17 @@ object Redis {
     * failure like [[lookupProvider]]. Driver-edge fetch, key-bounded by
     * construction; the decoded table broadcasts through
     * LookupSqlProcessor. */
-  def temporaryProvider(spark: SparkSession, host: String, port: Int,
-      redisType: String, codec: String, keys: DataFrame => Seq[String],
+  def temporaryProvider(spark: SparkSession, endpoint: Endpoint,
+      redisType: String, keys: DataFrame => Seq[String],
       mgetChunk: Int = 1000): DataFrame => DataFrame = { batch =>
-    require(codec == "json", s"temporary codec '$codec' is not supported (json only)")
+    // (codec validity is a BUILD-time check in lookupSqlFromRefs, like
+    // the reference's builder — not a first-micro-batch surprise)
     import spark.implicits._
     val ks = keys(batch)
     val values: Seq[String] =
       if (ks.isEmpty) Seq.empty
       else {
-        val conn = new Conn(host, port)
+        val conn = new Conn(endpoint)
         try redisType match {
           case "string" =>
             // MGET over the distinct key set, chunked so no key drops
@@ -217,8 +271,12 @@ object Redis {
         val e = opts.getOrElse("key.expr", throw new IllegalArgumentException(
           "temporary_list key.type=expr needs key.expr"))
         batch => {
-          val ks = batch.select(expr(e).cast("string")).distinct()
-            .limit(maxKeys + 1).collect().map(_.getString(0)).filter(_ != null).toSeq
+          // nulls filter BEFORE distinct/limit: a post-collect filter let
+          // a null occupy the maxKeys+1 overflow slot, so a batch with
+          // >maxKeys real keys plus a null silently dropped keys
+          val ks = batch.select(expr(e).cast("string").as("k"))
+            .where(col("k").isNotNull).distinct()
+            .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq
           if (ks.length > maxKeys) throw new IllegalStateException(
             s"temporary lookup: batch has more than $maxKeys distinct keys; " +
               "raise maxKeys or pre-aggregate the key expression")

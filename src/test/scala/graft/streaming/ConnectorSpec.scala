@@ -265,6 +265,93 @@ class ConnectorSpec extends AnyFunSuite {
     } finally redis.stop()
   }
 
+  test("redis url parsing honors db and userinfo, rejects rediss:// and " +
+      "malformed parts loudly (component/redis.rs Mode::Single)") {
+    assert(Redis.parseUrl("redis://h") == Redis.Endpoint("h", 6379))
+    assert(Redis.parseUrl("redis://h:6380") == Redis.Endpoint("h", 6380))
+    assert(Redis.parseUrl("redis://h:6380/2") == Redis.Endpoint("h", 6380, db = 2))
+    assert(Redis.parseUrl("redis://h/3") == Redis.Endpoint("h", 6379, db = 3))
+    assert(Redis.parseUrl("redis://alice:secret@h:7000/1") ==
+      Redis.Endpoint("h", 7000, 1, Some("alice"), Some("secret")))
+    assert(Redis.parseUrl("redis://:secret@h") ==
+      Redis.Endpoint("h", 6379, 0, None, Some("secret")))
+    intercept[IllegalArgumentException](Redis.parseUrl("rediss://h:6379"))
+    intercept[IllegalArgumentException](Redis.parseUrl("redis://h/not-a-db"))
+    intercept[IllegalArgumentException](Redis.parseUrl("redis://h:port"))
+  }
+
+  test("redis connection issues AUTH then SELECT at connect for userinfo/db urls") {
+    val redis = new FakeRedis
+    try {
+      val conn = new Redis.Conn(Redis.parseUrl(s"redis://u:pw@127.0.0.1:${redis.port}/2"))
+      try { conn.command("SET", "k", "v"); () } finally conn.close()
+      assert(redis.auths.toArray(Array.empty[Seq[String]]).toSeq == Seq(Seq("u", "pw")))
+      assert(redis.selects.toArray(Array.empty[Integer]).toSeq == Seq(2))
+      // db 0 / no auth: no commands sent
+      val plain = new Redis.Conn(Redis.parseUrl(s"redis://127.0.0.1:${redis.port}"))
+      try { plain.command("GET", "k"); () } finally plain.close()
+      assert(redis.auths.size == 1 && redis.selects.size == 1)
+    } finally redis.stop()
+  }
+
+  test("temporary key extraction filters nulls BEFORE the maxKeys limit " +
+      "(a null can never occupy the overflow slot and mask dropped keys)") {
+    // 3 distinct real keys + nulls, maxKeys=2: MUST overflow loudly
+    val batch = Seq(Some("a"), Some("b"), Some("c"), None, None).toDF("k")
+    val keysFn = Redis.temporaryKeys(
+      Map("key.type" -> "expr", "key.expr" -> "k"), maxKeys = 2)
+    val e = intercept[IllegalStateException](keysFn(batch))
+    assert(e.getMessage.contains("distinct keys"))
+    // within bounds: nulls dropped, all real keys kept
+    val ok = Redis.temporaryKeys(
+      Map("key.type" -> "expr", "key.expr" -> "k"), maxKeys = 10)(batch)
+    assert(ok.sorted == Seq("a", "b", "c"))
+  }
+
+  test("unsupported temporary codec fails at BUILD time (processor " +
+      "construction), not at the first micro-batch") {
+    val conf = Config.fromYaml(
+      """streams:
+        |  - input: { type: generate, context: '{"x": 1}', count: "1" }
+        |    temporary:
+        |      - name: t1
+        |        type: redis
+        |        mode: { type: single, url: "redis://127.0.0.1:6379" }
+        |        codec: { type: msgpack }
+        |    pipeline:
+        |      processors:
+        |        - type: sql
+        |          query: "SELECT * FROM flow"
+        |          temporary_list:
+        |            - name: t1
+        |              table_name: t1_table
+        |              key: { type: value, value: k }
+        |    output: { type: stdout }
+        |""".stripMargin)
+    val s = conf.streams.head
+    val e = intercept[IllegalArgumentException](
+      Processors.fromConf(s.processors, s.temporaries))
+    assert(e.getMessage.contains("msgpack"))
+  }
+
+  test("lookup temp views are dropped after the query is analyzed — no " +
+      "leak into other streams sharing the session") {
+    val redis = new FakeRedis
+    try {
+      redis.strings ++= Map("temp_1" -> "room_a")
+      val batch = Seq(("temp_1", 5L)).toDF("sensor", "value")
+      val provider = Redis.lookupProvider(spark, "127.0.0.1", redis.port, "sensor")
+      val out = Processors.LookupSqlProcessor(
+        "SELECT f.sensor, r.value AS room FROM flow f JOIN lkp_rooms r ON f.sensor = r.key",
+        "flow", Seq(Processors.TemporaryLookup("lkp_rooms", provider)))(batch)
+      assert(!spark.catalog.tableExists("lkp_rooms"),
+        "temp view must not outlive the processor call")
+      // the returned frame still executes (the view resolved eagerly)
+      assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("temp_1", "room_a")))
+    } finally redis.stop()
+  }
+
   test("protocol clients raise EOFException on peer disconnect mid-reply (never spin)") {
     // a server that accepts, writes a PARTIAL reply, then closes
     def partialServer(partial: Array[Byte]): java.net.ServerSocket = {

@@ -9,6 +9,10 @@ import java.nio.charset.StandardCharsets
 final class FakeRedis {
   val strings = new scala.collection.concurrent.TrieMap[String, String]()
   val mgetCalls = new java.util.concurrent.atomic.AtomicInteger()
+  /** SELECTed db indexes and AUTH arg lists, in arrival order — the specs
+    * assert the client SENT them (single shared keyspace otherwise). */
+  val selects = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val auths = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
   val lists = new scala.collection.concurrent.TrieMap[String, scala.collection.mutable.ListBuffer[String]]()
   val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   private val server = new java.net.ServerSocket(0, 16,
@@ -56,6 +60,8 @@ final class FakeRedis {
           val slice = if (snap.isEmpty || from > to) Nil else snap.slice(from, to + 1)
           reply(s"*${slice.size}\r\n" + slice.map(bulk).mkString)
         case "PUBLISH" => published.add((args(1), args(2))); reply(":0\r\n")
+        case "SELECT" => selects.add(args(1).toInt); reply("+OK\r\n")
+        case "AUTH" => auths.add(args.tail.toSeq); reply("+OK\r\n")
         case other => reply(s"-ERR unknown command '$other'\r\n")
       }
     } catch { case _: java.io.EOFException | _: java.net.SocketException => () }

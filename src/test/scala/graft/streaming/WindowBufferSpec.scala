@@ -168,6 +168,33 @@ class WindowBufferSpec extends AnyFunSuite {
     assert(sink.batches.keys.forall(_ < 0L))
   }
 
+  test("session_window stop flush survives IMMEDIATE termination: a query " +
+      "that ends right at (or before) listener registration still flushes " +
+      "the pending session — the start()/addListener race window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val procs = Engine.bufferProcessors(
+      Some(ComponentConf("session_window", Map("gap" -> "1h"))))
+    val ms = MemoryStream[Int]
+    ms.addData(7, 8) // preloaded: the only micro-batch
+    val sink = new Engine.MemorySink
+    // AvailableNow: the query drains the preloaded batch and TERMINATES ON
+    // ITS OWN — depending on scheduling that termination lands before or
+    // after Engine.start's listener registration. Either way the session
+    // must flush exactly once: the terminated-event path and the
+    // registration-time catch-up path share a CAS guard.
+    val q = Engine.start(ms.toDF(), procs, sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(30000)
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (sink.rows.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(sink.rows.map(_.getInt(0)).sorted == Seq(7, 8),
+      s"session dropped by the immediate-termination race: ${sink.rows}")
+    // exactly once — not double-flushed by both paths
+    assert(sink.batches.keys.toSeq.count(_ < 0L) == 1,
+      s"flush ran more than once: ${sink.batches.keys.toSeq.sorted}")
+  }
+
   test("session_window EOF flush: a one-shot batch input's single session " +
       "reaches the sink through the downstream processors (Engine.runBatch drain)") {
     import spark.implicits._
