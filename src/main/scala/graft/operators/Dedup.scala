@@ -83,16 +83,67 @@ object Dedup {
     * the cap costs a per-bucket sort, never an extra shuffle.
     */
   private[operators] def capBuckets(stacked: DataFrame, keyCols: Seq[String],
-      idCol: String, cap: Int): DataFrame =
+      idCol: String, cap: Int, label: String = "lsh"): DataFrame =
     if (cap == Int.MaxValue) stacked
     else {
       require(cap >= 2, s"bucketCap must be >= 2 (a 1-member bucket pairs nothing), got $cap")
-      stacked.withColumn("__rk", row_number().over(
+      val ranked = stacked.withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      CapStats.observed(ranked, label, cap)
         .filter(col("__rk") <= cap).drop("__rk")
     }
+
+  /** Bucket-cap recall-loss observability: the cap above silently drops
+    * candidate pairs once a bucket exceeds `cap` members, which is the
+    * right scale behavior (template floods stay bounded) but must not be
+    * INVISIBLE — a production recall regression would otherwise be
+    * undiagnosable. Every capped pairing attaches a `Dataset.observe`
+    * side aggregate (zero extra jobs — the metric rides the existing
+    * scan) counting members past the cap; a per-session listener logs any
+    * nonzero drop and keeps the last count per label for tests/ops.
+    * Caveat, stated: when the capped frame feeds both sides of the band
+    * self-join and the optimizer does NOT reuse the exchange, the scan
+    * runs twice and the reported count can double — the signal is
+    * "dropping happened, this order of magnitude", not an exact ledger. */
+  object CapStats {
+    import org.apache.spark.sql.SparkSession
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
+    private val sessions = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    private val last = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+    /** Last observed dropped-member count for a label (test/ops hook). */
+    def lastDropped(label: String): Option[Long] = Option(last.get(label))
+
+    private[Dedup] def observed(ranked: DataFrame, label: String, cap: Int): DataFrame = {
+      val spark = ranked.sparkSession
+      if (sessions.add(spark))
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_cap/")) {
+                val lbl = name.split("/")(1)
+                val dropped = row.getAs[Long]("dropped_members")
+                last.put(lbl, dropped)
+                if (dropped > 0) System.err.println(
+                  s"[graft] bucket cap '$lbl': dropped $dropped of " +
+                    s"${row.getAs[Long]("bucket_rows")} bucket members past " +
+                    s"cap=${row.getAs[Long]("cap")} — recall loss possible on " +
+                    "pairs whose only shared buckets are capped")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+        })
+      ranked.observe(s"graft_cap/$label/${seq.incrementAndGet()}",
+        sum(when(col("__rk") > cap, 1L).otherwise(0L)).as("dropped_members"),
+        count(lit(1L)).as("bucket_rows"),
+        max(lit(cap.toLong)).as("cap"))
+    }
+  }
 
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, rowsPerBand: Int = 2,
@@ -104,7 +155,7 @@ object Dedup {
     // to the corpus) instead of hashing every document twice.
     val stacked = capBuckets(
       bandSignatures(docs, idCol, textCol, numHashes, rowsPerBand),
-      Seq("band", "sig"), "doc_id", bucketCap)
+      Seq("band", "sig"), "doc_id", bucketCap, label = "minhash")
       .localCheckpoint(true)
     val a = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = stacked.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
@@ -828,7 +879,7 @@ object Dedup {
         chunks.zipWithIndex.flatMap { case ((st, ln), idx) =>
           Seq(lit(idx), substring(col("simhash"), st, ln))
         }: _*)).as(Seq("chunk", "cval"))),
-      Seq("chunk", "cval"), "doc_id", bucketCap)
+      Seq("chunk", "cval"), "doc_id", bucketCap, label = "simhash")
     val a = stacked.select(col("chunk"), col("cval"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = stacked.select(col("chunk"), col("cval"),

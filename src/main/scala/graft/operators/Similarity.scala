@@ -803,7 +803,7 @@ object Similarity {
     val stacked = graft.operators.Dedup.capBuckets(
       sig.select(col("vec_id"), explode(map(
         (0 until bands).flatMap(b => Seq(lit(b), col(s"band$b"))): _*)).as(Seq("band", "sig"))),
-      Seq("band", "sig"), "vec_id", bucketCap)
+      Seq("band", "sig"), "vec_id", bucketCap, label = "cosine_lsh")
     val cand = stacked.select(col("band"), col("sig"), col("vec_id").as("va"))
       .join(stacked.select(col("band"), col("sig"), col("vec_id").as("vb")), Seq("band", "sig"))
       .filter(col("va") < col("vb"))

@@ -1954,6 +1954,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spread == 8L)
   }
 
+  test("bucket-cap drops are OBSERVABLE: an over-cap bucket logs a nonzero " +
+      "dropped-member count via the observe side aggregate (no extra job)") {
+    import spark.implicits._
+    // 40 identical documents -> every band bucket has 40 members; cap 8
+    // must drop 32 per bucket and REPORT it
+    val docs = (1 to 40).map(i => (i.toLong, "the same template text repeated for every doc"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", bucketCap = 8)
+    val n = pairs.count()
+    // capped: at most C(8,2)=28 per bucket's survivors, unioned across
+    // bands but identical docs share every bucket -> exactly C(8,2)
+    assert(n == 28, s"expected C(8,2)=28 capped pairs, got $n")
+    // the observe metric is delivered on the async listener bus
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    var seen = Dedup.CapStats.lastDropped("minhash")
+    while (!seen.exists(_ > 0) && System.nanoTime() < deadline) {
+      Thread.sleep(100); seen = Dedup.CapStats.lastDropped("minhash")
+    }
+    assert(seen.exists(_ > 0),
+      s"over-cap bucket produced no observable dropped count: $seen")
+    // under-cap corpora report zero (the metric always rides along)
+    val small = (1 to 3).map(i => (i.toLong, s"doc number $i words differ entirely here $i"))
+      .toDF("doc_id", "text")
+    Dedup.minhashPairs(small, "doc_id", "text", bucketCap = 1024).count()
+    val deadline2 = System.nanoTime() + 15L * 1000000000L
+    while (!Dedup.CapStats.lastDropped("minhash").contains(0L) &&
+      System.nanoTime() < deadline2) Thread.sleep(100)
+    assert(Dedup.CapStats.lastDropped("minhash").contains(0L))
+  }
+
   test("distributed CC equals driver union-find on a propagation-hungry chain graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
