@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.Extensions.queries ++ operators.RangeJoin.queries ++
       operators.Corpus.queries ++ operators.BpeTokenizer.queries ++
-      operators.Selection.queries ++ operators.Eval.queries
+      operators.Selection.queries ++ operators.Eval.queries ++
+      operators.ConfigPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Similarity.oracle ++ operators.Multimodal.oracle ++
       operators.Extensions.oracle ++ operators.RangeJoin.oracle ++
       operators.Corpus.oracle ++ operators.BpeTokenizer.oracle ++
-      operators.Selection.oracle ++ operators.Eval.oracle
+      operators.Selection.oracle ++ operators.Eval.oracle ++
+      operators.ConfigPipeline.oracle
 }
