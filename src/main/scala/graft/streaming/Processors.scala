@@ -503,13 +503,26 @@ object Processors {
     * `transform(batch: pyarrow.RecordBatch) -> pyarrow.RecordBatch`,
     * executed by a per-partition python3 worker over the Arrow IPC pipe
     * ([[org.apache.spark.sql.GraftArrowPipe]]). `outputSchema` is DDL
-    * ("x BIGINT, y STRING") — Spark needs the post-transform schema at
-    * plan time where the reference infers it per batch. */
-  final case class PythonProcessor(body: String, outputSchema: String)
+    * ("x BIGINT, y STRING"); when OMITTED the schema is inferred per
+    * micro-batch the reference's way (processor/python.rs takes the
+    * returned RecordBatch's schema) — the same worker runs once,
+    * driver-side, over a ≤8-row sample, and the distributed pass uses
+    * the inferred schema. Declare the DDL to pin a contract for
+    * fixed-schema sinks (and skip the per-batch probe). */
+  final case class PythonProcessor(body: String, outputSchema: Option[String])
       extends (DataFrame => DataFrame) {
-    def apply(batch: DataFrame): DataFrame =
-      org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body,
-        org.apache.spark.sql.types.StructType.fromDDL(outputSchema))
+    def apply(batch: DataFrame): DataFrame = outputSchema match {
+      case Some(ddl) =>
+        org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None =>
+        org.apache.spark.sql.GraftArrowPipe.inferPythonSchema(batch, body) match {
+          case Some(s) => org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body, s)
+          // empty batch: the transform never runs (no batches reach the
+          // worker loop), so the empty frame passes through
+          case None => batch.limit(0)
+        }
+    }
   }
 
   /** VRL-substitute (processor/vrl.rs — no JVM VRL interpreter exists):
@@ -536,12 +549,24 @@ object Processors {
     // VRL fallible assignment `.field, err = rhs` (the reference's own
     // example program, examples/vrl_example.yaml:15): the first target
     // gets the try-evaluated value (null on error), the second the error
-    // message (null on success) — [[graft.functions.TryOps]]. The error
-    // target may be a bare variable (VRL style) or dotted; either way it
-    // lands as a column of that name.
+    // message (null on success) — [[graft.functions.TryOps]]. A bare
+    // error target is a local VARIABLE like VRL's (readable by later
+    // statements, absent from the output event); write `.err` to land
+    // it as an event field.
+    // (?s): an rhs may span lines inside braces — a multi-line closure
+    // body or expression-form if survives splitTop as one statement.
+    // The err target's dot is CAPTURED: `.f, err = …` binds the error to
+    // a local VARIABLE (never part of the output event, like VRL);
+    // `.f, .err = …` writes a real event field.
     private val FallibleAssign =
-      """\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\.?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
-    private val Assign = """\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+      """(?s)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\.?)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    private val Assign = """(?s)\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    // bare local variables (VRL variables are program state, not event
+    // fields): `x = rhs`, `x, err = rhs` — stored as __vrl_var_* columns
+    // while the program runs, dropped from the returned frame
+    private val VarFallible =
+      """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\.?)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    private val VarAssign = """(?s)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([^=].*)""".r
     // string literals: single-quoted SQL form ('' escapes the quote) AND
     // VRL's double-quoted form with backslash escapes — both restored
     // verbatim (Spark SQL parses "..." as a string literal with backslash
@@ -566,12 +591,29 @@ object Processors {
       "to_unix_timestamp" -> "unix_timestamp",
       // 0-based/end-exclusive/negative-index slice has no Spark twin —
       // [[graft.functions.VrlSlice]], registered at apply()
-      "slice" -> "graft_vrl_slice")
+      "slice" -> "graft_vrl_slice",
+      // array stdlib (VRL `push`/`includes` keep VRL's arg order, which
+      // matches Spark's); `append` concatenates two arrays = concat
+      "push" -> "array_append", "includes" -> "array_contains",
+      "append" -> "concat",
+      // strlen counts CHARACTERS; VRL's polymorphic `length` (array
+      // elems / map entries / string BYTES) is [[graft.functions.VrlLib]]
+      "strlen" -> "char_length", "length" -> "graft_vrl_length",
+      // strftime-format timestamp parse, translated at analysis —
+      // [[graft.functions.VrlStrptime]]
+      "parse_timestamp" -> "graft_vrl_strptime",
+      "uuid_v4" -> "uuid", "encode_json" -> "to_json",
+      // VRL 1-arg parse_url → parts struct; parse_regex named captures →
+      // struct of codegen regexp_extracts — [[graft.functions.VrlLib]]
+      "parse_url" -> "graft_vrl_parse_url",
+      "parse_regex" -> "graft_vrl_parse_regex")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
     // replace(s, search, with) (replaces every occurrence, like VRL);
-    // now() → current timestamp.
+    // now() → current timestamp; abs/round/floor/ceil/mod; split
+    // (regex pattern, like VRL's r'…' form); flatten (arrays);
+    // md5/sha1/sha2; filter — via the closure rewrite below.
 
     /** Brace-matcher shared by the else-if desugar and the statement
       * compiler: `open` indexes a '{'; returns the index of its matching
@@ -644,9 +686,80 @@ object Processors {
         changed = n != s
         s = n
       }
+      s = rewriteClosures(s)
       FnAliases.foldLeft(s) { case (acc, (vrl, sql)) =>
         acc.replaceAll("(?<![A-Za-z0-9_.`])" + vrl + "\\s*\\(", sql + "(")
       }
+    }
+
+    /** VRL iteration closures (VRL has no loops by design — iteration is
+      * these closure functions, vrl stdlib): rewritten to Spark's
+      * codegen'd higher-order functions, so per-element work never
+      * leaves WholeStageCodegen.
+      *
+      *   - `map_values(EXPR) -> |v| { BODY }`  → `transform(EXPR, v -> BODY)`
+      *   - `filter(EXPR) -> |i, v| { BODY }`   → `filter(EXPR, (v, i) -> BODY)`
+      *     (VRL closures receive |index, value|; Spark lambdas
+      *     (element, index) — swapped here; a 1-param form passes through)
+      *
+      * Array semantics only — for MAP columns call Spark's
+      * transform_values / map_filter directly. `for_each` is rejected
+      * loudly: its closure exists to MUTATE enclosing state, which a
+      * column program cannot (and should not) express — use map_values
+      * or filter. */
+    private def rewriteClosures(s0: String): String = {
+      val Arrow = """->\s*\|""".r
+      var s = s0
+      var m = Arrow.findFirstMatchIn(s)
+      while (m.isDefined) {
+        val mm = m.get
+        // backwards over ws to the receiver's ')', then to its '('
+        var j = mm.start - 1
+        while (j >= 0 && s(j).isWhitespace) j -= 1
+        require(j >= 0 && s(j) == ')',
+          s"remap: closure `-> |…|` must follow a call, in `${unmask(s)}`")
+        var depth = 0
+        var k = j
+        while (k >= 0 && { if (s(k) == ')') depth += 1 else if (s(k) == '(') depth -= 1; depth != 0 }) k -= 1
+        require(k >= 0, s"remap: unbalanced parens before closure in `${unmask(s)}`")
+        val argsSql = s.substring(k + 1, j)
+        var n0 = k - 1
+        while (n0 >= 0 && (s(n0).isLetterOrDigit || s(n0) == '_')) n0 -= 1
+        val name = s.substring(n0 + 1, k)
+        // params between the two '|'
+        val pClose = s.indexOf('|', mm.end)
+        require(pClose > 0, s"remap: unclosed closure params in `${unmask(s)}`")
+        val params = s.substring(mm.end, pClose).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(params.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          s"remap: malformed closure params `|${s.substring(mm.end, pClose)}|`")
+        var b = pClose + 1
+        while (b < s.length && s(b).isWhitespace) b += 1
+        require(b < s.length && s(b) == '{',
+          s"remap: closure body must be `{ … }`, in `${unmask(s)}`")
+        val bEnd = matchBraceIn(s, b)
+        val body = s.substring(b + 1, bEnd).trim
+        val repl = name match {
+          case "map_values" =>
+            require(params.size == 1,
+              "remap: map_values closure takes one param `|value|` (array semantics; " +
+                "use transform_values(...) directly for map columns)")
+            s"transform($argsSql, ${params.head} -> ($body))"
+          case "filter" => params match {
+            case Seq(i, v) => s"filter($argsSql, ($v, $i) -> ($body))"
+            case Seq(v) => s"filter($argsSql, $v -> ($body))"
+            case _ => throw new IllegalArgumentException(
+              "remap: filter closure takes `|index, value|` or `|value|`")
+          }
+          case "for_each" => throw new IllegalArgumentException(
+            "remap: for_each mutates enclosing state, which a column program " +
+              "cannot express — use map_values (transform) or filter")
+          case other => throw new IllegalArgumentException(
+            s"remap: unsupported closure function `$other` (supported: map_values, filter)")
+        }
+        s = s.substring(0, n0 + 1) + repl + s.substring(bEnd + 1)
+        m = Arrow.findFirstMatchIn(s)
+      }
+      s
     }
 
     // String literals are masked to NUL-delimited placeholders before
@@ -655,17 +768,50 @@ object Processors {
     // literal is never treated as syntax, then restored after.
     private val lits = scala.collection.mutable.ArrayBuffer[String]()
     private val maskedProgram = {
-      val m = Literal.replaceAllIn(program, mm => {
+      val m0 = Literal.replaceAllIn(program, mm => {
         lits += mm.matched
         java.util.regex.Matcher.quoteReplacement("\u0000" + (lits.size - 1) + "\u0000")
+      })
+      // VRL raw-string literals r'…' (regex patterns): drop the prefix
+      // and DOUBLE the backslashes in the stored literal — raw strings
+      // have no escapes, but the SQL re-parse of '…' does, so a \d
+      // pattern would otherwise re-parse as a plain d
+      val RawPrefix = "(?<![A-Za-z0-9_])r\u0000(\\d+)\u0000".r
+      val m = RawPrefix.replaceAllIn(m0, mm => {
+        val i = mm.group(1).toInt
+        if (lits(i).head == '\'')
+          lits(i) = "'" + lits(i).substring(1, lits(i).length - 1)
+            .replace("\\", "\\\\") + "'"
+        java.util.regex.Matcher.quoteReplacement("\u0000" + i + "\u0000")
       })
       m.linesIterator.map(_.replaceAll("(#|//).*$", "")).mkString("\n")
     }
     private def unmask(s: String): String = lits.zipWithIndex.foldLeft(s) {
       case (acc, (lit, i)) => acc.replace("\u0000" + i + "\u0000", lit)
     }
-    private def fieldRefs(rhs: String): String =
-      unmask(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
+    // declared local variables, in program order; grows as the statement
+    // compiler below walks the program, so a reference rewrites only
+    // AFTER its declaration (an undeclared name stays bare and fails
+    // analysis loudly — VRL's undefined-variable error)
+    private val vars = scala.collection.mutable.LinkedHashSet[String]()
+    private def varCol(n: String) = s"__vrl_var_$n"
+    /** Bare references to declared vars → their storage column. Runs on
+      * MASKED text (literals untouchable); call sites excluded by the
+      * `(` lookahead; already-backticked refs by the backtick guards.
+      * Known edge: a closure param shadowing a var name is rewritten —
+      * pick distinct names. */
+    private def rewriteVars(sql: String): String =
+      vars.foldLeft(sql) { (acc, v) =>
+        acc.replaceAll(
+          "(?<![A-Za-z0-9_.`])" + v + "(?![A-Za-z0-9_`])(?!\\s*\\()",
+          "`" + varCol(v) + "`")
+      }
+    // masked variant for callers that post-process the SQL (intra-branch
+    // chaining substitutes into it; doing that after unmask could corrupt
+    // a string literal that happens to contain a backticked name)
+    private def fieldRefsMasked(rhs: String): String =
+      rewriteVars(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
+    private def fieldRefs(rhs: String): String = unmask(fieldRefsMasked(rhs))
 
     // Split on ';' and newlines at BRACE DEPTH 0 only, so statement-form
     // if blocks (single- or multi-line) and expression-form if rhs's
@@ -691,18 +837,35 @@ object Processors {
       * compiles to per-field `when(c1, v1).when(c2, v2)….otherwise(else
       * -or-current)` projections — a field assigned in no branch is
       * untouched, a field NEW to the frame is NULL on unassigned rows.
-      * All branch rhs's evaluate against the PRE-if frame (no
-      * intra-branch chaining — write sequential top-level statements for
-      * that); `del()` inside a branch is rejected (dropping a column
-      * cannot be row-conditional). */
+      * Branch statements chain SEQUENTIALLY like VRL's: a later rhs
+      * reading a field assigned earlier in the same branch sees the new
+      * value (inlined at compile time); fields not assigned in the
+      * branch read the pre-if frame. `del()` inside a branch is rejected
+      * (dropping a column cannot be row-conditional). */
     private def compileIfStatement(stmt: String): DataFrame => DataFrame = {
-      def assigns(block: String): Seq[(String, String)] =
-        splitTop(block).map {
-          case Assign(f, rhs) => f -> fieldRefs(rhs)
+      def assigns(block: String): Seq[(String, String)] = {
+        val raw = splitTop(block).map {
+          case Assign(f, rhs) => f -> fieldRefsMasked(rhs)
           case other => throw new IllegalArgumentException(
             "remap: only `.field = expr` assignments are allowed inside " +
               s"statement-form if branches, got `${unmask(other)}`")
         }
+        // VRL branch statements run SEQUENTIALLY: a later rhs reading a
+        // field assigned earlier IN THE SAME BRANCH sees the new value.
+        // Substitute the earlier rhs inline — one regex pass per rhs over
+        // the uniformly-backticked refs (a substituted rhs contains only
+        // pre-if refs itself, having been chained at its own creation, so
+        // a single pass cannot cascade); a field's first self-reference
+        // still reads the pre-if frame, exactly like VRL.
+        val Tick = "`([A-Za-z_][A-Za-z0-9_]*)`".r
+        raw.foldLeft(Vector.empty[(String, String)]) { case (acc, (f, sql)) =>
+          val latest = acc.toMap // toMap keeps the LAST duplicate = latest value
+          val chained = Tick.replaceAllIn(sql, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              latest.get(m.group(1)).fold(m.matched)("(" + _ + ")")))
+          acc :+ (f -> chained)
+        }.map { case (f, sql) => f -> unmask(sql) }
+      }
       // parse the chain: (condSql, assigns) per if/else-if arm + final else
       val arms = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
       var elseA: Seq[(String, String)] = Nil
@@ -738,8 +901,10 @@ object Processors {
         df.withColumns(fields.map { f =>
           val current: org.apache.spark.sql.Column =
             if (df.columns.contains(f)) col(f) else lit(null)
+          // LAST assignment wins: with chaining, a re-assigned field's
+          // final rhs already has the earlier ones inlined
           def valueIn(as: Seq[(String, String)]) =
-            as.collectFirst { case (`f`, rhs) => expr(rhs) }.getOrElse(current)
+            as.reverse.collectFirst { case (`f`, rhs) => expr(rhs) }.getOrElse(current)
           val chained = armsV.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
             case (acc, (condSql, as)) =>
               val c = expr(condSql); val v = valueIn(as)
@@ -758,30 +923,51 @@ object Processors {
         // the event passes through unchanged
         case "." => None
         case Del(field) => Some((df: DataFrame) => df.drop(field))
-        case FallibleAssign(field, errName, rhs) =>
+        case FallibleAssign(field, errDot, errName, rhs) =>
           val sql = fieldRefs(rhs)
-          Some((df: DataFrame) => {
-            graft.functions.TryOps.register(df.sparkSession)
-            // ONE try_pair evaluation carries both halves (value +
-            // error), computed against the PRE-assignment frame, so a
-            // self-referencing rhs reads the old value for both
-            val tmp = s"__vrl_try_$field"
-            df.withColumn(tmp, expr(s"try_pair($sql)"))
-              .withColumn(field, col(s"$tmp.value"))
-              .withColumn(errName, col(s"$tmp.err"))
-              .drop(tmp)
-          })
+          // a dotless err target is a VRL VARIABLE: readable by later
+          // statements, dropped from the output event at the end
+          val errCol = if (errDot.isEmpty) { vars += errName; varCol(errName) } else errName
+          Some(fallibleAssign(field, errCol, sql))
         case Assign(field, rhs) =>
           val sql = fieldRefs(rhs)
           Some((df: DataFrame) => df.withColumn(field, expr(sql)))
         case stmt @ IfStatement() => Some(compileIfStatement(stmt))
+        case VarFallible(name, errDot, errName, rhs) =>
+          val sql = fieldRefs(rhs) // BEFORE += so `x, e = f(x)` reads the prior x
+          vars += name
+          val errCol = if (errDot.isEmpty) { vars += errName; varCol(errName) } else errName
+          Some(fallibleAssign(varCol(name), errCol, sql))
+        case VarAssign(name, rhs) =>
+          val sql = fieldRefs(rhs) // BEFORE += : a first self-ref is undefined, loudly
+          vars += name
+          Some((df: DataFrame) => df.withColumn(varCol(name), expr(sql)))
         case other =>
           throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
       }
 
+    /** ONE try_pair evaluation carries both halves (value + error),
+      * computed against the PRE-assignment frame, so a self-referencing
+      * rhs reads the old value for both. */
+    private def fallibleAssign(valueCol: String, errCol: String,
+        sql: String): DataFrame => DataFrame = (df: DataFrame) => {
+      graft.functions.TryOps.register(df.sparkSession)
+      val tmp = s"__vrl_try_$valueCol"
+      df.withColumn(tmp, expr(s"try_pair($sql)"))
+        .withColumn(valueCol, col(s"$tmp.value"))
+        .withColumn(errCol, col(s"$tmp.err"))
+        .drop(tmp)
+    }
+
     def apply(batch: DataFrame): DataFrame = {
       graft.functions.VrlSlice.register(batch.sparkSession)
-      statements.foldLeft(batch)((df, stmt) => stmt(df))
+      graft.functions.VrlLib.register(batch.sparkSession)
+      val out = statements.foldLeft(batch)((df, stmt) => stmt(df))
+      // VRL variables are program state, never event fields: the
+      // reference's output for `.v2, err = .value * 2` carries v2 and NO
+      // err column (vrl runtime: only `.` paths mutate the event)
+      val varCols = out.columns.filter(_.startsWith("__vrl_var_"))
+      if (varCols.isEmpty) out else out.drop(varCols.toIndexedSeq: _*)
     }
   }
 
@@ -920,7 +1106,7 @@ object Processors {
       c.options.get("schema").map(
         org.apache.spark.sql.types.StructType.fromDDL))),
     "expr" -> (c => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)),
-    "python" -> (c => PythonProcessor(c.options("script"), c.options("output_schema"))),
+    "python" -> (c => PythonProcessor(c.options("script"), c.options.get("output_schema"))),
     // the reference's vrl processor takes its program under `statement`
     // (processor/vrl.rs config; examples/vrl_example.yaml)
     "vrl" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))),

@@ -40,31 +40,83 @@ object GraftArrowPipe {
     * `outSchema` declares the post-transform schema (the reference infers
     * it from the returned RecordBatch; Spark needs it at plan time).
     */
+  private def workerScript(body: String): String =
+    s"""import sys
+       |import pyarrow as pa
+       |
+       |def transform(batch):
+       |$body
+       |
+       |reader = pa.ipc.open_stream(sys.stdin.buffer)
+       |writer = None
+       |for batch in reader:
+       |    out = transform(batch)
+       |    if writer is None:
+       |        writer = pa.ipc.new_stream(sys.stdout.buffer, out.schema)
+       |    writer.write_batch(out)
+       |if writer is not None:
+       |    writer.close()
+       |""".stripMargin
+
   def pipePython(df: DataFrame, body: String, outSchema: StructType,
       batchSize: Int = 4096): DataFrame = {
     require(pythonArrowAvailable,
       "python processor needs python3 with pyarrow on the worker hosts")
-    val script =
-      s"""import sys
-         |import pyarrow as pa
-         |
-         |def transform(batch):
-         |$body
-         |
-         |reader = pa.ipc.open_stream(sys.stdin.buffer)
-         |writer = None
-         |for batch in reader:
-         |    out = transform(batch)
-         |    if writer is None:
-         |        writer = pa.ipc.new_stream(sys.stdout.buffer, out.schema)
-         |    writer.write_batch(out)
-         |if writer is not None:
-         |    writer.close()
-         |""".stripMargin
     // The script travels INSIDE the task closure (as an argv element), so
     // it exists wherever the task runs — a driver-local temp file would be
     // missing on every executor host of a real cluster.
-    pipePartitions(df, Seq("python3", "-c", script), outSchema, batchSize)
+    pipePartitions(df, Seq("python3", "-c", workerScript(body)), outSchema, batchSize)
+  }
+
+  /** Infer the post-transform schema the way the REFERENCE does — from
+    * the worker's returned RecordBatch (processor/python.rs runs the
+    * transform and takes the result's schema, per batch) — by running
+    * the SAME worker once, driver-side, over a bounded sample of the
+    * batch, and reading the returned stream's schema. None for an empty
+    * batch (the transform never runs, so there is nothing to infer —
+    * callers pass the empty frame through). Cost per micro-batch: one
+    * local python3 spawn + ≤`sampleRows` rows, independent of cluster
+    * size; the distributed pass then runs with the inferred schema. */
+  def inferPythonSchema(df: DataFrame, body: String,
+      sampleRows: Int = 8): Option[StructType] = {
+    require(pythonArrowAvailable,
+      "python processor needs python3 with pyarrow on this host")
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rows = df.limit(sampleRows).queryExecution.executedPlan.executeCollect()
+    if (rows.isEmpty) None
+    else {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val allocator = ArrowUtils.rootAllocator.newChildAllocator(
+        s"graft_infer_${java.util.UUID.randomUUID()}", 0, Long.MaxValue)
+      val arrowSchema = ArrowUtils.toArrowSchema(df.schema, tz,
+        errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      val proc = new ProcessBuilder(
+        Seq("python3", "-c", workerScript(body)).asJava)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+      try {
+        val arrowWriter = ArrowWriter.create(root)
+        val out = new java.io.BufferedOutputStream(proc.getOutputStream)
+        val sw = new ArrowStreamWriter(root, null, out)
+        sw.start()
+        rows.foreach(arrowWriter.write)
+        arrowWriter.finish()
+        sw.writeBatch()
+        sw.end()
+        out.close()
+        val reader = new ArrowStreamReader(
+          new java.io.BufferedInputStream(proc.getInputStream), allocator)
+        try {
+          if (!reader.loadNextBatch())
+            throw new RuntimeException(
+              "python schema inference: the worker returned no batch for a " +
+                "non-empty sample (did transform() return None?)")
+          Some(ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema))
+        } finally reader.close()
+      } finally {
+        try root.close() finally { proc.destroy(); allocator.close() }
+      }
+    }
   }
 
   /** Arrow IPC FILE format input (the reference file input's `arrow`

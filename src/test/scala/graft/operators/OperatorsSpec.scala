@@ -456,7 +456,8 @@ class OperatorsSpec extends AnyFunSuite {
       "Corpus" -> Corpus.queries.keySet,
       "BpeTokenizer" -> BpeTokenizer.queries.keySet,
       "Selection" -> Selection.queries.keySet,
-      "Eval" -> Eval.queries.keySet)
+      "Eval" -> Eval.queries.keySet,
+      "ConfigPipeline" -> ConfigPipeline.queries.keySet)
     val total = modules.map(_._2.size).sum
     assert(total == graft.SparkEntry.queries.size,
       s"key collision: modules declare $total keys, merged map has ${graft.SparkEntry.queries.size}")

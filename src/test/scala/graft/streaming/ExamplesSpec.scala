@@ -219,18 +219,24 @@ class ExamplesSpec extends AnyFunSuite {
     assert(sink.rows.size == 3)
     sink.rows.foreach { r =>
       assert(r.getAs[Long]("v2") == 20L, s"v2 should be .value * 2: $r")
-      assert(r.getAs[String]("err") == null, s"err should be null on success: $r")
+      // reference fidelity: `err` is a VRL VARIABLE — the reference's
+      // output event carries v2 and NO err column (vrl runtime scopes
+      // variables to the program; only `.` paths mutate the event)
+      assert(!r.schema.fieldNames.contains("err"),
+        s"err is a local variable, not an event field: ${r.schema.fieldNames.toSeq}")
     }
     // the fallible form really is fallible: a failing rhs lands the error
-    // in `err` and null in the value, instead of killing the batch
-    val failing = Processors.RemapProcessor(".v2, err = .value / 0; .")
+    // in the err VARIABLE (readable by later statements) and null in the
+    // value, instead of killing the batch
+    val failing = Processors.RemapProcessor(".v2, err = .value / 0; .msg = err; .")
     val base = Processors.fromConf(s.processors.take(1)).head(
       Engine.inputFromConf(spark,
         s.input.copy(options = s.input.options + ("count" -> "1"))))
     val out = failing(base).collect().head
     assert(out.getAs[Any]("v2") == null)
-    assert(Option(out.getAs[String]("err")).exists(_.toLowerCase.contains("divi")),
-      s"err should carry the division error: $out")
+    assert(Option(out.getAs[String]("msg")).exists(_.toLowerCase.contains("divi")),
+      s"a later statement reads the err variable: $out")
+    assert(!out.schema.fieldNames.contains("err"))
   }
 
   test("window-join example runs e2e: readings enrich against the registry " +

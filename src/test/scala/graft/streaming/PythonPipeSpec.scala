@@ -16,7 +16,7 @@ class PythonPipeSpec extends AnyFunSuite {
     val out = Processors.PythonProcessor(
       """    import pyarrow.compute as pc
         |    return batch.set_column(0, 'x', pc.add(batch.column('x'), 1))""".stripMargin,
-      "x BIGINT")(
+      Some("x BIGINT"))(
       spark.range(1, 101).toDF("x").repartition(4))
     assert(out.as[Long].collect().sorted.toSeq == (2L to 101L).toSeq)
   }
@@ -29,7 +29,7 @@ class PythonPipeSpec extends AnyFunSuite {
         |    return pa.RecordBatch.from_arrays(
         |        [batch.column('doc_id'), pa.array(words, type=pa.int64())],
         |        names=['doc_id', 'n_words'])""".stripMargin,
-      "doc_id BIGINT, n_words BIGINT")(
+      Some("doc_id BIGINT, n_words BIGINT"))(
       Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text"))
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 3L), (2L, 2L)))
@@ -52,7 +52,7 @@ class PythonPipeSpec extends AnyFunSuite {
         |        pa.array([len(p) for p in payloads], type=pa.int64()),
         |        pa.array([hashlib.md5(p).hexdigest() for p in payloads]),
         |    ], names=['doc_id', 'n_bytes', 'digest'])""".stripMargin,
-      "doc_id BIGINT, n_bytes BIGINT, digest STRING")(media)
+      Some("doc_id BIGINT, n_bytes BIGINT, digest STRING"))(media)
     // must agree with the JVM-side columnar formulation on the same rows
     // (q65 graded real ImageIO decode since round 7, so the comparison
     // pins against the columnar byte expressions directly)
@@ -72,7 +72,7 @@ class PythonPipeSpec extends AnyFunSuite {
     val out = Processors.PythonProcessor(
       """    import pyarrow.compute as pc
         |    return batch.set_column(0, 'x', pc.add(batch.column('x'), 1))""".stripMargin,
-      "x BIGINT")(spark.range(0, 200000).toDF("x").repartition(16))
+      Some("x BIGINT"))(spark.range(0, 200000).toDF("x").repartition(16))
     val got = out.agg(org.apache.spark.sql.functions.sum("x"),
       org.apache.spark.sql.functions.count("*")).collect().head
     assert(got.getLong(1) == 200000L)
@@ -84,7 +84,36 @@ class PythonPipeSpec extends AnyFunSuite {
     assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
     val out = Processors.PythonProcessor(
       "    return batch",
-      "x BIGINT")(spark.range(0).toDF("x").repartition(3))
+      Some("x BIGINT"))(spark.range(0).toDF("x").repartition(3))
     assert(out.count() == 0)
+  }
+
+  test("omitted output_schema is INFERRED per batch from the worker's returned " +
+      "RecordBatch, like the reference (processor/python.rs)") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    // schema reshape with NO declared DDL: doc_id stays, n_words derived
+    val out = Processors.PythonProcessor(
+      """    import pyarrow as pa
+        |    words = [len(s.as_py().split()) for s in batch.column('text')]
+        |    return pa.RecordBatch.from_arrays(
+        |        [batch.column('doc_id'), pa.array(words, type=pa.int64())],
+        |        names=['doc_id', 'n_words'])""".stripMargin,
+      None)(Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text"))
+    assert(out.schema.simpleString == "struct<doc_id:bigint,n_words:bigint>")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 2L)))
+    // an empty batch passes through empty (the transform never runs, so
+    // there is no schema to infer — and nothing to apply it to)
+    val empty = Processors.PythonProcessor("    return batch", None)(
+      spark.range(0).toDF("x"))
+    assert(empty.count() == 0)
+    // the inference probe is bounded: a large batch still infers from a
+    // small sample and transforms every row distributed
+    val big = Processors.PythonProcessor(
+      """    import pyarrow.compute as pc
+        |    return batch.set_column(0, 'x', pc.add(batch.column('x'), 1))""".stripMargin,
+      None)(spark.range(0, 50000).toDF("x").repartition(8))
+    assert(big.agg(org.apache.spark.sql.functions.sum("x")).collect()
+      .head.getLong(0) == 50000L * 50001L / 2)
   }
 }

@@ -210,13 +210,12 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val conf = try Some(Config.fromYaml(text)) catch { case _: Exception => None }
       conf.toSeq.flatMap(_.streams).flatMap(s => s.processors.map((s, _)))
-        // python needs an output_schema option this engine requires at
-        // plan time (Spark needs the schema; the reference infers per
-        // batch) — the python example's pipeline is e2e-run in
-        // PythonPipeSpec instead. protobuf examples reference a
-        // descriptor file path relative to the reference's own CWD.
+        // protobuf examples reference a descriptor file path relative to
+        // the reference's own CWD. (python builds WITHOUT output_schema
+        // since round 10 — the schema is inferred per batch like the
+        // reference; e2e-run in PythonPipeSpec.)
         .filterNot { case (_, p) =>
-          Set("python", "protobuf_to_arrow", "arrow_to_protobuf")(p.kind) }
+          Set("protobuf_to_arrow", "arrow_to_protobuf")(p.kind) }
         .foreach { case (s, p) =>
           try { Processors.fromConf(Seq(p), s.temporaries); () }
           catch { case e: Exception =>

@@ -415,7 +415,7 @@ class StreamingSpec extends AnyFunSuite {
         |.size = if .value > 5 { 'big' } else { 'small' }
         |.tiny = if .value > 100 { 'huge' }
         |.head = truncate(.sensor, 4)
-        |.n, err = to_int(.sensor)
+        |.n, .err = to_int(.sensor)
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
     val r = out.select("sensor", "size", "tiny", "head", "n", "err").collect().head
     assert(r.getString(0) == "TEMP_1")
@@ -423,7 +423,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.isNullAt(2), "no-else if is NULL when false")
     assert(r.getString(3) == "TEMP")     // truncate -> left
     assert(r.isNullAt(4), "to_int('TEMP_1') fails -> null value")
-    assert(!r.isNullAt(5), "…and a non-null err message")
+    assert(!r.isNullAt(5), "…and a non-null err message (dotted .err = event field)")
+  }
+
+  test("remap VRL local variables: bare `x = …` and `x, err = …` are program " +
+      "state — readable by later statements and if-conds, absent from the event") {
+    val out = Processors.RemapProcessor(
+      """threshold = 5
+        |scaled = .value * 10
+        |.flag = .value > threshold
+        |.scaled2 = scaled + 1
+        |n, err = to_int(.sensor)
+        |.msg = err
+        |.n2 = n
+        |if scaled > 50 { .grade = 'big' }
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val cols = out.columns.toSet
+    assert(!cols.exists(_.startsWith("__vrl_var_")), s"vars leaked: $cols")
+    assert(!cols.contains("threshold") && !cols.contains("scaled") &&
+      !cols.contains("err") && !cols.contains("n"))
+    val r = out.select("flag", "scaled2", "msg", "n2", "grade").collect().head
+    assert(r.getBoolean(0), "condition read the variable")
+    assert(r.getLong(1) == 101L)
+    assert(!r.isNullAt(2), "later statement reads the fallible err variable")
+    assert(r.isNullAt(3), "failed conversion -> null value variable")
+    assert(r.getString(4) == "big", "statement-form if cond reads the variable")
+    // a reference BEFORE declaration stays bare and fails analysis loudly
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".y = later + 1\nlater = 2")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))))
+    assert(e.getMessage.toLowerCase.contains("later") ||
+      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("later")))
   }
 
   test("remap statement-form if/else: multi-line blocks, new and existing " +
@@ -528,6 +558,122 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(4) == "_1", "negative start counts from the end")
     assert(r.getString(5) == "mp_1", "out-of-range end clamps")
     assert(!r.isNullAt(6))
+  }
+
+  test("remap stdlib tranche 3: array ops, polymorphic length vs strlen, " +
+      "strftime parse_timestamp, uuid_v4, encode_json (processor/vrl.rs stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.arr = split(.sensor, '_')
+        |.arr2 = push(.arr, 'x')
+        |.both = append(.arr, .arr2)
+        |.has_temp = includes(.arr, 'temp')
+        |.n_elems = length(.arr2)
+        |.s = 'héllo'
+        |.bytes = length(.s)
+        |.chars = strlen(.s)
+        |.ts = parse_timestamp('2021-06-29T21:33:20+0000', '%Y-%m-%dT%H:%M:%S%z')
+        |.id = uuid_v4()
+        |.js = encode_json(.arr)
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("arr2", "both", "has_temp", "n_elems", "bytes", "chars",
+      "ts", "id", "js").collect().head
+    assert(r.getSeq[String](0) == Seq("temp", "1", "x"))
+    assert(r.getSeq[String](1) == Seq("temp", "1", "temp", "1", "x"))
+    assert(r.getBoolean(2))
+    assert(r.getInt(3) == 3)
+    assert(r.getInt(4) == 6, "VRL length(string) counts UTF-8 BYTES")
+    assert(r.getInt(5) == 5, "strlen counts characters")
+    assert(r.getTimestamp(6).toInstant.getEpochSecond == 1625002400L,
+      "strftime format with literal 'T' and %z offset parses")
+    assert(r.getString(7).matches("[0-9a-f-]{36}"))
+    assert(r.getString(8) == """["temp","1"]""")
+    // unsupported strftime specifiers fail loudly, naming the culprit
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".t = parse_timestamp(.sensor, '%Q rest')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))).collect())
+    assert(e.getMessage.contains("%Q") || e.getCause.getMessage.contains("%Q"))
+  }
+
+  test("remap VRL closures: map_values -> transform, filter with |index, value| " +
+      "arg swap; for_each rejected (VRL has no loops — closures are iteration)") {
+    val out = Processors.RemapProcessor(
+      """.nums = split('1_2_3_4', '_')
+        |.doubled = map_values(.nums) -> |v| { to_int(v) * 2 }
+        |.tail = filter(.nums) -> |i, v| { i > 0 }
+        |.big = filter(.doubled) -> |v| { v >= 6 }
+        |.squares = map_values(.nums) -> |v| {
+        |  to_int(v) * to_int(v)
+        |}
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("doubled", "tail", "big", "squares").collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L, 6L, 8L))
+    assert(r.getSeq[String](1) == Seq("2", "3", "4"),
+      "filter |i, v| maps onto Spark's (element, index) lambda swapped")
+    assert(r.getSeq[Long](2) == Seq(6L, 8L))
+    assert(r.getSeq[Long](3) == Seq(1L, 4L, 9L, 16L), "multi-line closure body")
+    val e = intercept[IllegalArgumentException](Processors.RemapProcessor(
+      ".x = for_each(.nums) -> |i, v| { i }")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))))
+    assert(e.getMessage.contains("for_each"))
+  }
+
+  test("remap statement-form if branches CHAIN sequentially like VRL: a later " +
+      "rhs sees the branch's earlier assignment; first self-ref reads pre-if") {
+    val out = Processors.RemapProcessor(
+      """if .value > 5 {
+        |  .a = .value + 1
+        |  .b = .a * 10
+        |  .a = .a + 100
+        |} else {
+        |  .b = 0
+        |}
+        |.c = .a
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("a", "b", "c").collect().head
+    // value=10: a = (10+1)=11, b = 11*10=110, a = 11+100=111
+    assert(r.getLong(0) == 111L, "second assignment chains on the first")
+    assert(r.getLong(1) == 110L, "b sees a's FIRST value (sequential, not final)")
+    assert(r.getLong(2) == 111L, "statements after the if see the branch result")
+    // a literal containing a backticked name is NOT a reference
+    val lit = Processors.RemapProcessor(
+      """if .value > 5 { .a = .value; .t = concat('`a`', '!') }""")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .select("t").collect().head
+    assert(lit.getString(0) == "`a`!")
+  }
+
+  test("remap parse_url and parse_regex: parts struct, named captures from a " +
+      "raw r'…' regex literal with backslashes intact (processor/vrl.rs stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.u = parse_url('https://u:pw@example.com:8443/a/b?x=1&y=2#frag')
+        |.scheme = .u.scheme
+        |.host = .u.host
+        |.port = .u.port
+        |.who = .u.username
+        |.x = .u.query['x']
+        |.frag = .u.fragment
+        |.m = parse_regex('dur=250ms code=500', r'dur=(?P<ms>\d+)ms code=(?P<code>\d+)')
+        |.ms = to_int(.m.ms)
+        |.code = .m.code
+        |.nomatch = parse_regex('hello', r'dur=(?P<ms>\d+)')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("scheme", "host", "port", "who", "x", "frag",
+      "ms", "code", "nomatch").collect().head
+    assert(r.getString(0) == "https")
+    assert(r.getString(1) == "example.com")
+    assert(r.getInt(2) == 8443)
+    assert(r.getString(3) == "u")
+    assert(r.getString(4) == "1")
+    assert(r.getString(5) == "frag")
+    assert(r.getLong(6) == 250L, "raw-string \\d survived the SQL literal re-parse")
+    assert(r.getString(7) == "500")
+    assert(r.isNullAt(8), "non-matching parse_regex yields a null struct")
+    // a pattern with no NAMED groups is a build-time error
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".m = parse_regex(.sensor, r'(x+)')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))))
+    assert(e.getMessage.contains("named capture") ||
+      Option(e.getCause).exists(_.getMessage.contains("named capture")))
   }
 
   test("yaml config parses the quick-start stream shape (README.md:60-96)") {
