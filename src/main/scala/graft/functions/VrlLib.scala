@@ -40,6 +40,166 @@ object VrlLib {
         require(exprs.size == 2, "parse_regex(value, pattern) takes 2 arguments")
         VrlLib.parseRegexStruct(exprs.head, exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_kv", { exprs =>
+        require(exprs.size >= 1 && exprs.size <= 3,
+          "parse_key_value(value[, key_value_delimiter[, field_delimiter]]) " +
+            "takes 1-3 arguments")
+        VrlParseKeyValue(exprs.head,
+          exprs.lift(1).getOrElse(Literal("=")),
+          exprs.lift(2).getOrElse(Literal(" ")))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_syslog", { exprs =>
+        require(exprs.size == 1, "parse_syslog(value) takes 1 argument")
+        VrlLib.parseSyslogStruct(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_cidr_contains", { exprs =>
+        require(exprs.size == 2, "ip_cidr_contains(cidr, ip) takes 2 arguments")
+        VrlLib.ipCidrContains(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_is_ipv4", { exprs =>
+        require(exprs.size == 1, "is_ipv4(value) takes 1 argument")
+        RLike(exprs.head, Literal(VrlLib.Ipv4Pattern))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_is_ipv6", { exprs =>
+        require(exprs.size == 1, "is_ipv6(value) takes 1 argument")
+        RLike(exprs.head, Literal(VrlLib.Ipv6Pattern))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_grok", { exprs =>
+        require(exprs.size == 2, "parse_grok(value, pattern) takes 2 arguments")
+        VrlLib.parseGrokStruct(exprs.head, exprs(1))
+      }, "scala_udf")
+  }
+
+  private[functions] val Ipv4Pattern =
+    "^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"
+  // full, compressed (::) and IPv4-mapped forms; zone index allowed
+  private[functions] val Ipv6Pattern =
+    "^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,7}:|" +
+      "([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}|" +
+      "([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}|" +
+      "([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}|" +
+      "[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})|" +
+      ":((:[0-9A-Fa-f]{1,4}){1,7}|:)|" +
+      "::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9]))(%\\w+)?$"
+
+  /** VRL `ip_cidr_contains(cidr, ip)` for IPv4, composed from codegen'd
+    * string/arithmetic expressions: both sides to a 32-bit integer, mask
+    * from the prefix length, compare masked networks. A malformed ip or
+    * cidr (or IPv6 — documented divergence, VRL handles both families)
+    * yields null via the non-ANSI casts (VRL errors; same `, err =`
+    * caveat as parse_url). */
+  private[functions] def ipCidrContains(cidr: Expression, ip: Expression): Expression = {
+    def ipNum(e: Expression): Expression = {
+      val parts = StringSplit(e, Literal("\\."), Literal(-1))
+      Seq(16777216L, 65536L, 256L, 1L).zipWithIndex.map { case (scale, i) =>
+        // reject out-of-range octets by round-tripping through the
+        // anchored pattern: non-matching input casts every octet to null
+        Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(scale))
+      }.reduce[Expression](Add(_, _))
+    }
+    val checkedIp = If(RLike(ip, Literal(Ipv4Pattern)), ip,
+      Literal.create(null, StringType))
+    val base = SubstringIndex(cidr, Literal("/"), Literal(1))
+    val checkedBase = If(RLike(base, Literal(Ipv4Pattern)), base,
+      Literal.create(null, StringType))
+    val prefix = Cast(
+      If(RLike(cidr, Literal("^[0-9.]+/([0-9]|[12][0-9]|3[0-2])$")),
+        SubstringIndex(cidr, Literal("/"), Literal(-1)),
+        Literal.create(null, StringType)), IntegerType)
+    // long arithmetic so a /0 prefix shifts by 32 for real (int shifts
+    // are mod-32 no-ops in Java/JVM codegen)
+    val mask = BitwiseAnd(
+      ShiftLeft(Literal(-1L), Subtract(Literal(32), prefix)),
+      Literal(0xFFFFFFFFL))
+    EqualTo(BitwiseAnd(ipNum(checkedIp), mask), BitwiseAnd(ipNum(checkedBase), mask))
+  }
+
+  private val SeverityNames = Seq(
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")
+  private val FacilityNames = Seq(
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clock",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7")
+
+  // RFC 5424: <pri>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD [MSG]
+  private val Rfc5424 =
+    "^<(\\d{1,3})>(\\d{1,2}) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) " +
+      "(-|(?:\\[.*\\])+)(?: (.*))?$"
+  // RFC 3164: <pri>Mmm dd hh:mm:ss HOST TAG[PID]: MSG
+  private val Rfc3164 =
+    "^<(\\d{1,3})>([A-Z][a-z]{2}\\s+\\d{1,2} \\d{2}:\\d{2}:\\d{2}) " +
+      "(\\S+) ([^\\s:\\[]+)(?:\\[(\\d+)\\])?:\\s?(.*)$"
+
+  /** VRL `parse_syslog(value)` → the stdlib's object shape
+    * `struct<appname, facility, hostname, message, msgid, procid,
+    * severity, timestamp, version>` for RFC 5424 with an RFC 3164
+    * fallback (VRL accepts both), composed entirely from codegen'd
+    * regexp extraction + keyword lookup — no interpreter. 3164
+    * timestamps carry no year; the current year is assumed, like VRL.
+    * Unparseable lines yield a null struct (VRL errors; `, err =`
+    * caveat as with parse_url). */
+  private[functions] def parseSyslogStruct(v: Expression): Expression = {
+    val nullStr = Literal.create(null, StringType)
+    def dashNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("-")), nullStr, e)
+    def sevName(pri: Expression): Expression =
+      GetArrayItem(CreateArray(SeverityNames.map(Literal(_))),
+        BitwiseAnd(pri, Literal(7)))
+    def facName(pri: Expression): Expression =
+      GetArrayItem(CreateArray(FacilityNames.map(Literal(_))),
+        ShiftRight(pri, Literal(3)))
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
+    // groups: 1 pri, 2 version, 3 timestamp, 4 hostname, 5 appname,
+    // 6 procid, 7 msgid, 8 structured-data, 9 message
+    def g5424(i: Int) = RegExpExtract(v, Literal(Rfc5424), Literal(i))
+    val pri5424 = Cast(g5424(1), IntegerType)
+    val s5424 = CreateNamedStruct(Seq(
+      Literal("appname"), dashNull(g5424(5)),
+      Literal("facility"), facName(pri5424),
+      Literal("hostname"), dashNull(g5424(4)),
+      Literal("message"), g5424(9),
+      Literal("msgid"), dashNull(g5424(7)),
+      Literal("procid"), dashNull(g5424(6)),
+      Literal("severity"), sevName(pri5424),
+      Literal("timestamp"), Cast(dashNull(g5424(3)), TimestampType),
+      Literal("version"), Cast(g5424(2), IntegerType)))
+
+    def g3164(i: Int) = RegExpExtract(v, Literal(Rfc3164), Literal(i))
+    val pri3164 = Cast(g3164(1), IntegerType)
+    // no year on the wire: prepend the current one (VRL's assumption),
+    // collapse the space-padded day, parse with a literal pattern
+    val ts3164 = ParseToTimestamp(
+      ConcatWs(Seq(Literal(" "),
+        Cast(Year(CurrentDate(Some(tz))), StringType),
+        RegExpReplace(g3164(2), Literal("\\s+"), Literal(" ")))),
+      Some(Literal("yyyy MMM d HH:mm:ss")), TimestampType, Some(tz), false)
+    val s3164 = CreateNamedStruct(Seq(
+      Literal("appname"), g3164(4),
+      Literal("facility"), facName(pri3164),
+      Literal("hostname"), g3164(3),
+      Literal("message"), g3164(6),
+      Literal("msgid"), nullStr,
+      Literal("procid"), dashNull(If(EqualTo(g3164(5), Literal("")),
+        Literal("-"), g3164(5))),
+      Literal("severity"), sevName(pri3164),
+      Literal("timestamp"), ts3164,
+      Literal("version"), Cast(nullStr, IntegerType)))
+
+    If(RLike(v, Literal(Rfc5424)), s5424,
+      If(RLike(v, Literal(Rfc3164)), s3164,
+        Literal.create(null, s3164.dataType)))
   }
 
   /** VRL `parse_url(url)` → `struct<scheme, username, password, host,
@@ -91,6 +251,131 @@ object VrlLib {
       Seq(Literal(name), RegExpExtract(v, Literal(javaPat), Literal(idx)))
     })
     If(RLike(v, Literal(javaPat)), struct, Literal.create(null, struct.dataType))
+  }
+
+  // The grok base dictionary (the patterns real grok expressions use —
+  // logstash-patterns-core's grok-patterns file is the de-facto
+  // standard); every entry uses only NON-capturing groups so the
+  // translator's group indexing stays exact. Composites are expanded
+  // inline rather than referenced, since entries here are plain regex.
+  private val GrokDict: Map[String, String] = {
+    val ipv4 = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+    val hostname = "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b"
+    val number = "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?))"
+    Map(
+      "WORD" -> "\\b\\w+\\b",
+      "NOTSPACE" -> "\\S+",
+      "SPACE" -> "\\s*",
+      "DATA" -> ".*?",
+      "GREEDYDATA" -> ".*",
+      "INT" -> "[+-]?[0-9]+",
+      "NONNEGINT" -> "[0-9]+",
+      "POSINT" -> "[1-9][0-9]*",
+      "NUMBER" -> number,
+      "BASE10NUM" -> number,
+      "BASE16NUM" -> "(?:0[xX])?[0-9A-Fa-f]+",
+      "IP" -> ipv4,
+      "IPV4" -> ipv4,
+      "HOSTNAME" -> hostname,
+      "IPORHOST" -> s"(?:$ipv4|$hostname)",
+      "HOSTPORT" -> s"(?:$ipv4|$hostname):[0-9]+",
+      "USER" -> "[a-zA-Z0-9._-]+",
+      "USERNAME" -> "[a-zA-Z0-9._-]+",
+      "EMAILADDRESS" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+      "UUID" -> "[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+      "MONTH" -> "\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\\b",
+      "MONTHDAY" -> "(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+      "YEAR" -> "(?:\\d\\d){1,2}",
+      "TIME" -> "\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?",
+      "TIMESTAMP_ISO8601" ->
+        "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(?::\\d{2}(?:\\.\\d+)?)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+      "HTTPDATE" -> "\\d{2}/\\w{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}",
+      "SYSLOGTIMESTAMP" ->
+        "\\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* +\\d{1,2} \\d{2}:\\d{2}:\\d{2}",
+      "LOGLEVEL" ->
+        ("(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|" +
+          "[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|" +
+          "[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|" +
+          "EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"),
+      "QS" -> "\"(?:[^\"\\\\]|\\\\.)*\"",
+      "QUOTEDSTRING" -> "\"(?:[^\"\\\\]|\\\\.)*\"",
+      "PATH" -> "(?:/[\\w.-]+)+",
+      "UNIXPATH" -> "(?:/[\\w.-]+)+",
+      "URIPROTO" -> "[A-Za-z][A-Za-z0-9+.-]*",
+      "URI" -> "[A-Za-z][A-Za-z0-9+.-]*://\\S+",
+      "WORD_DASH" -> "\\b[\\w-]+\\b")
+  }
+
+  private val GrokRef = "%\\{([A-Z0-9_]+)(?::([A-Za-z0-9_@.\\-\\[\\]]+))?(?::(int|float))?\\}".r
+
+  /** VRL `parse_grok(value, pattern)` → struct of the pattern's named
+    * captures. The `%{SYNTAX:name}` / `%{SYNTAX:name:int|float}` /
+    * unnamed `%{SYNTAX}` references are translated ONCE at analysis
+    * against the standard grok base dictionary (plain regex text between
+    * references passes through verbatim, its own capturing groups index-
+    * tracked), and each field compiles to a codegen'd regexp_extract —
+    * the same machinery as parse_regex. An unknown SYNTAX fails analysis
+    * naming it; an unmatched line yields a null struct (VRL errors; the
+    * `, err =` caveat as with the other parse_* shims). */
+  private[functions] def parseGrokStruct(v: Expression, patE: Expression): Expression = {
+    val pat = patE match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "parse_grok: the pattern argument must be a string literal")
+    }
+    val sb = new StringBuilder
+    val fields = scala.collection.mutable.ArrayBuffer[(String, Int, Option[String])]()
+    var idx = 0 // running count of capturing groups in the java pattern
+    var last = 0
+    for (m <- GrokRef.findAllMatchIn(pat)) {
+      val literalPart = pat.substring(last, m.start)
+      sb ++= literalPart
+      idx += countCapturing(literalPart)
+      val syntax = m.group(1)
+      val regex = GrokDict.getOrElse(syntax, throw new IllegalArgumentException(
+        s"parse_grok: unknown pattern %{$syntax}; supported: " +
+          GrokDict.keys.toSeq.sorted.mkString(" ")))
+      Option(m.group(2)) match {
+        case Some(name) =>
+          idx += 1
+          fields += ((name, idx, Option(m.group(3))))
+          sb ++= s"($regex)"
+        case None => sb ++= s"(?:$regex)"
+      }
+      last = m.end
+    }
+    sb ++= pat.substring(last)
+    require(fields.nonEmpty,
+      s"parse_grok: pattern has no named captures (%{SYNTAX:name}): `$pat`")
+    val javaPat = sb.toString
+    val struct = CreateNamedStruct(fields.toSeq.flatMap { case (name, i, cast) =>
+      val raw = RegExpExtract(v, Literal(javaPat), Literal(i))
+      val typed: Expression = cast match {
+        case Some("int") => Cast(raw, LongType)
+        case Some("float") => Cast(raw, DoubleType)
+        case _ => raw
+      }
+      Seq(Literal(name), typed)
+    })
+    If(RLike(v, Literal(javaPat)), struct, Literal.create(null, struct.dataType))
+  }
+
+  /** Count of capturing groups in a regex fragment — escape- and
+    * class-aware, same scanner discipline as [[namedGroups]]. */
+  private def countCapturing(p: String): Int = {
+    var i = 0; var n = 0; var inClass = false
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' => i += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass => inClass = false
+        case '(' if !inClass =>
+          if (!(i + 1 < p.length && p.charAt(i + 1) == '?')) n += 1
+        case _ =>
+      }
+      i += 1
+    }
+    n
   }
 
   /** (name, 1-based group index) for each NAMED capturing group, indexed
@@ -210,5 +495,95 @@ object VrlStrptime {
       }
     }
     out.toString
+  }
+}
+
+/** VRL `parse_key_value(value, key_value_delimiter = "=",
+  * field_delimiter = " ")` → `map<string,string>` — quote-aware, which
+  * is why this is not a `str_to_map` alias: a double-quoted value may
+  * CONTAIN the field delimiter (`msg="hello world" level=info`), so the
+  * split must respect quoting, exactly VRL's parser. Whitespace around
+  * keys/values is trimmed (VRL's `whitespace: lenient` default) and
+  * standalone keys (no delimiter) map to "" like VRL's
+  * `accept_standalone_key`. Codegen'd via a static kernel call — the
+  * same pattern as [[BandedLevenshtein]].
+  */
+case class VrlParseKeyValue(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
+
+  override protected def nullSafeEval(v: Any, kv: Any, fd: Any): Any =
+    VrlParseKeyValue.parse(v.asInstanceOf[UTF8String],
+      kv.asInstanceOf[UTF8String], fd.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, kv, fd) =>
+      s"${ev.value} = graft.functions.VrlParseKeyValue.parse($v, $kv, $fd);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): VrlParseKeyValue =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object VrlParseKeyValue {
+  def parse(value: UTF8String, kvDelim: UTF8String,
+      fieldDelim: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s = value.toString
+    val kv = kvDelim.toString
+    val fd = fieldDelim.toString
+    val keys = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val vals = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val seen = scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    val n = s.length
+    def skipQuoted(from: Int): Int = {
+      // from indexes the opening '"'; returns index AFTER the close
+      var j = from + 1
+      while (j < n && s.charAt(j) != '"') {
+        if (s.charAt(j) == '\\' && j + 1 < n) j += 1
+        j += 1
+      }
+      math.min(j + 1, n)
+    }
+    def nextDelim(from: Int, delim: String): Int = {
+      var j = from
+      while (j < n) {
+        if (s.charAt(j) == '"') j = skipQuoted(j)
+        else if (s.startsWith(delim, j)) return j
+        else j += 1
+      }
+      n
+    }
+    def unquote(raw: String): String = {
+      val t = raw.trim
+      if (t.length >= 2 && t.head == '"' && t.last == '"')
+        t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      else t
+    }
+    while (i < n) {
+      val fieldEnd = nextDelim(i, fd)
+      val field = s.substring(i, fieldEnd)
+      if (field.trim.nonEmpty) {
+        val kvPos = nextDelim(i, kv) // absolute; may be past fieldEnd
+        val (k, v) =
+          if (kvPos < fieldEnd)
+            (unquote(s.substring(i, kvPos)),
+              unquote(s.substring(kvPos + kv.length, fieldEnd)))
+          else (unquote(field), "") // standalone key
+        if (k.nonEmpty) seen.get(k) match {
+          case Some(idx) => vals(idx) = UTF8String.fromString(v) // last wins
+          case None =>
+            seen(k) = keys.size
+            keys += UTF8String.fromString(k)
+            vals += UTF8String.fromString(v)
+        }
+      }
+      i = fieldEnd + fd.length
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      keys.toArray[Any], vals.toArray[Any])
   }
 }

@@ -154,9 +154,10 @@ object Config {
             if Set("join", "store", "codec", "mode", "redis_type", "key")(k) =>
           dotted(k, anyMap(m))
         // the memory input's preloaded `messages:` list
-        // (input/memory.rs) flattens to indexed keys messages.0, … so
-        // each message string survives the flat option map verbatim
-        case (k, l: java.util.List[_]) if k == "messages" =>
+        // (input/memory.rs) and the python processor's `python_path:`
+        // (processor/python.rs) flatten to indexed keys messages.0, … so
+        // each entry survives the flat option map verbatim
+        case (k, l: java.util.List[_]) if k == "messages" || k == "python_path" =>
           l.asScala.zipWithIndex.map { case (v, i) =>
             s"$k.$i" -> stringify(v.asInstanceOf[Object]) }.toMap
         case (k, v) => Map(k -> stringify(v))

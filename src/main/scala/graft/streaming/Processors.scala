@@ -509,15 +509,29 @@ object Processors {
     * driver-side, over a ≤8-row sample, and the distributed pass uses
     * the inferred schema. Declare the DDL to pin a contract for
     * fixed-schema sinks (and skip the per-batch probe). */
-  final case class PythonProcessor(body: String, outputSchema: Option[String])
+  final case class PythonProcessor(body: String, outputSchema: Option[String],
+      function: Option[String] = None, module: Option[String] = None,
+      pythonPath: Seq[String] = Nil)
       extends (DataFrame => DataFrame) {
+    import org.apache.spark.sql.GraftArrowPipe
+    // `function:` present → the REFERENCE shape (processor/python.rs):
+    // `script` is a full module source (or absent, with `module:` naming
+    // an importable found on `python_path`) and `function` the callable.
+    // No `function:` → the engine's body-only shorthand (indented
+    // statements of a fixed transform(batch)).
+    private val entry: GraftArrowPipe.PythonEntry = function match {
+      case None => GraftArrowPipe.PythonEntry.body(body)
+      case Some(f) => GraftArrowPipe.PythonEntry(
+        Option(body).filter(_.trim.nonEmpty),
+        module.filter(_ != "__main__"), f, pythonPath)
+    }
     def apply(batch: DataFrame): DataFrame = outputSchema match {
       case Some(ddl) =>
-        org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body,
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        GraftArrowPipe.pipePython(batch, entry,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl), 4096)
       case None =>
-        org.apache.spark.sql.GraftArrowPipe.inferPythonSchema(batch, body) match {
-          case Some(s) => org.apache.spark.sql.GraftArrowPipe.pipePython(batch, body, s)
+        GraftArrowPipe.inferPythonSchema(batch, entry, 8) match {
+          case Some(s) => GraftArrowPipe.pipePython(batch, entry, s, 4096)
           // empty batch: the transform never runs (no batches reach the
           // worker loop), so the empty frame passes through
           case None => batch.limit(0)
@@ -606,7 +620,16 @@ object Processors {
       // VRL 1-arg parse_url → parts struct; parse_regex named captures →
       // struct of codegen regexp_extracts — [[graft.functions.VrlLib]]
       "parse_url" -> "graft_vrl_parse_url",
-      "parse_regex" -> "graft_vrl_parse_regex")
+      "parse_regex" -> "graft_vrl_parse_regex",
+      // log-pipeline stdlib tail (vrl stdlib): quote-aware key=value
+      // parse, RFC 5424/3164 syslog structs, IPv4 CIDR math, address
+      // classifiers — [[graft.functions.VrlLib]] / VrlParseKeyValue
+      "parse_key_value" -> "graft_vrl_parse_kv",
+      "parse_grok" -> "graft_vrl_parse_grok",
+      "parse_syslog" -> "graft_vrl_parse_syslog",
+      "ip_cidr_contains" -> "graft_vrl_ip_cidr_contains",
+      "is_ipv4" -> "graft_vrl_is_ipv4",
+      "is_ipv6" -> "graft_vrl_is_ipv6")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
@@ -1106,7 +1129,18 @@ object Processors {
       c.options.get("schema").map(
         org.apache.spark.sql.types.StructType.fromDDL))),
     "expr" -> (c => ExprProcessor(c.options("exprs").split(";").map(_.trim).toSeq)),
-    "python" -> (c => PythonProcessor(c.options("script"), c.options.get("output_schema"))),
+    // reference config (processor/python.rs): script = full module
+    // source, function = callable name, module (default __main__),
+    // python_path list (flattened to python_path.N). The body-only
+    // shorthand (no `function:`) is the engine's extension.
+    "python" -> (c => PythonProcessor(
+      c.options.getOrElse("script", ""),
+      c.options.get("output_schema"),
+      c.options.get("function"),
+      c.options.get("module"),
+      c.options.keys.filter(_.startsWith("python_path."))
+        .toSeq.sortBy(_.stripPrefix("python_path.").toInt)
+        .map(c.options))),
     // the reference's vrl processor takes its program under `statement`
     // (processor/vrl.rs config; examples/vrl_example.yaml)
     "vrl" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))),

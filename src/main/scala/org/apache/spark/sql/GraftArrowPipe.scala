@@ -35,37 +35,101 @@ object GraftArrowPipe {
       p.waitFor() == 0
     } catch { case _: java.io.IOException => false }
 
-  /** Run `transform(batch: pyarrow.RecordBatch) -> pyarrow.RecordBatch`
-    * (the indented `body`) over every Arrow batch of every partition.
-    * `outSchema` declares the post-transform schema (the reference infers
-    * it from the returned RecordBatch; Spark needs it at plan time).
-    */
-  private def workerScript(body: String): String =
+  /** The reference python processor's module/function contract
+    * (processor/python.rs:27-145): `script` is a FULL Python module
+    * source run into `__main__` (py.run), `module` names where the
+    * callable lives (default `__main__`), `function` names the callable,
+    * and `pythonPath` entries are prepended to sys.path (after an
+    * implicit "."). The engine's body-only shorthand (no `function:`)
+    * compiles to a script defining `transform` — see [[PythonEntry.body]]. */
+  final case class PythonEntry(script: Option[String], module: Option[String],
+      function: String, pythonPath: Seq[String]) {
+    require(function.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"python processor: `function` must be a Python identifier, got `$function`")
+    module.foreach(m => require(m.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+      s"python processor: `module` must be a Python module name, got `$m`"))
+    require(script.nonEmpty || module.nonEmpty,
+      "python processor: needs `script` (inline module source) or `module` (import)")
+  }
+  object PythonEntry {
+    /** Body-only shorthand: indented statements of a fixed
+      * `transform(batch)` function. */
+    def body(b: String): PythonEntry =
+      PythonEntry(Some("def transform(batch):\n" + b), None, "transform", Nil)
+  }
+
+  private def pyStrLit(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  /** Run the entry's callable over every Arrow batch of every partition.
+    * Mirrors processor/python.rs order exactly: sys.path setup → import
+    * `module` → run `script` into `__main__` (the worker IS `__main__`,
+    * so the source is inlined verbatim) → getattr(module, function).
+    * The callable may return a RecordBatch, a list/tuple of
+    * RecordBatches, or a Table (the reference's Single/Multiple
+    * ProcessResult); every batch in one worker stream must share the
+    * first batch's schema (Arrow IPC is single-schema — pyarrow raises
+    * otherwise, which surfaces as the task error). */
+  private def workerScript(e: PythonEntry): String = {
+    val pathInserts = ("." +: e.pythonPath)
+      .map(p => s"sys.path.insert(0, ${pyStrLit(p)})").mkString("\n")
+    val moduleLit = pyStrLit(e.module.getOrElse("__main__"))
     s"""import sys
+       |import importlib
        |import pyarrow as pa
        |
-       |def transform(batch):
-       |$body
+       |$pathInserts
+       |_graft_mod = importlib.import_module($moduleLit)
+       |${e.script.getOrElse("")}
+       |_graft_entry = getattr(_graft_mod, ${pyStrLit(e.function)})
        |
        |reader = pa.ipc.open_stream(sys.stdin.buffer)
        |writer = None
-       |for batch in reader:
-       |    out = transform(batch)
+       |def _graft_write(b):
+       |    global writer
        |    if writer is None:
-       |        writer = pa.ipc.new_stream(sys.stdout.buffer, out.schema)
-       |    writer.write_batch(out)
+       |        writer = pa.ipc.new_stream(sys.stdout.buffer, b.schema)
+       |    writer.write_batch(b)
+       |for batch in reader:
+       |    out = _graft_entry(batch)
+       |    if isinstance(out, pa.RecordBatch):
+       |        _graft_write(out)
+       |    elif isinstance(out, pa.Table):
+       |        for b in out.to_batches():
+       |            _graft_write(b)
+       |    elif isinstance(out, (list, tuple)):
+       |        for b in out:
+       |            if not isinstance(b, pa.RecordBatch):
+       |                raise TypeError(
+       |                    "python processor: list element is not a RecordBatch: %r"
+       |                    % (type(b),))
+       |            _graft_write(b)
+       |    else:
+       |        raise TypeError(
+       |            "python processor: transform must return a RecordBatch, a "
+       |            "list of RecordBatches, or a Table, got %r" % (type(out),))
        |if writer is not None:
        |    writer.close()
        |""".stripMargin
+  }
 
   def pipePython(df: DataFrame, body: String, outSchema: StructType,
-      batchSize: Int = 4096): DataFrame = {
+      batchSize: Int = 4096): DataFrame =
+    pipePython(df, PythonEntry.body(body), outSchema, batchSize)
+
+  def pipePython(df: DataFrame, entry: PythonEntry, outSchema: StructType,
+      batchSize: Int): DataFrame = {
     require(pythonArrowAvailable,
       "python processor needs python3 with pyarrow on the worker hosts")
     // The script travels INSIDE the task closure (as an argv element), so
     // it exists wherever the task runs — a driver-local temp file would be
     // missing on every executor host of a real cluster.
-    pipePartitions(df, Seq("python3", "-c", workerScript(body)), outSchema, batchSize)
+    pipePartitions(df, Seq("python3", "-c", workerScript(entry)), outSchema, batchSize)
   }
 
   /** Infer the post-transform schema the way the REFERENCE does — from
@@ -78,7 +142,11 @@ object GraftArrowPipe {
     * local python3 spawn + ≤`sampleRows` rows, independent of cluster
     * size; the distributed pass then runs with the inferred schema. */
   def inferPythonSchema(df: DataFrame, body: String,
-      sampleRows: Int = 8): Option[StructType] = {
+      sampleRows: Int = 8): Option[StructType] =
+    inferPythonSchema(df, PythonEntry.body(body), sampleRows)
+
+  def inferPythonSchema(df: DataFrame, entry: PythonEntry,
+      sampleRows: Int): Option[StructType] = {
     require(pythonArrowAvailable,
       "python processor needs python3 with pyarrow on this host")
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
@@ -92,7 +160,7 @@ object GraftArrowPipe {
         errorOnDuplicatedFieldNames = true, largeVarTypes = false)
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
       val proc = new ProcessBuilder(
-        Seq("python3", "-c", workerScript(body)).asJava)
+        Seq("python3", "-c", workerScript(entry)).asJava)
         .redirectError(ProcessBuilder.Redirect.INHERIT).start()
       try {
         val arrowWriter = ArrowWriter.create(root)

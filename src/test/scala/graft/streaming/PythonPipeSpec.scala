@@ -116,4 +116,70 @@ class PythonPipeSpec extends AnyFunSuite {
     assert(big.agg(org.apache.spark.sql.functions.sum("x")).collect()
       .head.getLong(0) == 50000L * 50001L / 2)
   }
+
+  test("reference config shape: `script` is a FULL module, `function:` names " +
+      "the callable, and a returned LIST of RecordBatches is accepted " +
+      "(processor/python.rs ProcessResult::Multiple)") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    // module-level import + helper + named entry point, reference style;
+    // returns [batch1, batch2] split at the midpoint — both must land
+    val out = Processors.PythonProcessor(
+      """import pyarrow as pa
+        |import pyarrow.compute as pc
+        |
+        |def _double(b):
+        |    return b.set_column(0, 'x', pc.multiply(b.column('x'), 2))
+        |
+        |def my_transform(batch):
+        |    half = batch.num_rows // 2
+        |    return [_double(batch.slice(0, half)), _double(batch.slice(half))]
+        |""".stripMargin,
+      None, function = Some("my_transform"))(
+      spark.range(1, 11).toDF("x").repartition(2))
+    assert(out.as[Long].collect().sorted.toSeq == (1L to 10L).map(_ * 2))
+    // a missing function fails loudly with the reference's error shape
+    val e = intercept[Exception](Processors.PythonProcessor(
+      "def f(batch):\n    return batch", None,
+      function = Some("nope"))(spark.range(1).toDF("x")).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("`module:` + `python_path:` import the callable from a file on the " +
+      "path, like the reference's sys.path setup (processor/python.rs:108-121)") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pymod")
+    java.nio.file.Files.write(dir.resolve("graft_example_mod.py"),
+      """import pyarrow as pa
+        |import pyarrow.compute as pc
+        |
+        |def add_ten(batch):
+        |    return batch.set_column(0, 'x', pc.add(batch.column('x'), 10))
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = Processors.PythonProcessor("", None,
+      function = Some("add_ten"), module = Some("graft_example_mod"),
+      pythonPath = Seq(dir.toString))(
+      spark.range(0, 5).toDF("x").repartition(2))
+    assert(out.as[Long].collect().sorted.toSeq == (10L to 14L))
+  }
+
+  test("the reference's own python_processor_example.yaml pipeline EXECUTES " +
+      "end-to-end: json_to_arrow -> python (full-module script, " +
+      "function: transform_data, list return) with per-batch inference") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/root/reference/examples/python_processor_example.yaml")), "UTF-8")
+    val conf = graft.streaming.Config.fromYaml(text)
+    val s = conf.streams.head
+    val procs = Processors.fromConf(s.processors, s.temporaries)
+    import org.apache.spark.sql.functions._
+    val in = Seq(
+      """{ "timestamp": 1625000005000, "value": 10, "sensor": "temp_1" }""",
+      """{ "timestamp": 1625000006000, "value": 19, "sensor": "temp_1" }""")
+      .toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol),
+        current_timestamp().as("__meta_ingest_time"))
+    val out = procs.foldLeft(in)((df, p) => p(df))
+    val rows = out.select("sensor", "value", "value_doubled", "value_squared")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == Set(("temp_1", 10L, 20L, 100L), ("temp_1", 19L, 38L, 361L)))
+  }
 }

@@ -87,10 +87,15 @@ class ReferenceExamplesSpec extends AnyFunSuite {
       msgs.toDF("s").select(col("s").cast("binary").as(Codecs.ValueCol),
         current_timestamp().as("__meta_ingest_time"))
     // kinds whose execution needs artifacts this sandbox cannot supply
-    // synthetically: python infers output schema per batch (e2e-run in
-    // PythonPipeSpec), protobuf examples reference a descriptor path
-    // relative to the reference's own CWD (e2e-run in CodecPropertySpec)
-    val skipKinds = Set("python", "protobuf_to_arrow", "arrow_to_protobuf")
+    // synthetically: protobuf examples reference a descriptor path
+    // relative to the reference's own CWD (e2e-run in CodecPropertySpec).
+    // python runs (its example's full-module script + function: +
+    // list-of-batches return is the reference contract) unless the host
+    // lacks python3+pyarrow.
+    val skipKinds: Set[String] =
+      Set("protobuf_to_arrow", "arrow_to_protobuf") ++
+        (if (org.apache.spark.sql.GraftArrowPipe.pythonArrowAvailable) Set()
+         else Set("python"))
     val redis = new FakeRedis
     try {
       val problems = scala.collection.mutable.ArrayBuffer.empty[String]

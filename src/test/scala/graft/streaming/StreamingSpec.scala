@@ -617,6 +617,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("for_each"))
   }
 
+  test("remap stdlib log tranche: parse_key_value (quote-aware), parse_syslog " +
+      "(RFC 5424 + 3164), ip_cidr_contains, is_ipv4/is_ipv6 (vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.kv = parse_key_value('level=info msg="hello world" flag ttl=30')
+        |.s5 = parse_syslog('<165>1 2021-06-29T21:33:20.123Z host1 app - ID47 - boot ok')
+        |.s3 = parse_syslog('<34>Oct 11 22:14:15 mymachine su[42]: failed for lonvick')
+        |.in_net = ip_cidr_contains('192.168.0.0/16', '192.168.7.9')
+        |.out_net = ip_cidr_contains('192.168.0.0/16', '10.0.0.1')
+        |.v4 = is_ipv4('10.1.2.3')
+        |.v4bad = is_ipv4('10.1.2.300')
+        |.v6 = is_ipv6('2001:db8::8a2e:370:7334')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("kv['level']", "kv['msg']", "kv['flag']",
+      "s5.appname", "s5.severity", "s5.facility", "s5.message", "s5.version",
+      "cast(s5.timestamp as string)",
+      "s3.appname", "s3.procid", "s3.message", "s3.severity",
+      "in_net", "out_net", "v4", "v4bad", "v6").collect().head
+    assert(r.getString(0) == "info")
+    assert(r.getString(1) == "hello world", "quoted value keeps its spaces")
+    assert(r.getString(2) == "", "standalone key maps to empty string")
+    assert(r.getString(3) == "app")
+    assert(r.getString(4) == "notice" && r.getString(5) == "local4",
+      "pri 165 = facility local4(20), severity notice(5)")
+    assert(r.getString(6) == "boot ok")
+    assert(r.getInt(7) == 1)
+    assert(r.getString(8).startsWith("2021-06-29"), "5424 ISO timestamp parses")
+    assert(r.getString(9) == "su" && r.getString(10) == "42")
+    assert(r.getString(11) == "failed for lonvick")
+    assert(r.getString(12) == "crit", "pri 34 = severity crit(2)")
+    assert(r.getBoolean(13) && !r.getBoolean(14))
+    assert(r.getBoolean(15) && !r.getBoolean(16))
+    assert(r.getBoolean(17))
+    // unparseable syslog -> null struct, like the other parse_* fns
+    val bad = Processors.RemapProcessor(".p = parse_syslog('not syslog')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+    assert(bad.select("p").collect().head.isNullAt(0))
+  }
+
+  test("remap parse_grok: %{SYNTAX:name} against the standard base dictionary, " +
+      ":int/:float coercion, unnamed refs, unknown SYNTAX loud (vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.g = parse_grok('10.2.3.40 GET /index.html 200 0.057', '%{IP:client} %{WORD:method} %{PATH:request} %{INT:status:int} %{NUMBER:took:float}')
+        |.log = parse_grok('2021-06-29T21:33:20Z ERROR db timeout', '%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}')
+        |.part = parse_grok('x=7 rest', 'x=%{INT:x:int} %{GREEDYDATA}')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("g.client", "g.method", "g.request", "g.status",
+      "g.took", "log.ts", "log.level", "log.msg", "part.x").collect().head
+    assert(r.getString(0) == "10.2.3.40")
+    assert(r.getString(1) == "GET")
+    assert(r.getString(2) == "/index.html")
+    assert(r.getLong(3) == 200L, ":int coerces to a long")
+    assert(r.getDouble(4) == 0.057, ":float coerces to a double")
+    assert(r.getString(5) == "2021-06-29T21:33:20Z")
+    assert(r.getString(6) == "ERROR")
+    assert(r.getString(7) == "db timeout")
+    assert(r.getLong(8) == 7L, "unnamed %{GREEDYDATA} consumes without capturing")
+    // no-match -> null struct; unknown SYNTAX fails loudly naming it
+    val miss = Processors.RemapProcessor(
+      ".p = parse_grok('nope', '%{INT:n} end')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+    assert(miss.select("p").collect().head.isNullAt(0))
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".p = parse_grok('x', '%{NOT_A_PATTERN:y}')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))).collect())
+    assert(e.getMessage.contains("NOT_A_PATTERN") ||
+      Option(e.getCause).exists(_.getMessage.contains("NOT_A_PATTERN")))
+  }
+
   test("remap statement-form if branches CHAIN sequentially like VRL: a later " +
       "rhs sees the branch's earlier assignment; first self-ref reads pre-if") {
     val out = Processors.RemapProcessor(
