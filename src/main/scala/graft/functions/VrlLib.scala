@@ -156,9 +156,15 @@ object VrlLib {
     def sevName(pri: Expression): Expression =
       GetArrayItem(CreateArray(SeverityNames.map(Literal(_))),
         BitwiseAnd(pri, Literal(7)))
+    // the regex admits \d{1,3} up to 999 but valid PRI is ≤ 191 (facility
+    // ≤ 23): guard the lookup — an unguarded array index THROWS under
+    // default ANSI instead of degrading, so one hostile line would kill
+    // the whole micro-batch
     def facName(pri: Expression): Expression =
-      GetArrayItem(CreateArray(FacilityNames.map(Literal(_))),
-        ShiftRight(pri, Literal(3)))
+      If(LessThanOrEqual(pri, Literal(191)),
+        GetArrayItem(CreateArray(FacilityNames.map(Literal(_))),
+          ShiftRight(pri, Literal(3))),
+        nullStr)
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
 
     // groups: 1 pri, 2 version, 3 timestamp, 4 hostname, 5 appname,
@@ -173,7 +179,11 @@ object VrlLib {
       Literal("msgid"), dashNull(g5424(7)),
       Literal("procid"), dashNull(g5424(6)),
       Literal("severity"), sevName(pri5424),
-      Literal("timestamp"), Cast(dashNull(g5424(3)), TimestampType),
+      // TRY: the wire field is any \S+ — a malformed timestamp degrades
+      // to null (a plain Cast throws under default ANSI, killing the
+      // batch on one corrupt line)
+      Literal("timestamp"),
+      Cast(dashNull(g5424(3)), TimestampType, Some(tz), EvalMode.TRY),
       Literal("version"), Cast(g5424(2), IntegerType)))
 
     def g3164(i: Int) = RegExpExtract(v, Literal(Rfc3164), Literal(i))
@@ -220,11 +230,12 @@ object VrlLib {
       If(Contains(userinfo, Literal(":")),
         SubstringIndex(userinfo, Literal(":"), Literal(-1)), nullStr),
       Literal("host"), part("HOST"),
-      // '' casts to null int under the engine's non-ANSI sessions — a
-      // portless authority yields port = null like VRL
+      // TRY cast: a portless authority extracts '' which must yield
+      // port = null like VRL — a plain Cast THROWS on '' under Spark's
+      // default ANSI mode (the common no-port case, not an edge)
       Literal("port"),
       Cast(RegExpExtract(part("AUTHORITY"), Literal(":([0-9]+)$"), Literal(1)),
-        IntegerType),
+        IntegerType, None, EvalMode.TRY),
       Literal("path"), part("PATH"),
       Literal("query"),
       new StringToMap(part("QUERY"), Literal("&"), Literal("=")),
@@ -351,8 +362,11 @@ object VrlLib {
     val struct = CreateNamedStruct(fields.toSeq.flatMap { case (name, i, cast) =>
       val raw = RegExpExtract(v, Literal(javaPat), Literal(i))
       val typed: Expression = cast match {
-        case Some("int") => Cast(raw, LongType)
-        case Some("float") => Cast(raw, DoubleType)
+        // TRY: the grok sub-pattern bounds the text shape but not the
+        // range (e.g. a 30-digit %{INT:n:int} overflows) — degrade the
+        // field to null instead of throwing under default ANSI
+        case Some("int") => Cast(raw, LongType, None, EvalMode.TRY)
+        case Some("float") => Cast(raw, DoubleType, None, EvalMode.TRY)
         case _ => raw
       }
       Seq(Literal(name), typed)

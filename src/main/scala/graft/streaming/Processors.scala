@@ -530,11 +530,21 @@ object Processors {
         GraftArrowPipe.pipePython(batch, entry,
           org.apache.spark.sql.types.StructType.fromDDL(ddl), 4096)
       case None =>
-        GraftArrowPipe.inferPythonSchema(batch, entry, 8) match {
-          case Some(s) => GraftArrowPipe.pipePython(batch, entry, s, 4096)
+        // localCheckpoint BEFORE the probe: the upstream plan executes
+        // exactly once — the ≤8-row schema probe and the distributed
+        // pass both read the materialized partitions (the probe's
+        // executeCollect would otherwise re-run side-effecting upstream
+        // work). The SAMPLED rows still pass through the user transform
+        // twice (probe worker + distributed worker) — inherent to
+        // inference-by-running, documented here; declare output_schema:
+        // to skip the probe entirely. The checkpointed blocks are freed
+        // by the ContextCleaner when the frame goes out of scope.
+        val mat = batch.localCheckpoint(eager = true)
+        GraftArrowPipe.inferPythonSchema(mat, entry, 8) match {
+          case Some(s) => GraftArrowPipe.pipePython(mat, entry, s, 4096)
           // empty batch: the transform never runs (no batches reach the
           // worker loop), so the empty frame passes through
-          case None => batch.limit(0)
+          case None => mat
         }
     }
   }

@@ -79,14 +79,20 @@ object GraftArrowPipe {
     val pathInserts = ("." +: e.pythonPath)
       .map(p => s"sys.path.insert(0, ${pyStrLit(p)})").mkString("\n")
     val moduleLit = pyStrLit(e.module.getOrElse("__main__"))
-    s"""import sys
+    // the user script is concatenated AFTER each template fragment is
+    // stripMargin'd — interpolating it into the margin template would
+    // silently truncate any script line whose first non-blank char is
+    // '|' (an ASCII table in a docstring, a `x \n  | y` continuation).
+    // pathInserts/moduleLit are safe to interpolate: pyStrLit escapes
+    // newlines, so neither can start a template line.
+    val prelude = s"""import sys
        |import importlib
        |import pyarrow as pa
        |
        |$pathInserts
        |_graft_mod = importlib.import_module($moduleLit)
-       |${e.script.getOrElse("")}
-       |_graft_entry = getattr(_graft_mod, ${pyStrLit(e.function)})
+       |""".stripMargin
+    prelude + e.script.map(_ + "\n").getOrElse("") + s"""_graft_entry = getattr(_graft_mod, ${pyStrLit(e.function)})
        |
        |reader = pa.ipc.open_stream(sys.stdin.buffer)
        |writer = None
@@ -248,13 +254,34 @@ object GraftArrowPipe {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val outRdd = df.queryExecution.toRdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
-      else pipeOnePartition(rows, command, inSchema, tz, batchSize)
+      else pipeOnePartition(rows, command, inSchema, outSchema, tz, batchSize)
     }
     spark.internalCreateDataFrame(outRdd, outSchema)
   }
 
+  /** The worker's returned schema must agree with `outSchema` (names +
+    * types, nullability ignored): the rows are re-bound to `outSchema`
+    * by `internalCreateDataFrame`, so a silent disagreement (an inferred
+    * schema pinned from a sample that doesn't represent this batch, or a
+    * wrong declared DDL) would mis-read memory downstream. */
+  private def checkReturnedSchema(actual: StructType, expected: StructType): Unit = {
+    val ok = actual.length == expected.length &&
+      actual.fields.zip(expected.fields).forall { case (a, e) =>
+        a.name == e.name && org.apache.spark.sql.types.DataType
+          .equalsIgnoreNullability(a.dataType, e.dataType)
+      }
+    if (!ok) throw new RuntimeException(
+      "python processor: the worker returned a batch whose schema " +
+        s"disagrees with the expected output schema.\n  returned: " +
+        s"${actual.toDDL}\n  expected: ${expected.toDDL}\nWhen the schema " +
+        "was inferred from a sample (no `output_schema:` declared), the " +
+        "sample may not represent every batch (e.g. an all-null column); " +
+        "declare `output_schema:` to pin the contract.")
+  }
+
   private def pipeOnePartition(rows: Iterator[InternalRow], command: Seq[String],
-      inSchema: StructType, tz: String, batchSize: Int): Iterator[InternalRow] = {
+      inSchema: StructType, outSchema: StructType, tz: String,
+      batchSize: Int): Iterator[InternalRow] = {
     val allocator = ArrowUtils.rootAllocator.newChildAllocator(
       s"graft_pipe_${java.util.UUID.randomUUID()}", 0, Long.MaxValue)
     val arrowSchema = ArrowUtils.toArrowSchema(inSchema, tz,
@@ -301,11 +328,17 @@ object GraftArrowPipe {
     new Iterator[InternalRow] {
       private var current: Iterator[InternalRow] = Iterator.empty
       private var done = false
+      private var schemaChecked = false
       override def hasNext: Boolean = {
         while (!current.hasNext && !done) {
           if (feederError.get() != null) throw feederError.get()
           if (reader.loadNextBatch()) {
             val vroot = reader.getVectorSchemaRoot
+            if (!schemaChecked) {
+              checkReturnedSchema(
+                ArrowUtils.fromArrowSchema(vroot.getSchema), outSchema)
+              schemaChecked = true
+            }
             val cols = vroot.getFieldVectors.asScala
               .map(v => new ArrowColumnVector(v): ColumnVector).toArray
             val cb = new ColumnarBatch(cols, vroot.getRowCount)

@@ -117,6 +117,44 @@ class PythonPipeSpec extends AnyFunSuite {
       .head.getLong(0) == 50000L * 50001L / 2)
   }
 
+  test("script lines whose first character is '|' survive the worker-template " +
+      "splice (an ASCII table in a docstring must not be margin-stripped)") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    // the docstring's table rows start at column 0 with '|' — the exact
+    // shape stripMargin would corrupt if the user script were
+    // interpolated into the margin template before stripping
+    val body = Seq(
+      "    s = \"\"\"",
+      "| col |",
+      "| --- |",
+      "\"\"\"",
+      "    import pyarrow as pa",
+      "    return pa.RecordBatch.from_arrays(",
+      "        [pa.array([len(s)] * batch.num_rows, type=pa.int64())],",
+      "        names=['n'])").mkString("\n")
+    val out = Processors.PythonProcessor(body, Some("n BIGINT"))(
+      spark.range(0, 3).toDF("x"))
+    // s is "\n| col |\n| --- |\n" = 17 chars; any margin-stripping of the
+    // table rows would shorten it
+    assert(out.as[Long].collect().toSeq == Seq(17L, 17L, 17L))
+  }
+
+  test("a worker batch whose schema disagrees with the expected output schema " +
+      "fails with a clear error naming both schemas") {
+    assume(GraftArrowPipe.pythonArrowAvailable, "no python3+pyarrow on this host")
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // declared DDL says STRING, the worker returns the int64 column
+    // unchanged: must be the clear diagnostic, not a mis-bound read
+    val ex = intercept[Throwable] {
+      Processors.PythonProcessor("    return batch", Some("x STRING"))(
+        spark.range(0, 10).toDF("x")).collect()
+    }
+    assert(messages(ex).exists(m =>
+      m.contains("disagrees") && m.contains("output_schema")))
+  }
+
   test("reference config shape: `script` is a FULL module, `function:` names " +
       "the callable, and a returned LIST of RecordBatches is accepted " +
       "(processor/python.rs ProcessResult::Multiple)") {

@@ -653,6 +653,20 @@ class StreamingSpec extends AnyFunSuite {
     val bad = Processors.RemapProcessor(".p = parse_syslog('not syslog')")(
       Processors.JsonToArrow()(envelope(sensorJson.head)))
     assert(bad.select("p").collect().head.isNullAt(0))
+    // hostile lines must DEGRADE, not kill the micro-batch under default
+    // ANSI: pri 999 (> 191, facility index out of range) and a malformed
+    // RFC 5424 timestamp each yield null FIELDS, never a thrown batch
+    val hostile = Processors.RemapProcessor(
+      """.big = parse_syslog('<999>1 2021-06-29T21:33:20Z h app - - - x')
+        |.badts = parse_syslog('<165>1 20xx-99-99T99:99:99 h app - - - y')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val h = hostile.selectExpr("big.facility", "big.severity", "big.message",
+      "badts.timestamp", "badts.appname").collect().head
+    assert(h.isNullAt(0), "pri > 191 -> facility null (no ANSI array throw)")
+    assert(h.getString(1) == "debug", "severity is still pri & 7 = 7")
+    assert(h.getString(2) == "x")
+    assert(h.isNullAt(3), "unparseable timestamp -> null (no ANSI cast throw)")
+    assert(h.getString(4) == "app")
   }
 
   test("remap parse_grok: %{SYNTAX:name} against the standard base dictionary, " +
@@ -673,6 +687,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(6) == "ERROR")
     assert(r.getString(7) == "db timeout")
     assert(r.getLong(8) == 7L, "unnamed %{GREEDYDATA} consumes without capturing")
+    // :int on a value that overflows long degrades that FIELD to null
+    // under default ANSI instead of throwing away the whole batch
+    val over = Processors.RemapProcessor(
+      ".p = parse_grok('n=99999999999999999999999999 done', 'n=%{INT:n:int} %{WORD:w}')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .selectExpr("p.n", "p.w").collect().head
+    assert(over.isNullAt(0), "long overflow -> null field, not an ANSI throw")
+    assert(over.getString(1) == "done")
     // no-match -> null struct; unknown SYNTAX fails loudly naming it
     val miss = Processors.RemapProcessor(
       ".p = parse_grok('nope', '%{INT:n} end')")(
@@ -724,9 +746,14 @@ class StreamingSpec extends AnyFunSuite {
         |.ms = to_int(.m.ms)
         |.code = .m.code
         |.nomatch = parse_regex('hello', r'dur=(?P<ms>\d+)')
+        |.noport = parse_url('https://example.com/a?x=1')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
     val r = out.select("scheme", "host", "port", "who", "x", "frag",
-      "ms", "code", "nomatch").collect().head
+      "ms", "code", "nomatch", "noport.port", "noport.host").collect().head
+    // the COMMON portless case must degrade to null under default ANSI
+    // (a plain '' -> int cast throws CAST_INVALID_INPUT)
+    assert(r.isNullAt(9), "no explicit port -> port is null, not an ANSI throw")
+    assert(r.getString(10) == "example.com")
     assert(r.getString(0) == "https")
     assert(r.getString(1) == "example.com")
     assert(r.getInt(2) == 8443)
