@@ -74,6 +74,68 @@ object VrlLib {
         require(exprs.size == 2, "parse_grok(value, pattern) takes 2 arguments")
         VrlLib.parseGrokStruct(exprs.head, exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_common_log", { exprs =>
+        require(exprs.size == 1, "parse_common_log(value) takes 1 argument")
+        VrlLib.parseCommonLogStruct(exprs.head, combined = false)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_apache_log", { exprs =>
+        require(exprs.size == 2,
+          "parse_apache_log(value, format) takes 2 arguments")
+        VrlLib.parseApacheLogStruct(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_nginx_log", { exprs =>
+        require(exprs.size == 2,
+          "parse_nginx_log(value, format) takes 2 arguments")
+        VrlLib.parseNginxLogStruct(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_duration", { exprs =>
+        require(exprs.size == 2,
+          "parse_duration(value, unit) takes 2 arguments")
+        VrlLib.parseDuration(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_base64", { exprs =>
+        require(exprs.size == 1, "encode_base64(value) takes 1 argument")
+        Base64(Cast(exprs.head, BinaryType))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_decode_base64", { exprs =>
+        require(exprs.size == 1, "decode_base64(value) takes 1 argument")
+        Cast(new UnBase64(exprs.head), StringType)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_strip_ansi", { exprs =>
+        require(exprs.size == 1,
+          "strip_ansi_escape_codes(value) takes 1 argument")
+        // CSI sequences (ESC [ params intermediates final) plus bare
+        // two-char ESC sequences — the forms real terminal output emits
+        RegExpReplace(exprs.head,
+          Literal("\u001B(?:\\[[0-9;?]*[ -/]*[@-~]|[@-_])"), Literal(""))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_aton", { exprs =>
+        require(exprs.size == 1, "ip_aton(value) takes 1 argument")
+        VrlLib.ipv4ToLong(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_ntoa", { exprs =>
+        require(exprs.size == 1, "ip_ntoa(value) takes 1 argument")
+        VrlLib.longToIpv4(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_syslog_severity", { exprs =>
+        require(exprs.size == 1, "to_syslog_severity(value) takes 1 argument")
+        VrlLib.toSyslogSeverity(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_syslog_level", { exprs =>
+        require(exprs.size == 1, "to_syslog_level(value) takes 1 argument")
+        VrlLib.toSyslogLevel(exprs.head)
+      }, "scala_udf")
   }
 
   private[functions] val Ipv4Pattern =
@@ -99,19 +161,7 @@ object VrlLib {
     * yields null via the non-ANSI casts (VRL errors; same `, err =`
     * caveat as parse_url). */
   private[functions] def ipCidrContains(cidr: Expression, ip: Expression): Expression = {
-    def ipNum(e: Expression): Expression = {
-      val parts = StringSplit(e, Literal("\\."), Literal(-1))
-      Seq(16777216L, 65536L, 256L, 1L).zipWithIndex.map { case (scale, i) =>
-        // reject out-of-range octets by round-tripping through the
-        // anchored pattern: non-matching input casts every octet to null
-        Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(scale))
-      }.reduce[Expression](Add(_, _))
-    }
-    val checkedIp = If(RLike(ip, Literal(Ipv4Pattern)), ip,
-      Literal.create(null, StringType))
     val base = SubstringIndex(cidr, Literal("/"), Literal(1))
-    val checkedBase = If(RLike(base, Literal(Ipv4Pattern)), base,
-      Literal.create(null, StringType))
     val prefix = Cast(
       If(RLike(cidr, Literal("^[0-9.]+/([0-9]|[12][0-9]|3[0-2])$")),
         SubstringIndex(cidr, Literal("/"), Literal(-1)),
@@ -121,7 +171,247 @@ object VrlLib {
     val mask = BitwiseAnd(
       ShiftLeft(Literal(-1L), Subtract(Literal(32), prefix)),
       Literal(0xFFFFFFFFL))
-    EqualTo(BitwiseAnd(ipNum(checkedIp), mask), BitwiseAnd(ipNum(checkedBase), mask))
+    EqualTo(BitwiseAnd(ipv4ToLong(ip), mask), BitwiseAnd(ipv4ToLong(base), mask))
+  }
+
+  /** Guarded dotted-quad → 32-bit value as LongType: null unless the
+    * string is a valid IPv4 address (the anchored pattern rejects
+    * out-of-range octets, so the per-octet casts never see bad input) —
+    * VRL `ip_aton`, and the shared address math of [[ipCidrContains]]. */
+  private[functions] def ipv4ToLong(ip: Expression): Expression = {
+    val checked = If(RLike(ip, Literal(Ipv4Pattern)), ip,
+      Literal.create(null, StringType))
+    val parts = StringSplit(checked, Literal("\\."), Literal(-1))
+    Seq(16777216L, 65536L, 256L, 1L).zipWithIndex.map { case (scale, i) =>
+      Multiply(Cast(GetArrayItem(parts, Literal(i)), LongType), Literal(scale))
+    }.reduce[Expression](Add(_, _))
+  }
+
+  /** VRL `ip_ntoa(int)` — 32-bit numeric → dotted quad; out-of-range
+    * values yield null (VRL errors; the `, err =` caveat as elsewhere). */
+  private[functions] def longToIpv4(n: Expression): Expression = {
+    val nL = Cast(n, LongType)
+    def octet(shift: Int): Expression =
+      Cast(BitwiseAnd(ShiftRightUnsigned(nL, Literal(shift)), Literal(255L)),
+        StringType)
+    If(And(GreaterThanOrEqual(nL, Literal(0L)),
+        LessThanOrEqual(nL, Literal(0xFFFFFFFFL))),
+      ConcatWs(Seq(Literal("."), octet(24), octet(16), octet(8), octet(0))),
+      Literal.create(null, StringType))
+  }
+
+  // VRL to_syslog_severity's accepted keyword spellings (vrl stdlib) —
+  // RFC 5424 names plus the common aliases.
+  private val SeverityAliases: Seq[(String, Int)] = Seq(
+    "emerg" -> 0, "panic" -> 0, "alert" -> 1, "crit" -> 2, "critical" -> 2,
+    "err" -> 3, "error" -> 3, "warning" -> 4, "warn" -> 4, "notice" -> 5,
+    "info" -> 6, "informational" -> 6, "debug" -> 7)
+
+  /** VRL `to_syslog_severity(name)` → RFC 5424 number; unknown → null. */
+  private[functions] def toSyslogSeverity(v: Expression): Expression = {
+    val lv = Lower(v)
+    CaseWhen(SeverityAliases.map { case (n, i) =>
+      (EqualTo(lv, Literal(n)), Literal(i)): (Expression, Expression)
+    }, Literal.create(null, IntegerType))
+  }
+
+  /** VRL `to_syslog_level(int)` → RFC 5424 keyword; out-of-range → null
+    * (the guarded lookup never ANSI-throws). */
+  private[functions] def toSyslogLevel(n: Expression): Expression = {
+    val nI = Cast(n, IntegerType)
+    If(And(GreaterThanOrEqual(nI, Literal(0)), LessThanOrEqual(nI, Literal(7))),
+      GetArrayItem(CreateArray(SeverityNames.map(Literal(_))), nI),
+      Literal.create(null, StringType))
+  }
+
+  // Compound duration: ordered optional unit segments, largest first —
+  // "1h30m", "1005ms", "1.5s", "2d 4h". `m(?!s)` keeps minutes from
+  // eating the ms segment's prefix.
+  private val DurationPattern = {
+    val num = "([0-9]*\\.?[0-9]+)"
+    "^\\s*" +
+      s"(?:$num\\s*w\\s*)?" +
+      s"(?:$num\\s*d\\s*)?" +
+      s"(?:$num\\s*h\\s*)?" +
+      s"(?:$num\\s*m(?!s)\\s*)?" +
+      s"(?:$num\\s*s\\s*)?" +
+      s"(?:$num\\s*ms\\s*)?" +
+      s"(?:$num\\s*(?:us|µs)\\s*)?" +
+      s"(?:$num\\s*ns\\s*)?\\s*$$"
+  }
+  // per-group scale in NANOSECONDS (exact doubles for integer inputs,
+  // like VRL's internal ns representation)
+  private val DurationScalesNs =
+    Seq(6.048e14, 8.64e13, 3.6e12, 6e10, 1e9, 1e6, 1e3, 1d)
+  private val DurationUnitNs: Seq[(String, Double)] = Seq(
+    "w" -> 6.048e14, "d" -> 8.64e13, "h" -> 3.6e12, "m" -> 6e10,
+    "s" -> 1e9, "ms" -> 1e6, "us" -> 1e3, "µs" -> 1e3, "ns" -> 1d)
+
+  /** VRL `parse_duration(value, unit)` → DOUBLE in the target unit:
+    * compound segments sum in nanoseconds, then convert. Unmatched or
+    * digit-free input → null; an unknown unit → null (VRL errors; the
+    * `, err =` caveat as with the parse_* shims). All casts are TRY —
+    * nothing here throws under default ANSI. */
+  private[functions] def parseDuration(v: Expression, unit: Expression): Expression = {
+    def g(i: Int) = RegExpExtract(v, Literal(DurationPattern), Literal(i))
+    val totalNs = DurationScalesNs.zipWithIndex.map { case (sc, i) =>
+      Coalesce(Seq(
+        Multiply(Cast(g(i + 1), DoubleType, None, EvalMode.TRY), Literal(sc)),
+        Literal(0d)))
+    }.reduce[Expression](Add(_, _))
+    val unitNs = CaseWhen(DurationUnitNs.map { case (u, ns) =>
+      (EqualTo(unit, Literal(u)), Literal(ns)): (Expression, Expression)
+    }, Literal.create(null, DoubleType))
+    If(And(RLike(v, Literal(DurationPattern)), RLike(v, Literal("[0-9]"))),
+      Divide(totalNs, unitNs), Literal.create(null, DoubleType))
+  }
+
+  // Common Log Format: host identity user [timestamp] "request" status size
+  // (the Apache access-log shape VRL's parse_common_log handles; combined
+  // appends "referrer" "agent")
+  private val Clf =
+    "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{1,3}) (-|\\d+)"
+  private val ClfCombinedTail = " \"([^\"]*)\" \"([^\"]*)\"$"
+  private val ClfTimestampFmt = "dd/MMM/yyyy:HH:mm:ss xx"
+
+  /** VRL `parse_common_log(value)` (and the combined tail for
+    * `parse_apache_log(value, 'combined')`): struct of the access-log
+    * fields, alphabetical like the other parse_* shims. Unmatched lines
+    * → null struct; a '-' size and a non-splittable request degrade to
+    * null FIELDS. Nothing throws under default ANSI (TRY casts,
+    * failOnError=false timestamp parse). */
+  private[functions] def parseCommonLogStruct(v: Expression, combined: Boolean): Expression = {
+    val pat = if (combined) Clf + ClfCombinedTail else Clf + "$"
+    val nullStr = Literal.create(null, StringType)
+    def dashNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("-")), nullStr, e)
+    def g(i: Int) = RegExpExtract(v, Literal(pat), Literal(i))
+    val req = g(5)
+    val ReqPat = "^(\\S+) (\\S+) (\\S+)$"
+    def rq(i: Int): Expression =
+      If(RLike(req, Literal(ReqPat)),
+        RegExpExtract(req, Literal(ReqPat), Literal(i)), nullStr)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val ts = ParseToTimestamp(g(4), Some(Literal(ClfTimestampFmt)),
+      TimestampType, Some(tz), false)
+    val base: Seq[(String, Expression)] = Seq(
+      "host" -> g(1),
+      "identity" -> dashNull(g(2)),
+      "message" -> req,
+      "method" -> rq(1),
+      "path" -> rq(2),
+      "protocol" -> rq(3),
+      "size" -> If(EqualTo(g(7), Literal("-")),
+        Literal.create(null, LongType),
+        Cast(g(7), LongType, None, EvalMode.TRY)),
+      "status" -> Cast(g(6), IntegerType),
+      "timestamp" -> ts,
+      "user" -> dashNull(g(3)))
+    val fields = if (combined)
+      base ++ Seq[(String, Expression)](
+        "referrer" -> dashNull(g(8)), "agent" -> dashNull(g(9)))
+    else base
+    val struct = CreateNamedStruct(fields.sortBy(_._1).flatMap {
+      case (n, e) => Seq(Literal(n), e) })
+    If(RLike(v, Literal(pat)), struct, Literal.create(null, struct.dataType))
+  }
+
+  // Apache error log: [ts] [module:level] [pid N:tid M] [client ip:port] msg
+  private val ApacheErrorPat =
+    "^\\[([^\\]]+)\\] \\[(?:([a-z_0-9]+):)?([a-z]+)\\]" +
+      "(?: \\[pid (\\d+)(?::tid (\\d+))?\\])?" +
+      "(?: \\[client ([^\\]:]+)(?::(\\d+))?\\])? (.*)$"
+
+  /** VRL `parse_apache_log(value, format)` — format literal 'common' /
+    * 'combined' / 'error'. */
+  private[functions] def parseApacheLogStruct(v: Expression, fmtE: Expression): Expression = {
+    val fmt = fmtE match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "parse_apache_log: the format argument must be a string literal")
+    }
+    fmt match {
+      case "common" => parseCommonLogStruct(v, combined = false)
+      case "combined" => parseCommonLogStruct(v, combined = true)
+      case "error" =>
+        val nullStr = Literal.create(null, StringType)
+        def g(i: Int) = RegExpExtract(v, Literal(ApacheErrorPat), Literal(i))
+        def emptyNull(e: Expression): Expression =
+          If(EqualTo(e, Literal("")), nullStr, e)
+        val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+        // apache stamps "Fri Sep 09 10:42:29.902022 2011" (µs optional).
+        // The redundant day-of-week is stripped first: Spark bans 'E' in
+        // parse patterns since 3.0.
+        val tsText = RegExpReplace(g(1), Literal("^[A-Za-z]{3} "), Literal(""))
+        val ts = Coalesce(Seq(
+          ParseToTimestamp(tsText,
+            Some(Literal("MMM dd HH:mm:ss.SSSSSS yyyy")),
+            TimestampType, Some(tz), false),
+          ParseToTimestamp(tsText, Some(Literal("MMM dd HH:mm:ss yyyy")),
+            TimestampType, Some(tz), false)))
+        val fields: Seq[(String, Expression)] = Seq(
+          "client" -> emptyNull(g(6)),
+          "message" -> g(8),
+          "module" -> emptyNull(g(2)),
+          "pid" -> Cast(emptyNull(g(4)), IntegerType, None, EvalMode.TRY),
+          "port" -> Cast(emptyNull(g(7)), IntegerType, None, EvalMode.TRY),
+          "severity" -> g(3),
+          "timestamp" -> ts)
+        val struct = CreateNamedStruct(fields.flatMap {
+          case (n, e) => Seq(Literal(n), e) })
+        If(RLike(v, Literal(ApacheErrorPat)), struct,
+          Literal.create(null, struct.dataType))
+      case other => throw new IllegalArgumentException(
+        s"parse_apache_log: unsupported format `$other` " +
+          "(supported: common, combined, error)")
+    }
+  }
+
+  // nginx combined: $remote_addr - $remote_user [$time_local] "$request"
+  // $status $body_bytes_sent "$http_referer" "$http_user_agent"
+  private val NginxCombinedPat =
+    "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{1,3}) (\\d+) " +
+      "\"([^\"]*)\" \"([^\"]*)\"$"
+
+  /** VRL `parse_nginx_log(value, format)` — 'combined' (VRL's field
+    * names: client/referer, not host/referrer); other formats are a
+    * loud documented divergence. */
+  private[functions] def parseNginxLogStruct(v: Expression, fmtE: Expression): Expression = {
+    val fmt = fmtE match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "parse_nginx_log: the format argument must be a string literal")
+    }
+    require(fmt == "combined",
+      s"parse_nginx_log: unsupported format `$fmt` (supported: combined; " +
+        "error/ingress_upstreaminfo are a documented divergence)")
+    val nullStr = Literal.create(null, StringType)
+    def dashNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("-")), nullStr, e)
+    def g(i: Int) = RegExpExtract(v, Literal(NginxCombinedPat), Literal(i))
+    val req = g(4)
+    val ReqPat = "^(\\S+) (\\S+) (\\S+)$"
+    def rq(i: Int): Expression =
+      If(RLike(req, Literal(ReqPat)),
+        RegExpExtract(req, Literal(ReqPat), Literal(i)), nullStr)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val fields: Seq[(String, Expression)] = Seq(
+      "agent" -> dashNull(g(8)),
+      "client" -> g(1),
+      "method" -> rq(1),
+      "path" -> rq(2),
+      "protocol" -> rq(3),
+      "referer" -> dashNull(g(7)),
+      "request" -> req,
+      "size" -> Cast(g(6), LongType, None, EvalMode.TRY),
+      "status" -> Cast(g(5), IntegerType),
+      "timestamp" -> ParseToTimestamp(g(3), Some(Literal(ClfTimestampFmt)),
+        TimestampType, Some(tz), false),
+      "user" -> dashNull(g(2)))
+    val struct = CreateNamedStruct(fields.flatMap {
+      case (n, e) => Seq(Literal(n), e) })
+    If(RLike(v, Literal(NginxCombinedPat)), struct,
+      Literal.create(null, struct.dataType))
   }
 
   private val SeverityNames = Seq(

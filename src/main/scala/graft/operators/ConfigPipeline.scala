@@ -125,10 +125,116 @@ object ConfigPipeline {
     spark.read.parquet(out).select("lang", "docs", "total_chars", "first_doc")
   }
 
+  /** q253 — parse_syslog graded end-to-end: the pipeline RENDERS an RFC
+    * 5424 line per event from the table's own columns (SQL processor),
+    * PARSES it back with the VRL shim, and aggregates the parsed fields;
+    * the oracle recomputes the same values straight from the source
+    * columns. A drift anywhere in the severity/facility keyword tables,
+    * the 5424 regex, or the field extraction breaks the hash. */
+  private def q253(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q253").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT '<' || cast(event_id % 192 AS string) || '>1 2021-06-29T21:33:20Z host' || cast(user_id AS string) || ' app - - - ' || event_type AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .p = parse_syslog(.line)
+         |            .sev = .p.severity
+         |            .fac = .p.facility
+         |            .host = .p.hostname
+         |            .msg = .p.message
+         |        - type: sql
+         |          query: "SELECT sev, fac, count(*) AS n, min(msg) AS first_msg, max(host) AS last_host FROM flow GROUP BY sev, fac"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("sev", "fac", "n", "first_msg", "last_host")
+  }
+
+  /** q254 — parse_common_log graded the same way: render an Apache
+    * common-log line per event, parse it back, aggregate the extracted
+    * method/path/status/size/user fields against the oracle's direct
+    * recomputation. */
+  private def q254(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q254").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT cast(user_id % 256 AS string) || '.0.0.1 - user' || cast(user_id AS string) || ' [10/Oct/2000:13:55:36 +0000] \\"GET /' || event_type || '/' || cast(event_id AS string) || ' HTTP/1.1\\" ' || cast(200 + event_id % 4 AS string) || ' ' || cast(event_id % 1000 AS string) AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .c = parse_common_log(.line)
+         |            .status = .c.status
+         |            .sz = .c.size
+         |            .path = .c.path
+         |            .u = .c.user
+         |        - type: sql
+         |          query: "SELECT status, count(*) AS n, CAST(sum(sz) AS BIGINT) AS total_size, min(path) AS first_path, max(u) AS last_user FROM flow GROUP BY status"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out)
+      .select("status", "n", "total_size", "first_path", "last_user")
+  }
+
+  /** q255 — parse_duration + ip_ntoa/ip_aton graded: millisecond duration
+    * strings and synthetic 10.x addresses rendered from event_id, parsed
+    * back, and summed; round(d*1000) pins the float path to the exact
+    * integer the oracle computes. */
+  private def q255(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q255").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT cast(event_id % 3600 AS string) || 'ms' AS dur, 167772160 + event_id AS ipn FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .d = parse_duration(.dur, 's')
+         |            .ip = ip_ntoa(.ipn)
+         |            .back = ip_aton(.ip)
+         |        - type: sql
+         |          query: "SELECT count(*) AS n, CAST(sum(round(d * 1000)) AS BIGINT) AS total_ms, CAST(sum(back) AS BIGINT) AS ip_sum, min(ip) AS first_ip FROM flow"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("n", "total_ms", "ip_sum", "first_ip")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
     "q251_config_vrl" -> ((s, dir) => q251(s, dir)),
-    "q252_config_python" -> ((s, dir) => q252(s, dir)))
+    "q252_config_python" -> ((s, dir) => q252(s, dir)),
+    "q253_config_vrl_syslog" -> ((s, dir) => q253(s, dir)),
+    "q254_config_vrl_clf" -> ((s, dir) => q254(s, dir)),
+    "q255_config_vrl_duration_ip" -> ((s, dir) => q255(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -143,5 +249,26 @@ object ConfigPipeline {
     "q252_config_python" ->
       """SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |       min(doc_id) AS first_doc
-        |FROM documents GROUP BY lang""".stripMargin)
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q253_config_vrl_syslog" ->
+      """SELECT ['emerg','alert','crit','err','warning','notice','info','debug'][CAST((event_id % 192) % 8 AS INT) + 1] AS sev,
+        |       ['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron','authpriv','ftp','ntp','audit','alert','clock','local0','local1','local2','local3','local4','local5','local6','local7'][CAST((event_id % 192) // 8 AS INT) + 1] AS fac,
+        |       count(*) AS n, min(event_type) AS first_msg,
+        |       max('host' || CAST(user_id AS VARCHAR)) AS last_host
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q254_config_vrl_clf" ->
+      """SELECT CAST(200 + event_id % 4 AS INT) AS status, count(*) AS n,
+        |       CAST(sum(event_id % 1000) AS BIGINT) AS total_size,
+        |       min('/' || event_type || '/' || CAST(event_id AS VARCHAR)) AS first_path,
+        |       max('user' || CAST(user_id AS VARCHAR)) AS last_user
+        |FROM events GROUP BY 1""".stripMargin,
+    "q255_config_vrl_duration_ip" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(event_id % 3600) AS BIGINT) AS total_ms,
+        |       CAST(sum(167772160 + event_id) AS BIGINT) AS ip_sum,
+        |       min(CAST((167772160 + event_id) // 16777216 % 256 AS VARCHAR) || '.' ||
+        |           CAST((167772160 + event_id) // 65536 % 256 AS VARCHAR) || '.' ||
+        |           CAST((167772160 + event_id) // 256 % 256 AS VARCHAR) || '.' ||
+        |           CAST((167772160 + event_id) % 256 AS VARCHAR)) AS first_ip
+        |FROM events""".stripMargin)
 }

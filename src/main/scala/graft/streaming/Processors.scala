@@ -639,7 +639,22 @@ object Processors {
       "parse_syslog" -> "graft_vrl_parse_syslog",
       "ip_cidr_contains" -> "graft_vrl_ip_cidr_contains",
       "is_ipv4" -> "graft_vrl_is_ipv4",
-      "is_ipv6" -> "graft_vrl_is_ipv6")
+      "is_ipv6" -> "graft_vrl_is_ipv6",
+      // access-log / duration / address tranche (vrl stdlib) — all
+      // codegen compositions in [[graft.functions.VrlLib]]; format and
+      // unit arguments are positional (VRL also accepts them named —
+      // `unit: "s"` — which this dialect does not parse; documented)
+      "parse_common_log" -> "graft_vrl_parse_common_log",
+      "parse_apache_log" -> "graft_vrl_parse_apache_log",
+      "parse_nginx_log" -> "graft_vrl_parse_nginx_log",
+      "parse_duration" -> "graft_vrl_parse_duration",
+      "encode_base64" -> "graft_vrl_encode_base64",
+      "decode_base64" -> "graft_vrl_decode_base64",
+      "strip_ansi_escape_codes" -> "graft_vrl_strip_ansi",
+      "ip_aton" -> "graft_vrl_ip_aton",
+      "ip_ntoa" -> "graft_vrl_ip_ntoa",
+      "to_syslog_severity" -> "graft_vrl_to_syslog_severity",
+      "to_syslog_level" -> "graft_vrl_to_syslog_level")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);

@@ -707,6 +707,93 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("NOT_A_PATTERN")))
   }
 
+  test("remap stdlib tranche 4: parse_common_log / parse_apache_log / " +
+      "parse_nginx_log, parse_duration, base64, strip_ansi_escape_codes, " +
+      "ip_aton/ip_ntoa, to_syslog_severity/level (vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.c = parse_common_log('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326')
+        |.a = parse_apache_log('10.9.8.7 - - [10/Oct/2000:13:55:36 -0700] "POST /form HTTP/1.1" 404 - "http://ref.example" "curl/8.0"', 'combined')
+        |.e = parse_apache_log('[Fri Sep 09 10:42:29.902022 2011] [core:error] [pid 35708:tid 4328636416] [client 72.15.99.187] File does not exist: /usr/local/apache2/htdocs/favicon.ico', 'error')
+        |.n = parse_nginx_log('172.17.0.1 - alice [31/Dec/2021:16:49:29 +0000] "GET /index.html HTTP/1.1" 200 612 "-" "curl/7.75.0"', 'combined')
+        |.d1 = parse_duration('1005ms', 's')
+        |.d2 = parse_duration('1h30m', 'm')
+        |.d3 = parse_duration('1.5s', 'ms')
+        |.dbad = parse_duration('60', 's')
+        |.b64 = encode_base64('hi')
+        |.plain = decode_base64('aGk=')
+        |.clean = strip_ansi_escape_codes(concat(chr(27), '[31mred', chr(27), '[0m ok'))
+        |.ipn = ip_aton('1.2.3.4')
+        |.ips = ip_ntoa(16909060)
+        |.ipbad = ip_aton('999.1.1.1')
+        |.sev = to_syslog_severity('err')
+        |.sev2 = to_syslog_severity('panic')
+        |.sevbad = to_syslog_severity('nope')
+        |.lvl = to_syslog_level(5)
+        |.lvlbad = to_syslog_level(9)
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr(
+      "c.host", "c.user", "c.method", "c.path", "c.protocol", "c.status",
+      "c.size", "cast(c.timestamp as string)", "c.identity",
+      "a.referrer", "a.agent", "a.size", "a.status",
+      "e.severity", "e.module", "e.pid", "e.client", "e.message",
+      "cast(e.timestamp as string)",
+      "n.client", "n.user", "n.size", "n.referer", "n.agent",
+      "d1", "d2", "d3", "dbad",
+      "b64", "plain", "clean", "ipn", "ips", "ipbad",
+      "sev", "sev2", "sevbad", "lvl", "lvlbad").collect().head
+    assert(r.getString(0) == "127.0.0.1")
+    assert(r.getString(1) == "frank")
+    assert(r.getString(2) == "GET")
+    assert(r.getString(3) == "/apache_pb.gif")
+    assert(r.getString(4) == "HTTP/1.0")
+    assert(r.getInt(5) == 200)
+    assert(r.getLong(6) == 2326L)
+    assert(r.getString(7) == "2000-10-10 20:55:36", "-0700 normalizes to UTC")
+    assert(r.isNullAt(8), "'-' identity is null")
+    assert(r.getString(9) == "http://ref.example")
+    assert(r.getString(10) == "curl/8.0")
+    assert(r.isNullAt(11), "'-' size is null, never an ANSI throw")
+    assert(r.getInt(12) == 404)
+    assert(r.getString(13) == "error")
+    assert(r.getString(14) == "core")
+    assert(r.getInt(15) == 35708)
+    assert(r.getString(16) == "72.15.99.187")
+    assert(r.getString(17).startsWith("File does not exist"))
+    assert(r.getString(18) == "2011-09-09 10:42:29.902022")
+    assert(r.getString(19) == "172.17.0.1")
+    assert(r.getString(20) == "alice")
+    assert(r.getLong(21) == 612L)
+    assert(r.isNullAt(22), "nginx '-' referer is null")
+    assert(r.getString(23) == "curl/7.75.0")
+    assert(r.getDouble(24) == 1.005)
+    assert(r.getDouble(25) == 90.0, "compound 1h30m in minutes")
+    assert(r.getDouble(26) == 1500.0)
+    assert(r.isNullAt(27), "unit-less digits are not a duration")
+    assert(r.getString(28) == "aGk=")
+    assert(r.getString(29) == "hi")
+    assert(r.getString(30) == "red ok", "CSI sequences stripped")
+    assert(r.getLong(31) == 16909060L)
+    assert(r.getString(32) == "1.2.3.4")
+    assert(r.isNullAt(33), "out-of-range octet -> null, no throw")
+    assert(r.getInt(34) == 3)
+    assert(r.getInt(35) == 0)
+    assert(r.isNullAt(36))
+    assert(r.getString(37) == "notice")
+    assert(r.isNullAt(38), "out-of-range level -> null, no ANSI array throw")
+    // unmatched log lines -> null structs; unsupported formats are loud
+    val miss = Processors.RemapProcessor(
+      """.c = parse_common_log('not a log line')
+        |.n = parse_nginx_log('nope', 'combined')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val m = miss.select("c", "n").collect().head
+    assert(m.isNullAt(0) && m.isNullAt(1))
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".x = parse_apache_log('x', 'ltsv')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))).collect())
+    assert(e.getMessage.contains("ltsv") ||
+      Option(e.getCause).exists(_.getMessage.contains("ltsv")))
+  }
+
   test("remap statement-form if branches CHAIN sequentially like VRL: a later " +
       "rhs sees the branch's earlier assignment; first self-ref reads pre-if") {
     val out = Processors.RemapProcessor(
