@@ -725,7 +725,10 @@ object Processors {
       """if\s+([^{}]+?)\s*\{\s*([^{}]+?)\s*\}(?:\s*else\s*\{\s*([^{}]+?)\s*\}|(?!\s*else))""".r
 
     private def vrlRewrites(s0: String): String = {
-      var s = desugarElseIf(s0)
+      // `??` first — it recurses into brace bodies, so an error-coalesce
+      // inside an if-branch rewrites at its own level BEFORE the branch
+      // text is transplanted into CASE syntax
+      var s = desugarElseIf(rewriteCoalesceErr(s0))
       var changed = true
       while (changed) {
         val n = IfExpr.replaceAllIn(s, m =>
@@ -735,9 +738,131 @@ object Processors {
         s = n
       }
       s = rewriteClosures(s)
+      // after the if-expression and closure rewrites, remaining brackets
+      // and braces are VRL array/object literals
+      s = rewriteArrayLiterals(s)
+      s = rewriteObjectLiterals(s)
+      // VRL bang-calls `fn!(…)` ("raise on error"): the plain call — our
+      // fallible shims yield null fields instead of aborting the event,
+      // and a genuinely thrown error fails the batch into error_output,
+      // which is the engine's abort channel. `(` must follow the `!`
+      // immediately-modulo-space, so `a != (b)` is untouched.
+      s = s.replaceAll("(?<=[A-Za-z0-9_])!\\s*\\(", "(")
+      // VRL named arguments (`unit: "s"`, `format: "combined"`) →
+      // positional: VRL defines a fixed parameter order, which the
+      // positional dialect already follows. Object-literal keys are
+      // masked string tokens by now, so a bare `label:` after `(` or `,`
+      // can only be an argument label.
+      s = s.replaceAll("([(,]\\s*)[a-z_][a-z0-9_]*:\\s*", "$1")
+      // VRL `exists(.field)` — schema membership resolves per batch
+      // frame, not at compile: emit a marker [[resolveExists]] replaces
+      // with a boolean literal once the frame is known
+      require(!s.matches("(?s).*exists\\(\\s*`[A-Za-z0-9_]+`\\s*\\..*"),
+        "remap: exists() supports top-level fields only (nested struct " +
+          "paths are always present in the schema once the parent exists)")
+      s = s.replaceAll("(?<![A-Za-z0-9_.`])exists\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
+        "__VRL_EXISTS_$1__")
       FnAliases.foldLeft(s) { case (acc, (vrl, sql)) =>
         acc.replaceAll("(?<![A-Za-z0-9_.`])" + vrl + "\\s*\\(", sql + "(")
       }
+    }
+
+    /** VRL error-coalescing `a ?? b`: use `b` when `a` ERRORS — a
+      * successful null stays null, which is why this is not SQL coalesce.
+      * Compiled onto the same try_pair carrier as `, err =` assignment;
+      * whole-stage CSE merges the twin evaluations. Left-associative like
+      * VRL; splits at paren depth 0 and RECURSES into brace bodies so an
+      * if-branch's `??` rewrites at its own level. */
+    private def rewriteCoalesceErr(s: String): String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0; var i = 0
+      while (i < s.length) {
+        s(i) match {
+          case '{' if depth == 0 =>
+            val close = matchBraceIn(s, i)
+            cur ++= "{" + rewriteCoalesceErr(s.substring(i + 1, close)) + "}"
+            i = close
+          case c @ '(' => depth += 1; cur += c
+          case c @ ')' => depth -= 1; cur += c
+          case '?' if depth == 0 && i + 1 < s.length && s(i + 1) == '?' =>
+            parts += cur.toString(); cur.clear(); i += 1
+          case c => cur += c
+        }
+        i += 1
+      }
+      if (parts.isEmpty) cur.toString()
+      else {
+        parts += cur.toString()
+        // NOT .trim: it strips the NUL literal-mask delimiters too
+        parts.map(_.replaceAll("^\\s+|\\s+$", "")).reduceLeft { (a, b) =>
+          s"(CASE WHEN (try_pair($a)).err IS NOT NULL THEN $b " +
+            s"ELSE (try_pair($a)).value END)"
+        }
+      }
+    }
+
+    /** VRL array literals `[a, b, c]` → `array(a, b, c)`, innermost
+      * first. A `[` that FOLLOWS a value (identifier, backtick, `)`,
+      * `]`) is subscripting and passes through — Spark's bracket index
+      * on arrays is 0-based like VRL's. */
+    private def rewriteArrayLiterals(s0: String): String = {
+      val P = """(?<![A-Za-z0-9_`\)\]])\[([^\[\]]*)\]""".r
+      var s = s0
+      var changed = true
+      while (changed) {
+        val n = P.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+        changed = n != s
+        s = n
+      }
+      s
+    }
+
+    /** VRL object literals `{ "k": v, … }` → `named_struct('k', v, …)`,
+      * innermost first. Keys are masked string tokens at this point (VRL
+      * object keys are quoted), restored by unmask with the rest. */
+    private def rewriteObjectLiterals(s0: String): String = {
+      val P = """\{([^{}]*)\}""".r
+      var s = s0
+      var changed = true
+      while (changed) {
+        val n = P.replaceAllIn(s, m => {
+          // NOT .trim anywhere here: it strips the NUL literal-mask
+          // delimiters (keys ARE masked literals at this point)
+          def ws(x: String) = x.replaceAll("^\\s+|\\s+$", "")
+          val inner = ws(m.group(1))
+          val args =
+            if (inner.isEmpty) Nil
+            else splitTopCommas(inner).map { pair =>
+              val cut = pair.indexOf(':')
+              require(cut > 0,
+                s"remap: object literal entry `${unmask(ws(pair))}` must be `\"key\": value`")
+              s"${ws(pair.substring(0, cut))}, ${ws(pair.substring(cut + 1))}"
+            }
+          java.util.regex.Matcher.quoteReplacement(
+            s"named_struct(${args.mkString(", ")})")
+        })
+        changed = n != s
+        s = n
+      }
+      s
+    }
+
+    /** Split on commas at paren depth 0 (arguments of an already-masked
+      * fragment — no braces or brackets survive to this point). */
+    private def splitTopCommas(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString()
+      out.toSeq.filter(_.trim.nonEmpty)
     }
 
     /** VRL iteration closures (VRL has no loops by design — iteration is
@@ -914,9 +1039,17 @@ object Processors {
           acc :+ (f -> chained)
         }.map { case (f, sql) => f -> unmask(sql) }
       }
-      // parse the chain: (condSql, assigns) per if/else-if arm + final else
-      val arms = scala.collection.mutable.ArrayBuffer[(String, Seq[(String, String)])]()
+      // a branch whose single statement is `abort` DROPS the event (VRL
+      // abort ends the program discarding the event — the row filter is
+      // the column-program shape of that)
+      def isAbort(block: String): Boolean =
+        splitTop(block) == Seq("abort")
+      // parse the chain: (condSql, assigns, aborts) per if/else-if arm
+      // + final else
+      val arms = scala.collection.mutable
+        .ArrayBuffer[(String, Seq[(String, String)], Boolean)]()
       var elseA: Seq[(String, String)] = Nil
+      var elseAbort = false
       var i = 0 // index of the current `if`
       var done = false
       while (!done) {
@@ -924,7 +1057,9 @@ object Processors {
         require(open > i, s"remap: malformed if `${unmask(stmt)}`")
         val close = matchBraceIn(stmt, open)
         val cond = stmt.substring(i + 2, open).replaceAll("^\\s+|\\s+$", "")
-        arms += ((fieldRefs(cond), assigns(stmt.substring(open + 1, close))))
+        val body = stmt.substring(open + 1, close)
+        arms += ((fieldRefs(cond),
+          if (isAbort(body)) Nil else assigns(body), isAbort(body)))
         var j = close + 1
         while (j < stmt.length && stmt(j).isWhitespace) j += 1
         if (j >= stmt.length) done = true
@@ -936,7 +1071,8 @@ object Processors {
             val eClose = matchBraceIn(stmt, k)
             require(stmt.substring(eClose + 1).forall(_.isWhitespace),
               s"remap: unexpected text after else block: `${unmask(stmt.substring(eClose + 1))}`")
-            elseA = assigns(stmt.substring(k + 1, eClose))
+            val eBody = stmt.substring(k + 1, eClose)
+            if (isAbort(eBody)) elseAbort = true else elseA = assigns(eBody)
             done = true
           } else throw new IllegalArgumentException(
             s"remap: malformed else in `${unmask(stmt)}`")
@@ -944,21 +1080,35 @@ object Processors {
           s"remap: unexpected text after if block: `${unmask(stmt.substring(j))}`")
       }
       val armsV = arms.toVector
-      (df: DataFrame) => {
-        val fields = (armsV.flatMap(_._2.map(_._1)) ++ elseA.map(_._1)).distinct
-        df.withColumns(fields.map { f =>
+      (df0: DataFrame) => {
+        // abort arms first: keep a row iff its FIRST matching arm does
+        // not abort (the same when-chain order as the assignments)
+        val df =
+          if (!armsV.exists(_._3) && !elseAbort) df0
+          else df0.filter(
+            armsV.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (condSql, _, aborts)) =>
+                val c = exprFor(df0, condSql)
+                Some(acc.fold(when(c, lit(!aborts)))(_.when(c, lit(!aborts))))
+            }.get.otherwise(lit(!elseAbort)))
+        val assignArms = armsV.filter(!_._3)
+        val fields = (assignArms.flatMap(_._2.map(_._1)) ++ elseA.map(_._1)).distinct
+        if (fields.isEmpty) df
+        else df.withColumns(fields.map { f =>
           val current: org.apache.spark.sql.Column =
             if (df.columns.contains(f)) col(f) else lit(null)
           // LAST assignment wins: with chaining, a re-assigned field's
           // final rhs already has the earlier ones inlined
           def valueIn(as: Seq[(String, String)]) =
-            as.reverse.collectFirst { case (`f`, rhs) => expr(rhs) }.getOrElse(current)
-          val chained = armsV.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-            case (acc, (condSql, as)) =>
-              val c = expr(condSql); val v = valueIn(as)
+            as.reverse.collectFirst { case (`f`, rhs) => exprFor(df, rhs) }
+              .getOrElse(current)
+          val chained = assignArms.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (condSql, as, _)) =>
+              val c = exprFor(df, condSql); val v = valueIn(as)
               Some(acc.fold(when(c, v))(_.when(c, v)))
-          }.get
-          f -> chained.otherwise(valueIn(elseA))
+          }
+          // every arm aborted -> survivors are exactly the else rows
+          f -> chained.fold(valueIn(elseA))(_.otherwise(valueIn(elseA)))
         }.toMap)
       }
     }
@@ -970,6 +1120,10 @@ object Processors {
         // a bare `.` is VRL's final "return the event" expression —
         // the event passes through unchanged
         case "." => None
+        // unconditional `abort` discards every event of the batch (VRL
+        // abort ends the program dropping the event; conditional aborts
+        // live inside statement-form if arms)
+        case "abort" => Some((df: DataFrame) => df.limit(0))
         case Del(field) => Some((df: DataFrame) => df.drop(field))
         case FallibleAssign(field, errDot, errName, rhs) =>
           val sql = fieldRefs(rhs)
@@ -979,7 +1133,7 @@ object Processors {
           Some(fallibleAssign(field, errCol, sql))
         case Assign(field, rhs) =>
           val sql = fieldRefs(rhs)
-          Some((df: DataFrame) => df.withColumn(field, expr(sql)))
+          Some((df: DataFrame) => df.withColumn(field, exprFor(df, sql)))
         case stmt @ IfStatement() => Some(compileIfStatement(stmt))
         case VarFallible(name, errDot, errName, rhs) =>
           val sql = fieldRefs(rhs) // BEFORE += so `x, e = f(x)` reads the prior x
@@ -989,10 +1143,20 @@ object Processors {
         case VarAssign(name, rhs) =>
           val sql = fieldRefs(rhs) // BEFORE += : a first self-ref is undefined, loudly
           vars += name
-          Some((df: DataFrame) => df.withColumn(varCol(name), expr(sql)))
+          Some((df: DataFrame) => df.withColumn(varCol(name), exprFor(df, sql)))
         case other =>
           throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
       }
+
+    /** `exists(.field)` markers resolve against the batch frame's actual
+      * columns — schema membership is a per-frame fact, not a compile-time
+      * one (micro-batch schemas evolve). */
+    private val ExistsRef = "__VRL_EXISTS_([A-Za-z0-9_]+)__".r
+    private def resolveExists(df: DataFrame, sql: String): String =
+      ExistsRef.replaceAllIn(sql, m =>
+        if (df.columns.contains(m.group(1))) "true" else "false")
+    private def exprFor(df: DataFrame, sql: String): org.apache.spark.sql.Column =
+      expr(resolveExists(df, sql))
 
     /** ONE try_pair evaluation carries both halves (value + error),
       * computed against the PRE-assignment frame, so a self-referencing
@@ -1001,7 +1165,7 @@ object Processors {
         sql: String): DataFrame => DataFrame = (df: DataFrame) => {
       graft.functions.TryOps.register(df.sparkSession)
       val tmp = s"__vrl_try_$valueCol"
-      df.withColumn(tmp, expr(s"try_pair($sql)"))
+      df.withColumn(tmp, exprFor(df, s"try_pair($sql)"))
         .withColumn(valueCol, col(s"$tmp.value"))
         .withColumn(errCol, col(s"$tmp.err"))
         .drop(tmp)
@@ -1010,6 +1174,9 @@ object Processors {
     def apply(batch: DataFrame): DataFrame = {
       graft.functions.VrlSlice.register(batch.sparkSession)
       graft.functions.VrlLib.register(batch.sparkSession)
+      // `??` error-coalescing compiles onto try_pair, so the carrier must
+      // exist for plain assignments too, not just `, err =` targets
+      graft.functions.TryOps.register(batch.sparkSession)
       val out = statements.foldLeft(batch)((df, stmt) => stmt(df))
       // VRL variables are program state, never event fields: the
       // reference's output for `.v2, err = .value * 2` carries v2 and NO

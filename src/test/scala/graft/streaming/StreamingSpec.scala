@@ -794,6 +794,46 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("ltsv")))
   }
 
+  test("remap VRL surface syntax: bang-calls, named arguments, `??` error " +
+      "coalescing (error vs null), exists(), array/object literals, abort") {
+    val out = Processors.RemapProcessor(
+      """.n1 = to_int!('42')
+        |.d = parse_duration('250ms', unit: 's')
+        |.v = to_int('nope') ?? -1
+        |.w = to_int('7') ?? -1
+        |.z = to_int(null) ?? -9
+        |.nn = if .value > 100 { to_int('x') ?? -2 } else { to_int('5') ?? -3 }
+        |.has = exists(.sensor)
+        |.hasnt = exists(.nope)
+        |.arr = [1, 2, 3]
+        |.second = .arr[1]
+        |.obj = {"a": 1, "b": upcase(.sensor)}
+        |.oa = .obj.a
+        |.ob = .obj.b
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("n1", "d", "v", "w", "z", "nn", "has", "hasnt",
+      "arr", "second", "oa", "ob").collect().head
+    assert(r.getLong(0) == 42L, "fn!(…) bang-call is the plain call")
+    assert(r.getDouble(1) == 0.25, "named argument `unit: 's'` is positional")
+    assert(r.getLong(2) == -1L, "?? catches the conversion ERROR")
+    assert(r.getLong(3) == 7L, "?? leaves a successful value alone")
+    assert(r.isNullAt(4), "?? does NOT replace a successful null (not coalesce)")
+    assert(r.getLong(5) == 5L, "?? inside an if-expression branch")
+    assert(r.getBoolean(6) && !r.getBoolean(7), "exists() resolves per frame")
+    assert(r.getSeq[Int](8) == Seq(1, 2, 3), "array literal")
+    assert(r.getInt(9) == 2, "subscript stays 0-based like VRL")
+    assert(r.getInt(10) == 1, "object literal -> struct")
+    assert(r.getString(11) == "TEMP_1")
+    // abort: conditional arm drops matching events; else still assigns;
+    // standalone abort drops the batch
+    val df = Processors.JsonToArrow()(envelope(sensorJson.head)) // value=10
+    assert(Processors.RemapProcessor("if .value < 100 { abort }")(df).count() == 0)
+    val kept = Processors.RemapProcessor(
+      "if .value > 100 { abort } else { .x = 1 }")(df)
+    assert(kept.count() == 1 && kept.select("x").collect().head.getInt(0) == 1)
+    assert(Processors.RemapProcessor("abort")(df).count() == 0)
+  }
+
   test("remap statement-form if branches CHAIN sequentially like VRL: a later " +
       "rhs sees the branch's earlier assignment; first self-ref reads pre-if") {
     val out = Processors.RemapProcessor(
