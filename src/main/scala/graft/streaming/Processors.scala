@@ -569,7 +569,16 @@ object Processors {
     */
   final case class RemapProcessor(program: String) extends (DataFrame => DataFrame) {
     private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
+    // VRL metadata refs `%name` → the engine's SQL-visible `__meta_name`
+    // columns (SURVEY.md §1.2; the reference surfaces source metadata to
+    // VRL as %-paths, this engine as __meta_ event columns). The `%` must
+    // be IMMEDIATELY followed by the name — `a % b` stays modulo; write
+    // compact modulo with spaces.
+    private val MetaRef = "%([A-Za-z_][A-Za-z0-9_]*)".r
     private val Del = """del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+    // nested deletion `del(.a.b[.c…])` → dropFields on the root struct
+    private val DelNested =
+      """del\(\s*\.([A-Za-z_][A-Za-z0-9_]*)((?:\.[A-Za-z_][A-Za-z0-9_]*)+)\s*\)""".r
     // VRL fallible assignment `.field, err = rhs` (the reference's own
     // example program, examples/vrl_example.yaml:15): the first target
     // gets the try-evaluated value (null on error), the second the error
@@ -585,6 +594,10 @@ object Processors {
     private val FallibleAssign =
       """(?s)\.([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\.?)([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
     private val Assign = """(?s)\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+    // nested assignment `.a.b[.c…] = rhs` — mutates INSIDE the root
+    // struct column (VRL path assignment)
+    private val AssignNested =
+      """(?s)\.([A-Za-z_][A-Za-z0-9_]*)((?:\.[A-Za-z_][A-Za-z0-9_]*)+)\s*=\s*(.+)""".r
     // bare local variables (VRL variables are program state, not event
     // fields): `x = rhs`, `x, err = rhs` — stored as __vrl_var_* columns
     // while the program runs, dropped from the returned frame
@@ -983,7 +996,9 @@ object Processors {
     // chaining substitutes into it; doing that after unmask could corrupt
     // a string literal that happens to contain a backticked name)
     private def fieldRefsMasked(rhs: String): String =
-      rewriteVars(vrlRewrites(FieldRef.replaceAllIn(rhs, m => "`" + m.group(1) + "`")))
+      rewriteVars(vrlRewrites(FieldRef.replaceAllIn(
+        MetaRef.replaceAllIn(rhs, m => "`__meta_" + m.group(1) + "`"),
+        m => "`" + m.group(1) + "`")))
     private def fieldRefs(rhs: String): String = unmask(fieldRefsMasked(rhs))
 
     // Split on ';' and newlines at BRACE DEPTH 0 only, so statement-form
@@ -1125,6 +1140,19 @@ object Processors {
         // live inside statement-form if arms)
         case "abort" => Some((df: DataFrame) => df.limit(0))
         case Del(field) => Some((df: DataFrame) => df.drop(field))
+        case DelNested(root, rest) => Some((df: DataFrame) =>
+          df.withColumn(root, col(root).dropFields(rest.stripPrefix("."))))
+        case AssignNested(root, rest, rhs) =>
+          val sql = fieldRefs(rhs)
+          val path = rest.stripPrefix(".")
+          Some((df: DataFrame) =>
+            if (df.columns.contains(root))
+              df.withColumn(root, col(root).withField(path, exprFor(df, sql)))
+            else
+              // VRL creates missing parents: a path assignment into an
+              // absent root builds the nested struct from scratch
+              df.withColumn(root, path.split('.').foldRight(exprFor(df, sql)) {
+                (n, c) => struct(c.as(n)) }))
         case FallibleAssign(field, errDot, errName, rhs) =>
           val sql = fieldRefs(rhs)
           // a dotless err target is a VRL VARIABLE: readable by later

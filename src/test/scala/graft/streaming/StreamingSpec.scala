@@ -834,6 +834,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(Processors.RemapProcessor("abort")(df).count() == 0)
   }
 
+  test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
+      "and %metadata refs map onto __meta_ columns (vrl path semantics)") {
+    val out = Processors.RemapProcessor(
+      """.obj = {"a": 1, "b": {"c": 2, "d": 3}}
+        |.obj.b.c = 20
+        |.obj.e = .value + 1
+        |del(.obj.b.d)
+        |.fresh.x.y = 7
+        |.src = %source
+        |""".stripMargin)(
+      Processors.JsonToArrow()(envelope(sensorJson.head))
+        .withColumn("__meta_source", org.apache.spark.sql.functions.lit("kafka_a")))
+    val r = out.selectExpr("obj.a", "obj.b.c", "obj.e", "fresh.x.y", "src")
+      .collect().head
+    assert(r.getInt(0) == 1, "sibling fields untouched")
+    assert(r.getInt(1) == 20, "nested path assignment replaces in place")
+    assert(r.getLong(2) == 11L, "path assignment ADDS a new struct field")
+    assert(r.getInt(3) == 7, "absent root: parents created like VRL")
+    assert(r.getString(4) == "kafka_a", "%source reads __meta_source")
+    assert(out.select("obj.b").schema.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      == Seq("c"), "del(.obj.b.d) drops only that nested field")
+    // `%` with spaces stays modulo
+    val mod = Processors.RemapProcessor(".m = .value % 3")(
+      Processors.JsonToArrow()(envelope(sensorJson.head)))
+    assert(mod.select("m").collect().head.getLong(0) == 1L)
+  }
+
   test("remap statement-form if branches CHAIN sequentially like VRL: a later " +
       "rhs sees the branch's earlier assignment; first self-ref reads pre-if") {
     val out = Processors.RemapProcessor(
