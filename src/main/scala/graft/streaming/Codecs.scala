@@ -115,8 +115,12 @@ object Codecs {
             a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
           def rebuilt(side: String, st: StructType): Column =
             when(col(side).isNotNull, struct(merged.fields.map { f =>
+              // try_cast: when the sides' inferred types disagree (e.g.
+              // before.x string, after.x long), an unconvertible value
+              // degrades to a null CELL — a plain cast under default ANSI
+              // would throw and send the whole batch to error_output
               (if (st.fieldNames.contains(f.name))
-                col(side + "." + f.name).cast(f.dataType)
+                col(side + "." + f.name).try_cast(f.dataType)
               else lit(null).cast(f.dataType)).as(f.name)
             }.toSeq: _*))
           Some((coalesce(rebuilt("after", a), rebuilt("before", b)), merged))

@@ -195,7 +195,10 @@ object Processors {
           case "conform" =>
             val have = batch.schema.fieldNames.toSet
             batch.select(b.fields.toSeq.map { f =>
-              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              // try_cast: conform means DEGRADE to the baseline shape —
+              // a drifted value that cannot convert becomes null; a plain
+              // cast under default ANSI would kill the stream instead
+              if (have(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name)
             }: _*)
         }

@@ -200,6 +200,15 @@ class StreamingSpec extends AnyFunSuite {
     val strict = new Processors.SchemaGuard("fail")
     strict(b1)
     strict(reordered) // must not throw
+
+    // conform DEGRADES an unconvertible drifted value to null — a plain
+    // cast would throw under default ANSI and kill the stream
+    val lossy = new Processors.SchemaGuard("conform")
+    lossy(b1)
+    val coerced = lossy(Seq(("abc", "z")).toDF("id", "name"))
+    assert(coerced.select("id").collect().head.isNullAt(0),
+      "non-numeric drifted id conforms to null, not an ANSI throw")
+    assert(coerced.select("name").as[String].head() == "z")
   }
 
   test("rate_cap releases at most max_rows per batch and carries the overflow") {
@@ -288,6 +297,19 @@ class StreamingSpec extends AnyFunSuite {
       .select("id", "name", "op")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(dRows == Set((3L, "carol", "d")))
+    // TYPE-CONFLICTED sides: after.x infers long (and wins the merge),
+    // the delete row's before.x is a non-numeric string — that CELL
+    // degrades to null; a plain cast under default ANSI would throw and
+    // divert the whole batch to error_output
+    val conflicted = Seq(
+      """{"before": null, "after": {"id": 1, "x": 5}, "op": "u", "ts_ms": 1}""",
+      """{"before": {"id": 2, "x": "legacy"}, "after": null, "op": "d", "ts_ms": 2}""")
+    val xRows = Codecs.DebeziumJsonCodec.decode(envelope(conflicted: _*))
+      .select("id", "x", "op").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2))).toSet
+    assert(xRows == Set((1L, 5L, "u"), (2L, -1L, "d")),
+      "unconvertible cell -> null, both rows survive")
   }
 
   test("debezium decode preserves the reference's full envelope column set " +
