@@ -164,6 +164,110 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Decoded AUDIO metadata + planted-content features (q256). */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+    n_frames: Long, duration_ms: Long, energy: Long)
+
+  /** Deterministic RIFF/WAVE PCM16 fixture: a REAL WAV container built
+    * byte-for-byte (RIFF header, `fmt ` chunk, `data` chunk, little-
+    * endian int16 samples) — the same planting pattern as [[makePng]]:
+    * rate/channels/frames and every sample value derive from the id, so
+    * the oracle knows the FORMULAS while the engine must recover them
+    * from the actual bytes. */
+  def makeWav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val channels = (1 + id % 2).toInt
+    val frames = (64 + id % 128).toInt
+    val n = frames * channels
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 7) % 4096) - 2048).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** One generated WAV per document — q256's fixture, built on executors
+    * like [[pngMediaTable]]. */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => (id, makeWav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL WAV parse: walks the RIFF chunk list (not fixed offsets — a
+    * LIST/INFO chunk before `data` is handled), reads rate/channels/bits
+    * from `fmt `, then streams the PCM16 frames once for the content
+    * features (frame count, duration, total energy as exact integer
+    * math). Malformed bytes yield a −1-filled row rather than a thrown
+    * task — the decode twin of the TRY-cast discipline elsewhere.
+    * Distribution shape identical to [[decodeImages]]: per-partition,
+    * one file in flight per task, zero driver state. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bytes.length >= 12 &&
+              new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+              new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not RIFF/WAVE")
+            var pos = 12
+            var rate = -1; var channels = -1; var bits = -1
+            var dataOff = -1; var dataLen = -1
+            while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+              val cid = new String(bytes, pos, 4, "US-ASCII")
+              val size = bb.getInt(pos + 4)
+              cid match {
+                case "fmt " =>
+                  require(bb.getShort(pos + 8) == 1, "not PCM")
+                  channels = bb.getShort(pos + 10).toInt
+                  rate = bb.getInt(pos + 12)
+                  bits = bb.getShort(pos + 22).toInt
+                case "data" => dataOff = pos + 8; dataLen = size
+                case _ =>
+              }
+              pos += 8 + size + (size & 1) // chunks are word-aligned
+            }
+            require(rate > 0 && channels > 0 && bits == 16 && dataOff >= 0,
+              "missing fmt/data chunk or non-16-bit samples")
+            val nSamples = dataLen / 2
+            val frames = nSamples.toLong / channels
+            var energy = 0L
+            var i = 0
+            while (i < nSamples) {
+              val s = bb.getShort(dataOff + i * 2).toLong
+              energy += s * s
+              i += 1
+            }
+            AudioMeta(id, rate, channels, frames,
+              frames * 1000L / rate, energy)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              AudioMeta(id, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // REAL decode graded against planted dimensions: each doc gets a
     // generated PNG whose dims derive from its id; javax.imageio must
@@ -209,6 +313,18 @@ object Multimodal {
           col("orig_w").cast("long").as("orig_w"),
           col("orig_h").cast("long").as("orig_h"),
           (octet_length(col("thumb")) > 0).as("thumb_ok"))
+        .orderBy(col("doc_id"))),
+
+    // REAL audio decode graded against planted formulas: each doc gets a
+    // genuine RIFF/WAVE PCM16 file whose rate/channels/frame-count and
+    // every sample value derive from its id; the chunk walker + PCM
+    // energy sum must recover exactly what the oracle computes in closed
+    // form (a parser that misreads the fmt chunk, forgets word alignment,
+    // or mis-signs int16 samples fails the hash).
+    "q256_audio_features" -> ((s, dir) =>
+      decodeWav(s, wavMediaTable(s, dir)).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"), col("energy"))
         .orderBy(col("doc_id")))
   )
 
@@ -241,6 +357,23 @@ object Multimodal {
         |  CAST(16 + (doc_id // 32) % 32 AS BIGINT) AS orig_h,
         |  TRUE AS thumb_ok
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the planted WAV formulas — the engine must recover rate/channels/
+    // frames from the real RIFF bytes and the energy from the PCM data
+    "q256_audio_features" ->
+      """SELECT doc_id, sample_rate, channels, n_frames,
+        |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(sum(((doc_id * 31 + i * 7) % 4096 - 2048)
+        |         * ((doc_id * 31 + i * 7) % 4096 - 2048)) AS BIGINT) AS energy
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(64 + doc_id % 128 AS BIGINT) AS n_frames
+        |  FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(0, n_frames * channels - 1)) AS i) s
+        |GROUP BY 1, 2, 3, 4
         |ORDER BY doc_id""".stripMargin
   )
 }
