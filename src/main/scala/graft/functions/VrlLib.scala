@@ -136,6 +136,19 @@ object VrlLib {
         require(exprs.size == 1, "to_syslog_level(value) takes 1 argument")
         VrlLib.toSyslogLevel(exprs.head)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_user_agent", { exprs =>
+        require(exprs.size == 1, "parse_user_agent(value) takes 1 argument")
+        VrlLib.parseUserAgentStruct(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_query_string", { exprs =>
+        require(exprs.size == 1, "parse_query_string(value) takes 1 argument")
+        // a leading '?' is accepted like VRL; '&'-separated k=v pairs
+        new StringToMap(
+          RegExpReplace(exprs.head, Literal("^\\?"), Literal("")),
+          Literal("&"), Literal("="))
+      }, "scala_udf")
   }
 
   private[functions] val Ipv4Pattern =
@@ -222,6 +235,63 @@ object VrlLib {
     If(And(GreaterThanOrEqual(nI, Literal(0)), LessThanOrEqual(nI, Literal(7))),
       GetArrayItem(CreateArray(SeverityNames.map(Literal(_))), nI),
       Literal.create(null, StringType))
+  }
+
+  /** VRL `parse_user_agent(value)` (fast mode) → `struct<browser:
+    * struct<family, version>, device: struct<category>, os:
+    * struct<family, version>>` — the family/version heuristics real UA
+    * strings resolve with, composed from codegen'd RLike/regexp_extract
+    * (no UA database; VRL's fast mode is regex-heuristic too). Unknown
+    * agents yield null families, category falls back to 'desktop'. */
+  private[functions] def parseUserAgentStruct(v: Expression): Expression = {
+    val nullStr = Literal.create(null, StringType)
+    def ext(pat: String): Expression = {
+      val e = RegExpExtract(v, Literal(pat), Literal(1))
+      If(EqualTo(e, Literal("")), nullStr, e)
+    }
+    def has(pat: String): Expression = RLike(v, Literal(pat))
+    def fam(family: Expression, version: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("family"), family,
+        Literal("version"), version))
+    // browser: specificity order — Edge/Opera carry Chrome/Safari tokens,
+    // Chrome carries Safari, so the more specific family tests first
+    val browser = CaseWhen(Seq(
+      (has("(?i)bot|crawler|spider|slurp|curl/|wget/"),
+        fam(Literal("Bot"), nullStr)),
+      (has("Edg(e|A|iOS)?/"),
+        fam(Literal("Edge"), ext("Edg(?:e|A|iOS)?/([0-9][0-9.]*)"))),
+      (has("OPR/|Opera"),
+        fam(Literal("Opera"), Coalesce(Seq(ext("OPR/([0-9][0-9.]*)"),
+          ext("Opera[/ ]([0-9][0-9.]*)"))))),
+      (has("Chrome/"), fam(Literal("Chrome"), ext("Chrome/([0-9][0-9.]*)"))),
+      (has("Firefox/"), fam(Literal("Firefox"), ext("Firefox/([0-9][0-9.]*)"))),
+      (has("Safari/"), fam(Literal("Safari"), ext("Version/([0-9][0-9.]*)"))),
+      (has("MSIE |Trident/"),
+        fam(Literal("IE"), Coalesce(Seq(ext("MSIE ([0-9][0-9.]*)"),
+          ext("Trident/.*rv:([0-9][0-9.]*)")))))),
+      fam(nullStr, nullStr))
+    // os: iOS before Mac (iDevice UAs say "like Mac OS X"), Android
+    // before Linux (Android UAs contain "Linux")
+    val os = CaseWhen(Seq(
+      (has("Windows NT"),
+        fam(Literal("Windows"), ext("Windows NT ([0-9.]+)"))),
+      (has("iPhone OS|CPU OS"),
+        fam(Literal("iOS"), RegExpReplace(
+          ext("(?:iPhone OS|CPU OS) ([0-9_]+)"), Literal("_"), Literal(".")))),
+      (has("Android"), fam(Literal("Android"), ext("Android ([0-9.]+)"))),
+      (has("Mac OS X"),
+        fam(Literal("Mac OS X"), RegExpReplace(
+          ext("Mac OS X ([0-9_.]+)"), Literal("_"), Literal(".")))),
+      (has("Linux"), fam(Literal("Linux"), nullStr))),
+      fam(nullStr, nullStr))
+    val category = CaseWhen(Seq(
+      (has("(?i)bot|crawler|spider|slurp|curl/|wget/"), Literal("bot")),
+      (has("Mobi|iPhone|iPad|Android"), Literal("mobile"))),
+      Literal("desktop"))
+    CreateNamedStruct(Seq(
+      Literal("browser"), browser,
+      Literal("device"), CreateNamedStruct(Seq(Literal("category"), category)),
+      Literal("os"), os))
   }
 
   // Compound duration: ordered optional unit segments, largest first —

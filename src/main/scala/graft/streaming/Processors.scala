@@ -670,7 +670,9 @@ object Processors {
       "ip_aton" -> "graft_vrl_ip_aton",
       "ip_ntoa" -> "graft_vrl_ip_ntoa",
       "to_syslog_severity" -> "graft_vrl_to_syslog_severity",
-      "to_syslog_level" -> "graft_vrl_to_syslog_level")
+      "to_syslog_level" -> "graft_vrl_to_syslog_level",
+      "parse_user_agent" -> "graft_vrl_parse_user_agent",
+      "parse_query_string" -> "graft_vrl_parse_query_string")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);

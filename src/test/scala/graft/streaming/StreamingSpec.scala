@@ -856,6 +856,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(Processors.RemapProcessor("abort")(df).count() == 0)
   }
 
+  test("remap parse_user_agent (fast-mode heuristics) and parse_query_string " +
+      "(vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.c = parse_user_agent('Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36')
+        |.e = parse_user_agent('Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91')
+        |.i = parse_user_agent('Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1')
+        |.b = parse_user_agent('Googlebot/2.1 (+http://www.google.com/bot.html)')
+        |.qs = parse_query_string('?x=1&y=hello&flag=')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr(
+      "c.browser.family", "c.browser.version", "c.os.family", "c.os.version",
+      "c.device.category",
+      "e.browser.family", "e.browser.version",
+      "i.browser.family", "i.os.family", "i.os.version", "i.device.category",
+      "b.browser.family", "b.device.category",
+      "qs['x']", "qs['y']", "qs['flag']").collect().head
+    assert(r.getString(0) == "Chrome" && r.getString(1) == "120.0.0.0")
+    assert(r.getString(2) == "Windows" && r.getString(3) == "10.0")
+    assert(r.getString(4) == "desktop")
+    assert(r.getString(5) == "Edge", "Edge outranks its Chrome token")
+    assert(r.getString(6) == "120.0.2210.91")
+    assert(r.getString(7) == "Safari")
+    assert(r.getString(8) == "iOS" && r.getString(9) == "17.1",
+      "iOS outranks the 'like Mac OS X' token; underscores normalize")
+    assert(r.getString(10) == "mobile")
+    assert(r.getString(11) == "Bot" && r.getString(12) == "bot")
+    assert(r.getString(13) == "1" && r.getString(14) == "hello" &&
+      r.getString(15) == "")
+  }
+
   test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
       "and %metadata refs map onto __meta_ columns (vrl path semantics)") {
     val out = Processors.RemapProcessor(
