@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** VRL stdlib kernels that need real per-row algorithms (quote-aware CSV
+  * split, JDK digests the SQL surface lacks) — codegen'd via static
+  * kernel calls, the same pattern as [[VrlParseKeyValue]] /
+  * [[BandedLevenshtein]]: `doGenCode` emits one static invocation, so
+  * rows never leave whole-stage codegen for an interpreter.
+  */
+
+/** VRL `parse_csv(value[, delimiter])` → `array<string>` of ONE record's
+  * fields, RFC 4180 quoting: a quoted field may contain the delimiter
+  * and doubled quotes escape (`"a""b"`). VRL parses a single line per
+  * call (its processor is row-at-a-time); embedded newlines inside a
+  * quoted field are kept verbatim. */
+case class VrlParseCsv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any, d: Any): Any =
+    VrlParseCsv.parse(v.asInstanceOf[UTF8String], d.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, d) =>
+      s"${ev.value} = graft.functions.VrlParseCsv.parse($v, $d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VrlParseCsv = copy(left = newLeft, right = newRight)
+}
+
+object VrlParseCsv {
+  def parse(value: UTF8String,
+      delim: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = value.toString
+    val d = delim.toString
+    require(d.length == 1, s"parse_csv: delimiter must be one character, got `$d`")
+    val dc = d.charAt(0)
+    val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        case '"' if cur.isEmpty => inQuotes = true
+        case `dc` => out += UTF8String.fromString(cur.toString); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += UTF8String.fromString(cur.toString)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray[Any])
+  }
+}
+
+/** VRL `sha2(value[, variant])` → lowercase hex digest. The JDK's
+  * MessageDigest covers every VRL variant including the SHA-512/224
+  * DEFAULT, which Spark's own `sha2(expr, bits)` cannot express. The
+  * variant is validated at BUILD time (literal), so an unknown name
+  * fails analysis naming the supported set. */
+case class VrlDigest(child: Expression, algorithm: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlDigest.digest(v.asInstanceOf[UTF8String], algorithm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val algo = ctx.addReferenceObj("algo", algorithm, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlDigest.digest($v, $algo);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VrlDigest =
+    copy(child = newChild)
+}
+
+object VrlDigest {
+  // VRL variant spelling → JDK algorithm name
+  val Variants: Map[String, String] = Map(
+    "SHA-224" -> "SHA-224", "SHA-256" -> "SHA-256", "SHA-384" -> "SHA-384",
+    "SHA-512" -> "SHA-512", "SHA-512/224" -> "SHA-512/224",
+    "SHA-512/256" -> "SHA-512/256")
+
+  def digest(v: UTF8String, algo: String): UTF8String = {
+    val md = java.security.MessageDigest.getInstance(algo)
+    UTF8String.fromString(
+      md.digest(v.getBytes).map("%02x".format(_)).mkString)
+  }
+}
+
+/** VRL `hmac(value, key[, algorithm])` → the raw MAC BYTES (VRL returns
+  * bytes for the caller to encode — compose with encode_base64 /
+  * encode_base16). Algorithm validated at build time. */
+case class VrlHmac(left: Expression, right: Expression, algorithm: String)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(v: Any, k: Any): Any =
+    VrlHmac.mac(v.asInstanceOf[UTF8String], k.asInstanceOf[UTF8String], algorithm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val algo = ctx.addReferenceObj("algo", algorithm, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (v, k) =>
+      s"${ev.value} = graft.functions.VrlHmac.mac($v, $k, $algo);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VrlHmac = copy(left = newLeft, right = newRight)
+}
+
+object VrlHmac {
+  // VRL algorithm spelling → JCA Mac name
+  val Variants: Map[String, String] = Map(
+    "SHA1" -> "HmacSHA1", "SHA-256" -> "HmacSHA256", "SHA-512" -> "HmacSHA512")
+
+  def mac(v: UTF8String, key: UTF8String, algo: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance(algo)
+    m.init(new javax.crypto.spec.SecretKeySpec(key.getBytes, algo))
+    m.doFinal(v.getBytes)
+  }
+}

@@ -149,6 +149,56 @@ object VrlLib {
           RegExpReplace(exprs.head, Literal("^\\?"), Literal("")),
           Literal("&"), Literal("="))
       }, "scala_udf")
+    def literalString(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a string literal")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_csv", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "parse_csv(value[, delimiter]) takes 1-2 arguments")
+        VrlParseCsv(exprs.head, exprs.lift(1).getOrElse(Literal(",")))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_sha2", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "sha2(value[, variant]) takes 1-2 arguments")
+        // VRL's DEFAULT variant is SHA-512/224 — which Spark's own
+        // sha2(expr, bits) cannot express, hence the kernel
+        val variant = exprs.lift(1)
+          .map(literalString(_, "sha2: the variant argument"))
+          .getOrElse("SHA-512/224")
+        val algo = VrlDigest.Variants.getOrElse(variant,
+          throw new IllegalArgumentException(
+            s"sha2: unknown variant `$variant`; supported: " +
+              VrlDigest.Variants.keys.toSeq.sorted.mkString(" ")))
+        VrlDigest(exprs.head, algo)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_hmac", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "hmac(value, key[, algorithm]) takes 2-3 arguments")
+        val name = exprs.lift(2)
+          .map(literalString(_, "hmac: the algorithm argument"))
+          .getOrElse("SHA-256")
+        val algo = VrlHmac.Variants.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"hmac: unknown algorithm `$name`; supported: " +
+              VrlHmac.Variants.keys.toSeq.sorted.mkString(" ")))
+        VrlHmac(exprs.head, exprs(1), algo)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_base16", { exprs =>
+        require(exprs.size == 1, "encode_base16(value) takes 1 argument")
+        // VRL base16 is lowercase; Spark's hex uppercases
+        Lower(Hex(Cast(exprs.head, BinaryType)))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_decode_base16", { exprs =>
+        require(exprs.size == 1, "decode_base16(value) takes 1 argument")
+        Cast(Unhex(exprs.head), StringType)
+      }, "scala_udf")
   }
 
   private[functions] val Ipv4Pattern =

@@ -672,14 +672,24 @@ object Processors {
       "to_syslog_severity" -> "graft_vrl_to_syslog_severity",
       "to_syslog_level" -> "graft_vrl_to_syslog_level",
       "parse_user_agent" -> "graft_vrl_parse_user_agent",
-      "parse_query_string" -> "graft_vrl_parse_query_string")
+      "parse_query_string" -> "graft_vrl_parse_query_string",
+      // crypto/encoding tranche: quote-aware single-record CSV kernel,
+      // JDK digests (VRL's sha2 DEFAULT is SHA-512/224, inexpressible in
+      // Spark's sha2(expr, bits)), raw-bytes hmac, lowercase base16
+      "parse_csv" -> "graft_vrl_parse_csv",
+      "sha2" -> "graft_vrl_sha2",
+      "hmac" -> "graft_vrl_hmac",
+      "encode_base16" -> "graft_vrl_encode_base16",
+      "decode_base16" -> "graft_vrl_decode_base16")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
     // replace(s, search, with) (replaces every occurrence, like VRL);
     // now() → current timestamp; abs/round/floor/ceil/mod; split
     // (regex pattern, like VRL's r'…' form); flatten (arrays);
-    // md5/sha1/sha2; filter — via the closure rewrite below.
+    // md5/sha1; filter — via the closure rewrite below. (sha2 is NOT a
+    // pass-through: VRL's variant argument is a string with a
+    // SHA-512/224 default — the kernel alias above.)
 
     /** Brace-matcher shared by the else-if desugar and the statement
       * compiler: `open` indexes a '{'; returns the index of its matching

@@ -886,6 +886,43 @@ class StreamingSpec extends AnyFunSuite {
       r.getString(15) == "")
   }
 
+  test("remap crypto/encoding tranche: parse_csv (RFC 4180), sha2 (VRL's " +
+      "SHA-512/224 default), hmac raw bytes, base16 (vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.f = parse_csv('a,"b,c",d')
+        |.g = parse_csv('x;"y""z"', ';')
+        |.h1 = sha2('hi')
+        |.h2 = sha2('hi', 'SHA-256')
+        |.m = encode_base16(hmac('msg', 'key'))
+        |.m1 = encode_base16(hmac('msg', 'key', 'SHA1'))
+        |.b16 = encode_base16('hi')
+        |.t = decode_base16('6869')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("f", "g", "h1", "h2", "m", "m1", "b16", "t")
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b,c", "d"),
+      "quoted field keeps its delimiter")
+    assert(r.getSeq[String](1) == Seq("x", "y\"z"),
+      "custom delimiter + doubled-quote escape")
+    assert(r.getString(2) ==
+      "626d63db61db32fc10c9f6a91158478481fa75aa665aed36050e360b",
+      "bare sha2 is VRL's SHA-512/224 default")
+    assert(r.getString(3) ==
+      "8f434346648f6b96df89dda901c5176b10a6d83961dd3c1ac88b59b2dc327aa4")
+    assert(r.getString(4) ==
+      "2d93cbc1be167bcb1637a4a23cbff01a7878f0c50ee833954ea5221bb1b8c628",
+      "hmac default SHA-256, raw bytes composing with encode_base16")
+    assert(r.getString(5) == "102900b72b7bf1031eec76b4804b66052376896b")
+    assert(r.getString(6) == "6869", "base16 is lowercase like VRL")
+    assert(r.getString(7) == "hi")
+    // unknown variants fail at build, naming the supported set
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".x = sha2('a', 'SHA-3')")(
+      Processors.JsonToArrow()(envelope(sensorJson.head))).collect())
+    assert(e.getMessage.contains("SHA-512/224") ||
+      Option(e.getCause).exists(_.getMessage.contains("SHA-512/224")))
+  }
+
   test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
       "and %metadata refs map onto __meta_ columns (vrl path semantics)") {
     val out = Processors.RemapProcessor(
