@@ -9,6 +9,30 @@ class CodecPropertySpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(20260812L)
 
+  test("parse_csv round-trips RFC 4180-encoded random records (quotes, " +
+      "delimiters, newlines inside fields)") {
+    val alphabet = "ab,\"\n;x ".toCharArray
+    def randField(): String =
+      Seq.fill(rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    def enc(fields: Seq[String], d: Char): String = fields.map { f =>
+      // RFC 4180: quote when the field contains delimiter/quote/newline
+      if (f.exists(c => c == d || c == '"' || c == '\n'))
+        "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    }.mkString(d.toString)
+    (1 to 300).foreach { _ =>
+      val d = if (rnd.nextBoolean()) ',' else ';'
+      val fields = Seq.fill(1 + rnd.nextInt(6))(randField())
+      val got = graft.functions.VrlParseCsv.parse(
+        org.apache.spark.unsafe.types.UTF8String.fromString(enc(fields, d)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.toString))
+      val back = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      assert(back == fields,
+        s"fields $fields (delim '$d') -> encoded `${enc(fields, d)}` -> $back")
+    }
+  }
+
   test("proto varint round-trips arbitrary longs (including negatives)") {
     val cases = Seq(0L, 1L, -1L, 127L, 128L, Long.MaxValue, Long.MinValue) ++
       Seq.fill(500)(rnd.nextLong())
