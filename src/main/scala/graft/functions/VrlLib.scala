@@ -199,6 +199,15 @@ object VrlLib {
         require(exprs.size == 1, "decode_base16(value) takes 1 argument")
         Cast(Unhex(exprs.head), StringType)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_is_nullish", { exprs =>
+        require(exprs.size == 1, "is_nullish(value) takes 1 argument")
+        // VRL: null, "", "-", or whitespace-only count as nullish
+        val e = exprs.head
+        Or(IsNull(e),
+          In(StringTrim(Cast(e, StringType), None),
+            Seq(Literal(""), Literal("-"))))
+      }, "scala_udf")
   }
 
   private[functions] val Ipv4Pattern =

@@ -680,7 +680,11 @@ object Processors {
       "sha2" -> "graft_vrl_sha2",
       "hmac" -> "graft_vrl_hmac",
       "encode_base16" -> "graft_vrl_encode_base16",
-      "decode_base16" -> "graft_vrl_decode_base16")
+      "decode_base16" -> "graft_vrl_decode_base16",
+      // runtime VALUE null tests (the static per-frame TYPE guards —
+      // is_string etc. — are markers resolved in resolveExists instead)
+      "is_null" -> "isnull",
+      "is_nullish" -> "graft_vrl_is_nullish")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
@@ -790,6 +794,14 @@ object Processors {
           "paths are always present in the schema once the parent exists)")
       s = s.replaceAll("(?<![A-Za-z0-9_.`])exists\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
         "__VRL_EXISTS_$1__")
+      // VRL type guards over FIELD refs — a column's type is a per-frame
+      // schema fact like existence, resolved by the same marker pass
+      // (is_string(expr) over a non-field stays unrewritten and fails
+      // analysis loudly); is_null/is_nullish are runtime VALUE tests and
+      // alias below instead
+      s = s.replaceAll("(?<![A-Za-z0-9_.`])is_(string|integer|float|boolean|" +
+        "array|object|timestamp)\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
+        "__VRL_TYPE_$1_$2__")
       FnAliases.foldLeft(s) { case (acc, (vrl, sql)) =>
         acc.replaceAll("(?<![A-Za-z0-9_.`])" + vrl + "\\s*\\(", sql + "(")
       }
@@ -1191,13 +1203,40 @@ object Processors {
           throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
       }
 
-    /** `exists(.field)` markers resolve against the batch frame's actual
-      * columns — schema membership is a per-frame fact, not a compile-time
-      * one (micro-batch schemas evolve). */
+    /** `exists(.field)` / `is_<type>(.field)` markers resolve against the
+      * batch frame's actual schema — membership and type are per-frame
+      * facts, not compile-time ones (micro-batch schemas evolve). */
     private val ExistsRef = "__VRL_EXISTS_([A-Za-z0-9_]+)__".r
-    private def resolveExists(df: DataFrame, sql: String): String =
-      ExistsRef.replaceAllIn(sql, m =>
+    private val TypeRef = "__VRL_TYPE_([a-z]+)_([A-Za-z0-9_]+)__".r
+    private def typeMatches(kind: String,
+        dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      kind match {
+        case "string" => dt == StringType
+        case "integer" => dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        case "float" => dt match {
+          case FloatType | DoubleType | _: DecimalType => true
+          case _ => false
+        }
+        case "boolean" => dt == BooleanType
+        case "array" => dt.isInstanceOf[ArrayType]
+        case "object" => dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType]
+        case "timestamp" => dt == TimestampType || dt == TimestampNTZType
+        case _ => false
+      }
+    }
+    private def resolveExists(df: DataFrame, sql: String): String = {
+      val withExists = ExistsRef.replaceAllIn(sql, m =>
         if (df.columns.contains(m.group(1))) "true" else "false")
+      TypeRef.replaceAllIn(withExists, m =>
+        df.schema.fields.find(_.name == m.group(2)) match {
+          case Some(f) if typeMatches(m.group(1), f.dataType) => "true"
+          case _ => "false" // absent field: no type, like VRL's undefined
+        })
+    }
     private def exprFor(df: DataFrame, sql: String): org.apache.spark.sql.Column =
       expr(resolveExists(df, sql))
 

@@ -923,6 +923,34 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("SHA-512/224")))
   }
 
+  test("remap type guards: is_string/is_integer/... resolve against the frame " +
+      "schema per batch; is_null/is_nullish are runtime value tests") {
+    val out = Processors.RemapProcessor(
+      """.ts = is_string(.sensor)
+        |.ti = is_integer(.value)
+        |.tf = is_float(.value)
+        |.tmiss = is_string(.nope)
+        |.arr = [1, 2]
+        |.ta = is_array(.arr)
+        |.o = {"k": 1}
+        |.tob = is_object(.o)
+        |.n1 = is_null(.sensor)
+        |.nz1 = is_nullish('  ')
+        |.nz2 = is_nullish('-')
+        |.nz3 = is_nullish('x')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("ts", "ti", "tf", "tmiss", "ta", "tob",
+      "n1", "nz1", "nz2", "nz3").collect().head
+    assert(r.getBoolean(0), "sensor is a string column")
+    assert(r.getBoolean(1), "value inferred integral")
+    assert(!r.getBoolean(2), "integral is not float")
+    assert(!r.getBoolean(3), "absent field has no type")
+    assert(r.getBoolean(4) && r.getBoolean(5))
+    assert(!r.getBoolean(6))
+    assert(r.getBoolean(7) && r.getBoolean(8), "whitespace-only and '-' are nullish")
+    assert(!r.getBoolean(9))
+  }
+
   test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
       "and %metadata refs map onto __meta_ columns (vrl path semantics)") {
     val out = Processors.RemapProcessor(
