@@ -684,7 +684,19 @@ object Processors {
       // runtime VALUE null tests (the static per-frame TYPE guards —
       // is_string etc. — are markers resolved in resolveExists instead)
       "is_null" -> "isnull",
-      "is_nullish" -> "graft_vrl_is_nullish")
+      "is_nullish" -> "graft_vrl_is_nullish",
+      // map/array stdlib with direct Spark twins. `merge` covers MAP
+      // columns (VRL objects decoded as maps); struct merge is a
+      // documented divergence (fails analysis loudly). `values` rewrites
+      // only CALL sites, so it cannot collide with a field of that name
+      // (fields are backticked before this pass).
+      "merge" -> "map_concat",
+      "keys" -> "map_keys",
+      "values" -> "map_values",
+      "unique" -> "array_distinct",
+      "sort" -> "array_sort",
+      "compact" -> "array_compact",
+      "bool" -> "boolean")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);

@@ -949,6 +949,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(!r.getBoolean(6))
     assert(r.getBoolean(7) && r.getBoolean(8), "whitespace-only and '-' are nullish")
     assert(!r.getBoolean(9))
+    // map/array stdlib aliases with direct Spark twins
+    val m = Processors.RemapProcessor(
+      """.u = unique([3, 1, 3, 2])
+        |.s = sort(.u)
+        |.c = compact([1, null, 2])
+        |.t = bool('true')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    // merge/keys/values cover MAP columns (VRL objects decode as maps
+    // off the wire); struct merge is the documented loud divergence
+    val m2 = Processors.RemapProcessor(
+      """.ab = merge(map('x', 1), map('y', 2))
+        |.k = sort(keys(.ab))
+        |.v = values(.ab)
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val rm = m2.selectExpr("k", "v", "ab['x']", "ab['y']").collect().head
+    assert(rm.getSeq[String](0) == Seq("x", "y"))
+    assert(rm.getSeq[Int](1).sorted == Seq(1, 2))
+    assert(rm.getInt(2) == 1 && rm.getInt(3) == 2)
+    val ra = m.selectExpr("u", "s", "c", "t").collect().head
+    assert(ra.getSeq[Int](0).toSet == Set(1, 2, 3))
+    assert(ra.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(ra.getSeq[Int](2) == Seq(1, 2))
+    assert(ra.getBoolean(3))
   }
 
   test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
