@@ -228,13 +228,50 @@ object ConfigPipeline {
     spark.read.parquet(out).select("n", "total_ms", "ip_sum", "first_ip")
   }
 
+  /** q257 — parse_csv graded end-to-end: each event renders as one RFC
+    * 4180 record whose middle field is the props JSON (embedded quotes →
+    * doubled-quote escaping, embedded spaces, and a comma inside the
+    * quoted field), the VRL shim parses the record back, and the oracle
+    * recomputes the aggregates from the raw columns. Exercises exactly
+    * the quoting corners a naive split() gets wrong. */
+  private def q257(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q257").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT cast(event_id AS string) || ',\\"' || replace(props, '\\"', '\\"\\"') || '\\",' || event_type AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .f = parse_csv(.line)
+         |            .id = to_int!(.f[0])
+         |            .props = .f[1]
+         |            .etype = .f[2]
+         |        - type: sql
+         |          query: "SELECT etype, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum, min(props) AS first_props, CAST(max(length(props)) AS BIGINT) AS max_props_len FROM flow GROUP BY etype"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out)
+      .select("etype", "n", "id_sum", "first_props", "max_props_len")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
     "q251_config_vrl" -> ((s, dir) => q251(s, dir)),
     "q252_config_python" -> ((s, dir) => q252(s, dir)),
     "q253_config_vrl_syslog" -> ((s, dir) => q253(s, dir)),
     "q254_config_vrl_clf" -> ((s, dir) => q254(s, dir)),
-    "q255_config_vrl_duration_ip" -> ((s, dir) => q255(s, dir)))
+    "q255_config_vrl_duration_ip" -> ((s, dir) => q255(s, dir)),
+    "q257_config_vrl_csv" -> ((s, dir) => q257(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -270,5 +307,11 @@ object ConfigPipeline {
         |           CAST((167772160 + event_id) // 65536 % 256 AS VARCHAR) || '.' ||
         |           CAST((167772160 + event_id) // 256 % 256 AS VARCHAR) || '.' ||
         |           CAST((167772160 + event_id) % 256 AS VARCHAR)) AS first_ip
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q257_config_vrl_csv" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       min(props) AS first_props,
+        |       CAST(max(length(props)) AS BIGINT) AS max_props_len
+        |FROM events GROUP BY 1""".stripMargin)
 }
