@@ -502,18 +502,58 @@ object VrlLib {
     "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{1,3}) (\\d+) " +
       "\"([^\"]*)\" \"([^\"]*)\"$"
 
+  // nginx error log: yyyy/MM/dd HH:mm:ss [level] pid#tid: *cid message,
+  // with optional trailing `, client: …`, `, server: …`, `, request:
+  // "…"`, `, upstream: "…"`, `, host: "…"` annotations
+  private val NginxErrorPat =
+    "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] " +
+      "(\\d+)#(\\d+):(?: \\*(\\d+))? ([^,]*)" +
+      "(?:, client: ([^,]+))?(?:, server: ([^,]*))?" +
+      "(?:, request: \"([^\"]*)\")?(?:, upstream: \"([^\"]*)\")?" +
+      "(?:, host: \"([^\"]*)\")?.*$"
+
+  /** nginx `error` format → VRL's field set (cid/client/host/message/
+    * pid/request/server/severity/tid/timestamp/upstream); TRY-free by
+    * construction — every numeric group is digits-only and the
+    * timestamp parse is failOnError=false. */
+  private def nginxErrorStruct(v: Expression): Expression = {
+    val nullStr = Literal.create(null, StringType)
+    def g(i: Int) = RegExpExtract(v, Literal(NginxErrorPat), Literal(i))
+    def emptyNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("")), nullStr, e)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val fields: Seq[(String, Expression)] = Seq(
+      "cid" -> Cast(emptyNull(g(5)), LongType, None, EvalMode.TRY),
+      "client" -> emptyNull(g(7)),
+      "host" -> emptyNull(g(11)),
+      "message" -> g(6),
+      "pid" -> Cast(g(3), IntegerType, None, EvalMode.TRY),
+      "request" -> emptyNull(g(9)),
+      "server" -> emptyNull(g(8)),
+      "severity" -> g(2),
+      "tid" -> Cast(g(4), IntegerType, None, EvalMode.TRY),
+      "timestamp" -> ParseToTimestamp(g(1),
+        Some(Literal("yyyy/MM/dd HH:mm:ss")), TimestampType, Some(tz), false),
+      "upstream" -> emptyNull(g(10)))
+    val struct = CreateNamedStruct(fields.flatMap {
+      case (n, e) => Seq(Literal(n), e) })
+    If(RLike(v, Literal(NginxErrorPat)), struct,
+      Literal.create(null, struct.dataType))
+  }
+
   /** VRL `parse_nginx_log(value, format)` — 'combined' (VRL's field
-    * names: client/referer, not host/referrer); other formats are a
-    * loud documented divergence. */
+    * names: client/referer, not host/referrer) and 'error';
+    * ingress_upstreaminfo is the remaining documented divergence. */
   private[functions] def parseNginxLogStruct(v: Expression, fmtE: Expression): Expression = {
     val fmt = fmtE match {
       case Literal(s: UTF8String, StringType) => s.toString
       case _ => throw new IllegalArgumentException(
         "parse_nginx_log: the format argument must be a string literal")
     }
+    if (fmt == "error") return nginxErrorStruct(v)
     require(fmt == "combined",
-      s"parse_nginx_log: unsupported format `$fmt` (supported: combined; " +
-        "error/ingress_upstreaminfo are a documented divergence)")
+      s"parse_nginx_log: unsupported format `$fmt` (supported: combined, " +
+        "error; ingress_upstreaminfo is a documented divergence)")
     val nullStr = Literal.create(null, StringType)
     def dashNull(e: Expression): Expression =
       If(EqualTo(e, Literal("-")), nullStr, e)

@@ -787,6 +787,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(21) == 612L)
     assert(r.isNullAt(22), "nginx '-' referer is null")
     assert(r.getString(23) == "curl/7.75.0")
+    // nginx error format: annotations optional, numeric ids typed
+    val ne = Processors.RemapProcessor(
+      """.e = parse_nginx_log('2021/06/03 09:30:50 [error] 32#32: *6 open() "/usr/share/nginx/html/x" failed (2: No such file or directory), client: 172.17.0.1, server: localhost, request: "GET /x HTTP/1.1", host: "localhost:8081"', 'error')
+        |.bare = parse_nginx_log('2021/06/03 09:30:50 [notice] 1#1: using the "epoll" event method', 'error')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .selectExpr("e.severity", "e.pid", "e.tid", "e.cid", "e.client",
+        "e.request", "e.host", "cast(e.timestamp as string)",
+        "bare.severity", "bare.message", "bare.cid").collect().head
+    assert(ne.getString(0) == "error")
+    assert(ne.getInt(1) == 32 && ne.getInt(2) == 32 && ne.getLong(3) == 6L)
+    assert(ne.getString(4) == "172.17.0.1")
+    assert(ne.getString(5) == "GET /x HTTP/1.1")
+    assert(ne.getString(6) == "localhost:8081")
+    assert(ne.getString(7) == "2021-06-03 09:30:50")
+    assert(ne.getString(8) == "notice")
+    assert(ne.getString(9).startsWith("using the \"epoll\""))
+    assert(ne.isNullAt(10), "no *cid on the bare form")
     assert(r.getDouble(24) == 1.005)
     assert(r.getDouble(25) == 90.0, "compound 1h30m in minutes")
     assert(r.getDouble(26) == 1500.0)
