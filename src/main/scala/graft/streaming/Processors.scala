@@ -570,7 +570,8 @@ object Processors {
     *   del(.timestamp)                     // drop a field
     * }}}
     */
-  final case class RemapProcessor(program: String) extends (DataFrame => DataFrame) {
+  final case class RemapProcessor(program: String,
+      timezone: Option[String] = None) extends (DataFrame => DataFrame) {
     private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
     // VRL metadata refs `%name` → the engine's SQL-visible `__meta_name`
     // columns (SURVEY.md §1.2; the reference surfaces source metadata to
@@ -1266,6 +1267,18 @@ object Processors {
     }
 
     def apply(batch: DataFrame): DataFrame = {
+      // the reference's per-processor `timezone:` (processor/vrl.rs
+      // config): Spark resolves time zones SESSION-wide at analysis, so a
+      // per-processor zone that disagrees with the session's cannot be
+      // honored without racing every concurrent analysis in the session —
+      // accepted when it matches, rejected loudly with the fix otherwise
+      timezone.foreach { t =>
+        val cur = batch.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(cur == t,
+          s"vrl: timezone '$t' differs from the session time zone '$cur' — " +
+            "the Spark engine resolves time zones session-wide; set " +
+            s"spark.sql.session.timeZone to '$t' on the SparkSession instead")
+      }
       graft.functions.VrlSlice.register(batch.sparkSession)
       graft.functions.VrlLib.register(batch.sparkSession)
       // `??` error-coalescing compiles onto try_pair, so the carrier must
@@ -1429,8 +1442,12 @@ object Processors {
         .map(c.options))),
     // the reference's vrl processor takes its program under `statement`
     // (processor/vrl.rs config; examples/vrl_example.yaml)
-    "vrl" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))),
-    "remap" -> (c => RemapProcessor(c.options.getOrElse("statement", c.options("program")))))
+    "vrl" -> (c => RemapProcessor(
+      c.options.getOrElse("statement", c.options("program")),
+      c.options.get("timezone"))),
+    "remap" -> (c => RemapProcessor(
+      c.options.getOrElse("statement", c.options("program")),
+      c.options.get("timezone"))))
 
   /** Build the processor chain from config components. `temporaries` are
     * the stream-level `temporary:` declarations a sql processor's

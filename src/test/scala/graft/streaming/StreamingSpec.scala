@@ -991,6 +991,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(ra.getBoolean(3))
   }
 
+  test("vrl `timezone:` config matches the session zone or fails loudly " +
+      "naming the session conf (docs/components/2-processors/vrl.md)") {
+    val df = Processors.JsonToArrow()(envelope(sensorJson.head))
+    // UTC session (SparkTestSession): matching zone passes through
+    assert(Processors.RemapProcessor(".a = .value", Some("UTC"))(df).count() == 1)
+    val e = intercept[IllegalArgumentException](
+      Processors.RemapProcessor(".a = .value", Some("Asia/Shanghai"))(df).count())
+    assert(e.getMessage.contains("spark.sql.session.timeZone"))
+    // config-reachable
+    val built = Processors.fromConf(Seq(ComponentConf("vrl",
+      Map("statement" -> ".a = .value", "timezone" -> "UTC")))).head
+    assert(built(df).count() == 1)
+  }
+
   test("remap nested field paths (.a.b = rhs, del(.a.b), absent-root creation) " +
       "and %metadata refs map onto __meta_ columns (vrl path semantics)") {
     val out = Processors.RemapProcessor(
