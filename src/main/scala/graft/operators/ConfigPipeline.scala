@@ -264,7 +264,51 @@ object ConfigPipeline {
       .select("etype", "n", "id_sum", "first_props", "max_props_len")
   }
 
+  /** q258 — parse_user_agent graded end-to-end: four real UA template
+    * strings selected by event_id, parsed back by the fast-mode
+    * heuristics; the oracle recomputes family/os/category from the same
+    * selector. Pins the specificity ordering (Edge over its embedded
+    * Chrome token, iOS over 'like Mac OS X') under the hash gate. */
+  private def q258(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q258").toString
+    val out = s"$base/out"
+    val uas = Seq(
+      "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+      "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+      "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+      "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0")
+    val caseSql = "CASE CAST(event_id % 4 AS INT) " +
+      uas.zipWithIndex.map { case (u, i) => s"WHEN $i THEN '$u'" }
+        .mkString(" ") + " END"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT $caseSql AS ua FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .p = parse_user_agent(.ua)
+         |            .fam = .p.browser.family
+         |            .ver = .p.browser.version
+         |            .osf = .p.os.family
+         |            .cat = .p.device.category
+         |        - type: sql
+         |          query: "SELECT fam, ver, osf, cat, count(*) AS n FROM flow GROUP BY fam, ver, osf, cat"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("fam", "ver", "osf", "cat", "n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
     "q251_config_vrl" -> ((s, dir) => q251(s, dir)),
     "q252_config_python" -> ((s, dir) => q252(s, dir)),
@@ -313,5 +357,18 @@ object ConfigPipeline {
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       min(props) AS first_props,
         |       CAST(max(length(props)) AS BIGINT) AS max_props_len
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "q258_config_vrl_user_agent" ->
+      """SELECT CASE CAST(event_id % 4 AS INT)
+        |         WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge'
+        |         WHEN 2 THEN 'Safari' ELSE 'Firefox' END AS fam,
+        |       CASE CAST(event_id % 4 AS INT)
+        |         WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '120.0.2210.91'
+        |         WHEN 2 THEN '17.1' ELSE '115.0' END AS ver,
+        |       CASE CAST(event_id % 4 AS INT)
+        |         WHEN 0 THEN 'Windows' WHEN 1 THEN 'Windows'
+        |         WHEN 2 THEN 'iOS' ELSE 'Linux' END AS osf,
+        |       CASE WHEN event_id % 4 = 2 THEN 'mobile' ELSE 'desktop' END AS cat,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin)
 }
