@@ -541,9 +541,55 @@ object VrlLib {
       Literal.create(null, struct.dataType))
   }
 
+  // k8s ingress-nginx upstreaminfo: combined's head + request_length,
+  // request_time, [proxy_upstream_name], [alt_name or -], upstream_addr,
+  // upstream_response_length, upstream_response_time, upstream_status,
+  // req_id
+  private val NginxIngressPat =
+    "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"([^\"]*)\" (\\d{1,3}) (\\d+) " +
+      "\"([^\"]*)\" \"([^\"]*)\" (\\d+) ([0-9.]+) \\[([^\\]]*)\\] " +
+      "\\[([^\\]]*)\\] (\\S+) (\\d+|-) ([0-9.]+|-) (\\d{1,3}|-) (\\S+)$"
+
+  /** ingress-nginx `upstreaminfo` format → VRL's field set. */
+  private def nginxIngressStruct(v: Expression): Expression = {
+    val nullStr = Literal.create(null, StringType)
+    def g(i: Int) = RegExpExtract(v, Literal(NginxIngressPat), Literal(i))
+    def dashNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("-")), nullStr, e)
+    def emptyNull(e: Expression): Expression =
+      If(EqualTo(e, Literal("")), nullStr, e)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val fields: Seq[(String, Expression)] = Seq(
+      "body_bytes_size" -> Cast(g(6), LongType, None, EvalMode.TRY),
+      "http_referer" -> dashNull(g(7)),
+      "http_user_agent" -> dashNull(g(8)),
+      "proxy_alternative_upstream_name" -> dashNull(emptyNull(g(12))),
+      "proxy_upstream_name" -> emptyNull(g(11)),
+      "remote_addr" -> g(1),
+      "remote_user" -> dashNull(g(2)),
+      "req_id" -> g(17),
+      "request" -> g(4),
+      "request_length" -> Cast(g(9), LongType, None, EvalMode.TRY),
+      "request_time" -> Cast(g(10), DoubleType, None, EvalMode.TRY),
+      "status" -> Cast(g(5), IntegerType),
+      "timestamp" -> ParseToTimestamp(g(3), Some(Literal(ClfTimestampFmt)),
+        TimestampType, Some(tz), false),
+      "upstream_addr" -> dashNull(g(13)),
+      "upstream_response_length" ->
+        Cast(dashNull(g(14)), LongType, None, EvalMode.TRY),
+      "upstream_response_time" ->
+        Cast(dashNull(g(15)), DoubleType, None, EvalMode.TRY),
+      "upstream_status" ->
+        Cast(dashNull(g(16)), IntegerType, None, EvalMode.TRY))
+    val struct = CreateNamedStruct(fields.flatMap {
+      case (n, e) => Seq(Literal(n), e) })
+    If(RLike(v, Literal(NginxIngressPat)), struct,
+      Literal.create(null, struct.dataType))
+  }
+
   /** VRL `parse_nginx_log(value, format)` — 'combined' (VRL's field
-    * names: client/referer, not host/referrer) and 'error';
-    * ingress_upstreaminfo is the remaining documented divergence. */
+    * names: client/referer, not host/referrer), 'error', and
+    * 'ingress_upstreaminfo'. */
   private[functions] def parseNginxLogStruct(v: Expression, fmtE: Expression): Expression = {
     val fmt = fmtE match {
       case Literal(s: UTF8String, StringType) => s.toString
@@ -551,9 +597,10 @@ object VrlLib {
         "parse_nginx_log: the format argument must be a string literal")
     }
     if (fmt == "error") return nginxErrorStruct(v)
+    if (fmt == "ingress_upstreaminfo") return nginxIngressStruct(v)
     require(fmt == "combined",
-      s"parse_nginx_log: unsupported format `$fmt` (supported: combined, " +
-        "error; ingress_upstreaminfo is a documented divergence)")
+      s"parse_nginx_log: unsupported format `$fmt` " +
+        "(supported: combined, error, ingress_upstreaminfo)")
     val nullStr = Literal.create(null, StringType)
     def dashNull(e: Expression): Expression =
       If(EqualTo(e, Literal("-")), nullStr, e)

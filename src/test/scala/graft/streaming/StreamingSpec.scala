@@ -804,6 +804,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ne.getString(8) == "notice")
     assert(ne.getString(9).startsWith("using the \"epoll\""))
     assert(ne.isNullAt(10), "no *cid on the bare form")
+    // ingress-nginx upstreaminfo: the k8s controller's access format
+    val ing = Processors.RemapProcessor(
+      """.g = parse_nginx_log('10.0.0.1 - bob [31/Dec/2021:16:49:29 +0000] "GET /api/v1 HTTP/1.1" 200 612 "-" "kube-probe/1.21" 154 0.003 [default-svc-80] [] 172.17.0.5:8080 612 0.004 200 7f9a1', 'ingress_upstreaminfo')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .selectExpr("g.remote_addr", "g.remote_user", "g.status",
+        "g.request_length", "g.request_time", "g.proxy_upstream_name",
+        "g.proxy_alternative_upstream_name", "g.upstream_addr",
+        "g.upstream_response_time", "g.upstream_status", "g.req_id",
+        "g.http_referer").collect().head
+    assert(ing.getString(0) == "10.0.0.1" && ing.getString(1) == "bob")
+    assert(ing.getInt(2) == 200)
+    assert(ing.getLong(3) == 154L && ing.getDouble(4) == 0.003)
+    assert(ing.getString(5) == "default-svc-80")
+    assert(ing.isNullAt(6), "empty alternative upstream is null")
+    assert(ing.getString(7) == "172.17.0.5:8080")
+    assert(ing.getDouble(8) == 0.004 && ing.getInt(9) == 200)
+    assert(ing.getString(10) == "7f9a1")
+    assert(ing.isNullAt(11), "'-' referer is null")
     assert(r.getDouble(24) == 1.005)
     assert(r.getDouble(25) == 90.0, "compound 1h30m in minutes")
     assert(r.getDouble(26) == 1500.0)
