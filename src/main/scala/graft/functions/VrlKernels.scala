@@ -130,3 +130,92 @@ object VrlHmac {
     m.doFinal(v.getBytes)
   }
 }
+
+/** VRL `encode_logfmt(object)` / `encode_key_value(object[, kv_delim[,
+  * field_delim]])` — a map's entries rendered as `k=v` pairs; a value
+  * (or key) containing the field delimiter, the kv delimiter, or a
+  * double quote is double-quoted with `\"` escaping, logfmt's rule and
+  * the exact inverse of [[VrlParseKeyValue]]. Keys render sorted for
+  * deterministic output (VRL objects are sorted maps). */
+case class VrlEncodeKeyValue(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(m: Any, kv: Any, fd: Any): Any =
+    VrlEncodeKeyValue.encode(
+      m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      kv.asInstanceOf[UTF8String], fd.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, kv, fd) =>
+      s"${ev.value} = graft.functions.VrlEncodeKeyValue.encode($m, $kv, $fd);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): VrlEncodeKeyValue =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object VrlEncodeKeyValue {
+  def encode(m: org.apache.spark.sql.catalyst.util.MapData,
+      kvDelim: UTF8String, fieldDelim: UTF8String): UTF8String = {
+    val kv = kvDelim.toString
+    val fd = fieldDelim.toString
+    def q(s: String): String =
+      if (s.contains(fd) || s.contains(kv) || s.contains("\""))
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      else s
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val pairs = (0 until m.numElements()).map { i =>
+      val k = keys.getUTF8String(i).toString
+      val v = if (vals.isNullAt(i)) "" else vals.getUTF8String(i).toString
+      (k, v)
+    }.sortBy(_._1).map { case (k, v) => q(k) + kv + q(v) }
+    UTF8String.fromString(pairs.mkString(fd))
+  }
+}
+
+/** VRL `encode_gzip`/`decode_gzip`/`encode_zlib`/`decode_zlib` — the
+  * JDK's Deflater/GZIP streams; binary in, binary out (compose with
+  * encode_base64 for text transport, like VRL). */
+case class VrlCompress(child: Expression, algorithm: String, encode: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlCompress.run(v.asInstanceOf[Array[Byte]], algorithm, encode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val algo = ctx.addReferenceObj("algo", algorithm, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlCompress.run($v, $algo, $encode);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VrlCompress =
+    copy(child = newChild)
+}
+
+object VrlCompress {
+  def run(bytes: Array[Byte], algo: String, encode: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (encode) {
+      val os = algo match {
+        case "gzip" => new java.util.zip.GZIPOutputStream(out)
+        case "zlib" => new java.util.zip.DeflaterOutputStream(out)
+      }
+      os.write(bytes); os.close()
+    } else {
+      val is = algo match {
+        case "gzip" => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        case "zlib" => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      is.close()
+    }
+    out.toByteArray
+  }
+}

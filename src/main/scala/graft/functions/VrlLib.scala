@@ -200,6 +200,31 @@ object VrlLib {
         Cast(Unhex(exprs.head), StringType)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_kv", { exprs =>
+        require(exprs.size >= 1 && exprs.size <= 3,
+          "encode_key_value(object[, key_value_delimiter[, field_delimiter]]) " +
+            "takes 1-3 arguments")
+        VrlEncodeKeyValue(exprs.head,
+          exprs.lift(1).getOrElse(Literal("=")),
+          exprs.lift(2).getOrElse(Literal(" ")))
+      }, "scala_udf")
+    Seq("gzip", "zlib").foreach { algo =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_vrl_encode_$algo", { exprs =>
+          require(exprs.size == 1, s"encode_$algo(value) takes 1 argument")
+          VrlCompress(Cast(exprs.head, BinaryType), algo, encode = true)
+        }, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_vrl_decode_$algo", { exprs =>
+          require(exprs.size == 1, s"decode_$algo(value) takes 1 argument")
+          // VRL strings are byte strings: the inflated payload surfaces
+          // as a string like VRL's decode_* (binary → string cast is a
+          // reinterpret, not a conversion)
+          Cast(VrlCompress(Cast(exprs.head, BinaryType), algo,
+            encode = false), StringType)
+        }, "scala_udf")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_is_nullish", { exprs =>
         require(exprs.size == 1, "is_nullish(value) takes 1 argument")
         // VRL: null, "", "-", or whitespace-only count as nullish

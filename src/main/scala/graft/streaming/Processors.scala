@@ -694,6 +694,16 @@ object Processors {
       "merge" -> "map_concat",
       "keys" -> "map_keys",
       "values" -> "map_values",
+      // logfmt family: parse_logfmt IS parse_key_value's default
+      // dialect; the encoders are the exact inverse kernel (quote when
+      // the value holds a delimiter/quote), gzip/zlib ride the JDK
+      "parse_logfmt" -> "graft_vrl_parse_kv",
+      "encode_logfmt" -> "graft_vrl_encode_kv",
+      "encode_key_value" -> "graft_vrl_encode_kv",
+      "encode_gzip" -> "graft_vrl_encode_gzip",
+      "decode_gzip" -> "graft_vrl_decode_gzip",
+      "encode_zlib" -> "graft_vrl_encode_zlib",
+      "decode_zlib" -> "graft_vrl_decode_zlib",
       "unique" -> "array_distinct",
       "sort" -> "array_sort",
       "compact" -> "array_compact",

@@ -1009,6 +1009,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ra.getBoolean(3))
   }
 
+  test("remap logfmt + compression tranche: parse/encode_logfmt round-trip, " +
+      "encode_key_value custom delimiters, gzip/zlib round-trips (vrl stdlib)") {
+    val out = Processors.RemapProcessor(
+      """.kv = parse_logfmt('level=info msg="hello world" ttl=30')
+        |.line = encode_logfmt(.kv)
+        |.again = parse_logfmt(.line)
+        |.custom = encode_key_value(map('a', '1', 'b', 'x;y'), ':', ';')
+        |.gz = decode_gzip(encode_gzip('squeeze me'))
+        |.zl = decode_zlib(encode_zlib('deflate me'))
+        |.gzlen = length(encode_gzip('squeeze me'))
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.selectExpr("line", "again['level']", "again['msg']",
+      "again['ttl']", "custom", "gz", "zl", "gzlen").collect().head
+    assert(r.getString(0) == "level=info msg=\"hello world\" ttl=30",
+      "sorted keys, space-holding value re-quoted")
+    assert(r.getString(1) == "info" && r.getString(2) == "hello world" &&
+      r.getString(3) == "30", "parse(encode(parse(x))) is lossless")
+    assert(r.getString(4) == "a:1;b:\"x;y\"",
+      "custom delimiters; value holding the field delim quotes")
+    assert(r.getString(5) == "squeeze me")
+    assert(r.getString(6) == "deflate me")
+    assert(r.getInt(7) > 0)
+  }
+
   test("vrl `timezone:` config matches the session zone or fails loudly " +
       "naming the session conf (docs/components/2-processors/vrl.md)") {
     val df = Processors.JsonToArrow()(envelope(sensorJson.head))
