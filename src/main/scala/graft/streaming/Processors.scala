@@ -707,7 +707,10 @@ object Processors {
       "unique" -> "array_distinct",
       "sort" -> "array_sort",
       "compact" -> "array_compact",
-      "bool" -> "boolean")
+      "bool" -> "boolean",
+      // match(value, r'…') → regexp test; the raw-string literal keeps
+      // its backslashes through the masking pass like parse_regex's
+      "match" -> "rlike")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);

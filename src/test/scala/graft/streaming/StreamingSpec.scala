@@ -1007,6 +1007,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(ra.getSeq[Int](1) == Seq(1, 2, 3))
     assert(ra.getSeq[Int](2) == Seq(1, 2))
     assert(ra.getBoolean(3))
+    // match(value, r'…') is the regexp test
+    val mt = Processors.RemapProcessor(
+      """.hit = match('dur=250ms', r'dur=\d+ms')
+        |.miss = match('hello', r'\d+')
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+      .select("hit", "miss").collect().head
+    assert(mt.getBoolean(0) && !mt.getBoolean(1))
   }
 
   test("remap logfmt + compression tranche: parse/encode_logfmt round-trip, " +
