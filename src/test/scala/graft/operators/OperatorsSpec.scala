@@ -553,6 +553,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((-1, -1, "unknown")))
   }
 
+  test("wav decode: chunk walker honors extra chunks and word alignment; " +
+      "malformed bytes degrade to a -1 row, never a thrown task") {
+    import spark.implicits._
+    // a WAV with a 3-byte LIST chunk BEFORE data (word-aligned to 4) —
+    // a fixed-offset parser would misread fmt/data here
+    val base = Multimodal.makeWav(5L)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3-byte chunk + pad byte
+    bb.put(base, 36, base.length - 36) // data chunk
+    val padded = bb.array()
+    // fix the RIFF size field for the inserted chunk
+    val fixed = padded.clone()
+    java.nio.ByteBuffer.wrap(fixed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, padded.length - 8)
+    val media = Seq(
+      (5L, Multimodal.makeWav(5L)),
+      (6L, fixed),
+      (7L, "not riff at all".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeWav(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    // id 5: rate 12000 (5%4=1), channels 2, frames 69
+    assert(got(5L).sample_rate == 12000 && got(5L).channels == 2 &&
+      got(5L).n_frames == 69L)
+    assert(got(6L).sample_rate == 12000 && got(6L).n_frames == 69L &&
+      got(6L).energy == got(5L).energy,
+      "an interleaved LIST chunk must not shift the data parse")
+    assert(got(7L).sample_rate == -1 && got(7L).energy == -1L,
+      "garbage degrades, never throws")
+  }
+
   test("real resize: a black/white checkerboard downscales to mid-gray; dims honor the contract") {
     import spark.implicits._
     // 2x2 checkerboard: two black, two white pixels
