@@ -602,6 +602,11 @@ object Processors {
     // struct column (VRL path assignment)
     private val AssignNested =
       """(?s)\.([A-Za-z_][A-Za-z0-9_]*)((?:\.[A-Za-z_][A-Za-z0-9_]*)+)\s*=\s*(.+)""".r
+    // whole-event replacement `. = rhs` (VRL's final-expression result):
+    // an object becomes THE event; an array of objects FANS OUT to one
+    // event per element (the reference's ProcessResult::Multiple,
+    // processor/vrl.rs — an empty array drops the event)
+    private val DotAssign = """(?s)\.\s*=\s*(.+)""".r
     // bare local variables (VRL variables are program state, not event
     // fields): `x = rhs`, `x, err = rhs` — stored as __vrl_var_* columns
     // while the program runs, dropped from the returned frame
@@ -1192,6 +1197,24 @@ object Processors {
         // abort ends the program dropping the event; conditional aborts
         // live inside statement-form if arms)
         case "abort" => Some((df: DataFrame) => df.limit(0))
+        case DotAssign(rhs) =>
+          val sql = fieldRefs(rhs)
+          Some((df: DataFrame) => {
+            val evt = df.select(exprFor(df, sql).as("__vrl_event"))
+            evt.schema.head.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                  _: org.apache.spark.sql.types.StructType, _) =>
+                // explode drops empty arrays — VRL's [] result filters
+                // the event out
+                evt.select(explode(col("__vrl_event")).as("__vrl_e"))
+                  .select(col("__vrl_e.*"))
+              case _: org.apache.spark.sql.types.StructType =>
+                evt.select(col("__vrl_event.*"))
+              case other => throw new IllegalArgumentException(
+                "remap: `. = expr` must produce an object or an array of " +
+                  s"objects, got ${other.simpleString}")
+            }
+          })
         case Del(field) => Some((df: DataFrame) => df.drop(field))
         case DelNested(root, rest) => Some((df: DataFrame) =>
           df.withColumn(root, col(root).dropFields(rest.stripPrefix("."))))

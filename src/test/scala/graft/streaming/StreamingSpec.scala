@@ -1040,6 +1040,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(7) > 0)
   }
 
+  test("remap `. = expr` replaces the event: an object becomes the event, an " +
+      "array of objects FANS OUT rows, [] drops the event (vrl Multiple)") {
+    val df = Processors.JsonToArrow()(envelope(sensorJson.head)) // value=10
+    val fan = Processors.RemapProcessor(
+      """.n2 = .value * 2
+        |. = [{"v": .n2}, {"v": .n2 + 1}]
+        |""".stripMargin)(df)
+    assert(fan.columns.toSeq == Seq("v"), "the array's object IS the new event")
+    assert(fan.select("v").collect().map(_.getLong(0)).toSet == Set(20L, 21L),
+      "one event per array element")
+    val one = Processors.RemapProcessor(". = {\"a\": upcase(.sensor)}")(df)
+    assert(one.columns.toSeq == Seq("a") &&
+      one.select("a").collect().head.getString(0) == "TEMP_1")
+    // [] result drops the event — filter-by-fan-out
+    val none = Processors.RemapProcessor(
+      """. = filter([{"a": 1}]) -> |v| { v.a > 5 }""")(df)
+    assert(none.count() == 0)
+    // non-object results are a loud error
+    val e = intercept[IllegalArgumentException](
+      Processors.RemapProcessor(". = 42")(df).count())
+    assert(e.getMessage.contains("object"))
+  }
+
   test("vrl `timezone:` config matches the session zone or fails loudly " +
       "naming the session conf (docs/components/2-processors/vrl.md)") {
     val df = Processors.JsonToArrow()(envelope(sensorJson.head))
