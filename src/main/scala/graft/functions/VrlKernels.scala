@@ -37,7 +37,9 @@ object VrlParseCsv {
       delim: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = value.toString
     val d = delim.toString
-    require(d.length == 1, s"parse_csv: delimiter must be one character, got `$d`")
+    // length validated at registration (VrlLib's literalString check) —
+    // a bad delimiter fails analysis, never a running batch
+    assert(d.length == 1, s"parse_csv: delimiter must be one character, got `$d`")
     val dc = d.charAt(0)
     val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
     val cur = new StringBuilder
@@ -217,5 +219,58 @@ object VrlCompress {
       is.close()
     }
     out.toByteArray
+  }
+}
+
+/** VRL `parse_query_string(value)` → `map<string,string>` — a leading
+  * `?` is accepted, keys and values are URL-DECODED (percent escapes
+  * and `+` → space, like VRL), a standalone key maps to `""`, and an
+  * invalid percent escape keeps the raw text (VRL's parser is
+  * infallible). Documented divergence: VRL returns an ARRAY for a
+  * repeated key (mixed scalar/array values in one object), which a
+  * typed map column cannot hold — the LAST occurrence wins here. */
+case class VrlParseQueryString(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseQueryString.parse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseQueryString.parse($v);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VrlParseQueryString = copy(child = newChild)
+}
+
+object VrlParseQueryString {
+  private def decode(s: String): String =
+    try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    catch { case _: IllegalArgumentException => s }
+
+  def parse(value: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val s0 = value.toString
+    val s = if (s0.startsWith("?")) s0.substring(1) else s0
+    val m = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+    if (s.nonEmpty) s.split("&", -1).foreach { pair =>
+      if (pair.nonEmpty) {
+        val cut = pair.indexOf('=')
+        val (k, v) =
+          if (cut < 0) (decode(pair), "")
+          else (decode(pair.substring(0, cut)), decode(pair.substring(cut + 1)))
+        m.put(UTF8String.fromString(k), UTF8String.fromString(v))
+      }
+    }
+    val keys = new Array[Any](m.size)
+    val values = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next(); keys(i) = e.getKey; values(i) = e.getValue; i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
   }
 }

@@ -144,10 +144,9 @@ object VrlLib {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_query_string", { exprs =>
         require(exprs.size == 1, "parse_query_string(value) takes 1 argument")
-        // a leading '?' is accepted like VRL; '&'-separated k=v pairs
-        new StringToMap(
-          RegExpReplace(exprs.head, Literal("^\\?"), Literal("")),
-          Literal("&"), Literal("="))
+        // URL-decoding kernel (str_to_map decodes nothing) —
+        // [[graft.functions.VrlParseQueryString]]
+        VrlParseQueryString(exprs.head)
       }, "scala_udf")
     def literalString(e: Expression, what: String): String = e match {
       case Literal(s: UTF8String, StringType) => s.toString
@@ -158,7 +157,26 @@ object VrlLib {
       "graft_vrl_parse_csv", { exprs =>
         require(exprs.size == 1 || exprs.size == 2,
           "parse_csv(value[, delimiter]) takes 1-2 arguments")
-        VrlParseCsv(exprs.head, exprs.lift(1).getOrElse(Literal(",")))
+        // config argument validated at BUILD (the sha2-variant pattern):
+        // a bad delimiter fails analysis naming the culprit instead of
+        // killing the micro-batch row-by-row inside the kernel
+        val delim = exprs.lift(1)
+          .map(literalString(_, "parse_csv: the delimiter argument"))
+          .getOrElse(",")
+        require(delim.length == 1,
+          s"parse_csv: delimiter must be one character, got `$delim`")
+        VrlParseCsv(exprs.head, Literal(delim))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_merge", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "merge(to, from[, deep: true]) takes 2-3 arguments")
+        val deep = exprs.lift(2).map {
+          case Literal(b: Boolean, BooleanType) => b
+          case _ => throw new IllegalArgumentException(
+            "merge: the deep argument must be a boolean literal")
+        }.getOrElse(false)
+        VrlMerge(exprs.head, exprs(1), deep)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_sha2", { exprs =>
@@ -530,12 +548,17 @@ object VrlLib {
   // nginx error log: yyyy/MM/dd HH:mm:ss [level] pid#tid: *cid message,
   // with optional trailing `, client: …`, `, server: …`, `, request:
   // "…"`, `, upstream: "…"`, `, host: "…"` annotations
+  // the message matches LAZILY against the anchored annotation tail (no
+  // trailing `.*`): a comma inside the message — quoted paths, URLs —
+  // stays in the message instead of truncating it, exactly the VRL
+  // stdlib's anchoring; an unknown trailing annotation (`, referrer:`)
+  // is tolerated unparsed
   private val NginxErrorPat =
     "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] " +
-      "(\\d+)#(\\d+):(?: \\*(\\d+))? ([^,]*)" +
+      "(\\d+)#(\\d+):(?: \\*(\\d+))? (.*?)" +
       "(?:, client: ([^,]+))?(?:, server: ([^,]*))?" +
       "(?:, request: \"([^\"]*)\")?(?:, upstream: \"([^\"]*)\")?" +
-      "(?:, host: \"([^\"]*)\")?.*$"
+      "(?:, host: \"([^\"]*)\")?(?:, referrer: \"[^\"]*\")?$"
 
   /** nginx `error` format → VRL's field set (cid/client/host/message/
     * pid/request/server/severity/tid/timestamp/upstream); TRY-free by
@@ -967,7 +990,7 @@ case class VrlLength(child: Expression)
     case BinaryType => Length(child)
     case StringType => OctetLength(child)
     case other => throw new IllegalArgumentException(
-      s"length() takes a string, array or map, got ${other.simpleString(10)}")
+      s"length() takes a string, array or map, got ${other.simpleString}")
   }
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(

@@ -307,6 +307,131 @@ object ConfigPipeline {
     spark.read.parquet(out).select("fam", "ver", "osf", "cat", "n")
   }
 
+  /** q259 — VRL `merge` graded end-to-end: a rendered common-log line is
+    * parsed to a STRUCT, merged under VRL's from-wins semantics three
+    * ways — defaults-then-parsed (parsed wins), parsed-then-overrides
+    * (override wins, new field appended), and `deep: true` recursion
+    * into a shared struct field — plus a data-bearing MAP collision
+    * (map_concat would throw; from wins). The oracle recomputes every
+    * merged value straight from the source columns. */
+  private def q259(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q259").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT cast(user_id % 256 AS string) || '.0.0.1 - user' || cast(user_id AS string) || ' [10/Oct/2000:13:55:36 +0000] \\"GET /' || event_type || ' HTTP/1.1\\" ' || cast(200 + event_id % 4 AS string) || ' ' || cast(event_id % 1000 AS string) AS line, event_type AS etype, user_id AS uid FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .c = parse_common_log(.line)
+         |            .base = merge({ "status": 0, "source": 'cfg' }, .c)
+         |            .over = merge(.c, { "path": '/ovr', "region": .etype })
+         |            .geo = merge({ "g": { "region": 'emea', "dc": 'fra' } }, { "g": { "dc": 'ber' } }, deep: true)
+         |            .mm = merge(map('u', .uid * 0), map('u', .uid))
+         |            .status = .base.status
+         |            .src = .base.source
+         |            .p2 = .over.path
+         |            .reg = .over.region
+         |            .dreg = .geo.g.region
+         |            .ddc = .geo.g.dc
+         |            .ub = .mm['u']
+         |        - type: sql
+         |          query: "SELECT status, count(*) AS n, min(src) AS src, min(p2) AS p2, min(reg) AS first_reg, min(dreg) AS dreg, min(ddc) AS ddc, CAST(sum(ub) AS BIGINT) AS uid_sum FROM flow GROUP BY status"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out)
+      .select("status", "n", "src", "p2", "first_reg", "dreg", "ddc", "uid_sum")
+  }
+
+  /** q260 — the schema_registry CODEC graded end-to-end (the last codec
+    * that was spec-only): a producer stream protobuf-encodes three event
+    * columns and frames them in the Confluent wire format (0x00 magic +
+    * int32-BE schema id) with plain SQL binary concat; a consumer stream
+    * reads the framed rows through the reference's input-level `codec:`
+    * block — bearer-authed REST resolve of the REAL proto source from a
+    * stub registry, wire-format strip, native protobuf decode — and
+    * aggregates the decoded fields; the oracle recomputes them from the
+    * raw table (codec/schema_registry.rs:37-260 as the contract). */
+  private def q260(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q260").toString
+    val wire = s"$base/wire"
+    val out = s"$base/out"
+    val proto = "syntax = \\\"proto3\\\"; message Event { int64 event_id = 1; " +
+      "string event_type = 2; int64 user_id = 3; }"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { exchange =>
+      try {
+        val authed = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+          .contains("Bearer sr-tok")
+        val id = exchange.getRequestURI.getPath.split("/").last.toInt
+        if (!authed) exchange.sendResponseHeaders(401, -1)
+        else if (id != 7) exchange.sendResponseHeaders(404, -1)
+        else {
+          val body = s"""{"schema": "$proto", "schemaType": "PROTOBUF"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          exchange.sendResponseHeaders(200, body.length)
+          exchange.getResponseBody.write(body)
+        }
+      } finally exchange.close()
+    })
+    server.start()
+    try {
+      val reg = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val produce =
+        s"""streams:
+           |  - input:
+           |      type: file
+           |      format: parquet
+           |      path: "$dir/events.parquet"
+           |    pipeline:
+           |      processors:
+           |        - type: sql
+           |          query: "SELECT event_id, event_type, user_id FROM flow"
+           |        - type: arrow_to_protobuf
+           |          fields: "event_id:1:int64,event_type:2:string,user_id:3:int64"
+           |        - type: sql
+           |          query: "SELECT concat(unhex('00'), unhex(lpad(hex(7), 8, '0')), __value__) AS __value__ FROM flow"
+           |    output:
+           |      type: parquet
+           |      path: "$wire"
+           |""".stripMargin
+      graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(produce))
+      val consume =
+        s"""streams:
+           |  - input:
+           |      type: file
+           |      format: parquet
+           |      path: "$wire"
+           |      codec:
+           |        type: schema_registry
+           |        registry_url: "$reg"
+           |        message_type: Event
+           |        auth:
+           |          type: bearer
+           |          token: sr-tok
+           |    pipeline:
+           |      processors:
+           |        - type: sql
+           |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, CAST(sum(user_id) AS BIGINT) AS uid_sum FROM flow GROUP BY event_type"
+           |    output:
+           |      type: parquet
+           |      path: "$out"
+           |""".stripMargin
+      graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(consume))
+    } finally server.stop(0)
+    spark.read.parquet(out).select("etype", "n", "id_sum", "uid_sum")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
@@ -315,7 +440,9 @@ object ConfigPipeline {
     "q253_config_vrl_syslog" -> ((s, dir) => q253(s, dir)),
     "q254_config_vrl_clf" -> ((s, dir) => q254(s, dir)),
     "q255_config_vrl_duration_ip" -> ((s, dir) => q255(s, dir)),
-    "q257_config_vrl_csv" -> ((s, dir) => q257(s, dir)))
+    "q257_config_vrl_csv" -> ((s, dir) => q257(s, dir)),
+    "q259_config_vrl_merge" -> ((s, dir) => q259(s, dir)),
+    "q260_config_schema_registry" -> ((s, dir) => q260(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -357,6 +484,17 @@ object ConfigPipeline {
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       min(props) AS first_props,
         |       CAST(max(length(props)) AS BIGINT) AS max_props_len
+        |FROM events GROUP BY 1""".stripMargin,
+    "q259_config_vrl_merge" ->
+      """SELECT CAST(200 + event_id % 4 AS INT) AS status, count(*) AS n,
+        |       'cfg' AS src, '/ovr' AS p2, min(event_type) AS first_reg,
+        |       'emea' AS dreg, 'ber' AS ddc,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "q260_config_schema_registry" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum
         |FROM events GROUP BY 1""".stripMargin,
     "q258_config_vrl_user_agent" ->
       """SELECT CASE CAST(event_id % 4 AS INT)

@@ -457,7 +457,8 @@ object Engine {
           org.apache.spark.sql.GraftArrowPipe.readArrowFiles(spark, path)
         case _ => spark.read.format(fmt)
           .options((c.options -- Seq("format", "path", "query"))
-            .filter { case (k, _) => !k.startsWith("store.") })
+            .filter { case (k, _) =>
+              !k.startsWith("store.") && !k.startsWith("codec.") })
           .load(path)
       }
       c.options.get("query") match {
@@ -776,6 +777,38 @@ object Engine {
       core ++ join
     }
 
+  /** Input-level `codec:` block (the reference's codec registry;
+    * examples/schema_registry.yaml puts the codec ON the input, not in
+    * the processor list) — decodes the input's binary `__value__`
+    * envelope as the first per-batch transform, ahead of buffers and
+    * processors. Wire format + REST resolve per
+    * codec/schema_registry.rs:205-260; auth block `type: basic|bearer`
+    * with username/password/token. */
+  def inputCodec(c: ComponentConf): Seq[Processors.BatchTransform] =
+    c.options.get("codec.type").toSeq.map {
+      case "json" => Processors.JsonToArrow()
+      case "schema_registry" =>
+        val url = c.options.getOrElse("codec.registry_url",
+          throw new IllegalArgumentException(
+            "schema_registry codec needs `registry_url`"))
+        val auth = c.options.get("codec.auth.type")
+        auth.foreach(t => require(t == "basic" || t == "bearer",
+          s"Unsupported auth type: $t"))
+        val bearer = if (auth.contains("bearer"))
+          c.options.get("codec.auth.token").orElse(Some("")) else None
+        val basic = if (auth.contains("basic"))
+          Some((c.options.getOrElse("codec.auth.username", ""),
+            c.options.getOrElse("codec.auth.password", ""))) else None
+        // one cached resolver per stream — each schema id fetches once,
+        // like the reference's in-process cache
+        val resolver = new SchemaRegistry.CachingResolver(
+          new SchemaRegistry.RestResolver(url, bearer, basic,
+            c.options.get("codec.message_type")))
+        (df: DataFrame) => SchemaRegistry.decodeBatch(df, resolver)
+      case other => throw new IllegalArgumentException(
+        s"unknown input codec: $other")
+    }
+
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     Config.streamIds(conf).zip(conf.streams).flatMap { case (id, s) =>
       runStream(spark, s, id)
@@ -789,7 +822,7 @@ object Engine {
   def runStream(spark: SparkSession, s: StreamConf,
       id: String): Option[StreamingQuery] = {
     val in = inputFromConf(spark, s.input)
-    val procs = bufferProcessors(s.buffer, s.input) ++
+    val procs = inputCodec(s.input) ++ bufferProcessors(s.buffer, s.input) ++
       Processors.fromConf(s.processors, s.temporaries)
     val sink = sinkFromConf(s.output)
     val err = s.errorOutput.map(sinkFromConf)

@@ -691,12 +691,12 @@ object Processors {
       // is_string etc. — are markers resolved in resolveExists instead)
       "is_null" -> "isnull",
       "is_nullish" -> "graft_vrl_is_nullish",
-      // map/array stdlib with direct Spark twins. `merge` covers MAP
-      // columns (VRL objects decoded as maps); struct merge is a
-      // documented divergence (fails analysis loudly). `values` rewrites
-      // only CALL sites, so it cannot collide with a field of that name
-      // (fields are backticked before this pass).
-      "merge" -> "map_concat",
+      // map/array stdlib. `merge` covers map, struct and mixed operands
+      // with VRL's from-wins collision semantics and optional `deep:` —
+      // [[graft.functions.VrlMerge]]. `values` rewrites only CALL sites,
+      // so it cannot collide with a field of that name (fields are
+      // backticked before this pass).
+      "merge" -> "graft_vrl_merge",
       "keys" -> "map_keys",
       "values" -> "map_values",
       // logfmt family: parse_logfmt IS parse_key_value's default
@@ -838,25 +838,62 @@ object Processors {
       }
     }
 
+    /** Matching ')' for the '(' at `open` — literals are masked, so
+      * parens are all syntax (braces nested inside are balanced and
+      * don't perturb a paren-only count). */
+    private def matchParenIn(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        if (s(i) == '(') depth += 1
+        else if (s(i) == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"remap: unclosed paren in `${unmask(s)}`")
+    }
+
+    /** Split on commas at paren/brace depth 0, every segment VERBATIM
+      * (no trim — trimming strips NUL literal-mask delimiters — and no
+      * empty-filter, so `f()` survives). */
+    private def splitArgsVerbatim(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var pd = 0; var bd = 0
+      s.foreach {
+        case c @ '(' => pd += 1; cur += c
+        case c @ ')' => pd -= 1; cur += c
+        case c @ '{' => bd += 1; cur += c
+        case c @ '}' => bd -= 1; cur += c
+        case ',' if pd == 0 && bd == 0 => out += cur.toString(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString()
+      out.toSeq
+    }
+
     /** VRL error-coalescing `a ?? b`: use `b` when `a` ERRORS — a
       * successful null stays null, which is why this is not SQL coalesce.
       * Compiled onto the same try_pair carrier as `, err =` assignment;
       * whole-stage CSE merges the twin evaluations. Left-associative like
-      * VRL; splits at paren depth 0 and RECURSES into brace bodies so an
-      * if-branch's `??` rewrites at its own level. */
+      * VRL; splits at depth 0 and RECURSES into brace bodies AND paren
+      * groups (per argument, so a parenthesized `(to_int(.y) ?? 0)` or a
+      * call argument's `??` rewrites at its own level). */
     private def rewriteCoalesceErr(s: String): String = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
       val cur = new StringBuilder
-      var depth = 0; var i = 0
+      var i = 0
       while (i < s.length) {
         s(i) match {
-          case '{' if depth == 0 =>
+          case '{' =>
             val close = matchBraceIn(s, i)
             cur ++= "{" + rewriteCoalesceErr(s.substring(i + 1, close)) + "}"
             i = close
-          case c @ '(' => depth += 1; cur += c
-          case c @ ')' => depth -= 1; cur += c
-          case '?' if depth == 0 && i + 1 < s.length && s(i + 1) == '?' =>
+          case '(' =>
+            val close = matchParenIn(s, i)
+            cur ++= "(" + splitArgsVerbatim(s.substring(i + 1, close))
+              .map(rewriteCoalesceErr).mkString(",") + ")"
+            i = close
+          case '?' if i + 1 < s.length && s(i + 1) == '?' =>
             parts += cur.toString(); cur.clear(); i += 1
           case c => cur += c
         }

@@ -791,10 +791,13 @@ class StreamingSpec extends AnyFunSuite {
     val ne = Processors.RemapProcessor(
       """.e = parse_nginx_log('2021/06/03 09:30:50 [error] 32#32: *6 open() "/usr/share/nginx/html/x" failed (2: No such file or directory), client: 172.17.0.1, server: localhost, request: "GET /x HTTP/1.1", host: "localhost:8081"', 'error')
         |.bare = parse_nginx_log('2021/06/03 09:30:50 [notice] 1#1: using the "epoll" event method', 'error')
+        |.comma = parse_nginx_log('2021/06/03 09:30:50 [error] 5#5: *1 upstream timed out (110: Connection timed out, retrying), client: 1.2.3.4, host: "api.example.com"', 'error')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
       .selectExpr("e.severity", "e.pid", "e.tid", "e.cid", "e.client",
         "e.request", "e.host", "cast(e.timestamp as string)",
-        "bare.severity", "bare.message", "bare.cid").collect().head
+        "bare.severity", "bare.message", "bare.cid",
+        "e.message", "comma.message", "comma.client", "comma.host")
+      .collect().head
     assert(ne.getString(0) == "error")
     assert(ne.getInt(1) == 32 && ne.getInt(2) == 32 && ne.getLong(3) == 6L)
     assert(ne.getString(4) == "172.17.0.1")
@@ -804,6 +807,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(ne.getString(8) == "notice")
     assert(ne.getString(9).startsWith("using the \"epoll\""))
     assert(ne.isNullAt(10), "no *cid on the bare form")
+    assert(ne.getString(11) ==
+      "open() \"/usr/share/nginx/html/x\" failed (2: No such file or directory)")
+    assert(ne.getString(12) ==
+      "upstream timed out (110: Connection timed out, retrying)",
+      "a comma inside the message stays in the message (lazy match " +
+        "against the anchored annotation tail)")
+    assert(ne.getString(13) == "1.2.3.4" &&
+      ne.getString(14) == "api.example.com")
     // ingress-nginx upstreaminfo: the k8s controller's access format
     val ing = Processors.RemapProcessor(
       """.g = parse_nginx_log('10.0.0.1 - bob [31/Dec/2021:16:49:29 +0000] "GET /api/v1 HTTP/1.1" 200 612 "-" "kube-probe/1.21" 154 0.003 [default-svc-80] [] 172.17.0.5:8080 612 0.004 200 7f9a1', 'ingress_upstreaminfo')
@@ -899,6 +910,7 @@ class StreamingSpec extends AnyFunSuite {
         |.i = parse_user_agent('Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1')
         |.b = parse_user_agent('Googlebot/2.1 (+http://www.google.com/bot.html)')
         |.qs = parse_query_string('?x=1&y=hello&flag=')
+        |.enc = parse_query_string('q=a%20b+c&path=%2Fusr%2Fbin&bare&bad=%zz&dup=1&dup=2')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
     val r = out.selectExpr(
       "c.browser.family", "c.browser.version", "c.os.family", "c.os.version",
@@ -906,7 +918,9 @@ class StreamingSpec extends AnyFunSuite {
       "e.browser.family", "e.browser.version",
       "i.browser.family", "i.os.family", "i.os.version", "i.device.category",
       "b.browser.family", "b.device.category",
-      "qs['x']", "qs['y']", "qs['flag']").collect().head
+      "qs['x']", "qs['y']", "qs['flag']",
+      "enc['q']", "enc['path']", "enc['bare']", "enc['bad']", "enc['dup']")
+      .collect().head
     assert(r.getString(0) == "Chrome" && r.getString(1) == "120.0.0.0")
     assert(r.getString(2) == "Windows" && r.getString(3) == "10.0")
     assert(r.getString(4) == "desktop")
@@ -919,6 +933,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(11) == "Bot" && r.getString(12) == "bot")
     assert(r.getString(13) == "1" && r.getString(14) == "hello" &&
       r.getString(15) == "")
+    assert(r.getString(16) == "a b c", "%20 and + both decode to space")
+    assert(r.getString(17) == "/usr/bin", "percent escapes decode")
+    assert(r.getString(18) == "", "standalone key maps to empty")
+    assert(r.getString(19) == "%zz", "invalid escape keeps the raw text")
+    assert(r.getString(20) == "2",
+      "repeated key: last wins (documented divergence from VRL's array)")
   }
 
   test("remap crypto/encoding tranche: parse_csv (RFC 4180), sha2 (VRL's " +
@@ -991,8 +1011,7 @@ class StreamingSpec extends AnyFunSuite {
         |.c = compact([1, null, 2])
         |.t = bool('true')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
-    // merge/keys/values cover MAP columns (VRL objects decode as maps
-    // off the wire); struct merge is the documented loud divergence
+    // merge over MAP columns (VRL objects decoded as maps off the wire)
     val m2 = Processors.RemapProcessor(
       """.ab = merge(map('x', 1), map('y', 2))
         |.k = sort(keys(.ab))
@@ -1038,6 +1057,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(5) == "squeeze me")
     assert(r.getString(6) == "deflate me")
     assert(r.getInt(7) > 0)
+  }
+
+  test("remap merge: from-wins map collision, struct field union, deep " +
+      "recursion, mixed map/struct, non-object rejected at build (vrl merge)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    // MAP collision: map_concat would THROW under the default
+    // mapKeyDedupPolicy=EXCEPTION; VRL's `from` operand wins
+    val mc = Processors.RemapProcessor(
+      """.m = merge(map('a', 1, 'b', 2), map('b', 9, 'c', 3))
+        |""".stripMargin)(frame)
+      .selectExpr("m['a']", "m['b']", "m['c']", "map_keys(m)").collect().head
+    assert(mc.getInt(0) == 1 && mc.getInt(1) == 9 && mc.getInt(2) == 3)
+    assert(mc.getSeq[String](3) == Seq("a", "b", "c"),
+      "left key order kept, new right keys appended")
+    // STRUCT field union: left order + appended right-only fields,
+    // right value on collision
+    val sc = Processors.RemapProcessor(
+      """.s = merge({ "host": 'web1', "level": 'info' }, { "level": 'error', "code": 500 })
+        |""".stripMargin)(frame)
+    assert(sc.select("s.*").columns.toSeq == Seq("host", "level", "code"))
+    val sr = sc.selectExpr("s.host", "s.level", "s.code").collect().head
+    assert(sr.getString(0) == "web1" && sr.getString(1) == "error" &&
+      sr.getInt(2) == 500)
+    // DEEP: shared struct-typed field recurses; shallow replaces it
+    val dp = Processors.RemapProcessor(
+      """.deep = merge({ "tags": { "a": 1, "b": 2 } }, { "tags": { "b": 9, "c": 3 } }, deep: true)
+        |.shallow = merge({ "tags": { "a": 1, "b": 2 } }, { "tags": { "b": 9, "c": 3 } })
+        |""".stripMargin)(frame)
+      .selectExpr("deep.tags.a", "deep.tags.b", "deep.tags.c",
+        "shallow.tags.*").collect().head
+    assert(dp.getInt(0) == 1 && dp.getInt(1) == 9 && dp.getInt(2) == 3,
+      "deep merge unions the nested fields, from wins")
+    assert(dp.schema.fieldNames.takeRight(2).toSeq == Seq("b", "c") &&
+      dp.getInt(3) == 9 && dp.getInt(4) == 3,
+      "shallow merge replaces the shared struct field outright")
+    // MIXED: struct side converts to the map's type (from-wins both ways)
+    val mx = Processors.RemapProcessor(
+      """.ms = merge(map('a', '1', 'b', '2'), { "b": 'x' })
+        |.sm = merge({ "b": 'x' }, map('a', '1', 'b', '2'))
+        |""".stripMargin)(frame)
+      .selectExpr("ms['a']", "ms['b']", "sm['a']", "sm['b']").collect().head
+    assert(mx.getString(0) == "1" && mx.getString(1) == "x")
+    assert(mx.getString(2) == "1" && mx.getString(3) == "2")
+    // non-object operands fail loudly at build
+    val err = intercept[Exception] {
+      Processors.RemapProcessor(""".x = merge('a', 'b')
+        |""".stripMargin)(frame).collect()
+    }
+    assert(err.getMessage.contains("merge"), err.getMessage)
+  }
+
+  test("remap build-time config validation: bad parse_csv delimiter fails " +
+      "analysis naming the culprit, never a running batch") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val err = intercept[Exception] {
+      Processors.RemapProcessor(""".f = parse_csv('a;;b', ';;')
+        |""".stripMargin)(frame).collect()
+    }
+    assert(err.getMessage.contains("delimiter must be one character"),
+      err.getMessage)
+    val err2 = intercept[Exception] {
+      Processors.RemapProcessor(""".f = parse_csv('a,b', .sensor)
+        |""".stripMargin)(frame).collect()
+    }
+    assert(err2.getMessage.contains("string literal"), err2.getMessage)
+  }
+
+  test("remap ??: parenthesized coalesce and call-argument coalesce " +
+      "rewrite at their own level") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val r = Processors.RemapProcessor(
+      """.a = (to_int('nope') ?? 7)
+        |.b = abs((to_int('nope') ?? 0) - 3)
+        |.c = concat(to_string(to_int('x') ?? 1), '-', to_string(2))
+        |""".stripMargin)(frame)
+      .selectExpr("a", "b", "c").collect().head
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "1-2")
   }
 
   test("remap `. = expr` replaces the event: an object becomes the event, an " +
