@@ -274,3 +274,92 @@ object VrlParseQueryString {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
   }
 }
+
+/** VRL `encode_csv(array[, delimiter])` → ONE RFC 4180 record: a field
+  * holding the delimiter, a double quote, CR or LF is double-quoted
+  * with doubled-quote escaping — the exact inverse of [[VrlParseCsv]].
+  * Delimiter validated at BUILD (1-char string literal). */
+case class VrlEncodeCsv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(a: Any, d: Any): Any =
+    VrlEncodeCsv.encode(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      d.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, d) =>
+      s"${ev.value} = graft.functions.VrlEncodeCsv.encode($a, $d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VrlEncodeCsv = copy(left = newLeft, right = newRight)
+}
+
+object VrlEncodeCsv {
+  def encode(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      delim: UTF8String): UTF8String = {
+    val d = delim.toString
+    val dc = d.charAt(0)
+    val out = new StringBuilder
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (i > 0) out += dc
+      val f = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      if (f.indexOf(dc) >= 0 || f.indexOf('"') >= 0 ||
+          f.indexOf('\n') >= 0 || f.indexOf('\r') >= 0)
+        out ++= "\"" + f.replace("\"", "\"\"") + "\""
+      else out ++= f
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** VRL `parse_int(value[, base])` → bigint. With no base, the VRL
+  * prefix rules apply: `0b` → 2, `0o` → 8, `0x` → 16, else 10 (an
+  * optional leading sign precedes the prefix). FALLIBLE like VRL's:
+  * unparseable input THROWS, which `??` / `, err =` catch via the
+  * try_pair carrier and an unhandled call fails the batch into
+  * error_output (the engine's abort channel — VRL itself would reject
+  * the unhandled call at compile). Base validated at BUILD. */
+case class VrlParseInt(child: Expression, base: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseInt.parse(v.asInstanceOf[UTF8String], base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseInt.parse($v, $base);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlParseInt =
+    copy(child = newChild)
+}
+
+object VrlParseInt {
+  /** base 0 = infer from prefix (VRL's no-base form). */
+  def parse(v: UTF8String, base0: Int): Long = {
+    var s = v.toString.trim
+    var sign = 1L
+    if (s.startsWith("+")) s = s.substring(1)
+    else if (s.startsWith("-")) { sign = -1L; s = s.substring(1) }
+    var base = base0
+    if (base == 0) {
+      val low = s.toLowerCase(java.util.Locale.ROOT)
+      if (low.startsWith("0b")) { base = 2; s = s.substring(2) }
+      else if (low.startsWith("0o")) { base = 8; s = s.substring(2) }
+      else if (low.startsWith("0x")) { base = 16; s = s.substring(2) }
+      else base = 10
+    }
+    try {
+      require(s.nonEmpty)
+      sign * java.lang.Long.parseLong(s, base)
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"parse_int: cannot parse `${v.toString}` in base $base")
+    }
+  }
+}

@@ -168,6 +168,42 @@ object VrlLib {
         VrlParseCsv(exprs.head, Literal(delim))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_csv", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "encode_csv(array[, delimiter]) takes 1-2 arguments")
+        val delim = exprs.lift(1)
+          .map(literalString(_, "encode_csv: the delimiter argument"))
+          .getOrElse(",")
+        require(delim.length == 1,
+          s"encode_csv: delimiter must be one character, got `$delim`")
+        VrlEncodeCsv(exprs.head, Literal(delim))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_int", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "parse_int(value[, base]) takes 1-2 arguments")
+        val base = exprs.lift(1).map {
+          case Literal(b: Int, IntegerType) => b
+          case Literal(b: Long, LongType) => b.toInt
+          case _ => throw new IllegalArgumentException(
+            "parse_int: the base argument must be an integer literal")
+        }.getOrElse(0)
+        require(base == 0 || (base >= 2 && base <= 36),
+          s"parse_int: base must be 2-36, got $base")
+        VrlParseInt(exprs.head, base)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_timestamp", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "to_timestamp/from_unix_timestamp(value[, unit]) takes 1-2 arguments")
+        val unit = exprs.lift(1)
+          .map(literalString(_, "to_timestamp: the unit argument"))
+          .getOrElse("seconds")
+        require(Seq("seconds", "milliseconds", "nanoseconds").contains(unit),
+          s"to_timestamp: unit must be seconds|milliseconds|nanoseconds, got `$unit`")
+        VrlToTimestamp(exprs.head, unit)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_merge", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "merge(to, from[, deep: true]) takes 2-3 arguments")
@@ -991,6 +1027,37 @@ case class VrlLength(child: Expression)
     case StringType => OctetLength(child)
     case other => throw new IllegalArgumentException(
       s"length() takes a string, array or map, got ${other.simpleString}")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** VRL `to_timestamp(value[, unit])` / `from_unix_timestamp(value,
+  * unit: "seconds")` — integers convert at the given unit
+  * (seconds/milliseconds/nanoseconds, VRL's set), strings parse as
+  * RFC 3339 / ISO-8601 (Spark's own timestamp cast), timestamps pass
+  * through. Dispatch on the resolved child type like [[VrlLength]];
+  * the unit is validated at registration. */
+case class VrlToTimestamp(child: Expression, unit: String)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case TimestampType => child
+    case StringType =>
+      Cast(child, TimestampType, Some(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case ByteType | ShortType | IntegerType | LongType | DoubleType |
+        FloatType | _: DecimalType =>
+      unit match {
+        case "seconds" => SecondsToTimestamp(child)
+        case "milliseconds" => MillisToTimestamp(Cast(child, LongType))
+        case "nanoseconds" =>
+          MicrosToTimestamp(Cast(IntegralDivide(Cast(child, LongType),
+            Literal(1000L), EvalMode.LEGACY), LongType))
+      }
+    case other => throw new IllegalArgumentException(
+      s"to_timestamp: cannot convert ${other.simpleString}")
   }
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(

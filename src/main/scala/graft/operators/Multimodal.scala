@@ -268,6 +268,205 @@ object Multimodal {
       }
   }
 
+  /** Decoded VIDEO container metadata + planted-content features (q261). */
+  final case class VideoMeta(doc_id: Long, width: Long, height: Long,
+    fps: Long, n_frames: Long, duration_ms: Long, total_frame_bytes: Long,
+    byte_sum: Long)
+
+  /** Deterministic RIFF/AVI fixture — a REAL AVI container built
+    * byte-for-byte (RIFF 'AVI ' → LIST hdrl with avih + LIST strl
+    * (strh 'vids'/strf BITMAPINFOHEADER) → LIST movi with word-aligned
+    * '00dc' frame chunks → idx1 index), the q256/WAV planting pattern:
+    * width/height/fps/frame-count and every frame byte derive from the
+    * id, so the oracle knows the FORMULAS while the engine must recover
+    * them from the actual bytes. Frame i carries sz_i = 16 +
+    * (id*31 + i*7) % 48 bytes, each of value (id*17 + i*11) % 251. */
+  def makeAvi(id: Long): Array[Byte] = {
+    val width = (16 * (1 + id % 8)).toInt
+    val height = (16 * (1 + id % 6)).toInt
+    val fps = (10 + id % 21).toInt
+    val frames = (4 + id % 12).toInt
+    def sz(i: Int) = (16 + (id * 31 + i * 7) % 48).toInt
+    def bv(i: Int) = ((id * 17 + i * 11) % 251).toByte
+    val moviBody = 4 + (0 until frames).map(i => 8 + sz(i) + (sz(i) & 1)).sum
+    val idx1Body = 16 * frames
+    // hdrl: avih(56) + LIST strl { strh(56) + strf(40) }
+    val strlBody = 4 + 8 + 56 + 8 + 40
+    val hdrlBody = 4 + 8 + 56 + 8 + strlBody
+    val riffBody = 4 + 8 + hdrlBody + 8 + moviBody + 8 + idx1Body
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames) // dwTotalFrames
+      .putInt(0)
+      .putInt(1) // dwStreams
+      .putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(strlBody); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1) // dwScale
+      .putInt(fps) // dwRate — fps = rate/scale
+      .putInt(0)
+      .putInt(frames) // dwLength
+      .putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+    fourcc("MJPG")
+    bb.putInt(width * height * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    val frameOffsets = new Array[Int](frames) // offset of ckid within movi LIST (idx1 convention: from 'movi')
+    var moviPos = 4
+    var i = 0
+    while (i < frames) {
+      frameOffsets(i) = moviPos
+      fourcc("00dc"); bb.putInt(sz(i))
+      var j = 0
+      while (j < sz(i)) { bb.put(bv(i)); j += 1 }
+      if ((sz(i) & 1) == 1) bb.put(0.toByte)
+      moviPos += 8 + sz(i) + (sz(i) & 1)
+      i += 1
+    }
+    fourcc("idx1"); bb.putInt(idx1Body)
+    i = 0
+    while (i < frames) {
+      fourcc("00dc")
+      bb.putInt(0x10) // AVIIF_KEYFRAME
+      bb.putInt(frameOffsets(i))
+      bb.putInt(sz(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  def aviMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => (id, makeAvi(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL AVI parse: walks the top-level RIFF chunk list, descends the
+    * hdrl LIST for avih (dims, total frames) and the strl LIST for strh
+    * (fps = dwRate/dwScale), iterates the movi LIST's word-aligned
+    * '00dc'/'00db' frame chunks summing sizes and content bytes, and
+    * CROSS-CHECKS the idx1 index (entry count, offsets, sizes) against
+    * the walked chunks — a decoder that trusts the header without the
+    * walk, or the walk without the index, fails the planted fixtures.
+    * Malformed bytes → −1 row, q256's TRY discipline. */
+  def decodeAvi(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def cc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+            require(bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+              "not RIFF/AVI")
+            var width = -1L; var height = -1L; var fps = -1L
+            var hdrFrames = -1L
+            var nFrames = 0L; var totalBytes = 0L; var byteSum = 0L
+            val walked = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+            var idxEntries: Int = -1
+            var idxOk = true
+            var pos = 12
+            while (pos + 8 <= bytes.length) {
+              val ckid = cc(pos)
+              val size = bb.getInt(pos + 4)
+              ckid match {
+                case "LIST" =>
+                  val ltype = cc(pos + 8)
+                  if (ltype == "hdrl") {
+                    // avih directly follows; strl LIST nested after it
+                    var p = pos + 12
+                    val end = pos + 8 + size
+                    while (p + 8 <= end) {
+                      val cid = cc(p)
+                      val csz = bb.getInt(p + 4)
+                      if (cid == "avih") {
+                        fps = 1000000L / bb.getInt(p + 8)
+                        hdrFrames = bb.getInt(p + 24).toLong
+                        width = bb.getInt(p + 40).toLong
+                        height = bb.getInt(p + 44).toLong
+                        p += 8 + csz + (csz & 1)
+                      } else if (cid == "LIST" && cc(p + 8) == "strl") {
+                        var q = p + 12
+                        val lend = p + 8 + csz
+                        while (q + 8 <= lend) {
+                          val scid = cc(q)
+                          val ssz = bb.getInt(q + 4)
+                          if (scid == "strh" && cc(q + 8) == "vids") {
+                            val scale = bb.getInt(q + 28).toLong
+                            val rate = bb.getInt(q + 32).toLong
+                            // exact rate/scale outranks avih's rounded
+                            // µs-per-frame; fractional rates keep avih's
+                            if (scale > 0 && rate % scale == 0)
+                              fps = rate / scale
+                          }
+                          q += 8 + ssz + (ssz & 1)
+                        }
+                        p += 8 + csz + (csz & 1)
+                      } else p += 8 + csz + (csz & 1)
+                    }
+                  } else if (ltype == "movi") {
+                    var p = pos + 12
+                    val end = pos + 8 + size
+                    while (p + 8 <= end) {
+                      val cid = cc(p)
+                      val csz = bb.getInt(p + 4)
+                      if (cid.endsWith("dc") || cid.endsWith("db")) {
+                        nFrames += 1
+                        totalBytes += csz
+                        walked += ((p - (pos + 8), csz))
+                        var j = 0
+                        while (j < csz) {
+                          byteSum += (bytes(p + 8 + j) & 0xff).toLong
+                          j += 1
+                        }
+                      }
+                      p += 8 + csz + (csz & 1)
+                    }
+                  }
+                case "idx1" =>
+                  idxEntries = size / 16
+                  var e = 0
+                  while (e < idxEntries && idxOk) {
+                    val off = bb.getInt(pos + 8 + e * 16 + 8)
+                    val len = bb.getInt(pos + 8 + e * 16 + 12)
+                    idxOk = e < walked.length &&
+                      walked(e) == ((off, len))
+                    e += 1
+                  }
+                case _ =>
+              }
+              pos += 8 + size + (size & 1)
+            }
+            require(width > 0 && fps > 0 && nFrames > 0, "missing headers")
+            require(hdrFrames == nFrames, "header/chunk frame-count mismatch")
+            require(idxEntries == nFrames && idxOk, "idx1 disagrees with movi walk")
+            VideoMeta(id, width, height, fps, nFrames,
+              nFrames * 1000L / fps, totalBytes, byteSum)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              VideoMeta(id, -1, -1, -1, -1, -1, -1, -1)
+          }
+        }
+      }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // REAL decode graded against planted dimensions: each doc gets a
     // generated PNG whose dims derive from its id; javax.imageio must
@@ -321,7 +520,22 @@ object Multimodal {
     // energy sum must recover exactly what the oracle computes in closed
     // form (a parser that misreads the fmt chunk, forgets word alignment,
     // or mis-signs int16 samples fails the hash).
-    "q256_audio_features" -> ((s, dir) =>
+// REAL video-container decode graded against planted formulas: each
+    // doc gets a genuine RIFF/AVI file (hdrl/avih/strl/strh/strf, movi
+    // frame chunks, idx1 index) whose dims/fps/frame count and every
+    // frame byte derive from its id; the chunk walker must recover the
+    // header facts, walk the word-aligned frame chunks for the content
+    // sums, and survive the idx1 cross-check (a parser that skips the
+    // index, misreads strh's rate/scale, or forgets word alignment
+    // fails the hash).
+    "q261_video_meta" -> ((s, dir) =>
+      decodeAvi(s, aviMediaTable(s, dir)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("fps"),
+          col("n_frames"), col("duration_ms"), col("total_frame_bytes"),
+          col("byte_sum"))
+        .orderBy(col("doc_id"))),
+
+"q256_audio_features" -> ((s, dir) =>
       decodeWav(s, wavMediaTable(s, dir)).toDF()
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("duration_ms"), col("energy"))
@@ -361,6 +575,25 @@ object Multimodal {
 
     // the planted WAV formulas — the engine must recover rate/channels/
     // frames from the real RIFF bytes and the energy from the PCM data
+    // the planted AVI formulas — header facts plus the two content sums
+    // over every frame byte
+    "q261_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 * (1 + doc_id % 8) AS BIGINT) AS width,
+        |  CAST(16 * (1 + doc_id % 6) AS BIGINT) AS height,
+        |  CAST(10 + doc_id % 21 AS BIGINT) AS fps,
+        |  n_frames,
+        |  CAST(n_frames * 1000 // (10 + doc_id % 21) AS BIGINT) AS duration_ms,
+        |  CAST(sum(16 + (doc_id * 31 + i * 7) % 48) AS BIGINT) AS total_frame_bytes,
+        |  CAST(sum((16 + (doc_id * 31 + i * 7) % 48)
+        |         * ((doc_id * 17 + i * 11) % 251)) AS BIGINT) AS byte_sum
+        |FROM (
+        |  SELECT doc_id, CAST(4 + doc_id % 12 AS BIGINT) AS n_frames
+        |  FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i) s
+        |GROUP BY doc_id, n_frames
+        |ORDER BY doc_id""".stripMargin,
+
     "q256_audio_features" ->
       """SELECT doc_id, sample_rate, channels, n_frames,
         |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,

@@ -705,6 +705,14 @@ object Processors {
       "parse_logfmt" -> "graft_vrl_parse_kv",
       "encode_logfmt" -> "graft_vrl_encode_kv",
       "encode_key_value" -> "graft_vrl_encode_kv",
+      // round-12 tranche: RFC 4180 single-record encoder (parse_csv's
+      // exact inverse), radix/prefix integer parse (null on bad input,
+      // composing with `??` like the other fallible conversions), and
+      // the unit-bearing epoch→timestamp conversions
+      "encode_csv" -> "graft_vrl_encode_csv",
+      "parse_int" -> "graft_vrl_parse_int",
+      "to_timestamp" -> "graft_vrl_to_timestamp",
+      "from_unix_timestamp" -> "graft_vrl_to_timestamp",
       "encode_gzip" -> "graft_vrl_encode_gzip",
       "decode_gzip" -> "graft_vrl_decode_gzip",
       "encode_zlib" -> "graft_vrl_encode_zlib",

@@ -34,19 +34,37 @@ object ThroughputBench {
       Processors.fromConf(Seq(ComponentConf("sql",
         Map("query" -> "SELECT device, reading * 2 AS r2, seq FROM flow WHERE reading > 0")))))
       .flatten
+    // a REPRESENTATIVE remap program (fallible assignment, stdlib calls,
+    // expression-form if, `??`) — measures the VRL compiler's per-batch
+    // planning overhead on top of the same codec + row volume; the
+    // reference's context-pool test bounds exactly this per-batch cost
+    // (processor/sql.rs:432-450)
+    val vrlProcs = Seq(
+      Processors.fromConf(Seq(ComponentConf("json_to_arrow", Map.empty))),
+      Processors.fromConf(Seq(ComponentConf("vrl", Map("statement" ->
+        """.dev = upcase(.device)
+          |.r2, err = .reading * 2
+          |.band = if .reading > 40 { "high" } else { "low" }
+          |.seq2 = to_int(.seq) ?? 0
+          |""".stripMargin)))))
+      .flatten
 
     // --- batch EOF path (generate count=N) ---
-    def runBatchOnce(): Double = {
+    def runBatchOnce(ps: Seq[Processors.BatchTransform]): Double = {
       val in = Engine.inputFromConf(spark,
         ComponentConf("generate", Map("count" -> totalRows.toString, "context" -> ctx)))
       val t0 = System.nanoTime()
-      Engine.runBatch(in, procs, Engine.NoopSink, None)
+      Engine.runBatch(in, ps, Engine.NoopSink, None)
       (System.nanoTime() - t0) / 1e9
     }
-    runBatchOnce() // warm codegen + JIT
-    val bs = (1 to 3).map(_ => runBatchOnce())
+    runBatchOnce(procs) // warm codegen + JIT
+    val bs = (1 to 3).map(_ => runBatchOnce(procs))
     val bBest = bs.min
     println(f"batch: $totalRows rows in $bBest%.2f s = ${totalRows / bBest / 1e6}%.2f M rows/s (reps ${bs.map(s => f"$s%.2f").mkString("/")})")
+    runBatchOnce(vrlProcs)
+    val vs = (1 to 3).map(_ => runBatchOnce(vrlProcs))
+    val vBest = vs.min
+    println(f"batch-vrl: $totalRows rows in $vBest%.2f s = ${totalRows / vBest / 1e6}%.2f M rows/s (reps ${vs.map(s => f"$s%.2f").mkString("/")})")
 
     // --- micro-batch streaming path: the engine's own rate input, rows
     // generated ON EXECUTORS (MemoryStream would measure driver-side
@@ -54,27 +72,31 @@ object ThroughputBench {
     // capacity so the engine runs saturated; throughput = processed
     // rows over trigger-execution time from Spark's progress metrics,
     // first batches dropped as warm-up.
-    val in = Engine.inputFromConf(spark, ComponentConf("generate",
-      Map("rows_per_second" -> "6000000", "context" -> ctx)))
-    val q = Engine.start(in, procs, Engine.NoopSink, None,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-      checkpoint = None)
-    Thread.sleep(30000)
-    q.stop()
-    // durationMs is a java.util.Map — absent keys return null, so guard
-    // with Option; and a window with <5 productive batches has nothing to
-    // report (secs would be 0 → divide-by-zero), so bail with a message.
-    val progress = q.recentProgress.drop(4)
-      .filter(p => p.numInputRows > 0)
-    val rows = progress.map(_.numInputRows).sum
-    val secs = progress
-      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      .sum / 1e3
-    if (progress.isEmpty || secs <= 0)
-      println(s"stream: too few productive micro-batches in the measurement " +
-        s"window (${progress.length} after warm-up) — no throughput to report")
-    else
-      println(f"stream: $rows rows / ${progress.length} micro-batches in $secs%.2f s busy = ${rows / secs / 1e6}%.2f M rows/s (${progress.length / secs}%.1f batches/s)")
+    def runStream(label: String, ps: Seq[Processors.BatchTransform]): Unit = {
+      val in = Engine.inputFromConf(spark, ComponentConf("generate",
+        Map("rows_per_second" -> "6000000", "context" -> ctx)))
+      val q = Engine.start(in, ps, Engine.NoopSink, None,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+        checkpoint = None)
+      Thread.sleep(30000)
+      q.stop()
+      // durationMs is a java.util.Map — absent keys return null, so guard
+      // with Option; and a window with <5 productive batches has nothing to
+      // report (secs would be 0 → divide-by-zero), so bail with a message.
+      val progress = q.recentProgress.drop(4)
+        .filter(p => p.numInputRows > 0)
+      val rows = progress.map(_.numInputRows).sum
+      val secs = progress
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum / 1e3
+      if (progress.isEmpty || secs <= 0)
+        println(s"$label: too few productive micro-batches in the measurement " +
+          s"window (${progress.length} after warm-up) — no throughput to report")
+      else
+        println(f"$label: $rows rows / ${progress.length} micro-batches in $secs%.2f s busy = ${rows / secs / 1e6}%.2f M rows/s (${progress.length / secs}%.1f batches/s)")
+    }
+    runStream("stream", procs)
+    runStream("stream-vrl", vrlProcs)
     spark.stop()
   }
 }

@@ -587,6 +587,51 @@ class OperatorsSpec extends AnyFunSuite {
       "garbage degrades, never throws")
   }
 
+  test("avi decode: header/walk/index must AGREE; a lying header, a " +
+      "corrupted index, and garbage all degrade to a -1 row") {
+    import spark.implicits._
+    val base = Multimodal.makeAvi(9L)
+    // id 9: width 16*(1+9%8)=32, height 16*(1+9%6)=64, fps 10+9%21=19,
+    // frames 4+9%12=13
+    // corrupt the avih dwTotalFrames (offset: 12 RIFF + 12 LIST/hdrl +
+    // 8 avih hdr + 16 = 48) — header now disagrees with the movi walk
+    val lyingHeader = base.clone()
+    java.nio.ByteBuffer.wrap(lyingHeader)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(48, 99)
+    // corrupt the FIRST idx1 entry's size field so the index disagrees
+    // with the walked chunk
+    val badIndex = base.clone()
+    val idxPos = {
+      var p = 12; var found = -1
+      val bb = java.nio.ByteBuffer.wrap(base)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      while (found < 0 && p + 8 <= base.length) {
+        if (new String(base, p, 4, "US-ASCII") == "idx1") found = p
+        else { val sz = bb.getInt(p + 4); p += 8 + sz + (sz & 1) }
+      }
+      found
+    }
+    assert(idxPos > 0, "fixture has an idx1 chunk")
+    java.nio.ByteBuffer.wrap(badIndex)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(idxPos + 8 + 12, 1)
+    val media = Seq(
+      (9L, base),
+      (10L, lyingHeader),
+      (11L, badIndex),
+      (12L, "not an avi".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAvi(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got(9L).width == 32L && got(9L).height == 64L &&
+      got(9L).fps == 19L && got(9L).n_frames == 13L)
+    assert(got(9L).total_frame_bytes ==
+      (0 until 13).map(i => 16 + (9L * 31 + i * 7) % 48).sum)
+    assert(got(10L).width == -1L,
+      "header/walk frame-count mismatch degrades")
+    assert(got(11L).width == -1L, "index/walk disagreement degrades")
+    assert(got(12L).width == -1L, "garbage degrades, never throws")
+  }
+
   test("real resize: a black/white checkerboard downscales to mid-gray; dims honor the contract") {
     import spark.implicits._
     // 2x2 checkerboard: two black, two white pixels

@@ -1059,6 +1059,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(7) > 0)
   }
 
+  test("remap round-12 tranche: encode_csv (parse_csv inverse), parse_int " +
+      "(prefix + radix), to_timestamp/from_unix_timestamp units (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val r = Processors.RemapProcessor(
+      """.line = encode_csv(['a', 'b,c', 'say "hi"', 'plain'])
+        |.rt = parse_csv(.line)
+        |.semi = encode_csv(['x;y', 'z'], ';')
+        |.hexv = parse_int('0x1F')
+        |.binv = parse_int('0b101')
+        |.octv = parse_int('0o17')
+        |.decv = parse_int('-42')
+        |.based = parse_int('ff', 16)
+        |.bad = parse_int('nope') ?? 99
+        |.ts = format_timestamp(to_timestamp(1609459200), 'yyyy-MM-dd HH:mm:ss')
+        |.tms = format_timestamp(to_timestamp(1609459200500, 'milliseconds'), 'ss')
+        |.tns = format_timestamp(from_unix_timestamp(1609459201000000000, 'nanoseconds'), 'ss')
+        |.tstr = format_timestamp(to_timestamp('2021-01-01T00:00:03Z'), 'ss')
+        |""".stripMargin)(frame)
+      .selectExpr("line", "rt[1]", "rt[2]", "semi", "hexv", "binv", "octv",
+        "decv", "based", "bad", "ts", "tms", "tns", "tstr").collect().head
+    assert(r.getString(0) == "a,\"b,c\",\"say \"\"hi\"\"\",plain")
+    assert(r.getString(1) == "b,c" && r.getString(2) == "say \"hi\"",
+      "encode_csv round-trips through parse_csv")
+    assert(r.getString(3) == "\"x;y\";z")
+    assert(r.getLong(4) == 31L && r.getLong(5) == 5L && r.getLong(6) == 15L)
+    assert(r.getLong(7) == -42L && r.getLong(8) == 255L)
+    assert(r.getLong(9) == 99L, "unparseable int is fallible, ?? catches it")
+    assert(r.getString(10) == "2021-01-01 00:00:00")
+    assert(r.getString(11) == "00", "milliseconds truncate to the second")
+    assert(r.getString(12) == "01")
+    assert(r.getString(13) == "03", "RFC 3339 string parses")
+    // bad unit / non-literal base fail at build
+    val err = intercept[Exception] {
+      Processors.RemapProcessor(""".x = to_timestamp(1, 'fortnights')
+        |""".stripMargin)(frame).collect()
+    }
+    assert(err.getMessage.contains("unit must be"), err.getMessage)
+  }
+
   test("remap merge: from-wins map collision, struct field union, deep " +
       "recursion, mixed map/struct, non-object rejected at build (vrl merge)") {
     val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
