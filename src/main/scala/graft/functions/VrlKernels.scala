@@ -363,3 +363,325 @@ object VrlParseInt {
     }
   }
 }
+
+/** VRL `parse_cef(value)` → the CEF:0 header fields as a struct plus
+  * the extension's key=value pairs as a MAP column (vrl stdlib
+  * parse_cef; the reference runs it via the embedded VRL runtime).
+  * Header pipes unescape `\|` and `\\`; extension values unescape
+  * `\=`, `\\`, `\n`, `\r` and may contain spaces — a new key starts
+  * only at a ` token=` boundary, the CEF rule. Malformed input THROWS
+  * (fallible like VRL's, caught by `??`/`, err =`).
+  *
+  * Documented divergence: VRL flattens extension keys into the result
+  * object; dynamic keys cannot join a static struct, so they land in
+  * the `extensions` map field instead. */
+case class VrlParseCef(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VrlParseCef.Schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseCef.parse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseCef.parse($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlParseCef =
+    copy(child = newChild)
+}
+
+object VrlParseCef {
+  val Schema: StructType = StructType(Seq(
+    StructField("cefVersion", IntegerType),
+    StructField("deviceVendor", StringType),
+    StructField("deviceProduct", StringType),
+    StructField("deviceVersion", StringType),
+    StructField("deviceEventClassId", StringType),
+    StructField("name", StringType),
+    StructField("severity", StringType),
+    StructField("extensions",
+      MapType(StringType, StringType, valueContainsNull = false))))
+
+  private def splitHeader(s: String): (Array[String], String) = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length && parts.length < 7) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          cur += (s.charAt(i + 1) match {
+            case '|' => '|'
+            case '\\' => '\\'
+            case other => other
+          })
+          i += 1
+        case '|' => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    require(parts.length == 7, s"parse_cef: expected 7 header fields in `$s`")
+    (parts.toArray, s.substring(i))
+  }
+
+  def parse(value: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = value.toString.trim
+    require(s.startsWith("CEF:"), s"parse_cef: not a CEF record: `$s`")
+    val (header, ext) = splitHeader(s.substring(4))
+    // extension keys are word tokens immediately followed by '=' — a
+    // value may hold spaces, so the NEXT key is found by lookahead
+    val keyPat = java.util.regex.Pattern.compile("(?:^|\\s)([\\w.]+)=")
+    val m = keyPat.matcher(ext)
+    val keys = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    while (m.find()) keys += ((m.group(1), m.start, m.end))
+    def unesc(v: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '\\' && i + 1 < v.length) {
+          out += (v.charAt(i + 1) match {
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case '=' => '='
+            case '\\' => '\\'
+            case other => other
+          })
+          i += 2
+        } else { out += v.charAt(i); i += 1 }
+      }
+      out.toString
+    }
+    val ks = new Array[Any](keys.length)
+    val vs = new Array[Any](keys.length)
+    for (idx <- keys.indices) {
+      val (k, _, vStart) = keys(idx)
+      val vEnd = if (idx + 1 < keys.length) keys(idx + 1)._2 else ext.length
+      ks(idx) = UTF8String.fromString(k)
+      vs(idx) = UTF8String.fromString(unesc(ext.substring(vStart, vEnd).trim))
+    }
+    val extMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+    org.apache.spark.sql.catalyst.InternalRow(
+      header(0).trim.toInt,
+      UTF8String.fromString(header(1)), UTF8String.fromString(header(2)),
+      UTF8String.fromString(header(3)), UTF8String.fromString(header(4)),
+      UTF8String.fromString(header(5)), UTF8String.fromString(header(6)),
+      extMap)
+  }
+}
+
+/** VRL case conversions — `camelcase` / `pascalcase` / `snakecase` /
+  * `screamingsnakecase` / `kebabcase`: the input tokenizes on
+  * separators ([ _-]+) AND camel boundaries (aB, ABBr|eviation), then
+  * re-joins in the target convention, VRL's behavior. One kernel, the
+  * style chosen at BUILD. */
+case class VrlCaseConvert(child: Expression, style: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlCaseConvert.convert(v.asInstanceOf[UTF8String], style)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("style", style, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlCaseConvert.convert($v, $st);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VrlCaseConvert =
+    copy(child = newChild)
+}
+
+object VrlCaseConvert {
+  val Styles = Set("camel", "pascal", "snake", "screaming_snake", "kebab")
+
+  private def words(s: String): Seq[String] = {
+    // split camel boundaries first (aB → a B; ABCd → AB Cd), then
+    // separators; drop empties
+    val boundary = s
+      .replaceAll("([\\p{Ll}\\p{Nd}])(\\p{Lu})", "$1 $2")
+      .replaceAll("(\\p{Lu}+)(\\p{Lu}\\p{Ll})", "$1 $2")
+    boundary.split("[\\s_\\-]+").toSeq.filter(_.nonEmpty)
+  }
+
+  def convert(v: UTF8String, style: String): UTF8String = {
+    val ws = words(v.toString)
+    def cap(w: String) =
+      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+    val out = style match {
+      case "camel" => ws.zipWithIndex.map {
+        case (w, 0) => w.toLowerCase
+        case (w, _) => cap(w)
+      }.mkString
+      case "pascal" => ws.map(cap).mkString
+      case "snake" => ws.map(_.toLowerCase).mkString("_")
+      case "screaming_snake" => ws.map(_.toUpperCase).mkString("_")
+      case "kebab" => ws.map(_.toLowerCase).mkString("-")
+    }
+    UTF8String.fromString(out)
+  }
+}
+
+/** VRL `encrypt(plaintext, algorithm, key, iv: ...)` /
+  * `decrypt(ciphertext, algorithm, key, iv: ...)` — the AES family the
+  * vrl stdlib exposes, on the JDK's ciphers (CBC-PKCS7 ≡ the JDK's
+  * PKCS5 at AES's 16-byte block, CFB, CTR). Algorithm validated at
+  * BUILD; key/iv length errors THROW per row (fallible, `??`-catchable
+  * like VRL's). encrypt returns raw BYTES (compose with encode_base64),
+  * decrypt returns the plaintext string. */
+case class VrlCipher(first: Expression, second: Expression,
+    third: Expression, transform: String, encrypt: Boolean)
+    extends TernaryExpression {
+  override def dataType: DataType = if (encrypt) BinaryType else StringType
+
+  override protected def nullSafeEval(v: Any, k: Any, iv: Any): Any = {
+    val out = VrlCipher.run(
+      if (encrypt) v.asInstanceOf[UTF8String].getBytes
+      else v.asInstanceOf[Array[Byte]],
+      k.asInstanceOf[UTF8String].getBytes,
+      iv.asInstanceOf[UTF8String].getBytes, transform, encrypt)
+    if (encrypt) out else UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("transform", transform, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (v, k, iv) =>
+      if (encrypt)
+        s"${ev.value} = graft.functions.VrlCipher.run($v.getBytes(), $k.getBytes(), $iv.getBytes(), $t, true);"
+      else
+        s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes(" +
+          s"graft.functions.VrlCipher.run($v, $k.getBytes(), $iv.getBytes(), $t, false));")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): VrlCipher =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object VrlCipher {
+  // VRL algorithm spelling → (JCA transformation, key bytes)
+  val Variants: Map[String, (String, Int)] = Map(
+    "AES-128-CBC-PKCS7" -> ("AES/CBC/PKCS5Padding", 16),
+    "AES-192-CBC-PKCS7" -> ("AES/CBC/PKCS5Padding", 24),
+    "AES-256-CBC-PKCS7" -> ("AES/CBC/PKCS5Padding", 32),
+    "AES-128-CFB" -> ("AES/CFB/NoPadding", 16),
+    "AES-192-CFB" -> ("AES/CFB/NoPadding", 24),
+    "AES-256-CFB" -> ("AES/CFB/NoPadding", 32),
+    "AES-128-CTR" -> ("AES/CTR/NoPadding", 16),
+    "AES-192-CTR" -> ("AES/CTR/NoPadding", 24),
+    "AES-256-CTR" -> ("AES/CTR/NoPadding", 32))
+
+  def run(data: Array[Byte], key: Array[Byte], iv: Array[Byte],
+      spec: String, encrypt: Boolean): Array[Byte] = {
+    val Array(transform, keyLenS) = spec.split(";")
+    val keyLen = keyLenS.toInt
+    require(key.length == keyLen,
+      s"encrypt/decrypt: key must be $keyLen bytes, got ${key.length}")
+    require(iv.length == 16, s"encrypt/decrypt: iv must be 16 bytes, got ${iv.length}")
+    val c = javax.crypto.Cipher.getInstance(transform)
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+}
+
+/** VRL `encode_percent(value)` / `decode_percent(value)` — URL percent
+  * encoding with VRL's NON_ALPHANUMERIC default set (everything but
+  * A-Za-z0-9 encodes, UTF-8 bytes); decode reverses any %XX and leaves
+  * invalid escapes raw (infallible like VRL's). `format_int(value[,
+  * base])` is parse_int's inverse. `encode_punycode`/`decode_punycode`
+  * ride the JDK's IDN (RFC 3490 toASCII/toUnicode). All four are
+  * static-kernel one-liners registered in [[VrlLib]]. */
+object VrlStringKernels {
+  private def isUnreserved(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  def encodePercent(v: UTF8String): UTF8String = {
+    val bytes = v.getBytes
+    val out = new StringBuilder
+    bytes.foreach { b =>
+      val u = b & 0xff
+      if (isUnreserved(u)) out += u.toChar
+      else out ++= f"%%$u%02X"
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  def decodePercent(v: UTF8String): UTF8String = {
+    val s = v.toString
+    val out = new java.io.ByteArrayOutputStream()
+    val utf8 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < utf8.length) {
+      val c = utf8(i)
+      if (c == '%' && i + 2 < utf8.length) {
+        val h = hexVal(utf8(i + 1).toChar)
+        val l = hexVal(utf8(i + 2).toChar)
+        if (h >= 0 && l >= 0) { out.write(h * 16 + l); i += 3 }
+        else { out.write(c.toInt); i += 1 } // invalid escape stays raw
+      } else { out.write(c.toInt); i += 1 }
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  def formatInt(v: Long, base: Int): UTF8String =
+    UTF8String.fromString(java.lang.Long.toString(v, base))
+
+  def encodePunycode(v: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.net.IDN.toASCII(v.toString,
+        java.net.IDN.ALLOW_UNASSIGNED).toLowerCase(java.util.Locale.ROOT))
+
+  def decodePunycode(v: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.net.IDN.toUnicode(v.toString, java.net.IDN.ALLOW_UNASSIGNED))
+}
+
+/** 1-arg static-kernel shim: the codegen template every
+  * [[VrlStringKernels]] entry shares (method chosen at BUILD). */
+case class VrlStringKernel1(child: Expression, method: String,
+    outType: DataType) extends UnaryExpression {
+  override def dataType: DataType = outType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    method match {
+      case "encodePercent" => VrlStringKernels.encodePercent(u)
+      case "decodePercent" => VrlStringKernels.decodePercent(u)
+      case "encodePunycode" => VrlStringKernels.encodePunycode(u)
+      case "decodePunycode" => VrlStringKernels.decodePunycode(u)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlStringKernels.$method($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlStringKernel1 =
+    copy(child = newChild)
+}
+
+/** VRL `format_int(value[, base])` — parse_int's inverse; base
+  * validated at BUILD. */
+case class VrlFormatInt(child: Expression, base: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlStringKernels.formatInt(v.asInstanceOf[Long], base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlStringKernels.formatInt($v, $base);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlFormatInt =
+    copy(child = newChild)
+}

@@ -204,6 +204,55 @@ object VrlLib {
         VrlToTimestamp(exprs.head, unit)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_cef", { exprs =>
+        require(exprs.size == 1, "parse_cef(value) takes 1 argument")
+        VrlParseCef(exprs.head)
+      }, "scala_udf")
+    Seq("camel", "pascal", "snake", "screaming_snake", "kebab").foreach { style =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_vrl_${style}case", { exprs =>
+          require(exprs.size == 1, s"${style}case(value) takes 1 argument")
+          VrlCaseConvert(exprs.head, style)
+        }, "scala_udf")
+    }
+    Seq(("encrypt", true), ("decrypt", false)).foreach { case (name, enc) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_vrl_$name", { exprs =>
+          require(exprs.size == 4,
+            s"$name(value, algorithm, key, iv: ...) takes 4 arguments")
+          val algo = literalString(exprs(1), s"$name: the algorithm argument")
+          val (transform, keyLen) = VrlCipher.Variants.getOrElse(algo,
+            throw new IllegalArgumentException(
+              s"$name: unknown algorithm `$algo`; supported: " +
+                VrlCipher.Variants.keys.toSeq.sorted.mkString(" ")))
+          val value = if (enc) exprs.head else Cast(exprs.head, BinaryType)
+          VrlCipher(value, exprs(2), exprs(3), s"$transform;$keyLen", enc)
+        }, "scala_udf")
+    }
+    Seq("encodePercent" -> "encode_percent", "decodePercent" -> "decode_percent",
+      "encodePunycode" -> "encode_punycode",
+      "decodePunycode" -> "decode_punycode").foreach { case (method, name) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"graft_vrl_$name", { exprs =>
+          require(exprs.size == 1, s"$name(value) takes 1 argument")
+          VrlStringKernel1(exprs.head, method, StringType)
+        }, "scala_udf")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_format_int", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "format_int(value[, base]) takes 1-2 arguments")
+        val base = exprs.lift(1).map {
+          case Literal(b: Int, IntegerType) => b
+          case Literal(b: Long, LongType) => b.toInt
+          case _ => throw new IllegalArgumentException(
+            "format_int: the base argument must be an integer literal")
+        }.getOrElse(10)
+        require(base >= 2 && base <= 36,
+          s"format_int: base must be 2-36, got $base")
+        VrlFormatInt(Cast(exprs.head, LongType), base)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_merge", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "merge(to, from[, deep: true]) takes 2-3 arguments")

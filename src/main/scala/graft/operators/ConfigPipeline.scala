@@ -432,6 +432,45 @@ object ConfigPipeline {
     spark.read.parquet(out).select("etype", "n", "id_sum", "uid_sum")
   }
 
+  /** q262 — parse_cef graded end-to-end: each event renders as an
+    * ArcSight CEF:0 record (7-field pipe header + key=value extension
+    * with a multi-word msg), the VRL shim parses it back, and the
+    * oracle recomputes header fields and extension aggregates from the
+    * raw columns (vrl stdlib parse_cef semantics: header pipes with
+    * escaping, extension keys only at ` token=` boundaries). */
+  private def q262(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q262").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT 'CEF:0|graft|' || event_type || '|1.0|' || cast(event_id % 5 AS string) || '|probe event|' || cast(event_id % 10 AS string) || '|src=10.0.0.' || cast(user_id % 256 AS string) || ' spt=' || cast(event_id % 65536 AS string) || ' msg=multi word value' AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .c = parse_cef(.line)
+         |            .prod = .c.deviceProduct
+         |            .cls = .c.deviceEventClassId
+         |            .sev = .c.severity
+         |            .src = .c.extensions['src']
+         |            .spt = to_int!(.c.extensions['spt'])
+         |            .msg = .c.extensions['msg']
+         |        - type: sql
+         |          query: "SELECT prod, sev, count(*) AS n, min(cls) AS first_cls, min(src) AS first_src, CAST(sum(spt) AS BIGINT) AS spt_sum, min(msg) AS msg FROM flow GROUP BY prod, sev"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out)
+      .select("prod", "sev", "n", "first_cls", "first_src", "spt_sum", "msg")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
@@ -442,7 +481,8 @@ object ConfigPipeline {
     "q255_config_vrl_duration_ip" -> ((s, dir) => q255(s, dir)),
     "q257_config_vrl_csv" -> ((s, dir) => q257(s, dir)),
     "q259_config_vrl_merge" -> ((s, dir) => q259(s, dir)),
-    "q260_config_schema_registry" -> ((s, dir) => q260(s, dir)))
+    "q260_config_schema_registry" -> ((s, dir) => q260(s, dir)),
+    "q262_config_vrl_cef" -> ((s, dir) => q262(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -496,6 +536,14 @@ object ConfigPipeline {
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum
         |FROM events GROUP BY 1""".stripMargin,
+    "q262_config_vrl_cef" ->
+      """SELECT event_type AS prod,
+        |       CAST(event_id % 10 AS VARCHAR) AS sev, count(*) AS n,
+        |       min(CAST(event_id % 5 AS VARCHAR)) AS first_cls,
+        |       min('10.0.0.' || CAST(user_id % 256 AS VARCHAR)) AS first_src,
+        |       CAST(sum(event_id % 65536) AS BIGINT) AS spt_sum,
+        |       min('multi word value') AS msg
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q258_config_vrl_user_agent" ->
       """SELECT CASE CAST(event_id % 4 AS INT)
         |         WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge'

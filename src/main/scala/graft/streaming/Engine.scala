@@ -787,6 +787,16 @@ object Engine {
   def inputCodec(c: ComponentConf): Seq[Processors.BatchTransform] =
     c.options.get("codec.type").toSeq.map {
       case "json" => Processors.JsonToArrow()
+      case "debezium_json" =>
+        (df: DataFrame) => Codecs.DebeziumJsonCodec.decode(df)
+      case "protobuf" =>
+        // same schema sources as the protobuf_to_arrow processor
+        // (descriptor_path + message_type, or the inline fields spec),
+        // nested under the codec: block
+        val codecOpts = c.options.collect {
+          case (k, v) if k.startsWith("codec.") => k.stripPrefix("codec.") -> v
+        }
+        Processors.fromConf(Seq(ComponentConf("protobuf_to_arrow", codecOpts))).head
       case "schema_registry" =>
         val url = c.options.getOrElse("codec.registry_url",
           throw new IllegalArgumentException(

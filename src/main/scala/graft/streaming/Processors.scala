@@ -713,6 +713,22 @@ object Processors {
       "parse_int" -> "graft_vrl_parse_int",
       "to_timestamp" -> "graft_vrl_to_timestamp",
       "from_unix_timestamp" -> "graft_vrl_to_timestamp",
+      // security-log / string-shaping tranche: CEF (header struct +
+      // extension map), case conversions, AES ciphers, percent/punycode
+      // codecs, format_int (parse_int's inverse)
+      "parse_cef" -> "graft_vrl_parse_cef",
+      "camelcase" -> "graft_vrl_camelcase",
+      "pascalcase" -> "graft_vrl_pascalcase",
+      "snakecase" -> "graft_vrl_snakecase",
+      "screamingsnakecase" -> "graft_vrl_screaming_snakecase",
+      "kebabcase" -> "graft_vrl_kebabcase",
+      "encrypt" -> "graft_vrl_encrypt",
+      "decrypt" -> "graft_vrl_decrypt",
+      "encode_percent" -> "graft_vrl_encode_percent",
+      "decode_percent" -> "graft_vrl_decode_percent",
+      "encode_punycode" -> "graft_vrl_encode_punycode",
+      "decode_punycode" -> "graft_vrl_decode_punycode",
+      "format_int" -> "graft_vrl_format_int",
       "encode_gzip" -> "graft_vrl_encode_gzip",
       "decode_gzip" -> "graft_vrl_decode_gzip",
       "encode_zlib" -> "graft_vrl_encode_zlib",
@@ -1095,13 +1111,23 @@ object Processors {
           "(?<![A-Za-z0-9_.`])" + v + "(?![A-Za-z0-9_`])(?!\\s*\\()",
           "`" + varCol(v) + "`")
       }
+    // a BARE `.` operand — VRL's whole-event value (`. = merge(., parsed)`,
+    // the canonical Vector enrichment idiom; `x = .` snapshots). Not a
+    // field ref (no name follows), not a decimal point (no digit on
+    // either side), not a struct access (nothing value-like precedes).
+    // Becomes a marker [[exprFor]] expands to a named_struct over the
+    // frame's EVENT columns (vars and `__meta_*` excluded — VRL reaches
+    // metadata through `%`, never through `.`).
+    private val SelfRef = """(?<![A-Za-z0-9_.`\)\]])\.(?![A-Za-z0-9_.])""".r
     // masked variant for callers that post-process the SQL (intra-branch
     // chaining substitutes into it; doing that after unmask could corrupt
     // a string literal that happens to contain a backticked name)
     private def fieldRefsMasked(rhs: String): String =
-      rewriteVars(vrlRewrites(FieldRef.replaceAllIn(
-        MetaRef.replaceAllIn(rhs, m => "`__meta_" + m.group(1) + "`"),
-        m => "`" + m.group(1) + "`")))
+      rewriteVars(vrlRewrites(SelfRef.replaceAllIn(
+        FieldRef.replaceAllIn(
+          MetaRef.replaceAllIn(rhs, m => "`__meta_" + m.group(1) + "`"),
+          m => "`" + m.group(1) + "`"),
+        "__VRL_SELF__")))
     private def fieldRefs(rhs: String): String = unmask(fieldRefsMasked(rhs))
 
     // Split on ';' and newlines at BRACE DEPTH 0 only, so statement-form
@@ -1245,16 +1271,23 @@ object Processors {
         case DotAssign(rhs) =>
           val sql = fieldRefs(rhs)
           Some((df: DataFrame) => {
-            val evt = df.select(exprFor(df, sql).as("__vrl_event"))
+            // metadata and program variables are event-EXTERNAL state
+            // (the reference's vrl runtime replaces only the event's
+            // value; %metadata and variables survive `. = obj`)
+            val carry = df.columns.filter(c =>
+              c.startsWith("__vrl_var_") || c.startsWith("__meta_")).toSeq
+            val evt = df.select(
+              exprFor(df, sql).as("__vrl_event") +: carry.map(col): _*)
             evt.schema.head.dataType match {
               case org.apache.spark.sql.types.ArrayType(
                   _: org.apache.spark.sql.types.StructType, _) =>
                 // explode drops empty arrays — VRL's [] result filters
                 // the event out
-                evt.select(explode(col("__vrl_event")).as("__vrl_e"))
-                  .select(col("__vrl_e.*"))
+                evt.select(explode(col("__vrl_event")).as("__vrl_e") +:
+                    carry.map(col): _*)
+                  .select(col("__vrl_e.*") +: carry.map(col): _*)
               case _: org.apache.spark.sql.types.StructType =>
-                evt.select(col("__vrl_event.*"))
+                evt.select(col("__vrl_event.*") +: carry.map(col): _*)
               case other => throw new IllegalArgumentException(
                 "remap: `. = expr` must produce an object or an array of " +
                   s"objects, got ${other.simpleString}")
@@ -1331,8 +1364,21 @@ object Processors {
           case _ => "false" // absent field: no type, like VRL's undefined
         })
     }
+    /** The frame's event columns as one struct — what a bare `.` means
+      * in an expression position. Computed per frame like the exists/
+      * type-guard markers (micro-batch schemas evolve). */
+    private def selfStruct(df: DataFrame): String = {
+      val eventCols = df.columns.filterNot(c =>
+        c.startsWith("__vrl_") || c.startsWith("__meta_"))
+      require(eventCols.nonEmpty,
+        "remap: `.` used as a value but the event has no fields")
+      eventCols.map(c => s"'$c', `$c`").mkString("named_struct(", ", ", ")")
+    }
     private def exprFor(df: DataFrame, sql: String): org.apache.spark.sql.Column =
-      expr(resolveExists(df, sql))
+      expr(resolveExists(df,
+        if (sql.contains("__VRL_SELF__"))
+          sql.replace("__VRL_SELF__", selfStruct(df))
+        else sql))
 
     /** ONE try_pair evaluation carries both halves (value + error),
       * computed against the PRE-assignment frame, so a self-referencing

@@ -33,6 +33,42 @@ class StreamingSpec extends AnyFunSuite {
     """{"timestamp": 1625000001000, "value": 15, "sensor": "temp_2"}""",
     """{"timestamp": 1625000002000, "value": 5,  "sensor": "temp_1"}""")
 
+  test("input-level codec: block (the reference's codec registry) decodes " +
+      "ahead of processors: json, debezium_json, protobuf; bad configs " +
+      "fail at build") {
+    // json codec on a raw envelope
+    val j = Engine.inputCodec(ComponentConf("memory",
+      Map("codec.type" -> "json")))
+    assert(j.size == 1)
+    val decoded = j.head(envelope(sensorJson.head))
+    assert(decoded.columns.sorted.toSeq == Seq("sensor", "timestamp", "value"))
+    // protobuf codec: encode with the processor, decode through the codec
+    val fields = "timestamp:1:int64,value:2:int64,sensor:3:string"
+    val encoded = Processors.fromConf(Seq(ComponentConf("arrow_to_protobuf",
+      Map("fields" -> fields)))).head(decoded)
+    val p = Engine.inputCodec(ComponentConf("kafka",
+      Map("codec.type" -> "protobuf", "codec.fields" -> fields)))
+    val back = p.head(encoded)
+    assert(back.select("sensor", "value").collect().head.getString(0) == "temp_1")
+    // debezium codec dispatches to the envelope decoder
+    val d = Engine.inputCodec(ComponentConf("kafka",
+      Map("codec.type" -> "debezium_json")))
+    val dbz = d.head(envelope(
+      """{"before": null, "after": {"id": 7, "name": "x"}, "source": {"db": "d1", "table": "t"}, "op": "c", "ts_ms": 1}"""))
+    assert(dbz.select("id").collect().head.getLong(0) == 7L)
+    // no codec block → no transform; unknown/incomplete configs are loud
+    assert(Engine.inputCodec(ComponentConf("kafka", Map.empty)).isEmpty)
+    intercept[IllegalArgumentException](
+      Engine.inputCodec(ComponentConf("kafka", Map("codec.type" -> "bson"))))
+    intercept[IllegalArgumentException](
+      Engine.inputCodec(ComponentConf("kafka",
+        Map("codec.type" -> "schema_registry"))))
+    intercept[IllegalArgumentException](
+      Engine.inputCodec(ComponentConf("kafka",
+        Map("codec.type" -> "schema_registry",
+          "codec.registry_url" -> "http://x", "codec.auth.type" -> "oauth"))))
+  }
+
   test("json_to_arrow infers schema and decodes the binary envelope") {
     val out = Processors.JsonToArrow()(envelope(sensorJson: _*))
     assert(out.columns.sorted.toSeq == Seq("sensor", "timestamp", "value"))
@@ -1096,6 +1132,92 @@ class StreamingSpec extends AnyFunSuite {
         |""".stripMargin)(frame).collect()
     }
     assert(err.getMessage.contains("unit must be"), err.getMessage)
+  }
+
+  test("remap bare `.` operand: `. = merge(., obj)` enrichment idiom, " +
+      "`x = .` snapshot, metadata/vars excluded from the event value") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+      .withColumn("__meta_source", lit("kafka-topic"))
+    // the canonical Vector enrichment: parse, merge into the event, keep
+    // the rest of the fields
+    val out = Processors.RemapProcessor(
+      """snap = .
+        |.kv = parse_logfmt('level=info ttl=30')
+        |. = merge(., { "region": 'eu', "value": 99 })
+        |.old_value = snap.value
+        |""".stripMargin)(frame)
+    assert(out.columns.contains("sensor") && out.columns.contains("region"),
+      "whole-event merge keeps existing fields and appends new ones")
+    assert(!out.columns.exists(_.startsWith("__vrl_var_")),
+      "the snapshot variable never lands in the output event")
+    assert(out.columns.contains("__meta_source"),
+      "metadata columns survive the whole-event replacement untouched" +
+        " — wait, they are event-external")
+    val r = out.selectExpr("sensor", "value", "old_value", "region",
+      "kv['level']").collect().head
+    assert(r.getString(0) == "temp_1")
+    assert(r.getInt(1) == 99, "merge's from operand overwrote value " +
+      "(and its literal INT type — a type-changing collision takes the " +
+      "from side outright)")
+    assert(r.getLong(2) == 10L, "the pre-merge snapshot kept the old value")
+    assert(r.getString(3) == "eu")
+    assert(r.getString(4) == "info")
+    // a decimal literal's dot is NOT a self ref
+    val d = Processors.RemapProcessor(""".half = .value * 0.5
+      |""".stripMargin)(frame).selectExpr("cast(half AS double)").collect().head
+    assert(d.getDouble(0) == 5.0)
+  }
+
+  test("remap security/string tranche: parse_cef, case conversions, " +
+      "encrypt/decrypt AES, percent + punycode codecs, format_int (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val cefLine = "CEF:0|Security|threatmanager|1.0|100|worm stopped|10|" +
+      "src=10.0.0.1 dst=2.1.2.2 spt=1232 msg=detected a \\= in it"
+    val r = Processors.RemapProcessor(
+      s""".c = parse_cef('$cefLine')
+        |.vendor = .c.deviceVendor
+        |.name = .c.name
+        |.sev = .c.severity
+        |.src = .c.extensions['src']
+        |.msg = .c.extensions['msg']
+        |.cc = camelcase('hello_world-fooBar')
+        |.pc = pascalcase('hello_world')
+        |.sc = snakecase('HelloWorldHTTPServer')
+        |.ss = screamingsnakecase('hello world')
+        |.kc = kebabcase('HelloWorld')
+        |.ct = encode_base16(encrypt('top secret', 'AES-256-CBC-PKCS7', '0123456789abcdef0123456789abcdef', iv: '0000000000000000'))
+        |.pt = decrypt(decode_base16(.ct), 'AES-256-CBC-PKCS7', '0123456789abcdef0123456789abcdef', iv: '0000000000000000')
+        |.badkey = encode_base16(encrypt('x', 'AES-256-CBC-PKCS7', 'short', iv: '0000000000000000')) ?? 'keyerr'
+        |.ep = encode_percent('a b/c')
+        |.dp = decode_percent('a%20b%2Fc%zz')
+        |.pu = encode_punycode('www.café.com')
+        |.du = decode_punycode('www.xn--caf-dma.com')
+        |.fi = format_int(255, 16)
+        |.fb = format_int(5, 2)
+        |.rt = parse_int(format_int(12345, 36), 36)
+        |""".stripMargin)(frame)
+      .selectExpr("vendor", "name", "sev", "src", "msg", "cc", "pc", "sc",
+        "ss", "kc", "pt", "badkey", "ep", "dp", "pu", "du", "fi", "fb", "rt")
+      .collect().head
+    assert(r.getString(0) == "Security" && r.getString(1) == "worm stopped" &&
+      r.getString(2) == "10")
+    assert(r.getString(3) == "10.0.0.1")
+    assert(r.getString(4) == "detected a = in it",
+      "extension values unescape and hold spaces")
+    assert(r.getString(5) == "helloWorldFooBar")
+    assert(r.getString(6) == "HelloWorld")
+    assert(r.getString(7) == "hello_world_http_server",
+      "acronym boundary splits HTTPServer -> http_server")
+    assert(r.getString(8) == "HELLO_WORLD")
+    assert(r.getString(9) == "hello-world")
+    assert(r.getString(10) == "top secret", "AES round-trips")
+    assert(r.getString(11) == "keyerr", "bad key length is ??-catchable")
+    assert(r.getString(12) == "a%20b%2Fc")
+    assert(r.getString(13) == "a b/c%zz", "invalid escape stays raw")
+    assert(r.getString(14) == "www.xn--caf-dma.com")
+    assert(r.getString(15) == "www.café.com")
+    assert(r.getString(16) == "ff" && r.getString(17) == "101")
+    assert(r.getLong(18) == 12345L, "format_int/parse_int round-trip in base 36")
   }
 
   test("remap merge: from-wins map collision, struct field union, deep " +
