@@ -685,3 +685,182 @@ case class VrlFormatInt(child: Expression, base: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): VrlFormatInt =
     copy(child = newChild)
 }
+
+/** VRL `parse_aws_alb_log(value)` → the ALB access-log struct (vrl
+  * stdlib; field list and quoting per the published AWS ALB access-log
+  * format). Space-separated tokens with double-quoted fields; the
+  * quoted `request` splits into method/url/protocol; `-` → null;
+  * processing times are seconds as double, byte counts long, status
+  * codes int; the two trailing `_list` fields land as arrays.
+  * Malformed input THROWS (fallible, `??`-catchable). */
+case class VrlParseAlbLog(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VrlParseAlbLog.Schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseAlbLog.parse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseAlbLog.parse($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlParseAlbLog =
+    copy(child = newChild)
+}
+
+object VrlParseAlbLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("timestamp", StringType),
+    StructField("elb", StringType),
+    StructField("client_host", StringType),
+    StructField("target_host", StringType),
+    StructField("request_processing_time", DoubleType),
+    StructField("target_processing_time", DoubleType),
+    StructField("response_processing_time", DoubleType),
+    StructField("elb_status_code", IntegerType),
+    StructField("target_status_code", IntegerType),
+    StructField("received_bytes", LongType),
+    StructField("sent_bytes", LongType),
+    StructField("request_method", StringType),
+    StructField("request_url", StringType),
+    StructField("request_protocol", StringType),
+    StructField("user_agent", StringType),
+    StructField("ssl_cipher", StringType),
+    StructField("ssl_protocol", StringType),
+    StructField("target_group_arn", StringType),
+    StructField("trace_id", StringType),
+    StructField("domain_name", StringType),
+    StructField("chosen_cert_arn", StringType),
+    StructField("matched_rule_priority", IntegerType),
+    StructField("request_creation_time", StringType),
+    StructField("actions_executed", StringType),
+    StructField("redirect_url", StringType),
+    StructField("error_reason", StringType),
+    StructField("target_port_list", ArrayType(StringType, containsNull = false)),
+    StructField("target_status_code_list", ArrayType(StringType, containsNull = false)),
+    StructField("classification", StringType),
+    StructField("classification_reason", StringType)))
+
+  /** space-split honoring double quotes; quotes stripped. */
+  private[functions] def tokens(s: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    var started = false
+    s.foreach {
+      case '"' => inQ = !inQ; started = true
+      case ' ' if !inQ =>
+        if (started || cur.nonEmpty) { out += cur.toString; cur.clear(); started = false }
+      case c => cur += c
+    }
+    if (started || cur.nonEmpty) out += cur.toString
+    out.toIndexedSeq
+  }
+
+  def parse(value: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = tokens(value.toString.trim)
+    require(t.length >= 12, s"parse_aws_alb_log: expected >= 12 fields, got ${t.length}")
+    def at(i: Int): String = if (i < t.length) t(i) else "-"
+    def str(i: Int): Any = {
+      val v = at(i)
+      if (v == "-" || v.isEmpty) null else UTF8String.fromString(v)
+    }
+    def dbl(i: Int): Any = {
+      val v = at(i); if (v == "-") null else v.toDouble
+    }
+    def int(i: Int): Any = {
+      val v = at(i); if (v == "-") null else v.toInt
+    }
+    def lng(i: Int): Any = {
+      val v = at(i); if (v == "-") null else v.toLong
+    }
+    def list(i: Int): Any = {
+      val v = at(i)
+      val parts = if (v == "-" || v.isEmpty) Array.empty[Any]
+        else v.split(" ").map(p => UTF8String.fromString(p): Any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(parts)
+    }
+    // the quoted request field: "METHOD URL PROTOCOL" (any part may be -)
+    val req = at(12).split(" ", 3)
+    def reqPart(j: Int): Any = {
+      if (j < req.length && req(j) != "-" && req(j).nonEmpty)
+        UTF8String.fromString(req(j)) else null
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      str(0), str(1), str(2), str(3), str(4),
+      dbl(5), dbl(6), dbl(7),
+      int(8), int(9), lng(10), lng(11),
+      reqPart(0), reqPart(1), reqPart(2),
+      str(13), str(14), str(15), str(16), str(17), str(18), str(19),
+      int(20), str(21), str(22), str(23), str(24),
+      list(25), list(26), str(27), str(28))
+  }
+}
+
+/** VRL `parse_aws_vpc_flow_log(value[, format])` — the VPC flow-log
+  * fields as a struct. The format is the space-separated field-name
+  * list (AWS's custom-format string, `${}`-stripped names accepted);
+  * DEFAULT is the v2 standard 14-field layout. The format must be a
+  * string LITERAL (validated at build, like sha2's variant), so the
+  * struct schema is fixed per call site; `-` → null; known numeric
+  * fields type as long. */
+object VrlParseVpcFlow {
+  val DefaultFormat = "version account_id interface_id srcaddr dstaddr " +
+    "srcport dstport protocol packets bytes start end action log_status"
+
+  private val LongFields = Set("version", "srcport", "dstport", "protocol",
+    "packets", "bytes", "start", "end", "tcp_flags", "traffic_path")
+
+  def schemaFor(format: String): StructType = {
+    val names = format.trim.split("\\s+").map(
+      _.stripPrefix("${").stripSuffix("}").replace('-', '_'))
+    require(names.nonEmpty && names.distinct.length == names.length,
+      s"parse_aws_vpc_flow_log: bad format `$format`")
+    StructType(names.map(n =>
+      StructField(n, if (LongFields(n)) LongType else StringType)))
+  }
+
+  def parse(value: UTF8String, schema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = value.toString.trim.split("\\s+")
+    require(t.length == schema.length,
+      s"parse_aws_vpc_flow_log: expected ${schema.length} fields, got ${t.length}")
+    val vals = new Array[Any](t.length)
+    var i = 0
+    while (i < t.length) {
+      vals(i) =
+        if (t(i) == "-") null
+        else if (schema(i).dataType == LongType) t(i).toLong
+        else UTF8String.fromString(t(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+case class VrlParseVpcFlow(child: Expression, format: String)
+    extends UnaryExpression {
+  private val schema = VrlParseVpcFlow.schemaFor(format)
+  override def dataType: DataType = schema
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseVpcFlow.parse(v.asInstanceOf[UTF8String], schema)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("schema", schema,
+      "org.apache.spark.sql.types.StructType")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseVpcFlow.parse($v, $sc);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VrlParseVpcFlow =
+    copy(child = newChild)
+}
+
+/** VRL `redact(value, filters: [...])` — every filter match replaces
+  * with `[REDACTED]`. Filters are regex string literals or the named
+  * filter `us_social_security_number`, resolved at BUILD into a chain
+  * of codegen RegExpReplace — nothing interpreted per row. */
+object VrlRedact {
+  val Named: Map[String, String] = Map(
+    "us_social_security_number" -> "\\b\\d{3}-?\\d{2}-?\\d{4}\\b")
+}

@@ -253,6 +253,42 @@ object VrlLib {
         VrlFormatInt(Cast(exprs.head, LongType), base)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_aws_alb_log", { exprs =>
+        require(exprs.size == 1, "parse_aws_alb_log(value) takes 1 argument")
+        VrlParseAlbLog(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_aws_vpc_flow_log", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "parse_aws_vpc_flow_log(value[, format]) takes 1-2 arguments")
+        val format = exprs.lift(1)
+          .map(literalString(_, "parse_aws_vpc_flow_log: the format argument"))
+          .getOrElse(VrlParseVpcFlow.DefaultFormat)
+        VrlParseVpcFlow(exprs.head, format)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_redact", { exprs =>
+        require(exprs.size == 2, "redact(value, filters: [...]) takes 2 arguments")
+        // filters resolve at BUILD: each array element is a regex string
+        // literal or a named filter; the result is a codegen
+        // RegExpReplace chain, nothing interpreted per row
+        val patterns = exprs(1) match {
+          case CreateArray(children, _) => children.map {
+            case Literal(s: UTF8String, StringType) =>
+              VrlRedact.Named.getOrElse(s.toString, s.toString)
+            case _ => throw new IllegalArgumentException(
+              "redact: each filter must be a (raw) string literal or a " +
+                s"named filter (${VrlRedact.Named.keys.mkString(", ")})")
+          }
+          case _ => throw new IllegalArgumentException(
+            "redact: the filters argument must be an array literal")
+        }
+        require(patterns.nonEmpty, "redact: the filters array is empty")
+        patterns.foldLeft(exprs.head) { (acc, p) =>
+          RegExpReplace(acc, Literal(p), Literal("[REDACTED]"))
+        }
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_merge", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "merge(to, from[, deep: true]) takes 2-3 arguments")

@@ -471,6 +471,51 @@ object ConfigPipeline {
       .select("prod", "sev", "n", "first_cls", "first_src", "spt_sum", "msg")
   }
 
+  /** q263 — parse_aws_alb_log graded end-to-end: each event renders as a
+    * full 29-field ALB access-log line (quoted request/user-agent/list
+    * fields, `-` nulls), the VRL shim parses it back, and the oracle
+    * recomputes status/bytes/url/processing-time aggregates from the raw
+    * columns. */
+  private def q263(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q263").toString
+    val out = s"$base/out"
+    val render = "'http 2021-06-29T21:33:20.000000Z app/lb/1 10.0.0.' || " +
+      "cast(user_id % 256 AS string) || ':' || cast(1024 + event_id % 1024 AS string) || " +
+      "' 10.1.0.1:80 0.00' || cast(event_id % 10 AS string) || ' 0.001 0.000 ' || " +
+      "cast(200 + event_id % 4 AS string) || ' 200 ' || cast(event_id % 1000 AS string) || " +
+      "' ' || cast(event_id % 5000 AS string) || ' \\\"GET /' || event_type || " +
+      "' HTTP/1.1\\\" \\\"agent/1.0\\\" - - arn:x \\\"Root=1\\\" \\\"-\\\" \\\"-\\\" 0 " +
+      "2021-06-29T21:33:19.000000Z \\\"forward\\\" \\\"-\\\" \\\"-\\\" " +
+      "\\\"10.1.0.1:80\\\" \\\"200\\\" \\\"-\\\" \\\"-\\\"'"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT $render AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .a = parse_aws_alb_log(.line)
+         |            .status = .a.elb_status_code
+         |            .rcv = .a.received_bytes
+         |            .snt = .a.sent_bytes
+         |            .url = .a.request_url
+         |            .rpt = .a.request_processing_time
+         |        - type: sql
+         |          query: "SELECT status, count(*) AS n, CAST(sum(rcv) AS BIGINT) AS rcv_sum, CAST(sum(snt) AS BIGINT) AS snt_sum, min(url) AS first_url, CAST(sum(round(rpt * 1000)) AS BIGINT) AS rpt_ms FROM flow GROUP BY status"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out)
+      .select("status", "n", "rcv_sum", "snt_sum", "first_url", "rpt_ms")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
@@ -482,7 +527,8 @@ object ConfigPipeline {
     "q257_config_vrl_csv" -> ((s, dir) => q257(s, dir)),
     "q259_config_vrl_merge" -> ((s, dir) => q259(s, dir)),
     "q260_config_schema_registry" -> ((s, dir) => q260(s, dir)),
-    "q262_config_vrl_cef" -> ((s, dir) => q262(s, dir)))
+    "q262_config_vrl_cef" -> ((s, dir) => q262(s, dir)),
+    "q263_config_vrl_alb" -> ((s, dir) => q263(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -535,6 +581,13 @@ object ConfigPipeline {
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "q263_config_vrl_alb" ->
+      """SELECT CAST(200 + event_id % 4 AS INT) AS status, count(*) AS n,
+        |       CAST(sum(event_id % 1000) AS BIGINT) AS rcv_sum,
+        |       CAST(sum(event_id % 5000) AS BIGINT) AS snt_sum,
+        |       min('/' || event_type) AS first_url,
+        |       CAST(sum(event_id % 10) AS BIGINT) AS rpt_ms
         |FROM events GROUP BY 1""".stripMargin,
     "q262_config_vrl_cef" ->
       """SELECT event_type AS prod,

@@ -717,6 +717,13 @@ object Processors {
       // extension map), case conversions, AES ciphers, percent/punycode
       // codecs, format_int (parse_int's inverse)
       "parse_cef" -> "graft_vrl_parse_cef",
+      // AWS log family + PII redaction; parse_linux_authorization is
+      // RFC 3164 syslog (auth.log lines are plain 3164 — the syslog shim
+      // already covers both RFC forms)
+      "parse_aws_alb_log" -> "graft_vrl_parse_aws_alb_log",
+      "parse_aws_vpc_flow_log" -> "graft_vrl_parse_aws_vpc_flow_log",
+      "parse_linux_authorization" -> "graft_vrl_parse_syslog",
+      "redact" -> "graft_vrl_redact",
       "camelcase" -> "graft_vrl_camelcase",
       "pascalcase" -> "graft_vrl_pascalcase",
       "snakecase" -> "graft_vrl_snakecase",

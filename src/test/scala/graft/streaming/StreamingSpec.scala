@@ -1134,6 +1134,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unit must be"), err.getMessage)
   }
 
+  test("remap AWS log family + redact: parse_aws_alb_log, " +
+      "parse_aws_vpc_flow_log (default + custom format), " +
+      "parse_linux_authorization, redact named + regex filters (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val alb = "http 2018-07-02T22:23:00.186641Z app/my-lb/50dc6c 192.168.131.39:2817 " +
+      "10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 " +
+      "\"GET http://www.example.com:80/ HTTP/1.1\" \"curl/7.46.0\" - - " +
+      "arn:aws:elb:us-east-2:123:targetgroup/my-targets/73e2 " +
+      "\"Root=1-58337262-36d228ad\" \"-\" \"-\" 0 2018-07-02T22:22:48.364000Z " +
+      "\"forward\" \"-\" \"-\" \"10.0.0.1:80\" \"200\" \"-\" \"-\""
+    val vpc = "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 " +
+      "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+    val r = Processors.RemapProcessor(
+      s""".a = parse_aws_alb_log('$alb')
+        |.f = parse_aws_vpc_flow_log('$vpc')
+        |.g = parse_aws_vpc_flow_log('2 123 eni-1 ACCEPT', 'version account_id interface_id action')
+        |.auth = parse_linux_authorization('<38>Jan 12 10:30:00 host1 sshd[1234]: Accepted publickey for root')
+        |.red = redact('call 555-1234 or ssn 123-45-6789', filters: ['us_social_security_number', r'\\d{3}-\\d{4}'])
+        |""".stripMargin)(frame)
+      .selectExpr("a.type", "a.client_host", "a.request_processing_time",
+        "a.elb_status_code", "a.sent_bytes", "a.request_method",
+        "a.request_url", "a.request_protocol", "a.user_agent",
+        "a.ssl_cipher", "a.domain_name", "a.matched_rule_priority",
+        "a.actions_executed", "a.target_port_list[0]",
+        "f.version", "f.srcaddr", "f.dstport", "f.bytes", "f.action",
+        "g.version", "g.action",
+        "auth.appname", "auth.severity", "red").collect().head
+    assert(r.getString(0) == "http" && r.getString(1) == "192.168.131.39:2817")
+    assert(r.getDouble(2) == 0.0 && r.getInt(3) == 200 && r.getLong(4) == 366L)
+    assert(r.getString(5) == "GET" &&
+      r.getString(6) == "http://www.example.com:80/" &&
+      r.getString(7) == "HTTP/1.1")
+    assert(r.getString(8) == "curl/7.46.0")
+    assert(r.isNullAt(9) && r.isNullAt(10), "'-' fields are null")
+    assert(r.getInt(11) == 0 && r.getString(12) == "forward")
+    assert(r.getString(13) == "10.0.0.1:80")
+    assert(r.getLong(14) == 2L && r.getString(15) == "172.31.16.139")
+    assert(r.getLong(16) == 22L && r.getLong(17) == 4249L &&
+      r.getString(18) == "ACCEPT")
+    assert(r.getLong(19) == 2L && r.getString(20) == "ACCEPT",
+      "custom format narrows the struct")
+    assert(r.getString(21) == "sshd" && r.getString(22) == "info",
+      "auth.log lines parse through the 3164 shim")
+    assert(r.getString(23) == "call [REDACTED] or ssn [REDACTED]")
+    // bad formats fail at build
+    val err = intercept[Exception] {
+      Processors.RemapProcessor(
+        """.x = parse_aws_vpc_flow_log('1 2', .sensor)
+          |""".stripMargin)(frame).collect()
+    }
+    assert(err.getMessage.contains("string literal"), err.getMessage)
+  }
+
   test("remap bare `.` operand: `. = merge(., obj)` enrichment idiom, " +
       "`x = .` snapshot, metadata/vars excluded from the event value") {
     val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
