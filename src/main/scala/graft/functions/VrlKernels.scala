@@ -864,3 +864,83 @@ object VrlRedact {
   val Named: Map[String, String] = Map(
     "us_social_security_number" -> "\\b\\d{3}-?\\d{2}-?\\d{4}\\b")
 }
+
+/** VRL `parse_tokens(value)` → `array<string>`: whitespace-separated
+  * tokens where double-quoted strings and square-bracketed groups each
+  * form ONE token (delimiters stripped), the classic access-log
+  * tokenizer. `-` stays a literal token like VRL's. */
+case class VrlParseTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlParseTokens.parse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlParseTokens.parse($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): VrlParseTokens =
+    copy(child = newChild)
+}
+
+object VrlParseTokens {
+  def parse(value: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = value.toString
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val cur = new StringBuilder
+    var mode = ' ' // ' ' plain, '"' quoted, '[' bracketed
+    var started = false
+    def flush(): Unit = {
+      if (started || cur.nonEmpty) out += UTF8String.fromString(cur.toString)
+      cur.clear(); started = false
+    }
+    s.foreach { c =>
+      mode match {
+        case '"' =>
+          if (c == '"') { flush(); mode = ' ' } else cur += c
+        case '[' =>
+          if (c == ']') { flush(); mode = ' ' } else cur += c
+        case _ => c match {
+          case '"' => mode = '"'; started = true
+          case '[' => mode = '['; started = true
+          case ' ' | '\t' => flush()
+          case other => cur += other; started = true
+        }
+      }
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** VRL `sieve(value, permitted)` — keeps only the PERMITTED pattern's
+  * matches (non-matching runs drop; pass `replace_single`-style
+  * behavior by post-processing). Pattern compiled ONCE at build. */
+case class VrlSieve(child: Expression, pattern: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    VrlSieve.sieve(v.asInstanceOf[UTF8String], pattern)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("pattern", pattern, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlSieve.sieve($v, $p);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VrlSieve =
+    copy(child = newChild)
+}
+
+object VrlSieve {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.regex.Pattern]()
+
+  def sieve(v: UTF8String, pattern: String): UTF8String = {
+    val p = cache.computeIfAbsent(pattern, java.util.regex.Pattern.compile(_))
+    val m = p.matcher(v.toString)
+    val out = new StringBuilder
+    while (m.find()) out ++= m.group()
+    UTF8String.fromString(out.toString)
+  }
+}

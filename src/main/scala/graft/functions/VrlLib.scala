@@ -289,6 +289,26 @@ object VrlLib {
         }
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_glog", { exprs =>
+        require(exprs.size == 1, "parse_glog(value) takes 1 argument")
+        VrlLib.parseGlogStruct(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_tokens", { exprs =>
+        require(exprs.size == 1, "parse_tokens(value) takes 1 argument")
+        VrlParseTokens(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_sieve", { exprs =>
+        require(exprs.size == 2, "sieve(value, permitted) takes 2 arguments")
+        val pat = literalString(exprs(1), "sieve: the permitted argument")
+        try java.util.regex.Pattern.compile(pat)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"sieve: bad permitted pattern `$pat`: ${e.getMessage}") }
+        VrlSieve(exprs.head, pat)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_merge", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "merge(to, from[, deep: true]) takes 2-3 arguments")
@@ -573,6 +593,39 @@ object VrlLib {
     * → null struct; a '-' size and a non-splittable request degrade to
     * null FIELDS. Nothing throws under default ANSI (TRY casts,
     * failOnError=false timestamp parse). */
+  /** VRL `parse_glog(value)` / `parse_klog(value)` — the Google glog /
+    * k8s klog line format `Lmmdd hh:mm:ss.uuuuuu threadid file:line] msg`.
+    * Fields: level keyword (info/warning/error/fatal), timestamp (glog
+    * omits the year — VRL fills the CURRENT UTC year, mirrored here via
+    * year(current_date())), id, file, line, message. Non-matching input
+    * → null struct, the nginx-shim convention. */
+  private[functions] def parseGlogStruct(v: Expression): Expression = {
+    val pat = "^([IWEF])(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2}\\.\\d{6})\\s+" +
+      "(\\d+) ([^:\\]]+):(\\d+)\\] (.*)$"
+    def g(i: Int) = RegExpExtract(v, Literal(pat), Literal(i))
+    val level = CaseWhen(Seq(
+      (EqualTo(g(1), Literal("I")), Literal("info")),
+      (EqualTo(g(1), Literal("W")), Literal("warning")),
+      (EqualTo(g(1), Literal("E")), Literal("error"))),
+      Some(Literal("fatal")))
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val tsText = Concat(Seq(
+      Cast(Year(CurrentDate(Some(tz))), StringType), Literal("-"),
+      g(2), Literal("-"), g(3), Literal(" "), g(4)))
+    val ts = ParseToTimestamp(tsText,
+      Some(Literal("yyyy-MM-dd HH:mm:ss.SSSSSS")), TimestampType, Some(tz), false)
+    val fields: Seq[(String, Expression)] = Seq(
+      "file" -> g(6),
+      "id" -> Cast(g(5), IntegerType, None, EvalMode.TRY),
+      "level" -> level,
+      "line" -> Cast(g(7), IntegerType, None, EvalMode.TRY),
+      "message" -> g(8),
+      "timestamp" -> ts)
+    val struct = CreateNamedStruct(fields.flatMap {
+      case (n, e) => Seq(Literal(n), e) })
+    If(RLike(v, Literal(pat)), struct, Literal.create(null, struct.dataType))
+  }
+
   private[functions] def parseCommonLogStruct(v: Expression, combined: Boolean): Expression = {
     val pat = if (combined) Clf + ClfCombinedTail else Clf + "$"
     val nullStr = Literal.create(null, StringType)

@@ -724,6 +724,12 @@ object Processors {
       "parse_aws_vpc_flow_log" -> "graft_vrl_parse_aws_vpc_flow_log",
       "parse_linux_authorization" -> "graft_vrl_parse_syslog",
       "redact" -> "graft_vrl_redact",
+      // glog/klog share one line format; parse_tokens is the classic
+      // access-log tokenizer; sieve keeps only the permitted pattern
+      "parse_glog" -> "graft_vrl_parse_glog",
+      "parse_klog" -> "graft_vrl_parse_glog",
+      "parse_tokens" -> "graft_vrl_parse_tokens",
+      "sieve" -> "graft_vrl_sieve",
       "camelcase" -> "graft_vrl_camelcase",
       "pascalcase" -> "graft_vrl_pascalcase",
       "snakecase" -> "graft_vrl_snakecase",
@@ -1265,6 +1271,10 @@ object Processors {
     }
 
     private val IfStatement = """(?s)if[\s(].*""".r
+    // metadata assignment `%name = rhs` (statement form; reads are the
+    // MetaRef rewrite inside expressions)
+    private val MetaAssign =
+      """(?s)%([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
 
     private val statements: Seq[DataFrame => DataFrame] =
       splitTop(maskedProgram).flatMap[DataFrame => DataFrame] {
@@ -1275,6 +1285,12 @@ object Processors {
         // abort ends the program dropping the event; conditional aborts
         // live inside statement-form if arms)
         case "abort" => Some((df: DataFrame) => df.limit(0))
+        // metadata WRITES `%name = rhs` land on the engine's __meta_*
+        // columns (the read side is the MetaRef rewrite) — VRL programs
+        // set %metadata for downstream sinks/routing
+        case MetaAssign(name, rhs) =>
+          val sql = fieldRefs(rhs)
+          Some((df: DataFrame) => df.withColumn(s"__meta_$name", exprFor(df, sql)))
         case DotAssign(rhs) =>
           val sql = fieldRefs(rhs)
           Some((df: DataFrame) => {

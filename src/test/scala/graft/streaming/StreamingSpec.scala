@@ -1187,6 +1187,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string literal"), err.getMessage)
   }
 
+  test("remap glog/klog + parse_tokens + sieve (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val r = Processors.RemapProcessor(
+      """.g = parse_glog('I0401 12:01:02.123456 12345 server.cc:123] shutting down, code 7')
+        |.k = parse_klog('E1225 23:59:59.000001 1 main.go:42] oops')
+        |.t = parse_tokens('1.2.3.4 - - [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200')
+        |.s = sieve('a1-b2_c3!x', r'[a-z0-9]+')
+        |.bad = parse_glog('not a glog line')
+        |""".stripMargin)(frame)
+      .selectExpr("g.level", "g.id", "g.file", "g.line", "g.message",
+        "date_format(g.timestamp, 'MM-dd HH:mm:ss.SSSSSS')",
+        "k.level", "k.file",
+        "t", "s", "bad").collect().head
+    assert(r.getString(0) == "info" && r.getInt(1) == 12345)
+    assert(r.getString(2) == "server.cc" && r.getInt(3) == 123)
+    assert(r.getString(4) == "shutting down, code 7")
+    assert(r.getString(5) == "04-01 12:01:02.123456",
+      "glog's yearless timestamp keeps month/day/time exactly")
+    assert(r.getString(6) == "error" && r.getString(7) == "main.go")
+    assert(r.getSeq[String](8) == Seq("1.2.3.4", "-", "-",
+      "10/Oct/2000:13:55:36 -0700", "GET /x HTTP/1.0", "200"),
+      "quoted and bracketed groups each form one token")
+    assert(r.getString(9) == "a1b2c3x", "sieve keeps only permitted runs")
+    assert(r.isNullAt(10), "non-glog input yields a null struct")
+    // a bad sieve pattern fails at build naming the culprit
+    val err = intercept[Exception] {
+      Processors.RemapProcessor(""".x = sieve('a', '[unclosed')
+        |""".stripMargin)(frame).collect()
+    }
+    assert(err.getMessage.contains("bad permitted pattern"), err.getMessage)
+  }
+
   test("remap bare `.` operand: `. = merge(., obj)` enrichment idiom, " +
       "`x = .` snapshot, metadata/vars excluded from the event value") {
     val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
@@ -1219,6 +1251,17 @@ class StreamingSpec extends AnyFunSuite {
     val d = Processors.RemapProcessor(""".half = .value * 0.5
       |""".stripMargin)(frame).selectExpr("cast(half AS double)").collect().head
     assert(d.getDouble(0) == 5.0)
+    // metadata WRITES: `%name = rhs` lands on __meta_*, readable back
+    // through %name, and survives whole-event replacement
+    val mw = Processors.RemapProcessor(
+      """%route = upcase(.sensor)
+        |. = { "only": 1 }
+        |.r = %route
+        |""".stripMargin)(frame)
+    assert(mw.columns.contains("__meta_route"))
+    val mr = mw.selectExpr("only", "r", "__meta_route").collect().head
+    assert(mr.getInt(0) == 1 && mr.getString(1) == "TEMP_1" &&
+      mr.getString(2) == "TEMP_1")
   }
 
   test("remap security/string tranche: parse_cef, case conversions, " +
