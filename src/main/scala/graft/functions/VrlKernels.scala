@@ -245,9 +245,30 @@ case class VrlParseQueryString(child: Expression) extends UnaryExpression {
 }
 
 object VrlParseQueryString {
-  private def decode(s: String): String =
-    try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
-    catch { case _: IllegalArgumentException => s }
+  /** form-urlencoded decode, escape-by-escape: '+' → space, valid %XX
+    * decodes, an INVALID escape passes through raw WITHOUT poisoning
+    * the token's other escapes (URLDecoder would throw and force the
+    * whole token raw — 'a+b%zz' must still give 'a b%zz'). */
+  private def decode(s: String): String = {
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if (c == '+') { out.write(' '); i += 1 }
+      else if (c == '%' && i + 2 < bytes.length &&
+          hex(bytes(i + 1).toChar) >= 0 && hex(bytes(i + 2).toChar) >= 0) {
+        out.write(hex(bytes(i + 1).toChar) * 16 + hex(bytes(i + 2).toChar))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   def parse(value: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
     val s0 = value.toString
@@ -355,7 +376,9 @@ object VrlParseInt {
     }
     try {
       require(s.nonEmpty)
-      sign * java.lang.Long.parseLong(s, base)
+      // parse WITH the sign attached: Long.MinValue's magnitude
+      // overflows a positive parse
+      java.lang.Long.parseLong(if (sign < 0) "-" + s else s, base)
     } catch {
       case _: NumberFormatException | _: IllegalArgumentException =>
         throw new IllegalArgumentException(
@@ -505,18 +528,22 @@ object VrlCaseConvert {
   }
 
   def convert(v: UTF8String, style: String): UTF8String = {
+    // Locale.ROOT everywhere: default-locale casing (tr_TR dotless-ı)
+    // would make row values differ by deployment environment
+    val R = java.util.Locale.ROOT
     val ws = words(v.toString)
     def cap(w: String) =
-      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+      if (w.isEmpty) w
+      else w.substring(0, 1).toUpperCase(R) + w.substring(1).toLowerCase(R)
     val out = style match {
       case "camel" => ws.zipWithIndex.map {
-        case (w, 0) => w.toLowerCase
+        case (w, 0) => w.toLowerCase(R)
         case (w, _) => cap(w)
       }.mkString
       case "pascal" => ws.map(cap).mkString
-      case "snake" => ws.map(_.toLowerCase).mkString("_")
-      case "screaming_snake" => ws.map(_.toUpperCase).mkString("_")
-      case "kebab" => ws.map(_.toLowerCase).mkString("-")
+      case "snake" => ws.map(_.toLowerCase(R)).mkString("_")
+      case "screaming_snake" => ws.map(_.toUpperCase(R)).mkString("_")
+      case "kebab" => ws.map(_.toLowerCase(R)).mkString("-")
     }
     UTF8String.fromString(out)
   }

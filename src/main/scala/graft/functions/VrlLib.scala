@@ -725,14 +725,15 @@ object VrlLib {
   // the message matches LAZILY against the anchored annotation tail (no
   // trailing `.*`): a comma inside the message — quoted paths, URLs —
   // stays in the message instead of truncating it, exactly the VRL
-  // stdlib's anchoring; an unknown trailing annotation (`, referrer:`)
-  // is tolerated unparsed
+  // stdlib's anchoring. The tail is captured as ONE generic
+  // `, name: value` sequence (value quoted or comma-free), so an
+  // annotation this shim does not extract (`, subrequest:` between
+  // request and host, `, referrer:` at the end) never derails the ones
+  // it does — each known field extracts from the tail separately.
   private val NginxErrorPat =
     "^(\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}) \\[(\\w+)\\] " +
       "(\\d+)#(\\d+):(?: \\*(\\d+))? (.*?)" +
-      "(?:, client: ([^,]+))?(?:, server: ([^,]*))?" +
-      "(?:, request: \"([^\"]*)\")?(?:, upstream: \"([^\"]*)\")?" +
-      "(?:, host: \"([^\"]*)\")?(?:, referrer: \"[^\"]*\")?$"
+      "((?:, [a-z_]+: (?:\"[^\"]*\"|[^,]*))*)$"
 
   /** nginx `error` format → VRL's field set (cid/client/host/message/
     * pid/request/server/severity/tid/timestamp/upstream); TRY-free by
@@ -743,20 +744,28 @@ object VrlLib {
     def g(i: Int) = RegExpExtract(v, Literal(NginxErrorPat), Literal(i))
     def emptyNull(e: Expression): Expression =
       If(EqualTo(e, Literal("")), nullStr, e)
+    // known annotations extract INDIVIDUALLY from the captured tail —
+    // position-independent, so an unknown annotation between them
+    // (subrequest, referrer) costs nothing
+    val tail = g(7)
+    def annot(name: String, quoted: Boolean): Expression = {
+      val pat = if (quoted) s", $name: \"([^\"]*)\"" else s", $name: ([^,]*)"
+      emptyNull(RegExpExtract(tail, Literal(pat), Literal(1)))
+    }
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     val fields: Seq[(String, Expression)] = Seq(
       "cid" -> Cast(emptyNull(g(5)), LongType, None, EvalMode.TRY),
-      "client" -> emptyNull(g(7)),
-      "host" -> emptyNull(g(11)),
+      "client" -> annot("client", quoted = false),
+      "host" -> annot("host", quoted = true),
       "message" -> g(6),
       "pid" -> Cast(g(3), IntegerType, None, EvalMode.TRY),
-      "request" -> emptyNull(g(9)),
-      "server" -> emptyNull(g(8)),
+      "request" -> annot("request", quoted = true),
+      "server" -> annot("server", quoted = false),
       "severity" -> g(2),
       "tid" -> Cast(g(4), IntegerType, None, EvalMode.TRY),
       "timestamp" -> ParseToTimestamp(g(1),
         Some(Literal("yyyy/MM/dd HH:mm:ss")), TimestampType, Some(tz), false),
-      "upstream" -> emptyNull(g(10)))
+      "upstream" -> annot("upstream", quoted = true))
     val struct = CreateNamedStruct(fields.flatMap {
       case (n, e) => Seq(Literal(n), e) })
     If(RLike(v, Literal(NginxErrorPat)), struct,

@@ -102,7 +102,13 @@ object VrlMerge {
   * Codegen'd via a static kernel call like [[VrlParseKeyValue]]. */
 case class VrlMapMerge(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def dataType: DataType = left.dataType
+  // union nullability: either side's null-bearing values can land in
+  // the result, so a false-containsNull left must not mask them
+  override def dataType: DataType = (left.dataType, right.dataType) match {
+    case (l: MapType, r: MapType) =>
+      l.copy(valueContainsNull = l.valueContainsNull || r.valueContainsNull)
+    case _ => left.dataType
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -236,6 +236,9 @@ object Multimodal {
             while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
               val cid = new String(bytes, pos, 4, "US-ASCII")
               val size = bb.getInt(pos + 4)
+              // a negative size would make the walk step non-positive —
+              // an infinite loop, not an exception, so guard explicitly
+              require(size >= 0, s"negative chunk size $size")
               cid match {
                 case "fmt " =>
                   require(bb.getShort(pos + 8) == 1, "not PCM")
@@ -386,6 +389,7 @@ object Multimodal {
             while (pos + 8 <= bytes.length) {
               val ckid = cc(pos)
               val size = bb.getInt(pos + 4)
+              require(size >= 0, s"negative chunk size $size")
               ckid match {
                 case "LIST" =>
                   val ltype = cc(pos + 8)
@@ -396,6 +400,7 @@ object Multimodal {
                     while (p + 8 <= end) {
                       val cid = cc(p)
                       val csz = bb.getInt(p + 4)
+                      require(csz >= 0, s"negative chunk size $csz")
                       if (cid == "avih") {
                         fps = 1000000L / bb.getInt(p + 8)
                         hdrFrames = bb.getInt(p + 24).toLong
@@ -408,6 +413,7 @@ object Multimodal {
                         while (q + 8 <= lend) {
                           val scid = cc(q)
                           val ssz = bb.getInt(q + 4)
+                          require(ssz >= 0, s"negative chunk size $ssz")
                           if (scid == "strh" && cc(q + 8) == "vids") {
                             val scale = bb.getInt(q + 28).toLong
                             val rate = bb.getInt(q + 32).toLong
@@ -427,6 +433,7 @@ object Multimodal {
                     while (p + 8 <= end) {
                       val cid = cc(p)
                       val csz = bb.getInt(p + 4)
+                      require(csz >= 0, s"negative chunk size $csz")
                       if (cid.endsWith("dc") || cid.endsWith("db")) {
                         nFrames += 1
                         totalBytes += csz

@@ -805,7 +805,10 @@ object Engine {
         auth.foreach(t => require(t == "basic" || t == "bearer",
           s"Unsupported auth type: $t"))
         val bearer = if (auth.contains("bearer"))
-          c.options.get("codec.auth.token").orElse(Some("")) else None
+          Some(c.options.getOrElse("codec.auth.token",
+            throw new IllegalArgumentException(
+              "schema_registry codec: auth type bearer needs `token`")))
+          else None
         val basic = if (auth.contains("basic"))
           Some((c.options.getOrElse("codec.auth.username", ""),
             c.options.getOrElse("codec.auth.password", ""))) else None

@@ -614,11 +614,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(idxPos > 0, "fixture has an idx1 chunk")
     java.nio.ByteBuffer.wrap(badIndex)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(idxPos + 8 + 12, 1)
+    // a NEGATIVE chunk size would stall the walk (step <= 0) — must
+    // degrade like any other malformed input, not spin the task
+    val negSize = base.clone()
+    java.nio.ByteBuffer.wrap(negSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, -8)
     val media = Seq(
       (9L, base),
       (10L, lyingHeader),
       (11L, badIndex),
-      (12L, "not an avi".getBytes("UTF-8"))
+      (12L, "not an avi".getBytes("UTF-8")),
+      (13L, negSize)
     ).toDF("doc_id", "payload")
     val got = Multimodal.decodeAvi(spark, media).collect()
       .map(m => m.doc_id -> m).toMap
@@ -630,6 +636,8 @@ class OperatorsSpec extends AnyFunSuite {
       "header/walk frame-count mismatch degrades")
     assert(got(11L).width == -1L, "index/walk disagreement degrades")
     assert(got(12L).width == -1L, "garbage degrades, never throws")
+    assert(got(13L).width == -1L,
+      "a negative chunk size degrades instead of stalling the walk")
   }
 
   test("real resize: a black/white checkerboard downscales to mid-gray; dims honor the contract") {

@@ -67,6 +67,10 @@ class StreamingSpec extends AnyFunSuite {
       Engine.inputCodec(ComponentConf("kafka",
         Map("codec.type" -> "schema_registry",
           "codec.registry_url" -> "http://x", "codec.auth.type" -> "oauth"))))
+    intercept[IllegalArgumentException](
+      Engine.inputCodec(ComponentConf("kafka",
+        Map("codec.type" -> "schema_registry",
+          "codec.registry_url" -> "http://x", "codec.auth.type" -> "bearer"))))
   }
 
   test("json_to_arrow infers schema and decodes the binary envelope") {
@@ -828,11 +832,13 @@ class StreamingSpec extends AnyFunSuite {
       """.e = parse_nginx_log('2021/06/03 09:30:50 [error] 32#32: *6 open() "/usr/share/nginx/html/x" failed (2: No such file or directory), client: 172.17.0.1, server: localhost, request: "GET /x HTTP/1.1", host: "localhost:8081"', 'error')
         |.bare = parse_nginx_log('2021/06/03 09:30:50 [notice] 1#1: using the "epoll" event method', 'error')
         |.comma = parse_nginx_log('2021/06/03 09:30:50 [error] 5#5: *1 upstream timed out (110: Connection timed out, retrying), client: 1.2.3.4, host: "api.example.com"', 'error')
+        |.sub = parse_nginx_log('2021/06/03 09:30:50 [error] 1#1: *5 open() failed, client: 1.2.3.4, server: s1, request: "GET /x HTTP/1.1", subrequest: "/auth", host: "h1", referrer: "http://r/"', 'error')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
       .selectExpr("e.severity", "e.pid", "e.tid", "e.cid", "e.client",
         "e.request", "e.host", "cast(e.timestamp as string)",
         "bare.severity", "bare.message", "bare.cid",
-        "e.message", "comma.message", "comma.client", "comma.host")
+        "e.message", "comma.message", "comma.client", "comma.host",
+        "sub.message", "sub.client", "sub.request", "sub.host")
       .collect().head
     assert(ne.getString(0) == "error")
     assert(ne.getInt(1) == 32 && ne.getInt(2) == 32 && ne.getLong(3) == 6L)
@@ -851,6 +857,11 @@ class StreamingSpec extends AnyFunSuite {
         "against the anchored annotation tail)")
     assert(ne.getString(13) == "1.2.3.4" &&
       ne.getString(14) == "api.example.com")
+    assert(ne.getString(15) == "open() failed" &&
+      ne.getString(16) == "1.2.3.4" &&
+      ne.getString(17) == "GET /x HTTP/1.1" && ne.getString(18) == "h1",
+      "unknown annotations (subrequest, referrer) between and after " +
+        "known ones never derail the extraction")
     // ingress-nginx upstreaminfo: the k8s controller's access format
     val ing = Processors.RemapProcessor(
       """.g = parse_nginx_log('10.0.0.1 - bob [31/Dec/2021:16:49:29 +0000] "GET /api/v1 HTTP/1.1" 200 612 "-" "kube-probe/1.21" 154 0.003 [default-svc-80] [] 172.17.0.5:8080 612 0.004 200 7f9a1', 'ingress_upstreaminfo')
@@ -946,7 +957,7 @@ class StreamingSpec extends AnyFunSuite {
         |.i = parse_user_agent('Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1')
         |.b = parse_user_agent('Googlebot/2.1 (+http://www.google.com/bot.html)')
         |.qs = parse_query_string('?x=1&y=hello&flag=')
-        |.enc = parse_query_string('q=a%20b+c&path=%2Fusr%2Fbin&bare&bad=%zz&dup=1&dup=2')
+        |.enc = parse_query_string('q=a%20b+c&path=%2Fusr%2Fbin&bare&bad=%zz&dup=1&dup=2&mix=a+b%zz')
         |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
     val r = out.selectExpr(
       "c.browser.family", "c.browser.version", "c.os.family", "c.os.version",
@@ -955,7 +966,8 @@ class StreamingSpec extends AnyFunSuite {
       "i.browser.family", "i.os.family", "i.os.version", "i.device.category",
       "b.browser.family", "b.device.category",
       "qs['x']", "qs['y']", "qs['flag']",
-      "enc['q']", "enc['path']", "enc['bare']", "enc['bad']", "enc['dup']")
+      "enc['q']", "enc['path']", "enc['bare']", "enc['bad']", "enc['dup']",
+      "enc['mix']")
       .collect().head
     assert(r.getString(0) == "Chrome" && r.getString(1) == "120.0.0.0")
     assert(r.getString(2) == "Windows" && r.getString(3) == "10.0")
@@ -975,6 +987,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(19) == "%zz", "invalid escape keeps the raw text")
     assert(r.getString(20) == "2",
       "repeated key: last wins (documented divergence from VRL's array)")
+    assert(r.getString(21) == "a b%zz",
+      "one invalid escape must not poison the token's valid decodes")
   }
 
   test("remap crypto/encoding tranche: parse_csv (RFC 4180), sha2 (VRL's " +
@@ -1107,6 +1121,7 @@ class StreamingSpec extends AnyFunSuite {
         |.octv = parse_int('0o17')
         |.decv = parse_int('-42')
         |.based = parse_int('ff', 16)
+        |.minv = parse_int('-9223372036854775808')
         |.bad = parse_int('nope') ?? 99
         |.ts = format_timestamp(to_timestamp(1609459200), 'yyyy-MM-dd HH:mm:ss')
         |.tms = format_timestamp(to_timestamp(1609459200500, 'milliseconds'), 'ss')
@@ -1114,7 +1129,8 @@ class StreamingSpec extends AnyFunSuite {
         |.tstr = format_timestamp(to_timestamp('2021-01-01T00:00:03Z'), 'ss')
         |""".stripMargin)(frame)
       .selectExpr("line", "rt[1]", "rt[2]", "semi", "hexv", "binv", "octv",
-        "decv", "based", "bad", "ts", "tms", "tns", "tstr").collect().head
+        "decv", "based", "bad", "ts", "tms", "tns", "tstr", "minv")
+      .collect().head
     assert(r.getString(0) == "a,\"b,c\",\"say \"\"hi\"\"\",plain")
     assert(r.getString(1) == "b,c" && r.getString(2) == "say \"hi\"",
       "encode_csv round-trips through parse_csv")
@@ -1126,6 +1142,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(11) == "00", "milliseconds truncate to the second")
     assert(r.getString(12) == "01")
     assert(r.getString(13) == "03", "RFC 3339 string parses")
+    assert(r.getLong(14) == Long.MinValue,
+      "i64::MIN parses (sign must stay attached through the parse)")
     // bad unit / non-literal base fail at build
     val err = intercept[Exception] {
       Processors.RemapProcessor(""".x = to_timestamp(1, 'fortnights')
@@ -1236,8 +1254,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.columns.exists(_.startsWith("__vrl_var_")),
       "the snapshot variable never lands in the output event")
     assert(out.columns.contains("__meta_source"),
-      "metadata columns survive the whole-event replacement untouched" +
-        " — wait, they are event-external")
+      "metadata columns are event-external state and survive the " +
+        "whole-event replacement")
     val r = out.selectExpr("sensor", "value", "old_value", "region",
       "kv['level']").collect().head
     assert(r.getString(0) == "temp_1")
