@@ -516,6 +516,44 @@ object ConfigPipeline {
       .select("status", "n", "rcv_sum", "snt_sum", "first_url", "rpt_ms")
   }
 
+  /** q264 — the whole-event ENRICHMENT idiom graded end-to-end: a
+    * metadata write (`%route = ...`), a logfmt parse, the canonical
+    * `. = merge(., obj)` whole-event merge (bare `.` as a value), and a
+    * metadata read-back after the replacement — the exact statement
+    * shape a Vector remap migration carries. The oracle recomputes
+    * every merged/routed value from the raw columns. */
+  private def q264(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q264").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT 'level=' || CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'debug' WHEN 1 THEN 'info' ELSE 'warn' END || ' ttl=' || cast(event_id % 100 AS string) AS line, event_type AS etype, user_id AS uid FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            %route = upcase(.etype)
+         |            .kv = parse_logfmt(.line)
+         |            . = merge(., { "region": 'eu', "uid2": .uid * 2 })
+         |            .lvl = .kv['level']
+         |            .ttl, err = to_int(.kv['ttl'])
+         |            .route = %route
+         |        - type: sql
+         |          query: "SELECT etype, count(*) AS n, min(route) AS first_route, min(region) AS region, min(lvl) AS first_lvl, CAST(sum(ttl) AS BIGINT) AS ttl_sum, CAST(sum(uid2) AS BIGINT) AS uid2_sum FROM flow GROUP BY etype"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "n", "first_route", "region",
+      "first_lvl", "ttl_sum", "uid2_sum")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
@@ -528,7 +566,8 @@ object ConfigPipeline {
     "q259_config_vrl_merge" -> ((s, dir) => q259(s, dir)),
     "q260_config_schema_registry" -> ((s, dir) => q260(s, dir)),
     "q262_config_vrl_cef" -> ((s, dir) => q262(s, dir)),
-    "q263_config_vrl_alb" -> ((s, dir) => q263(s, dir)))
+    "q263_config_vrl_alb" -> ((s, dir) => q263(s, dir)),
+    "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
     "q250_config_pipeline" ->
@@ -581,6 +620,15 @@ object ConfigPipeline {
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "q264_config_vrl_enrich" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       min(upper(event_type)) AS first_route,
+        |       'eu' AS region,
+        |       min(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'debug'
+        |           WHEN 1 THEN 'info' ELSE 'warn' END) AS first_lvl,
+        |       CAST(sum(event_id % 100) AS BIGINT) AS ttl_sum,
+        |       CAST(sum(user_id * 2) AS BIGINT) AS uid2_sum
         |FROM events GROUP BY 1""".stripMargin,
     "q263_config_vrl_alb" ->
       """SELECT CAST(200 + event_id % 4 AS INT) AS status, count(*) AS n,
