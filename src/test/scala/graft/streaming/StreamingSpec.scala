@@ -1381,6 +1381,19 @@ class StreamingSpec extends AnyFunSuite {
         |""".stripMargin)(frame).collect()
     }
     assert(err.getMessage.contains("merge"), err.getMessage)
+    // deep recursion reaching a MIXED shared field: both sides hold a
+    // struct at the top, but the shared inner field pairs a map with a
+    // struct — the recursion converts and map-merges (from wins)
+    val nested = Processors.RemapProcessor(
+      """.nm = merge({ "tags": { "a": 1, "b": 2 } }, { "tags": { "b": 9 } }, deep: true)
+        |.mx = merge(map('k', map('a', '1')), map('k', map('a', '2', 'c', '3')))
+        |""".stripMargin)(frame)
+      .selectExpr("nm.tags.a", "nm.tags.b",
+        "mx['k']['a']", "mx['k']['c']").collect().head
+    assert(nested.getInt(0) == 1 && nested.getInt(1) == 9)
+    assert(nested.getString(2) == "2" && nested.getString(3) == "3",
+      "map-of-map collision replaces the whole inner value (shallow map " +
+        "merge, VRL's non-deep behavior)")
   }
 
   test("remap build-time config validation: bad parse_csv delimiter fails " +
