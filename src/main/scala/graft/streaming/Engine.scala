@@ -784,7 +784,15 @@ object Engine {
     * processors. Wire format + REST resolve per
     * codec/schema_registry.rs:205-260; auth block `type: basic|bearer`
     * with username/password/token. */
-  def inputCodec(c: ComponentConf): Seq[Processors.BatchTransform] =
+  def inputCodec(c: ComponentConf): Seq[Processors.BatchTransform] = {
+    // a codec: block whose `type` key is missing (or typo'd to another
+    // key) must fail at BUILD — silently skipping the codec would flow
+    // raw envelope bytes into processors undetected
+    if (c.options.keys.exists(_.startsWith("codec.")) &&
+        !c.options.contains("codec.type"))
+      throw new IllegalArgumentException(
+        s"input `${c.kind}` has a codec: block with no `type` key " +
+          s"(found: ${c.options.keys.filter(_.startsWith("codec.")).toSeq.sorted.mkString(", ")})")
     c.options.get("codec.type").toSeq.map {
       case "json" => Processors.JsonToArrow()
       case "debezium_json" =>
@@ -821,6 +829,7 @@ object Engine {
       case other => throw new IllegalArgumentException(
         s"unknown input codec: $other")
     }
+  }
 
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     Config.streamIds(conf).zip(conf.streams).flatMap { case (id, s) =>

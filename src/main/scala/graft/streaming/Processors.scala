@@ -889,19 +889,36 @@ object Processors {
       throw new IllegalArgumentException(s"remap: unclosed paren in `${unmask(s)}`")
     }
 
-    /** Split on commas at paren/brace depth 0, every segment VERBATIM
-      * (no trim — trimming strips NUL literal-mask delimiters — and no
-      * empty-filter, so `f()` survives). */
+    /** Matching ']' for the '[' at `open` — literals are masked, so
+      * brackets are all syntax, same contract as [[matchParenIn]]. */
+    private def matchBracketIn(s: String, open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        if (s(i) == '[') depth += 1
+        else if (s(i) == ']') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"remap: unclosed bracket in `${unmask(s)}`")
+    }
+
+    /** Split on commas at paren/brace/bracket depth 0, every segment
+      * VERBATIM (no trim — trimming strips NUL literal-mask delimiters —
+      * and no empty-filter, so `f()` survives). Brackets count too: an
+      * array-literal element's internal comma (`compact([f(.a) ?? 0, 1])`)
+      * is NOT an argument separator. */
     private def splitArgsVerbatim(s: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       val cur = new StringBuilder
-      var pd = 0; var bd = 0
+      var pd = 0; var bd = 0; var sd = 0
       s.foreach {
         case c @ '(' => pd += 1; cur += c
         case c @ ')' => pd -= 1; cur += c
         case c @ '{' => bd += 1; cur += c
         case c @ '}' => bd -= 1; cur += c
-        case ',' if pd == 0 && bd == 0 => out += cur.toString(); cur.clear()
+        case c @ '[' => sd += 1; cur += c
+        case c @ ']' => sd -= 1; cur += c
+        case ',' if pd == 0 && bd == 0 && sd == 0 => out += cur.toString(); cur.clear()
         case c => cur += c
       }
       out += cur.toString()
@@ -929,6 +946,15 @@ object Processors {
             val close = matchParenIn(s, i)
             cur ++= "(" + splitArgsVerbatim(s.substring(i + 1, close))
               .map(rewriteCoalesceErr).mkString(",") + ")"
+            i = close
+          // array literals run AFTER this pass (rewriteArrayLiterals), so
+          // brackets are still live here: a `??` inside an element must
+          // rewrite at the element's own level, not split the whole
+          // expression at the bracket-internal position
+          case '[' =>
+            val close = matchBracketIn(s, i)
+            cur ++= "[" + splitArgsVerbatim(s.substring(i + 1, close))
+              .map(rewriteCoalesceErr).mkString(",") + "]"
             i = close
           case '?' if i + 1 < s.length && s(i + 1) == '?' =>
             parts += cur.toString(); cur.clear(); i += 1
@@ -1272,9 +1298,12 @@ object Processors {
 
     private val IfStatement = """(?s)if[\s(].*""".r
     // metadata assignment `%name = rhs` (statement form; reads are the
-    // MetaRef rewrite inside expressions)
+    // MetaRef rewrite inside expressions). `(?!=)` keeps an equality
+    // COMPARISON statement `%route == x` from misparsing as an
+    // assignment whose rhs starts with `= ` — that falls through to the
+    // expression path and fails with its own message instead.
     private val MetaAssign =
-      """(?s)%([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)""".r
+      """(?s)%([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.+)""".r
 
     private val statements: Seq[DataFrame => DataFrame] =
       splitTop(maskedProgram).flatMap[DataFrame => DataFrame] {

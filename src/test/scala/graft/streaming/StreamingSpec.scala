@@ -58,6 +58,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(dbz.select("id").collect().head.getLong(0) == 7L)
     // no codec block → no transform; unknown/incomplete configs are loud
     assert(Engine.inputCodec(ComponentConf("kafka", Map.empty)).isEmpty)
+    // codec.* options WITHOUT codec.type (typo'd or missing key) must
+    // fail at build, not silently skip the decode
+    val noType = intercept[IllegalArgumentException](
+      Engine.inputCodec(ComponentConf("kafka",
+        Map("codec.typ" -> "json", "codec.fields" -> "a:1:int64"))))
+    assert(noType.getMessage.contains("no `type` key"), noType.getMessage)
     intercept[IllegalArgumentException](
       Engine.inputCodec(ComponentConf("kafka", Map("codec.type" -> "bson"))))
     intercept[IllegalArgumentException](
@@ -1280,6 +1286,13 @@ class StreamingSpec extends AnyFunSuite {
     val mr = mw.selectExpr("only", "r", "__meta_route").collect().head
     assert(mr.getInt(0) == 1 && mr.getString(1) == "TEMP_1" &&
       mr.getString(2) == "TEMP_1")
+    // an equality COMPARISON statement `%route == x` is NOT a metadata
+    // assignment — it must fail with the parser's own message, not
+    // misparse into an assignment whose rhs starts with `= `
+    val cmp = intercept[IllegalArgumentException](
+      Processors.RemapProcessor("""%route == 'x'
+        |""".stripMargin)(frame).collect())
+    assert(cmp.getMessage.contains("cannot parse"), cmp.getMessage)
   }
 
   test("remap security/string tranche: parse_cef, case conversions, " +
@@ -1381,9 +1394,8 @@ class StreamingSpec extends AnyFunSuite {
         |""".stripMargin)(frame).collect()
     }
     assert(err.getMessage.contains("merge"), err.getMessage)
-    // deep recursion reaching a MIXED shared field: both sides hold a
-    // struct at the top, but the shared inner field pairs a map with a
-    // struct — the recursion converts and map-merges (from wins)
+    // deep recursion into struct/struct shared fields; NON-deep
+    // map-of-map stays whole-value replace (VRL's non-deep behavior)
     val nested = Processors.RemapProcessor(
       """.nm = merge({ "tags": { "a": 1, "b": 2 } }, { "tags": { "b": 9 } }, deep: true)
         |.mx = merge(map('k', map('a', '1')), map('k', map('a', '2', 'c', '3')))
@@ -1394,6 +1406,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(nested.getString(2) == "2" && nested.getString(3) == "3",
       "map-of-map collision replaces the whole inner value (shallow map " +
         "merge, VRL's non-deep behavior)")
+    // DEEP map-of-map: the kernel recurses into colliding inner maps —
+    // from wins per inner key, left-only inner keys survive
+    val dm = Processors.RemapProcessor(
+      """.dm = merge(map('k', map('a', '1', 'b', '2')), map('k', map('b', '9', 'c', '3')), deep: true)
+        |""".stripMargin)(frame)
+      .selectExpr("dm['k']['a']", "dm['k']['b']", "dm['k']['c']").collect().head
+    assert(dm.getString(0) == "1" && dm.getString(1) == "9" &&
+      dm.getString(2) == "3",
+      "deep map-of-map merge must recurse into the colliding inner map")
+    // deep recursion reaching a genuinely MIXED shared field (map on the
+    // left, struct object-literal on the right): the struct side converts
+    // to the map's type and map-merges — from wins on 'b', left-only 'a'
+    // survives
+    val mixDeep = Processors.RemapProcessor(
+      """.md = merge({ "tags": map('a', '1', 'b', '2') }, { "tags": { "b": "9" } }, deep: true)
+        |""".stripMargin)(frame)
+      .selectExpr("md.tags['a']", "md.tags['b']").collect().head
+    assert(mixDeep.getString(0) == "1" && mixDeep.getString(1) == "9",
+      "deep merge over a mixed map/struct inner field must convert and " +
+        "map-merge, not replace")
   }
 
   test("remap build-time config validation: bad parse_csv delimiter fails " +
@@ -1419,11 +1451,18 @@ class StreamingSpec extends AnyFunSuite {
       """.a = (to_int('nope') ?? 7)
         |.b = abs((to_int('nope') ?? 0) - 3)
         |.c = concat(to_string(to_int('x') ?? 1), '-', to_string(2))
+        |.d = [to_int('nope') ?? 4, 1]
+        |.e = compact([to_int('x') ?? 0, 9])
         |""".stripMargin)(frame)
-      .selectExpr("a", "b", "c").collect().head
+      .selectExpr("a", "b", "c", "d[0]", "d[1]", "e[0]", "e[1]").collect().head
     assert(r.getLong(0) == 7L)
     assert(r.getLong(1) == 3L)
     assert(r.getString(2) == "1-2")
+    // `??` inside an array-literal ELEMENT rewrites at the element's own
+    // level: the bracket-internal comma is an element separator, never a
+    // split point for the coalesce (it used to emit unbalanced SQL)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 0L && r.getLong(6) == 9L)
   }
 
   test("remap `. = expr` replaces the event: an object becomes the event, an " +
