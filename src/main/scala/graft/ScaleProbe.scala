@@ -149,6 +149,74 @@ object ScaleProbe {
           val (t10, _) = run(sf1)
           println(f"[probe] $name%-28s 1x ${t1}%7.2f s   10x ${t10}%7.2f s   ratio ${t10 / t1}%5.2f")
         }
+      case "sf100" =>
+        // ---- 100× rehearsal for the PAIR-GRAPH family (the operators
+        // whose candidate volume could bend super-linearly): documents
+        // scaled 100× with MOSTLY-DISTINCT copies — every 3rd word of
+        // copy c is replaced by a copy-specific token, so a 3-word
+        // shingle always straddles a replaced word and differently-
+        // tagged copies share NO shingles (the true scale-up model:
+        // growth adds distinct documents, not 100-deep near-dup
+        // clusters; the 100-deep cluster shape is the `lshcap` probe).
+        // Records CANDIDATE-COUNT growth vs input growth alongside wall
+        // time, caps held at their defaults — the SCALING.md evidence
+        // that candidate volume stays ~linear in corpus size. ----
+        val sf100 = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+        val marker100 = new java.io.File(s"$sf100/.built")
+        if (!marker100.exists()) {
+          new java.io.File(sf100).mkdirs()
+          assertIdsBelowStride(docs)
+          val copies = (0 until 100).map { c =>
+            val text =
+              if (c == 0) col("text")
+              else regexp_replace(col("text"),
+                "((\\S+ ){2})\\S+", s"$$1cp${c}tok")
+            docs.select((col("doc_id") + lit(idStride) * c).as("doc_id"),
+              text.as("text"), col("lang"), col("source"), col("n_chars"))
+          }
+          copies.reduce(_ unionByName _).repartition(32)
+            .write.mode("overwrite").parquet(s"$sf100/documents.parquet")
+          Tables.names.filterNot(_ == "documents").foreach { t =>
+            val link = java.nio.file.Paths.get(s"$sf100/$t.parquet")
+            if (!java.nio.file.Files.exists(link))
+              java.nio.file.Files.createSymbolicLink(link,
+                java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+          }
+          marker100.createNewFile()
+          ()
+        }
+        val d100 = Tables.load(spark, sf100, "documents").localCheckpoint(true)
+        val n1 = docs.count(); val n100 = d100.count()
+        println(s"[probe] corpus 1x=$n1 docs, 100x=$n100 docs")
+        // candidate-volume growth, caps at defaults
+        for ((d, label, n) <- Seq((docs, "1x", n1), (d100, "100x", n100))) {
+          time(s"minhash candidates ($label, n=$n)") {
+            operators.Dedup.minhashPairs(d, "doc_id", "text").count()
+          }
+          time(s"simhash candidates ($label, n=$n)") {
+            operators.Dedup.simhashNearDupPairs(d, "doc_id", "text", maxDist = 2).count()
+          }
+        }
+        // the graded pair-graph queries end-to-end at both scales
+        val pairGraph = args.drop(1).headOption
+          .map(_.split(",").toSeq)
+          .getOrElse(Seq("q53_jaccard_pairs", "q58_simhash_hamming",
+            "q89_containment", "q90_editdist_confirm",
+            "q158_prefix_jaccard", "q178_adamic_adar",
+            "q244_simhash_autopairs"))
+        pairGraph.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          def run(dir: String): Double = {
+            val t0 = System.nanoTime()
+            try fn(spark, dir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[probe] $name@$dir failed: ${e.getMessage}") }
+            (System.nanoTime() - t0) / 1e9
+          }
+          val t1 = run(sfDir)
+          val t100 = run(sf100)
+          println(f"[probe] $name%-28s 1x ${t1}%7.2f s   100x ${t100}%8.2f s   ratio ${t100 / t1}%6.1f (input 100x)")
+        }
       case "q90exact" =>
         // the exact-copy blow-up the collapse fixes: k identical copies
         // are O(k²) candidate pairs without it, O(k) rows through the

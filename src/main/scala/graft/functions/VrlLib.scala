@@ -294,6 +294,29 @@ object VrlLib {
         VrlLib.parseGlogStruct(exprs.head)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_xml", { exprs =>
+        require(exprs.size == 1, "parse_xml(value) takes 1 argument")
+        // schemaless XML rides the same VARIANT path as parse_json: the
+        // kernel converts XML to the equivalent JSON text (VRL's
+        // element/attribute/text conversion) and Spark's own codegen'd
+        // ParseJson builds the variant
+        new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
+          VrlXmlToJson(exprs.head), true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_etld", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "parse_etld(value[, plus_parts]) takes 1-2 arguments")
+        val plus = exprs.lift(1).map {
+          case Literal(i: Int, IntegerType) => i
+          case Literal(l: Long, LongType) => l.toInt
+          case _ => throw new IllegalArgumentException(
+            "parse_etld: plus_parts must be an integer literal")
+        }.getOrElse(0)
+        require(plus >= 0, "parse_etld: plus_parts must be >= 0")
+        VrlParseEtld(exprs.head, plus)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_tokens", { exprs =>
         require(exprs.size == 1, "parse_tokens(value) takes 1 argument")
         VrlParseTokens(exprs.head)
@@ -598,7 +621,13 @@ object VrlLib {
     * Fields: level keyword (info/warning/error/fatal), timestamp (glog
     * omits the year — VRL fills the CURRENT UTC year, mirrored here via
     * year(current_date())), id, file, line, message. Non-matching input
-    * → null struct, the nginx-shim convention. */
+    * → null struct, the nginx-shim convention.
+    *
+    * Contract: the filled year is the PLAN-EVALUATION year — Catalyst
+    * constant-folds year(current_date()) once per plan, so a batch that
+    * spans New Year midnight stamps every row with the year the query
+    * started in, not a per-row clock. (VRL makes the same assumption
+    * per-event; the divergence window is exactly that midnight batch.) */
   private[functions] def parseGlogStruct(v: Expression): Expression = {
     val pat = "^([IWEF])(\\d{2})(\\d{2}) (\\d{2}:\\d{2}:\\d{2}\\.\\d{6})\\s+" +
       "(\\d+) ([^:\\]]+):(\\d+)\\] (.*)$"

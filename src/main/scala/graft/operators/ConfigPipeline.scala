@@ -365,8 +365,11 @@ object ConfigPipeline {
     val base = java.nio.file.Files.createTempDirectory("graft_q260").toString
     val wire = s"$base/wire"
     val out = s"$base/out"
+    // delta is NEGATIVE for half the rows (the zigzag case) and flags a
+    // fixed-width word — the wire forms real CDC/metrics protos carry
     val proto = "syntax = \\\"proto3\\\"; message Event { int64 event_id = 1; " +
-      "string event_type = 2; int64 user_id = 3; }"
+      "string event_type = 2; int64 user_id = 3; sint64 delta = 4; " +
+      "fixed32 flags = 5; }"
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/schemas/ids/", { exchange =>
@@ -396,9 +399,9 @@ object ConfigPipeline {
            |    pipeline:
            |      processors:
            |        - type: sql
-           |          query: "SELECT event_id, event_type, user_id FROM flow"
+           |          query: "SELECT event_id, event_type, user_id, CAST(user_id - 500 AS BIGINT) AS delta, CAST(event_id % 65536 AS BIGINT) AS flags FROM flow"
            |        - type: arrow_to_protobuf
-           |          fields: "event_id:1:int64,event_type:2:string,user_id:3:int64"
+           |          fields: "event_id:1:int64,event_type:2:string,user_id:3:int64,delta:4:sint64,flags:5:fixed32"
            |        - type: sql
            |          query: "SELECT concat(unhex('00'), unhex(lpad(hex(7), 8, '0')), __value__) AS __value__ FROM flow"
            |    output:
@@ -422,14 +425,15 @@ object ConfigPipeline {
            |    pipeline:
            |      processors:
            |        - type: sql
-           |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, CAST(sum(user_id) AS BIGINT) AS uid_sum FROM flow GROUP BY event_type"
+           |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, CAST(sum(user_id) AS BIGINT) AS uid_sum, CAST(sum(delta) AS BIGINT) AS delta_sum, CAST(max(flags) AS BIGINT) AS max_flags FROM flow GROUP BY event_type"
            |    output:
            |      type: parquet
            |      path: "$out"
            |""".stripMargin
       graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(consume))
     } finally server.stop(0)
-    spark.read.parquet(out).select("etype", "n", "id_sum", "uid_sum")
+    spark.read.parquet(out).select("etype", "n", "id_sum", "uid_sum",
+      "delta_sum", "max_flags")
   }
 
   /** q262 — parse_cef graded end-to-end: each event renders as an
@@ -554,7 +558,90 @@ object ConfigPipeline {
       "first_lvl", "ttl_sum", "uid2_sum")
   }
 
+  /** q265 — parse_xml graded end-to-end: each event renders as an XML
+    * record (attributes, nested elements, a repeated element, a typed
+    * boolean), the VRL shim parses it onto the VARIANT path, fields come
+    * back out through variant_get, and the oracle recomputes every
+    * aggregate from the raw columns (vrl stdlib parse_xml semantics:
+    * "@attr" keys, text-only elements as typed scalars, repeated
+    * siblings as arrays). */
+  private def q265(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q265").toString
+    val out = s"$base/out"
+    val render = "'<event id=\\\"' || cast(event_id AS string) || " +
+      "'\\\" region=\\\"' || CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'eu' " +
+      "WHEN 1 THEN 'us' ELSE 'apac' END || '\\\"><type>' || event_type || " +
+      "'</type><score>' || cast(event_id % 7 AS string) || " +
+      "'</score><tag>t' || cast(event_id % 2 AS string) || " +
+      "'</tag><tag>u</tag><flag>true</flag></event>'"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT $render AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .v = parse_xml(.line)
+         |            .etype = to_string(variant_get(.v, '$$.event.type'))
+         |            .region = to_string(variant_get(.v, "$$.event['@region']"))
+         |            .score = to_int(variant_get(.v, '$$.event.score'))
+         |            .eid = to_int!(to_string(variant_get(.v, "$$.event['@id']")))
+         |            .tag1 = to_string(variant_get(.v, '$$.event.tag[0]'))
+         |            .flag = to_bool(variant_get(.v, '$$.event.flag'))
+         |        - type: sql
+         |          query: "SELECT etype, region, count(*) AS n, CAST(sum(score) AS BIGINT) AS score_sum, CAST(max(eid) AS BIGINT) AS max_eid, min(tag1) AS first_tag, CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flag FROM flow GROUP BY etype, region"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "region", "n", "score_sum",
+      "max_eid", "first_tag", "n_flag")
+  }
+
+  /** q266 — parse_etld graded end-to-end: each event renders as a
+    * hostname whose suffix cycles through a multi-label registry suffix
+    * (co.uk), a plain gTLD (dev), a private-section suffix
+    * (blogspot.com), and an UNLISTED TLD (default-rule path), and the
+    * oracle recomputes suffix/registrable-domain/known from the same
+    * cycle (PSL algorithm, embedded snapshot — functions/VrlEtld.scala). */
+  private def q266(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q266").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT 'svc' || cast(user_id % 20 AS string) || '.' || event_type || CASE CAST(event_id % 4 AS INT) WHEN 0 THEN '.co.uk' WHEN 1 THEN '.dev' WHEN 2 THEN '.blogspot.com' ELSE '.zzyy' END AS host FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .e = parse_etld!(.host, plus_parts: 1)
+         |            .suffix = .e.etld
+         |            .reg = .e.etld_plus
+         |            .known = .e.known_suffix
+         |        - type: sql
+         |          query: "SELECT suffix, known, count(*) AS n, min(reg) AS first_reg, count(DISTINCT reg) AS n_reg FROM flow GROUP BY suffix, known"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("suffix", "known", "n", "first_reg", "n_reg")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_config_vrl_etld" -> ((s, dir) => q266(s, dir)),
+    "q265_config_vrl_xml" -> ((s, dir) => q265(s, dir)),
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
     "q250_config_pipeline" -> ((s, dir) => q250(s, dir)),
     "q251_config_vrl" -> ((s, dir) => q251(s, dir)),
@@ -570,6 +657,31 @@ object ConfigPipeline {
     "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q266_config_vrl_etld" ->
+      """SELECT CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'co.uk'
+        |            WHEN 1 THEN 'dev' WHEN 2 THEN 'blogspot.com'
+        |            ELSE 'zzyy' END AS suffix,
+        |       CAST(event_id % 4 AS INT) <> 3 AS known,
+        |       count(*) AS n,
+        |       min(lower(event_type) || '.' ||
+        |           CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'co.uk'
+        |                WHEN 1 THEN 'dev' WHEN 2 THEN 'blogspot.com'
+        |                ELSE 'zzyy' END) AS first_reg,
+        |       count(DISTINCT lower(event_type) || '.' ||
+        |           CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'co.uk'
+        |                WHEN 1 THEN 'dev' WHEN 2 THEN 'blogspot.com'
+        |                ELSE 'zzyy' END) AS n_reg
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q265_config_vrl_xml" ->
+      """SELECT event_type AS etype,
+        |       CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'eu' WHEN 1 THEN 'us'
+        |            ELSE 'apac' END AS region,
+        |       count(*) AS n,
+        |       CAST(sum(event_id % 7) AS BIGINT) AS score_sum,
+        |       CAST(max(event_id) AS BIGINT) AS max_eid,
+        |       min('t' || CAST(event_id % 2 AS VARCHAR)) AS first_tag,
+        |       CAST(count(*) AS BIGINT) AS n_flag
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q250_config_pipeline" ->
       """SELECT n_regionkey, count(*) AS nations, min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin,
@@ -619,7 +731,9 @@ object ConfigPipeline {
     "q260_config_schema_registry" ->
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |       CAST(sum(user_id - 500) AS BIGINT) AS delta_sum,
+        |       CAST(max(event_id % 65536) AS BIGINT) AS max_flags
         |FROM events GROUP BY 1""".stripMargin,
     "q264_config_vrl_enrich" ->
       """SELECT event_type AS etype, count(*) AS n,

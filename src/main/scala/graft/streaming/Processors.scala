@@ -728,6 +728,13 @@ object Processors {
       // access-log tokenizer; sieve keeps only the permitted pattern
       "parse_glog" -> "graft_vrl_parse_glog",
       "parse_klog" -> "graft_vrl_parse_glog",
+      // parse_xml → VARIANT (the parse_json path): schemaless nesting,
+      // attributes as "@name", repeated elements as arrays, text under
+      // "text" — extract with variant_get / to_string like parse_json
+      "parse_xml" -> "graft_vrl_parse_xml",
+      // parse_etld → {etld, etld_plus, known_suffix} against an embedded
+      // public-suffix snapshot subset (functions/VrlEtld.scala)
+      "parse_etld" -> "graft_vrl_parse_etld",
       "parse_tokens" -> "graft_vrl_parse_tokens",
       "sieve" -> "graft_vrl_sieve",
       "camelcase" -> "graft_vrl_camelcase",
@@ -923,6 +930,137 @@ object Processors {
       }
       out += cur.toString()
       out.toSeq
+    }
+
+    // ---- VRL path-function family: get!/set!/remove! with LITERAL paths
+    // (vrl stdlib get/set/remove; the reference runs generic remap
+    // programs that address fields as `get!(., ["a","b"])`). Literal
+    // paths compile onto the SAME machinery as `.a.b` syntax: set/remove
+    // desugar to path assignment / del() at the statement level, get
+    // becomes a per-frame marker resolved against the batch schema so an
+    // absent path yields null (VRL's get contract) instead of failing
+    // analysis. DYNAMIC paths (a variable or expression as the path) are
+    // an inherent divergence — a column program is compiled once per
+    // frame, it cannot address a different field per row — and are
+    // rejected loudly at build.
+
+    /** Literal path array `["a", 'b', 0]` → steps. String segments may be
+      * any literal (a step can address a map key, which VRL does not
+      * restrict to identifiers); int segments index arrays (0-based). */
+    private def parseLiteralPath(raw: String, fn: String): Seq[Either[String, Int]] = {
+      val t = raw.replaceAll("^\\s+|\\s+$", "")
+      require(t.startsWith("[") && t.endsWith("]"),
+        s"remap: $fn path must be a literal array like [\"a\", \"b\"] — " +
+          s"dynamic paths cannot compile to a column program (got `${unmask(t)}`)")
+      val inner = t.substring(1, t.length - 1)
+      if (inner.replaceAll("^\\s+|\\s+$", "").isEmpty) return Seq.empty
+      splitArgsVerbatim(inner).map { e0 =>
+        val e = e0.replaceAll("^\\s+|\\s+$", "")
+        val M = "^\u0000(\\d+)\u0000$".r
+        e match {
+          case M(i) =>
+            val lit = lits(i.toInt)
+            val body = lit.substring(1, lit.length - 1)
+            require(!body.contains("\\"),
+              s"remap: $fn path segment $lit: escape sequences in path " +
+                "segments are not supported")
+            Left(if (lit.head == '\'') body.replace("''", "'") else body)
+          case _ if e.matches("\\d+") => Right(e.toInt)
+          case other => throw new IllegalArgumentException(
+            s"remap: $fn path segment `${unmask(other)}` is not a string or " +
+              "int literal — dynamic paths cannot compile to a column program")
+        }
+      }
+    }
+
+    /** A `.`/`.a.b` base operand → its leading path steps. */
+    private def baseSteps(base: String, fn: String): Seq[Either[String, Int]] = {
+      val b = base.replaceAll("^\\s+|\\s+$", "")
+      require(b == "." || b.matches("(\\.[A-Za-z_][A-Za-z0-9_]*)+"),
+        s"remap: $fn's first argument must be the event `.` or a field " +
+          s"path like `.a.b` (got `${unmask(b)}`) — $fn over a computed " +
+          "value cannot compile to a column program")
+      if (b == ".") Seq.empty
+      else b.split('.').filter(_.nonEmpty).map(Left(_)).toSeq
+    }
+
+    /** Literal-path `get` call sites → `__VRL_GET_<n>__` markers, resolved
+      * per batch frame by [[resolveGets]] (absent path → null). Runs on
+      * the MASKED program before field-ref rewriting, so the base operand
+      * is still raw `.a.b` text. */
+    private val getPaths = scala.collection.mutable.ArrayBuffer[Seq[Either[String, Int]]]()
+    private def desugarGetCalls(s0: String): String = {
+      var s = s0
+      val Call = "(?<![A-Za-z0-9_.`])get!?\\s*\\(".r
+      var m = Call.findFirstMatchIn(s)
+      while (m.isDefined) {
+        val open = m.get.end - 1
+        val close = matchParenIn(s, open)
+        val args = splitArgsVerbatim(s.substring(open + 1, close))
+        require(args.size == 2,
+          s"remap: get(value, path) takes 2 arguments, got ${args.size} in " +
+            s"`${unmask(s.substring(m.get.start, close + 1))}`")
+        val steps = baseSteps(args.head, "get") ++ parseLiteralPath(args(1), "get")
+        val repl =
+          if (steps.isEmpty) " . " // get(., []) is the whole event
+          else { getPaths += steps; s"__VRL_GET_${getPaths.size - 1}__" }
+        s = s.substring(0, m.get.start) + repl + s.substring(close + 1)
+        m = Call.findFirstMatchIn(s)
+      }
+      s
+    }
+
+    /** Statement-form `X = set!(X, [segs], v)` → `X.segs = v` and
+      * `X = remove!(X, [segs])` → `del(X.segs)` — the mutate-in-place
+      * idiom generic remap programs use. The base must be the same path
+      * the result is assigned back to: a FUNCTIONAL set/remove (result
+      * landing elsewhere) would need a deep struct copy per call site and
+      * is rejected with the fix. */
+    private val PathFnStmt =
+      """(?s)(\.|(?:\.[A-Za-z_][A-Za-z0-9_]*)+)\s*=\s*(set|remove)!?\s*\((.*)\)\s*$""".r
+    private val PathFnAnywhere = "(?<![A-Za-z0-9_.`])(set|remove)!?\\s*\\(".r
+    private def desugarSetRemove(stmt: String): String = stmt match {
+      case PathFnStmt(lhs, fn, inner) =>
+        val args = splitArgsVerbatim(inner)
+        val base = args.head.replaceAll("^\\s+|\\s+$", "")
+        require(base == lhs.replaceAll("^\\s+|\\s+$", ""),
+          s"remap: $fn must mutate in place — write `$lhs = $fn($lhs, [...]" +
+            (if (fn == "set") ", value" else "") + s")`; a $fn whose result " +
+            "lands on a different path is not expressible as a column program")
+        val segs = parseLiteralPath(args(1), fn).map {
+          case Left(name) =>
+            require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"remap: $fn path segment `$name` must be an identifier " +
+                "(struct fields are schema names)")
+            name
+          case Right(i) => throw new IllegalArgumentException(
+            s"remap: $fn path segment $i: array-index writes are not " +
+              "supported (a column program rewrites whole fields)")
+        }
+        val path = (if (base == ".") "" else base) + segs.map("." + _).mkString
+        fn match {
+          case "set" =>
+            require(args.size == 3,
+              "remap: set(value, path, data) takes 3 arguments")
+            val v = args(2).replaceAll("^\\s+|\\s+$", "")
+            if (segs.isEmpty) s"$base = $v" else s"$path = $v"
+          case _ =>
+            require(args.size == 2 ||
+              (args.size == 3 && unmask(args(2)).replaceAll("[\\s]", "")
+                .matches("(compact:)?false")),
+              "remap: remove(value, path) — the compact: true option " +
+                "re-shapes parent containers per row and is not supported")
+            require(segs.nonEmpty, "remap: remove needs a non-empty path")
+            s"del($path)"
+        }
+      case other =>
+        // a set/remove call OUTSIDE the in-place statement form would
+        // otherwise surface as an opaque unknown-function analysis error
+        require(PathFnAnywhere.findFirstIn(other).isEmpty,
+          s"remap: set/remove must be whole statements of the form " +
+            s"`.a = set(.a, [...], v)` / `. = remove(., [...])` — got " +
+            s"`${unmask(other)}`")
+        other
     }
 
     /** VRL error-coalescing `a ?? b`: use `b` when `a` ERRORS — a
@@ -1306,7 +1444,8 @@ object Processors {
       """(?s)%([A-Za-z_][A-Za-z0-9_]*)\s*=(?!=)\s*(.+)""".r
 
     private val statements: Seq[DataFrame => DataFrame] =
-      splitTop(maskedProgram).flatMap[DataFrame => DataFrame] {
+      splitTop(desugarGetCalls(maskedProgram)).map(desugarSetRemove)
+        .flatMap[DataFrame => DataFrame] {
         // a bare `.` is VRL's final "return the event" expression —
         // the event passes through unchanged
         case "." => None
@@ -1416,6 +1555,45 @@ object Processors {
           case _ => "false" // absent field: no type, like VRL's undefined
         })
     }
+    /** `__VRL_GET_<n>__` markers (literal-path `get`) resolve against the
+      * batch frame's schema: a struct step must name an existing field
+      * (an absent one makes the whole path null — VRL's get contract), a
+      * map or array step compiles to try_element_at (null on missing key
+      * / out-of-range index, matching get under ANSI mode too). */
+    private val GetRef = "__VRL_GET_([0-9]+)__".r
+    private def resolveGets(df: DataFrame, sql: String): String =
+      GetRef.replaceAllIn(sql, m => {
+        import org.apache.spark.sql.types._
+        val steps = getPaths(m.group(1).toInt)
+        var dt: DataType = df.schema
+        var expr = ""
+        var absent = false
+        steps.foreach { step =>
+          if (!absent) (dt, step) match {
+            case (st: StructType, Left(name)) =>
+              st.fields.find(_.name == name) match {
+                case Some(f) =>
+                  expr = if (expr.isEmpty) s"`$name`" else s"$expr.`$name`"
+                  dt = f.dataType
+                case None => absent = true
+              }
+            case (mt: MapType, Left(key)) =>
+              expr = s"try_element_at($expr, '${key.replace("'", "''")}')"
+              dt = mt.valueType
+            case (at: ArrayType, Right(i)) =>
+              // try_element_at indexes arrays 1-based; VRL paths 0-based
+              expr = s"try_element_at($expr, ${i + 1})"
+              dt = at.elementType
+            case (other, s2) => throw new IllegalArgumentException(
+              s"remap: get path step ${s2.fold("\"" + _ + "\"", _.toString)} " +
+                s"cannot address a ${other.simpleString} value" +
+                (if (other.isInstanceOf[VariantType]) " — variant fields " +
+                  "are read with variant_get(value, '$.path')" else ""))
+          }
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          if (absent) "null" else expr)
+      })
     /** The frame's event columns as one struct — what a bare `.` means
       * in an expression position. Computed per frame like the exists/
       * type-guard markers (micro-batch schemas evolve). */
@@ -1427,10 +1605,10 @@ object Processors {
       eventCols.map(c => s"'$c', `$c`").mkString("named_struct(", ", ", ")")
     }
     private def exprFor(df: DataFrame, sql: String): org.apache.spark.sql.Column =
-      expr(resolveExists(df,
+      expr(resolveGets(df, resolveExists(df,
         if (sql.contains("__VRL_SELF__"))
           sql.replace("__VRL_SELF__", selfStruct(df))
-        else sql))
+        else sql)))
 
     /** ONE try_pair evaluation carries both halves (value + error),
       * computed against the PRE-assignment frame, so a self-referencing

@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * No spark-protobuf connector ships in this environment, so this is a
   * self-contained wire-format (proto3 scalar subset) decoder/encoder for
   * the field types the reference maps: int32/int64/uint32/uint64 (varint),
-  * double (fixed64), float (fixed32), bool (varint), string/bytes
-  * (length-delimited). Unknown fields are skipped per proto semantics.
+  * sint32/sint64 (zigzag varint), fixed32/fixed64/sfixed32/sfixed64
+  * (fixed-width), double (fixed64), float (fixed32), bool (varint),
+  * string/bytes (length-delimited). Unknown fields are skipped per proto
+  * semantics.
   *
   * Registered as SQL functions so plans stay declarative:
   *   Protobuf.register(spark, "sensor", schema)
@@ -28,6 +30,14 @@ final case class ProtoField(number: Int, name: String, ftype: String) {
     case "uint32" => LongType
     case "int64" => LongType
     case "uint64" => DecimalType(20, 0)
+    // zigzag varints carry their sign in bit 0 — native signed widths
+    case "sint32" => IntegerType
+    case "sint64" => LongType
+    // fixed-width: fixed* are unsigned (map UP like uint*), sfixed* signed
+    case "fixed32" => LongType
+    case "fixed64" => DecimalType(20, 0)
+    case "sfixed32" => IntegerType
+    case "sfixed64" => LongType
     case "double" => DoubleType
     case "float" => FloatType
     case "bool" => BooleanType
@@ -138,8 +148,9 @@ object ProtoWire {
 object ProtoDescriptor {
   private val TypeNames: Map[Int, String] = Map(
     1 -> "double", 2 -> "float", 3 -> "int64", 4 -> "uint64",
-    5 -> "int32", 8 -> "bool", 9 -> "string", 12 -> "bytes",
-    13 -> "uint32")
+    5 -> "int32", 6 -> "fixed64", 7 -> "fixed32", 8 -> "bool",
+    9 -> "string", 12 -> "bytes", 13 -> "uint32", 15 -> "sfixed32",
+    16 -> "sfixed64", 17 -> "sint32", 18 -> "sint64")
 
   private def str(v: Any): String = new String(v.asInstanceOf[Array[Byte]], "UTF-8")
 
@@ -197,6 +208,25 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
             else new java.math.BigDecimal(
               java.math.BigInteger.valueOf(bits).add(java.math.BigInteger.ONE.shiftLeft(64)))
           Decimal(unsigned, 20, 0)
+        // zigzag: 0,1,2,3 → 0,-1,1,-2 — (n >>> 1) ^ -(n & 1)
+        case "sint32" =>
+          v.map(x => { val n = x.asInstanceOf[Long]; ((n >>> 1) ^ -(n & 1)).toInt })
+            .getOrElse(0)
+        case "sint64" =>
+          v.map(x => { val n = x.asInstanceOf[Long]; (n >>> 1) ^ -(n & 1) })
+            .getOrElse(0L)
+        // wire type 5 is stored sign-extended (getInt.toLong) — mask for
+        // the unsigned form, keep the sign for sfixed32
+        case "fixed32" => v.map(_.asInstanceOf[Long] & 0xffffffffL).getOrElse(0L)
+        case "sfixed32" => v.map(_.asInstanceOf[Long].toInt).getOrElse(0)
+        case "fixed64" =>
+          val bits = v.map(_.asInstanceOf[Long]).getOrElse(0L)
+          val unsigned =
+            if (bits >= 0) java.math.BigDecimal.valueOf(bits)
+            else new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(bits).add(java.math.BigInteger.ONE.shiftLeft(64)))
+          Decimal(unsigned, 20, 0)
+        case "sfixed64" => v.map(_.asInstanceOf[Long]).getOrElse(0L)
         case "bool" => v.exists(_.asInstanceOf[Long] != 0L)
         case "double" =>
           v.map(x => java.lang.Double.longBitsToDouble(x.asInstanceOf[Long])).getOrElse(0.0)
@@ -230,6 +260,30 @@ case class ProtoEncode(child: Expression, fields: Seq[ProtoField])
         case "uint64" =>
           val bits = row.getDecimal(i, 20, 0).toJavaBigDecimal.toBigInteger.longValue()
           if (bits != 0L) { tag(0); ProtoWire.writeVarint(out, bits) }
+        case "sint32" =>
+          val v = row.getInt(i)
+          // zigzag32: (n << 1) ^ (n >> 31), then widen UNSIGNED
+          if (v != 0) { tag(0); ProtoWire.writeVarint(out, ((v << 1) ^ (v >> 31)).toLong & 0xffffffffL) }
+        case "sint64" =>
+          val v = row.getLong(i)
+          if (v != 0L) { tag(0); ProtoWire.writeVarint(out, (v << 1) ^ (v >> 63)) }
+        case "fixed32" | "sfixed32" =>
+          val v = if (f.ftype == "fixed32") row.getLong(i).toInt else row.getInt(i)
+          if (v != 0) {
+            tag(5)
+            val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(v); out.write(bb.array())
+          }
+        case "fixed64" | "sfixed64" =>
+          val v =
+            if (f.ftype == "fixed64")
+              row.getDecimal(i, 20, 0).toJavaBigDecimal.toBigInteger.longValue()
+            else row.getLong(i)
+          if (v != 0L) {
+            tag(1)
+            val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putLong(v); out.write(bb.array())
+          }
         case "bool" =>
           val v = row.getBoolean(i); if (v) { tag(0); ProtoWire.writeVarint(out, 1L) }
         case "double" =>

@@ -35,10 +35,11 @@ object SchemaRegistry {
     * silent drop would change the decoded schema.
     */
   object ProtoSource {
-    // exactly the wire types ProtoField.sparkType maps — sint*/fixed*
-    // need zigzag/fixed decoding the codec doesn't implement, so they
-    // fail here at parse with a clear message rather than later
+    // exactly the wire types ProtoField.sparkType maps — including the
+    // zigzag (sint*) and fixed-width (fixed*/sfixed*) forms real
+    // CDC/metrics protos carry
     private val ScalarTypes = Set("int32", "uint32", "int64", "uint64",
+      "sint32", "sint64", "fixed32", "fixed64", "sfixed32", "sfixed64",
       "double", "float", "bool", "string", "bytes")
 
     /** message name (nested as `Outer.Inner`) -> fields, in source

@@ -63,6 +63,45 @@ class CodecPropertySpec extends AnyFunSuite {
       "uint64 max must not wrap")
   }
 
+  test("zigzag and fixed-width proto types round-trip (sint32/sint64 " +
+      "zigzag varints; fixed32/fixed64 unsigned, sfixed32/sfixed64 signed)") {
+    val spark = SparkTestSession.spark
+    val fields = Seq(
+      ProtoField(1, "s32", "sint32"), ProtoField(2, "s64", "sint64"),
+      ProtoField(3, "f32", "fixed32"), ProtoField(4, "f64", "fixed64"),
+      ProtoField(5, "sf32", "sfixed32"), ProtoField(6, "sf64", "sfixed64"))
+    Protobuf.register(spark, "zz", fields)
+    val cases = Seq(
+      (-1, -1L, 4000000000L, "18446744073709551615", -2147483648, Long.MinValue + 1),
+      (2147483647, Long.MaxValue, 1L, "1", 2147483647, Long.MaxValue),
+      (-2147483648, Long.MinValue, 4294967295L, "9223372036854775808", -7, -7L)) ++
+      Seq.fill(200)((rnd.nextInt(), rnd.nextLong(),
+        rnd.nextLong() & 0xffffffffL,
+        java.math.BigInteger.valueOf(rnd.nextLong())
+          .and(java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE))
+          .toString,
+        rnd.nextInt(), rnd.nextLong()))
+    cases.foreach { case (s32, s64, f32, f64, sf32, sf64) =>
+      val r = spark.sql(
+        s"""SELECT proto_decode_zz(proto_encode_zz(named_struct(
+           |  's32', $s32, 's64', CAST($s64 AS BIGINT),
+           |  'f32', CAST($f32 AS BIGINT), 'f64', CAST('$f64' AS DECIMAL(20, 0)),
+           |  'sf32', $sf32, 'sf64', CAST($sf64 AS BIGINT)))) AS m""".stripMargin)
+        .select("m.*").collect().head
+      assert(r.getInt(0) == s32, s"sint32 $s32 -> ${r.getInt(0)}")
+      assert(r.getLong(1) == s64, s"sint64 $s64 -> ${r.getLong(1)}")
+      assert(r.getLong(2) == f32, s"fixed32 $f32 -> ${r.getLong(2)}")
+      assert(r.getDecimal(3).toBigInteger.toString == f64,
+        s"fixed64 $f64 -> ${r.getDecimal(3)}")
+      assert(r.getInt(4) == sf32, s"sfixed32 $sf32 -> ${r.getInt(4)}")
+      assert(r.getLong(5) == sf64, s"sfixed64 $sf64 -> ${r.getLong(5)}")
+    }
+    // zigzag small-magnitude encoding stays small on the wire: -1 is ONE byte
+    val out = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(out, ((-1 << 1) ^ (-1 >> 31)).toLong & 0xffffffffL)
+    assert(out.size == 1, "zigzag(-1) must be the single byte 0x01")
+  }
+
   test("bson documents round-trip random flat values") {
     (1 to 200).foreach { _ =>
       val doc: Seq[(String, Any)] = (1 to (1 + rnd.nextInt(8))).map { i =>

@@ -628,6 +628,109 @@ class StreamingSpec extends AnyFunSuite {
     assert(!r.isNullAt(6))
   }
 
+  test("remap parse_xml: schemaless XML rides the VARIANT path like " +
+      "parse_json — attributes as @keys, text under text, repeated " +
+      "elements as arrays, typed scalars (vrl stdlib parse_xml)") {
+    val out = Processors.RemapProcessor(
+      """.x = '<book category="CHILDREN"><title lang="en">Harry Potter</title><author>J K. Rowling</author><year>2005</year><price>3.5</price><avail>true</avail><tag>a</tag><tag>b</tag><note/></book>'
+        |.v = parse_xml(.x)
+        |.title = to_string(variant_get(.v, "$.book.title.text"))
+        |.lang = to_string(variant_get(.v, "$.book.title['@lang']"))
+        |.cat = to_string(variant_get(.v, "$.book['@category']"))
+        |.year = to_int(variant_get(.v, '$.book.year'))
+        |.price = to_float(variant_get(.v, '$.book.price'))
+        |.avail = to_bool(variant_get(.v, '$.book.avail'))
+        |.tag2 = to_string(variant_get(.v, '$.book.tag[1]'))
+        |.author = to_string(variant_get(.v, '$.book.author'))
+        |.caught = to_string(parse_xml('<broken')) ?? 'bad xml'
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("title", "lang", "cat", "year", "price", "avail",
+      "tag2", "author", "caught").collect().head
+    assert(r.getString(0) == "Harry Potter",
+      "element with attributes puts its text under the text key")
+    assert(r.getString(1) == "en")
+    assert(r.getString(2) == "CHILDREN")
+    assert(r.getAs[Number](3).longValue == 2005L, "numeric text types as a number")
+    assert(math.abs(r.getAs[Number](4).doubleValue - 3.5) < 1e-9)
+    assert(r.getBoolean(5), "parse_bool applies to element text")
+    assert(r.getString(6) == "b", "repeated sibling elements become an array")
+    assert(r.getString(7) == "J K. Rowling",
+      "text-only element is a bare scalar, no text key")
+    assert(r.getString(8) == "bad xml", "malformed XML is fallible — ?? catches it")
+  }
+
+  test("remap path-function family: literal-path get!/set!/remove! compile " +
+      "onto the nested-path machinery; absent get paths are null; dynamic " +
+      "paths reject loudly (vrl stdlib get/set/remove)") {
+    val out = Processors.RemapProcessor(
+      """.obj = { "a": { "b": 7 }, "arr": [10, 20, 30] }
+        |.kv = parse_logfmt('level=info ttl=9')
+        |.g1 = get!(., ["obj", "a", "b"])
+        |.g2 = get(., ["obj", "missing"])
+        |.g3 = get!(., ["kv", "level"])
+        |.g4 = get!(., ["kv", "nope"])
+        |.g5 = get!(., ["obj", "arr", 1])
+        |.g6 = get!(., ["obj", "arr", 9])
+        |.g7 = get!(.obj, ["a", "b"])
+        |. = set!(., ["meta", "source"], 'edge')
+        |.obj = set!(.obj, ["c"], 42)
+        |. = remove!(., ["obj", "a"])
+        |. = remove!(., ["kv"])
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("g1", "g2", "g3", "g4", "g5", "g6", "g7",
+      "meta.source", "obj.c").collect().head
+    assert(r.getAs[Number](0).longValue == 7L, "get walks nested structs")
+    assert(r.isNullAt(1), "an absent struct field makes the whole get null")
+    assert(r.getString(2) == "info", "get addresses map keys")
+    assert(r.isNullAt(3), "a missing map key is null, not an error")
+    assert(r.getAs[Number](4).longValue == 20L, "int segments index arrays 0-based")
+    assert(r.isNullAt(5), "an out-of-range index is null (try_element_at)")
+    assert(r.getAs[Number](6).longValue == 7L, "a field base prepends its path")
+    assert(r.getString(7) == "edge", "set creates absent parents like path assignment")
+    assert(r.getAs[Number](8).longValue == 42L, "set on a field base writes in place")
+    assert(!out.columns.contains("kv"), "remove with a 1-seg path drops the column")
+    assert(!out.select("obj.*").columns.contains("a"),
+      "remove with a nested path drops the struct field")
+    // dynamic paths are an inherent divergence — rejected at build
+    val e1 = intercept[IllegalArgumentException](Processors.RemapProcessor(
+      ".x = get!(., [.dyn])"))
+    assert(e1.getMessage.contains("not a string or int literal"))
+    // functional set (result assigned elsewhere) is rejected with the fix
+    val e2 = intercept[IllegalArgumentException](Processors.RemapProcessor(
+      """.other = set!(.obj, ["c"], 1)"""))
+    assert(e2.getMessage.contains("mutate in place"))
+  }
+
+  test("remap parse_etld: PSL algorithm over the embedded snapshot — " +
+      "multi-label suffixes, wildcards, exceptions, plus_parts, unknown " +
+      "TLD degrades to the default rule (vrl stdlib parse_etld)") {
+    val out = Processors.RemapProcessor(
+      """.uk = parse_etld('sub.sussex.ac.uk')
+        |.uk1 = parse_etld('sub.sussex.ac.uk', plus_parts: 1)
+        |.dev = parse_etld!('vector.dev', 1)
+        |.blog = parse_etld('foo.blogspot.com')
+        |.wild = parse_etld('foo.bar.ck')
+        |.exc = parse_etld('www.ck')
+        |.unk = parse_etld('example.unknowntld')
+        |.over = to_string(parse_etld!('dev', 2)) ?? 'too few labels'
+        |""".stripMargin)(Processors.JsonToArrow()(envelope(sensorJson.head)))
+    val r = out.select("uk.etld", "uk.known_suffix", "uk1.etld_plus",
+      "dev.etld", "dev.etld_plus", "blog.etld", "wild.etld", "exc.etld",
+      "unk.etld", "unk.known_suffix", "over").collect().head
+    assert(r.getString(0) == "ac.uk", "multi-label registry suffix")
+    assert(r.getBoolean(1))
+    assert(r.getString(2) == "sussex.ac.uk", "plus_parts adds labels")
+    assert(r.getString(3) == "dev")
+    assert(r.getString(4) == "vector.dev")
+    assert(r.getString(5) == "blogspot.com", "private-section suffixes count")
+    assert(r.getString(6) == "bar.ck", "*.ck wildcard takes one extra label")
+    assert(r.getString(7) == "ck", "!www.ck exception keeps www registrable")
+    assert(r.getString(8) == "unknowntld", "unlisted TLD falls to the default rule")
+    assert(!r.getBoolean(9), "default-rule match is not a known suffix")
+    assert(r.getString(10) == "too few labels",
+      "plus_parts past the domain's labels is fallible")
+  }
+
   test("remap stdlib tranche 3: array ops, polymorphic length vs strlen, " +
       "strftime parse_timestamp, uuid_v4, encode_json (processor/vrl.rs stdlib)") {
     val out = Processors.RemapProcessor(
@@ -1235,6 +1338,16 @@ class StreamingSpec extends AnyFunSuite {
       "quoted and bracketed groups each form one token")
     assert(r.getString(9) == "a1b2c3x", "sieve keeps only permitted runs")
     assert(r.isNullAt(10), "non-glog input yields a null struct")
+    // the filled year is the PLAN-EVALUATION year (constant-folded
+    // year(current_date()), one value per batch) — the documented
+    // contract for glog's yearless timestamps
+    val yr = Processors.RemapProcessor(
+      """.g = parse_glog('I0401 12:01:02.123456 1 a.cc:1] x')
+        |.want = year(now())
+        |""".stripMargin)(frame)
+      .selectExpr("year(g.timestamp)", "want").collect().head
+    assert(yr.getInt(0) == yr.getInt(1),
+      "glog fills the plan-evaluation year")
     // a bad sieve pattern fails at build naming the culprit
     val err = intercept[Exception] {
       Processors.RemapProcessor(""".x = sieve('a', '[unclosed')
@@ -1403,6 +1516,18 @@ class StreamingSpec extends AnyFunSuite {
       .selectExpr("nm.tags.a", "nm.tags.b",
         "mx['k']['a']", "mx['k']['c']").collect().head
     assert(nested.getInt(0) == 1 && nested.getInt(1) == 9)
+    // documented divergence (VrlMerge.scala header): a NULL from operand
+    // no-ops — keeps `to` — where Vector's fallible merge! would error.
+    // The engine's columnar nulls model "absent", so `merge!(., parsed)`
+    // after a failed parse keeps the event instead of failing the batch.
+    val nullFrom = Processors.RemapProcessor(
+      """.kept = merge({ "a": 1, "file": 'keep' }, parse_glog('not a glog line'))
+        |""".stripMargin)(frame)
+      .selectExpr("kept.a", "kept.file", "kept.message").collect().head
+    assert(nullFrom.getInt(0) == 1, "null from keeps the to operand")
+    assert(nullFrom.getString(1) == "keep",
+      "a shared field keeps the LEFT value when the from object is null")
+    assert(nullFrom.isNullAt(2), "the absent from side contributes nulls")
     assert(nested.getString(2) == "2" && nested.getString(3) == "3",
       "map-of-map collision replaces the whole inner value (shallow map " +
         "merge, VRL's non-deep behavior)")
