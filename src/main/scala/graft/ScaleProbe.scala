@@ -153,14 +153,22 @@ object ScaleProbe {
         // ---- 100× rehearsal for the PAIR-GRAPH family (the operators
         // whose candidate volume could bend super-linearly): documents
         // scaled 100× with MOSTLY-DISTINCT copies — every 3rd word of
-        // copy c is replaced by a copy-specific token, so a 3-word
-        // shingle always straddles a replaced word and differently-
-        // tagged copies share NO shingles (the true scale-up model:
-        // growth adds distinct documents, not 100-deep near-dup
-        // clusters; the 100-deep cluster shape is the `lshcap` probe).
-        // Records CANDIDATE-COUNT growth vs input growth alongside wall
-        // time, caps held at their defaults — the SCALING.md evidence
-        // that candidate volume stays ~linear in corpus size. ----
+        // copy c is replaced by a token derived from (copy, word), so a
+        // 3-word shingle always straddles a replaced word: different-c
+        // copies of one doc share NO shingles, and two same-c docs share
+        // a replaced shingle only where their ORIGINAL shingles matched
+        // (base-corpus similarity, not fixture-added). A first cut used
+        // ONE token per copy ('cp<c>tok') and measured the trap it
+        // creates: the shared token RAISED within-copy similarity —
+        // minhash candidates grew 1370× on 100× input and simhash
+        // flooded its buckets (1.09M of 1.5M members capped) — i.e. a
+        // correlated-copy corpus, not distinct growth. The md5-derived
+        // token removes exactly that correlation (the true scale-up
+        // model: growth adds distinct documents; the 100-deep cluster
+        // shape is the `lshcap` probe). Records CANDIDATE-COUNT growth
+        // vs input growth alongside wall time, caps at defaults — the
+        // SCALING.md evidence that candidate volume stays ~linear in
+        // corpus size. ----
         val sf100 = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
         val marker100 = new java.io.File(s"$sf100/.built")
         if (!marker100.exists()) {
@@ -169,8 +177,9 @@ object ScaleProbe {
           val copies = (0 until 100).map { c =>
             val text =
               if (c == 0) col("text")
-              else regexp_replace(col("text"),
-                "((\\S+ ){2})\\S+", s"$$1cp${c}tok")
+              else expr(
+                s"array_join(transform(split(text, ' '), (w, i) -> " +
+                  s"IF(i % 3 = 2, concat('cp$c', substring(md5(w), 1, 6)), w)), ' ')")
             docs.select((col("doc_id") + lit(idStride) * c).as("doc_id"),
               text.as("text"), col("lang"), col("source"), col("n_chars"))
           }
