@@ -201,12 +201,23 @@ object VrlCompress {
   def run(bytes: Array[Byte], algo: String, encode: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (encode) {
+      // zstd/snappy ride the Spark-bundled native codecs (zstd-jni /
+      // snappy-java are already on every executor's classpath — Spark's
+      // own shuffle/parquet codecs) — raw block formats like VRL's
+      if (algo == "zstd") return com.github.luben.zstd.Zstd.compress(bytes)
+      if (algo == "snappy") return org.xerial.snappy.Snappy.compress(bytes)
       val os = algo match {
         case "gzip" => new java.util.zip.GZIPOutputStream(out)
         case "zlib" => new java.util.zip.DeflaterOutputStream(out)
       }
       os.write(bytes); os.close()
     } else {
+      if (algo == "zstd") {
+        val n = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(n >= 0 && n <= Int.MaxValue, "decode_zstd: bad frame header")
+        return com.github.luben.zstd.Zstd.decompress(bytes, n.toInt)
+      }
+      if (algo == "snappy") return org.xerial.snappy.Snappy.uncompress(bytes)
       val is = algo match {
         case "gzip" => new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes))

@@ -304,6 +304,94 @@ object VrlLib {
           VrlXmlToJson(exprs.head), true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_bytes", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "parse_bytes(value, unit[, base]) takes 2-3 arguments")
+        val unit = literalString(exprs(1), "parse_bytes: the unit argument")
+        val base = exprs.lift(2)
+          .map(literalString(_, "parse_bytes: the base argument"))
+          .getOrElse("10")
+        require(base == "2" || base == "10",
+          s"parse_bytes: base must be '2' or '10', got '$base'")
+        VrlParseBytes(exprs.head, unit, base)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_float", { exprs =>
+        require(exprs.size == 1, "parse_float(value) takes 1 argument")
+        // fallible like VRL's: the ANSI cast throws on garbage, which
+        // `??` / `, err =` catch
+        Cast(exprs.head, DoubleType)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_format_number", { exprs =>
+        require(exprs.size >= 2 && exprs.size <= 4,
+          "format_number(value, scale[, decimal_separator[, grouping_separator]]) " +
+            "takes 2-4 arguments")
+        val scale = exprs(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case Literal(l: Long, LongType) => l.toInt
+          case _ => throw new IllegalArgumentException(
+            "format_number: scale must be an integer literal")
+        }
+        VrlFormatNumber(Cast(exprs.head, DoubleType), scale,
+          exprs.lift(2).map(literalString(_, "format_number: decimal_separator"))
+            .getOrElse("."),
+          exprs.lift(3).map(literalString(_, "format_number: grouping_separator"))
+            .getOrElse(","))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_regex_all", { exprs =>
+        require(exprs.size == 2,
+          "parse_regex_all(value, pattern) takes 2 arguments")
+        val pat = literalString(exprs(1), "parse_regex_all: the pattern argument")
+        val javaPat = pat.replace("(?P<", "(?<")
+        val groups = namedGroups(javaPat)
+        require(groups.nonEmpty,
+          s"parse_regex_all: pattern has no named capture groups: `$pat`")
+        VrlParseRegexAll(exprs.head, javaPat, groups.map(_._1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_community_id", { exprs =>
+        // VRL parameter order: source_ip, destination_ip, protocol,
+        // source_port, destination_port, seed
+        require(exprs.size == 5 || exprs.size == 6,
+          "community_id(source_ip, destination_ip, protocol, source_port, " +
+            "destination_port[, seed]) takes 5-6 arguments")
+        val ints = Seq(exprs(3), exprs(4), exprs(2)).map(Cast(_, IntegerType)) ++
+          exprs.lift(5).map(Cast(_, IntegerType)).toSeq
+        VrlCommunityId(Seq(exprs(0), exprs(1)) ++ ints)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_pton", { exprs =>
+        require(exprs.size == 1, "ip_pton(value) takes 1 argument")
+        VrlIpKernel1(exprs.head, "pton")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_ntop", { exprs =>
+        require(exprs.size == 1, "ip_ntop(value) takes 1 argument")
+        VrlIpKernel1(Cast(exprs.head, BinaryType), "ntop")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_to_ipv6", { exprs =>
+        require(exprs.size == 1, "ip_to_ipv6(value) takes 1 argument")
+        VrlIpKernel1(exprs.head, "to_v6")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ip_subnet", { exprs =>
+        require(exprs.size == 2, "ip_subnet(value, mask) takes 2 arguments")
+        VrlIpSubnet(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_decode_mime_q", { exprs =>
+        require(exprs.size == 1, "decode_mime_q(value) takes 1 argument")
+        VrlDecodeMimeQ(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_uuid_v7", { exprs =>
+        require(exprs.isEmpty, "uuid_v7() takes no arguments")
+        VrlUuidV7()
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_etld", { exprs =>
         require(exprs.size == 1 || exprs.size == 2,
           "parse_etld(value[, plus_parts]) takes 1-2 arguments")
@@ -390,7 +478,7 @@ object VrlLib {
           exprs.lift(1).getOrElse(Literal("=")),
           exprs.lift(2).getOrElse(Literal(" ")))
       }, "scala_udf")
-    Seq("gzip", "zlib").foreach { algo =>
+    Seq("gzip", "zlib", "zstd", "snappy").foreach { algo =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"graft_vrl_encode_$algo", { exprs =>
           require(exprs.size == 1, s"encode_$algo(value) takes 1 argument")

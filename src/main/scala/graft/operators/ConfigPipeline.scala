@@ -639,7 +639,43 @@ object ConfigPipeline {
     spark.read.parquet(out).select("suffix", "known", "n", "first_reg", "n_reg")
   }
 
+  /** q267 — the round-13 stdlib tranche graded end-to-end: size-string
+    * parsing (parse_bytes), subnet + v6-mapping IP helpers, fallible
+    * float parse, and grouped number formatting, all recomputed by the
+    * oracle from the raw columns. */
+  private def q267(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q267").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT cast(event_id % 900 AS string) || '.5MiB' AS sz, '10.' || cast(user_id % 200 AS string) || '.' || cast(event_id % 250 AS string) || '.' || cast(user_id % 250 AS string) AS ip, cast(event_id % 1000 AS string) || '.25' AS fl, event_type FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .bytes = parse_bytes!(.sz, unit: 'B')
+         |            .net = ip_subnet!(.ip, '/24')
+         |            .v6 = ip_to_ipv6!(.ip)
+         |            .fv = parse_float!(.fl)
+         |            .disp = format_number(.fv, 2)
+         |        - type: sql
+         |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(bytes) AS BIGINT) AS bytes_sum, count(DISTINCT net) AS n_net, min(v6) AS first_v6, CAST(sum(fv * 100) AS BIGINT) AS fv_sum, min(disp) AS first_disp FROM flow GROUP BY event_type"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "n", "bytes_sum", "n_net",
+      "first_v6", "fv_sum", "first_disp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_config_vrl_bytes_ip" -> ((s, dir) => q267(s, dir)),
     "q266_config_vrl_etld" -> ((s, dir) => q266(s, dir)),
     "q265_config_vrl_xml" -> ((s, dir) => q265(s, dir)),
     "q258_config_vrl_user_agent" -> ((s, dir) => q258(s, dir)),
@@ -657,6 +693,17 @@ object ConfigPipeline {
     "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q267_config_vrl_bytes_ip" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum((event_id % 900 + 0.5) * 1048576) AS BIGINT) AS bytes_sum,
+        |       count(DISTINCT '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+        |             CAST(event_id % 250 AS VARCHAR) || '.0') AS n_net,
+        |       min('::ffff:10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+        |           CAST(event_id % 250 AS VARCHAR) || '.' ||
+        |           CAST(user_id % 250 AS VARCHAR)) AS first_v6,
+        |       CAST(sum((event_id % 1000 + 0.25) * 100) AS BIGINT) AS fv_sum,
+        |       min(printf('%.2f', event_id % 1000 + 0.25)) AS first_disp
+        |FROM events GROUP BY 1""".stripMargin,
     "q266_config_vrl_etld" ->
       """SELECT CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'co.uk'
         |            WHEN 1 THEN 'dev' WHEN 2 THEN 'blogspot.com'

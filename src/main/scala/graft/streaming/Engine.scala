@@ -588,10 +588,9 @@ object Engine {
     * (`store.access_key_id`, `store.bucket_name`, …, as the YAML
     * flattener produces them).
     *
-    * Divergence, documented: the reference's `http` store (an
-    * object_store HTTP read adapter) has no Hadoop FileSystem
-    * counterpart — configuring it is an explicit error, not a silent
-    * scheme mismatch at scan time.
+    * The `http` store (round 13) maps onto the engine's own read-only
+    * Range-request [[HttpFileSystem]] — the one store the Hadoop
+    * ecosystem does not ship a connector for.
     */
   def objectStoreConf(o: Map[String, String]): Map[String, String] =
     o.get("store.type") match {
@@ -659,9 +658,23 @@ object Engine {
             s"(the store url $url is the authority to use)"))
         o.collect { case (k, v) if k.startsWith("store.ha_config.") =>
           k.stripPrefix("store.ha_config.") -> v }
-      case Some("http") => throw new IllegalArgumentException(
-        "http object store has no Hadoop FileSystem mapping - " +
-          "serve the files over s3/gs/az/hdfs, or use the http input's client mode")
+      case Some("http") =>
+        // round 13: the reference's object_store HTTP adapter
+        // (input/file.rs:368-378) maps onto the engine's own read-only
+        // Range-request FileSystem [[HttpFileSystem]] — splittable,
+        // executor-side reads, no driver staging. The reference's `url`
+        // key is the registered base; here the path IS the full URL, so
+        // when url is present it must prefix the path (same files, same
+        // addressing, caught at build instead of a 404 at scan).
+        o.get("store.url").zip(o.get("path")).foreach { case (u, p) =>
+          require(p.startsWith(u),
+            s"http store: path '$p' is not under the store url '$u'")
+        }
+        o.get("path").foreach(p => require(
+          p.startsWith("http://") || p.startsWith("https://"),
+          s"http store: path must be a full http(s):// URL, got '$p'"))
+        Map("fs.http.impl" -> classOf[HttpFileSystem].getName,
+          "fs.https.impl" -> classOf[HttpsFileSystem].getName)
       case Some(other) =>
         throw new IllegalArgumentException(s"unknown store type: $other")
     }

@@ -735,6 +735,25 @@ object Processors {
       // parse_etld → {etld, etld_plus, known_suffix} against an embedded
       // public-suffix snapshot subset (functions/VrlEtld.scala)
       "parse_etld" -> "graft_vrl_parse_etld",
+      // round-13 tranche 2 (functions/VrlMisc.scala): size strings,
+      // number formatting, repeated regex capture, the Community ID
+      // flow hash, binary/subnet IP helpers, MIME encoded-words, UUIDv7,
+      // and the zstd/snappy codecs on Spark's own bundled native libs
+      "parse_bytes" -> "graft_vrl_parse_bytes",
+      "parse_float" -> "graft_vrl_parse_float",
+      "parse_regex_all" -> "graft_vrl_parse_regex_all",
+      "community_id" -> "graft_vrl_community_id",
+      "ip_pton" -> "graft_vrl_ip_pton",
+      "ip_ntop" -> "graft_vrl_ip_ntop",
+      "ip_subnet" -> "graft_vrl_ip_subnet",
+      "ip_to_ipv6" -> "graft_vrl_ip_to_ipv6",
+      "decode_mime_q" -> "graft_vrl_decode_mime_q",
+      "uuid_v7" -> "graft_vrl_uuid_v7",
+      "encode_zstd" -> "graft_vrl_encode_zstd",
+      "decode_zstd" -> "graft_vrl_decode_zstd",
+      "encode_snappy" -> "graft_vrl_encode_snappy",
+      "decode_snappy" -> "graft_vrl_decode_snappy",
+      "format_number" -> "graft_vrl_format_number",
       "parse_tokens" -> "graft_vrl_parse_tokens",
       "sieve" -> "graft_vrl_sieve",
       "camelcase" -> "graft_vrl_camelcase",

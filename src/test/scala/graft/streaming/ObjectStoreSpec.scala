@@ -73,7 +73,8 @@ class ObjectStoreSpec extends AnyFunSuite {
       "store.service_account_key" -> "k")))
   }
 
-  test("az/hdfs stores map account key and HA client conf; http is an explicit error") {
+  test("az/hdfs stores map account key and HA client conf; http maps to the " +
+      "engine's Range-request FileSystem with path-under-url validation") {
     val az = Engine.objectStoreConf(Map(
       "store.type" -> "az", "store.account" -> "acct",
       "store.container_name" -> "box", "store.access_key" -> "AZK"))
@@ -89,9 +90,86 @@ class ObjectStoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
       "store.type" -> "hdfs", "store.url" -> "hdfs://ns1",
       "path" -> "/relative/x.parquet"))) // must be fully qualified
-    assertThrows[IllegalArgumentException](
-      Engine.objectStoreConf(Map("store.type" -> "http", "store.url" -> "http://x")))
+    val http = Engine.objectStoreConf(Map(
+      "store.type" -> "http", "store.url" -> "http://files.example",
+      "path" -> "http://files.example/data/x.parquet"))
+    assert(http("fs.http.impl") == classOf[HttpFileSystem].getName)
+    assert(http("fs.https.impl") == classOf[HttpsFileSystem].getName)
+    // a path outside the declared store url is a build error, not a 404
+    assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
+      "store.type" -> "http", "store.url" -> "http://files.example",
+      "path" -> "http://elsewhere/data/x.parquet")))
+    assertThrows[IllegalArgumentException](Engine.objectStoreConf(Map(
+      "store.type" -> "http", "path" -> "/local/x.parquet")))
     assert(Engine.objectStoreConf(Map("format" -> "parquet")) == Map.empty)
+  }
+
+  test("http store end-to-end: parquet read over HTTP Range requests " +
+      "through the engine file input (reference input/file.rs:368-378)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // a real parquet file served by a stub HTTP server that honors Range
+    // (and HEAD) — parquet's footer-then-column reads exercise the seeks
+    val dir = java.nio.file.Files.createTempDirectory("graft_httpfs")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "tag").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val file = new java.io.File(s"$dir/t.parquet").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    @volatile var sawRange = false
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/corpus/t.parquet", { ex =>
+      try ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.getResponseHeaders.add("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+        case _ =>
+          Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              sawRange = true
+              val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+              val from = a.toLong
+              val to = if (b.isEmpty) bytes.length - 1L else b.toLong
+              val slice = java.util.Arrays.copyOfRange(
+                bytes, from.toInt, to.toInt + 1)
+              ex.getResponseHeaders.add("Content-Range",
+                s"bytes $from-$to/${bytes.length}")
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              ex.getResponseBody.write(slice)
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+          }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val out = java.nio.file.Files.createTempDirectory("graft_httpfs_out")
+      val yaml =
+        s"""streams:
+           |  - input:
+           |      type: file
+           |      format: parquet
+           |      path: "$base/corpus/t.parquet"
+           |      store:
+           |        type: http
+           |        url: "$base"
+           |    pipeline:
+           |      processors:
+           |        - type: sql
+           |          query: "SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS s, min(tag) AS t FROM flow"
+           |    output:
+           |      type: parquet
+           |      path: "$out/res"
+           |""".stripMargin
+      Engine.run(spark, Config.fromYaml(yaml))
+      val r = spark.read.parquet(s"$out/res").collect().head
+      assert(r.getLong(0) == 4L && r.getLong(1) == 10L && r.getString(2) == "a")
+      assert(sawRange, "the parquet read must go through ranged GETs")
+    } finally server.stop(0)
   }
 
   test("the YAML `store:` block parses to the dotted options the mapping reads") {

@@ -701,6 +701,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mutate in place"))
   }
 
+  test("remap round-13 tranche 2: parse_bytes, format_number, parse_float, " +
+      "parse_regex_all, community_id, ip helpers, decode_mime_q, uuid_v7, " +
+      "zstd/snappy codecs (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.b1 = parse_bytes!('8.5MiB', unit: 'B')
+        |.b2 = parse_bytes!('1MB', unit: 'B')
+        |.b3 = parse_bytes!('1MB', 'B', base: '2')
+        |.b4 = parse_bytes!('1048576B', unit: 'KiB')
+        |.bad_b = to_string(parse_bytes!('x?', unit: 'B')) ?? 'no size'
+        |.fmt = format_number(1234567.891, 2)
+        |.fmt2 = format_number(-1234567.891, 1, ',', '.')
+        |.f = parse_float!('3.25')
+        |.bad_f = to_string(parse_float!('abc')) ?? 'no float'
+        |.all = parse_regex_all('a=1 b=22 c=333', r'(?P<k>[a-z])=(?P<v>\d+)')
+        |.cid = community_id('1.2.3.4', '5.6.7.8', 6, 1122, 3344)
+        |.cid_rev = community_id('5.6.7.8', '1.2.3.4', 6, 3344, 1122)
+        |.cid_seed = community_id('10.0.0.1', '10.0.0.2', 17, 53, 5353, seed: 7)
+        |.p = ip_pton('10.1.2.3')
+        |.rt = ip_ntop(ip_pton('10.1.2.3'))
+        |.net = ip_subnet('10.1.2.3', '/24')
+        |.net2 = ip_subnet('10.1.2.3', '255.255.0.0')
+        |.v6 = ip_to_ipv6('10.1.2.3')
+        |.mime = decode_mime_q('=?utf-8?Q?hello=20w_rld?= and =?utf-8?B?aGk=?=')
+        |.u7a = uuid_v7()
+        |.zs = decode_zstd(encode_zstd('round trip me zstd'))
+        |.sn = decode_snappy(encode_snappy('round trip me snappy'))
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("b1", "b2", "b3", "b4", "bad_b", "fmt", "fmt2",
+      "f", "bad_f", "all", "cid", "cid_rev", "cid_seed",
+      "hex(p)", "rt", "net", "net2", "v6", "mime", "u7a", "zs", "sn")
+      .collect().head
+    assert(r.getDouble(0) == 8912896.0, "binary suffix is 1024-based")
+    assert(r.getDouble(1) == 1000000.0, "decimal suffix is 1000-based by default")
+    assert(r.getDouble(2) == 1048576.0, "base: '2' makes MB mean MiB")
+    assert(r.getDouble(3) == 1024.0, "target unit converts, not just bytes")
+    assert(r.getString(4) == "no size", "garbage size is fallible")
+    assert(r.getString(5) == "1,234,567.89")
+    assert(r.getString(6) == "-1.234.567,9", "custom separators swap")
+    assert(r.getDouble(7) == 3.25)
+    assert(r.getString(8) == "no float", "parse_float is fallible")
+    val all = r.getSeq[org.apache.spark.sql.Row](9)
+    assert(all.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("a", "1"), ("b", "22"), ("c", "333")),
+      "parse_regex_all captures every match's named groups")
+    // pinned vectors computed from the public Corelight spec
+    assert(r.getString(10) == "1:wCb3OG7yAFWelaUydu0D+125CLM=")
+    assert(r.getString(11) == r.getString(10),
+      "community_id is direction-invariant")
+    assert(r.getString(12) == "1:VHrnBBIIeUnewPvBqaIbleo7Tx0=")
+    assert(r.getString(13) == "0A010203", "ip_pton is network-order bytes")
+    assert(r.getString(14) == "10.1.2.3", "ip_ntop inverts ip_pton")
+    assert(r.getString(15) == "10.1.2.0", "/prefix mask")
+    assert(r.getString(16) == "10.1.0.0", "dotted mask")
+    assert(r.getString(17) == "::ffff:10.1.2.3")
+    assert(r.getString(18) == "hello w rld and hi",
+      "Q (=XX, underscore=space) and B encoded-words both decode")
+    val u7 = r.getString(19)
+    assert(u7.matches("[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"),
+      s"uuid_v7 layout (version 7, RFC variant): $u7")
+    assert(r.getString(20) == "round trip me zstd")
+    assert(r.getString(21) == "round trip me snappy")
+  }
+
   test("remap parse_etld: PSL algorithm over the embedded snapshot — " +
       "multi-label suffixes, wildcards, exceptions, plus_parts, unknown " +
       "TLD degrades to the default rule (vrl stdlib parse_etld)") {
