@@ -57,7 +57,11 @@ object VrlLib {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_ip_cidr_contains", { exprs =>
         require(exprs.size == 2, "ip_cidr_contains(cidr, ip) takes 2 arguments")
-        VrlLib.ipCidrContains(exprs.head, exprs(1))
+        // round 13: byte-wise kernel covering BOTH families (the earlier
+        // v4 mask arithmetic answered null for v6 — a documented
+        // divergence now closed); malformed input throws like VRL's
+        // fallible form
+        VrlCidrContains(exprs.head, exprs(1))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_is_ipv4", { exprs =>
@@ -302,6 +306,63 @@ object VrlLib {
         // ParseJson builds the variant
         new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
           VrlXmlToJson(exprs.head), true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_assert", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "assert(condition[, message]) takes 1-2 arguments")
+        VrlAssert(exprs.head,
+          exprs.lift(1).getOrElse(Literal("assertion failed")))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_assert_eq", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "assert_eq(left, right[, message]) takes 2-3 arguments")
+        VrlAssert(EqualNullSafe(exprs.head, exprs(1)),
+          exprs.lift(2).getOrElse(Literal("assertion failed: values differ")))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_get_env_var", { exprs =>
+        require(exprs.size == 1, "get_env_var(name) takes 1 argument")
+        VrlEnvVar(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_get_hostname", { exprs =>
+        require(exprs.isEmpty, "get_hostname() takes no arguments")
+        VrlHostname()
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_tally", { exprs =>
+        require(exprs.size == 1, "tally(array) takes 1 argument")
+        VrlTally(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_tally_value", { exprs =>
+        require(exprs.size == 2, "tally_value(array, value) takes 2 arguments")
+        VrlTallyValue(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_contains_all", { exprs =>
+        require(exprs.size == 2,
+          "contains_all(value, substrings) takes 2 arguments")
+        VrlContainsAll(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_find", { exprs =>
+        require(exprs.size == 2, "find(value, substring) takes 2 arguments")
+        // 0-based index, -1 when absent (instr is 1-based, 0 when absent).
+        // Divergence, stated: the index counts CHARACTERS (VRL counts
+        // bytes) — identical for ASCII, off by the multi-byte surplus
+        // otherwise; and the pattern is a plain substring (VRL also
+        // accepts a regex literal).
+        Subtract(StringInstr(exprs.head, exprs(1)), Literal(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_ruby_hash", { exprs =>
+        require(exprs.size == 1, "parse_ruby_hash(value) takes 1 argument")
+        // schemaless like parse_json/parse_xml → the VARIANT path
+        new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
+          VrlRubyHashToJson(exprs.head), true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_bytes", { exprs =>

@@ -331,3 +331,321 @@ case class VrlUuidV7() extends LeafExpression
     UTF8String.fromString(new java.util.UUID(hi, lo).toString)
   }
 }
+
+/** `assert!(condition[, message])` / `assert_eq!(a, b[, message])` —
+  * errors when the guard fails (VRL's fallible assert: the event fails
+  * into error handling; `??` / `, err =` catch). True otherwise. */
+case class VrlAssert(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(cond: Any, msg: Any): Any =
+    if (cond.asInstanceOf[Boolean]) true
+    else throw new IllegalArgumentException(msg.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, m) =>
+      s"""if ($c) { ${ev.value} = true; }
+         |else { throw new IllegalArgumentException($m.toString()); }""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): VrlAssert = copy(left = l, right = r)
+}
+
+/** `get_env_var!(name)` — resolved at RUNTIME on the evaluating JVM
+  * (fallible: missing variable throws, `??` catches). Boundary, stated:
+  * in local mode driver and executors share one environment; on a
+  * cluster the EXECUTOR's environment answers, which is also what the
+  * reference's in-process runtime would see on that host. */
+case class VrlEnvVar(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    VrlEnvVar.get(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlEnvVar.get($v);")
+  override protected def withNewChildInternal(newChild: Expression): VrlEnvVar =
+    copy(child = newChild)
+}
+object VrlEnvVar {
+  def get(name: UTF8String): UTF8String = {
+    val v = System.getenv(name.toString)
+    if (v == null) throw new IllegalArgumentException(
+      s"get_env_var: `${name.toString}` is not set")
+    UTF8String.fromString(v)
+  }
+}
+
+/** `get_hostname!()` — the evaluating host's name (per-executor on a
+  * cluster, exactly the host tag the reference's runtime would stamp). */
+case class VrlHostname() extends LeafExpression with CodegenFallback {
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def eval(input: InternalRow): Any = VrlHostname.get()
+}
+object VrlHostname {
+  @transient private lazy val name: UTF8String = UTF8String.fromString(
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "localhost" })
+  def get(): UTF8String = name
+}
+
+/** `tally(array)` → map of string → count; `tally_value(array, value)`
+  * → count of one value (any element type). tally requires string
+  * elements like VRL's. */
+case class VrlTally(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < arr.numElements()) {
+      val e = arr.get(i, StringType)
+      require(e != null, "tally: array elements must be non-null strings")
+      val k = e.asInstanceOf[UTF8String]
+      counts.merge(k, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val ks = new scala.collection.mutable.ArrayBuffer[Any](counts.size)
+    val vs = new scala.collection.mutable.ArrayBuffer[Any](counts.size)
+    counts.forEach { (k, n) => ks += k; vs += n }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks.toArray, vs.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): VrlTally =
+    copy(child = newChild)
+}
+
+/** `ip_cidr_contains(cidr, ip)` over BOTH families (v4 and v6) via
+  * byte-wise prefix compare; malformed input throws (VRL's fallible
+  * form — `??` catches), replacing the earlier v4-only arithmetic whose
+  * v6 answer was a documented null. */
+case class VrlCidrContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(cidr: Any, ip: Any): Any =
+    VrlCidrContains.contains(cidr.asInstanceOf[UTF8String],
+      ip.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, i) =>
+      s"${ev.value} = graft.functions.VrlCidrContains.contains($c, $i);")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): VrlCidrContains = copy(left = l, right = r)
+}
+object VrlCidrContains {
+  def contains(cidr: UTF8String, ip: UTF8String): Boolean = {
+    val c = cidr.toString
+    val slash = c.indexOf('/')
+    require(slash > 0, s"ip_cidr_contains: `$c` is not base/prefix CIDR")
+    val baseS = c.substring(0, slash)
+    require(baseS.matches("[0-9A-Fa-f:.]+"),
+      s"ip_cidr_contains: `$baseS` is not an IP literal")
+    val ipS = ip.toString
+    require(ipS.matches("[0-9A-Fa-f:.]+"),
+      s"ip_cidr_contains: `$ipS` is not an IP literal")
+    val base = java.net.InetAddress.getByName(baseS).getAddress
+    val addr = java.net.InetAddress.getByName(ipS).getAddress
+    if (base.length != addr.length) return false // family mismatch: not contained
+    val bits = c.substring(slash + 1).toInt
+    require(bits >= 0 && bits <= base.length * 8,
+      s"ip_cidr_contains: prefix /$bits out of range for `$c`")
+    var i = 0
+    while (i * 8 < bits) {
+      val keep = math.min(8, bits - i * 8)
+      val mask = (0xff << (8 - keep)) & 0xff
+      if ((base(i) & mask) != (addr(i) & mask)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `parse_ruby_hash(value)` — legacy Rails-style hashes
+  * (`{ "k" => "v", :sym => nil, "n" => [1, 2] }`) ride the same VARIANT
+  * path as parse_xml/parse_json: this kernel transcribes the hash to
+  * JSON text (symbols become string keys, nil → null, `=>` → `:`) and
+  * the registration wraps it in Spark's ParseJson. Malformed input
+  * throws (fallible). */
+case class VrlRubyHashToJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    VrlRubyHashToJson.toJson(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VrlRubyHashToJson.toJson($v);")
+  override protected def withNewChildInternal(newChild: Expression): VrlRubyHashToJson =
+    copy(child = newChild)
+}
+object VrlRubyHashToJson {
+  def toJson(v: UTF8String): UTF8String = {
+    val s = v.toString
+    val out = new java.lang.StringBuilder(s.length + 16)
+    val p = new Parser(s)
+    p.skipWs()
+    p.value(out)
+    p.skipWs()
+    require(p.done, s"parse_ruby_hash: trailing content at offset ${p.pos}")
+    UTF8String.fromString(out.toString)
+  }
+  private final class Parser(s: String) {
+    var pos = 0
+    def done: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!done && s.charAt(pos).isWhitespace) pos += 1
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"parse_ruby_hash: $msg at offset $pos")
+    private def expect(c: Char): Unit = {
+      if (done || s.charAt(pos) != c) fail(s"expected '$c'")
+      pos += 1
+    }
+    def value(out: java.lang.StringBuilder): Unit = {
+      skipWs()
+      if (done) fail("unexpected end")
+      s.charAt(pos) match {
+        case '{' => hash(out)
+        case '[' => array(out)
+        case '"' | '\'' => out.append(jsonString(quoted()))
+        case ':' => // :symbol value position → JSON string
+          pos += 1; out.append(jsonString(ident()))
+        case c if c.isDigit || c == '-' || c == '+' => number(out)
+        case _ =>
+          val w = ident()
+          w match {
+            case "nil" => out.append("null"); ()
+            case "true" | "false" => out.append(w); ()
+            case other => fail(s"unexpected token `$other`")
+          }
+      }
+    }
+    private def hash(out: java.lang.StringBuilder): Unit = {
+      expect('{'); out.append('{')
+      skipWs()
+      var first = true
+      while (!done && s.charAt(pos) != '}') {
+        if (!first) { expect(','); out.append(','); skipWs() }
+        first = false
+        // key: quoted string or :symbol (ruby also allows `key:` — the
+        // modern syntax — normalized the same way)
+        val key = s.charAt(pos) match {
+          case '"' | '\'' => quoted()
+          case ':' => pos += 1; ident()
+          case c if c.isLetter || c == '_' => ident()
+          case _ => fail("expected hash key")
+        }
+        out.append(jsonString(key))
+        skipWs()
+        if (s.startsWith("=>", pos)) pos += 2
+        else if (!done && s.charAt(pos) == ':') pos += 1
+        else fail("expected `=>` or `:` after key")
+        out.append(':')
+        value(out)
+        skipWs()
+      }
+      expect('}'); out.append('}')
+      ()
+    }
+    private def array(out: java.lang.StringBuilder): Unit = {
+      expect('['); out.append('[')
+      skipWs()
+      var first = true
+      while (!done && s.charAt(pos) != ']') {
+        if (!first) { expect(','); out.append(','); skipWs() }
+        first = false
+        value(out)
+        skipWs()
+      }
+      expect(']'); out.append(']')
+      ()
+    }
+    private def quoted(): String = {
+      val q = s.charAt(pos); pos += 1
+      val sb = new java.lang.StringBuilder
+      while (!done && s.charAt(pos) != q) {
+        val c = s.charAt(pos)
+        if (c == '\\' && pos + 1 < s.length) {
+          val n = s.charAt(pos + 1)
+          sb.append(n match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          })
+          pos += 2
+        } else { sb.append(c); pos += 1 }
+      }
+      expect(q)
+      sb.toString
+    }
+    private def ident(): String = {
+      val start = pos
+      while (!done && (s.charAt(pos).isLetterOrDigit || s.charAt(pos) == '_'))
+        pos += 1
+      if (pos == start) fail("expected identifier")
+      s.substring(start, pos)
+    }
+    private def number(out: java.lang.StringBuilder): Unit = {
+      val start = pos
+      if (s.charAt(pos) == '+') pos += 1
+      else if (s.charAt(pos) == '-') { out.append('-'); pos += 1 }
+      while (!done && (s.charAt(pos).isDigit || s.charAt(pos) == '.' ||
+        s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) pos += 1
+      val body = s.substring(if (s.charAt(start) == '+' || s.charAt(start) == '-')
+        start + 1 else start, pos)
+      require(body.matches("[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?"),
+        s"parse_ruby_hash: bad number `$body`")
+      out.append(body)
+      ()
+    }
+    private def jsonString(raw: String): String = {
+      val sb = new java.lang.StringBuilder(raw.length + 2)
+      sb.append('"')
+      raw.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+      sb.toString
+    }
+  }
+}
+
+/** `tally_value(array, value)` — occurrences of one value (any element
+  * type; null-safe equality like VRL's value compare). */
+case class VrlTallyValue(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(arr: Any, v: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val et = left.dataType.asInstanceOf[ArrayType].elementType
+    var n = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      val e = a.get(i, et)
+      if (e != null && e == v) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): VrlTallyValue = copy(left = l, right = r)
+}
+
+/** `contains_all(value, substrings)` — true iff the string contains
+  * EVERY substring in the array. */
+case class VrlContainsAll(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(v: Any, subs: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val a = subs.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < a.numElements()) {
+      val sub = a.get(i, StringType)
+      require(sub != null, "contains_all: substrings must be non-null")
+      if (!s.contains(sub.asInstanceOf[UTF8String])) return false
+      i += 1
+    }
+    true
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): VrlContainsAll = copy(left = l, right = r)
+}

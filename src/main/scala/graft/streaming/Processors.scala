@@ -740,6 +740,17 @@ object Processors {
       // flow hash, binary/subnet IP helpers, MIME encoded-words, UUIDv7,
       // and the zstd/snappy codecs on Spark's own bundled native libs
       "parse_bytes" -> "graft_vrl_parse_bytes",
+      // round-13 tranche 3: guards, environment, array tallies, legacy
+      // ruby hashes (the VARIANT path), substring find
+      "assert" -> "graft_vrl_assert",
+      "assert_eq" -> "graft_vrl_assert_eq",
+      "get_env_var" -> "graft_vrl_get_env_var",
+      "get_hostname" -> "graft_vrl_get_hostname",
+      "tally" -> "graft_vrl_tally",
+      "tally_value" -> "graft_vrl_tally_value",
+      "contains_all" -> "graft_vrl_contains_all",
+      "find" -> "graft_vrl_find",
+      "parse_ruby_hash" -> "graft_vrl_parse_ruby_hash",
       "parse_float" -> "graft_vrl_parse_float",
       "parse_regex_all" -> "graft_vrl_parse_regex_all",
       "community_id" -> "graft_vrl_community_id",
@@ -868,6 +879,28 @@ object Processors {
       // and braces are VRL array/object literals
       s = rewriteArrayLiterals(s)
       s = rewriteObjectLiterals(s)
+      // VRL TYPE ASSERTIONS `string!(.f)` / `int!(.f)` / … (the calls
+      // VRL's type checker demands all over real remap programs): a
+      // column's type is a per-frame schema fact, so they resolve to the
+      // field itself when the type matches and FAIL THE BATCH loudly
+      // when it doesn't — never a silent cast (Spark's own string()/
+      // timestamp() builtins would otherwise swallow these as casts).
+      // Must run BEFORE the bang strip so the non-field bang form can be
+      // rejected rather than degrade to a cast.
+      s = s.replaceAll("(?<![A-Za-z0-9_.`])(string|int|float|object|array|" +
+        "timestamp)!?\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
+        "__VRL_ASSERTT_$1_$2__")
+      require(!s.matches("(?s).*(?<![A-Za-z0-9_.`])(?:string|int|float|" +
+        "object|array|timestamp)!\\s*\\(.*"),
+        "remap: type assertions (string!/int!/float!/object!/array!/" +
+          "timestamp!) support field references only — a computed " +
+          "expression's type is not a schema fact the compiler can check")
+      // VRL `. = unnest(.field)` — fan the array field out to one event
+      // per element (the classic Vector multi-record idiom). The marker
+      // expands per frame to transform(field, e -> <event with field=e>),
+      // an array of objects, which the `. =` machinery explodes.
+      s = s.replaceAll("(?<![A-Za-z0-9_.`])unnest!?\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
+        "__VRL_UNNEST_$1__")
       // VRL bang-calls `fn!(…)` ("raise on error"): the plain call — our
       // fallible shims yield null fields instead of aborting the event,
       // and a genuinely thrown error fails the batch into error_output,
@@ -1536,6 +1569,24 @@ object Processors {
           val sql = fieldRefs(rhs) // BEFORE += : a first self-ref is undefined, loudly
           vars += name
           Some((df: DataFrame) => df.withColumn(varCol(name), exprFor(df, sql)))
+        // standalone `assert!(…)` / `assert_eq!(…)` statements: compiled
+        // as a FILTER whose predicate is the assert expression (true, or
+        // throws — so every row passes or the batch fails into
+        // error_output). A filter predicate cannot be column-pruned away,
+        // which a dropped helper column could be — the assert is
+        // guaranteed to evaluate.
+        case s if s.matches("(?s)assert(_eq)?!?\\s*\\(.*\\)\\s*") =>
+          val sql = fieldRefs(s)
+          Some((df: DataFrame) => df.filter(exprFor(df, sql)))
+        // standalone `log(…)` statements: dropped with a build-time note.
+        // Vector logs per event to its own process log; a per-row driver
+        // log at cluster scale is an anti-pattern — route events to a
+        // stdout sink for the same visibility.
+        case s if s.matches("(?s)log!?\\s*\\(.*\\)\\s*") =>
+          System.err.println("[graft] remap: standalone log(...) statement " +
+            s"dropped (`${unmask(s).take(60)}`) — use a stdout sink for " +
+            "per-event visibility; per-row driver logging does not scale")
+          None
         case other =>
           throw new IllegalArgumentException(s"remap: cannot parse `${unmask(other)}`")
       }
@@ -1574,6 +1625,44 @@ object Processors {
           case _ => "false" // absent field: no type, like VRL's undefined
         })
     }
+    /** Type-assertion markers (`string!(.f)` family): the field itself
+      * when the frame type matches, a LOUD failure when it doesn't —
+      * VRL's assert semantics, never a cast. */
+    private val AssertTRef = "__VRL_ASSERTT_([a-z]+)_([A-Za-z0-9_]+)__".r
+    private def resolveTypeAsserts(df: DataFrame, sql: String): String =
+      AssertTRef.replaceAllIn(sql, m => {
+        val kind0 = m.group(1)
+        val f = m.group(2)
+        val kind = if (kind0 == "int") "integer" else kind0
+        df.schema.fields.find(_.name == f) match {
+          case Some(fd) if typeMatches(kind, fd.dataType) => s"`$f`"
+          case Some(fd) => throw new IllegalArgumentException(
+            s"remap: type assertion $kind0(.$f) failed — .$f is " +
+              s"${fd.dataType.simpleString}, not $kind0")
+          case None => throw new IllegalArgumentException(
+            s"remap: type assertion $kind0(.$f) failed — the event has " +
+              s"no field .$f")
+        }
+      })
+    /** `. = unnest(.f)` markers: transform(f, e -> <the event with f=e>)
+      * — an array of objects the whole-event machinery explodes to one
+      * event per element (Vector's unnest). */
+    private val UnnestRef = "__VRL_UNNEST_([A-Za-z0-9_]+)__".r
+    private def resolveUnnest(df: DataFrame, sql: String): String =
+      UnnestRef.replaceAllIn(sql, m => {
+        val f = m.group(1)
+        require(df.columns.contains(f), s"remap: unnest(.$f): no such field")
+        require(df.schema(f).dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType],
+          s"remap: unnest(.$f): the field must be an array, got " +
+            df.schema(f).dataType.simpleString)
+        val eventCols = df.columns.filterNot(c =>
+          c.startsWith("__vrl_") || c.startsWith("__meta_"))
+        val fields = eventCols.map(c =>
+          if (c == f) s"'$c', __vrl_unnest_e" else s"'$c', `$c`").mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(
+          s"transform(`$f`, __vrl_unnest_e -> named_struct($fields))")
+      })
     /** `__VRL_GET_<n>__` markers (literal-path `get`) resolve against the
       * batch frame's schema: a struct step must name an existing field
       * (an absent one makes the whole path null — VRL's get contract), a
@@ -1624,10 +1713,10 @@ object Processors {
       eventCols.map(c => s"'$c', `$c`").mkString("named_struct(", ", ", ")")
     }
     private def exprFor(df: DataFrame, sql: String): org.apache.spark.sql.Column =
-      expr(resolveGets(df, resolveExists(df,
+      expr(resolveUnnest(df, resolveTypeAsserts(df, resolveGets(df, resolveExists(df,
         if (sql.contains("__VRL_SELF__"))
           sql.replace("__VRL_SELF__", selfStruct(df))
-        else sql)))
+        else sql)))))
 
     /** ONE try_pair evaluation carries both halves (value + error),
       * computed against the PRE-assignment frame, so a self-referencing

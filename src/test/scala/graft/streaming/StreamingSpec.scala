@@ -765,6 +765,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(21) == "round trip me snappy")
   }
 
+  test("remap round-13 tranche 3: type assertions, `. = unnest`, assert/" +
+      "assert_eq, get_env_var/get_hostname, tally/tally_value, " +
+      "contains_all, find, parse_ruby_hash, v6 ip_cidr_contains (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.s = string!(.sensor)
+        |assert!(.value >= 0, 'value must be non-negative')
+        |assert_eq!(.sensor, 'temp_1')
+        |.ok = assert(1 == 2) ?? false
+        |.home = get_env_var!('HOME') ?? '/unknown'
+        |.host = get_hostname!()
+        |.t = tally(['a', 'b', 'a', 'a'])
+        |.tv = tally_value([1, 2, 1, 1], 1)
+        |.ca = contains_all('the quick brown fox', ['quick', 'fox'])
+        |.ca2 = contains_all('the quick brown fox', ['quick', 'cat'])
+        |.f1 = find('foobar', 'bar')
+        |.f2 = find('foobar', 'zzz')
+        |.rb = parse_ruby_hash!('{ "hello" => "world", :sym => nil, "n" => 42, "nested" => { "a" => [1, 2.5, true] } }')
+        |.rb_hello = to_string(variant_get(.rb, '$.hello'))
+        |.rb_n = to_int(variant_get(.rb, '$.n'))
+        |.rb_a1 = to_float(variant_get(.rb, '$.nested.a[1]'))
+        |.v6in = ip_cidr_contains('2001:db8::/32', '2001:db8::8a2e:370:7334')
+        |.v6out = ip_cidr_contains('2001:db8::/32', '2001:db9::1')
+        |log('debugging noise that must not break compilation')
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("s", "ok", "home", "host", "t['a']", "t['b']",
+      "tv", "ca", "ca2", "f1", "f2", "rb_hello", "rb_n", "rb_a1",
+      "v6in", "v6out").collect().head
+    assert(r.getString(0) == "temp_1", "string!(.f) on a string field is the field")
+    assert(!r.getBoolean(1), "expression-form assert failure is caught by ??")
+    assert(r.getString(2).nonEmpty && r.getString(2) != "/unknown",
+      "get_env_var reads the JVM environment")
+    assert(r.getString(3).nonEmpty)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 1L, "tally counts per key")
+    assert(r.getLong(6) == 3L, "tally_value counts one value")
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+    assert(r.getInt(9) == 3 && r.getInt(10) == -1,
+      "find is 0-based, -1 when absent")
+    assert(r.getString(11) == "world", "ruby hash rides the VARIANT path")
+    assert(r.getAs[Number](12).longValue == 42L)
+    assert(math.abs(r.getAs[Number](13).doubleValue - 2.5) < 1e-9,
+      "nested ruby arrays keep typed scalars")
+    assert(r.getBoolean(14) && !r.getBoolean(15),
+      "ip_cidr_contains now answers IPv6 CIDRs")
+    // a FAILED type assertion is loud, naming field and actual type
+    val e1 = intercept[Exception](Processors.RemapProcessor(
+      ".x = int!(.sensor)")(frame).collect())
+    assert(e1.getMessage.contains("type assertion") &&
+      e1.getMessage.contains("string"), e1.getMessage)
+    // a bang-form type assertion over a computed expression is rejected
+    val e2 = intercept[IllegalArgumentException](Processors.RemapProcessor(
+      ".x = string!(upcase(.sensor))"))
+    assert(e2.getMessage.contains("field references only"), e2.getMessage)
+    // a failed statement-form assert fails the batch (the abort channel)
+    val e3 = intercept[Exception](Processors.RemapProcessor(
+      "assert!(.value > 100000, 'too small')")(frame).collect())
+    assert(e3.getMessage.contains("too small") ||
+      Option(e3.getCause).exists(_.getMessage.contains("too small")),
+      s"assert message must surface: ${e3.getMessage}")
+    // `. = unnest(.items)` fans one event out per array element
+    val un = Processors.RemapProcessor(
+      """.items = [10, 20, 30]
+        |. = unnest(.items)
+        |""".stripMargin)(frame)
+    val rows = un.selectExpr("sensor", "items").collect()
+    assert(rows.length == 3, "unnest explodes to one event per element")
+    assert(rows.map(_.getAs[Number](1).longValue).toSeq == Seq(10L, 20L, 30L),
+      "the array field carries each element")
+    assert(rows.forall(_.getString(0) == "temp_1"),
+      "other event fields are carried into every fanned-out event")
+  }
+
   test("remap parse_etld: PSL algorithm over the embedded snapshot — " +
       "multi-label suffixes, wildcards, exceptions, plus_parts, unknown " +
       "TLD degrades to the default rule (vrl stdlib parse_etld)") {
