@@ -299,13 +299,43 @@ object VrlLib {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_xml", { exprs =>
-        require(exprs.size == 1, "parse_xml(value) takes 1 argument")
+        require(exprs.size == 1 || exprs.size == 2,
+          "parse_xml(value[, options]) takes 1-2 arguments")
         // schemaless XML rides the same VARIANT path as parse_json: the
         // kernel converts XML to the equivalent JSON text (VRL's
         // element/attribute/text conversion) and Spark's own codegen'd
-        // ParseJson builds the variant
+        // ParseJson builds the variant. The optional second argument is
+        // the compiler-packed canonical option literal (the label-aware
+        // rewrite in Processors — named-option subsets misbind under
+        // positional stripping).
+        val opts = exprs.lift(1)
+          .map(e => VrlXmlToJson.parseOpts(
+            literalString(e, "parse_xml: the options argument")))
+          .getOrElse(VrlXmlToJson.Opts())
         new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
-          VrlXmlToJson(exprs.head), true)
+          VrlXmlToJson(exprs.head, opts), true)
+      }, "scala_udf")
+    // random_* — nondeterministic like VRL's, composed on Spark's own
+    // Rand (a fresh seed per call site, fixed at analysis like rand())
+    def freshRand() = new Rand(Literal(scala.util.Random.nextLong()), true)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_random_bool", { exprs =>
+        require(exprs.isEmpty, "random_bool() takes no arguments")
+        LessThan(freshRand(), Literal(0.5))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_random_int", { exprs =>
+        require(exprs.size == 2, "random_int(min, max) takes 2 arguments")
+        // [min, max) like VRL
+        val min = Cast(exprs.head, LongType)
+        val span = Cast(Subtract(Cast(exprs(1), LongType), min), DoubleType)
+        Add(Cast(Floor(Multiply(freshRand(), span)), LongType), min)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_random_float", { exprs =>
+        require(exprs.size == 2, "random_float(min, max) takes 2 arguments")
+        val min = Cast(exprs.head, DoubleType)
+        Add(Multiply(freshRand(), Subtract(Cast(exprs(1), DoubleType), min)), min)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_assert", { exprs =>

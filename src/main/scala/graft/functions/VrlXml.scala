@@ -27,21 +27,49 @@ import org.apache.spark.unsafe.types.UTF8String
   * it. DTDs and external entities are disabled outright — a parse kernel
   * running on untrusted 100 TB input must not be an XXE vector.
   */
-case class VrlXmlToJson(child: Expression) extends UnaryExpression {
+case class VrlXmlToJson(child: Expression,
+    opts: VrlXmlToJson.Opts = VrlXmlToJson.Opts()) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override protected def nullSafeEval(v: Any): Any =
-    VrlXmlToJson.toJson(v.asInstanceOf[UTF8String])
+    VrlXmlToJson.toJson(v.asInstanceOf[UTF8String], opts)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = ctx.addReferenceObj("opts", opts, "graft.functions.VrlXmlToJson.Opts")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.VrlXmlToJson.toJson($v);")
+      s"${ev.value} = graft.functions.VrlXmlToJson.toJson($v, $o);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): VrlXmlToJson =
     copy(child = newChild)
 }
 
 object VrlXmlToJson {
+  /** vrl-stdlib parse_xml options, defaults per its docs. Built from the
+    * canonical `k=v;…` literal the compiler's label-aware rewrite packs
+    * (named-option SUBSETS are the norm for this function, so the
+    * generic strip-labels-keep-positions pass would misbind them). */
+  case class Opts(trim: Boolean = true, includeAttr: Boolean = true,
+      attrPrefix: String = "@", textKey: String = "text",
+      alwaysUseTextKey: Boolean = false, parseBool: Boolean = true,
+      parseNull: Boolean = true, parseNumber: Boolean = true)
+
+  def parseOpts(spec: String): Opts =
+    spec.split(';').filter(_.nonEmpty).foldLeft(Opts()) { (o, kv) =>
+      val Array(k, v) = kv.split("=", 2)
+      k match {
+        case "trim" => o.copy(trim = v.toBoolean)
+        case "include_attr" => o.copy(includeAttr = v.toBoolean)
+        case "attr_prefix" => o.copy(attrPrefix = v)
+        case "text_key" => o.copy(textKey = v)
+        case "always_use_text_key" => o.copy(alwaysUseTextKey = v.toBoolean)
+        case "parse_bool" => o.copy(parseBool = v.toBoolean)
+        case "parse_null" => o.copy(parseNull = v.toBoolean)
+        case "parse_number" => o.copy(parseNumber = v.toBoolean)
+        case other => throw new IllegalArgumentException(
+          s"parse_xml: unknown option `$other`")
+      }
+    }
   import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
   /** StAX factories are not thread-safe; one per executor task thread.
@@ -65,7 +93,9 @@ object VrlXmlToJson {
     val text = new java.lang.StringBuilder
   }
 
-  def toJson(value: UTF8String): UTF8String = {
+  def toJson(value: UTF8String): UTF8String = toJson(value, Opts())
+
+  def toJson(value: UTF8String, opts: Opts): UTF8String = {
     val reader: XMLStreamReader =
       factory.get().createXMLStreamReader(new java.io.StringReader(value.toString))
     try {
@@ -84,12 +114,13 @@ object VrlXmlToJson {
             }
             stack = (reader.getLocalName, f) :: stack
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (stack.nonEmpty && !reader.isWhiteSpace)
+            // trim=false keeps whitespace-only text nodes (VRL's option)
+            if (stack.nonEmpty && (!opts.trim || !reader.isWhiteSpace))
               stack.head._2.text.append(reader.getText)
           case XMLStreamConstants.END_ELEMENT =>
             val (name, f) = stack.head
             stack = stack.tail
-            val v = materialize(f)
+            val v = materialize(f, opts)
             stack match {
               case (_, parent) :: _ =>
                 parent.kids.computeIfAbsent(name, _ => new java.util.ArrayList[Object]())
@@ -114,18 +145,19 @@ object VrlXmlToJson {
 
   /** Closed frame → value: scalar for text-only leaves, {} for empty
     * leaves, LinkedHashMap(@attrs ++ children ++ text-key) otherwise. */
-  private def materialize(f: Frame): Object = {
-    val text = f.text.toString.trim
-    if (f.attrs.isEmpty && f.kids.isEmpty) {
+  private def materialize(f: Frame, opts: Opts): Object = {
+    val text = if (opts.trim) f.text.toString.trim else f.text.toString
+    val attrs = if (opts.includeAttr) f.attrs else f.attrs.take(0)
+    if (attrs.isEmpty && f.kids.isEmpty && !opts.alwaysUseTextKey) {
       if (text.isEmpty) new java.util.LinkedHashMap[String, Object]()
-      else typedScalar(text)
+      else typedScalar(text, opts)
     } else {
       val m = new java.util.LinkedHashMap[String, Object]()
-      f.attrs.foreach { case (k, v) => m.put("@" + k, v) }
+      attrs.foreach { case (k, v) => m.put(opts.attrPrefix + k, v) }
       f.kids.forEach { (k, vs) =>
         m.put(k, if (vs.size == 1) vs.get(0) else vs)
       }
-      if (text.nonEmpty) m.put("text", typedScalar(text))
+      if (text.nonEmpty) m.put(opts.textKey, typedScalar(text, opts))
       m
     }
   }
@@ -133,12 +165,13 @@ object VrlXmlToJson {
   /** parse_bool / parse_null / parse_number over trimmed element text.
     * Numbers must round-trip (a Long, or a finite Double written in a
     * form Double.parseDouble accepts) — anything else stays a string. */
-  private def typedScalar(text: String): Object = text match {
-    case "true" => java.lang.Boolean.TRUE
-    case "false" => java.lang.Boolean.FALSE
-    case "null" => null
+  private def typedScalar(text: String, opts: Opts): Object = text match {
+    case "true" | "false" if opts.parseBool =>
+      java.lang.Boolean.valueOf(text)
+    case "null" if opts.parseNull => null
     case _ =>
-      if (IntRe.matches(text))
+      if (!opts.parseNumber) text
+      else if (IntRe.matches(text))
         try java.lang.Long.valueOf(text) catch { case _: NumberFormatException => text }
       else if (NumRe.matches(text)) {
         val d = java.lang.Double.parseDouble(text)

@@ -743,6 +743,9 @@ object Processors {
       // round-13 tranche 3: guards, environment, array tallies, legacy
       // ruby hashes (the VARIANT path), substring find
       "assert" -> "graft_vrl_assert",
+      "random_bool" -> "graft_vrl_random_bool",
+      "random_int" -> "graft_vrl_random_int",
+      "random_float" -> "graft_vrl_random_float",
       "assert_eq" -> "graft_vrl_assert_eq",
       "get_env_var" -> "graft_vrl_get_env_var",
       "get_hostname" -> "graft_vrl_get_hostname",
@@ -879,6 +882,13 @@ object Processors {
       // and braces are VRL array/object literals
       s = rewriteArrayLiterals(s)
       s = rewriteObjectLiterals(s)
+      // parse_xml OPTIONS are label-aware: callers pass SUBSETS of its
+      // eight named options (`parse_xml(.x, text_key: "value")`), which
+      // the generic strip-labels-keep-positions pass below would misbind
+      // (a lone text_key would land in trim's slot). Pack the labeled
+      // options into ONE canonical `k=v;…` literal the registration
+      // parses — before the bang strip and the generic label strip.
+      s = rewriteParseXmlOptions(s)
       // VRL TYPE ASSERTIONS `string!(.f)` / `int!(.f)` / … (the calls
       // VRL's type checker demands all over real remap programs): a
       // column's type is a per-frame schema fact, so they resolve to the
@@ -929,9 +939,57 @@ object Processors {
       s = s.replaceAll("(?<![A-Za-z0-9_.`])is_(string|integer|float|boolean|" +
         "array|object|timestamp)\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
         "__VRL_TYPE_$1_$2__")
+      // VRL `type(.field)` — the runtime type NAME, another per-frame
+      // schema fact (absent field → 'null', VRL's undefined)
+      s = s.replaceAll("(?<![A-Za-z0-9_.`])type\\(\\s*`([A-Za-z0-9_]+)`\\s*\\)",
+        "__VRL_TYPENAME_$1__")
       FnAliases.foldLeft(s) { case (acc, (vrl, sql)) =>
         acc.replaceAll("(?<![A-Za-z0-9_.`])" + vrl + "\\s*\\(", sql + "(")
       }
+    }
+
+    /** parse_xml's labeled options → one canonical `k=v;…` string
+      * literal (see the call site above for why). Option values must be
+      * literals: booleans or masked strings. */
+    private def rewriteParseXmlOptions(s0: String): String = {
+      var s = s0
+      val Call = "(?<![A-Za-z0-9_.`])parse_xml!?\\s*\\(".r
+      var from = 0
+      var m = Call.findFirstMatchIn(s.substring(from)).map(mm => (mm.start + from, mm.end + from))
+      while (m.isDefined) {
+        val (start, openEnd) = m.get
+        val open = openEnd - 1
+        val close = matchParenIn(s, open)
+        val args = splitArgsVerbatim(s.substring(open + 1, close))
+        if (args.size > 1) {
+          val Labeled = "(?s)^\\s*([a-z_]+)\\s*:\\s*(.+?)\\s*$".r
+          val spec = args.tail.map {
+            case Labeled(label, value) =>
+              val v = value match {
+                case "true" | "false" => value
+                case masked if masked.matches("\u0000\\d+\u0000") =>
+                  val lit = unmask(masked)
+                  val body = lit.substring(1, lit.length - 1)
+                  require(!body.contains(";") && !body.contains("="),
+                    s"remap: parse_xml option $label: `;` and `=` are not " +
+                      "supported inside option values")
+                  body
+                case other => throw new IllegalArgumentException(
+                  s"remap: parse_xml option $label must be a boolean or " +
+                    s"string literal, got `${unmask(other)}`")
+              }
+              s"$label=$v"
+            case other => throw new IllegalArgumentException(
+              "remap: parse_xml options must be named (`text_key: \"v\"`), " +
+                s"got `${unmask(other)}`")
+          }.mkString(";")
+          s = s.substring(0, start) +
+            s"graft_vrl_parse_xml(${args.head}, '${spec.replace("'", "''")}')" + s.substring(close + 1)
+        }
+        from = start + 1
+        m = Call.findFirstMatchIn(s.substring(from)).map(mm => (mm.start + from, mm.end + from))
+      }
+      s
     }
 
     /** Matching ')' for the '(' at `open` — literals are masked, so
@@ -1619,12 +1677,29 @@ object Processors {
     private def resolveExists(df: DataFrame, sql: String): String = {
       val withExists = ExistsRef.replaceAllIn(sql, m =>
         if (df.columns.contains(m.group(1))) "true" else "false")
-      TypeRef.replaceAllIn(withExists, m =>
+      val withTypes = TypeRef.replaceAllIn(withExists, m =>
         df.schema.fields.find(_.name == m.group(2)) match {
           case Some(f) if typeMatches(m.group(1), f.dataType) => "true"
           case _ => "false" // absent field: no type, like VRL's undefined
         })
+      TypeNameRef.replaceAllIn(withTypes, m => {
+        import org.apache.spark.sql.types._
+        val name = df.schema.fields.find(_.name == m.group(1)).map(_.dataType)
+          .map {
+            case StringType => "string"
+            case ByteType | ShortType | IntegerType | LongType => "integer"
+            case FloatType | DoubleType | _: DecimalType => "float"
+            case BooleanType => "boolean"
+            case _: ArrayType => "array"
+            case _: StructType | _: MapType => "object"
+            case TimestampType | TimestampNTZType => "timestamp"
+            case NullType => "null"
+            case other => other.simpleString
+          }.getOrElse("null")
+        s"'$name'"
+      })
     }
+    private val TypeNameRef = "__VRL_TYPENAME_([A-Za-z0-9_]+)__".r
     /** Type-assertion markers (`string!(.f)` family): the field itself
       * when the frame type matches, a LOUD failure when it doesn't —
       * VRL's assert semantics, never a cast. */

@@ -659,6 +659,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(8) == "bad xml", "malformed XML is fallible — ?? catches it")
   }
 
+  test("remap parse_xml options: label-aware subsets (text_key, " +
+      "attr_prefix, include_attr, always_use_text_key, parse_number) " +
+      "bind by NAME, not position (vrl stdlib parse_xml options)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.x = '<e id="7"><n>42</n></e>'
+        |.v1 = parse_xml!(.x, text_key: "value", attr_prefix: "_")
+        |.id = to_string(variant_get(.v1, '$.e._id'))
+        |.v2 = parse_xml!(.x, parse_number: false)
+        |.n_str = to_string(variant_get(.v2, '$.e.n'))
+        |.v3 = parse_xml!(.x, include_attr: false, always_use_text_key: true)
+        |.n_text = to_int(variant_get(.v3, "$.e.n['text']"))
+        |.id_gone = variant_get(.v3, "$.e['@id']")
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("id", "n_str", "n_text",
+      "cast(id_gone as string)").collect().head
+    assert(r.getString(0) == "7",
+      "attr_prefix: '_' renames attribute keys — a lone named option " +
+        "must NOT land in trim's positional slot")
+    assert(r.getString(1) == "42", "parse_number: false keeps text strings")
+    assert(r.getAs[Number](2).longValue == 42L,
+      "always_use_text_key wraps text-only elements")
+    assert(r.isNullAt(3), "include_attr: false drops attributes")
+    // option values must be literals; unknown options fail at build
+    val e = intercept[Exception](Processors.RemapProcessor(
+      """.v = parse_xml!('<a/>', bogus_opt: true)""")(frame).collect())
+    assert(e.getMessage.contains("bogus_opt"), e.getMessage)
+  }
+
   test("remap path-function family: literal-path get!/set!/remove! compile " +
       "onto the nested-path machinery; absent get paths are null; dynamic " +
       "paths reject loudly (vrl stdlib get/set/remove)") {
@@ -788,11 +817,17 @@ class StreamingSpec extends AnyFunSuite {
         |.rb_a1 = to_float(variant_get(.rb, '$.nested.a[1]'))
         |.v6in = ip_cidr_contains('2001:db8::/32', '2001:db8::8a2e:370:7334')
         |.v6out = ip_cidr_contains('2001:db8::/32', '2001:db9::1')
+        |.ri = random_int(10, 20)
+        |.rf = random_float(0.0, 1.0)
+        |.rb2 = random_bool()
+        |.ty_s = type(.sensor)
+        |.ty_n = type(.value)
+        |.ty_missing = type(.no_such_field)
         |log('debugging noise that must not break compilation')
         |""".stripMargin)(frame)
     val r = out.selectExpr("s", "ok", "home", "host", "t['a']", "t['b']",
       "tv", "ca", "ca2", "f1", "f2", "rb_hello", "rb_n", "rb_a1",
-      "v6in", "v6out").collect().head
+      "v6in", "v6out", "ri", "rf", "ty_s", "ty_n", "ty_missing").collect().head
     assert(r.getString(0) == "temp_1", "string!(.f) on a string field is the field")
     assert(!r.getBoolean(1), "expression-form assert failure is caught by ??")
     assert(r.getString(2).nonEmpty && r.getString(2) != "/unknown",
@@ -809,6 +844,12 @@ class StreamingSpec extends AnyFunSuite {
       "nested ruby arrays keep typed scalars")
     assert(r.getBoolean(14) && !r.getBoolean(15),
       "ip_cidr_contains now answers IPv6 CIDRs")
+    assert(r.getLong(16) >= 10L && r.getLong(16) < 20L,
+      "random_int is [min, max)")
+    assert(r.getDouble(17) >= 0.0 && r.getDouble(17) < 1.0)
+    assert(r.getString(18) == "string" && r.getString(19) == "integer",
+      "type(.f) names the frame type")
+    assert(r.getString(20) == "null", "type of an absent field is 'null'")
     // a FAILED type assertion is loud, naming field and actual type
     val e1 = intercept[Exception](Processors.RemapProcessor(
       ".x = int!(.sensor)")(frame).collect())
