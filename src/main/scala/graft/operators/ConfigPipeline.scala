@@ -674,7 +674,109 @@ object ConfigPipeline {
       "first_v6", "fv_sum", "first_disp")
   }
 
+  /** q268 — the HTTP object store graded under the hash gate: a stub
+    * Range-honoring server serves the REAL events.parquet bytes, the
+    * engine's file input reads it through `store: {type: http}` (the
+    * read-only Range-request FileSystem — streaming/HttpFs.scala), and
+    * the oracle recomputes the aggregate from the same table read
+    * locally. Parquet footer seeks exercise the ranged-GET path. */
+  private def q268(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q268").toString
+    val out = s"$base/out"
+    // serve a single-file copy (the source may be a multi-part dir —
+    // the HTTP store serves objects by URL, it has no directory listing,
+    // same boundary as the reference's object_store HTTP adapter)
+    val one = s"$base/one"
+    spark.read.parquet(s"$dir/events.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(one)
+    val part = new java.io.File(one).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one part file, got ${part.length}")
+    val bytes = java.nio.file.Files.readAllBytes(part.head.toPath)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/events.parquet", { ex =>
+      try ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.getResponseHeaders.add("Accept-Ranges", "bytes")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+        case _ =>
+          Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              val Array(a, b) = r.stripPrefix("bytes=").split("-", 2)
+              val from = a.toLong
+              val to = if (b.isEmpty) bytes.length - 1L else b.toLong
+              val slice = java.util.Arrays.copyOfRange(bytes, from.toInt, to.toInt + 1)
+              ex.getResponseHeaders.add("Content-Range",
+                s"bytes $from-$to/${bytes.length}")
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              ex.getResponseBody.write(slice)
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+          }
+      } finally ex.close()
+    })
+    server.start()
+    try {
+      val baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val yaml =
+        s"""streams:
+           |  - input:
+           |      type: file
+           |      format: parquet
+           |      path: "$baseUrl/data/events.parquet"
+           |      store:
+           |        type: http
+           |        url: "$baseUrl"
+           |    pipeline:
+           |      processors:
+           |        - type: sql
+           |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum, CAST(sum(user_id) AS BIGINT) AS uid_sum FROM flow GROUP BY event_type"
+           |    output:
+           |      type: parquet
+           |      path: "$out"
+           |""".stripMargin
+      graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    } finally server.stop(0)
+    spark.read.parquet(out).select("etype", "n", "id_sum", "uid_sum")
+  }
+
+  /** q269 — `. = unnest(.field)` graded end-to-end: each event builds a
+    * 3-element array, the remap fans it out to one event per element
+    * (Vector's multi-record idiom through the whole-event machinery),
+    * and the oracle recomputes the exploded aggregate with its own
+    * unnest. */
+  private def q269(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q269").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT event_type, array(event_id % 7, event_id % 11, event_id % 13) AS ks FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            . = unnest(.ks)
+         |            .k = to_int!(.ks)
+         |        - type: sql
+         |          query: "SELECT event_type AS etype, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max FROM flow GROUP BY event_type"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "n", "k_sum", "k_max")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_config_http_store" -> ((s, dir) => q268(s, dir)),
+    "q269_config_vrl_unnest" -> ((s, dir) => q269(s, dir)),
     "q267_config_vrl_bytes_ip" -> ((s, dir) => q267(s, dir)),
     "q266_config_vrl_etld" -> ((s, dir) => q266(s, dir)),
     "q265_config_vrl_xml" -> ((s, dir) => q265(s, dir)),
@@ -693,6 +795,18 @@ object ConfigPipeline {
     "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q268_config_http_store" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1""".stripMargin,
+    "q269_config_vrl_unnest" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       CAST(max(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type, unnest([event_id % 7, event_id % 11,
+        |             event_id % 13]) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
     "q267_config_vrl_bytes_ip" ->
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum((event_id % 900 + 0.5) * 1048576) AS BIGINT) AS bytes_sum,
