@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ConditionalExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
@@ -32,7 +32,25 @@ object TryOps {
   * throws. Codegen wraps the child's generated code in try/catch (no
   * interpreted UDF), so fallible remap programs stay inside
   * WholeStageCodegen. */
-case class TryPair(child: Expression) extends UnaryExpression {
+case class TryPair(child: Expression)
+    extends UnaryExpression with ConditionalExpression {
+
+  // ConditionalExpression with NO always-evaluated inputs: this is the
+  // round-13 fix for a subexpression-elimination escape — when the
+  // twin try_pair($a) calls the `??` rewrite emits share their child
+  // with ANYTHING else in the projection, CSE would hoist the child
+  // into a subExpr function evaluated BEFORE (and outside) this
+  // expression's try/catch, and the error it exists to catch would
+  // fail the batch (observed: a FAILFAST from_json under `??` inside a
+  // collapsed json-decode projection). Declaring the child
+  // conditionally-evaluated keeps CSE from ever extracting it; the
+  // identical try_pair twins still merge as WHOLE protected units.
+  override def alwaysEvaluatedInputs: Seq[Expression] = Nil
+  override def withNewAlwaysEvaluatedInputs(
+      inputs: Seq[Expression]): ConditionalExpression = this
+  // no branch groups either: a group whose branch always evaluates
+  // would re-allow extracting the child's subexpressions
+  override def branchGroups: Seq[Seq[Expression]] = Nil
 
   override def dataType: DataType = StructType(Seq(
     StructField("value", child.dataType, nullable = true),

@@ -395,6 +395,12 @@ object VrlLib {
           VrlRubyHashToJson(exprs.head), true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_aws_cloudwatch", { exprs =>
+        require(exprs.size == 1,
+          "parse_aws_cloudwatch_log_subscription_message(value) takes 1 argument")
+        VrlLib.parseCloudwatchStruct(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_bytes", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "parse_bytes(value, unit[, base]) takes 2-3 arguments")
@@ -612,30 +618,47 @@ object VrlLib {
       "::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}" +
       "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9]))(%\\w+)?$"
 
-  /** VRL `ip_cidr_contains(cidr, ip)` for IPv4, composed from codegen'd
-    * string/arithmetic expressions: both sides to a 32-bit integer, mask
-    * from the prefix length, compare masked networks. A malformed ip or
-    * cidr (or IPv6 — documented divergence, VRL handles both families)
-    * yields null via the non-ANSI casts (VRL errors; same `, err =`
-    * caveat as parse_url). */
-  private[functions] def ipCidrContains(cidr: Expression, ip: Expression): Expression = {
-    val base = SubstringIndex(cidr, Literal("/"), Literal(1))
-    val prefix = Cast(
-      If(RLike(cidr, Literal("^[0-9.]+/([0-9]|[12][0-9]|3[0-2])$")),
-        SubstringIndex(cidr, Literal("/"), Literal(-1)),
-        Literal.create(null, StringType)), IntegerType)
-    // long arithmetic so a /0 prefix shifts by 32 for real (int shifts
-    // are mod-32 no-ops in Java/JVM codegen)
-    val mask = BitwiseAnd(
-      ShiftLeft(Literal(-1L), Subtract(Literal(32), prefix)),
-      Literal(0xFFFFFFFFL))
-    EqualTo(BitwiseAnd(ipv4ToLong(ip), mask), BitwiseAnd(ipv4ToLong(base), mask))
+
+  /** VRL `parse_aws_cloudwatch_log_subscription_message(value)` — the
+    * CloudWatch Logs → Kinesis/Firehose envelope, composed on Spark's
+    * own codegen'd JSON parse: from_json with the envelope's fixed
+    * schema (FAILFAST — malformed input errors like VRL's fallible
+    * form), camelCase keys re-shaped to VRL's snake_case fields, and
+    * each log event's epoch-millis stamp converted to a real timestamp
+    * inside a resolved `transform` lambda. */
+  private[functions] def parseCloudwatchStruct(v: Expression): Expression = {
+    val eventType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("timestamp", LongType),
+      StructField("message", StringType)))
+    val raw = StructType(Seq(
+      StructField("messageType", StringType),
+      StructField("owner", StringType),
+      StructField("logGroup", StringType),
+      StructField("logStream", StringType),
+      StructField("subscriptionFilters", ArrayType(StringType)),
+      StructField("logEvents", ArrayType(eventType))))
+    val parsed = JsonToStructs(raw, Map("mode" -> "FAILFAST"), v)
+    def f(i: Int, name: String) = GetStructField(parsed, i, Some(name))
+    val le = NamedLambdaVariable("le", eventType, nullable = true)
+    val eventBody = CreateNamedStruct(Seq(
+      Literal("id"), GetStructField(le, 0, Some("id")),
+      Literal("timestamp"), MillisToTimestamp(GetStructField(le, 1, Some("timestamp"))),
+      Literal("message"), GetStructField(le, 2, Some("message"))))
+    CreateNamedStruct(Seq(
+      Literal("owner"), f(1, "owner"),
+      Literal("message_type"), f(0, "messageType"),
+      Literal("log_group"), f(2, "logGroup"),
+      Literal("log_stream"), f(3, "logStream"),
+      Literal("subscription_filters"), f(4, "subscriptionFilters"),
+      Literal("log_events"),
+      ArrayTransform(f(5, "logEvents"), LambdaFunction(eventBody, Seq(le)))))
   }
 
   /** Guarded dotted-quad → 32-bit value as LongType: null unless the
     * string is a valid IPv4 address (the anchored pattern rejects
     * out-of-range octets, so the per-octet casts never see bad input) —
-    * VRL `ip_aton`, and the shared address math of [[ipCidrContains]]. */
+    * VRL `ip_aton`. */
   private[functions] def ipv4ToLong(ip: Expression): Expression = {
     val checked = If(RLike(ip, Literal(Ipv4Pattern)), ip,
       Literal.create(null, StringType))

@@ -572,7 +572,12 @@ object Processors {
     */
   final case class RemapProcessor(program: String,
       timezone: Option[String] = None) extends (DataFrame => DataFrame) {
-    private val FieldRef = "(?<![A-Za-z0-9_)])\\.([A-Za-z_][A-Za-z0-9_]*)".r
+    // the lookbehind excludes chars a PATH CONTINUATION follows — a word
+    // (`.a.b`: only the root rewrites, the tail stays struct access), a
+    // close-paren (`f(x).field`), and a close-BRACKET (`.m.arr[0].field`
+    // — round-13 fix: the segment after a subscript used to rewrite into
+    // a phantom root column)
+    private val FieldRef = "(?<![A-Za-z0-9_)\\]])\\.([A-Za-z_][A-Za-z0-9_]*)".r
     // VRL metadata refs `%name` → the engine's SQL-visible `__meta_name`
     // columns (SURVEY.md §1.2; the reference surfaces source metadata to
     // VRL as %-paths, this engine as __meta_ event columns). The `%` must
@@ -754,6 +759,7 @@ object Processors {
       "contains_all" -> "graft_vrl_contains_all",
       "find" -> "graft_vrl_find",
       "parse_ruby_hash" -> "graft_vrl_parse_ruby_hash",
+      "parse_aws_cloudwatch_log_subscription_message" -> "graft_vrl_parse_aws_cloudwatch",
       "parse_float" -> "graft_vrl_parse_float",
       "parse_regex_all" -> "graft_vrl_parse_regex_all",
       "community_id" -> "graft_vrl_community_id",

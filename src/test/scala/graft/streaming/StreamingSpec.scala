@@ -878,6 +878,28 @@ class StreamingSpec extends AnyFunSuite {
       "other event fields are carried into every fanned-out event")
   }
 
+  test("remap parse_aws_cloudwatch_log_subscription_message: envelope " +
+      "fields snake_cased, epoch-millis stamps become timestamps, " +
+      "malformed input is fallible (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.raw = '{"messageType":"DATA_MESSAGE","owner":"111","logGroup":"g1","logStream":"s1","subscriptionFilters":["Destination"],"logEvents":[{"id":"a1","timestamp":1573690406780,"message":"first"},{"id":"a2","timestamp":1573690406781,"message":"second"}]}'
+        |.m = parse_aws_cloudwatch_log_subscription_message!(.raw)
+        |.n_events = length(.m.log_events)
+        |.first_msg = .m.log_events[0].message
+        |.bad = to_string(parse_aws_cloudwatch_log_subscription_message!('not json')) ?? 'nope'
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("m.owner", "m.message_type", "m.log_group",
+      "m.subscription_filters[0]", "n_events", "first_msg",
+      "cast(m.log_events[1].timestamp as string)", "bad").collect().head
+    assert(r.getString(0) == "111" && r.getString(1) == "DATA_MESSAGE")
+    assert(r.getString(2) == "g1" && r.getString(3) == "Destination")
+    assert(r.getInt(4) == 2 && r.getString(5) == "first")
+    assert(r.getString(6) == "2019-11-14 00:13:26.781",
+      "epoch millis convert to a real timestamp (UTC session)")
+    assert(r.getString(7) == "nope", "malformed envelope is fallible")
+  }
+
   test("remap parse_etld: PSL algorithm over the embedded snapshot — " +
       "multi-label suffixes, wildcards, exceptions, plus_parts, unknown " +
       "TLD degrades to the default rule (vrl stdlib parse_etld)") {
