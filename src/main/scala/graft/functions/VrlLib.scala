@@ -600,6 +600,255 @@ object VrlLib {
           In(StringTrim(Cast(e, StringType), None),
             Seq(Literal(""), Literal("-"))))
       }, "scala_udf")
+
+    // ---- round-13 tranche 4 (vrl 0.30 stdlib) ----
+    /** literal regex patterns out of an array-literal argument — the
+      * remap compiler renders `[r'…', r'…']` as `array('…','…')`, which
+      * the parser hands builders as an unresolved `array` call */
+    def literalPatterns(e: Expression, what: String,
+        regexCheck: Boolean = true): Seq[String] = {
+      val raw = e match {
+        case CreateArray(cs, _) => cs
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("array") =>
+          f.arguments
+        case _ => throw new IllegalArgumentException(
+          s"$what must be an array literal of string/regex literals")
+      }
+      require(raw.nonEmpty, s"$what must not be empty")
+      raw.map(literalString(_, s"$what: each element")).map { p =>
+        // grok patterns are validated by their own translator instead
+        if (regexCheck) {
+          try java.util.regex.Pattern.compile(p)
+          catch { case ex: java.util.regex.PatternSyntaxException =>
+            throw new IllegalArgumentException(
+              s"$what: bad pattern `$p`: ${ex.getMessage}") }
+        }
+        p
+      }
+    }
+    val sha3Variants = Set("SHA3-224", "SHA3-256", "SHA3-384", "SHA3-512")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_sha3", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "sha3(value[, variant]) takes 1-2 arguments")
+        // VRL's default variant is SHA3-512; JDK algorithm names match
+        // VRL's spellings exactly
+        val variant = exprs.lift(1)
+          .map(literalString(_, "sha3: the variant argument"))
+          .getOrElse("SHA3-512")
+        require(sha3Variants.contains(variant),
+          s"sha3: unknown variant `$variant`; supported: " +
+            sha3Variants.toSeq.sorted.mkString(" "))
+        VrlDigest(exprs.head, variant)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_seahash", { exprs =>
+        require(exprs.size == 1, "seahash(value) takes 1 argument")
+        VrlSeaHash(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_chunks", { exprs =>
+        require(exprs.size == 2, "chunks(value, chunk_size) takes 2 arguments")
+        VrlChunks(exprs.head, Cast(exprs(1), IntegerType))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_truncate", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "truncate(value, limit[, suffix]) takes 2-3 arguments")
+        // the third argument is VRL's `suffix:` string; the legacy
+        // boolean `ellipsis:` spelling maps to the literal "..."
+        val s = exprs.head
+        val lim = Cast(exprs(1), IntegerType)
+        val suffix: Expression = exprs.lift(2) match {
+          case None => Literal("")
+          case Some(Literal(true, BooleanType)) => Literal("...")
+          case Some(Literal(false, BooleanType)) => Literal("")
+          case Some(e) => e
+        }
+        If(GreaterThan(Length(s), lim),
+          Concat(Seq(Substring(s, Literal(1), lim), suffix)), s)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_syslog_facility", { exprs =>
+        require(exprs.size == 1, "to_syslog_facility(code) takes 1 argument")
+        VrlSyslogFacilityKernel(Cast(exprs.head, LongType), toName = true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_syslog_facility_code", { exprs =>
+        require(exprs.size == 1, "to_syslog_facility_code(name) takes 1 argument")
+        VrlSyslogFacilityKernel(exprs.head, toName = false)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_zip", { exprs =>
+        // VRL zips to the SHORTER length (Spark's zip_with pads to the
+        // longer with nulls — both sides are sliced first so the pad
+        // branch never runs); each pair surfaces as a 2-element array,
+        // VRL's shape. The 1-arg transpose form needs a heterogeneous
+        // outer array and is rejected with the fix.
+        require(exprs.size == 2,
+          "zip(array_0, array_1) takes 2 arrays (the 1-arg transpose form " +
+            "is not supported — pass the two arrays directly)")
+        val a = exprs.head
+        val b = exprs(1)
+        val n = Least(Seq(Size(a), Size(b)))
+        val x = UnresolvedNamedLambdaVariable(Seq("__zip_l"))
+        val y = UnresolvedNamedLambdaVariable(Seq("__zip_r"))
+        ZipWith(Slice(a, Literal(1), n), Slice(b, Literal(1), n),
+          LambdaFunction(CreateArray(Seq(x, y)), Seq(x, y)))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_object_from_array", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "object_from_array(values[, keys]) takes 1-2 arguments")
+        if (exprs.size == 1) VrlObjectFromPairs(exprs.head)
+        else VrlObjectFromKv(exprs.head, exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_match_any", { exprs =>
+        require(exprs.size == 2, "match_any(value, patterns) takes 2 arguments")
+        VrlMatchAny(exprs.head,
+          literalPatterns(exprs(1), "match_any: the patterns argument"))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_match_array", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "match_array(array, pattern[, all]) takes 2-3 arguments")
+        val pat = literalString(exprs(1), "match_array: the pattern argument")
+        try java.util.regex.Pattern.compile(pat)
+        catch { case ex: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"match_array: bad pattern `$pat`: ${ex.getMessage}") }
+        val all = exprs.lift(2) match {
+          case None => false
+          case Some(Literal(b: Boolean, BooleanType)) => b
+          case _ => throw new IllegalArgumentException(
+            "match_array: the all argument must be a boolean literal")
+        }
+        val x = UnresolvedNamedLambdaVariable(Seq("__ma_e"))
+        // RLike is a full-string-anywhere test (Java find semantics via
+        // unanchored rlike), matching VRL's regex `match`
+        val lam = LambdaFunction(RLike(x, Literal(pat)), Seq(x))
+        if (all) ArrayForAll(exprs.head, lam) else ArrayExists(exprs.head, lam)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_is_empty", { exprs =>
+        require(exprs.size == 1, "is_empty(value) takes 1 argument")
+        VrlIsEmpty(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_log", { exprs =>
+        require(exprs.size >= 1 && exprs.size <= 3,
+          "log(value[, level[, rate_limit_secs]]) takes 1-3 arguments")
+        val level = exprs.lift(1)
+          .map(literalString(_, "log: the level argument"))
+          .getOrElse("info")
+        require(Set("trace", "debug", "info", "warn", "error").contains(level),
+          s"log: unknown level `$level` (trace debug info warn error)")
+        val rate = exprs.lift(2) match {
+          case None => 1
+          case Some(Literal(i: Int, IntegerType)) => i
+          case Some(Literal(l: Long, LongType)) => l.toInt
+          case _ => throw new IllegalArgumentException(
+            "log: rate_limit_secs must be an integer literal")
+        }
+        VrlLog(exprs.head, level, rate)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_decode_charset", { exprs =>
+        require(exprs.size == 2,
+          "decode_charset(value, from_charset) takes 2 arguments")
+        val cs = literalString(exprs(1), "decode_charset: the charset argument")
+        try java.nio.charset.Charset.forName(cs)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"decode_charset: unknown charset `$cs`") }
+        VrlCharset(Cast(exprs.head, BinaryType), cs, encode = false)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_charset", { exprs =>
+        require(exprs.size == 2,
+          "encode_charset(value, to_charset) takes 2 arguments")
+        val cs = literalString(exprs(1), "encode_charset: the charset argument")
+        try java.nio.charset.Charset.forName(cs)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"encode_charset: unknown charset `$cs`") }
+        VrlCharset(exprs.head, cs, encode = true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_influxdb", { exprs =>
+        require(exprs.size == 1,
+          "parse_influxdb_line_protocol(value) takes 1 argument")
+        // mixed-type field objects → the VARIANT path like parse_json
+        new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
+          VrlInfluxToJson(exprs.head), true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_cbor", { exprs =>
+        require(exprs.size == 1, "parse_cbor(value) takes 1 argument")
+        new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
+          VrlCborToJson(Cast(exprs.head, BinaryType)), true)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_groks", { exprs =>
+        require(exprs.size == 2,
+          "parse_groks(value, patterns) takes 2 arguments (the aliases " +
+            "option is not supported — inline the subpattern instead)")
+        VrlLib.parseGroksStruct(exprs.head,
+          literalPatterns(exprs(1), "parse_groks: the patterns argument",
+            regexCheck = false))
+      }, "scala_udf")
+    /** parse_proto/encode_proto message schema: a `.proto` SOURCE file
+      * compiles through the built-in proto3 source parser (the
+      * schema-registry route); anything else is read as a compiled
+      * FileDescriptorSet (`.desc` — VRL's own contract, protoc output).
+      * Resolved once at ANALYSIS on the driver, like VRL's compile-time
+      * descriptor load. */
+    def protoFileFields(pathE: Expression, msgE: Expression,
+        what: String): Seq[graft.streaming.ProtoField] = {
+      val path = literalString(pathE, s"$what: the descriptor path argument")
+      val msg = literalString(msgE, s"$what: the message type argument")
+      val p = java.nio.file.Paths.get(path)
+      require(java.nio.file.Files.exists(p), s"$what: file `$path` not found")
+      if (path.endsWith(".proto")) {
+        val src = java.nio.file.Files.readString(p)
+        // the source parser names messages without the package prefix;
+        // a package-qualified message_type (VRL's spelling against a
+        // compiled descriptor) retries with the package stripped
+        try graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(src, Some(msg))
+        catch {
+          case e: IllegalArgumentException if msg.contains('.') =>
+            try graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(
+              src, Some(msg.substring(msg.indexOf('.') + 1)))
+            catch { case _: IllegalArgumentException => throw e }
+        }
+      } else {
+        val all = graft.streaming.ProtoDescriptor.parse(
+          java.nio.file.Files.readAllBytes(p))
+        all.getOrElse(msg, throw new IllegalArgumentException(
+          s"$what: message `$msg` not in descriptor (it has: " +
+            s"${all.keys.toSeq.sorted.mkString(", ")})"))
+      }
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_parse_proto", { exprs =>
+        require(exprs.size == 3,
+          "parse_proto(value, desc_file, message_type) takes 3 arguments")
+        graft.streaming.ProtoDecode(Cast(exprs.head, BinaryType),
+          protoFileFields(exprs(1), exprs(2), "parse_proto"))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_encode_proto", { exprs =>
+        require(exprs.size == 3,
+          "encode_proto(value, desc_file, message_type) takes 3 arguments")
+        val fields = protoFileFields(exprs(1), exprs(2), "encode_proto")
+        // the wire encoder reads its struct POSITIONALLY in declared
+        // field order — reshape the caller's object by NAME (a missing
+        // field fails analysis naming it) and cast to the wire types
+        val shaped = CreateNamedStruct(fields.flatMap(f => Seq(Literal(f.name),
+          Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            exprs.head, Literal(f.name)), f.sparkType))))
+        graft.streaming.ProtoEncode(shaped, fields)
+      }, "scala_udf")
   }
 
   private[functions] val Ipv4Pattern =
@@ -1296,12 +1545,10 @@ object VrlLib {
     * the same machinery as parse_regex. An unknown SYNTAX fails analysis
     * naming it; an unmatched line yields a null struct (VRL errors; the
     * `, err =` caveat as with the other parse_* shims). */
-  private[functions] def parseGrokStruct(v: Expression, patE: Expression): Expression = {
-    val pat = patE match {
-      case Literal(s: UTF8String, StringType) => s.toString
-      case _ => throw new IllegalArgumentException(
-        "parse_grok: the pattern argument must be a string literal")
-    }
+  /** `%{SYNTAX:name}` grok pattern → (java regex, named fields with
+    * their capture index and optional int/float cast) — shared by
+    * parse_grok and parse_groks. */
+  private def grokTranslate(pat: String): (String, Seq[(String, Int, Option[String])]) = {
     val sb = new StringBuilder
     val fields = scala.collection.mutable.ArrayBuffer[(String, Int, Option[String])]()
     var idx = 0 // running count of capturing groups in the java pattern
@@ -1326,20 +1573,76 @@ object VrlLib {
     sb ++= pat.substring(last)
     require(fields.nonEmpty,
       s"parse_grok: pattern has no named captures (%{SYNTAX:name}): `$pat`")
-    val javaPat = sb.toString
-    val struct = CreateNamedStruct(fields.toSeq.flatMap { case (name, i, cast) =>
-      val raw = RegExpExtract(v, Literal(javaPat), Literal(i))
-      val typed: Expression = cast match {
-        // TRY: the grok sub-pattern bounds the text shape but not the
-        // range (e.g. a 30-digit %{INT:n:int} overflows) — degrade the
-        // field to null instead of throwing under default ANSI
-        case Some("int") => Cast(raw, LongType, None, EvalMode.TRY)
-        case Some("float") => Cast(raw, DoubleType, None, EvalMode.TRY)
-        case _ => raw
-      }
-      Seq(Literal(name), typed)
+    (sb.toString, fields.toSeq)
+  }
+
+  /** one field's codegen'd extraction, TRY-cast to its declared type:
+    * the grok sub-pattern bounds the text shape but not the range
+    * (e.g. a 30-digit %{INT:n:int} overflows) — degrade the field to
+    * null instead of throwing under default ANSI */
+  private def grokField(v: Expression, javaPat: String, i: Int,
+      cast: Option[String]): Expression = {
+    val raw = RegExpExtract(v, Literal(javaPat), Literal(i))
+    cast match {
+      case Some("int") => Cast(raw, LongType, None, EvalMode.TRY)
+      case Some("float") => Cast(raw, DoubleType, None, EvalMode.TRY)
+      case _ => raw
+    }
+  }
+
+  private[functions] def parseGrokStruct(v: Expression, patE: Expression): Expression = {
+    val pat = patE match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "parse_grok: the pattern argument must be a string literal")
+    }
+    val (javaPat, fields) = grokTranslate(pat)
+    val struct = CreateNamedStruct(fields.flatMap { case (name, i, cast) =>
+      Seq(Literal(name), grokField(v, javaPat, i, cast))
     })
     If(RLike(v, Literal(javaPat)), struct, Literal.create(null, struct.dataType))
+  }
+
+  /** VRL `parse_groks(value, patterns)` — the patterns tried in order,
+    * first match wins (vrl stdlib; Datadog's multi-grok idiom). Each
+    * pattern's struct is reshaped onto the UNION of all patterns' named
+    * fields (first-seen order; a field two patterns type differently
+    * degrades to string) so the first-match selection is a codegen'd
+    * Coalesce over same-shaped structs. No pattern matching → null
+    * (VRL errors; the `, err =` caveat as with parse_grok). */
+  private[functions] def parseGroksStruct(v: Expression, pats: Seq[String]): Expression = {
+    val translated = pats.map(grokTranslate)
+    def fieldType(c: Option[String]): DataType = c match {
+      case Some("int") => LongType
+      case Some("float") => DoubleType
+      case _ => StringType
+    }
+    val union = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    translated.foreach { case (_, fs) =>
+      fs.foreach { case (n, _, c) =>
+        val t = fieldType(c)
+        union.get(n) match {
+          case None => union(n) = t
+          case Some(prev) if prev == t => ()
+          case Some(_) => union(n) = StringType
+        }
+      }
+    }
+    val structs = translated.map { case (javaPat, fs) =>
+      val byName = fs.map(f => f._1 -> f).toMap
+      val struct = CreateNamedStruct(union.toSeq.flatMap { case (n, ut) =>
+        val e: Expression = byName.get(n) match {
+          case Some((_, i, c)) =>
+            val typed = grokField(v, javaPat, i, c)
+            if (fieldType(c) == ut) typed else Cast(typed, ut)
+          case None => Literal.create(null, ut)
+        }
+        Seq(Literal(n), e)
+      })
+      If(RLike(v, Literal(javaPat)), struct,
+        Literal.create(null, struct.dataType)): Expression
+    }
+    Coalesce(structs)
   }
 
   /** Count of capturing groups in a regex fragment — escape- and

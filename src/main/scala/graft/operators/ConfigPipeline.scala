@@ -774,7 +774,51 @@ object ConfigPipeline {
     spark.read.parquet(out).select("etype", "n", "k_sum", "k_max")
   }
 
+  /** q270 — the round-13 tranche-4 stdlib graded end-to-end: truncate
+    * with suffix, the to_syslog_facility keyword table, byte chunking,
+    * the zip → object_from_array → get composition, and the
+    * multi-pattern regex tests, all recomputed by the oracle from the
+    * raw columns (the hash-only kernels — sha3/seahash — are pinned
+    * against public vectors in StreamingSpec instead; DuckDB has no
+    * SHA-3/SeaHash to recompute them with). */
+  private def q270(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q270").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT event_type AS et, event_id AS eid FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .tr = truncate(.et, 4, suffix: '~')
+         |            .fac = to_syslog_facility!(to_int(.eid) % 24)
+         |            .nch = length(chunks(.et, 3))
+         |            .c0 = chunks(.et, 3)[0]
+         |            .m = object_from_array(zip(['x', 'y'], [.et, to_string(.eid % 5)]))
+         |            .mv = get!(.m, ["y"])
+         |            .flagged = match_any(.et, [r'^pu', r'or$$'])
+         |            .anyd = match_array([.tr, .c0], r'~')
+         |            .alld = match_array([.tr, .c0], r'[a-z]', all: true)
+         |        - type: sql
+         |          query: "SELECT et AS etype, count(*) AS n, count(DISTINCT tr) AS n_tr, min(tr) AS tr_min, min(fac) AS fac_min, max(fac) AS fac_max, CAST(sum(nch) AS BIGINT) AS nch_sum, min(c0) AS c0_min, min(mv) AS mv_min, CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flag, CAST(sum(CASE WHEN anyd THEN 1 ELSE 0 END) AS BIGINT) AS n_anyd, CAST(sum(CASE WHEN alld THEN 1 ELSE 0 END) AS BIGINT) AS n_alld FROM flow GROUP BY et"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "n", "n_tr", "tr_min",
+      "fac_min", "fac_max", "nch_sum", "c0_min", "mv_min", "n_flag",
+      "n_anyd", "n_alld")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_config_vrl_tranche4" -> ((s, dir) => q270(s, dir)),
     "q268_config_http_store" -> ((s, dir) => q268(s, dir)),
     "q269_config_vrl_unnest" -> ((s, dir) => q269(s, dir)),
     "q267_config_vrl_bytes_ip" -> ((s, dir) => q267(s, dir)),
@@ -795,6 +839,35 @@ object ConfigPipeline {
     "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q270_config_vrl_tranche4" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS et, event_id AS eid,
+        |         CASE WHEN length(event_type) > 4
+        |              THEN substr(event_type, 1, 4) || '~'
+        |              ELSE event_type END AS tr,
+        |         (['kern','user','mail','daemon','auth','syslog','lpr',
+        |           'news','uucp','cron','authpriv','ftp','ntp','security',
+        |           'console','solaris-cron','local0','local1','local2',
+        |           'local3','local4','local5','local6','local7']
+        |          )[CAST(eid % 24 AS INT) + 1] AS fac,
+        |         CAST(ceil(length(event_type) / 3.0) AS BIGINT) AS nch,
+        |         substr(event_type, 1, 3) AS c0,
+        |         CAST(eid % 5 AS VARCHAR) AS mv,
+        |         (regexp_matches(event_type, '^pu') OR
+        |          regexp_matches(event_type, 'or$')) AS flagged
+        |  FROM events)
+        |SELECT et AS etype, count(*) AS n, count(DISTINCT tr) AS n_tr,
+        |       min(tr) AS tr_min, min(fac) AS fac_min, max(fac) AS fac_max,
+        |       CAST(sum(nch) AS BIGINT) AS nch_sum, min(c0) AS c0_min,
+        |       min(mv) AS mv_min,
+        |       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+        |       CAST(sum(CASE WHEN regexp_matches(tr, '~') OR
+        |                          regexp_matches(c0, '~')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anyd,
+        |       CAST(sum(CASE WHEN regexp_matches(tr, '[a-z]') AND
+        |                          regexp_matches(c0, '[a-z]')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alld
+        |FROM rows_ GROUP BY 1""".stripMargin,
     "q268_config_http_store" ->
       """SELECT event_type AS etype, count(*) AS n,
         |       CAST(sum(event_id) AS BIGINT) AS id_sum,

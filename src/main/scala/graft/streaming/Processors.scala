@@ -637,7 +637,10 @@ object Processors {
       "to_string" -> "string", "to_int" -> "bigint",
       "to_float" -> "double", "to_bool" -> "boolean",
       "starts_with" -> "startswith", "ends_with" -> "endswith",
-      "truncate" -> "left", "join" -> "array_join",
+      // round-13 tranche 4 upgraded truncate from a bare `left` alias:
+      // the kernel alias appends VRL's `suffix:` (or legacy ellipsis)
+      // only when the string was actually cut
+      "truncate" -> "graft_vrl_truncate", "join" -> "array_join",
       "format_timestamp" -> "date_format",
       "to_unix_timestamp" -> "unix_timestamp",
       // 0-based/end-exclusive/negative-index slice has no Spark twin —
@@ -796,6 +799,32 @@ object Processors {
       "sort" -> "array_sort",
       "compact" -> "array_compact",
       "bool" -> "boolean",
+      // round-13 tranche 4 (vrl 0.30 stdlib): SHA-3 and SeaHash digests,
+      // byte chunking, container emptiness, the zip/object_from_array
+      // pair, multi-pattern regex tests, the syslog facility keyword
+      // pair, the rate-limited log sink, charset transcoding, and the
+      // InfluxDB line-protocol / CBOR / multi-grok parsers (the latter
+      // three on the VARIANT / unified-struct paths)
+      "sha3" -> "graft_vrl_sha3",
+      "seahash" -> "graft_vrl_seahash",
+      "chunks" -> "graft_vrl_chunks",
+      "is_empty" -> "graft_vrl_is_empty",
+      "zip" -> "graft_vrl_zip",
+      "object_from_array" -> "graft_vrl_object_from_array",
+      "match_any" -> "graft_vrl_match_any",
+      "match_array" -> "graft_vrl_match_array",
+      "to_syslog_facility" -> "graft_vrl_to_syslog_facility",
+      "to_syslog_facility_code" -> "graft_vrl_to_syslog_facility_code",
+      "log" -> "graft_vrl_log",
+      "decode_charset" -> "graft_vrl_decode_charset",
+      "encode_charset" -> "graft_vrl_encode_charset",
+      "parse_influxdb_line_protocol" -> "graft_vrl_parse_influxdb",
+      "parse_cbor" -> "graft_vrl_parse_cbor",
+      "parse_groks" -> "graft_vrl_parse_groks",
+      // proto descriptor pair riding the native wire codec
+      // (streaming/Protobuf.scala): .proto source OR compiled .desc
+      "parse_proto" -> "graft_vrl_parse_proto",
+      "encode_proto" -> "graft_vrl_encode_proto",
       // match(value, r'…') → regexp test; the raw-string literal keeps
       // its backslashes through the masking pass like parse_regex's
       "match" -> "rlike")
@@ -1342,6 +1371,15 @@ object Processors {
               "remap: map_values closure takes one param `|value|` (array semantics; " +
                 "use transform_values(...) directly for map columns)")
             s"transform($argsSql, ${params.head} -> ($body))"
+          case "map_keys" =>
+            // VRL map_keys iterates an OBJECT's keys — Spark's
+            // transform_keys, whose lambda receives (key, value); the
+            // value param is synthesized since VRL's closure sees only
+            // the key. `recursive: true` is not supported (rejected by
+            // the unknown-label path upstream).
+            require(params.size == 1,
+              "remap: map_keys closure takes one param `|key|`")
+            s"transform_keys($argsSql, (${params.head}, __mk_v) -> ($body))"
           case "filter" => params match {
             case Seq(i, v) => s"filter($argsSql, ($v, $i) -> ($body))"
             case Seq(v) => s"filter($argsSql, $v -> ($body))"
@@ -1352,7 +1390,8 @@ object Processors {
             "remap: for_each mutates enclosing state, which a column program " +
               "cannot express — use map_values (transform) or filter")
           case other => throw new IllegalArgumentException(
-            s"remap: unsupported closure function `$other` (supported: map_values, filter)")
+            s"remap: unsupported closure function `$other` " +
+              "(supported: map_values, map_keys, filter)")
         }
         s = s.substring(0, n0 + 1) + repl + s.substring(bEnd + 1)
         m = Arrow.findFirstMatchIn(s)

@@ -878,6 +878,222 @@ class StreamingSpec extends AnyFunSuite {
       "other event fields are carried into every fanned-out event")
   }
 
+  test("remap round-13 tranche 4: sha3/seahash, chunks, truncate suffix, " +
+      "is_empty, zip/object_from_array, match_any/match_array, " +
+      "to_syslog_facility pair, charset codecs, map_keys closure " +
+      "(vrl 0.30 stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.h3 = sha3('hello')
+        |.h3_256 = sha3('hello', variant: 'SHA3-256')
+        |.sea = seahash('to be or not to be')
+        |.sea2 = seahash('abc')
+        |.ch = chunks('abcdefg', 3)
+        |.ch2 = chunks('', 3)
+        |.tr1 = truncate('hello world', 5)
+        |.tr2 = truncate('hello world', 5, suffix: '..')
+        |.tr3 = truncate('hi', 5, '..')
+        |.tr4 = truncate('hello world', 5, true)
+        |.em1 = is_empty('')
+        |.em2 = is_empty([1])
+        |.z = zip(['a', 'b', 'c'], ['x', 'y'])
+        |.o = object_from_array([['k1', 'v1'], ['k2', 'v2'], ['k1', 'v9']])
+        |.o2 = object_from_array(['10', '20'], ['x', 'y'])
+        |.ma1 = match_any('abc123', [r'^\d+$', r'[a-z]+\d'])
+        |.ma2 = match_any('xyz', [r'\d+'])
+        |.ar1 = match_array(['foo1', 'bar'], r'\d')
+        |.ar2 = match_array(['foo1', 'bar'], r'\d', all: true)
+        |.ar3 = match_array(['a1', 'b2'], r'\d', all: true)
+        |.fa = to_syslog_facility(4)
+        |.fa2 = to_syslog_facility(23)
+        |.fc = to_syslog_facility_code('local7')
+        |.fbad = to_syslog_facility(99) ?? 'unknown'
+        |.cs = decode_charset!(encode_charset!('héllo wörld', 'utf-16le'), 'utf-16le')
+        |.kv2 = object_from_array([['a', '1']])
+        |.mk = map_keys(.kv2) -> |k| { upcase(k) }
+        |log('tranche-4 log statement', level: 'debug')
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("h3", "h3_256", "sea", "sea2", "ch", "ch2",
+      "tr1", "tr2", "tr3", "tr4", "em1", "em2", "z", "o['k1']", "o['k2']",
+      "o2['x']", "o2['y']", "ma1", "ma2", "ar1", "ar2", "ar3",
+      "fa", "fa2", "fc", "fbad", "cs", "mk['A']").collect().head
+    // pinned NIST SHA-3 vectors (JDK MessageDigest names == VRL's)
+    assert(r.getString(0) == "75d527c368f2efe848ecf6b073a36767800805e9ee" +
+      "f2b1857d5f984f036eb6df891d75f72d9b154518c1cd58835286d1da9a38deba3" +
+      "de98b5a53e5ed78a84976", "sha3 default variant is SHA3-512")
+    assert(r.getString(1) ==
+      "3338be694f50c5f338814986cdf0686453a888b84f424d792af4b9202398f392")
+    // the seahash crate's own README vector; u64 surfaced as i64 bits
+    assert(r.getLong(2) == 1988685042348123509L)
+    assert(r.getLong(3) == -9189193289445479034L,
+      "u64 hashes past i64.max wrap like VRL's integer")
+    assert(r.getSeq[String](4) == Seq("abc", "def", "g"),
+      "chunks splits on byte boundaries")
+    assert(r.getSeq[String](5).isEmpty, "chunks of empty input is empty")
+    assert(r.getString(6) == "hello" && r.getString(7) == "hello.." &&
+      r.getString(8) == "hi" && r.getString(9) == "hello...",
+      "suffix appends only when the string was cut; legacy ellipsis maps to ...")
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getSeq[scala.collection.Seq[String]](12).map(_.toSeq) ==
+      Seq(Seq("a", "x"), Seq("b", "y")),
+      "zip truncates to the shorter array, pairs as 2-element arrays")
+    assert(r.getString(13) == "v9" && r.getString(14) == "v2",
+      "object_from_array: later duplicate keys win")
+    assert(r.getString(15) == "10" && r.getString(16) == "20",
+      "the 2-arg form pairs values[i] with keys[i]")
+    assert(r.getBoolean(17) && !r.getBoolean(18))
+    assert(r.getBoolean(19) && !r.getBoolean(20) && r.getBoolean(21),
+      "match_array: any by default, all: true demands every element")
+    assert(r.getString(22) == "auth" && r.getString(23) == "local7")
+    assert(r.getLong(24) == 23L)
+    assert(r.getString(25) == "unknown",
+      "an out-of-range facility code is fallible")
+    assert(r.getString(26) == "héllo wörld",
+      "charset round-trip through utf-16le")
+    assert(r.getString(27) == "1", "map_keys closure rewrites each key")
+    // unknown sha3 variant / bad charset / non-array patterns fail at
+    // ANALYSIS (the function builder), before any row is touched
+    def analysisMsg(program: String): String =
+      intercept[Exception](Processors.RemapProcessor(program)(frame)).getMessage
+    assert(analysisMsg(".x = sha3('v', variant: 'SHA3-123')")
+      .contains("unknown variant"))
+    assert(analysisMsg(".x = decode_charset!(.sensor, 'no-such-charset')")
+      .contains("unknown charset"))
+    assert(analysisMsg(".x = match_any(.sensor, 'notanarray')")
+      .contains("array literal"))
+  }
+
+  test("remap parse_influxdb_line_protocol / parse_cbor / parse_groks " +
+      "(vrl 0.30 stdlib — VARIANT and unified-struct paths)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.lp = parse_influxdb_line_protocol!('weather,location=us\\,midwest,season=summer temperature=82i,bug_concentration=98.5,ok=true,note="say \\"hi\\"" 1465839830100400200')
+        |.m = to_string(variant_get(.lp, '$[0].measurement'))
+        |.loc = to_string(variant_get(.lp, '$[0].tags.location'))
+        |.temp = to_int(variant_get(.lp, '$[0].fields.temperature'))
+        |.bug = to_float(variant_get(.lp, '$[0].fields.bug_concentration'))
+        |.okf = bool(variant_get(.lp, '$[0].fields.ok'))
+        |.note = to_string(variant_get(.lp, '$[0].fields.note'))
+        |.lts = to_int(variant_get(.lp, '$[0].timestamp'))
+        |.two = parse_influxdb_line_protocol!('a f=1i\n# a comment\nb f=2i')
+        |.m2 = to_string(variant_get(.two, '$[1].measurement'))
+        |.cb = parse_cbor!(decode_base16('a3616101616283f5f661786163fb4004000000000000'))
+        |.cb_a = to_int(variant_get(.cb, '$.a'))
+        |.cb_b0 = bool(variant_get(.cb, '$.b[0]'))
+        |.cb_b2 = to_string(variant_get(.cb, '$.b[2]'))
+        |.cb_c = to_float(variant_get(.cb, '$.c'))
+        |.ind = to_int(variant_get(parse_cbor!(decode_base16('9f01029f0304ffff')), '$[2][1]'))
+        |.hf = to_float(parse_cbor!(decode_base16('f93c00')))
+        |.neg = to_int(parse_cbor!(decode_base16('3863')))
+        |.istr = to_string(parse_cbor!(decode_base16('7f6261626163ff')))
+        |.tagd = to_string(parse_cbor!(decode_base16('c074323031332d30332d32315432303a30343a30305a')))
+        |.ik = to_string(variant_get(parse_cbor!(decode_base16('a1016161')), '$.1'))
+        |.g1 = parse_groks('192.168.0.1 GET 200', ['%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}', '%{IP:host} %{WORD:method} %{NUMBER:code:int}'])
+        |.g2 = parse_groks('2024-01-01T10:00:00Z ERROR boom', ['%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}', '%{IP:host} %{WORD:method} %{NUMBER:code:int}'])
+        |.g3 = parse_groks('###', ['%{IP:host} %{WORD:method} %{NUMBER:code:int}'])
+        |.gnull = is_null(.g3)
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("m", "loc", "temp", "bug", "okf", "note", "lts",
+      "m2", "cb_a", "cb_b0", "cb_b2", "cb_c", "ind", "hf", "neg", "istr",
+      "tagd", "ik", "g1.host", "g1.code", "g1.ts", "g2.level", "g2.msg",
+      "g2.host", "gnull").collect().head
+    assert(r.getString(0) == "weather")
+    assert(r.getString(1) == "us,midwest", "escaped comma in a tag value")
+    assert(r.getLong(2) == 82L, "the i suffix types an integer field")
+    assert(math.abs(r.getDouble(3) - 98.5) < 1e-9)
+    assert(r.getBoolean(4))
+    assert(r.getString(5) == "say \"hi\"", "escaped quotes in a string field")
+    assert(r.getLong(6) == 1465839830100400200L)
+    assert(r.getString(7) == "b",
+      "multi-line input parses per line, comments skipped")
+    assert(r.getLong(8) == 1L)
+    assert(r.getBoolean(9))
+    assert(r.getString(10) == "x")
+    assert(math.abs(r.getDouble(11) - 2.5) < 1e-9)
+    assert(r.getLong(12) == 4L, "nested indefinite arrays decode")
+    assert(r.getDouble(13) == 1.0, "half-precision floats decode")
+    assert(r.getLong(14) == -100L)
+    assert(r.getString(15) == "abc", "indefinite text chunks concatenate")
+    assert(r.getString(16) == "2013-03-21T20:04:00Z", "tags unwrap")
+    assert(r.getString(17) == "a", "non-string map keys stringify")
+    assert(r.getString(18) == "192.168.0.1" && r.getLong(19) == 200L,
+      "the second pattern matches and types code as int")
+    assert(r.isNullAt(20), "fields only the other pattern names are null")
+    assert(r.getString(21) == "ERROR" && r.getString(22) == "boom",
+      "the first pattern wins when it matches")
+    assert(r.isNullAt(23))
+    assert(r.getBoolean(24), "no pattern matching yields a null struct")
+    // malformed line protocol / CBOR are fallible; trailing CBOR bytes loud
+    val bad = Processors.RemapProcessor(
+      """.x = to_string(parse_influxdb_line_protocol!('nofields')) ?? 'bad lp'
+        |.y = to_string(parse_cbor!(decode_base16('ff'))) ?? 'bad cbor'
+        |""".stripMargin)(frame)
+    val rb = bad.selectExpr("x", "y").collect().head
+    assert(rb.getString(0) == "bad lp" && rb.getString(1) == "bad cbor")
+  }
+
+  test("remap parse_proto / encode_proto ride the native wire codec: " +
+      ".proto source and compiled .desc descriptors, round-trip, " +
+      "zigzag + fixed-width fields (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val proto = java.nio.file.Files.createTempFile("graft_vrl", ".proto")
+    java.nio.file.Files.writeString(proto,
+      """syntax = "proto3";
+        |package demo;
+        |message Sensor {
+        |  int64 ts = 1;
+        |  double v = 2;
+        |  string name = 3;
+        |  sint64 delta = 4;
+        |  fixed32 tag = 5;
+        |}
+        |""".stripMargin)
+    val out = Processors.RemapProcessor(
+      s""".enc = encode_proto!({"ts": 1625000000000, "v": 2.5, "name": 'temp_1', "delta": -7, "tag": 9}, '${proto}', 'demo.Sensor')
+         |.dec = parse_proto!(.enc, '${proto}', 'demo.Sensor')
+         |""".stripMargin)(frame)
+    val r = out.selectExpr("dec.ts", "dec.v", "dec.name", "dec.delta",
+      "dec.tag").collect().head
+    assert(r.getLong(0) == 1625000000000L)
+    assert(r.getDouble(1) == 2.5)
+    assert(r.getString(2) == "temp_1")
+    assert(r.getLong(3) == -7L, "sint64 zigzag round-trips a negative")
+    assert(r.getLong(4) == 9L, "fixed32 round-trips")
+    // the compiled-descriptor route: hand-assembled FileDescriptorSet
+    // for `package demo; message M { string device=1; int64 seq=3; }`
+    def vi(field: Int, v: Long): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(o, (field.toLong << 3) | 0L)
+      ProtoWire.writeVarint(o, v); o.toByteArray
+    }
+    def ld(field: Int, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      ProtoWire.writeVarint(o, (field.toLong << 3) | 2L)
+      ProtoWire.writeVarint(o, payload.length); o.write(payload); o.toByteArray
+    }
+    def s(v: String): Array[Byte] = v.getBytes("UTF-8")
+    val m = ld(1, s("M")) ++
+      ld(2, ld(1, s("device")) ++ vi(3, 1) ++ vi(5, 9)) ++
+      ld(2, ld(1, s("seq")) ++ vi(3, 3) ++ vi(5, 3))
+    val fds = ld(1, ld(1, s("demo.proto")) ++ ld(2, s("demo")) ++ ld(4, m))
+    val desc = java.nio.file.Files.createTempFile("graft_vrl", ".desc")
+    java.nio.file.Files.write(desc, fds)
+    val out2 = Processors.RemapProcessor(
+      s""".enc = encode_proto!({"device": 's7', "seq": 12345}, '${desc}', 'demo.M')
+         |.dec = parse_proto!(.enc, '${desc}', 'demo.M')
+         |""".stripMargin)(frame)
+    val r2 = out2.selectExpr("dec.device", "dec.seq").collect().head
+    assert(r2.getString(0) == "s7" && r2.getLong(1) == 12345L,
+      "the .desc (FileDescriptorSet) route round-trips")
+    // unknown message / missing file fail at analysis naming the problem
+    def analysisMsg(program: String): String =
+      intercept[Exception](Processors.RemapProcessor(program)(frame)).getMessage
+    assert(analysisMsg(s".x = parse_proto!(.sensor, '${desc}', 'demo.Nope')")
+      .contains("demo.M"))
+    assert(analysisMsg(".x = parse_proto!(.sensor, '/no/such.desc', 'demo.M')")
+      .contains("not found"))
+  }
+
   test("remap parse_aws_cloudwatch_log_subscription_message: envelope " +
       "fields snake_cased, epoch-millis stamps become timestamps, " +
       "malformed input is fallible (vrl stdlib)") {
