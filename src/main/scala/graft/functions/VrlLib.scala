@@ -830,6 +830,36 @@ object VrlLib {
       }
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_format_timestamp", { exprs =>
+        require(exprs.size == 2 || exprs.size == 3,
+          "format_timestamp(value, format[, timezone]) takes 2-3 arguments")
+        // dual dialect: a `%` format is VRL's strftime (translated by
+        // the parse_timestamp machinery — the same specifier table works
+        // for rendering); anything else passes through as a Java pattern
+        // (this engine's long-shipped spelling)
+        val fmt = literalString(exprs(1), "format_timestamp: the format argument")
+        val javaFmt = if (fmt.contains('%')) VrlStrptime.translate(fmt) else fmt
+        val tz = exprs.lift(2).map { e =>
+          val z = literalString(e, "format_timestamp: the timezone argument")
+          try java.time.ZoneId.of(z)
+          catch { case _: Exception => throw new IllegalArgumentException(
+            s"format_timestamp: unknown timezone `$z`") }
+          z
+        }
+        DateFormatClass(Cast(exprs.head, TimestampType), Literal(javaFmt),
+          tz.orElse(Some(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_flatten", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "flatten(value[, separator]) takes 1-2 arguments")
+        val sep = exprs.lift(1)
+          .map(literalString(_, "flatten: the separator argument"))
+          .getOrElse(".")
+        VrlFlatten(exprs.head, sep)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_proto", { exprs =>
         require(exprs.size == 3,
           "parse_proto(value, desc_file, message_type) takes 3 arguments")
@@ -1713,6 +1743,48 @@ case class VrlLength(child: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
+}
+
+/** VRL `flatten(value[, separator])` is polymorphic like `length`:
+  * an ARRAY flattens nested arrays to a single level (recursively —
+  * the schema states the nesting depth, so Spark's one-level Flatten
+  * applies until the element type is scalar); an OBJECT flattens nested
+  * structs into separator-joined keys (`{"a": {"b": 1}}` → `{"a.b": 1}`,
+  * VRL's shape), a pure CreateNamedStruct/GetStructField composition.
+  * Maps of maps cannot flatten statically (keys are data, not schema) —
+  * rejected with the divergence note. */
+case class VrlFlatten(child: Expression, sep: String)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType =>
+      var e: Expression = child
+      while (e.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[ArrayType])
+        e = Flatten(e)
+      e
+    case st: StructType =>
+      require(st.fields.exists(_.dataType.isInstanceOf[StructType]) ||
+        st.fields.nonEmpty, "flatten: empty object")
+      CreateNamedStruct(VrlFlatten.fields(child, st, "", sep))
+    case other => throw new IllegalArgumentException(
+      s"flatten() takes an array or object (struct), got ${other.simpleString}" +
+        " — a map of maps flattens by DATA keys, which a typed column " +
+        "program cannot address statically")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+object VrlFlatten {
+  private[functions] def fields(base: Expression, st: StructType,
+      prefix: String, sep: String): Seq[Expression] =
+    st.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      val fe = GetStructField(base, i, Some(f.name))
+      f.dataType match {
+        case inner: StructType => fields(fe, inner, prefix + f.name + sep, sep)
+        case _ => Seq(Literal(prefix + f.name), fe)
+      }
+    }
 }
 
 /** VRL `to_timestamp(value[, unit])` / `from_unix_timestamp(value,

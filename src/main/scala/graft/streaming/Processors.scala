@@ -641,7 +641,10 @@ object Processors {
       // the kernel alias appends VRL's `suffix:` (or legacy ellipsis)
       // only when the string was actually cut
       "truncate" -> "graft_vrl_truncate", "join" -> "array_join",
-      "format_timestamp" -> "date_format",
+      // dual dialect: `%` formats are VRL strftime (translated once at
+      // analysis), others pass through as Java patterns; optional
+      // `timezone:` third argument
+      "format_timestamp" -> "graft_vrl_format_timestamp",
       "to_unix_timestamp" -> "unix_timestamp",
       // 0-based/end-exclusive/negative-index slice has no Spark twin —
       // [[graft.functions.VrlSlice]], registered at apply()
@@ -825,6 +828,10 @@ object Processors {
       // (streaming/Protobuf.scala): .proto source OR compiled .desc
       "parse_proto" -> "graft_vrl_parse_proto",
       "encode_proto" -> "graft_vrl_encode_proto",
+      // polymorphic flatten (array → fully-flattened array; struct →
+      // separator-joined keys, VRL's object flatten) and strftime-aware
+      // format_timestamp with the `timezone:` option
+      "flatten" -> "graft_vrl_flatten",
       // match(value, r'…') → regexp test; the raw-string literal keeps
       // its backslashes through the masking pass like parse_regex's
       "match" -> "rlike")
@@ -833,10 +840,11 @@ object Processors {
     // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
     // replace(s, search, with) (replaces every occurrence, like VRL);
     // now() → current timestamp; abs/round/floor/ceil/mod; split
-    // (regex pattern, like VRL's r'…' form); flatten (arrays);
+    // (regex pattern, like VRL's r'…' form);
     // md5/sha1; filter — via the closure rewrite below. (sha2 is NOT a
     // pass-through: VRL's variant argument is a string with a
-    // SHA-512/224 default — the kernel alias above.)
+    // SHA-512/224 default — the kernel alias above. flatten graduated
+    // from a pass-through to the polymorphic dispatch in round 13.)
 
     /** Brace-matcher shared by the else-if desugar and the statement
       * compiler: `open` indexes a '{'; returns the index of its matching

@@ -1032,6 +1032,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rb.getString(0) == "bad lp" && rb.getString(1) == "bad cbor")
   }
 
+  test("remap polymorphic slice/flatten + strftime format_timestamp with " +
+      "timezone (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.s1 = slice('hello world', 0, 5)
+        |.s2 = slice([10, 20, 30, 40], 1, 3)
+        |.s3 = slice([10, 20, 30, 40], -2)
+        |.s4 = slice([10, 20], 5, 9)
+        |.fa = flatten([[[1], [2]], [[3], [4, 5]]])
+        |.obj = {"a": {"b": 1, "c": {"d": 'x'}}, "e": 2}
+        |.fo = flatten(.obj)
+        |.fo2 = flatten(.obj, '_')
+        |.t1 = format_timestamp(to_timestamp(1609459200), '%F %T')
+        |.t2 = format_timestamp(to_timestamp(1609459200), '%H', 'America/New_York')
+        |.t3 = format_timestamp(to_timestamp(1609459200), 'yyyy-MM-dd')
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("s1", "s2", "s3", "s4", "fa",
+      "fo.`a.b`", "fo.`a.c.d`", "fo.e", "fo2.`a_c_d`",
+      "t1", "t2", "t3").collect().head
+    assert(r.getString(0) == "hello")
+    assert(r.getSeq[Long](1) == Seq(20L, 30L), "array slice is 0-based, end-exclusive")
+    assert(r.getSeq[Long](2) == Seq(30L, 40L), "negative start counts from the end")
+    assert(r.getSeq[Long](3).isEmpty, "out-of-range clamps to empty")
+    assert(r.getSeq[Long](4) == Seq(1L, 2L, 3L, 4L, 5L),
+      "array flatten recurses to the schema's full depth")
+    assert(r.getAs[Number](5).longValue == 1L &&
+      r.getString(6) == "x" && r.getAs[Number](7).longValue == 2L,
+      "object flatten joins nested keys with the separator")
+    assert(r.getString(8) == "x", "custom separator")
+    assert(r.getString(9) == "2021-01-01 00:00:00", "strftime %F %T renders")
+    assert(r.getString(10) == "19",
+      "timezone: renders in that zone (UTC midnight = 19:00 EST)")
+    assert(r.getString(11) == "2021-01-01",
+      "Java patterns still pass through (the shipped dialect)")
+    // map-of-map flatten is the documented divergence — loud
+    val e = intercept[Exception](Processors.RemapProcessor(
+      ".x = flatten(.kv)")(Processors.RemapProcessor(
+      """.kv = object_from_array([['a', '1']])""")(frame)).collect())
+    assert(e.getMessage.contains("map"), e.getMessage)
+  }
+
   test("remap parse_proto / encode_proto ride the native wire codec: " +
       ".proto source and compiled .desc descriptors, round-trip, " +
       "zigzag + fixed-width fields (vrl stdlib)") {
