@@ -830,6 +830,59 @@ object VrlLib {
       }
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ipv6_to_ipv4", { exprs =>
+        require(exprs.size == 1, "ipv6_to_ipv4(value) takes 1 argument")
+        VrlIpKernel1(exprs.head, "to_v4")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_random_bytes", { exprs =>
+        require(exprs.size == 1, "random_bytes(length) takes 1 argument")
+        VrlRandomBytes(Cast(exprs.head, IntegerType))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_get_timezone", { exprs =>
+        require(exprs.isEmpty, "get_timezone() takes no arguments")
+        // the engine's configured zone — resolved once at analysis, the
+        // session-wide contract the vrl processor's timezone: option
+        // also enforces
+        Literal(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_is_json", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "is_json(value[, variant]) takes 1-2 arguments")
+        // validity via Spark's own try-parse (null on malformed); the
+        // variant option narrows by the first significant character,
+        // which JSON's grammar makes unambiguous
+        val valid = IsNotNull(
+          new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
+            exprs.head, false))
+        exprs.lift(1) match {
+          case None => valid
+          case Some(e) =>
+            val variant = literalString(e, "is_json: the variant argument")
+            val prefix = variant match {
+              case "object" => "\\{"
+              case "array" => "\\["
+              case "string" => "\""
+              case "number" => "[-0-9]"
+              case "bool" => "[tf]"
+              case "null" => "n"
+              case other => throw new IllegalArgumentException(
+                s"is_json: unknown variant `$other` " +
+                  "(object array string number bool null)")
+            }
+            And(valid, RLike(exprs.head, Literal(s"^\\s*$prefix")))
+        }
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_compact", { exprs =>
+        require(exprs.size == 1,
+          "compact(value) takes 1 argument (the recursive/per-kind " +
+            "options are not supported)")
+        VrlCompact(exprs.head)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_format_timestamp", { exprs =>
         require(exprs.size == 2 || exprs.size == 3,
           "format_timestamp(value, format[, timezone]) takes 2-3 arguments")

@@ -226,6 +226,15 @@ object VrlIpKernels {
       case _ => UTF8String.fromString(a.getHostAddress)
     }
   }
+  /** `ipv6_to_ipv4` — v4 passes through; the JDK normalizes v4-mapped
+    * v6 literals (::ffff:a.b.c.d) to Inet4Address, so any address that
+    * still resolves v6 here is genuinely unconvertible → error (VRL's
+    * fallible form). */
+  def toV4(v: UTF8String): UTF8String = literal(v.toString) match {
+    case v4: java.net.Inet4Address => UTF8String.fromString(v4.getHostAddress)
+    case other => throw new IllegalArgumentException(
+      s"ipv6_to_ipv4: `${v.toString}` is not an IPv4-mapped address")
+  }
 }
 
 case class VrlIpKernel1(child: Expression, method: String)
@@ -238,12 +247,14 @@ case class VrlIpKernel1(child: Expression, method: String)
     case "pton" => VrlIpKernels.pton(v.asInstanceOf[UTF8String])
     case "ntop" => VrlIpKernels.ntop(v.asInstanceOf[Array[Byte]])
     case "to_v6" => VrlIpKernels.toV6(v.asInstanceOf[UTF8String])
+    case "to_v4" => VrlIpKernels.toV4(v.asInstanceOf[UTF8String])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val call = method match {
       case "pton" => "pton"
       case "ntop" => "ntop"
       case "to_v6" => "toV6"
+      case "to_v4" => "toV4"
     }
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.VrlIpKernels.$call($v);")

@@ -325,6 +325,65 @@ case class VrlObjectFromKv(left: Expression, right: Expression)
       r: Expression): VrlObjectFromKv = copy(left = l, right = r)
 }
 
+/** `random_bytes(length)` — cryptographically random bytes
+  * (SecureRandom-seeded per-partition RNG like uuid_v7), BinaryType so
+  * it composes with encode_base64/encode_base16. VRL's 64 KiB cap is
+  * enforced per call (fallible). */
+case class VrlRandomBytes(child: Expression) extends UnaryExpression
+    with Nondeterministic with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  @transient private var rng: java.util.Random = _
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new java.security.SecureRandom()
+  override protected def evalInternal(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val n = v.asInstanceOf[Number].intValue()
+    require(n >= 0 && n <= 65536,
+      s"random_bytes: length must be 0-65536, got $n")
+    val out = new Array[Byte](n)
+    rng.nextBytes(out)
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): VrlRandomBytes =
+    copy(child = newChild)
+}
+
+/** `compact(value)` — VRL removes null (and, for string elements/values,
+  * empty-string) entries from arrays and objects. Dispatch on the
+  * resolved type: arrays filter elements, maps filter values; struct
+  * fields are schema, not rows — rejected with the note. The recursive/
+  * per-kind options are not supported (rejected by the named-arg strip
+  * producing an arity error). */
+case class VrlCompact(child: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(StringType, _) =>
+      val x = NamedLambdaVariable("__cx", StringType, nullable = true)
+      ArrayFilter(child, LambdaFunction(
+        And(IsNotNull(x), Not(EqualTo(x, Literal("")))), Seq(x)))
+    case ArrayType(et, _) =>
+      val x = NamedLambdaVariable("__cx", et, nullable = true)
+      ArrayFilter(child, LambdaFunction(IsNotNull(x), Seq(x)))
+    case MapType(kt, StringType, _) =>
+      val k = NamedLambdaVariable("__ck", kt, nullable = false)
+      val v = NamedLambdaVariable("__cv", StringType, nullable = true)
+      MapFilter(child, LambdaFunction(
+        And(IsNotNull(v), Not(EqualTo(v, Literal("")))), Seq(k, v)))
+    case MapType(kt, vt, _) =>
+      val k = NamedLambdaVariable("__ck", kt, nullable = false)
+      val v = NamedLambdaVariable("__cv", vt, nullable = true)
+      MapFilter(child, LambdaFunction(IsNotNull(v), Seq(k, v)))
+    case other => throw new IllegalArgumentException(
+      s"compact() takes an array or map, got ${other.simpleString} — " +
+        "struct fields are schema, which cannot be dropped per row")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** `parse_influxdb_line_protocol(value)` — the InfluxDB text wire
   * format (public spec: measurement[,tag=v…] field=v[,…] [timestamp]),
   * one object per line, field values typed (float default, `i` int,

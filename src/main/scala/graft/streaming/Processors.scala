@@ -800,7 +800,9 @@ object Processors {
       "decode_zlib" -> "graft_vrl_decode_zlib",
       "unique" -> "array_distinct",
       "sort" -> "array_sort",
-      "compact" -> "array_compact",
+      // VRL compact also drops empty strings and covers objects (maps) —
+      // graduated from the bare array_compact alias in round 13
+      "compact" -> "graft_vrl_compact",
       "bool" -> "boolean",
       // round-13 tranche 4 (vrl 0.30 stdlib): SHA-3 and SeaHash digests,
       // byte chunking, container emptiness, the zip/object_from_array
@@ -832,6 +834,12 @@ object Processors {
       // separator-joined keys, VRL's object flatten) and strftime-aware
       // format_timestamp with the `timezone:` option
       "flatten" -> "graft_vrl_flatten",
+      // round-13 tranche 5: v4-mapped unwrap, random bytes, the session
+      // zone name, and JSON validity (+ variant narrowing)
+      "ipv6_to_ipv4" -> "graft_vrl_ipv6_to_ipv4",
+      "random_bytes" -> "graft_vrl_random_bytes",
+      "get_timezone" -> "graft_vrl_get_timezone",
+      "is_json" -> "graft_vrl_is_json",
       // match(value, r'…') → regexp test; the raw-string literal keeps
       // its backslashes through the masking pass like parse_regex's
       "match" -> "rlike")

@@ -1032,6 +1032,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rb.getString(0) == "bad lp" && rb.getString(1) == "bad cbor")
   }
 
+  test("remap round-13 tranche 5: ipv6_to_ipv4, random_bytes, " +
+      "get_timezone, is_json variants, polymorphic compact (vrl stdlib)") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    val out = Processors.RemapProcessor(
+      """.v4 = ipv6_to_ipv4!('::ffff:10.1.2.3')
+        |.v4b = ipv6_to_ipv4!('10.9.8.7')
+        |.v4bad = ipv6_to_ipv4!('2001:db8::1') ?? 'not mapped'
+        |.rb = length(encode_base16(random_bytes(16)))
+        |.tz = get_timezone()
+        |.j1 = is_json('{"a": 1}')
+        |.j2 = is_json('{"a": ')
+        |.j3 = is_json('{"a": 1}', variant: 'object')
+        |.j4 = is_json('[1, 2]', variant: 'object')
+        |.j5 = is_json('[1, 2]', variant: 'array')
+        |.j6 = is_json('42', variant: 'number')
+        |.c1 = compact([1, null, 2])
+        |.c2 = compact(['a', '', null, 'b'])
+        |.kv2 = object_from_array([['a', '1'], ['b', ''], ['c', 'x']])
+        |.c3 = compact(.kv2)
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("v4", "v4b", "v4bad", "rb", "tz",
+      "j1", "j2", "j3", "j4", "j5", "j6",
+      "c1", "c2", "map_keys(c3)").collect().head
+    assert(r.getString(0) == "10.1.2.3", "v4-mapped v6 unwraps")
+    assert(r.getString(1) == "10.9.8.7", "plain v4 passes through")
+    assert(r.getString(2) == "not mapped", "a real v6 address is fallible")
+    assert(r.getAs[Number](3).longValue == 32L,
+      "random_bytes(16) is 16 bytes (32 hex chars)")
+    assert(r.getString(4) == "UTC", "get_timezone is the session zone")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getBoolean(7) && !r.getBoolean(8) && r.getBoolean(9) &&
+      r.getBoolean(10), "variant narrows by JSON's first significant char")
+    assert(r.getSeq[Long](11) == Seq(1L, 2L), "compact drops array nulls")
+    assert(r.getSeq[String](12) == Seq("a", "b"),
+      "string arrays also drop empties, VRL's default")
+    assert(r.getSeq[String](13).sorted == Seq("a", "c"),
+      "map compact drops null/empty VALUES")
+  }
+
   test("remap polymorphic slice/flatten + strftime format_timestamp with " +
       "timezone (vrl stdlib)") {
     val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
