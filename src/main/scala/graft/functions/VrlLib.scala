@@ -14,6 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VrlLib {
   def register(spark: SparkSession): Unit = {
+    /** the base64 `charset:` option — "standard" | "url_safe" → urlSafe */
+    def base64Charset(e: Expression, what: String): Boolean = e match {
+      case Literal(s: UTF8String, StringType) => s.toString match {
+        case "standard" => false
+        case "url_safe" => true
+        case other => throw new IllegalArgumentException(
+          s"$what: unknown charset `$other` (standard url_safe)")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$what: the charset argument must be a string literal")
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_length", { exprs =>
         require(exprs.size == 1, "length(value) takes 1 argument")
@@ -103,13 +114,34 @@ object VrlLib {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_encode_base64", { exprs =>
-        require(exprs.size == 1, "encode_base64(value) takes 1 argument")
-        Base64(Cast(exprs.head, BinaryType))
+        require(exprs.size >= 1 && exprs.size <= 3,
+          "encode_base64(value[, padding[, charset]]) takes 1-3 arguments")
+        // VRL options: padding (bool) then charset "standard"|"url_safe";
+        // the optionless form stays on Spark's own codegen'd Base64
+        val padding = exprs.lift(1) match {
+          case None => true
+          case Some(Literal(b: Boolean, BooleanType)) => b
+          case _ => throw new IllegalArgumentException(
+            "encode_base64: padding must be a boolean literal")
+        }
+        val urlSafe = exprs.lift(2) match {
+          case None => false
+          case Some(e) => base64Charset(e, "encode_base64")
+        }
+        if (padding && !urlSafe) Base64(Cast(exprs.head, BinaryType))
+        else VrlBase64(Cast(exprs.head, BinaryType), urlSafe, padding,
+          encode = true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_decode_base64", { exprs =>
-        require(exprs.size == 1, "decode_base64(value) takes 1 argument")
-        Cast(new UnBase64(exprs.head), StringType)
+        require(exprs.size == 1 || exprs.size == 2,
+          "decode_base64(value[, charset]) takes 1-2 arguments")
+        exprs.lift(1) match {
+          case None => Cast(new UnBase64(exprs.head), StringType)
+          case Some(e) =>
+            VrlBase64(exprs.head, base64Charset(e, "decode_base64"),
+              padding = true, encode = false)
+        }
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_strip_ansi", { exprs =>

@@ -325,6 +325,37 @@ case class VrlObjectFromKv(left: Expression, right: Expression)
       r: Expression): VrlObjectFromKv = copy(left = l, right = r)
 }
 
+/** base64 with VRL's options: `padding:` (encode only) and `charset:`
+  * ("standard" | "url_safe"). The optionless forms stay on Spark's own
+  * codegen'd Base64/UnBase64 — this kernel is built only when an option
+  * is present (validated at build). Decode is lenient about absent
+  * padding, like the Rust base64 crate VRL rides. */
+case class VrlBase64(child: Expression, urlSafe: Boolean, padding: Boolean,
+    encode: Boolean) extends UnaryExpression {
+  override def dataType: DataType = if (encode) StringType else StringType
+  override protected def nullSafeEval(v: Any): Any =
+    if (encode) VrlBase64.enc(v.asInstanceOf[Array[Byte]], urlSafe, padding)
+    else VrlBase64.dec(v.asInstanceOf[UTF8String], urlSafe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      if (encode)
+        s"${ev.value} = graft.functions.VrlBase64.enc($v, $urlSafe, $padding);"
+      else s"${ev.value} = graft.functions.VrlBase64.dec($v, $urlSafe);")
+  override protected def withNewChildInternal(newChild: Expression): VrlBase64 =
+    copy(child = newChild)
+}
+object VrlBase64 {
+  def enc(v: Array[Byte], urlSafe: Boolean, padding: Boolean): UTF8String = {
+    var e = if (urlSafe) java.util.Base64.getUrlEncoder else java.util.Base64.getEncoder
+    if (!padding) e = e.withoutPadding()
+    UTF8String.fromString(e.encodeToString(v))
+  }
+  def dec(v: UTF8String, urlSafe: Boolean): UTF8String = {
+    val d = if (urlSafe) java.util.Base64.getUrlDecoder else java.util.Base64.getDecoder
+    UTF8String.fromBytes(d.decode(v.toString))
+  }
+}
+
 /** `random_bytes(length)` — cryptographically random bytes
   * (SecureRandom-seeded per-partition RNG like uuid_v7), BinaryType so
   * it composes with encode_base64/encode_base16. VRL's 64 KiB cap is

@@ -1051,10 +1051,13 @@ class StreamingSpec extends AnyFunSuite {
         |.c2 = compact(['a', '', null, 'b'])
         |.kv2 = object_from_array([['a', '1'], ['b', ''], ['c', 'x']])
         |.c3 = compact(.kv2)
+        |.b1 = encode_base64('f~~b?r', padding: false, charset: 'url_safe')
+        |.b2 = decode_base64('Zn5+Yj9y', charset: 'standard')
+        |.b3 = decode_base64(encode_base64('f~~b?r', false, 'url_safe'), 'url_safe')
         |""".stripMargin)(frame)
     val r = out.selectExpr("v4", "v4b", "v4bad", "rb", "tz",
       "j1", "j2", "j3", "j4", "j5", "j6",
-      "c1", "c2", "map_keys(c3)").collect().head
+      "c1", "c2", "map_keys(c3)", "b1", "b2", "b3").collect().head
     assert(r.getString(0) == "10.1.2.3", "v4-mapped v6 unwraps")
     assert(r.getString(1) == "10.9.8.7", "plain v4 passes through")
     assert(r.getString(2) == "not mapped", "a real v6 address is fallible")
@@ -1069,6 +1072,11 @@ class StreamingSpec extends AnyFunSuite {
       "string arrays also drop empties, VRL's default")
     assert(r.getSeq[String](13).sorted == Seq("a", "c"),
       "map compact drops null/empty VALUES")
+    assert(r.getString(14) == "Zn5-Yj9y",
+      "url_safe maps + to - and drops padding when asked")
+    assert(r.getString(15) == "f~~b?r")
+    assert(r.getString(16) == "f~~b?r",
+      "url_safe decode accepts unpadded input")
   }
 
   test("remap polymorphic slice/flatten + strftime format_timestamp with " +
