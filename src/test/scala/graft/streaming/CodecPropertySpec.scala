@@ -183,4 +183,120 @@ class CodecPropertySpec extends AnyFunSuite {
         sizes.sorted, s"got ${received.toArray.toSeq}")
     } finally server.close()
   }
+
+  test("seahash matches the published algorithm on every tail-lane path " +
+      "(lengths spanning partial words in all four lanes and block " +
+      "boundaries)") {
+    // expected values computed with an independent implementation of the
+    // published SeaHash spec (the seahash crate's documented buffer
+    // algorithm); inputs are bytes (i*37+11) % 128 of each length, so
+    // the 1/9/17/25-byte cases land partial words in lanes a/b/c/d and
+    // 33..65 cross the 32-byte block boundary
+    val expected = Map(
+      0 -> -3953938083091587911L, 1 -> 8917388347039983681L,
+      3 -> -2551971660394858547L, 7 -> -2513671463484185318L,
+      8 -> -1754478870194165842L, 9 -> -864867829965946941L,
+      15 -> 6721728037817111228L, 16 -> 3153376671635955841L,
+      17 -> -1371717415240423835L, 23 -> -2292693374342393747L,
+      24 -> 4258624885780087954L, 25 -> -4288017400329331969L,
+      31 -> -3167642906712232340L, 32 -> -8335379573412458262L,
+      33 -> -1175297028102573411L, 40 -> -8881236838825440433L,
+      63 -> -100600648346203767L, 64 -> -312471045634942733L,
+      65 -> 458641857362929866L)
+    expected.foreach { case (len, want) =>
+      val bytes = Array.tabulate[Byte](len)(i => ((i * 37 + 11) % 128).toByte)
+      assert(graft.functions.VrlSeaHash.hashBytes(bytes) == want,
+        s"length $len")
+    }
+    // the crate's own README vector
+    assert(graft.functions.VrlSeaHash.hashBytes(
+      "to be or not to be".getBytes("UTF-8")) == 1988685042348123509L)
+  }
+
+  test("parse_cbor round-trips randomly generated values through a " +
+      "test-only RFC 8949 encoder") {
+    // minimal DEFINITE-length encoder, independent of the decoder under
+    // test; values are JSON-representable (ints, doubles, bools, null,
+    // strings, arrays, string-keyed maps)
+    def writeHead(out: java.io.ByteArrayOutputStream, major: Int, arg: Long): Unit = {
+      val m = major << 5
+      if (arg < 24) out.write(m | arg.toInt)
+      else if (arg < 256) { out.write(m | 24); out.write(arg.toInt) }
+      else if (arg < 65536) { out.write(m | 25); out.write((arg >> 8).toInt); out.write(arg.toInt & 0xff) }
+      else if (arg < 4294967296L) { out.write(m | 26); (3 to 0 by -1).foreach(i => out.write(((arg >> (8 * i)) & 0xff).toInt)) }
+      else { out.write(m | 27); (7 to 0 by -1).foreach(i => out.write(((arg >> (8 * i)) & 0xff).toInt)) }
+    }
+    def enc(out: java.io.ByteArrayOutputStream, v: Any): Unit = v match {
+      case null => out.write(0xf6)
+      case b: Boolean => out.write(if (b) 0xf5 else 0xf4)
+      case n: Long =>
+        if (n >= 0) writeHead(out, 0, n) else writeHead(out, 1, -1 - n)
+      case d: Double =>
+        out.write(0xfb)
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (7 to 0 by -1).foreach(i => out.write(((bits >> (8 * i)) & 0xff).toInt))
+      case s: String =>
+        val b = s.getBytes("UTF-8")
+        writeHead(out, 3, b.length.toLong); out.write(b)
+      case a: Seq[_] =>
+        writeHead(out, 4, a.size.toLong); a.foreach(enc(out, _))
+      case m: Map[_, _] =>
+        writeHead(out, 5, m.size.toLong)
+        m.foreach { case (k, mv) => enc(out, k); enc(out, mv) }
+    }
+    def toJson(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Long => n.toString
+      case d: Double =>
+        // mirror the decoder's rendering of integral doubles
+        if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+      case s: String =>
+        "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case c if c < 0x20 => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      case a: Seq[_] => a.map(toJson).mkString("[", ",", "]")
+      case m: Map[_, _] =>
+        m.map { case (k, mv) => toJson(k) + ":" + toJson(mv) }.mkString("{", ",", "}")
+    }
+    def randValue(depth: Int): Any = rnd.nextInt(if (depth > 2) 5 else 7) match {
+      case 0 => null
+      case 1 => rnd.nextBoolean()
+      case 2 => rnd.nextLong() >> rnd.nextInt(40)
+      case 3 => math.floor(rnd.nextDouble() * 1000) / 8
+      case 4 => Seq.fill(rnd.nextInt(6))("ab\"\\\nc x"(rnd.nextInt(8))).mkString
+      case 5 => Seq.fill(rnd.nextInt(4))(randValue(depth + 1))
+      case _ => (1 to rnd.nextInt(4))
+        .map(i => s"k$i" -> randValue(depth + 1)).toMap
+    }
+    (1 to 300).foreach { _ =>
+      val v = randValue(0)
+      val out = new java.io.ByteArrayOutputStream()
+      enc(out, v)
+      val got = graft.functions.VrlCborToJson.toJson(out.toByteArray).toString
+      assert(got == toJson(v), s"value $v encoded ${out.toByteArray.toSeq}")
+    }
+  }
+
+  test("parse_influxdb_line_protocol edge cases: exponents, u suffix, " +
+      "no tags, escaped measurement, trailing spaces") {
+    def parse(s: String): String =
+      graft.functions.VrlInfluxToJson.toJson(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(parse("m f=1.5e-3") == """[{"measurement":"m","tags":{},"fields":{"f":1.5e-3}}]""")
+    assert(parse("m f=42u 7") == """[{"measurement":"m","tags":{},"fields":{"f":42},"timestamp":7}]""")
+    assert(parse("""my\ box,a=b f=1i""") ==
+      """[{"measurement":"my box","tags":{"a":"b"},"fields":{"f":1}}]""")
+    assert(parse("m f=+12.5  99  ") ==
+      """[{"measurement":"m","tags":{},"fields":{"f":12.5},"timestamp":99}]""")
+    // malformed lines throw (fallible)
+    intercept[IllegalArgumentException](parse("justmeasurement"))
+    intercept[IllegalArgumentException](parse("m,tagonly=v"))
+    intercept[IllegalArgumentException](parse("m f="))
+    intercept[IllegalArgumentException](parse("m f=1i notanumber"))
+  }
 }
