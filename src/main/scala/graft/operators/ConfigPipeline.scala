@@ -817,7 +817,81 @@ object ConfigPipeline {
       "n_anyd", "n_alld")
   }
 
+  /** q271 — parse_influxdb_line_protocol graded end-to-end: each event
+    * renders a line-protocol string (tags, an integer `i` field, a float
+    * field, a timestamp), the remap parses it on the VARIANT path, and
+    * the oracle recomputes every extracted value from the raw columns. */
+  private def q271(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q271").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT 'srv,host=h' || cast(user_id % 5 AS string) || ',dc=' || event_type || ' cpu=' || cast(event_id % 100 AS string) || 'i,load=' || cast(event_id % 7 AS string) || '.5 ' || cast(event_id AS string) AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .p = parse_influxdb_line_protocol!(.line)
+         |            .host = to_string!(variant_get(.p, '$$[0].tags.host'))
+         |            .dc = to_string!(variant_get(.p, '$$[0].tags.dc'))
+         |            .cpu = to_int!(variant_get(.p, '$$[0].fields.cpu'))
+         |            .load = to_float!(variant_get(.p, '$$[0].fields.load'))
+         |            .ts = to_int!(variant_get(.p, '$$[0].timestamp'))
+         |        - type: sql
+         |          query: "SELECT dc, count(*) AS n, count(DISTINCT host) AS n_host, CAST(sum(cpu) AS BIGINT) AS cpu_sum, CAST(sum(load * 10) AS BIGINT) AS load_sum, CAST(max(ts) AS BIGINT) AS ts_max FROM flow GROUP BY dc"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("dc", "n", "n_host", "cpu_sum",
+      "load_sum", "ts_max")
+  }
+
+  /** q272 — parse_groks graded end-to-end: half the lines are
+    * access-log shaped, half app-log shaped; the two grok patterns try
+    * in order and the union struct carries whichever matched (the other
+    * pattern's fields null). The oracle recomputes both shapes from the
+    * raw columns. */
+  private def q272(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q272").toString
+    val out = s"$base/out"
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: "$dir/events.parquet"
+         |    pipeline:
+         |      processors:
+         |        - type: sql
+         |          query: "SELECT event_type, CASE WHEN event_id % 2 = 0 THEN '192.168.' || cast(event_id % 3 AS string) || '.1 ' || CASE WHEN user_id % 2 = 0 THEN 'GET' ELSE 'POST' END || ' ' || cast(200 + event_id % 4 AS string) ELSE '2024-01-01T10:00:00Z ' || CASE WHEN user_id % 2 = 0 THEN 'ERROR' ELSE 'INFO' END || ' m' || cast(event_id % 5 AS string) END AS line FROM flow"
+         |        - type: vrl
+         |          statement: |
+         |            .g = parse_groks(.line, ['%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} %{GREEDYDATA:msg}', '%{IP:host} %{WORD:method} %{NUMBER:code:int}'])
+         |            .host = .g.host
+         |            .code = .g.code
+         |            .level = .g.level
+         |            .msg = .g.msg
+         |        - type: sql
+         |          query: "SELECT event_type AS etype, count(*) AS n, count(host) AS n_host, CAST(sum(code) AS BIGINT) AS code_sum, count(DISTINCT level) AS n_level, min(msg) AS msg_min FROM flow GROUP BY event_type"
+         |    output:
+         |      type: parquet
+         |      path: "$out"
+         |""".stripMargin
+    graft.streaming.Engine.run(spark, graft.streaming.Config.fromYaml(yaml))
+    spark.read.parquet(out).select("etype", "n", "n_host", "code_sum",
+      "n_level", "msg_min")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_config_vrl_groks" -> ((s, dir) => q272(s, dir)),
+    "q271_config_vrl_influx" -> ((s, dir) => q271(s, dir)),
     "q270_config_vrl_tranche4" -> ((s, dir) => q270(s, dir)),
     "q268_config_http_store" -> ((s, dir) => q268(s, dir)),
     "q269_config_vrl_unnest" -> ((s, dir) => q269(s, dir)),
@@ -839,6 +913,25 @@ object ConfigPipeline {
     "q264_config_vrl_enrich" -> ((s, dir) => q264(s, dir)))
 
   def oracle: Map[String, String] = Map(
+    "q271_config_vrl_influx" ->
+      """SELECT event_type AS dc, count(*) AS n,
+        |       count(DISTINCT 'h' || CAST(user_id % 5 AS VARCHAR)) AS n_host,
+        |       CAST(sum(event_id % 100) AS BIGINT) AS cpu_sum,
+        |       CAST(sum((event_id % 7 + 0.5) * 10) AS BIGINT) AS load_sum,
+        |       CAST(max(event_id) AS BIGINT) AS ts_max
+        |FROM events GROUP BY 1""".stripMargin,
+    "q272_config_vrl_groks" ->
+      """SELECT event_type AS etype, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_host,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 200 + event_id % 4
+        |                     ELSE 0 END) AS BIGINT) AS code_sum,
+        |       count(DISTINCT CASE WHEN event_id % 2 = 1 THEN
+        |             CASE WHEN user_id % 2 = 0 THEN 'ERROR' ELSE 'INFO' END
+        |             END) AS n_level,
+        |       min(CASE WHEN event_id % 2 = 1
+        |                THEN 'm' || CAST(event_id % 5 AS VARCHAR) END) AS msg_min
+        |FROM events GROUP BY 1""".stripMargin,
     "q270_config_vrl_tranche4" ->
       """WITH rows_ AS (
         |  SELECT event_type AS et, event_id AS eid,
