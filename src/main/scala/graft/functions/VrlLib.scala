@@ -861,6 +861,60 @@ object VrlLib {
             s"${all.keys.toSeq.sorted.mkString(", ")})"))
       }
     }
+    /** starts_with/ends_with/contains with VRL's `case_sensitive:`
+      * option (default true) — the insensitive form lowercases both
+      * sides, staying codegen. */
+    def caseForm(exprs: Seq[Expression], name: String,
+        build: (Expression, Expression) => Expression): Expression = {
+      require(exprs.size == 2 || exprs.size == 3,
+        s"$name(value, substring[, case_sensitive]) takes 2-3 arguments")
+      val cs = exprs.lift(2) match {
+        case None => true
+        case Some(Literal(b: Boolean, BooleanType)) => b
+        case _ => throw new IllegalArgumentException(
+          s"$name: case_sensitive must be a boolean literal")
+      }
+      if (cs) build(exprs.head, exprs(1))
+      else build(Lower(exprs.head), Lower(exprs(1)))
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_starts_with", { exprs =>
+        caseForm(exprs, "starts_with", StartsWith(_, _))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_ends_with", { exprs =>
+        caseForm(exprs, "ends_with", EndsWith(_, _))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_contains", { exprs =>
+        caseForm(exprs, "contains", Contains(_, _))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_join", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "join(value[, separator]) takes 1-2 arguments")
+        // VRL's separator defaults to "" — Spark's array_join requires it
+        ArrayJoin(exprs.head, exprs.lift(1).getOrElse(Literal("")), None)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_to_unix_timestamp", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "to_unix_timestamp(value[, unit]) takes 1-2 arguments")
+        // VRL's second argument is a UNIT (seconds/milliseconds/
+        // nanoseconds) — NOT Spark unix_timestamp's format string; the
+        // bare alias used to misroute `unit: 'milliseconds'` into a
+        // pattern parse
+        val ts = Cast(exprs.head, TimestampType)
+        exprs.lift(1).map(literalString(_, "to_unix_timestamp: the unit argument"))
+          .getOrElse("seconds") match {
+          case "seconds" => UnixSeconds(ts)
+          case "milliseconds" => UnixMillis(ts)
+          case "nanoseconds" => Multiply(UnixMicros(ts), Literal(1000L))
+          case other => throw new IllegalArgumentException(
+            s"to_unix_timestamp: unknown unit `$other` " +
+              "(seconds milliseconds nanoseconds)")
+        }
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_ipv6_to_ipv4", { exprs =>
         require(exprs.size == 1, "ipv6_to_ipv4(value) takes 1 argument")

@@ -636,16 +636,23 @@ object Processors {
       "strip_whitespace" -> "trim",
       "to_string" -> "string", "to_int" -> "bigint",
       "to_float" -> "double", "to_bool" -> "boolean",
-      "starts_with" -> "startswith", "ends_with" -> "endswith",
+      // starts_with/ends_with/contains carry VRL's `case_sensitive:`
+      // option (round-13; the insensitive form lowercases both sides)
+      "starts_with" -> "graft_vrl_starts_with",
+      "ends_with" -> "graft_vrl_ends_with",
+      "contains" -> "graft_vrl_contains",
       // round-13 tranche 4 upgraded truncate from a bare `left` alias:
       // the kernel alias appends VRL's `suffix:` (or legacy ellipsis)
-      // only when the string was actually cut
-      "truncate" -> "graft_vrl_truncate", "join" -> "array_join",
+      // only when the string was actually cut; join's separator is
+      // optional in VRL (defaults to "")
+      "truncate" -> "graft_vrl_truncate", "join" -> "graft_vrl_join",
       // dual dialect: `%` formats are VRL strftime (translated once at
       // analysis), others pass through as Java patterns; optional
       // `timezone:` third argument
       "format_timestamp" -> "graft_vrl_format_timestamp",
-      "to_unix_timestamp" -> "unix_timestamp",
+      // VRL's 2nd argument is a UNIT, not a format pattern — the bare
+      // unix_timestamp alias misrouted `unit: 'milliseconds'`
+      "to_unix_timestamp" -> "graft_vrl_to_unix_timestamp",
       // 0-based/end-exclusive/negative-index slice has no Spark twin —
       // [[graft.functions.VrlSlice]], registered at apply()
       "slice" -> "graft_vrl_slice",
@@ -845,14 +852,15 @@ object Processors {
       "match" -> "rlike")
     // VRL stdlib names that are ALREADY the Spark function with matching
     // semantics (no alias entry needed, listed for the record):
-    // parse_json → Spark 4 VARIANT parse_json; contains(s, sub);
+    // parse_json → Spark 4 VARIANT parse_json;
     // replace(s, search, with) (replaces every occurrence, like VRL);
     // now() → current timestamp; abs/round/floor/ceil/mod; split
     // (regex pattern, like VRL's r'…' form);
     // md5/sha1; filter — via the closure rewrite below. (sha2 is NOT a
     // pass-through: VRL's variant argument is a string with a
-    // SHA-512/224 default — the kernel alias above. flatten graduated
-    // from a pass-through to the polymorphic dispatch in round 13.)
+    // SHA-512/224 default — the kernel alias above. flatten and
+    // contains graduated from pass-throughs to dispatch/option kernels
+    // in round 13.)
 
     /** Brace-matcher shared by the else-if desugar and the statement
       * compiler: `open` indexes a '{'; returns the index of its matching

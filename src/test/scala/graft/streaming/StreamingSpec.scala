@@ -1054,10 +1054,18 @@ class StreamingSpec extends AnyFunSuite {
         |.b1 = encode_base64('f~~b?r', padding: false, charset: 'url_safe')
         |.b2 = decode_base64('Zn5+Yj9y', charset: 'standard')
         |.b3 = decode_base64(encode_base64('f~~b?r', false, 'url_safe'), 'url_safe')
+        |.sw = starts_with('Hello World', 'hello', case_sensitive: false)
+        |.sw2 = starts_with('Hello World', 'hello')
+        |.ew = ends_with('Hello World', 'WORLD', false)
+        |.co = contains('Hello World', 'o w', case_sensitive: false)
+        |.jn = join(['a', 'b', 'c'])
+        |.ut = to_unix_timestamp(to_timestamp(1609459200), unit: 'milliseconds')
+        |.ut2 = to_unix_timestamp(to_timestamp(1609459200))
         |""".stripMargin)(frame)
     val r = out.selectExpr("v4", "v4b", "v4bad", "rb", "tz",
       "j1", "j2", "j3", "j4", "j5", "j6",
-      "c1", "c2", "map_keys(c3)", "b1", "b2", "b3").collect().head
+      "c1", "c2", "map_keys(c3)", "b1", "b2", "b3",
+      "sw", "sw2", "ew", "co", "jn", "ut", "ut2").collect().head
     assert(r.getString(0) == "10.1.2.3", "v4-mapped v6 unwraps")
     assert(r.getString(1) == "10.9.8.7", "plain v4 passes through")
     assert(r.getString(2) == "not mapped", "a real v6 address is fallible")
@@ -1077,6 +1085,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(15) == "f~~b?r")
     assert(r.getString(16) == "f~~b?r",
       "url_safe decode accepts unpadded input")
+    assert(r.getBoolean(17) && !r.getBoolean(18),
+      "case_sensitive: false lowercases both sides; default stays strict")
+    assert(r.getBoolean(19) && r.getBoolean(20))
+    assert(r.getString(21) == "abc", "join's separator defaults to empty")
+    assert(r.getLong(22) == 1609459200000L,
+      "to_unix_timestamp unit: milliseconds is a UNIT, not a format")
+    assert(r.getLong(23) == 1609459200L)
   }
 
   test("remap polymorphic slice/flatten + strftime format_timestamp with " +
