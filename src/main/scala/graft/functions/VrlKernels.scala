@@ -607,7 +607,13 @@ object VrlCipher {
     "AES-256-CFB" -> ("AES/CFB/NoPadding", 32),
     "AES-128-CTR" -> ("AES/CTR/NoPadding", 16),
     "AES-192-CTR" -> ("AES/CTR/NoPadding", 24),
-    "AES-256-CTR" -> ("AES/CTR/NoPadding", 32))
+    "AES-256-CTR" -> ("AES/CTR/NoPadding", 32),
+    "AES-128-OFB" -> ("AES/OFB/NoPadding", 16),
+    "AES-192-OFB" -> ("AES/OFB/NoPadding", 24),
+    "AES-256-OFB" -> ("AES/OFB/NoPadding", 32),
+    // AEAD: the JDK appends/expects the 16-byte tag on the ciphertext,
+    // the same layout VRL's Rust AEAD crates use; 12-byte nonce
+    "CHACHA20-POLY1305" -> ("ChaCha20-Poly1305", 32))
 
   def run(data: Array[Byte], key: Array[Byte], iv: Array[Byte],
       spec: String, encrypt: Boolean): Array[Byte] = {
@@ -615,12 +621,15 @@ object VrlCipher {
     val keyLen = keyLenS.toInt
     require(key.length == keyLen,
       s"encrypt/decrypt: key must be $keyLen bytes, got ${key.length}")
-    require(iv.length == 16, s"encrypt/decrypt: iv must be 16 bytes, got ${iv.length}")
+    val chacha = transform.startsWith("ChaCha20")
+    val ivLen = if (chacha) 12 else 16
+    require(iv.length == ivLen,
+      s"encrypt/decrypt: iv must be $ivLen bytes for $transform, got ${iv.length}")
     val c = javax.crypto.Cipher.getInstance(transform)
     c.init(
       if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
       else javax.crypto.Cipher.DECRYPT_MODE,
-      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.SecretKeySpec(key, if (chacha) "ChaCha20" else "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
     c.doFinal(data)
   }

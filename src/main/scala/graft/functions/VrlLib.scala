@@ -256,7 +256,10 @@ object VrlLib {
         s"graft_vrl_$name", { exprs =>
           require(exprs.size == 4,
             s"$name(value, algorithm, key, iv: ...) takes 4 arguments")
+          // spelling is case-insensitive (docs and programs mix
+          // "ChaCha20-Poly1305" / "CHACHA20-POLY1305")
           val algo = literalString(exprs(1), s"$name: the algorithm argument")
+            .toUpperCase(java.util.Locale.ROOT)
           val (transform, keyLen) = VrlCipher.Variants.getOrElse(algo,
             throw new IllegalArgumentException(
               s"$name: unknown algorithm `$algo`; supported: " +

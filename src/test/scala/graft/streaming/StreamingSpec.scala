@@ -1953,9 +1953,13 @@ class StreamingSpec extends AnyFunSuite {
         |.fi = format_int(255, 16)
         |.fb = format_int(5, 2)
         |.rt = parse_int(format_int(12345, 36), 36)
+        |.ofb = decrypt(encrypt('ofb secret', 'AES-128-OFB', '0123456789abcdef', iv: 'fedcba9876543210'), 'AES-128-OFB', '0123456789abcdef', iv: 'fedcba9876543210')
+        |.cha = decrypt(encrypt('aead secret', 'ChaCha20-Poly1305', '0123456789abcdef0123456789abcdef', iv: '000011112222'), 'CHACHA20-POLY1305', '0123456789abcdef0123456789abcdef', iv: '000011112222')
+        |.chaiv = to_string(encrypt('x', 'CHACHA20-POLY1305', '0123456789abcdef0123456789abcdef', iv: '0000000000000000')) ?? 'iverr'
         |""".stripMargin)(frame)
       .selectExpr("vendor", "name", "sev", "src", "msg", "cc", "pc", "sc",
-        "ss", "kc", "pt", "badkey", "ep", "dp", "pu", "du", "fi", "fb", "rt")
+        "ss", "kc", "pt", "badkey", "ep", "dp", "pu", "du", "fi", "fb", "rt",
+        "ofb", "cha", "chaiv")
       .collect().head
     assert(r.getString(0) == "Security" && r.getString(1) == "worm stopped" &&
       r.getString(2) == "10")
@@ -1976,6 +1980,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getString(15) == "www.café.com")
     assert(r.getString(16) == "ff" && r.getString(17) == "101")
     assert(r.getLong(18) == 12345L, "format_int/parse_int round-trip in base 36")
+    assert(r.getString(19) == "ofb secret", "AES-OFB round-trips")
+    assert(r.getString(20) == "aead secret",
+      "ChaCha20-Poly1305 round-trips (tag appended like the Rust AEAD " +
+        "layout); algorithm spelling is case-insensitive")
+    assert(r.getString(21) == "iverr",
+      "the AEAD's 12-byte nonce requirement is ??-catchable")
   }
 
   test("remap merge: from-wins map collision, struct field union, deep " +
