@@ -1002,6 +1002,15 @@ object VrlLib {
         VrlFlatten(exprs.head, sep)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vrl_unflatten", { exprs =>
+        require(exprs.size == 1 || exprs.size == 2,
+          "unflatten(value[, separator]) takes 1-2 arguments")
+        val sep = exprs.lift(1)
+          .map(literalString(_, "unflatten: the separator argument"))
+          .getOrElse(".")
+        VrlUnflatten(exprs.head, sep)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_proto", { exprs =>
         require(exprs.size == 3,
           "parse_proto(value, desc_file, message_type) takes 3 arguments")
@@ -1927,6 +1936,60 @@ object VrlFlatten {
         case _ => Seq(Literal(prefix + f.name), fe)
       }
     }
+}
+
+/** VRL `unflatten(value[, separator])` — flatten's inverse: a struct
+  * whose FIELD NAMES carry separator-joined paths (`{"a.b": 1,
+  * "a.c": 2, "d": 3}`) nests back into `{"a": {"b": 1, "c": 2},
+  * "d": 3}`. Dotted field names are SCHEMA, so this is a pure
+  * CreateNamedStruct regrouping — schema-static like flatten's struct
+  * arm. A map column's keys are data, not schema — rejected with the
+  * same divergence note as map flatten. */
+case class VrlUnflatten(child: Expression, sep: String)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case st: StructType =>
+      VrlUnflatten.regroup(
+        st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          (f.name.split(java.util.regex.Pattern.quote(sep)).toSeq,
+            GetStructField(child, i, Some(f.name)): Expression)
+        })
+    case other => throw new IllegalArgumentException(
+      s"unflatten() takes an object (struct), got ${other.simpleString} — " +
+        "a map's keys are data, not schema, which a typed column " +
+        "program cannot regroup statically")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+object VrlUnflatten {
+  /** group (path, value) pairs by head segment, first-seen order; a
+    * multi-segment path recurses, a 1-segment path is a leaf. A name
+    * that is BOTH a leaf and a prefix keeps the leaf (last-wins would
+    * drop data silently — VRL's unflatten also keeps conflicting leaves
+    * under their full key; stated boundary). */
+  private[functions] def regroup(fields: Seq[(Seq[String], Expression)]): Expression = {
+    val order = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Seq[String], Expression)]]()
+    fields.foreach { case (path, e) =>
+      order.getOrElseUpdate(path.head,
+        scala.collection.mutable.ArrayBuffer()) += ((path, e))
+    }
+    CreateNamedStruct(order.toSeq.flatMap { case (head, group) =>
+      val (leaves, nested) = group.partition(_._1.size == 1)
+      if (nested.isEmpty) Seq(Literal(head), leaves.head._2)
+      else if (leaves.isEmpty)
+        Seq(Literal(head), regroup(nested.toSeq.map { case (p, e) => (p.tail, e) }))
+      else
+        // conflicting leaf + prefix: keep both, the leaf under its full
+        // dotted name (cannot nest a value INSIDE itself)
+        Seq(Literal(head),
+          regroup(nested.toSeq.map { case (p, e) => (p.tail, e) })) ++
+          leaves.flatMap { case (p, e) => Seq(Literal(p.mkString(".")), e) }
+    })
+  }
 }
 
 /** VRL `to_timestamp(value[, unit])` / `from_unix_timestamp(value,

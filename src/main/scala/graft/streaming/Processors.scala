@@ -841,6 +841,7 @@ object Processors {
       // separator-joined keys, VRL's object flatten) and strftime-aware
       // format_timestamp with the `timezone:` option
       "flatten" -> "graft_vrl_flatten",
+      "unflatten" -> "graft_vrl_unflatten",
       // round-13 tranche 5: v4-mapped unwrap, random bytes, the session
       // zone name, and JSON validity (+ variant narrowing)
       "ipv6_to_ipv4" -> "graft_vrl_ipv6_to_ipv4",

@@ -282,6 +282,57 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parse_influxdb_line_protocol round-trips random records through " +
+      "an independent test encoder (escapes, typed fields, timestamps)") {
+    def escKey(s: String): String =
+      s.replace("\\", "\\\\").replace(",", "\\,").replace("=", "\\=").replace(" ", "\\ ")
+    def escMeasurement(s: String): String =
+      s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ")
+    def jsonStr(raw: String): String =
+      "\"" + raw.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
+    val nameAlphabet = "abc, =x"
+    def randName(): String =
+      "k" + Seq.fill(1 + rnd.nextInt(5))(nameAlphabet(rnd.nextInt(nameAlphabet.length))).mkString
+    (1 to 200).foreach { _ =>
+      val measurement = randName()
+      val tags = (1 to rnd.nextInt(3)).map(i => (s"t$i" + randName(), randName()))
+      val fields = (0 to rnd.nextInt(3)).map { i =>
+        val name = s"f$i" + randName()
+        rnd.nextInt(4) match {
+          case 0 =>
+            val n = rnd.nextLong() >> 20
+            (name, n.toString + "i", n.toString) // encoded, expected-json
+          case 1 =>
+            val d = math.floor(rnd.nextDouble() * 1e6) / 64
+            (name, d.toString, d.toString)
+          case 2 =>
+            val b = rnd.nextBoolean()
+            (name, b.toString, b.toString)
+          case _ =>
+            val s = Seq.fill(rnd.nextInt(6))("a\"b\\c, =x"(rnd.nextInt(9))).mkString
+            (name, "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"", jsonStr(s))
+        }
+      }
+      val ts = if (rnd.nextBoolean()) Some(rnd.nextLong() >> 8) else None
+      val line = escMeasurement(measurement) +
+        tags.map { case (k, v) => "," + escKey(k) + "=" + escKey(v) }.mkString +
+        " " + fields.map { case (k, enc, _) => escKey(k) + "=" + enc }.mkString(",") +
+        ts.map(" " + _).getOrElse("")
+      val expected = "[{" +
+        "\"measurement\":" + jsonStr(measurement) +
+        ",\"tags\":{" + tags.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }.mkString(",") + "}" +
+        ",\"fields\":{" + fields.map { case (k, _, j) => jsonStr(k) + ":" + j }.mkString(",") + "}" +
+        ts.map(",\"timestamp\":" + _).getOrElse("") + "}]"
+      val got = graft.functions.VrlInfluxToJson.toJson(
+        org.apache.spark.unsafe.types.UTF8String.fromString(line)).toString
+      assert(got == expected, s"line `$line`")
+    }
+  }
+
   test("parse_influxdb_line_protocol edge cases: exponents, u suffix, " +
       "no tags, escaped measurement, trailing spaces") {
     def parse(s: String): String =

@@ -1109,10 +1109,13 @@ class StreamingSpec extends AnyFunSuite {
         |.t1 = format_timestamp(to_timestamp(1609459200), '%F %T')
         |.t2 = format_timestamp(to_timestamp(1609459200), '%H', 'America/New_York')
         |.t3 = format_timestamp(to_timestamp(1609459200), 'yyyy-MM-dd')
+        |.uf = unflatten(flatten(.obj))
+        |.uo = unflatten({"x.y": 1, "x.z": 2, "w": 3})
         |""".stripMargin)(frame)
     val r = out.selectExpr("s1", "s2", "s3", "s4", "fa",
       "fo.`a.b`", "fo.`a.c.d`", "fo.e", "fo2.`a_c_d`",
-      "t1", "t2", "t3").collect().head
+      "t1", "t2", "t3",
+      "uf.a.c.d", "uf.e", "uo.x.y", "uo.x.z", "uo.w").collect().head
     assert(r.getString(0) == "hello")
     assert(r.getSeq[Long](1) == Seq(20L, 30L), "array slice is 0-based, end-exclusive")
     assert(r.getSeq[Long](2) == Seq(30L, 40L), "negative start counts from the end")
@@ -1128,6 +1131,12 @@ class StreamingSpec extends AnyFunSuite {
       "timezone: renders in that zone (UTC midnight = 19:00 EST)")
     assert(r.getString(11) == "2021-01-01",
       "Java patterns still pass through (the shipped dialect)")
+    assert(r.getString(12) == "x" && r.getAs[Number](13).longValue == 2L,
+      "unflatten inverts flatten (nested access restored)")
+    assert(r.getAs[Number](14).longValue == 1L &&
+      r.getAs[Number](15).longValue == 2L &&
+      r.getAs[Number](16).longValue == 3L,
+      "dotted object-literal keys regroup into nesting")
     // map-of-map flatten is the documented divergence — loud
     val e = intercept[Exception](Processors.RemapProcessor(
       ".x = flatten(.kv)")(Processors.RemapProcessor(
