@@ -139,7 +139,7 @@ object VrlLib {
         exprs.lift(1) match {
           case None => Cast(new UnBase64(exprs.head), StringType)
           case Some(e) =>
-            VrlBase64(exprs.head, base64Charset(e, "decode_base64"),
+            VrlBase64(Cast(exprs.head, StringType), base64Charset(e, "decode_base64"),
               padding = true, encode = false)
         }
       }, "scala_udf")
@@ -680,12 +680,12 @@ object VrlLib {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_seahash", { exprs =>
         require(exprs.size == 1, "seahash(value) takes 1 argument")
-        VrlSeaHash(exprs.head)
+        VrlSeaHash(Cast(exprs.head, StringType))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_chunks", { exprs =>
         require(exprs.size == 2, "chunks(value, chunk_size) takes 2 arguments")
-        VrlChunks(exprs.head, Cast(exprs(1), IntegerType))
+        VrlChunks(Cast(exprs.head, StringType), Cast(exprs(1), IntegerType))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_truncate", { exprs =>
@@ -712,7 +712,7 @@ object VrlLib {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_to_syslog_facility_code", { exprs =>
         require(exprs.size == 1, "to_syslog_facility_code(name) takes 1 argument")
-        VrlSyslogFacilityKernel(exprs.head, toName = false)
+        VrlSyslogFacilityKernel(Cast(exprs.head, StringType), toName = false)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_zip", { exprs =>
@@ -742,7 +742,7 @@ object VrlLib {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_match_any", { exprs =>
         require(exprs.size == 2, "match_any(value, patterns) takes 2 arguments")
-        VrlMatchAny(exprs.head,
+        VrlMatchAny(Cast(exprs.head, StringType),
           literalPatterns(exprs(1), "match_any: the patterns argument"))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -807,7 +807,7 @@ object VrlLib {
         try java.nio.charset.Charset.forName(cs)
         catch { case _: Exception => throw new IllegalArgumentException(
           s"encode_charset: unknown charset `$cs`") }
-        VrlCharset(exprs.head, cs, encode = true)
+        VrlCharset(Cast(exprs.head, StringType), cs, encode = true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_influxdb", { exprs =>
@@ -815,7 +815,7 @@ object VrlLib {
           "parse_influxdb_line_protocol(value) takes 1 argument")
         // mixed-type field objects → the VARIANT path like parse_json
         new org.apache.spark.sql.catalyst.expressions.variant.ParseJson(
-          VrlInfluxToJson(exprs.head), true)
+          VrlInfluxToJson(Cast(exprs.head, StringType)), true)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vrl_parse_cbor", { exprs =>
@@ -848,14 +848,19 @@ object VrlLib {
         val src = java.nio.file.Files.readString(p)
         // the source parser names messages without the package prefix;
         // a package-qualified message_type (VRL's spelling against a
-        // compiled descriptor) retries with the package stripped
-        try graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(src, Some(msg))
-        catch {
-          case e: IllegalArgumentException if msg.contains('.') =>
-            try graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(
-              src, Some(msg.substring(msg.indexOf('.') + 1)))
-            catch { case _: IllegalArgumentException => throw e }
-        }
+        // compiled descriptor) retries with successively more leading
+        // segments stripped, so a multi-segment package
+        // (`com.example.M`) still resolves
+        def attempt(name: String): Option[Seq[graft.streaming.ProtoField]] =
+          try Some(graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(
+            src, Some(name)))
+          catch { case _: IllegalArgumentException => None }
+        val candidates = Iterator.iterate(msg)(m =>
+          m.substring(m.indexOf('.') + 1))
+          .takeWhile(_.nonEmpty).take(msg.count(_ == '.') + 1).toSeq
+        candidates.flatMap(attempt(_)).headOption.getOrElse(
+          // re-raise the ORIGINAL spelling's error for the message
+          graft.streaming.SchemaRegistry.ProtoSource.fieldsFor(src, Some(msg)))
       } else {
         val all = graft.streaming.ProtoDescriptor.parse(
           java.nio.file.Files.readAllBytes(p))
@@ -1913,8 +1918,7 @@ case class VrlFlatten(child: Expression, sep: String)
         e = Flatten(e)
       e
     case st: StructType =>
-      require(st.fields.exists(_.dataType.isInstanceOf[StructType]) ||
-        st.fields.nonEmpty, "flatten: empty object")
+      require(st.fields.nonEmpty, "flatten: empty object")
       CreateNamedStruct(VrlFlatten.fields(child, st, "", sep))
     case other => throw new IllegalArgumentException(
       s"flatten() takes an array or object (struct), got ${other.simpleString}" +
@@ -1951,7 +1955,12 @@ case class VrlUnflatten(child: Expression, sep: String)
     case st: StructType =>
       VrlUnflatten.regroup(
         st.fields.toSeq.zipWithIndex.map { case (f, i) =>
-          (f.name.split(java.util.regex.Pattern.quote(sep)).toSeq,
+          // a name with no real separator segments (e.g. the separator
+          // itself, or leading/trailing separators collapsing to
+          // nothing) stays a verbatim leaf — never an empty path
+          val segs = f.name.split(java.util.regex.Pattern.quote(sep)).toSeq
+            .filter(_.nonEmpty)
+          (if (segs.isEmpty) Seq(f.name) else segs,
             GetStructField(child, i, Some(f.name)): Expression)
         })
     case other => throw new IllegalArgumentException(
@@ -1967,9 +1976,10 @@ case class VrlUnflatten(child: Expression, sep: String)
 object VrlUnflatten {
   /** group (path, value) pairs by head segment, first-seen order; a
     * multi-segment path recurses, a 1-segment path is a leaf. A name
-    * that is BOTH a leaf and a prefix keeps the leaf (last-wins would
-    * drop data silently — VRL's unflatten also keeps conflicting leaves
-    * under their full key; stated boundary). */
+    * that is BOTH a leaf and a prefix (`{"x": 1, "x.y": 2}`) cannot
+    * nest a value inside itself in a typed struct — REJECTED loudly at
+    * analysis (a silent drop or a duplicate field name would each
+    * corrupt downstream access); so are two identical full paths. */
   private[functions] def regroup(fields: Seq[(Seq[String], Expression)]): Expression = {
     val order = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[(Seq[String], Expression)]]()
@@ -1979,15 +1989,14 @@ object VrlUnflatten {
     }
     CreateNamedStruct(order.toSeq.flatMap { case (head, group) =>
       val (leaves, nested) = group.partition(_._1.size == 1)
+      if (leaves.size > 1 || (leaves.nonEmpty && nested.nonEmpty))
+        throw new IllegalArgumentException(
+          s"unflatten: `$head` is both a value and a nesting prefix " +
+            "(or appears twice) — a typed struct cannot hold both; " +
+            "rename one of the colliding fields first")
       if (nested.isEmpty) Seq(Literal(head), leaves.head._2)
-      else if (leaves.isEmpty)
-        Seq(Literal(head), regroup(nested.toSeq.map { case (p, e) => (p.tail, e) }))
-      else
-        // conflicting leaf + prefix: keep both, the leaf under its full
-        // dotted name (cannot nest a value INSIDE itself)
-        Seq(Literal(head),
-          regroup(nested.toSeq.map { case (p, e) => (p.tail, e) })) ++
-          leaves.flatMap { case (p, e) => Seq(Literal(p.mkString(".")), e) }
+      else Seq(Literal(head),
+        regroup(nested.toSeq.map { case (p, e) => (p.tail, e) }))
     })
   }
 }

@@ -603,17 +603,7 @@ object VrlRubyHashToJson {
     }
     private def jsonString(raw: String): String = {
       val sb = new java.lang.StringBuilder(raw.length + 2)
-      sb.append('"')
-      raw.foreach {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      sb.append('"')
+      JsonEscape.str(raw, sb)
       sb.toString
     }
   }

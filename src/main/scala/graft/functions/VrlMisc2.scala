@@ -143,6 +143,10 @@ case class VrlIsEmpty(child: Expression)
   * (= per call site per executor) token clock. */
 case class VrlLog(child: Expression, level: String, rateSecs: Int)
     extends UnaryExpression with CodegenFallback {
+  // NEVER foldable: a literal message would otherwise be constant-folded
+  // at PLAN time — one driver-side log line during optimization and the
+  // per-event executor logging never runs
+  override def foldable: Boolean = false
   override def nullable: Boolean = true
   override def dataType: DataType = NullType
   @transient private lazy val logger =
@@ -257,6 +261,18 @@ case class VrlSyslogFacilityKernel(child: Expression, toName: Boolean)
   * the VRL implementation iterates with). Later duplicate keys WIN,
   * VRL's object insert order — Spark's map_from_entries would throw,
   * hence the kernel. */
+private[functions] object VrlObjectBuild {
+  /** materialize an insert-ordered key→value accumulation as MapData */
+  def toMapData(m: java.util.LinkedHashMap[UTF8String, Any]):
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val ks = new Array[Any](m.size)
+    val vs = new Array[Any](m.size)
+    var j = 0
+    m.forEach { (k, value) => ks(j) = k; vs(j) = value; j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
+}
+
 case class VrlObjectFromPairs(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = child.dataType match {
@@ -281,11 +297,7 @@ case class VrlObjectFromPairs(child: Expression)
       m.put(ks, pair.get(1, inner))
       i += 1
     }
-    val ks = new Array[Any](m.size)
-    val vs = new Array[Any](m.size)
-    var j = 0
-    m.forEach { (k, value) => ks(j) = k; vs(j) = value; j += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+    VrlObjectBuild.toMapData(m)
   }
   override protected def withNewChildInternal(newChild: Expression): VrlObjectFromPairs =
     copy(child = newChild)
@@ -315,14 +327,30 @@ case class VrlObjectFromKv(left: Expression, right: Expression)
       m.put(ks, va.get(i, vt))
       i += 1
     }
-    val ks = new Array[Any](m.size)
-    val vs = new Array[Any](m.size)
-    var j = 0
-    m.forEach { (k, value) => ks(j) = k; vs(j) = value; j += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+    VrlObjectBuild.toMapData(m)
   }
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): VrlObjectFromKv = copy(left = l, right = r)
+}
+
+/** shared JSON string-escape for the to-JSON transcription kernels
+  * (ruby hash / influx line protocol / CBOR) — one place to extend the
+  * escape set. */
+private[functions] object JsonEscape {
+  def str(raw: String, out: java.lang.StringBuilder): Unit = {
+    out.append('"')
+    raw.foreach {
+      case '"' => out.append("\\\"")
+      case '\\' => out.append("\\\\")
+      case '\n' => out.append("\\n")
+      case '\r' => out.append("\\r")
+      case '\t' => out.append("\\t")
+      case c if c < 0x20 => out.append(f"\\u${c.toInt}%04x")
+      case c => out.append(c)
+    }
+    out.append('"')
+    ()
+  }
 }
 
 /** base64 with VRL's options: `padding:` (encode only) and `charset:`
@@ -332,7 +360,9 @@ case class VrlObjectFromKv(left: Expression, right: Expression)
   * padding, like the Rust base64 crate VRL rides. */
 case class VrlBase64(child: Expression, urlSafe: Boolean, padding: Boolean,
     encode: Boolean) extends UnaryExpression {
-  override def dataType: DataType = if (encode) StringType else StringType
+  // both directions surface as STRING: VRL's decoded bytes ARE its
+  // strings (same contract as decode_gzip & co.)
+  override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     if (encode) VrlBase64.enc(v.asInstanceOf[Array[Byte]], urlSafe, padding)
     else VrlBase64.dec(v.asInstanceOf[UTF8String], urlSafe)
@@ -380,31 +410,18 @@ case class VrlRandomBytes(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** `compact(value)` — VRL removes null (and, for string elements/values,
-  * empty-string) entries from arrays and objects. Dispatch on the
-  * resolved type: arrays filter elements, maps filter values; struct
-  * fields are schema, not rows — rejected with the note. The recursive/
-  * per-kind options are not supported (rejected by the named-arg strip
-  * producing an arity error). */
+/** `compact(value)` — VRL's defaults drop null, empty-string, empty-
+  * array and empty-object entries, RECURSING into nested containers
+  * (recursive/string/object/array/null all true). The dispatch mirrors
+  * that structurally: the schema states the nesting, so recursion is a
+  * type-driven composition of transform/filter (arrays) and
+  * transform_values/map_filter (maps) — all codegen. Struct fields are
+  * schema, not rows — rejected with the note. The per-kind off-switch
+  * options are not supported (arity error at build). */
 case class VrlCompact(child: Expression)
     extends Expression with RuntimeReplaceable {
   override lazy val replacement: Expression = child.dataType match {
-    case ArrayType(StringType, _) =>
-      val x = NamedLambdaVariable("__cx", StringType, nullable = true)
-      ArrayFilter(child, LambdaFunction(
-        And(IsNotNull(x), Not(EqualTo(x, Literal("")))), Seq(x)))
-    case ArrayType(et, _) =>
-      val x = NamedLambdaVariable("__cx", et, nullable = true)
-      ArrayFilter(child, LambdaFunction(IsNotNull(x), Seq(x)))
-    case MapType(kt, StringType, _) =>
-      val k = NamedLambdaVariable("__ck", kt, nullable = false)
-      val v = NamedLambdaVariable("__cv", StringType, nullable = true)
-      MapFilter(child, LambdaFunction(
-        And(IsNotNull(v), Not(EqualTo(v, Literal("")))), Seq(k, v)))
-    case MapType(kt, vt, _) =>
-      val k = NamedLambdaVariable("__ck", kt, nullable = false)
-      val v = NamedLambdaVariable("__cv", vt, nullable = true)
-      MapFilter(child, LambdaFunction(IsNotNull(v), Seq(k, v)))
+    case _: ArrayType | _: MapType => VrlCompact.compacted(child, child.dataType)
     case other => throw new IllegalArgumentException(
       s"compact() takes an array or map, got ${other.simpleString} — " +
         "struct fields are schema, which cannot be dropped per row")
@@ -413,6 +430,50 @@ case class VrlCompact(child: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0))
+}
+object VrlCompact {
+  /** keep-predicate for one value of type `dt`: non-null, and non-empty
+    * when the type carries a VRL emptiness (string/array/map) */
+  private def keep(x: Expression, dt: DataType): Expression = dt match {
+    case StringType => And(IsNotNull(x), Not(EqualTo(x, Literal(""))))
+    case _: ArrayType | _: MapType =>
+      And(IsNotNull(x), GreaterThan(Size(x, legacySizeOfNull = false), Literal(0)))
+    case _ => IsNotNull(x)
+  }
+  /** recursively compact a value of type `dt` (containers compact their
+    * contents first, so an array that BECOMES empty is then dropped by
+    * the enclosing keep) */
+  private[functions] def compacted(e: Expression, dt: DataType): Expression = dt match {
+    case ArrayType(et, _) =>
+      val inner = compactedInner(et, "__ca")
+      val filtered = inner match {
+        case Some((x, body)) => ArrayTransform(e, LambdaFunction(body, Seq(x)))
+        case None => e
+      }
+      val f = NamedLambdaVariable("__cf", et, nullable = true)
+      ArrayFilter(filtered, LambdaFunction(keep(f, et), Seq(f)))
+    case MapType(kt, vt, _) =>
+      val inner = compactedInner(vt, "__cm")
+      val transformed = inner match {
+        case Some((x, body)) =>
+          val k0 = NamedLambdaVariable("__ck0", kt, nullable = false)
+          TransformValues(e, LambdaFunction(body, Seq(k0, x)))
+        case None => e
+      }
+      val k = NamedLambdaVariable("__ck", kt, nullable = false)
+      val v = NamedLambdaVariable("__cv", vt, nullable = true)
+      MapFilter(transformed, LambdaFunction(keep(v, vt), Seq(k, v)))
+    case _ => e
+  }
+  /** lambda (variable, body) recursively compacting one ELEMENT of type
+    * `et`, or None when the element type has nothing nested to compact */
+  private def compactedInner(et: DataType,
+      prefix: String): Option[(NamedLambdaVariable, Expression)] = et match {
+    case _: ArrayType | _: MapType =>
+      val x = NamedLambdaVariable(prefix, et, nullable = true)
+      Some((x, compacted(x, et)))
+    case _ => None
+  }
 }
 
 /** `parse_influxdb_line_protocol(value)` — the InfluxDB text wire
@@ -472,20 +533,8 @@ object VrlInfluxToJson {
     }
     sb.toString
   }
-  private def jsonStr(raw: String, out: java.lang.StringBuilder): Unit = {
-    out.append('"')
-    raw.foreach {
-      case '"' => out.append("\\\"")
-      case '\\' => out.append("\\\\")
-      case '\n' => out.append("\\n")
-      case '\r' => out.append("\\r")
-      case '\t' => out.append("\\t")
-      case c if c < 0x20 => out.append(f"\\u${c.toInt}%04x")
-      case c => out.append(c)
-    }
-    out.append('"')
-    ()
-  }
+  private def jsonStr(raw: String, out: java.lang.StringBuilder): Unit =
+    JsonEscape.str(raw, out)
 
   private def lineToJson(line: String, out: java.lang.StringBuilder): Unit = {
     // measurement ends at the first unescaped ',' (tags follow) or ' '
@@ -653,20 +702,8 @@ object VrlCborToJson {
         buf.toByteArray
       }
     }
-    private def jsonStr(raw: String, out: java.lang.StringBuilder): Unit = {
-      out.append('"')
-      raw.foreach {
-        case '"' => out.append("\\\"")
-        case '\\' => out.append("\\\\")
-        case '\n' => out.append("\\n")
-        case '\r' => out.append("\\r")
-        case '\t' => out.append("\\t")
-        case c if c < 0x20 => out.append(f"\\u${c.toInt}%04x")
-        case c => out.append(c)
-      }
-      out.append('"')
-      ()
-    }
+    private def jsonStr(raw: String, out: java.lang.StringBuilder): Unit =
+      JsonEscape.str(raw, out)
     private def half(bits: Int): Double = {
       val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
       val exp = (bits >> 10) & 0x1f

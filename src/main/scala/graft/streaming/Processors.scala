@@ -1401,7 +1401,11 @@ object Processors {
             // transform_keys, whose lambda receives (key, value); the
             // value param is synthesized since VRL's closure sees only
             // the key. `recursive: true` is not supported (rejected by
-            // the unknown-label path upstream).
+            // the unknown-label path upstream). Boundary, stated: a
+            // rewrite that COLLIDES keys (e.g. downcasing "A" and "a")
+            // throws DUPLICATE_MAP_KEY under Spark's default dedup
+            // policy, where VRL's object insert is last-wins — loud,
+            // not silent, but a divergence.
             require(params.size == 1,
               "remap: map_keys closure takes one param `|key|`")
             s"transform_keys($argsSql, (${params.head}, __mk_v) -> ($body))"

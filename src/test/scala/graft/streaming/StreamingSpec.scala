@@ -1051,6 +1051,9 @@ class StreamingSpec extends AnyFunSuite {
         |.c2 = compact(['a', '', null, 'b'])
         |.kv2 = object_from_array([['a', '1'], ['b', ''], ['c', 'x']])
         |.c3 = compact(.kv2)
+        |.c4 = compact([['x'], [], ['', 'y']])
+        |.kv3 = object_from_array([['a', 'v'], ['b', '']])
+        |.c5 = compact([.kv3, .kv3])
         |.b1 = encode_base64('f~~b?r', padding: false, charset: 'url_safe')
         |.b2 = decode_base64('Zn5+Yj9y', charset: 'standard')
         |.b3 = decode_base64(encode_base64('f~~b?r', false, 'url_safe'), 'url_safe')
@@ -1065,7 +1068,8 @@ class StreamingSpec extends AnyFunSuite {
     val r = out.selectExpr("v4", "v4b", "v4bad", "rb", "tz",
       "j1", "j2", "j3", "j4", "j5", "j6",
       "c1", "c2", "map_keys(c3)", "b1", "b2", "b3",
-      "sw", "sw2", "ew", "co", "jn", "ut", "ut2").collect().head
+      "sw", "sw2", "ew", "co", "jn", "ut", "ut2",
+      "c4", "map_keys(c5[0])", "size(c5)").collect().head
     assert(r.getString(0) == "10.1.2.3", "v4-mapped v6 unwraps")
     assert(r.getString(1) == "10.9.8.7", "plain v4 passes through")
     assert(r.getString(2) == "not mapped", "a real v6 address is fallible")
@@ -1092,6 +1096,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(22) == 1609459200000L,
       "to_unix_timestamp unit: milliseconds is a UNIT, not a format")
     assert(r.getLong(23) == 1609459200L)
+    assert(r.getSeq[scala.collection.Seq[String]](24).map(_.toSeq) ==
+      Seq(Seq("x"), Seq("y")),
+      "compact recurses: inner empties drop, then the emptied array drops")
+    assert(r.getSeq[String](25).sorted == Seq("a"),
+      "compact recurses into map VALUES of array elements")
+    assert(r.getInt(26) == 2,
+      "maps that stay non-empty after value compaction are kept")
   }
 
   test("remap polymorphic slice/flatten + strftime format_timestamp with " +
@@ -1142,6 +1153,20 @@ class StreamingSpec extends AnyFunSuite {
       ".x = flatten(.kv)")(Processors.RemapProcessor(
       """.kv = object_from_array([['a', '1']])""")(frame)).collect())
     assert(e.getMessage.contains("map"), e.getMessage)
+    // a name that is BOTH a value and a nesting prefix cannot live in
+    // one typed struct — rejected loudly, never a silent drop or a
+    // duplicate field name
+    val e2 = intercept[Exception](Processors.RemapProcessor(
+      """.x = unflatten({"a": 1, "a.b": 2})""")(frame).collect())
+    assert(e2.getMessage.contains("both a value and a nesting prefix"),
+      e2.getMessage)
+    // log() must never constant-fold: a literal message would otherwise
+    // log ONCE at plan time on the driver and the per-event executor
+    // logging would never run
+    val lp = Processors.RemapProcessor(".x = log('keep me')")(frame)
+    assert(lp.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("vrllog"),
+      "VrlLog survived ConstantFolding in the optimized plan")
   }
 
   test("remap parse_proto / encode_proto ride the native wire codec: " +
@@ -1197,6 +1222,20 @@ class StreamingSpec extends AnyFunSuite {
     val r2 = out2.selectExpr("dec.device", "dec.seq").collect().head
     assert(r2.getString(0) == "s7" && r2.getLong(1) == 12345L,
       "the .desc (FileDescriptorSet) route round-trips")
+    // a MULTI-segment package still resolves against the source parser's
+    // unqualified message names (each stripped prefix is retried)
+    val proto2 = java.nio.file.Files.createTempFile("graft_vrl2", ".proto")
+    java.nio.file.Files.writeString(proto2,
+      """syntax = "proto3";
+        |package com.example.telemetry;
+        |message Ping { int64 seq = 1; }
+        |""".stripMargin)
+    val out3 = Processors.RemapProcessor(
+      s""".enc = encode_proto!({"seq": 77}, '${proto2}', 'com.example.telemetry.Ping')
+         |.dec = parse_proto!(.enc, '${proto2}', 'com.example.telemetry.Ping')
+         |""".stripMargin)(frame)
+    assert(out3.selectExpr("dec.seq").collect().head.getLong(0) == 77L,
+      "package-qualified names resolve through successive prefix strips")
     // unknown message / missing file fail at analysis naming the problem
     def analysisMsg(program: String): String =
       intercept[Exception](Processors.RemapProcessor(program)(frame)).getMessage
