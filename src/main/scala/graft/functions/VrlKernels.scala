@@ -163,7 +163,11 @@ object VrlEncodeKeyValue {
     val kv = kvDelim.toString
     val fd = fieldDelim.toString
     def q(s: String): String =
-      if (s.contains(fd) || s.contains(kv) || s.contains("\""))
+      // leading/trailing whitespace must quote too: the parser's
+      // lenient mode (VRL's default) TRIMS around unquoted values, so
+      // an unquoted ` x` would not round-trip (property-spec-caught)
+      if (s.contains(fd) || s.contains(kv) || s.contains("\"") ||
+        (s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace)))
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       else s
     val keys = m.keyArray()

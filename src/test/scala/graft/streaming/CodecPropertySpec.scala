@@ -282,6 +282,36 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("encode_key_value round-trips through parse_key_value for random " +
+      "maps (quoted values holding delimiters and quotes)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val valueAlphabet = "ab c=,\"x;"
+    def randVal(): String =
+      Seq.fill(rnd.nextInt(8))(valueAlphabet(rnd.nextInt(valueAlphabet.length))).mkString
+    (1 to 300).foreach { _ =>
+      val (kvd, fdd) = if (rnd.nextBoolean()) ("=", " ") else (":", ";")
+      // keys stay delimiter-free (the encoder quotes them too, but real
+      // logfmt keys are identifiers); values roam the full alphabet,
+      // minus backslash (the quoting escapes \" and \\ but the PARSER's
+      // lenient mode keeps unknown escapes raw — VRL's own asymmetry)
+      val m = (1 to 1 + rnd.nextInt(5)).map(i => s"k$i" -> randVal()).toMap
+      val mapData = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        m.keys.toArray.map(UTF8String.fromString(_): Any),
+        m.values.toArray.map(UTF8String.fromString(_): Any))
+      val line = graft.functions.VrlEncodeKeyValue.encode(mapData,
+        UTF8String.fromString(kvd), UTF8String.fromString(fdd))
+      val back = graft.functions.VrlParseKeyValue.parse(line,
+        UTF8String.fromString(kvd), UTF8String.fromString(fdd))
+      val got = (0 until back.numElements()).map { i =>
+        back.keyArray().getUTF8String(i).toString ->
+          back.valueArray().getUTF8String(i).toString
+      }.toMap
+      // the encoder renders "" for empty values; the parser's lenient
+      // standalone-key handling reads them back as "" — exact inverse
+      assert(got == m, s"map $m (kv `$kvd` fd `$fdd`) -> `$line` -> $got")
+    }
+  }
+
   test("parse_influxdb_line_protocol round-trips random records through " +
       "an independent test encoder (escapes, typed fields, timestamps)") {
     def escKey(s: String): String =
