@@ -63,6 +63,36 @@ class ExamplesSpec extends AnyFunSuite {
       Set("doc_id", "text", "lang", "source"))
   }
 
+  test("log-enrichment example normalizes mixed lines through the " +
+      "round-13 stdlib (groks / facility / seahash / truncate) from " +
+      "config alone") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "log_enrichment.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_logenrich_out").toString
+    Engine.run(spark, Config.fromYaml(
+      yaml.replace("/tmp/graft/out/log_enrichment", outDir)))
+    val rows = spark.read.parquet(outDir)
+      .select("kind", "facility", "severity", "fp", "summary", "code",
+        "level", "host")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) "" else r.getString(6),
+        if (r.isNullAt(7)) "" else r.getString(7))).toSet
+    def fp(line: String): Long =
+      graft.functions.VrlSeaHash.hashBytes(line.getBytes("UTF-8"))
+    // PRI 38 = auth.info, 9 = user.alert, 165 = local4.notice (RFC 3164)
+    assert(rows == Set(
+      ("access", "auth", "info", fp("10.2.0.41 GET 200"),
+        "10.2.0.41 GET ...", 200L, "", "10.2.0.41"),
+      ("app", "user", "alert", fp("2024-03-01T12:00:00Z ERROR disk full on /var"),
+        "2024-03-01T12:...", -1L, "ERROR", ""),
+      ("access", "local4", "notice", fp("172.16.9.2 POST 503"),
+        "172.16.9.2 POS...", 503L, "", "172.16.9.2")),
+      rows.toString)
+  }
+
   test("near-dedup example mines winnowing pairs from config alone") {
     val spark = SparkTestSession.spark
     val yaml = new String(java.nio.file.Files.readAllBytes(
