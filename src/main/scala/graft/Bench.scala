@@ -87,6 +87,30 @@ object Bench {
     (1 to 3).map(_ => one()).min
   }
 
+  /** One cheap calibration probe (the calibrate() plan at 1/10 the rows,
+    * single rep): interleaved through the sweep every PROBE_EVERY entries
+    * so the artifact carries a TIME SERIES of machine speed, not one
+    * pre-sweep point. A contention window that opens mid-sweep (the
+    * round-13 q132-q136 cluster: five alphabetically contiguous entries
+    * reading 2.6-3.5× pin on untouched code) is then exonerated BY THE
+    * ARTIFACT — the mover's neighboring probes spiked with it — instead
+    * of burning a round of audit. Recorded as `calib_series` in
+    * bench_full.json as [entryIndex, seconds] pairs. */
+  def miniProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(2L * 1000 * 1000)
+      .select(col("id"), pmod(hash(col("id")), lit(1000)).as("k"),
+        (col("id") % 97).as("v"))
+      .groupBy("k")
+      .agg(sum("v").as("s"), avg("v").as("a"), count(lit(1)).as("c"))
+      .orderBy("k")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  val ProbeEvery = 8
+
   /** Per-query pinned baselines (tools/bench_baseline.json, committed):
     * the quiet-machine reference numbers a sweep value is judged
     * against. Missing file or missing entry → no pin (new queries bench
@@ -147,14 +171,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pins = loadPins()
+    // HEAVIEST-FIRST order (by pinned baseline, descending; unpinned new
+    // queries lead, alphabetical): a heavy query's executor-side drain
+    // (task teardown, GC from its heap churn) then bleeds into an entry
+    // of comparable weight instead of a sub-second alphabetical neighbor
+    // — the recurring phantom-mover shape (q102/q104 followed the heavy
+    // q99/q101 family three rounds running).
+    val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .sortBy { case (n, _) => (-pins.getOrElse(n, Double.MaxValue), n) }
     // A failed rep must NOT enter the min — a query that throws quickly
     // would otherwise record its fast failure as the benchmark number.
     // Queries whose reps ALL fail are omitted and the run flagged partial.
     var failed = List.empty[String]
-    val results = selected.flatMap { case (name, fn) =>
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val results = selected.zipWithIndex.flatMap { case ((name, fn), idx) =>
       quiesce(spark) // scheduler fully idle before this entry's timer starts
+      if (idx % ProbeEvery == 0) { probes += ((idx, miniProbe(spark))); quiesce(spark) }
       def rep(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok =
@@ -193,8 +227,18 @@ object Bench {
     // too) still reports slow AND is visibly >2× pin in `repinned`.
     // Entries with no pin (new queries) fall back to the old outlier
     // heuristic: min > 2 s and > 4× the sweep median.
-    val pins = loadPins()
-    var repinned = List.empty[(String, Double, Double)] // name, sweep, dedicated
+    val idxOf = selected.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    val probeMin = if (probes.nonEmpty) probes.map(_._2).min else Double.NaN
+    /** worst interleaved probe within ±ProbeEvery entries of `idx` —
+      * the machine speed AROUND the entry's measurement. A suspect whose
+      * neighborhood probe spiked is carried in the artifact (`ncalib`
+      * vs the sweep-min probe) so a consumer can exonerate contention
+      * without a forensic re-run. */
+    def neighborhoodCalib(idx: Int): Double = {
+      val near = probes.filter(p => math.abs(p._1 - idx) <= ProbeEvery)
+      if (near.isEmpty) Double.NaN else near.map(_._2).max
+    }
+    var repinned = List.empty[(String, Double, Double, Double)] // name, sweep, dedicated, ncalib
     val finalResults =
       if (results.size < 8) results
       else {
@@ -216,8 +260,9 @@ object Bench {
             val dedicated = (1 to 2).flatMap(_ => one())
             dedicated.sorted.headOption match {
               case Some(rt) =>
-                System.err.println(f"[bench] $name dedicated re-run: sweep $t%.2f s -> dedicated $rt%.2f s (pin ${pins.getOrElse(name, Double.NaN)}%.2f)")
-                repinned ::= (name, t, rt)
+                val ncal = neighborhoodCalib(idxOf.getOrElse(name, 0))
+                System.err.println(f"[bench] $name dedicated re-run: sweep $t%.2f s -> dedicated $rt%.2f s (pin ${pins.getOrElse(name, Double.NaN)}%.2f, neighborhood calib $ncal%.3f vs sweep-min $probeMin%.3f)")
+                repinned ::= (name, t, rt, ncal)
                 name -> math.min(t, rt)
               case None => name -> t
             }
@@ -225,6 +270,7 @@ object Bench {
         }
       }
     val retriedNames = repinned.map(_._1)
+    def d3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the partial marker must ride IN the JSON: a consumer of
     // bench_full.json cannot see stderr, and a partial sweep's lower
     // total would otherwise read as a misleadingly fast clean run
@@ -232,31 +278,32 @@ object Bench {
       .mkString(""","partial":[""", ",", "]") +
       retriedNames.sorted.map(n => "\"" + n + "\"")
         .mkString(""","retried":[""", ",", "]") +
-      repinned.sortBy(_._1).map { case (n, sw, ded) =>
-        def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-        "\"" + n + "\":{\"sweep\":" + fmt(sw) + ",\"dedicated\":" + fmt(ded) + "}"
+      repinned.sortBy(_._1).map { case (n, sw, ded, ncal) =>
+        "\"" + n + "\":{\"sweep\":" + d3(sw) + ",\"dedicated\":" + d3(ded) +
+          ",\"ncalib\":" + d3(ncal) + "}"
       }.mkString(""","repinned":{""", ",", "}")
-    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
+    val calibSeries = probes
+      .map { case (i, t) => s"[$i,${d3(t)}]" }.mkString(""","calib_series":[""", ",", "]")
+    val qs = finalResults.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
-    // The driver keeps only the LAST ~2000 chars of output, and 80+ queries at
-    // full precision overflow that window — so (a) persist the full-precision
-    // line to bench_full.json, (b) print a compact line with per-query values
-    // at 3 decimals and the headline fields LAST, so truncation (which eats
-    // the start of the window) can only cost early per-query entries, never
-    // the total.
-    val calibStr = "%.3f".formatLocal(java.util.Locale.ROOT, calib)
+    val calibStr = d3(calib)
+    // Full-precision artifact — per-query map, repin detail, interleaved
+    // calibration series — lives in bench_full.json; the driver's stdout
+    // capture keeps only the LAST ~2 KB, which a 270-entry map overflows
+    // (BENCH_r12/r13 both arrived unparseable). Stdout therefore carries
+    // ONE compact line: summary fields + the slowest entries only.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$partial,"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$partial$calibSeries,"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout"}"""
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
-    def d3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs3 = finalResults.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+    val qsTop = finalResults.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","queries":$qs3,"sf":"$rawSfDir","layout":"$layout","n":${finalResults.size}$partial,"calib":$calibStr,"unit":"sec","value":${d3(total)}}""")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${finalResults.size},"failed":${failed.size},"retried":${retriedNames.size},"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout","queries":$qsTop,"file":"bench_full.json"}""")
     spark.stop()
   }
 }

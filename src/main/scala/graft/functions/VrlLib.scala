@@ -117,17 +117,23 @@ object VrlLib {
         require(exprs.size >= 1 && exprs.size <= 3,
           "encode_base64(value[, padding[, charset]]) takes 1-3 arguments")
         // VRL options: padding (bool) then charset "standard"|"url_safe";
-        // the optionless form stays on Spark's own codegen'd Base64
-        val padding = exprs.lift(1) match {
-          case None => true
-          case Some(Literal(b: Boolean, BooleanType)) => b
+        // the optionless form stays on Spark's own codegen'd Base64.
+        // A `charset:`-only call reaches here with the charset string in
+        // the padding slot (the generic label strip keeps positions) — a
+        // string literal in slot 1 is unambiguously the charset.
+        val (padding, slot1Charset) = exprs.lift(1) match {
+          case None => (true, None)
+          case Some(Literal(b: Boolean, BooleanType)) => (b, None)
+          case Some(e @ Literal(_: UTF8String, StringType)) =>
+            require(exprs.size == 2, "encode_base64: charset given twice")
+            (true, Some(base64Charset(e, "encode_base64")))
           case _ => throw new IllegalArgumentException(
             "encode_base64: padding must be a boolean literal")
         }
-        val urlSafe = exprs.lift(2) match {
+        val urlSafe = slot1Charset.getOrElse(exprs.lift(2) match {
           case None => false
           case Some(e) => base64Charset(e, "encode_base64")
-        }
+        })
         if (padding && !urlSafe) Base64(Cast(exprs.head, BinaryType))
         else VrlBase64(Cast(exprs.head, BinaryType), urlSafe, padding,
           encode = true)
@@ -1919,7 +1925,16 @@ case class VrlFlatten(child: Expression, sep: String)
       e
     case st: StructType =>
       require(st.fields.nonEmpty, "flatten: empty object")
-      CreateNamedStruct(VrlFlatten.fields(child, st, "", sep))
+      val fs = VrlFlatten.fields(child, st, "", sep)
+      // a literal dotted key colliding with a flattened path would emit
+      // DUPLICATE struct field names, making downstream by-name access
+      // ambiguous — rejected loudly, same contract as unflatten's inverse
+      val names = fs.grouped(2).map(_.head.asInstanceOf[Literal].value.toString).toSeq
+      val dups = names.diff(names.distinct).distinct
+      require(dups.isEmpty,
+        s"flatten: output field name collision on `${dups.mkString("`, `")}` — " +
+          "a literal separator-joined key collides with a flattened path")
+      CreateNamedStruct(fs)
     case other => throw new IllegalArgumentException(
       s"flatten() takes an array or object (struct), got ${other.simpleString}" +
         " — a map of maps flattens by DATA keys, which a typed column " +

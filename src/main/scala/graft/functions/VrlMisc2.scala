@@ -151,11 +151,18 @@ case class VrlLog(child: Expression, level: String, rateSecs: Int)
   override def dataType: DataType = NullType
   @transient private lazy val logger =
     org.slf4j.LoggerFactory.getLogger("graft.vrl.log")
+  // primed flag, not a zero seed: System.nanoTime()'s origin is
+  // arbitrary (may be negative/small per the JVM spec), so `lastEmit=0`
+  // could silently suppress the first rate window after JVM start
+  @transient private var primed = false
   @transient private var lastEmit = 0L
+  /** rate clock, factored out so the first-event guarantee is testable */
+  private[graft] def shouldEmit(now: Long): Boolean =
+    if (!primed || now - lastEmit >= rateSecs * 1000000000L) {
+      primed = true; lastEmit = now; true
+    } else false
   override def eval(input: InternalRow): Any = {
-    val now = System.nanoTime()
-    if (now - lastEmit >= rateSecs * 1000000000L) {
-      lastEmit = now
+    if (shouldEmit(System.nanoTime())) {
       val v = child.eval(input)
       val msg = if (v == null) "null" else v.toString
       level match {
@@ -543,8 +550,10 @@ object VrlInfluxToJson {
     out.append("{\"measurement\":")
     jsonStr(unescape(line.substring(0, mEnd)), out)
     var i = mEnd
-    out.append(",\"tags\":{")
-    var firstTag = true
+    // duplicate tag/field names: LAST occurrence wins (matching VRL) —
+    // verbatim transcription would emit duplicate JSON keys, which
+    // Spark's parse_json (allowDuplicateKeys=false) rejects
+    val tags = new java.util.LinkedHashMap[String, String]()
     while (i < line.length && line.charAt(i) == ',') {
       val kEnd = scan(line, i + 1, "=")
       if (kEnd < 0) fail(line, "tag without `=`")
@@ -552,25 +561,31 @@ object VrlInfluxToJson {
         case -1 => fail(line, "missing fields section")
         case e => e
       }
+      tags.put(unescape(line.substring(i + 1, kEnd)),
+        unescape(line.substring(kEnd + 1, vEnd)))
+      i = vEnd
+    }
+    out.append(",\"tags\":{")
+    val tagIt = tags.entrySet().iterator()
+    var firstTag = true
+    while (tagIt.hasNext) {
+      val e = tagIt.next()
       if (!firstTag) out.append(',')
       firstTag = false
-      jsonStr(unescape(line.substring(i + 1, kEnd)), out)
+      jsonStr(e.getKey, out)
       out.append(':')
-      jsonStr(unescape(line.substring(kEnd + 1, vEnd)), out)
-      i = vEnd
+      jsonStr(e.getValue, out)
     }
     out.append("},\"fields\":{")
     if (i >= line.length || line.charAt(i) != ' ') fail(line, "missing fields section")
     while (i < line.length && line.charAt(i) == ' ') i += 1
-    var firstField = true
+    val fieldsM = new java.util.LinkedHashMap[String, String]()
     var done = false
     while (!done) {
       val kEnd = scan(line, i, "=")
       if (kEnd < 0) fail(line, "field without `=`")
-      if (!firstField) out.append(',')
-      firstField = false
-      jsonStr(unescape(line.substring(i, kEnd)), out)
-      out.append(':')
+      val fName = unescape(line.substring(i, kEnd))
+      val vb = new java.lang.StringBuilder
       i = kEnd + 1
       if (i < line.length && line.charAt(i) == '"') {
         // quoted string value: \" and \\ escapes
@@ -584,7 +599,7 @@ object VrlInfluxToJson {
           else { sb.append(c); i += 1 }
         }
         if (!closed) fail(line, "unclosed string field value")
-        jsonStr(sb.toString, out)
+        jsonStr(sb.toString, vb)
       } else {
         val vEnd = scan(line, i, ", ") match {
           case -1 => line.length
@@ -597,15 +612,25 @@ object VrlInfluxToJson {
         if (raw.endsWith("i") || raw.endsWith("u")) {
           val body = raw.substring(0, raw.length - 1)
           if (!body.matches("[+-]?[0-9]+")) fail(line, s"bad integer field `$raw`")
-          out.append(body)
-        } else if (lower == "t" || lower == "true") out.append("true")
-        else if (lower == "f" || lower == "false") out.append("false")
+          vb.append(body)
+        } else if (lower == "t" || lower == "true") vb.append("true")
+        else if (lower == "f" || lower == "false") vb.append("false")
         else if (raw.matches("[+-]?([0-9]+(\\.[0-9]+)?|\\.[0-9]+)([eE][+-]?[0-9]+)?"))
-          out.append(if (raw.startsWith("+")) raw.substring(1) else raw)
+          vb.append(if (raw.startsWith("+")) raw.substring(1) else raw)
         else fail(line, s"bad field value `$raw`")
       }
+      fieldsM.put(fName, vb.toString)
       if (i < line.length && line.charAt(i) == ',') i += 1
       else done = true
+    }
+    val fIt = fieldsM.entrySet().iterator()
+    var firstField = true
+    while (fIt.hasNext) {
+      val e = fIt.next()
+      if (!firstField) out.append(',')
+      firstField = false
+      jsonStr(e.getKey, out)
+      out.append(':').append(e.getValue)
     }
     out.append('}')
     // optional trailing timestamp
@@ -649,6 +674,11 @@ object VrlCborToJson {
 
   private final class Decoder(b: Array[Byte]) {
     var pos = 0
+    // bounded recursion: a few KB of repeated 0x81/0x9f headers would
+    // otherwise StackOverflowError — an Error that escapes the fallible
+    // (??) handling and kills the batch. Past the cap we throw the same
+    // IllegalArgumentException every other malformed input throws.
+    private var depth = 0
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"parse_cbor: $msg at offset $pos")
     private def u8(): Int = {
@@ -721,6 +751,8 @@ object VrlCborToJson {
       ()
     }
     def item(out: java.lang.StringBuilder): Unit = {
+      depth += 1
+      if (depth > 1000) fail("nesting deeper than 1000 levels")
       val ib = u8()
       val major = ib >> 5
       val info = ib & 0x1f
@@ -763,23 +795,26 @@ object VrlCborToJson {
           out.append(']')
         case 5 =>
           val a = arg(info)
-          out.append('{')
-          var first = true
+          // duplicate map keys: LAST occurrence wins (VRL's take) —
+          // transcribed verbatim they would become duplicate JSON keys,
+          // which Spark's parse_json (allowDuplicateKeys=false) rejects
+          val entries = new java.util.LinkedHashMap[String, String]()
           def entry(): Unit = {
-            if (!first) out.append(',')
-            first = false
             // keys: text/byte strings verbatim; anything else transcribed
             // then string-quoted (JSON keys must be strings)
             if (pos >= b.length) fail("truncated map key")
             val kMajor = (b(pos) & 0xff) >> 5
-            if (kMajor == 2 || kMajor == 3) item(out)
+            val kOut = new java.lang.StringBuilder
+            if (kMajor == 2 || kMajor == 3) item(kOut)
             else {
               val tmp = new java.lang.StringBuilder
               item(tmp)
-              jsonStr(tmp.toString, out)
+              jsonStr(tmp.toString, kOut)
             }
-            out.append(':')
-            item(out)
+            val vOut = new java.lang.StringBuilder
+            item(vOut)
+            entries.put(kOut.toString, vOut.toString)
+            ()
           }
           if (a >= 0) {
             var i = 0L
@@ -790,6 +825,15 @@ object VrlCborToJson {
               if (atBreak) { pos += 1; done = true }
               else entry()
             }
+          }
+          out.append('{')
+          val it = entries.entrySet().iterator()
+          var first = true
+          while (it.hasNext) {
+            val e = it.next()
+            if (!first) out.append(',')
+            first = false
+            out.append(e.getKey).append(':').append(e.getValue)
           }
           out.append('}')
         case 6 =>
@@ -808,6 +852,7 @@ object VrlCborToJson {
         }
         case _ => fail(s"unknown major type $major")
       }
+      depth -= 1
       ()
     }
   }

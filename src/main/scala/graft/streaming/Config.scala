@@ -32,8 +32,11 @@ final case class StreamConf(
   temporaries: Seq[ComponentConf] = Nil)
 
 /** Optional embedded control-plane server (the reference engine serves
-  * its HTTP API beside the streams — arkflow/src/main.rs `serve(...)`). */
-final case class HttpConf(port: Int, bearerToken: Option[String])
+  * its HTTP API beside the streams — arkflow/src/main.rs `serve(...)`).
+  * `versionDir` (YAML `version_dir`) enables the config-management
+  * routes, backed by a [[ConfigVersionStore]] at that hadoop-fs path. */
+final case class HttpConf(port: Int, bearerToken: Option[String],
+  versionDir: Option[String] = None)
 
 final case class EngineConf(streams: Seq[StreamConf],
   http: Option[HttpConf] = None)
@@ -103,7 +106,8 @@ object Config {
       case m: java.util.Map[_, _] =>
         val hm = anyMap(m)
         Some(HttpConf(hm.get("port").map(_.toString.toInt).getOrElse(0),
-          hm.get("bearer_token").map(_.toString)))
+          hm.get("bearer_token").map(_.toString),
+          hm.get("version_dir").map(_.toString)))
       case _ => None
     }
     EngineConf(streams, http)

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+/** Content-addressed config version log behind the control plane's
+  * `/config/apply` / `/config/versions` / `/config/rollback/{id}` routes
+  * (reference crates/arkflow-server/src/lib.rs:205-213 + storage.rs
+  * `cp_config_versions`; the reference persists versions in its own
+  * sqlite control-plane store — on Spark the natural durable substrate
+  * is the same Hadoop FileSystem the checkpoints live on, so the store
+  * works against ANY hadoop-fs path: local dir, HDFS, s3a).
+  *
+  * Layout under `dir`:
+  *   - `cfg-<12-hex-of-sha256>.yaml`  one file per distinct content
+  *     (the digest IS the version id — re-applying identical content
+  *     reuses the id, the content-addressed property)
+  *   - `CURRENT`                       the active version id
+  *
+  * All operations are small-file reads/writes on the driver — this is
+  * control-plane metadata (a few KB per config), never a data path.
+  */
+final class ConfigVersionStore(dir: String,
+    hadoopConf: org.apache.hadoop.conf.Configuration) {
+  import org.apache.hadoop.fs.Path
+
+  private val root = new Path(dir)
+  private def fs = root.getFileSystem(hadoopConf)
+
+  final case class Rec(id: String, createdMs: Long, bytes: Long, active: Boolean)
+
+  private def idOf(content: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(content.getBytes(StandardCharsets.UTF_8))
+    "cfg-" + d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def write(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def read(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Persist `content`; returns its (possibly pre-existing) version id. */
+  def save(content: String): String = synchronized {
+    fs.mkdirs(root)
+    val id = idOf(content)
+    val p = new Path(root, s"$id.yaml")
+    if (!fs.exists(p)) write(p, content)
+    id
+  }
+
+  def load(id: String): Option[String] = synchronized {
+    require(id.matches("[A-Za-z0-9._-]+"), s"bad version id `$id`")
+    val p = new Path(root, s"$id.yaml")
+    if (fs.exists(p)) Some(read(p)) else None
+  }
+
+  def setActive(id: String): Unit = synchronized {
+    write(new Path(root, "CURRENT"), id)
+  }
+
+  def active(): Option[String] = synchronized {
+    val p = new Path(root, "CURRENT")
+    if (fs.exists(p)) Some(read(p).trim).filter(_.nonEmpty) else None
+  }
+
+  /** Every stored version, newest first. */
+  def list(): Seq[Rec] = synchronized {
+    if (!fs.exists(root)) return Nil
+    val cur = active()
+    fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".yaml"))
+      .map { s =>
+        val id = s.getPath.getName.stripSuffix(".yaml")
+        Rec(id, s.getModificationTime, s.getLen, cur.contains(id))
+      }
+      .sortBy(-_.createdMs)
+  }
+}

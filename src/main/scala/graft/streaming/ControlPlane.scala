@@ -33,6 +33,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     with stream ids, or 400 with the parse error (reference
   *     lib.rs:199 `validate_configuration`)
   *
+  * Config management (reference lib.rs:205-213 `/config/apply`,
+  * `/config/versions`, `/config/rollback/{id}`, `/configuration/diff`;
+  * needs `versionDir` — a [[ConfigVersionStore]] path — else 503):
+  *   - `POST /config/apply` (alias `/configuration/apply`) body = the
+  *     new engine YAML. Validates (422 on parse error — the reference's
+  *     UNPROCESSABLE_ENTITY), persists a content-addressed version,
+  *     swaps the live lifecycle registry, restarts every ACTIVE managed
+  *     stream under its new config and stops active streams the new
+  *     config dropped — 202 with the version id + what moved. Streams
+  *     not currently active just pick up the new config at their next
+  *     `/streams/{id}/start`.
+  *   - `GET  /config/versions` every stored version: id (the content
+  *     digest), created_ms, bytes, active flag.
+  *   - `POST /config/rollback/{id}` re-apply a stored version by id —
+  *     the same restart semantics as apply; 404 for an unknown id.
+  *   - `GET  /configuration/diff?from=ID&to=ID` `{"from","to","changed"}`
+  *     — 404 when either version is missing.
+  *
   * Lifecycle routes need the parsed config — pass `registry` (id ->
   * StreamConf, what [[graft.streaming.Main]] resolves via
   * [[Config.streamIds]]); without it they answer 404 and the server is
@@ -42,7 +60,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 final class ControlPlane(spark: SparkSession, port: Int,
                          bearerToken: Option[String] = None,
-                         registry: Seq[(String, StreamConf)] = Nil) {
+                         registry: Seq[(String, StreamConf)] = Nil,
+                         versionDir: Option[String] = None) {
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress("127.0.0.1", port), 0)
@@ -97,11 +116,20 @@ final class ControlPlane(spark: SparkSession, port: Int,
     spark.streams.active.find(q =>
       q.id.toString == id || Option(q.name).contains(id))
 
-  // Serializes lifecycle MUTATIONS (start/restart) now that handlers run
-  // on a pool: two concurrent /start requests must not both pass the
-  // "already active" check and start the stream twice. Monitoring routes
-  // never take this lock, so a long batch start still can't freeze them.
+  // Serializes lifecycle MUTATIONS (start/restart/apply/rollback) now
+  // that handlers run on a pool: two concurrent /start requests must not
+  // both pass the "already active" check and start the stream twice.
+  // Monitoring routes never take this lock, so a long batch start still
+  // can't freeze them.
   private val lifecycleLock = new Object
+
+  // the lifecycle registry is LIVE state once /config/apply exists —
+  // apply/rollback swap it wholesale (under lifecycleLock; volatile so
+  // monitoring-path reads see the latest applied config)
+  @volatile private var liveRegistry: Seq[(String, StreamConf)] = registry
+
+  private val versions = versionDir.map(d =>
+    new ConfigVersionStore(d, spark.sparkContext.hadoopConfiguration))
 
   /** Start stream `id` from its registered config: 202 with the fresh
     * runId (the reference's Accepted lifecycle-operation response), or
@@ -109,7 +137,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
     * EOF inside the request (`"streaming":false`). */
   private def lifecycleStart(ex: com.sun.net.httpserver.HttpExchange,
       id: String): Unit =
-    registry.find(_._1 == id) match {
+    liveRegistry.find(_._1 == id) match {
       case Some((_, sc)) =>
         val q = Engine.runStream(spark, sc, id)
         respond(ex, 202, s"""{"id":${js(id)},"started":true,""" +
@@ -117,6 +145,35 @@ final class ControlPlane(spark: SparkSession, port: Int,
           s""""runId":${q.map(x => js(x.runId.toString)).getOrElse("null")}}""")
       case None => respond(ex, 404, """{"error":"no such stream in config"}""")
     }
+
+  /** Shared apply/rollback body: validate, persist, swap the live
+    * registry, restart active managed streams under the new config, stop
+    * active streams the new config dropped. Returns the 202 JSON.
+    * Callers hold `lifecycleLock`. Throws IllegalArgumentException on a
+    * config that does not parse (mapped to 422). */
+  private def applyConfig(store: ConfigVersionStore, yaml: String): String = {
+    val conf = Config.fromYaml(yaml)
+    val ids = Config.streamIds(conf)
+    val id = store.save(yaml)
+    store.setActive(id)
+    val oldIds = liveRegistry.map(_._1)
+    liveRegistry = ids.zip(conf.streams)
+    // stop() blocks until termination, so names are free for the
+    // restarts below; restart only streams that were RUNNING — inactive
+    // ones pick the new config up at their next /start
+    val dropped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
+    dropped.foreach(d => find(d).foreach(_.stop()))
+    val restarted = liveRegistry.filter { case (sid, _) => find(sid).isDefined }
+      .map { case (sid, sc) =>
+        find(sid).foreach(_.stop())
+        Engine.runStream(spark, sc, sid)
+        sid
+      }
+    s"""{"applied":true,"version":${js(id)},""" +
+      s""""streams":${ids.map(js).mkString("[", ",", "]")},""" +
+      s""""restarted":${restarted.map(js).mkString("[", ",", "]")},""" +
+      s""""stopped":${dropped.map(js).mkString("[", ",", "]")}}"""
+  }
 
   private def streamSummary(q: StreamingQuery): String =
     s"""{"id":${js(q.id.toString)},"runId":${js(q.runId.toString)},""" +
@@ -183,12 +240,72 @@ final class ControlPlane(spark: SparkSession, port: Int,
           }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/restart") =>
           val id = s.stripPrefix("/streams/").stripSuffix("/restart")
-          if (registry.exists(_._1 == id)) lifecycleLock.synchronized {
+          if (liveRegistry.exists(_._1 == id)) lifecycleLock.synchronized {
             // stop() blocks until termination, so the query name is free
             // for the fresh start below
             find(id).foreach(_.stop())
             lifecycleStart(ex, id)
           } else respond(ex, 404, """{"error":"no such stream in config"}""")
+        case ("POST", "/config/apply") | ("POST", "/configuration/apply") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) =>
+              val body = new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              try lifecycleLock.synchronized {
+                respond(ex, 202, applyConfig(store, body))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  // the reference's UNPROCESSABLE_ENTITY apply failure
+                  respond(ex, 422, s"""{"applied":false,"error":${js(
+                    Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+              }
+          }
+        case ("GET", "/config/versions") | ("GET", "/configuration/versions") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) => respond(ex, 200, store.list().map(r =>
+              s"""{"id":${js(r.id)},"created_ms":${r.createdMs},""" +
+                s""""bytes":${r.bytes},"active":${r.active}}""")
+              .mkString("[", ",", "]"))
+          }
+        case ("POST", s) if s.startsWith("/config/rollback/") ||
+            s.startsWith("/configuration/rollback/") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) =>
+              val id = s.substring(s.lastIndexOf('/') + 1)
+              store.load(id) match {
+                case None => respond(ex, 404,
+                  s"""{"error":"no such configuration version","id":${js(id)}}""")
+                case Some(yaml) =>
+                  try lifecycleLock.synchronized {
+                    respond(ex, 202, applyConfig(store, yaml))
+                  } catch {
+                    case scala.util.control.NonFatal(e) =>
+                      respond(ex, 422, s"""{"applied":false,"error":${js(
+                        Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+                  }
+              }
+          }
+        case ("GET", "/configuration/diff") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) =>
+              val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val params = q.split("&").flatMap(_.split("=", 2) match {
+                case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+                case _ => None
+              }).toMap
+              (params.get("from").flatMap(store.load),
+                params.get("to").flatMap(store.load)) match {
+                case (Some(f), Some(t)) => respond(ex, 200,
+                  s"""{"from":${js(params("from"))},"to":${js(params("to"))},""" +
+                    s""""changed":${f != t}}""")
+                case _ => respond(ex, 404,
+                  """{"error":"configuration version not found"}""")
+              }
+          }
         case ("POST", "/configuration/validate") | ("POST", "/config/validate") =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)

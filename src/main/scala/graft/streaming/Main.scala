@@ -31,7 +31,7 @@ object Main {
     // the id -> config registry backs the start/restart lifecycle routes
     val registry = Config.streamIds(conf).zip(conf.streams)
     val cp = conf.http.map(h =>
-      new ControlPlane(spark, h.port, h.bearerToken, registry))
+      new ControlPlane(spark, h.port, h.bearerToken, registry, h.versionDir))
     cp.foreach(c => println(s"[graft] control plane on port ${c.boundPort}"))
     val queries = Engine.run(spark, conf)
     // graceful shutdown: stop streams (ALL active ones — lifecycle routes

@@ -686,6 +686,21 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[Exception](Processors.RemapProcessor(
       """.v = parse_xml!('<a/>', bogus_opt: true)""")(frame).collect())
     assert(e.getMessage.contains("bogus_opt"), e.getMessage)
+    // the DELIBERATE number-format boundary (VrlXml.typedScalar doc):
+    // leading-zero digit strings re-type as the number (textual form not
+    // preserved); digit strings too long for a Long stay TEXT (never a
+    // lossy double); non-round-trippable doubles stay text
+    val nb = Processors.RemapProcessor(
+      """.v = parse_xml!('<r><z>007</z><big>12345678901234567890123456789</big><f>1.50</f></r>')
+        |.z = to_int(variant_get(.v, '$.r.z'))
+        |.big = to_string(variant_get(.v, '$.r.big'))
+        |.f = to_float(variant_get(.v, '$.r.f'))
+        |""".stripMargin)(frame)
+    val rn = nb.selectExpr("z", "big", "f").collect().head
+    assert(rn.getLong(0) == 7L, "leading-zero digits re-type to the number")
+    assert(rn.getString(1) == "12345678901234567890123456789",
+      "overflow-length digit strings stay text, never a lossy double")
+    assert(math.abs(rn.getDouble(2) - 1.5) < 1e-12)
   }
 
   test("remap path-function family: literal-path get!/set!/remove! compile " +
@@ -1030,6 +1045,49 @@ class StreamingSpec extends AnyFunSuite {
         |""".stripMargin)(frame)
     val rb = bad.selectExpr("x", "y").collect().head
     assert(rb.getString(0) == "bad lp" && rb.getString(1) == "bad cbor")
+  }
+
+  test("remap round-14 hardening: charset-only encode_base64, duplicate " +
+      "keys last-wins (influx + cbor), bounded cbor nesting, flatten " +
+      "collision loud, log() first event always emits") {
+    val frame = Processors.JsonToArrow()(envelope(sensorJson.head))
+    // charset: without padding: the label strip leaves the charset string
+    // in the padding slot — must bind as charset, not fail analysis
+    val out = Processors.RemapProcessor(
+      """.bc = encode_base64('f~~b?r', charset: 'url_safe')
+        |.lpd = parse_influxdb_line_protocol!('m,t=a,t=b f=1i,f=2i,g=3i')
+        |.dt = to_string(variant_get(.lpd, '$[0].tags.t'))
+        |.df = to_int(variant_get(.lpd, '$[0].fields.f'))
+        |.dg = to_int(variant_get(.lpd, '$[0].fields.g'))
+        |.dk = to_int(variant_get(parse_cbor!(decode_base16('a2616101616102')), '$.a'))
+        |""".stripMargin)(frame)
+    val r = out.selectExpr("bc", "dt", "df", "dg", "dk").collect().head
+    assert(r.getString(0) == "Zn5-Yj9y",
+      "charset-only call binds url_safe (standard would read Zn5+Yj9y)")
+    assert(r.getString(1) == "b", "duplicate influx tag: last occurrence wins")
+    assert(r.getLong(2) == 2L, "duplicate influx field: last occurrence wins")
+    assert(r.getLong(3) == 3L, "non-duplicate fields unaffected")
+    assert(r.getLong(4) == 2L, "duplicate cbor map key: last occurrence wins")
+    // 3000 nested one-element arrays: the depth cap must throw the same
+    // IllegalArgumentException every malformed input throws (the
+    // fallible/?? path), never a StackOverflowError that escapes it
+    val deep = Array.fill[Byte](3000)(0x81.toByte) :+ 0x01.toByte
+    val de = intercept[IllegalArgumentException](
+      graft.functions.VrlCborToJson.toJson(deep))
+    assert(de.getMessage.contains("nesting"), de.getMessage)
+    // a literal dotted key colliding with a flattened path would emit
+    // duplicate struct field names — rejected loudly like unflatten
+    val e = intercept[Exception](Processors.RemapProcessor(
+      """.x = flatten({"a.b": 1, "a": {"b": 2}})""")(frame).collect())
+    assert(e.getMessage.contains("collision"), e.getMessage)
+    // log()'s rate clock: the first event must always emit no matter
+    // where the JVM's nanoTime origin sits (it may be negative/small)
+    val lg = graft.functions.VrlLog(
+      org.apache.spark.sql.catalyst.expressions.Literal("m"), "info", 60)
+    assert(lg.shouldEmit(Long.MinValue / 4), "first event always logs")
+    assert(!lg.shouldEmit(Long.MinValue / 4 + 1L), "second is rate-limited")
+    assert(lg.shouldEmit(Long.MinValue / 4 + 61L * 1000000000L),
+      "the window reopens after rate_limit_secs")
   }
 
   test("remap round-13 tranche 5: ipv6_to_ipv4, random_bytes, " +
@@ -2437,6 +2495,108 @@ class StreamingSpec extends AnyFunSuite {
       spark.streams.active.filter(q => Option(q.name).contains("gen-live"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       queries.foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      cp.stop()
+    }
+  }
+
+  test("control plane config management: apply swaps + restarts, versions " +
+      "list content-addressed ids, rollback restores old behavior, diff") {
+    def call(url: String, method: String = "GET",
+        body: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod(method)
+        body.foreach { b =>
+          c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    def waitUntil(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cp_config").toString
+    def yamlTo(out: String) =
+      s"""streams:
+         |  - id: gen-cfg
+         |    input:
+         |      type: generate
+         |      rows_per_second: "100"
+         |      context: '{"k": 1}'
+         |    pipeline:
+         |      processors: []
+         |    output:
+         |      type: parquet
+         |      path: $dir/$out
+         |""".stripMargin
+    def rows(out: String): Long =
+      try spark.read.parquet(s"$dir/$out").count()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    // no version store configured -> the routes answer 503, not 404
+    val bare = new ControlPlane(spark, 0, None, Nil)
+    try assert(call(s"http://127.0.0.1:${bare.boundPort}/config/versions")._1 == 503)
+    finally bare.stop()
+    val cp = new ControlPlane(spark, 0, None, Nil, Some(s"$dir/versions"))
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      // v1 applies into an EMPTY registry: persisted + registry swapped,
+      // nothing active yet so nothing restarts
+      val (a1, b1) = call(s"$base/config/apply", "POST", Some(yamlTo("out1")))
+      assert(a1 == 202 && b1.contains("\"applied\":true"), b1)
+      val v1 = "\"version\":\"(cfg-[0-9a-f]+)\"".r
+        .findFirstMatchIn(b1).map(_.group(1)).get
+      assert(b1.contains("\"restarted\":[]"))
+      // the applied config backs the lifecycle routes
+      assert(call(s"$base/streams/gen-cfg/start", "POST")._1 == 202)
+      waitUntil("v1 stream writes out1")(rows("out1") > 0)
+      // v2 (same stream, different sink path) restarts the ACTIVE stream
+      // under the new config — the operator-facing apply semantics
+      val (a2, b2) = call(s"$base/config/apply", "POST", Some(yamlTo("out2")))
+      assert(a2 == 202 && b2.contains("\"restarted\":[\"gen-cfg\"]"), b2)
+      val v2 = "\"version\":\"(cfg-[0-9a-f]+)\"".r
+        .findFirstMatchIn(b2).map(_.group(1)).get
+      assert(v1 != v2, "distinct content must get distinct version ids")
+      waitUntil("v2 stream writes out2")(rows("out2") > 0)
+      // versions list: both content-addressed ids, v2 active
+      val (vc, vb) = call(s"$base/config/versions")
+      assert(vc == 200 && vb.contains(v1) && vb.contains(v2), vb)
+      assert(vb.contains(s""""id":"$v2","""), vb)
+      assert("\"id\":\"%s\"[^}]*\"active\":true".format(v2).r
+        .findFirstIn(vb).isDefined, s"v2 must be active: $vb")
+      // rollback to v1: old behavior (writing out1) returns. out1 is
+      // cleared first — v2 writes elsewhere, so the delete is safe —
+      // proving the rows are FRESH v1 writes, not leftovers
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out1"))
+      assert(rows("out1") == 0)
+      val (rc, rb) = call(s"$base/config/rollback/$v1", "POST")
+      assert(rc == 202 && rb.contains("\"restarted\":[\"gen-cfg\"]"), rb)
+      waitUntil("rolled-back stream writes out1 again")(rows("out1") > 0)
+      assert("\"id\":\"%s\"[^}]*\"active\":true".format(v1).r
+        .findFirstIn(call(s"$base/config/versions")._2).isDefined,
+        "v1 must be active after rollback")
+      // re-applying identical content reuses the content-addressed id
+      val (a3, b3) = call(s"$base/config/apply", "POST", Some(yamlTo("out1")))
+      assert(a3 == 202 && b3.contains(s""""version":"$v1""""), b3)
+      // diff: changed across versions, unchanged against itself, 404 on
+      // a missing id — same for rollback of an unknown id; bad YAML 422
+      val (d1, db1) = call(s"$base/configuration/diff?from=$v1&to=$v2")
+      assert(d1 == 200 && db1.contains("\"changed\":true"), db1)
+      val (d2, db2) = call(s"$base/configuration/diff?from=$v1&to=$v1")
+      assert(d2 == 200 && db2.contains("\"changed\":false"), db2)
+      assert(call(s"$base/configuration/diff?from=$v1&to=cfg-000000000000")._1 == 404)
+      assert(call(s"$base/config/rollback/cfg-000000000000", "POST")._1 == 404)
+      assert(call(s"$base/config/apply", "POST", Some("not_streams: []"))._1 == 422)
+    } finally {
+      spark.streams.active.filter(q => Option(q.name).contains("gen-cfg"))
+        .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       cp.stop()
     }
   }

@@ -7,7 +7,7 @@ Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the same sf tables,
 and diffs: columns sorted by name, rows sorted by all columns, exact values.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -34,7 +34,11 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # single-file layout (driver testdata) or directory-of-parts
+        # layout (ScaleProbe's /tmp/sf1 rehearsal fixture)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
