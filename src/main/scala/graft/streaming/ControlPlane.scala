@@ -56,6 +56,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[Config.streamIds]]); without it they answer 404 and the server is
   * monitoring-only, the pre-round-5 surface.
   *
+  * `GET /` / `GET /console` serve the embedded [[Console]] page (the
+  * reference `console/` SPA, reduced to one dependency-free HTML file
+  * over this same API) — unauthenticated, since it holds no data.
+  *
   * Optional bearer auth mirrors [[HttpInput]]'s middleware.
   */
 final class ControlPlane(spark: SparkSession, port: Int,
@@ -163,15 +167,24 @@ final class ControlPlane(spark: SparkSession, port: Int,
     // ones pick the new config up at their next /start
     val dropped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
     dropped.foreach(d => find(d).foreach(_.stop()))
+    // a stream whose config parses but fails to START (bad broker URL,
+    // missing path...) must not abort the apply halfway — the version is
+    // already active; report it under `failed` and keep going, the
+    // operator fixes and re-applies or rolls back
+    var failedIds = List.empty[String]
     val restarted = liveRegistry.filter { case (sid, _) => find(sid).isDefined }
-      .map { case (sid, sc) =>
+      .flatMap { case (sid, sc) =>
         find(sid).foreach(_.stop())
-        Engine.runStream(spark, sc, sid)
-        sid
+        try { Engine.runStream(spark, sc, sid); Some(sid) }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] config apply: stream $sid failed to restart: ${e.getMessage}")
+          failedIds ::= sid; None
+        }
       }
     s"""{"applied":true,"version":${js(id)},""" +
       s""""streams":${ids.map(js).mkString("[", ",", "]")},""" +
       s""""restarted":${restarted.map(js).mkString("[", ",", "]")},""" +
+      s""""failed":${failedIds.sorted.map(js).mkString("[", ",", "]")},""" +
       s""""stopped":${dropped.map(js).mkString("[", ",", "]")}}"""
   }
 
@@ -192,7 +205,17 @@ final class ControlPlane(spark: SparkSession, port: Int,
       }
       val path = ex.getRequestURI.getPath
       val method = ex.getRequestMethod
-      if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
+      // the embedded console (reference console/ SPA): one static HTML
+      // page, served UNAUTHENTICATED — it holds no data (the user types
+      // the bearer token into it; every data fetch goes through the
+      // authed JSON routes)
+      if (method == "GET" && (path == "/" || path == "/console")) {
+        val bytes = Console.Page.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      }
+      else if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
       else (method, path) match {
         case ("GET", "/system") =>
           val sc = spark.sparkContext

@@ -2400,6 +2400,19 @@ class StreamingSpec extends AnyFunSuite {
       val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       c.setRequestProperty("Authorization", "Bearer tok123")
       assert(c.getResponseCode == 200)
+      // data routes stay token-gated; the console PAGE (no data in it)
+      // serves unauthenticated so the operator can enter the token
+      val denied = java.net.URI.create(s"http://127.0.0.1:${cp.boundPort}/system")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(denied.getResponseCode == 401)
+      val page = java.net.URI.create(s"http://127.0.0.1:${cp.boundPort}/")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(page.getResponseCode == 200)
+      assert(page.getContentType.startsWith("text/html"))
+      val html = new String(page.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(html.contains("graft console") && html.contains("/config/rollback/"),
+        "the embedded console page must ride the same API")
     } finally cp.stop()
   }
 
