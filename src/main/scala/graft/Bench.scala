@@ -284,6 +284,13 @@ object Bench {
       }.mkString(""","repinned":{""", ",", "}")
     val calibSeries = probes
       .map { case (i, t) => s"[$i,${d3(t)}]" }.mkString(""","calib_series":[""", ",", "]")
+    // One boolean instead of a probe array to eyeball: a sweep whose
+    // WORST interleaved probe exceeded 1.5x its best ran through at least
+    // one machine-contention window, so per-entry deltas under ~1.5x from
+    // this run carry no information (round-14 verdict item 8 — the
+    // calib_series as a GATE, not just a record).
+    val contended = probes.nonEmpty &&
+      probes.map(_._2).max > 1.5 * probes.map(_._2).min
     val qs = finalResults.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
@@ -294,7 +301,7 @@ object Bench {
     // (BENCH_r12/r13 both arrived unparseable). Stdout therefore carries
     // ONE compact line: summary fields + the slowest entries only.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$partial$calibSeries,"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$partial$calibSeries,"contended":$contended,"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout"}"""
     if (only.isEmpty) try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -302,8 +309,17 @@ object Bench {
     val qsTop = finalResults.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${finalResults.size},"failed":${failed.size},"retried":${retriedNames.size},"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout","queries":$qsTop,"file":"bench_full.json"}""")
+    val summary =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n":${finalResults.size},"failed":${failed.size},"retried":${retriedNames.size},"contended":$contended,"calib":$calibStr,"sf":"$rawSfDir","layout":"$layout","queries":$qsTop,"file":"bench_full.json"}"""
+    // The summary ALSO lands at a fixed repo path: sbt wraps stdout as
+    // `[info] {...}` and appends its own `[success]` line, which defeated
+    // a bare-JSON / last-line parser three rounds running (BENCH_r12-r14
+    // all arrived `parsed: null`). A file cannot be mis-wrapped.
+    if (only.isEmpty) try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summary + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] summary persist failed: $e") }
+    println(summary)
     spark.stop()
   }
 }

@@ -1,11 +1,13 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.LongAccumulator
 
-/** A pass-through boolean predicate that COUNTS its false rows into a
+/** A pass-through boolean predicate that COUNTS its non-true rows into a
   * Spark [[LongAccumulator]] — the drop-observability primitive for
   * filters that discard data for scale reasons (the inverted-index df
   * caps, the PPJoin prefix stop-token cut).
@@ -24,6 +26,11 @@ import org.apache.spark.util.LongAccumulator
   * happened, this order of magnitude"), not an exact ledger — the same
   * contract CapStats' observe-based LSH counters already state.
   *
+  * NULL predicates count as drops: `Filter` discards NULL-condition rows
+  * exactly like false ones, so the counter ticks on BOTH (eval/doGenCode
+  * are overridden directly — the null-safe variants would silently skip
+  * the null path and under-count).
+  *
   * `deterministic = false` keeps the optimizer from folding, inferring
   * constraints from, or re-deriving the predicate — the count must tick
   * exactly where the filter runs. The comparison itself stays inside
@@ -40,19 +47,22 @@ case class CapCountIf(child: Expression, acc: LongAccumulator)
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"CapCountIf takes a boolean predicate, got ${other.sql}")
     }
-  override protected def nullSafeEval(v: Any): Any = {
-    val pass = v.asInstanceOf[Boolean]
-    if (!pass) acc.add(1L)
-    pass
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null || !v.asInstanceOf[Boolean]) acc.add(1L)
+    v
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val accRef = ctx.addReferenceObj("acc", acc,
       classOf[LongAccumulator].getName)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""
-         |${ev.value} = $c;
-         |if (!${ev.value}) $accRef.add(1L);
-       """.stripMargin)
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        boolean ${ev.value} = ${ev.isNull} ? false : ${childGen.value};
+        if (${ev.isNull} || !${ev.value}) $accRef.add(1L);
+      """)
   }
   override protected def withNewChildInternal(newChild: Expression): CapCountIf =
     copy(child = newChild)
@@ -63,18 +73,41 @@ object CapCountIf {
   import org.apache.spark.unsafe.types.UTF8String
   import org.apache.spark.sql.types.StringType
 
+  // keyed by (applicationId, label): a SparkContext stop clears the
+  // AccumulatorContext, so an accumulator cached across a restart would
+  // belong to the DEAD context and silently discard executor updates —
+  // the exact silent-drop failure this primitive exists to prevent. A
+  // fresh application id registers a fresh accumulator.
   private val accs =
-    new java.util.concurrent.ConcurrentHashMap[String, LongAccumulator]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), LongAccumulator]()
 
-  /** The named drop accumulator for `label` (registered once per JVM;
-    * named `graft_cap/<label>` so it shows in the Spark UI). */
+  /** The named drop accumulator for `label` (registered once per Spark
+    * APPLICATION; named `graft_cap/<label>` so it shows in the Spark UI). */
   def accumulator(spark: SparkSession, label: String): LongAccumulator =
-    accs.computeIfAbsent(label,
-      l => spark.sparkContext.longAccumulator(s"graft_cap/$l"))
+    accs.computeIfAbsent((spark.sparkContext.applicationId, label),
+      _ => spark.sparkContext.longAccumulator(s"graft_cap/$label"))
 
-  /** Cumulative dropped-row count for a label since session start. */
+  /** Cumulative dropped-row count for a label since the ACTIVE
+    * application started (None when no session is active or the label
+    * never registered under it). */
   def droppedTotal(label: String): Option[Long] =
-    Option(accs.get(label)).map(_.value.longValue)
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(s => Option(accs.get((s.sparkContext.applicationId, label))))
+      .map(_.value.longValue)
+
+  /** Every registered (label, dropped-count) pair for the ACTIVE
+    * application — the control plane's `/metrics` exposition source. */
+  def all(): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.applicationId) match {
+      case None => Nil
+      case Some(app) => accs.asScala.toSeq.collect {
+        case ((a, label), acc) if a == app => label -> acc.value.longValue
+      }.sortBy(_._1)
+    }
+  }
 
   /** `graft_cap_count_if(pred, 'label')` — the SQL surface, resolved at
     * analysis time on the driver (where the accumulator registry lives). */

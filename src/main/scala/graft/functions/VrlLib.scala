@@ -116,17 +116,24 @@ object VrlLib {
       "graft_vrl_encode_base64", { exprs =>
         require(exprs.size >= 1 && exprs.size <= 3,
           "encode_base64(value[, padding[, charset]]) takes 1-3 arguments")
-        // VRL options: padding (bool) then charset "standard"|"url_safe";
+        // VRL options: padding (bool) and charset "standard"|"url_safe";
         // the optionless form stays on Spark's own codegen'd Base64.
-        // A `charset:`-only call reaches here with the charset string in
-        // the padding slot (the generic label strip keeps positions) — a
-        // string literal in slot 1 is unambiguously the charset.
+        // VRL named args are ORDER-FREE and the generic label strip keeps
+        // positions, so either option can land in either slot — a string
+        // literal in slot 1 is unambiguously the charset, and a boolean
+        // literal after it is then the padding option (only two string
+        // literals are actually "charset given twice").
         val (padding, slot1Charset) = exprs.lift(1) match {
           case None => (true, None)
           case Some(Literal(b: Boolean, BooleanType)) => (b, None)
           case Some(e @ Literal(_: UTF8String, StringType)) =>
-            require(exprs.size == 2, "encode_base64: charset given twice")
-            (true, Some(base64Charset(e, "encode_base64")))
+            val pad = exprs.lift(2) match {
+              case None => true
+              case Some(Literal(b: Boolean, BooleanType)) => b
+              case Some(_) => throw new IllegalArgumentException(
+                "encode_base64: charset given twice")
+            }
+            (pad, Some(base64Charset(e, "encode_base64")))
           case _ => throw new IllegalArgumentException(
             "encode_base64: padding must be a boolean literal")
         }

@@ -494,6 +494,33 @@ object Dedup {
     simhashBandedPairs(simhash(docs, idCol, textCol, bits), maxDist, bits)
   }
 
+  /** The PRODUCTION near-dup recipe (SCALING.md / CORRECTNESS_SF1.md
+    * q244 diagnosis): EXACT-COLLAPSE identical copies first — one
+    * hash-groupBy keeping the lowest id per `md5(text)` — then run the
+    * auto-width simhash near-dup pairing over the collapsed residue.
+    * On a copy-dense corpus (the sf1 fixture: ~10 identical copies per
+    * template) the collapse removes the flooded buckets at their source,
+    * so the banded join's bucket caps stay SILENT and the pairing is
+    * exact — versus the raw corpus where the caps must activate (by
+    * design) and announce what they dropped. Cost: one extra hash
+    * shuffle over (id, hash) — O(n) — in exchange for a pair join whose
+    * bucket sizes no longer scale with copy-cluster size. The collapsed
+    * frame is eagerly checkpointed (same treatment as contentCollapse):
+    * it feeds both the width-sizing count and both sides of the band
+    * self-join, and recomputing a shuffle agg three times is the wrong
+    * trade at any scale. */
+  def dedupRecipePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val collapsed = docs
+      .groupBy(md5(col(textCol)).as("__ch"))
+      // min(text) within an identical-md5 group IS the text — a
+      // deterministic representative with no collation dependence
+      .agg(min(col(idCol)).as("keeper_id"), min(col(textCol)).as("text"))
+      .select(col("keeper_id"), col("text"))
+      .localCheckpoint(true)
+    simhashNearDupPairs(collapsed, "keeper_id", "text", maxDist)
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
@@ -1034,6 +1061,17 @@ object Dedup {
         .orderBy(col("keeper_id"))
         .select(col("keeper_id"), col("n_copies"), col("content_hash"))),
 
+    // The composed PRODUCTION recipe (collapse ∘ simhash) as a graded
+    // entry — the executable form of the q244 sf1 diagnosis: collapse
+    // exact copies first, then near-dup the residue with auto-width
+    // simhash; on copy-dense corpora the bucket caps stay silent.
+    "q273_dedup_recipe" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      dedupRecipePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxDist = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q51_minhash_lsh" -> ((s, dir) =>
       minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1078,6 +1116,20 @@ object Dedup {
 
     "q115_minhash_estimate" -> ((s, dir) =>
       minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // q115's SAMPLED twin — the 10×-scale graded form: the full audit's
+    // ORACLE recomputes exact Jaccard for every candidate pair globally,
+    // which is infeasible at sf1 (CORRECTNESS_SF1.md: DuckDB spilled past
+    // the box's disk). A deterministic CONTENT-ADDRESSED pair sample
+    // (first md5 hex digit of "doc_a|doc_b" in 0-1 → 1/8 of pairs, no
+    // RNG, both engines compute the same subset) keeps the estimator
+    // audit exact-comparable at any scale — the oracle only recomputes
+    // exact Jaccard for the sampled pairs.
+    "q274_minhash_estimate_sampled" -> ((s, dir) =>
+      minhashEstimateAudit(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .filter(expr("substring(md5(concat(cast(doc_a AS string), '|', " +
+          "cast(doc_b AS string))), 1, 1) IN ('0', '1')"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q229_bbit_minhash" -> ((s, dir) =>
@@ -1152,6 +1204,35 @@ object Dedup {
         |GROUP BY md5(lower(text))
         |ORDER BY keeper_id""".stripMargin,
 
+    "q273_dedup_recipe" -> {
+      // collapse ∘ auto-width simhash: the q244 oracle's signature +
+      // width computation, run over the exact-collapsed corpus
+      val bits32 = (1 to 32).map(j =>
+        s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      ).mkString(" || ")
+      s"""WITH collapsed AS (
+         |  SELECT min(doc_id) AS keeper_id, min(text) AS text
+         |  FROM documents GROUP BY md5(text)
+         |), bw AS (
+         |  SELECT least(32, greatest(16,
+         |    CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT) + 4)) AS bits
+         |  FROM collapsed
+         |), sh AS (
+         |  SELECT keeper_id,
+         |    substring($bits32, 1, (SELECT bits FROM bw)) AS simhash
+         |  FROM (SELECT keeper_id, unnest(string_split(text, ' ')) AS word
+         |        FROM collapsed) t
+         |  GROUP BY keeper_id
+         |), pairs AS (
+         |  SELECT a.keeper_id AS doc_a, b.keeper_id AS doc_b,
+         |    CAST(len(list_filter(generate_series(1, len(a.simhash)),
+         |         i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS dist
+         |  FROM sh a JOIN sh b ON a.keeper_id < b.keeper_id
+         |)
+         |SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "q115_minhash_estimate" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1192,6 +1273,60 @@ object Dedup {
         |  e.est_jac,
         |  round(abs(e.est_jac - round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)), 6) AS abs_err
         |FROM pairs p
+        |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q274_minhash_estimate_sampled" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w
+        |), seeded AS (
+        |  SELECT doc_id, seed, shingle
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+        |), mh AS (
+        |  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS m
+        |  FROM seeded GROUP BY doc_id, seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |         md5(string_agg(m, '|' ORDER BY m)) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id
+        |), spairs AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  WHERE substring(md5(CAST(doc_a AS VARCHAR) || '|' ||
+        |    CAST(doc_b AS VARCHAR)), 1, 1) IN ('0', '1')
+        |), est AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 8.0, 6) AS est_jac
+        |  FROM spairs p
+        |  JOIN mh a ON a.doc_id = p.doc_a
+        |  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+        |  GROUP BY 1, 2
+        |), inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM spairs p
+        |  JOIN sh a ON a.doc_id = p.doc_a
+        |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS exact_jac,
+        |  e.est_jac,
+        |  round(abs(e.est_jac - round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)), 6) AS abs_err
+        |FROM spairs p
         |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         |JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
         |JOIN sizes sa ON sa.doc_id = p.doc_a

@@ -11,7 +11,7 @@ import java.nio.charset.StandardCharsets
   * works against ANY hadoop-fs path: local dir, HDFS, s3a).
   *
   * Layout under `dir`:
-  *   - `cfg-<12-hex-of-sha256>.yaml`  one file per distinct content
+  *   - `cfg-<16-hex-of-sha256>.yaml`  one file per distinct content
   *     (the digest IS the version id — re-applying identical content
   *     reuses the id, the content-addressed property)
   *   - `CURRENT`                       the active version id
@@ -28,10 +28,14 @@ final class ConfigVersionStore(dir: String,
 
   final case class Rec(id: String, createdMs: Long, bytes: Long, active: Boolean)
 
+  // 16 hex chars = 64 digest bits: accidental collision needs ~2^32
+  // stored versions (birthday bound) — far past any config log; save()
+  // still verifies content on id reuse so even a collision fails loudly
+  // instead of silently aliasing a new config to an old one.
   private def idOf(content: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(content.getBytes(StandardCharsets.UTF_8))
-    "cfg-" + d.take(6).map(b => f"$b%02x").mkString
+    "cfg-" + d.take(8).map(b => f"$b%02x").mkString
   }
 
   private def write(p: Path, content: String): Unit = {
@@ -44,12 +48,17 @@ final class ConfigVersionStore(dir: String,
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
   }
 
-  /** Persist `content`; returns its (possibly pre-existing) version id. */
+  /** Persist `content`; returns its (possibly pre-existing) version id.
+    * On id reuse the stored bytes must MATCH — a digest collision
+    * aliasing distinct configs would otherwise make rollback restore the
+    * wrong configuration. */
   def save(content: String): String = synchronized {
     fs.mkdirs(root)
     val id = idOf(content)
     val p = new Path(root, s"$id.yaml")
     if (!fs.exists(p)) write(p, content)
+    else require(read(p) == content,
+      s"config version id collision: $id already stores different content")
     id
   }
 

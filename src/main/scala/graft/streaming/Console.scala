@@ -40,7 +40,12 @@ object Console {
       |  <button onclick="saveTok()">save</button></div>
       |<h2>streams</h2>
       |<table id="streams"><tr><th>name</th><th>id</th><th>active</th>
-      |  <th>status</th><th>actions</th></tr></table>
+      |  <th>pipeline</th><th>actions</th></tr></table>
+      |<h2>recent events</h2>
+      |<table id="events"><tr><th>time</th><th>type</th><th>stream</th>
+      |  <th>message</th></tr></table>
+      |<h2>components</h2>
+      |<table id="components"><tr><th>kind</th><th>registered</th></tr></table>
       |<h2>config versions</h2>
       |<table id="versions"><tr><th>id</th><th>created</th><th>bytes</th>
       |  <th>active</th><th>actions</th></tr></table>
@@ -89,8 +94,21 @@ object Console {
       |      const acts = document.createElement('span');
       |      acts.appendChild(btn('stop', () => lifecycle(s.name || s.id, 'stop')));
       |      acts.appendChild(btn('restart', () => lifecycle(s.name || s.id, 'restart')));
-      |      row(tbl, [s.name || '', s.id, String(s.isActive), '', acts]);
+      |      row(tbl, [s.name || '', s.id, String(s.isActive), s.pipeline || '', acts]);
       |    });
+      |    const ev = await call('/events');
+      |    const et = $('events');
+      |    while (et.rows.length > 1) et.deleteRow(1);
+      |    ((ev.body && ev.body.items) || []).slice(0, 10).forEach(e =>
+      |      row(et, [new Date(e.occurred_at_ms).toISOString(), e.event_type,
+      |        e.stream_id || '', e.message]));
+      |    const co = await call('/components');
+      |    const ct = $('components');
+      |    if (ct.rows.length === 1 && Array.isArray(co.body)) {
+      |      const byKind = {};
+      |      co.body.forEach(c => (byKind[c.kind] = byKind[c.kind] || []).push(c.name));
+      |      Object.keys(byKind).sort().forEach(k => row(ct, [k, byKind[k].join(', ')]));
+      |    }
       |    const vs = await call('/config/versions');
       |    const vt = $('versions');
       |    while (vt.rows.length > 1) vt.deleteRow(1);

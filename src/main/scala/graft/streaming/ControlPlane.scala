@@ -50,6 +50,45 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     the same restart semantics as apply; 404 for an unknown id.
   *   - `GET  /configuration/diff?from=ID&to=ID` `{"from","to","changed"}`
   *     — 404 when either version is missing.
+  *   - `GET  /configuration` (alias `/config`) the ACTIVE version's id +
+  *     YAML (reference lib.rs:199/209 `configuration`) — 404 before any
+  *     apply, 503 without a version store.
+  *
+  * Observability (reference lib.rs:214-224; all UNAUTHENTICATED like the
+  * reference's health router — k8s probes and Prometheus scrapers do not
+  * carry bearer tokens):
+  *   - `GET /metrics` Prometheus text exposition (v0.0.4): per active
+  *     stream from `lastProgress` (input/processed rows/s, cumulative
+  *     input rows, batch duration, state-store rows/bytes), control-plane
+  *     start counts, and every [[graft.functions.CapCountIf]] drop
+  *     counter as `graft_cap_dropped_rows_total{label=...}` — the
+  *     bounded-with-observable-drops operators' scrape path.
+  *   - `GET /health`    200 while the SparkContext is up, else 503.
+  *   - `GET /readiness` 200 while the context is up AND no active query
+  *     is sitting on an exception, else 503.
+  *   - `GET /liveness`  always 200 (the process answers).
+  *
+  * Registry introspection (reference lib.rs:214-216; unauthenticated —
+  * the registries are compile-time constants, not data):
+  *   - `GET /components` every registered component as
+  *     `{"kind","name"}`; `GET /components/{kind}/{name}` one of them,
+  *     404 for unknown kind or name.
+  *   - `GET /schema` a JSON-Schema-shaped description of the engine YAML
+  *     (streams / input / pipeline.processors / output / error_output /
+  *     buffer / http), component `type` enums taken LIVE from the same
+  *     registries the builders dispatch on.
+  *
+  * Operations + events (reference lib.rs:195-198; authenticated):
+  *   - `GET /operations[?resource_id=&operation=&state=]` every recorded
+  *     lifecycle/config operation, newest first; `GET /operations/{id}`
+  *     one record; `DELETE /operations/{id}` the reference's cancel —
+  *     this engine runs lifecycle operations synchronously inside the
+  *     request, so cancel always finds a TERMINAL record and returns it
+  *     unchanged (404 for an unknown id).
+  *   - `GET /events[?event_type=&stream_id=]` the event ring (bounded
+  *     1000): query_started / query_terminated / query_failed from the
+  *     listener, stream_started / stream_stopped / config_applied /
+  *     config_rollback from the lifecycle + config routes.
   *
   * Lifecycle routes need the parsed config — pass `registry` (id ->
   * StreamConf, what [[graft.streaming.Main]] resolves via
@@ -85,15 +124,71 @@ final class ControlPlane(spark: SparkSession, port: Int,
       })
   private val terminated = boundedMap()
   private val names = boundedMap()
+
+  // ---- events + operations (reference lib.rs:195-198) -------------------
+  // Both logs are BOUNDED rings (most recent 1000) for the same reason
+  // the termination maps are: a long-lived service must not grow a record
+  // per lifecycle call forever.
+  import ControlPlane.{Event, OpRec}
+  private val eventSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val opSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val events = new java.util.ArrayDeque[Event]()
+  private val operations = new java.util.ArrayDeque[OpRec]()
+  private def recordEvent(eventType: String, streamId: Option[String],
+      message: String): Unit = events.synchronized {
+    events.addFirst(Event(eventSeq.incrementAndGet(), eventType, streamId,
+      System.currentTimeMillis(), message))
+    while (events.size > 1000) { events.removeLast(); () }
+  }
+  /** Record a completed lifecycle/config operation (this engine runs them
+    * synchronously inside the request, so every record is terminal). */
+  private def recordOp(resourceId: String, operation: String,
+      state: String, detail: String): String = {
+    val id = s"op-${opSeq.incrementAndGet()}"
+    operations.synchronized {
+      operations.addFirst(OpRec(id, resourceId, operation, state,
+        System.currentTimeMillis(), detail))
+      while (operations.size > 1000) { operations.removeLast(); () }
+    }
+    id
+  }
+
+  // cumulative input rows per stream (by display name), accumulated from
+  // progress events — the reference's input_messages counter analogue;
+  // bounded like the other per-stream maps
+  private val rowsTotal = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 1000
+    })
+  // control-plane (re)starts per stream id — /metrics' restarts counter
+  private val startCounts = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 1000
+    })
+
   private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
       Option(e.name).foreach(n => names.put(n, e.id.toString))
+      recordEvent("query_started", Option(e.name), e.id.toString)
+    }
     override def onQueryProgress(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val key = Option(e.progress.name).getOrElse(e.progress.id.toString)
+      rowsTotal.merge(key, e.progress.numInputRows,
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+      ()
+    }
     override def onQueryTerminated(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-      terminated.put(e.id.toString, e.exception.getOrElse(""))
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val exc = e.exception.getOrElse("")
+      terminated.put(e.id.toString, exc)
+      if (exc.isEmpty) recordEvent("query_terminated", None, e.id.toString)
+      else recordEvent("query_failed", None,
+        s"${e.id}: ${exc.linesIterator.nextOption().getOrElse("")}")
+    }
   }
   spark.streams.addListener(listener)
   // queries started BEFORE this control plane existed never fired
@@ -138,13 +233,21 @@ final class ControlPlane(spark: SparkSession, port: Int,
   /** Start stream `id` from its registered config: 202 with the fresh
     * runId (the reference's Accepted lifecycle-operation response), or
     * 404 when the id has no config to resolve. Batch streams run once to
-    * EOF inside the request (`"streaming":false`). */
+    * EOF inside the request (`"streaming":false`). `op` labels the
+    * operation record ("start" vs "restart"). */
   private def lifecycleStart(ex: com.sun.net.httpserver.HttpExchange,
-      id: String): Unit =
+      id: String, op: String): Unit =
     liveRegistry.find(_._1 == id) match {
       case Some((_, sc)) =>
         val q = Engine.runStream(spark, sc, id)
+        startCounts.merge(id, 1L,
+          (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+        recordEvent("stream_started", Some(id),
+          q.map(_.runId.toString).getOrElse("batch run to EOF"))
+        val opId = recordOp(id, op, "succeeded",
+          q.map(_.runId.toString).getOrElse("batch"))
         respond(ex, 202, s"""{"id":${js(id)},"started":true,""" +
+          s""""operation":${js(opId)},""" +
           s""""streaming":${q.isDefined},""" +
           s""""runId":${q.map(x => js(x.runId.toString)).getOrElse("null")}}""")
       case None => respond(ex, 404, """{"error":"no such stream in config"}""")
@@ -154,8 +257,10 @@ final class ControlPlane(spark: SparkSession, port: Int,
     * registry, restart active managed streams under the new config, stop
     * active streams the new config dropped. Returns the 202 JSON.
     * Callers hold `lifecycleLock`. Throws IllegalArgumentException on a
-    * config that does not parse (mapped to 422). */
-  private def applyConfig(store: ConfigVersionStore, yaml: String): String = {
+    * config that does not parse (mapped to 422). `op` labels the
+    * operation/event records ("apply" vs "rollback"). */
+  private def applyConfig(store: ConfigVersionStore, yaml: String,
+      op: String): String = {
     val conf = Config.fromYaml(yaml)
     val ids = Config.streamIds(conf)
     val id = store.save(yaml)
@@ -165,37 +270,167 @@ final class ControlPlane(spark: SparkSession, port: Int,
     // stop() blocks until termination, so names are free for the
     // restarts below; restart only streams that were RUNNING — inactive
     // ones pick the new config up at their next /start
-    val dropped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
-    dropped.foreach(d => find(d).foreach(_.stop()))
-    // a stream whose config parses but fails to START (bad broker URL,
-    // missing path...) must not abort the apply halfway — the version is
-    // already active; report it under `failed` and keep going, the
+    // a stream whose config parses but fails to STOP (e.g. a
+    // TimeoutException past spark.sql.streaming.stopTimeout) or fails to
+    // START (bad broker URL, missing path...) must not abort the apply
+    // halfway — the version is already active and the registry swapped,
+    // so answering 422 here would make the client's view diverge from
+    // server state; report it under `failed` and keep going, the
     // operator fixes and re-applies or rolls back
     var failedIds = List.empty[String]
+    def safeStop(sid: String): Boolean =
+      find(sid).forall { q =>
+        try { q.stop(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] config apply: stream $sid failed to stop: ${e.getMessage}")
+          failedIds ::= sid; false
+        }
+      }
+    val dropped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
+    dropped.filter(safeStop).foreach(d =>
+      recordEvent("stream_stopped", Some(d), s"dropped by config $op"))
     val restarted = liveRegistry.filter { case (sid, _) => find(sid).isDefined }
       .flatMap { case (sid, sc) =>
-        find(sid).foreach(_.stop())
-        try { Engine.runStream(spark, sc, sid); Some(sid) }
+        // a stream that would not stop keeps its OLD config running —
+        // starting a same-named twin beside it would throw anyway
+        if (!safeStop(sid)) None
+        else try {
+          Engine.runStream(spark, sc, sid)
+          startCounts.merge(sid, 1L,
+            (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          recordEvent("stream_started", Some(sid), s"restarted by config $op")
+          Some(sid)
+        }
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] config apply: stream $sid failed to restart: ${e.getMessage}")
           failedIds ::= sid; None
         }
       }
+    recordEvent(if (op == "apply") "config_applied" else "config_rollback",
+      None, id)
+    recordOp("configuration", op, "succeeded", id)
     s"""{"applied":true,"version":${js(id)},""" +
       s""""streams":${ids.map(js).mkString("[", ",", "]")},""" +
       s""""restarted":${restarted.map(js).mkString("[", ",", "]")},""" +
-      s""""failed":${failedIds.sorted.map(js).mkString("[", ",", "]")},""" +
+      s""""failed":${failedIds.distinct.sorted.map(js).mkString("[", ",", "]")},""" +
       s""""stopped":${dropped.map(js).mkString("[", ",", "]")}}"""
   }
 
-  private def streamSummary(q: StreamingQuery): String =
+  /** The registered component chain for a stream id — the console's
+    * per-stream pipeline column (`input -> processors... -> output`). */
+  private def pipelineOf(name: String): Option[String] =
+    liveRegistry.find(_._1 == name).map { case (_, sc) =>
+      (sc.input.kind +: sc.processors.map(_.kind) :+ sc.output.kind)
+        .mkString(" -> ")
+    }
+
+  private def streamSummary(q: StreamingQuery): String = {
+    val pipe = Option(q.name).flatMap(pipelineOf)
     s"""{"id":${js(q.id.toString)},"runId":${js(q.runId.toString)},""" +
-      s""""name":${Option(q.name).map(js).getOrElse("null")},"isActive":${q.isActive}}"""
+      s""""name":${Option(q.name).map(js).getOrElse("null")},"isActive":${q.isActive},""" +
+      s""""pipeline":${pipe.map(js).getOrElse("null")}}"""
+  }
 
   private def streamDetail(q: StreamingQuery): String =
     s"""{"id":${js(q.id.toString)},"name":${Option(q.name).map(js).getOrElse("null")},""" +
       s""""status":${q.status.json},""" +
       s""""lastProgress":${Option(q.lastProgress).map(_.json).getOrElse("null")}}"""
+
+  private def qparams(ex: com.sun.net.httpserver.HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }).toMap
+
+  private def opJson(o: OpRec): String =
+    s"""{"id":${js(o.id)},"resource_id":${js(o.resourceId)},""" +
+      s""""operation":${js(o.operation)},"state":${js(o.state)},""" +
+      s""""occurred_at_ms":${o.occurredAtMs},"detail":${js(o.detail)}}"""
+
+  private def eventJson(e: Event): String =
+    s"""{"id":${e.id},"event_type":${js(e.eventType)},""" +
+      s""""stream_id":${e.streamId.map(js).getOrElse("null")},""" +
+      s""""occurred_at_ms":${e.occurredAtMs},"message":${js(e.message)}}"""
+
+  // Prometheus label-value escaping (exposition format: backslash, quote
+  // and newline must be escaped inside label values)
+  private def promLabel(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** Prometheus text exposition (format v0.0.4) of per-stream progress,
+    * control-plane start counts, and the CapCountIf drop counters. The
+    * numbers come from `lastProgress` / the listener — Structured
+    * Streaming already measures them; this is the scrape path. */
+  private def metricsBody(): String = {
+    val sb = new StringBuilder
+    def num(d: Double): String =
+      if (d.isNaN || d.isInfinite) "0"
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def line(metric: String, sid: String, v: String): Unit = {
+      sb.append(metric).append("{stream_id=\"").append(promLabel(sid))
+        .append("\"} ").append(v).append('\n'); ()
+    }
+    val active = spark.streams.active
+    sb.append("graft_streams_active ").append(active.length).append('\n')
+    for (q <- active) {
+      val sid = Option(q.name).getOrElse(q.id.toString)
+      for (p <- Option(q.lastProgress)) {
+        line("graft_stream_batch_id", sid, p.batchId.toString)
+        line("graft_stream_input_rows_per_second", sid, num(p.inputRowsPerSecond))
+        line("graft_stream_processed_rows_per_second", sid,
+          num(p.processedRowsPerSecond))
+        for (ms <- Option(p.durationMs.get("triggerExecution")))
+          line("graft_stream_batch_duration_ms", sid, ms.toString)
+        val st = p.stateOperators
+        if (st.nonEmpty) {
+          line("graft_stream_state_rows", sid, st.map(_.numRowsTotal).sum.toString)
+          line("graft_stream_state_bytes", sid,
+            st.map(_.memoryUsedBytes).sum.toString)
+        }
+      }
+    }
+    rowsTotal.synchronized {
+      rowsTotal.forEach((k, v) =>
+        line("graft_stream_input_rows_total", k, v.toString))
+    }
+    startCounts.synchronized {
+      startCounts.forEach((k, v) =>
+        line("graft_stream_starts_total", k, v.toString))
+    }
+    // the bounded pair-join operators' drop counters (CapCountIf
+    // accumulators) — "observable drops", operationally
+    for ((label, n) <- graft.functions.CapCountIf.all()) {
+      sb.append("graft_cap_dropped_rows_total{label=\"")
+        .append(promLabel(label)).append("\"} ").append(n).append('\n')
+    }
+    sb.toString
+  }
+
+  /** JSON-Schema-shaped description of the engine YAML; component `type`
+    * enums come LIVE from the registries (reference lib.rs:216 /schema,
+    * component::build_config_schema). */
+  private lazy val schemaJson: String = {
+    def enumOf(kind: String) =
+      Engine.componentRegistry(kind).map(js).mkString("[", ",", "]")
+    def comp(kind: String) =
+      s"""{"type":"object","required":["type"],"properties":{"type":""" +
+        s"""{"type":"string","enum":${enumOf(kind)}}},"additionalProperties":true}"""
+    s"""{"$$schema":"https://json-schema.org/draft/2020-12/schema",""" +
+      s""""title":"graft engine config","type":"object","required":["streams"],""" +
+      s""""properties":{"streams":{"type":"array","items":{"type":"object",""" +
+      s""""required":["input","output"],"properties":{""" +
+      s""""id":{"type":"string","pattern":"^[A-Za-z0-9._-]+$$"},""" +
+      s""""input":${comp("input")},""" +
+      s""""pipeline":{"type":"object","properties":{"processors":""" +
+      s"""{"type":"array","items":${comp("processor")}}}},""" +
+      s""""output":${comp("output")},"error_output":${comp("output")},""" +
+      s""""buffer":${comp("buffer")},"durability":{"type":"object"},""" +
+      s""""temporary":{"type":"array"}}}},""" +
+      s""""http":{"type":"object","properties":{"port":{"type":"integer"},""" +
+      s""""bearer_token":{"type":"string"},"version_dir":{"type":"string"}}}}}"""
+  }
 
   server.createContext("/", { ex =>
     try {
@@ -215,6 +450,51 @@ final class ControlPlane(spark: SparkSession, port: Int,
         ex.sendResponseHeaders(200, bytes.length.toLong)
         ex.getResponseBody.write(bytes)
       }
+      // observability + registry introspection serve UNAUTHENTICATED
+      // (reference health router / components handlers take no auth):
+      // k8s probes and Prometheus scrapers carry no bearer token, and
+      // the registries are compile-time constants, not data
+      else if (method == "GET" && path == "/metrics") {
+        val bytes = metricsBody().getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      }
+      else if (method == "GET" && path == "/liveness")
+        respond(ex, 200, """{"status":"alive","alive":true}""")
+      else if (method == "GET" && path == "/health") {
+        val up = !spark.sparkContext.isStopped
+        respond(ex, if (up) 200 else 503,
+          s"""{"status":${js(if (up) "healthy" else "unhealthy")},"running":$up}""")
+      }
+      else if (method == "GET" && path == "/readiness") {
+        // ready = context up AND no active query sitting on an exception
+        // (a failed-but-not-yet-reaped query must flip readiness off)
+        val ready = !spark.sparkContext.isStopped &&
+          spark.streams.active.forall(_.exception.isEmpty)
+        respond(ex, if (ready) 200 else 503,
+          s"""{"status":${js(if (ready) "ready" else "not_ready")},"ready":$ready}""")
+      }
+      else if (method == "GET" && path == "/components")
+        respond(ex, 200, Engine.componentRegistry.toSeq.sortBy(_._1)
+          .flatMap { case (kind, ns) =>
+            ns.map(n => s"""{"kind":${js(kind)},"name":${js(n)}}""") }
+          .mkString("[", ",", "]"))
+      else if (method == "GET" && path.startsWith("/components/"))
+        path.stripPrefix("/components/").split("/", 2) match {
+          case Array(kind, name) =>
+            Engine.componentRegistry.get(kind) match {
+              case Some(ns) if ns.contains(name) =>
+                respond(ex, 200, s"""{"kind":${js(kind)},"name":${js(name)}}""")
+              case Some(_) => respond(ex, 404,
+                s"""{"error":"unknown component","kind":${js(kind)},"name":${js(name)}}""")
+              case None => respond(ex, 404,
+                s"""{"error":"unknown component kind","kind":${js(kind)}}""")
+            }
+          case _ => respond(ex, 404, """{"error":"not found"}""")
+        }
+      else if (method == "GET" && path == "/schema")
+        respond(ex, 200, schemaJson)
       else if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
       else (method, path) match {
         case ("GET", "/system") =>
@@ -250,8 +530,13 @@ final class ControlPlane(spark: SparkSession, port: Int,
             case None => respond(ex, 404, """{"error":"no such stream"}""")
           }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/stop") =>
-          find(s.stripPrefix("/streams/").stripSuffix("/stop")) match {
-            case Some(q) => q.stop(); respond(ex, 200, """{"stopped":true}""")
+          val id = s.stripPrefix("/streams/").stripSuffix("/stop")
+          find(id) match {
+            case Some(q) =>
+              q.stop()
+              recordEvent("stream_stopped", Some(id), "stopped over HTTP")
+              val opId = recordOp(id, "stop", "succeeded", "")
+              respond(ex, 200, s"""{"stopped":true,"operation":${js(opId)}}""")
             case None => respond(ex, 404, """{"error":"no such stream"}""")
           }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/start") =>
@@ -259,7 +544,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
           lifecycleLock.synchronized {
             if (find(id).isDefined)
               respond(ex, 409, """{"error":"stream already active"}""")
-            else lifecycleStart(ex, id)
+            else lifecycleStart(ex, id, "start")
           }
         case ("POST", s) if s.startsWith("/streams/") && s.endsWith("/restart") =>
           val id = s.stripPrefix("/streams/").stripSuffix("/restart")
@@ -267,7 +552,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
             // stop() blocks until termination, so the query name is free
             // for the fresh start below
             find(id).foreach(_.stop())
-            lifecycleStart(ex, id)
+            lifecycleStart(ex, id, "restart")
           } else respond(ex, 404, """{"error":"no such stream in config"}""")
         case ("POST", "/config/apply") | ("POST", "/configuration/apply") =>
           versions match {
@@ -276,10 +561,12 @@ final class ControlPlane(spark: SparkSession, port: Int,
               val body = new String(ex.getRequestBody.readAllBytes(),
                 StandardCharsets.UTF_8)
               try lifecycleLock.synchronized {
-                respond(ex, 202, applyConfig(store, body))
+                respond(ex, 202, applyConfig(store, body, "apply"))
               } catch {
                 case scala.util.control.NonFatal(e) =>
                   // the reference's UNPROCESSABLE_ENTITY apply failure
+                  recordOp("configuration", "apply", "failed",
+                    Option(e.getMessage).getOrElse(e.getClass.getName))
                   respond(ex, 422, s"""{"applied":false,"error":${js(
                     Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
               }
@@ -303,9 +590,11 @@ final class ControlPlane(spark: SparkSession, port: Int,
                   s"""{"error":"no such configuration version","id":${js(id)}}""")
                 case Some(yaml) =>
                   try lifecycleLock.synchronized {
-                    respond(ex, 202, applyConfig(store, yaml))
+                    respond(ex, 202, applyConfig(store, yaml, "rollback"))
                   } catch {
                     case scala.util.control.NonFatal(e) =>
+                      recordOp("configuration", "rollback", "failed",
+                        Option(e.getMessage).getOrElse(e.getClass.getName))
                       respond(ex, 422, s"""{"applied":false,"error":${js(
                         Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
                   }
@@ -329,6 +618,48 @@ final class ControlPlane(spark: SparkSession, port: Int,
                   """{"error":"configuration version not found"}""")
               }
           }
+        case ("GET", "/configuration") | ("GET", "/config") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) => store.active().flatMap(id =>
+                store.load(id).map(id -> _)) match {
+              case Some((id, yaml)) => respond(ex, 200,
+                s"""{"version":${js(id)},"yaml":${js(yaml)}}""")
+              case None => respond(ex, 404,
+                """{"error":"no configuration applied yet"}""")
+            }
+          }
+        case ("GET", "/operations") =>
+          val params = qparams(ex)
+          val items = operations.synchronized {
+            operations.toArray(new Array[OpRec](0)).toSeq }
+          val f = items
+            .filter(o => params.get("resource_id").forall(_ == o.resourceId))
+            .filter(o => params.get("operation").forall(_ == o.operation))
+            .filter(o => params.get("state").forall(_ == o.state))
+          respond(ex, 200, s"""{"items":${f.map(opJson).mkString("[", ",", "]")},""" +
+            s""""total":${f.size}}""")
+        case (m, s) if (m == "GET" || m == "DELETE") && s.startsWith("/operations/") =>
+          // DELETE is the reference's cancel; lifecycle operations run
+          // synchronously inside their request here, so the record is
+          // always terminal — cancel returns it unchanged
+          val id = s.stripPrefix("/operations/")
+          val rec = operations.synchronized {
+            operations.toArray(new Array[OpRec](0)).find(_.id == id) }
+          rec match {
+            case Some(o) => respond(ex, 200, opJson(o))
+            case None => respond(ex, 404,
+              s"""{"error":"unknown operation","id":${js(id)}}""")
+          }
+        case ("GET", "/events") =>
+          val params = qparams(ex)
+          val items = events.synchronized {
+            events.toArray(new Array[Event](0)).toSeq }
+          val f = items
+            .filter(e => params.get("event_type").forall(_ == e.eventType))
+            .filter(e => params.get("stream_id").forall(v => e.streamId.contains(v)))
+          respond(ex, 200, s"""{"items":${f.map(eventJson).mkString("[", ",", "]")},""" +
+            s""""total":${f.size}}""")
         case ("POST", "/configuration/validate") | ("POST", "/config/validate") =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
@@ -378,4 +709,14 @@ final class ControlPlane(spark: SparkSession, port: Int,
     // this, every ControlPlane instance leaks its 4 pool threads
     pool.shutdown()
   }
+}
+
+object ControlPlane {
+  /** One `/events` ring entry. */
+  private final case class Event(id: Long, eventType: String,
+      streamId: Option[String], occurredAtMs: Long, message: String)
+  /** One `/operations` record (always terminal — lifecycle operations
+    * run synchronously inside their request). */
+  private final case class OpRec(id: String, resourceId: String,
+      operation: String, state: String, occurredAtMs: Long, detail: String)
 }

@@ -840,9 +840,25 @@ object Engine {
             c.options.get("codec.message_type")))
         (df: DataFrame) => SchemaRegistry.decodeBatch(df, resolver)
       case other => throw new IllegalArgumentException(
-        s"unknown input codec: $other")
+        s"unknown input codec: $other (known: ${codecKinds.mkString(", ")})")
     }
   }
+
+  /** Input-codec kinds `inputCodec` dispatches on — kept beside the
+    * match so the `/components` registry can't drift from it. */
+  val codecKinds: Seq[String] =
+    Seq("json", "debezium_json", "protobuf", "schema_registry")
+
+  /** Every registered component name by kind — the control plane's
+    * `/components` + `/schema` source (reference lib.rs:214-216; its
+    * `component::list_components` walks the same registries the builders
+    * dispatch on, so enumerating the literal Maps here is exact). */
+  def componentRegistry: Map[String, Seq[String]] = Map(
+    "input" -> inputBuilders.keys.toSeq.sorted,
+    "processor" -> Processors.builders.keys.toSeq.sorted,
+    "output" -> sinkBuilders.keys.toSeq.sorted,
+    "buffer" -> bufferBuilders.keys.toSeq.sorted,
+    "codec" -> codecKinds.sorted)
 
   def run(spark: SparkSession, conf: EngineConf): Seq[StreamingQuery] =
     Config.streamIds(conf).zip(conf.streams).flatMap { case (id, s) =>

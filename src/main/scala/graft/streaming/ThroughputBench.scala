@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object ThroughputBench {
   val PinnedRows = 8000000L
+
+  /** Quiet-machine calibration pin: [[graft.Bench.calibrate]] seconds in
+    * the band the protocol's 8-12 M rows/s numbers were recorded at
+    * (rounds 12-13 pin runs: 0.394-0.454 s). A session whose calib reads
+    * past [[CalibGate]]× this is CONTENDED — the run still prints its
+    * numbers as diagnostics, but marks them non-protocol so a depressed
+    * sample can never enter the recorded band (the round-14 sample read
+    * ~2.5× low for exactly this reason). */
+  val PinnedCalib = 0.45
+  val CalibGate = 1.5
+
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toLong).getOrElse(PinnedRows)
     println(s"protocol: batch ${totalRows / 1000000}M rows, 2 warm-ups + " +
@@ -46,6 +57,15 @@ object ThroughputBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // calib FIRST (it doubles as the JIT warm-up the protocol wants
+    // anyway): a contended machine is detected before any timed rep runs
+    val calib = graft.Bench.calibrate(spark)
+    val contended = calib > CalibGate * PinnedCalib
+    println(f"calib: $calib%.3f s (pin $PinnedCalib%.2f, gate ${CalibGate * PinnedCalib}%.3f) — " +
+      (if (contended)
+        "CONTENDED: REFUSING to record a protocol row; numbers below are diagnostic only"
+      else "quiet window, protocol row valid"))
 
     val ctx = """{"device":"sensor-7","reading":41.5,"seq":12345}"""
     val procs = Seq(

@@ -2112,6 +2112,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total("jaccard_df") == j0)
   }
 
+  test("dedup recipe (collapse then simhash): exact copies collapse first, " +
+      "so the banded join's bucket caps stay SILENT on a copy-dense corpus " +
+      "where the raw pairing must cap — and the pairs equal brute force " +
+      "over the collapsed residue") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5, min}
+    graft.functions.Shims.register(spark)
+    // 10 templates × 20 EXACT copies, plus one near-dup variant each
+    // (last word differs -> a handful of signature bits flip)
+    val docs = ((for { t <- 0 until 10; c <- 0 until 20 } yield
+      ((t * 100 + c).toLong,
+        s"template $t alpha beta gamma delta epsilon zeta eta theta")) ++
+      (for (t <- 0 until 10) yield
+        ((t * 100 + 50).toLong,
+          s"template $t alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    // the CONTRAST: raw copy-dense corpus floods a small bucket cap
+    val bits = Dedup.simhashAutoBits(docs.count())
+    Dedup.simhashBandedPairs(Dedup.simhash(docs, "doc_id", "text", bits),
+      maxDist = 2, bits = bits, bucketCap = 8).count()
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    while (!Dedup.CapStats.lastDropped("simhash").exists(_ > 0) &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(Dedup.CapStats.lastDropped("simhash").exists(_ > 0),
+      "20-deep copy clusters must overflow cap=8 on the raw corpus")
+    // the RECIPE: collapse first -> every band bucket holds distinct
+    // contents, nothing to cap
+    val got = Dedup.dedupRecipePairs(docs, "doc_id", "text", maxDist = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity)
+    // brute-force expected pairing over the collapsed residue (21 keepers
+    // -> all-pairs is trivial): the banded join must lose nothing
+    val collapsed = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val sl = Dedup.simhash(collapsed, "doc_id", "text",
+        Dedup.simhashAutoBits(collapsed.count()))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, sa) <- sl; (ib, sb) <- sl if ia < ib
+      d = sa.zip(sb).count { case (x, y) => x != y } if d <= 2
+    } yield (ia, ib, d)).sortBy(identity)
+    assert(got.toSeq == expected.toSeq,
+      s"recipe pairs must equal brute force: got ${got.length}, expected ${expected.length}")
+    assert(expected.nonEmpty, "fixture must actually produce near-dup pairs")
+    // and the caps stayed SILENT through the recipe run (the metric
+    // always rides along; the last observation must be zero)
+    val deadline2 = System.nanoTime() + 15L * 1000000000L
+    while (!Dedup.CapStats.lastDropped("simhash").contains(0L) &&
+      System.nanoTime() < deadline2) Thread.sleep(100)
+    assert(Dedup.CapStats.lastDropped("simhash").contains(0L),
+      "collapse-first must leave the simhash bucket caps silent")
+  }
+
+  test("CapCountIf counts NULL predicates as drops — Filter discards a " +
+      "NULL condition exactly like false, so both must tick the counter") {
+    import spark.implicits._
+    graft.functions.CapCountIf.register(spark)
+    val label = s"nulltest_${System.nanoTime()}" // fresh accumulator per run
+    val df = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, null), (3L, 1L))
+      .toDF("id", "v")
+    // v > 3: TRUE for 5, FALSE for 1, NULL for the null row — the filter
+    // keeps one row and DROPS two, and the counter must say two
+    val kept = df.filter(org.apache.spark.sql.functions
+      .expr(s"graft_cap_count_if(v > 3, '$label')")).count()
+    assert(kept == 1L)
+    assert(graft.functions.CapCountIf.droppedTotal(label).contains(2L),
+      s"false AND null rows both count as drops: " +
+        s"${graft.functions.CapCountIf.droppedTotal(label)}")
+    // the label surfaces through the /metrics exposition source
+    assert(graft.functions.CapCountIf.all().exists(_._1 == label))
+  }
+
   test("distributed CC equals driver union-find on a propagation-hungry chain graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

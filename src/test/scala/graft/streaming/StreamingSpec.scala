@@ -1055,19 +1055,23 @@ class StreamingSpec extends AnyFunSuite {
     // in the padding slot — must bind as charset, not fail analysis
     val out = Processors.RemapProcessor(
       """.bc = encode_base64('f~~b?r', charset: 'url_safe')
+        |.bo = encode_base64('hi', charset: 'url_safe', padding: false)
         |.lpd = parse_influxdb_line_protocol!('m,t=a,t=b f=1i,f=2i,g=3i')
         |.dt = to_string(variant_get(.lpd, '$[0].tags.t'))
         |.df = to_int(variant_get(.lpd, '$[0].fields.f'))
         |.dg = to_int(variant_get(.lpd, '$[0].fields.g'))
         |.dk = to_int(variant_get(parse_cbor!(decode_base16('a2616101616102')), '$.a'))
         |""".stripMargin)(frame)
-    val r = out.selectExpr("bc", "dt", "df", "dg", "dk").collect().head
+    val r = out.selectExpr("bc", "bo", "dt", "df", "dg", "dk").collect().head
     assert(r.getString(0) == "Zn5-Yj9y",
       "charset-only call binds url_safe (standard would read Zn5+Yj9y)")
-    assert(r.getString(1) == "b", "duplicate influx tag: last occurrence wins")
-    assert(r.getLong(2) == 2L, "duplicate influx field: last occurrence wins")
-    assert(r.getLong(3) == 3L, "non-duplicate fields unaffected")
-    assert(r.getLong(4) == 2L, "duplicate cbor map key: last occurrence wins")
+    assert(r.getString(1) == "aGk",
+      "named args are order-free: charset BEFORE padding must bind both " +
+        "(padded standard would read aGk=)")
+    assert(r.getString(2) == "b", "duplicate influx tag: last occurrence wins")
+    assert(r.getLong(3) == 2L, "duplicate influx field: last occurrence wins")
+    assert(r.getLong(4) == 3L, "non-duplicate fields unaffected")
+    assert(r.getLong(5) == 2L, "duplicate cbor map key: last occurrence wins")
     // 3000 nested one-element arrays: the depth cap must throw the same
     // IllegalArgumentException every malformed input throws (the
     // fallible/?? path), never a StackOverflowError that escapes it
@@ -2609,6 +2613,154 @@ class StreamingSpec extends AnyFunSuite {
       assert(call(s"$base/config/apply", "POST", Some("not_streams: []"))._1 == 422)
     } finally {
       spark.streams.active.filter(q => Option(q.name).contains("gen-cfg"))
+        .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      cp.stop()
+    }
+  }
+
+  test("config version store: 16-hex content ids; save verifies stored " +
+      "bytes on id reuse so a collision fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("cfgstore").toString
+    val store = new ConfigVersionStore(dir, spark.sparkContext.hadoopConfiguration)
+    val id = store.save("streams: []\n")
+    assert(id.matches("cfg-[0-9a-f]{16}"), s"64-bit digest prefix: $id")
+    assert(store.save("streams: []\n") == id, "identical content reuses the id")
+    // forge a collision: the stored file holds DIFFERENT bytes under the
+    // same id — re-saving must refuse instead of silently aliasing
+    // (tamper THROUGH the hadoop fs so its .crc sidecar stays coherent)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$id.yaml"), true)
+    out.write("tampered: true\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val e = intercept[IllegalArgumentException](store.save("streams: []\n"))
+    assert(e.getMessage.contains("collision"), e.getMessage)
+  }
+
+  test("ops surface e2e: /metrics scrapes named stream counters + cap drops, " +
+      "health/readiness/liveness probe unauthenticated, GET /configuration " +
+      "returns the active YAML, /components + /schema enumerate registries, " +
+      "/operations + /events record the lifecycle") {
+    def call(url: String, method: String = "GET", body: Option[String] = None,
+        token: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod(method)
+        token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+        body.foreach { b =>
+          c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    def waitUntil(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cp_ops").toString
+    val yaml =
+      s"""streams:
+         |  - id: gen-ops
+         |    input:
+         |      type: generate
+         |      rows_per_second: "200"
+         |      context: '{"k": 1}'
+         |    pipeline:
+         |      processors: []
+         |    output:
+         |      type: parquet
+         |      path: $dir/out
+         |""".stripMargin
+    val tok = Some("ops-tok")
+    val cp = new ControlPlane(spark, 0, tok, Nil, Some(s"$dir/versions"))
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      // --- health trio + registry routes answer WITHOUT a token (k8s
+      // probes and Prometheus scrapers carry none) while data routes 401
+      assert(call(s"$base/streams")._1 == 401)
+      val (hc, hb) = call(s"$base/health")
+      assert(hc == 200 && hb.contains("\"running\":true"), hb)
+      val (rc, rb) = call(s"$base/readiness")
+      assert(rc == 200 && rb.contains("\"ready\":true"), rb)
+      val (lc, lb) = call(s"$base/liveness")
+      assert(lc == 200 && lb.contains("\"alive\":true"), lb)
+      // --- components: live registry enumeration, singles, 404s
+      val (coc, cob) = call(s"$base/components")
+      assert(coc == 200, cob)
+      for (probe <- Seq("""{"kind":"input","name":"kafka"}""",
+          """{"kind":"processor","name":"vrl"}""",
+          """{"kind":"output","name":"stdout"}""",
+          """{"kind":"buffer","name":"memory"}""",
+          """{"kind":"codec","name":"schema_registry"}"""))
+        assert(cob.contains(probe), s"missing $probe in $cob")
+      assert(call(s"$base/components/processor/sql")._1 == 200)
+      assert(call(s"$base/components/processor/nope")._1 == 404)
+      assert(call(s"$base/components/gizmo/sql")._1 == 404)
+      // --- schema: component type enums come from the same registries
+      val (sc2, sb2) = call(s"$base/schema")
+      assert(sc2 == 200 && sb2.contains("\"generate\"") &&
+        sb2.contains("\"required\":[\"streams\"]"), sb2)
+      // --- configuration: 404 before any apply, the active YAML after
+      assert(call(s"$base/configuration", token = tok)._1 == 404)
+      val (ac, ab) = call(s"$base/config/apply", "POST", Some(yaml), tok)
+      assert(ac == 202, ab)
+      val vId = "\"version\":\"(cfg-[0-9a-f]+)\"".r
+        .findFirstMatchIn(ab).map(_.group(1)).get
+      val (cc, cb) = call(s"$base/configuration", token = tok)
+      assert(cc == 200 && cb.contains(vId) && cb.contains("gen-ops"), cb)
+      // --- start the stream; summaries carry the registered pipeline
+      assert(call(s"$base/streams/gen-ops/start", "POST", token = tok)._1 == 202)
+      waitUntil("gen-ops progresses") {
+        spark.streams.active.find(q => Option(q.name).contains("gen-ops"))
+          .exists(_.recentProgress.nonEmpty)
+      }
+      val (stc, stb) = call(s"$base/streams", token = tok)
+      assert(stc == 200 &&
+        stb.contains("\"pipeline\":\"generate -> parquet\""), stb)
+      // --- /metrics: the named stream's counters appear once progress
+      // lands on the listener bus; start counts and cap drops ride along
+      waitUntil("metrics expose gen-ops counters") {
+        val m = call(s"$base/metrics")._2
+        m.contains("graft_stream_input_rows_total{stream_id=\"gen-ops\"}") &&
+          m.contains("graft_stream_batch_duration_ms{stream_id=\"gen-ops\"}")
+      }
+      val m = call(s"$base/metrics")._2
+      assert(m.contains("graft_streams_active"), m.take(400))
+      assert(m.contains("graft_stream_starts_total{stream_id=\"gen-ops\"} 1"),
+        m.take(400))
+      // --- operations: apply + start recorded terminal, filterable;
+      // DELETE (the reference's cancel) returns the terminal record
+      val (oc, ob) = call(s"$base/operations", token = tok)
+      assert(oc == 200 && ob.contains("\"operation\":\"apply\"") &&
+        ob.contains("\"operation\":\"start\""), ob)
+      val (ofc, ofb) = call(s"$base/operations?operation=start", token = tok)
+      assert(ofc == 200 && !ofb.contains("\"operation\":\"apply\""), ofb)
+      val opId = "\"id\":\"(op-[0-9]+)\"".r.findFirstMatchIn(ofb)
+        .map(_.group(1)).get
+      assert(call(s"$base/operations/$opId", token = tok)._1 == 200)
+      val (dc2, db2) = call(s"$base/operations/$opId", "DELETE", token = tok)
+      assert(dc2 == 200 && db2.contains("\"state\":\"succeeded\""), db2)
+      assert(call(s"$base/operations/op-999999", token = tok)._1 == 404)
+      // --- events: config_applied + stream_started visible, filterable
+      val (ec, eb) = call(s"$base/events", token = tok)
+      assert(ec == 200 && eb.contains("\"event_type\":\"config_applied\"") &&
+        eb.contains("\"event_type\":\"stream_started\""), eb)
+      val (efc, efb) = call(s"$base/events?stream_id=gen-ops", token = tok)
+      assert(efc == 200 && efb.contains("stream_started") &&
+        !efb.contains("config_applied"), efb)
+      // --- stop over HTTP records the stream_stopped event
+      assert(call(s"$base/streams/gen-ops/stop", "POST", token = tok)._1 == 200)
+      val (e2c, e2b) = call(s"$base/events?event_type=stream_stopped", token = tok)
+      assert(e2c == 200 && e2b.contains("gen-ops"), e2b)
+    } finally {
+      spark.streams.active.filter(q => Option(q.name).contains("gen-ops"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       cp.stop()
     }
