@@ -88,6 +88,50 @@ object ScaleProbe {
               maxDist = 2, bits = 16).count()
           }
         }
+      case "sf1exact" =>
+        // ---- EXACT-copy 10× fixture (/tmp/sf1x): byte-identical copies
+        // under shifted ids — the real-crawl duplication profile, and
+        // the regime the q273 dedup recipe targets: exact-collapse
+        // merges every copy cluster, so the simhash bucket caps must
+        // stay SILENT and the pairing exact at 500k docs (whereas the
+        // prefixed /tmp/sf1 copies are NEAR-dups by construction — no
+        // exact collapse can merge them, caps must activate there, the
+        // q244 diagnosis). Verify + tools/check.py then grade q273
+        // against the DuckDB oracle on this dir.
+        val sf1x = sys.env.getOrElse("SPARK_GRAFT_SF1X_DIR", "/tmp/sf1x")
+        val markerX = new java.io.File(s"$sf1x/.built")
+        if (!markerX.exists()) {
+          new java.io.File(sf1x).mkdirs()
+          assertIdsBelowStride(docs)
+          val docs10 = (0 until 10).map(c =>
+            docs.select((col("doc_id") + lit(idStride) * c).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars")))
+            .reduce(_ unionByName _)
+          docs10.repartition(8).write.mode("overwrite")
+            .parquet(s"$sf1x/documents.parquet")
+          Tables.names.filterNot(_ == "documents").foreach { t =>
+            val link = java.nio.file.Paths.get(s"$sf1x/$t.parquet")
+            if (!java.nio.file.Files.exists(link))
+              java.nio.file.Files.createSymbolicLink(link,
+                java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+          }
+          markerX.createNewFile()
+          ()
+        }
+        val dx = Tables.load(spark, sf1x, "documents")
+        println(s"[probe] sf1exact fixture at $sf1x: ${dx.count()} docs")
+        time("q273 dedup recipe on exact-copy 10x (collapse -> simhash)") {
+          operators.Dedup.dedupRecipePairs(dx, "doc_id", "text", maxDist = 2)
+            .count()
+        }
+        // the observe metric lands on the async listener bus — poll
+        val dl = System.nanoTime() + 15L * 1000000000L
+        while (operators.Dedup.CapStats.lastDropped("simhash").isEmpty &&
+          System.nanoTime() < dl) Thread.sleep(100)
+        val drops = operators.Dedup.CapStats.lastDropped("simhash")
+        println(s"[probe] simhash bucket-cap drops on the recipe run: " +
+          s"${drops.getOrElse(-1L)} (MUST be 0 — collapse removes the flood at source)")
+
       case "sf1" =>
         // ---- sf1 rehearsal: 10× documents/embeddings in 8 files each,
         // other tables linked from the base dir; runs the heavy-hitter

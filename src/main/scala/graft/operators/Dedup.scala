@@ -504,11 +504,23 @@ object Dedup {
     * exact — versus the raw corpus where the caps must activate (by
     * design) and announce what they dropped. Cost: one extra hash
     * shuffle over (id, hash) — O(n) — in exchange for a pair join whose
-    * bucket sizes no longer scale with copy-cluster size. The collapsed
-    * frame is eagerly checkpointed (same treatment as contentCollapse):
-    * it feeds both the width-sizing count and both sides of the band
-    * self-join, and recomputing a shuffle agg three times is the wrong
-    * trade at any scale. */
+    * bucket sizes no longer scale with copy-cluster size.
+    *
+    * Signature width is PINNED at the full 32 md5-hex bits, not
+    * auto-sized: after the collapse the binding constraint is BUCKET
+    * WIDTH, not signature saturation — the banded join buckets on
+    * bits/(maxDist+1)-bit chunks, and natural-text simhash bits are
+    * correlated enough that 5-7-bit chunks (what auto-width yields at
+    * 10^4-10^5 docs) concentrate >1024 keepers in the hot values
+    * (measured on the exact-copy 10× fixture: 1212 of 14976 members
+    * capped at auto width; ZERO at 32 bits). Width is free here — one
+    * md5-per-word pass either way — and 10-11-bit chunks keep hot
+    * buckets under the cap through ~10^8 keepers; past that, the
+    * documented production step is a wider (xxhash-based) signature.
+    * The collapsed frame is eagerly checkpointed (same treatment as
+    * contentCollapse): it feeds both sides of the band self-join, and
+    * recomputing the collapse shuffle twice is the wrong trade at any
+    * scale. */
   def dedupRecipePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 2): DataFrame = {
     val collapsed = docs
@@ -518,7 +530,8 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), min(col(textCol)).as("text"))
       .select(col("keeper_id"), col("text"))
       .localCheckpoint(true)
-    simhashNearDupPairs(collapsed, "keeper_id", "text", maxDist)
+    simhashBandedPairs(simhash(collapsed, "keeper_id", "text", bits = 32),
+      maxDist, bits = 32)
   }
 
   def simhash(docs: DataFrame, idCol: String, textCol: String,
@@ -1063,8 +1076,8 @@ object Dedup {
 
     // The composed PRODUCTION recipe (collapse ∘ simhash) as a graded
     // entry — the executable form of the q244 sf1 diagnosis: collapse
-    // exact copies first, then near-dup the residue with auto-width
-    // simhash; on copy-dense corpora the bucket caps stay silent.
+    // exact copies first, then near-dup the residue with full-width
+    // simhash; on exact-copy-dense corpora the bucket caps stay silent.
     "q273_dedup_recipe" -> ((s, dir) => {
       graft.functions.Shims.register(s)
       dedupRecipePairs(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -1205,27 +1218,23 @@ object Dedup {
         |ORDER BY keeper_id""".stripMargin,
 
     "q273_dedup_recipe" -> {
-      // collapse ∘ auto-width simhash: the q244 oracle's signature +
-      // width computation, run over the exact-collapsed corpus
+      // collapse ∘ full-width (32-bit) simhash: the q244 oracle's
+      // signature computation at its maximum width, run over the
+      // exact-collapsed corpus (width pinned — see dedupRecipePairs)
       val bits32 = (1 to 32).map(j =>
         s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
       ).mkString(" || ")
       s"""WITH collapsed AS (
          |  SELECT min(doc_id) AS keeper_id, min(text) AS text
          |  FROM documents GROUP BY md5(text)
-         |), bw AS (
-         |  SELECT least(32, greatest(16,
-         |    CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT) + 4)) AS bits
-         |  FROM collapsed
          |), sh AS (
-         |  SELECT keeper_id,
-         |    substring($bits32, 1, (SELECT bits FROM bw)) AS simhash
+         |  SELECT keeper_id, $bits32 AS simhash
          |  FROM (SELECT keeper_id, unnest(string_split(text, ' ')) AS word
          |        FROM collapsed) t
          |  GROUP BY keeper_id
          |), pairs AS (
          |  SELECT a.keeper_id AS doc_a, b.keeper_id AS doc_b,
-         |    CAST(len(list_filter(generate_series(1, len(a.simhash)),
+         |    CAST(len(list_filter(generate_series(1, 32),
          |         i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS dist
          |  FROM sh a JOIN sh b ON a.keeper_id < b.keeper_id
          |)

@@ -72,6 +72,20 @@ final class ConfigVersionStore(dir: String,
     write(new Path(root, "CURRENT"), id)
   }
 
+  /** Work-in-progress config draft (reference lib.rs:202-203
+    * `/configuration/draft` GET/PUT; one draft per store — the console's
+    * scratchpad, durable across server restarts but NOT versioned until
+    * applied). */
+  def saveDraft(content: String): Unit = synchronized {
+    fs.mkdirs(root)
+    write(new Path(root, "DRAFT"), content)
+  }
+
+  def draft(): Option[String] = synchronized {
+    val p = new Path(root, "DRAFT")
+    if (fs.exists(p)) Some(read(p)) else None
+  }
+
   def active(): Option[String] = synchronized {
     val p = new Path(root, "CURRENT")
     if (fs.exists(p)) Some(read(p).trim).filter(_.nonEmpty) else None

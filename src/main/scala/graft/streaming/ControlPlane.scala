@@ -53,6 +53,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `GET  /configuration` (alias `/config`) the ACTIVE version's id +
   *     YAML (reference lib.rs:199/209 `configuration`) — 404 before any
   *     apply, 503 without a version store.
+  *   - `GET/PUT /configuration/draft` (reference lib.rs:202-203) the
+  *     work-in-progress scratchpad: PUT stores the body durably in the
+  *     version store (unversioned until applied); GET answers the saved
+  *     draft or 204 when none exists.
   *
   * Observability (reference lib.rs:214-224; all UNAUTHENTICATED like the
   * reference's health router — k8s probes and Prometheus scrapers do not
@@ -628,6 +632,25 @@ final class ControlPlane(spark: SparkSession, port: Int,
               case None => respond(ex, 404,
                 """{"error":"no configuration applied yet"}""")
             }
+          }
+        case ("GET", "/configuration/draft") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) => store.draft() match {
+              case Some(yaml) => respond(ex, 200, s"""{"yaml":${js(yaml)}}""")
+              case None =>
+                // the reference answers NO_CONTENT when no draft exists
+                ex.sendResponseHeaders(204, -1)
+            }
+          }
+        case ("PUT", "/configuration/draft") =>
+          versions match {
+            case None => respond(ex, 503, """{"error":"no version store configured"}""")
+            case Some(store) =>
+              val body = new String(ex.getRequestBody.readAllBytes(),
+                StandardCharsets.UTF_8)
+              store.saveDraft(body)
+              respond(ex, 200, s"""{"saved":true,"bytes":${body.length}}""")
           }
         case ("GET", "/operations") =>
           val params = qparams(ex)

@@ -2144,11 +2144,11 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
       .sortBy(identity)
     // brute-force expected pairing over the collapsed residue (21 keepers
-    // -> all-pairs is trivial): the banded join must lose nothing
+    // -> all-pairs is trivial): the banded join must lose nothing. The
+    // recipe pins the full 32-bit width (see dedupRecipePairs).
     val collapsed = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
-    val sl = Dedup.simhash(collapsed, "doc_id", "text",
-        Dedup.simhashAutoBits(collapsed.count()))
+    val sl = Dedup.simhash(collapsed, "doc_id", "text", bits = 32)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val expected = (for {
       (ia, sa) <- sl; (ib, sb) <- sl if ia < ib

@@ -2709,6 +2709,12 @@ class StreamingSpec extends AnyFunSuite {
         sb2.contains("\"required\":[\"streams\"]"), sb2)
       // --- configuration: 404 before any apply, the active YAML after
       assert(call(s"$base/configuration", token = tok)._1 == 404)
+      // --- draft scratchpad: 204 before any save, echoed after PUT
+      assert(call(s"$base/configuration/draft", token = tok)._1 == 204)
+      assert(call(s"$base/configuration/draft", "PUT",
+        Some("streams: [] # wip"), tok)._1 == 200)
+      val (dgc, dgb) = call(s"$base/configuration/draft", token = tok)
+      assert(dgc == 200 && dgb.contains("wip"), dgb)
       val (ac, ab) = call(s"$base/config/apply", "POST", Some(yaml), tok)
       assert(ac == 202, ab)
       val vId = "\"version\":\"(cfg-[0-9a-f]+)\"".r
