@@ -117,6 +117,15 @@ object Dedup {
     /** Last observed dropped-member count for a label (test/ops hook). */
     def lastDropped(label: String): Option[Long] = Option(last.get(label))
 
+    /** Every label's last observed dropped count — the control plane's
+      * `/metrics` exposition source for the observe-based bucket caps
+      * (the accumulator-based counters expose through
+      * [[graft.functions.CapCountIf.all]]). */
+    def all(): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      last.asScala.toSeq.sortBy(_._1)
+    }
+
     private def ensureListener(spark: SparkSession): Unit = {
       if (sessions.add(spark))
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {

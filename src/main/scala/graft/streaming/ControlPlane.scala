@@ -347,6 +347,14 @@ final class ControlPlane(spark: SparkSession, port: Int,
         case _ => None
       }).toMap
 
+  /** Reference pagination shape: `page` ≥ 1, `page_size` clamped to
+    * [1, 100], default 50 (lib.rs operations/events handlers). */
+  private def pageParams(params: Map[String, String]): (Int, Int) = {
+    def int(k: String, dflt: Int) =
+      params.get(k).flatMap(_.toIntOption).getOrElse(dflt)
+    (math.max(1, int("page", 1)), math.min(100, math.max(1, int("page_size", 50))))
+  }
+
   private def opJson(o: OpRec): String =
     s"""{"id":${js(o.id)},"resource_id":${js(o.resourceId)},""" +
       s""""operation":${js(o.operation)},"state":${js(o.state)},""" +
@@ -407,6 +415,13 @@ final class ControlPlane(spark: SparkSession, port: Int,
     // accumulators) — "observable drops", operationally
     for ((label, n) <- graft.functions.CapCountIf.all()) {
       sb.append("graft_cap_dropped_rows_total{label=\"")
+        .append(promLabel(label)).append("\"} ").append(n).append('\n')
+    }
+    // ...and the observe-based LSH bucket caps (last observation per
+    // label — a gauge, not a counter: each capped run reports its own
+    // dropped-member total)
+    for ((label, n) <- graft.operators.Dedup.CapStats.all()) {
+      sb.append("graft_bucket_cap_last_dropped{label=\"")
         .append(promLabel(label)).append("\"} ").append(n).append('\n')
     }
     sb.toString
@@ -660,8 +675,10 @@ final class ControlPlane(spark: SparkSession, port: Int,
             .filter(o => params.get("resource_id").forall(_ == o.resourceId))
             .filter(o => params.get("operation").forall(_ == o.operation))
             .filter(o => params.get("state").forall(_ == o.state))
-          respond(ex, 200, s"""{"items":${f.map(opJson).mkString("[", ",", "]")},""" +
-            s""""total":${f.size}}""")
+          val (page, size) = pageParams(params)
+          respond(ex, 200, s"""{"items":${f.slice((page - 1) * size, page * size)
+            .map(opJson).mkString("[", ",", "]")},""" +
+            s""""page":$page,"page_size":$size,"total":${f.size}}""")
         case (m, s) if (m == "GET" || m == "DELETE") && s.startsWith("/operations/") =>
           // DELETE is the reference's cancel; lifecycle operations run
           // synchronously inside their request here, so the record is
@@ -681,8 +698,10 @@ final class ControlPlane(spark: SparkSession, port: Int,
           val f = items
             .filter(e => params.get("event_type").forall(_ == e.eventType))
             .filter(e => params.get("stream_id").forall(v => e.streamId.contains(v)))
-          respond(ex, 200, s"""{"items":${f.map(eventJson).mkString("[", ",", "]")},""" +
-            s""""total":${f.size}}""")
+          val (page, size) = pageParams(params)
+          respond(ex, 200, s"""{"items":${f.slice((page - 1) * size, page * size)
+            .map(eventJson).mkString("[", ",", "]")},""" +
+            s""""page":$page,"page_size":$size,"total":${f.size}}""")
         case ("POST", "/configuration/validate") | ("POST", "/config/validate") =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)

@@ -2741,6 +2741,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(m.contains("graft_streams_active"), m.take(400))
       assert(m.contains("graft_stream_starts_total{stream_id=\"gen-ops\"} 1"),
         m.take(400))
+      // --- BOTH drop-counter families expose through the scrape: tick
+      // the accumulator-based ppjoin prefix cap and the observe-based
+      // minhash bucket cap on a tiny flood corpus, then read them back
+      locally {
+        import spark.implicits._
+        val flood = (1 to 40).map(i =>
+          (i.toLong, "one shared template sentence repeated across docs"))
+          .toDF("doc_id", "text")
+        graft.operators.Dedup.prefixFilterJaccard(flood, "doc_id", "text",
+          0.5, prefixCap = 8).count()
+        graft.operators.Dedup.minhashPairs(flood, "doc_id", "text",
+          bucketCap = 8).count()
+      }
+      waitUntil("cap drop counters reach /metrics") {
+        val mm = call(s"$base/metrics")._2
+        mm.contains("graft_cap_dropped_rows_total{label=\"ppjoin_prefix\"}") &&
+          mm.contains("graft_bucket_cap_last_dropped{label=\"minhash\"}")
+      }
       // --- operations: apply + start recorded terminal, filterable;
       // DELETE (the reference's cancel) returns the terminal record
       val (oc, ob) = call(s"$base/operations", token = tok)
@@ -2754,6 +2772,12 @@ class StreamingSpec extends AnyFunSuite {
       val (dc2, db2) = call(s"$base/operations/$opId", "DELETE", token = tok)
       assert(dc2 == 200 && db2.contains("\"state\":\"succeeded\""), db2)
       assert(call(s"$base/operations/op-999999", token = tok)._1 == 404)
+      // pagination (the reference's Page shape): one item per page,
+      // total unchanged
+      val (pc, pb) = call(s"$base/operations?page_size=1", token = tok)
+      assert(pc == 200 && pb.contains("\"page_size\":1"), pb)
+      assert(pb.split("\"id\":").length == 2, s"exactly one record per page: $pb")
+      assert("\"total\":[2-9]".r.findFirstIn(pb).isDefined, pb)
       // --- events: config_applied + stream_started visible, filterable
       val (ec, eb) = call(s"$base/events", token = tok)
       assert(ec == 200 && eb.contains("\"event_type\":\"config_applied\"") &&
