@@ -82,10 +82,16 @@ object CapCountIf {
     new java.util.concurrent.ConcurrentHashMap[(String, String), LongAccumulator]()
 
   /** The named drop accumulator for `label` (registered once per Spark
-    * APPLICATION; named `graft_cap/<label>` so it shows in the Spark UI). */
-  def accumulator(spark: SparkSession, label: String): LongAccumulator =
-    accs.computeIfAbsent((spark.sparkContext.applicationId, label),
+    * APPLICATION; named `graft_cap/<label>` so it shows in the Spark UI).
+    * Entries for DEAD applications evict on first registration under a
+    * new one — a JVM cycling SparkSessions must not grow the map by a
+    * dead app's labels forever. */
+  def accumulator(spark: SparkSession, label: String): LongAccumulator = {
+    val app = spark.sparkContext.applicationId
+    accs.keySet.removeIf(_._1 != app) // O(labels) — the map holds one app
+    accs.computeIfAbsent((app, label),
       _ => spark.sparkContext.longAccumulator(s"graft_cap/$label"))
+  }
 
   /** Cumulative dropped-row count for a label since the ACTIVE
     * application started (None when no session is active or the label

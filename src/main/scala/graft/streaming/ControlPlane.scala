@@ -120,14 +120,14 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // can trail by a listener-bus tick.
   // both maps are BOUNDED (most recent 1000) — a long-lived service
   // cycling short queries must not leak a stack trace per termination
-  private def boundedMap(): java.util.Map[String, String] =
+  private def boundedMap[V](): java.util.Map[String, V] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, String](16, 0.75f, false) {
+      new java.util.LinkedHashMap[String, V](16, 0.75f, false) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, String]): Boolean = size() > 1000
+            e: java.util.Map.Entry[String, V]): Boolean = size() > 1000
       })
-  private val terminated = boundedMap()
-  private val names = boundedMap()
+  private val terminated = boundedMap[String]()
+  private val names = boundedMap[String]()
 
   // ---- events + operations (reference lib.rs:195-198) -------------------
   // Both logs are BOUNDED rings (most recent 1000) for the same reason
@@ -160,17 +160,9 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // cumulative input rows per stream (by display name), accumulated from
   // progress events — the reference's input_messages counter analogue;
   // bounded like the other per-stream maps
-  private val rowsTotal = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 1000
-    })
+  private val rowsTotal = boundedMap[java.lang.Long]()
   // control-plane (re)starts per stream id — /metrics' restarts counter
-  private val startCounts = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 1000
-    })
+  private val startCounts = boundedMap[java.lang.Long]()
 
   private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(
@@ -189,8 +181,16 @@ final class ControlPlane(spark: SparkSession, port: Int,
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
       val exc = e.exception.getOrElse("")
       terminated.put(e.id.toString, exc)
-      if (exc.isEmpty) recordEvent("query_terminated", None, e.id.toString)
-      else recordEvent("query_failed", None,
+      // recover the stream NAME from the started-event record so
+      // `/events?stream_id=...` — the operator's natural per-stream
+      // query — surfaces failures, not just starts
+      val sid = names.synchronized {
+        import scala.jdk.CollectionConverters._
+        names.asScala.collectFirst {
+          case (n, id) if id == e.id.toString => n }
+      }
+      if (exc.isEmpty) recordEvent("query_terminated", sid, e.id.toString)
+      else recordEvent("query_failed", sid,
         s"${e.id}: ${exc.linesIterator.nextOption().getOrElse("")}")
     }
   }
@@ -290,8 +290,12 @@ final class ControlPlane(spark: SparkSession, port: Int,
           failedIds ::= sid; false
         }
       }
-    val dropped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
-    dropped.filter(safeStop).foreach(d =>
+    // only streams whose stop() actually SUCCEEDED are reported stopped —
+    // a stream that would not stop is still running under the old config
+    // and belongs in `failed`, not `stopped`
+    val stopped = oldIds.filterNot(ids.contains).filter(find(_).isDefined)
+      .filter(safeStop)
+    stopped.foreach(d =>
       recordEvent("stream_stopped", Some(d), s"dropped by config $op"))
     val restarted = liveRegistry.filter { case (sid, _) => find(sid).isDefined }
       .flatMap { case (sid, sc) =>
@@ -312,12 +316,18 @@ final class ControlPlane(spark: SparkSession, port: Int,
       }
     recordEvent(if (op == "apply") "config_applied" else "config_rollback",
       None, id)
-    recordOp("configuration", op, "succeeded", id)
+    // a partial failure must be durable past the HTTP response: the
+    // operation record carries state "failed" with the affected ids so
+    // `/operations?state=failed` surfaces it later
+    val failed = failedIds.distinct.sorted
+    recordOp("configuration", op,
+      if (failed.isEmpty) "succeeded" else "failed",
+      if (failed.isEmpty) id else s"$id; streams failed: ${failed.mkString(",")}")
     s"""{"applied":true,"version":${js(id)},""" +
       s""""streams":${ids.map(js).mkString("[", ",", "]")},""" +
       s""""restarted":${restarted.map(js).mkString("[", ",", "]")},""" +
-      s""""failed":${failedIds.distinct.sorted.map(js).mkString("[", ",", "]")},""" +
-      s""""stopped":${dropped.map(js).mkString("[", ",", "]")}}"""
+      s""""failed":${failed.map(js).mkString("[", ",", "]")},""" +
+      s""""stopped":${stopped.map(js).mkString("[", ",", "]")}}"""
   }
 
   /** The registered component chain for a stream id — the console's
@@ -623,11 +633,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
           versions match {
             case None => respond(ex, 503, """{"error":"no version store configured"}""")
             case Some(store) =>
-              val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-              val params = q.split("&").flatMap(_.split("=", 2) match {
-                case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
-                case _ => None
-              }).toMap
+              val params = qparams(ex)
               (params.get("from").flatMap(store.load),
                 params.get("to").flatMap(store.load)) match {
                 case (Some(f), Some(t)) => respond(ex, 200,
@@ -665,7 +671,8 @@ final class ControlPlane(spark: SparkSession, port: Int,
               val body = new String(ex.getRequestBody.readAllBytes(),
                 StandardCharsets.UTF_8)
               store.saveDraft(body)
-              respond(ex, 200, s"""{"saved":true,"bytes":${body.length}}""")
+              respond(ex, 200, s"""{"saved":true,"bytes":${
+                body.getBytes(StandardCharsets.UTF_8).length}}""")
           }
         case ("GET", "/operations") =>
           val params = qparams(ex)

@@ -2789,6 +2789,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(call(s"$base/streams/gen-ops/stop", "POST", token = tok)._1 == 200)
       val (e2c, e2b) = call(s"$base/events?event_type=stream_stopped", token = tok)
       assert(e2c == 200 && e2b.contains("gen-ops"), e2b)
+      // ...and the listener's termination event resolves the stream NAME,
+      // so the per-stream filter surfaces it (not just the start)
+      waitUntil("query_terminated event carries the stream id") {
+        call(s"$base/events?stream_id=gen-ops&event_type=query_terminated",
+          token = tok)._2.contains("query_terminated")
+      }
+      // --- a config whose stream fails to RESTART records a DURABLE
+      // failed operation (the 202 body's `failed` list is ephemeral);
+      // the dropped/stopped lists stay truthful
+      assert(call(s"$base/streams/gen-ops/start", "POST", token = tok)._1 == 202)
+      val badYaml =
+        s"""streams:
+           |  - id: gen-ops
+           |    input:
+           |      type: file
+           |      path: /nonexistent_graft_ops_probe
+           |    pipeline:
+           |      processors: []
+           |    output:
+           |      type: parquet
+           |      path: $dir/out2
+           |""".stripMargin
+      val (bac, bab) = call(s"$base/config/apply", "POST", Some(badYaml), tok)
+      assert(bac == 202 && bab.contains("\"failed\":[\"gen-ops\"]"), bab)
+      val (foc, fob) = call(s"$base/operations?state=failed", token = tok)
+      assert(foc == 200 && fob.contains("\"operation\":\"apply\"") &&
+        fob.contains("gen-ops"), fob)
     } finally {
       spark.streams.active.filter(q => Option(q.name).contains("gen-ops"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
