@@ -522,10 +522,14 @@ object Dedup {
     * correlated enough that 5-7-bit chunks (what auto-width yields at
     * 10^4-10^5 docs) concentrate >1024 keepers in the hot values
     * (measured on the exact-copy 10× fixture: 1212 of 14976 members
-    * capped at auto width; ZERO at 32 bits). Width is free here — one
-    * md5-per-word pass either way — and 10-11-bit chunks keep hot
-    * buckets under the cap through ~10^8 keepers; past that, the
-    * documented production step is a wider (xxhash-based) signature.
+    * capped at auto width; ZERO at 32 bits over its 5k keepers). Width
+    * is free here — one md5-per-word pass either way. The 32-bit pin is
+    * NOT unconditional headroom: by ~500k near-distinct keepers the
+    * same bit correlation floods hot 10-11-bit chunk values past the
+    * cap again (measured, ScaleProbe sf100: ~half the stacked members
+    * dropped, announced by the counter) — past ~10^5 keepers the
+    * production step is a wider (xxhash-based 64/128-bit) signature,
+    * which the md5-hex representation caps at 32 today.
     * The collapsed frame is eagerly checkpointed (same treatment as
     * contentCollapse): it feeds both sides of the band self-join, and
     * recomputing the collapse shuffle twice is the wrong trade at any
