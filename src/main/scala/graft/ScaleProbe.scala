@@ -270,6 +270,30 @@ object ScaleProbe {
           val t100 = run(sf100)
           println(f"[probe] $name%-28s 1x ${t1}%7.2f s   100x ${t100}%8.2f s   ratio ${t100 / t1}%6.1f (input 100x)")
         }
+      case "wide100" =>
+        // ---- the round-15 width fix, measured at the boundary that
+        // falsified the 32-bit claim: banded pairing over the sf100
+        // fixture (500k near-distinct docs; build via `sf100` first) at
+        // 32 vs 64 bits. 32-bit chunks (10-11 bits) flood hot values
+        // past cap=1024 (announced); 64-bit chunks (21-22 bits) must
+        // hold the same corpus with far fewer (ideally zero) capped
+        // members. ----
+        val sf100w = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+        require(new java.io.File(s"$sf100w/.built").exists(),
+          "run `ScaleProbe sf100` first to build the fixture")
+        val d100w = Tables.load(spark, sf100w, "documents").localCheckpoint(true)
+        val n100w = d100w.count()
+        for (b <- Seq(32, 64)) {
+          time(s"simhash bits=$b banded pairs (n=$n100w)") {
+            operators.Dedup.simhashBandedPairs(
+              operators.Dedup.simhash(d100w, "doc_id", "text", bits = b),
+              maxDist = 2, bits = b).count()
+          }
+          Thread.sleep(10000) // the observe metric rides the async bus
+          println(s"[probe] bits=$b simhash bucket-cap last dropped: " +
+            s"${operators.Dedup.CapStats.lastDropped("simhash").getOrElse(-1L)}")
+        }
+
       case "q90exact" =>
         // the exact-copy blow-up the collapse fixes: k identical copies
         // are O(k²) candidate pairs without it, O(k) rows through the

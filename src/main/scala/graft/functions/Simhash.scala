@@ -14,10 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * once per bit and allocates the intermediate hash strings; this is a
   * single loop with an int[] of counters and zero intermediate arrays.
   *
-  * Bit j (1-based hex digit j of each word's md5) votes +1 when the
-  * digit is >= '8', −1 otherwise; the signature bit is "1" when the sum
-  * is positive — IDENTICAL semantics (and output) to the composed form
-  * and to the DuckDB oracle's exploded sum, just faster.
+  * Bit layout (up to 128 — the full md5 digest): vote j reads hex digit
+  * `j % 32` of each word's md5 and takes that digit's bit-plane
+  * `3 - j/32` (MSB first). Plane 0 — bits 0..31 — is "digit >= '8'",
+  * IDENTICAL semantics (and output) to the composed form, the DuckDB
+  * oracle's exploded sum, and every signature persisted at width ≤ 32;
+  * planes 1..3 unlock digit bits 2..0, giving 64/96/128-bit signatures
+  * whose ≤32-bit PREFIX matches the narrow signature byte-for-byte (the
+  * widening-never-invalidates property simhashAutoBits documents). The
+  * wide widths exist for bucket-width headroom at ≥10^5 keepers
+  * (SCALING.md round-15 100× correction) — every md5 bit is an
+  * independent hyperplane vote, so planes are as sound as digits.
   */
 case class SimhashBits(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,6 +45,8 @@ case class SimhashBits(left: Expression, right: Expression)
 
 object SimhashBits {
   def signature(ws: ArrayData, bits: Int): UTF8String = {
+    require(bits >= 1 && bits <= 128,
+      s"simhash_bits width must be in [1, 128] (the md5 digest), got $bits")
     val votes = new Array[Int](bits)
     val n = ws.numElements()
     var i = 0
@@ -47,8 +56,10 @@ object SimhashBits {
           .md5Hex(ws.getUTF8String(i).getBytes)
         var j = 0
         while (j < bits) {
-          // hex digit >= '8': '8','9' or 'a'..'f' (lowercase hex)
-          if (hex.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
+          // vote j: bit-plane (3 - j/32) of hex digit (j % 32); plane 0
+          // is the historical "digit >= '8'" (digit bit 3, MSB)
+          val v = Character.digit(hex.charAt(j % 32), 16)
+          if (((v >> (3 - j / 32)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
       } else {

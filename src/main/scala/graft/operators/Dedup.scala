@@ -549,7 +549,9 @@ object Dedup {
 
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 32): DataFrame = {
-    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32] (md5 hex chars), got $bits")
+    // widths past 32 use the digest's lower bit-planes (SimhashBits
+    // layout): a narrower signature stays a PREFIX of the wider one
+    require(bits >= 1 && bits <= 128, s"bits must be in [1, 128] (the md5 digest), got $bits")
     // ROW-LOCAL and single-pass: a signature depends only on the
     // document's own words, and the codegen [[graft.functions.SimhashBits]]
     // expression computes every bit in ONE md5-per-word loop — no
@@ -1098,6 +1100,21 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The WIDE-signature near-dup pairing — the scale path past the
+    // 100× bucket-flood boundary (SCALING.md round-15 correction):
+    // 64-bit signatures from the md5 digest's second bit-plane give
+    // 21-22-bit band chunks at maxDist=2, re-buying the bucket headroom
+    // 32 bits loses by ~10^5 keepers. The ≤32-bit prefix of every wide
+    // signature matches the narrow one byte-for-byte, so persisted
+    // 32-bit pair tables stay valid under widening.
+    "q275_simhash_wide" -> ((s, dir) => {
+      graft.functions.Shims.register(s)
+      simhashBandedPairs(
+        simhash(Tables.load(s, dir, "documents"), "doc_id", "text", bits = 64),
+        maxDist = 2, bits = 64)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q51_minhash_lsh" -> ((s, dir) =>
       minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1300,6 +1317,29 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q275_simhash_wide" -> {
+      // 64 votes: bit-plane 3 - j/32 (MSB first) of hex digit j % 32 —
+      // plane 0 is the historical "digit >= '8'", plane 1 is digit bit 2
+      val bits64 = (0 until 64).map { j =>
+        val pos = j % 32 + 1
+        val pw = if (j / 32 == 0) 8 else 4
+        s"CASE WHEN sum(CASE WHEN (strpos('0123456789abcdef', substring(md5(word), $pos, 1)) - 1) // $pw % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $bits64 AS simhash
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents) t
+         |  GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_filter(generate_series(1, 64),
+         |       i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_filter(generate_series(1, 64),
+         |      i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q274_minhash_estimate_sampled" ->
       """WITH w AS (

@@ -2166,6 +2166,41 @@ class OperatorsSpec extends AnyFunSuite {
       "collapse-first must leave the simhash bucket caps silent")
   }
 
+  test("wide simhash signatures: the <=32-bit prefix is byte-identical to " +
+      "the narrow signature, planes add independent bits, and the 64-bit " +
+      "banded pairing equals brute force") {
+    import spark.implicits._
+    graft.functions.Shims.register(spark)
+    val docs = ((1 to 30).map(i =>
+      (i.toLong, s"document number $i with some shared words alpha beta gamma")) ++
+      Seq((31L, "document number 1 with some shared words alpha beta gamme")))
+      .toDF("doc_id", "text")
+    val narrow = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wide = Dedup.simhash(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wide.values.forall(_.length == 64))
+    narrow.foreach { case (id, sig) =>
+      assert(wide(id).take(32) == sig,
+        s"widening must preserve the narrow signature as a prefix (doc $id)")
+    }
+    // plane 1 must be genuinely independent information, not a copy
+    assert(wide.values.exists(s => s.take(32) != s.drop(32)),
+      "the second bit-plane must differ from the first")
+    // 64-bit banded pairing == brute-force hamming<=2 over the signatures
+    val got = Dedup.simhashBandedPairs(
+        Dedup.simhash(docs, "doc_id", "text", bits = 64), maxDist = 2, bits = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity)
+    val sl = wide.toSeq.sortBy(_._1)
+    val expected = (for {
+      (ia, sa) <- sl; (ib, sb) <- sl if ia < ib
+      d = sa.zip(sb).count { case (x, y) => x != y } if d <= 2
+    } yield (ia, ib, d)).sortBy(identity)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("CapCountIf counts NULL predicates as drops — Filter discards a " +
       "NULL condition exactly like false, so both must tick the counter") {
     import spark.implicits._
