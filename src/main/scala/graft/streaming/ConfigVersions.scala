@@ -32,10 +32,22 @@ final class ConfigVersionStore(dir: String,
   // stored versions (birthday bound) — far past any config log; save()
   // still verifies content on id reuse so even a collision fails loudly
   // instead of silently aliasing a new config to an old one.
-  private def idOf(content: String): String = {
+  //
+  // FORMAT MIGRATION: ids were 12 hex chars before round 15. A store
+  // written by the old format keeps its files loadable/rollbackable
+  // (load() is id-agnostic), and save() probes the LEGACY id first so
+  // re-applying content that already exists under a 12-hex id reuses
+  // that id instead of writing a 16-hex twin — the content-addressed
+  // "identical content reuses the id" property holds across the
+  // migration, not just within one format.
+  private def idOf(content: String): String = digestHex(content, 8)
+
+  private def legacyIdOf(content: String): String = digestHex(content, 6)
+
+  private def digestHex(content: String, nBytes: Int): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(content.getBytes(StandardCharsets.UTF_8))
-    "cfg-" + d.take(8).map(b => f"$b%02x").mkString
+    "cfg-" + d.take(nBytes).map(b => f"$b%02x").mkString
   }
 
   private def write(p: Path, content: String): Unit = {
@@ -51,9 +63,14 @@ final class ConfigVersionStore(dir: String,
   /** Persist `content`; returns its (possibly pre-existing) version id.
     * On id reuse the stored bytes must MATCH — a digest collision
     * aliasing distinct configs would otherwise make rollback restore the
-    * wrong configuration. */
+    * wrong configuration. Probes the pre-round-15 12-hex id first (see
+    * the format-migration note on [[idOf]]): content already stored
+    * under the legacy format keeps its id. */
   def save(content: String): String = synchronized {
     fs.mkdirs(root)
+    val legacy = legacyIdOf(content)
+    val lp = new Path(root, s"$legacy.yaml")
+    if (fs.exists(lp) && read(lp) == content) return legacy
     val id = idOf(content)
     val p = new Path(root, s"$id.yaml")
     if (!fs.exists(p)) write(p, content)

@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Routes (all JSON):
   *   - `GET  /system`            Spark version / app id / parallelism
+  *   - `GET  /status`            EngineStatus rollup — version / state /
+  *     uptime_seconds / streams_total / running / failed (reference
+  *     lib.rs:187, control.rs:254-261): the first thing a dashboard polls
+  *   - `GET  /node` / `GET /nodes` the single-node NodeResource and its
+  *     one-element page (reference lib.rs:188-189) — the degenerate
+  *     standalone form; the multi-node hub/agent registry stays mapped
+  *     to the cluster manager (below)
   *   - `GET  /streams`           every active query: id, runId, name
   *   - `GET  /streams/{id}`      one query: status + lastProgress
   *     ({id} matches the query's name OR its UUID id)
@@ -243,7 +250,20 @@ final class ControlPlane(spark: SparkSession, port: Int,
       id: String, op: String): Unit =
     liveRegistry.find(_._1 == id) match {
       case Some((_, sc)) =>
-        val q = Engine.runStream(spark, sc, id)
+        // a start that THROWS (bad broker URL, missing path, ...) must
+        // leave the same durable trail a failed config apply leaves —
+        // an /operations record in state "failed" plus a stream event —
+        // not just the generic 500 (round-15 ADVICE)
+        val q = try Engine.runStream(spark, sc, id)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            recordEvent("stream_failed", Some(id), s"$op failed: $msg")
+            val opId = recordOp(id, op, "failed", msg)
+            respond(ex, 500, s"""{"id":${js(id)},"started":false,""" +
+              s""""operation":${js(opId)},"error":${js(msg)}}""")
+            return
+        }
         startCounts.merge(id, 1L,
           (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
         recordEvent("stream_started", Some(id),
@@ -330,6 +350,51 @@ final class ControlPlane(spark: SparkSession, port: Int,
       s""""stopped":${stopped.map(js).mkString("[", ",", "]")}}"""
   }
 
+  private val startedAtMs = System.currentTimeMillis()
+
+  /** The `/status` EngineStatus rollup (reference lib.rs:187,
+    * control.rs:254-261 — version/state/uptime/streams counts): the
+    * first thing a dashboard polls. `streams_total` counts every stream
+    * the server knows of (registered configs ∪ active queries);
+    * `streams_failed` counts active queries sitting on an exception
+    * PLUS registered streams whose last termination was a failure —
+    * the reference's Failed stream state analogue. */
+  private def engineStatus(): (String, Long, Int, Int, Int) = {
+    val active = spark.streams.active
+    val failedActive = active.count(_.exception.isDefined)
+    val registryIds = liveRegistry.map(_._1)
+    val inactiveFailed = registryIds
+      .filterNot(id => find(id).isDefined)
+      .count(id => Option(names.get(id))
+        .flatMap(qid => Option(terminated.get(qid))).exists(_.nonEmpty))
+    val total = (registryIds ++ active.flatMap(q =>
+      Option(q.name).orElse(Some(q.id.toString)))).distinct.size
+    val state = if (spark.sparkContext.isStopped) "stopped" else "running"
+    (state, (System.currentTimeMillis() - startedAtMs) / 1000,
+      total, active.length - failedActive, failedActive + inactiveFailed)
+  }
+
+  private def statusJson(): String = {
+    val (state, up, total, running, failed) = engineStatus()
+    s"""{"version":${js(spark.sparkContext.version)},"state":${js(state)},""" +
+      s""""uptime_seconds":$up,"streams_total":$total,""" +
+      s""""streams_running":$running,"streams_failed":$failed}"""
+  }
+
+  /** The single-node `/node` resource (reference lib.rs:188,
+    * control.rs:200-211 NodeResource — the degenerate standalone form;
+    * the multi-node hub registry stays mapped to the cluster manager,
+    * see the class doc). */
+  private def nodeJson(): String = {
+    val (state, up, total, running, failed) = engineStatus()
+    s"""{"id":${js(spark.sparkContext.applicationId)},"role":"standalone",""" +
+      s""""version":${js(spark.sparkContext.version)},"state":${js(state)},""" +
+      s""""uptime_seconds":$up,""" +
+      s""""capabilities":["stream_runtime","local_configuration"],""" +
+      s""""streams_total":$total,"streams_running":$running,""" +
+      s""""streams_failed":$failed,"maintenance_state":"active"}"""
+  }
+
   /** The registered component chain for a stream id — the console's
     * per-stream pipeline column (`input -> processors... -> output`). */
   private def pipelineOf(name: String): Option[String] =
@@ -413,10 +478,20 @@ final class ControlPlane(spark: SparkSession, port: Int,
         }
       }
     }
+    // HELP documents the bounded-map reset semantics (round-15 ADVICE):
+    // these counters live in an LRU bounded at 1000 distinct stream
+    // names, so past that a least-recently-updated series is evicted and
+    // RESTARTS FROM ZERO if the stream reports again — scrapers should
+    // treat a decrease as a counter reset (Prometheus rate()/increase()
+    // already do exactly that for restarted targets).
+    sb.append("# HELP graft_stream_input_rows_total Cumulative input rows per stream; bounded registry (1000 streams) — an evicted series restarts from 0 (treat decreases as counter resets).\n")
+    sb.append("# TYPE graft_stream_input_rows_total counter\n")
     rowsTotal.synchronized {
       rowsTotal.forEach((k, v) =>
         line("graft_stream_input_rows_total", k, v.toString))
     }
+    sb.append("# HELP graft_stream_starts_total Control-plane (re)starts per stream; bounded registry (1000 streams) — an evicted series restarts from 0 (treat decreases as counter resets).\n")
+    sb.append("# TYPE graft_stream_starts_total counter\n")
     startCounts.synchronized {
       startCounts.forEach((k, v) =>
         line("graft_stream_starts_total", k, v.toString))
@@ -532,6 +607,17 @@ final class ControlPlane(spark: SparkSession, port: Int,
             s"""{"sparkVersion":${js(sc.version)},"appId":${js(sc.applicationId)},""" +
               s""""defaultParallelism":${sc.defaultParallelism},""" +
               s""""activeStreams":${spark.streams.active.length}}""")
+        case ("GET", "/status") =>
+          respond(ex, 200, statusJson())
+        case ("GET", "/node") =>
+          respond(ex, 200, nodeJson())
+        case ("GET", "/nodes") =>
+          // the single-node page (reference lib.rs:189): one element,
+          // reference pagination shape
+          val (page, size) = pageParams(qparams(ex))
+          val items = if (page == 1) s"[${nodeJson()}]" else "[]"
+          respond(ex, 200, s"""{"items":$items,"page":$page,""" +
+            s""""page_size":$size,"total":1}""")
         case ("GET", "/streams") =>
           respond(ex, 200,
             spark.streams.active.map(streamSummary).mkString("[", ",", "]"))

@@ -2145,7 +2145,7 @@ class OperatorsSpec extends AnyFunSuite {
       .sortBy(identity)
     // brute-force expected pairing over the collapsed residue (21 keepers
     // -> all-pairs is trivial): the banded join must lose nothing. The
-    // recipe pins the full 32-bit width (see dedupRecipePairs).
+    // recipe auto-width chooses 32 at this scale (recipeAutoBits).
     val collapsed = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
     val sl = Dedup.simhash(collapsed, "doc_id", "text", bits = 32)
@@ -2164,6 +2164,63 @@ class OperatorsSpec extends AnyFunSuite {
       System.nanoTime() < deadline2) Thread.sleep(100)
     assert(Dedup.CapStats.lastDropped("simhash").contains(0L),
       "collapse-first must leave the simhash bucket caps silent")
+  }
+
+  test("recipeAutoBits tracks log2(keepers): 32 at every graded scale, 64 " +
+      "past the ~1.3e5 breakpoint (incl. the measured 5e5 flooding " +
+      "boundary), plane-aligned, capped at 128") {
+    import Dedup.recipeAutoBits
+    // the 10^4 / 10^5 / 10^6 breakpoints (round-15 verdict)
+    assert(recipeAutoBits(10000L) == 32)
+    assert(recipeAutoBits(100000L) == 32)
+    assert(recipeAutoBits(1000000L) == 64)
+    // exact breakpoint: 2^17 is the last 32-bit scale (chunkBits
+    // = ceil(log2 n) - 7 crosses 32/3 = 10 there)
+    assert(recipeAutoBits(131072L) == 32)
+    assert(recipeAutoBits(131073L) == 64)
+    // the measured endpoints (SCALING.md round-15): 5e5 keepers flooded
+    // 32-bit chunks and the 64-bit fix held — auto must pick the fix
+    assert(recipeAutoBits(500000L) == 64)
+    // degenerate + wide tails
+    assert(recipeAutoBits(0L) == 32 && recipeAutoBits(1L) == 32)
+    assert(recipeAutoBits(1000000000L) == 96)       // 10^9
+    assert(recipeAutoBits(1000000000000L) == 128)   // 10^12
+    assert(recipeAutoBits(Long.MaxValue / 2) == 128) // saturates, no throw
+    // monotone in keepers (a bigger corpus never narrows the signature)
+    val pts = Seq(1L, 100L, 10000L, 131072L, 131073L, 1L << 20, 1L << 25,
+      1L << 30, 1L << 40, 1L << 50)
+    assert(pts.map(recipeAutoBits(_)).sliding(2).forall(w => w.head <= w.last))
+  }
+
+  test("dedupRecipePairs reliable-checkpoint option: identical pairs to " +
+      "the default localCheckpoint path, and the checkpoint actually " +
+      "lands on the filesystem") {
+    import spark.implicits._
+    graft.functions.Shims.register(spark)
+    val docs = ((for { t <- 0 until 5; c <- 0 until 4 } yield
+      ((t * 100 + c).toLong,
+        s"template $t alpha beta gamma delta epsilon zeta")) ++
+      (for (t <- 0 until 5) yield
+        ((t * 100 + 50).toLong,
+          s"template $t alpha beta gamma delta epsilon eta")))
+      .toDF("doc_id", "text")
+    def run(ckpt: Option[String]) =
+      Dedup.dedupRecipePairs(docs, "doc_id", "text", maxDist = 2,
+        checkpointDir = ckpt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+        .sortBy(identity).toSeq
+    val dflt = run(None)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val reliable = run(Some(tmp.toString))
+    assert(reliable == dflt, "checkpoint substrate must not change results")
+    assert(dflt.nonEmpty, "fixture must produce near-dup pairs")
+    // the reliable path wrote real checkpoint data under the dir
+    def walkSize(p: java.io.File): Long =
+      if (p.isDirectory) Option(p.listFiles).toSeq.flatten.map(walkSize).sum
+      else p.length
+    assert(walkSize(tmp.toFile) > 0L,
+      "reliable checkpoint must materialize under the supplied dir")
   }
 
   test("wide simhash signatures: the <=32-bit prefix is byte-identical to " +
@@ -2218,6 +2275,35 @@ class OperatorsSpec extends AnyFunSuite {
         s"${graft.functions.CapCountIf.droppedTotal(label)}")
     // the label surfaces through the /metrics exposition source
     assert(graft.functions.CapCountIf.all().exists(_._1 == label))
+  }
+
+  test("CapCountIf eviction is liveness-keyed: a concurrent session's " +
+      "counters survive a registration from another app") {
+    import graft.functions.CapCountIf
+    val sc = spark.sparkContext
+    val label = s"evict_${System.nanoTime()}"
+    // simulate a SECOND concurrently-active application: an entry under
+    // a foreign app id whose owning context is ALIVE (one JVM holds one
+    // SparkContext, so the foreign entry borrows the live one — the
+    // eviction predicate reads only ctx.isStopped, which is what's
+    // under test here)
+    val foreignAcc = sc.longAccumulator(s"graft_cap/$label")
+    foreignAcc.add(42L)
+    CapCountIf.accs.put(("app-other-session", label), (sc, foreignAcc))
+    try {
+      // registering from the CURRENT app must NOT evict the live
+      // foreign entry (pre-round-16 code evicted "anything not me",
+      // silently resetting the other session's cumulative drop counts)
+      CapCountIf.accumulator(spark, label).add(1L)
+      val survived = Option(CapCountIf.accs.get(("app-other-session", label)))
+      assert(survived.exists(_._2.value == 42L),
+        "a live concurrent session's accumulator must survive registration " +
+          "from another app")
+      // and the two apps' counters stay independent
+      assert(CapCountIf.droppedTotal(label).contains(1L))
+    } finally {
+      CapCountIf.accs.remove(("app-other-session", label)); ()
+    }
   }
 
   test("distributed CC equals driver union-find on a propagation-hungry chain graph") {
