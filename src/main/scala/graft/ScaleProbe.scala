@@ -294,6 +294,65 @@ object ScaleProbe {
             s"${operators.Dedup.CapStats.lastDropped("simhash").getOrElse(-1L)}")
         }
 
+      case "q275sf1" =>
+        // ---- q275 graded at sf1 (round-16): the DuckDB oracle's
+        // all-pairs self-join is infeasible at 50k docs (1.25B pairs,
+        // each evaluating a 64-wide list_filter twice), so the 10×
+        // compare is IN-ENGINE: the banded pairing vs a brute-force
+        // cross-join over the SAME signatures — independent join
+        // strategies that must agree exactly. Signature semantics are
+        // row-local (scale-invariant) and oracle-verified at sf0.01;
+        // this validates the BANDED JOIN (chunking, first-agreeing-chunk
+        // dedup, caps) at 10× scale. ----
+        val sf1q = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        require(new java.io.File(s"$sf1q/.built").exists(),
+          "run `ScaleProbe sf1` first to build the fixture")
+        val dq = Tables.load(spark, sf1q, "documents")
+        val sigs = operators.Dedup.simhash(dq, "doc_id", "text", bits = 64)
+          .localCheckpoint(true)
+        println(s"[probe] sf1 docs=${sigs.count()}")
+        def pairs(df: DataFrame): Seq[(Long, Long, Int)] =
+          df.select(col("doc_a"), col("doc_b"), col("dist"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+            .sortBy(identity)
+        // UNCAPPED banded join: must equal brute force EXACTLY — this
+        // validates chunking + first-agreeing-chunk dedup at 10× scale
+        var uncapped: Seq[(Long, Long, Int)] = null
+        time("q275 banded pairing UNCAPPED (64-bit, maxDist=2) at sf1") {
+          uncapped = pairs(operators.Dedup.simhashBandedPairs(sigs,
+            maxDist = 2, bits = 64, bucketCap = Int.MaxValue))
+          uncapped.size.toLong
+        }
+        // default-cap run: on THIS fixture (10-deep near-dup clusters ×
+        // template similarity) the 1024 cap activates — report the
+        // announced drops and the recall delta honestly
+        var capped: Seq[(Long, Long, Int)] = null
+        time("q275 banded pairing default cap=1024 at sf1") {
+          capped = pairs(operators.Dedup.simhashBandedPairs(sigs,
+            maxDist = 2, bits = 64))
+          capped.size.toLong
+        }
+        var brute: Seq[(Long, Long, Int)] = null
+        time("brute-force cross-join hamming<=2 at sf1 (1.25B pairs)") {
+          val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+          val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+          brute = pairs(a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+            .withColumn("dist", expr("hamming_distance(sig_a, sig_b)"))
+            .filter(col("dist") <= 2))
+          brute.size.toLong
+        }
+        println(s"[probe] uncapped=${uncapped.size} brute=${brute.size} " +
+          s"identical=${uncapped == brute}")
+        val missing = brute.toSet -- capped.toSet
+        println(s"[probe] default-cap pairs=${capped.size}: ${missing.size} " +
+          s"of ${brute.size} true pairs lost to announced bucket caps " +
+          f"(${100.0 * missing.size / math.max(1, brute.size)}%.3f%% recall cost)")
+        require(uncapped == brute,
+          "UNCAPPED banded pairing must equal brute force at sf1")
+        require(capped.toSet.subsetOf(brute.toSet),
+          "caps may only remove pairs, never invent them")
+
       case "recipe100" =>
         // ---- the width lesson END-TO-END (round-16): the production
         // RECIPE itself — not bare simhashBandedPairs — at the boundary

@@ -6,9 +6,15 @@ package graft.streaming
   * [[ControlPlane]] JSON API — no build step, no external assets (the
   * deployment target is zero-egress clusters), no framework. It covers
   * the operator loop the reference console exists for: watch streams,
-  * stop/start/restart them, validate + apply a config, inspect and roll
-  * back versions. Everything else (task-level drill-down, metrics
-  * timelines) is Structured Streaming's own Spark UI's job.
+  * stop/start/restart them, edit a draft config, diff it against the
+  * active version, validate + apply it, inspect and roll back versions,
+  * and tail the event log live. Everything else (task-level drill-down,
+  * metrics timelines) is Structured Streaming's own Spark UI's job.
+  *
+  * The event table prefers the `/events/stream` SSE tail (consumed via
+  * streaming fetch, NOT EventSource — EventSource cannot send the
+  * Authorization header) and falls back to the 3 s `/events` poll when
+  * the stream is unavailable; `#evmode` shows which path is live.
   *
   * The page keeps the bearer token in localStorage and sends it as the
   * Authorization header on every fetch — same middleware contract as
@@ -33,15 +39,17 @@ object Console {
       |           border:1px solid #333;box-sizing:border-box}
       |  input{background:#161616;color:#ddd;border:1px solid #333;padding:.2rem}
       |  #msg{white-space:pre-wrap;color:#9c9;margin:.4rem 0} .err{color:#e77}
-      |  .ok{color:#9c9} .badge{color:#8ab4f8}
+      |  .ok{color:#9c9} .badge{color:#8ab4f8} #status{margin:.2rem 0 .6rem;color:#9c9}
+      |  #status .down{color:#e77}
       |</style></head><body>
       |<h1>graft console <span id="sys" class="badge"></span></h1>
+      |<div id="status"></div>
       |<div>token <input id="tok" size="24" placeholder="bearer token (if set)">
       |  <button onclick="saveTok()">save</button></div>
       |<h2>streams</h2>
       |<table id="streams"><tr><th>name</th><th>id</th><th>active</th>
       |  <th>pipeline</th><th>actions</th></tr></table>
-      |<h2>recent events</h2>
+      |<h2>recent events <span id="evmode" class="badge"></span></h2>
       |<table id="events"><tr><th>time</th><th>type</th><th>stream</th>
       |  <th>message</th></tr></table>
       |<h2>components</h2>
@@ -51,6 +59,9 @@ object Console {
       |  <th>active</th><th>actions</th></tr></table>
       |<h2>config</h2>
       |<textarea id="cfg" placeholder="streams: ..."></textarea><br>
+      |<button onclick="loadDraft()">load draft</button>
+      |<button onclick="saveDraft()">save draft</button>
+      |<button onclick="diffActive()">diff vs active</button>
       |<button onclick="act('validate')">validate</button>
       |<button onclick="act('apply')">apply</button>
       |<div id="msg"></div>
@@ -72,6 +83,26 @@ object Console {
       |async function rollback(id){ show(await call('/config/rollback/' + id, 'POST')); refresh(); }
       |async function act(kind){
       |  show(await call('/config/' + kind, 'POST', $('cfg').value)); refresh(); }
+      |// --- draft-to-apply flow: the textarea IS the draft scratchpad ---
+      |async function loadDraft(){
+      |  const r = await call('/configuration/draft');
+      |  if (r.code === 200 && r.body.yaml !== undefined) $('cfg').value = r.body.yaml;
+      |  show(r.code === 204 ? {code: 200, body: {draft: 'none saved yet'}} : r);
+      |}
+      |async function saveDraft(){
+      |  show(await call('/configuration/draft', 'PUT', $('cfg').value)); }
+      |async function diffActive(){
+      |  const a = await call('/configuration');
+      |  if (a.code !== 200) return show(a);
+      |  const cur = (a.body.yaml || '').split('\n'), d = $('cfg').value.split('\n');
+      |  const curSet = new Set(cur), dSet = new Set(d);
+      |  const added = d.filter(l => l.trim() && !curSet.has(l));
+      |  const removed = cur.filter(l => l.trim() && !dSet.has(l));
+      |  show({code: 200, body: {active_version: a.body.version,
+      |    changed: $('cfg').value !== a.body.yaml,
+      |    added_lines: added.map(l => '+ ' + l),
+      |    removed_lines: removed.map(l => '- ' + l)}});
+      |}
       |function row(tbl, cells){
       |  const tr = document.createElement('tr');
       |  cells.forEach(c => { const td = document.createElement('td');
@@ -81,12 +112,65 @@ object Console {
       |}
       |function btn(label, fn){ const b = document.createElement('button');
       |  b.textContent = label; b.onclick = fn; return b; }
+      |// --- live event tail over /events/stream (SSE via streaming fetch:
+      |// EventSource cannot carry the Authorization header). Falls back to
+      |// the /events poll inside refresh() whenever the stream is down. ---
+      |let sseLive = false, lastEv = 0;
+      |function evRow(e){
+      |  const et = $('events');
+      |  const tr = document.createElement('tr');
+      |  [new Date(e.occurred_at_ms).toISOString(), e.event_type,
+      |   e.stream_id || '', e.message].forEach(c => {
+      |    const td = document.createElement('td'); td.textContent = c;
+      |    tr.appendChild(td); });
+      |  et.insertBefore(tr, et.rows[1] || null);
+      |  while (et.rows.length > 11) et.deleteRow(11);
+      |}
+      |async function tail(){
+      |  try {
+      |    const r = await fetch('/events/stream?last_id=' + lastEv, {headers: hdrs()});
+      |    if (!r.ok || !r.body) throw new Error('HTTP ' + r.status);
+      |    sseLive = true; $('evmode').textContent = 'live';
+      |    const rd = r.body.getReader(); const dec = new TextDecoder();
+      |    let buf = '';
+      |    for (;;) {
+      |      const {done, value} = await rd.read();
+      |      if (done) break;
+      |      buf += dec.decode(value, {stream: true});
+      |      let i;
+      |      while ((i = buf.indexOf('\n\n')) >= 0) {
+      |        const frame = buf.slice(0, i); buf = buf.slice(i + 2);
+      |        const idm = frame.match(/^id: (\d+)$/m);
+      |        if (idm) lastEv = Number(idm[1]);
+      |        const dm = frame.match(/^data: (.*)$/m);
+      |        if (dm) try { evRow(JSON.parse(dm[1])); } catch (e) {}
+      |      }
+      |    }
+      |    setTimeout(tail, 200); // server windows the connection; resume
+      |  } catch (e) {
+      |    sseLive = false; $('evmode').textContent = 'polling';
+      |    setTimeout(tail, 5000);
+      |  }
+      |}
       |async function refresh(){
       |  try {
       |    const sys = await call('/system');
       |    $('sys').textContent = sys.code === 200
       |      ? 'spark ' + sys.body.sparkVersion + ' · ' + sys.body.activeStreams + ' active'
       |      : 'HTTP ' + sys.code;
+      |    const st0 = await call('/status');
+      |    if (st0.code === 200) {
+      |      const b = st0.body, up = b.uptime_seconds;
+      |      const dur = up >= 3600 ? Math.floor(up / 3600) + 'h' +
+      |        Math.floor(up % 3600 / 60) + 'm' : Math.floor(up / 60) + 'm' + up % 60 + 's';
+      |      $('status').innerHTML = '';
+      |      const span = document.createElement('span');
+      |      span.className = b.state === 'running' ? '' : 'down';
+      |      span.textContent = b.state + ' · up ' + dur + ' · streams ' +
+      |        b.streams_running + ' running / ' + b.streams_failed + ' failed / ' +
+      |        b.streams_total + ' total · v' + b.version;
+      |      $('status').appendChild(span);
+      |    }
       |    const st = await call('/streams');
       |    const tbl = $('streams');
       |    while (tbl.rows.length > 1) tbl.deleteRow(1);
@@ -96,12 +180,14 @@ object Console {
       |      acts.appendChild(btn('restart', () => lifecycle(s.name || s.id, 'restart')));
       |      row(tbl, [s.name || '', s.id, String(s.isActive), s.pipeline || '', acts]);
       |    });
-      |    const ev = await call('/events');
-      |    const et = $('events');
-      |    while (et.rows.length > 1) et.deleteRow(1);
-      |    ((ev.body && ev.body.items) || []).slice(0, 10).forEach(e =>
-      |      row(et, [new Date(e.occurred_at_ms).toISOString(), e.event_type,
-      |        e.stream_id || '', e.message]));
+      |    if (!sseLive) { // poll fallback only — the SSE tail owns the table otherwise
+      |      const ev = await call('/events');
+      |      const et = $('events');
+      |      while (et.rows.length > 1) et.deleteRow(1);
+      |      ((ev.body && ev.body.items) || []).slice(0, 10).forEach(e =>
+      |        row(et, [new Date(e.occurred_at_ms).toISOString(), e.event_type,
+      |          e.stream_id || '', e.message]));
+      |    }
       |    const co = await call('/components');
       |    const ct = $('components');
       |    if (ct.rows.length === 1 && Array.isArray(co.body)) {
@@ -117,7 +203,7 @@ object Console {
       |        v.active ? 'ACTIVE' : '', btn('rollback', () => rollback(v.id))]));
       |  } catch (e) { $('msg').textContent = String(e); $('msg').className = 'err'; }
       |}
-      |refresh(); setInterval(refresh, 3000);
+      |refresh(); setInterval(refresh, 3000); tail();
       |</script></body></html>
       |""".stripMargin
 }

@@ -100,6 +100,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     1000): query_started / query_terminated / query_failed from the
   *     listener, stream_started / stream_stopped / config_applied /
   *     config_rollback from the lifecycle + config routes.
+  *   - `GET /events/stream` the same ring as a Server-Sent-Events live
+  *     tail (reference lib.rs:297) — `id:`-stamped frames, resumable
+  *     via Last-Event-ID / `?last_id=`, windowed ~25 s per connection
+  *     with `retry:`-driven reconnect; the console tails it with a
+  *     poll fallback.
   *
   * Lifecycle routes need the parsed config — pass `registry` (id ->
   * StreamConf, what [[graft.streaming.Main]] resolves via
@@ -784,6 +789,53 @@ final class ControlPlane(spark: SparkSession, port: Int,
             case None => respond(ex, 404,
               s"""{"error":"unknown operation","id":${js(id)}}""")
           }
+        case ("GET", "/events/stream") =>
+          // Server-Sent Events live tail of the same bounded ring the
+          // paged /events serves (reference lib.rs:297 /events/stream —
+          // hub-only there; served here so the console can tail without
+          // polling). Resumable: Last-Event-ID header or ?last_id= skips
+          // already-seen entries, and each frame carries `id:` so an
+          // EventSource reconnect resumes seamlessly. The connection is
+          // WINDOWED (~25 s, then `retry: 250` reconnect): handlers
+          // share a small pool, and an unbounded tail would pin a
+          // thread forever — the standard SSE rotate-the-connection
+          // pattern, invisible to EventSource clients.
+          val params = qparams(ex)
+          var lastId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+            .orElse(params.get("last_id")).flatMap(_.toLongOption).getOrElse(0L)
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.getResponseHeaders.set("Cache-Control", "no-cache")
+          ex.sendResponseHeaders(200, 0L) // 0 = chunked
+          val out = ex.getResponseBody
+          out.write("retry: 250\n\n".getBytes(StandardCharsets.UTF_8))
+          out.flush()
+          val deadline = System.currentTimeMillis() + 25000
+          var open = true
+          var ticks = 0
+          while (open && System.currentTimeMillis() < deadline) {
+            val fresh = events.synchronized {
+              events.toArray(new Array[Event](0)).toSeq }
+              .filter(e => e.id > lastId)
+              .filter(e => params.get("event_type").forall(_ == e.eventType))
+              .filter(e => params.get("stream_id")
+                .forall(v => e.streamId.contains(v)))
+              .sortBy(_.id)
+            try {
+              if (fresh.nonEmpty) fresh.foreach { e =>
+                out.write(s"id: ${e.id}\ndata: ${eventJson(e)}\n\n"
+                  .getBytes(StandardCharsets.UTF_8))
+                lastId = e.id
+              }
+              // a comment frame every ~5 s keeps proxies from timing
+              // the idle connection out
+              else if (ticks % 20 == 0)
+                out.write(": keepalive\n\n".getBytes(StandardCharsets.UTF_8))
+              out.flush()
+            } catch { // client went away — the normal tail termination
+              case _: java.io.IOException => open = false
+            }
+            if (open) { Thread.sleep(250); ticks += 1 }
+          }
         case ("GET", "/events") =>
           val params = qparams(ex)
           val items = events.synchronized {
@@ -824,9 +876,11 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // A small pool, not the single dispatcher thread: lifecycleStart runs
   // batch streams to EOF inside the handler, and with setExecutor(null)
   // one long batch /start (or restart's blocking stop()) would freeze
-  // every monitoring route for its full duration.
+  // every monitoring route for its full duration. Sized so a couple of
+  // /events/stream tails (each holding a thread for its ≤25 s window)
+  // leave headroom for lifecycle + monitoring traffic.
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    4,
+    6,
     (r: Runnable) => {
       val t = new Thread(r, "graft-control-plane")
       t.setDaemon(true)

@@ -43,6 +43,16 @@ object ThroughputBench {
   val PinnedCalib = 0.45
   val CalibGate = 1.5
 
+  /** The standing PROTOCOL band (round-15 quiet-window run, calib
+    * 0.580 against the 0.675 gate; BASELINE.md protocol table): BOTH
+    * modes are pinned — batch AND micro-batch streaming — so a
+    * contended run's refusal text can restate the full band and a
+    * depressed sample can never silently shrink either row. */
+  val ProtocolBand: String =
+    "batch 11.34 (sql) / 10.55 (vrl) M rows/s; " +
+      "micro-batch streaming 15.76 (sql) / 15.04 (vrl) M rows/s " +
+      "[recorded at calib 0.580]"
+
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toLong).getOrElse(PinnedRows)
     println(s"protocol: batch ${totalRows / 1000000}M rows, 2 warm-ups + " +
@@ -64,8 +74,9 @@ object ThroughputBench {
     val contended = calib > CalibGate * PinnedCalib
     println(f"calib: $calib%.3f s (pin $PinnedCalib%.2f, gate ${CalibGate * PinnedCalib}%.3f) — " +
       (if (contended)
-        "CONTENDED: REFUSING to record a protocol row; numbers below are diagnostic only"
-      else "quiet window, protocol row valid"))
+        "CONTENDED: REFUSING to record a protocol row; numbers below are " +
+          s"diagnostic only. The recorded protocol band STANDS: $ProtocolBand"
+      else s"quiet window, protocol row valid (standing band: $ProtocolBand)"))
 
     val ctx = """{"device":"sensor-7","reading":41.5,"seq":12345}"""
     val procs = Seq(

@@ -2635,6 +2635,20 @@ class StreamingSpec extends AnyFunSuite {
     out.close()
     val e = intercept[IllegalArgumentException](store.save("streams: []\n"))
     assert(e.getMessage.contains("collision"), e.getMessage)
+    // format migration (round-15 ADVICE): content already stored under a
+    // pre-round-15 12-hex id keeps that id on re-save — the
+    // content-addressed reuse property holds ACROSS the id widening,
+    // not just within one format
+    val legacyContent = "streams: [] # legacy\n"
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(legacyContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val legacyId = "cfg-" + d.take(6).map(b => f"$b%02x").mkString
+    val lout = fs.create(new org.apache.hadoop.fs.Path(dir, s"$legacyId.yaml"), true)
+    lout.write(legacyContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    lout.close()
+    assert(store.save(legacyContent) == legacyId,
+      "identical content saved under the legacy 12-hex format must reuse its id")
+    assert(store.save(legacyContent) == legacyId) // and stay stable
   }
 
   test("ops surface e2e: /metrics scrapes named stream counters + cap drops, " +
@@ -2818,6 +2832,170 @@ class StreamingSpec extends AnyFunSuite {
         fob.contains("gen-ops"), fob)
     } finally {
       spark.streams.active.filter(q => Option(q.name).contains("gen-ops"))
+        .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      cp.stop()
+    }
+  }
+
+  test("status/node/nodes rollup moves with the lifecycle, /events/stream " +
+      "tails live over SSE, failed manual starts leave durable records, " +
+      "and the draft -> diff -> apply flow lands an active version") {
+    def call(url: String, method: String = "GET", body: Option[String] = None,
+        token: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod(method)
+        token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+        body.foreach { b =>
+          c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    def waitUntil(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting: $what")
+        Thread.sleep(100)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cp_status").toString
+    val yaml =
+      s"""streams:
+         |  - id: gen-status
+         |    input:
+         |      type: generate
+         |      rows_per_second: "100"
+         |      context: '{"k": 1}'
+         |    pipeline:
+         |      processors: []
+         |    output:
+         |      type: parquet
+         |      path: $dir/out
+         |""".stripMargin
+    val tok = Some("st-tok")
+    val cp = new ControlPlane(spark, 0, tok, Nil, Some(s"$dir/versions"))
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      // the console page carries the new surface hooks (status strip,
+      // SSE tail, draft flow)
+      val (pgc, pgb) = call(s"$base/console")
+      assert(pgc == 200 && pgb.contains("/events/stream") &&
+        pgb.contains("loadDraft") && pgb.contains("diffActive") &&
+        pgb.contains("'/status'"), "console must wire the round-16 surface")
+      // the rollup routes are DATA routes: token-gated
+      assert(call(s"$base/status")._1 == 401)
+      // --- /status before anything runs: engine up, zero streams
+      val (sc1, sb1) = call(s"$base/status", token = tok)
+      assert(sc1 == 200 && sb1.contains("\"state\":\"running\"") &&
+        sb1.contains("\"streams_running\":0") &&
+        sb1.contains("\"uptime_seconds\":"), sb1)
+      // --- /node + /nodes: the degenerate single-node resource + page
+      val (nc, nb) = call(s"$base/node", token = tok)
+      assert(nc == 200 && nb.contains("\"role\":\"standalone\"") &&
+        nb.contains("\"maintenance_state\":\"active\"") &&
+        nb.contains("\"capabilities\":[\"stream_runtime\",\"local_configuration\"]"),
+        nb)
+      val (nsc, nsb) = call(s"$base/nodes", token = tok)
+      assert(nsc == 200 && nsb.contains("\"total\":1") &&
+        nsb.contains("\"role\":\"standalone\"") && nsb.contains("\"page\":1"), nsb)
+      assert(call(s"$base/nodes?page=2", token = tok)._2.contains("\"items\":[]"),
+        "past the one-element page the items list is empty, total stays 1")
+      // --- draft -> diff -> apply (the console's config flow, over the
+      // same routes its buttons call)
+      assert(call(s"$base/configuration/draft", "PUT", Some(yaml), tok)._1 == 200)
+      val (dgc, dgb) = call(s"$base/configuration/draft", token = tok)
+      assert(dgc == 200 && dgb.contains("gen-status"), dgb)
+      val (ac, ab) = call(s"$base/config/apply", "POST", Some(yaml), tok)
+      assert(ac == 202, ab)
+      val vId = "\"version\":\"(cfg-[0-9a-f]+)\"".r
+        .findFirstMatchIn(ab).map(_.group(1)).get
+      val (cfc, cfb) = call(s"$base/configuration", token = tok)
+      assert(cfc == 200 && cfb.contains(vId), cfb)
+      assert("\"id\":\"%s\"[^}]*\"active\":true".format(vId).r
+        .findFirstIn(call(s"$base/config/versions", token = tok)._2).isDefined,
+        "the applied draft must show active in the versions table")
+      // --- SSE live tail: subscribe past the already-recorded events,
+      // then drive a lifecycle action and read frames OFF THE OPEN
+      // CONNECTION (not a poll)
+      val lastSeen = "\"id\":([0-9]+)".r
+        .findFirstMatchIn(call(s"$base/events?page_size=1", token = tok)._2)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val frames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val conn = new java.net.URI(s"$base/events/stream?last_id=$lastSeen")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Authorization", s"Bearer ${tok.get}")
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("Content-Type").startsWith("text/event-stream"))
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val tailThread = new Thread(() => {
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.startsWith("data: ")) { frames.add(line.drop(6)); () }
+            line = reader.readLine()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }, "sse-tail-test")
+      tailThread.setDaemon(true)
+      tailThread.start()
+      // the lifecycle action the tail must see live: start, then stop
+      assert(call(s"$base/streams/gen-status/start", "POST", token = tok)._1 == 202)
+      // --- /status counts move: one running stream
+      waitUntil("status shows 1 running") {
+        val s = call(s"$base/status", token = tok)._2
+        s.contains("\"streams_running\":1") && s.contains("\"streams_total\":1")
+      }
+      waitUntil("node mirrors the rollup") {
+        call(s"$base/node", token = tok)._2.contains("\"streams_running\":1")
+      }
+      assert(call(s"$base/streams/gen-status/stop", "POST", token = tok)._1 == 200)
+      waitUntil("status shows 0 running after stop") {
+        call(s"$base/status", token = tok)._2.contains("\"streams_running\":0")
+      }
+      // >= 2 events arrived over the ONE streamed connection
+      waitUntil("SSE tail delivers the lifecycle events") {
+        val seen = frames.toArray(new Array[String](0))
+        seen.exists(_.contains("stream_started")) &&
+          seen.exists(_.contains("stream_stopped"))
+      }
+      frames.forEach(f => assert(f.startsWith("{") && f.contains("event_type"),
+        s"SSE data frames carry the /events JSON shape: $f"))
+      conn.disconnect()
+      // --- a manual /start that THROWS leaves a durable failed record
+      // (round-15 ADVICE): apply a config whose input cannot start
+      val badYaml =
+        s"""streams:
+           |  - id: gen-status
+           |    input:
+           |      type: file
+           |      path: /nonexistent_graft_status_probe
+           |    pipeline:
+           |      processors: []
+           |    output:
+           |      type: parquet
+           |      path: $dir/out2
+           |""".stripMargin
+      assert(call(s"$base/config/apply", "POST", Some(badYaml), tok)._1 == 202)
+      val (fsc, fsb) = call(s"$base/streams/gen-status/start", "POST", token = tok)
+      assert(fsc == 500 && fsb.contains("\"started\":false"), fsb)
+      val (foc, fob) = call(s"$base/operations?state=failed&operation=start",
+        token = tok)
+      assert(foc == 200 && fob.contains("gen-status"),
+        s"failed manual start must be durable in /operations: $fob")
+      assert(call(s"$base/events?event_type=stream_failed", token = tok)
+        ._2.contains("gen-status"))
+      // ...and the rollup now reports it under streams_failed? No — the
+      // stream never STARTED (no query, no termination record); failed
+      // starts live in /operations. The rollup's failed counter tracks
+      // failed QUERIES, asserted by the listener path elsewhere.
+    } finally {
+      spark.streams.active.filter(q => Option(q.name).contains("gen-status"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       cp.stop()
     }
