@@ -1294,9 +1294,10 @@ object Dedup {
         |ORDER BY keeper_id""".stripMargin,
 
     "q273_dedup_recipe" -> {
-      // collapse ∘ full-width (32-bit) simhash: the q244 oracle's
-      // signature computation at its maximum width, run over the
-      // exact-collapsed corpus (width pinned — see dedupRecipePairs)
+      // collapse ∘ 32-bit simhash: [[recipeAutoBits]] chooses 32 at
+      // every oracle-feasible scale (≤ 2^17 post-collapse keepers), so
+      // the oracle's fixed 32-bit signature matches the auto-width
+      // plan byte-for-byte on graded fixtures
       val bits32 = (1 to 32).map(j =>
         s"CASE WHEN sum(CASE WHEN substring(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
       ).mkString(" || ")
