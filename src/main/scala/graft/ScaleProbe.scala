@@ -373,13 +373,23 @@ object ScaleProbe {
           operators.Dedup.dedupRecipePairs(dr, "doc_id", "text", maxDist = 2)
             .count()
         }
+        // the probe ENFORCES its contract (a print alone would let a
+        // width regression or a missing metric read as a pass)
+        require(bitsChosen == 64,
+          s"recipeAutoBits must choose 64 at ~500k keepers, got $bitsChosen")
         Thread.sleep(10000) // the observe metric rides the async bus
         val drops100 = operators.Dedup.CapStats.lastDropped("simhash")
           .getOrElse(-1L)
+        require(drops100 >= 0, "simhash cap metric never arrived — cannot " +
+          "certify the drop bound")
         val stacked = keepers * 3 // maxDist+1 chunk rows per keeper
+        val pct = 100.0 * drops100 / stacked
         println(f"[probe] announced simhash bucket-cap drops through the " +
           f"recipe: $drops100%d of ~$stacked%d stacked members " +
-          f"(${100.0 * drops100 / stacked}%.3f%%) — target <1%%")
+          f"($pct%.3f%%) — target <1%%")
+        require(pct < 1.0,
+          f"auto-width recipe must hold announced drops under 1%% at the " +
+            f"500k boundary, measured $pct%.3f%%")
 
       case "q90exact" =>
         // the exact-copy blow-up the collapse fixes: k identical copies

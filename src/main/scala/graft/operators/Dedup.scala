@@ -562,10 +562,18 @@ object Dedup {
     val collapsed = checkpointDir match {
       case Some(dir) =>
         val sc = docs.sparkSession.sparkContext
-        // setCheckpointDir appends a fresh UUID subdir, so "already
-        // pointing there" is a substring check, not equality
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // setCheckpointDir(dir) materializes under dir/<uuid>, so
+        // "already pointing there" means the CURRENT checkpoint dir's
+        // PARENT is `dir` — compared by URI path (scheme prefixes like
+        // file:/ must not defeat the match), never by substring (a
+        // sibling like /data/ckpt-old would contain "/data/ckpt" and
+        // silently hijack the supposedly-durable checkpoint)
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val already = sc.getCheckpointDir.exists { cd =>
+          Option(new org.apache.hadoop.fs.Path(cd).getParent)
+            .exists(_.toUri.getPath == want)
+        }
+        if (!already) sc.setCheckpointDir(dir)
         collapsed0.checkpoint(eager = true)
       case None => collapsed0.localCheckpoint(true)
     }
@@ -588,7 +596,21 @@ object Dedup {
     * graded scales choose it, keeping q273 byte-stable vs the old pin)
     * and 128 — the full md5 digest — the ceiling, saturating around
     * 10^15 keepers where the honest next step is a wider hash family,
-    * not this function. */
+    * not this function.
+    *
+    * SEMANTICS AT THE BREAKPOINT, stated rather than hidden: hamming
+    * `maxDist` over MORE bits is a tighter angular threshold (d of 64
+    * bits ≈ half the cosine tolerance of d of 32), so a corpus growing
+    * past a width boundary pairs somewhat FEWER borderline near-dups
+    * than it did the day before — deliberately. Scaling maxDist with
+    * width would restore the angle but also multiply the chunk count,
+    * collapsing per-chunk bits right back to the flooded regime the
+    * widening exists to escape (64/6 chunks ≈ the measured 10-11-bit
+    * failure width); between a quietly-flooding cap and a slightly
+    * stricter near-dup definition, the recipe picks the one that is
+    * bounded and announced. Pipelines that need a FIXED similarity
+    * metric across corpus growth pin `bits` explicitly (persisted
+    * narrow pair tables stay valid either way — prefix property). */
   def recipeAutoBits(keepers: Long, maxDist: Int = 2): Int = {
     require(keepers >= 0, s"keepers must be >= 0, got $keepers")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")

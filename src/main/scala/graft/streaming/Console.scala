@@ -184,7 +184,12 @@ object Console {
       |      const ev = await call('/events');
       |      const et = $('events');
       |      while (et.rows.length > 1) et.deleteRow(1);
-      |      ((ev.body && ev.body.items) || []).slice(0, 10).forEach(e =>
+      |      const items = (ev.body && ev.body.items) || [];
+      |      // advance the SSE cursor past what the poll rendered, so a
+      |      // recovering tail resumes AFTER these rows instead of
+      |      // replaying them as duplicates
+      |      items.forEach(e => { if (e.id > lastEv) lastEv = e.id; });
+      |      items.slice(0, 10).forEach(e =>
       |        row(et, [new Date(e.occurred_at_ms).toISOString(), e.event_type,
       |          e.stream_id || '', e.message]));
       |    }

@@ -103,8 +103,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - `GET /events/stream` the same ring as a Server-Sent-Events live
   *     tail (reference lib.rs:297) — `id:`-stamped frames, resumable
   *     via Last-Event-ID / `?last_id=`, windowed ~25 s per connection
-  *     with `retry:`-driven reconnect; the console tails it with a
-  *     poll fallback.
+  *     with `retry:`-driven reconnect, capped at 2 concurrent tails
+  *     (429 beyond — each tail holds a handler thread, and probes must
+  *     always find a free one); the console tails it with a poll
+  *     fallback.
   *
   * Lifecycle routes need the parsed config — pass `registry` (id ->
   * StreamConf, what [[graft.streaming.Main]] resolves via
@@ -230,6 +232,13 @@ final class ControlPlane(spark: SparkSession, port: Int,
   private def find(id: String): Option[StreamingQuery] =
     spark.streams.active.find(q =>
       q.id.toString == id || Option(q.name).contains(id))
+
+  // /events/stream holds its handler thread for the connection window,
+  // so unbounded tails could starve every route on the shared pool —
+  // including the k8s probes. Capped at 2 concurrent tails (429 beyond;
+  // the console falls back to polling), leaving ≥4 pool threads free.
+  private val sseActive = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] def activeEventStreams: Int = sseActive.get
 
   // Serializes lifecycle MUTATIONS (start/restart/apply/rollback) now
   // that handlers run on a pool: two concurrent /start requests must not
@@ -800,42 +809,50 @@ final class ControlPlane(spark: SparkSession, port: Int,
           // share a small pool, and an unbounded tail would pin a
           // thread forever — the standard SSE rotate-the-connection
           // pattern, invisible to EventSource clients.
-          val params = qparams(ex)
-          var lastId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
-            .orElse(params.get("last_id")).flatMap(_.toLongOption).getOrElse(0L)
-          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-          ex.getResponseHeaders.set("Cache-Control", "no-cache")
-          ex.sendResponseHeaders(200, 0L) // 0 = chunked
-          val out = ex.getResponseBody
-          out.write("retry: 250\n\n".getBytes(StandardCharsets.UTF_8))
-          out.flush()
-          val deadline = System.currentTimeMillis() + 25000
-          var open = true
-          var ticks = 0
-          while (open && System.currentTimeMillis() < deadline) {
-            val fresh = events.synchronized {
-              events.toArray(new Array[Event](0)).toSeq }
-              .filter(e => e.id > lastId)
-              .filter(e => params.get("event_type").forall(_ == e.eventType))
-              .filter(e => params.get("stream_id")
-                .forall(v => e.streamId.contains(v)))
-              .sortBy(_.id)
-            try {
-              if (fresh.nonEmpty) fresh.foreach { e =>
-                out.write(s"id: ${e.id}\ndata: ${eventJson(e)}\n\n"
-                  .getBytes(StandardCharsets.UTF_8))
-                lastId = e.id
+          if (sseActive.incrementAndGet() > 2) {
+            // never more than 2 pool threads in tail loops: a probe or
+            // lifecycle request must always find a free handler (the
+            // console's poll fallback covers a 429'd tail)
+            sseActive.decrementAndGet()
+            respond(ex, 429, """{"error":"too many event streams"}""")
+          } else try {
+            val params = qparams(ex)
+            var lastId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+              .orElse(params.get("last_id")).flatMap(_.toLongOption).getOrElse(0L)
+            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+            ex.getResponseHeaders.set("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0L) // 0 = chunked
+            val out = ex.getResponseBody
+            out.write("retry: 250\n\n".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            val deadline = System.currentTimeMillis() + 25000
+            var open = true
+            var ticks = 0
+            while (open && System.currentTimeMillis() < deadline) {
+              val fresh = events.synchronized {
+                events.toArray(new Array[Event](0)).toSeq }
+                .filter(e => e.id > lastId)
+                .filter(e => params.get("event_type").forall(_ == e.eventType))
+                .filter(e => params.get("stream_id")
+                  .forall(v => e.streamId.contains(v)))
+                .sortBy(_.id)
+              try {
+                if (fresh.nonEmpty) fresh.foreach { e =>
+                  out.write(s"id: ${e.id}\ndata: ${eventJson(e)}\n\n"
+                    .getBytes(StandardCharsets.UTF_8))
+                  lastId = e.id
+                }
+                // a comment frame every ~5 s keeps proxies from timing
+                // the idle connection out
+                else if (ticks % 20 == 0)
+                  out.write(": keepalive\n\n".getBytes(StandardCharsets.UTF_8))
+                out.flush()
+              } catch { // client went away — the normal tail termination
+                case _: java.io.IOException => open = false
               }
-              // a comment frame every ~5 s keeps proxies from timing
-              // the idle connection out
-              else if (ticks % 20 == 0)
-                out.write(": keepalive\n\n".getBytes(StandardCharsets.UTF_8))
-              out.flush()
-            } catch { // client went away — the normal tail termination
-              case _: java.io.IOException => open = false
+              if (open) { Thread.sleep(250); ticks += 1 }
             }
-            if (open) { Thread.sleep(250); ticks += 1 }
-          }
+          } finally { sseActive.decrementAndGet(); () }
         case ("GET", "/events") =>
           val params = qparams(ex)
           val items = events.synchronized {

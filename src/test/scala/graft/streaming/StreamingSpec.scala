@@ -2967,6 +2967,43 @@ class StreamingSpec extends AnyFunSuite {
       frames.forEach(f => assert(f.startsWith("{") && f.contains("event_type"),
         s"SSE data frames carry the /events JSON shape: $f"))
       conn.disconnect()
+      // Last-Event-ID RESUME (the EventSource reconnect contract): a
+      // second connection carrying the header replays only events past
+      // that id — the pre-subscribe history must not repeat
+      val resumeConn = new java.net.URI(s"$base/events/stream")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      resumeConn.setRequestProperty("Authorization", s"Bearer ${tok.get}")
+      resumeConn.setRequestProperty("Last-Event-ID", lastSeen.toString)
+      val rr = new java.io.BufferedReader(new java.io.InputStreamReader(
+        resumeConn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val resumedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rdl = System.currentTimeMillis() + 10000
+      var rline = rr.readLine()
+      while (rline != null && resumedIds.isEmpty &&
+          System.currentTimeMillis() < rdl) {
+        if (rline.startsWith("id: ")) resumedIds += rline.drop(4).toLong
+        rline = rr.readLine()
+      }
+      assert(resumedIds.nonEmpty && resumedIds.head > lastSeen,
+        s"resume must start past Last-Event-ID=$lastSeen, got $resumedIds")
+      resumeConn.disconnect()
+      // --- SSE concurrency cap: each tail pins a handler thread, so a
+      // third concurrent tail answers 429 while two are held open — and
+      // the probes still answer at the cap (the starvation this bounds)
+      waitUntil("prior SSE windows release")(cp.activeEventStreams == 0)
+      def openTail(): java.net.HttpURLConnection = {
+        val c = new java.net.URI(s"$base/events/stream").toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestProperty("Authorization", s"Bearer ${tok.get}")
+        assert(c.getResponseCode == 200)
+        c
+      }
+      val t1 = openTail(); val t2 = openTail()
+      waitUntil("two tails registered")(cp.activeEventStreams == 2)
+      assert(call(s"$base/events/stream", token = tok)._1 == 429)
+      assert(call(s"$base/liveness")._1 == 200,
+        "probes must still answer with every tail slot occupied")
+      t1.disconnect(); t2.disconnect()
       // --- a manual /start that THROWS leaves a durable failed record
       // (round-15 ADVICE): apply a config whose input cannot start
       val badYaml =
