@@ -462,67 +462,109 @@ final class ControlPlane(spark: SparkSession, port: Int,
   /** Prometheus text exposition (format v0.0.4) of per-stream progress,
     * control-plane start counts, and the CapCountIf drop counters. The
     * numbers come from `lastProgress` / the listener — Structured
-    * Streaming already measures them; this is the scrape path. */
+    * Streaming already measures them; this is the scrape path. Samples
+    * are GROUPED per metric name under one HELP/TYPE header (the
+    * exposition format requires all lines of a metric in a single
+    * group — a naive per-stream loop would interleave names).
+    *
+    * The two `_total` counters live in an LRU bounded at 1000 distinct
+    * stream names (round-15 ADVICE): past that, a least-recently-
+    * updated series is evicted and RESTARTS FROM ZERO if its stream
+    * reports again — scrapers treat the decrease as a counter reset
+    * (rate()/increase() already do), and the HELP text says so. */
+  private val metricMeta: Seq[(String, String, String)] = Seq(
+    ("graft_streams_active", "gauge",
+      "Number of active streaming queries."),
+    ("graft_stream_batch_id", "gauge",
+      "Latest micro-batch id per stream."),
+    ("graft_stream_input_rows_per_second", "gauge",
+      "Input rate from the latest progress event."),
+    ("graft_stream_processed_rows_per_second", "gauge",
+      "Processing rate from the latest progress event."),
+    ("graft_stream_batch_duration_ms", "gauge",
+      "triggerExecution duration of the latest micro-batch."),
+    ("graft_stream_state_rows", "gauge",
+      "Total state-store rows across the stream's stateful operators."),
+    ("graft_stream_state_bytes", "gauge",
+      "State-store memory bytes across the stream's stateful operators."),
+    ("graft_stream_input_rows_total", "counter",
+      "Cumulative input rows per stream; bounded registry (1000 " +
+        "streams) - an evicted series restarts from 0 (treat decreases " +
+        "as counter resets)."),
+    ("graft_stream_starts_total", "counter",
+      "Control-plane (re)starts per stream; bounded registry (1000 " +
+        "streams) - an evicted series restarts from 0 (treat decreases " +
+        "as counter resets)."),
+    ("graft_cap_dropped_rows_total", "counter",
+      "Rows discarded by bounded-operator caps (CapCountIf " +
+        "accumulators); task retries can over-count - an order-of-" +
+        "magnitude ops signal, not an exact ledger."),
+    ("graft_bucket_cap_last_dropped", "gauge",
+      "Bucket members dropped by the LSH bucket cap in the LAST " +
+        "capped run per label (observe-based)."))
+
   private def metricsBody(): String = {
-    val sb = new StringBuilder
     def num(d: Double): String =
       if (d.isNaN || d.isInfinite) "0"
       else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
       else d.toString
-    def line(metric: String, sid: String, v: String): Unit = {
-      sb.append(metric).append("{stream_id=\"").append(promLabel(sid))
-        .append("\"} ").append(v).append('\n'); ()
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ListBuffer[String]]
+    def add(metric: String, labels: String, v: String): Unit = {
+      samples.getOrElseUpdate(metric,
+        scala.collection.mutable.ListBuffer.empty) += s"$metric$labels $v"
+      ()
     }
+    def sid(s: String): String = "{stream_id=\"" + promLabel(s) + "\"}"
     val active = spark.streams.active
-    sb.append("graft_streams_active ").append(active.length).append('\n')
+    add("graft_streams_active", "", active.length.toString)
     for (q <- active) {
-      val sid = Option(q.name).getOrElse(q.id.toString)
+      val name = Option(q.name).getOrElse(q.id.toString)
       for (p <- Option(q.lastProgress)) {
-        line("graft_stream_batch_id", sid, p.batchId.toString)
-        line("graft_stream_input_rows_per_second", sid, num(p.inputRowsPerSecond))
-        line("graft_stream_processed_rows_per_second", sid,
+        add("graft_stream_batch_id", sid(name), p.batchId.toString)
+        add("graft_stream_input_rows_per_second", sid(name),
+          num(p.inputRowsPerSecond))
+        add("graft_stream_processed_rows_per_second", sid(name),
           num(p.processedRowsPerSecond))
         for (ms <- Option(p.durationMs.get("triggerExecution")))
-          line("graft_stream_batch_duration_ms", sid, ms.toString)
+          add("graft_stream_batch_duration_ms", sid(name), ms.toString)
         val st = p.stateOperators
         if (st.nonEmpty) {
-          line("graft_stream_state_rows", sid, st.map(_.numRowsTotal).sum.toString)
-          line("graft_stream_state_bytes", sid,
+          add("graft_stream_state_rows", sid(name),
+            st.map(_.numRowsTotal).sum.toString)
+          add("graft_stream_state_bytes", sid(name),
             st.map(_.memoryUsedBytes).sum.toString)
         }
       }
     }
-    // HELP documents the bounded-map reset semantics (round-15 ADVICE):
-    // these counters live in an LRU bounded at 1000 distinct stream
-    // names, so past that a least-recently-updated series is evicted and
-    // RESTARTS FROM ZERO if the stream reports again — scrapers should
-    // treat a decrease as a counter reset (Prometheus rate()/increase()
-    // already do exactly that for restarted targets).
-    sb.append("# HELP graft_stream_input_rows_total Cumulative input rows per stream; bounded registry (1000 streams) — an evicted series restarts from 0 (treat decreases as counter resets).\n")
-    sb.append("# TYPE graft_stream_input_rows_total counter\n")
     rowsTotal.synchronized {
       rowsTotal.forEach((k, v) =>
-        line("graft_stream_input_rows_total", k, v.toString))
+        add("graft_stream_input_rows_total", sid(k), v.toString))
     }
-    sb.append("# HELP graft_stream_starts_total Control-plane (re)starts per stream; bounded registry (1000 streams) — an evicted series restarts from 0 (treat decreases as counter resets).\n")
-    sb.append("# TYPE graft_stream_starts_total counter\n")
     startCounts.synchronized {
       startCounts.forEach((k, v) =>
-        line("graft_stream_starts_total", k, v.toString))
+        add("graft_stream_starts_total", sid(k), v.toString))
     }
     // the bounded pair-join operators' drop counters (CapCountIf
-    // accumulators) — "observable drops", operationally
-    for ((label, n) <- graft.functions.CapCountIf.all()) {
-      sb.append("graft_cap_dropped_rows_total{label=\"")
-        .append(promLabel(label)).append("\"} ").append(n).append('\n')
+    // accumulators) — "observable drops", operationally — and the
+    // observe-based LSH bucket caps (last observation per label)
+    for ((label, n) <- graft.functions.CapCountIf.all())
+      add("graft_cap_dropped_rows_total",
+        "{label=\"" + promLabel(label) + "\"}", n.toString)
+    for ((label, n) <- graft.operators.Dedup.CapStats.all())
+      add("graft_bucket_cap_last_dropped",
+        "{label=\"" + promLabel(label) + "\"}", n.toString)
+    val sb = new StringBuilder
+    for ((name, typ, help) <- metricMeta; lines <- samples.get(name)) {
+      sb.append("# HELP ").append(name).append(' ').append(help).append('\n')
+      sb.append("# TYPE ").append(name).append(' ').append(typ).append('\n')
+      lines.foreach(l => { sb.append(l).append('\n'); () })
     }
-    // ...and the observe-based LSH bucket caps (last observation per
-    // label — a gauge, not a counter: each capped run reports its own
-    // dropped-member total)
-    for ((label, n) <- graft.operators.Dedup.CapStats.all()) {
-      sb.append("graft_bucket_cap_last_dropped{label=\"")
-        .append(promLabel(label)).append("\"} ").append(n).append('\n')
-    }
+    // a metric added without a metricMeta row must still expose
+    // (untyped) rather than silently vanish from the scrape
+    val known = metricMeta.map(_._1).toSet
+    for ((name, lines) <- samples if !known.contains(name))
+      lines.foreach(l => { sb.append(l).append('\n'); () })
     sb.toString
   }
 

@@ -2773,6 +2773,24 @@ class StreamingSpec extends AnyFunSuite {
         mm.contains("graft_cap_dropped_rows_total{label=\"ppjoin_prefix\"}") &&
           mm.contains("graft_bucket_cap_last_dropped{label=\"minhash\"}")
       }
+      // exposition FORMAT (round 16): families are GROUPED — all samples
+      // of a metric contiguous under one HELP/TYPE header (the format's
+      // single-group rule; a naive per-stream loop interleaves names)
+      locally {
+        val mlines = call(s"$base/metrics")._2.linesIterator.toSeq
+        val fams = mlines.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.takeWhile(c => c != '{' && c != ' '))
+        val grouped = fams.foldLeft(
+          (Set.empty[String], Option.empty[String], true)) {
+          case ((seen, prev, ok), f) =>
+            if (prev.contains(f)) (seen, prev, ok)
+            else (seen + f, Some(f), ok && !seen.contains(f))
+        }._3
+        assert(grouped, s"metric families must be contiguous: $fams")
+        fams.distinct.foreach(f =>
+          assert(mlines.exists(_.startsWith(s"# TYPE $f ")),
+            s"family $f must carry a TYPE header"))
+      }
       // --- operations: apply + start recorded terminal, filterable;
       // DELETE (the reference's cancel) returns the terminal record
       val (oc, ob) = call(s"$base/operations", token = tok)
