@@ -2223,9 +2223,9 @@ class OperatorsSpec extends AnyFunSuite {
       "reliable checkpoint must materialize under the supplied dir")
   }
 
-  test("wide simhash signatures: the <=32-bit prefix is byte-identical to " +
-      "the narrow signature, planes add independent bits, and the 64-bit " +
-      "banded pairing equals brute force") {
+  test("wide simhash signatures: the full prefix ladder 32 c 64 c 96 c 128 " +
+      "is byte-compatible, planes add independent bits, and the banded " +
+      "pairing equals brute force at every width") {
     import spark.implicits._
     graft.functions.Shims.register(spark)
     val docs = ((1 to 30).map(i =>
@@ -2244,18 +2244,31 @@ class OperatorsSpec extends AnyFunSuite {
     // plane 1 must be genuinely independent information, not a copy
     assert(wide.values.exists(s => s.take(32) != s.drop(32)),
       "the second bit-plane must differ from the first")
-    // 64-bit banded pairing == brute-force hamming<=2 over the signatures
-    val got = Dedup.simhashBandedPairs(
-        Dedup.simhash(docs, "doc_id", "text", bits = 64), maxDist = 2, bits = 64)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
-      .sortBy(identity)
-    val sl = wide.toSeq.sortBy(_._1)
-    val expected = (for {
-      (ia, sa) <- sl; (ib, sb) <- sl if ia < ib
-      d = sa.zip(sb).count { case (x, y) => x != y } if d <= 2
-    } yield (ia, ib, d)).sortBy(identity)
-    assert(got.toSeq == expected.toSeq)
+    // the FULL width ladder: every wider signature keeps the narrower
+    // one as a byte prefix (32 ⊂ 64 ⊂ 96 ⊂ 128 — the persisted-table
+    // compatibility chain), and at EVERY width the banded pairing
+    // equals brute-force hamming<=2 over the same signatures
+    val byWidth = Seq(64, 96, 128).map { b =>
+      b -> Dedup.simhash(docs, "doc_id", "text", bits = b)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }.toMap
+    narrow.keys.foreach { id =>
+      assert(byWidth(96)(id).take(64) == byWidth(64)(id), s"96->64 prefix doc $id")
+      assert(byWidth(128)(id).take(96) == byWidth(96)(id), s"128->96 prefix doc $id")
+    }
+    for (b <- Seq(64, 96, 128)) {
+      val got = Dedup.simhashBandedPairs(
+          Dedup.simhash(docs, "doc_id", "text", bits = b), maxDist = 2, bits = b)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+        .sortBy(identity)
+      val sl = byWidth(b).toSeq.sortBy(_._1)
+      val expected = (for {
+        (ia, sa) <- sl; (ib, sb) <- sl if ia < ib
+        d = sa.zip(sb).count { case (x, y) => x != y } if d <= 2
+      } yield (ia, ib, d)).sortBy(identity)
+      assert(got.toSeq == expected.toSeq, s"banded != brute at bits=$b")
+    }
   }
 
   test("CapCountIf counts NULL predicates as drops — Filter discards a " +

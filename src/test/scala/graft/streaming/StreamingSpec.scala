@@ -3045,10 +3045,34 @@ class StreamingSpec extends AnyFunSuite {
         s"failed manual start must be durable in /operations: $fob")
       assert(call(s"$base/events?event_type=stream_failed", token = tok)
         ._2.contains("gen-status"))
-      // ...and the rollup now reports it under streams_failed? No — the
-      // stream never STARTED (no query, no termination record); failed
-      // starts live in /operations. The rollup's failed counter tracks
-      // failed QUERIES, asserted by the listener path elsewhere.
+      // Note: that start FAILURE does not tick streams_failed — the
+      // stream never became a query; failed starts live in /operations.
+      // streams_failed tracks failed QUERIES, driven next:
+      // --- a stream that STARTS fine but FAILS at runtime (bang-call
+      // on non-numeric input aborts the batch) must move the rollup's
+      // streams_failed once its termination lands on the listener
+      val failYaml =
+        s"""streams:
+           |  - id: gen-status
+           |    input:
+           |      type: generate
+           |      rows_per_second: "50"
+           |      context: '{"k": "abc"}'
+           |    pipeline:
+           |      processors:
+           |        - type: json_to_arrow
+           |        - type: vrl
+           |          statement: '.x = parse_int!(.k)'
+           |    output:
+           |      type: stdout
+           |""".stripMargin
+      assert(call(s"$base/config/apply", "POST", Some(failYaml), tok)._1 == 202)
+      assert(call(s"$base/streams/gen-status/start", "POST", token = tok)._1 == 202)
+      waitUntil("runtime failure reaches the /status rollup") {
+        call(s"$base/status", token = tok)._2.contains("\"streams_failed\":1")
+      }
+      assert(call(s"$base/node", token = tok)._2.contains("\"streams_failed\":1"),
+        "the node resource mirrors the failed count")
     } finally {
       spark.streams.active.filter(q => Option(q.name).contains("gen-status"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
