@@ -133,10 +133,15 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // the listener API. Delivery is async — a just-stopped query's record
   // can trail by a listener-bus tick.
   // both maps are BOUNDED (most recent 1000) — a long-lived service
-  // cycling short queries must not leak a stack trace per termination
-  private def boundedMap[V](): java.util.Map[String, V] =
+  // cycling short queries must not leak a stack trace per termination.
+  // `lru = true` evicts by ACCESS order (LinkedHashMap accessOrder;
+  // put/get/merge refresh position) — the metrics counters use it so a
+  // hot stream that reports every batch can never be the one evicted;
+  // the termination/name records keep insertion order (a terminated
+  // query's record is never "refreshed", oldest-first is correct).
+  private def boundedMap[V](lru: Boolean = false): java.util.Map[String, V] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, V](16, 0.75f, false) {
+      new java.util.LinkedHashMap[String, V](16, 0.75f, lru) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, V]): Boolean = size() > 1000
       })
@@ -173,10 +178,12 @@ final class ControlPlane(spark: SparkSession, port: Int,
 
   // cumulative input rows per stream (by display name), accumulated from
   // progress events — the reference's input_messages counter analogue;
-  // bounded like the other per-stream maps
-  private val rowsTotal = boundedMap[java.lang.Long]()
+  // bounded like the other per-stream maps but ACCESS-ordered: every
+  // merge() refreshes position, so past 1000 names the evicted series
+  // is the genuinely idle one, never a hot stream mid-report
+  private val rowsTotal = boundedMap[java.lang.Long](lru = true)
   // control-plane (re)starts per stream id — /metrics' restarts counter
-  private val startCounts = boundedMap[java.lang.Long]()
+  private val startCounts = boundedMap[java.lang.Long](lru = true)
 
   private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     override def onQueryStarted(

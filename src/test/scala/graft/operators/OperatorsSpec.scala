@@ -2232,33 +2232,31 @@ class OperatorsSpec extends AnyFunSuite {
       (i.toLong, s"document number $i with some shared words alpha beta gamma")) ++
       Seq((31L, "document number 1 with some shared words alpha beta gamme")))
       .toDF("doc_id", "text")
-    val narrow = Dedup.simhash(docs, "doc_id", "text", bits = 32)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val wide = Dedup.simhash(docs, "doc_id", "text", bits = 64)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(wide.values.forall(_.length == 64))
-    narrow.foreach { case (id, sig) =>
-      assert(wide(id).take(32) == sig,
-        s"widening must preserve the narrow signature as a prefix (doc $id)")
-    }
-    // plane 1 must be genuinely independent information, not a copy
-    assert(wide.values.exists(s => s.take(32) != s.drop(32)),
-      "the second bit-plane must differ from the first")
-    // the FULL width ladder: every wider signature keeps the narrower
-    // one as a byte prefix (32 ⊂ 64 ⊂ 96 ⊂ 128 — the persisted-table
-    // compatibility chain), and at EVERY width the banded pairing
-    // equals brute-force hamming<=2 over the same signatures
-    val byWidth = Seq(64, 96, 128).map { b =>
-      b -> Dedup.simhash(docs, "doc_id", "text", bits = b)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one signature frame per width, reused by every assertion below
+    // (each Dedup.simhash is a Spark job — no redundant recomputes)
+    val sigFrames = Seq(32, 64, 96, 128).map { b =>
+      b -> Dedup.simhash(docs, "doc_id", "text", bits = b).localCheckpoint(true)
     }.toMap
+    val byWidth = sigFrames.map { case (b, df) =>
+      b -> df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val narrow = byWidth(32)
+    assert(byWidth(64).values.forall(_.length == 64))
+    // the FULL prefix ladder: every wider signature keeps the narrower
+    // one as a byte prefix (32 ⊂ 64 ⊂ 96 ⊂ 128 — the persisted-table
+    // compatibility chain)
     narrow.keys.foreach { id =>
+      assert(byWidth(64)(id).take(32) == narrow(id), s"64->32 prefix doc $id")
       assert(byWidth(96)(id).take(64) == byWidth(64)(id), s"96->64 prefix doc $id")
       assert(byWidth(128)(id).take(96) == byWidth(96)(id), s"128->96 prefix doc $id")
     }
+    // plane 1 must be genuinely independent information, not a copy
+    assert(byWidth(64).values.exists(s => s.take(32) != s.drop(32)),
+      "the second bit-plane must differ from the first")
+    // at EVERY wide width the banded pairing equals brute-force
+    // hamming<=2 over the same signatures
     for (b <- Seq(64, 96, 128)) {
-      val got = Dedup.simhashBandedPairs(
-          Dedup.simhash(docs, "doc_id", "text", bits = b), maxDist = 2, bits = b)
+      val got = Dedup.simhashBandedPairs(sigFrames(b), maxDist = 2, bits = b)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
         .sortBy(identity)

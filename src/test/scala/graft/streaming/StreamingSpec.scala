@@ -2787,9 +2787,15 @@ class StreamingSpec extends AnyFunSuite {
             else (seen + f, Some(f), ok && !seen.contains(f))
         }._3
         assert(grouped, s"metric families must be contiguous: $fams")
-        fams.distinct.foreach(f =>
-          assert(mlines.exists(_.startsWith(s"# TYPE $f ")),
-            s"family $f must carry a TYPE header"))
+        // ...and the TYPE header must PRECEDE the family's first sample
+        // (existence alone would pass on a misplaced header)
+        fams.distinct.foreach { f =>
+          val typeIdx = mlines.indexWhere(_.startsWith(s"# TYPE $f "))
+          val firstSample = mlines.indexWhere(l =>
+            !l.startsWith("#") && (l.startsWith(s"$f{") || l.startsWith(s"$f ")))
+          assert(typeIdx >= 0 && typeIdx < firstSample,
+            s"family $f: TYPE at $typeIdx must precede first sample at $firstSample")
+        }
       }
       // --- operations: apply + start recorded terminal, filterable;
       // DELETE (the reference's cancel) returns the terminal record
