@@ -549,7 +549,18 @@ object Dedup {
     * RELIABLE checkpoint that survives executor loss — the cluster
     * deployment setting. (Spark scopes the checkpoint dir to the
     * context; setting it here appends a UUID subdir per context, the
-    * standard `sc.setCheckpointDir` semantics.) */
+    * standard `sc.setCheckpointDir` semantics.)
+    *
+    * RETENTION CONTRACT: reliable checkpoint data under `checkpointDir`
+    * is NOT deleted when the job ends — Spark only garbage-collects
+    * checkpoint files if `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is `true` (default false), and even then only when the RDD is
+    * GC'd while the context is alive. At 100 TB the materialized
+    * collapsed corpus per run is real storage cost: either set that
+    * conf, or point `checkpointDir` at a path with a storage-lifecycle
+    * rule (s3 expiry / HDFS cron), or clean `dir/<uuid>` after the
+    * pair table is persisted. The default `localCheckpoint` path has
+    * no retention cost (executor block storage dies with the app). */
   def dedupRecipePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 2, bits: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -564,14 +575,21 @@ object Dedup {
         val sc = docs.sparkSession.sparkContext
         // setCheckpointDir(dir) materializes under dir/<uuid>, so
         // "already pointing there" means the CURRENT checkpoint dir's
-        // PARENT is `dir` — compared by URI path (scheme prefixes like
-        // file:/ must not defeat the match), never by substring (a
-        // sibling like /data/ckpt-old would contain "/data/ckpt" and
-        // silently hijack the supposedly-durable checkpoint)
-        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        // PARENT is `dir` — compared as FULLY-QUALIFIED URIs
+        // (fs.makeQualified: scheme + authority + path), never by
+        // substring (a sibling like /data/ckpt-old would contain
+        // "/data/ckpt") and never by path alone: a path-only compare
+        // would let an existing file:/data/ckpt/<uuid> satisfy a
+        // request for hdfs://nn/data/ckpt, silently landing the
+        // "reliable" checkpoint on the wrong filesystem — the exact
+        // durability this option exists to provide.
+        val conf = sc.hadoopConfiguration
+        def qualify(p: org.apache.hadoop.fs.Path): java.net.URI =
+          p.getFileSystem(conf).makeQualified(p).toUri
+        val want = qualify(new org.apache.hadoop.fs.Path(dir))
         val already = sc.getCheckpointDir.exists { cd =>
           Option(new org.apache.hadoop.fs.Path(cd).getParent)
-            .exists(_.toUri.getPath == want)
+            .exists(qualify(_) == want)
         }
         if (!already) sc.setCheckpointDir(dir)
         collapsed0.checkpoint(eager = true)

@@ -44,6 +44,17 @@ final class ConfigVersionStore(dir: String,
 
   private def legacyIdOf(content: String): String = digestHex(content, 6)
 
+  // Whether this store holds any pre-round-15 12-hex files — probed ONCE
+  // (first save), not per save: on a remote fs (HDFS/s3a) the legacy
+  // exists+read probe costs two round-trips per /config/apply, and a
+  // store born after the migration would have paid them forever for a
+  // namespace it never used. Legacy files are never created anew, so a
+  // one-time listing is exact (lazy, so constructing a store against a
+  // not-yet-created dir stays cheap and failure-free).
+  private lazy val hasLegacyFiles: Boolean =
+    fs.exists(root) && fs.listStatus(root).exists(s =>
+      s.isFile && s.getPath.getName.matches("cfg-[0-9a-f]{12}\\.yaml"))
+
   private def digestHex(content: String, nBytes: Int): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(content.getBytes(StandardCharsets.UTF_8))
@@ -68,9 +79,11 @@ final class ConfigVersionStore(dir: String,
     * under the legacy format keeps its id. */
   def save(content: String): String = synchronized {
     fs.mkdirs(root)
-    val legacy = legacyIdOf(content)
-    val lp = new Path(root, s"$legacy.yaml")
-    if (fs.exists(lp) && read(lp) == content) return legacy
+    if (hasLegacyFiles) {
+      val legacy = legacyIdOf(content)
+      val lp = new Path(root, s"$legacy.yaml")
+      if (fs.exists(lp) && read(lp) == content) return legacy
+    }
     val id = idOf(content)
     val p = new Path(root, s"$id.yaml")
     if (!fs.exists(p)) write(p, content)

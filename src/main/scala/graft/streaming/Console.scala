@@ -8,7 +8,8 @@ package graft.streaming
   * the operator loop the reference console exists for: watch streams,
   * stop/start/restart them, edit a draft config, diff it against the
   * active version, validate + apply it, inspect and roll back versions,
-  * and tail the event log live. Everything else (task-level drill-down,
+  * tail the event log live, and review the actor-stamped `/audit`
+  * mutation log. Everything else (task-level drill-down,
   * metrics timelines) is Structured Streaming's own Spark UI's job.
   *
   * The event table prefers the `/events/stream` SSE tail (consumed via
@@ -52,6 +53,9 @@ object Console {
       |<h2>recent events <span id="evmode" class="badge"></span></h2>
       |<table id="events"><tr><th>time</th><th>type</th><th>stream</th>
       |  <th>message</th></tr></table>
+      |<h2>audit</h2>
+      |<table id="audit"><tr><th>time</th><th>actor</th><th>resource</th>
+      |  <th>operation</th><th>state</th><th>detail</th></tr></table>
       |<h2>components</h2>
       |<table id="components"><tr><th>kind</th><th>registered</th></tr></table>
       |<h2>config versions</h2>
@@ -91,17 +95,32 @@ object Console {
       |}
       |async function saveDraft(){
       |  show(await call('/configuration/draft', 'PUT', $('cfg').value)); }
+      |// positional LCS line diff — duplicates and reorderings report
+      |// correctly (a Set-based diff collapsed repeated YAML lines like
+      |// '- type: sql', hiding a duplicated stanza from the pre-apply check)
+      |function lineDiff(a, b){
+      |  const n = a.length, m = b.length;
+      |  const dp = Array.from({length: n + 1}, () => new Array(m + 1).fill(0));
+      |  for (let i = n - 1; i >= 0; i--) for (let j = m - 1; j >= 0; j--)
+      |    dp[i][j] = a[i] === b[j] ? dp[i+1][j+1] + 1
+      |                             : Math.max(dp[i+1][j], dp[i][j+1]);
+      |  const out = []; let i = 0, j = 0;
+      |  while (i < n && j < m) {
+      |    if (a[i] === b[j]) { i++; j++; }
+      |    else if (dp[i+1][j] >= dp[i][j+1]) out.push('- ' + a[i++]);
+      |    else out.push('+ ' + b[j++]);
+      |  }
+      |  while (i < n) out.push('- ' + a[i++]);
+      |  while (j < m) out.push('+ ' + b[j++]);
+      |  return out;
+      |}
       |async function diffActive(){
       |  const a = await call('/configuration');
       |  if (a.code !== 200) return show(a);
       |  const cur = (a.body.yaml || '').split('\n'), d = $('cfg').value.split('\n');
-      |  const curSet = new Set(cur), dSet = new Set(d);
-      |  const added = d.filter(l => l.trim() && !curSet.has(l));
-      |  const removed = cur.filter(l => l.trim() && !dSet.has(l));
       |  show({code: 200, body: {active_version: a.body.version,
       |    changed: $('cfg').value !== a.body.yaml,
-      |    added_lines: added.map(l => '+ ' + l),
-      |    removed_lines: removed.map(l => '- ' + l)}});
+      |    diff: lineDiff(cur, d)}});
       |}
       |function row(tbl, cells){
       |  const tr = document.createElement('tr');
@@ -193,6 +212,12 @@ object Console {
       |        row(et, [new Date(e.occurred_at_ms).toISOString(), e.event_type,
       |          e.stream_id || '', e.message]));
       |    }
+      |    const au = await call('/audit');
+      |    const at = $('audit');
+      |    while (at.rows.length > 1) at.deleteRow(1);
+      |    ((au.body && au.body.items) || []).slice(0, 10).forEach(a =>
+      |      row(at, [new Date(a.occurred_at_ms).toISOString(), a.actor,
+      |        a.resource_id, a.operation, a.state, a.detail]));
       |    const co = await call('/components');
       |    const ct = $('components');
       |    if (ct.rows.length === 1 && Array.isArray(co.body)) {

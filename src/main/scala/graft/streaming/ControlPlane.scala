@@ -100,6 +100,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     1000): query_started / query_terminated / query_failed from the
   *     listener, stream_started / stream_stopped / config_applied /
   *     config_rollback from the lifecycle + config routes.
+  *   - `GET /audit[?actor=&resource_id=&operation=&state=]` the
+  *     actor-stamped mutation log (reference lib.rs:298, degenerate
+  *     single-node form): every apply / rollback / draft save /
+  *     lifecycle mutation with WHO did it — the bearer-token
+  *     fingerprint, or "anonymous" without auth — newest first,
+  *     reference pagination shape, bounded ring of 1000.
   *   - `GET /events/stream` the same ring as a Server-Sent-Events live
   *     tail (reference lib.rs:297) — `id:`-stamped frames, resumable
   *     via Last-Event-ID / `?last_id=`, windowed ~25 s per connection
@@ -152,19 +158,54 @@ final class ControlPlane(spark: SparkSession, port: Int,
   // Both logs are BOUNDED rings (most recent 1000) for the same reason
   // the termination maps are: a long-lived service must not grow a record
   // per lifecycle call forever.
-  import ControlPlane.{Event, OpRec}
+  import ControlPlane.{AuditRec, Event, OpRec}
   private val eventSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val opSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val auditSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private val events = new java.util.ArrayDeque[Event]()
   private val operations = new java.util.ArrayDeque[OpRec]()
-  private def recordEvent(eventType: String, streamId: Option[String],
-      message: String): Unit = events.synchronized {
+  private val audits = new java.util.ArrayDeque[AuditRec]()
+  // package-private so the SSE churn spec can drive >ring-bound event
+  // volumes through an OPEN tail without 1100 real stream lifecycles
+  private[streaming] def recordEvent(eventType: String,
+      streamId: Option[String], message: String): Unit = events.synchronized {
     events.addFirst(Event(eventSeq.incrementAndGet(), eventType, streamId,
       System.currentTimeMillis(), message))
     while (events.size > 1000) { events.removeLast(); () }
   }
+
+  // The acting identity for the CURRENT request, stamped onto audit
+  // records (reference lib.rs:298 /audit — who applied/rolled back what,
+  // when). With bearer auth configured the actor is a stable NON-SECRET
+  // token fingerprint (sha-256 prefix — the reference logs principal
+  // names; a single-token deployment has only the token itself to name);
+  // without auth every mutation is "anonymous". Thread-bound: handlers
+  // run the whole request on one pool thread, and every recordOp call
+  // site sits synchronously inside its request.
+  private val tokenActor: String = bearerToken.map { t =>
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes(StandardCharsets.UTF_8))
+    "bearer:" + d.take(4).map(b => f"$b%02x").mkString
+  }.getOrElse("anonymous")
+  private val currentActor = new scala.util.DynamicVariable[String]("system")
+
+  /** Append an actor-stamped `/audit` record (bounded ring, newest
+    * first, same 1000-entry policy as events/operations). */
+  private def recordAudit(resourceId: String, operation: String,
+      state: String, detail: String): Unit = {
+    val rec = AuditRec(s"audit-${auditSeq.incrementAndGet()}",
+      currentActor.value, resourceId, operation, state,
+      System.currentTimeMillis(), detail)
+    audits.synchronized {
+      audits.addFirst(rec)
+      while (audits.size > 1000) { audits.removeLast(); () }
+    }
+  }
+
   /** Record a completed lifecycle/config operation (this engine runs them
-    * synchronously inside the request, so every record is terminal). */
+    * synchronously inside the request, so every record is terminal).
+    * Every operation also lands in the `/audit` ring with the acting
+    * identity — the ops ring holds everything BUT the actor. */
   private def recordOp(resourceId: String, operation: String,
       state: String, detail: String): String = {
     val id = s"op-${opSeq.incrementAndGet()}"
@@ -173,6 +214,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
         System.currentTimeMillis(), detail))
       while (operations.size > 1000) { operations.removeLast(); () }
     }
+    recordAudit(resourceId, operation, state, detail)
     id
   }
 
@@ -456,6 +498,12 @@ final class ControlPlane(spark: SparkSession, port: Int,
       s""""operation":${js(o.operation)},"state":${js(o.state)},""" +
       s""""occurred_at_ms":${o.occurredAtMs},"detail":${js(o.detail)}}"""
 
+  private def auditJson(a: AuditRec): String =
+    s"""{"id":${js(a.id)},"actor":${js(a.actor)},""" +
+      s""""resource_id":${js(a.resourceId)},"operation":${js(a.operation)},""" +
+      s""""state":${js(a.state)},"occurred_at_ms":${a.occurredAtMs},""" +
+      s""""detail":${js(a.detail)}}"""
+
   private def eventJson(e: Event): String =
     s"""{"id":${e.id},"event_type":${js(e.eventType)},""" +
       s""""stream_id":${e.streamId.map(js).getOrElse("null")},""" +
@@ -663,7 +711,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
       else if (method == "GET" && path == "/schema")
         respond(ex, 200, schemaJson)
       else if (!authorized) respond(ex, 401, """{"error":"unauthorized"}""")
-      else (method, path) match {
+      else currentActor.withValue(tokenActor) { (method, path) match {
         case ("GET", "/system") =>
           val sc = spark.sparkContext
           respond(ex, 200,
@@ -820,6 +868,11 @@ final class ControlPlane(spark: SparkSession, port: Int,
               val body = new String(ex.getRequestBody.readAllBytes(),
                 StandardCharsets.UTF_8)
               store.saveDraft(body)
+              // drafts are unversioned until applied, so they never pass
+              // recordOp — audit the save directly (who edited the
+              // scratchpad matters exactly as much as who applied it)
+              recordAudit("configuration", "draft_save", "succeeded",
+                s"${body.getBytes(StandardCharsets.UTF_8).length} bytes")
               respond(ex, 200, s"""{"saved":true,"bytes":${
                 body.getBytes(StandardCharsets.UTF_8).length}}""")
           }
@@ -847,6 +900,24 @@ final class ControlPlane(spark: SparkSession, port: Int,
             case None => respond(ex, 404,
               s"""{"error":"unknown operation","id":${js(id)}}""")
           }
+        case ("GET", "/audit") =>
+          // actor-stamped mutation log (reference lib.rs:298 — hub-only
+          // there; the degenerate single-node form serves this engine's
+          // own apply/rollback/draft/lifecycle mutations): who did what,
+          // when, reference pagination shape. Filterable like
+          // /operations, plus `actor=`.
+          val params = qparams(ex)
+          val items = audits.synchronized {
+            audits.toArray(new Array[AuditRec](0)).toSeq }
+          val f = items
+            .filter(a => params.get("actor").forall(_ == a.actor))
+            .filter(a => params.get("resource_id").forall(_ == a.resourceId))
+            .filter(a => params.get("operation").forall(_ == a.operation))
+            .filter(a => params.get("state").forall(_ == a.state))
+          val (page, size) = pageParams(params)
+          respond(ex, 200, s"""{"items":${f.slice((page - 1) * size, page * size)
+            .map(auditJson).mkString("[", ",", "]")},""" +
+            s""""page":$page,"page_size":$size,"total":${f.size}}""")
         case ("GET", "/events/stream") =>
           // Server-Sent Events live tail of the same bounded ring the
           // paged /events serves (reference lib.rs:297 /events/stream —
@@ -866,8 +937,13 @@ final class ControlPlane(spark: SparkSession, port: Int,
             respond(ex, 429, """{"error":"too many event streams"}""")
           } else try {
             val params = qparams(ex)
+            // each resume source parses INDEPENDENTLY: a present-but-
+            // non-numeric Last-Event-ID header must fall through to
+            // ?last_id=, not pin the Option and replay the whole ring
             var lastId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
-              .orElse(params.get("last_id")).flatMap(_.toLongOption).getOrElse(0L)
+              .flatMap(_.toLongOption)
+              .orElse(params.get("last_id").flatMap(_.toLongOption))
+              .getOrElse(0L)
             ex.getResponseHeaders.set("Content-Type", "text/event-stream")
             ex.getResponseHeaders.set("Cache-Control", "no-cache")
             ex.sendResponseHeaders(200, 0L) // 0 = chunked
@@ -927,7 +1003,7 @@ final class ControlPlane(spark: SparkSession, port: Int,
                 Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
           }
         case _ => respond(ex, 404, """{"error":"not found"}""")
-      }
+      } }
     } catch {
       // q.stop() can throw (e.g. TimeoutException past
       // spark.sql.streaming.stopTimeout); without this the exchange closes
@@ -974,4 +1050,9 @@ object ControlPlane {
     * run synchronously inside their request). */
   private final case class OpRec(id: String, resourceId: String,
       operation: String, state: String, occurredAtMs: Long, detail: String)
+  /** One `/audit` record — an [[OpRec]] plus the acting identity
+    * (reference lib.rs:298 audit log, degenerate single-node form). */
+  private final case class AuditRec(id: String, actor: String,
+      resourceId: String, operation: String, state: String,
+      occurredAtMs: Long, detail: String)
 }

@@ -2061,7 +2061,29 @@ object Processors {
       c.options.get("timezone"))),
     "remap" -> (c => RemapProcessor(
       c.options.getOrElse("statement", c.options("program")),
-      c.options.get("timezone"))))
+      c.options.get("timezone"))),
+    // The production dedup recipe (operators/Dedup.dedupRecipePairs:
+    // exact md5-collapse ∘ auto-width banded simhash) as a CONFIG
+    // processor — the flagship 100 TB operator reachable from YAML like
+    // every reference processor, not library-only. Emits the pair table
+    // (doc_a, doc_b, dist); compose a sql processor after it to join
+    // back / filter / order. Options: id_col, text_col (the document
+    // frame's columns), max_dist (hamming radius, default 2), bits
+    // (pin the signature width; default auto from the post-collapse
+    // keeper count), checkpoint_dir (reliable hadoop-fs checkpoint for
+    // cluster runs — see the dedupRecipePairs retention contract).
+    "dedup_recipe" -> { c =>
+      val idCol = c.options.getOrElse("id_col", "doc_id")
+      val textCol = c.options.getOrElse("text_col", "text")
+      val maxDist = c.options.getOrElse("max_dist", "2").toInt
+      val bits = c.options.get("bits").map(_.toInt)
+      val ckpt = c.options.get("checkpoint_dir")
+      batch => {
+        graft.functions.Shims.register(batch.sparkSession)
+        graft.operators.Dedup.dedupRecipePairs(
+          batch, idCol, textCol, maxDist, bits, ckpt)
+      }
+    })
 
   /** Build the processor chain from config components. `temporaries` are
     * the stream-level `temporary:` declarations a sql processor's

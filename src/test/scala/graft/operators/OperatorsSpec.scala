@@ -2223,6 +2223,41 @@ class OperatorsSpec extends AnyFunSuite {
       "reliable checkpoint must materialize under the supplied dir")
   }
 
+  test("dedupRecipePairs checkpoint-dir check compares full URIs: a " +
+      "same-path request under a DIFFERENT scheme still re-points the " +
+      "checkpoint dir (never silently lands on the wrong filesystem)") {
+    import spark.implicits._
+    graft.functions.Shims.register(spark)
+    val sc = spark.sparkContext
+    // a second hadoop scheme backed by the local disk, so the
+    // different-scheme case is drivable without a real HDFS/s3a
+    sc.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[graft.operators.GraftTestFs].getName)
+    val docs = (for { t <- 0 until 3; c <- 0 until 3 } yield
+      ((t * 10 + c).toLong, s"tpl $t alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scheme-ckpt")
+    // 1) file:-scheme checkpoint dir gets set
+    Dedup.dedupRecipePairs(docs, "doc_id", "text",
+      checkpointDir = Some(tmp.toString)).count()
+    val first = sc.getCheckpointDir.get
+    assert(new java.net.URI(first).getScheme == "file",
+      s"fixture expects a file: checkpoint dir, got $first")
+    // 2) same PATH under a different SCHEME: the old path-only compare
+    // matched here and skipped setCheckpointDir — the fix must re-point
+    Dedup.dedupRecipePairs(docs, "doc_id", "text",
+      checkpointDir = Some(s"graftfs:${tmp.toString}")).count()
+    val second = sc.getCheckpointDir.get
+    assert(new java.net.URI(second).getScheme == "graftfs",
+      s"different-scheme request must call setCheckpointDir; dir stayed $second")
+    // 3) and the check still short-circuits on a TRUE repeat: a third
+    // run with the same graftfs dir must keep the <uuid> subdir as-is
+    Dedup.dedupRecipePairs(docs, "doc_id", "text",
+      checkpointDir = Some(s"graftfs:${tmp.toString}")).count()
+    assert(sc.getCheckpointDir.get == second,
+      "identical request must not re-point (one <uuid> subdir per context)")
+  }
+
   test("wide simhash signatures: the full prefix ladder 32 c 64 c 96 c 128 " +
       "is byte-compatible, planes add independent bits, and the banded " +
       "pairing equals brute force at every width") {

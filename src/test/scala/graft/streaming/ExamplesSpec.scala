@@ -116,6 +116,28 @@ class ExamplesSpec extends AnyFunSuite {
       s"config pipeline must reproduce the library SQL: ${got.size} vs ${expected.size}")
   }
 
+  test("dedup-recipe example runs the production recipe from config alone " +
+      "and matches the library call exactly") {
+    val spark = SparkTestSession.spark
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(exampleDir, "dedup_recipe.yaml").toPath))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dedupr_out").toString
+    Engine.run(spark, Config.fromYaml(
+      yaml.replace("/tmp/graft/out/dedup_recipe", outDir)))
+    val got = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity).toSeq
+    graft.functions.Shims.register(spark)
+    val expected = graft.operators.Dedup.dedupRecipePairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity).toSeq
+    assert(got == expected && expected.nonEmpty,
+      s"config pipeline must reproduce the library recipe: ${got.size} vs ${expected.size}")
+  }
+
   test("record-linkage example scores blocked pairs with both string metrics") {
     val spark = SparkTestSession.spark
     val yaml = new String(java.nio.file.Files.readAllBytes(

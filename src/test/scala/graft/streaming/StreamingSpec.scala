@@ -2638,7 +2638,13 @@ class StreamingSpec extends AnyFunSuite {
     // format migration (round-15 ADVICE): content already stored under a
     // pre-round-15 12-hex id keeps that id on re-save — the
     // content-addressed reuse property holds ACROSS the id widening,
-    // not just within one format
+    // not just within one format. The legacy probe is GATED on the store
+    // actually containing 12-hex files, checked once at first save
+    // (round-16 ADVICE: on remote stores the probe is two fs round-trips
+    // per /config/apply, and stores born after the migration would pay
+    // them forever) — a legacy STORE is one holding legacy files when
+    // the server (re)starts; model the restart with a fresh store
+    // instance over the same dir.
     val legacyContent = "streams: [] # legacy\n"
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(legacyContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2646,9 +2652,16 @@ class StreamingSpec extends AnyFunSuite {
     val lout = fs.create(new org.apache.hadoop.fs.Path(dir, s"$legacyId.yaml"), true)
     lout.write(legacyContent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     lout.close()
-    assert(store.save(legacyContent) == legacyId,
+    val migrated = new ConfigVersionStore(dir, spark.sparkContext.hadoopConfiguration)
+    assert(migrated.save(legacyContent) == legacyId,
       "identical content saved under the legacy 12-hex format must reuse its id")
-    assert(store.save(legacyContent) == legacyId) // and stay stable
+    assert(migrated.save(legacyContent) == legacyId) // and stay stable
+    // the ORIGINAL handle first saved into an empty dir, so its legacy
+    // probe is gated OFF for good: the same content lands under the NEW
+    // format (no per-save legacy round-trips for post-migration stores)
+    val fresh = store.save(legacyContent)
+    assert(fresh.matches("cfg-[0-9a-f]{16}"),
+      s"post-migration store must not honor the legacy namespace: $fresh")
   }
 
   test("ops surface e2e: /metrics scrapes named stream counters + cap drops, " +
@@ -3084,6 +3097,117 @@ class StreamingSpec extends AnyFunSuite {
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       cp.stop()
     }
+  }
+
+  test("/audit records apply/rollback/draft mutations with the acting " +
+      "identity and timestamp, filters like /operations, and the console " +
+      "carries the audit tab") {
+    def call(url: String, method: String = "GET", body: Option[String] = None,
+        token: Option[String] = None): (Int, String) = {
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setRequestMethod(method)
+        token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+        body.foreach { b =>
+          c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      } finally c.disconnect()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cp_audit").toString
+    val tok = "audit-tok"
+    // the actor is the stable NON-SECRET token fingerprint
+    val expectedActor = "bearer:" + java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    val cp = new ControlPlane(spark, 0, Some(tok), Nil, Some(s"$dir/versions"))
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      // audit is a DATA route: token-gated; console page carries the tab
+      assert(call(s"$base/audit")._1 == 401)
+      assert(call(s"$base/console")._2.contains("id=\"audit\""),
+        "console must render the audit tab")
+      val v1 = "streams: []\n"
+      val v2 = "streams: [] # v2\n"
+      assert(call(s"$base/configuration/draft", "PUT", Some(v1),
+        Some(tok))._1 == 200)
+      val (a1c, a1b) = call(s"$base/config/apply", "POST", Some(v1), Some(tok))
+      assert(a1c == 202, a1b)
+      val v1Id = "\"version\":\"(cfg-[0-9a-f]+)\"".r
+        .findFirstMatchIn(a1b).map(_.group(1)).get
+      val (a2c, a2b) = call(s"$base/config/apply", "POST", Some(v2), Some(tok))
+      assert(a2c == 202, a2b)
+      assert(call(s"$base/config/rollback/$v1Id", "POST",
+        token = Some(tok))._1 == 202)
+      val (ac, ab) = call(s"$base/audit", token = Some(tok))
+      assert(ac == 200, ab)
+      // every mutation kind landed, actor-stamped with a real timestamp
+      Seq("draft_save", "\"operation\":\"apply\"",
+          "\"operation\":\"rollback\"").foreach(k =>
+        assert(ab.contains(k), s"audit must hold $k: $ab"))
+      assert(ab.contains(s""""actor":"$expectedActor""""),
+        s"audit records must carry the token fingerprint actor: $ab")
+      assert(!ab.contains(tok), "the raw token must never appear in audit")
+      assert("\"occurred_at_ms\":([0-9]{13})".r.findFirstIn(ab).isDefined, ab)
+      // filters: operation + actor narrow like /operations
+      val (rc, rb) = call(s"$base/audit?operation=rollback", token = Some(tok))
+      assert(rc == 200 && rb.contains("\"operation\":\"rollback\"") &&
+        !rb.contains("\"operation\":\"apply\""), rb)
+      assert(call(s"$base/audit?actor=nobody", token = Some(tok))
+        ._2.contains("\"total\":0"))
+    } finally cp.stop()
+  }
+
+  test("SSE tail under churn: >1100 events through an OPEN tail cross the " +
+      "ring's eviction boundary with strictly monotone ids and zero " +
+      "duplicates") {
+    val cp = new ControlPlane(spark, 0, None, Nil, None)
+    val base = s"http://127.0.0.1:${cp.boundPort}"
+    try {
+      val conn = new java.net.URI(s"$base/events/stream")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+        conn.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sawLast = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val tail = new Thread(() => {
+        try {
+          var line = reader.readLine()
+          while (line != null && !sawLast.get) {
+            if (line.startsWith("id: ")) ids.synchronized {
+              ids += line.drop(4).toLong; () }
+            if (line.contains("churn-final")) sawLast.set(true)
+            line = reader.readLine()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }, "sse-churn-tail")
+      tail.setDaemon(true); tail.start()
+      // burst 1150 events — 150 past the 1000-entry ring bound, so the
+      // ring EVICTS while the tail is mid-read; the final event is marked
+      (1 to 1149).foreach(i =>
+        cp.recordEvent("churn_test", Some("churn"), s"m$i"))
+      cp.recordEvent("churn_test", Some("churn"), "churn-final")
+      val deadline = System.currentTimeMillis() + 20000
+      while (!sawLast.get && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(sawLast.get, "tail must deliver the last churn event")
+      val seen = ids.synchronized { ids.toVector }
+      // the ring may evict entries the tail never saw (bounded-ring
+      // contract) — but what IS delivered must be exact: strictly
+      // monotone ids (no replay across the eviction boundary), no
+      // duplicates, and at least a full ring's worth arrives
+      assert(seen.size >= 1000,
+        s"tail should deliver at least the newest ring: ${seen.size}")
+      assert(seen == seen.distinct, "no duplicate ids over one connection")
+      assert(seen.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+        "ids must be strictly monotone across the eviction boundary")
+    } finally cp.stop()
   }
 
   test("engine runs memory-stream end-to-end: envelope -> decode -> sql -> sink") {
