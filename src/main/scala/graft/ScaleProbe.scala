@@ -391,6 +391,56 @@ object ScaleProbe {
           f"auto-width recipe must hold announced drops under 1%% at the " +
             f"500k boundary, measured $pct%.3f%%")
 
+      case "recipe100ckpt" =>
+        // ---- the RELIABLE-checkpoint deployment path at the SAME 500k
+        // boundary recipe100 certifies (round-16 verdict item 3: the
+        // spec exercises checkpointDir on 25 rows; the option exists for
+        // the 100 TB run). Same pair count on both substrates, real
+        // checkpoint files under the supplied dir, wall-clock delta
+        // recorded in SCALING.md — and the retention contract validated:
+        // the files REMAIN after the jobs complete (Spark only cleans
+        // with spark.cleaner.referenceTracking.cleanCheckpoints). ----
+        val sfc = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/tmp/sf100")
+        require(new java.io.File(s"$sfc/.built").exists(),
+          "run `ScaleProbe sf100` first to build the fixture")
+        val drc = Tables.load(spark, sfc, "documents").localCheckpoint(true)
+        println(s"[probe] sf100 docs=${drc.count()}")
+        def timed(label: String)(body: => Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val rows = body
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] $label%-46s $s%8.2f s   $rows%9d rows")
+          (rows, s)
+        }
+        // untimed warm-up: the first recipe run in a fresh JVM absorbs
+        // the md5/simhash codegen JIT — without it the SECOND substrate
+        // measured always reads faster and the delta is meaningless
+        operators.Dedup.dedupRecipePairs(drc, "doc_id", "text",
+          maxDist = 2).count()
+        val (nLocal, tLocal) = timed("recipe, default localCheckpoint") {
+          operators.Dedup.dedupRecipePairs(drc, "doc_id", "text",
+            maxDist = 2).count()
+        }
+        val ckptDir = java.nio.file.Files
+          .createTempDirectory("graft-recipe-ckpt").toString
+        val (nReliable, tReliable) = timed("recipe, RELIABLE checkpoint") {
+          operators.Dedup.dedupRecipePairs(drc, "doc_id", "text",
+            maxDist = 2, checkpointDir = Some(ckptDir)).count()
+        }
+        require(nLocal == nReliable,
+          s"checkpoint substrate must not change results: $nLocal vs $nReliable")
+        def walkSize(p: java.io.File): Long =
+          if (p.isDirectory)
+            Option(p.listFiles).toSeq.flatten.map(walkSize).sum
+          else p.length
+        val ckptBytes = walkSize(new java.io.File(ckptDir))
+        require(ckptBytes > 0L,
+          "reliable checkpoint must materialize under the supplied dir")
+        println(f"[probe] reliable checkpoint: $ckptBytes%d bytes persist " +
+          f"under $ckptDir AFTER both jobs (retention contract: caller " +
+          f"cleans or sets a lifecycle rule); overhead " +
+          f"${tReliable - tLocal}%.2f s (${100 * (tReliable - tLocal) / tLocal}%.1f%%)")
+
       case "q90exact" =>
         // the exact-copy blow-up the collapse fixes: k identical copies
         // are O(k²) candidate pairs without it, O(k) rows through the

@@ -138,6 +138,50 @@ class ExamplesSpec extends AnyFunSuite {
       s"config pipeline must reproduce the library recipe: ${got.size} vs ${expected.size}")
   }
 
+  test("dedup_recipe processor honors bits and checkpoint_dir from YAML: " +
+      "pinned width matches the library pin, and the reliable checkpoint " +
+      "materializes under the configured dir") {
+    val spark = SparkTestSession.spark
+    val outDir = java.nio.file.Files.createTempDirectory("graft_deduprb_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_deduprb_ck").toString
+    val yaml =
+      s"""streams:
+         |  - input:
+         |      type: file
+         |      format: parquet
+         |      path: /root/testdata/sf0.001/documents.parquet
+         |    pipeline:
+         |      processors:
+         |        - type: dedup_recipe
+         |          id_col: doc_id
+         |          text_col: text
+         |          max_dist: "2"
+         |          bits: "64"
+         |          checkpoint_dir: "$ckptDir"
+         |    output:
+         |      type: parquet
+         |      path: "$outDir"
+         |""".stripMargin
+    Engine.run(spark, Config.fromYaml(yaml))
+    val got = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity).toSeq
+    graft.functions.Shims.register(spark)
+    val expected = graft.operators.Dedup.dedupRecipePairs(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", maxDist = 2, bits = Some(64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+      .sortBy(identity).toSeq
+    assert(got == expected && expected.nonEmpty,
+      s"config pins must reproduce the library pins: ${got.size} vs ${expected.size}")
+    def walkSize(p: java.io.File): Long =
+      if (p.isDirectory) Option(p.listFiles).toSeq.flatten.map(walkSize).sum
+      else p.length
+    assert(walkSize(new java.io.File(ckptDir)) > 0L,
+      "checkpoint_dir from YAML must land a real reliable checkpoint")
+  }
+
   test("record-linkage example scores blocked pairs with both string metrics") {
     val spark = SparkTestSession.spark
     val yaml = new String(java.nio.file.Files.readAllBytes(

@@ -3090,8 +3090,13 @@ class StreamingSpec extends AnyFunSuite {
       waitUntil("runtime failure reaches the /status rollup") {
         call(s"$base/status", token = tok)._2.contains("\"streams_failed\":1")
       }
-      assert(call(s"$base/node", token = tok)._2.contains("\"streams_failed\":1"),
-        "the node resource mirrors the failed count")
+      // polled like /status above, NOT a one-shot assert: between the
+      // two calls the failed query can be reaped from streams.active
+      // while its termination record still rides the async listener bus
+      // — both counts read 0 for that tick (flaked once in round 17)
+      waitUntil("the node resource mirrors the failed count") {
+        call(s"$base/node", token = tok)._2.contains("\"streams_failed\":1")
+      }
     } finally {
       spark.streams.active.filter(q => Option(q.name).contains("gen-status"))
         .foreach(q => try q.stop() catch { case scala.util.control.NonFatal(_) => () })
