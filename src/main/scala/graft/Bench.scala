@@ -51,7 +51,7 @@ object Bench {
     val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     var idleStreak = 0
     while (idleStreak < 2 && System.nanoTime() < deadline) {
-      val idle = tracker.getActiveJobIds.isEmpty && tracker.getActiveStageIds.isEmpty
+      val idle = tracker.getActiveJobIds().isEmpty && tracker.getActiveStageIds().isEmpty
       idleStreak = if (idle) idleStreak + 1 else 0
       Thread.sleep(20)
     }

@@ -191,12 +191,12 @@ object VrlMapMerge {
   def merge(l: MapData, r: MapData, kt: DataType, vt: DataType,
       deep: Boolean): MapData = {
     val m = new java.util.LinkedHashMap[Any, Any](l.numElements() + r.numElements())
-    val lks = l.keyArray.toObjectArray(kt)
-    val lvs = l.valueArray.toObjectArray(vt)
+    val lks = l.keyArray().toObjectArray(kt)
+    val lvs = l.valueArray().toObjectArray(vt)
     var i = 0
     while (i < lks.length) { m.put(lks(i), lvs(i)); i += 1 }
-    val rks = r.keyArray.toObjectArray(kt)
-    val rvs = r.valueArray.toObjectArray(vt)
+    val rks = r.keyArray().toObjectArray(kt)
+    val rvs = r.valueArray().toObjectArray(vt)
     i = 0
     while (i < rks.length) {
       val k = rks(i)

@@ -1646,7 +1646,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(steps == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0),
       s"strict ordering must gate each step: $steps")
     assert(out.filter(org.apache.spark.sql.functions.col("user_id") === 1L)
-      .head.getLong(5) == 20L, "conversion time = purchase - first view")
+      .head().getLong(5) == 20L, "conversion time = purchase - first view")
     assert(exchangesPlanned == 1,
       s"windows + final agg must reuse ONE user-key shuffle, saw $exchangesPlanned")
   }
@@ -1679,7 +1679,7 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("file_id")
       .agg((org.apache.spark.sql.functions.max("u") -
         org.apache.spark.sql.functions.min("u")).as("uspan"))
-      .agg(org.apache.spark.sql.functions.avg("uspan")).head.getDouble(0)
+      .agg(org.apache.spark.sql.functions.avg("uspan")).head().getDouble(0)
     val zAvg = files.map(f => f.getLong(3) - f.getLong(2)).sum.toDouble / nf
     assert(zAvg < timeSorted * 0.75,
       s"z-order must bound the u dim tighter than time-sort: $zAvg vs $timeSorted")
@@ -1808,7 +1808,7 @@ class OperatorsSpec extends AnyFunSuite {
     // global widest dim range
     val ranges = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("dim").agg((max("v") - min("v")).as("r"))
-      .agg(max("r")).head.getFloat(0).toDouble
+      .agg(max("r")).head().getFloat(0).toDouble
     val bound = ranges / 510.0 + 1e-12
     assert(out.forall(_.getDouble(3) <= bound),
       s"max_err must stay within half a quantization step ($bound)")
@@ -2035,8 +2035,8 @@ class OperatorsSpec extends AnyFunSuite {
       col("payload"), k = 8)
     val plain = big.join(dim, col("k") === col("dk"))
     assert(salted.count() == plain.count())
-    assert(salted.select(sum(col("payload"))).head.getLong(0) ==
-      plain.select(sum(col("payload"))).head.getLong(0))
+    assert(salted.select(sum(col("payload"))).head().getLong(0) ==
+      plain.select(sum(col("payload"))).head().getLong(0))
     // the hot key's rows really occupy all 8 (key, salt) shuffle groups
     val spread = big.select(pmod(col("payload"), lit(8L))).distinct().count()
     assert(spread == 8L)

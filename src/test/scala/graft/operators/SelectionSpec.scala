@@ -32,9 +32,9 @@ class SelectionSpec extends AnyFunSuite {
   test("weightedSample: heavier docs are overrepresented vs uniform") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val n = docs.count()
-    val meanAll = docs.agg(avg("n_chars")).head.getDouble(0)
+    val meanAll = docs.agg(avg("n_chars")).head().getDouble(0)
     val meanSel = Selection.weightedSample(docs, "doc_id", col("n_chars"), n = (n / 5).toInt)
-      .agg(avg("weight")).head.getDouble(0)
+      .agg(avg("weight")).head().getDouble(0)
     // P(select) ∝ n_chars ⇒ the sampled mean length must exceed the corpus mean
     assert(meanSel > meanAll, s"weighted sample mean $meanSel !> corpus mean $meanAll")
   }
@@ -55,8 +55,8 @@ class SelectionSpec extends AnyFunSuite {
     val docs = (math ++ legal).toDF("doc_id", "text")
     val target = math.toDF("doc_id", "text")
     val w = Selection.dsirWeights(docs, target, "doc_id", "text", buckets = 64)
-    val avgMath = w.filter(col("doc_id") < 30).agg(avg("dsir_logw")).head.getDouble(0)
-    val avgLegal = w.filter(col("doc_id") >= 30).agg(avg("dsir_logw")).head.getDouble(0)
+    val avgMath = w.filter(col("doc_id") < 30).agg(avg("dsir_logw")).head().getDouble(0)
+    val avgLegal = w.filter(col("doc_id") >= 30).agg(avg("dsir_logw")).head().getDouble(0)
     assert(avgMath > 0 && avgMath > avgLegal + 1.0,
       s"math=$avgMath legal=$avgLegal — importance weights must separate domains")
     assert(w.count() == 60, "every doc in the pool must be scored")
