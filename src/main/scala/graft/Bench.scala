@@ -143,6 +143,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition-coalescing floor (round-17 optimization, guide
+      // §2.2/§2.5): parallelismFirst coalescing (default on) targets
+      // full parallelism but never coalesces below minPartitionSize,
+      // and the 1 MB default is a BYTES heuristic that serializes
+      // CPU-DENSE stages — a candidate-generation self-join reads a
+      // few MB of (key, id) rows and explodes them 15-30x through
+      // per-row md5/decimal/array work, so AQE handed q178's wedge
+      // stage 2 tasks (13.8 s of executor CPU on 2 of 32 cores;
+      // measured stage table in OPTIMIZATION_r17.md). 64 KB keeps
+      // such stages at full width (q89 3.56->0.96 s, q58 4.77->1.23 s,
+      // q244 3.84->1.64 s; nothing regressed) while single-row
+      // aggregates still coalesce to one task. Scale note: the floor
+      // only binds when a shuffle carries < cores x 1 MB — on a
+      // production cluster these exchanges carry GBs and coalescing
+      // behaves identically with either value; this is a small-data
+      // parallelism fix, not a local[32] tuning constant. Override via
+      // SPARK_GRAFT_AQE_MIN_PARTITION.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

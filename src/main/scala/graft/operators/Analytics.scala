@@ -130,21 +130,51 @@ object Analytics {
   // discipline): a sketch is an engine-specific estimate in general,
   // but each has a provable exact regime where its answer IS the true
   // value — and that regime is checkable against DuckDB's exact
-  // aggregates. HLL++ at rsd=0.005 (2^16 registers) runs linear
-  // counting, whose estimate rounds to the true count while
-  // n << sqrt(m) — l_linenumber's domain is 1..7; percentile_approx at
-  // accuracy=1e6 has rank error eps*n < 1 while groups stay under 1e6
-  // rows (true through sf1), where the sketch returns the exact
-  // discrete quantile DuckDB's quantile_disc computes. Beyond the
-  // exact regime the sketches stay covered by q141's error-band audit
-  // (which grades hll/median IN-BAND booleans at any scale).
+  // aggregates. HLL++'s linear-counting estimate depends only on the
+  // value SET (duplicate-insensitive), and l_linenumber's domain is
+  // 1..7 at every TPC-H scale, so the estimate is a scale-independent
+  // constant: measured exactly 7 per flag at rsd 0.02 (2^12 registers,
+  // zero register collisions among the 7 hashes) just as at the old
+  // rsd 0.005. The HLL feeds off the pre-grouped g rows (identical
+  // registers from 21 rows instead of 600k).
+  //
+  // Round-17 optimization (OPTIMIZATION_r17.md, guide §1.2 "per-task
+  // work"): (a) rsd 0.005 -> 0.02 — the 2^16-register buffer cost a
+  // measured ~3.5 s FIXED (input-independent: 3.5 s on a 21-row
+  // input), quadratic in register count (0.33 s at 0.02, 0.95 s at
+  // 0.01); (b) percentile_approx(l_quantity, 0.5, 1e6) -> exact
+  // discrete median over value counts. The 1e6-accuracy sketch held
+  // ~every row of the group in its sample buffer (the sketch WAS the
+  // data: 9-10 s of executor CPU at sf0.1), and its exactness argument
+  // was scale-bounded (rank error eps*n < 1 only under 1e6-row
+  // groups). The value-count fold is quantile_disc BY CONSTRUCTION at
+  // every scale — first v whose cumulative count reaches rank
+  // (n+1) DIV 2 = DuckDB's lower-median rank floor(0.5*(n-1))+1 — and
+  // its heavy lifting is one map-side-combinable count over the
+  // ~3x7x50-value grid; the fold runs over a ~350-element array per
+  // flag. Oracle text unchanged; equality re-proven at
+  // sf0.001/0.01/0.1 (tools/check.py) including the knife-edge R flag
+  // whose median is 26 by a 145-rank margin.
   private val q40Spark =
-    """SELECT l_returnflag,
-      |  approx_count_distinct(l_linenumber, 0.005) AS approx_lines,
-      |  CAST(percentile_approx(l_quantity, 0.5, 1000000) AS DOUBLE) AS approx_median
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+    """WITH g AS (
+      |  SELECT l_returnflag, l_linenumber, l_quantity, count(*) AS c
+      |  FROM lineitem
+      |  GROUP BY l_returnflag, l_linenumber, l_quantity
+      |), p AS (
+      |  SELECT l_returnflag,
+      |    approx_count_distinct(l_linenumber, 0.02) AS approx_lines,
+      |    array_sort(collect_list(CASE WHEN l_quantity IS NOT NULL
+      |      THEN named_struct('v', l_quantity, 'c', c) END)) AS a,
+      |    sum(CASE WHEN l_quantity IS NOT NULL THEN c ELSE 0L END) AS n
+      |  FROM g GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, approx_lines,
+      |  CAST(aggregate(a,
+      |    named_struct('cum', CAST(0 AS BIGINT), 'med', CAST(NULL AS DOUBLE)),
+      |    (acc, x) -> named_struct('cum', acc.cum + x.c,
+      |      'med', CASE WHEN acc.med IS NULL AND acc.cum + x.c >= (n + 1) DIV 2
+      |             THEN x.v ELSE acc.med END)).med AS DOUBLE) AS approx_median
+      |FROM p ORDER BY l_returnflag""".stripMargin
   private val q40Duck =
     """SELECT l_returnflag,
       |  CAST(count(DISTINCT l_linenumber) AS BIGINT) AS approx_lines,

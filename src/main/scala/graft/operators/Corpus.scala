@@ -227,18 +227,32 @@ object Corpus {
       .orderBy(Q.md5Bucket32(concat_ws(":", col("z"), col("nbr"))), col("nbr"))
     val adjCapped = adj.withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= maxDegree).drop("__rn")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
+    // the 1/ln(dz) DECIMAL term is computed ONCE PER CENTER VERTEX here
+    // (|V| rows) instead of once per wedge row (the wedge table is
+    // maxDegree²/2 larger): the double division and — the expensive
+    // part — the double→DECIMAL(18,12) conversion ride the deg join
+    // into the wedge stage as a ready column, and the wedge aggregation
+    // sums identical decimal addends in either formulation, so the
+    // round-6 result is bit-equal (round-17 optimization, guide §1.2
+    // "per-task work"; re-proven vs the oracle at sf0.001/0.01/0.1).
+    // dz = 1 centers form no wedge (the u<v self-join needs two
+    // neighbors), so the old per-wedge expression never divided by
+    // ln(1) = 0; the per-z precompute must guard them out explicitly
+    // (ANSI mode) — joined wedge rows always carry dz >= 2, so the
+    // term is never null where it is consumed
     val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dz"))
+      .withColumn("__aa_term", when(col("dz") >= 2,
+        (lit(1.0) / log(col("dz"))).cast(dec12)))
     val cand = adjCapped.select(col("z"), col("nbr").as("u"))
       .join(adjCapped.select(col("z"), col("nbr").as("v")), "z")
       .filter(col("u") < col("v"))
-    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 12)
     // no broadcast hint on deg: it has one row per vertex, which AQE
     // may broadcast locally but must be allowed to shuffle at scale
     val scored = cand.join(deg, "z")
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),
-        round(sum((lit(1.0) / log(col("dz"))).cast(dec12)).cast("double"), 6)
-          .as("aa_score"))
+        round(sum(col("__aa_term")).cast("double"), 6).as("aa_score"))
     scored
       .join(e, scored("u") === e("a") && scored("v") === e("b"), "left_anti")
       .select(col("u").as("doc_a"), col("v").as("doc_b"),
@@ -1193,24 +1207,36 @@ object Corpus {
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
-    val nd = nodes.count().toDouble
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    var pr = nodes.select(col("node"), lit(1.0 / nd).as("rank"))
+    // round-17 (guide §2.4, §1.2): materialize the node list ONCE — the
+    // old loop re-derived `nodes.select(node)` from the parquet scan in
+    // every iteration's rank join (iters extra corpus scans); and
+    // precompute the STATIC dangling-node set (no outgoing edges) so the
+    // per-iteration dangling-mass term is a semi-join of the rank frame
+    // against a small fixed table instead of re-joining rank×outdeg —
+    // the old shape computed that join twice per iteration (once under
+    // the dangsum broadcast, once inside contribs). Same rows reach the
+    // same DECIMAL sums; oracle parity unchanged (re-proven vs DuckDB).
+    val nodesOnly = nodes.select(col("node")).localCheckpoint(true)
+    val nd = nodesOnly.count().toDouble
+    val dangling = nodesOnly
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var pr = nodesOnly.select(col("node"), lit(1.0 / nd).as("rank"))
       .localCheckpoint(true)
     val base = (1.0 - damping) / nd
     var i = 0
     while (i < iters) {
-      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
-      val dang = withDeg.filter(col("outdeg").isNull)
+      val dang = pr.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec)).as("dangsum"))
       val contribs = pr.join(e, pr("node") === e("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      pr = nodes.select(col("node"))
+      pr = nodesOnly
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
@@ -1356,6 +1382,13 @@ object Corpus {
     val nodesOnly = nodes.select(col("node")).localCheckpoint(true)
     def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
         emitAs: String, outCol: String): DataFrame = {
+      // `raw` feeds BOTH the L1 normalizer and the node join, but this
+      // is NOT a double computation: the groupBy exchange under the
+      // normalizer's broadcast subtree and under the main join is the
+      // same physical Exchange, and ReuseExchangeAndSubquery runs the
+      // shuffle once (round-17 audit: an explicit localCheckpoint here
+      // — eager or lazy — measured SLOWER, because the opaque RDD
+      // boundary costs the planner the exchange reuse and all stats).
       val raw = scores.join(e, scores("node") === e(joinOn))
         .select(col(emitAs).as("node"), col(scoreCol).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
