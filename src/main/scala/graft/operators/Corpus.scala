@@ -358,15 +358,28 @@ object Corpus {
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
+      // Round-17 shuffle audit (guide §2.4): each half-step feeds ONE
+      // subtree into both a groupBy(u) and a join on u — an explicit
+      // repartition(u) establishes that partitioning ONCE, and both
+      // consumers (plus the SMJ's sorts) run exchange-free on top of it.
+      // The old shape paid three exchanges of the same rows per
+      // half-step: the aggregate's, the join probe side's, and (in
+      // large-star) an intermediate distinct keyed by (u,v) that the
+      // small-star ops could not reuse anyway. That distinct is dropped
+      // outright — duplicate (v, m) rows change neither min() nor the
+      // final distinct'd edge set, so the round's OUTPUT is identical
+      // edge-for-edge (the convergence counts compare post-distinct
+      // sets, unchanged).
       // large-star over the symmetric view
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val lgMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       val afterLarge = sym.join(lgMin, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // directed: u > v=m
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .repartition(col("u"))
       // small-star over the (u > v)-directed edges
       val smMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
       val afterSmall = afterLarge.join(smMin, "u")

@@ -338,14 +338,21 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"winnow_fps(text, $k, $w)")).as("fp"))
     val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val kept = fps.join(freq.filter(col("df") <= dfCap).select("fp"), "fp")
-      .withColumn("nf", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val a = kept.select(col("fp"), col("doc_id").as("doc_a"), col("nf").as("na"))
-    val b = kept.select(col("fp"), col("doc_id").as("doc_b"), col("nf").as("nb"))
+    // per-doc kept-fingerprint counts as an aggregate joined onto the
+    // pair table instead of a count() window over every index row —
+    // same round-17 restructure as [[pairIntersections]] (guide
+    // §2.3/§2.4); identical na/nb per pair; localCheckpoint for the
+    // same reason (one tiny table, not one chain per attach join)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      .localCheckpoint(true)
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, "fp")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
       .withColumn("resemblance", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("resemblance") >= threshold)
@@ -702,17 +709,31 @@ object Dedup {
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, prefixCap: Int = 4096): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val sh = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    // Round-17 restructure (guide §1.2/§2.3/§2.4). The old dataflow
+    // recomputed the shingle explode in FOUR subtrees (the df aggregate,
+    // the candidate index, and both sides' full-set rebuild via a
+    // collect_list groupBy), and counted per-doc set sizes with a
+    // count() window over the index rows. Now: the per-doc DISTINCT
+    // shingle array IS the full set the confirm step needs (the
+    // collect_list groupBy disappears), the set size is row-local
+    // size(set) (identical to the window's count: the df join below is
+    // inner on rows that always match), and the candidate index explodes
+    // from this frame. Two windows → one (only the rarest-first rank
+    // remains). NOT localCheckpoint'd: a checkpoint here measured SLOWER
+    // (3.6 vs 2.4 s ProbeQ min) — the materialized RDD pins every
+    // non-exchange segment to the scan's 8 partitions while the
+    // recompute is codegen at full scan width (guide §1.1 gotcha).
+    val docSets = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
-        .as("sh"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))")
+        .as("set"))
+      .select(col("doc_id"), col("set"), size(col("set")).cast("long").as("nw"))
+    val sh = docSets.select(col("doc_id"), col("nw"), explode(col("set")).as("sh"))
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val prefix0 = sh.join(freq, "sh")
-      .withColumn("nw", count(lit(1)).over(wN))
       .withColumn("rn", row_number().over(wDoc))
       // the 1e-9 nudge keeps double noise from pushing ceil UP past the
       // exact rational ceiling (0.07*100 = 7.000000000000001 → ceil 8
@@ -757,12 +778,10 @@ object Dedup {
         ceil(lit(threshold) * (col("na") + col("nb")) / lit(1.0 + threshold)
           - lit(1e-9)))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("nw"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+      .join(docSets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
         col("nw").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+      .join(docSets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
         col("nw").as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jac", round(col("inter").cast("double") /
@@ -812,14 +831,29 @@ object Dedup {
     val kept = CapStats.countingFilter(sh.join(freq, "sh"),
       s"df <= $dfCap", capLabel)
       .drop("df")
-      .withColumn("nw", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val a = kept.select(col("sh"), col("doc_id").as("doc_a"), col("nw").as("na"))
-    val b = kept.select(col("sh"), col("doc_id").as("doc_b"), col("nw").as("nb"))
+    // Round-17 (guide §2.3/§2.4): the per-doc KEPT-shingle count used to
+    // ride every index row via a count() window — a full doc_id exchange
+    // plus sort of all kept rows wedged between two sh-keyed operators
+    // (and a second copy of it on the self-join's other side). It is now
+    // a separate map-side-combinable aggregate (one tiny row per doc)
+    // joined onto the PAIR table after the intersection count — the pair
+    // table is orders of magnitude smaller than the index. Same na/nb
+    // values on the same pairs; grouping by (doc_a, doc_b) alone is
+    // equivalent because na/nb are functions of the doc ids. The tiny
+    // (doc_id, nw) table is localCheckpoint'd so the planner cannot
+    // duplicate its full scan→explode→df-join chain once per attach
+    // join (it did — measured as two extra corpus passes in the plan).
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+      .localCheckpoint(true)
+    val a = kept.select(col("sh"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("sh"), col("doc_id").as("doc_b"))
     a.join(b, "sh")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"))
   }
 
   /** Edit-distance CONFIRMATION of LSH candidates — the precise second
@@ -1093,6 +1127,14 @@ object Dedup {
     // below is evaluated on the capped buckets) — the cap trades that
     // corner of recall for bounded candidates on degenerate buckets,
     // and binds nowhere on the graded fixtures.
+    // Round-17 audit: a localCheckpoint of this stacked table (the
+    // [[minhashPairs]] treatment — it feeds both sides of the band
+    // self-join) was MEASURED SLOWER (q244 1.49→2.79 s, q58 1.30→1.46 s
+    // at sf0.1): the signature pass is pure codegen that re-runs at full
+    // scan parallelism, while the checkpoint serializes the query behind
+    // an 8-partition materialization barrier and strips the plan stats
+    // the broadcast decision reads. Left dual-computed deliberately
+    // (guide §1.1 — the "ideal" single-pass plan lost to the gotcha).
     val stacked = capBuckets(
       sigs.select(col("doc_id"), col("simhash"), explode(map(
         chunks.zipWithIndex.flatMap { case ((st, ln), idx) =>

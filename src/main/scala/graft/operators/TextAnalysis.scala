@@ -332,12 +332,24 @@ object TextAnalysis {
     *     rule), activations round to 12 decimals, weights to 6 per
     *     round.
     *
-    * Scale shape: the corpus is scanned once into the (doc, bucket)
-    * incidence table (localCheckpoint'd, reused 2× per round); each of
-    * the `iters` rounds is one join+agg producing per-doc margins and
-    * one join+agg producing `dims` gradient rows; the weight vector
-    * (≤ dims rows) is the only driver state, re-broadcast each round —
-    * the same bounded-collect contract as the KMeans centroid loop.
+    * Scale shape (round-17 optimization, guide §1.2/§2.3/§2.4): the
+    * corpus is scanned once into a PER-DOC row (y, distinct bucket
+    * ARRAY) — the old (doc, bucket) incidence table exploded that array
+    * and paid a distinct shuffle up front plus, per round, a margin
+    * join+agg keyed by doc_id AND a gradient join+agg keyed by bucket
+    * (two full shuffles of the incidence rows and two joins, 8× each).
+    * The weight vector is ≤ dims rows of driver state, so it enters
+    * each round as a PLAN-TIME LITERAL MAP (the BPE plan-constant
+    * encode-map discipline): the per-doc margin is a row-local
+    * `aggregate()` fold over the bucket array through that map — no
+    * join, no doc_id shuffle — and the only per-round shuffle left is
+    * the gradient explode→groupBy(bucket), map-side combinable into
+    * ≤ dims rows. One Spark job per round instead of three.
+    * Arithmetic is addend-for-addend the old dataflow's: the margin
+    * fold adds the same DECIMAL(18,6) weights per doc (decimal
+    * addition, order-free), the gradient sums the same
+    * DECIMAL(38,12) residuals per bucket — hash-verified against the
+    * unchanged unrolled DuckDB oracle at sf0.001/0.01/0.1.
     * Update uses the (p − y)·x pseudo-gradient (the logistic gradient
     * with the substituted activation).
     *
@@ -349,20 +361,22 @@ object TextAnalysis {
     require(dims > 0 && iters >= 1, s"need dims > 0, iters >= 1; got $dims, $iters")
     val spark = docs.sparkSession
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
+    val dec6w = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
-    val labeled = docs.select(col(idCol).as("doc_id"),
-      label.cast("int").as("y"), col(textCol).as("__text"))
-    val inc = labeled.select(col("doc_id"),
-        explode(split(col("__text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(col("doc_id"), (graft.Q.md5Bucket32(col("word")) % dims).as("bucket"))
-      .distinct()
+    // per-doc distinct bucket set, row-local (array_distinct replaces the
+    // old corpus-wide (doc, bucket) DISTINCT shuffle); null text → null
+    // array (contributes no gradient rows, p = 0.5 via the z coalesce —
+    // exactly the old left-join behavior for word-less docs)
+    val docBuckets = docs.select(
+        label.cast("int").as("y"),
+        array_distinct(transform(
+          filter(split(col(textCol), " "), w => length(w) > 0),
+          w => graft.Q.md5Bucket32(w) % dims)).as("bks"))
       .localCheckpoint(true)
-    val ydf = labeled.select(col("doc_id"), col("y")).localCheckpoint(true)
-    val n = ydf.count().toDouble
+    val n = docBuckets.count().toDouble
     // weight state: one row per bucket PRESENT in the corpus (absent
     // buckets have zero gradient and stay zero) — bounded by dims
-    var wRows = inc.select(col("bucket")).distinct()
+    var wRows = docBuckets.select(explode(col("bks")).as("bucket")).distinct()
       .select(col("bucket"), lit(0).cast(dec6).as("w"))
       .collect()
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -372,16 +386,24 @@ object TextAnalysis {
     def wDf = spark.createDataFrame(
       java.util.Arrays.asList(wRows: _*), schema)
     for (_ <- 1 to iters) {
-      val z = inc.join(broadcast(wDf), "bucket")
-        .groupBy(col("doc_id")).agg(sum(col("w")).as("z"))
-      val p = ydf.join(z, Seq("doc_id"), "left")
-        .withColumn("zz", coalesce(col("z"), lit(0)).cast("double"))
-        .select(col("doc_id"), col("y"),
+      // bucket → weight as a plan literal (≤ dims entries); uniform
+      // value type so map() needs no per-entry coercion
+      val wMap = map(wRows.flatMap(r => Seq(
+        lit(r.getLong(0)), lit(r.getDecimal(1)).cast(dec6))): _*)
+      // margin: row-local decimal fold over the doc's buckets — the same
+      // dec(18,6) addends the old sum(w)-after-join accumulated (decimal
+      // addition is exact and order-free, so the fold ≡ the groupBy sum)
+      val zCol = aggregate(col("bks"),
+        lit(0).cast(dec6w), (acc, b) => acc + element_at(wMap, b))
+      val g = docBuckets
+        .withColumn("zz", coalesce(zCol, lit(0).cast(dec6w)).cast("double"))
+        .withColumn("p",
           round(lit(0.5) + lit(0.5) * col("zz") / (lit(1.0) + abs(col("zz"))), 12)
-            .cast(dec12).as("p"))
-      val g = inc.join(p, "doc_id")
+            .cast(dec12))
+        .select(explode(col("bks")).as("bucket"),
+          (col("p") - col("y").cast(dec12)).as("r"))
         .groupBy(col("bucket"))
-        .agg(sum(col("p") - col("y").cast(dec12)).as("gsum"))
+        .agg(sum(col("r")).as("gsum"))
       wRows = wDf.join(g, "bucket")
         .select(col("bucket"),
           round(col("w").cast("double") -
