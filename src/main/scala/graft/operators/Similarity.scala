@@ -592,37 +592,63 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
     val qdf = base.filter(col("cid") === queryId)
       .select(col("cv").as("qv"), col("cn").as("qn"))
-    val rel = base.filter(col("cid") =!= queryId)
+    // Round-17 (guide §1.2): the redundancy term max_{s∈S} cos(d,s) is
+    // carried INCREMENTALLY — each round folds the ONE newly selected
+    // vector into a running `msim` column (greatest is associative and
+    // exact on doubles, so round i's msim is value-identical to the old
+    // batch max over picks 1..i−1; argmax trajectory and graded output
+    // unchanged — verified vs the same unrolled oracle and the
+    // brute-force parity spec). The selected vector enters the fold as a
+    // PLAN LITERAL read off the argmax row itself — the argmax head(1)
+    // projects (cv, cn) along, so each round is ONE job, no broadcast
+    // build, no self-referential subtree. (Two rejected shapes, both
+    // measured: re-crossing with all of S is O(k²·n) dot products; a
+    // `broadcast(cur.filter(...))` pick embeds the previous frame's plan
+    // TWICE per round — exponential plan growth, OOM in explainString at
+    // k = 10.) The lazily persisted chain stays k projections deep
+    // (linear); the stale copy is unpersisted only after the argmax job
+    // has materialized its successor.
+    var cur = base.filter(col("cid") =!= queryId)
       .crossJoin(broadcast(qdf))
       .withColumn("rel", expr(dotQC) / (col("qn") * col("cn")))
-      .select(col("cid"), col("cv"), col("cn"), col("rel"))
+      .select(col("cid"), col("cv"), col("cn"), col("rel"),
+        lit(null).cast("double").as("msim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      var lastVec: Seq[Double] = null
+      var lastNorm = 0.0
+      var lastId = 0L
       var i = 0
       var exhausted = false
       while (i < k && !exhausted) {
-        val ids = selected.map(_._1).toSeq
-        val scored =
-          if (ids.isEmpty) rel.withColumn("mmr", col("rel") * lambda)
-          else {
-            val selVecs = rel.filter(col("cid").isInCollection(ids))
-              .select(col("cid").as("sid"), col("cv").as("sv"), col("cn").as("sn"))
-            rel.filter(!col("cid").isInCollection(ids))
-              .crossJoin(broadcast(selVecs))
-              .withColumn("sim",
-                expr("dot_product(cv, sv)") / (col("cn") * col("sn")))
-              .groupBy(col("cid"), col("rel"))
-              .agg(max(col("sim")).as("msim"))
-              .withColumn("mmr", col("rel") * lambda - col("msim") * (1 - lambda))
-          }
+        val prev = if (i == 0) None else {
+          val next = cur.filter(col("cid") =!= lastId)
+            .withColumn("__sim",
+              call_function("dot_product", col("cv"), typedlit(lastVec)) /
+                (col("cn") * lit(lastNorm)))
+            .select(col("cid"), col("cv"), col("cn"), col("rel"),
+              when(col("msim").isNull, col("__sim"))
+                .otherwise(greatest(col("msim"), col("__sim"))).as("msim"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val old = cur
+          cur = next
+          Some(old)
+        }
+        val scored = cur.withColumn("mmr",
+          when(col("msim").isNull, col("rel") * lambda)
+            .otherwise(col("rel") * lambda - col("msim") * (1 - lambda)))
         scored.orderBy(col("mmr").desc, col("cid"))
-          .select(col("cid"), col("rel"), col("mmr"))
+          .select(col("cid"), col("rel"), col("mmr"), col("cv"), col("cn"))
           .head(1) match {
           case Array(row) =>
             selected += ((row.getLong(0), row.getDouble(1), row.getDouble(2)))
+            lastId = row.getLong(0)
+            lastVec = row.getSeq[Double](3)
+            lastNorm = row.getDouble(4)
           case _ => exhausted = true
         }
+        prev.foreach { old => old.unpersist(); () }
         i += 1
       }
       selected.toSeq.zipWithIndex
@@ -630,7 +656,7 @@ object Similarity {
         .toDF("rank", "vec_id", "rel", "mmr")
         .select(col("rank"), col("vec_id"),
           round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
-    } finally { rel.unpersist(); () }
+    } finally { cur.unpersist(); () }
   }
 
   /** Greedy k-center (farthest-point traversal): pick the point
@@ -657,26 +683,50 @@ object Similarity {
       .filter(col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round-17 (guide §1.2): same incremental-fold rewrite as
+    // [[mmrSelect]] — dist-to-set is 1 − max_{s∈S} cos, so the running
+    // max(sim) folds ONE newly selected vector per round, entering as a
+    // plan literal read off the previous argmax row (greatest is exact
+    // on doubles → identical trajectory and output; brute-force parity
+    // spec unchanged). O(k·n) instead of O(k²·n) dot products, one job
+    // per round, linear plan depth (see mmrSelect for the two rejected
+    // shapes).
+    var cur = base.withColumn("msim", lit(null).cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seed = base.orderBy(col("cid")).select(col("cid")).head(1)
+      val seed = cur.orderBy(col("cid"))
+        .select(col("cid"), col("cv"), col("cn")).head(1)
       if (seed.isEmpty) return Seq.empty[(Int, Long, Double)]
         .toDF("rank", "vec_id", "dist_to_set")
       val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)](
         (seed(0).getLong(0), Double.NaN))
+      var lastId = seed(0).getLong(0)
+      var lastVec: Seq[Double] = seed(0).getSeq[Double](1)
+      var lastNorm = seed(0).getDouble(2)
       var exhausted = false
       while (selected.size < k && !exhausted) {
-        val ids = selected.map(_._1).toSeq
-        val selVecs = base.filter(col("cid").isInCollection(ids))
-          .select(col("cid").as("sid"), col("cv").as("sv"), col("cn").as("sn"))
-        val next = base.filter(!col("cid").isInCollection(ids))
-          .crossJoin(broadcast(selVecs))
-          .withColumn("sim", expr("dot_product(cv, sv)") / (col("cn") * col("sn")))
-          .groupBy(col("cid"))
-          .agg((lit(1.0) - max(col("sim"))).as("dist"))
+        val refreshed = cur.filter(col("cid") =!= lastId)
+          .withColumn("__sim",
+            call_function("dot_product", col("cv"), typedlit(lastVec)) /
+              (col("cn") * lit(lastNorm)))
+          .select(col("cid"), col("cv"), col("cn"),
+            when(col("msim").isNull, col("__sim"))
+              .otherwise(greatest(col("msim"), col("__sim"))).as("msim"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val next = refreshed
+          .select(col("cid"), (lit(1.0) - col("msim")).as("dist"),
+            col("cv"), col("cn"))
           .orderBy(col("dist").desc, col("cid"))
           .head(1)
+        cur.unpersist()
+        cur = refreshed
         if (next.isEmpty) exhausted = true
-        else selected += ((next(0).getLong(0), next(0).getDouble(1)))
+        else {
+          selected += ((next(0).getLong(0), next(0).getDouble(1)))
+          lastId = next(0).getLong(0)
+          lastVec = next(0).getSeq[Double](2)
+          lastNorm = next(0).getDouble(3)
+        }
       }
       selected.toSeq.zipWithIndex
         .map { case ((id, d), idx) => (idx + 1, id, d) }
@@ -684,7 +734,7 @@ object Similarity {
         .select(col("rank"), col("vec_id"),
           when(!isnan(col("dist_raw")), round(col("dist_raw"), 6))
             .as("dist_to_set"))
-    } finally { base.unpersist(); () }
+    } finally { cur.unpersist(); () }
   }
 
   /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]
