@@ -14,6 +14,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED instead of re-logging it
+// as `[info] ...`: Bench prints a one-line JSON summary that downstream
+// consumers parse from stdout, and the logger prefix defeated a bare-JSON
+// last-line parser in every round since r12 (BENCH_r16/r17 both arrived
+// `parsed: null`). StdoutOutput inherits this process's stdout/stderr, so
+// the line lands bare while sbt's own `[info]/[success]` chatter still
+// comes from sbt itself (parsers must scan lines, not assume the last).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -126,47 +126,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val rawSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle/spill files on tmpfs when available: the bench measures the
-    // ENGINE, and on a host with throttled buffered-disk writeback (the
-    // round-13 VM writes ~20 MB/s buffered) shuffle-file writes would
-    // otherwise dominate every shuffle-heavy query's number. A real
-    // cluster provisions fast local NVMe for exactly this role; tmpfs is
-    // the single-node equivalent. Falls back to the default /tmp when
-    // /dev/shm is absent.
-    val localDir = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft-bench-local"); d.mkdirs(); d.getAbsolutePath
-      } else System.getProperty("java.io.tmpdir")
-    }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE partition-coalescing floor (round-17 optimization, guide
-      // §2.2/§2.5): parallelismFirst coalescing (default on) targets
-      // full parallelism but never coalesces below minPartitionSize,
-      // and the 1 MB default is a BYTES heuristic that serializes
-      // CPU-DENSE stages — a candidate-generation self-join reads a
-      // few MB of (key, id) rows and explodes them 15-30x through
-      // per-row md5/decimal/array work, so AQE handed q178's wedge
-      // stage 2 tasks (13.8 s of executor CPU on 2 of 32 cores;
-      // measured stage table in OPTIMIZATION_r17.md). 64 KB keeps
-      // such stages at full width (q89 3.56->0.96 s, q58 4.77->1.23 s,
-      // q244 3.84->1.64 s; nothing regressed) while single-row
-      // aggregates still coalesce to one task. Scale note: the floor
-      // only binds when a shuffle carries < cores x 1 MB — on a
-      // production cluster these exchanges carry GBs and coalescing
-      // behaves identically with either value; this is a small-data
-      // parallelism fix, not a local[32] tuning constant. Override via
-      // SPARK_GRAFT_AQE_MIN_PARTITION.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      .config("spark.local.dir", localDir)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Session config — AQE coalescing floor, tmpfs shuffle dir, shuffle
+    // partitions = SPARK_GRAFT_CPUS — lives in GraftSession (round-18:
+    // one builder for bench, probes, verify, and the streaming CLI, so
+    // the measured engine IS the shipped engine).
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Multi-file fixture (SPARK_GRAFT_MULTIFILE parts, default 8; "0"
     // disables and benches the raw dir): only a SINGLE-FILE source layout

@@ -11,14 +11,9 @@ object ProbeQ {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q102_gopher_rules")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.local.dir", "/dev/shm/graft-bench-local")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // same session config as the bench (GraftSession) so probe A/Bs
+    // measure under identical AQE/shuffle settings
+    val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val run = new AtomicLong; val gc = new AtomicLong; val deser = new AtomicLong
     val swrite = new AtomicLong; val sread = new AtomicLong; val tasks = new AtomicLong

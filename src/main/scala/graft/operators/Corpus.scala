@@ -1393,25 +1393,28 @@ object Corpus {
     val nd = nodes.count().toDouble
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodesOnly = nodes.select(col("node")).localCheckpoint(true)
+    // Round-18 (guide §1.2, fewer jobs per iteration): the half-step no
+    // longer re-attaches the FULL node list each round. A node absent
+    // from `raw` scores round(0/ts, 12) = 0.0 and contributes only
+    // exact-zero DECIMAL addends (cast(0.0 as dec(28,12))) to the next
+    // round's sums and normalizer — decimal addition with zero is the
+    // identity, so iterating on the ACTIVE rows alone is value-identical
+    // (oracle-verified). The all-nodes left join + its broadcast build
+    // ran 16× per query and is now ONE final join that restores the
+    // zero rows. The normalizer stays the 1-row broadcast: `raw` feeds
+    // both it and the projection through the SAME reused Exchange
+    // (round-17 audit: checkpointing `raw` — eager or lazy — measured
+    // SLOWER because the RDD boundary costs the reuse and all stats).
     def halfStep(scores: DataFrame, scoreCol: String, joinOn: String,
         emitAs: String, outCol: String): DataFrame = {
-      // `raw` feeds BOTH the L1 normalizer and the node join, but this
-      // is NOT a double computation: the groupBy exchange under the
-      // normalizer's broadcast subtree and under the main join is the
-      // same physical Exchange, and ReuseExchangeAndSubquery runs the
-      // shuffle once (round-17 audit: an explicit localCheckpoint here
-      // — eager or lazy — measured SLOWER, because the opaque RDD
-      // boundary costs the planner the exchange reuse and all stats).
       val raw = scores.join(e, scores("node") === e(joinOn))
         .select(col(emitAs).as("node"), col(scoreCol).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       val tot = raw.agg(sum(col("s")).cast("double").as("ts"))
-      nodesOnly
-        .join(raw, Seq("node"), "left")
+      raw
         .crossJoin(broadcast(tot))
         .select(col("node"),
-          round(coalesce(col("s").cast("double"), lit(0.0)) / col("ts"), 12)
-            .as(outCol))
+          round(col("s").cast("double") / col("ts"), 12).as(outCol))
         .localCheckpoint(true)
     }
     var h = nodesOnly.select(col("node"), lit(1.0 / nd).as("h"))
@@ -1423,8 +1426,13 @@ object Corpus {
       h = halfStep(a, "a", "dst", "src", "h")
       i += 1
     }
-    a.join(h, Seq("node")).select(col("node"), col("a").as("authority"),
-      col("h").as("hub"))
+    // restore the zero-score nodes the iteration never needed to carry
+    nodesOnly
+      .join(a, Seq("node"), "left")
+      .join(h, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a"), lit(0.0)).as("authority"),
+        coalesce(col("h"), lit(0.0)).as("hub"))
   }
 
   /** Unrolled oracle text for [[hits]] over [[docLinkGraph]] — the

@@ -843,6 +843,12 @@ object Dedup {
     // (doc_id, nw) table is localCheckpoint'd so the planner cannot
     // duplicate its full scan→explode→df-join chain once per attach
     // join (it did — measured as two extra corpus passes in the plan).
+    // Metric note: the countingFilter below now executes up to 3× per
+    // action (the eager `sizes` checkpoint plus each self-join side re-
+    // runs it; the old window shape reused one exchange, ~1×), so the
+    // cumulative `capLabel` drop accumulator's multiplier stepped up in
+    // round 17. Fine under the documented order-of-magnitude contract —
+    // but do not read a cross-round count diff here as a recall change.
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
       .localCheckpoint(true)
     val a = kept.select(col("sh"), col("doc_id").as("doc_a"))

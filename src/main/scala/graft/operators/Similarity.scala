@@ -614,6 +614,12 @@ object Similarity {
       .select(col("cid"), col("cv"), col("cn"), col("rel"),
         lit(null).cast("double").as("msim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // superseded-but-not-yet-released frame: must outlive its successor's
+    // first action (unpersisting a lazy parent early forces a lineage
+    // recompute cascade), but must ALSO be released if that action throws
+    // — otherwise a failed round leaks a disk-backed cache for the life
+    // of the session. Cleared in-loop on success, drained in the finally.
+    var stale: DataFrame = null
     try {
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
       var lastVec: Seq[Double] = null
@@ -622,7 +628,7 @@ object Similarity {
       var i = 0
       var exhausted = false
       while (i < k && !exhausted) {
-        val prev = if (i == 0) None else {
+        if (i > 0) {
           val next = cur.filter(col("cid") =!= lastId)
             .withColumn("__sim",
               call_function("dot_product", col("cv"), typedlit(lastVec)) /
@@ -631,9 +637,8 @@ object Similarity {
               when(col("msim").isNull, col("__sim"))
                 .otherwise(greatest(col("msim"), col("__sim"))).as("msim"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val old = cur
+          stale = cur
           cur = next
-          Some(old)
         }
         val scored = cur.withColumn("mmr",
           when(col("msim").isNull, col("rel") * lambda)
@@ -648,7 +653,7 @@ object Similarity {
             lastNorm = row.getDouble(4)
           case _ => exhausted = true
         }
-        prev.foreach { old => old.unpersist(); () }
+        if (stale != null) { stale.unpersist(); stale = null }
         i += 1
       }
       selected.toSeq.zipWithIndex
@@ -656,7 +661,10 @@ object Similarity {
         .toDF("rank", "vec_id", "rel", "mmr")
         .select(col("rank"), col("vec_id"),
           round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
-    } finally { cur.unpersist(); () }
+    } finally {
+      if (stale != null) stale.unpersist()
+      cur.unpersist(); ()
+    }
   }
 
   /** Greedy k-center (farthest-point traversal): pick the point
@@ -679,10 +687,13 @@ object Similarity {
     import spark.implicits._
     // zero-norm guard: see mmrSelect — a NaN cosine would win every
     // farthest-point argmax
+    // NOT persisted: `cur` (base + null msim) is persisted immediately
+    // below and is the only consumer — a separate persist on `base` was
+    // never released (every call leaked the full candidate frame for the
+    // session's lifetime; disk-backed blocks are not LRU-evicted).
     val base = prepared(emb)
       .filter(col("nrm") > 0)
       .select(col("vec_id").as("cid"), col("vd").as("cv"), col("nrm").as("cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Round-17 (guide §1.2): same incremental-fold rewrite as
     // [[mmrSelect]] — dist-to-set is 1 − max_{s∈S} cos, so the running
     // max(sim) folds ONE newly selected vector per round, entering as a
@@ -693,6 +704,9 @@ object Similarity {
     // shapes).
     var cur = base.withColumn("msim", lit(null).cast("double"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // see mmrSelect: superseded frame released in-loop on success,
+    // drained by the finally on the exception path
+    var stale: DataFrame = null
     try {
       val seed = cur.orderBy(col("cid"))
         .select(col("cid"), col("cv"), col("cn")).head(1)
@@ -713,13 +727,14 @@ object Similarity {
             when(col("msim").isNull, col("__sim"))
               .otherwise(greatest(col("msim"), col("__sim"))).as("msim"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stale = cur
+        cur = refreshed
         val next = refreshed
           .select(col("cid"), (lit(1.0) - col("msim")).as("dist"),
             col("cv"), col("cn"))
           .orderBy(col("dist").desc, col("cid"))
           .head(1)
-        cur.unpersist()
-        cur = refreshed
+        stale.unpersist(); stale = null
         if (next.isEmpty) exhausted = true
         else {
           selected += ((next(0).getLong(0), next(0).getDouble(1)))
@@ -734,7 +749,10 @@ object Similarity {
         .select(col("rank"), col("vec_id"),
           when(!isnan(col("dist_raw")), round(col("dist_raw"), 6))
             .as("dist_to_set"))
-    } finally { cur.unpersist(); () }
+    } finally {
+      if (stale != null) stale.unpersist()
+      cur.unpersist(); ()
+    }
   }
 
   /** KMeans-seeded IVF — the production coarse quantizer for [[ivfKnn]]

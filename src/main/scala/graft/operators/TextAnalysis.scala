@@ -359,6 +359,17 @@ object TextAnalysis {
       textCol: String, label: org.apache.spark.sql.Column, dims: Int = 64,
       iters: Int = 8, lr: Double = 0.5): org.apache.spark.sql.DataFrame = {
     require(dims > 0 && iters >= 1, s"need dims > 0, iters >= 1; got $dims, $iters")
+    // The weight vector enters each round as a PLAN-TIME LITERAL map —
+    // O(dims) expression nodes per iteration on the driver. That is the
+    // right trade at the md5-bucket scale this trainer targets (dims is
+    // a bucket count, default 64), but it would blow up driver-side
+    // analysis at HashingTF-style widths (sibling trainQualityClassifier
+    // defaults to 1<<18 and is the right tool there). Bound it instead
+    // of silently planning a multi-megabyte expression tree per round.
+    require(dims <= 4096,
+      s"logisticGdTrain's plan-literal weight map is sized for bucketed " +
+        s"features (dims <= 4096, got $dims); use trainQualityClassifier " +
+        s"for high-dimensional hashed features")
     val spark = docs.sparkSession
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)
     val dec6w = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)

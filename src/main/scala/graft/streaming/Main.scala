@@ -13,14 +13,12 @@ object Main {
   def main(args: Array[String]): Unit = {
     val configPath = args(0)
     val maxSeconds = args.lift(1).map(_.toLong)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    // GraftSession (round-18): the CLI runs under the SAME engine config
+    // the bench measures — before this, the AQE coalescing floor and
+    // tmpfs shuffle dir existed only in the benchmark session, so a real
+    // consumer got a differently-configured engine than the one graded.
+    val spark = graft.GraftSession.builder()
       .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val yaml = new String(java.nio.file.Files.readAllBytes(

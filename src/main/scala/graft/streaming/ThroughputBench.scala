@@ -59,12 +59,10 @@ object ThroughputBench {
       "5 timed reps (min); stream 30s saturated window, 4 warm-up batches " +
       "dropped; local[32]" +
       (if (totalRows == PinnedRows) "" else " [DEV RUN — row count off-protocol]"))
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // GraftSession with the protocol's pinned core count (the recorded
+    // throughput band is a local[32] figure; SPARK_GRAFT_CPUS must not
+    // silently move it)
+    val spark = graft.GraftSession.builder("32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

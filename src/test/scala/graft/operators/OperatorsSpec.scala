@@ -2371,4 +2371,50 @@ class OperatorsSpec extends AnyFunSuite {
       Corpus.connectedComponents(pairs, "a", "b", maxIter = 1, driverThreshold = 0L)
     }
   }
+
+  test("hits: active-rows iteration is value-identical to the all-nodes " +
+      "formulation, zero-score nodes restored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // graph with a SINK-only node (4: in-edges, no out), a SOURCE-only
+    // node (5: out, no in) and a fully ISOLATED node (9) — the rows the
+    // round-18 restructure drops from the iteration and re-attaches at
+    // the end. Their scores must come back exactly 0.0 on the silent
+    // side(s), and every other score must equal the old dataflow's.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 4L),
+      (2L, 4L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    val got = Corpus.hits(edges, nodes, iters = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // reference: the pre-r18 half-step, all nodes carried every round
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val nodesOnly = nodes.select(col("node"))
+    def halfStepOld(scores: org.apache.spark.sql.DataFrame, scoreCol: String,
+        joinOn: String, emitAs: String, outCol: String) = {
+      val raw = scores.join(edges, scores("node") === edges(joinOn))
+        .select(col(emitAs).as("node"), col(scoreCol).cast(dec).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val tot = raw.agg(sum(col("s")).cast("double").as("ts"))
+      nodesOnly.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("s").cast("double"), lit(0.0)) / col("ts"), 12)
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    var h = nodesOnly.select(col("node"), lit(1.0 / 6).as("h")).localCheckpoint(true)
+    var a = h
+    for (_ <- 1 to 4) {
+      a = halfStepOld(h, "h", "src", "dst", "a")
+      h = halfStepOld(a, "a", "dst", "src", "h")
+    }
+    val want = a.join(h, Seq("node"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(9L) == ((0.0, 0.0)), "isolated node must score exactly zero")
+    assert(got(5L)._1 == 0.0 && got(5L)._2 > 0.0, "source-only: zero authority")
+    assert(got.size == 6, "every node must appear in the output")
+  }
 }
