@@ -20,9 +20,18 @@ object JobAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JOB_DETAIL=1: print each job's first-stage callsite so
+    // a 13-job trivial query can be attributed line by line
+    val detail = sys.env.get("SPARK_GRAFT_JOB_DETAIL").contains("1")
     val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (detail) {
+          val s = e.stageInfos.map(si => s"${si.name} [${si.numTasks}t]").mkString(" | ")
+          println(s"    job ${e.jobId}: $s")
+        }
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = { tasks.incrementAndGet(); () }
     })

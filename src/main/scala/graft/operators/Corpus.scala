@@ -348,13 +348,14 @@ object Corpus {
     // observed; the 1M-vertex chain probe converges in well under 25).
     val verts = e.select(col("u").as("vertex"))
       .union(e.select(col("v").as("vertex"))).distinct().localCheckpoint(true)
-    var edges = e.filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
-    // carried across rounds: this round's edge count IS next round's
-    // "previous count" — one count job per round instead of two
-    var edgeCount = edges.count()
+    // round-18: the eager checkpoint's own forcing job IS a count —
+    // surface it (GraftInternal.localCheckpointWithCount) instead of
+    // paying a second count job per round over the just-cached RDD
+    var (edges, edgeCount) = org.apache.spark.sql.GraftInternal
+      .localCheckpointWithCount(e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -382,14 +383,14 @@ object Corpus {
         .repartition(col("u"))
       // small-star over the (u > v)-directed edges
       val smMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val afterSmall = afterLarge.join(smMin, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smMin.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
-      // fixpoint test on the contracted (star-sized) edge set
-      val nextCount = afterSmall.count()
+      // fixpoint test on the contracted (star-sized) edge set; the count
+      // rides the checkpoint's materializing job (see round-18 note above)
+      val (afterSmall, nextCount) = org.apache.spark.sql.GraftInternal
+        .localCheckpointWithCount(afterLarge.join(smMin, "u")
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smMin.select(col("u"), col("m").as("v")))
+          .distinct())
       converged = nextCount == edgeCount && afterSmall.except(edges).isEmpty
       edges = afterSmall
       edgeCount = nextCount
@@ -1410,6 +1411,13 @@ object Corpus {
       val raw = scores.join(e, scores("node") === e(joinOn))
         .select(col(emitAs).as("node"), col(scoreCol).cast(dec).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      // Normalizer stays the 1-row broadcast — MEASURED-AND-REJECTED
+      // (round-18): an empty-partition window normalizer inside the
+      // half-step job (same exact decimal sum, one job fewer per
+      // half-step) won at sf0.1 (ProbeQ interleaved min 3.2/3.8 vs
+      // 4.5/4.5 s) but LOST at sf1 (7.9/8.7 vs 5.8/5.9 s) — the
+      // single-partition window funnels every row of every half-step
+      // through ONE task, serializing exactly where scale needs width.
       val tot = raw.agg(sum(col("s")).cast("double").as("ts"))
       raw
         .crossJoin(broadcast(tot))

@@ -455,11 +455,17 @@ object Engine {
         case "avro" => AvroInput.read(spark, path)
         case "arrow" =>
           org.apache.spark.sql.GraftArrowPipe.readArrowFiles(spark, path)
-        case _ => spark.read.format(fmt)
-          .options((c.options -- Seq("format", "path", "query"))
+        case _ =>
+          val readerOpts = (c.options -- Seq("format", "path", "query"))
             .filter { case (k, _) =>
-              !k.startsWith("store.") && !k.startsWith("codec.") })
-          .load(path)
+              !k.startsWith("store.") && !k.startsWith("codec.") }
+          // plain parquet with no reader options: schema-cached read
+          // (graft.Tables) — skips the per-pipeline one-task schema
+          // inference job on stable input paths. Any option could
+          // change the inferred schema, so those fall through.
+          if (fmt == "parquet" && readerOpts.isEmpty)
+            graft.Tables.cachedParquet(spark, path)
+          else spark.read.format(fmt).options(readerOpts).load(path)
       }
       c.options.get("query") match {
         case Some(q) =>

@@ -10,6 +10,23 @@ object GraftInternal {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Eager localCheckpoint that RETURNS THE ROW COUNT of the
+    * materializing job. `Dataset.localCheckpoint(eager = true)` already
+    * forces the RDD with a `count()` and throws the number away —
+    * iterative operators whose fixpoint test needs the count (connected
+    * components' star contraction) then pay a SECOND whole job per round
+    * just to recount the cached partitions. This is the same construction
+    * Dataset.checkpoint performs (internal-row copy → localCheckpoint →
+    * count → LogicalRDD.fromDataset), with the count surfaced. */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val internal = ds.queryExecution.toRdd.map(_.copy())
+    internal.localCheckpoint()
+    val n = internal.count()
+    val logical = execution.LogicalRDD.fromDataset(internal, ds, isStreaming = false)
+    (classic.Dataset.ofRows(ds.sparkSession, logical), n)
+  }
+
   /** A sibling session on the same SparkContext with its OWN extensions —
     * what `spark.sql.extensions=...` produces at startup, constructible
     * mid-JVM for tests. A bare `getOrCreate` would return the existing
